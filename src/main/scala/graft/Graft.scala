@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+import graft.sql.{Parser, Translator}
+
+/** Session facade — the Spark-native analogue of the reference's
+  * public API (register_temp_table / query / remove_temp_table,
+  * /root/reference/sql_to_ibis/sql_select_query.py:38-204).
+  *
+  * `query(sql)` returns an UNEXECUTED DataFrame (a Catalyst logical
+  * plan), exactly as the reference returns an unexecuted Ibis
+  * expression: translation and optimization are decoupled from
+  * execution, so callers compose further or trigger actions
+  * themselves.
+  *
+  * Table-name lookup is case-insensitive, matching the reference
+  * (tests/expression_generation/test_select.py:31).
+  */
+final class Graft(val spark: SparkSession) {
+  private val tables = TrieMap.empty[String, DataFrame]
+
+  final case class TableNotFoundException(name: String)
+      extends RuntimeException(s"Table '$name' is not registered")
+
+  def registerTable(name: String, df: DataFrame): Unit =
+    tables.put(name.toLowerCase, df)
+
+  def removeTable(name: String): Unit =
+    tables.remove(name.toLowerCase)
+
+  def tableNames: Set[String] = tables.keySet.toSet
+
+  private def lookup(name: String): DataFrame =
+    tables.getOrElse(name.toLowerCase, throw TableNotFoundException(name))
+
+  /** Parse + translate SQL to a lazy DataFrame. */
+  def query(sqlText: String): DataFrame =
+    new Translator(lookup).translate(Parser.parse(sqlText))
+}
+
+object Graft {
+  def apply(spark: SparkSession): Graft = new Graft(spark)
+
+  /** Convenience: a Graft session with all testdata tables of a
+    * scale-factor directory registered under their TPC-H-ish names. */
+  def forDir(spark: SparkSession, dir: String): Graft = {
+    val g = new Graft(spark)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val path = s"$dir/$t.parquet"
+      if (new java.io.File(path).exists())
+        g.registerTable(t, spark.read.parquet(path))
+    }
+    g
+  }
+}

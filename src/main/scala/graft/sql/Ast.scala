@@ -1,0 +1,93 @@
+package graft.sql
+
+/** Typed AST for the graft SQL dialect.
+  *
+  * Surface mirrors the reference grammar
+  * (/root/reference/sql_to_ibis/grammar/sql.lark:1-163): SELECT with
+  * projection/aliases/DISTINCT, FROM with joins + subqueries, WHERE,
+  * GROUP BY, HAVING, ORDER BY, LIMIT/OFFSET, set operations, CASE,
+  * CAST, COALESCE, aggregates, RANK/DENSE_RANK and aggregate windows
+  * with ROWS/RANGE frames.
+  */
+object Ast {
+
+  // ---- scalar / boolean expressions ---------------------------------
+  sealed trait Expr
+
+  /** Column reference, optionally table-qualified (sql.lark:71,82). */
+  final case class ColRef(qualifier: Option[String], name: String) extends Expr
+  /** `*` or `t.*` (sql.lark:82,143). */
+  final case class Star(qualifier: Option[String]) extends Expr
+  final case class NumLit(text: String) extends Expr
+  final case class StrLit(value: String) extends Expr
+  final case class BoolLit(value: Boolean) extends Expr
+  /** NOW() / TODAY() / TIMESTAMP('d','t') (sql.lark:145-147). */
+  final case class NowLit() extends Expr
+  final case class TodayLit() extends Expr
+  final case class TimestampLit(date: String, time: String) extends Expr
+
+  /** Binary arithmetic: + - * / (sql.lark:40-80). */
+  final case class Arith(op: String, left: Expr, right: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+
+  /** CASE WHEN ... THEN ... ELSE ... END (sql.lark:43,67). */
+  final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Expr) extends Expr
+  /** CAST(e AS type) (sql.lark:44-45,87-106). */
+  final case class Cast(e: Expr, typeName: String) extends Expr
+  final case class Coalesce(args: Seq[Expr]) extends Expr
+
+  /** sum/avg/min/max/count aggregate, optionally windowed (sql.lark:46,107). */
+  final case class AggExpr(func: String, distinct: Boolean, arg: Expr,
+                           window: Option[WindowSpec]) extends Expr
+  /** RANK()/DENSE_RANK() OVER (...) (sql.lark:47-48). */
+  final case class RankExpr(dense: Boolean, window: WindowSpec) extends Expr
+
+  /** Generic scalar function call — extension beyond the reference
+    * grammar for the pipeline operators (lower/upper/length/...). */
+  final case class FuncCall(name: String, args: Seq[Expr]) extends Expr
+
+  // boolean operators (sql.lark:112-131)
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
+  final case class InList(e: Expr, values: Seq[Expr], negated: Boolean) extends Expr
+  final case class InSubquery(e: Expr, sub: SetExpr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class Like(e: Expr, pattern: String) extends Expr
+
+  // ---- windows (sql.lark:51-65) -------------------------------------
+  final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[OrderItem],
+                              frame: Option[Frame])
+  final case class Frame(isRows: Boolean, start: FrameBound, end: FrameBound)
+  sealed trait FrameBound
+  case object UnboundedPreceding extends FrameBound
+  case object UnboundedFollowing extends FrameBound
+  case object CurrentRow extends FrameBound
+  final case class Preceding(n: Long) extends FrameBound
+  final case class Following(n: Long) extends FrameBound
+
+  final case class OrderItem(e: Expr, asc: Boolean)
+
+  // ---- relations (sql.lark:28-38) -----------------------------------
+  sealed trait Relation
+  final case class TableRef(name: String, alias: Option[String]) extends Relation
+  final case class SubqueryRel(q: SetExpr, alias: Option[String]) extends Relation
+  /** joinType: inner|left|right|full|cross. on=None for cross. */
+  final case class JoinRel(left: Relation, right: Relation, joinType: String,
+                           on: Option[Expr]) extends Relation
+
+  // ---- query structure (sql.lark:3-12) ------------------------------
+  final case class SelectItem(e: Expr, alias: Option[String])
+  final case class Select(distinct: Boolean, items: Seq[SelectItem],
+                          from: Relation, where: Option[Expr],
+                          groupBy: Seq[Expr], having: Option[Expr])
+  final case class Query(sel: Select, orderBy: Seq[OrderItem],
+                         limit: Option[Long], offset: Option[Long])
+
+  sealed trait SetExpr
+  final case class Leaf(q: Query) extends SetExpr
+  /** op: union|union_all|intersect|except|except_all (sql.lark:4-8). */
+  final case class SetOp(op: String, l: SetExpr, r: SetExpr) extends SetExpr
+}

@@ -1,0 +1,454 @@
+package graft.sql
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser producing the graft AST.
+  *
+  * Implements the query language of the reference grammar
+  * (/root/reference/sql_to_ibis/grammar/sql.lark): set-exprs over
+  * query-exprs (each with its own ORDER BY / LIMIT / OFFSET), SELECT
+  * with joins, subqueries, boolean and arithmetic expressions with
+  * standard precedence, CASE/CAST/COALESCE, aggregates and windows.
+  */
+final class Parser(tokens: Vector[Token]) {
+  private var pos = 0
+
+  private def peek: Token = tokens(pos)
+  private def next(): Token = { val t = tokens(pos); pos += 1; t }
+
+  final case class ParseException(msg: String)
+      extends RuntimeException(s"$msg (at token ${peek})")
+  private def fail(msg: String): Nothing = throw ParseException(msg)
+
+  private val reserved = Set(
+    "select", "from", "where", "group", "having", "order", "limit",
+    "offset", "union", "intersect", "except", "on", "inner", "left",
+    "right", "full", "outer", "cross", "join", "as", "and", "or", "not",
+    "when", "then", "else", "end", "asc", "desc", "by", "all",
+    "distinct", "case", "cast", "between", "in", "is", "null", "like",
+    "over", "partition", "rows", "range", "preceding", "following",
+    "unbounded", "current", "row", "using")
+
+  private def isKw(t: Token, kw: String): Boolean = t match {
+    case Ident(v, _) => v.equalsIgnoreCase(kw)
+    case _ => false
+  }
+  private def atKw(kw: String): Boolean = isKw(peek, kw)
+  private def eatKw(kw: String): Boolean =
+    if (atKw(kw)) { pos += 1; true } else false
+  private def expectKw(kw: String): Unit =
+    if (!eatKw(kw)) fail(s"expected $kw")
+  private def atOp(op: String): Boolean = peek match {
+    case Op(v, _) => v == op
+    case _ => false
+  }
+  private def eatOp(op: String): Boolean =
+    if (atOp(op)) { pos += 1; true } else false
+  private def expectOp(op: String): Unit =
+    if (!eatOp(op)) fail(s"expected '$op'")
+  private def ident(): String = next() match {
+    case Ident(v, _) => v
+    case t => fail(s"expected identifier, got $t")
+  }
+
+  // ---- entry --------------------------------------------------------
+  def parse(): SetExpr = {
+    val e = parseSetExpr()
+    peek match {
+      case End(_) => e
+      case t => fail(s"trailing input at $t")
+    }
+  }
+
+  /** sql.lark:3-8 — left-associative UNION/INTERSECT/EXCEPT [ALL]. */
+  private def parseSetExpr(): SetExpr = {
+    var left: SetExpr = Leaf(parseQueryExpr())
+    var continue = true
+    while (continue) {
+      if (atKw("union")) {
+        pos += 1
+        val all = eatKw("all"); if (!all) eatKw("distinct")
+        left = SetOp(if (all) "union_all" else "union", left, Leaf(parseQueryExpr()))
+      } else if (atKw("intersect")) {
+        pos += 1; eatKw("distinct"); eatKw("all")
+        left = SetOp("intersect", left, Leaf(parseQueryExpr()))
+      } else if (atKw("except")) {
+        pos += 1
+        val all = eatKw("all"); if (!all) eatKw("distinct")
+        left = SetOp(if (all) "except_all" else "except", left, Leaf(parseQueryExpr()))
+      } else continue = false
+    }
+    left
+  }
+
+  /** sql.lark:10 — select [ORDER BY ...] [LIMIT n [OFFSET m]]. */
+  private def parseQueryExpr(): Query = {
+    val sel = parseSelect()
+    val orderBy =
+      if (eatKw("order")) { expectKw("by"); parseOrderList() } else Nil
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    if (eatKw("limit")) {
+      limit = Some(parseIntLit())
+      if (eatKw("offset")) offset = Some(parseIntLit())
+    }
+    Query(sel, orderBy, limit, offset)
+  }
+
+  private def parseIntLit(): Long = next() match {
+    case Num(v, _) => v.toLong
+    case t => fail(s"expected integer, got $t")
+  }
+
+  private def parseOrderList(): Seq[OrderItem] = {
+    val items = Seq.newBuilder[OrderItem]
+    var more = true
+    while (more) {
+      val e = parseExpr()
+      val asc = if (eatKw("desc")) false else { eatKw("asc"); true }
+      items += OrderItem(e, asc)
+      more = eatOp(",")
+    }
+    items.result()
+  }
+
+  /** sql.lark:12. */
+  private def parseSelect(): Select = {
+    expectKw("select")
+    val distinct = eatKw("distinct"); if (!distinct) eatKw("all")
+    val items = Seq.newBuilder[SelectItem]
+    var more = true
+    while (more) {
+      items += parseSelectItem()
+      more = eatOp(",")
+    }
+    expectKw("from")
+    val from = parseFrom()
+    val where = if (eatKw("where")) Some(parseExpr()) else None
+    val groupBy =
+      if (eatKw("group")) { expectKw("by")
+        val gs = Seq.newBuilder[Expr]
+        var m = true
+        while (m) { gs += parseExpr(); m = eatOp(",") }
+        gs.result()
+      } else Nil
+    val having = if (eatKw("having")) Some(parseExpr()) else None
+    Select(distinct, items.result(), from, where, groupBy, having)
+  }
+
+  private def parseSelectItem(): SelectItem = {
+    val e = parseExpr()
+    val alias = parseOptionalAlias()
+    SelectItem(e, alias)
+  }
+
+  private def parseOptionalAlias(): Option[String] = {
+    if (eatKw("as")) Some(ident())
+    else peek match {
+      case Ident(v, _) if !reserved.contains(v.toLowerCase) =>
+        pos += 1; Some(v)
+      case _ => None
+    }
+  }
+
+  // ---- FROM / joins (sql.lark:28-38) --------------------------------
+  private def parseFrom(): Relation = {
+    var left = parseJoinChain()
+    // comma-separated FROM list = implicit cross join (test_select.py:60)
+    while (eatOp(",")) {
+      val right = parseJoinChain()
+      left = JoinRel(left, right, "cross", None)
+    }
+    left
+  }
+
+  private def parseJoinChain(): Relation = {
+    var left = parseRelationPrimary()
+    var continue = true
+    while (continue) {
+      if (atKw("cross")) {
+        pos += 1; expectKw("join")
+        left = JoinRel(left, parseRelationPrimary(), "cross", None)
+      } else {
+        val jt: Option[String] =
+          if (atKw("join")) Some("inner")
+          else if (atKw("inner")) { pos += 1; Some("inner") }
+          else if (atKw("left")) { pos += 1; eatKw("outer"); Some("left") }
+          else if (atKw("right")) { pos += 1; eatKw("outer"); Some("right") }
+          else if (atKw("full")) { pos += 1; eatKw("outer"); Some("full") }
+          else None
+        jt match {
+          case Some(t) =>
+            expectKw("join")
+            val right = parseRelationPrimary()
+            val on = if (eatKw("on")) Some(parseExpr()) else None
+            left = JoinRel(left, right, t, on)
+          case None => continue = false
+        }
+      }
+    }
+    left
+  }
+
+  private def parseRelationPrimary(): Relation = {
+    if (eatOp("(")) {
+      val q = parseSetExpr()
+      expectOp(")")
+      SubqueryRel(q, parseOptionalAlias())
+    } else {
+      val name = ident()
+      TableRef(name, parseOptionalAlias())
+    }
+  }
+
+  // ---- expressions --------------------------------------------------
+  // precedence: OR < AND < NOT < comparison < additive < multiplicative
+  // < unary < primary (sql.lark:40-131)
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (eatKw("or")) l = Or(l, parseAnd())
+    l
+  }
+
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (eatKw("and")) l = And(l, parseNot())
+    l
+  }
+
+  private def parseNot(): Expr =
+    if (atKw("not") && !isKw(tokens(pos + 1), "in")) { pos += 1; Not(parseNot()) }
+    else parseComparison()
+
+  private def parseComparison(): Expr = {
+    val l = parseAdditive()
+    if (atOp("=") || atOp("<>") || atOp("!=") || atOp(">") || atOp("<") ||
+        atOp(">=") || atOp("<=")) {
+      val Op(op, _) = next(): @unchecked
+      Cmp(if (op == "!=") "<>" else op, l, parseAdditive())
+    } else if (atKw("between")) {
+      pos += 1
+      val lo = parseAdditive(); expectKw("and"); val hi = parseAdditive()
+      Between(l, lo, hi)
+    } else if (atKw("is")) {
+      pos += 1
+      val neg = eatKw("not")
+      expectKw("null")
+      IsNull(l, neg)
+    } else if (atKw("like")) {
+      pos += 1
+      next() match {
+        case Str(p, _) => Like(l, p)
+        case t => fail(s"expected pattern string after LIKE, got $t")
+      }
+    } else if (atKw("in") || (atKw("not") && isKw(tokens(pos + 1), "in"))) {
+      val neg = eatKw("not")
+      expectKw("in")
+      expectOp("(")
+      if (atKw("select")) {
+        val sub = parseSetExpr()
+        expectOp(")")
+        val in = InSubquery(l, sub)
+        if (neg) Not(in) else in
+      } else {
+        val vs = Seq.newBuilder[Expr]
+        var more = true
+        while (more) { vs += parseAdditive(); more = eatOp(",") }
+        expectOp(")")
+        InList(l, vs.result(), neg)
+      }
+    } else l
+  }
+
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    var continue = true
+    while (continue) {
+      if (eatOp("+")) l = Arith("+", l, parseMultiplicative())
+      else if (eatOp("-")) l = Arith("-", l, parseMultiplicative())
+      else continue = false
+    }
+    l
+  }
+
+  private def parseMultiplicative(): Expr = {
+    var l = parseUnary()
+    var continue = true
+    while (continue) {
+      if (eatOp("*")) l = Arith("*", l, parseUnary())
+      else if (eatOp("/")) l = Arith("/", l, parseUnary())
+      else continue = false
+    }
+    l
+  }
+
+  private def parseUnary(): Expr =
+    if (eatOp("-")) Neg(parseUnary()) else parsePrimary()
+
+  private val aggFuncs = Set("sum", "avg", "min", "max", "count")
+
+  private def parsePrimary(): Expr = {
+    peek match {
+      case Op("(", _) =>
+        pos += 1
+        val e = parseExpr()
+        expectOp(")")
+        e
+      case Op("*", _) =>
+        pos += 1; Star(None)
+      case Num(v, _) => pos += 1; NumLit(v)
+      case Str(v, _) => pos += 1; StrLit(v)
+      case Ident(v, _) =>
+        val lower = v.toLowerCase
+        lower match {
+          case "true" => pos += 1; BoolLit(true)
+          case "false" => pos += 1; BoolLit(false)
+          case "case" => pos += 1; parseCase()
+          case "cast" if isOpAt(pos + 1, "(") => pos += 1; parseCast()
+          case "coalesce" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val args = Seq.newBuilder[Expr]
+            var more = true
+            while (more) { args += parseExpr(); more = eatOp(",") }
+            expectOp(")")
+            Coalesce(args.result())
+          case "now" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("("); expectOp(")"); NowLit()
+          case "today" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("("); expectOp(")"); TodayLit()
+          case "timestamp" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val d = next() match {
+              case Str(s, _) => s
+              case t => fail(s"expected date string, got $t")
+            }
+            expectOp(",")
+            val t = next() match {
+              case Str(s, _) => s
+              case tt => fail(s"expected time string, got $tt")
+            }
+            expectOp(")")
+            TimestampLit(d, t)
+          case "rank" | "dense_rank" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("("); expectOp(")")
+            expectKw("over")
+            RankExpr(dense = lower == "dense_rank", window = parseWindowSpec())
+          case f if aggFuncs.contains(f) && isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val distinct = eatKw("distinct")
+            val arg = if (atOp("*")) { pos += 1; Star(None) } else parseExpr()
+            expectOp(")")
+            val win = if (eatKw("over")) Some(parseWindowSpec()) else None
+            AggExpr(f, distinct, arg, win)
+          case _ if isOpAt(pos + 1, "(") =>
+            // generic scalar function (graft extension)
+            pos += 1; expectOp("(")
+            val args = Seq.newBuilder[Expr]
+            if (!atOp(")")) {
+              var more = true
+              while (more) { args += parseExpr(); more = eatOp(",") }
+            }
+            expectOp(")")
+            FuncCall(lower, args.result())
+          case _ =>
+            pos += 1
+            // qualified column t.col or t.*
+            if (eatOp(".")) {
+              if (eatOp("*")) Star(Some(v))
+              else ColRef(Some(v), ident())
+            } else ColRef(None, v)
+        }
+      case t => fail(s"unexpected token $t")
+    }
+  }
+
+  private def isOpAt(p: Int, op: String): Boolean =
+    p < tokens.length && (tokens(p) match {
+      case Op(v, _) => v == op
+      case _ => false
+    })
+
+  private def parseCase(): Expr = {
+    val branches = Seq.newBuilder[(Expr, Expr)]
+    while (atKw("when")) {
+      pos += 1
+      val cond = parseExpr()
+      expectKw("then")
+      val v = parseExpr()
+      branches += ((cond, v))
+    }
+    expectKw("else")
+    val otherwise = parseExpr()
+    expectKw("end")
+    CaseWhen(branches.result(), otherwise)
+  }
+
+  private def parseCast(): Expr = {
+    expectOp("(")
+    val e = parseExpr()
+    expectKw("as")
+    val t = ident()
+    expectOp(")")
+    Cast(e, t)
+  }
+
+  /** OVER ( [PARTITION BY ...] [ORDER BY ... [frame]] ) — sql.lark:51-65. */
+  private def parseWindowSpec(): WindowSpec = {
+    expectOp("(")
+    val parts =
+      if (eatKw("partition")) { expectKw("by")
+        val ps = Seq.newBuilder[Expr]
+        var more = true
+        while (more) {
+          ps += parseExpr()
+          // stop consuming commas if next clause starts
+          more = eatOp(",")
+        }
+        ps.result()
+      } else Nil
+    val (orders, frame) =
+      if (eatKw("order")) { expectKw("by")
+        val os = parseOrderList()
+        val fr =
+          if (atKw("rows") || atKw("range")) {
+            val isRows = eatKw("rows"); if (!isRows) expectKw("range")
+            Some(parseFrameExtent(isRows))
+          } else None
+        (os, fr)
+      } else (Nil, None)
+    expectOp(")")
+    WindowSpec(parts, orders, frame)
+  }
+
+  private def parseFrameExtent(isRows: Boolean): Frame = {
+    if (eatKw("between")) {
+      val start = parseFrameBound()
+      expectKw("and")
+      val end = parseFrameBound()
+      Frame(isRows, start, end)
+    } else {
+      // bare "n PRECEDING" / "UNBOUNDED PRECEDING" = start, end=current row
+      Frame(isRows, parseFrameBound(), CurrentRow)
+    }
+  }
+
+  private def parseFrameBound(): FrameBound = {
+    if (eatKw("unbounded")) {
+      if (eatKw("preceding")) UnboundedPreceding
+      else { expectKw("following"); UnboundedFollowing }
+    } else if (eatKw("current")) { expectKw("row"); CurrentRow }
+    else {
+      val n = parseIntLit()
+      if (eatKw("preceding")) Preceding(n)
+      else { expectKw("following"); Following(n) }
+    }
+  }
+}
+
+object Parser {
+  def parse(sql: String): Ast.SetExpr =
+    new Parser(Lexer.tokenize(sql)).parse()
+}

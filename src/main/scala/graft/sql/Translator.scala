@@ -1,0 +1,480 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.{Window, WindowSpec => SparkWindow}
+import org.apache.spark.sql.types._
+import Ast._
+
+/** Lowers the graft AST to Spark DataFrame operations.
+  *
+  * The analogue of the reference's SQLTransformer
+  * (/root/reference/sql_to_ibis/parsing/sql_parser.py): where that code
+  * emits an unexecuted Ibis expression, this emits an unexecuted Spark
+  * logical plan — Catalyst then performs predicate pushdown, column
+  * pruning, join selection, partial aggregation and AQE on it. No
+  * execution happens at translation time; no RDDs, no UDFs.
+  */
+final class Translator(catalog: String => DataFrame) {
+
+  final case class TranslateException(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw TranslateException(msg)
+
+  def translate(e: SetExpr): DataFrame = e match {
+    case Leaf(q) => translateQuery(q)
+    case SetOp(op, l, r) =>
+      val lf = translate(l); val rf = translate(r)
+      op match {
+        case "union"      => lf.union(rf).distinct()
+        case "union_all"  => lf.union(rf)
+        case "intersect"  => lf.intersect(rf)
+        case "except"     => lf.except(rf)
+        case "except_all" => lf.exceptAll(rf)
+        case other        => fail(s"unknown set op $other")
+      }
+  }
+
+  private def translateQuery(q: Query): DataFrame = {
+    var df = translateSelect(q.sel)
+    if (q.orderBy.nonEmpty) {
+      // ORDER BY resolves against the SELECT output (aliases visible),
+      // falling back to the literal expression.
+      val cols = q.orderBy.map { oi =>
+        val c = oi.e match {
+          case ColRef(None, n) =>
+            df.columns.find(_.equalsIgnoreCase(n))
+              .map(F.col).getOrElse(exprToCol(oi.e, None))
+          case other => exprToCol(other, None)
+        }
+        if (oi.asc) c.asc else c.desc
+      }
+      df = df.orderBy(cols: _*)
+    }
+    (q.offset, q.limit) match {
+      case (Some(o), Some(l)) => df.offset(o.toInt).limit(l.toInt)
+      case (None, Some(l))    => df.limit(l.toInt)
+      case (Some(o), None)    => df.offset(o.toInt)
+      case _                  => df
+    }
+  }
+
+  // ---- relations ----------------------------------------------------
+
+  /** Builds the FROM DataFrame. Aliases every named relation so
+    * qualified refs (`t.col`) resolve; Spark's default
+    * case-insensitive analysis handles bare columns, matching the
+    * reference's case-insensitive lookup (sql_parser.py). */
+  private def translateRelation(r: Relation): DataFrame = r match {
+    case TableRef(name, alias) =>
+      val df = catalog(name)
+      df.alias(alias.getOrElse(name).toLowerCase)
+    case SubqueryRel(q, alias) =>
+      val df = translate(q)
+      alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
+    case JoinRel(l, rr, jt, on) =>
+      val lf = translateRelation(l)
+      val rf = translateRelation(rr)
+      jt match {
+        case "cross" => lf.crossJoin(rf)
+        case t =>
+          on match {
+            case Some(cond) =>
+              val sparkType = t match {
+                case "inner" => "inner"
+                case "left"  => "left_outer"
+                case "right" => "right_outer"
+                case "full"  => "full_outer"
+                case other   => fail(s"unknown join type $other")
+              }
+              lf.join(rf, exprToCol(cond, None), sparkType)
+            case None => fail(s"$t JOIN requires ON condition")
+          }
+      }
+  }
+
+  // ---- select core --------------------------------------------------
+
+  private def translateSelect(sel: Select): DataFrame = {
+    val from0 = translateRelation(sel.from)
+
+    // IN (subquery) in WHERE must become a semi-join (Catalyst has no
+    // scalar IN-subquery expression reachable from the public Column
+    // API). Hoist top-level conjuncts.
+    var from = from0
+    val whereResidual: Option[Expr] = sel.where.map { w =>
+      val (subqueries, residual) = extractInSubqueries(w)
+      subqueries.foreach { case InSubquery(e, sub) =>
+        val subDf = translate(sub)
+        if (subDf.columns.length != 1)
+          fail("IN (subquery) requires a single-column subquery")
+        val key = subDf.columns.head
+        from = from.join(
+          subDf.distinct(),
+          exprToCol(e, None) === subDf(key), "left_semi")
+      }
+      residual
+    }.flatten.orElse(None)
+
+    val filtered = whereResidual match {
+      case Some(w) => from.filter(exprToCol(w, None))
+      case None    => from
+    }
+
+    val hasAgg = sel.items.exists(i => containsAgg(i.e)) ||
+      sel.groupBy.nonEmpty || sel.having.exists(containsAgg)
+
+    val projected: DataFrame =
+      if (!hasAgg) {
+        val base = sel.having match {  // HAVING w/o aggregates = WHERE
+          case Some(h) => filtered.filter(exprToCol(h, None))
+          case None    => filtered
+        }
+        base.select(selectCols(sel.items, base): _*)
+      } else translateAggregate(sel, filtered)
+
+    if (sel.distinct) projected.distinct() else projected
+  }
+
+  /** GROUP BY / global aggregation with HAVING support. Aggregate
+    * expressions referenced in HAVING are computed in the same agg
+    * (single shuffle with map-side partial aggregation), filtered,
+    * then pruned by the final projection. */
+  private def translateAggregate(sel: Select, in: DataFrame): DataFrame = {
+    val groupCols = sel.groupBy.map(g => exprToCol(g, None))
+
+    // every aggregate node appearing in SELECT or HAVING, deduped by
+    // its column expression text
+    var aggMap = Vector.empty[(String, Column)] // internal name -> agg col
+    def aggName(c: Column): String = {
+      val key = c.toString
+      aggMap.find(_._2.toString == key) match {
+        case Some((n, _)) => n
+        case None =>
+          val n = s"__agg_${aggMap.size}"
+          aggMap :+= (n -> c)
+          n
+      }
+    }
+
+    // rewrite an expression: aggregate nodes → post-agg column refs,
+    // group-by expressions → their post-agg values
+    def post(e: Expr): Column = e match {
+      case a @ AggExpr(_, _, _, None) =>
+        F.col(aggName(aggColumn(a)))
+      case _ if sel.groupBy.exists(g => sameExpr(g, e)) =>
+        // group key column: carry through via first() only when the
+        // key expression itself is not a bare column
+        e match {
+          case ColRef(_, _) => exprToCol(e, None)
+          case _            => exprToCol(e, None)
+        }
+      case ColRef(_, _) => exprToCol(e, None)
+      case NumLit(_) | StrLit(_) | BoolLit(_) | NowLit() | TodayLit() |
+           TimestampLit(_, _) => exprToCol(e, None)
+      case Arith(op, l, r)  => arith(op, post(l), post(r))
+      case Neg(x)           => -post(x)
+      case CaseWhen(bs, o) =>
+        bs.tail.foldLeft(F.when(post(bs.head._1), post(bs.head._2))) {
+          case (acc, (c, v)) => acc.when(post(c), post(v))
+        }.otherwise(post(o))
+      case Cast(x, t)     => post(x).cast(sparkType(t))
+      case Coalesce(args) => F.coalesce(args.map(post): _*)
+      case And(l, r)      => post(l) && post(r)
+      case Or(l, r)       => post(l) || post(r)
+      case Not(x)         => !post(x)
+      case Cmp(op, l, r)  => cmp(op, post(l), post(r))
+      case Between(x, lo, hi) => post(x).between(post(lo), post(hi))
+      case InList(x, vs, neg) =>
+        val c = post(x).isin(vs.map(v => litValue(v)): _*)
+        if (neg) !c else c
+      case IsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
+      case Like(x, p) => post(x).like(p)
+      case FuncCall(nm, args) => scalarFunc(nm, args.map(post), args)
+      case other => fail(s"unsupported expression in aggregate context: $other")
+    }
+
+    // group-by keys must appear in output when selected; compute the
+    // post-agg projection for each select item
+    val groupKeyed = if (groupCols.nonEmpty) in.groupBy(groupCols: _*) else in.groupBy()
+
+    // force materialization of agg map: walk select + having
+    val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
+      case SelectItem(Star(_), _) =>
+        fail("SELECT * with aggregation requires explicit columns")
+      case SelectItem(e, alias) => (e, alias, post(e))
+    }
+    val havingPost: Option[Column] = sel.having.map(post)
+
+    val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) }
+    if (aggExprs.isEmpty) {
+      // GROUP BY with no aggregates (reference: test_group_by,
+      // aggregation.py:18) ≡ SELECT DISTINCT over the group keys
+      val base = in.select(selectCols(sel.items, in): _*).distinct()
+      return sel.having match {
+        case Some(h) => base.filter(exprToCol(h, None))
+        case None    => base
+      }
+    }
+
+    var agged: DataFrame =
+      groupKeyed.agg(aggExprs.head, aggExprs.tail: _*)
+
+    havingPost.foreach(h => agged = agged.filter(h))
+
+    val out = selectPost.map { case (e, alias, c) =>
+      c.as(alias.getOrElse(defaultName(e, in)))
+    }
+    agged.select(out: _*)
+  }
+
+  private def sameExpr(a: Expr, b: Expr): Boolean = (a, b) match {
+    case (ColRef(_, n1), ColRef(_, n2)) => n1.equalsIgnoreCase(n2)
+    case _ => a == b
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case AggExpr(_, _, _, None) => true
+    case AggExpr(_, _, _, Some(_)) => false // windowed agg is per-row
+    case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Neg(x) => containsAgg(x)
+    case CaseWhen(bs, o) =>
+      bs.exists { case (c, v) => containsAgg(c) || containsAgg(v) } || containsAgg(o)
+    case Cast(x, _) => containsAgg(x)
+    case Coalesce(args) => args.exists(containsAgg)
+    case And(l, r) => containsAgg(l) || containsAgg(r)
+    case Or(l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Between(x, lo, hi) => containsAgg(x) || containsAgg(lo) || containsAgg(hi)
+    case InList(x, _, _) => containsAgg(x)
+    case IsNull(x, _) => containsAgg(x)
+    case FuncCall(_, args) => args.exists(containsAgg)
+    case _ => false
+  }
+
+  /** Splits a WHERE tree into (top-level-conjunct IN-subqueries,
+    * residual predicate). */
+  private def extractInSubqueries(e: Expr): (Seq[InSubquery], Option[Expr]) =
+    e match {
+      case s: InSubquery => (Seq(s), None)
+      case And(l, r) =>
+        val (ls, lr) = extractInSubqueries(l)
+        val (rs, rr) = extractInSubqueries(r)
+        val residual = (lr, rr) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        (ls ++ rs, residual)
+      case other =>
+        if (containsInSubquery(other))
+          fail("IN (subquery) is only supported as a top-level AND conjunct")
+        (Nil, Some(other))
+    }
+
+  private def containsInSubquery(e: Expr): Boolean = e match {
+    case _: InSubquery => true
+    case And(l, r) => containsInSubquery(l) || containsInSubquery(r)
+    case Or(l, r) => containsInSubquery(l) || containsInSubquery(r)
+    case Not(x) => containsInSubquery(x)
+    case _ => false
+  }
+
+  // ---- projection ---------------------------------------------------
+
+  private def selectCols(items: Seq[SelectItem], in: DataFrame): Seq[Column] =
+    items.flatMap {
+      case SelectItem(Star(None), _) => Seq(F.col("*"))
+      case SelectItem(Star(Some(t)), _) => Seq(F.col(s"${t.toLowerCase}.*"))
+      case SelectItem(e, alias) =>
+        Seq(exprToCol(e, None).as(alias.getOrElse(defaultName(e, in))))
+    }
+
+  /** Output name for an unaliased select item: the schema-cased column
+    * name for bare refs (reference maintains source case —
+    * test_select.py:104), else a deterministic lowered rendering. */
+  private def defaultName(e: Expr, in: DataFrame): String = e match {
+    case ColRef(_, n) =>
+      in.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
+    case AggExpr(f, d, Star(_), _) =>
+      if (d) s"${f}_distinct_star" else s"${f}_star"
+    case AggExpr(f, d, ColRef(_, n), _) =>
+      if (d) s"${f}_distinct_$n" else s"${f}_$n"
+    case _ => render(e)
+  }
+
+  private def render(e: Expr): String = e match {
+    case ColRef(_, n) => n.toLowerCase
+    case NumLit(t) => t
+    case StrLit(v) => v
+    case Arith(op, l, r) => s"${render(l)}$op${render(r)}"
+    case Cast(x, t) => s"cast_${render(x)}_$t"
+    case Coalesce(as) => s"coalesce_${as.map(render).mkString("_")}"
+    case _ => "expr"
+  }
+
+  // ---- expression lowering ------------------------------------------
+
+  def exprToCol(e: Expr, in: Option[DataFrame]): Column = e match {
+    case ColRef(Some(q), n) => F.col(s"${q.toLowerCase}.$n")
+    case ColRef(None, n)    => F.col(n)
+    case Star(None)         => F.col("*")
+    case Star(Some(t))      => F.col(s"${t.toLowerCase}.*")
+    case NumLit(t) =>
+      if (t.matches("[0-9]+") && t.length < 19) F.lit(t.toLong)
+      else F.lit(t.toDouble)
+    case StrLit(v)  => F.lit(v)
+    case BoolLit(v) => F.lit(v)
+    case NowLit()   => F.current_timestamp()
+    case TodayLit() => F.current_date()
+    case TimestampLit(d, t) => F.to_timestamp(F.lit(s"$d $t"))
+    case Arith(op, l, r) => arith(op, exprToCol(l, in), exprToCol(r, in))
+    case Neg(x) => -exprToCol(x, in)
+    case CaseWhen(bs, o) =>
+      bs.tail.foldLeft(
+        F.when(exprToCol(bs.head._1, in), exprToCol(bs.head._2, in))) {
+        case (acc, (c, v)) => acc.when(exprToCol(c, in), exprToCol(v, in))
+      }.otherwise(exprToCol(o, in))
+    case Cast(x, t)     => exprToCol(x, in).cast(sparkType(t))
+    case Coalesce(args) => F.coalesce(args.map(exprToCol(_, in)): _*)
+    case a: AggExpr if a.window.isDefined =>
+      aggColumnBase(a).over(windowSpec(a.window.get))
+    case a: AggExpr => aggColumn(a)
+    case RankExpr(dense, w) =>
+      (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
+    case And(l, r) => exprToCol(l, in) && exprToCol(r, in)
+    case Or(l, r)  => exprToCol(l, in) || exprToCol(r, in)
+    case Not(x)    => !exprToCol(x, in)
+    case Cmp(op, l, r) => cmp(op, exprToCol(l, in), exprToCol(r, in))
+    case Between(x, lo, hi) =>
+      exprToCol(x, in).between(exprToCol(lo, in), exprToCol(hi, in))
+    case InList(x, vs, neg) =>
+      val c = exprToCol(x, in).isin(vs.map(litValue): _*)
+      if (neg) !c else c
+    case IsNull(x, neg) =>
+      if (neg) exprToCol(x, in).isNotNull else exprToCol(x, in).isNull
+    case Like(x, p) => exprToCol(x, in).like(p)
+    case FuncCall(name, args) =>
+      scalarFunc(name, args.map(exprToCol(_, in)), args)
+    case _: InSubquery => fail("IN (subquery) not supported in this position")
+  }
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case o   => fail(s"unknown arithmetic op $o")
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "="  => l === r
+    case "<>" => l =!= r
+    case ">"  => l > r
+    case "<"  => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case o    => fail(s"unknown comparison $o")
+  }
+
+  private def litValue(e: Expr): Any = e match {
+    case NumLit(t) =>
+      if (t.matches("[0-9]+") && t.length < 19) t.toLong else t.toDouble
+    case StrLit(v)  => v
+    case BoolLit(v) => v
+    case Neg(NumLit(t)) =>
+      if (t.matches("[0-9]+") && t.length < 19) -t.toLong else -t.toDouble
+    case other => fail(s"IN list requires literals, got $other")
+  }
+
+  /** Aggregate → Spark Column (without window). */
+  private def aggColumn(a: AggExpr): Column = aggColumnBase(a)
+
+  private def aggColumnBase(a: AggExpr): Column = {
+    val arg: Column = a.arg match {
+      case Star(_) => F.lit(1)
+      case e       => exprToCol(e, None)
+    }
+    a.func match {
+      case "count" if a.distinct =>
+        a.arg match {
+          case Star(_) => fail("COUNT(DISTINCT *) unsupported")
+          case e       => F.countDistinct(exprToCol(e, None))
+        }
+      case "count" => F.count(arg)
+      case "sum"   => F.sum(arg)
+      case "avg"   => F.avg(arg)
+      case "min"   => F.min(arg)
+      case "max"   => F.max(arg)
+      case other   => fail(s"unknown aggregate $other")
+    }
+  }
+
+  private def windowSpec(w: WindowSpec): SparkWindow = {
+    var spec: SparkWindow =
+      if (w.partitionBy.nonEmpty)
+        Window.partitionBy(w.partitionBy.map(e => exprToCol(e, None)): _*)
+      else Window.partitionBy()
+    if (w.orderBy.nonEmpty)
+      spec = spec.orderBy(w.orderBy.map { oi =>
+        val c = exprToCol(oi.e, None)
+        if (oi.asc) c.asc else c.desc
+      }: _*)
+    w.frame.foreach { f =>
+      def bound(b: FrameBound): Long = b match {
+        case UnboundedPreceding => Window.unboundedPreceding
+        case UnboundedFollowing => Window.unboundedFollowing
+        case CurrentRow         => Window.currentRow
+        case Preceding(n)       => -n
+        case Following(n)       => n
+      }
+      spec =
+        if (f.isRows) spec.rowsBetween(bound(f.start), bound(f.end))
+        else spec.rangeBetween(bound(f.start), bound(f.end))
+    }
+    spec
+  }
+
+  /** Type names accepted by the reference (sql.lark:87-106) → Spark. */
+  private def sparkType(t: String): DataType = t.toLowerCase match {
+    case "object" | "string" | "varchar" | "category" => StringType
+    case "int" | "integer" | "int32"                  => IntegerType
+    case "int16" | "smallint"                         => ShortType
+    case "int64" | "bigint"                           => LongType
+    case "float16" | "float32" | "float"              => FloatType
+    case "float64" | "double"                         => DoubleType
+    case "bool" | "boolean"                           => BooleanType
+    case "timestamp" | "datetime64"                   => TimestampType
+    case "date"                                       => DateType
+    case "time"                                       => StringType
+    case other => fail(s"unknown type name $other")
+  }
+
+  /** Scalar function extension surface (graft addition; all map to
+    * codegen'd Spark functions — no UDFs). */
+  private def scalarFunc(name: String, cols: Seq[Column],
+                         raw: Seq[Expr]): Column = {
+    def c(i: Int): Column = cols(i)
+    def n(i: Int): Int = raw(i) match {
+      case NumLit(t)      => t.toDouble.toInt
+      case Neg(NumLit(t)) => -t.toDouble.toInt
+      case other          => fail(s"expected integer literal, got $other")
+    }
+    (name, cols.length) match {
+      case ("lower", 1)     => F.lower(c(0))
+      case ("upper", 1)     => F.upper(c(0))
+      case ("length", 1)    => F.length(c(0))
+      case ("trim", 1)      => F.trim(c(0))
+      case ("abs", 1)       => F.abs(c(0))
+      case ("round", 1)     => F.round(c(0))
+      case ("round", 2)     => F.round(c(0), n(1))
+      case ("floor", 1)     => F.floor(c(0))
+      case ("ceil", 1)      => F.ceil(c(0))
+      case ("sqrt", 1)      => F.sqrt(c(0))
+      case ("concat", _)    => F.concat(cols: _*)
+      case ("substring", 3) => F.substring(c(0), n(1), n(2))
+      case ("year", 1)      => F.year(c(0))
+      case ("month", 1)     => F.month(c(0))
+      case ("day", 1)       => F.dayofmonth(c(0))
+      case _ => fail(s"unknown function $name/${cols.length}")
+    }
+  }
+}

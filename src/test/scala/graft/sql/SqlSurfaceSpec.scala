@@ -1,0 +1,268 @@
+package graft.sql
+
+import graft.SparkTestBase
+
+/** One test per SURVEY.md §2.1 operator, cross-checked against
+  * spark.sql on identical input tables. */
+class SqlSurfaceSpec extends SparkTestBase {
+
+  test("select star") {
+    checkAgainstSparkSql("select * from region")
+  }
+
+  test("select columns with aliases, bare and AS") {
+    checkAgainstSparkSql(
+      "select l_orderkey, l_quantity qty, l_extendedprice as price from lineitem")
+  }
+
+  test("case-insensitive table and column resolution") {
+    assertSameRows(
+      graftSession.query("select N_NAME from NATION"),
+      spark.sql("select n_name from nation"))
+  }
+
+  test("qualified columns and table.*") {
+    checkAgainstSparkSql("select nation.n_name from nation")
+    checkAgainstSparkSql("select t1.n_name from nation t1")
+    checkAgainstSparkSql("select t1.* from nation t1")
+  }
+
+  test("select distinct") {
+    checkAgainstSparkSql("select distinct l_returnflag, l_linestatus from lineitem")
+  }
+
+  test("where comparisons") {
+    checkAgainstSparkSql("select l_orderkey from lineitem where l_quantity > 45")
+    checkAgainstSparkSql("select l_orderkey from lineitem where l_quantity <= 2")
+    checkAgainstSparkSql("select n_name from nation where n_name = 'CHINA'")
+    checkAgainstSparkSql("select n_name from nation where n_regionkey <> 2")
+    checkAgainstSparkSql("select n_name from nation where n_regionkey != 2")
+  }
+
+  test("boolean ops with parens precedence") {
+    checkAgainstSparkSql(
+      """select l_orderkey from lineitem
+         where (l_quantity > 40 or l_discount < 0.02) and l_tax > 0.04""")
+  }
+
+  test("between") {
+    checkAgainstSparkSql(
+      "select l_orderkey, l_quantity from lineitem where l_quantity between 10 and 12")
+  }
+
+  test("in and not in literal lists") {
+    checkAgainstSparkSql(
+      "select n_name from nation where n_name in ('CHINA', 'INDIA', 'FRANCE')")
+    checkAgainstSparkSql(
+      "select n_name from nation where n_regionkey not in (1, 3)")
+  }
+
+  test("in subquery") {
+    checkAgainstSparkSql(
+      """select c_name from customer
+         where c_nationkey in (select n_nationkey from nation where n_regionkey = 2)""")
+  }
+
+  test("is null / is not null") {
+    checkAgainstSparkSql("select c_name from customer where c_acctbal is null")
+    checkAgainstSparkSql("select count(c_name) as c from customer where c_acctbal is not null")
+  }
+
+  test("arithmetic precedence") {
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber, 1 + 2 * 3 - 2 as my_number
+         from lineitem order by l_orderkey, l_linenumber limit 5""")
+    checkAgainstSparkSql(
+      "select l_extendedprice * (1 - l_discount) as revenue, l_orderkey from lineitem")
+  }
+
+  test("case when") {
+    checkAgainstSparkSql(
+      """select l_orderkey,
+           case when l_quantity > 40 then 'big'
+                when l_quantity > 20 then 'mid'
+                else 'small' end as bucket
+         from lineitem""")
+  }
+
+  test("cast") {
+    checkAgainstSparkSql(
+      """select cast(l_quantity as int) as qi,
+           cast(l_orderkey as string) as ks,
+           cast(2.7 as int) as litint
+         from lineitem""")
+  }
+
+  test("coalesce") {
+    checkAgainstSparkSql(
+      "select coalesce(c_acctbal, 0.0) as bal from customer")
+  }
+
+  test("aggregates sum avg min max count") {
+    checkAgainstSparkSql(
+      """select sum(l_quantity) as s, avg(l_quantity) as a,
+           min(l_quantity) as mn, max(l_quantity) as mx,
+           count(l_quantity) as c
+         from lineitem""")
+  }
+
+  test("count star and count distinct") {
+    checkAgainstSparkSql("select count(*) as n from lineitem")
+    checkAgainstSparkSql(
+      "select count(distinct l_returnflag) as n from lineitem")
+  }
+
+  test("group by with and without selecting key") {
+    checkAgainstSparkSql(
+      """select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty
+         from lineitem group by l_returnflag, l_linestatus""")
+    checkAgainstSparkSql(
+      "select sum(l_quantity) as sum_qty from lineitem group by l_returnflag")
+  }
+
+  test("group by no aggregates = distinct keys") {
+    checkAgainstSparkSql(
+      "select l_returnflag, l_linestatus from lineitem group by l_returnflag, l_linestatus")
+  }
+
+  test("having with group by") {
+    checkAgainstSparkSql(
+      """select l_returnflag, count(*) as n from lineitem
+         group by l_returnflag having count(*) > 1000""")
+  }
+
+  test("having without group by") {
+    checkAgainstSparkSql(
+      "select min(l_quantity) as mn from lineitem having min(l_quantity) > 0")
+  }
+
+  test("order by asc desc with limit offset") {
+    checkAgainstSparkSql(
+      """select c_name, c_acctbal from customer
+         order by c_acctbal desc, c_name limit 10""")
+    checkAgainstSparkSql(
+      """select c_name, c_acctbal from customer
+         order by c_acctbal desc, c_name limit 10 offset 5""")
+  }
+
+  test("inner join") {
+    checkAgainstSparkSql(
+      """select n_name, r_name from nation
+         join region on n_regionkey = r_regionkey""")
+  }
+
+  test("left right full joins") {
+    checkAgainstSparkSql(
+      """select n_name, r_name from nation
+         left join region on n_regionkey = r_regionkey""")
+    checkAgainstSparkSql(
+      """select n_name, r_name from nation
+         right outer join region on n_regionkey = r_regionkey""")
+    checkAgainstSparkSql(
+      """select n_name, r_name from nation
+         full outer join region on n_regionkey = r_regionkey""")
+  }
+
+  test("cross join explicit and implicit") {
+    checkAgainstSparkSql(
+      "select n_name, r_name from nation cross join region")
+    checkAgainstSparkSql(
+      "select count(*) as n from nation, region")
+  }
+
+  test("three-way join with qualified keys") {
+    checkAgainstSparkSql(
+      """select c_name, n_name, r_name from customer
+         join nation on customer.c_nationkey = nation.n_nationkey
+         join region on nation.n_regionkey = region.r_regionkey""")
+  }
+
+  test("subquery in from, nested") {
+    checkAgainstSparkSql(
+      "select * from (select n_name, n_regionkey from nation) t")
+    checkAgainstSparkSql(
+      """select big.n_name from
+           (select * from (select n_name, n_regionkey from nation) inner1
+            where n_regionkey > 1) big""")
+  }
+
+  test("aggregate in subquery then join") {
+    checkAgainstSparkSql(
+      """select n_name, cnt from nation
+         join (select c_nationkey, count(*) as cnt from customer
+               group by c_nationkey) t
+           on n_nationkey = t.c_nationkey""")
+  }
+
+  test("union / union all / intersect / except") {
+    checkAgainstSparkSql(
+      """select n_name as name from nation where n_regionkey = 0
+         union select n_name as name from nation where n_regionkey <= 1""")
+    checkAgainstSparkSql(
+      """select n_name as name from nation where n_regionkey = 0
+         union all select n_name as name from nation where n_regionkey <= 1""")
+    checkAgainstSparkSql(
+      """select n_regionkey from nation
+         intersect select r_regionkey from region where r_regionkey < 3""")
+    checkAgainstSparkSql(
+      """select n_regionkey from nation
+         except select r_regionkey from region where r_regionkey < 3""")
+  }
+
+  test("rank and dense_rank windows") {
+    checkAgainstSparkSql(
+      """select c_name, rank() over (order by c_acctbal desc) as rk
+         from customer""")
+    checkAgainstSparkSql(
+      """select c_name,
+           dense_rank() over (partition by c_nationkey order by c_acctbal desc) as rk
+         from customer""")
+  }
+
+  test("aggregate over window with partition and order") {
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           sum(l_quantity) over (partition by l_orderkey order by l_linenumber) as running
+         from lineitem""")
+  }
+
+  test("window frames rows and range") {
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           sum(l_quantity) over (partition by l_orderkey order by l_linenumber
+             rows between 1 preceding and current row) as w
+         from lineitem""")
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           avg(l_quantity) over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as w
+         from lineitem""")
+  }
+
+  test("literals: string booleans numbers timestamp()") {
+    checkAgainstSparkSql(
+      "select n_name, 42 as i, 2.5 as d, 'x' as s, true as b from nation")
+    assertSameRows(
+      graftSession.query(
+        "select timestamp('2020-01-02', '03:04:05') as ts from region limit 1"),
+      spark.sql("select timestamp '2020-01-02 03:04:05' as ts from region limit 1"))
+  }
+
+  test("scalar function extensions") {
+    checkAgainstSparkSql(
+      """select lower(n_name) as lo, upper(r_name) as up, length(n_name) as ln
+         from nation join region on n_regionkey = r_regionkey""")
+  }
+
+  test("like") {
+    checkAgainstSparkSql("select n_name from nation where n_name like 'C%'")
+  }
+
+  test("registration api") {
+    val g = graft.Graft(spark)
+    g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
+    assert(g.query("select count(*) as n from temp_nation").collect().head.getLong(0) == 25)
+    g.removeTable("temp_nation")
+    intercept[RuntimeException](g.query("select * from temp_nation"))
+  }
+}
