@@ -164,6 +164,157 @@ object SparkEntry {
         "TIMESTAMP '2020-01-02 03:04:05' as ts from nation"),
   )
 
+  // ---- pipeline operators (SURVEY §2.2) -----------------------------
+  // DataFrame-API operators from graft.ops with DuckDB oracle SQL that
+  // replays the identical algorithm (same md5 hashes, same double
+  // accumulation order), so even LSH bucketing is hash-verified.
+
+  import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+  import graft.streaming.Streaming
+
+  private def docs(s: SparkSession, dir: String) =
+    graftFor(s, dir); // keep session cache warm
+  private def tbl(s: SparkSession, dir: String, name: String) =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // DuckDB-side builders mirroring the ops' expression generation
+  private val duckMins =
+    (0 until Dedup.NumHashes).map(i => s"min(md5('$i:' || s)) as h$i").mkString(", ")
+  private val duckOrs =
+    (0 until Dedup.NumHashes).map(i => s"a.h$i = b.h$i").mkString(" or ")
+  private val duckShingleCtes =
+    """with tok as (select doc_id, string_split(lower(text), ' ') as w from documents),
+       sh as (select doc_id, list_distinct(list_transform(
+                range(1, greatest(len(w) - 2, 1) + 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingles from tok),
+       ex as (select doc_id, unnest(shingles) as s from sh),
+       mh as (select doc_id, """ + duckMins + " from ex group by doc_id)"
+  private val duckSimhashTerms = (0 until 16).map { j =>
+    s"(case when list_sum(list_transform(hs, h -> ((h >> $j) & 1)::BIGINT * 2 - 1)) > 0 then 1 else 0 end) * ${1L << j}"
+  }.mkString(" + ")
+  private def duckPlaneDot(j: Int) =
+    s"list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * (((i*31 + $j*17) % 7 - 3)::DOUBLE)))"
+  private val duckBucket = (0 until Similarity.Planes).map { j =>
+    s"(case when ${duckPlaneDot(j)} >= 0 then 1 else 0 end) * ${1 << j}"
+  }.mkString(" + ")
+  private val duckEmbCte =
+    s"""with e as (select vec_id, embedding,
+          list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2,
+          $duckBucket as bucket from embeddings)"""
+  private def duckPairCos(a: String, b: String) =
+    s"""list_sum(list_transform($a.embedding, (x, i) -> x::DOUBLE * ($b.embedding[i])::DOUBLE))
+        / (sqrt($a.norm2) * sqrt($b.norm2))"""
+  private def duckLangScore(ws: Seq[String]) =
+    s"round(len(list_filter(w, t -> t in (${ws.map("'" + _ + "'").mkString(", ")}))) / len(w), 6)"
+
+  /** name → (runner, optional DuckDB oracle). */
+  private val opEntries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q_dedup_exact",
+      (s: SparkSession, dir: String) => Dedup.exactDuplicates(tbl(s, dir, "documents")),
+      Some("""select min(doc_id) as keep_id, count(*) as copies
+              from documents group by md5(text) having count(*) > 1""")),
+    ("q_dedup_minhash",
+      (s: SparkSession, dir: String) => Dedup.minhashCandidates(tbl(s, dir, "documents")),
+      Some(s"""$duckShingleCtes
+               select a.doc_id as id_a, b.doc_id as id_b
+               from mh a join mh b on a.doc_id < b.doc_id and ($duckOrs)""")),
+    ("q_dedup_jaccard",
+      (s: SparkSession, dir: String) => Dedup.jaccardPairs(tbl(s, dir, "documents"), 0.5),
+      Some(s"""$duckShingleCtes,
+               cand as (select a.doc_id as id_a, b.doc_id as id_b
+                        from mh a join mh b on a.doc_id < b.doc_id and ($duckOrs))
+               select id_a, id_b, round(jacc, 4) as jacc from (
+                 select c.id_a, c.id_b,
+                   len(list_intersect(sa.shingles, sb.shingles))
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))) as jacc
+                 from cand c
+                 join sh sa on sa.doc_id = c.id_a
+                 join sh sb on sb.doc_id = c.id_b) t
+               where jacc >= 0.5""")),
+    ("q_dedup_simhash",
+      (s: SparkSession, dir: String) => Dedup.withSimhash(tbl(s, dir, "documents")),
+      Some(s"""with hs as (select doc_id, list_transform(string_split(lower(text), ' '),
+                 t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT) as hs from documents)
+               select doc_id, cast($duckSimhashTerms as bigint) as simhash from hs""")),
+    // threshold 0.3: the synthetic corpus plants no true embedding
+    // dups (max pairwise cosine ≈ 0.37), so a production-style 0.9
+    // would make the check vacuous
+    ("q_dedup_embed",
+      (s: SparkSession, dir: String) => Similarity.embeddingDupPairs(tbl(s, dir, "embeddings"), 0.3),
+      Some(s"""$duckEmbCte
+               select id_a, id_b, round(cos, 4) as cos_sim from (
+                 select a.vec_id as id_a, b.vec_id as id_b,
+                        ${duckPairCos("a", "b")} as cos
+                 from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id) t
+               where cos >= 0.3""")),
+    ("q_ann_brute",
+      (s: SparkSession, dir: String) => Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 5),
+      Some(s"""$duckEmbCte,
+               scored as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                            round(${duckPairCos("q", "c")}, 6) as sim
+                          from e q join e c on q.vec_id < 10 and c.vec_id <> q.vec_id)
+               select query_id, neighbor_id, sim,
+                 row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
+               from scored qualify rnk <= 5""")),
+    ("q_ann_lsh",
+      (s: SparkSession, dir: String) => Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 3),
+      Some(s"""$duckEmbCte,
+               scored as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                            round(${duckPairCos("q", "c")}, 6) as sim
+                          from e q join e c on q.bucket = c.bucket
+                            and q.vec_id < 10 and c.vec_id <> q.vec_id)
+               select query_id, neighbor_id, sim,
+                 row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
+               from scored qualify rnk <= 3""")),
+    ("q_text_langid",
+      (s: SparkSession, dir: String) => TextAnalysis.langId(tbl(s, dir, "documents")),
+      Some(s"""select doc_id, s_en, s_es, s_fr, s_de,
+                 case when s_en >= s_es and s_en >= s_fr and s_en >= s_de then 'en'
+                      when s_es >= s_fr and s_es >= s_de then 'es'
+                      when s_fr >= s_de then 'fr'
+                      else 'de' end as pred_lang
+               from (select doc_id,
+                 ${duckLangScore(TextAnalysis.stopwords("en"))} as s_en,
+                 ${duckLangScore(TextAnalysis.stopwords("es"))} as s_es,
+                 ${duckLangScore(TextAnalysis.stopwords("fr"))} as s_fr,
+                 ${duckLangScore(TextAnalysis.stopwords("de"))} as s_de
+               from (select doc_id, string_split(lower(text), ' ') as w from documents))""")),
+    ("q_text_quality",
+      (s: SparkSession, dir: String) => TextAnalysis.qualityScore(tbl(s, dir, "documents")),
+      Some(s"""select doc_id, n_chars_m, round(s, 6) as stop_ratio,
+                 round(p, 6) as punct_ratio,
+                 round(s * 0.5 + (1.0 - p) * 0.5, 6) as quality
+               from (select doc_id, length(text) as n_chars_m,
+                 len(list_filter(w, t -> t in (${TextAnalysis.stopwords("en").map("'" + _ + "'").mkString(", ")}))) / len(w) as s,
+                 (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+                   / length(text) as p
+               from (select doc_id, text, string_split(lower(text), ' ') as w from documents))""")),
+    ("q_text_tokens",
+      (s: SparkSession, dir: String) => TextAnalysis.tokenCounts(tbl(s, dir, "documents")),
+      Some("""select doc_id,
+                len(regexp_split_to_array(trim(text), '\s+')) as n_ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) as n_bpe_tokens
+              from documents""")),
+    ("q_text_fingerprint",
+      (s: SparkSession, dir: String) => TextAnalysis.fingerprint(tbl(s, dir, "documents")),
+      Some("""select doc_id,
+                list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                  i -> md5(substr(text, i, 8)))) as fp
+              from documents""")),
+    ("q_multimodal_meta",
+      (s: SparkSession, dir: String) => Multimodal.metaFeatures(tbl(s, dir, "documents")),
+      Some("""select doc_id, octet_length(text::BLOB) as n_bytes,
+                octet_length(text::BLOB) % 640 as width,
+                (octet_length(text::BLOB) * 7) % 480 as height,
+                octet_length(text::BLOB) % 30 + 1 as n_frames
+              from documents""")),
+    ("q_events_window",
+      (s: SparkSession, dir: String) => Streaming.windowedCounts(tbl(s, dir, "events")),
+      Some("""select epoch(time_bucket(INTERVAL 1 hour, ts))::BIGINT as bucket_start,
+                event_type, count(*) as n, round(sum(value), 2) as sum_value
+              from events group by 1, 2""")),
+  )
+
   /** Flagship: TPC-H Q1-flavored aggregation through the graft engine. */
   def entry(spark: SparkSession): DataFrame =
     graftFor(spark, "/root/testdata/sf0.001").query(
@@ -185,10 +336,12 @@ object SparkEntry {
     val dialect = dialectSql.map { case (name, graftSqlText, _) =>
       name -> ((s: SparkSession, dir: String) => graftFor(s, dir).query(graftSqlText))
     }
-    (shared ++ dialect).toMap
+    val ops = opEntries.map { case (name, fn, _) => name -> fn }
+    (shared ++ dialect ++ ops).toMap
   }
 
   /** DuckDB-runnable oracle SQL, column names matching `queries`. */
   def oracleSql: Map[String, String] =
-    (sharedSql ++ dialectSql.map { case (n, _, o) => (n, o) }).toMap
+    (sharedSql ++ dialectSql.map { case (n, _, o) => (n, o) } ++
+      opEntries.collect { case (n, _, Some(o)) => (n, o) }).toMap
 }

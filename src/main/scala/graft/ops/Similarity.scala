@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Embedding similarity operators (SURVEY.md §2.2 rows 41-43).
+  *
+  * Dot products run as `zip_with` + `aggregate` higher-order
+  * expressions over the embedding arrays — sequential double
+  * accumulation, codegen'd, identical bit-for-bit to the DuckDB
+  * oracle's list_transform/list_sum evaluation.
+  *
+  * Scale design: the brute-force path broadcasts only the (small)
+  * query set and streams the corpus — one scan, no shuffle. The LSH
+  * path buckets by random-hyperplane sign bits so candidate
+  * generation shuffles on bucket ids; hyperplanes are a deterministic
+  * integer pattern so any engine (and the oracle) derives the same
+  * buckets without sharing state.
+  */
+object Similarity {
+
+  /** Embedding dimensionality of the testdata corpus. */
+  val Dim = 64
+  /** Number of hyperplane sign bits (2^8 = 256 buckets). */
+  val Planes = 8
+
+  /** Deterministic "random" hyperplane: component d of plane j is
+    * ((d*31 + j*17) % 7) - 3 — integer arithmetic reproducible in any
+    * engine. */
+  private def planeDot(j: Int, emb: String): String =
+    s"""aggregate(zip_with($emb, sequence(1, $Dim),
+          (x, d) -> cast(x as double) * cast((d*31 + $j*17) % 7 - 3 as double)),
+        cast(0 as double), (acc, v) -> acc + v)"""
+
+  private val norm2Expr =
+    """aggregate(zip_with(embedding, embedding,
+         (x, y) -> cast(x as double) * cast(y as double)),
+       cast(0 as double), (acc, v) -> acc + v)"""
+
+  /** vec_id, embedding, LSH bucket (Planes sign bits), squared norm. */
+  def withBucketAndNorm(emb: DataFrame): DataFrame = {
+    val bucket = (0 until Planes).map { j =>
+      s"(case when ${planeDot(j, "embedding")} >= 0 then 1 else 0 end) * ${1 << j}"
+    }.mkString(" + ")
+    emb.selectExpr("vec_id", "embedding",
+      s"cast($bucket as int) as bucket", s"$norm2Expr as norm2")
+  }
+
+  private val pairCos =
+    """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
+       cast(0 as double), (acc, v) -> acc + v) / (sqrt(na) * sqrt(nb))"""
+
+  /** Near-duplicate pairs by embedding cosine within an LSH bucket
+    * (SURVEY row 41): shuffles on bucket id, never all-pairs. */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = withBucketAndNorm(emb)
+    e.select(F.col("vec_id").as("id_a"), F.col("embedding").as("ea"),
+             F.col("bucket"), F.col("norm2").as("na"))
+      .join(e.select(F.col("vec_id").as("id_b"), F.col("embedding").as("eb"),
+                     F.col("bucket").as("bucket_b"), F.col("norm2").as("nb")),
+            F.col("bucket") === F.col("bucket_b") && F.col("id_a") < F.col("id_b"))
+      .selectExpr("id_a", "id_b", s"$pairCos as cos")
+      .filter(F.col("cos") >= threshold)
+      .selectExpr("id_a", "id_b", "round(cos, 4) as cos_sim")
+  }
+
+  /** Brute-force cosine top-k: broadcast the query set, scan the
+    * corpus once, rank per query. The scale baseline for ANN. */
+  def bruteForceTopK(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
+    val e = withBucketAndNorm(emb)
+    val q = F.broadcast(
+      e.filter(queryPred)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+                F.col("norm2").as("na")))
+    val scored = q.join(
+        e.select(F.col("vec_id").as("neighbor_id"), F.col("embedding").as("eb"),
+                 F.col("norm2").as("nb")),
+        F.col("query_id") =!= F.col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+    scored
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** LSH-bucketed ANN: probe only the query's own bucket, then exact
+    * rerank — the 100 TB path (bucket-key shuffle instead of full
+    * scan per query). */
+  def lshTopK(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
+    val e = withBucketAndNorm(emb)
+    val q = F.broadcast(
+      e.filter(queryPred)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+                F.col("norm2").as("na"), F.col("bucket").as("qbucket")))
+    q.join(e.select(F.col("vec_id").as("neighbor_id"),
+                    F.col("embedding").as("eb"), F.col("norm2").as("nb"),
+                    F.col("bucket")),
+           F.col("qbucket") === F.col("bucket") &&
+           F.col("query_id") =!= F.col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+}

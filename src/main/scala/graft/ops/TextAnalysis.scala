@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Text analysis operators (SURVEY.md §2.2 rows 44-47): language ID,
+  * quality scoring, token counting, fingerprinting. Pure per-row
+  * projections — whole-stage codegen, zero shuffle, trivially
+  * data-parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Small stopword lists keyed by language for the n-gram/stopword
+    * language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "das", "und", "zu"))
+
+  private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+
+  private def scoreExpr(lang: String): String =
+    s"""size(filter(__toks, t -> t in (${inList(stopwords(lang))})))
+        / size(__toks)"""
+
+  /** Language-ID scores per language + argmax prediction
+    * (deterministic tie-break in en>es>fr>de order). */
+  def langId(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
+      .selectExpr("doc_id",
+        s"round(${scoreExpr("en")}, 6) as s_en",
+        s"round(${scoreExpr("es")}, 6) as s_es",
+        s"round(${scoreExpr("fr")}, 6) as s_fr",
+        s"round(${scoreExpr("de")}, 6) as s_de")
+      .selectExpr("doc_id", "s_en", "s_es", "s_fr", "s_de",
+        """case when s_en >= s_es and s_en >= s_fr and s_en >= s_de then 'en'
+                when s_es >= s_fr and s_es >= s_de then 'es'
+                when s_fr >= s_de then 'fr'
+                else 'de' end as pred_lang""")
+
+  /** Heuristic quality score from stopword density and
+    * punctuation/symbol ratio. The composite is computed from the RAW
+    * ratios — deriving it from pre-rounded values puts it exactly on
+    * rounding boundaries where engines' modes diverge. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "text", "split(lower(text), ' ') as __toks")
+      .selectExpr("doc_id",
+        "length(text) as n_chars_m",
+        s"${scoreExpr("en")} as __stop",
+        """(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')))
+           / length(text) as __punct""")
+      .selectExpr("doc_id", "n_chars_m",
+        "round(__stop, 6) as stop_ratio",
+        "round(__punct, 6) as punct_ratio",
+        "round(__stop * 0.5 + (1.0 - __punct) * 0.5, 6) as quality")
+
+  /** Whitespace token count + a BPE-ish regex token count (letter
+    * runs, digit runs, single symbols). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      """size(split(trim(text), '\\s+')) as n_ws_tokens""",
+      """size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as n_bpe_tokens""")
+
+  /** Winnowing-style fingerprint: minimum md5 over all character
+    * 8-grams (rolling-window hash family). */
+  def fingerprint(docs: DataFrame, window: Int = 8): DataFrame =
+    docs.selectExpr("doc_id",
+      s"""array_min(transform(sequence(1, greatest(length(text) - ${window - 1}, 1)),
+           i -> md5(substring(text, i, $window)))) as fp""")
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (SURVEY.md
+  * §2.2 row 49).
+  *
+  * The same windowed aggregation runs in batch (oracle-checkable) and
+  * as a stream with a watermark (late-data bound) — Spark guarantees
+  * the two agree for finite input, which `StreamingSpec` asserts via
+  * `Trigger.AvailableNow`.
+  */
+object Streaming {
+
+  /** events raw schema with ts as long nanos (see TESTDATA.md /
+    * nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Nanos → proper event-time timestamp (micros truncation). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.selectExpr("event_id", "timestamp_micros(ts div 1000) as event_time",
+      "user_id", "event_type", "value")
+
+  /** Hourly tumbling-window counts + value sums per event type.
+    * Output bucket as epoch seconds: engine-neutral, no timestamp
+    * rendering ambiguity in the oracle compare. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(F.window(F.col("event_time"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("sum_value"))
+      .selectExpr("cast(window.start as bigint) as bucket_start",
+        "event_type", "n", "sum_value")
+
+  /** Streaming flavor of `windowedCounts` with a 1-hour watermark —
+    * state for a window is dropped once event time passes its end by
+    * the watermark, bounding memory on unbounded input. */
+  def streamingWindowedCounts(spark: SparkSession, path: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+    withEventTime(stream)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(F.window(F.col("event_time"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("sum_value"))
+      .selectExpr("cast(window.start as bigint) as bucket_start",
+        "event_type", "n", "sum_value")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{SparkTestBase, TestSpark}
+import org.apache.spark.sql.DataFrame
+
+/** Specs for the pipeline operators (SURVEY.md §2.2). */
+class OpsSpec extends SparkTestBase {
+
+  private def documents: DataFrame =
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+  private def embeddings: DataFrame =
+    spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  test("exact dedup finds planted duplicates") {
+    // the corpus has no byte-identical texts; plant some
+    val withDups = documents.limit(50)
+      .union(documents.limit(5).selectExpr("doc_id + 1000 as doc_id",
+        "text", "lang", "source", "n_chars"))
+    val dups = Dedup.exactDuplicates(withDups).collect()
+    assert(dups.length == 5)
+    assert(dups.forall(_.getLong(1) == 2))
+  }
+
+  test("minhash candidates contain all high-jaccard pairs") {
+    val cands = Dedup.minhashCandidates(documents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.nonEmpty)
+    // every verified pair at jaccard>=0.5 must be a candidate
+    val verified = Dedup.jaccardPairs(documents, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    assert(verified.subsetOf(cands))
+  }
+
+  test("jaccard verification filters low-similarity candidates") {
+    val all = Dedup.jaccardPairs(documents, 0.0).count()
+    val strict = Dedup.jaccardPairs(documents, 0.9).count()
+    assert(strict < all)
+    Dedup.jaccardPairs(documents, 0.9).collect()
+      .foreach(r => assert(r.getDouble(2) >= 0.9))
+  }
+
+  test("simhash of identical docs is identical, near-dups are close") {
+    val sims = Dedup.withSimhash(documents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a verified near-dup pair should have small hamming distance
+    val pair = Dedup.jaccardPairs(documents, 0.9).collect().head
+    val ham = java.lang.Long.bitCount(sims(pair.getLong(0)) ^ sims(pair.getLong(1)))
+    assert(ham <= 4, s"hamming $ham too large for jaccard ${pair.getDouble(2)}")
+  }
+
+  test("brute-force topk is sorted and complete") {
+    val rows = Similarity.bruteForceTopK(embeddings, "vec_id < 3", 5).collect()
+    assert(rows.length == 15) // 3 queries x 5 neighbors
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    }
+  }
+
+  test("lsh topk neighbors are a subset of brute-force candidates' bucket") {
+    val lsh = Similarity.lshTopK(embeddings, "vec_id < 10", 3).collect()
+    assert(lsh.nonEmpty)
+    // lsh sims can never exceed the brute-force best
+    val brute = Similarity.bruteForceTopK(embeddings, "vec_id < 10", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    lsh.foreach(r => assert(r.getDouble(2) <= brute(r.getLong(0)) + 1e-9))
+  }
+
+  test("langid produces deterministic argmax") {
+    val out = TextAnalysis.langId(documents).collect()
+    assert(out.length == documents.count())
+    out.foreach { r =>
+      val scores = Map("en" -> r.getDouble(1), "es" -> r.getDouble(2),
+        "fr" -> r.getDouble(3), "de" -> r.getDouble(4))
+      assert(scores(r.getString(5)) == scores.values.max)
+    }
+  }
+
+  test("token counts match whitespace structure") {
+    val r = TextAnalysis.tokenCounts(documents.limit(10)).collect()
+    r.foreach(row => assert(row.getInt(1) > 0 && row.getInt(2) >= row.getInt(1)))
+  }
+
+  test("multimodal mapPartitions decode matches SQL metadata features") {
+    assertSameRows(Multimodal.decodeFeatures(documents, batchSize = 7),
+                   Multimodal.metaFeatures(documents))
+  }
+}
