@@ -179,9 +179,14 @@ object SparkEntry {
 
   // DuckDB-side builders mirroring the ops' expression generation
   private val duckMins =
-    (0 until Dedup.NumHashes).map(i => s"min(md5('$i:' || s)) as h$i").mkString(", ")
+    (for (s <- 0 until Dedup.NumHashes / 4; j <- 0 until 4) yield
+      s"min(substr(md5('$s:' || s), ${j * 8 + 1}, 8)) as h${s * 4 + j}").mkString(", ")
   private val duckOrs =
-    (0 until Dedup.NumHashes).map(i => s"a.h$i = b.h$i").mkString(" or ")
+    (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+      (0 until Dedup.BandRows)
+        .map(r => s"a.h${b * Dedup.BandRows + r} = b.h${b * Dedup.BandRows + r}")
+        .mkString("(", " and ", ")")
+    }.mkString(" or ")
   private val duckShingleCtes =
     """with tok as (select doc_id, string_split(lower(text), ' ') as w from documents),
        sh as (select doc_id, list_distinct(list_transform(

