@@ -318,6 +318,33 @@ object SparkEntry {
       Some("""select epoch(time_bucket(INTERVAL 1 hour, ts))::BIGINT as bucket_start,
                 event_type, count(*) as n, round(sum(value), 2) as sum_value
               from events group by 1, 2""")),
+    // oracle replays session-window semantics via lag(): a new session
+    // starts when the micros gap to the previous event is >= 30 min
+    // (Spark's session window end is exclusive)
+    ("q_events_sessions",
+      (s: SparkSession, dir: String) => Streaming.sessionize(tbl(s, dir, "events")),
+      Some("""with l as (select user_id, ts, value,
+                  lag(ts) over (partition by user_id order by ts) as prev
+                from events),
+              s as (select user_id, ts, value,
+                  sum(case when prev is null
+                           or epoch_us(ts) - epoch_us(prev) >= 1800000000
+                      then 1 else 0 end)
+                    over (partition by user_id order by ts
+                          rows unbounded preceding) as sid
+                from l)
+              select user_id,
+                (epoch_us(min(ts)) // 1000000)::BIGINT as session_start,
+                count(*) as n, round(sum(value), 2) as sum_value
+              from s group by user_id, sid""")),
+    ("q_csv_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        graft.sources.Sources.roundTrip(
+          tbl(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+          "csv", tmp)
+      },
+      Some("select doc_id, lang, source, n_chars from documents")),
   )
 
   /** Flagship: TPC-H Q1-flavored aggregation through the graft engine. */

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two numeric arrays.
+  *
+  * Replaces the `aggregate(zip_with(...))` higher-order-function
+  * pipeline on the similarity hot path: HOFs evaluate a lambda
+  * closure per element per row (interpreted), while this compiles to
+  * a tight primitive loop inside whole-stage codegen. Semantics match
+  * the HOF formulation exactly — element-wise double products summed
+  * sequentially left-to-right — so oracle results are bit-identical.
+  *
+  * Null/absent elements are not supported (embeddings are dense);
+  * length mismatch truncates to the shorter array.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private val supported: Set[DataType] =
+    Set(FloatType, DoubleType, IntegerType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if supported(l) && supported(r) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires numeric arrays, got $l and $r")
+    }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left)
+    val rt = elemType(right)
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType   => arr.getFloat(i).toDouble
+      case DoubleType  => arr.getDouble(i)
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType    => arr.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(x, lt, i) * get(y, rt, i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(arr: String, t: DataType, i: String): String = t match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    val lt = elemType(left)
+    val rt = elemType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(a, lt, i)} * ${getter(b, rt, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions — makes them
+  * callable from selectExpr / SQL as ordinary functions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+}

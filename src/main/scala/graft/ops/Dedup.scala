@@ -107,7 +107,11 @@ object Dedup {
     // severs whole-stage codegen. At 100 TB the signature table would
     // be written to storage once and reused across jobs instead.
     val sh = withShingles(docs)
-    val cands = minhashCandidatesFrom(sh)
+    // candidates are provably tiny relative to the corpus (only
+    // near-dup pairs survive banding) — broadcast THEM explicitly;
+    // left to stats the planner sometimes broadcasts the shingle-array
+    // side, which is the whole corpus
+    val cands = F.broadcast(minhashCandidatesFrom(sh))
     cands
       .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_a")),
             F.col("id_a") === F.col("doc_id")).drop("doc_id")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.functions.GraftFunctions
 
 /** Embedding similarity operators (SURVEY.md §2.2 rows 41-43).
   *
@@ -25,19 +26,20 @@ object Similarity {
 
   /** Deterministic "random" hyperplane: component d of plane j is
     * ((d*31 + j*17) % 7) - 3 — integer arithmetic reproducible in any
-    * engine. */
-  private def planeDot(j: Int, emb: String): String =
-    s"""aggregate(zip_with($emb, sequence(1, $Dim),
-          (x, d) -> cast(x as double) * cast((d*31 + $j*17) % 7 - 3 as double)),
-        cast(0 as double), (acc, v) -> acc + v)"""
+    * engine. Materialized as a double-array literal so the codegen'd
+    * graft_dot expression (graft.functions.ArrayDotProduct) computes
+    * the projection in a primitive loop. */
+  private def planeDot(j: Int, emb: String): String = {
+    val plane = (1 to Dim)
+      .map(d => s"${((d * 31 + j * 17) % 7 - 3).toDouble}D").mkString(", ")
+    s"graft_dot($emb, array($plane))"
+  }
 
-  private val norm2Expr =
-    """aggregate(zip_with(embedding, embedding,
-         (x, y) -> cast(x as double) * cast(y as double)),
-       cast(0 as double), (acc, v) -> acc + v)"""
+  private val norm2Expr = "graft_dot(embedding, embedding)"
 
   /** vec_id, embedding, LSH bucket (Planes sign bits), squared norm. */
   def withBucketAndNorm(emb: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val bucket = (0 until Planes).map { j =>
       s"(case when ${planeDot(j, "embedding")} >= 0 then 1 else 0 end) * ${1 << j}"
     }.mkString(" + ")
@@ -45,9 +47,7 @@ object Similarity {
       s"cast($bucket as int) as bucket", s"$norm2Expr as norm2")
   }
 
-  private val pairCos =
-    """aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
-       cast(0 as double), (acc, v) -> acc + v) / (sqrt(na) * sqrt(nb))"""
+  private val pairCos = "graft_dot(ea, eb) / (sqrt(na) * sqrt(nb))"
 
   /** Near-duplicate pairs by embedding cosine within an LSH bucket
     * (SURVEY row 41): shuffles on bucket id, never all-pairs. */

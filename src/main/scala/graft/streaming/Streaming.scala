@@ -35,6 +35,33 @@ object Streaming {
       .selectExpr("cast(window.start as bigint) as bucket_start",
         "event_type", "n", "sum_value")
 
+  /** Per-user sessionization with a 30-minute inactivity gap, via
+    * Spark's native session windows: sessions merge/extend as events
+    * arrive; a new session starts when the gap to the previous event
+    * is >= the timeout. Shuffles on user_id — the natural 100 TB
+    * partitioning. Output times as epoch seconds (engine-neutral). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withEventTime(events)
+      .groupBy(F.session_window(F.col("event_time"), s"$gapMinutes minutes"),
+               F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("sum_value"))
+      .selectExpr("user_id", "cast(session_window.start as bigint) as session_start",
+        "n", "sum_value")
+
+  /** Streaming sessionization: same session windows under a
+    * watermark, so session state is bounded on unbounded input. */
+  def streamingSessionize(spark: SparkSession, path: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+    withEventTime(stream)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(F.session_window(F.col("event_time"), s"$gapMinutes minutes"),
+               F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("sum_value"))
+      .selectExpr("user_id", "cast(session_window.start as bigint) as session_start",
+        "n", "sum_value")
+  }
+
   /** Streaming flavor of `windowedCounts` with a 1-hour watermark —
     * state for a window is dropped once event time passes its end by
     * the watermark, bounding memory on unbounded input. */
