@@ -45,12 +45,20 @@ object Graft {
   /** Convenience: a Graft session with all testdata tables of a
     * scale-factor directory registered under their TPC-H-ish names. */
   def forDir(spark: SparkSession, dir: String): Graft = {
+    // events.parquet carries ns timestamps; without this runtime conf
+    // Spark's schema read throws PARQUET_TYPE_ILLEGAL. Set defensively
+    // so sessions we didn't build (the driver's) work too.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     val g = new Graft(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       val path = s"$dir/$t.parquet"
       if (new java.io.File(path).exists())
-        g.registerTable(t, spark.read.parquet(path))
+        try g.registerTable(t, spark.read.parquet(path))
+        catch { case e: Throwable =>
+          System.err.println(s"[graft] skipping table $t: ${e.getMessage}")
+        }
     }
     g
   }
