@@ -29,10 +29,18 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: JVM, codegen, parquet footers
-    try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // Warmup at the smallest SF: runs every query shape once so JIT +
+    // codegen compilation happen before timing (measured: first
+    // execution of a codegen-heavy query costs 3-4x steady state).
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      queries.foreach { case (_, fn) =>
+        try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+      }
+    else try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
