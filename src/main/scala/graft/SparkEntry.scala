@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import scala.collection.concurrent.TrieMap
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -337,6 +337,46 @@ object SparkEntry {
                 (epoch_us(min(ts)) // 1000000)::BIGINT as session_start,
                 count(*) as n, round(sum(value), 2) as sum_value
               from s group by user_id, sid""")),
+    // DuckDB's native ASOF JOIN is the oracle for the composed
+    // union+window as-of implementation
+    ("q_asof_join",
+      (s: SparkSession, dir: String) => {
+        val ev = tbl(s, dir, "events")
+          .selectExpr("event_id", "user_id", "ts div 1000 as t", "value", "event_type")
+        val p = ev.filter("event_type = 'purchase'")
+          .select("event_id", "user_id", "t", "value")
+        val v = ev.filter("event_type = 'view'")
+          .selectExpr("user_id", "t as vt", "event_id as view_id")
+        graft.ops.AsOf.join(p, v, "user_id", "t", "vt", "view_id")
+      },
+      Some("""with p as (select event_id, user_id, epoch_us(ts) as t, value
+                         from events where event_type = 'purchase'),
+                   v as (select event_id as view_id, user_id, epoch_us(ts) as vt
+                         from events where event_type = 'view')
+              select p.event_id, p.user_id, p.t, p.value,
+                     v.vt as asof_time, v.view_id as asof_value
+              from p asof left join v
+                on p.user_id = v.user_id and p.t >= v.vt""")),
+    // salted two-phase aggregation must equal the plain group-by
+    ("q_skew_agg",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Skew.saltedSumCount(tbl(s, dir, "events"),
+          "event_type", "value", "event_id"),
+      Some("""select event_type, round(sum(value), 2) as sum_value,
+                count(*) as n
+              from events group by event_type""")),
+    ("q_text_stats",
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "documents").groupBy("lang")
+          .agg(F.count(F.lit(1)).as("n"),
+               F.round(F.expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+               F.round(F.expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+               F.min("n_chars").as("min_chars"), F.max("n_chars").as("max_chars")),
+      Some("""select lang, count(*) as n,
+                round(quantile_cont(n_chars, 0.5), 4) as median_chars,
+                round(quantile_cont(n_chars, 0.9), 4) as p90_chars,
+                min(n_chars) as min_chars, max(n_chars) as max_chars
+              from documents group by lang""")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class AsOfSkewSpec extends SparkTestBase {
+
+  test("asof join picks most recent right row at or before left time") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", 90L, 900L), ("u1", 200L, 901L), ("u2", 60L, 902L))
+      .toDF("user", "rt", "rid")
+    val out = AsOf.join(left, right, "user", "t", "rt", "rid")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[Any]("asof_time")), Option(r.getAs[Any]("asof_value"))))
+      .toMap
+    assert(out(1L) == (Some(90L), Some(900L)))   // 90 <= 100 < 200
+    assert(out(2L) == (Some(200L), Some(901L)))  // most recent
+    assert(out(3L) == (None, None))              // 60 > 50: no match
+  }
+
+  test("asof join inclusive at equal timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L)).toDF("id", "user", "t")
+    val right = Seq(("u", 100L, 7L)).toDF("user", "rt", "rid")
+    val out = AsOf.join(left, right, "user", "t", "rt", "rid").collect()
+    assert(out.head.getAs[Long]("asof_value") == 7L)
+  }
+
+  test("salted aggregation equals plain groupBy") {
+    val events = spark.read.parquet(s"${graft.TestSpark.sfDir}/events.parquet")
+    val salted = Skew.saltedSumCount(events, "event_type", "value", "event_id")
+    val plain = events.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.round(
+             org.apache.spark.sql.functions.sum("value"), 2).as("sum_value"),
+           org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n"))
+    assertSameRows(salted, plain)
+  }
+}
