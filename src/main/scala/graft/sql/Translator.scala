@@ -474,7 +474,11 @@ final class Translator(catalog: String => DataFrame) {
       case ("year", 1)      => F.year(c(0))
       case ("month", 1)     => F.month(c(0))
       case ("day", 1)       => F.dayofmonth(c(0))
-      case _ => fail(s"unknown function $name/${cols.length}")
+      // anything else resolves against Spark's FunctionRegistry —
+      // the full built-in surface (md5, split, concat_ws, ...) plus
+      // session-registered natives like graft_dot; unknown names
+      // still fail at analysis with a clear message
+      case _ => F.call_function(name, cols: _*)
     }
   }
 }

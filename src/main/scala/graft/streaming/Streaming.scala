@@ -62,6 +62,35 @@ object Streaming {
         "n", "sum_value")
   }
 
+  /** Per-user running totals via arbitrary stateful processing
+    * (flatMapGroupsWithState): the custom-state escape hatch for
+    * logic windows/sessions can't express. State is one small case
+    * class per key — bounded by |users|, partitioned by the group
+    * key. Emits one updated (user_id, n_events, sum_value) row per
+    * input event batch per user. */
+  final case class UserTotals(n_events: Long, sum_value: Double)
+
+  def streamingUserTotals(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+    val typed = withEventTime(stream)
+      .selectExpr("user_id", "value").as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update(UserTotals(n, s))
+          Iterator((user, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+      .selectExpr("user_id", "n_events", "round(sum_value, 2) as sum_value")
+  }
+
   /** Streaming flavor of `windowedCounts` with a 1-hour watermark —
     * state for a window is dropped once event time passes its end by
     * the watermark, bounding memory on unbounded input. */

@@ -38,6 +38,18 @@ class SourcesSpec extends SparkTestBase {
     assert(read.schema == docsSubset.schema)
   }
 
+  test("partitioned parquet write prunes partitions on read") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    Sources.writeParquetPartitioned(
+      docs.select("doc_id", "lang", "n_chars"), tmp, Seq("lang"))
+    val back = spark.read.parquet(tmp).filter("lang = 'en'")
+    assert(back.count() == docs.filter("lang = 'en'").count())
+    // partition pruning: only the lang=en directory is scanned
+    val scan = back.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") || !scan.contains("lang=fr"))
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     val events = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
     val sessions = graft.streaming.Streaming.sessionize(events).collect()

@@ -254,6 +254,18 @@ class SqlSurfaceSpec extends SparkTestBase {
          from nation join region on n_regionkey = r_regionkey""")
   }
 
+  test("function registry fallback resolves any Spark function") {
+    checkAgainstSparkSql(
+      """select md5(n_name) as h, reverse(n_name) as rev,
+           concat_ws('-', n_name, r_name) as joined
+         from nation join region on n_regionkey = r_regionkey""")
+    // session-registered native expressions are callable from SQL too
+    graft.functions.GraftFunctions.register(spark)
+    val r = graftSession.query(
+      "select graft_dot(array(1.0), array(2.5)) as d from region limit 1")
+    assert(r.collect().head.getDouble(0) == 2.5)
+  }
+
   test("like") {
     checkAgainstSparkSql("select n_name from nation where n_name like 'C%'")
   }

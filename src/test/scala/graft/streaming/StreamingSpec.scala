@@ -28,4 +28,25 @@ class StreamingSpec extends SparkTestBase {
 
     assertSameRows(spark.table("stream_counts"), batch)
   }
+
+  test("stateful user totals equal batch aggregation on finite input") {
+    val dir = java.nio.file.Files.createTempDirectory("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streaming.streamingUserTotals(spark, dir.toString)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+
+    // single input batch → one emitted row per user == batch totals
+    val batch = Streaming.withEventTime(
+        spark.read.parquet(s"${TestSpark.sfDir}/events.parquet"))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n_events"),
+           org.apache.spark.sql.functions.round(
+             org.apache.spark.sql.functions.sum("value"), 2).as("sum_value"))
+    assertSameRows(spark.table("user_totals"), batch)
+  }
 }
