@@ -271,6 +271,18 @@ object SparkEntry {
                select query_id, neighbor_id, sim,
                  row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
                from scored qualify rnk <= 3""")),
+    ("q_ann_ivf",
+      (s: SparkSession, dir: String) => Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 3),
+      Some(s"""with e as (select vec_id, embedding, label,
+                 list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+               from embeddings),
+               scored as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                            round(${duckPairCos("q", "c")}, 6) as sim
+                          from e q join e c on q.label = c.label
+                            and q.vec_id < 10 and c.vec_id <> q.vec_id)
+               select query_id, neighbor_id, sim,
+                 row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
+               from scored qualify rnk <= 3""")),
     ("q_text_langid",
       (s: SparkSession, dir: String) => TextAnalysis.langId(tbl(s, dir, "documents")),
       Some(s"""select doc_id, s_en, s_es, s_fr, s_de,

@@ -51,6 +51,37 @@ object Multimodal {
     }.toDF()
   }
 
+  /** STUB resize kernel: a real build decodes, resamples, re-encodes;
+    * the stub deterministically truncates/pads payload bytes to the
+    * target "resolution" so downstream schema/size contracts are
+    * exercised for real. */
+  def resizeBatch(batch: Seq[Asset], targetBytes: Int): Seq[Asset] =
+    batch.map { a =>
+      val out = java.util.Arrays.copyOf(a.payload, targetBytes)
+      a.copy(payload = out)
+    }
+
+  /** Batched per-partition resize — same mapPartitions shape as
+    * `decodeFeatures`. */
+  def resize(docs: DataFrame, targetBytes: Int, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    assets(docs).as[Asset].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(g => resizeBatch(g.toSeq, targetBytes))
+    }.toDF()
+  }
+
+  /** STUB frame sampling: emits every `stride`-th "frame offset" of a
+    * video payload (fake frames = fixed-size byte windows). One output
+    * row per sampled frame — the explode-shaped contract a real
+    * decoder would follow. */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 32,
+                   stride: Int = 4): DataFrame =
+    assets(docs).selectExpr("doc_id",
+      s"""posexplode(transform(
+            sequence(0, greatest(length(payload) div ($frameBytes * $stride) - 1, 0)),
+            i -> i * $frameBytes * $stride)) as (frame_idx, byte_offset)""")
+
   /** Pure-SQL metadata features (same formulas as the stub kernel) —
     * used as the oracle-comparable surface and as the expected value
     * for the mapPartitions plumbing test. */

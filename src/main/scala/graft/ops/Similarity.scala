@@ -85,6 +85,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** IVF-style ANN: the corpus is partitioned into coarse cells (an
+    * inverted file); a query probes only its own cell and exact-ranks
+    * within it. Here the precomputed `label` column stands in for the
+    * coarse-quantizer assignment (in production: k-means centroid
+    * ids, same plan shape). Scale: cell-key shuffle, corpus scan
+    * touches one cell per query. */
+  def ivfTopK(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = emb.selectExpr("vec_id", "embedding", "label",
+      s"$norm2Expr as norm2")
+    val q = F.broadcast(
+      e.filter(queryPred)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+                F.col("norm2").as("na"), F.col("label").as("qcell")))
+    q.join(e.select(F.col("vec_id").as("neighbor_id"),
+                    F.col("embedding").as("eb"), F.col("norm2").as("nb"),
+                    F.col("label")),
+           F.col("qcell") === F.col("label") &&
+           F.col("query_id") =!= F.col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** LSH-bucketed ANN: probe only the query's own bucket, then exact
     * rerank — the 100 TB path (bucket-key shuffle instead of full
     * scan per query). */

@@ -86,4 +86,28 @@ class OpsSpec extends SparkTestBase {
     assertSameRows(Multimodal.decodeFeatures(documents, batchSize = 7),
                    Multimodal.metaFeatures(documents))
   }
+
+  test("multimodal resize truncates or pads payloads to target size") {
+    val out = Multimodal.resize(documents.limit(20), targetBytes = 100)
+    out.collect().foreach(r =>
+      assert(r.getAs[Array[Byte]]("payload").length == 100))
+  }
+
+  test("frame sampling emits stride-spaced offsets") {
+    val frames = Multimodal.sampleFrames(documents.limit(5),
+      frameBytes = 32, stride = 4).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getLong(0)).values.foreach { g =>
+      val offsets = g.sortBy(_.getInt(1)).map(_.getLong(2))
+      offsets.zipWithIndex.foreach { case (o, i) => assert(o == i * 128L) }
+    }
+  }
+
+  test("ivf topk stays within the query's cell") {
+    val cells = embeddings.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val out = Similarity.ivfTopK(embeddings, "vec_id < 10", 3).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1))))
+  }
 }
