@@ -53,7 +53,7 @@ object SparkEntry {
     "q_math" ->
       """select l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) as charge,
-           1 + 2 * 3 - 2 as my_number
+           cast(1 + 2 * 3 - 2 as bigint) as my_number
          from lineitem""",
     "q_case_when" ->
       """select l_orderkey, l_linenumber,
@@ -134,10 +134,12 @@ object SparkEntry {
       """select n_regionkey from nation
          except select r_regionkey from region where r_regionkey < 3""",
     // --- windows (rows 32-34)
+    // bigint casts align rank dtypes across engines (Spark int,
+    // DuckDB bigint)
     "q_rank" ->
       """select c_custkey,
-           rank() over (partition by c_nationkey order by c_acctbal desc, c_custkey) as rk,
-           dense_rank() over (partition by c_nationkey order by c_mktsegment) as drk
+           cast(rank() over (partition by c_nationkey order by c_acctbal desc, c_custkey) as bigint) as rk,
+           cast(dense_rank() over (partition by c_nationkey order by c_mktsegment) as bigint) as drk
          from customer""",
     "q_window_agg" ->
       """select l_orderkey, l_linenumber,
@@ -157,10 +159,12 @@ object SparkEntry {
 
   /** graft-dialect SQL differs from the DuckDB oracle text. */
   private val dialectSql: Seq[(String, String, String)] = Seq(
+    // oracle casts align literal dtypes: graft integral literals are
+    // bigint, fractional are double; DuckDB defaults to int32/decimal
     ("q_literals",
       "select n_nationkey, 42 as i, 2.5 as d, 'x' as s, true as b, " +
         "timestamp('2020-01-02', '03:04:05') as ts from nation",
-      "select n_nationkey, 42 as i, 2.5 as d, 'x' as s, true as b, " +
+      "select n_nationkey, 42::BIGINT as i, 2.5::DOUBLE as d, 'x' as s, true as b, " +
         "TIMESTAMP '2020-01-02 03:04:05' as ts from nation"),
   )
 

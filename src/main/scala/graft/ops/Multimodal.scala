@@ -87,8 +87,8 @@ object Multimodal {
     * for the mapPartitions plumbing test. */
   def metaFeatures(docs: DataFrame): DataFrame =
     assets(docs).selectExpr("doc_id",
-      "length(payload) as n_bytes",
-      "length(payload) % 640 as width",
-      "(length(payload) * 7) % 480 as height",
-      "length(payload) % 30 + 1 as n_frames")
+      "cast(length(payload) as bigint) as n_bytes",
+      "cast(length(payload) % 640 as bigint) as width",
+      "cast((length(payload) * 7) % 480 as bigint) as height",
+      "cast(length(payload) % 30 + 1 as bigint) as n_frames")
 }

@@ -80,7 +80,7 @@ object Similarity {
       .withColumn("rnk", F.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("query_id")
-          .orderBy(F.col("sim").desc, F.col("neighbor_id"))))
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
       .filter(F.col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
@@ -108,7 +108,7 @@ object Similarity {
       .withColumn("rnk", F.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("query_id")
-          .orderBy(F.col("sim").desc, F.col("neighbor_id"))))
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
       .filter(F.col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
@@ -131,7 +131,7 @@ object Similarity {
       .withColumn("rnk", F.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("query_id")
-          .orderBy(F.col("sim").desc, F.col("neighbor_id"))))
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
       .filter(F.col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }

@@ -45,7 +45,7 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "text", "split(lower(text), ' ') as __toks")
       .selectExpr("doc_id",
-        "length(text) as n_chars_m",
+        "cast(length(text) as bigint) as n_chars_m",
         s"${scoreExpr("en")} as __stop",
         """(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')))
            / length(text) as __punct""")
@@ -58,8 +58,10 @@ object TextAnalysis {
     * runs, digit runs, single symbols). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id",
-      """size(split(trim(text), '\\s+')) as n_ws_tokens""",
-      """size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as n_bpe_tokens""")
+      // bigint casts align output dtypes with engines where len() is
+      // 64-bit (the DuckDB oracle)
+      """cast(size(split(trim(text), '\\s+')) as bigint) as n_ws_tokens""",
+      """cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as bigint) as n_bpe_tokens""")
 
   /** Winnowing-style fingerprint: minimum md5 over all character
     * 8-grams (rolling-window hash family). */

@@ -53,7 +53,7 @@ class OpsSpec extends SparkTestBase {
     val rows = Similarity.bruteForceTopK(embeddings, "vec_id < 3", 5).collect()
     assert(rows.length == 15) // 3 queries x 5 neighbors
     rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
-      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(sims.sameElements(sims.sortBy(-(_: Double))))
     }
   }
@@ -79,7 +79,7 @@ class OpsSpec extends SparkTestBase {
 
   test("token counts match whitespace structure") {
     val r = TextAnalysis.tokenCounts(documents.limit(10)).collect()
-    r.foreach(row => assert(row.getInt(1) > 0 && row.getInt(2) >= row.getInt(1)))
+    r.foreach(row => assert(row.getLong(1) > 0 && row.getLong(2) >= row.getLong(1)))
   }
 
   test("multimodal mapPartitions decode matches SQL metadata features") {
