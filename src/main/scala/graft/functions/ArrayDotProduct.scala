@@ -91,7 +91,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions — makes them
   * callable from selectExpr / SQL as ordinary functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => {
+        val seeds = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_minhash seeds must be a literal, got $other")
+        }
+        MinHashSlices(exprs(0), seeds)
+      }, "built-in")
+  }
 }

@@ -52,13 +52,12 @@ object Dedup {
     * h_{s*4+j} = lexicographic min over shingles of hex slice j of
     * md5("<s>:" + shingle). */
   def withMinhash(shingled: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val seeds = NumHashes / 4
-    val digests = (0 until seeds).map(s =>
-      s"transform(shingles, x -> md5(concat('$s:', x))) as __m$s")
-    val slices = for (s <- 0 until seeds; j <- 0 until 4) yield
-      s"array_min(transform(__m$s, m -> substring(m, ${j * 8 + 1}, 8))) as h${s * 4 + j}"
-    shingled.selectExpr(Seq("doc_id") ++ keep ++ digests: _*)
-      .selectExpr(Seq("doc_id") ++ keep ++ slices: _*)
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
+    val unpack = (0 until NumHashes).map(i => s"element_at(__mh, ${i + 1}) as h$i")
+    shingled
+      .selectExpr(Seq("doc_id") ++ keep ++
+        Seq(s"graft_minhash(shingles, ${NumHashes / 4}) as __mh"): _*)
+      .selectExpr(Seq("doc_id") ++ keep ++ unpack: _*)
   }
 
   /** (doc_id, band, h) — one row per band, h = concatenation of the
