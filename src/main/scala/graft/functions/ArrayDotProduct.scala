@@ -91,20 +91,28 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions — makes them
   * callable from selectExpr / SQL as ordinary functions. */
 object GraftFunctions {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => {
-        val seeds = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_minhash seeds must be a literal, got $other")
-        }
-        MinHashSlices(exprs(0), seeds)
-      }, "built-in")
+      "graft_minhash",
+      exprs => MinHashSlices(exprs(0), litInt(exprs(1), "graft_minhash seeds")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_fingerprint",
+      exprs => RollingMinHash(exprs(0), litInt(exprs(1), "graft_fingerprint window")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHash(exprs(0), litInt(exprs(1), "graft_simhash bits")),
+      "built-in")
   }
 }

@@ -124,19 +124,12 @@ object Dedup {
   }
 
   /** 16-bit SimHash over token hashes: per-bit majority vote of
-    * (+1/-1), entirely inside one whole-stage-codegen'd projection —
-    * no shuffle at all. Hamming-band pair generation composes with
+    * (+1/-1) in one pass (graft.functions.SimHash native expression)
+    * — no shuffle at all. Hamming-band pair generation composes with
     * `minhashCandidates`-style banding on signature bytes. */
   def withSimhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val hashed = docs.selectExpr("doc_id",
-      """transform(split(lower(text), ' '),
-         t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)) as __hs""")
-    val terms = (0 until bits).map { j =>
-      s"""(case when aggregate(__hs, 0L,
-            (acc, h) -> acc + ((shiftright(h, $j) & 1) * 2 - 1)) > 0
-          then 1 else 0 end) * ${1L << j}L"""
-    }
-    hashed.selectExpr("doc_id",
-      s"cast(${terms.mkString(" + ")} as bigint) as simhash")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      s"graft_simhash(split(lower(text), ' '), $bits) as simhash")
   }
 }

@@ -64,9 +64,10 @@ object TextAnalysis {
       """cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as bigint) as n_bpe_tokens""")
 
   /** Winnowing-style fingerprint: minimum md5 over all character
-    * 8-grams (rolling-window hash family). */
-  def fingerprint(docs: DataFrame, window: Int = 8): DataFrame =
-    docs.selectExpr("doc_id",
-      s"""array_min(transform(sequence(1, greatest(length(text) - ${window - 1}, 1)),
-           i -> md5(substring(text, i, $window)))) as fp""")
+    * 8-grams, via the one-pass native expression
+    * (graft.functions.RollingMinHash). */
+  def fingerprint(docs: DataFrame, window: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id", s"graft_fingerprint(text, $window) as fp")
+  }
 }
