@@ -393,6 +393,23 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.9), 4) as p90_chars,
                 min(n_chars) as min_chars, max(n_chars) as max_chars
               from documents group by lang""")),
+    ("q_sample_consistent",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.consistentSample(
+          tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", 0.25),
+      Some(s"""select doc_id, lang, n_chars from documents
+               where substr(md5(doc_id::VARCHAR), 1, 8) < '${f"${(0.25 * (1L << 32)).toLong}%08x"}'""")),
+    ("q_sample_stratified",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.stratifiedSample(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", 5),
+      Some("""select doc_id, lang from (
+                select doc_id, lang,
+                  row_number() over (partition by lang
+                    order by md5(doc_id::VARCHAR), doc_id) as rn
+                from documents) t where rn <= 5""")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

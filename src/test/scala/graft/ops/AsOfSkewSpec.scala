@@ -27,6 +27,23 @@ class AsOfSkewSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("asof_value") == 7L)
   }
 
+  test("consistent sample is deterministic and near the target fraction") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val s1 = Sampling.consistentSample(docs, "doc_id", 0.25)
+    val s2 = Sampling.consistentSample(docs.repartition(7), "doc_id", 0.25)
+    assertSameRows(s1, s2) // stable under repartitioning
+    val frac = s1.count().toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.35, s"fraction $frac")
+  }
+
+  test("stratified sample takes exactly perGroup rows per stratum") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val out = Sampling.stratifiedSample(docs, "lang", "doc_id", 3)
+    val counts = out.groupBy("lang").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(1) == 3))
+  }
+
   test("salted aggregation equals plain groupBy") {
     val events = spark.read.parquet(s"${graft.TestSpark.sfDir}/events.parquet")
     val salted = Skew.saltedSumCount(events, "event_type", "value", "event_id")
