@@ -28,7 +28,7 @@ final class Parser(tokens: Vector[Token]) {
     "when", "then", "else", "end", "asc", "desc", "by", "all",
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
-    "unbounded", "current", "row", "using")
+    "unbounded", "current", "row", "using", "window")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -134,6 +134,15 @@ final class Parser(tokens: Vector[Token]) {
         gs.result()
       } else Nil
     val having = if (eatKw("having")) Some(parseExpr()) else None
+    // WINDOW name AS ( ) — the reference grammar's window_definition
+    // is empty (sql.lark:26,144); parse and discard for parity
+    if (eatKw("window")) {
+      var more = true
+      while (more) {
+        ident(); expectKw("as"); expectOp("("); expectOp(")")
+        more = eatOp(",")
+      }
+    }
     Select(distinct, items.result(), from, where, groupBy, having)
   }
 
@@ -191,11 +200,19 @@ final class Parser(tokens: Vector[Token]) {
     left
   }
 
+  /** Parenthesized from-items may be subqueries OR joins
+    * (sql.lark:33: subquery: "(" (query_expr | join | cross_join) ")"). */
   private def parseRelationPrimary(): Relation = {
     if (eatOp("(")) {
-      val q = parseSetExpr()
-      expectOp(")")
-      SubqueryRel(q, parseOptionalAlias())
+      if (atKw("select")) {
+        val q = parseSetExpr()
+        expectOp(")")
+        SubqueryRel(q, parseOptionalAlias())
+      } else {
+        val j = parseJoinChain()
+        expectOp(")")
+        j
+      }
     } else {
       val name = ident()
       TableRef(name, parseOptionalAlias())

@@ -96,20 +96,22 @@ final class Translator(catalog: String => DataFrame) {
   private def translateSelect(sel: Select): DataFrame = {
     val from0 = translateRelation(sel.from)
 
-    // IN (subquery) in WHERE must become a semi-join (Catalyst has no
-    // scalar IN-subquery expression reachable from the public Column
-    // API). Hoist top-level conjuncts.
+    // IN (subquery) in WHERE must become a semi-join, NOT IN an
+    // anti-join (Catalyst has no scalar IN-subquery expression
+    // reachable from the public Column API). Hoist top-level
+    // conjuncts.
     var from = from0
     val whereResidual: Option[Expr] = sel.where.map { w =>
       val (subqueries, residual) = extractInSubqueries(w)
-      subqueries.foreach { case InSubquery(e, sub) =>
+      subqueries.foreach { case (InSubquery(e, sub), negated) =>
         val subDf = translate(sub)
         if (subDf.columns.length != 1)
           fail("IN (subquery) requires a single-column subquery")
         val key = subDf.columns.head
         from = from.join(
           subDf.distinct(),
-          exprToCol(e, None) === subDf(key), "left_semi")
+          exprToCol(e, None) === subDf(key),
+          if (negated) "left_anti" else "left_semi")
       }
       residual
     }.flatten.orElse(None)
@@ -251,11 +253,12 @@ final class Translator(catalog: String => DataFrame) {
     case _ => false
   }
 
-  /** Splits a WHERE tree into (top-level-conjunct IN-subqueries,
-    * residual predicate). */
-  private def extractInSubqueries(e: Expr): (Seq[InSubquery], Option[Expr]) =
+  /** Splits a WHERE tree into (top-level-conjunct [NOT] IN-subqueries
+    * with negation flags, residual predicate). */
+  private def extractInSubqueries(e: Expr): (Seq[(InSubquery, Boolean)], Option[Expr]) =
     e match {
-      case s: InSubquery => (Seq(s), None)
+      case s: InSubquery => (Seq((s, false)), None)
+      case Not(s: InSubquery) => (Seq((s, true)), None)
       case And(l, r) =>
         val (ls, lr) = extractInSubqueries(l)
         val (rs, rr) = extractInSubqueries(r)

@@ -270,6 +270,31 @@ class SqlSurfaceSpec extends SparkTestBase {
     checkAgainstSparkSql("select n_name from nation where n_name like 'C%'")
   }
 
+  test("not in subquery becomes anti-join") {
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_nationkey not in (select n_nationkey from nation where n_regionkey = 2)""")
+    // combined with another conjunct
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_acctbal > 0
+           and c_nationkey not in (select n_nationkey from nation where n_regionkey < 2)""")
+  }
+
+  test("parenthesized join in from") {
+    checkAgainstSparkSql(
+      """select n_name, r_name
+         from (nation join region on n_regionkey = r_regionkey)
+         where r_name like 'A%'""")
+  }
+
+  test("window clause parses and is ignored (empty definition)") {
+    assertSameRows(
+      graftSession.query(
+        "select n_name from nation where n_regionkey = 1 window w as ()"),
+      spark.sql("select n_name from nation where n_regionkey = 1"))
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
