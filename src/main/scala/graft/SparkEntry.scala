@@ -393,6 +393,15 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.9), 4) as p90_chars,
                 min(n_chars) as min_chars, max(n_chars) as max_chars
               from documents group by lang""")),
+    // JSON column extraction: get_json_object ≡ DuckDB json_extract_string
+    ("q_json_extract",
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "events").selectExpr("event_id",
+          "cast(get_json_object(props, '$.k') as bigint) as k")
+          .filter("k is not null and k % 10 = 0"),
+      Some("""select event_id, json_extract_string(props, '$.k')::BIGINT as k
+              from events where json_extract_string(props, '$.k') is not null
+                and json_extract_string(props, '$.k')::BIGINT % 10 = 0""")),
     ("q_sample_consistent",
       (s: SparkSession, dir: String) =>
         graft.ops.Sampling.consistentSample(

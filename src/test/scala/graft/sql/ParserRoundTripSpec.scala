@@ -1,0 +1,88 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import Ast._
+
+/** Property tests: render random ASTs to SQL text, parse them back,
+  * and require the same AST — precedence, associativity and keyword
+  * handling can't silently drift. */
+class ParserRoundTripSpec extends AnyFunSuite {
+
+  private val genName: Gen[String] =
+    Gen.oneOf("a", "b2", "col_x", "T1", "weird_name")
+
+  private val genLiteral: Gen[Expr] = Gen.oneOf(
+    Gen.choose(0, 9999).map(n => NumLit(n.toString)),
+    Gen.choose(0.0, 100.0).map(d => NumLit(f"$d%.3f")),
+    Gen.oneOf("x", "hello world", "O''Brien").map(StrLit),
+    Gen.oneOf(true, false).map(BoolLit))
+
+  private def genExpr(depth: Int): Gen[Expr] =
+    if (depth <= 0) Gen.oneOf(genLiteral, genName.map(ColRef(None, _)))
+    else Gen.frequency(
+      3 -> genLiteral,
+      3 -> genName.map(ColRef(None, _)),
+      2 -> (for {
+        op <- Gen.oneOf("+", "-", "*", "/")
+        l <- genExpr(depth - 1); r <- genExpr(depth - 1)
+      } yield Arith(op, l, r)),
+      1 -> (for {
+        op <- Gen.oneOf("=", "<>", ">", "<", ">=", "<=")
+        l <- genExpr(depth - 1); r <- genExpr(depth - 1)
+      } yield Cmp(op, l, r)),
+      1 -> (for { l <- genExpr(depth - 1); r <- genExpr(depth - 1) }
+        yield And(l, r)),
+      1 -> (for { l <- genExpr(depth - 1); r <- genExpr(depth - 1) }
+        yield Or(l, r)),
+      1 -> genExpr(depth - 1).map(e => Coalesce(Seq(e, NumLit("0")))),
+      1 -> (for { e <- genExpr(depth - 1); t <- Gen.oneOf("int", "float64", "string") }
+        yield Cast(e, t)))
+
+  /** Renders with explicit parentheses everywhere — parsing must
+    * reproduce the tree exactly. */
+  private def render(e: Expr): String = e match {
+    case ColRef(None, n) => n
+    case ColRef(Some(q), n) => s"$q.$n"
+    case NumLit(t) => t
+    case StrLit(v) => "'" + v.replace("'", "''") + "'"
+    case BoolLit(b) => b.toString
+    case Arith(op, l, r) => s"(${render(l)} $op ${render(r)})"
+    case Cmp(op, l, r) => s"(${render(l)} $op ${render(r)})"
+    case And(l, r) => s"(${render(l)} and ${render(r)})"
+    case Or(l, r) => s"(${render(l)} or ${render(r)})"
+    case Coalesce(args) => s"coalesce(${args.map(render).mkString(", ")})"
+    case Cast(x, t) => s"cast(${render(x)} as $t)"
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  /** Strips the parens-only distinction: parsing "(a)" yields `a`. */
+  private def parseBack(sql: String): Expr =
+    new Parser(Lexer.tokenize(sql)).parseExpr()
+
+  test("expression round-trip: parse(render(ast)) == ast (500 samples)") {
+    val samples = Gen.listOfN(500, genExpr(4))
+      .pureApply(Gen.Parameters.default, Seed(42L))
+    samples.foreach { e =>
+      val sql = render(e)
+      assert(parseBack(sql) == e, s"\nsql: $sql")
+    }
+  }
+
+  test("escaped quotes in string literals round-trip") {
+    assert(parseBack("'O''Brien'") == StrLit("O'Brien"))
+  }
+
+  test("full query round-trip for a representative query") {
+    val sql = """select a, (b2 + 3) as c from t1
+                 where (a > 1 and b2 < 2) or a = 5
+                 group by a, b2 having count(a) > 1
+                 order by a desc limit 7 offset 2"""
+    val q = Parser.parse(sql)
+    val Leaf(query) = q: @unchecked
+    assert(query.limit.contains(7L) && query.offset.contains(2L))
+    assert(query.sel.groupBy.length == 2)
+    assert(query.orderBy.head.asc == false)
+  }
+}
