@@ -62,6 +62,17 @@ object Streaming {
         "n", "sum_value")
   }
 
+  /** Streaming exact dedup: drops events whose event_id was already
+    * seen, keeping state only within the watermark horizon — the
+    * streaming face of `Dedup.exactDuplicates` (bounded state on
+    * unbounded input; at-least-once sources become effectively-once). */
+  def streamingDedup(spark: SparkSession, path: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+    withEventTime(stream)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (flatMapGroupsWithState): the custom-state escape hatch for
     * logic windows/sessions can't express. State is one small case

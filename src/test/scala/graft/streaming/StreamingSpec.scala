@@ -29,6 +29,24 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(spark.table("stream_counts"), batch)
   }
 
+  test("streaming dedup drops duplicate event ids") {
+    val dir = java.nio.file.Files.createTempDirectory("events_dedup")
+    // stage the file twice => every event is duplicated across files
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("b.parquet"))
+    val q = Streaming.streamingDedup(spark, dir.toString)
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val n = spark.table("dedup_events").count()
+    val distinct = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").count()
+    assert(n == distinct, s"expected $distinct deduped events, got $n")
+  }
+
   test("stateful user totals equal batch aggregation on finite input") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
