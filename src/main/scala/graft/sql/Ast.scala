@@ -77,6 +77,9 @@ object Ast {
   /** joinType: inner|left|right|full|cross. on=None for cross. */
   final case class JoinRel(left: Relation, right: Relation, joinType: String,
                            on: Option[Expr]) extends Relation
+  /** Aliased parenthesized join group: `(a join b on ...) name`
+    * (sql.lark:33). */
+  final case class AliasedRel(rel: Relation, alias: String) extends Relation
 
   // ---- query structure (sql.lark:3-12) ------------------------------
   final case class SelectItem(e: Expr, alias: Option[String])

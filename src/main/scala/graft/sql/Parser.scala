@@ -211,7 +211,10 @@ final class Parser(tokens: Vector[Token]) {
       } else {
         val j = parseJoinChain()
         expectOp(")")
-        j
+        parseOptionalAlias() match {
+          case Some(a) => AliasedRel(j, a)
+          case None    => j
+        }
       }
     } else {
       val name = ident()
@@ -305,7 +308,13 @@ final class Parser(tokens: Vector[Token]) {
   private def parseUnary(): Expr =
     if (eatOp("-")) Neg(parseUnary()) else parsePrimary()
 
-  private val aggFuncs = Set("sum", "avg", "min", "max", "count")
+  /** Aggregate spellings accepted by the reference
+    * (parsing/aggregation_aliases.py: mean≡avg, minimum≡min,
+    * maximum≡max) mapped to canonical names. */
+  private val aggFuncs = Map(
+    "sum" -> "sum", "avg" -> "avg", "mean" -> "avg",
+    "min" -> "min", "minimum" -> "min",
+    "max" -> "max", "maximum" -> "max", "count" -> "count")
 
   private def parsePrimary(): Expr = {
     peek match {
@@ -359,7 +368,7 @@ final class Parser(tokens: Vector[Token]) {
             val arg = if (atOp("*")) { pos += 1; Star(None) } else parseExpr()
             expectOp(")")
             val win = if (eatKw("over")) Some(parseWindowSpec()) else None
-            AggExpr(f, distinct, arg, win)
+            AggExpr(aggFuncs(f), distinct, arg, win)
           case _ if isOpAt(pos + 1, "(") =>
             // generic scalar function (graft extension)
             pos += 1; expectOp("(")

@@ -70,6 +70,8 @@ final class Translator(catalog: String => DataFrame) {
     case SubqueryRel(q, alias) =>
       val df = translate(q)
       alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
+    case AliasedRel(rel, alias) =>
+      translateRelation(rel).alias(alias.toLowerCase)
     case JoinRel(l, rr, jt, on) =>
       val lf = translateRelation(l)
       val rf = translateRelation(rr)

@@ -154,4 +154,22 @@ class ReferenceQueriesSpec extends SparkTestBase {
   // test_set_ops.py:494
   test("ref: limit")(
     check("select * from forest_fires order by temp, wind, RH, DMC, DC limit 10"))
+
+  // test_set_ops.py:388 — aliased parenthesized join of two subqueries
+  test("ref: joining two subqueries with overlapping columns") {
+    check("""select * from
+             ((select type, attribute, power from digimon_move_list) table1
+              join
+              (select type, attribute, digimon from digimon_mon_list) table2
+              on table1.type = table2.type) sub""")
+  }
+
+  // parsing/aggregation_aliases.py — mean/minimum/maximum spellings
+  test("ref: aggregate spelling aliases") {
+    assertSameRows(
+      refSession.query(
+        "select mean(temp) as a, minimum(temp) as mn, maximum(temp) as mx from forest_fires"),
+      spark.sql(
+        "select avg(temp) as a, min(temp) as mn, max(temp) as mx from ref_forest_fires"))
+  }
 }
