@@ -29,16 +29,14 @@ case class RollingMinHash(child: Expression, window: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String]
-    val n = text.numChars()
+    val nChars = text.numChars()
     val md = java.security.MessageDigest.getInstance("MD5")
+    val digestBuf = new Array[Byte](16)
     var minHi = -1L // unsigned max
     var minLo = -1L
-    val last = math.max(n - window, 0)
-    var i = 0
-    while (i <= last) {
-      md.reset()
-      md.update(text.substringSQL(i + 1, window).getBytes)
-      val d = md.digest()
+    val last = math.max(nChars - window, 0)
+
+    def consume(d: Array[Byte]): Unit = {
       var hi = 0L; var lo = 0L
       var k = 0
       while (k < 8) { hi = (hi << 8) | (d(k) & 0xffL); k += 1 }
@@ -46,7 +44,29 @@ case class RollingMinHash(child: Expression, window: Int)
       val less = java.lang.Long.compareUnsigned(hi, minHi) < 0 ||
         (hi == minHi && java.lang.Long.compareUnsigned(lo, minLo) < 0)
       if (less) { minHi = hi; minLo = lo }
-      i += 1
+    }
+
+    if (text.numBytes == nChars) {
+      // ASCII fast path: one byte per char — hash sliding byte windows
+      // directly off a single copy, digest into a reused buffer
+      val bytes = text.getBytes
+      var i = 0
+      while (i <= last) {
+        md.reset()
+        md.update(bytes, i, math.min(window, bytes.length - i))
+        md.digest(digestBuf, 0, 16)
+        consume(digestBuf)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= last) {
+        md.reset()
+        md.update(text.substringSQL(i + 1, window).getBytes)
+        md.digest(digestBuf, 0, 16)
+        consume(digestBuf)
+        i += 1
+      }
     }
     UTF8String.fromString(f"$minHi%016x$minLo%016x")
   }

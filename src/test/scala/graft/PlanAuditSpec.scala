@@ -1,0 +1,49 @@
+package graft
+
+/** Guards the scale-critical physical-plan properties (SURVEY.md §4):
+  * pushdown, pruning, broadcast choice, partial aggregation. A
+  * regression that silently turns a broadcast join into a shuffle or
+  * loses a pushed filter fails here, not at 100 TB. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan("q_where_cmp")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p.take(2000))
+  }
+
+  test("projection prunes the scan schema") {
+    val p = plan("q_select_cols")
+    assert(p.contains("ReadSchema"))
+    // lineitem has 11 columns; only the 4 selected reach the scan
+    assert(!p.contains("l_shipdate"), "unselected column was scanned")
+  }
+
+  test("dimension join broadcasts the small side") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregation is two-phase with map-side partials") {
+    val p = plan("q_aggregates")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p.take(1500))
+  }
+
+  test("in-subquery lowers to a semi join") {
+    assert(plan("q_in_subquery").toLowerCase.contains("leftsemi"))
+  }
+
+  test("jaccard verification broadcasts the candidate set, not the corpus") {
+    val p = plan("q_dedup_jaccard")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("scans use whole-stage codegen") {
+    // codegen'd operators render with a "*(n)" stage prefix
+    assert(plan("q_case_when").contains("*("))
+  }
+}
