@@ -43,6 +43,7 @@ case class MinHashSlices(child: Expression, seeds: Int)
     val k = seeds * 4
     val mins = Array.fill[Long](k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16)
     var any = false
     var i = 0
     val n = arr.numElements()
@@ -55,7 +56,7 @@ case class MinHashSlices(child: Expression, seeds: Int)
           md.reset()
           md.update(prefixes(s))
           md.update(shingle)
-          val d = md.digest()
+          md.digest(d, 0, 16)
           var j = 0
           while (j < 4) {
             val off = j * 4

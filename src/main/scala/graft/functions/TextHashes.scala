@@ -97,13 +97,14 @@ case class SimHash(child: Expression, bits: Int)
     val arr = v.asInstanceOf[ArrayData]
     val votes = new Array[Long](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)
-        val d = md.digest()
+        md.digest(d, 0, 16)
         // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
         var h = 0L
         var k = 0
