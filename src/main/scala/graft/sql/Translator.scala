@@ -143,6 +143,28 @@ final class Translator(catalog: String => DataFrame) {
     * (single shuffle with map-side partial aggregation), filtered,
     * then pruned by the final projection. */
   private def translateAggregate(sel: Select, in: DataFrame): DataFrame = {
+    // reference parity (test_errors.py:73-76): sum/avg over a
+    // non-numeric column is rejected rather than implicitly cast
+    def checkNumericAgg(e: Expr): Unit = e match {
+      case AggExpr(f, _, ColRef(_, n), _) if f == "sum" || f == "avg" =>
+        in.schema.fields.find(_.name.equalsIgnoreCase(n)).foreach { fld =>
+          fld.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => ()
+            case other =>
+              fail(s"cannot $f non-numeric column $n of type ${other.simpleString}")
+          }
+        }
+      case Arith(_, l, r) => checkNumericAgg(l); checkNumericAgg(r)
+      case Cast(x, _) => checkNumericAgg(x)
+      case Coalesce(args) => args.foreach(checkNumericAgg)
+      case CaseWhen(bs, o) =>
+        bs.foreach { case (c, v) => checkNumericAgg(c); checkNumericAgg(v) }
+        checkNumericAgg(o)
+      case _ => ()
+    }
+    sel.items.foreach(i => checkNumericAgg(i.e))
+    sel.having.foreach(checkNumericAgg)
+
     val groupCols = sel.groupBy.map(g => exprToCol(g, None))
 
     // every aggregate node appearing in SELECT or HAVING, deduped by

@@ -38,4 +38,27 @@ class ErrorsSpec extends SparkTestBase {
       graftSession.query(
         "select n_name from nation t1 cross join nation t2"))
   }
+
+  // mirrors of the reference's invalid-query set (test_errors.py:16-36)
+  test("cross join with ON condition is invalid") {
+    assertThrows[RuntimeException](graftSession.query(
+      """select * from nation cross join region
+         on nation.n_regionkey = region.r_regionkey"""))
+  }
+
+  test("multi-column IN subquery is invalid") {
+    assertThrows[RuntimeException](graftSession.query(
+      """select n_name from nation where n_regionkey in
+         (select r_regionkey, r_name from region)"""))
+  }
+
+  test("sum over a non-numeric column is rejected, not cast") {
+    // reference raises UnsupportedColumnOperation (test_errors.py:73)
+    val e = intercept[RuntimeException](
+      graftSession.query("select sum(n_name) as s from nation"))
+    assert(e.getMessage.contains("non-numeric"))
+    // avg likewise, including inside arithmetic
+    assertThrows[RuntimeException](
+      graftSession.query("select avg(r_name) + 1 as x from region"))
+  }
 }
