@@ -91,6 +91,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions — makes them
   * callable from selectExpr / SQL as ordinary functions. */
 object GraftFunctions {
+  private[functions] def litIntArg(e: Expression, what: String): Int =
+    litInt(e, what)
+
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
       v.toString.toInt

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers graft's native
+  * expressions at session build time, so clusters can enable them via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` without any
+  * code calling `GraftFunctions.register` first.
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   .getOrCreate()
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two numeric arrays"),
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "one-pass sliced minhash signatures"),
+      (exprs: Seq[Expression]) =>
+        MinHashSlices(exprs(0), GraftFunctions.litIntArg(exprs(1), "seeds"))))
+    e.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "min-md5 rolling fingerprint"),
+      (exprs: Seq[Expression]) =>
+        RollingMinHash(exprs(0), GraftFunctions.litIntArg(exprs(1), "window"))))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "one-pass simhash over tokens"),
+      (exprs: Seq[Expression]) =>
+        SimHash(exprs(0), GraftFunctions.litIntArg(exprs(1), "bits"))))
+  }
+}

@@ -35,4 +35,26 @@ class FunctionsSpec extends SparkTestBase {
     assertThrows[Throwable](
       spark.sql("select graft_dot(array('a'), array('b'))").collect())
   }
+
+  test("GraftExtensions registers functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    // reuse the shared SparkContext but build a brand-new session so
+    // withExtensions actually applies
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("select graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) as d")
+        .collect()
+      assert(r.head.getDouble(0) == 11.0)
+      assert(s2 ne prev, "a new session should have been created")
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
