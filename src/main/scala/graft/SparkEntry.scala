@@ -393,6 +393,15 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.9), 4) as p90_chars,
                 min(n_chars) as min_chars, max(n_chars) as max_chars
               from documents group by lang""")),
+    // custom bitmap Aggregator vs plain COUNT(DISTINCT) oracle —
+    // exact by construction, so the oracle is the plain form
+    ("q_bitmap_distinct",
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "events").groupBy("event_type")
+          .agg(graft.functions.BitsetDistinct
+            .distinctCount(F.col("user_id"), 1 << 20).as("n_users")),
+      Some("""select event_type, count(distinct user_id) as n_users
+              from events group by event_type""")),
     // JSON column extraction: get_json_object ≡ DuckDB json_extract_string
     ("q_json_extract",
       (s: SparkSession, dir: String) =>

@@ -15,6 +15,7 @@ object TestSpark {
       // events.parquet carries ns timestamps (TESTDATA.md); Spark has
       // no ns type — read as long nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -50,6 +50,37 @@ class SourcesSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters") || !scan.contains("lang=fr"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    val customer = spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    // clean both catalog entries and leftover warehouse dirs from
+    // prior JVMs (catalog is per-JVM in-memory; the dirs persist)
+    Seq("b_customer", "b_orders").foreach { t =>
+      spark.sql(s"drop table if exists $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Sources.writeBucketed(customer, "b_customer", "c_custkey", 4)
+    Sources.writeBucketed(
+      orders.withColumnRenamed("o_custkey", "c_custkey"), "b_orders", "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_customer")
+        .join(spark.table("b_orders"), "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     val events = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
     val sessions = graft.streaming.Streaming.sessionize(events).collect()
