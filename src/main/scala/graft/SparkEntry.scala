@@ -316,6 +316,19 @@ object SparkEntry {
                 len(regexp_split_to_array(trim(text), '\s+')) as n_ws_tokens,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) as n_bpe_tokens
               from documents""")),
+    ("q_text_normalize",
+      (s: SparkSession, dir: String) => TextAnalysis.normalize(tbl(s, dir, "documents")),
+      Some("""select doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^ -~]', '', 'g'), ' +', ' ', 'g')) as norm_text
+              from documents""")),
+    ("q_text_mask",
+      (s: SparkSession, dir: String) => TextAnalysis.maskSensitive(tbl(s, dir, "documents")),
+      Some("""select doc_id,
+                regexp_replace(regexp_replace(text,
+                  '[a-z0-9.+_-]+@[a-z0-9-]+\.[a-z]+', '<email>', 'g'),
+                  '[0-9]+', '#', 'g') as masked_text
+              from documents""")),
     ("q_text_fingerprint",
       (s: SparkSession, dir: String) => TextAnalysis.fingerprint(tbl(s, dir, "documents")),
       Some("""select doc_id,

@@ -63,6 +63,23 @@ object TextAnalysis {
       """cast(size(split(trim(text), '\\s+')) as bigint) as n_ws_tokens""",
       """cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as bigint) as n_bpe_tokens""")
 
+  /** Normalization for dedup/training prep: lowercase, collapse
+    * whitespace runs, strip non-printable/control characters, trim.
+    * Pure projection — codegen'd, shuffle-free. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      """trim(regexp_replace(regexp_replace(lower(text),
+           '[^ -~]', ''), ' +', ' ')) as norm_text""")
+
+  /** Light PII-style masking: digit runs become '#', email-shaped
+    * spans become '<email>'. Regex-only — the shape of a masking
+    * stage; production would swap in real recognizers. */
+  def maskSensitive(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      """regexp_replace(regexp_replace(text,
+           '[a-z0-9.+_-]+@[a-z0-9-]+\\.[a-z]+', '<email>'),
+           '[0-9]+', '#') as masked_text""")
+
   /** Winnowing-style fingerprint: minimum md5 over all character
     * 8-grams, via the one-pass native expression
     * (graft.functions.RollingMinHash). */
