@@ -342,6 +342,15 @@ object SparkEntry {
                 (octet_length(text::BLOB) * 7) % 480 as height,
                 octet_length(text::BLOB) % 30 + 1 as n_frames
               from documents""")),
+    // same oracle through the typed mapPartitions decode path —
+    // verifies the encoder/batching plumbing, not just the SQL form
+    ("q_multimodal_decode",
+      (s: SparkSession, dir: String) => Multimodal.decodeFeatures(tbl(s, dir, "documents")),
+      Some("""select doc_id, octet_length(text::BLOB) as n_bytes,
+                octet_length(text::BLOB) % 640 as width,
+                (octet_length(text::BLOB) * 7) % 480 as height,
+                octet_length(text::BLOB) % 30 + 1 as n_frames
+              from documents""")),
     ("q_events_window",
       (s: SparkSession, dir: String) => Streaming.windowedCounts(tbl(s, dir, "events")),
       Some("""select epoch(time_bucket(INTERVAL 1 hour, ts))::BIGINT as bucket_start,

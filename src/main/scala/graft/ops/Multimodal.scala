@@ -19,8 +19,8 @@ object Multimodal {
 
   final case class Asset(doc_id: Long, payload: Array[Byte],
                          source: String, n_chars: Long)
-  final case class AssetFeatures(doc_id: Long, n_bytes: Int,
-                                 width: Int, height: Int, n_frames: Int)
+  final case class AssetFeatures(doc_id: Long, n_bytes: Long,
+                                 width: Long, height: Long, n_frames: Long)
 
   /** Documents as binary assets (text bytes stand in for media
     * payloads in the synthetic corpus). */
@@ -34,7 +34,7 @@ object Multimodal {
     * batch-at-a-time) is the production contract. */
   def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
     batch.map { a =>
-      val len = a.payload.length
+      val len = a.payload.length.toLong
       AssetFeatures(a.doc_id, len, len % 640, (len * 7) % 480, len % 30 + 1)
     }
 
