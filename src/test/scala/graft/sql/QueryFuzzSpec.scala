@@ -1,0 +1,69 @@
+package graft.sql
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Whole-query differential fuzzing: generate random SELECTs over the
+  * customer table (valid in both dialects), run them through graft AND
+  * spark.sql, and require identical row sets. Catches translator edge
+  * cases the hand-written specs don't enumerate. */
+class QueryFuzzSpec extends SparkTestBase {
+
+  private val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+  private val strCols = Seq("c_name", "c_mktsegment")
+
+  private val genNumExpr: Gen[String] = for {
+    c <- Gen.oneOf(numCols)
+    form <- Gen.oneOf(0, 1, 2, 3)
+    k <- Gen.choose(1, 9)
+  } yield form match {
+    case 0 => c
+    case 1 => s"($c + $k)"
+    case 2 => s"($c * $k)"
+    case 3 => s"coalesce($c, $k)"
+  }
+
+  private val genPred: Gen[String] = for {
+    c <- Gen.oneOf(numCols)
+    op <- Gen.oneOf("<", ">", "<=", ">=", "=", "<>")
+    v <- Gen.choose(0, 2000)
+    extra <- Gen.option(for {
+      s <- Gen.oneOf(strCols)
+      kw <- Gen.oneOf("is not null", "is null")
+      conj <- Gen.oneOf("and", "or")
+    } yield s" $conj $s $kw")
+  } yield s"$c $op $v${extra.getOrElse("")}"
+
+  private val genAggQuery: Gen[String] = for {
+    key <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    agg <- Gen.oneOf("count(*)", "round(sum(c_acctbal), 2)",
+      "round(avg(c_acctbal), 4)", "min(c_custkey)", "max(c_custkey)",
+      "count(distinct c_mktsegment)")
+    pred <- Gen.option(genPred)
+    having <- Gen.option(Gen.choose(1, 20).map(n => s"count(*) > $n"))
+  } yield s"select $key, $agg as v from customer" +
+    pred.map(p => s" where $p").getOrElse("") +
+    s" group by $key" + having.map(h => s" having $h").getOrElse("")
+
+  private val genSelectQuery: Gen[String] = for {
+    e1 <- genNumExpr
+    s <- Gen.oneOf(strCols)
+    pred <- Gen.option(genPred)
+    distinct <- Gen.oneOf("", "distinct ")
+  } yield s"select $distinct$e1 as x, $s from customer" +
+    pred.map(p => s" where $p").getOrElse("")
+
+  private val genQuery: Gen[String] =
+    Gen.frequency(2 -> genSelectQuery, 2 -> genAggQuery)
+
+  test("80 random queries match spark.sql exactly") {
+    val queries = Gen.listOfN(80, genQuery)
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+}
