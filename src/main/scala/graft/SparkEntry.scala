@@ -157,6 +157,17 @@ object SparkEntry {
          from lineitem""",
   )
 
+  private val sharedSqlWindowExt: Seq[(String, String)] = Seq(
+    // graft window-function extensions (lead/lag/row_number) — same
+    // text runs in DuckDB; l_extendedprice is tie-free per order
+    "q_window_lead" ->
+      """select l_orderkey, l_linenumber,
+           lag(l_quantity, 1) over (partition by l_orderkey order by l_extendedprice) as prev_qty,
+           lead(l_quantity, 1) over (partition by l_orderkey order by l_extendedprice) as next_qty,
+           cast(row_number() over (partition by l_orderkey order by l_extendedprice) as bigint) as rn
+         from lineitem""",
+  )
+
   /** graft-dialect SQL differs from the DuckDB oracle text. */
   private val dialectSql: Seq[(String, String, String)] = Seq(
     // oracle casts align literal dtypes: graft integral literals are
@@ -475,7 +486,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val shared = sharedSql.map { case (name, sql) =>
+    val shared = (sharedSql ++ sharedSqlWindowExt).map { case (name, sql) =>
       name -> ((s: SparkSession, dir: String) => graftFor(s, dir).query(sql))
     }
     val dialect = dialectSql.map { case (name, graftSqlText, _) =>
@@ -487,6 +498,7 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL, column names matching `queries`. */
   def oracleSql: Map[String, String] =
-    (sharedSql ++ dialectSql.map { case (n, _, o) => (n, o) } ++
+    (sharedSql ++ sharedSqlWindowExt ++
+      dialectSql.map { case (n, _, o) => (n, o) } ++
       opEntries.collect { case (n, _, Some(o)) => (n, o) }).toMap
 }

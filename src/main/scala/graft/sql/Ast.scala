@@ -42,6 +42,12 @@ object Ast {
   /** RANK()/DENSE_RANK() OVER (...) (sql.lark:47-48). */
   final case class RankExpr(dense: Boolean, window: WindowSpec) extends Expr
 
+  /** Generic window function call — graft extension beyond the
+    * reference grammar: lead/lag/first_value/last_value/row_number
+    * OVER (...). */
+  final case class WinFunc(name: String, args: Seq[Expr],
+                           window: WindowSpec) extends Expr
+
   /** Generic scalar function call — extension beyond the reference
     * grammar for the pipeline operators (lower/upper/length/...). */
   final case class FuncCall(name: String, args: Seq[Expr]) extends Expr

@@ -370,7 +370,7 @@ final class Parser(tokens: Vector[Token]) {
             val win = if (eatKw("over")) Some(parseWindowSpec()) else None
             AggExpr(aggFuncs(f), distinct, arg, win)
           case _ if isOpAt(pos + 1, "(") =>
-            // generic scalar function (graft extension)
+            // generic scalar or window function (graft extension)
             pos += 1; expectOp("(")
             val args = Seq.newBuilder[Expr]
             if (!atOp(")")) {
@@ -378,7 +378,8 @@ final class Parser(tokens: Vector[Token]) {
               while (more) { args += parseExpr(); more = eatOp(",") }
             }
             expectOp(")")
-            FuncCall(lower, args.result())
+            if (eatKw("over")) WinFunc(lower, args.result(), parseWindowSpec())
+            else FuncCall(lower, args.result())
           case _ =>
             pos += 1
             // qualified column t.col or t.*

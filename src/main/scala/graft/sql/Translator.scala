@@ -367,6 +367,8 @@ final class Translator(catalog: String => DataFrame) {
     case a: AggExpr => aggColumn(a)
     case RankExpr(dense, w) =>
       (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
+    case WinFunc(name, args, w) =>
+      winFunc(name, args, in).over(windowSpec(w))
     case And(l, r) => exprToCol(l, in) && exprToCol(r, in)
     case Or(l, r)  => exprToCol(l, in) || exprToCol(r, in)
     case Not(x)    => !exprToCol(x, in)
@@ -473,6 +475,32 @@ final class Translator(catalog: String => DataFrame) {
     case "date"                                       => DateType
     case "time"                                       => StringType
     case other => fail(s"unknown type name $other")
+  }
+
+  /** Window functions beyond the reference grammar's RANK/DENSE_RANK:
+    * lead/lag (with optional offset and default), first_value /
+    * last_value, row_number, ntile. */
+  private def winFunc(name: String, args: Seq[Expr],
+                      in: Option[DataFrame]): Column = {
+    def c(i: Int): Column = exprToCol(args(i), in)
+    def n(i: Int): Int = args(i) match {
+      case NumLit(t)      => t.toDouble.toInt
+      case Neg(NumLit(t)) => -t.toDouble.toInt
+      case other          => fail(s"expected integer literal, got $other")
+    }
+    (name, args.length) match {
+      case ("lead", 1) => F.lead(c(0), 1)
+      case ("lead", 2) => F.lead(c(0), n(1))
+      case ("lead", 3) => F.lead(c(0), n(1), litValue(args(2)))
+      case ("lag", 1)  => F.lag(c(0), 1)
+      case ("lag", 2)  => F.lag(c(0), n(1))
+      case ("lag", 3)  => F.lag(c(0), n(1), litValue(args(2)))
+      case ("first_value", 1) => F.first(c(0))
+      case ("last_value", 1)  => F.last(c(0))
+      case ("row_number", 0)  => F.row_number()
+      case ("ntile", 1)       => F.ntile(n(0))
+      case _ => fail(s"unknown window function $name/${args.length}")
+    }
   }
 
   /** Scalar function extension surface (graft addition; all map to

@@ -239,6 +239,16 @@ class SqlSurfaceSpec extends SparkTestBase {
          from lineitem""")
   }
 
+  test("lead lag first_value last_value row_number windows") {
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           lag(l_quantity, 1) over (partition by l_orderkey order by l_extendedprice) as prev,
+           lead(l_quantity, 2, 0) over (partition by l_orderkey order by l_extendedprice) as nxt,
+           first_value(l_quantity) over (partition by l_orderkey order by l_extendedprice) as fv,
+           row_number() over (partition by l_orderkey order by l_extendedprice) as rn
+         from lineitem""")
+  }
+
   test("literals: string booleans numbers timestamp()") {
     checkAgainstSparkSql(
       "select n_name, 42 as i, 2.5 as d, 'x' as s, true as b from nation")
