@@ -117,5 +117,7 @@ object GraftFunctions {
       "graft_simhash",
       exprs => SimHash(exprs(0), litInt(exprs(1), "graft_simhash bits")),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_textstats", exprs => TextStats(exprs(0)), "built-in")
   }
 }

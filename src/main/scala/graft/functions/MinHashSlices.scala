@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,9 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output: array of seeds*4 hex strings (null elements when the
   * input has no non-null shingles, matching array_min-over-empty).
+  *
+  * Codegen emits a static call into [[MinHashSlices.compute]] so the
+  * surrounding stage stays inside whole-stage codegen (the round-1
+  * CodegenFallback severed the stage).
   */
 case class MinHashSlices(child: Expression, seeds: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_minhash"
@@ -35,14 +39,30 @@ case class MinHashSlices(child: Expression, seeds: Int)
       s"graft_minhash requires array<string>, got $other")
   }
 
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    (0 until seeds).map(s => s"$s:".getBytes("UTF-8")).toArray
+  override def nullSafeEval(v: Any): Any =
+    MinHashSlices.compute(v.asInstanceOf[ArrayData], seeds)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSlices.compute($c, $seeds);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlices =
+    copy(child = newChild)
+}
+
+object MinHashSlices {
+
+  // seed prefix byte images ("0:", "1:", ...) shared across rows
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(seeds: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(seeds,
+      s => (0 until s).map(i => s"$i:".getBytes("UTF-8")).toArray)
+
+  def compute(arr: ArrayData, seeds: Int): ArrayData = {
+    val pfx = prefixes(seeds)
     val k = seeds * 4
     val mins = Array.fill[Long](k)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val d = new Array[Byte](16)
     var any = false
     var i = 0
@@ -54,7 +74,7 @@ case class MinHashSlices(child: Expression, seeds: Int)
         var s = 0
         while (s < seeds) {
           md.reset()
-          md.update(prefixes(s))
+          md.update(pfx(s))
           md.update(shingle)
           md.digest(d, 0, 16)
           var j = 0
@@ -81,7 +101,12 @@ case class MinHashSlices(child: Expression, seeds: Int)
     }
     new GenericArrayData(out)
   }
+}
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSlices =
-    copy(child = newChild)
+/** Thread-local MD5 digests: MessageDigest.getInstance allocates (and
+  * walks the provider list) per call — measurable on per-row paths. */
+private[functions] object Md5 {
+  private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = tl.get()
 }

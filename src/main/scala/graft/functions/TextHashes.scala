@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * i -> md5(substring(text, i, w))))` — but tracks the 128-bit minimum
   * as two primitive longs (full-width hex compares like the unsigned
   * digest) instead of allocating one hex string per position.
+  * Codegen is a static call into [[RollingMinHash.compute]] so the
+  * stage stays inside whole-stage codegen.
   */
 case class RollingMinHash(child: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_fingerprint"
@@ -27,10 +29,21 @@ case class RollingMinHash(child: Expression, window: Int)
       s"graft_fingerprint requires string, got $other")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String]
+  override def nullSafeEval(v: Any): Any =
+    RollingMinHash.compute(v.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingMinHash.compute($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  def compute(text: UTF8String, window: Int): UTF8String = {
     val nChars = text.numChars()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val digestBuf = new Array[Byte](16)
     var minHi = -1L // unsigned max
     var minLo = -1L
@@ -70,9 +83,6 @@ case class RollingMinHash(child: Expression, window: Int)
     }
     UTF8String.fromString(f"$minHi%016x$minLo%016x")
   }
-
-  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
-    copy(child = newChild)
 }
 
 /** One-pass SimHash over a token array: per-bit majority vote of
@@ -80,23 +90,40 @@ case class RollingMinHash(child: Expression, window: Int)
   * 15 hex chars of md5(token) as an unsigned 60-bit value — exactly
   * the `conv(substring(md5(t), 1, 15), 16, 10)` formulation the
   * DuckDB oracle replays, without per-token string conversions.
+  * Supports widths up to 60 bits. Codegen is a static call into
+  * [[SimHash.compute]] so the stage stays inside whole-stage codegen.
   */
 case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      if (bits < 1 || bits > 60)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash width must be in [1, 60], got $bits")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_simhash requires array<string>, got $other")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash.compute(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash.compute($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+  def compute(arr: ArrayData, bits: Int): Long = {
     val votes = new Array[Long](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val d = new Array[Byte](16)
     var i = 0
     val n = arr.numElements()
@@ -126,7 +153,4 @@ case class SimHash(child: Expression, bits: Int)
     }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash =
-    copy(child = newChild)
 }

@@ -10,28 +10,32 @@ import org.apache.spark.sql.DataFrame
 object TextAnalysis {
 
   /** Small stopword lists keyed by language for the n-gram/stopword
-    * language-ID heuristic. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to"),
-    "es" -> Seq("el", "la", "de", "y", "que"),
-    "fr" -> Seq("le", "la", "de", "et", "les"),
-    "de" -> Seq("der", "die", "das", "und", "zu"))
+    * language-ID heuristic (single source of truth: the native
+    * expression's tables — the oracle SQL builders read this too). */
+  val stopwords: Map[String, Seq[String]] = graft.functions.TextStats.Stopwords
 
-  private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
-
-  private def scoreExpr(lang: String): String =
-    s"""size(filter(__toks, t -> t in (${inList(stopwords(lang))})))
-        / size(__toks)"""
+  /** doc_id + the one-pass stats struct (graft.functions.TextStats):
+    * every count the text operators need from a single primitive-loop
+    * traversal inside whole-stage codegen. The previous formulation
+    * (interpreted higher-order `filter` lambdas, re-evaluated per
+    * referencing output column) was 37.8 s of the round-1 sf0.1 bench;
+    * the derived arithmetic below is bit-identical to it. */
+  private def withStats(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id", "graft_textstats(text) as __st")
+  }
 
   /** Language-ID scores per language + argmax prediction
-    * (deterministic tie-break in en>es>fr>de order). */
+    * (deterministic tie-break in en>es>fr>de order). Scores are
+    * stopword-hit / token-count ratios: int/int division, same IEEE
+    * double as the size(filter(...))/size(...) formulation. */
   def langId(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
+    withStats(docs)
       .selectExpr("doc_id",
-        s"round(${scoreExpr("en")}, 6) as s_en",
-        s"round(${scoreExpr("es")}, 6) as s_es",
-        s"round(${scoreExpr("fr")}, 6) as s_fr",
-        s"round(${scoreExpr("de")}, 6) as s_de")
+        "round(__st.stop_en / __st.tok_total, 6) as s_en",
+        "round(__st.stop_es / __st.tok_total, 6) as s_es",
+        "round(__st.stop_fr / __st.tok_total, 6) as s_fr",
+        "round(__st.stop_de / __st.tok_total, 6) as s_de")
       .selectExpr("doc_id", "s_en", "s_es", "s_fr", "s_de",
         """case when s_en >= s_es and s_en >= s_fr and s_en >= s_de then 'en'
                 when s_es >= s_fr and s_es >= s_de then 'es'
@@ -43,12 +47,11 @@ object TextAnalysis {
     * ratios — deriving it from pre-rounded values puts it exactly on
     * rounding boundaries where engines' modes diverge. */
   def qualityScore(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", "text", "split(lower(text), ' ') as __toks")
+    withStats(docs)
       .selectExpr("doc_id",
-        "cast(length(text) as bigint) as n_chars_m",
-        s"${scoreExpr("en")} as __stop",
-        """(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')))
-           / length(text) as __punct""")
+        "cast(__st.n_chars as bigint) as n_chars_m",
+        "__st.stop_en / __st.tok_total as __stop",
+        "(__st.n_chars - __st.n_kept) / __st.n_chars as __punct")
       .selectExpr("doc_id", "n_chars_m",
         "round(__stop, 6) as stop_ratio",
         "round(__punct, 6) as punct_ratio",
@@ -57,11 +60,11 @@ object TextAnalysis {
   /** Whitespace token count + a BPE-ish regex token count (letter
     * runs, digit runs, single symbols). */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id",
+    withStats(docs).selectExpr("doc_id",
       // bigint casts align output dtypes with engines where len() is
       // 64-bit (the DuckDB oracle)
-      """cast(size(split(trim(text), '\\s+')) as bigint) as n_ws_tokens""",
-      """cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as bigint) as n_bpe_tokens""")
+      "cast(__st.n_ws as bigint) as n_ws_tokens",
+      "cast(__st.n_bpe as bigint) as n_bpe_tokens")
 
   /** Normalization for dedup/training prep: lowercase, collapse
     * whitespace runs, strip non-printable/control characters, trim.
