@@ -7,14 +7,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Results are materialized through the `noop` sink — a bare count()
   * lets Catalyst prune projections/windows/joins down to a scan-count
-  * and would time almost nothing. A JVM+IO warmup pass (flagship
-  * entry query) runs first so per-query numbers measure the engine,
-  * not classloading.
+  * and would time almost nothing.
+  *
+  * Measurement hygiene (VERDICT r1 #9): a JVM+IO warmup pass runs
+  * every query shape at the smallest SF first (first execution of
+  * codegen-heavy queries measured 3-4x steady state), then each query
+  * is timed in THREE interleaved rounds and reported at its median —
+  * interleaving means a transient co-load spike or GC pause lands on
+  * one round of many queries instead of every round of one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,9 +35,6 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Warmup at the smallest SF: runs every query shape once so JIT +
-    // codegen compilation happen before timing (measured: first
-    // execution of a codegen-heavy query costs 3-4x steady state).
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
@@ -40,15 +43,27 @@ object Bench {
       }
     else try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
 
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val times = Array.fill(queries.length, rounds)(0.0)
+    for (r <- 0 until rounds) {
+      System.gc()
+      for (((_, fn), qi) <- queries.zipWithIndex) {
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        times(qi)(r) = (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = queries.zipWithIndex.map { case ((name, _), qi) =>
+      name -> median(times(qi))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val p50 = median(results.map(_._2).toArray)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,21 @@ object SparkEntry {
     "q_in_subquery" ->
       """select c_custkey, c_name from customer
          where c_nationkey in (select n_nationkey from nation where n_regionkey = 2)""",
+    // IN (subquery) under OR — non-conjunct position, lowered via an
+    // existence-flag join rather than a semi-join (sql.lark:118-130)
+    "q_in_subquery_or" ->
+      """select c_custkey, c_name from customer
+         where c_nationkey in (select n_nationkey from nation where n_regionkey = 2)
+            or c_acctbal < 100""",
+    // NOT IN under OR exercises the three-valued existence flag path
+    "q_in_subquery_not_or" ->
+      """select c_custkey from customer
+         where c_nationkey not in (select n_nationkey from nation where n_regionkey < 3)
+            or c_acctbal >= 9000""",
+    // computed (non-literal) IN-list elements (sql.lark:129)
+    "q_in_expr_list" ->
+      """select n_nationkey, n_name from nation
+         where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""",
     "q_is_null" ->
       "select c_custkey from customer where c_acctbal is not null and c_mktsegment is not null",
     // --- expressions (rows 11-15)
@@ -209,7 +224,7 @@ object SparkEntry {
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingles from tok),
        ex as (select doc_id, unnest(shingles) as s from sh),
        mh as (select doc_id, """ + duckMins + " from ex group by doc_id)"
-  private val duckSimhashTerms = (0 until 16).map { j =>
+  private def duckSimhashTerms(bits: Int) = (0 until bits).map { j =>
     s"(case when list_sum(list_transform(hs, h -> ((h >> $j) & 1)::BIGINT * 2 - 1)) > 0 then 1 else 0 end) * ${1L << j}"
   }.mkString(" + ")
   private def duckPlaneDot(j: Int) =
@@ -221,6 +236,21 @@ object SparkEntry {
     s"""with e as (select vec_id, embedding,
           list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2,
           $duckBucket as bucket from embeddings)"""
+  private def duckBandBucket(t: Int) =
+    (0 until Similarity.DupBandBits).map { j =>
+      s"(case when ${duckPlaneDot(t * Similarity.DupBandBits + j)} >= 0 then 1 else 0 end) * ${1 << j}"
+    }.mkString(" + ")
+  private val duckBandEmbCte =
+    s"""with e as (select vec_id, embedding,
+          list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2,
+          ${(0 until Similarity.DupBands).map(t => s"${duckBandBucket(t)} as bucket_$t").mkString(", ")}
+        from embeddings),
+        n as (select vec_id, t.band,
+                case t.band ${(0 until Similarity.DupBands).map(t => s"when $t then bucket_$t").mkString(" ")} end as bucket
+              from e, (select unnest([${(0 until Similarity.DupBands).mkString(", ")}]) as band) t),
+        cand as (select distinct a.vec_id as id_a, b.vec_id as id_b
+                 from n a join n b
+                   on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id)"""
   private def duckPairCos(a: String, b: String) =
     s"""list_sum(list_transform($a.embedding, (x, i) -> x::DOUBLE * ($b.embedding[i])::DOUBLE))
         / (sqrt($a.norm2) * sqrt($b.norm2))"""
@@ -255,17 +285,33 @@ object SparkEntry {
       (s: SparkSession, dir: String) => Dedup.withSimhash(tbl(s, dir, "documents")),
       Some(s"""with hs as (select doc_id, list_transform(string_split(lower(text), ' '),
                  t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT) as hs from documents)
-               select doc_id, cast($duckSimhashTerms as bigint) as simhash from hs""")),
+               select doc_id, cast(${duckSimhashTerms(16)} as bigint) as simhash from hs""")),
+    // 60-bit simhash + hamming-banded candidate pairs (4 x 15-bit
+    // chunks; hamming <= 3 implies at least one identical chunk)
+    ("q_dedup_simhash_pairs",
+      (s: SparkSession, dir: String) => Dedup.simhashPairs(tbl(s, dir, "documents")),
+      Some(s"""with hs as (select doc_id, list_transform(string_split(lower(text), ' '),
+                 t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT) as hs from documents),
+               sg as (select doc_id, cast(${duckSimhashTerms(60)} as bigint) as sh from hs),
+               bands as (select doc_id, sh, t.band,
+                           ((sh >> (t.band * 15)) & 32767) as chunk
+                         from sg, (select unnest([0, 1, 2, 3]) as band) t)
+               select distinct a.doc_id as id_a, b.doc_id as id_b,
+                 cast(bit_count(xor(a.sh, b.sh)) as bigint) as hamming
+               from bands a join bands b
+                 on a.band = b.band and a.chunk = b.chunk and a.doc_id < b.doc_id
+               where bit_count(xor(a.sh, b.sh)) <= 3""")),
     // threshold 0.3: the synthetic corpus plants no true embedding
     // dups (max pairwise cosine ≈ 0.37), so a production-style 0.9
     // would make the check vacuous
     ("q_dedup_embed",
       (s: SparkSession, dir: String) => Similarity.embeddingDupPairs(tbl(s, dir, "embeddings"), 0.3),
-      Some(s"""$duckEmbCte
+      Some(s"""$duckBandEmbCte
                select id_a, id_b, round(cos, 4) as cos_sim from (
-                 select a.vec_id as id_a, b.vec_id as id_b,
-                        ${duckPairCos("a", "b")} as cos
-                 from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id) t
+                 select c.id_a, c.id_b, ${duckPairCos("a", "b")} as cos
+                 from cand c
+                 join e a on a.vec_id = c.id_a
+                 join e b on b.vec_id = c.id_b) t
                where cos >= 0.3""")),
     ("q_ann_brute",
       (s: SparkSession, dir: String) => Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 5),

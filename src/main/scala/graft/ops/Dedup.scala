@@ -123,13 +123,46 @@ object Dedup {
       .selectExpr("id_a", "id_b", "round(jacc, 4) as jacc")
   }
 
-  /** 16-bit SimHash over token hashes: per-bit majority vote of
-    * (+1/-1) in one pass (graft.functions.SimHash native expression)
-    * — no shuffle at all. Hamming-band pair generation composes with
-    * `minhashCandidates`-style banding on signature bytes. */
+  /** SimHash over token hashes: per-bit majority vote of (+1/-1) in
+    * one pass (graft.functions.SimHash native expression) — no
+    * shuffle at all. Widths up to 60 bits (the token hash is the
+    * first 60 bits of md5). */
   def withSimhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.selectExpr("doc_id",
       s"graft_simhash(split(lower(text), ' '), $bits) as simhash")
+  }
+
+  /** SimHash width for candidate-pair generation and its banding. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands // 15
+
+  /** Near-duplicate pairs by 60-bit SimHash with hamming-banded
+    * candidate generation: the signature splits into 4 disjoint
+    * 15-bit chunks; any pair within hamming distance <= 3 differs in
+    * at most 3 chunks, so at least one chunk matches exactly
+    * (pigeonhole) — candidates are documents sharing any (band,
+    * chunk), verified by exact `bit_count(xor)`. Shuffles only the
+    * narrow (doc_id, band, chunk, signature) table on (band, chunk);
+    * never all-pairs. Exceeding-hamming candidates are filtered
+    * before the distinct. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val mask = (1 << SimhashBandBits) - 1
+    val chunks = (0 until SimhashBands)
+      .map(b => s"cast(shiftright(simhash, ${b * SimhashBandBits}) & $mask as bigint)")
+      .mkString(", ")
+    val bands = withSimhash(docs, SimhashBits)
+      .selectExpr("doc_id", "simhash",
+        s"posexplode(array($chunks)) as (band, chunk)")
+    bands.alias("a")
+      .join(bands.alias("b"),
+        F.col("a.band") === F.col("b.band") &&
+        F.col("a.chunk") === F.col("b.chunk") &&
+        F.col("a.doc_id") < F.col("b.doc_id"))
+      .selectExpr("a.doc_id as id_a", "b.doc_id as id_b",
+        "cast(bit_count(a.simhash ^ b.simhash) as bigint) as hamming")
+      .filter(F.col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -21,8 +21,23 @@ object Similarity {
 
   /** Embedding dimensionality of the testdata corpus. */
   val Dim = 64
-  /** Number of hyperplane sign bits (2^8 = 256 buckets). */
+  /** Number of hyperplane sign bits for the single-table ANN probe
+    * (2^8 = 256 buckets). */
   val Planes = 8
+
+  /** Near-dup banding: DupBands independent tables of DupBandBits
+    * hyperplane sign bits each (AND within a band, OR across bands —
+    * the minhash-banding shape applied to hyperplane LSH). A single
+    * table's in-bucket self-join is O(Σ|bucket|²) ≈ n²/2^bits —
+    * quadratic at scale (VERDICT r1); banding keeps per-bucket sizes
+    * bounded while multiple independent tables recover recall. The
+    * test corpus verifies at τ=0.3 with 6-bit bands (the synthetic
+    * embeddings plant no true near-dups, so a production τ≥0.9 would
+    * make the oracle check vacuous); at 100 TB raise DupBandBits to
+    * 16-20 and DupBands to 8+ for τ≥0.9 — same plan shape, the
+    * narrow (vec_id, band, bucket) shuffle scales linearly. */
+  val DupBands = 4
+  val DupBandBits = 6
 
   /** Deterministic "random" hyperplane: component d of plane j is
     * ((d*31 + j*17) % 7) - 3 — integer arithmetic reproducible in any
@@ -49,15 +64,43 @@ object Similarity {
 
   private val pairCos = "graft_dot(ea, eb) / (sqrt(na) * sqrt(nb))"
 
-  /** Near-duplicate pairs by embedding cosine within an LSH bucket
-    * (SURVEY row 41): shuffles on bucket id, never all-pairs. */
+  /** vec_id + one bucket column per band: band t's bucket is the
+    * DupBandBits sign bits of planes [t*DupBandBits, (t+1)*DupBandBits). */
+  def withBandBuckets(emb: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val bucketCols = (0 until DupBands).map { t =>
+      val bits = (0 until DupBandBits).map { j =>
+        s"(case when ${planeDot(t * DupBandBits + j, "embedding")} >= 0 then 1 else 0 end) * ${1 << j}"
+      }.mkString(" + ")
+      s"cast($bits as int) as bucket_$t"
+    }
+    emb.selectExpr(Seq("vec_id", "embedding", s"$norm2Expr as norm2") ++ bucketCols: _*)
+  }
+
+  /** Near-duplicate pairs by embedding cosine within any band's LSH
+    * bucket (SURVEY row 41). Candidate generation shuffles only the
+    * narrow (vec_id, band, bucket) table — never embeddings, never
+    * all-pairs — then the deduped candidate pairs fetch vectors via
+    * two equi-joins for exact cosine verification. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = withBucketAndNorm(emb)
-    e.select(F.col("vec_id").as("id_a"), F.col("embedding").as("ea"),
-             F.col("bucket"), F.col("norm2").as("na"))
-      .join(e.select(F.col("vec_id").as("id_b"), F.col("embedding").as("eb"),
-                     F.col("bucket").as("bucket_b"), F.col("norm2").as("nb")),
-            F.col("bucket") === F.col("bucket_b") && F.col("id_a") < F.col("id_b"))
+    val e = withBandBuckets(emb)
+    val buckets = (0 until DupBands).map(t => s"bucket_$t").mkString(", ")
+    val narrow = e.selectExpr("vec_id",
+      s"posexplode(array($buckets)) as (band, bucket)")
+    val cands = narrow.alias("a")
+      .join(narrow.alias("b"),
+        F.col("a.band") === F.col("b.band") &&
+        F.col("a.bucket") === F.col("b.bucket") &&
+        F.col("a.vec_id") < F.col("b.vec_id"))
+      .select(F.col("a.vec_id").as("id_a"), F.col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(e.select(F.col("vec_id"), F.col("embedding").as("ea"),
+                     F.col("norm2").as("na")),
+            F.col("id_a") === F.col("vec_id")).drop("vec_id")
+      .join(e.select(F.col("vec_id"), F.col("embedding").as("eb"),
+                     F.col("norm2").as("nb")),
+            F.col("id_b") === F.col("vec_id")).drop("vec_id")
       .selectExpr("id_a", "id_b", s"$pairCos as cos")
       .filter(F.col("cos") >= threshold)
       .selectExpr("id_a", "id_b", "round(cos, 4) as cos_sim")

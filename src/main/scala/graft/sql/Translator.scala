@@ -98,13 +98,20 @@ final class Translator(catalog: String => DataFrame) {
   private def translateSelect(sel: Select): DataFrame = {
     val from0 = translateRelation(sel.from)
 
-    // IN (subquery) in WHERE must become a semi-join, NOT IN an
-    // anti-join (Catalyst has no scalar IN-subquery expression
-    // reachable from the public Column API). Hoist top-level
-    // conjuncts.
+    // IN (subquery) in WHERE must become a join (Catalyst has no
+    // scalar IN-subquery expression reachable from the public Column
+    // API). Top-level AND conjuncts lower to semi/anti joins — the
+    // cheapest shape. IN-subqueries in other boolean positions (under
+    // OR, nested NOT, comparisons — reference sql.lark:118-130 allows
+    // them anywhere a comparison goes) lower to an existence-flag
+    // left_outer join against the distinct key set plus a broadcast
+    // 1-row summary, reproducing SQL's three-valued IN semantics
+    // (TRUE on match; FALSE on no-match against a null-free set or an
+    // empty set; NULL when the probe is null or the set has nulls).
     var from = from0
+    var helperCols = List.empty[String]
     val whereResidual: Option[Expr] = sel.where.map { w =>
-      val (subqueries, residual) = extractInSubqueries(w)
+      val (subqueries, residual0) = extractInSubqueries(w)
       subqueries.foreach { case (InSubquery(e, sub), negated) =>
         val subDf = translate(sub)
         if (subDf.columns.length != 1)
@@ -115,13 +122,46 @@ final class Translator(catalog: String => DataFrame) {
           exprToCol(e, None) === subDf(key),
           if (negated) "left_anti" else "left_semi")
       }
-      residual
+      residual0.map { res =>
+        var flagIdx = helperCols.size
+        rewriteInSubqueries(res, { case InSubquery(e, sub) =>
+          val subDf = translate(sub)
+          if (subDf.columns.length != 1)
+            fail("IN (subquery) requires a single-column subquery")
+          val i = flagIdx; flagIdx += 1
+          val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
+          val emptyN = s"__sq_empty_$i"; val nullN = s"__sq_null_$i"
+          val flagN = s"__sq_flag_$i"
+          val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
+          // 1-row summary (empty? has nulls?) — broadcast cross join
+          val summary = keyed.agg(
+            (F.count(F.lit(1)) === 0).as(emptyN),
+            F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
+          val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
+            .withColumn(markN, F.lit(true))
+          val probe = exprToCol(e, None)
+          from = from
+            .crossJoin(F.broadcast(summary))
+            .join(keys, probe === F.col(keyN), "left_outer")
+            .withColumn(flagN,
+              F.when(F.col(markN).isNotNull, F.lit(true))
+                .when(F.col(emptyN), F.lit(false))
+                .when(probe.isNull || F.col(nullN),
+                  F.lit(null).cast(BooleanType))
+                .otherwise(F.lit(false)))
+          helperCols = flagN :: markN :: emptyN :: nullN :: keyN :: helperCols
+          ColRef(None, flagN)
+        })
+      }
     }.flatten.orElse(None)
 
-    val filtered = whereResidual match {
+    val filtered0 = whereResidual match {
       case Some(w) => from.filter(exprToCol(w, None))
       case None    => from
     }
+    // helper key/flag columns must not leak into `SELECT *`
+    val filtered =
+      if (helperCols.isEmpty) filtered0 else filtered0.drop(helperCols: _*)
 
     val hasAgg = sel.items.exists(i => containsAgg(i.e)) ||
       sel.groupBy.nonEmpty || sel.having.exists(containsAgg)
@@ -210,7 +250,7 @@ final class Translator(catalog: String => DataFrame) {
       case Cmp(op, l, r)  => cmp(op, post(l), post(r))
       case Between(x, lo, hi) => post(x).between(post(lo), post(hi))
       case InList(x, vs, neg) =>
-        val c = post(x).isin(vs.map(v => litValue(v)): _*)
+        val c = inListCol(post(x), vs, v => post(v))
         if (neg) !c else c
       case IsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
       case Like(x, p) => post(x).like(p)
@@ -291,18 +331,33 @@ final class Translator(catalog: String => DataFrame) {
           case (a, b) => a.orElse(b)
         }
         (ls ++ rs, residual)
-      case other =>
-        if (containsInSubquery(other))
-          fail("IN (subquery) is only supported as a top-level AND conjunct")
-        (Nil, Some(other))
+      // anything else (incl. IN-subqueries under OR / nested NOT)
+      // stays in the residual for existence-flag lowering
+      case other => (Nil, Some(other))
     }
 
-  private def containsInSubquery(e: Expr): Boolean = e match {
-    case _: InSubquery => true
-    case And(l, r) => containsInSubquery(l) || containsInSubquery(r)
-    case Or(l, r) => containsInSubquery(l) || containsInSubquery(r)
-    case Not(x) => containsInSubquery(x)
-    case _ => false
+  /** Replaces every InSubquery node in an expression tree via `f`
+    * (used to substitute materialized existence-flag columns). */
+  private def rewriteInSubqueries(e: Expr, f: InSubquery => Expr): Expr = {
+    def go(x: Expr): Expr = x match {
+      case s: InSubquery => f(s)
+      case And(l, r) => And(go(l), go(r))
+      case Or(l, r) => Or(go(l), go(r))
+      case Not(y) => Not(go(y))
+      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
+      case Between(y, lo, hi) => Between(go(y), go(lo), go(hi))
+      case CaseWhen(bs, o) =>
+        CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, go(o))
+      case Coalesce(args) => Coalesce(args.map(go))
+      case Cast(y, t) => Cast(go(y), t)
+      case Arith(op, l, r) => Arith(op, go(l), go(r))
+      case Neg(y) => Neg(go(y))
+      case InList(y, vs, n) => InList(go(y), vs.map(go), n)
+      case IsNull(y, n) => IsNull(go(y), n)
+      case FuncCall(n, args) => FuncCall(n, args.map(go))
+      case other => other
+    }
+    go(e)
   }
 
   // ---- projection ---------------------------------------------------
@@ -376,7 +431,7 @@ final class Translator(catalog: String => DataFrame) {
     case Between(x, lo, hi) =>
       exprToCol(x, in).between(exprToCol(lo, in), exprToCol(hi, in))
     case InList(x, vs, neg) =>
-      val c = exprToCol(x, in).isin(vs.map(litValue): _*)
+      val c = inListCol(exprToCol(x, in), vs, v => exprToCol(v, in))
       if (neg) !c else c
     case IsNull(x, neg) =>
       if (neg) exprToCol(x, in).isNotNull else exprToCol(x, in).isNull
@@ -411,8 +466,22 @@ final class Translator(catalog: String => DataFrame) {
     case BoolLit(v) => v
     case Neg(NumLit(t)) =>
       if (t.matches("[0-9]+") && t.length < 19) -t.toLong else -t.toDouble
-    case other => fail(s"IN list requires literals, got $other")
+    case other => fail(s"expected a literal, got $other")
   }
+
+  private def isLiteral(e: Expr): Boolean = e match {
+    case NumLit(_) | StrLit(_) | BoolLit(_) | Neg(NumLit(_)) => true
+    case _ => false
+  }
+
+  /** IN-list lowering: all-literal lists use `isin` (an `In` Catalyst
+    * expression — pushdown/InSet-friendly at the scan); lists with
+    * computed elements (reference sql.lark:129 allows any
+    * expression_math) lower to an OR chain of equalities, which has
+    * identical three-valued semantics. */
+  private def inListCol(x: Column, vs: Seq[Expr], lower: Expr => Column): Column =
+    if (vs.forall(isLiteral)) x.isin(vs.map(litValue): _*)
+    else vs.map(v => x === lower(v)).reduce(_ || _)
 
   /** Aggregate → Spark Column (without window). */
   private def aggColumn(a: AggExpr): Column = aggColumnBase(a)
