@@ -36,6 +36,52 @@ class FunctionsSpec extends SparkTestBase {
       spark.sql("select graft_dot(array('a'), array('b'))").collect())
   }
 
+  test("graft_textstats matches the builtin-expression formulations") {
+    GraftFunctions.register(spark)
+    // adversarial edge cases alongside the real corpus: empty string,
+    // space runs, tabs/newlines (\s but not space-trimmed), unicode
+    // multi-byte, uppercase (counts as punct/symbol), digits
+    val edge = spark.sql(
+      """select text from values (''), ('   '), (' a  b '), ('a'), ('the'),
+           ('the THE The'), ('a\tb\nc'), ('h\u00e9llo w\u00f6rld'), ('Test123 MIX!!x9'),
+           ('la de of und  zu'), ('tab\tend\t'), ('123 456x') as t(text)""")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("text")
+    for (src <- Seq(edge, docs)) {
+      val both = src.selectExpr(
+        "graft_textstats(text) as st",
+        "length(text) as c_chars",
+        "length(regexp_replace(text, '[^a-z0-9 ]', '')) as c_kept",
+        "size(split(lower(text), ' ')) as c_tok",
+        "size(filter(split(lower(text), ' '), t -> t in ('the','a','of','and','to'))) as c_en",
+        "size(filter(split(lower(text), ' '), t -> t in ('el','la','de','y','que'))) as c_es",
+        "size(filter(split(lower(text), ' '), t -> t in ('le','la','de','et','les'))) as c_fr",
+        "size(filter(split(lower(text), ' '), t -> t in ('der','die','das','und','zu'))) as c_de",
+        """size(split(trim(text), '\\s+')) as c_ws""",
+        """size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) as c_bpe""")
+      val bad = both.filter(
+        """st.n_chars <> c_chars or st.n_kept <> c_kept or st.tok_total <> c_tok
+           or st.stop_en <> c_en or st.stop_es <> c_es or st.stop_fr <> c_fr
+           or st.stop_de <> c_de or st.n_ws <> c_ws or st.n_bpe <> c_bpe""")
+      assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+    }
+  }
+
+  test("native expressions keep their stage inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    for (expr <- Seq("graft_textstats(text) as x",
+                     "graft_fingerprint(text, 8) as x",
+                     "graft_simhash(split(lower(text), ' '), 60) as x")) {
+      val plan = docs.selectExpr("doc_id", expr)
+        .queryExecution.executedPlan.toString
+      // '*(n) Project' = the projection runs inside WholeStageCodegen
+      // stage n (a CodegenFallback expression would print a bare
+      // 'Project' outside any '*' span)
+      assert(plan.contains("*(1) Project"), s"$expr not codegen'd:\n$plan")
+    }
+  }
+
   test("GraftExtensions registers functions at session build time") {
     import org.apache.spark.sql.SparkSession
     // reuse the shared SparkContext but build a brand-new session so

@@ -103,6 +103,32 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash pairs find planted exact near-dups at hamming 0") {
+    // shifted-id copies of 5 docs: each planted copy must pair with its
+    // original at hamming distance 0 via the banded candidate join
+    val withDups = documents.limit(50)
+      .union(documents.limit(5).selectExpr("doc_id + 1000 as doc_id",
+        "text", "lang", "source", "n_chars"))
+    val pairs = Dedup.simhashPairs(withDups).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- 0L until 5L)
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000 && p._3 == 0L),
+        s"planted dup $id missing from $pairs")
+    pairs.foreach(p => assert(p._3 <= 3))
+  }
+
+  test("embedding dup candidates join on (band, bucket) keys") {
+    val df = Similarity.embeddingDupPairs(embeddings, 0.3)
+    val joinConds = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(joinConds.exists(c => c.contains("band") && c.contains("bucket")),
+      s"no (band, bucket)-keyed join in:\n${joinConds.mkString("\n")}")
+    // verified output respects the threshold
+    df.collect().foreach(r => assert(r.getDouble(2) >= 0.3))
+  }
+
   test("ivf topk stays within the query's cell") {
     val cells = embeddings.collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap

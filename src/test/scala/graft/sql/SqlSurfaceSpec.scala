@@ -305,6 +305,54 @@ class SqlSurfaceSpec extends SparkTestBase {
       spark.sql("select n_name from nation where n_regionkey = 1"))
   }
 
+  test("in subquery under OR (existence-flag lowering)") {
+    checkAgainstSparkSql(
+      """select c_custkey, c_name from customer
+         where c_nationkey in (select n_nationkey from nation where n_regionkey = 2)
+            or c_acctbal < 100""")
+  }
+
+  test("not in subquery under OR") {
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_nationkey not in (select n_nationkey from nation where n_regionkey < 3)
+            or c_acctbal >= 9000""")
+  }
+
+  test("in subquery under nested NOT over OR") {
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where not (n_nationkey in (select r_regionkey from region) or n_regionkey = 4)""")
+  }
+
+  test("not in subquery whose set contains null filters everything (3VL)") {
+    // nullif plants a NULL in the subquery result: x NOT IN (..., NULL)
+    // is never TRUE, so only rows matching the other disjunct survive
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where n_nationkey not in (select nullif(r_regionkey, 3) from region)
+            or n_nationkey = 7""")
+  }
+
+  test("select * with OR-position subquery leaks no helper columns") {
+    val df = graftSession.query(
+      """select * from nation
+         where n_nationkey in (select r_regionkey from region) or n_regionkey = 4""")
+    assert(df.columns.toSeq == spark.table("nation").columns.toSeq)
+    assertSameRows(df, spark.sql(
+      """select * from nation
+         where n_nationkey in (select r_regionkey from region) or n_regionkey = 4"""))
+  }
+
+  test("in list with computed (non-literal) elements") {
+    checkAgainstSparkSql(
+      """select n_nationkey, n_name from nation
+         where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""")
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where n_nationkey not in (n_regionkey * 2, 5)""")
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
