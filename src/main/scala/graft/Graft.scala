@@ -51,11 +51,18 @@ object Graft {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val g = new Graft(spark)
+    // existence probe via Hadoop FS, not java.io.File — registration
+    // must work for hdfs:// / s3a:// table directories, not just
+    // local disk (VERDICT r1 #10)
+    val conf = spark.sessionState.newHadoopConf()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-      val path = s"$dir/$t.parquet"
-      if (new java.io.File(path).exists())
-        try g.registerTable(t, spark.read.parquet(path))
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val exists =
+        try path.getFileSystem(conf).exists(path)
+        catch { case _: Throwable => false }
+      if (exists)
+        try g.registerTable(t, spark.read.parquet(path.toString))
         catch { case e: Throwable =>
           System.err.println(s"[graft] skipping table $t: ${e.getMessage}")
         }

@@ -14,6 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * (partition, group) regardless of key cardinality. Appropriate when
   * keys are dense ids bounded by `maxKey` (e.g. user ids) — the
   * dense-id analogue of a roaring-bitmap distinct.
+  *
+  * Memory contract: each group's buffer is maxKey/8 bytes on every
+  * producing partition (maxKey = 2^20 → 128 KiB per group per
+  * partition). Size maxKey to the true key-space bound and keep group
+  * counts modest; for sparse or unbounded key spaces use COUNT
+  * (DISTINCT) or a sketch instead — this aggregator trades memory for
+  * an exact, shuffle-light answer only where ids are dense.
   */
 object BitsetDistinct {
 
