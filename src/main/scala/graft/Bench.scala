@@ -29,6 +29,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // single-JVM local mode: every task is process-local, the
+      // delay-scheduling wait is pure per-stage latency here
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -204,8 +204,13 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) =
     graftFor(s, dir); // keep session cache warm
+  // memoized: spark.read.parquet re-lists files and re-reads footers
+  // per call (~50 ms of driver-side floor per query otherwise); the
+  // returned DataFrame is an unexecuted plan, safe to share
+  private val tables = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def tbl(s: SparkSession, dir: String, name: String) =
-    s.read.parquet(s"$dir/$name.parquet")
+    tables.getOrElseUpdate((s, dir, name),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   // DuckDB-side builders mirroring the ops' expression generation
   private val duckMins =

@@ -46,4 +46,22 @@ class PlanAuditSpec extends SparkTestBase {
     // codegen'd operators render with a "*(n)" stage prefix
     assert(plan("q_case_when").contains("*("))
   }
+
+  test("OR-position in-subquery joins keys, no cartesian blowup") {
+    val p = plan("q_in_subquery_or")
+    // existence-flag join is key-equi (hash join on the probe key);
+    // the only nested-loop is the broadcast 1-row summary cross join
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "existence lowering produced a cartesian product")
+  }
+
+  test("simhash pair candidates join on (band, chunk) keys") {
+    val df = SparkEntry.queries("q_dedup_simhash_pairs")(spark, TestSpark.sfDir)
+    val joinConds = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(joinConds.exists(c => c.contains("band") && c.contains("chunk")),
+      joinConds.mkString("\n"))
+  }
 }
