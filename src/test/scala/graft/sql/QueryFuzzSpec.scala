@@ -66,4 +66,32 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // IN-subquery in conjunct and non-conjunct positions, NOT IN, and
+  // computed IN-list elements — the round-2 lowerings (semi/anti hoist
+  // vs existence-flag join must agree with Spark's own subquery
+  // planning in every mix)
+  private val genInPred: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    form <- Gen.oneOf(0, 1, 2, 3)
+    v <- Gen.choose(0, 4)
+    conj <- Gen.oneOf("and", "or")
+    p <- genPred
+  } yield form match {
+    case 0 => s"c_nationkey ${neg}in (select n_nationkey from nation where n_regionkey = $v) $conj $p"
+    case 1 => s"c_nationkey ${neg}in ($v, ${v + 3}, c_custkey - ${v * 7})"
+    case 2 => s"c_nationkey ${neg}in (select n_nationkey from nation where n_regionkey <> $v)"
+    case 3 => s"($p) $conj c_nationkey ${neg}in (select n_nationkey from nation where n_regionkey < $v)"
+  }
+
+  test("40 random IN-position queries match spark.sql exactly") {
+    val preds = Gen.listOfN(40, genInPred)
+      .pureApply(Gen.Parameters.default, Seed(11L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
 }
