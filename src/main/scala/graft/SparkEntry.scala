@@ -286,6 +286,29 @@ object SparkEntry {
                  join sh sa on sa.doc_id = c.id_a
                  join sh sb on sb.doc_id = c.id_b) t
                where jacc >= 0.5""")),
+    // near-dup cluster resolution: verified pairs -> connected
+    // components -> (member, group representative); oracle replays
+    // components via a recursive transitive-closure CTE
+    ("q_dedup_groups",
+      (s: SparkSession, dir: String) => Dedup.duplicateGroups(tbl(s, dir, "documents"), 0.5),
+      Some(s"""${duckShingleCtes.replaceFirst("with ", "with recursive ")},
+               cand as (select a.doc_id as id_a, b.doc_id as id_b
+                        from mh a join mh b on a.doc_id < b.doc_id and ($duckOrs)),
+               vp as (select id_a, id_b from (
+                        select c.id_a, c.id_b,
+                          len(list_intersect(sa.shingles, sb.shingles))
+                            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) as jacc
+                        from cand c
+                        join sh sa on sa.doc_id = c.id_a
+                        join sh sb on sb.doc_id = c.id_b) t
+                      where jacc >= 0.5),
+               edges as (select id_a as src, id_b as dst from vp
+                         union select id_b, id_a from vp),
+               reach(id, r) as (
+                 select distinct src, src from edges
+                 union
+                 select h.id, e.dst from reach h join edges e on e.src = h.r)
+               select id as doc_id, min(r) as group_id from reach group by id""")),
     ("q_dedup_simhash",
       (s: SparkSession, dir: String) => Dedup.withSimhash(tbl(s, dir, "documents")),
       Some(s"""with hs as (select doc_id, list_transform(string_split(lower(text), ' '),

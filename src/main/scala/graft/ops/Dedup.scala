@@ -82,8 +82,13 @@ object Dedup {
     * table. */
   def minhashCandidatesFrom(shingled: DataFrame): DataFrame = {
     val bands = bandTableFrom(shingled)
+    // shuffle-hash hint: the band table is narrow (doc_id, band, h)
+    // and signature buckets are bounded, so hash-joining beats
+    // sort-merge (drops both O(n log n) sorts); at 100 TB the same
+    // hint holds as long as one band-bucket side fits a partition,
+    // which banding guarantees by construction
     bands.alias("a")
-      .join(bands.alias("b"),
+      .join(bands.alias("b").hint("shuffle_hash"),
         F.col("a.band") === F.col("b.band") &&
         F.col("a.h") === F.col("b.h") &&
         F.col("a.doc_id") < F.col("b.doc_id"))
@@ -121,6 +126,62 @@ object Dedup {
            / size(array_union(sh_a, sh_b)) as jacc""")
       .filter(F.col("jacc") >= threshold)
       .selectExpr("id_a", "id_b", "round(jacc, 4) as jacc")
+  }
+
+  /** Connected components over an undirected pair list by iterative
+    * minimum-label propagation: every vertex starts as its own label;
+    * each round takes the min of its own and its neighbors' labels.
+    * `iters` rounds resolve any component of diameter <= iters —
+    * near-dup clusters are small cliques (diameter 1-2), so the
+    * default is generous. Deterministic, shuffle-per-round on vertex
+    * id, no driver-side loop over data (the loop is over PLAN
+    * construction; at 100 TB checkpoint every few rounds to cut
+    * lineage, same shape GraphX/Pregel uses).
+    *
+    * Output: (id, label) for every vertex appearing in `pairs`, label
+    * = min id of its component. */
+  def connectedComponents(pairs: DataFrame, iters: Int = 6): DataFrame = {
+    // each round references the previous labels twice (join + carry),
+    // so an unbroken lineage doubles per round (2^iters plan nodes)
+    // and re-derives the candidate pipeline under every leaf. Eager
+    // localCheckpoint materializes round inputs once and cuts lineage
+    // — the Pregel/GraphX iteration pattern (at 100 TB: reliable
+    // checkpoint dir instead of executor-local blocks).
+    val edges = pairs.selectExpr("id_a as src", "id_b as dst")
+      .union(pairs.selectExpr("id_b as src", "id_a as dst"))
+      .localCheckpoint(true)
+    var labels = edges.selectExpr("src as id").distinct()
+      .selectExpr("id", "id as label")
+    for (_ <- 1 to iters) {
+      val prop = edges.alias("e")
+        .join(labels.alias("l"), F.col("e.dst") === F.col("l.id"))
+        .groupBy(F.col("e.src").as("pid"))
+        .agg(F.min("l.label").as("nlabel"))
+      labels = labels.alias("l0")
+        .join(prop, F.col("l0.id") === F.col("pid"), "left_outer")
+        .select(F.col("l0.id").as("id"),
+          F.least(F.col("l0.label"),
+            F.coalesce(F.col("nlabel"), F.col("l0.label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Near-duplicate groups: minhash candidates verified at jaccard >=
+    * `threshold`, resolved into clusters (connected components), one
+    * row per member of a multi-document group with its group id (min
+    * doc_id of the cluster) — the decision table for keep-one-per-
+    * cluster dedup. */
+  def duplicateGroups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    connectedComponents(jaccardPairs(docs, threshold).select("id_a", "id_b"))
+      .selectExpr("id as doc_id", "label as group_id")
+
+  /** The corpus with near-duplicates removed: group members other
+    * than the representative (min doc_id) are anti-joined away. */
+  def dedupedCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val losers = duplicateGroups(docs, threshold)
+      .filter(F.col("doc_id") =!= F.col("group_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash over token hashes: per-bit majority vote of (+1/-1) in

@@ -117,6 +117,22 @@ class OpsSpec extends SparkTestBase {
     pairs.foreach(p => assert(p._3 <= 3))
   }
 
+  test("duplicate groups resolve planted chains to one representative") {
+    // doc 0 duplicated twice under new ids: component {0, 2000, 3000}
+    // must resolve to group_id 0 for every member
+    val tri = documents.limit(30)
+      .union(documents.limit(1).selectExpr("doc_id + 2000 as doc_id",
+        "text", "lang", "source", "n_chars"))
+      .union(documents.limit(1).selectExpr("doc_id + 3000 as doc_id",
+        "text", "lang", "source", "n_chars"))
+    val groups = Dedup.duplicateGroups(tri, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) == 0L && groups(2000L) == 0L && groups(3000L) == 0L, groups)
+    val kept = Dedup.dedupedCorpus(tri, 0.9)
+    assert(kept.filter("doc_id in (2000, 3000)").count() == 0)
+    assert(kept.filter("doc_id = 0").count() == 1)
+  }
+
   test("embedding dup candidates join on (band, bucket) keys") {
     val df = Similarity.embeddingDupPairs(embeddings, 0.3)
     val joinConds = df.queryExecution.optimizedPlan.collect {
