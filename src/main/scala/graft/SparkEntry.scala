@@ -360,6 +360,19 @@ object SparkEntry {
                select query_id, neighbor_id, sim,
                  row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
                from scored qualify rnk <= 3""")),
+    ("q_ann_lsh_multiprobe",
+      (s: SparkSession, dir: String) => Similarity.lshTopKMultiProbe(tbl(s, dir, "embeddings"), "vec_id < 10", 3),
+      Some(s"""$duckEmbCte,
+               q as (select vec_id as query_id, embedding, norm2,
+                       unnest([bucket${(0 until Similarity.Planes).map(j => s", xor(bucket, ${1 << j})").mkString}]) as qbucket
+                     from e where vec_id < 10),
+               scored as (select q.query_id, c.vec_id as neighbor_id,
+                            round(${duckPairCos("q", "c")}, 6) as sim
+                          from q join e c on q.qbucket = c.bucket
+                            and c.vec_id <> q.query_id)
+               select query_id, neighbor_id, sim,
+                 row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
+               from scored qualify rnk <= 3""")),
     ("q_ann_ivf",
       (s: SparkSession, dir: String) => Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 3),
       Some(s"""with e as (select vec_id, embedding, label,

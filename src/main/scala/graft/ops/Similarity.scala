@@ -128,12 +128,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Trains a coarse quantizer (k-means over the embedding column)
+    * and returns the corpus with a `cell` assignment — the real IVF
+    * build step. Training samples/iterates via spark.ml (distributed
+    * Lloyd's); assignment is a transform over the full corpus. Fixed
+    * seed for reproducibility. Feed the result to [[ivfTopKFrom]].
+    * (The oracle-checked q_ann_ivf uses the precomputed `label`
+    * column instead, because a float-accumulation-order-sensitive
+    * trainer can't be replayed bit-identically in another engine —
+    * the probe/rerank plan below is identical either way.) */
+  def ivfBuild(emb: DataFrame, cells: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.withColumn("__vec",
+      array_to_vector(F.col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(cells).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("cell")
+      .fit(feat)
+    model.transform(feat).drop("__vec")
+  }
+
+  /** IVF probe/rerank over a table with a `cell` column (from
+    * [[ivfBuild]] or any quantizer): a query probes only its own
+    * cell and exact-ranks within it. */
+  def ivfTopKFrom(cellAssigned: DataFrame, queryPred: String, k: Int): DataFrame = {
+    GraftFunctions.register(cellAssigned.sparkSession)
+    val e = cellAssigned.selectExpr("vec_id", "embedding", "cell",
+      s"$norm2Expr as norm2")
+    val q = F.broadcast(
+      e.filter(queryPred)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+                F.col("norm2").as("na"), F.col("cell").as("qcell")))
+    q.join(e.select(F.col("vec_id").as("neighbor_id"),
+                    F.col("embedding").as("eb"), F.col("norm2").as("nb"),
+                    F.col("cell")),
+           F.col("qcell") === F.col("cell") &&
+           F.col("query_id") =!= F.col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** IVF-style ANN: the corpus is partitioned into coarse cells (an
     * inverted file); a query probes only its own cell and exact-ranks
     * within it. Here the precomputed `label` column stands in for the
-    * coarse-quantizer assignment (in production: k-means centroid
-    * ids, same plan shape). Scale: cell-key shuffle, corpus scan
-    * touches one cell per query. */
+    * coarse-quantizer assignment (trained form: [[ivfBuild]], same
+    * plan shape). Scale: cell-key shuffle, corpus scan touches one
+    * cell per query. */
   def ivfTopK(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = emb.selectExpr("vec_id", "embedding", "label",
@@ -147,6 +192,37 @@ object Similarity {
                     F.col("label")),
            F.col("qcell") === F.col("label") &&
            F.col("query_id") =!= F.col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** Multi-probe LSH ANN: each query probes its own bucket plus every
+    * bucket at hamming distance 1 (one flipped sign bit) — the
+    * standard recall lever that avoids extra hash tables: planes
+    * whose projection is near zero are the likely-wrong bits, and
+    * probing their flips recovers neighbors that landed across the
+    * boundary. Only the small query side explodes (×(Planes+1)); the
+    * corpus is still hit by an equi-join on bucket. */
+  def lshTopKMultiProbe(emb: DataFrame, queryPred: String, k: Int): DataFrame = {
+    val e = withBucketAndNorm(emb)
+    val probes = (0 until Planes).map(j => s"cast(bucket ^ ${1 << j} as int)")
+      .mkString(", ")
+    val q = F.broadcast(
+      e.filter(queryPred)
+        .selectExpr("vec_id as query_id", "embedding as ea", "norm2 as na",
+          s"explode(array(bucket, $probes)) as qbucket"))
+    q.join(e.select(F.col("vec_id").as("neighbor_id"),
+                    F.col("embedding").as("eb"), F.col("norm2").as("nb"),
+                    F.col("bucket")),
+           F.col("qbucket") === F.col("bucket") &&
+           F.col("query_id") =!= F.col("neighbor_id"))
+      // no dedup needed: a neighbor lives in exactly one bucket and
+      // the probe set is distinct, so each (query, neighbor) joins once
       .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
       .withColumn("rnk", F.row_number().over(
         org.apache.spark.sql.expressions.Window

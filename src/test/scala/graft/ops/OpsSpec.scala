@@ -145,6 +145,33 @@ class OpsSpec extends SparkTestBase {
     df.collect().foreach(r => assert(r.getDouble(2) >= 0.3))
   }
 
+  test("multi-probe lsh recall is at least single-probe recall") {
+    val brute = Similarity.bruteForceTopK(embeddings, "vec_id < 10", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(brute).size
+    val single = hits(Similarity.lshTopK(embeddings, "vec_id < 10", 3))
+    val multi = hits(Similarity.lshTopKMultiProbe(embeddings, "vec_id < 10", 3))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+  }
+
+  test("kmeans ivf build partitions the corpus and probes within cells") {
+    val assigned = Similarity.ivfBuild(embeddings, cells = 8)
+    assert(assigned.count() == embeddings.count())
+    val cells = assigned.selectExpr("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.length > 1 && cells.forall(c => c >= 0 && c < 8))
+    val cellOf = assigned.collect().map(r =>
+      r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val out = Similarity.ivfTopKFrom(assigned, "vec_id < 10", 3).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(cellOf(r.getLong(0)) == cellOf(r.getLong(1))))
+    // exact rerank within a cell can never beat the global brute best
+    val best = Similarity.bruteForceTopK(embeddings, "vec_id < 10", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach(r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9))
+  }
+
   test("ivf topk stays within the query's cell") {
     val cells = embeddings.collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
