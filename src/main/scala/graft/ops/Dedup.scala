@@ -132,15 +132,17 @@ object Dedup {
     * minimum-label propagation: every vertex starts as its own label;
     * each round takes the min of its own and its neighbors' labels.
     * `iters` rounds resolve any component of diameter <= iters —
-    * near-dup clusters are small cliques (diameter 1-2), so the
-    * default is generous. Deterministic, shuffle-per-round on vertex
+    * near-dup clusters are small cliques (diameter 1-2, default 3
+    * covers them; raise for chain-heavy graphs — the oracle computes
+    * the true closure, so an undersized `iters` fails the hash gate
+    * rather than passing silently). Deterministic, shuffle-per-round on vertex
     * id, no driver-side loop over data (the loop is over PLAN
     * construction; at 100 TB checkpoint every few rounds to cut
     * lineage, same shape GraphX/Pregel uses).
     *
     * Output: (id, label) for every vertex appearing in `pairs`, label
     * = min id of its component. */
-  def connectedComponents(pairs: DataFrame, iters: Int = 6): DataFrame = {
+  def connectedComponents(pairs: DataFrame, iters: Int = 3): DataFrame = {
     // each round references the previous labels twice (join + carry),
     // so an unbroken lineage doubles per round (2^iters plan nodes)
     // and re-derives the candidate pipeline under every leaf. Eager
