@@ -181,6 +181,15 @@ object SparkEntry {
            lead(l_quantity, 1) over (partition by l_orderkey order by l_extendedprice) as next_qty,
            cast(row_number() over (partition by l_orderkey order by l_extendedprice) as bigint) as rn
          from lineitem""",
+    // rank-family dialect extensions; percent_rank/cume_dist are
+    // deterministic doubles (rank arithmetic, no accumulation order)
+    "q_window_rank_ext" ->
+      """select c_custkey,
+           round(percent_rank() over (partition by c_nationkey order by c_acctbal, c_custkey), 6) as pr,
+           round(cume_dist() over (partition by c_nationkey order by c_acctbal, c_custkey), 6) as cd,
+           nth_value(c_custkey, 2) over (partition by c_nationkey order by c_acctbal, c_custkey
+             rows between unbounded preceding and current row) as second_id
+         from customer""",
   )
 
   /** graft-dialect SQL differs from the DuckDB oracle text. */
@@ -501,6 +510,25 @@ object SparkEntry {
       Some("""select event_type, round(sum(value), 2) as sum_value,
                 count(*) as n
               from events group by event_type""")),
+    // salted fact-dim join must equal the plain join (events.event_type
+    // has ~5 values — every key is hot, the worst case for a plain
+    // shuffle join)
+    ("q_skew_join",
+      (s: SparkSession, dir: String) => {
+        val ev = tbl(s, dir, "events")
+        val dim = ev.select("event_type").distinct()
+          .withColumn("type_rank", F.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("event_type")).cast("long"))
+        graft.ops.Skew.saltedJoin(ev.select("event_id", "event_type", "value"),
+            dim, "event_type", "event_id")
+          .select("event_id", "event_type", "type_rank")
+      },
+      Some("""select e.event_id, e.event_type, d.type_rank
+              from events e
+              join (select event_type,
+                      row_number() over (order by event_type) as type_rank
+                    from (select distinct event_type from events)) d
+                on e.event_type = d.event_type""")),
     ("q_text_stats",
       (s: SparkSession, dir: String) =>
         tbl(s, dir, "documents").groupBy("lang")
@@ -554,6 +582,14 @@ object SparkEntry {
         graft.sources.Sources.roundTrip(
           tbl(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
           "csv", tmp)
+      },
+      Some("select doc_id, lang, source, n_chars from documents")),
+    ("q_orc_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        graft.sources.Sources.roundTrip(
+          tbl(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+          "orc", tmp)
       },
       Some("select doc_id, lang, source, n_chars from documents")),
   )

@@ -33,6 +33,11 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC: the other columnar interchange format — same pushdown/
+    * pruning properties as parquet (footer stats + stripe skipping). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
@@ -43,6 +48,9 @@ object Sources {
                               partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)
@@ -69,6 +77,7 @@ object Sources {
     val spark = df.sparkSession
     format match {
       case "parquet" => writeParquet(df, path); parquet(spark, path)
+      case "orc"     => writeOrc(df, path); orc(spark, path)
       case "csv"     => writeCsv(df, path); csv(spark, path, df.schema)
       case "json"    => writeJsonLines(df, path); jsonLines(spark, path, df.schema)
       case other     => throw new IllegalArgumentException(s"unknown format $other")

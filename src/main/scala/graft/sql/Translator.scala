@@ -568,6 +568,9 @@ final class Translator(catalog: String => DataFrame) {
       case ("last_value", 1)  => F.last(c(0))
       case ("row_number", 0)  => F.row_number()
       case ("ntile", 1)       => F.ntile(n(0))
+      case ("percent_rank", 0) => F.percent_rank()
+      case ("cume_dist", 0)    => F.cume_dist()
+      case ("nth_value", 2)    => F.nth_value(c(0), n(1))
       case _ => fail(s"unknown window function $name/${args.length}")
     }
   }

@@ -23,6 +23,13 @@ class SourcesSpec extends SparkTestBase {
     assertSameRows(Sources.roundTrip(docsSubset, "json", tmp), docsSubset)
   }
 
+  test("orc round-trip preserves rows and schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
+    val back = Sources.roundTrip(docsSubset, "orc", tmp)
+    assert(back.schema == docsSubset.schema)
+    assertSameRows(back, docsSubset)
+  }
+
   test("parquet round-trip preserves rows including arrays") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val tmp = Files.createTempDirectory("graft_pq_spec").toString
