@@ -135,6 +135,28 @@ object SparkEntry {
          join (select c_nationkey, count(*) as cnt from customer
                group by c_nationkey) t
            on n_nationkey = t.c_nationkey""",
+    // --- TPC-H-style multi-join analytics (join-order/broadcast
+    // exercise; revenue sums rounded to absorb accumulation-order ulps)
+    "q_tpch_q3" ->
+      """select l_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+         from customer
+         join orders on c_custkey = o_custkey
+         join lineitem on l_orderkey = o_orderkey
+         where c_mktsegment = 'BUILDING' and o_orderdate < '1997-01-01'
+         group by l_orderkey, o_orderdate
+         order by revenue desc, l_orderkey limit 10""",
+    "q_tpch_q5" ->
+      """select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+         from customer
+         join orders on c_custkey = o_custkey
+         join lineitem on l_orderkey = o_orderkey
+         join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+         join nation on s_nationkey = n_nationkey
+         join region on n_regionkey = r_regionkey
+         where r_name = 'ASIA'
+         group by n_name
+         order by revenue desc, n_name""",
     // --- set ops (rows 28-31)
     "q_union" ->
       """select n_name as name from nation where n_regionkey = 0

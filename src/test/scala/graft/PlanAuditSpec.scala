@@ -47,6 +47,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("q_case_when").contains("*("))
   }
 
+  test("multi-join analytics broadcasts dims, no cartesian products") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"), "aggregation not two-phase")
+  }
+
   test("OR-position in-subquery joins keys, no cartesian blowup") {
     val p = plan("q_in_subquery_or")
     // existence-flag join is key-equi (hash join on the probe key);
