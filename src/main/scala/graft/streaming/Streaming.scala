@@ -73,6 +73,33 @@ object Streaming {
       .dropDuplicatesWithinWatermark("event_id")
   }
 
+  /** documents raw schema (TESTDATA.md). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming NEAR-dup dedup: each arriving document is reduced to
+    * its 60-bit simhash signature (graft.functions.SimHash, one pass,
+    * no shuffle) and dropped if a document with the same signature was
+    * already seen — streaming state is one signature per distinct doc
+    * cluster, bounded by the ingest-time column's watermark horizon.
+    * Signature equality (hamming 0) is the streaming-safe tier of the
+    * batch hamming-banded pipeline (`Dedup.simhashPairs`): banded
+    * candidate joins need the full corpus, while signature identity
+    * needs only per-key state — the standard exact/near split for
+    * online vs offline dedup. */
+  def streamingNearDedup(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val stream = spark.readStream.schema(documentsSchema).parquet(path)
+    stream
+      .selectExpr("doc_id", "text",
+        "graft_simhash(split(lower(text), ' '), 60) as simhash",
+        "current_timestamp() as ingest_time")
+      .withWatermark("ingest_time", "1 hour")
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (flatMapGroupsWithState): the custom-state escape hatch for
     * logic windows/sessions can't express. State is one small case

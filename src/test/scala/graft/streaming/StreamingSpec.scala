@@ -47,6 +47,29 @@ class StreamingSpec extends SparkTestBase {
     assert(n == distinct, s"expected $distinct deduped events, got $n")
   }
 
+  test("streaming near-dedup keeps one doc per simhash signature") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_neardedup")
+    // stage the corpus twice: every document's signature arrives twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("b.parquet"))
+    val q = Streaming.streamingNearDedup(spark, dir.toString)
+      .writeStream.format("memory").queryName("near_dedup_docs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val n = spark.table("near_dedup_docs").count()
+    // one survivor per distinct signature in the original corpus
+    graft.functions.GraftFunctions.register(spark)
+    val distinctSigs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .selectExpr("graft_simhash(split(lower(text), ' '), 60) as s")
+      .distinct().count()
+    assert(n == distinctSigs, s"expected $distinctSigs survivors, got $n")
+  }
+
   test("stateful user totals equal batch aggregation on finite input") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
