@@ -203,12 +203,15 @@ object SparkEntry {
            lead(l_quantity, 1) over (partition by l_orderkey order by l_extendedprice) as next_qty,
            cast(row_number() over (partition by l_orderkey order by l_extendedprice) as bigint) as rn
          from lineitem""",
-    // rank-family dialect extensions; percent_rank/cume_dist are
-    // deterministic doubles (rank arithmetic, no accumulation order)
+    // rank-family dialect extensions. pr/cd stay UNROUNDED: both
+    // engines evaluate the identical (rank-1)/(n-1) IEEE division, so
+    // raw doubles match bitwise, while round(x, 6) lands exactly on
+    // .xx5 boundaries (multiples of 1/(n-1)) where rounding modes
+    // diverge — same rationale as q_math's unrounded charge.
     "q_window_rank_ext" ->
       """select c_custkey,
-           round(percent_rank() over (partition by c_nationkey order by c_acctbal, c_custkey), 6) as pr,
-           round(cume_dist() over (partition by c_nationkey order by c_acctbal, c_custkey), 6) as cd,
+           percent_rank() over (partition by c_nationkey order by c_acctbal, c_custkey) as pr,
+           cume_dist() over (partition by c_nationkey order by c_acctbal, c_custkey) as cd,
            nth_value(c_custkey, 2) over (partition by c_nationkey order by c_acctbal, c_custkey
              rows between unbounded preceding and current row) as second_id
          from customer""",
