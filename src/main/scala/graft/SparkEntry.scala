@@ -135,6 +135,16 @@ object SparkEntry {
          join (select c_nationkey, count(*) as cnt from customer
                group by c_nationkey) t
            on n_nationkey = t.c_nationkey""",
+    // positional group/order refs (Spark SQL and DuckDB semantics)
+    "q_group_by_ordinal" ->
+      """select l_returnflag, l_linestatus, count(*) as n, round(sum(l_quantity), 2) as qty
+         from lineitem group by 1, 2 order by 1, 2""",
+    // CTEs (graft dialect extension; plain SQL in DuckDB)
+    "q_with_cte" ->
+      """with big as (select l_orderkey, round(sum(l_quantity), 2) as qty
+                      from lineitem group by l_orderkey)
+         select count(*) as n, round(max(qty), 2) as max_qty
+         from big where qty > 100""",
     // --- TPC-H-style multi-join analytics (join-order/broadcast
     // exercise; revenue sums rounded to absorb accumulation-order ulps)
     "q_tpch_q3" ->

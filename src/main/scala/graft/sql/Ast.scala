@@ -99,4 +99,8 @@ object Ast {
   final case class Leaf(q: Query) extends SetExpr
   /** op: union|union_all|intersect|except|except_all (sql.lark:4-8). */
   final case class SetOp(op: String, l: SetExpr, r: SetExpr) extends SetExpr
+  /** WITH ctes body — graft extension (the reference grammar has no
+    * CTEs); each CTE sees the ones defined before it. */
+  final case class WithQuery(ctes: Seq[(String, SetExpr)],
+                             body: SetExpr) extends SetExpr
 }

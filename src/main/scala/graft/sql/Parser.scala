@@ -28,7 +28,7 @@ final class Parser(tokens: Vector[Token]) {
     "when", "then", "else", "end", "asc", "desc", "by", "all",
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
-    "unbounded", "current", "row", "using", "window")
+    "unbounded", "current", "row", "using", "window", "with")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -54,7 +54,23 @@ final class Parser(tokens: Vector[Token]) {
 
   // ---- entry --------------------------------------------------------
   def parse(): SetExpr = {
-    val e = parseSetExpr()
+    // WITH name AS (query) [, ...] body — graft extension beyond the
+    // reference grammar (which has no CTEs); names are visible to
+    // later CTEs and the body
+    val e = if (eatKw("with")) {
+      val ctes = Seq.newBuilder[(String, SetExpr)]
+      var more = true
+      while (more) {
+        val name = ident()
+        expectKw("as")
+        expectOp("(")
+        val sub = parseSetExpr()
+        expectOp(")")
+        ctes += (name -> sub)
+        more = eatOp(",")
+      }
+      WithQuery(ctes.result(), parseSetExpr())
+    } else parseSetExpr()
     peek match {
       case End(_) => e
       case t => fail(s"trailing input at $t")

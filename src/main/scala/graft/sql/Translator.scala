@@ -21,6 +21,18 @@ final class Translator(catalog: String => DataFrame) {
 
   def translate(e: SetExpr): DataFrame = e match {
     case Leaf(q) => translateQuery(q)
+    case WithQuery(ctes, body) =>
+      // resolve each CTE against the catalog extended with the CTEs
+      // defined before it; the body sees all of them. Case-insensitive
+      // like table registration.
+      val scope = scala.collection.mutable.Map.empty[String, DataFrame]
+      val scopedCatalog: String => DataFrame =
+        name => scope.getOrElse(name.toLowerCase, catalog(name))
+      val inner = new Translator(scopedCatalog)
+      ctes.foreach { case (name, sub) =>
+        scope(name.toLowerCase) = inner.translate(sub)
+      }
+      inner.translate(body)
     case SetOp(op, l, r) =>
       val lf = translate(l); val rf = translate(r)
       op match {
@@ -37,12 +49,19 @@ final class Translator(catalog: String => DataFrame) {
     var df = translateSelect(q.sel)
     if (q.orderBy.nonEmpty) {
       // ORDER BY resolves against the SELECT output (aliases visible),
-      // falling back to the literal expression.
+      // falling back to the literal expression. A bare integer literal
+      // is POSITIONAL (1-based output column), matching Spark SQL and
+      // DuckDB — ordering by a constant would be meaningless.
       val cols = q.orderBy.map { oi =>
         val c = oi.e match {
           case ColRef(None, n) =>
             df.columns.find(_.equalsIgnoreCase(n))
               .map(F.col).getOrElse(exprToCol(oi.e, None))
+          case NumLit(t) if t.matches("[0-9]+") =>
+            val i = t.toInt
+            if (i < 1 || i > df.columns.length)
+              fail(s"ORDER BY position $i out of range (1..${df.columns.length})")
+            F.col(df.columns(i - 1))
           case other => exprToCol(other, None)
         }
         if (oi.asc) c.asc else c.desc
@@ -205,7 +224,21 @@ final class Translator(catalog: String => DataFrame) {
     sel.items.foreach(i => checkNumericAgg(i.e))
     sel.having.foreach(checkNumericAgg)
 
-    val groupCols = sel.groupBy.map(g => exprToCol(g, None))
+    // GROUP BY <integer literal> is positional (1-based select item),
+    // matching Spark SQL and DuckDB — grouping by a constant would
+    // put everything in one group
+    val groupExprs = sel.groupBy.map {
+      case NumLit(t) if t.matches("[0-9]+") =>
+        val i = t.toInt
+        if (i < 1 || i > sel.items.length)
+          fail(s"GROUP BY position $i out of range (1..${sel.items.length})")
+        sel.items(i - 1).e match {
+          case Star(_) => fail("GROUP BY position cannot reference *")
+          case e => e
+        }
+      case g => g
+    }
+    val groupCols = groupExprs.map(g => exprToCol(g, None))
 
     // every aggregate node appearing in SELECT or HAVING, deduped by
     // its column expression text
@@ -226,7 +259,7 @@ final class Translator(catalog: String => DataFrame) {
     def post(e: Expr): Column = e match {
       case a @ AggExpr(_, _, _, None) =>
         F.col(aggName(aggColumn(a)))
-      case _ if sel.groupBy.exists(g => sameExpr(g, e)) =>
+      case _ if groupExprs.exists(g => sameExpr(g, e)) =>
         // group key column: carry through via first() only when the
         // key expression itself is not a bare column
         e match {

@@ -353,6 +353,27 @@ class SqlSurfaceSpec extends SparkTestBase {
          where n_nationkey not in (n_regionkey * 2, 5)""")
   }
 
+  test("positional group by and order by") {
+    checkAgainstSparkSql(
+      "select l_returnflag, round(sum(l_quantity), 2) as s from lineitem group by 1 order by 1")
+    checkAgainstSparkSql(
+      "select l_returnflag, l_linestatus, count(*) as n from lineitem group by 1, 2 order by 3 desc, 1")
+    intercept[RuntimeException](graftSession.query(
+      "select l_returnflag from lineitem group by 4"))
+  }
+
+  test("with clause (CTEs), including chained references") {
+    checkAgainstSparkSql(
+      """with asia as (select n_nationkey, n_name from nation where n_regionkey = 2),
+              ac as (select c_custkey, c_acctbal, n_name from customer
+                     join asia on c_nationkey = n_nationkey)
+         select n_name, count(*) as n, round(sum(c_acctbal), 2) as bal
+         from ac group by n_name""")
+    checkAgainstSparkSql(
+      """with top as (select c_custkey from customer order by c_acctbal desc limit 5)
+         select c_custkey from top order by c_custkey""")
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
