@@ -62,6 +62,8 @@ object Ast {
   final case class InSubquery(e: Expr, sub: SetExpr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Like(e: Expr, pattern: String) extends Expr
+  /** Case-insensitive LIKE — graft dialect extension. */
+  final case class ILike(e: Expr, pattern: String) extends Expr
 
   // ---- windows (sql.lark:51-65) -------------------------------------
   final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[OrderItem],

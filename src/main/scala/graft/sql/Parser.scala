@@ -280,6 +280,28 @@ final class Parser(tokens: Vector[Token]) {
         case Str(p, _) => Like(l, p)
         case t => fail(s"expected pattern string after LIKE, got $t")
       }
+    } else if (atKw("ilike")) {
+      pos += 1
+      next() match {
+        case Str(p, _) => ILike(l, p)
+        case t => fail(s"expected pattern string after ILIKE, got $t")
+      }
+    } else if (atKw("not") && isKw(tokens(pos + 1), "like")) {
+      pos += 2
+      next() match {
+        case Str(p, _) => Not(Like(l, p))
+        case t => fail(s"expected pattern string after NOT LIKE, got $t")
+      }
+    } else if (atKw("not") && isKw(tokens(pos + 1), "ilike")) {
+      pos += 2
+      next() match {
+        case Str(p, _) => Not(ILike(l, p))
+        case t => fail(s"expected pattern string after NOT ILIKE, got $t")
+      }
+    } else if (atKw("not") && isKw(tokens(pos + 1), "between")) {
+      pos += 2
+      val lo = parseAdditive(); expectKw("and"); val hi = parseAdditive()
+      Not(Between(l, lo, hi))
     } else if (atKw("in") || (atKw("not") && isKw(tokens(pos + 1), "in"))) {
       val neg = eatKw("not")
       expectKw("in")
@@ -330,7 +352,11 @@ final class Parser(tokens: Vector[Token]) {
   private val aggFuncs = Map(
     "sum" -> "sum", "avg" -> "avg", "mean" -> "avg",
     "min" -> "min", "minimum" -> "min",
-    "max" -> "max", "maximum" -> "max", "count" -> "count")
+    "max" -> "max", "maximum" -> "max", "count" -> "count",
+    // dispersion aggregates — graft dialect extension (sample forms,
+    // the SQL-standard default)
+    "stddev" -> "stddev", "stddev_samp" -> "stddev",
+    "variance" -> "variance", "var_samp" -> "variance")
 
   private def parsePrimary(): Expr = {
     peek match {

@@ -205,7 +205,8 @@ final class Translator(catalog: String => DataFrame) {
     // reference parity (test_errors.py:73-76): sum/avg over a
     // non-numeric column is rejected rather than implicitly cast
     def checkNumericAgg(e: Expr): Unit = e match {
-      case AggExpr(f, _, ColRef(_, n), _) if f == "sum" || f == "avg" =>
+      case AggExpr(f, _, ColRef(_, n), _)
+          if f == "sum" || f == "avg" || f == "stddev" || f == "variance" =>
         in.schema.fields.find(_.name.equalsIgnoreCase(n)).foreach { fld =>
           fld.dataType match {
             case _: org.apache.spark.sql.types.NumericType => ()
@@ -287,6 +288,7 @@ final class Translator(catalog: String => DataFrame) {
         if (neg) !c else c
       case IsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
       case Like(x, p) => post(x).like(p)
+      case ILike(x, p) => post(x).ilike(p)
       case FuncCall(nm, args) => scalarFunc(nm, args.map(post), args)
       case other => fail(s"unsupported expression in aggregate context: $other")
     }
@@ -469,6 +471,7 @@ final class Translator(catalog: String => DataFrame) {
     case IsNull(x, neg) =>
       if (neg) exprToCol(x, in).isNotNull else exprToCol(x, in).isNull
     case Like(x, p) => exprToCol(x, in).like(p)
+    case ILike(x, p) => exprToCol(x, in).ilike(p)
     case FuncCall(name, args) =>
       scalarFunc(name, args.map(exprToCol(_, in)), args)
     case _: InSubquery => fail("IN (subquery) not supported in this position")
@@ -530,12 +533,14 @@ final class Translator(catalog: String => DataFrame) {
           case Star(_) => fail("COUNT(DISTINCT *) unsupported")
           case e       => F.countDistinct(exprToCol(e, None))
         }
-      case "count" => F.count(arg)
-      case "sum"   => F.sum(arg)
-      case "avg"   => F.avg(arg)
-      case "min"   => F.min(arg)
-      case "max"   => F.max(arg)
-      case other   => fail(s"unknown aggregate $other")
+      case "count"    => F.count(arg)
+      case "sum"      => F.sum(arg)
+      case "avg"      => F.avg(arg)
+      case "min"      => F.min(arg)
+      case "max"      => F.max(arg)
+      case "stddev"   => F.stddev_samp(arg)
+      case "variance" => F.var_samp(arg)
+      case other      => fail(s"unknown aggregate $other")
     }
   }
 

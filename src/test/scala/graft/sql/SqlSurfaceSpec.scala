@@ -353,6 +353,24 @@ class SqlSurfaceSpec extends SparkTestBase {
          where n_nationkey not in (n_regionkey * 2, 5)""")
   }
 
+  test("not like, ilike, not between") {
+    checkAgainstSparkSql("select n_name from nation where n_name not like 'A%'")
+    checkAgainstSparkSql("select n_name from nation where n_name ilike 'a%'")
+    checkAgainstSparkSql("select n_name from nation where n_name not ilike '%a%'")
+    checkAgainstSparkSql(
+      "select l_orderkey from lineitem where l_quantity not between 5 and 45")
+  }
+
+  test("stddev and variance aggregates") {
+    checkAgainstSparkSql(
+      """select l_returnflag, round(stddev(l_quantity), 4) as sd,
+           round(variance(l_quantity), 4) as vr
+         from lineitem group by l_returnflag""")
+    // reference parity: dispersion over non-numeric rejected
+    intercept[RuntimeException](graftSession.query(
+      "select stddev(n_name) as x from nation"))
+  }
+
   test("positional group by and order by") {
     checkAgainstSparkSql(
       "select l_returnflag, round(sum(l_quantity), 2) as s from lineitem group by 1 order by 1")
