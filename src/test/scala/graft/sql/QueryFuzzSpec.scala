@@ -84,6 +84,37 @@ class QueryFuzzSpec extends SparkTestBase {
     case 3 => s"($p) $conj c_nationkey ${neg}in (select n_nationkey from nation where n_regionkey < $v)"
   }
 
+  // window functions over a tie-free ordering (c_custkey is unique):
+  // rank family, offsets, aggregates with and without explicit frames
+  private val genWindowQuery: Gen[String] = for {
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    fn <- Gen.oneOf(
+      "cast(rank() over w as bigint)",
+      "cast(dense_rank() over w as bigint)",
+      "cast(row_number() over w as bigint)",
+      "percent_rank() over w",
+      "cume_dist() over w",
+      "lag(c_acctbal, 1) over w",
+      "lead(c_custkey, 2) over w",
+      "first_value(c_custkey) over w",
+      "round(sum(c_acctbal) over w, 2)",
+      "round(avg(c_acctbal) over w, 4)",
+      "round(sum(c_acctbal) over (partition by c_nationkey order by c_custkey rows between 2 preceding and current row), 2)",
+      "round(min(c_acctbal) over (partition by c_nationkey order by c_custkey rows between unbounded preceding and current row), 2)")
+    pred <- Gen.option(genPred)
+  } yield (s"select c_custkey, ${fn.replace("over w", s"over (partition by $part order by c_custkey)")} as v" +
+    s" from customer" + pred.map(p => s" where $p").getOrElse(""))
+
+  test("40 random window queries match spark.sql exactly") {
+    val queries = Gen.listOfN(40, genWindowQuery)
+      .pureApply(Gen.Parameters.default, Seed(23L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   test("40 random IN-position queries match spark.sql exactly") {
     val preds = Gen.listOfN(40, genInPred)
       .pureApply(Gen.Parameters.default, Seed(11L))
