@@ -164,6 +164,23 @@ class ReferenceQueriesSpec extends SparkTestBase {
               on table1.type = table2.type) sub""")
   }
 
+  // test_expression_execution.py:32 — unaliased aggs + selected keys
+  test("ref: group by with selected keys and unaliased aggs") {
+    check("""select day, month, min(temp) as mn, max(temp) as mx
+             from forest_fires group by day, month""")
+  }
+
+  // test_expression_execution.py:49 — group keys NOT in the projection
+  test("ref: group by keys not selected") {
+    check("select min(temp) as mn, max(temp) as mx from forest_fires group by day, month")
+  }
+
+  // test_expression_execution.py:73 — implicit self cross join
+  test("ref: implicit multi-table FROM is a cross join") {
+    check("""select table1.temp, table2.wind from forest_fires table1, forest_fires table2
+             where table1.temp > 30 and table2.wind > 8""")
+  }
+
   // parsing/aggregation_aliases.py — mean/minimum/maximum spellings
   test("ref: aggregate spelling aliases") {
     assertSameRows(
