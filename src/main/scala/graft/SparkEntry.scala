@@ -570,6 +570,18 @@ object SparkEntry {
                       row_number() over (order by event_type) as type_rank
                     from (select distinct event_type from events)) d
                 on e.event_type = d.event_type""")),
+    // approx corpus stats: HLL++ distinct + quantile sketch — the
+    // 100 TB form of q_text_stats (fixed-size partial state instead of
+    // exact percentile's full sort). Sketch values are implementation-
+    // specific, so no cross-engine oracle — rows-only check here,
+    // accuracy-vs-exact asserted in OpsSpec.
+    ("q_text_stats_approx",
+      (s: SparkSession, dir: String) =>
+        tbl(s, dir, "documents").groupBy("lang")
+          .agg(F.approx_count_distinct("source").as("n_sources"),
+               F.percentile_approx(F.col("n_chars"), F.lit(0.5), F.lit(10000))
+                 .as("median_chars")),
+      None),
     ("q_text_stats",
       (s: SparkSession, dir: String) =>
         tbl(s, dir, "documents").groupBy("lang")

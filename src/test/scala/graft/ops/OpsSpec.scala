@@ -117,6 +117,23 @@ class OpsSpec extends SparkTestBase {
     pairs.foreach(p => assert(p._3 <= 3))
   }
 
+  test("approx distinct and quantile track the exact values") {
+    import org.apache.spark.sql.{functions => F}
+    val approx = documents.groupBy("lang")
+      .agg(F.approx_count_distinct("source").as("ad"),
+           F.percentile_approx(F.col("n_chars"), F.lit(0.5), F.lit(10000)).as("aq"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = documents.groupBy("lang")
+      .agg(F.countDistinct("source").as("d"),
+           F.expr("percentile(n_chars, 0.5)").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (lang, (d, q)) =>
+      val (ad, aq) = approx(lang)
+      assert(math.abs(ad - d) <= math.max(1, d / 20), s"$lang distinct $ad vs $d")
+      assert(math.abs(aq - q) <= math.max(2.0, q * 0.05), s"$lang quantile $aq vs $q")
+    }
+  }
+
   test("duplicate groups resolve planted chains to one representative") {
     // doc 0 duplicated twice under new ids: component {0, 2000, 3000}
     // must resolve to group_id 0 for every member
