@@ -20,7 +20,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "3").toInt
+    // 5 interleaved rounds: the driver's box has shown bursty co-load
+    // (r1: 101 s for a run reproducing at ~28 s idle) — a median of 5
+    // tolerates two contaminated rounds per query
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

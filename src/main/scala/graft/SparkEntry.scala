@@ -145,6 +145,18 @@ object SparkEntry {
     "q_group_by_ordinal" ->
       """select l_returnflag, l_linestatus, count(*) as n, round(sum(l_quantity), 2) as qty
          from lineitem group by 1, 2 order by 1, 2""",
+    // uncorrelated scalar subqueries (graft dialect; DuckDB-valid).
+    // acctbal values are 2-decimal, far from the avg boundary, so the
+    // cross-engine avg comparison is ulp-safe
+    "q_scalar_subquery" ->
+      """select c_custkey, round(c_acctbal, 2) as bal from customer
+         where c_acctbal > (select avg(c_acctbal) from customer)
+            or c_custkey <= (select min(n_nationkey) from nation) + 3""",
+    // JOIN USING through CTE renames (graft dialect; DuckDB-valid)
+    "q_join_using" ->
+      """with a as (select n_regionkey as rk, n_name from nation),
+              b as (select r_regionkey as rk, r_name from region)
+         select rk, n_name, r_name from a join b using (rk)""",
     // CTEs (graft dialect extension; plain SQL in DuckDB)
     "q_with_cte" ->
       """with big as (select l_orderkey, round(sum(l_quantity), 2) as qty

@@ -60,6 +60,9 @@ object Ast {
   final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
   final case class InList(e: Expr, values: Seq[Expr], negated: Boolean) extends Expr
   final case class InSubquery(e: Expr, sub: SetExpr) extends Expr
+  /** Uncorrelated scalar subquery in expression position — graft
+    * dialect extension (must produce one row, one column). */
+  final case class ScalarSubquery(sub: SetExpr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Like(e: Expr, pattern: String) extends Expr
   /** Case-insensitive LIKE — graft dialect extension. */
@@ -88,6 +91,11 @@ object Ast {
   /** Aliased parenthesized join group: `(a join b on ...) name`
     * (sql.lark:33). */
   final case class AliasedRel(rel: Relation, alias: String) extends Relation
+  /** JOIN ... USING (cols) — graft dialect extension; output carries
+    * one copy of each using-column (standard USING semantics). */
+  final case class UsingJoinRel(left: Relation, right: Relation,
+                                joinType: String,
+                                cols: Seq[String]) extends Relation
 
   // ---- query structure (sql.lark:3-12) ------------------------------
   final case class SelectItem(e: Expr, alias: Option[String])

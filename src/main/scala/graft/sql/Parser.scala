@@ -207,8 +207,18 @@ final class Parser(tokens: Vector[Token]) {
           case Some(t) =>
             expectKw("join")
             val right = parseRelationPrimary()
-            val on = if (eatKw("on")) Some(parseExpr()) else None
-            left = JoinRel(left, right, t, on)
+            if (eatKw("using")) {
+              // JOIN ... USING (a, b) — graft dialect extension
+              expectOp("(")
+              val cols = Seq.newBuilder[String]
+              var m = true
+              while (m) { cols += ident(); m = eatOp(",") }
+              expectOp(")")
+              left = UsingJoinRel(left, right, t, cols.result())
+            } else {
+              val on = if (eatKw("on")) Some(parseExpr()) else None
+              left = JoinRel(left, right, t, on)
+            }
           case None => continue = false
         }
       }
@@ -362,9 +372,17 @@ final class Parser(tokens: Vector[Token]) {
     peek match {
       case Op("(", _) =>
         pos += 1
-        val e = parseExpr()
-        expectOp(")")
-        e
+        if (atKw("select")) {
+          // (SELECT ...) in expression position — uncorrelated scalar
+          // subquery, graft dialect extension
+          val sub = parseSetExpr()
+          expectOp(")")
+          ScalarSubquery(sub)
+        } else {
+          val e = parseExpr()
+          expectOp(")")
+          e
+        }
       case Op("*", _) =>
         pos += 1; Star(None)
       case Num(v, _) => pos += 1; NumLit(v)

@@ -91,6 +91,15 @@ final class Translator(catalog: String => DataFrame) {
       alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
     case AliasedRel(rel, alias) =>
       translateRelation(rel).alias(alias.toLowerCase)
+    case UsingJoinRel(l, r, jt, cols) =>
+      val sparkType = jt match {
+        case "inner" => "inner"
+        case "left"  => "left_outer"
+        case "right" => "right_outer"
+        case "full"  => "full_outer"
+        case other   => fail(s"USING not supported for $other join")
+      }
+      translateRelation(l).join(translateRelation(r), cols, sparkType)
     case JoinRel(l, rr, jt, on) =>
       val lf = translateRelation(l)
       val rf = translateRelation(rr)
@@ -129,7 +138,30 @@ final class Translator(catalog: String => DataFrame) {
     // empty set; NULL when the probe is null or the set has nulls).
     var from = from0
     var helperCols = List.empty[String]
-    val whereResidual: Option[Expr] = sel.where.map { w =>
+
+    // Uncorrelated scalar subqueries (SELECT / WHERE / GROUP BY /
+    // HAVING positions): hoist each to a broadcast 1-row cross join
+    // and substitute the materialized column. The subquery must
+    // produce a single row (standard scalar-subquery contract; a
+    // multi-row subquery here is a query bug and would multiply rows).
+    def hoistScalars(e: Expr): Expr =
+      rewriteScalarSubqueries(e, { case ScalarSubquery(sub) =>
+        val subDf = translate(sub)
+        if (subDf.columns.length != 1)
+          fail("scalar subquery requires a single-column subquery")
+        val n = s"__ssq_${helperCols.size}"
+        from = from.crossJoin(
+          F.broadcast(subDf.select(F.col(subDf.columns.head).as(n))))
+        helperCols = n :: helperCols
+        ColRef(None, n)
+      })
+    val selScalars = sel.copy(
+      items = sel.items.map(i => i.copy(e = hoistScalars(i.e))),
+      where = sel.where.map(hoistScalars),
+      groupBy = sel.groupBy.map(hoistScalars),
+      having = sel.having.map(hoistScalars))
+
+    val whereResidual: Option[Expr] = selScalars.where.map { w =>
       val (subqueries, residual0) = extractInSubqueries(w)
       subqueries.foreach { case (InSubquery(e, sub), negated) =>
         val subDf = translate(sub)
@@ -178,23 +210,23 @@ final class Translator(catalog: String => DataFrame) {
       case Some(w) => from.filter(exprToCol(w, None))
       case None    => from
     }
-    // helper key/flag columns must not leak into `SELECT *`
-    val filtered =
-      if (helperCols.isEmpty) filtered0 else filtered0.drop(helperCols: _*)
-
-    val hasAgg = sel.items.exists(i => containsAgg(i.e)) ||
-      sel.groupBy.nonEmpty || sel.having.exists(containsAgg)
+    val hasAgg = selScalars.items.exists(i => containsAgg(i.e)) ||
+      selScalars.groupBy.nonEmpty || selScalars.having.exists(containsAgg)
 
     val projected: DataFrame =
       if (!hasAgg) {
-        val base = sel.having match {  // HAVING w/o aggregates = WHERE
-          case Some(h) => filtered.filter(exprToCol(h, None))
-          case None    => filtered
+        val base = selScalars.having match { // HAVING w/o aggregates = WHERE
+          case Some(h) => filtered0.filter(exprToCol(h, None))
+          case None    => filtered0
         }
-        base.select(selectCols(sel.items, base): _*)
-      } else translateAggregate(sel, filtered)
+        base.select(selectCols(selScalars.items, base): _*)
+      } else translateAggregate(selScalars, filtered0)
 
-    if (sel.distinct) projected.distinct() else projected
+    val dis = if (selScalars.distinct) projected.distinct() else projected
+    // hoisted helper columns (IN flags, scalar-subquery values) must
+    // not leak through SELECT * — drop ignores absent columns, so
+    // explicit projections are unaffected
+    if (helperCols.isEmpty) dis else dis.drop(helperCols: _*)
   }
 
   /** GROUP BY / global aggregation with HAVING support. Aggregate
@@ -371,6 +403,33 @@ final class Translator(catalog: String => DataFrame) {
       case other => (Nil, Some(other))
     }
 
+  /** Replaces every ScalarSubquery node in an expression tree via `f`
+    * (used to substitute hoisted cross-join columns). Does not
+    * descend into IN-subquery bodies — those translate separately. */
+  private def rewriteScalarSubqueries(e: Expr, f: ScalarSubquery => Expr): Expr = {
+    def go(x: Expr): Expr = x match {
+      case s: ScalarSubquery => f(s)
+      case And(l, r) => And(go(l), go(r))
+      case Or(l, r) => Or(go(l), go(r))
+      case Not(y) => Not(go(y))
+      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
+      case Between(y, lo, hi) => Between(go(y), go(lo), go(hi))
+      case CaseWhen(bs, o) =>
+        CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, go(o))
+      case Coalesce(args) => Coalesce(args.map(go))
+      case Cast(y, t) => Cast(go(y), t)
+      case Arith(op, l, r) => Arith(op, go(l), go(r))
+      case Neg(y) => Neg(go(y))
+      case InList(y, vs, n) => InList(go(y), vs.map(go), n)
+      case InSubquery(y, sub) => InSubquery(go(y), sub)
+      case IsNull(y, n) => IsNull(go(y), n)
+      case FuncCall(n, args) => FuncCall(n, args.map(go))
+      case AggExpr(fn, d, arg, w) => AggExpr(fn, d, go(arg), w)
+      case other => other
+    }
+    go(e)
+  }
+
   /** Replaces every InSubquery node in an expression tree via `f`
     * (used to substitute materialized existence-flag columns). */
   private def rewriteInSubqueries(e: Expr, f: InSubquery => Expr): Expr = {
@@ -475,6 +534,7 @@ final class Translator(catalog: String => DataFrame) {
     case FuncCall(name, args) =>
       scalarFunc(name, args.map(exprToCol(_, in)), args)
     case _: InSubquery => fail("IN (subquery) not supported in this position")
+    case _: ScalarSubquery => fail("scalar subquery not supported in this position")
   }
 
   private def arith(op: String, l: Column, r: Column): Column = op match {

@@ -380,6 +380,32 @@ class SqlSurfaceSpec extends SparkTestBase {
       "select l_returnflag from lineitem group by 4"))
   }
 
+  test("uncorrelated scalar subqueries in WHERE and SELECT") {
+    checkAgainstSparkSql(
+      """select c_custkey, c_acctbal from customer
+         where c_acctbal > (select avg(c_acctbal) from customer)
+         order by c_custkey limit 20""")
+    checkAgainstSparkSql(
+      """select n_name,
+           (select max(r_regionkey) from region) as max_rk
+         from nation where n_regionkey = 0""")
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where n_regionkey = (select min(r_regionkey) from region where r_name = 'ASIA')
+            or n_nationkey > (select count(*) from region) * 4""")
+  }
+
+  test("join using") {
+    checkAgainstSparkSql(
+      """with a as (select n_regionkey as rk, n_name from nation),
+              b as (select r_regionkey as rk, r_name from region)
+         select rk, n_name, r_name from a join b using (rk)""")
+    checkAgainstSparkSql(
+      """with a as (select n_regionkey as rk, n_name from nation where n_nationkey < 5),
+              b as (select r_regionkey as rk, r_name from region where r_regionkey < 2)
+         select rk, n_name, r_name from a left join b using (rk)""")
+  }
+
   test("with clause (CTEs), including chained references") {
     checkAgainstSparkSql(
       """with asia as (select n_nationkey, n_name from nation where n_regionkey = 2),
