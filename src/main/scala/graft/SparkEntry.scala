@@ -145,6 +145,12 @@ object SparkEntry {
     "q_group_by_ordinal" ->
       """select l_returnflag, l_linestatus, count(*) as n, round(sum(l_quantity), 2) as qty
          from lineitem group by 1, 2 order by 1, 2""",
+    // grouping sets (graft dialect; DuckDB-valid) — subtotal rows
+    // carry nulls in the rolled-up keys in both engines
+    "q_group_rollup" ->
+      """select l_returnflag, l_linestatus, count(*) as n,
+           round(sum(l_quantity), 2) as qty
+         from lineitem group by rollup(l_returnflag, l_linestatus)""",
     // uncorrelated scalar subqueries (graft dialect; DuckDB-valid).
     // acctbal values are 2-decimal, far from the avg boundary, so the
     // cross-engine avg comparison is ulp-safe

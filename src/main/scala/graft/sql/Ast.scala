@@ -99,9 +99,12 @@ object Ast {
 
   // ---- query structure (sql.lark:3-12) ------------------------------
   final case class SelectItem(e: Expr, alias: Option[String])
+  /** groupMode: "plain" | "rollup" | "cube" (rollup/cube are graft
+    * dialect extensions over Spark's native grouping-set support). */
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
                           from: Relation, where: Option[Expr],
-                          groupBy: Seq[Expr], having: Option[Expr])
+                          groupBy: Seq[Expr], having: Option[Expr],
+                          groupMode: String = "plain")
   final case class Query(sel: Select, orderBy: Seq[OrderItem],
                          limit: Option[Long], offset: Option[Long])
 

@@ -142,12 +142,24 @@ final class Parser(tokens: Vector[Token]) {
     expectKw("from")
     val from = parseFrom()
     val where = if (eatKw("where")) Some(parseExpr()) else None
+    var groupMode = "plain"
     val groupBy =
       if (eatKw("group")) { expectKw("by")
-        val gs = Seq.newBuilder[Expr]
-        var m = true
-        while (m) { gs += parseExpr(); m = eatOp(",") }
-        gs.result()
+        // GROUP BY ROLLUP(a, b) / CUBE(a, b) — graft dialect extension
+        if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
+          groupMode = ident().toLowerCase
+          expectOp("(")
+          val gs = Seq.newBuilder[Expr]
+          var m = true
+          while (m) { gs += parseExpr(); m = eatOp(",") }
+          expectOp(")")
+          gs.result()
+        } else {
+          val gs = Seq.newBuilder[Expr]
+          var m = true
+          while (m) { gs += parseExpr(); m = eatOp(",") }
+          gs.result()
+        }
       } else Nil
     val having = if (eatKw("having")) Some(parseExpr()) else None
     // WINDOW name AS ( ) — the reference grammar's window_definition
@@ -159,7 +171,7 @@ final class Parser(tokens: Vector[Token]) {
         more = eatOp(",")
       }
     }
-    Select(distinct, items.result(), from, where, groupBy, having)
+    Select(distinct, items.result(), from, where, groupBy, having, groupMode)
   }
 
   private def parseSelectItem(): SelectItem = {

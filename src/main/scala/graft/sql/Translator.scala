@@ -327,7 +327,13 @@ final class Translator(catalog: String => DataFrame) {
 
     // group-by keys must appear in output when selected; compute the
     // post-agg projection for each select item
-    val groupKeyed = if (groupCols.nonEmpty) in.groupBy(groupCols: _*) else in.groupBy()
+    val groupKeyed =
+      if (groupCols.isEmpty) in.groupBy()
+      else sel.groupMode match {
+        case "rollup" => in.rollup(groupCols: _*)
+        case "cube"   => in.cube(groupCols: _*)
+        case _        => in.groupBy(groupCols: _*)
+      }
 
     // force materialization of agg map: walk select + having
     val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {

@@ -380,6 +380,15 @@ class SqlSurfaceSpec extends SparkTestBase {
       "select l_returnflag from lineitem group by 4"))
   }
 
+  test("group by rollup and cube") {
+    checkAgainstSparkSql(
+      """select l_returnflag, l_linestatus, count(*) as n
+         from lineitem group by rollup(l_returnflag, l_linestatus)""")
+    checkAgainstSparkSql(
+      """select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as qty
+         from lineitem group by cube(l_returnflag, l_linestatus)""")
+  }
+
   test("uncorrelated scalar subqueries in WHERE and SELECT") {
     checkAgainstSparkSql(
       """select c_custkey, c_acctbal from customer
