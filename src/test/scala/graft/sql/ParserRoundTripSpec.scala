@@ -74,6 +74,24 @@ class ParserRoundTripSpec extends AnyFunSuite {
     assert(parseBack("'O''Brien'") == StrLit("O'Brien"))
   }
 
+  test("round-2 syntax parses to the expected shapes") {
+    // CTE + USING + rollup + ilike + not-like + scalar subquery
+    val q = Parser.parse(
+      """with c as (select a from t1)
+         select a, (select max(b2) from t2) as m
+         from c join t2 using (a)
+         where a not like 'x%' and b2 ilike 'Y%'
+         group by rollup(a, b2)""")
+    val WithQuery(ctes, Leaf(body)) = q: @unchecked
+    assert(ctes.map(_._1) == Seq("c"))
+    assert(body.sel.groupMode == "rollup" && body.sel.groupBy.length == 2)
+    assert(body.sel.from.isInstanceOf[UsingJoinRel])
+    assert(body.sel.items.exists(_.e.isInstanceOf[ScalarSubquery]))
+    val w = body.sel.where.get
+    assert(w == And(Not(Like(ColRef(None, "a"), "x%")),
+                    ILike(ColRef(None, "b2"), "Y%")))
+  }
+
   test("full query round-trip for a representative query") {
     val sql = """select a, (b2 + 3) as c from t1
                  where (a > 1 and b2 < 2) or a = 5
