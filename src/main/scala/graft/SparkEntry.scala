@@ -55,6 +55,18 @@ object SparkEntry {
       """select c_custkey from customer
          where c_nationkey not in (select n_nationkey from nation where n_regionkey < 3)
             or c_acctbal >= 9000""",
+    // correlated [NOT] EXISTS (graft dialect; semi/anti-join lowering
+    // with the correlated conjunct as the join key)
+    "q_exists" ->
+      """select c_custkey, c_name from customer
+         where exists (select 1 from orders
+                       where orders.o_custkey = customer.c_custkey
+                         and orders.o_totalprice > 400000)""",
+    "q_not_exists" ->
+      """select c_custkey from customer
+         where not exists (select 1 from orders
+                           where orders.o_custkey = customer.c_custkey)
+           and c_acctbal > 0""",
     // computed (non-literal) IN-list elements (sql.lark:129)
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation

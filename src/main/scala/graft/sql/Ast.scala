@@ -63,6 +63,10 @@ object Ast {
   /** Uncorrelated scalar subquery in expression position — graft
     * dialect extension (must produce one row, one column). */
   final case class ScalarSubquery(sub: SetExpr) extends Expr
+  /** [NOT] EXISTS (subquery) — graft dialect extension. Correlated
+    * predicates inside the subquery must qualify outer columns with
+    * the outer relation's alias/name. */
+  final case class ExistsSubquery(sub: SetExpr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Like(e: Expr, pattern: String) extends Expr
   /** Case-insensitive LIKE — graft dialect extension. */

@@ -430,6 +430,11 @@ final class Parser(tokens: Vector[Token]) {
             }
             expectOp(")")
             TimestampLit(d, t)
+          case "exists" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val sub = parseSetExpr()
+            expectOp(")")
+            ExistsSubquery(sub)
           case "rank" | "dense_rank" if isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("("); expectOp(")")
             expectKw("over")

@@ -161,17 +161,44 @@ final class Translator(catalog: String => DataFrame) {
       groupBy = sel.groupBy.map(hoistScalars),
       having = sel.having.map(hoistScalars))
 
+    val outerAliases = relationAliases(sel.from)
+
     val whereResidual: Option[Expr] = selScalars.where.map { w =>
       val (subqueries, residual0) = extractInSubqueries(w)
-      subqueries.foreach { case (InSubquery(e, sub), negated) =>
-        val subDf = translate(sub)
-        if (subDf.columns.length != 1)
-          fail("IN (subquery) requires a single-column subquery")
-        val key = subDf.columns.head
-        from = from.join(
-          subDf.distinct(),
-          exprToCol(e, None) === subDf(key),
-          if (negated) "left_anti" else "left_semi")
+      subqueries.foreach {
+        case (InSubquery(e, sub), negated) =>
+          val subDf = translate(sub)
+          if (subDf.columns.length != 1)
+            fail("IN (subquery) requires a single-column subquery")
+          val key = subDf.columns.head
+          from = from.join(
+            subDf.distinct(),
+            exprToCol(e, None) === subDf(key),
+            if (negated) "left_anti" else "left_semi")
+        case (ExistsSubquery(sub), negated) =>
+          // [NOT] EXISTS: semi/anti join. The subquery's WHERE splits
+          // into local conjuncts (filter the inner relation) and
+          // correlated conjuncts (reference an outer alias — they
+          // become the join condition). Outer refs must be qualified
+          // with the outer relation's alias/name.
+          val q = sub match {
+            case Leaf(qq) => qq
+            case _ => fail("EXISTS subquery must be a simple SELECT")
+          }
+          if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+              q.limit.nonEmpty || q.offset.nonEmpty)
+            fail("EXISTS subquery supports FROM/WHERE only")
+          var inner = translateRelation(q.sel.from)
+          val (corr, local) = q.sel.where
+            .map(splitConjuncts).getOrElse(Nil)
+            .partition(refersToAliases(_, outerAliases))
+          local.reduceOption(And).foreach(p =>
+            inner = inner.filter(exprToCol(p, None)))
+          val cond = corr.reduceOption(And)
+            .map(exprToCol(_, None)).getOrElse(F.lit(true))
+          from = from.join(inner, cond,
+            if (negated) "left_anti" else "left_semi")
+        case (other, _) => fail(s"unexpected hoisted subquery $other")
       }
       residual0.map { res =>
         var flagIdx = helperCols.size
@@ -390,12 +417,60 @@ final class Translator(catalog: String => DataFrame) {
     case _ => false
   }
 
-  /** Splits a WHERE tree into (top-level-conjunct [NOT] IN-subqueries
-    * with negation flags, residual predicate). */
-  private def extractInSubqueries(e: Expr): (Seq[(InSubquery, Boolean)], Option[Expr]) =
+  /** All alias/table names visible from a FROM tree (lowercased) —
+    * used to classify correlated predicates inside EXISTS. */
+  private def relationAliases(r: Relation): Set[String] = r match {
+    case TableRef(n, a) => Set(a.getOrElse(n).toLowerCase)
+    case SubqueryRel(_, a) => a.map(_.toLowerCase).toSet
+    case AliasedRel(_, a) => Set(a.toLowerCase)
+    case JoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
+    case UsingJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
+  }
+
+  /** Top-level AND conjuncts of a predicate tree. */
+  private def splitConjuncts(e: Expr): Seq[Expr] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** True if the expression references a column qualified with one of
+    * `aliases`. */
+  private def refersToAliases(e: Expr, aliases: Set[String]): Boolean = e match {
+    case ColRef(Some(q), _) => aliases.contains(q.toLowerCase)
+    case ColRef(None, _) | NumLit(_) | StrLit(_) | BoolLit(_) | NowLit() |
+         TodayLit() | TimestampLit(_, _) | Star(_) => false
+    case Arith(_, l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
+    case Neg(x) => refersToAliases(x, aliases)
+    case CaseWhen(bs, o) =>
+      bs.exists { case (c, v) =>
+        refersToAliases(c, aliases) || refersToAliases(v, aliases)
+      } || refersToAliases(o, aliases)
+    case Cast(x, _) => refersToAliases(x, aliases)
+    case Coalesce(args) => args.exists(refersToAliases(_, aliases))
+    case And(l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
+    case Or(l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
+    case Not(x) => refersToAliases(x, aliases)
+    case Cmp(_, l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
+    case Between(x, lo, hi) =>
+      refersToAliases(x, aliases) || refersToAliases(lo, aliases) ||
+        refersToAliases(hi, aliases)
+    case InList(x, vs, _) =>
+      refersToAliases(x, aliases) || vs.exists(refersToAliases(_, aliases))
+    case IsNull(x, _) => refersToAliases(x, aliases)
+    case Like(x, _) => refersToAliases(x, aliases)
+    case ILike(x, _) => refersToAliases(x, aliases)
+    case FuncCall(_, args) => args.exists(refersToAliases(_, aliases))
+    case _ => false
+  }
+
+  /** Splits a WHERE tree into (top-level-conjunct [NOT] IN/EXISTS
+    * subqueries with negation flags, residual predicate). */
+  private def extractInSubqueries(e: Expr): (Seq[(Expr, Boolean)], Option[Expr]) =
     e match {
       case s: InSubquery => (Seq((s, false)), None)
       case Not(s: InSubquery) => (Seq((s, true)), None)
+      case s: ExistsSubquery => (Seq((s, false)), None)
+      case Not(s: ExistsSubquery) => (Seq((s, true)), None)
       case And(l, r) =>
         val (ls, lr) = extractInSubqueries(l)
         val (rs, rr) = extractInSubqueries(r)
@@ -541,6 +616,8 @@ final class Translator(catalog: String => DataFrame) {
       scalarFunc(name, args.map(exprToCol(_, in)), args)
     case _: InSubquery => fail("IN (subquery) not supported in this position")
     case _: ScalarSubquery => fail("scalar subquery not supported in this position")
+    case _: ExistsSubquery =>
+      fail("EXISTS is only supported as a top-level AND conjunct in WHERE")
   }
 
   private def arith(op: String, l: Column, r: Column): Column = op match {

@@ -380,6 +380,27 @@ class SqlSurfaceSpec extends SparkTestBase {
       "select l_returnflag from lineitem group by 4"))
   }
 
+  test("correlated exists and not exists") {
+    checkAgainstSparkSql(
+      """select c_custkey, c_name from customer
+         where exists (select 1 from orders
+                       where orders.o_custkey = customer.c_custkey
+                         and orders.o_totalprice > 400000)""")
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where not exists (select 1 from orders
+                           where orders.o_custkey = customer.c_custkey)
+           and c_acctbal > 0""")
+    // uncorrelated EXISTS degenerates to keep-all / keep-none
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where exists (select 1 from region where r_regionkey > 100)""")
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where not exists (select 1 from region where r_regionkey > 100)
+           and n_regionkey = 0""")
+  }
+
   test("group by rollup and cube") {
     checkAgainstSparkSql(
       """select l_returnflag, l_linestatus, count(*) as n
