@@ -167,14 +167,47 @@ final class Translator(catalog: String => DataFrame) {
       val (subqueries, residual0) = extractInSubqueries(w)
       subqueries.foreach {
         case (InSubquery(e, sub), negated) =>
-          val subDf = translate(sub)
-          if (subDf.columns.length != 1)
-            fail("IN (subquery) requires a single-column subquery")
-          val key = subDf.columns.head
-          from = from.join(
-            subDf.distinct(),
-            exprToCol(e, None) === subDf(key),
-            if (negated) "left_anti" else "left_semi")
+          val probe = exprToCol(e, None)
+          // Correlated IN (sub's WHERE references an outer alias):
+          // split like EXISTS — correlated conjuncts join, local
+          // conjuncts filter — and key on the sub's select expression.
+          val corrForm = sub match {
+            case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+                q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
+                q.sel.where.exists(w =>
+                  splitConjuncts(w).exists(refersToAliases(_, outerAliases))) =>
+              Some(q)
+            case _ => None
+          }
+          corrForm match {
+            case Some(q) =>
+              if (negated)
+                fail("correlated NOT IN is not supported (use NOT EXISTS)")
+              var inner = translateRelation(q.sel.from)
+              val (corr, local) = q.sel.where
+                .map(splitConjuncts).getOrElse(Nil)
+                .partition(refersToAliases(_, outerAliases))
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val keyCol = exprToCol(q.sel.items.head.e, None)
+              val cond = corr.map(exprToCol(_, None))
+                .foldLeft(probe === keyCol)(_ && _)
+              from = from.join(inner, cond, "left_semi")
+            case None =>
+              val subDf = translate(sub)
+              if (subDf.columns.length != 1)
+                fail("IN (subquery) requires a single-column subquery")
+              val key = subDf(subDf.columns.head)
+              // anti-join emulating SQL NOT IN three-valued logic: a
+              // null probe or any null key means "no row is NOT IN"
+              // (unless the set is empty, where the anti join keeps
+              // everything because the condition never evaluates)
+              val cond =
+                if (negated) probe === key || probe.isNull || key.isNull
+                else probe === key
+              from = from.join(subDf.distinct(), cond,
+                if (negated) "left_anti" else "left_semi")
+          }
         case (ExistsSubquery(sub), negated) =>
           // [NOT] EXISTS: semi/anti join. The subquery's WHERE splits
           // into local conjuncts (filter the inner relation) and

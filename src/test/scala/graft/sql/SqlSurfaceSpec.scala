@@ -380,6 +380,25 @@ class SqlSurfaceSpec extends SparkTestBase {
       "select l_returnflag from lineitem group by 4"))
   }
 
+  test("not in subquery with null keys follows SQL three-valued logic") {
+    // nullif plants a NULL in the set: NOT IN is never TRUE -> 0 rows
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where n_nationkey not in (select nullif(r_regionkey, 3) from region)""")
+    // null-free set: plain anti-join semantics
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where n_nationkey not in (select r_regionkey from region)""")
+  }
+
+  test("correlated in subquery") {
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice > 400000)""")
+  }
+
   test("correlated exists and not exists") {
     checkAgainstSparkSql(
       """select c_custkey, c_name from customer
