@@ -170,6 +170,13 @@ object SparkEntry {
       """select c_custkey, round(c_acctbal, 2) as bal from customer
          where c_acctbal > (select avg(c_acctbal) from customer)
             or c_custkey <= (select min(n_nationkey) from nation) + 3""",
+    // correlated scalar aggregate (decorrelated to group + left join;
+    // COUNT over empty correlation groups must read 0)
+    "q_scalar_corr" ->
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey) as n_cust
+         from nation""",
     // JOIN USING through CTE renames (graft dialect; DuckDB-valid)
     "q_join_using" ->
       """with a as (select n_regionkey as rk, n_name from nation),

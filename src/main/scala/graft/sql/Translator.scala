@@ -139,21 +139,76 @@ final class Translator(catalog: String => DataFrame) {
     var from = from0
     var helperCols = List.empty[String]
 
-    // Uncorrelated scalar subqueries (SELECT / WHERE / GROUP BY /
-    // HAVING positions): hoist each to a broadcast 1-row cross join
-    // and substitute the materialized column. The subquery must
-    // produce a single row (standard scalar-subquery contract; a
-    // multi-row subquery here is a query bug and would multiply rows).
+    val outerAliasesPre = relationAliases(sel.from)
+
+    // Scalar subqueries (SELECT / WHERE / GROUP BY / HAVING positions).
+    //
+    // Uncorrelated: hoist to a broadcast 1-row cross join and
+    // substitute the materialized column (must produce a single row —
+    // the standard scalar-subquery contract).
+    //
+    // Correlated aggregate form — `(select AGG(x) from t WHERE t.k =
+    // outer.k [and local...])` — decorrelates classically: group the
+    // inner relation by its correlation keys, left_outer join the
+    // grouped result on those keys, and read the aggregate column.
+    // Missing groups yield NULL (SQL's aggregate-over-empty), except
+    // COUNT which coalesces to 0. Outer refs must be alias-qualified;
+    // every correlated conjunct must be an equality.
     def hoistScalars(e: Expr): Expr =
       rewriteScalarSubqueries(e, { case ScalarSubquery(sub) =>
-        val subDf = translate(sub)
-        if (subDf.columns.length != 1)
-          fail("scalar subquery requires a single-column subquery")
-        val n = s"__ssq_${helperCols.size}"
-        from = from.crossJoin(
-          F.broadcast(subDf.select(F.col(subDf.columns.head).as(n))))
-        helperCols = n :: helperCols
-        ColRef(None, n)
+        val corrForm = sub match {
+          case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+              q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
+              q.sel.items.head.e.isInstanceOf[AggExpr] &&
+              q.sel.where.exists(w =>
+                splitConjuncts(w).exists(refersToAliases(_, outerAliasesPre))) =>
+            Some(q)
+          case _ => None
+        }
+        corrForm match {
+          case Some(q) =>
+            val idx = helperCols.size
+            var inner = translateRelation(q.sel.from)
+            val (corr, local) = q.sel.where
+              .map(splitConjuncts).getOrElse(Nil)
+              .partition(refersToAliases(_, outerAliasesPre))
+            local.reduceOption(And).foreach(p =>
+              inner = inner.filter(exprToCol(p, None)))
+            // each correlated conjunct must be inner-expr = outer-expr
+            val keyPairs = corr.map {
+              case Cmp("=", l, r) if refersToAliases(r, outerAliasesPre) &&
+                  !refersToAliases(l, outerAliasesPre) => (l, r)
+              case Cmp("=", l, r) if refersToAliases(l, outerAliasesPre) &&
+                  !refersToAliases(r, outerAliasesPre) => (r, l)
+              case other => fail(
+                s"correlated scalar subquery predicates must be equalities, got $other")
+            }
+            val keyNames = keyPairs.indices.map(i => s"__csq_${idx}_k$i")
+            val valName = s"__csq_${idx}_v"
+            val agg = q.sel.items.head.e.asInstanceOf[AggExpr]
+            val grouped = inner
+              .groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+                exprToCol(ik, None).as(n)
+              }: _*)
+              .agg(aggColumn(agg).as(valName))
+            val cond = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
+              exprToCol(ok, None) === F.col(n)
+            }.reduce(_ && _)
+            from = from.join(grouped, cond, "left_outer")
+            helperCols = valName :: (keyNames.toList ::: helperCols)
+            if (agg.func == "count")
+              Coalesce(Seq(ColRef(None, valName), NumLit("0")))
+            else ColRef(None, valName)
+          case None =>
+            val subDf = translate(sub)
+            if (subDf.columns.length != 1)
+              fail("scalar subquery requires a single-column subquery")
+            val n = s"__ssq_${helperCols.size}"
+            from = from.crossJoin(
+              F.broadcast(subDf.select(F.col(subDf.columns.head).as(n))))
+            helperCols = n :: helperCols
+            ColRef(None, n)
+        }
       })
     val selScalars = sel.copy(
       items = sel.items.map(i => i.copy(e = hoistScalars(i.e))),

@@ -399,6 +399,27 @@ class SqlSurfaceSpec extends SparkTestBase {
                                and orders.o_totalprice > 400000)""")
   }
 
+  test("correlated scalar aggregate subqueries") {
+    // SELECT position with COUNT: missing groups must read 0, not null
+    checkAgainstSparkSql(
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey) as n_cust
+         from nation""")
+    // WHERE position with AVG: missing groups are NULL -> comparison filters
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_acctbal > (select avg(o_totalprice) from orders
+                            where orders.o_custkey = customer.c_custkey) / 100""")
+    // local + correlated conjuncts mixed
+    checkAgainstSparkSql(
+      """select c_custkey,
+           (select max(o_totalprice) from orders
+            where orders.o_custkey = customer.c_custkey
+              and o_orderpriority = '1-URGENT') as max_urgent
+         from customer where c_custkey < 50""")
+  }
+
   test("correlated exists and not exists") {
     checkAgainstSparkSql(
       """select c_custkey, c_name from customer
