@@ -52,6 +52,32 @@ class ErrorsSpec extends SparkTestBase {
          (select r_regionkey, r_name from region)"""))
   }
 
+  test("correlated NOT IN is rejected with a pointer to NOT EXISTS") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """select c_custkey from customer
+         where c_custkey not in (select o_custkey from orders
+                                 where orders.o_custkey = customer.c_custkey)"""))
+    assert(e.getMessage.contains("NOT EXISTS"))
+  }
+
+  test("EXISTS with aggregation or limit is rejected clearly") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """select n_name from nation
+         where exists (select count(*) from region group by r_name)"""))
+    assert(e.getMessage.toLowerCase.contains("exists"))
+    assertThrows[RuntimeException](graftSession.query(
+      """select n_name from nation
+         where exists (select 1 from region limit 1)"""))
+  }
+
+  test("positional refs out of range fail with a clear message") {
+    val e = intercept[RuntimeException](graftSession.query(
+      "select n_name from nation order by 5"))
+    assert(e.getMessage.contains("position"))
+    assertThrows[RuntimeException](graftSession.query(
+      "select n_name, count(*) as n from nation group by 9"))
+  }
+
   test("sum over a non-numeric column is rejected, not cast") {
     // reference raises UnsupportedColumnOperation (test_errors.py:73)
     val e = intercept[RuntimeException](
