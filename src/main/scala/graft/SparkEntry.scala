@@ -217,6 +217,11 @@ object SparkEntry {
     "q_union_all" ->
       """select n_name as name from nation where n_regionkey = 0
          union all select n_name as name from nation where n_regionkey <= 1""",
+    // trailing ORDER BY/LIMIT binds to the whole union (the selected
+    // column is the sort key, so tie-breaking can't differ)
+    "q_union_order_limit" ->
+      """select n_regionkey as k from nation union all
+         select r_regionkey as k from region order by k desc limit 4""",
     "q_intersect" ->
       """select n_regionkey from nation
          intersect select r_regionkey from region where r_regionkey < 3""",

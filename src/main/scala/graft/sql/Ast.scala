@@ -120,4 +120,9 @@ object Ast {
     * CTEs); each CTE sees the ones defined before it. */
   final case class WithQuery(ctes: Seq[(String, SetExpr)],
                              body: SetExpr) extends SetExpr
+  /** ORDER BY / LIMIT / OFFSET applied to a whole set-op result
+    * (standard SQL binding for a tail after UNION/INTERSECT/EXCEPT). */
+  final case class OrderedSet(body: SetExpr, orderBy: Seq[OrderItem],
+                              limit: Option[Long],
+                              offset: Option[Long]) extends SetExpr
 }

@@ -81,21 +81,41 @@ final class Parser(tokens: Vector[Token]) {
   private def parseSetExpr(): SetExpr = {
     var left: SetExpr = Leaf(parseQueryExpr())
     var continue = true
+    var combined = false
+    // set-op branches parse WITHOUT the order/limit tail: in SQL (and
+    // Spark/DuckDB) a trailing ORDER BY / LIMIT after a set op applies
+    // to the whole combined result, not the last branch
+    def branch(): SetExpr = Leaf(Query(parseSelect(), Nil, None, None))
     while (continue) {
       if (atKw("union")) {
         pos += 1
         val all = eatKw("all"); if (!all) eatKw("distinct")
-        left = SetOp(if (all) "union_all" else "union", left, Leaf(parseQueryExpr()))
+        left = SetOp(if (all) "union_all" else "union", left, branch())
+        combined = true
       } else if (atKw("intersect")) {
         pos += 1; eatKw("distinct"); eatKw("all")
-        left = SetOp("intersect", left, Leaf(parseQueryExpr()))
+        left = SetOp("intersect", left, branch())
+        combined = true
       } else if (atKw("except")) {
         pos += 1
         val all = eatKw("all"); if (!all) eatKw("distinct")
-        left = SetOp(if (all) "except_all" else "except", left, Leaf(parseQueryExpr()))
+        left = SetOp(if (all) "except_all" else "except", left, branch())
+        combined = true
       } else continue = false
     }
-    left
+    if (combined) {
+      val orderBy =
+        if (eatKw("order")) { expectKw("by"); parseOrderList() } else Nil
+      var limit: Option[Long] = None
+      var offset: Option[Long] = None
+      if (eatKw("limit")) {
+        limit = Some(parseIntLit())
+        if (eatKw("offset")) offset = Some(parseIntLit())
+      }
+      if (orderBy.nonEmpty || limit.nonEmpty || offset.nonEmpty)
+        OrderedSet(left, orderBy, limit, offset)
+      else left
+    } else left
   }
 
   /** sql.lark:10 — select [ORDER BY ...] [LIMIT n [OFFSET m]]. */

@@ -21,6 +21,8 @@ final class Translator(catalog: String => DataFrame) {
 
   def translate(e: SetExpr): DataFrame = e match {
     case Leaf(q) => translateQuery(q)
+    case OrderedSet(body, orderBy, limit, offset) =>
+      applyOrderLimit(translate(body), orderBy, limit, offset)
     case WithQuery(ctes, body) =>
       // resolve each CTE against the catalog extended with the CTEs
       // defined before it; the body sees all of them. Case-insensitive
@@ -45,14 +47,20 @@ final class Translator(catalog: String => DataFrame) {
       }
   }
 
-  private def translateQuery(q: Query): DataFrame = {
-    var df = translateSelect(q.sel)
-    if (q.orderBy.nonEmpty) {
+  private def translateQuery(q: Query): DataFrame =
+    applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset)
+
+  /** ORDER BY (alias/positional-aware) + LIMIT/OFFSET over a result. */
+  private def applyOrderLimit(in: DataFrame, orderBy: Seq[OrderItem],
+                              limit: Option[Long],
+                              offset: Option[Long]): DataFrame = {
+    var df = in
+    if (orderBy.nonEmpty) {
       // ORDER BY resolves against the SELECT output (aliases visible),
       // falling back to the literal expression. A bare integer literal
       // is POSITIONAL (1-based output column), matching Spark SQL and
       // DuckDB — ordering by a constant would be meaningless.
-      val cols = q.orderBy.map { oi =>
+      val cols = orderBy.map { oi =>
         val c = oi.e match {
           case ColRef(None, n) =>
             df.columns.find(_.equalsIgnoreCase(n))
@@ -68,7 +76,7 @@ final class Translator(catalog: String => DataFrame) {
       }
       df = df.orderBy(cols: _*)
     }
-    (q.offset, q.limit) match {
+    (offset, limit) match {
       case (Some(o), Some(l)) => df.offset(o.toInt).limit(l.toInt)
       case (None, Some(l))    => df.limit(l.toInt)
       case (Some(o), None)    => df.offset(o.toInt)

@@ -465,6 +465,15 @@ class SqlSurfaceSpec extends SparkTestBase {
             or n_nationkey > (select count(*) from region) * 4""")
   }
 
+  test("order by and limit after a set op apply to the whole union") {
+    checkAgainstSparkSql(
+      """select n_name as x from nation union
+         select r_name as x from region order by x limit 3""")
+    checkAgainstSparkSql(
+      """select n_regionkey as k from nation union all
+         select r_regionkey as k from region order by k desc limit 4""")
+  }
+
   test("join using") {
     checkAgainstSparkSql(
       """with a as (select n_regionkey as rk, n_name from nation),
