@@ -336,14 +336,51 @@ final class Translator(catalog: String => DataFrame) {
     val hasAgg = selScalars.items.exists(i => containsAgg(i.e)) ||
       selScalars.groupBy.nonEmpty || selScalars.having.exists(containsAgg)
 
+    // Hoisted scalar-subquery columns referenced from an aggregating
+    // SELECT/HAVING must survive the aggregation: append them to the
+    // group keys. Uncorrelated values are globally constant, and a
+    // correlated value is constant within any group that SQL would
+    // accept the subquery in — so grouping is unchanged.
+    val selAgg =
+      if (!hasAgg) selScalars
+      else {
+        def refs(e: Expr): Seq[Expr] = e match {
+          case ColRef(None, n)
+              if n.startsWith("__ssq_") || n.startsWith("__csq_") =>
+            Seq(ColRef(None, n))
+          case Arith(_, l, r) => refs(l) ++ refs(r)
+          case Neg(x) => refs(x)
+          case CaseWhen(bs, o) =>
+            bs.flatMap { case (c, v) => refs(c) ++ refs(v) } ++ refs(o)
+          case Cast(x, _) => refs(x)
+          case Coalesce(args) => args.flatMap(refs)
+          case And(l, r) => refs(l) ++ refs(r)
+          case Or(l, r) => refs(l) ++ refs(r)
+          case Not(x) => refs(x)
+          case Cmp(_, l, r) => refs(l) ++ refs(r)
+          case Between(x, lo, hi) => refs(x) ++ refs(lo) ++ refs(hi)
+          case InList(x, vs, _) => refs(x) ++ vs.flatMap(refs)
+          case IsNull(x, _) => refs(x)
+          case FuncCall(_, args) => args.flatMap(refs)
+          case AggExpr(_, _, _, _) => Nil // inside an aggregate is fine
+          case _ => Nil
+        }
+        val extra = (selScalars.items.flatMap(i => refs(i.e)) ++
+          selScalars.having.toSeq.flatMap(refs)).distinct
+        if (extra.isEmpty) selScalars
+        else if (selScalars.groupMode != "plain")
+          fail("scalar subqueries with ROLLUP/CUBE are not supported")
+        else selScalars.copy(groupBy = selScalars.groupBy ++ extra)
+      }
+
     val projected: DataFrame =
       if (!hasAgg) {
-        val base = selScalars.having match { // HAVING w/o aggregates = WHERE
+        val base = selAgg.having match { // HAVING w/o aggregates = WHERE
           case Some(h) => filtered0.filter(exprToCol(h, None))
           case None    => filtered0
         }
-        base.select(selectCols(selScalars.items, base): _*)
-      } else translateAggregate(selScalars, filtered0)
+        base.select(selectCols(selAgg.items, base): _*)
+      } else translateAggregate(selAgg, filtered0)
 
     val dis = if (selScalars.distinct) projected.distinct() else projected
     // hoisted helper columns (IN flags, scalar-subquery values) must

@@ -399,6 +399,33 @@ class SqlSurfaceSpec extends SparkTestBase {
                                and orders.o_totalprice > 400000)""")
   }
 
+  test("scalar subqueries inside aggregating queries") {
+    // SELECT position alongside a global aggregate
+    checkAgainstSparkSql(
+      """select count(*) as n, (select max(r_regionkey) from region) as m
+         from nation""")
+    // HAVING position with group keys
+    checkAgainstSparkSql(
+      """select n_regionkey, count(*) as n from nation
+         group by n_regionkey
+         having count(*) > (select min(r_regionkey) from region) + 3""")
+    // correlated scalar aggregate alongside grouped aggregation on the
+    // same key (the helper column folds into the group keys). Spark
+    // SQL itself rejects this shape (SCALAR_SUBQUERY_IS_IN_GROUP_BY_
+    // OR_AGGREGATE_FUNCTION) while DuckDB and graft accept it, so the
+    // oracle is the equivalent explicit-join form.
+    checkTranslated(
+      """select c_nationkey, count(*) as n,
+           (select max(n_name) from nation
+            where nation.n_nationkey = customer.c_nationkey) as nm
+         from customer group by c_nationkey""",
+      """select c_nationkey, count(*) as n, nm from customer
+         left join (select n_nationkey, max(n_name) as nm from nation
+                    group by n_nationkey) d
+           on d.n_nationkey = customer.c_nationkey
+         group by c_nationkey, nm""")
+  }
+
   test("correlated scalar aggregate subqueries") {
     // SELECT position with COUNT: missing groups must read 0, not null
     checkAgainstSparkSql(
