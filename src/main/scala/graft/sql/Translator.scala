@@ -501,7 +501,27 @@ final class Translator(catalog: String => DataFrame) {
         fail("SELECT * with aggregation requires explicit columns")
       case SelectItem(e, alias) => (e, alias, post(e))
     }
-    val havingPost: Option[Column] = sel.having.map(post)
+    // HAVING may reference SELECT aliases (DuckDB/Spark SQL both
+    // allow it): substitute the aliased expression before lowering
+    val aliasMap = sel.items.collect {
+      case SelectItem(e, Some(a)) => a.toLowerCase -> e
+    }.toMap
+    def resolveAliases(e: Expr): Expr = e match {
+      case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
+        aliasMap(n.toLowerCase)
+      case And(l, r) => And(resolveAliases(l), resolveAliases(r))
+      case Or(l, r) => Or(resolveAliases(l), resolveAliases(r))
+      case Not(x) => Not(resolveAliases(x))
+      case Cmp(op, l, r) => Cmp(op, resolveAliases(l), resolveAliases(r))
+      case Between(x, lo, hi) =>
+        Between(resolveAliases(x), resolveAliases(lo), resolveAliases(hi))
+      case InList(x, vs, n) =>
+        InList(resolveAliases(x), vs.map(resolveAliases), n)
+      case IsNull(x, n) => IsNull(resolveAliases(x), n)
+      case Arith(op, l, r) => Arith(op, resolveAliases(l), resolveAliases(r))
+      case other => other
+    }
+    val havingPost: Option[Column] = sel.having.map(h => post(resolveAliases(h)))
 
     val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) }
     if (aggExprs.isEmpty) {

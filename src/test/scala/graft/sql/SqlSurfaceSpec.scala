@@ -353,6 +353,15 @@ class SqlSurfaceSpec extends SparkTestBase {
          where n_nationkey not in (n_regionkey * 2, 5)""")
   }
 
+  test("having can reference select aliases") {
+    checkAgainstSparkSql(
+      """select l_suppkey, count(*) as n from lineitem
+         group by l_suppkey having n > 10""")
+    checkAgainstSparkSql(
+      """select l_returnflag, round(sum(l_quantity), 2) as qty from lineitem
+         group by l_returnflag having qty > 100 and count(*) > 5""")
+  }
+
   test("not like, ilike, not between") {
     checkAgainstSparkSql("select n_name from nation where n_name not like 'A%'")
     checkAgainstSparkSql("select n_name from nation where n_name ilike 'a%'")
