@@ -420,6 +420,9 @@ final class Translator(catalog: String => DataFrame) {
     // GROUP BY <integer literal> is positional (1-based select item),
     // matching Spark SQL and DuckDB — grouping by a constant would
     // put everything in one group
+    val itemAliases = sel.items.collect {
+      case SelectItem(e, Some(a)) => a.toLowerCase -> e
+    }.toMap
     val groupExprs = sel.groupBy.map {
       case NumLit(t) if t.matches("[0-9]+") =>
         val i = t.toInt
@@ -429,9 +432,26 @@ final class Translator(catalog: String => DataFrame) {
           case Star(_) => fail("GROUP BY position cannot reference *")
           case e => e
         }
+      // GROUP BY <select alias> (Spark groupByAliases / DuckDB): the
+      // alias resolves only when the name is not a real input column
+      case ColRef(None, n)
+          if itemAliases.contains(n.toLowerCase) &&
+            !in.columns.exists(_.equalsIgnoreCase(n)) =>
+        itemAliases(n.toLowerCase)
       case g => g
     }
-    val groupCols = groupExprs.map(g => exprToCol(g, None))
+    // non-bare-column group keys get stable names so SELECT items that
+    // repeat the key expression read the grouped VALUE instead of
+    // re-evaluating the expression over the aggregated frame (where
+    // the source columns no longer exist)
+    val groupNamed: Seq[(Expr, Column, Option[String])] =
+      groupExprs.zipWithIndex.map {
+        case (g @ ColRef(_, _), _) => (g, exprToCol(g, None), None)
+        case (g, i) =>
+          val n = s"__gk_$i"
+          (g, exprToCol(g, None).as(n), Some(n))
+      }
+    val groupCols = groupNamed.map(_._2)
 
     // every aggregate node appearing in SELECT or HAVING, deduped by
     // its column expression text
@@ -452,12 +472,10 @@ final class Translator(catalog: String => DataFrame) {
     def post(e: Expr): Column = e match {
       case a @ AggExpr(_, _, _, None) =>
         F.col(aggName(aggColumn(a)))
-      case _ if groupExprs.exists(g => sameExpr(g, e)) =>
-        // group key column: carry through via first() only when the
-        // key expression itself is not a bare column
-        e match {
-          case ColRef(_, _) => exprToCol(e, None)
-          case _            => exprToCol(e, None)
+      case _ if groupNamed.exists(t => sameExpr(t._1, e)) =>
+        groupNamed.find(t => sameExpr(t._1, e)).get match {
+          case (_, _, Some(n)) => F.col(n) // named expression key
+          case _               => exprToCol(e, None) // bare column key
         }
       case ColRef(_, _) => exprToCol(e, None)
       case NumLit(_) | StrLit(_) | BoolLit(_) | NowLit() | TodayLit() |

@@ -353,6 +353,24 @@ class SqlSurfaceSpec extends SparkTestBase {
          where n_nationkey not in (n_regionkey * 2, 5)""")
   }
 
+  test("group by can reference select aliases") {
+    checkAgainstSparkSql(
+      """select substring(n_name, 1, 1) as initial, count(*) as n
+         from nation group by initial""")
+    // the same expression spelled out in GROUP BY also works
+    checkAgainstSparkSql(
+      """select substring(n_name, 1, 1) as initial, count(*) as n
+         from nation group by substring(n_name, 1, 1)""")
+    // arithmetic expression key selected by repetition
+    checkAgainstSparkSql(
+      """select n_regionkey * 2 as dk, count(*) as n
+         from nation group by n_regionkey * 2""")
+    // a real column always wins over an alias of the same name
+    checkAgainstSparkSql(
+      """select n_regionkey as n_regionkey, count(*) as n
+         from nation group by n_regionkey""")
+  }
+
   test("having can reference select aliases") {
     checkAgainstSparkSql(
       """select l_suppkey, count(*) as n from lineitem
