@@ -19,6 +19,9 @@ object Ast {
   /** `*` or `t.*` (sql.lark:82,143). */
   final case class Star(qualifier: Option[String]) extends Expr
   final case class NumLit(text: String) extends Expr
+  /** NULL literal — graft dialect extension (reference literals are
+    * bool/number/string/timestamp only, sql.lark:132-138). */
+  final case class NullLit() extends Expr
   final case class StrLit(value: String) extends Expr
   final case class BoolLit(value: Boolean) extends Expr
   /** NOW() / TODAY() / TIMESTAMP('d','t') (sql.lark:145-147). */

@@ -422,6 +422,7 @@ final class Parser(tokens: Vector[Token]) {
       case Ident(v, _) =>
         val lower = v.toLowerCase
         lower match {
+          case "null" => pos += 1; NullLit()
           case "true" => pos += 1; BoolLit(true)
           case "false" => pos += 1; BoolLit(false)
           case "case" => pos += 1; parseCase()
@@ -504,8 +505,9 @@ final class Parser(tokens: Vector[Token]) {
       val v = parseExpr()
       branches += ((cond, v))
     }
-    expectKw("else")
-    val otherwise = parseExpr()
+    // ELSE is optional (graft extension; omitted => NULL). The
+    // reference grammar requires it (sql.lark:43).
+    val otherwise = if (eatKw("else")) parseExpr() else NullLit()
     expectKw("end")
     CaseWhen(branches.result(), otherwise)
   }

@@ -478,8 +478,8 @@ final class Translator(catalog: String => DataFrame) {
           case _               => exprToCol(e, None) // bare column key
         }
       case ColRef(_, _) => exprToCol(e, None)
-      case NumLit(_) | StrLit(_) | BoolLit(_) | NowLit() | TodayLit() |
-           TimestampLit(_, _) => exprToCol(e, None)
+      case NumLit(_) | NullLit() | StrLit(_) | BoolLit(_) | NowLit() |
+           TodayLit() | TimestampLit(_, _) => exprToCol(e, None)
       case Arith(op, l, r)  => arith(op, post(l), post(r))
       case Neg(x)           => -post(x)
       case CaseWhen(bs, o) =>
@@ -749,6 +749,7 @@ final class Translator(catalog: String => DataFrame) {
     case NumLit(t) =>
       if (t.matches("[0-9]+") && t.length < 19) F.lit(t.toLong)
       else F.lit(t.toDouble)
+    case NullLit()  => F.lit(null)
     case StrLit(v)  => F.lit(v)
     case BoolLit(v) => F.lit(v)
     case NowLit()   => F.current_timestamp()

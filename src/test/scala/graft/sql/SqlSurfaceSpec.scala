@@ -353,6 +353,17 @@ class SqlSurfaceSpec extends SparkTestBase {
          where n_nationkey not in (n_regionkey * 2, 5)""")
   }
 
+  test("null literal and CASE without ELSE") {
+    checkAgainstSparkSql(
+      """select n_name,
+           case when n_regionkey > 2 then 'high' end as bucket
+         from nation""")
+    checkAgainstSparkSql(
+      "select coalesce(null, n_name) as x from nation")
+    checkAgainstSparkSql(
+      "select n_name from nation where case when n_regionkey = 0 then true end")
+  }
+
   test("group by can reference select aliases") {
     checkAgainstSparkSql(
       """select substring(n_name, 1, 1) as initial, count(*) as n
