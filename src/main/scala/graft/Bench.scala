@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * Measurement hygiene (VERDICT r1 #9): a JVM+IO warmup pass runs
   * every query shape at the smallest SF first (first execution of
   * codegen-heavy queries measured 3-4x steady state), then each query
-  * is timed in THREE interleaved rounds and reported at its median —
-  * interleaving means a transient co-load spike or GC pause lands on
-  * one round of many queries instead of every round of one query.
+  * is timed in FIVE interleaved rounds (SPARK_GRAFT_ROUNDS) and
+  * reported at its median — interleaving means a transient co-load
+  * spike or GC pause lands on one round of many queries instead of
+  * every round of one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -86,17 +86,28 @@ final class Parser(tokens: Vector[Token]) {
     // Spark/DuckDB) a trailing ORDER BY / LIMIT after a set op applies
     // to the whole combined result, not the last branch
     def branch(): SetExpr = Leaf(Query(parseSelect(), Nil, None, None))
+    // the first branch parses with the tail (it may be the whole
+    // query); if a set operator follows, a consumed ORDER BY/LIMIT
+    // was illegally placed before it — reject like Spark/DuckDB do
+    def checkFirstBranch(): Unit = left match {
+      case Leaf(q) if q.orderBy.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty =>
+        fail("ORDER BY / LIMIT must follow the last branch of a set operation")
+      case _ => ()
+    }
     while (continue) {
       if (atKw("union")) {
+        checkFirstBranch()
         pos += 1
         val all = eatKw("all"); if (!all) eatKw("distinct")
         left = SetOp(if (all) "union_all" else "union", left, branch())
         combined = true
       } else if (atKw("intersect")) {
+        checkFirstBranch()
         pos += 1; eatKw("distinct"); eatKw("all")
         left = SetOp("intersect", left, branch())
         combined = true
       } else if (atKw("except")) {
+        checkFirstBranch()
         pos += 1
         val all = eatKw("all"); if (!all) eatKw("distinct")
         left = SetOp(if (all) "except_all" else "except", left, branch())

@@ -164,30 +164,36 @@ final class Translator(catalog: String => DataFrame) {
     // every correlated conjunct must be an equality.
     def hoistScalars(e: Expr): Expr =
       rewriteScalarSubqueries(e, { case ScalarSubquery(sub) =>
+        // standard SQL shadowing: an inner relation with the same
+        // name/alias as an outer one hides it, so only qualifiers NOT
+        // re-introduced by the subquery's own FROM count as outer refs
+        def outerOnly(q: Query): Set[String] =
+          outerAliasesPre -- relationAliases(q.sel.from)
         val corrForm = sub match {
           case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
               q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
               q.sel.items.head.e.isInstanceOf[AggExpr] &&
               q.sel.where.exists(w =>
-                splitConjuncts(w).exists(refersToAliases(_, outerAliasesPre))) =>
+                splitConjuncts(w).exists(refersToAliases(_, outerOnly(q)))) =>
             Some(q)
           case _ => None
         }
         corrForm match {
           case Some(q) =>
+            val outerRefs = outerOnly(q)
             val idx = helperCols.size
             var inner = translateRelation(q.sel.from)
             val (corr, local) = q.sel.where
               .map(splitConjuncts).getOrElse(Nil)
-              .partition(refersToAliases(_, outerAliasesPre))
+              .partition(refersToAliases(_, outerRefs))
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
             // each correlated conjunct must be inner-expr = outer-expr
             val keyPairs = corr.map {
-              case Cmp("=", l, r) if refersToAliases(r, outerAliasesPre) &&
-                  !refersToAliases(l, outerAliasesPre) => (l, r)
-              case Cmp("=", l, r) if refersToAliases(l, outerAliasesPre) &&
-                  !refersToAliases(r, outerAliasesPre) => (r, l)
+              case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
+                  !refersToAliases(l, outerRefs) => (l, r)
+              case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
+                  !refersToAliases(r, outerRefs) => (r, l)
               case other => fail(
                 s"correlated scalar subquery predicates must be equalities, got $other")
             }
@@ -234,11 +240,17 @@ final class Translator(catalog: String => DataFrame) {
           // Correlated IN (sub's WHERE references an outer alias):
           // split like EXISTS — correlated conjuncts join, local
           // conjuncts filter — and key on the sub's select expression.
+          // Known limitation: if the probe/key column NAME exists on
+          // both sides, Spark raises AMBIGUOUS_REFERENCE (a loud
+          // failure, not a wrong result) — qualify or alias to avoid.
+          // inner relations shadow same-named outer ones (standard
+          // SQL scoping) — only non-shadowed qualifiers are outer refs
           val corrForm = sub match {
             case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
                 q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
                 q.sel.where.exists(w =>
-                  splitConjuncts(w).exists(refersToAliases(_, outerAliases))) =>
+                  splitConjuncts(w).exists(refersToAliases(_,
+                    outerAliases -- relationAliases(q.sel.from)))) =>
               Some(q)
             case _ => None
           }
@@ -246,10 +258,11 @@ final class Translator(catalog: String => DataFrame) {
             case Some(q) =>
               if (negated)
                 fail("correlated NOT IN is not supported (use NOT EXISTS)")
+              val outerRefs = outerAliases -- relationAliases(q.sel.from)
               var inner = translateRelation(q.sel.from)
               val (corr, local) = q.sel.where
                 .map(splitConjuncts).getOrElse(Nil)
-                .partition(refersToAliases(_, outerAliases))
+                .partition(refersToAliases(_, outerRefs))
               local.reduceOption(And).foreach(p =>
                 inner = inner.filter(exprToCol(p, None)))
               val keyCol = exprToCol(q.sel.items.head.e, None)
@@ -285,9 +298,12 @@ final class Translator(catalog: String => DataFrame) {
               q.limit.nonEmpty || q.offset.nonEmpty)
             fail("EXISTS subquery supports FROM/WHERE only")
           var inner = translateRelation(q.sel.from)
+          // same shadowing rule as correlated IN/scalar: the inner
+          // FROM's names hide outer ones
           val (corr, local) = q.sel.where
             .map(splitConjuncts).getOrElse(Nil)
-            .partition(refersToAliases(_, outerAliases))
+            .partition(refersToAliases(_,
+              outerAliases -- relationAliases(q.sel.from)))
           local.reduceOption(And).foreach(p =>
             inner = inner.filter(exprToCol(p, None)))
           val cond = corr.reduceOption(And)
@@ -361,6 +377,8 @@ final class Translator(catalog: String => DataFrame) {
           case Between(x, lo, hi) => refs(x) ++ refs(lo) ++ refs(hi)
           case InList(x, vs, _) => refs(x) ++ vs.flatMap(refs)
           case IsNull(x, _) => refs(x)
+          case Like(x, _) => refs(x)
+          case ILike(x, _) => refs(x)
           case FuncCall(_, args) => args.flatMap(refs)
           case AggExpr(_, _, _, _) => Nil // inside an aggregate is fine
           case _ => Nil
@@ -521,12 +539,10 @@ final class Translator(catalog: String => DataFrame) {
     }
     // HAVING may reference SELECT aliases (DuckDB/Spark SQL both
     // allow it): substitute the aliased expression before lowering
-    val aliasMap = sel.items.collect {
-      case SelectItem(e, Some(a)) => a.toLowerCase -> e
-    }.toMap
+    // (itemAliases is the same map GROUP BY alias resolution uses)
     def resolveAliases(e: Expr): Expr = e match {
-      case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
-        aliasMap(n.toLowerCase)
+      case ColRef(None, n) if itemAliases.contains(n.toLowerCase) =>
+        itemAliases(n.toLowerCase)
       case And(l, r) => And(resolveAliases(l), resolveAliases(r))
       case Or(l, r) => Or(resolveAliases(l), resolveAliases(r))
       case Not(x) => Not(resolveAliases(x))
@@ -537,6 +553,16 @@ final class Translator(catalog: String => DataFrame) {
         InList(resolveAliases(x), vs.map(resolveAliases), n)
       case IsNull(x, n) => IsNull(resolveAliases(x), n)
       case Arith(op, l, r) => Arith(op, resolveAliases(l), resolveAliases(r))
+      case Neg(x) => Neg(resolveAliases(x))
+      case Cast(x, t) => Cast(resolveAliases(x), t)
+      case Coalesce(args) => Coalesce(args.map(resolveAliases))
+      case CaseWhen(bs, o) =>
+        CaseWhen(bs.map { case (c, v) =>
+          (resolveAliases(c), resolveAliases(v))
+        }, resolveAliases(o))
+      case FuncCall(n, args) => FuncCall(n, args.map(resolveAliases))
+      case Like(x, p) => Like(resolveAliases(x), p)
+      case ILike(x, p) => ILike(resolveAliases(x), p)
       case other => other
     }
     val havingPost: Option[Column] = sel.having.map(h => post(resolveAliases(h)))
@@ -720,6 +746,11 @@ final class Translator(catalog: String => DataFrame) {
     * name for bare refs (reference maintains source case —
     * test_select.py:104), else a deterministic lowered rendering. */
   private def defaultName(e: Expr, in: DataFrame): String = e match {
+    // hoisted scalar-subquery columns: an unaliased item must NOT
+    // surface under the internal helper name, which the post-
+    // projection helper drop would remove from the output
+    case ColRef(_, n) if n.startsWith("__ssq_") || n.startsWith("__csq_") =>
+      "scalar_subquery" + n.dropWhile(!_.isDigit).takeWhile(_.isDigit)
     case ColRef(_, n) =>
       in.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
     case AggExpr(f, d, Star(_), _) =>

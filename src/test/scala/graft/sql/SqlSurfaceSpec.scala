@@ -353,6 +353,37 @@ class SqlSurfaceSpec extends SparkTestBase {
          where n_nationkey not in (n_regionkey * 2, 5)""")
   }
 
+  test("unaliased scalar subquery keeps its output column") {
+    val df = graftSession.query(
+      "select (select max(r_regionkey) from region) from nation")
+    assert(df.columns.length == 1, df.columns.mkString(","))
+    assert(df.collect().forall(_.getAs[Number](0).longValue == 4L))
+  }
+
+  test("inner relation shadows a same-named outer relation") {
+    // inner `nation` hides the outer one: the subquery is UNcorrelated
+    // (a constant count), matching Spark/DuckDB scoping
+    checkAgainstSparkSql(
+      """select n_name,
+           (select count(*) from nation where nation.n_regionkey = 1) as x
+         from nation""")
+  }
+
+  test("having alias under functions and case resolves") {
+    checkAgainstSparkSql(
+      """select l_returnflag, sum(l_quantity) as qty from lineitem
+         group by l_returnflag having round(qty, 0) > 1000""")
+    checkAgainstSparkSql(
+      """select l_suppkey, count(*) as n from lineitem
+         group by l_suppkey having coalesce(n, 0) > 10""")
+  }
+
+  test("order by or limit before a set operator is rejected") {
+    intercept[RuntimeException](graftSession.query(
+      """select n_name from nation order by n_name limit 3
+         union all select r_name from region"""))
+  }
+
   test("null literal and CASE without ELSE") {
     checkAgainstSparkSql(
       """select n_name,
