@@ -115,6 +115,34 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // correlated EXISTS / scalar-aggregate forms (round-2 lowerings)
+  private val genCorrPred: Gen[String] = for {
+    form <- Gen.oneOf(0, 1, 2, 3)
+    v <- Gen.choose(0, 3000)
+    agg <- Gen.oneOf("count(*)", "max(o_totalprice)", "avg(o_totalprice)")
+    cmp <- Gen.oneOf("<", ">", "<=", ">=")
+  } yield form match {
+    case 0 =>
+      s"exists (select 1 from orders where orders.o_custkey = customer.c_custkey and o_totalprice > $v)"
+    case 1 =>
+      s"not exists (select 1 from orders where orders.o_custkey = customer.c_custkey and o_totalprice > $v)"
+    case 2 =>
+      s"c_acctbal $cmp (select $agg from orders where orders.o_custkey = customer.c_custkey)"
+    case 3 =>
+      s"c_acctbal $cmp (select $agg from orders where orders.o_custkey = customer.c_custkey and o_totalprice > $v) / 100"
+  }
+
+  test("30 random correlated-subquery queries match spark.sql exactly") {
+    val preds = Gen.listOfN(30, genCorrPred)
+      .pureApply(Gen.Parameters.default, Seed(31L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   test("40 random IN-position queries match spark.sql exactly") {
     val preds = Gen.listOfN(40, genInPred)
       .pureApply(Gen.Parameters.default, Seed(11L))
