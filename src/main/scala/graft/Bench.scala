@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.streaming.Streaming
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -38,6 +39,7 @@ object Bench {
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.clearCaches() // never serve a stale dir listing across runs
 
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -70,7 +72,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val p50 = median(results.map(_._2).toArray)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds,"sf":"$sfDir"}""")
+    val streaming = Streaming.benchJson(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds,"streaming":$streaming,"sf":"$sfDir"}""")
+    // compact summary LAST: the driver's capture window tails the
+    // output, and r2 lost the "total" field when the per-query JSON
+    // line outgrew it — the short line always survives the tail
+    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"rounds":$rounds,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

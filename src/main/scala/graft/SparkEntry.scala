@@ -67,6 +67,28 @@ object SparkEntry {
          where not exists (select 1 from orders
                            where orders.o_custkey = customer.c_custkey)
            and c_acctbal > 0""",
+    // correlated NOT IN — anti-join with null arms inside the
+    // correlation group (3VL); empty groups keep the row (TRUE)
+    "q_not_in_corr" ->
+      """select c_custkey from customer
+         where c_custkey not in (select o_custkey from orders
+                                 where orders.o_custkey = customer.c_custkey
+                                   and orders.o_totalprice < 50000)
+           and c_acctbal > 5000""",
+    // correlated EXISTS in a non-conjunct position (under OR) —
+    // dedup-by-correlation-key presence flag, never NULL
+    "q_exists_or" ->
+      """select n_nationkey, n_name from nation
+         where exists (select 1 from customer
+                       where customer.c_nationkey = nation.n_nationkey
+                         and customer.c_acctbal > 9500)
+            or n_regionkey = 4""",
+    // IN (subquery) inside HAVING (sql.lark:22,112-130) — existence
+    // flag joined onto the aggregated result; probe is an aggregate
+    "q_having_in_subquery" ->
+      """select o_custkey, count(*) as cnt from orders
+         group by o_custkey
+         having count(*) in (select n_nationkey from nation where n_nationkey >= 20)""",
     // computed (non-literal) IN-list elements (sql.lark:129)
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation
@@ -303,6 +325,13 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String) =
     tables.getOrElseUpdate((s, dir, name),
       s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Drops the session/table memos. Bench and Verify call this on
+    * entry: the memo only pays for itself WITHIN one invocation
+    * (~50 ms of parquet footer re-reads per query), while across
+    * invocations it would serve a stale file listing for a rewritten
+    * data directory and pin retired SparkSessions in memory. */
+  def clearCaches(): Unit = { sessions.clear(); tables.clear() }
 
   // DuckDB-side builders mirroring the ops' expression generation
   private val duckMins =

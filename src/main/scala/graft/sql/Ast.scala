@@ -128,4 +128,74 @@ object Ast {
   final case class OrderedSet(body: SetExpr, orderBy: Seq[OrderItem],
                               limit: Option[Long],
                               offset: Option[Long]) extends SetExpr
+
+  // ---- generic traversal --------------------------------------------
+  //
+  // Every expression walk in the translator derives from mapChildren —
+  // the ONE place that knows the tree's shape. Round 2 shipped five
+  // hand-rolled recursions and two of its bugs were "a traversal
+  // missed a node type"; with this fold a new Expr case needs exactly
+  // one new line (here), and forgetting it is a compile-time
+  // non-exhaustive-match warning rather than a silent skip.
+
+  /** Placeholder child used by [[sameShape]] to erase subtrees. Never
+    * appears in parsed ASTs. */
+  private[sql] case object Hole extends Expr
+
+  private def mapWindow(w: WindowSpec, f: Expr => Expr): WindowSpec =
+    w.copy(partitionBy = w.partitionBy.map(f),
+           orderBy = w.orderBy.map(oi => oi.copy(e = f(oi.e))))
+
+  /** Rebuilds `e` with `f` applied to every DIRECT child expression,
+    * including window partition/order keys. Subquery bodies are
+    * `SetExpr`s, not `Expr`s, and stay opaque (the translator lowers
+    * them through its own `translate`); an `InSubquery`'s probe IS a
+    * child. Leaves (refs, literals, subquery atoms) return unchanged. */
+  def mapChildren(e: Expr, f: Expr => Expr): Expr = e match {
+    case Arith(op, l, r)      => Arith(op, f(l), f(r))
+    case Neg(x)               => Neg(f(x))
+    case CaseWhen(bs, o)      => CaseWhen(bs.map { case (c, v) => (f(c), f(v)) }, f(o))
+    case Cast(x, t)           => Cast(f(x), t)
+    case Coalesce(args)       => Coalesce(args.map(f))
+    case AggExpr(fn, d, a, w) => AggExpr(fn, d, f(a), w.map(mapWindow(_, f)))
+    case RankExpr(d, w)       => RankExpr(d, mapWindow(w, f))
+    case WinFunc(n, args, w)  => WinFunc(n, args.map(f), mapWindow(w, f))
+    case FuncCall(n, args)    => FuncCall(n, args.map(f))
+    case And(l, r)            => And(f(l), f(r))
+    case Or(l, r)             => Or(f(l), f(r))
+    case Not(x)               => Not(f(x))
+    case Cmp(op, l, r)        => Cmp(op, f(l), f(r))
+    case Between(x, lo, hi)   => Between(f(x), f(lo), f(hi))
+    case InList(x, vs, n)     => InList(f(x), vs.map(f), n)
+    case InSubquery(x, sub)   => InSubquery(f(x), sub)
+    case IsNull(x, n)         => IsNull(f(x), n)
+    case Like(x, p)           => Like(f(x), p)
+    case ILike(x, p)          => ILike(f(x), p)
+    case leaf @ (ColRef(_, _) | Star(_) | NumLit(_) | NullLit() | StrLit(_) |
+         BoolLit(_) | NowLit() | TodayLit() | TimestampLit(_, _) |
+         ScalarSubquery(_) | ExistsSubquery(_) | Hole) => leaf
+  }
+
+  /** Direct child expressions of `e`, in [[mapChildren]] order. */
+  def children(e: Expr): Seq[Expr] = {
+    val buf = Seq.newBuilder[Expr]
+    mapChildren(e, { c => buf += c; c })
+    buf.result()
+  }
+
+  /** Bottom-up rewrite: children first, then `pf` on the rebuilt node.
+    * Nodes produced by `pf` are NOT re-traversed (substitutions are
+    * final), so sibling rewrites fire deterministically left-to-right. */
+  def transformUp(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr = {
+    def go(x: Expr): Expr = {
+      val rebuilt = mapChildren(x, go)
+      pf.applyOrElse(rebuilt, identity[Expr])
+    }
+    go(e)
+  }
+
+  /** True when `a` and `b` are the same constructor with equal
+    * non-child fields — children erased before comparing. */
+  def sameShape(a: Expr, b: Expr): Boolean =
+    mapChildren(a, _ => Hole) == mapChildren(b, _ => Hole)
 }

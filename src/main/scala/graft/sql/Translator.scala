@@ -163,7 +163,7 @@ final class Translator(catalog: String => DataFrame) {
     // COUNT which coalesces to 0. Outer refs must be alias-qualified;
     // every correlated conjunct must be an equality.
     def hoistScalars(e: Expr): Expr =
-      rewriteScalarSubqueries(e, { case ScalarSubquery(sub) =>
+      Ast.transformUp(e) { case ScalarSubquery(sub) =>
         // standard SQL shadowing: an inner relation with the same
         // name/alias as an outer one hides it, so only qualifiers NOT
         // re-introduced by the subquery's own FROM count as outer refs
@@ -218,12 +218,22 @@ final class Translator(catalog: String => DataFrame) {
             if (subDf.columns.length != 1)
               fail("scalar subquery requires a single-column subquery")
             val n = s"__ssq_${helperCols.size}"
-            from = from.crossJoin(
-              F.broadcast(subDf.select(F.col(subDf.columns.head).as(n))))
+            // collapse to exactly ONE row before the cross join: 0 rows
+            // must yield NULL (not eliminate every outer row) and >1
+            // rows must be a loud runtime error (not row multiplication)
+            // — the standard scalar-subquery contract
+            val v = F.col(subDf.columns.head)
+            val one = subDf
+              .agg(F.first(v).as("__v"), F.count(F.lit(1)).as("__c"))
+              .select(
+                F.when(F.col("__c") > 1, F.raise_error(F.lit(
+                  "scalar subquery returned more than one row")))
+                  .otherwise(F.col("__v")).as(n))
+            from = from.crossJoin(F.broadcast(one))
             helperCols = n :: helperCols
             ColRef(None, n)
         }
-      })
+      }
     val selScalars = sel.copy(
       items = sel.items.map(i => i.copy(e = hoistScalars(i.e))),
       where = sel.where.map(hoistScalars),
@@ -256,8 +266,6 @@ final class Translator(catalog: String => DataFrame) {
           }
           corrForm match {
             case Some(q) =>
-              if (negated)
-                fail("correlated NOT IN is not supported (use NOT EXISTS)")
               val outerRefs = outerAliases -- relationAliases(q.sel.from)
               var inner = translateRelation(q.sel.from)
               val (corr, local) = q.sel.where
@@ -266,9 +274,18 @@ final class Translator(catalog: String => DataFrame) {
               local.reduceOption(And).foreach(p =>
                 inner = inner.filter(exprToCol(p, None)))
               val keyCol = exprToCol(q.sel.items.head.e, None)
+              // NOT IN needs the null arms for three-valued logic: a
+              // null probe or a null key inside a NONEMPTY correlation
+              // group yields UNKNOWN (row dropped), while an empty
+              // group never satisfies the corr conjuncts, so the anti
+              // join keeps the row — TRUE, as SQL requires.
+              val matchCond =
+                if (negated) probe === keyCol || probe.isNull || keyCol.isNull
+                else probe === keyCol
               val cond = corr.map(exprToCol(_, None))
-                .foldLeft(probe === keyCol)(_ && _)
-              from = from.join(inner, cond, "left_semi")
+                .foldLeft(matchCond)(_ && _)
+              from = from.join(inner, cond,
+                if (negated) "left_anti" else "left_semi")
             case None =>
               val subDf = translate(sub)
               if (subDf.columns.length != 1)
@@ -314,34 +331,134 @@ final class Translator(catalog: String => DataFrame) {
       }
       residual0.map { res =>
         var flagIdx = helperCols.size
-        rewriteInSubqueries(res, { case InSubquery(e, sub) =>
-          val subDf = translate(sub)
-          if (subDf.columns.length != 1)
-            fail("IN (subquery) requires a single-column subquery")
-          val i = flagIdx; flagIdx += 1
-          val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
-          val emptyN = s"__sq_empty_$i"; val nullN = s"__sq_null_$i"
-          val flagN = s"__sq_flag_$i"
-          val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
-          // 1-row summary (empty? has nulls?) — broadcast cross join
-          val summary = keyed.agg(
-            (F.count(F.lit(1)) === 0).as(emptyN),
-            F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
-          val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
-            .withColumn(markN, F.lit(true))
-          val probe = exprToCol(e, None)
-          from = from
-            .crossJoin(F.broadcast(summary))
-            .join(keys, probe === F.col(keyN), "left_outer")
-            .withColumn(flagN,
-              F.when(F.col(markN).isNotNull, F.lit(true))
-                .when(F.col(emptyN), F.lit(false))
-                .when(probe.isNull || F.col(nullN),
-                  F.lit(null).cast(BooleanType))
-                .otherwise(F.lit(false)))
-          helperCols = flagN :: markN :: emptyN :: nullN :: keyN :: helperCols
-          ColRef(None, flagN)
-        })
+        def freshIdx(): Int = { val i = flagIdx; flagIdx += 1; i }
+        Ast.transformUp(res) {
+          case InSubquery(e, sub) =>
+            val probe = exprToCol(e, None)
+            val i = freshIdx()
+            val flagN = s"__sq_flag_$i"
+            val corrForm = sub match {
+              case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+                  q.limit.isEmpty && q.offset.isEmpty &&
+                  q.sel.items.length == 1 &&
+                  q.sel.where.exists(w => splitConjuncts(w).exists(
+                    refersToAliases(_, outerAliases -- relationAliases(q.sel.from)))) =>
+                Some(q)
+              case _ => None
+            }
+            corrForm match {
+              case Some(q) =>
+                // correlated IN in arbitrary boolean position: per-
+                // correlation-group existence flag with full 3VL —
+                // TRUE on match; FALSE when the group is empty; NULL
+                // when the probe is null or the group has a null key.
+                // Two narrow key-shuffled left_outer joins (group
+                // summary + distinct match keys), no row multiplication.
+                val outerRefs = outerAliases -- relationAliases(q.sel.from)
+                val (keyPairs, local) = corrKeyPairs(q, outerRefs, "IN")
+                var inner = translateRelation(q.sel.from)
+                local.reduceOption(And).foreach(p =>
+                  inner = inner.filter(exprToCol(p, None)))
+                val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
+                val grpN = s"__sq_grp_$i"; val nullN = s"__sq_null_$i"
+                val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
+                val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
+                val keyed = inner.select(
+                  exprToCol(q.sel.items.head.e, None).as(keyN) +:
+                    keyPairs.zip(ckS).map { case ((ik, _), n) =>
+                      exprToCol(ik, None).as(n) }: _*)
+                val summary = keyed
+                  .groupBy(ckS.map(F.col): _*)
+                  .agg(F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
+                  .withColumn(grpN, F.lit(true))
+                val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
+                  .withColumn(markN, F.lit(true))
+                  .select(F.col(keyN) +: F.col(markN) +:
+                    ckS.zip(ckK).map { case (s, k) => F.col(s).as(k) }: _*)
+                val sumCond = keyPairs.zip(ckS).map { case ((_, ok), n) =>
+                  exprToCol(ok, None) === F.col(n) }.reduce(_ && _)
+                val keyCond = keyPairs.zip(ckK).map { case ((_, ok), n) =>
+                  exprToCol(ok, None) === F.col(n)
+                }.foldLeft(probe === F.col(keyN))(_ && _)
+                from = from
+                  .join(summary, sumCond, "left_outer")
+                  .join(keys, keyCond, "left_outer")
+                  .withColumn(flagN,
+                    F.when(F.col(markN).isNotNull, F.lit(true))
+                      .when(F.col(grpN).isNull, F.lit(false))
+                      .when(probe.isNull || F.col(nullN),
+                        F.lit(null).cast(BooleanType))
+                      .otherwise(F.lit(false)))
+                helperCols = flagN :: markN :: grpN :: nullN :: keyN ::
+                  (ckS.toList ::: ckK.toList ::: helperCols)
+              case None =>
+                val subDf = translate(sub)
+                if (subDf.columns.length != 1)
+                  fail("IN (subquery) requires a single-column subquery")
+                val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
+                val emptyN = s"__sq_empty_$i"; val nullN = s"__sq_null_$i"
+                val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
+                // 1-row summary (empty? has nulls?) — broadcast cross join
+                val summary = keyed.agg(
+                  (F.count(F.lit(1)) === 0).as(emptyN),
+                  F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
+                val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
+                  .withColumn(markN, F.lit(true))
+                from = from
+                  .crossJoin(F.broadcast(summary))
+                  .join(keys, probe === F.col(keyN), "left_outer")
+                  .withColumn(flagN,
+                    F.when(F.col(markN).isNotNull, F.lit(true))
+                      .when(F.col(emptyN), F.lit(false))
+                      .when(probe.isNull || F.col(nullN),
+                        F.lit(null).cast(BooleanType))
+                      .otherwise(F.lit(false)))
+                helperCols = flagN :: markN :: emptyN :: nullN :: keyN :: helperCols
+            }
+            ColRef(None, flagN)
+          case ExistsSubquery(sub) =>
+            // EXISTS in arbitrary boolean position (under OR, nested
+            // NOT). EXISTS is two-valued, so the flag is never NULL.
+            val i = freshIdx()
+            val flagN = s"__sq_flag_$i"
+            val corrInfo = sub match {
+              case Leaf(q) =>
+                val outerRefs = outerAliases -- relationAliases(q.sel.from)
+                val conjs = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+                if (conjs.exists(refersToAliases(_, outerRefs)))
+                  Some((q, outerRefs))
+                else None
+              case _ => None
+            }
+            corrInfo match {
+              case Some((q, outerRefs)) =>
+                if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+                    q.limit.nonEmpty || q.offset.nonEmpty)
+                  fail("correlated EXISTS subquery supports FROM/WHERE only")
+                // dedup the inner side on its correlation keys before a
+                // left_outer presence join — no row multiplication
+                val (keyPairs, local) = corrKeyPairs(q, outerRefs, "EXISTS")
+                var inner = translateRelation(q.sel.from)
+                local.reduceOption(And).foreach(p =>
+                  inner = inner.filter(exprToCol(p, None)))
+                val markN = s"__sq_mark_$i"
+                val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
+                val keys = inner.select(keyPairs.zip(ckK).map { case ((ik, _), n) =>
+                    exprToCol(ik, None).as(n) }: _*)
+                  .distinct().withColumn(markN, F.lit(true))
+                val cond = keyPairs.zip(ckK).map { case ((_, ok), n) =>
+                  exprToCol(ok, None) === F.col(n) }.reduce(_ && _)
+                from = from.join(keys, cond, "left_outer")
+                  .withColumn(flagN, F.col(markN).isNotNull)
+                helperCols = flagN :: markN :: (ckK.toList ::: helperCols)
+              case None =>
+                // uncorrelated: broadcast 1-row COUNT(*) > 0 summary
+                val summary = translate(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
+                from = from.crossJoin(F.broadcast(summary))
+                helperCols = flagN :: helperCols
+            }
+            ColRef(None, flagN)
+        }
       }
     }.flatten.orElse(None)
 
@@ -360,28 +477,13 @@ final class Translator(catalog: String => DataFrame) {
     val selAgg =
       if (!hasAgg) selScalars
       else {
+        // hoisted helper columns referenced outside an aggregate
         def refs(e: Expr): Seq[Expr] = e match {
           case ColRef(None, n)
               if n.startsWith("__ssq_") || n.startsWith("__csq_") =>
             Seq(ColRef(None, n))
-          case Arith(_, l, r) => refs(l) ++ refs(r)
-          case Neg(x) => refs(x)
-          case CaseWhen(bs, o) =>
-            bs.flatMap { case (c, v) => refs(c) ++ refs(v) } ++ refs(o)
-          case Cast(x, _) => refs(x)
-          case Coalesce(args) => args.flatMap(refs)
-          case And(l, r) => refs(l) ++ refs(r)
-          case Or(l, r) => refs(l) ++ refs(r)
-          case Not(x) => refs(x)
-          case Cmp(_, l, r) => refs(l) ++ refs(r)
-          case Between(x, lo, hi) => refs(x) ++ refs(lo) ++ refs(hi)
-          case InList(x, vs, _) => refs(x) ++ vs.flatMap(refs)
-          case IsNull(x, _) => refs(x)
-          case Like(x, _) => refs(x)
-          case ILike(x, _) => refs(x)
-          case FuncCall(_, args) => args.flatMap(refs)
           case AggExpr(_, _, _, _) => Nil // inside an aggregate is fine
-          case _ => Nil
+          case other => Ast.children(other).flatMap(refs)
         }
         val extra = (selScalars.items.flatMap(i => refs(i.e)) ++
           selScalars.having.toSeq.flatMap(refs)).distinct
@@ -424,13 +526,7 @@ final class Translator(catalog: String => DataFrame) {
               fail(s"cannot $f non-numeric column $n of type ${other.simpleString}")
           }
         }
-      case Arith(_, l, r) => checkNumericAgg(l); checkNumericAgg(r)
-      case Cast(x, _) => checkNumericAgg(x)
-      case Coalesce(args) => args.foreach(checkNumericAgg)
-      case CaseWhen(bs, o) =>
-        bs.foreach { case (c, v) => checkNumericAgg(c); checkNumericAgg(v) }
-        checkNumericAgg(o)
-      case _ => ()
+      case other => Ast.children(other).foreach(checkNumericAgg)
     }
     sel.items.foreach(i => checkNumericAgg(i.e))
     sel.having.foreach(checkNumericAgg)
@@ -539,48 +635,95 @@ final class Translator(catalog: String => DataFrame) {
     }
     // HAVING may reference SELECT aliases (DuckDB/Spark SQL both
     // allow it): substitute the aliased expression before lowering
-    // (itemAliases is the same map GROUP BY alias resolution uses)
-    def resolveAliases(e: Expr): Expr = e match {
-      case ColRef(None, n) if itemAliases.contains(n.toLowerCase) =>
+    // (itemAliases is the same map GROUP BY alias resolution uses).
+    // Mirrors the GROUP BY guard: an alias that shadows a REAL input
+    // column does not substitute — DuckDB/Spark prefer the column.
+    def resolveAliases(e: Expr): Expr = Ast.transformUp(e) {
+      case ColRef(None, n) if itemAliases.contains(n.toLowerCase) &&
+          !in.columns.exists(_.equalsIgnoreCase(n)) =>
         itemAliases(n.toLowerCase)
-      case And(l, r) => And(resolveAliases(l), resolveAliases(r))
-      case Or(l, r) => Or(resolveAliases(l), resolveAliases(r))
-      case Not(x) => Not(resolveAliases(x))
-      case Cmp(op, l, r) => Cmp(op, resolveAliases(l), resolveAliases(r))
-      case Between(x, lo, hi) =>
-        Between(resolveAliases(x), resolveAliases(lo), resolveAliases(hi))
-      case InList(x, vs, n) =>
-        InList(resolveAliases(x), vs.map(resolveAliases), n)
-      case IsNull(x, n) => IsNull(resolveAliases(x), n)
-      case Arith(op, l, r) => Arith(op, resolveAliases(l), resolveAliases(r))
-      case Neg(x) => Neg(resolveAliases(x))
-      case Cast(x, t) => Cast(resolveAliases(x), t)
-      case Coalesce(args) => Coalesce(args.map(resolveAliases))
-      case CaseWhen(bs, o) =>
-        CaseWhen(bs.map { case (c, v) =>
-          (resolveAliases(c), resolveAliases(v))
-        }, resolveAliases(o))
-      case FuncCall(n, args) => FuncCall(n, args.map(resolveAliases))
-      case Like(x, p) => Like(resolveAliases(x), p)
-      case ILike(x, p) => ILike(resolveAliases(x), p)
-      case other => other
     }
-    val havingPost: Option[Column] = sel.having.map(h => post(resolveAliases(h)))
+    // IN/EXISTS subqueries in HAVING (reference grammar: sql.lark:22
+    // having_expr → bool_expression:112-119 → subquery_in:130) lower
+    // as existence flags joined onto the AGGREGATED result — the
+    // probe may itself be an aggregate, so the pre-agg semi-join
+    // machinery cannot apply. Uncorrelated subqueries only; a
+    // correlated one fails loudly at analysis (unresolved outer ref).
+    // `lowerProbe` abstracts probe lowering: `post` in the aggregate
+    // path, plain exprToCol in the distinct (no-aggregate) path.
+    def lowerHavingSubqueries(h: Expr, lowerProbe: Expr => Column)
+        : (Expr, List[DataFrame => DataFrame], List[String]) = {
+      var joins = List.empty[DataFrame => DataFrame]
+      var helpers = List.empty[String]
+      var idx = 0
+      val rewritten = Ast.transformUp(h) {
+        case InSubquery(probe, sub) =>
+          val i = idx; idx += 1
+          val probeCol = lowerProbe(probe)
+          val subDf = translate(sub)
+          if (subDf.columns.length != 1)
+            fail("IN (subquery) requires a single-column subquery")
+          val keyN = s"__hq_key_$i"; val markN = s"__hq_mark_$i"
+          val emptyN = s"__hq_empty_$i"; val nullN = s"__hq_null_$i"
+          val flagN = s"__hq_flag_$i"
+          val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
+          val summary = keyed.agg(
+            (F.count(F.lit(1)) === 0).as(emptyN),
+            F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
+          val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
+            .withColumn(markN, F.lit(true))
+          joins ::= { (df: DataFrame) =>
+            df.crossJoin(F.broadcast(summary))
+              .join(keys, probeCol === F.col(keyN), "left_outer")
+              .withColumn(flagN,
+                F.when(F.col(markN).isNotNull, F.lit(true))
+                  .when(F.col(emptyN), F.lit(false))
+                  .when(probeCol.isNull || F.col(nullN),
+                    F.lit(null).cast(BooleanType))
+                  .otherwise(F.lit(false)))
+          }
+          helpers = flagN :: markN :: emptyN :: nullN :: keyN :: helpers
+          ColRef(None, flagN)
+        case ExistsSubquery(sub) =>
+          val i = idx; idx += 1
+          val flagN = s"__hq_flag_$i"
+          val summary = translate(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
+          joins ::= { (df: DataFrame) => df.crossJoin(F.broadcast(summary)) }
+          helpers = flagN :: helpers
+          ColRef(None, flagN)
+      }
+      (rewritten, joins.reverse, helpers)
+    }
+
+    val (havingExpr, havingJoins) = sel.having match {
+      case Some(h) =>
+        val (e2, js, _) = lowerHavingSubqueries(resolveAliases(h), post)
+        (Some(e2), js)
+      case None => (None, Nil)
+    }
+    val havingPost: Option[Column] = havingExpr.map(post)
 
     val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) }
     if (aggExprs.isEmpty) {
       // GROUP BY with no aggregates (reference: test_group_by,
-      // aggregation.py:18) ≡ SELECT DISTINCT over the group keys
+      // aggregation.py:18) ≡ SELECT DISTINCT over the group keys.
+      // HAVING here sees the OUTPUT columns (aliases included), so
+      // subquery probes lower with plain exprToCol over that frame.
       val base = in.select(selectCols(sel.items, in): _*).distinct()
       return sel.having match {
-        case Some(h) => base.filter(exprToCol(h, None))
-        case None    => base
+        case Some(h) =>
+          val (e2, js, hs) = lowerHavingSubqueries(h, exprToCol(_, None))
+          val joined = js.foldLeft(base)((d, f) => f(d))
+          val filtered = joined.filter(exprToCol(e2, None))
+          if (hs.isEmpty) filtered else filtered.drop(hs: _*)
+        case None => base
       }
     }
 
     var agged: DataFrame =
       groupKeyed.agg(aggExprs.head, aggExprs.tail: _*)
 
+    agged = havingJoins.foldLeft(agged)((d, f) => f(d))
     havingPost.foreach(h => agged = agged.filter(h))
 
     val out = selectPost.map { case (e, alias, c) =>
@@ -589,29 +732,27 @@ final class Translator(catalog: String => DataFrame) {
     agged.select(out: _*)
   }
 
+  /** Structural equality for group-key matching: ColRef names compare
+    * case-insensitively, and qualifiers compare (case-insensitively)
+    * only when BOTH sides carry one — `GROUP BY k` matches `SELECT
+    * t.k`, but `GROUP BY b.k` does NOT match `SELECT a.k` (which
+    * previously silently read b's grouped value under a's label). */
   private def sameExpr(a: Expr, b: Expr): Boolean = (a, b) match {
-    case (ColRef(_, n1), ColRef(_, n2)) => n1.equalsIgnoreCase(n2)
-    case _ => a == b
+    case (ColRef(q1, n1), ColRef(q2, n2)) =>
+      n1.equalsIgnoreCase(n2) && ((q1, q2) match {
+        case (Some(x), Some(y)) => x.equalsIgnoreCase(y)
+        case _ => true
+      })
+    case _ =>
+      Ast.sameShape(a, b) &&
+        Ast.children(a).lazyZip(Ast.children(b)).forall(sameExpr)
   }
 
   private def containsAgg(e: Expr): Boolean = e match {
     case AggExpr(_, _, _, None) => true
-    case AggExpr(_, _, _, Some(_)) => false // windowed agg is per-row
-    case Arith(_, l, r) => containsAgg(l) || containsAgg(r)
-    case Neg(x) => containsAgg(x)
-    case CaseWhen(bs, o) =>
-      bs.exists { case (c, v) => containsAgg(c) || containsAgg(v) } || containsAgg(o)
-    case Cast(x, _) => containsAgg(x)
-    case Coalesce(args) => args.exists(containsAgg)
-    case And(l, r) => containsAgg(l) || containsAgg(r)
-    case Or(l, r) => containsAgg(l) || containsAgg(r)
-    case Not(x) => containsAgg(x)
-    case Cmp(_, l, r) => containsAgg(l) || containsAgg(r)
-    case Between(x, lo, hi) => containsAgg(x) || containsAgg(lo) || containsAgg(hi)
-    case InList(x, _, _) => containsAgg(x)
-    case IsNull(x, _) => containsAgg(x)
-    case FuncCall(_, args) => args.exists(containsAgg)
-    case _ => false
+    // windowed aggregates and window functions are per-row values
+    case AggExpr(_, _, _, Some(_)) | RankExpr(_, _) | WinFunc(_, _, _) => false
+    case other => Ast.children(other).exists(containsAgg)
   }
 
   /** All alias/table names visible from a FROM tree (lowercased) —
@@ -634,30 +775,26 @@ final class Translator(catalog: String => DataFrame) {
     * `aliases`. */
   private def refersToAliases(e: Expr, aliases: Set[String]): Boolean = e match {
     case ColRef(Some(q), _) => aliases.contains(q.toLowerCase)
-    case ColRef(None, _) | NumLit(_) | StrLit(_) | BoolLit(_) | NowLit() |
-         TodayLit() | TimestampLit(_, _) | Star(_) => false
-    case Arith(_, l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
-    case Neg(x) => refersToAliases(x, aliases)
-    case CaseWhen(bs, o) =>
-      bs.exists { case (c, v) =>
-        refersToAliases(c, aliases) || refersToAliases(v, aliases)
-      } || refersToAliases(o, aliases)
-    case Cast(x, _) => refersToAliases(x, aliases)
-    case Coalesce(args) => args.exists(refersToAliases(_, aliases))
-    case And(l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
-    case Or(l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
-    case Not(x) => refersToAliases(x, aliases)
-    case Cmp(_, l, r) => refersToAliases(l, aliases) || refersToAliases(r, aliases)
-    case Between(x, lo, hi) =>
-      refersToAliases(x, aliases) || refersToAliases(lo, aliases) ||
-        refersToAliases(hi, aliases)
-    case InList(x, vs, _) =>
-      refersToAliases(x, aliases) || vs.exists(refersToAliases(_, aliases))
-    case IsNull(x, _) => refersToAliases(x, aliases)
-    case Like(x, _) => refersToAliases(x, aliases)
-    case ILike(x, _) => refersToAliases(x, aliases)
-    case FuncCall(_, args) => args.exists(refersToAliases(_, aliases))
-    case _ => false
+    case other => Ast.children(other).exists(refersToAliases(_, aliases))
+  }
+
+  /** Splits a correlated subquery's WHERE into equality key pairs
+    * `(innerExpr, outerExpr)` plus local filter conjuncts; fails
+    * loudly on a non-equality correlated predicate (the flag-join
+    * lowering needs keys it can group/dedup the inner side on). */
+  private def corrKeyPairs(q: Query, outerRefs: Set[String], what: String)
+      : (Seq[(Expr, Expr)], Seq[Expr]) = {
+    val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+      .partition(refersToAliases(_, outerRefs))
+    val pairs = corr.map {
+      case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
+          !refersToAliases(l, outerRefs) => (l, r)
+      case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
+          !refersToAliases(r, outerRefs) => (r, l)
+      case other => fail(
+        s"correlated $what predicates in this position must be equalities, got $other")
+    }
+    (pairs, local)
   }
 
   /** Splits a WHERE tree into (top-level-conjunct [NOT] IN/EXISTS
@@ -680,57 +817,6 @@ final class Translator(catalog: String => DataFrame) {
       // stays in the residual for existence-flag lowering
       case other => (Nil, Some(other))
     }
-
-  /** Replaces every ScalarSubquery node in an expression tree via `f`
-    * (used to substitute hoisted cross-join columns). Does not
-    * descend into IN-subquery bodies — those translate separately. */
-  private def rewriteScalarSubqueries(e: Expr, f: ScalarSubquery => Expr): Expr = {
-    def go(x: Expr): Expr = x match {
-      case s: ScalarSubquery => f(s)
-      case And(l, r) => And(go(l), go(r))
-      case Or(l, r) => Or(go(l), go(r))
-      case Not(y) => Not(go(y))
-      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
-      case Between(y, lo, hi) => Between(go(y), go(lo), go(hi))
-      case CaseWhen(bs, o) =>
-        CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, go(o))
-      case Coalesce(args) => Coalesce(args.map(go))
-      case Cast(y, t) => Cast(go(y), t)
-      case Arith(op, l, r) => Arith(op, go(l), go(r))
-      case Neg(y) => Neg(go(y))
-      case InList(y, vs, n) => InList(go(y), vs.map(go), n)
-      case InSubquery(y, sub) => InSubquery(go(y), sub)
-      case IsNull(y, n) => IsNull(go(y), n)
-      case FuncCall(n, args) => FuncCall(n, args.map(go))
-      case AggExpr(fn, d, arg, w) => AggExpr(fn, d, go(arg), w)
-      case other => other
-    }
-    go(e)
-  }
-
-  /** Replaces every InSubquery node in an expression tree via `f`
-    * (used to substitute materialized existence-flag columns). */
-  private def rewriteInSubqueries(e: Expr, f: InSubquery => Expr): Expr = {
-    def go(x: Expr): Expr = x match {
-      case s: InSubquery => f(s)
-      case And(l, r) => And(go(l), go(r))
-      case Or(l, r) => Or(go(l), go(r))
-      case Not(y) => Not(go(y))
-      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
-      case Between(y, lo, hi) => Between(go(y), go(lo), go(hi))
-      case CaseWhen(bs, o) =>
-        CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, go(o))
-      case Coalesce(args) => Coalesce(args.map(go))
-      case Cast(y, t) => Cast(go(y), t)
-      case Arith(op, l, r) => Arith(op, go(l), go(r))
-      case Neg(y) => Neg(go(y))
-      case InList(y, vs, n) => InList(go(y), vs.map(go), n)
-      case IsNull(y, n) => IsNull(go(y), n)
-      case FuncCall(n, args) => FuncCall(n, args.map(go))
-      case other => other
-    }
-    go(e)
-  }
 
   // ---- projection ---------------------------------------------------
 
@@ -820,7 +906,8 @@ final class Translator(catalog: String => DataFrame) {
     case _: InSubquery => fail("IN (subquery) not supported in this position")
     case _: ScalarSubquery => fail("scalar subquery not supported in this position")
     case _: ExistsSubquery =>
-      fail("EXISTS is only supported as a top-level AND conjunct in WHERE")
+      fail("EXISTS is not supported in this position")
+    case Ast.Hole => fail("internal error: traversal placeholder escaped")
   }
 
   private def arith(op: String, l: Column, r: Column): Column = op match {

@@ -129,6 +129,43 @@ object Streaming {
       .selectExpr("user_id", "n_events", "round(sum_value, 2) as sum_value")
   }
 
+  /** Streaming throughput bench: drives the windowed aggregation and
+    * the exact-dedup streams over the events table under
+    * Trigger.AvailableNow into a noop sink, reporting input rows,
+    * wall seconds, rows/s, and mean micro-batch latency from the
+    * engine's own progress telemetry. Returns ONE JSON object string
+    * (embedded in Bench's output line). Failures degrade to an
+    * "error" field rather than killing the batch bench. */
+  def benchJson(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    def run(name: String, df: => DataFrame): String =
+      try {
+        val ckpt = s"/tmp/graft_bench_ckpt/${name}_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = df.writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress
+        val rows = progress.map(_.numInputRows).sum
+        val batches = progress.length
+        val batchMs =
+          if (batches == 0) 0.0
+          else progress.map(_.batchDuration).sum.toDouble / batches
+        val rps = if (sec > 0) (rows / sec).round else 0L
+        s""""$name":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps,"batches":$batches,"avg_batch_ms":$batchMs}"""
+      } catch {
+        case e: Throwable =>
+          s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+      }
+    val events = s"$sfDir/events.parquet"
+    Seq(
+      run("windowed_counts", streamingWindowedCounts(spark, events)),
+      run("dedup", streamingDedup(spark, events))
+    ).mkString("{", ",", "}")
+  }
+
   /** Streaming flavor of `windowedCounts` with a 1-hour watermark —
     * state for a window is dropped once event time passes its end by
     * the watermark, bounding memory on unbounded input. */

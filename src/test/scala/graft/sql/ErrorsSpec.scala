@@ -52,12 +52,11 @@ class ErrorsSpec extends SparkTestBase {
          (select r_regionkey, r_name from region)"""))
   }
 
-  test("correlated NOT IN is rejected with a pointer to NOT EXISTS") {
-    val e = intercept[RuntimeException](graftSession.query(
+  test("correlated NOT IN matches spark.sql three-valued semantics") {
+    checkAgainstSparkSql(
       """select c_custkey from customer
          where c_custkey not in (select o_custkey from orders
-                                 where orders.o_custkey = customer.c_custkey)"""))
-    assert(e.getMessage.contains("NOT EXISTS"))
+                                 where orders.o_custkey = customer.c_custkey)""")
   }
 
   test("EXISTS with aggregation or limit is rejected clearly") {

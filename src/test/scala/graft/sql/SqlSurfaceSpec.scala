@@ -593,6 +593,97 @@ class SqlSurfaceSpec extends SparkTestBase {
          select c_custkey from top order by c_custkey""")
   }
 
+  test("group-key qualifier mismatch fails loudly instead of mislabeling") {
+    // a.k and b.k are DIFFERENT columns; selecting a.k while grouping
+    // by b.k must not silently surface b's grouped value under a's name
+    intercept[Exception](graftSession.query(
+      """select a.k, count(*) as n
+         from (select n_regionkey as k from nation) a
+         join (select r_regionkey as k from region) b on a.k = b.k
+         group by b.k""").collect())
+    // matching qualifiers and the unqualified/qualified mix still work
+    checkAgainstSparkSql(
+      """select a.k, count(*) as n
+         from (select n_regionkey as k from nation) a
+         join (select r_regionkey as k from region) b on a.k = b.k
+         group by a.k order by a.k""")
+  }
+
+  test("exists under OR and nested NOT") {
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where exists (select 1 from customer
+                       where customer.c_nationkey = nation.n_nationkey
+                         and customer.c_acctbal > 9000)
+            or n_regionkey = 0 order by n_name""")
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where not (exists (select 1 from supplier
+                            where supplier.s_nationkey = nation.n_nationkey)
+                    or n_regionkey = 2) order by n_name""")
+    // uncorrelated EXISTS under OR
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where exists (select 1 from region where r_name = 'ASIA')
+            or n_regionkey = 99 order by n_name""")
+  }
+
+  test("correlated in subquery under OR") {
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice > 400000)
+            or c_acctbal > 9900 order by c_custkey""")
+  }
+
+  test("scalar subquery: empty yields NULL, multi-row raises") {
+    // 0-row subquery: value is NULL for every outer row, rows survive
+    checkAgainstSparkSql(
+      """select n_name, (select r_regionkey from region where r_name = 'NOPE') as rv
+         from nation order by n_name""")
+    // multi-row subquery: loud runtime error, not row multiplication
+    val e = intercept[Exception](graftSession.query(
+      "select n_name, (select r_regionkey from region) as rv from nation").collect())
+    assert(e.getMessage.toLowerCase.contains("more than one row"))
+  }
+
+  test("in and exists subqueries in HAVING") {
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as cnt from customer
+         group by c_nationkey
+         having c_nationkey in (select n_nationkey from nation where n_regionkey = 1)
+         order by c_nationkey""")
+    // aggregate probe
+    checkAgainstSparkSql(
+      """select o_custkey, count(*) as cnt from orders
+         group by o_custkey
+         having count(*) in (select n_nationkey from nation where n_nationkey > 20)
+         order by o_custkey""")
+    // NOT IN with an alias probe resolving to an aggregate
+    checkAgainstSparkSql(
+      """select o_custkey, count(*) as cnt from orders
+         group by o_custkey
+         having cnt not in (select n_nationkey from nation where n_nationkey > 20)
+         order by o_custkey""")
+    // EXISTS / NOT EXISTS (uncorrelated) in HAVING
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as cnt from customer
+         group by c_nationkey
+         having exists (select 1 from region where r_name = 'ASIA') and count(*) > 30
+         order by c_nationkey""")
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as cnt from customer
+         group by c_nationkey
+         having not exists (select 1 from region where r_name = 'NOPE') and count(*) > 30
+         order by c_nationkey""")
+    // HAVING subquery on the distinct (no-aggregate) path
+    checkAgainstSparkSql(
+      """select n_regionkey from nation group by n_regionkey
+         having n_regionkey in (select r_regionkey from region where r_name like 'A%')
+         order by n_regionkey""")
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
