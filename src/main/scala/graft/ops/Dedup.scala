@@ -60,16 +60,19 @@ object Dedup {
       .selectExpr(Seq("doc_id") ++ keep ++ unpack: _*)
   }
 
-  /** (doc_id, band, h) — one row per band, h = concatenation of the
-    * band's BandRows signatures; the LSH shuffle key. */
-  private def bandTableFrom(shingled: DataFrame): DataFrame = {
+  /** (doc_id, band, h) from a signature table (doc_id, h0..h{k-1}) —
+    * one row per band, h = concatenation of the band's BandRows
+    * signatures; the LSH shuffle key. */
+  private def bandTableFromSignatures(sig: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandRows).map { b =>
       val hs = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(", ")
       s"concat($hs)"
     }.mkString(", ")
-    withMinhash(shingled)
-      .selectExpr("doc_id", s"posexplode(array($bands)) as (band, h)")
+    sig.selectExpr("doc_id", s"posexplode(array($bands)) as (band, h)")
   }
+
+  private def bandTableFrom(shingled: DataFrame): DataFrame =
+    bandTableFromSignatures(withMinhash(shingled))
 
   /** Candidate near-duplicate pairs: documents sharing any band
     * signature. The join shuffles on (band, h) — bucket sizes stay
@@ -80,8 +83,15 @@ object Dedup {
 
   /** Candidate pairs from an existing (possibly persisted) shingle
     * table. */
-  def minhashCandidatesFrom(shingled: DataFrame): DataFrame = {
-    val bands = bandTableFrom(shingled)
+  def minhashCandidatesFrom(shingled: DataFrame): DataFrame =
+    candidatesFromBands(bandTableFrom(shingled))
+
+  /** Candidate pairs from a persisted signature table (see
+    * [[writeSignatureTable]]) — no re-shingling, no re-hashing. */
+  def minhashCandidatesFromSignatures(sig: DataFrame): DataFrame =
+    candidatesFromBands(bandTableFromSignatures(sig))
+
+  private def candidatesFromBands(bands: DataFrame): DataFrame =
     // shuffle-hash hint: the band table is narrow (doc_id, band, h)
     // and signature buckets are bounded, so hash-joining beats
     // sort-merge (drops both O(n log n) sorts); at 100 TB the same
@@ -94,7 +104,28 @@ object Dedup {
         F.col("a.doc_id") < F.col("b.doc_id"))
       .select(F.col("a.doc_id").as("id_a"), F.col("b.doc_id").as("id_b"))
       .distinct()
-  }
+
+  /** Writes the shingle + minhash signature table ONCE — the one
+    * full-corpus text projection in the dedup pipeline — as parquet:
+    * (doc_id, shingles, h0..h{k-1}). At 100 TB this is the
+    * amortization that matters: candidate generation, jaccard
+    * verification, and every future incremental dedup run read this
+    * narrow table instead of re-shingling the corpus per job (the
+    * inline path recomputes the projection for the band join and both
+    * verify sides, which is the right call only within a single job
+    * at small scale). */
+  def writeSignatureTable(docs: DataFrame, path: String): Unit =
+    graft.sources.Sources.writeParquet(
+      withMinhash(withShingles(docs), keep = Seq("shingles")), path)
+
+  /** Candidates verified by exact n-gram Jaccard >= threshold, all
+    * derived from a persisted signature table: job 2 of the two-job
+    * 100 TB workflow (job 1 = [[writeSignatureTable]]). Bit-identical
+    * to the inline [[jaccardPairs]] (OpsSpec pins this). */
+  def jaccardPairsFromSignatures(sig: DataFrame, threshold: Double): DataFrame =
+    verifyCandidates(
+      F.broadcast(minhashCandidatesFromSignatures(sig)),
+      sig.select("doc_id", "shingles"), threshold)
 
   /** Candidates verified by exact n-gram Jaccard >= threshold.
     *
@@ -115,7 +146,13 @@ object Dedup {
     // near-dup pairs survive banding) — broadcast THEM explicitly;
     // left to stats the planner sometimes broadcasts the shingle-array
     // side, which is the whole corpus
-    val cands = F.broadcast(minhashCandidatesFrom(sh))
+    verifyCandidates(F.broadcast(minhashCandidatesFrom(sh)), sh, threshold)
+  }
+
+  /** Exact-jaccard verification of a (broadcast) candidate-pair set
+    * against a (doc_id, shingles) table. */
+  private def verifyCandidates(cands: DataFrame, sh: DataFrame,
+                               threshold: Double): DataFrame =
     cands
       .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_a")),
             F.col("id_a") === F.col("doc_id")).drop("doc_id")
@@ -126,45 +163,53 @@ object Dedup {
            / size(array_union(sh_a, sh_b)) as jacc""")
       .filter(F.col("jacc") >= threshold)
       .selectExpr("id_a", "id_b", "round(jacc, 4) as jacc")
-  }
 
   /** Connected components over an undirected pair list by iterative
-    * minimum-label propagation: every vertex starts as its own label;
-    * each round takes the min of its own and its neighbors' labels.
-    * `iters` rounds resolve any component of diameter <= iters —
-    * near-dup clusters are small cliques (diameter 1-2, default 3
-    * covers them; raise for chain-heavy graphs — the oracle computes
-    * the true closure, so an undersized `iters` fails the hash gate
-    * rather than passing silently). Deterministic, shuffle-per-round on vertex
-    * id, no driver-side loop over data (the loop is over PLAN
-    * construction; at 100 TB checkpoint every few rounds to cut
-    * lineage, same shape GraphX/Pregel uses).
+    * minimum-label propagation TO CONVERGENCE: every vertex starts as
+    * its own label; each round takes the min of its own and its
+    * neighbors' labels, and iteration stops on the first round that
+    * changes no label (a fixpoint resolves ANY diameter — a fixed
+    * round count silently splits chain-shaped clusters deeper than
+    * it, and at 100 TB there is no oracle to catch that). `maxIters`
+    * is a safety cap against pathological inputs, not a tuning knob.
+    * The convergence test is one cheap `isEmpty` (limit-1 scan) per
+    * round over the already-checkpointed labels. Deterministic,
+    * shuffle-per-round on vertex id, no driver-side loop over data
+    * (the loop drives PLAN construction; at 100 TB checkpoint to a
+    * reliable dir instead of executor-local blocks, same shape
+    * GraphX/Pregel uses).
     *
     * Output: (id, label) for every vertex appearing in `pairs`, label
     * = min id of its component. */
-  def connectedComponents(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // each round references the previous labels twice (join + carry),
-    // so an unbroken lineage doubles per round (2^iters plan nodes)
+    // so an unbroken lineage doubles per round (2^rounds plan nodes)
     // and re-derives the candidate pipeline under every leaf. Eager
-    // localCheckpoint materializes round inputs once and cuts lineage
-    // — the Pregel/GraphX iteration pattern (at 100 TB: reliable
-    // checkpoint dir instead of executor-local blocks).
+    // localCheckpoint materializes round inputs once and cuts lineage.
     val edges = pairs.selectExpr("id_a as src", "id_b as dst")
       .union(pairs.selectExpr("id_b as src", "id_a as dst"))
       .localCheckpoint(true)
     var labels = edges.selectExpr("src as id").distinct()
       .selectExpr("id", "id as label")
-    for (_ <- 1 to iters) {
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
       val prop = edges.alias("e")
         .join(labels.alias("l"), F.col("e.dst") === F.col("l.id"))
         .groupBy(F.col("e.src").as("pid"))
         .agg(F.min("l.label").as("nlabel"))
-      labels = labels.alias("l0")
+      val next = labels.alias("l0")
         .join(prop, F.col("l0.id") === F.col("pid"), "left_outer")
         .select(F.col("l0.id").as("id"),
           F.least(F.col("l0.label"),
-            F.coalesce(F.col("nlabel"), F.col("l0.label"))).as("label"))
+            F.coalesce(F.col("nlabel"), F.col("l0.label"))).as("label"),
+          (F.col("nlabel").isNotNull &&
+            F.col("nlabel") < F.col("l0.label")).as("__changed"))
         .localCheckpoint(true)
+      converged = next.filter(F.col("__changed")).isEmpty
+      labels = next.drop("__changed")
     }
     labels
   }

@@ -138,6 +138,7 @@ object Streaming {
     * "error" field rather than killing the batch bench. */
   def benchJson(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     def run(name: String, df: => DataFrame): String =
       try {
         val ckpt = s"/tmp/graft_bench_ckpt/${name}_${System.nanoTime()}"
@@ -157,9 +158,17 @@ object Streaming {
         s""""$name":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps,"batches":$batches,"avg_batch_ms":$batchMs}"""
       } catch {
         case e: Throwable =>
-          s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+          val msg = Option(e.getMessage).getOrElse("")
+            .linesIterator.toSeq.headOption.getOrElse("")
+            .replaceAll("[\"\\\\]", "'").take(120)
+          s""""$name":{"error":"${e.getClass.getSimpleName}: $msg"}"""
       }
-    val events = s"$sfDir/events.parquet"
+    // the file streaming source requires a DIRECTORY; the testdata
+    // tables are single parquet files — stage events into a temp dir
+    val stage = Files.createTempDirectory("graft_stream_bench")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val events = stage.toString
     Seq(
       run("windowed_counts", streamingWindowedCounts(spark, events)),
       run("dedup", streamingDedup(spark, events))

@@ -150,6 +150,39 @@ class OpsSpec extends SparkTestBase {
     assert(kept.filter("doc_id = 0").count() == 1)
   }
 
+  test("persisted signature table reproduces the inline dedup pipeline") {
+    val path = "/tmp/graft_test_sigs"
+    Dedup.writeSignatureTable(documents, path)
+    val sig = spark.read.parquet(path)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // job 2 reading the persisted table must be bit-identical to the
+    // single-job inline path — candidates AND verified jaccard values
+    assert(pairs(Dedup.minhashCandidatesFromSignatures(sig)) ==
+      pairs(Dedup.minhashCandidates(documents)))
+    def verified(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified(Dedup.jaccardPairsFromSignatures(sig, 0.5)) ==
+      verified(Dedup.jaccardPairs(documents, 0.5)))
+  }
+
+  test("connected components converge on chains deeper than any fixed cap") {
+    import spark.implicits._
+    // a 9-vertex path 1-2-...-9 has diameter 8: the old fixed 3-round
+    // propagation under-merged it; fixpoint iteration must label every
+    // vertex with the component min (1) regardless of depth
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 9 && labels.values.forall(_ == 1L), labels.toString)
+    // disjoint components stay separate
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val l2 = Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2(1L) == 1L && l2(2L) == 1L && l2(3L) == 1L &&
+      l2(10L) == 10L && l2(11L) == 10L, l2.toString)
+  }
+
   test("embedding dup candidates join on (band, bucket) keys") {
     val df = Similarity.embeddingDupPairs(embeddings, 0.3)
     val joinConds = df.queryExecution.optimizedPlan.collect {
