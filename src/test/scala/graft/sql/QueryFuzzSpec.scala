@@ -143,6 +143,84 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // round-3 lowerings: correlated [NOT] IN in conjunct AND non-conjunct
+  // positions, with null-bearing probes/keys to stress 3VL
+  private val genCorrInPred: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    v <- Gen.choose(0, 3000)
+    k <- Gen.choose(0, 1500)
+    probe <- Gen.oneOf("c_custkey", s"nullif(c_custkey, $k)")
+    key <- Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)")
+    tail <- Gen.option(for {
+      c <- Gen.oneOf("and", "or"); p <- genPred
+    } yield s" $c $p")
+  } yield s"$probe ${neg}in (select $key from orders" +
+    s" where orders.o_custkey = customer.c_custkey and o_totalprice > $v)" +
+    tail.getOrElse("")
+
+  test("40 random correlated-IN queries match spark.sql exactly") {
+    val preds = Gen.listOfN(40, genCorrInPred)
+      .pureApply(Gen.Parameters.default, Seed(41L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  // round-3 lowerings: [NOT] EXISTS under OR and nested NOT
+  private val genExistsOrPred: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    v <- Gen.choose(0, 3000)
+    p <- genPred
+    shape <- Gen.oneOf(0, 1, 2)
+    ex = s"${neg}exists (select 1 from orders" +
+      s" where orders.o_custkey = customer.c_custkey and o_totalprice > $v)"
+  } yield shape match {
+    case 0 => s"$ex or $p"
+    case 1 => s"not ($ex or $p)"
+    case 2 => s"($p) or $ex"
+  }
+
+  test("30 random EXISTS-under-OR queries match spark.sql exactly") {
+    val preds = Gen.listOfN(30, genExistsOrPred)
+      .pureApply(Gen.Parameters.default, Seed(43L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  // round-3 lowerings: [NOT] IN / EXISTS subqueries in HAVING, with
+  // key and aggregate probes
+  private val genHavingSubQuery: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    probe <- Gen.oneOf("c_nationkey", "count(*)", "min(c_custkey)")
+    v <- Gen.choose(0, 30)
+    shape <- Gen.oneOf(0, 1)
+    extra <- Gen.option(Gen.choose(1, 60).map(n => s" and count(*) > $n"))
+  } yield {
+    val sub = shape match {
+      case 0 => s"select n_nationkey from nation where n_nationkey < $v"
+      case 1 => s"select nullif(n_nationkey, ${v / 2}) from nation where n_nationkey < $v"
+    }
+    s"select c_nationkey, count(*) as cnt from customer group by c_nationkey" +
+      s" having $probe ${neg}in ($sub)${extra.getOrElse("")}"
+  }
+
+  test("30 random HAVING-subquery queries match spark.sql exactly") {
+    val queries = Gen.listOfN(30, genHavingSubQuery)
+      .pureApply(Gen.Parameters.default, Seed(47L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   test("40 random IN-position queries match spark.sql exactly") {
     val preds = Gen.listOfN(40, genInPred)
       .pureApply(Gen.Parameters.default, Seed(11L))
