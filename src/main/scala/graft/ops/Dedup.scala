@@ -211,6 +211,13 @@ object Dedup {
       converged = next.filter(F.col("__changed")).isEmpty
       labels = next.drop("__changed")
     }
+    // the cap exists to bound pathological inputs, and hitting it
+    // means labels are under-merged — the silent-split wrong answer
+    // this method exists to prevent, so fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+        "(component diameter exceeds the cap); raise maxIters")
     labels
   }
 

@@ -182,21 +182,10 @@ final class Translator(catalog: String => DataFrame) {
           case Some(q) =>
             val outerRefs = outerOnly(q)
             val idx = helperCols.size
+            val (keyPairs, local) = corrKeyPairs(q, outerRefs, "scalar subquery")
             var inner = translateRelation(q.sel.from)
-            val (corr, local) = q.sel.where
-              .map(splitConjuncts).getOrElse(Nil)
-              .partition(refersToAliases(_, outerRefs))
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
-            // each correlated conjunct must be inner-expr = outer-expr
-            val keyPairs = corr.map {
-              case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
-                  !refersToAliases(l, outerRefs) => (l, r)
-              case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
-                  !refersToAliases(r, outerRefs) => (r, l)
-              case other => fail(
-                s"correlated scalar subquery predicates must be equalities, got $other")
-            }
             val keyNames = keyPairs.indices.map(i => s"__csq_${idx}_k$i")
             val valName = s"__csq_${idx}_v"
             val agg = q.sel.items.head.e.asInstanceOf[AggExpr]
@@ -392,28 +381,9 @@ final class Translator(catalog: String => DataFrame) {
                 helperCols = flagN :: markN :: grpN :: nullN :: keyN ::
                   (ckS.toList ::: ckK.toList ::: helperCols)
               case None =>
-                val subDf = translate(sub)
-                if (subDf.columns.length != 1)
-                  fail("IN (subquery) requires a single-column subquery")
-                val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
-                val emptyN = s"__sq_empty_$i"; val nullN = s"__sq_null_$i"
-                val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
-                // 1-row summary (empty? has nulls?) — broadcast cross join
-                val summary = keyed.agg(
-                  (F.count(F.lit(1)) === 0).as(emptyN),
-                  F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
-                val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
-                  .withColumn(markN, F.lit(true))
-                from = from
-                  .crossJoin(F.broadcast(summary))
-                  .join(keys, probe === F.col(keyN), "left_outer")
-                  .withColumn(flagN,
-                    F.when(F.col(markN).isNotNull, F.lit(true))
-                      .when(F.col(emptyN), F.lit(false))
-                      .when(probe.isNull || F.col(nullN),
-                        F.lit(null).cast(BooleanType))
-                      .otherwise(F.lit(false)))
-                helperCols = flagN :: markN :: emptyN :: nullN :: keyN :: helperCols
+                val (step, hs, _) = inFlagStep(sub, probe, "__sq", i)
+                from = step(from)
+                helperCols = hs ::: helperCols
             }
             ColRef(None, flagN)
           case ExistsSubquery(sub) =>
@@ -627,12 +597,6 @@ final class Translator(catalog: String => DataFrame) {
         case _        => in.groupBy(groupCols: _*)
       }
 
-    // force materialization of agg map: walk select + having
-    val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
-      case SelectItem(Star(_), _) =>
-        fail("SELECT * with aggregation requires explicit columns")
-      case SelectItem(e, alias) => (e, alias, post(e))
-    }
     // HAVING may reference SELECT aliases (DuckDB/Spark SQL both
     // allow it): substitute the aliased expression before lowering
     // (itemAliases is the same map GROUP BY alias resolution uses).
@@ -659,30 +623,9 @@ final class Translator(catalog: String => DataFrame) {
       val rewritten = Ast.transformUp(h) {
         case InSubquery(probe, sub) =>
           val i = idx; idx += 1
-          val probeCol = lowerProbe(probe)
-          val subDf = translate(sub)
-          if (subDf.columns.length != 1)
-            fail("IN (subquery) requires a single-column subquery")
-          val keyN = s"__hq_key_$i"; val markN = s"__hq_mark_$i"
-          val emptyN = s"__hq_empty_$i"; val nullN = s"__hq_null_$i"
-          val flagN = s"__hq_flag_$i"
-          val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
-          val summary = keyed.agg(
-            (F.count(F.lit(1)) === 0).as(emptyN),
-            F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
-          val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
-            .withColumn(markN, F.lit(true))
-          joins ::= { (df: DataFrame) =>
-            df.crossJoin(F.broadcast(summary))
-              .join(keys, probeCol === F.col(keyN), "left_outer")
-              .withColumn(flagN,
-                F.when(F.col(markN).isNotNull, F.lit(true))
-                  .when(F.col(emptyN), F.lit(false))
-                  .when(probeCol.isNull || F.col(nullN),
-                    F.lit(null).cast(BooleanType))
-                  .otherwise(F.lit(false)))
-          }
-          helpers = flagN :: markN :: emptyN :: nullN :: keyN :: helpers
+          val (step, hs, flagN) = inFlagStep(sub, lowerProbe(probe), "__hq", i)
+          joins ::= step
+          helpers = hs ::: helpers
           ColRef(None, flagN)
         case ExistsSubquery(sub) =>
           val i = idx; idx += 1
@@ -695,20 +638,14 @@ final class Translator(catalog: String => DataFrame) {
       (rewritten, joins.reverse, helpers)
     }
 
-    val (havingExpr, havingJoins) = sel.having match {
-      case Some(h) =>
-        val (e2, js, _) = lowerHavingSubqueries(resolveAliases(h), post)
-        (Some(e2), js)
-      case None => (None, Nil)
-    }
-    val havingPost: Option[Column] = havingExpr.map(post)
-
-    val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) }
-    if (aggExprs.isEmpty) {
-      // GROUP BY with no aggregates (reference: test_group_by,
-      // aggregation.py:18) ≡ SELECT DISTINCT over the group keys.
-      // HAVING here sees the OUTPUT columns (aliases included), so
-      // subquery probes lower with plain exprToCol over that frame.
+    // GROUP BY with no aggregates ANYWHERE (reference: test_group_by,
+    // aggregation.py:18) ≡ SELECT DISTINCT over the group keys —
+    // decided UP FRONT so the agg-path having machinery below never
+    // translates this path's subqueries a second time. HAVING here
+    // sees the OUTPUT columns (aliases included), so subquery probes
+    // lower with plain exprToCol over that frame.
+    if (!sel.items.exists(i => containsAgg(i.e)) &&
+        !sel.having.exists(containsAgg)) {
       val base = in.select(selectCols(sel.items, in): _*).distinct()
       return sel.having match {
         case Some(h) =>
@@ -719,6 +656,24 @@ final class Translator(catalog: String => DataFrame) {
         case None => base
       }
     }
+
+    // force materialization of agg map: walk select + having
+    val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
+      case SelectItem(Star(_), _) =>
+        fail("SELECT * with aggregation requires explicit columns")
+      case SelectItem(e, alias) => (e, alias, post(e))
+    }
+    val (havingExpr, havingJoins) = sel.having match {
+      case Some(h) =>
+        val (e2, js, _) = lowerHavingSubqueries(resolveAliases(h), post)
+        (Some(e2), js)
+      case None => (None, Nil)
+    }
+    val havingPost: Option[Column] = havingExpr.map(post)
+
+    val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) }
+    if (aggExprs.isEmpty)
+      fail("internal error: aggregate path reached with no aggregates")
 
     var agged: DataFrame =
       groupKeyed.agg(aggExprs.head, aggExprs.tail: _*)
@@ -776,6 +731,39 @@ final class Translator(catalog: String => DataFrame) {
   private def refersToAliases(e: Expr, aliases: Set[String]): Boolean = e match {
     case ColRef(Some(q), _) => aliases.contains(q.toLowerCase)
     case other => Ast.children(other).exists(refersToAliases(_, aliases))
+  }
+
+  /** Uncorrelated IN existence-flag machinery for one probe: a
+    * broadcast 1-row (empty?, has-null?) summary plus the distinct
+    * non-null key set, composed into a join-and-flag step. Returns
+    * (applyStep, helperColumns, flagName). The ONE home for the IN
+    * three-valued truth table — shared by the WHERE-residual and
+    * HAVING lowerings (TRUE on match; FALSE against an empty set;
+    * NULL when the probe is null or the set has nulls). */
+  private def inFlagStep(sub: SetExpr, probe: Column, prefix: String, i: Int)
+      : (DataFrame => DataFrame, List[String], String) = {
+    val subDf = translate(sub)
+    if (subDf.columns.length != 1)
+      fail("IN (subquery) requires a single-column subquery")
+    val keyN = s"${prefix}_key_$i"; val markN = s"${prefix}_mark_$i"
+    val emptyN = s"${prefix}_empty_$i"; val nullN = s"${prefix}_null_$i"
+    val flagN = s"${prefix}_flag_$i"
+    val keyed = subDf.select(F.col(subDf.columns.head).as(keyN))
+    val summary = keyed.agg(
+      (F.count(F.lit(1)) === 0).as(emptyN),
+      F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
+    val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
+      .withColumn(markN, F.lit(true))
+    val step = (df: DataFrame) =>
+      df.crossJoin(F.broadcast(summary))
+        .join(keys, probe === F.col(keyN), "left_outer")
+        .withColumn(flagN,
+          F.when(F.col(markN).isNotNull, F.lit(true))
+            .when(F.col(emptyN), F.lit(false))
+            .when(probe.isNull || F.col(nullN),
+              F.lit(null).cast(BooleanType))
+            .otherwise(F.lit(false)))
+    (step, List(flagN, markN, emptyN, nullN, keyN), flagN)
   }
 
   /** Splits a correlated subquery's WHERE into equality key pairs

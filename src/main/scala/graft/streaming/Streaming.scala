@@ -138,10 +138,16 @@ object Streaming {
     * "error" field rather than killing the batch bench. */
   def benchJson(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.streaming.Trigger
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    def run(name: String, df: => DataFrame): String =
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def errJson(name: String, e: Throwable): String = {
+      val msg = Option(e.getMessage).getOrElse("")
+        .linesIterator.toSeq.headOption.getOrElse("")
+        .replaceAll("[\"\\\\]", "'").take(120)
+      s""""$name":{"error":"${e.getClass.getSimpleName}: $msg"}"""
+    }
+    def run(stage: Path)(name: String, df: => DataFrame): String =
       try {
-        val ckpt = s"/tmp/graft_bench_ckpt/${name}_${System.nanoTime()}"
+        val ckpt = stage.resolve(s"ckpt_$name").toString
         val t0 = System.nanoTime()
         val q = df.writeStream.format("noop")
           .option("checkpointLocation", ckpt)
@@ -156,23 +162,45 @@ object Streaming {
           else progress.map(_.batchDuration).sum.toDouble / batches
         val rps = if (sec > 0) (rows / sec).round else 0L
         s""""$name":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps,"batches":$batches,"avg_batch_ms":$batchMs}"""
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse("")
-            .linesIterator.toSeq.headOption.getOrElse("")
-            .replaceAll("[\"\\\\]", "'").take(120)
-          s""""$name":{"error":"${e.getClass.getSimpleName}: $msg"}"""
-      }
+      } catch { case e: Throwable => errJson(name, e) }
     // the file streaming source requires a DIRECTORY; the testdata
     // tables are single parquet files — stage events into a temp dir
-    val stage = Files.createTempDirectory("graft_stream_bench")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val events = stage.toString
-    Seq(
-      run("windowed_counts", streamingWindowedCounts(spark, events)),
-      run("dedup", streamingDedup(spark, events))
-    ).mkString("{", ",", "}")
+    // (which also holds the checkpoints, so ONE recursive delete
+    // cleans everything up). Staging failure degrades to error
+    // fields like any other streaming failure — it must never kill
+    // the batch bench results Bench prints after this call.
+    val staged =
+      try {
+        // data/ holds ONLY the streamed parquet (the file source
+        // must see a directory of data files, not the checkpoints)
+        val stage = Files.createTempDirectory("graft_stream_bench")
+        try {
+          Files.createDirectory(stage.resolve("data"))
+          Files.copy(Paths.get(s"$sfDir/events.parquet"),
+            stage.resolve("data").resolve("events.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          Right(stage)
+        } catch { case e: Throwable => deleteRecursively(stage); Left(e) }
+      } catch { case e: Throwable => Left(e) }
+    staged match {
+      case Left(e) =>
+        Seq(errJson("windowed_counts", e), errJson("dedup", e))
+          .mkString("{", ",", "}")
+      case Right(stage) =>
+        try {
+          val events = stage.resolve("data").toString
+          Seq(
+            run(stage)("windowed_counts", streamingWindowedCounts(spark, events)),
+            run(stage)("dedup", streamingDedup(spark, events))
+          ).mkString("{", ",", "}")
+        } finally deleteRecursively(stage)
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** Streaming flavor of `windowedCounts` with a 1-hour watermark —
