@@ -185,6 +185,12 @@ object SparkEntry {
       """select l_returnflag, l_linestatus, count(*) as n,
            round(sum(l_quantity), 2) as qty
          from lineitem group by rollup(l_returnflag, l_linestatus)""",
+    // scalar subquery under ROLLUP — the constant is aggregated
+    // (min) rather than added to the keys, keeping the grouping sets
+    "q_rollup_scalar" ->
+      """select l_returnflag, count(*) as n,
+           (select max(r_regionkey) from region) as mx
+         from lineitem group by rollup(l_returnflag)""",
     // uncorrelated scalar subqueries (graft dialect; DuckDB-valid).
     // acctbal values are 2-decimal, far from the avg boundary, so the
     // cross-engine avg comparison is ulp-safe

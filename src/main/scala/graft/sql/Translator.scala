@@ -458,8 +458,25 @@ final class Translator(catalog: String => DataFrame) {
         val extra = (selScalars.items.flatMap(i => refs(i.e)) ++
           selScalars.having.toSeq.flatMap(refs)).distinct
         if (extra.isEmpty) selScalars
-        else if (selScalars.groupMode != "plain")
-          fail("scalar subqueries with ROLLUP/CUBE are not supported")
+        else if (selScalars.groupMode != "plain") {
+          // ROLLUP/CUBE: extending the key list would CHANGE the
+          // grouping sets. An uncorrelated scalar is a global
+          // constant, so aggregate it instead (min of a constant);
+          // a correlated one varies across the rolled-up super-groups
+          // and has no defined value there — loud error.
+          if (extra.exists { case ColRef(_, n) => n.startsWith("__csq_")
+                             case _ => false })
+            fail("correlated scalar subqueries with ROLLUP/CUBE are not supported")
+          def wrap(e: Expr): Expr = e match {
+            case c @ ColRef(None, n) if n.startsWith("__ssq_") =>
+              AggExpr("min", distinct = false, c, None)
+            case a: AggExpr => a // refs inside aggregates already survive
+            case other => Ast.mapChildren(other, wrap)
+          }
+          selScalars.copy(
+            items = selScalars.items.map(i => i.copy(e = wrap(i.e))),
+            having = selScalars.having.map(wrap))
+        }
         else selScalars.copy(groupBy = selScalars.groupBy ++ extra)
       }
 

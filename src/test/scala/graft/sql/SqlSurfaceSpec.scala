@@ -593,6 +593,23 @@ class SqlSurfaceSpec extends SparkTestBase {
          select c_custkey from top order by c_custkey""")
   }
 
+  test("scalar subqueries with rollup and cube") {
+    checkAgainstSparkSql(
+      """select l_returnflag, l_linestatus, count(*) as n,
+           (select max(r_regionkey) from region) as mx
+         from lineitem group by rollup(l_returnflag, l_linestatus)""")
+    checkAgainstSparkSql(
+      """select l_returnflag, count(*) + (select min(r_regionkey) from region) as n
+         from lineitem group by cube(l_returnflag)""")
+    // a correlated scalar has no defined value in rolled-up
+    // super-groups: stays a loud error
+    val e = intercept[RuntimeException](graftSession.query(
+      """select n_regionkey,
+           (select count(*) from region where region.r_regionkey = nation.n_regionkey) as c
+         from nation group by rollup(n_regionkey)"""))
+    assert(e.getMessage.toLowerCase.contains("rollup"))
+  }
+
   test("group-key qualifier mismatch fails loudly instead of mislabeling") {
     // a.k and b.k are DIFFERENT columns; selecting a.k while grouping
     // by b.k must not silently surface b's grouped value under a's name
