@@ -71,4 +71,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(joinConds.exists(c => c.contains("band") && c.contains("chunk")),
       joinConds.mkString("\n"))
   }
+
+  test("correlated NOT IN lowers to a hash anti join, no cartesian") {
+    val p = plan("q_not_in_corr")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "anti join fell back to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("EXISTS under OR lowers to a key-equi presence join") {
+    val p = plan("q_exists_or")
+    assert(p.contains("LeftOuter"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "presence join is not hash/merge keyed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("HAVING in-subquery joins flags onto the aggregated result") {
+    val p = plan("q_having_in_subquery")
+    // the only nested-loop is the broadcast 1-row summary cross join;
+    // the key join itself is hash-equi and aggregation stays two-phase
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "aggregation not two-phase")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
