@@ -701,6 +701,43 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by n_regionkey""")
   }
 
+  test("multiple subqueries compose in one predicate") {
+    // two correlated IN flags under OR — distinct helper columns
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and o_totalprice > 300000)
+            or c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and o_totalprice < 1000)
+         order by c_custkey""")
+    // EXISTS + uncorrelated IN + plain predicate mixed under OR/AND
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where (exists (select 1 from orders
+                        where orders.o_custkey = customer.c_custkey
+                          and o_totalprice > 400000)
+                or c_nationkey in (select n_nationkey from nation where n_regionkey = 0))
+           and c_acctbal > 0
+         order by c_custkey""")
+    // scalar subquery + correlated NOT IN in the same WHERE
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_acctbal > (select avg(c_acctbal) from customer)
+           and c_custkey not in (select o_custkey from orders
+                                 where orders.o_custkey = customer.c_custkey
+                                   and o_totalprice < 5000)
+         order by c_custkey""")
+    // two subqueries in HAVING (IN and EXISTS)
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as cnt from customer
+         group by c_nationkey
+         having c_nationkey in (select n_nationkey from nation where n_regionkey <= 2)
+            and exists (select 1 from region where r_name = 'ASIA')
+         order by c_nationkey""")
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
