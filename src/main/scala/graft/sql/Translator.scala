@@ -291,31 +291,44 @@ final class Translator(catalog: String => DataFrame) {
                 if (negated) "left_anti" else "left_semi")
           }
         case (ExistsSubquery(sub), negated) =>
-          // [NOT] EXISTS: semi/anti join. The subquery's WHERE splits
-          // into local conjuncts (filter the inner relation) and
-          // correlated conjuncts (reference an outer alias — they
-          // become the join condition). Outer refs must be qualified
-          // with the outer relation's alias/name.
-          val q = sub match {
-            case Leaf(qq) => qq
-            case _ => fail("EXISTS subquery must be a simple SELECT")
+          // [NOT] EXISTS: semi/anti join. A CORRELATED subquery's
+          // WHERE splits into local conjuncts (filter the inner
+          // relation) and correlated conjuncts (reference an outer
+          // alias — they become the join condition; outer refs must
+          // be alias-qualified), and is restricted to FROM/WHERE
+          // shape. An UNCORRELATED subquery may be ANY query —
+          // aggregates, GROUP BY, LIMIT, set ops — translated whole
+          // and semi/anti-joined on TRUE (nonempty test).
+          val corrInfo = sub match {
+            case Leaf(q) =>
+              val outerRefs = outerAliases -- relationAliases(q.sel.from)
+              if (q.sel.where.map(splitConjuncts).getOrElse(Nil)
+                    .exists(refersToAliases(_, outerRefs))) Some(q)
+              else None
+            case _ => None
           }
-          if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
-              q.limit.nonEmpty || q.offset.nonEmpty)
-            fail("EXISTS subquery supports FROM/WHERE only")
-          var inner = translateRelation(q.sel.from)
-          // same shadowing rule as correlated IN/scalar: the inner
-          // FROM's names hide outer ones
-          val (corr, local) = q.sel.where
-            .map(splitConjuncts).getOrElse(Nil)
-            .partition(refersToAliases(_,
-              outerAliases -- relationAliases(q.sel.from)))
-          local.reduceOption(And).foreach(p =>
-            inner = inner.filter(exprToCol(p, None)))
-          val cond = corr.reduceOption(And)
-            .map(exprToCol(_, None)).getOrElse(F.lit(true))
-          from = from.join(inner, cond,
-            if (negated) "left_anti" else "left_semi")
+          corrInfo match {
+            case Some(q) =>
+              if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+                  q.limit.nonEmpty || q.offset.nonEmpty)
+                fail("correlated EXISTS subquery supports FROM/WHERE only")
+              var inner = translateRelation(q.sel.from)
+              // same shadowing rule as correlated IN/scalar: the
+              // inner FROM's names hide outer ones
+              val (corr, local) = q.sel.where
+                .map(splitConjuncts).getOrElse(Nil)
+                .partition(refersToAliases(_,
+                  outerAliases -- relationAliases(q.sel.from)))
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val cond = corr.reduceOption(And)
+                .map(exprToCol(_, None)).getOrElse(F.lit(true))
+              from = from.join(inner, cond,
+                if (negated) "left_anti" else "left_semi")
+            case None =>
+              from = from.join(translate(sub), F.lit(true),
+                if (negated) "left_anti" else "left_semi")
+          }
         case (other, _) => fail(s"unexpected hoisted subquery $other")
       }
       residual0.map { res =>

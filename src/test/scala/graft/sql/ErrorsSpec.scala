@@ -59,14 +59,22 @@ class ErrorsSpec extends SparkTestBase {
                                  where orders.o_custkey = customer.c_custkey)""")
   }
 
-  test("EXISTS with aggregation or limit is rejected clearly") {
+  test("correlated EXISTS beyond FROM/WHERE is rejected; uncorrelated is unrestricted") {
     val e = intercept[RuntimeException](graftSession.query(
       """select n_name from nation
-         where exists (select count(*) from region group by r_name)"""))
+         where exists (select count(*) from region
+                       where region.r_regionkey = nation.n_regionkey
+                       group by r_name)"""))
     assert(e.getMessage.toLowerCase.contains("exists"))
-    assertThrows[RuntimeException](graftSession.query(
+    // uncorrelated EXISTS may be any query shape (nonempty test)
+    checkAgainstSparkSql(
       """select n_name from nation
-         where exists (select 1 from region limit 1)"""))
+         where exists (select count(*) from region group by r_name)
+         order by n_name""")
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where not exists (select 1 from region where r_name = 'NOPE' limit 1)
+         order by n_name""")
   }
 
   test("positional refs out of range fail with a clear message") {
