@@ -706,6 +706,74 @@ object SparkEntry {
                   row_number() over (partition by lang
                     order by md5(doc_id::VARCHAR), doc_id) as rn
                 from documents) t where rn <= 5""")),
+    // TF-IDF top terms: tf shuffles on (doc_id, term), df on term, N
+    // broadcast, window top-k on doc_id. The BM25-style idf ratio is
+    // log-free so the score arithmetic (and so top-k membership) is
+    // IEEE-identical cross-engine; ties break on term.
+    ("q_text_tfidf",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3),
+      Some("""with toks as (select doc_id, unnest(string_split(lower(text), ' ')) as term
+                           from documents),
+              tf as (select doc_id, term, count(*) as tf from toks
+                     where term <> '' group by 1, 2),
+              df as (select term, count(*) as df from tf group by 1),
+              n as (select count(*) as n from documents),
+              scored as (select tf.doc_id, tf.term, tf.tf,
+                           tf.tf * (n.n::DOUBLE - tf_df.df + 0.5) / (tf_df.df::DOUBLE + 0.5) as score
+                         from tf join df tf_df on tf.term = tf_df.term cross join n)
+              select doc_id, term, tf, score, rnk::INT as rnk from (
+                select *, row_number() over (partition by doc_id
+                    order by score desc, term asc) as rnk
+                from scored) where rnk <= 3""")),
+    // Gopher-style repetition: repeated-word fraction + top-bigram
+    // share. Fractions left unrounded (int/int IEEE division; word
+    // counts are often powers of two, landing rounded values exactly
+    // on .xx5 boundaries).
+    ("q_text_repetition",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.repetitionStats(tbl(s, dir, "documents")),
+      Some("""with tok as (select doc_id,
+                             list_filter(string_split(lower(text), ' '), t -> t <> '') as w
+                           from documents),
+              wx as (select doc_id, unnest(w) as g from tok),
+              ws as (select doc_id, count(*) as n_words,
+                       1.0::DOUBLE - count(distinct g)::DOUBLE / count(*) as dup_word_frac
+                     from wx group by doc_id),
+              bg as (select doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) as g
+                     from tok where len(w) >= 2),
+              bc as (select doc_id, g, count(*) as c from bg group by 1, 2),
+              tb as (select doc_id, max(c)::DOUBLE / sum(c) as top_bigram_frac
+                     from bc group by doc_id)
+              select ws.doc_id, ws.n_words, ws.dup_word_frac, tb.top_bigram_frac
+              from ws left join tb on ws.doc_id = tb.doc_id""")),
+    // incremental (batch-vs-corpus) dedup: keep-first within the
+    // batch, anti join on md5 against the ingested corpus — the
+    // steady-state crawl-pipeline shape. The %5 split plants real
+    // cross-side duplicates at sf0.1.
+    ("q_dedup_incremental",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.incrementalDedup(
+          docs.filter("doc_id % 5 = 0"), docs.filter("doc_id % 5 <> 0"))
+      },
+      Some("""with inc as (select md5(text) as h, min(doc_id) as doc_id
+                           from documents where doc_id % 5 = 0 group by 1)
+              select doc_id from inc
+              where h not in (select md5(text) from documents where doc_id % 5 <> 0)""")),
+    // per-label embedding centroids in long form: flatMap explode +
+    // ONE (label, pos) shuffle with partial sums — shuffled state is
+    // labels×dim regardless of corpus size. float32 components are
+    // exact in double, so the mean is order-independent.
+    ("q_embed_centroids",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.labelCentroids(tbl(s, dir, "embeddings")),
+      Some("""select label, pos::INT as pos, count(*) as n,
+                round(avg(v::DOUBLE), 6) as centroid
+              from (select label, unnest(range(len(embedding))) as pos,
+                      unnest(embedding) as v from embeddings)
+              group by label, pos""")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

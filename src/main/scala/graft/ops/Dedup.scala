@@ -280,4 +280,24 @@ object Dedup {
       .filter(F.col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Incremental corpus dedup: the steady-state shape of a crawl
+    * pipeline, where each new batch dedups first against itself
+    * (keep-first by doc_id) and then against the already-ingested
+    * corpus. Returns the surviving incoming doc_ids.
+    *
+    * Two hash-key shuffles plus one anti join on the hash — the
+    * documents themselves never shuffle, only (hash, id) pairs. At
+    * 100 TB the existing side is the persisted hash column of the
+    * corpus table (see [[writeSignatureTable]] for the analogous persisted
+    * near-dup form), so each increment costs one scan of the batch
+    * plus one hash-bucketed anti join, independent of corpus text
+    * size. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val keepFirst = incoming
+      .groupBy(F.md5(F.col("text")).as("text_hash"))
+      .agg(F.min("doc_id").as("doc_id"))
+    val seen = existing.select(F.md5(F.col("text")).as("text_hash")).distinct()
+    keepFirst.join(seen, Seq("text_hash"), "left_anti").select("doc_id")
+  }
 }

@@ -254,4 +254,22 @@ object Similarity {
       .filter(F.col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** Per-label embedding centroids in long form (label, dimension,
+    * mean) — the building block for class prototypes and IVF/k-means
+    * cell refresh. posexplode is a flatMap (no shuffle); the mean is
+    * ONE (label, pos) shuffle with map-side partial sums, so the wide
+    * row count is corpus×dim but the shuffled state is labels×dim
+    * regardless of corpus size.
+    *
+    * The float32 components are exact in double and per-group counts
+    * keep the double sum well under 53 significant bits, so the mean
+    * is order-independent and cross-engine reproducible; round(6)
+    * guards the margins at larger SFs. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.selectExpr("label", "posexplode(embedding) as (pos, v)")
+      .groupBy("label", "pos")
+      .agg(F.count(F.lit(1)).as("n"),
+           F.round(F.avg(F.col("v").cast("double")), 6).as("centroid"))
+      .select("label", "pos", "n", "centroid")
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis operators (SURVEY.md §2.2 rows 44-47): language ID,
   * quality scoring, token counting, fingerprinting. Pure per-row
@@ -89,5 +90,72 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, window: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.selectExpr("doc_id", s"graft_fingerprint(text, $window) as fp")
+  }
+
+  /** Top-k salient terms per document by a TF-IDF-style score.
+    *
+    * Shape at scale: the token explode is a flatMap (no shuffle); term
+    * frequencies shuffle on (doc_id, term) with map-side partials;
+    * document frequencies shuffle on term; the corpus size N is a
+    * broadcast 1-row aggregate; the final top-k is one window shuffle
+    * on doc_id. Nothing quadratic, nothing driver-side.
+    *
+    * The idf factor is the BM25 ratio WITHOUT the log —
+    * (N - df + 0.5) / (df + 0.5) — because +,-,*,/ are IEEE-defined
+    * bit-identically across engines while ln() is not, so the driver's
+    * DuckDB oracle reproduces scores (and therefore top-k membership)
+    * exactly. Production at 100 TB would wrap it in log1p; the plan
+    * shape is unchanged. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) as term")
+      .filter("term <> ''")
+    val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val n = docs.agg(F.count(F.lit(1)).as("__n"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(F.broadcast(n))
+      .withColumn("score",
+        F.col("tf") * (F.col("__n").cast("double") - F.col("df") + F.lit(0.5)) /
+          (F.col("df").cast("double") + F.lit(0.5)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(F.col("score").desc, F.col("term").asc)
+    scored.withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select("doc_id", "term", "tf", "score", "rnk")
+  }
+
+  /** Gopher-style repetition signals per document: fraction of
+    * repeated words (1 - distinct/total) and the frequency share of
+    * the most common bigram. High values flag boilerplate/spam for
+    * training-data filtering.
+    *
+    * Both signals are exploded-count aggregations — two narrow
+    * (doc_id[, gram]) shuffles with map-side partials, joined on
+    * doc_id. Fractions are int/int IEEE divisions left UNROUNDED:
+    * word counts are often powers of two, which puts rounded values
+    * exactly on .xx5 boundaries where engines' rounding modes diverge
+    * (identical doubles canonicalize identically instead). Documents
+    * with fewer than two words surface a NULL top_bigram_frac. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val tok = docs.selectExpr("doc_id",
+      "filter(split(lower(text), ' '), t -> t <> '') as w")
+    val wordStats = tok
+      .selectExpr("doc_id", "explode(w) as g")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_words"),
+           F.countDistinct("g").as("__nd"))
+      .withColumn("dup_word_frac",
+        F.lit(1.0) - F.col("__nd").cast("double") / F.col("n_words"))
+    val top = tok
+      .filter("size(w) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(w) - 1),
+             i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) as g""")
+      .groupBy("doc_id", "g").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((F.max("c").cast("double") / F.sum("c")).as("top_bigram_frac"))
+    wordStats.join(top, Seq("doc_id"), "left_outer")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
   }
 }

@@ -229,4 +229,61 @@ class OpsSpec extends SparkTestBase {
     assert(out.nonEmpty)
     out.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1))))
   }
+
+  test("tfidf ranks a document's rare term above its common terms") {
+    import spark.implicits._
+    // "zebra" appears once, only in doc 1; "the" floods every doc
+    val docs = Seq(
+      (1L, "the zebra the the"),
+      (2L, "the cat the"),
+      (3L, "the dog the")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopTerms(docs, 1).collect()
+    val top = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "zebra") // df=1 beats tf=3 of the df=3 "the"
+    // k bound and rank fields hold
+    assert(rows.forall(_.getInt(4) == 1))
+    val top2 = TextAnalysis.tfidfTopTerms(docs, 2)
+      .filter("doc_id = 1").collect().sortBy(_.getInt(4))
+    assert(top2.map(_.getString(1)).toSeq == Seq("zebra", "the"))
+  }
+
+  test("repetition stats flag duplicated words and bigrams exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam ham"),   // 4 words, 2 distinct
+      (2L, "all words differ here"),
+      (3L, "one")).toDF("doc_id", "text") // too short for bigrams
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4)
+    assert(out(1L).getDouble(2) == 0.5) // 1 - 2/4
+    assert(out(1L).getDouble(3) == 2.0 / 3) // "spam spam" twice of 3
+    assert(out(2L).getDouble(2) == 0.0)
+    assert(out(2L).getDouble(3) == 1.0 / 3) // all bigrams unique
+    assert(out(3L).isNullAt(3)) // no bigram for a 1-word doc
+  }
+
+  test("incremental dedup drops batch rows already in the corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // already ingested -> dropped
+      (11L, "gamma"), (13L, "gamma"), // in-batch dup -> keep-first 11
+      (12L, "delta")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+  }
+
+  test("label centroids average each dimension over the label's vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(5.0f, 5.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0, 0)) == (2L, 2.0) && out((0, 1)) == (2L, 4.0))
+    assert(out((1, 0)) == (1L, 5.0) && out((1, 1)) == (1L, 5.0))
+  }
 }
