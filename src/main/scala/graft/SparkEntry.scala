@@ -759,9 +759,14 @@ object SparkEntry {
           docs.filter("doc_id % 5 = 0"), docs.filter("doc_id % 5 <> 0"))
       },
       Some("""with inc as (select md5(text) as h, min(doc_id) as doc_id
-                           from documents where doc_id % 5 = 0 group by 1)
+                           from documents
+                           where doc_id % 5 = 0 and text is not null group by 1)
               select doc_id from inc
-              where h not in (select md5(text) from documents where doc_id % 5 <> 0)""")),
+              where h not in (select md5(text) from documents
+                              where doc_id % 5 <> 0 and text is not null)
+              union all
+              select doc_id from documents
+              where doc_id % 5 = 0 and text is null""")),
     // per-label embedding centroids in long form: flatMap explode +
     // ONE (label, pos) shuffle with partial sums — shuffled state is
     // labels×dim regardless of corpus size. float32 components are

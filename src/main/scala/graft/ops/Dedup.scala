@@ -294,10 +294,16 @@ object Dedup {
     * plus one hash-bucketed anti join, independent of corpus text
     * size. */
   def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
-    val keepFirst = incoming
+    // null text is a degenerate document, not a duplicate class: SQL
+    // equality semantics (null matches nothing, not even other nulls)
+    // — such rows pass through untouched rather than collapsing into
+    // one md5(NULL) group
+    val keepFirst = incoming.filter(F.col("text").isNotNull)
       .groupBy(F.md5(F.col("text")).as("text_hash"))
       .agg(F.min("doc_id").as("doc_id"))
-    val seen = existing.select(F.md5(F.col("text")).as("text_hash")).distinct()
+    val seen = existing.filter(F.col("text").isNotNull)
+      .select(F.md5(F.col("text")).as("text_hash")).distinct()
     keepFirst.join(seen, Seq("text_hash"), "left_anti").select("doc_id")
+      .union(incoming.filter(F.col("text").isNull).select("doc_id"))
   }
 }

@@ -292,41 +292,19 @@ final class Translator(catalog: String => DataFrame) {
           }
         case (ExistsSubquery(sub), negated) =>
           // [NOT] EXISTS: semi/anti join. A CORRELATED subquery's
-          // WHERE splits into local conjuncts (filter the inner
-          // relation) and correlated conjuncts (reference an outer
-          // alias — they become the join condition; outer refs must
-          // be alias-qualified), and is restricted to FROM/WHERE
-          // shape. An UNCORRELATED subquery may be ANY query —
-          // aggregates, GROUP BY, LIMIT, set ops — translated whole
-          // and semi/anti-joined on TRUE (nonempty test).
-          val corrInfo = sub match {
-            case Leaf(q) =>
-              val outerRefs = outerAliases -- relationAliases(q.sel.from)
-              if (q.sel.where.map(splitConjuncts).getOrElse(Nil)
-                    .exists(refersToAliases(_, outerRefs))) Some(q)
-              else None
-            case _ => None
-          }
-          corrInfo match {
-            case Some(q) =>
-              if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
-                  q.limit.nonEmpty || q.offset.nonEmpty)
-                fail("correlated EXISTS subquery supports FROM/WHERE only")
-              var inner = translateRelation(q.sel.from)
-              // same shadowing rule as correlated IN/scalar: the
-              // inner FROM's names hide outer ones
-              val (corr, local) = q.sel.where
-                .map(splitConjuncts).getOrElse(Nil)
-                .partition(refersToAliases(_,
-                  outerAliases -- relationAliases(q.sel.from)))
-              local.reduceOption(And).foreach(p =>
-                inner = inner.filter(exprToCol(p, None)))
-              val cond = corr.reduceOption(And)
-                .map(exprToCol(_, None)).getOrElse(F.lit(true))
+          // WHERE splits ONCE (existsCorrInfo) into local conjuncts
+          // (filter the inner relation) and correlated conjuncts
+          // (the join condition; outer refs must be alias-qualified),
+          // restricted to FROM/WHERE shape. An UNCORRELATED subquery
+          // may be ANY query — aggregates, GROUP BY, LIMIT, set ops —
+          // reduced to a one-row nonempty probe (existsProbeSide).
+          existsCorrInfo(sub, outerAliases) match {
+            case Some((q, _, corr, local)) =>
+              val (inner, cond) = correlatedExistsSide(q, corr, local)
               from = from.join(inner, cond,
                 if (negated) "left_anti" else "left_semi")
             case None =>
-              from = from.join(translate(sub), F.lit(true),
+              from = from.join(existsProbeSide(sub), F.lit(true),
                 if (negated) "left_anti" else "left_semi")
           }
         case (other, _) => fail(s"unexpected hoisted subquery $other")
@@ -404,17 +382,8 @@ final class Translator(catalog: String => DataFrame) {
             // NOT). EXISTS is two-valued, so the flag is never NULL.
             val i = freshIdx()
             val flagN = s"__sq_flag_$i"
-            val corrInfo = sub match {
-              case Leaf(q) =>
-                val outerRefs = outerAliases -- relationAliases(q.sel.from)
-                val conjs = q.sel.where.map(splitConjuncts).getOrElse(Nil)
-                if (conjs.exists(refersToAliases(_, outerRefs)))
-                  Some((q, outerRefs))
-                else None
-              case _ => None
-            }
-            corrInfo match {
-              case Some((q, outerRefs)) =>
+            existsCorrInfo(sub, outerAliases) match {
+              case Some((q, outerRefs, _, _)) =>
                 if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
                     q.limit.nonEmpty || q.offset.nonEmpty)
                   fail("correlated EXISTS subquery supports FROM/WHERE only")
@@ -436,7 +405,9 @@ final class Translator(catalog: String => DataFrame) {
                 helperCols = flagN :: markN :: (ckK.toList ::: helperCols)
               case None =>
                 // uncorrelated: broadcast 1-row COUNT(*) > 0 summary
-                val summary = translate(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
+                // over the one-row nonempty probe
+                val summary =
+                  existsProbeSide(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
                 from = from.crossJoin(F.broadcast(summary))
                 helperCols = flagN :: helperCols
             }
@@ -660,7 +631,8 @@ final class Translator(catalog: String => DataFrame) {
         case ExistsSubquery(sub) =>
           val i = idx; idx += 1
           val flagN = s"__hq_flag_$i"
-          val summary = translate(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
+          val summary =
+            existsProbeSide(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
           joins ::= { (df: DataFrame) => df.crossJoin(F.broadcast(summary)) }
           helpers = flagN :: helpers
           ColRef(None, flagN)
@@ -796,6 +768,64 @@ final class Translator(catalog: String => DataFrame) {
     (step, List(flagN, markN, emptyN, nullN, keyN), flagN)
   }
 
+  /** The ONE EXISTS correlation classifier (the conjunct and residual
+    * lowerings previously each re-derived it). For a Leaf subquery,
+    * splits its WHERE once into correlated and local conjuncts
+    * against the non-shadowed outer aliases; returns None when
+    * uncorrelated. Correlation outside WHERE has no decorrelated
+    * lowering: outer refs in the select items are LEGAL and ignored
+    * (EXISTS discards its projection — see [[existsProbeSide]]), but
+    * outer refs in HAVING or GROUP BY fail with a graft message here
+    * rather than a deep analyzer error later. */
+  private def existsCorrInfo(sub: SetExpr, outerAliases: Set[String])
+      : Option[(Query, Set[String], Seq[Expr], Seq[Expr])] = sub match {
+    case Leaf(q) =>
+      val outerRefs = outerAliases -- relationAliases(q.sel.from)
+      val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+        .partition(refersToAliases(_, outerRefs))
+      if (corr.nonEmpty) Some((q, outerRefs, corr, local))
+      else if ((q.sel.having.toSeq ++ q.sel.groupBy)
+                 .exists(refersToAliases(_, outerRefs)))
+        fail("correlated EXISTS supports correlation in WHERE only")
+      else None
+    case _ => None
+  }
+
+  /** Inner side + join condition for a correlated EXISTS in conjunct
+    * position: local conjuncts filter the inner relation, correlated
+    * conjuncts become the semi/anti join condition. */
+  private def correlatedExistsSide(q: Query, corr: Seq[Expr], local: Seq[Expr])
+      : (DataFrame, Column) = {
+    if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+        q.limit.nonEmpty || q.offset.nonEmpty)
+      fail("correlated EXISTS subquery supports FROM/WHERE only")
+    var inner = translateRelation(q.sel.from)
+    local.reduceOption(And).foreach(p =>
+      inner = inner.filter(exprToCol(p, None)))
+    (inner, corr.reduceOption(And).map(exprToCol(_, None)).getOrElse(F.lit(true)))
+  }
+
+  /** One-row nonempty probe for an uncorrelated EXISTS. Existence
+    * ignores the subquery's projection, so a plain Leaf's select
+    * items are replaced with a literal (outer refs there — legal
+    * SQL — never reach the analyzer) and every shape is cut to
+    * `select 1 ... limit 1`: ONE row decides the semi/anti join or
+    * flag, rather than materializing (and at scale broadcasting) the
+    * full inner result. GROUP BY / HAVING / ORDER BY shapes keep
+    * their items (HAVING may resolve select aliases); LIMIT/OFFSET
+    * are preserved by the inner translation first, so `limit 0` /
+    * `offset n` still decide emptiness correctly. */
+  private def existsProbeSide(sub: SetExpr): DataFrame = {
+    val stripped = sub match {
+      case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+          q.orderBy.isEmpty =>
+        Leaf(q.copy(sel = q.sel.copy(distinct = false,
+          items = Seq(SelectItem(NumLit("1"), None)))))
+      case other => other
+    }
+    translate(stripped).select(F.lit(1).as("__exists_probe")).limit(1)
+  }
+
   /** Splits a correlated subquery's WHERE into equality key pairs
     * `(innerExpr, outerExpr)` plus local filter conjuncts; fails
     * loudly on a non-equality correlated predicate (the flag-join
@@ -859,6 +889,11 @@ final class Translator(catalog: String => DataFrame) {
       in.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
     case AggExpr(f, d, Star(_), _) =>
       if (d) s"${f}_distinct_star" else s"${f}_star"
+    // the ROLLUP/CUBE path wraps hoisted scalar subqueries in min():
+    // keep the plain path's user-visible name, not min___ssq_N
+    case AggExpr(_, _, ColRef(_, n), _)
+        if n.startsWith("__ssq_") || n.startsWith("__csq_") =>
+      "scalar_subquery" + n.dropWhile(!_.isDigit).takeWhile(_.isDigit)
     case AggExpr(f, d, ColRef(_, n), _) =>
       if (d) s"${f}_distinct_$n" else s"${f}_$n"
     case _ => render(e)

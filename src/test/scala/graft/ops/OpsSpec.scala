@@ -265,14 +265,19 @@ class OpsSpec extends SparkTestBase {
 
   test("incremental dedup drops batch rows already in the corpus") {
     import spark.implicits._
-    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha"), (2L, "beta"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val batch = Seq(
       (10L, "alpha"),  // already ingested -> dropped
       (11L, "gamma"), (13L, "gamma"), // in-batch dup -> keep-first 11
-      (12L, "delta")).toDF("doc_id", "text")
+      (12L, "delta"),
+      // null text never matches anything, not even other nulls: both
+      // pass through (SQL equality semantics)
+      (14L, null.asInstanceOf[String]),
+      (15L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val kept = Dedup.incrementalDedup(batch, corpus)
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(11L, 12L))
+    assert(kept == Set(11L, 12L, 14L, 15L))
   }
 
   test("label centroids average each dimension over the label's vectors") {

@@ -66,6 +66,13 @@ class ErrorsSpec extends SparkTestBase {
                        where region.r_regionkey = nation.n_regionkey
                        group by r_name)"""))
     assert(e.getMessage.toLowerCase.contains("exists"))
+    // correlation OUTSIDE the subquery's WHERE (HAVING / GROUP BY)
+    // is rejected with a graft message, not a deep analyzer error
+    val eh = intercept[RuntimeException](graftSession.query(
+      """select n_name from nation
+         where exists (select 1 from region group by r_name
+                       having max(r_regionkey) = nation.n_regionkey)"""))
+    assert(eh.getMessage.contains("correlation in WHERE only"))
     // uncorrelated EXISTS may be any query shape (nonempty test)
     checkAgainstSparkSql(
       """select n_name from nation

@@ -535,6 +535,20 @@ class SqlSurfaceSpec extends SparkTestBase {
       """select n_name from nation
          where not exists (select 1 from region where r_regionkey > 100)
            and n_regionkey = 0""")
+    // an outer ref in the PROJECTION is legal and irrelevant (EXISTS
+    // discards its projection — the probe strips the items before the
+    // inner translation, so the analyzer never sees the outer name)
+    checkTranslated(
+      """select n_name from nation
+         where exists (select nation.n_regionkey from region)
+         order by n_name""",
+      "select n_name from nation order by n_name")
+    checkTranslated(
+      """select n_name from nation
+         where exists (select nation.n_regionkey from region
+                       where r_regionkey > 100)
+         order by n_name""",
+      "select n_name from nation where false order by n_name")
   }
 
   test("group by rollup and cube") {
@@ -608,6 +622,13 @@ class SqlSurfaceSpec extends SparkTestBase {
            (select count(*) from region where region.r_regionkey = nation.n_regionkey) as c
          from nation group by rollup(n_regionkey)"""))
     assert(e.getMessage.toLowerCase.contains("rollup"))
+    // an UNALIASED scalar item under rollup keeps the plain path's
+    // user-visible name, not the internal min(__ssq_N) wrapper's
+    val named = graftSession.query(
+      """select n_regionkey, (select max(r_regionkey) from region)
+         from nation group by rollup(n_regionkey)""")
+    assert(named.columns.toSeq == Seq("n_regionkey", "scalar_subquery0"),
+      named.columns.mkString(","))
   }
 
   test("group-key qualifier mismatch fails loudly instead of mislabeling") {
