@@ -767,6 +767,35 @@ object SparkEntry {
               union all
               select doc_id from documents
               where doc_id % 5 = 0 and text is null""")),
+    // train/eval contamination: per eval doc, the fraction of its
+    // shingles found anywhere in the training split — distinct train
+    // shingle set join + doc count, narrow key shuffles only.
+    ("q_contamination",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        val evalSrc = "('src17', 'src18', 'src19')"
+        graft.ops.Dedup.contaminationScores(
+          docs.filter(s"source not in $evalSrc"),
+          docs.filter(s"source in $evalSrc"))
+      },
+      Some("""with tok as (select doc_id, source,
+                             string_split(lower(text), ' ') as w from documents),
+              sh as (select doc_id, source, list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingles
+                     from tok),
+              train as (select distinct unnest(shingles) as s from sh
+                        where source not in ('src17', 'src18', 'src19')),
+              ev as (select doc_id, unnest(shingles) as s from sh
+                     where source in ('src17', 'src18', 'src19')),
+              hits as (select e.doc_id, count(*) as matched
+                       from ev e join train t on e.s = t.s group by 1),
+              tot as (select doc_id, len(shingles) as n_shingles from sh
+                      where source in ('src17', 'src18', 'src19'))
+              select tot.doc_id, tot.n_shingles,
+                coalesce(h.matched, 0) as matched,
+                coalesce(h.matched, 0)::DOUBLE / tot.n_shingles as contamination
+              from tot left join hits h on tot.doc_id = h.doc_id""")),
     // per-label embedding centroids in long form: flatMap explode +
     // ONE (label, pos) shuffle with partial sums — shuffled state is
     // labels×dim regardless of corpus size. float32 components are

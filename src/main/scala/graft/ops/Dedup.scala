@@ -293,6 +293,39 @@ object Dedup {
     * near-dup form), so each increment costs one scan of the batch
     * plus one hash-bucketed anti join, independent of corpus text
     * size. */
+  /** Train/eval contamination check: for each eval document, the
+    * fraction of its token-n-gram shingles that appear ANYWHERE in
+    * the training corpus — the overlap audit run before an eval set
+    * is trusted (a score near 1 means the "held-out" doc leaked into
+    * training). Same shingle definition as the near-dup pipeline
+    * ([[withShingles]]), so a persisted signature table serves both.
+    *
+    * Plan shape: the train side collapses to a DISTINCT shingle set
+    * (map-side partial dedup), the eval side explodes to (doc_id,
+    * shingle), and one equi-join on the shingle key + a doc_id count
+    * produces the scores — all narrow key shuffles, nothing
+    * quadratic. At 100 TB, hash the shingle strings to 64-bit before
+    * the join (graft_minhash's md5 slices work) to cut shuffle bytes;
+    * kept as strings here so the oracle replays the join verbatim.
+    * Scores are int/int divisions left unrounded (shingle counts can
+    * be powers of two — .xx5 rounding boundary). */
+  def contaminationScores(train: DataFrame, evalDocs: DataFrame,
+                          n: Int = ShingleN): DataFrame = {
+    val trainSh = withShingles(train, n)
+      .selectExpr("explode(shingles) as s").distinct()
+    val evalSh = withShingles(evalDocs, n)
+    val totals = evalSh
+      .selectExpr("doc_id", "cast(size(shingles) as bigint) as n_shingles")
+    val hits = evalSh.selectExpr("doc_id", "explode(shingles) as s")
+      .join(trainSh, Seq("s"))
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("matched"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("matched", F.coalesce(F.col("matched"), F.lit(0L)))
+      .withColumn("contamination",
+        F.col("matched").cast("double") / F.col("n_shingles"))
+      .select("doc_id", "n_shingles", "matched", "contamination")
+  }
+
   def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
     // null text is a degenerate document, not a duplicate class: SQL
     // equality semantics (null matches nothing, not even other nulls)

@@ -280,6 +280,21 @@ class OpsSpec extends SparkTestBase {
     assert(kept == Set(11L, 12L, 14L, 15L))
   }
 
+  test("contamination scores measure shingle overlap with the train side") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // shingles(train) = {"a b c", "b c d"}
+    val eval_ = Seq(
+      (10L, "a b c x"),        // {"a b c", "b c x"} -> 1 of 2 matched
+      (11L, "a b c d"),        // identical -> fully contaminated
+      (12L, "p q r s")).toDF("doc_id", "text") // disjoint -> 0
+    val out = Dedup.contaminationScores(train, eval_).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L) == ((2L, 1L, 0.5)))
+    assert(out(11L) == ((2L, 2L, 1.0)))
+    assert(out(12L) == ((2L, 0L, 0.0)))
+  }
+
   test("label centroids average each dimension over the label's vectors") {
     import spark.implicits._
     val emb = Seq(
