@@ -34,16 +34,33 @@ object Dedup {
       .filter(F.col("copies") > 1)
       .select("keep_id", "copies")
 
-  /** doc_id + distinct token-n-gram shingles. */
-  def withShingles(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+  /** SQL text of the distinct token-n-gram shingle array over a
+    * `__toks` column. Consumers that need ROWS must inline this
+    * directly inside `explode(...)`: materializing the array into a
+    * named column and exploding it in a separate projection makes
+    * Spark's Generate copy the backing array per emitted element —
+    * measured 13× slower at sf0.1 (4.4 s vs 0.35 s for the train
+    * split's ~630k shingles). */
+  private def shingleArraySql(n: Int): String = {
     val gram = (0 until n).map(k => s"element_at(__toks, i+$k)")
       .mkString(", ' ', ")
-    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
-      .selectExpr("doc_id",
-        s"""array_distinct(transform(
-              sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
-              i -> concat($gram))) as shingles""")
+    s"""array_distinct(transform(
+          sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
+          i -> concat($gram)))"""
   }
+
+  /** doc_id + distinct token-n-gram shingles (array form — for
+    * per-document array consumers like minhash; row consumers use
+    * [[withShingleRows]]). */
+  def withShingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
+      .selectExpr("doc_id", s"${shingleArraySql(n)} as shingles")
+
+  /** (doc_id, s): one row per distinct shingle, the explode inlined
+    * over the token projection (see [[shingleArraySql]] for why). */
+  def withShingleRows(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
+      .selectExpr("doc_id", s"explode(${shingleArraySql(n)}) as s")
 
   /** doc_id + NumHashes minhash signatures h0..h{k-1}. Rather than k
     * md5 calls per shingle, each seeded 128-bit md5 is sliced into
@@ -311,12 +328,10 @@ object Dedup {
     * be powers of two — .xx5 rounding boundary). */
   def contaminationScores(train: DataFrame, evalDocs: DataFrame,
                           n: Int = ShingleN): DataFrame = {
-    val trainSh = withShingles(train, n)
-      .selectExpr("explode(shingles) as s").distinct()
-    val evalSh = withShingles(evalDocs, n)
-    val totals = evalSh
+    val trainSh = withShingleRows(train, n).select("s").distinct()
+    val totals = withShingles(evalDocs, n)
       .selectExpr("doc_id", "cast(size(shingles) as bigint) as n_shingles")
-    val hits = evalSh.selectExpr("doc_id", "explode(shingles) as s")
+    val hits = withShingleRows(evalDocs, n)
       .join(trainSh, Seq("s"))
       .groupBy("doc_id").agg(F.count(F.lit(1)).as("matched"))
     totals.join(hits, Seq("doc_id"), "left_outer")

@@ -140,13 +140,17 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame): DataFrame = {
     val tok = docs.selectExpr("doc_id",
       "filter(split(lower(text), ' '), t -> t <> '') as w")
+    // word stats are PER-ROW array expressions — no explode, no
+    // shuffle (size(array_distinct(w)) ≡ the exploded COUNT(DISTINCT)
+    // value, without the expand+aggregate). The empty filter mirrors
+    // the exploded form, where a zero-word doc emits no rows.
     val wordStats = tok
-      .selectExpr("doc_id", "explode(w) as g")
-      .groupBy("doc_id")
-      .agg(F.count(F.lit(1)).as("n_words"),
-           F.countDistinct("g").as("__nd"))
+      .filter("size(w) > 0")
+      .selectExpr("doc_id",
+        "cast(size(w) as bigint) as n_words",
+        "cast(size(array_distinct(w)) as double) as __nd")
       .withColumn("dup_word_frac",
-        F.lit(1.0) - F.col("__nd").cast("double") / F.col("n_words"))
+        F.lit(1.0) - F.col("__nd") / F.col("n_words"))
     val top = tok
       .filter("size(w) >= 2")
       .selectExpr("doc_id",
