@@ -97,4 +97,36 @@ class PlanAuditSpec extends SparkTestBase {
       "aggregation not two-phase")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("tfidf joins on keys with partial aggregation, no cartesian") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "tf/df aggregation not two-phase")
+    assert(!p.contains("CartesianProduct"),
+      "tfidf produced a cartesian product")
+    // the only nested-loop is the broadcast 1-row corpus-size N
+    val bnl = "BroadcastNestedLoopJoin"
+    assert(!p.contains(bnl) ||
+      p.indexOf(bnl) == p.lastIndexOf(bnl), p.take(2000))
+  }
+
+  test("contamination joins the distinct train-shingle set on the key") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "shingle distinct/count not two-phase")
+    assert(p.toLowerCase.contains("generate"),
+      "shingle explode missing from the plan")
+  }
+
+  test("incremental dedup is a hash anti join on the text hash") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("label centroids aggregate with map-side partials after explode") {
+    val p = plan("q_embed_centroids")
+    assert(p.contains("partial_"), "centroid mean not two-phase")
+    assert(p.toLowerCase.contains("generate"), "posexplode missing")
+  }
 }
