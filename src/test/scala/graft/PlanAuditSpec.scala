@@ -129,4 +129,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "centroid mean not two-phase")
     assert(p.toLowerCase.contains("generate"), "posexplode missing")
   }
+
+  test("shard stats are a pure projection plus two-phase aggregation") {
+    val p = plan("q_shard_stats")
+    assert(p.contains("partial_"), "shard stats not map-side combined")
+    assert(!p.contains("Join"), "shard assignment must not join")
+  }
+
+  // AQE wraps the executed plan in AdaptiveSparkPlanExec, which hides
+  // its inner plan from collect() — count shuffles in the rendering
+  private def shuffleCount(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(name)).length
+
+  test("sequence packing runs on ONE exchange, no (shard, seq) reshuffle") {
+    // the whole packing (cumsum, seq, seq_pos) reuses the single
+    // hashpartitioning(shard) exchange — the naive row_number over
+    // (shard, seq) would add a second corpus-wide shuffle
+    val p = plan("q_pack_sequences")
+    assert(shuffleCount("q_pack_sequences") == 1, p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
+  test("quantization is shuffle-free whole-stage projection") {
+    val p = plan("q_embed_quantize")
+    assert(shuffleCount("q_embed_quantize") == 0, "quantization must not shuffle")
+    assert(p.contains("*("), "quantization fell out of codegen")
+  }
+
+  test("ngram top-k is a per-partition heap, not a global sort") {
+    val p = plan("q_ngram_top")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_"), "gram counts not map-side combined")
+  }
 }

@@ -306,4 +306,113 @@ class OpsSpec extends SparkTestBase {
     assert(out((0, 0)) == (2L, 2.0) && out((0, 1)) == (2L, 4.0))
     assert(out((1, 0)) == (1L, 5.0) && out((1, 1)) == (1L, 5.0))
   }
+
+  test("shard assignment is uniform-ish, in range and deterministic") {
+    val sharded = Export.withShard(documents, "doc_id", 16)
+    val counts = sharded.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.forall(s => s >= 0 && s < 16))
+    assert(counts.values.sum == documents.count())
+    // md5 is uniform: no shard should be empty or grossly skewed
+    assert(counts.size == 16)
+    assert(counts.values.max < 4L * counts.values.min)
+    // stable across evaluations (no rand(): same assignment each run)
+    val again = Export.withShard(documents, "doc_id", 16)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sharded.select("doc_id", "shard").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("shard stats aggregate per-shard rows and bytes") {
+    val stats = Export.shardStats(documents, "doc_id", 8, "n_chars").collect()
+    assert(stats.map(_.getLong(1)).sum == documents.count())
+    val totalChars = documents.agg(org.apache.spark.sql.functions
+      .sum("n_chars")).collect()(0).getLong(0)
+    assert(stats.map(_.getLong(2)).sum == totalChars)
+  }
+
+  test("sequence packing cuts shards at the token budget") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
+    val packed = Export.packSequences(df, "doc_id", "n_tokens", 300L, 2)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"),
+        r.getAs[Int]("seq_pos"), r.getAs[Long]("n_tokens")))
+    // every (shard, seq) group's tokens fit the budget except for the
+    // last doc, which may straddle the cut (contiguous fill)
+    packed.groupBy(p => (p._1, p._2)).foreach { case (_, g) =>
+      val tokens = g.sortBy(_._3).map(_._4)
+      assert(tokens.init.sum < 300L,
+        s"all but the straddling doc must start inside the budget: $g")
+      // seq_pos is 1..n dense within the sequence
+      assert(g.map(_._3).sorted.sameElements(1 to g.length))
+    }
+    // seq ids are dense from 0 within each shard
+    packed.groupBy(_._1).foreach { case (_, g) =>
+      val seqs = g.map(_._2).distinct.sorted
+      assert(seqs.sameElements(0L until seqs.length))
+    }
+  }
+
+  test("sequence packing matches an independent spark.sql replay") {
+    val docs = documents.filter("text is not null")
+      .selectExpr("doc_id",
+        "cast(size(filter(split(lower(text), ' '), t -> t <> '')) as bigint) as n_tokens")
+    docs.createOrReplaceTempView("__pack_in")
+    val expected = spark.sql(
+      """with t as (select doc_id, n_tokens,
+             cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 8 as shard,
+             md5(cast(doc_id as string)) as hk from __pack_in),
+           c as (select doc_id, shard, n_tokens,
+                   sum(n_tokens) over (partition by shard order by hk, doc_id
+                     rows between unbounded preceding and current row) as cum, hk
+                 from t)
+         select doc_id, shard, n_tokens, (cum - n_tokens) div 2048 as seq,
+           cast(row_number() over (partition by shard, (cum - n_tokens) div 2048
+                order by hk, doc_id) as int) as seq_pos
+         from c""")
+    assertSameRows(
+      Export.packSequences(docs, "doc_id", "n_tokens", 2048L, 8)
+        .select("doc_id", "shard", "n_tokens", "seq", "seq_pos"),
+      expected)
+  }
+
+  test("int8 quantization has exact hand-computed checksums") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, -2.25f, 0.0f)),  // scale 2.25 -> q = [28, -127, 0]
+      (2L, Array(0.0f, 0.0f, 0.0f)),    // zero vector -> all zeros
+      (3L, Array(1.0f))                  // scale 1 -> q = [127]
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((2.25, 3, -99L, 155L)))
+    assert(out(2L) == ((0.0, 3, 0L, 0L)))
+    assert(out(3L) == ((1.0, 1, 127L, 127L)))
+  }
+
+  test("quantization error is bounded by half a step") {
+    val q = Similarity.quantizeEmbeddings(embeddings)
+    // |q| <= 127 * dim always, and q_l1 > 0 for any nonzero vector
+    q.collect().foreach { r =>
+      assert(r.getLong(4) <= 127L * r.getInt(2))
+      assert(r.getLong(3).abs <= r.getLong(4))
+      if (r.getDouble(1) > 0) assert(r.getLong(4) > 0)
+    }
+  }
+
+  test("top ngrams count occurrences and distinct docs exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat"),   // "the cat" x2
+      (2L, "the cat ran"),              // "the cat" x1
+      (3L, "a lone token")).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(docs, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == (("the cat", 3L, 2L)))
+    assert(out.length == 3)
+    // ties broken by gram text ascending after count descending
+    assert(out.map(_._2).sorted.reverse.sameElements(out.map(_._2)))
+  }
 }

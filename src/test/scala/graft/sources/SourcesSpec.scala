@@ -88,6 +88,31 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sharded export writes one pruned partition per shard") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.ops.Export.writeSharded(docs, "doc_id", 4, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.sameElements((0 until 4).map(s => s"shard=$s")))
+    // each shard directory holds exactly one data file (repartition on
+    // shard pins one writing task per shard — no small-file explosion)
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // shard is a partition column: a shard filter prunes the scan
+    val pruned = back.filter("shard = 2")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters: [isnotnull(shard"), scan.take(1200))
+    assert(pruned.count() ==
+      graft.ops.Export.withShard(docs, "doc_id", 4).filter("shard = 2").count())
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     val events = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
     val sessions = graft.streaming.Streaming.sessionize(events).collect()
