@@ -93,6 +93,26 @@ object SparkEntry {
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation
          where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""",
+    // QUALIFY — graft dialect extension; DuckDB supports it natively,
+    // so the same text is engine input and oracle. Per-group top-k via
+    // a window filter, the canonical QUALIFY use.
+    "q_qualify" ->
+      """select c_nationkey, c_custkey, c_acctbal,
+           cast(row_number() over (partition by c_nationkey
+                              order by c_acctbal desc, c_custkey) as bigint) as rn
+         from customer qualify rn <= 3""",
+    // window function INLINE in QUALIFY (not projected), over an
+    // aggregated result — exercises both the hidden-item hoist and the
+    // post-aggregation window lowering
+    "q_qualify_agg" ->
+      """select c_nationkey, count(*) as cnt from customer
+         group by c_nationkey
+         qualify rank() over (order by count(*) desc, c_nationkey) <= 5""",
+    // window over an aggregate in a plain select item
+    "q_window_over_agg" ->
+      """select c_mktsegment, count(*) as cnt,
+           cast(rank() over (order by count(*) desc, c_mktsegment) as bigint) as r
+         from customer group by c_mktsegment""",
     "q_is_null" ->
       "select c_custkey from customer where c_acctbal is not null and c_mktsegment is not null",
     // --- expressions (rows 11-15)
@@ -618,6 +638,48 @@ object SparkEntry {
                          from events where event_type = 'view')
               select p.event_id, p.user_id, p.t, p.value,
                      v.vt as asof_time, v.view_id as asof_value
+              from p asof left join v
+                on p.user_id = v.user_id and p.t >= v.vt""")),
+    // forward as-of (earliest right row at/after left time) — oracle
+    // is DuckDB's native ASOF with the inequality flipped
+    ("q_asof_forward",
+      (s: SparkSession, dir: String) => {
+        val ev = tbl(s, dir, "events")
+          .selectExpr("event_id", "user_id", "ts div 1000 as t", "value", "event_type")
+        val p = ev.filter("event_type = 'purchase'")
+          .select("event_id", "user_id", "t", "value")
+        val v = ev.filter("event_type = 'view'")
+          .selectExpr("user_id", "t as vt", "event_id as view_id")
+        graft.ops.AsOf.joinForward(p, v, "user_id", "t", "vt", "view_id")
+      },
+      Some("""with p as (select event_id, user_id, epoch_us(ts) as t, value
+                         from events where event_type = 'purchase'),
+                   v as (select event_id as view_id, user_id, epoch_us(ts) as vt
+                         from events where event_type = 'view')
+              select p.event_id, p.user_id, p.t, p.value,
+                     v.vt as asof_time, v.view_id as asof_value
+              from p asof left join v
+                on p.user_id = v.user_id and p.t <= v.vt""")),
+    // as-of with a match tolerance (10 minutes in micros): matches
+    // further back than the bound become NULL, pandas merge_asof-style
+    ("q_asof_tolerance",
+      (s: SparkSession, dir: String) => {
+        val ev = tbl(s, dir, "events")
+          .selectExpr("event_id", "user_id", "ts div 1000 as t", "value", "event_type")
+        val p = ev.filter("event_type = 'purchase'")
+          .select("event_id", "user_id", "t", "value")
+        val v = ev.filter("event_type = 'view'")
+          .selectExpr("user_id", "t as vt", "event_id as view_id")
+        graft.ops.AsOf.join(p, v, "user_id", "t", "vt", "view_id",
+          tolerance = Some(600000000L))
+      },
+      Some("""with p as (select event_id, user_id, epoch_us(ts) as t, value
+                         from events where event_type = 'purchase'),
+                   v as (select event_id as view_id, user_id, epoch_us(ts) as vt
+                         from events where event_type = 'view')
+              select p.event_id, p.user_id, p.t, p.value,
+                     case when v.vt >= p.t - 600000000 then v.vt end as asof_time,
+                     case when v.vt >= p.t - 600000000 then v.view_id end as asof_value
               from p asof left join v
                 on p.user_id = v.user_id and p.t >= v.vt""")),
     // salted two-phase aggregation must equal the plain group-by

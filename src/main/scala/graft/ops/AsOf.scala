@@ -3,29 +3,50 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
-/** As-of (temporal) join — for each left row, the most recent right
-  * row with right.time <= left.time within the same key
-  * (SURVEY.md §2.2 row 52).
+/** As-of (temporal) join — for each left row, the nearest right row
+  * within the same key: backward (right.time <= left.time, the
+  * default), forward (right.time >= left.time), each with an optional
+  * match tolerance (SURVEY.md §2.2 row 52) — the pandas `merge_asof`
+  * direction/tolerance surface.
   *
   * Spark has no native as-of join; rather than a custom physical
   * operator, this composes built-ins the way the optimizer likes:
   * tag both sides, UNION them (no join at all!), then a single
-  * last_value(ignoreNulls) window ordered by time within each key.
-  * One shuffle on the key, linear in total rows — the classic
-  * scalable formulation; a sort-merge-join based as-of would shuffle
-  * both sides too but then pay a per-key merge with no codegen.
+  * last_value/first_value(ignoreNulls) window ordered by time within
+  * each key. One shuffle on the key, linear in total rows — the
+  * classic scalable formulation; a sort-merge-join based as-of would
+  * shuffle both sides too but then pay a per-key merge with no
+  * codegen.
   *
-  * Ties (equal timestamps) resolve right-side-first, matching
-  * inclusive `<=` semantics.
+  * Ties (equal timestamps) resolve to the right row, matching the
+  * inclusive `<=`/`>=` semantics in both directions.
   */
 object AsOf {
 
-  /** leftTime/rightTime are long (e.g. epoch micros) columns.
-    * Returns left rows + `asof_<rightTime>` = matched right time and
-    * `asof_match` columns from the right value column. */
+  /** Backward as-of: the most recent right row with
+    * right.time <= left.time. leftTime/rightTime are long (e.g. epoch
+    * micros) columns. Returns left rows + `asof_time` (matched right
+    * time) and `asof_value` (right value column); `tolerance` nulls a
+    * match further than that many time units before the left time. */
   def join(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String,
-           rightValue: String): DataFrame = {
+           leftTime: String, rightTime: String, rightValue: String,
+           tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, key, leftTime, rightTime, rightValue,
+      forward = false, tolerance)
+
+  /** Forward as-of: the EARLIEST right row with
+    * right.time >= left.time (e.g. "next maintenance after failure",
+    * "first response after request"). Same plan shape and cost as the
+    * backward join — the window frame flips to the following rows. */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String, rightValue: String,
+                  tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, key, leftTime, rightTime, rightValue,
+      forward = true, tolerance)
+
+  private def asof(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String, rightValue: String,
+                   forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val l = left.withColumn("__side", F.lit(1))
       .withColumn("__t", F.col(leftTime))
       .withColumn("__rv", F.lit(null).cast(right.schema(rightValue).dataType))
@@ -40,13 +61,36 @@ object AsOf {
         Seq("__side", "__t", "__rv", "__rt")).distinct.map(F.col): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    // right rows sort before left rows at equal time → inclusive <=
-    val w = Window.partitionBy(key)
-      .orderBy(F.col("__t"), F.col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("asof_time", F.last("__rt", ignoreNulls = true).over(w))
-      .withColumn("asof_value", F.last("__rv", ignoreNulls = true).over(w))
+    // Backward: right rows sort BEFORE left rows at equal time and the
+    // frame looks back → inclusive <=. Forward: right rows sort AFTER
+    // left rows at equal time and the frame looks ahead → inclusive >=.
+    val sideOrd = if (forward) F.col("__side").desc else F.col("__side").asc
+    val base = Window.partitionBy(key).orderBy(F.col("__t"), sideOrd)
+    val matched =
+      if (forward) {
+        val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        unioned
+          .withColumn("asof_time", F.first("__rt", ignoreNulls = true).over(w))
+          .withColumn("asof_value", F.first("__rv", ignoreNulls = true).over(w))
+      } else {
+        val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("asof_time", F.last("__rt", ignoreNulls = true).over(w))
+          .withColumn("asof_value", F.last("__rv", ignoreNulls = true).over(w))
+      }
+    val bounded = tolerance match {
+      case Some(tol) =>
+        // a match further than `tol` from the left time is no match
+        // (pandas merge_asof tolerance): null value first, time second
+        val ok =
+          if (forward) F.col("asof_time") <= F.col("__t") + tol
+          else F.col("asof_time") >= F.col("__t") - tol
+        matched
+          .withColumn("asof_value", F.when(ok, F.col("asof_value")))
+          .withColumn("asof_time", F.when(ok, F.col("asof_time")))
+      case None => matched
+    }
+    bounded
       .filter(F.col("__side") === 1)
       .drop("__side", "__t", "__rv", "__rt")
   }

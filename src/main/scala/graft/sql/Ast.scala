@@ -107,11 +107,15 @@ object Ast {
   // ---- query structure (sql.lark:3-12) ------------------------------
   final case class SelectItem(e: Expr, alias: Option[String])
   /** groupMode: "plain" | "rollup" | "cube" (rollup/cube are graft
-    * dialect extensions over Spark's native grouping-set support). */
+    * dialect extensions over Spark's native grouping-set support).
+    * qualify: post-window filter (QUALIFY clause — graft dialect
+    * extension matching DuckDB/Snowflake/BigQuery; evaluated after
+    * select items and window functions, before DISTINCT). */
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
                           from: Relation, where: Option[Expr],
                           groupBy: Seq[Expr], having: Option[Expr],
-                          groupMode: String = "plain")
+                          groupMode: String = "plain",
+                          qualify: Option[Expr] = None)
   final case class Query(sel: Select, orderBy: Seq[OrderItem],
                          limit: Option[Long], offset: Option[Long])
 

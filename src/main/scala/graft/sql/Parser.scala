@@ -28,7 +28,7 @@ final class Parser(tokens: Vector[Token]) {
     "when", "then", "else", "end", "asc", "desc", "by", "all",
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
-    "unbounded", "current", "row", "using", "window", "with")
+    "unbounded", "current", "row", "using", "window", "with", "qualify")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -202,7 +202,11 @@ final class Parser(tokens: Vector[Token]) {
         more = eatOp(",")
       }
     }
-    Select(distinct, items.result(), from, where, groupBy, having, groupMode)
+    // QUALIFY — graft dialect extension (DuckDB/Snowflake/BigQuery):
+    // filter on window-function results, after HAVING/WINDOW
+    val qualify = if (eatKw("qualify")) Some(parseExpr()) else None
+    Select(distinct, items.result(), from, where, groupBy, having,
+      groupMode, qualify)
   }
 
   private def parseSelectItem(): SelectItem = {

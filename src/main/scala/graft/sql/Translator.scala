@@ -223,11 +223,35 @@ final class Translator(catalog: String => DataFrame) {
             ColRef(None, n)
         }
       }
-    val selScalars = sel.copy(
+    val selScalars0 = sel.copy(
       items = sel.items.map(i => i.copy(e = hoistScalars(i.e))),
       where = sel.where.map(hoistScalars),
       groupBy = sel.groupBy.map(hoistScalars),
-      having = sel.having.map(hoistScalars))
+      having = sel.having.map(hoistScalars),
+      qualify = sel.qualify.map(hoistScalars))
+
+    // QUALIFY (post-window filter): window-function subtrees hoist to
+    // hidden select items — computed alongside the visible windows on
+    // the same plan — and the residual predicate filters the projected
+    // result (where select aliases resolve), before DISTINCT. Standard
+    // QUALIFY evaluation order: FROM→WHERE→GROUP/HAVING→window→QUALIFY
+    // →DISTINCT→ORDER.
+    var qualifyHidden = List.empty[String]
+    val (qualifyExpr, selScalars) = selScalars0.qualify match {
+      case Some(q0) =>
+        val hidden = Seq.newBuilder[SelectItem]
+        val rewritten = Ast.transformUp(q0) {
+          case w @ (AggExpr(_, _, _, Some(_)) | RankExpr(_, _) |
+                    WinFunc(_, _, _)) =>
+            val n = s"__qw_${qualifyHidden.size}"
+            qualifyHidden = n :: qualifyHidden
+            hidden += SelectItem(w, Some(n))
+            ColRef(None, n)
+        }
+        (Some(rewritten),
+          selScalars0.copy(items = selScalars0.items ++ hidden.result()))
+      case None => (None, selScalars0)
+    }
 
     val outerAliases = relationAliases(sel.from)
 
@@ -473,7 +497,13 @@ final class Translator(catalog: String => DataFrame) {
         base.select(selectCols(selAgg.items, base): _*)
       } else translateAggregate(selAgg, filtered0)
 
-    val dis = if (selScalars.distinct) projected.distinct() else projected
+    val qualified = qualifyExpr match {
+      case Some(qe) =>
+        val f = projected.filter(exprToCol(qe, None))
+        if (qualifyHidden.isEmpty) f else f.drop(qualifyHidden: _*)
+      case None => projected
+    }
+    val dis = if (selScalars.distinct) qualified.distinct() else qualified
     // hoisted helper columns (IN flags, scalar-subquery values) must
     // not leak through SELECT * — drop ignores absent columns, so
     // explicit projections are unaffected
@@ -557,6 +587,16 @@ final class Translator(catalog: String => DataFrame) {
     def post(e: Expr): Column = e match {
       case a @ AggExpr(_, _, _, None) =>
         F.col(aggName(aggColumn(a)))
+      // window functions over the AGGREGATED result (standard SQL:
+      // windows evaluate after GROUP BY/HAVING) — partition/order keys
+      // and arguments lower through post, so aggregates and group keys
+      // inside the window spec resolve to their post-agg columns
+      case a: AggExpr if a.window.isDefined =>
+        aggColumnBase(a, post).over(windowSpec(a.window.get, post))
+      case RankExpr(dense, w) =>
+        (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w, post))
+      case WinFunc(nm, args, w) =>
+        winFunc(nm, args, post).over(windowSpec(w, post))
       case _ if groupNamed.exists(t => sameExpr(t._1, e)) =>
         groupNamed.find(t => sameExpr(t._1, e)).get match {
           case (_, _, Some(n)) => F.col(n) // named expression key
@@ -648,8 +688,13 @@ final class Translator(catalog: String => DataFrame) {
     // lower with plain exprToCol over that frame.
     if (!sel.items.exists(i => containsAgg(i.e)) &&
         !sel.having.exists(containsAgg)) {
-      val base = in.select(selectCols(sel.items, in): _*).distinct()
-      return sel.having match {
+      // hidden QUALIFY window items must NOT join the distinct (they
+      // would stop rows collapsing); they evaluate over the grouped,
+      // HAVING-filtered result — the frame QUALIFY windows see
+      val (hiddenQ, visible) =
+        sel.items.partition(_.alias.exists(_.startsWith("__qw_")))
+      val base = in.select(selectCols(visible, in): _*).distinct()
+      val afterHaving = sel.having match {
         case Some(h) =>
           val (e2, js, hs) = lowerHavingSubqueries(h, exprToCol(_, None))
           val joined = js.foldLeft(base)((d, f) => f(d))
@@ -657,12 +702,21 @@ final class Translator(catalog: String => DataFrame) {
           if (hs.isEmpty) filtered else filtered.drop(hs: _*)
         case None => base
       }
+      return if (hiddenQ.isEmpty) afterHaving
+      else afterHaving.select(afterHaving.columns.map(F.col).toSeq ++
+        selectCols(hiddenQ, afterHaving): _*)
     }
 
     // force materialization of agg map: walk select + having
     val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
       case SelectItem(Star(_), _) =>
         fail("SELECT * with aggregation requires explicit columns")
+      // hidden QUALIFY items: select aliases resolve inside the window
+      // spec (DuckDB QUALIFY scoping) — the aliased expression is the
+      // only form that still exists post-aggregation
+      case SelectItem(e, alias) if alias.exists(_.startsWith("__qw_")) =>
+        val e2 = resolveAliases(e)
+        (e2, alias, post(e2))
       case SelectItem(e, alias) => (e, alias, post(e))
     }
     val (havingExpr, havingJoins) = sel.having match {
@@ -940,7 +994,7 @@ final class Translator(catalog: String => DataFrame) {
     case RankExpr(dense, w) =>
       (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
     case WinFunc(name, args, w) =>
-      winFunc(name, args, in).over(windowSpec(w))
+      winFunc(name, args, exprToCol(_, in)).over(windowSpec(w))
     case And(l, r) => exprToCol(l, in) && exprToCol(r, in)
     case Or(l, r)  => exprToCol(l, in) || exprToCol(r, in)
     case Not(x)    => !exprToCol(x, in)
@@ -1008,16 +1062,18 @@ final class Translator(catalog: String => DataFrame) {
   /** Aggregate → Spark Column (without window). */
   private def aggColumn(a: AggExpr): Column = aggColumnBase(a)
 
-  private def aggColumnBase(a: AggExpr): Column = {
+  private def aggColumnBase(a: AggExpr,
+                            lower: Expr => Column =
+                              exprToCol(_, None)): Column = {
     val arg: Column = a.arg match {
       case Star(_) => F.lit(1)
-      case e       => exprToCol(e, None)
+      case e       => lower(e)
     }
     a.func match {
       case "count" if a.distinct =>
         a.arg match {
           case Star(_) => fail("COUNT(DISTINCT *) unsupported")
-          case e       => F.countDistinct(exprToCol(e, None))
+          case e       => F.countDistinct(lower(e))
         }
       case "count"    => F.count(arg)
       case "sum"      => F.sum(arg)
@@ -1030,14 +1086,16 @@ final class Translator(catalog: String => DataFrame) {
     }
   }
 
-  private def windowSpec(w: WindowSpec): SparkWindow = {
+  private def windowSpec(w: WindowSpec,
+                         lower: Expr => Column =
+                           exprToCol(_, None)): SparkWindow = {
     var spec: SparkWindow =
       if (w.partitionBy.nonEmpty)
-        Window.partitionBy(w.partitionBy.map(e => exprToCol(e, None)): _*)
+        Window.partitionBy(w.partitionBy.map(lower): _*)
       else Window.partitionBy()
     if (w.orderBy.nonEmpty)
       spec = spec.orderBy(w.orderBy.map { oi =>
-        val c = exprToCol(oi.e, None)
+        val c = lower(oi.e)
         if (oi.asc) c.asc else c.desc
       }: _*)
     w.frame.foreach { f =>
@@ -1074,8 +1132,8 @@ final class Translator(catalog: String => DataFrame) {
     * lead/lag (with optional offset and default), first_value /
     * last_value, row_number, ntile. */
   private def winFunc(name: String, args: Seq[Expr],
-                      in: Option[DataFrame]): Column = {
-    def c(i: Int): Column = exprToCol(args(i), in)
+                      lower: Expr => Column): Column = {
+    def c(i: Int): Column = lower(args(i))
     def n(i: Int): Int = args(i) match {
       case NumLit(t)      => t.toDouble.toInt
       case Neg(NumLit(t)) => -t.toDouble.toInt

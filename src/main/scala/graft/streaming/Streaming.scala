@@ -100,6 +100,19 @@ object Streaming {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Stream-static enrichment join: every arriving event picks up the
+    * matching dimension row. The static side is broadcast to each
+    * micro-batch (stateless — no streaming state at all, unlike
+    * stream-stream joins), so the dimension can be re-read per batch
+    * and the stream never blocks on it; left_outer keeps events whose
+    * key has no dimension row yet. The canonical shape for decorating
+    * a 100 TB/day event stream with slowly-changing reference data. */
+  def streamingEnrich(spark: SparkSession, path: String,
+                      dim: DataFrame, key: String): DataFrame = {
+    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+    withEventTime(stream).join(F.broadcast(dim), Seq(key), "left_outer")
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (flatMapGroupsWithState): the custom-state escape hatch for
     * logic windows/sessions can't express. State is one small case

@@ -27,6 +27,39 @@ class AsOfSkewSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("asof_value") == 7L)
   }
 
+  test("forward asof picks earliest right row at or after left time") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", 90L, 900L), ("u1", 200L, 901L), ("u2", 40L, 902L))
+      .toDF("user", "rt", "rid")
+    val out = AsOf.joinForward(left, right, "user", "t", "rt", "rid")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[Any]("asof_time")), Option(r.getAs[Any]("asof_value"))))
+      .toMap
+    assert(out(1L) == (Some(200L), Some(901L)))  // next at/after 100
+    assert(out(2L) == (None, None))              // nothing after 250
+    assert(out(3L) == (None, None))              // 40 < 50: no match
+    // inclusive at equal time
+    val eq = AsOf.joinForward(
+      Seq((1L, "u", 100L)).toDF("id", "user", "t"),
+      Seq(("u", 100L, 7L)).toDF("user", "rt", "rid"),
+      "user", "t", "rt", "rid").collect()
+    assert(eq.head.getAs[Long]("asof_value") == 7L)
+  }
+
+  test("asof tolerance nulls matches beyond the bound") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("id", "user", "t")
+    val right = Seq(("u", 90L, 900L)).toDF("user", "rt", "rid")
+    val out = AsOf.join(left, right, "user", "t", "rt", "rid",
+        tolerance = Some(50L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("asof_value"))).toMap
+    assert(out(1L) == Some(900L))  // 100 - 90 = 10 <= 50
+    assert(out(2L) == None)        // 500 - 90 = 410 > 50: out of reach
+  }
+
   test("consistent sample is deterministic and near the target fraction") {
     val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
     val s1 = Sampling.consistentSample(docs, "doc_id", 0.25)

@@ -759,6 +759,86 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by c_nationkey""")
   }
 
+  test("qualify filters on window results") {
+    // alias reference — spark.sql has no QUALIFY, so the oracle is the
+    // equivalent subquery form
+    checkTranslated(
+      """select c_nationkey, c_custkey, c_acctbal,
+           row_number() over (partition by c_nationkey
+                              order by c_acctbal desc, c_custkey) as rn
+         from customer qualify rn <= 2""",
+      """select * from (
+           select c_nationkey, c_custkey, c_acctbal,
+             row_number() over (partition by c_nationkey
+                                order by c_acctbal desc, c_custkey) as rn
+           from customer) where rn <= 2""")
+    // inline window function, not projected
+    checkTranslated(
+      """select c_nationkey, c_custkey from customer
+         qualify row_number() over (partition by c_nationkey
+                                    order by c_acctbal desc, c_custkey) = 1""",
+      """select c_nationkey, c_custkey from (
+           select c_nationkey, c_custkey,
+             row_number() over (partition by c_nationkey
+                                order by c_acctbal desc, c_custkey) as rn
+           from customer) where rn = 1""")
+    // boolean combination of a window and a plain output column
+    checkTranslated(
+      """select c_custkey, c_acctbal from customer
+         qualify rank() over (order by c_acctbal desc) <= 10 or c_acctbal < 0""",
+      """select c_custkey, c_acctbal from (
+           select c_custkey, c_acctbal, rank() over (order by c_acctbal desc) as r
+           from customer) where r <= 10 or c_acctbal < 0""")
+    // QUALIFY over an aggregated result (window over group-by output)
+    checkTranslated(
+      """select c_nationkey, count(*) as cnt from customer
+         group by c_nationkey
+         qualify rank() over (order by cnt desc, c_nationkey) <= 3""",
+      """select c_nationkey, cnt from (
+           select c_nationkey, count(*) as cnt,
+             rank() over (order by count(*) desc, c_nationkey) as r
+           from customer group by c_nationkey) where r <= 3""")
+    // DISTINCT applies after QUALIFY, over the visible columns only
+    checkTranslated(
+      """select distinct c_nationkey from customer
+         qualify row_number() over (partition by c_mktsegment
+                                    order by c_custkey) <= 5""",
+      """select distinct c_nationkey from (
+           select c_nationkey,
+             row_number() over (partition by c_mktsegment
+                                order by c_custkey) as rn
+           from customer) where rn <= 5""")
+  }
+
+  test("window functions over aggregated results in select items") {
+    // spark.sql supports this form directly — differential check
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as cnt,
+           rank() over (order by count(*) desc, c_nationkey) as r
+         from customer group by c_nationkey order by c_nationkey""")
+    checkAgainstSparkSql(
+      """select c_mktsegment, sum(c_acctbal) as total,
+           sum(sum(c_acctbal)) over (order by c_mktsegment
+             rows between unbounded preceding and current row) as running
+         from customer group by c_mktsegment order by c_mktsegment""")
+  }
+
+  test("qualify over a group-by with no aggregates") {
+    // GROUP BY with no aggregates lowers to DISTINCT; QUALIFY windows
+    // evaluate over the grouped result, not the input rows
+    checkTranslated(
+      """select c_nationkey, c_mktsegment from customer
+         group by c_nationkey, c_mktsegment
+         qualify row_number() over (partition by c_nationkey
+                                    order by c_mktsegment) <= 2""",
+      """select c_nationkey, c_mktsegment from (
+           select c_nationkey, c_mktsegment,
+             row_number() over (partition by c_nationkey
+                                order by c_mktsegment) as rn
+           from (select distinct c_nationkey, c_mktsegment from customer))
+         where rn <= 2""")
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))

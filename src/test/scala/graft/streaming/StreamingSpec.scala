@@ -29,6 +29,28 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(spark.table("stream_counts"), batch)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val batchEvents = spark.read.parquet(path)
+    val dim = batchEvents.select("event_type").distinct()
+      .withColumn("type_rank", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy("event_type"))
+        .cast("long"))
+    val batch = Streaming.withEventTime(batchEvents)
+      .join(dim, Seq("event_type"), "left_outer")
+
+    val q = Streaming.streamingEnrich(spark, path, dim, "event_type")
+      .writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+
+    assertSameRows(spark.table("stream_enrich"), batch)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = java.nio.file.Files.createTempDirectory("events_dedup")
     // stage the file twice => every event is duplicated across files
