@@ -231,4 +231,45 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // QUALIFY (round-3): spark.sql has no QUALIFY, so each generated
+  // query carries its own subquery-form oracle — the pair is built
+  // from the same random pieces
+  private val genQualifyPair: Gen[(String, String)] = for {
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    ord <- Gen.oneOf("c_acctbal desc, c_custkey", "c_custkey",
+      "c_name, c_custkey")
+    wf <- Gen.oneOf("row_number()", "rank()", "dense_rank()")
+    k <- Gen.choose(1, 5)
+    grouped <- Gen.oneOf(false, true)
+    pred <- Gen.option(genPred)
+  } yield if (grouped) {
+    val w = s"$wf over (order by count(*) desc, $part)"
+    (s"select $part, count(*) as cnt from customer" +
+       pred.map(p => s" where $p").getOrElse("") +
+       s" group by $part qualify $w <= $k",
+     s"select $part, cnt from (select $part, count(*) as cnt," +
+       s" $w as __w from customer" +
+       pred.map(p => s" where $p").getOrElse("") +
+       s" group by $part) where __w <= $k")
+  } else {
+    val w = s"$wf over (partition by $part order by $ord)"
+    (s"select c_custkey, $part from customer" +
+       pred.map(p => s" where $p").getOrElse("") +
+       s" qualify $w <= $k",
+     s"select c_custkey, $part from (select c_custkey, $part," +
+       s" $w as __w from customer" +
+       pred.map(p => s" where $p").getOrElse("") +
+       s") where __w <= $k")
+  }
+
+  test("30 random QUALIFY queries match their subquery form") {
+    val pairs = Gen.listOfN(30, genQualifyPair)
+      .pureApply(Gen.Parameters.default, Seed(53L))
+    pairs.distinct.foreach { case (graftSql, oracle) =>
+      withClue(s"\nquery: $graftSql\noracle: $oracle\n") {
+        assertSameRows(graftSession.query(graftSql), spark.sql(oracle))
+      }
+    }
+  }
 }
