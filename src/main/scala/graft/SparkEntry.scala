@@ -205,6 +205,12 @@ object SparkEntry {
       """select l_returnflag, l_linestatus, count(*) as n,
            round(sum(l_quantity), 2) as qty
          from lineitem group by rollup(l_returnflag, l_linestatus)""",
+    // explicit GROUPING SETS (bare key = singleton set, () = total)
+    "q_grouping_sets" ->
+      """select l_returnflag, l_linestatus, count(*) as n,
+           round(sum(l_quantity), 2) as qty
+         from lineitem
+         group by grouping sets ((l_returnflag, l_linestatus), l_returnflag, ())""",
     // scalar subquery under ROLLUP — the constant is aggregated
     // (min) rather than added to the keys, keeping the grouping sets
     "q_rollup_scalar" ->
@@ -758,6 +764,21 @@ object SparkEntry {
           "doc_id", 0.25),
       Some(s"""select doc_id, lang, n_chars from documents
                where substr(md5(doc_id::VARCHAR), 1, 8) < '${f"${(0.25 * (1L << 32)).toLong}%08x"}'""")),
+    // per-source mixture reweighting: different keep-fraction per
+    // group via a CASE threshold — same md5 filter, still no shuffle
+    ("q_sample_weighted",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.weightedSample(
+          tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), default = 0.25),
+      Some(s"""select doc_id, source, n_chars from documents
+               where substr(md5(doc_id::VARCHAR), 1, 8) <
+                 case source
+                   when 'src0' then '${graft.ops.Sampling.thresholdHex(1.0)}'
+                   when 'src1' then '${graft.ops.Sampling.thresholdHex(0.5)}'
+                   when 'src2' then '${graft.ops.Sampling.thresholdHex(0.1)}'
+                   else '${graft.ops.Sampling.thresholdHex(0.25)}' end""")),
     ("q_sample_stratified",
       (s: SparkSession, dir: String) =>
         graft.ops.Sampling.stratifiedSample(

@@ -33,4 +33,37 @@ object Sampling {
         Window.partitionBy(groupCol).orderBy(F.col("__hk"), F.col(keyCol))))
       .filter(F.col("__rn") <= perGroup)
       .drop("__hk", "__rn")
+
+  /** 8-hex-char keep threshold for `fraction`; "g" sorts after every
+    * hex digit, so fraction 1.0 keeps ALL rows (2^32 formats to NINE
+    * chars, which lexicographic compare would get wrong). */
+  def thresholdHex(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else f"${(fraction.max(0) * (1L << 32)).toLong}%08x"
+
+  /** Data-mixture reweighting: keep a DIFFERENT fraction of each
+    * group (e.g. downsample web crawl to 0.3, keep curated sources at
+    * 1.0). Same md5-threshold mechanics as [[consistentSample]] — a
+    * pure filter, no shuffle, pushdown-friendly — with the threshold
+    * selected per group; groups absent from `fractions` fall back to
+    * `default`. Membership is reproducible across runs, engines and
+    * partitionings, and MONOTONE in the fraction: raising a group's
+    * weight only ADDS rows to the sample (the kept set at 0.3 is a
+    * subset of the kept set at 0.5), which keeps successive mixture
+    * tweaks comparable at 100 TB. */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+                     fractions: Map[String, Double],
+                     default: Double = 1.0): DataFrame = {
+    val fallback = s"'${thresholdHex(default)}'"
+    val threshold =
+      if (fractions.isEmpty) fallback
+      else {
+        val cases = fractions.toSeq.sortBy(_._1).map { case (g, f) =>
+          s"when '${g.replace("'", "''")}' then '${thresholdHex(f)}'"
+        }.mkString(" ")
+        s"case $groupCol $cases else $fallback end"
+      }
+    df.filter(
+      s"substring(md5(cast($keyCol as string)), 1, 8) < $threshold")
+  }
 }

@@ -110,12 +110,15 @@ object Ast {
     * dialect extensions over Spark's native grouping-set support).
     * qualify: post-window filter (QUALIFY clause — graft dialect
     * extension matching DuckDB/Snowflake/BigQuery; evaluated after
-    * select items and window functions, before DISTINCT). */
+    * select items and window functions, before DISTINCT).
+    * groupSets (groupMode "sets"): explicit GROUPING SETS — groupBy
+    * holds the flattened distinct key union, groupSets the sets. */
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
                           from: Relation, where: Option[Expr],
                           groupBy: Seq[Expr], having: Option[Expr],
                           groupMode: String = "plain",
-                          qualify: Option[Expr] = None)
+                          qualify: Option[Expr] = None,
+                          groupSets: Seq[Seq[Expr]] = Nil)
   final case class Query(sel: Select, orderBy: Seq[OrderItem],
                          limit: Option[Long], offset: Option[Long])
 

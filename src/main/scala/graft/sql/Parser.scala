@@ -174,10 +174,39 @@ final class Parser(tokens: Vector[Token]) {
     val from = parseFrom()
     val where = if (eatKw("where")) Some(parseExpr()) else None
     var groupMode = "plain"
+    var groupSets = Seq.empty[Seq[Expr]]
     val groupBy =
       if (eatKw("group")) { expectKw("by")
+        // GROUP BY GROUPING SETS ((a,b),(a),()) — graft dialect
+        // extension; a bare key is a singleton set, () the grand total
+        if (atKw("grouping") && pos + 1 < tokens.length &&
+            isKw(tokens(pos + 1), "sets")) {
+          pos += 2
+          groupMode = "sets"
+          expectOp("(")
+          val sets = Seq.newBuilder[Seq[Expr]]
+          var m = true
+          while (m) {
+            if (atOp("(")) {
+              expectOp("(")
+              val set = Seq.newBuilder[Expr]
+              if (!atOp(")")) {
+                var sm = true
+                while (sm) { set += parseExpr(); sm = eatOp(",") }
+              }
+              expectOp(")")
+              sets += set.result()
+            } else sets += Seq(parseExpr())
+            m = eatOp(",")
+          }
+          expectOp(")")
+          groupSets = sets.result()
+          // flattened distinct key union, in first-appearance order
+          groupSets.flatten.foldLeft(Seq.empty[Expr])((acc, e) =>
+            if (acc.contains(e)) acc else acc :+ e)
+        }
         // GROUP BY ROLLUP(a, b) / CUBE(a, b) — graft dialect extension
-        if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
+        else if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
           groupMode = ident().toLowerCase
           expectOp("(")
           val gs = Seq.newBuilder[Expr]
@@ -206,7 +235,7 @@ final class Parser(tokens: Vector[Token]) {
     // filter on window-function results, after HAVING/WINDOW
     val qualify = if (eatKw("qualify")) Some(parseExpr()) else None
     Select(distinct, items.result(), from, where, groupBy, having,
-      groupMode, qualify)
+      groupMode, qualify, groupSets)
   }
 
   private def parseSelectItem(): SelectItem = {

@@ -635,6 +635,17 @@ final class Translator(catalog: String => DataFrame) {
       else sel.groupMode match {
         case "rollup" => in.rollup(groupCols: _*)
         case "cube"   => in.cube(groupCols: _*)
+        case "sets" =>
+          // explicit GROUPING SETS over the flattened key union; sets
+          // are matched to grouping columns by expression, so keys are
+          // restricted to plain columns (expressions would need the
+          // __gk naming to line up across sets — loud error instead)
+          val sets = sel.groupSets.map(_.map {
+            case c @ ColRef(_, _) => exprToCol(c, None)
+            case other =>
+              fail(s"GROUPING SETS keys must be plain columns, got $other")
+          })
+          in.groupingSets(sets, groupCols: _*)
         case _        => in.groupBy(groupCols: _*)
       }
 

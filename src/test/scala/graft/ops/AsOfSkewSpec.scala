@@ -77,6 +77,26 @@ class AsOfSkewSpec extends SparkTestBase {
     counts.foreach(r => assert(r.getLong(1) == 3))
   }
 
+  test("weighted sample keeps per-group fractions, monotone in weight") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "source")
+    val langs = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val g0 = langs.head
+    // fraction 1.0 keeps EVERY row of its group (9-hex-char threshold
+    // regression: 2^32 formats to 9 chars and breaks the compare)
+    val full = Sampling.weightedSample(docs, "source", "doc_id",
+      Map(g0 -> 1.0), default = 0.0)
+    assert(full.count() == docs.filter(s"source = '$g0'").count())
+    // monotone: the kept set at 0.2 is a subset of the kept set at 0.6
+    def ids(f: Double): Set[Long] =
+      Sampling.weightedSample(docs, "source", "doc_id", Map.empty, f)
+        .collect().map(_.getLong(0)).toSet
+    val (lo, hi) = (ids(0.2), ids(0.6))
+    assert(lo.subsetOf(hi))
+    assert(lo.nonEmpty && hi.size < docs.count())
+  }
+
   test("salted aggregation equals plain groupBy") {
     val events = spark.read.parquet(s"${graft.TestSpark.sfDir}/events.parquet")
     val salted = Skew.saltedSumCount(events, "event_type", "value", "event_id")

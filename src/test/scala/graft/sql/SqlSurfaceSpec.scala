@@ -839,6 +839,30 @@ class SqlSurfaceSpec extends SparkTestBase {
          where rn <= 2""")
   }
 
+  test("grouping sets match rollup/cube equivalents") {
+    // spark.sql supports GROUPING SETS directly — differential check
+    checkAgainstSparkSql(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets ((c_nationkey, c_mktsegment), (c_nationkey), ())
+         order by c_nationkey, c_mktsegment""")
+    // bare keys are singleton sets; sets may repeat a column
+    checkAgainstSparkSql(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets (c_nationkey, c_mktsegment)
+         order by c_nationkey, c_mktsegment""")
+    // rollup is sugar for a prefix chain of grouping sets
+    checkTranslated(
+      """select c_nationkey, count(*) as n from customer
+         group by grouping sets ((c_nationkey), ()) order by c_nationkey""",
+      """select c_nationkey, count(*) as n from customer
+         group by rollup(c_nationkey) order by c_nationkey""")
+    // expression keys are rejected loudly
+    val e = intercept[RuntimeException](graftSession.query(
+      """select count(*) as n from customer
+         group by grouping sets ((c_nationkey + 1))""").collect())
+    assert(e.getMessage.contains("plain columns"))
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
