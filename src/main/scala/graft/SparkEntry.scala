@@ -113,6 +113,20 @@ object SparkEntry {
       """select c_mktsegment, count(*) as cnt,
            cast(rank() over (order by count(*) desc, c_mktsegment) as bigint) as r
          from customer group by c_mktsegment""",
+    // IN/EXISTS as PROJECTED booleans (select-item position) — the
+    // existence flag becomes the output value; 3VL verified by DuckDB
+    // (spark.sql itself deviates on NOT IN vs null-bearing sets)
+    "q_in_select" ->
+      """select c_custkey,
+           c_nationkey in (select n_nationkey from nation where n_regionkey = 2) as in_r2,
+           exists (select 1 from orders
+                   where orders.o_custkey = customer.c_custkey
+                     and o_totalprice > 400000) as has_big
+         from customer""",
+    "q_not_in_select_null" ->
+      """select n_nationkey,
+           n_nationkey not in (select nullif(r_regionkey, 2) from region) as f
+         from nation""",
     "q_is_null" ->
       "select c_custkey from customer where c_acctbal is not null and c_mktsegment is not null",
     // --- expressions (rows 11-15)

@@ -255,88 +255,17 @@ final class Translator(catalog: String => DataFrame) {
 
     val outerAliases = relationAliases(sel.from)
 
-    val whereResidual: Option[Expr] = selScalars.where.map { w =>
-      val (subqueries, residual0) = extractInSubqueries(w)
-      subqueries.foreach {
-        case (InSubquery(e, sub), negated) =>
-          val probe = exprToCol(e, None)
-          // Correlated IN (sub's WHERE references an outer alias):
-          // split like EXISTS — correlated conjuncts join, local
-          // conjuncts filter — and key on the sub's select expression.
-          // Known limitation: if the probe/key column NAME exists on
-          // both sides, Spark raises AMBIGUOUS_REFERENCE (a loud
-          // failure, not a wrong result) — qualify or alias to avoid.
-          // inner relations shadow same-named outer ones (standard
-          // SQL scoping) — only non-shadowed qualifiers are outer refs
-          val corrForm = sub match {
-            case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
-                q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
-                q.sel.where.exists(w =>
-                  splitConjuncts(w).exists(refersToAliases(_,
-                    outerAliases -- relationAliases(q.sel.from)))) =>
-              Some(q)
-            case _ => None
-          }
-          corrForm match {
-            case Some(q) =>
-              val outerRefs = outerAliases -- relationAliases(q.sel.from)
-              var inner = translateRelation(q.sel.from)
-              val (corr, local) = q.sel.where
-                .map(splitConjuncts).getOrElse(Nil)
-                .partition(refersToAliases(_, outerRefs))
-              local.reduceOption(And).foreach(p =>
-                inner = inner.filter(exprToCol(p, None)))
-              val keyCol = exprToCol(q.sel.items.head.e, None)
-              // NOT IN needs the null arms for three-valued logic: a
-              // null probe or a null key inside a NONEMPTY correlation
-              // group yields UNKNOWN (row dropped), while an empty
-              // group never satisfies the corr conjuncts, so the anti
-              // join keeps the row — TRUE, as SQL requires.
-              val matchCond =
-                if (negated) probe === keyCol || probe.isNull || keyCol.isNull
-                else probe === keyCol
-              val cond = corr.map(exprToCol(_, None))
-                .foldLeft(matchCond)(_ && _)
-              from = from.join(inner, cond,
-                if (negated) "left_anti" else "left_semi")
-            case None =>
-              val subDf = translate(sub)
-              if (subDf.columns.length != 1)
-                fail("IN (subquery) requires a single-column subquery")
-              val key = subDf(subDf.columns.head)
-              // anti-join emulating SQL NOT IN three-valued logic: a
-              // null probe or any null key means "no row is NOT IN"
-              // (unless the set is empty, where the anti join keeps
-              // everything because the condition never evaluates)
-              val cond =
-                if (negated) probe === key || probe.isNull || key.isNull
-                else probe === key
-              from = from.join(subDf.distinct(), cond,
-                if (negated) "left_anti" else "left_semi")
-          }
-        case (ExistsSubquery(sub), negated) =>
-          // [NOT] EXISTS: semi/anti join. A CORRELATED subquery's
-          // WHERE splits ONCE (existsCorrInfo) into local conjuncts
-          // (filter the inner relation) and correlated conjuncts
-          // (the join condition; outer refs must be alias-qualified),
-          // restricted to FROM/WHERE shape. An UNCORRELATED subquery
-          // may be ANY query — aggregates, GROUP BY, LIMIT, set ops —
-          // reduced to a one-row nonempty probe (existsProbeSide).
-          existsCorrInfo(sub, outerAliases) match {
-            case Some((q, _, corr, local)) =>
-              val (inner, cond) = correlatedExistsSide(q, corr, local)
-              from = from.join(inner, cond,
-                if (negated) "left_anti" else "left_semi")
-            case None =>
-              from = from.join(existsProbeSide(sub), F.lit(true),
-                if (negated) "left_anti" else "left_semi")
-          }
-        case (other, _) => fail(s"unexpected hoisted subquery $other")
-      }
-      residual0.map { res =>
-        var flagIdx = helperCols.size
-        def freshIdx(): Int = { val i = flagIdx; flagIdx += 1; i }
-        Ast.transformUp(res) {
+    // [NOT] IN / EXISTS as a VALUE (non-conjunct boolean positions:
+    // under OR/NOT in WHERE, and SELECT-item projections): rewrite
+    // each subquery node to an existence-flag column joined onto
+    // `from`. Shared by the WHERE residual above and the select-item
+    // pass below; the monotone counter keeps helper names unique
+    // across both.
+    lazy val lowerBoolFlags: Expr => Expr = {
+      var flagIdx = helperCols.size
+      def freshIdx(): Int = { val i = flagIdx; flagIdx += 1; i }
+      (expr0: Expr) =>
+        Ast.transformUp(expr0) {
           case InSubquery(e, sub) =>
             val probe = exprToCol(e, None)
             val i = freshIdx()
@@ -437,15 +366,102 @@ final class Translator(catalog: String => DataFrame) {
             }
             ColRef(None, flagN)
         }
+    }
+
+    val whereResidual: Option[Expr] = selScalars.where.map { w =>
+      val (subqueries, residual0) = extractInSubqueries(w)
+      subqueries.foreach {
+        case (InSubquery(e, sub), negated) =>
+          val probe = exprToCol(e, None)
+          // Correlated IN (sub's WHERE references an outer alias):
+          // split like EXISTS — correlated conjuncts join, local
+          // conjuncts filter — and key on the sub's select expression.
+          // Known limitation: if the probe/key column NAME exists on
+          // both sides, Spark raises AMBIGUOUS_REFERENCE (a loud
+          // failure, not a wrong result) — qualify or alias to avoid.
+          // inner relations shadow same-named outer ones (standard
+          // SQL scoping) — only non-shadowed qualifiers are outer refs
+          val corrForm = sub match {
+            case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+                q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
+                q.sel.where.exists(w =>
+                  splitConjuncts(w).exists(refersToAliases(_,
+                    outerAliases -- relationAliases(q.sel.from)))) =>
+              Some(q)
+            case _ => None
+          }
+          corrForm match {
+            case Some(q) =>
+              val outerRefs = outerAliases -- relationAliases(q.sel.from)
+              var inner = translateRelation(q.sel.from)
+              val (corr, local) = q.sel.where
+                .map(splitConjuncts).getOrElse(Nil)
+                .partition(refersToAliases(_, outerRefs))
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val keyCol = exprToCol(q.sel.items.head.e, None)
+              // NOT IN needs the null arms for three-valued logic: a
+              // null probe or a null key inside a NONEMPTY correlation
+              // group yields UNKNOWN (row dropped), while an empty
+              // group never satisfies the corr conjuncts, so the anti
+              // join keeps the row — TRUE, as SQL requires.
+              val matchCond =
+                if (negated) probe === keyCol || probe.isNull || keyCol.isNull
+                else probe === keyCol
+              val cond = corr.map(exprToCol(_, None))
+                .foldLeft(matchCond)(_ && _)
+              from = from.join(inner, cond,
+                if (negated) "left_anti" else "left_semi")
+            case None =>
+              val subDf = translate(sub)
+              if (subDf.columns.length != 1)
+                fail("IN (subquery) requires a single-column subquery")
+              val key = subDf(subDf.columns.head)
+              // anti-join emulating SQL NOT IN three-valued logic: a
+              // null probe or any null key means "no row is NOT IN"
+              // (unless the set is empty, where the anti join keeps
+              // everything because the condition never evaluates)
+              val cond =
+                if (negated) probe === key || probe.isNull || key.isNull
+                else probe === key
+              from = from.join(subDf.distinct(), cond,
+                if (negated) "left_anti" else "left_semi")
+          }
+        case (ExistsSubquery(sub), negated) =>
+          // [NOT] EXISTS: semi/anti join. A CORRELATED subquery's
+          // WHERE splits ONCE (existsCorrInfo) into local conjuncts
+          // (filter the inner relation) and correlated conjuncts
+          // (the join condition; outer refs must be alias-qualified),
+          // restricted to FROM/WHERE shape. An UNCORRELATED subquery
+          // may be ANY query — aggregates, GROUP BY, LIMIT, set ops —
+          // reduced to a one-row nonempty probe (existsProbeSide).
+          existsCorrInfo(sub, outerAliases) match {
+            case Some((q, _, corr, local)) =>
+              val (inner, cond) = correlatedExistsSide(q, corr, local)
+              from = from.join(inner, cond,
+                if (negated) "left_anti" else "left_semi")
+            case None =>
+              from = from.join(existsProbeSide(sub), F.lit(true),
+                if (negated) "left_anti" else "left_semi")
+          }
+        case (other, _) => fail(s"unexpected hoisted subquery $other")
       }
+      residual0.map(lowerBoolFlags)
     }.flatten.orElse(None)
+
+
+    // IN/EXISTS in SELECT-item position (boolean projections,
+    // `select ..., x in (select ...) as flag`): the flag joins land
+    // on `from` before filtering; the item reads the flag column
+    val selItems = selScalars.copy(items =
+      selScalars.items.map(i => i.copy(e = lowerBoolFlags(i.e))))
 
     val filtered0 = whereResidual match {
       case Some(w) => from.filter(exprToCol(w, None))
       case None    => from
     }
-    val hasAgg = selScalars.items.exists(i => containsAgg(i.e)) ||
-      selScalars.groupBy.nonEmpty || selScalars.having.exists(containsAgg)
+    val hasAgg = selItems.items.exists(i => containsAgg(i.e)) ||
+      selItems.groupBy.nonEmpty || selItems.having.exists(containsAgg)
 
     // Hoisted scalar-subquery columns referenced from an aggregating
     // SELECT/HAVING must survive the aggregation: append them to the
@@ -453,7 +469,7 @@ final class Translator(catalog: String => DataFrame) {
     // correlated value is constant within any group that SQL would
     // accept the subquery in — so grouping is unchanged.
     val selAgg =
-      if (!hasAgg) selScalars
+      if (!hasAgg) selItems
       else {
         // hoisted helper columns referenced outside an aggregate
         def refs(e: Expr): Seq[Expr] = e match {
@@ -463,10 +479,10 @@ final class Translator(catalog: String => DataFrame) {
           case AggExpr(_, _, _, _) => Nil // inside an aggregate is fine
           case other => Ast.children(other).flatMap(refs)
         }
-        val extra = (selScalars.items.flatMap(i => refs(i.e)) ++
-          selScalars.having.toSeq.flatMap(refs)).distinct
-        if (extra.isEmpty) selScalars
-        else if (selScalars.groupMode != "plain") {
+        val extra = (selItems.items.flatMap(i => refs(i.e)) ++
+          selItems.having.toSeq.flatMap(refs)).distinct
+        if (extra.isEmpty) selItems
+        else if (selItems.groupMode != "plain") {
           // ROLLUP/CUBE: extending the key list would CHANGE the
           // grouping sets. An uncorrelated scalar is a global
           // constant, so aggregate it instead (min of a constant);
@@ -481,11 +497,11 @@ final class Translator(catalog: String => DataFrame) {
             case a: AggExpr => a // refs inside aggregates already survive
             case other => Ast.mapChildren(other, wrap)
           }
-          selScalars.copy(
-            items = selScalars.items.map(i => i.copy(e = wrap(i.e))),
-            having = selScalars.having.map(wrap))
+          selItems.copy(
+            items = selItems.items.map(i => i.copy(e = wrap(i.e))),
+            having = selItems.having.map(wrap))
         }
-        else selScalars.copy(groupBy = selScalars.groupBy ++ extra)
+        else selItems.copy(groupBy = selItems.groupBy ++ extra)
       }
 
     val projected: DataFrame =
@@ -503,7 +519,7 @@ final class Translator(catalog: String => DataFrame) {
         if (qualifyHidden.isEmpty) f else f.drop(qualifyHidden: _*)
       case None => projected
     }
-    val dis = if (selScalars.distinct) qualified.distinct() else qualified
+    val dis = if (selItems.distinct) qualified.distinct() else qualified
     // hoisted helper columns (IN flags, scalar-subquery values) must
     // not leak through SELECT * — drop ignores absent columns, so
     // explicit projections are unaffected

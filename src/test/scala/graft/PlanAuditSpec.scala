@@ -156,6 +156,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("*("), "quantization fell out of codegen")
   }
 
+  test("projected subquery flags join on keys, no cartesian blowup") {
+    val p = plan("q_in_select")
+    assert(!p.contains("CartesianProduct"),
+      "select-position flag lowering produced a cartesian product")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "flag join is not hash/merge keyed")
+  }
+
   test("ngram top-k is a per-partition heap, not a global sort") {
     val p = plan("q_ngram_top")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

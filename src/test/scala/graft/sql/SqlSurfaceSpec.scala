@@ -863,6 +863,46 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("plain columns"))
   }
 
+  test("in and exists subqueries as select-item values") {
+    // uncorrelated IN as a projected boolean (3VL: NULL probe -> NULL)
+    checkAgainstSparkSql(
+      """select c_custkey,
+           c_nationkey in (select n_nationkey from nation where n_regionkey = 2) as in_r2
+         from customer order by c_custkey""")
+    // NOT IN projection against a set with nulls: standard 3VL says
+    // "no match vs a null-bearing set" is UNKNOWN (DuckDB agrees);
+    // spark.sql itself returns false here, so the oracle spells out
+    // the CASE rather than comparing against Spark's deviation
+    checkTranslated(
+      """select n_nationkey,
+           n_nationkey not in (select nullif(r_regionkey, 2) from region) as f
+         from nation order by n_nationkey""",
+      """select n_nationkey,
+           case when n_nationkey in (select nullif(r_regionkey, 2) from region
+                                     where nullif(r_regionkey, 2) is not null)
+                then false else cast(null as boolean) end as f
+         from nation order by n_nationkey""")
+    // correlated EXISTS as a projected boolean
+    checkAgainstSparkSql(
+      """select c_custkey,
+           exists (select 1 from orders
+                   where orders.o_custkey = customer.c_custkey
+                     and o_totalprice > 400000) as has_big
+         from customer order by c_custkey""")
+    // projected flag combined with WHERE subqueries in the same query
+    checkAgainstSparkSql(
+      """select c_custkey,
+           c_nationkey in (select n_nationkey from nation where n_regionkey < 2) as low_r
+         from customer
+         where exists (select 1 from orders where orders.o_custkey = customer.c_custkey)
+         order by c_custkey""")
+    // flag feeding an aggregation (group by the projected flag alias)
+    checkAgainstSparkSql(
+      """select c_nationkey in (select n_nationkey from nation where n_regionkey = 0) as r0,
+           count(*) as n
+         from customer group by 1 order by r0""")
+  }
+
   test("registration api") {
     val g = graft.Graft(spark)
     g.registerTable("temp_nation", spark.read.parquet(s"${graft.TestSpark.sfDir}/nation.parquet"))
