@@ -47,18 +47,27 @@ object AsOf {
   private def asof(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String, rightValue: String,
                    forward: Boolean, tolerance: Option[Long]): DataFrame = {
+    val valueType = right.schema(rightValue).dataType
     val l = left.withColumn("__side", F.lit(1))
       .withColumn("__t", F.col(leftTime))
-      .withColumn("__rv", F.lit(null).cast(right.schema(rightValue).dataType))
-      .withColumn("__rt", F.lit(null).cast("long"))
-    val r = right.select(
+      .withColumn("__m", F.lit(null).cast(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rt",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rv", valueType)))))
+    // the matched time and value travel in ONE struct so they always
+    // come from the SAME right row — independent ignoreNulls scans of
+    // two columns would pair the latest non-null time with the latest
+    // non-null VALUE of a different row whenever rightValue has nulls.
+    // Right rows with a null time cannot be "nearest" — drop them.
+    val r = right.filter(F.col(rightTime).isNotNull).select(
         F.col(key), F.col(rightTime).as("__t"),
-        F.col(rightValue).as("__rv"))
+        F.struct(F.col(rightTime).cast("long").as("rt"),
+                 F.col(rightValue).as("rv")).as("__m"))
       .withColumn("__side", F.lit(0))
-      .withColumn("__rt", F.col("__t"))
     val unioned = l.select(
       (Seq(key) ++ left.columns.filterNot(_ == key) ++
-        Seq("__side", "__t", "__rv", "__rt")).distinct.map(F.col): _*)
+        Seq("__side", "__t", "__m")).distinct.map(F.col): _*)
       .unionByName(r, allowMissingColumns = true)
 
     // Backward: right rows sort BEFORE left rows at equal time and the
@@ -69,29 +78,28 @@ object AsOf {
     val matched =
       if (forward) {
         val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        unioned
-          .withColumn("asof_time", F.first("__rt", ignoreNulls = true).over(w))
-          .withColumn("asof_value", F.first("__rv", ignoreNulls = true).over(w))
+        unioned.withColumn("__match", F.first("__m", ignoreNulls = true).over(w))
       } else {
         val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        unioned
-          .withColumn("asof_time", F.last("__rt", ignoreNulls = true).over(w))
-          .withColumn("asof_value", F.last("__rv", ignoreNulls = true).over(w))
+        unioned.withColumn("__match", F.last("__m", ignoreNulls = true).over(w))
       }
+    val withCols = matched
+      .withColumn("asof_time", F.col("__match.rt"))
+      .withColumn("asof_value", F.col("__match.rv"))
     val bounded = tolerance match {
       case Some(tol) =>
         // a match further than `tol` from the left time is no match
-        // (pandas merge_asof tolerance): null value first, time second
+        // (pandas merge_asof tolerance)
         val ok =
           if (forward) F.col("asof_time") <= F.col("__t") + tol
           else F.col("asof_time") >= F.col("__t") - tol
-        matched
+        withCols
           .withColumn("asof_value", F.when(ok, F.col("asof_value")))
           .withColumn("asof_time", F.when(ok, F.col("asof_time")))
-      case None => matched
+      case None => withCols
     }
     bounded
       .filter(F.col("__side") === 1)
-      .drop("__side", "__t", "__rv", "__rt")
+      .drop("__side", "__t", "__m", "__match")
   }
 }

@@ -17,10 +17,9 @@ object Sampling {
     * hash, kept when below the fraction threshold. Pure filter —
     * pushdown-friendly, no shuffle, stable under repartitioning. */
   def consistentSample(df: DataFrame, keyCol: String,
-                       fraction: Double): DataFrame = {
-    val threshold = f"${(fraction * (1L << 32)).toLong}%08x"
-    df.filter(s"substring(md5(cast($keyCol as string)), 1, 8) < '$threshold'")
-  }
+                       fraction: Double): DataFrame =
+    df.filter(
+      s"substring(md5(cast($keyCol as string)), 1, 8) < '${thresholdHex(fraction)}'")
 
   /** Deterministic stratified sample: the `perGroup` rows of each
     * group whose key-hash sorts first. One shuffle on the group
@@ -54,16 +53,15 @@ object Sampling {
   def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
                      fractions: Map[String, Double],
                      default: Double = 1.0): DataFrame = {
-    val fallback = s"'${thresholdHex(default)}'"
-    val threshold =
-      if (fractions.isEmpty) fallback
-      else {
-        val cases = fractions.toSeq.sortBy(_._1).map { case (g, f) =>
-          s"when '${g.replace("'", "''")}' then '${thresholdHex(f)}'"
-        }.mkString(" ")
-        s"case $groupCol $cases else $fallback end"
-      }
-    df.filter(
-      s"substring(md5(cast($keyCol as string)), 1, 8) < $threshold")
+    // Column-expression CASE (not SQL-text splicing): group values go
+    // through lit(), so quotes/backslashes/newlines in group keys
+    // can't break out of (or corrupt) a string literal
+    val threshold = fractions.toSeq.sortBy(_._1).foldRight(
+      F.lit(thresholdHex(default))) { case ((g, f), acc) =>
+      F.when(F.col(groupCol) === F.lit(g), F.lit(thresholdHex(f)))
+        .otherwise(acc)
+    }
+    df.filter(F.expr(s"substring(md5(cast($keyCol as string)), 1, 8)")
+      < threshold)
   }
 }

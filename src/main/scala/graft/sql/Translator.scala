@@ -230,26 +230,31 @@ final class Translator(catalog: String => DataFrame) {
       having = sel.having.map(hoistScalars),
       qualify = sel.qualify.map(hoistScalars))
 
-    // QUALIFY (post-window filter): window-function subtrees hoist to
-    // hidden select items — computed alongside the visible windows on
-    // the same plan — and the residual predicate filters the projected
-    // result (where select aliases resolve), before DISTINCT. Standard
-    // QUALIFY evaluation order: FROM→WHERE→GROUP/HAVING→window→QUALIFY
-    // →DISTINCT→ORDER.
+    // QUALIFY (post-window filter): the WHOLE predicate hoists to ONE
+    // hidden boolean select item — windows AND plain input columns
+    // both evaluate on the pre-projection frame (so a predicate may
+    // reference input columns the SELECT list drops, like DuckDB) —
+    // and the projected result filters on that column, before
+    // DISTINCT. Select-item aliases substitute their expressions
+    // first (shadowed by real input columns, the GROUP BY/HAVING
+    // guard). Standard QUALIFY evaluation order:
+    // FROM→WHERE→GROUP/HAVING→window→QUALIFY→DISTINCT→ORDER.
     var qualifyHidden = List.empty[String]
     val (qualifyExpr, selScalars) = selScalars0.qualify match {
       case Some(q0) =>
-        val hidden = Seq.newBuilder[SelectItem]
-        val rewritten = Ast.transformUp(q0) {
-          case w @ (AggExpr(_, _, _, Some(_)) | RankExpr(_, _) |
-                    WinFunc(_, _, _)) =>
-            val n = s"__qw_${qualifyHidden.size}"
-            qualifyHidden = n :: qualifyHidden
-            hidden += SelectItem(w, Some(n))
-            ColRef(None, n)
+        val aliasMap = selScalars0.items.collect {
+          case SelectItem(e, Some(a)) => a.toLowerCase -> e
+        }.toMap
+        val substituted = Ast.transformUp(q0) {
+          case ColRef(None, n) if aliasMap.contains(n.toLowerCase) &&
+              !from.columns.exists(_.equalsIgnoreCase(n)) =>
+            aliasMap(n.toLowerCase)
         }
-        (Some(rewritten),
-          selScalars0.copy(items = selScalars0.items ++ hidden.result()))
+        val n = "__qw_0"
+        qualifyHidden = n :: Nil
+        (Some(ColRef(None, n): Expr),
+          selScalars0.copy(items =
+            selScalars0.items :+ SelectItem(substituted, Some(n))))
       case None => (None, selScalars0)
     }
 
@@ -447,7 +452,7 @@ final class Translator(catalog: String => DataFrame) {
         case (other, _) => fail(s"unexpected hoisted subquery $other")
       }
       residual0.map(lowerBoolFlags)
-    }.flatten.orElse(None)
+    }.flatten
 
 
     // IN/EXISTS in SELECT-item position (boolean projections,
@@ -554,7 +559,7 @@ final class Translator(catalog: String => DataFrame) {
     val itemAliases = sel.items.collect {
       case SelectItem(e, Some(a)) => a.toLowerCase -> e
     }.toMap
-    val groupExprs = sel.groupBy.map {
+    def resolveGroupKey(g: Expr): Expr = g match {
       case NumLit(t) if t.matches("[0-9]+") =>
         val i = t.toInt
         if (i < 1 || i > sel.items.length)
@@ -569,8 +574,9 @@ final class Translator(catalog: String => DataFrame) {
           if itemAliases.contains(n.toLowerCase) &&
             !in.columns.exists(_.equalsIgnoreCase(n)) =>
         itemAliases(n.toLowerCase)
-      case g => g
+      case other => other
     }
+    val groupExprs = sel.groupBy.map(resolveGroupKey)
     // non-bare-column group keys get stable names so SELECT items that
     // repeat the key expression read the grouped VALUE instead of
     // re-evaluating the expression over the aggregated frame (where
@@ -652,11 +658,12 @@ final class Translator(catalog: String => DataFrame) {
         case "rollup" => in.rollup(groupCols: _*)
         case "cube"   => in.cube(groupCols: _*)
         case "sets" =>
-          // explicit GROUPING SETS over the flattened key union; sets
-          // are matched to grouping columns by expression, so keys are
-          // restricted to plain columns (expressions would need the
-          // __gk naming to line up across sets — loud error instead)
-          val sets = sel.groupSets.map(_.map {
+          // explicit GROUPING SETS over the flattened key union; keys
+          // resolve positionals/aliases like plain GROUP BY, then are
+          // matched to grouping columns by expression — restricted to
+          // plain columns (expressions would need the __gk naming to
+          // line up across sets — loud error instead)
+          val sets = sel.groupSets.map(_.map(resolveGroupKey).map {
             case c @ ColRef(_, _) => exprToCol(c, None)
             case other =>
               fail(s"GROUPING SETS keys must be plain columns, got $other")
@@ -717,10 +724,18 @@ final class Translator(catalog: String => DataFrame) {
         !sel.having.exists(containsAgg)) {
       // hidden QUALIFY window items must NOT join the distinct (they
       // would stop rows collapsing); they evaluate over the grouped,
-      // HAVING-filtered result — the frame QUALIFY windows see
+      // HAVING-filtered result — the frame QUALIFY windows see.
+      // The distinct must range over the FULL key tuple, not just the
+      // projected items: `select k1 from t group by k1, k2` keeps one
+      // row per (k1, k2) group — distinct over k1 alone would collapse
+      // groups. Unprojected keys ride along under __gbk_i names and
+      // drop at the end.
       val (hiddenQ, visible) =
         sel.items.partition(_.alias.exists(_.startsWith("__qw_")))
-      val base = in.select(selectCols(visible, in): _*).distinct()
+      val gbk = groupNamed.zipWithIndex.map { case ((g, _, _), i) =>
+        exprToCol(g, None).as(s"__gbk_$i")
+      }
+      val base = in.select(selectCols(visible, in) ++ gbk: _*).distinct()
       val afterHaving = sel.having match {
         case Some(h) =>
           val (e2, js, hs) = lowerHavingSubqueries(h, exprToCol(_, None))
@@ -729,9 +744,11 @@ final class Translator(catalog: String => DataFrame) {
           if (hs.isEmpty) filtered else filtered.drop(hs: _*)
         case None => base
       }
-      return if (hiddenQ.isEmpty) afterHaving
-      else afterHaving.select(afterHaving.columns.map(F.col).toSeq ++
-        selectCols(hiddenQ, afterHaving): _*)
+      val withWindows =
+        if (hiddenQ.isEmpty) afterHaving
+        else afterHaving.select(afterHaving.columns.map(F.col).toSeq ++
+          selectCols(hiddenQ, afterHaving): _*)
+      return withWindows.drop(groupNamed.indices.map(i => s"__gbk_$i"): _*)
     }
 
     // force materialization of agg map: walk select + having
@@ -788,8 +805,13 @@ final class Translator(catalog: String => DataFrame) {
 
   private def containsAgg(e: Expr): Boolean = e match {
     case AggExpr(_, _, _, None) => true
-    // windowed aggregates and window functions are per-row values
-    case AggExpr(_, _, _, Some(_)) | RankExpr(_, _) | WinFunc(_, _, _) => false
+    // windowed aggregates and window functions are per-row values —
+    // but a PLAIN aggregate inside their args or window spec (e.g.
+    // `rank() over (order by count(*))`) still makes the query
+    // aggregating, so descend into the children
+    case w @ (AggExpr(_, _, _, Some(_)) | RankExpr(_, _) |
+              WinFunc(_, _, _)) =>
+      Ast.children(w).exists(containsAgg)
     case other => Ast.children(other).exists(containsAgg)
   }
 

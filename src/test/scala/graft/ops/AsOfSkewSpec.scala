@@ -48,6 +48,24 @@ class AsOfSkewSpec extends SparkTestBase {
     assert(eq.head.getAs[Long]("asof_value") == 7L)
   }
 
+  test("asof match keeps time and value from the SAME right row") {
+    import spark.implicits._
+    // right value NULL on the nearest row: independent ignoreNulls
+    // scans would pair rt=200 with rv=5 from the OLDER row
+    val left = Seq((1L, "u", 250L)).toDF("id", "user", "t")
+    val right = Seq(("u", 100L, Some(5L)), ("u", 200L, None))
+      .toDF("user", "rt", "rid")
+    val out = AsOf.join(left, right, "user", "t", "rt", "rid").collect().head
+    assert(out.getAs[Long]("asof_time") == 200L)
+    assert(out.isNullAt(out.fieldIndex("asof_value")),
+      "value must come from the matched rt=200 row, which is NULL")
+    // a right row with NULL time is never a match
+    val rightNullT = Seq(("u", Option.empty[Long], 99L)).toDF("user", "rt", "rid")
+    val out2 = AsOf.join(left, rightNullT, "user", "t", "rt", "rid").collect().head
+    assert(out2.isNullAt(out2.fieldIndex("asof_time")))
+    assert(out2.isNullAt(out2.fieldIndex("asof_value")))
+  }
+
   test("asof tolerance nulls matches beyond the bound") {
     import spark.implicits._
     val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("id", "user", "t")
@@ -67,6 +85,20 @@ class AsOfSkewSpec extends SparkTestBase {
     assertSameRows(s1, s2) // stable under repartitioning
     val frac = s1.count().toDouble / docs.count()
     assert(frac > 0.15 && frac < 0.35, s"fraction $frac")
+    // fraction 1.0 keeps everything (9-hex-char threshold regression)
+    assert(Sampling.consistentSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
+
+  test("weighted sample group keys with quotes and backslashes are safe") {
+    import spark.implicits._
+    val df = Seq((1L, "a'b"), (2L, "c\\"), (3L, "plain"))
+      .toDF("id", "grp")
+    // keys go through lit(), not SQL-text splicing — no parse error,
+    // and the per-group fraction applies to the exact key
+    val kept = Sampling.weightedSample(df, "grp", "id",
+      Map("a'b" -> 1.0, "c\\" -> 1.0), default = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
   }
 
   test("stratified sample takes exactly perGroup rows per stratum") {

@@ -839,6 +839,59 @@ class SqlSurfaceSpec extends SparkTestBase {
          where rn <= 2""")
   }
 
+  test("group by without aggregates keeps one row per full key tuple") {
+    // unprojected group keys must still shape the distinct: one row
+    // per (nation, segment) group, with duplicate nation keys
+    checkAgainstSparkSql(
+      """select c_nationkey from customer
+         group by c_nationkey, c_mktsegment
+         order by c_nationkey""")
+    // expression keys with projected derivations
+    checkAgainstSparkSql(
+      """select c_nationkey + 1 as nk1 from customer
+         group by c_nationkey + 1, c_mktsegment order by nk1""")
+  }
+
+  test("window over aggregate without a projected plain aggregate") {
+    // containsAgg must see count(*) inside the window spec and route
+    // to the aggregate path, even though no plain aggregate is
+    // projected
+    checkAgainstSparkSql(
+      """select c_mktsegment,
+           cast(rank() over (order by count(*) desc, c_mktsegment) as bigint) as r
+         from customer group by c_mktsegment order by c_mktsegment""")
+    // same shape via QUALIFY
+    checkTranslated(
+      """select c_nationkey from customer group by c_nationkey
+         qualify rank() over (order by count(*) desc, c_nationkey) <= 5""",
+      """select c_nationkey from (
+           select c_nationkey, rank() over (order by count(*) desc, c_nationkey) as r
+           from customer group by c_nationkey) where r <= 5""")
+  }
+
+  test("qualify may reference input columns outside the select list") {
+    // DuckDB/Snowflake allow the predicate to read columns the SELECT
+    // list drops — they evaluate pre-projection
+    checkTranslated(
+      """select c_custkey from customer
+         qualify row_number() over (partition by c_nationkey
+                                    order by c_acctbal desc, c_custkey) <= 3
+           and c_acctbal > 0""",
+      """select c_custkey from (
+           select c_custkey, c_acctbal,
+             row_number() over (partition by c_nationkey
+                                order by c_acctbal desc, c_custkey) as rn
+           from customer) where rn <= 3 and c_acctbal > 0""")
+  }
+
+  test("grouping sets resolve aliases and positionals like group by") {
+    checkTranslated(
+      """select c_nationkey as nk, count(*) as n from customer
+         group by grouping sets ((nk), ()) order by nk""",
+      """select c_nationkey as nk, count(*) as n from customer
+         group by rollup(c_nationkey) order by nk""")
+  }
+
   test("grouping sets match rollup/cube equivalents") {
     // spark.sql supports GROUPING SETS directly — differential check
     checkAgainstSparkSql(
