@@ -424,6 +424,8 @@ final class Parser(tokens: Vector[Token]) {
     while (continue) {
       if (eatOp("*")) l = Arith("*", l, parseUnary())
       else if (eatOp("/")) l = Arith("/", l, parseUnary())
+      // modulo — graft dialect extension (not in the reference grammar)
+      else if (eatOp("%")) l = Arith("%", l, parseUnary())
       else continue = false
     }
     l

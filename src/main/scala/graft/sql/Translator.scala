@@ -1071,6 +1071,7 @@ final class Translator(catalog: String => DataFrame) {
     case "-" => l - r
     case "*" => l * r
     case "/" => l / r
+    case "%" => l % r
     case o   => fail(s"unknown arithmetic op $o")
   }
 

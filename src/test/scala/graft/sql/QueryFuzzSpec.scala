@@ -232,6 +232,30 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // GROUP BY whose key tuple is a superset of the projected items
+  // (the round-3 distinct-collapse fix), with and without aggregates
+  private val genGroupSupersetQuery: Gen[String] = for {
+    k1 <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    k2 <- Gen.oneOf("c_custkey % 7", "substring(c_name, 1, 4)")
+    withAgg <- Gen.oneOf(true, false)
+    pred <- Gen.option(genPred)
+  } yield {
+    val items = if (withAgg) s"$k1, count(*) as n" else s"$k1"
+    s"select $items from customer" +
+      pred.map(p => s" where $p").getOrElse("") +
+      s" group by $k1, $k2"
+  }
+
+  test("30 random superset-key GROUP BY queries match spark.sql exactly") {
+    val queries = Gen.listOfN(30, genGroupSupersetQuery)
+      .pureApply(Gen.Parameters.default, Seed(59L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   // QUALIFY (round-3): spark.sql has no QUALIFY, so each generated
   // query carries its own subquery-form oracle — the pair is built
   // from the same random pieces

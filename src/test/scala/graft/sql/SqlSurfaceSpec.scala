@@ -892,6 +892,14 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by rollup(c_nationkey) order by nk""")
   }
 
+  test("modulo operator in expressions, predicates and group keys") {
+    checkAgainstSparkSql(
+      """select c_custkey % 7 as bucket, count(*) as n from customer
+         group by c_custkey % 7 order by bucket""")
+    checkAgainstSparkSql(
+      "select c_custkey from customer where c_custkey % 10 = 3 order by c_custkey")
+  }
+
   test("grouping sets match rollup/cube equivalents") {
     // spark.sql supports GROUPING SETS directly — differential check
     checkAgainstSparkSql(
