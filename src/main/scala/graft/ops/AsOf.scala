@@ -83,9 +83,15 @@ object AsOf {
         val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         unioned.withColumn("__match", F.last("__m", ignoreNulls = true).over(w))
       }
+    // a left row with a NULL time never matches (pandas NaT
+    // semantics). Backward gets this for free (nulls sort first, no
+    // preceding rights); forward would otherwise pair nulls-first
+    // left rows with the earliest right row — guard both directions.
     val withCols = matched
-      .withColumn("asof_time", F.col("__match.rt"))
-      .withColumn("asof_value", F.col("__match.rv"))
+      .withColumn("asof_time",
+        F.when(F.col("__t").isNotNull, F.col("__match.rt")))
+      .withColumn("asof_value",
+        F.when(F.col("__t").isNotNull, F.col("__match.rv")))
     val bounded = tolerance match {
       case Some(tol) =>
         // a match further than `tol` from the left time is no match

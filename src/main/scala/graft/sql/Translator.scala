@@ -559,12 +559,17 @@ final class Translator(catalog: String => DataFrame) {
     val itemAliases = sel.items.collect {
       case SelectItem(e, Some(a)) => a.toLowerCase -> e
     }.toMap
+    // positional refs address USER items only — the hidden __qw_
+    // QUALIFY item is appended after them and must stay unaddressable
+    // (group by <n+1> would otherwise silently group by the predicate)
+    val visibleItems =
+      sel.items.filterNot(_.alias.exists(_.startsWith("__qw_")))
     def resolveGroupKey(g: Expr): Expr = g match {
       case NumLit(t) if t.matches("[0-9]+") =>
         val i = t.toInt
-        if (i < 1 || i > sel.items.length)
-          fail(s"GROUP BY position $i out of range (1..${sel.items.length})")
-        sel.items(i - 1).e match {
+        if (i < 1 || i > visibleItems.length)
+          fail(s"GROUP BY position $i out of range (1..${visibleItems.length})")
+        visibleItems(i - 1).e match {
           case Star(_) => fail("GROUP BY position cannot reference *")
           case e => e
         }
@@ -714,42 +719,15 @@ final class Translator(catalog: String => DataFrame) {
       (rewritten, joins.reverse, helpers)
     }
 
-    // GROUP BY with no aggregates ANYWHERE (reference: test_group_by,
-    // aggregation.py:18) ≡ SELECT DISTINCT over the group keys —
-    // decided UP FRONT so the agg-path having machinery below never
-    // translates this path's subqueries a second time. HAVING here
-    // sees the OUTPUT columns (aliases included), so subquery probes
-    // lower with plain exprToCol over that frame.
-    if (!sel.items.exists(i => containsAgg(i.e)) &&
-        !sel.having.exists(containsAgg)) {
-      // hidden QUALIFY window items must NOT join the distinct (they
-      // would stop rows collapsing); they evaluate over the grouped,
-      // HAVING-filtered result — the frame QUALIFY windows see.
-      // The distinct must range over the FULL key tuple, not just the
-      // projected items: `select k1 from t group by k1, k2` keeps one
-      // row per (k1, k2) group — distinct over k1 alone would collapse
-      // groups. Unprojected keys ride along under __gbk_i names and
-      // drop at the end.
-      val (hiddenQ, visible) =
-        sel.items.partition(_.alias.exists(_.startsWith("__qw_")))
-      val gbk = groupNamed.zipWithIndex.map { case ((g, _, _), i) =>
-        exprToCol(g, None).as(s"__gbk_$i")
-      }
-      val base = in.select(selectCols(visible, in) ++ gbk: _*).distinct()
-      val afterHaving = sel.having match {
-        case Some(h) =>
-          val (e2, js, hs) = lowerHavingSubqueries(h, exprToCol(_, None))
-          val joined = js.foldLeft(base)((d, f) => f(d))
-          val filtered = joined.filter(exprToCol(e2, None))
-          if (hs.isEmpty) filtered else filtered.drop(hs: _*)
-        case None => base
-      }
-      val withWindows =
-        if (hiddenQ.isEmpty) afterHaving
-        else afterHaving.select(afterHaving.columns.map(F.col).toSeq ++
-          selectCols(hiddenQ, afterHaving): _*)
-      return withWindows.drop(groupNamed.indices.map(i => s"__gbk_$i"): _*)
-    }
+    // GROUP BY with no aggregates (reference: test_group_by,
+    // aggregation.py:18) flows through the SAME aggregation pipeline
+    // as everything else, with a dummy aggregate standing in (dropped
+    // below): one row per full key tuple — even for keys the SELECT
+    // list drops — rollup/cube/sets super-groups included, windows
+    // and HAVING evaluated over the grouped frame via `post`. A
+    // separate distinct() shortcut used to live here; it silently
+    // collapsed groups on unprojected keys, evaluated window items
+    // over pre-group rows, and dropped rollup super-group rows.
 
     // force materialization of agg map: walk select + having
     val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
@@ -771,12 +749,17 @@ final class Translator(catalog: String => DataFrame) {
     }
     val havingPost: Option[Column] = havingExpr.map(post)
 
-    val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) }
-    if (aggExprs.isEmpty)
-      fail("internal error: aggregate path reached with no aggregates")
+    // GROUP BY with no aggregates anywhere: a dummy aggregate carries
+    // the grouping (RelationalGroupedDataset.agg needs one), dropped
+    // right after — semantically one row per group, same cost as a
+    // distinct() over the keys
+    val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) } match {
+      case Seq() => Seq(F.first(F.lit(1)).as("__gb_dummy"))
+      case es => es
+    }
 
     var agged: DataFrame =
-      groupKeyed.agg(aggExprs.head, aggExprs.tail: _*)
+      groupKeyed.agg(aggExprs.head, aggExprs.tail: _*).drop("__gb_dummy")
 
     agged = havingJoins.foldLeft(agged)((d, f) => f(d))
     havingPost.foreach(h => agged = agged.filter(h))

@@ -64,6 +64,17 @@ class AsOfSkewSpec extends SparkTestBase {
     val out2 = AsOf.join(left, rightNullT, "user", "t", "rt", "rid").collect().head
     assert(out2.isNullAt(out2.fieldIndex("asof_time")))
     assert(out2.isNullAt(out2.fieldIndex("asof_value")))
+    // a LEFT row with NULL time never matches — in BOTH directions
+    // (nulls sort first: the forward frame would otherwise pair it
+    // with the earliest right row)
+    val leftNullT = Seq((1L, "u", Option.empty[Long])).toDF("id", "user", "t")
+    Seq(AsOf.join(leftNullT, right, "user", "t", "rt", "rid"),
+        AsOf.joinForward(leftNullT, right, "user", "t", "rt", "rid"))
+      .foreach { df =>
+        val r = df.collect().head
+        assert(r.isNullAt(r.fieldIndex("asof_time")))
+        assert(r.isNullAt(r.fieldIndex("asof_value")))
+      }
   }
 
   test("asof tolerance nulls matches beyond the bound") {

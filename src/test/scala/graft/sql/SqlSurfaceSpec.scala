@@ -850,6 +850,37 @@ class SqlSurfaceSpec extends SparkTestBase {
     checkAgainstSparkSql(
       """select c_nationkey + 1 as nk1 from customer
          group by c_nationkey + 1, c_mktsegment order by nk1""")
+    // HAVING may reference an UNPROJECTED group key by name
+    checkAgainstSparkSql(
+      """select c_nationkey from customer
+         group by c_nationkey, c_mktsegment
+         having c_mktsegment <> 'BUILDING' order by c_nationkey""")
+    // window items over a grouped-no-aggregate result evaluate AFTER
+    // grouping: one row per group, ranked over groups (not raw rows)
+    checkAgainstSparkSql(
+      """select c_nationkey,
+           cast(row_number() over (order by c_nationkey) as bigint) as rn
+         from customer group by c_nationkey order by c_nationkey""")
+    // rollup without aggregates keeps the super-group rows
+    checkAgainstSparkSql(
+      """select c_nationkey from customer
+         group by rollup(c_nationkey) order by c_nationkey""")
+  }
+
+  test("qualify aliases and positionals interact with grouping safely") {
+    // alias inside a QUALIFY window over a grouped-no-agg query
+    checkTranslated(
+      """select c_nationkey as nk from customer group by c_nationkey
+         qualify row_number() over (order by nk) <= 3""",
+      """select nk from (
+           select c_nationkey as nk,
+             row_number() over (order by c_nationkey) as rn
+           from customer group by c_nationkey) where rn <= 3""")
+    // the hidden QUALIFY item is NOT addressable by GROUP BY position
+    val e = intercept[RuntimeException](graftSession.query(
+      """select c_nationkey from customer group by 2
+         qualify row_number() over (order by c_nationkey) = 1""").collect())
+    assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
   test("window over aggregate without a projected plain aggregate") {
