@@ -25,7 +25,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
       3 -> genLiteral,
       3 -> genName.map(ColRef(None, _)),
       2 -> (for {
-        op <- Gen.oneOf("+", "-", "*", "/")
+        op <- Gen.oneOf("+", "-", "*", "/", "%")
         l <- genExpr(depth - 1); r <- genExpr(depth - 1)
       } yield Arith(op, l, r)),
       1 -> (for {
