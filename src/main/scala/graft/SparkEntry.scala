@@ -93,6 +93,12 @@ object SparkEntry {
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation
          where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""",
+    // explicit NULLS FIRST/LAST pins null placement cross-engine
+    // (Spark defaults nulls-first ascending, DuckDB nulls-last) —
+    // observable through the LIMIT
+    "q_order_nulls" ->
+      """select c_custkey, nullif(c_nationkey, 5) as nk from customer
+         order by nk desc nulls last, c_custkey limit 40""",
     // QUALIFY — graft dialect extension; DuckDB supports it natively,
     // so the same text is engine input and oracle. Per-group top-k via
     // a window filter, the canonical QUALIFY use.

@@ -86,7 +86,11 @@ object Ast {
   final case class Preceding(n: Long) extends FrameBound
   final case class Following(n: Long) extends FrameBound
 
-  final case class OrderItem(e: Expr, asc: Boolean)
+  /** nullsFirst: None = engine default (Spark: NULLS FIRST when asc,
+    * NULLS LAST when desc); Some = explicit NULLS FIRST/LAST — graft
+    * dialect extension pinning cross-engine null placement. */
+  final case class OrderItem(e: Expr, asc: Boolean,
+                             nullsFirst: Option[Boolean] = None)
 
   // ---- relations (sql.lark:28-38) -----------------------------------
   sealed trait Relation

@@ -154,7 +154,14 @@ final class Parser(tokens: Vector[Token]) {
     while (more) {
       val e = parseExpr()
       val asc = if (eatKw("desc")) false else { eatKw("asc"); true }
-      items += OrderItem(e, asc)
+      // NULLS FIRST | NULLS LAST — graft dialect extension
+      val nullsFirst =
+        if (eatKw("nulls")) {
+          if (eatKw("first")) Some(true)
+          else if (eatKw("last")) Some(false)
+          else fail("expected FIRST or LAST after NULLS")
+        } else None
+      items += OrderItem(e, asc, nullsFirst)
       more = eatOp(",")
     }
     items.result()

@@ -50,6 +50,18 @@ final class Translator(catalog: String => DataFrame) {
   private def translateQuery(q: Query): DataFrame =
     applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset)
 
+  /** Sort direction + explicit NULLS FIRST/LAST (None = Spark's
+    * default: nulls first when ascending, last when descending). */
+  private def orderedCol(c: Column, oi: OrderItem): Column =
+    (oi.asc, oi.nullsFirst) match {
+      case (true, None)         => c.asc
+      case (true, Some(true))   => c.asc_nulls_first
+      case (true, Some(false))  => c.asc_nulls_last
+      case (false, None)        => c.desc
+      case (false, Some(true))  => c.desc_nulls_first
+      case (false, Some(false)) => c.desc_nulls_last
+    }
+
   /** ORDER BY (alias/positional-aware) + LIMIT/OFFSET over a result. */
   private def applyOrderLimit(in: DataFrame, orderBy: Seq[OrderItem],
                               limit: Option[Long],
@@ -72,7 +84,7 @@ final class Translator(catalog: String => DataFrame) {
             F.col(df.columns(i - 1))
           case other => exprToCol(other, None)
         }
-        if (oi.asc) c.asc else c.desc
+        orderedCol(c, oi)
       }
       df = df.orderBy(cols: _*)
     }
@@ -1129,7 +1141,7 @@ final class Translator(catalog: String => DataFrame) {
     if (w.orderBy.nonEmpty)
       spec = spec.orderBy(w.orderBy.map { oi =>
         val c = lower(oi.e)
-        if (oi.asc) c.asc else c.desc
+        orderedCol(c, oi)
       }: _*)
     w.frame.foreach { f =>
       def bound(b: FrameBound): Long = b match {

@@ -923,6 +923,21 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by rollup(c_nationkey) order by nk""")
   }
 
+  test("order by nulls first/last pins null placement") {
+    checkAgainstSparkSql(
+      """select c_custkey, nullif(c_nationkey, 3) as nk from customer
+         order by nk asc nulls last, c_custkey limit 30""")
+    checkAgainstSparkSql(
+      """select c_custkey, nullif(c_nationkey, 3) as nk from customer
+         order by nk desc nulls first, c_custkey limit 30""")
+    // window ORDER BY accepts the same clause
+    checkAgainstSparkSql(
+      """select c_custkey,
+           cast(row_number() over (order by nullif(c_nationkey, 3) asc nulls last,
+                                   c_custkey) as bigint) as rn
+         from customer order by c_custkey limit 50""")
+  }
+
   test("modulo operator in expressions, predicates and group keys") {
     checkAgainstSparkSql(
       """select c_custkey % 7 as bucket, count(*) as n from customer
