@@ -980,6 +980,22 @@ object SparkEntry {
               select g, count(*) as n_occ, count(distinct doc_id) as n_docs
               from gx group by g
               order by n_occ desc, g asc limit 20""")),
+    // within-document span dedup (first occurrence kept, order
+    // preserved) — word-separated here; newline-separated in OpsSpec
+    ("q_text_dedup_spans",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.dedupSpans(
+          tbl(s, dir, "documents").select("doc_id", "text"), " "),
+      Some("""select doc_id,
+                case when text is null then null
+                  else array_to_string(
+                    list_transform(
+                      list_filter(range(1, len(sp) + 1),
+                                  i -> list_position(sp, sp[i]) = i),
+                      i -> sp[i]), ' ')
+                end as text
+              from (select doc_id, text, string_split(text, ' ') as sp
+                    from documents)""")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

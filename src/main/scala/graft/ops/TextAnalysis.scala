@@ -163,6 +163,31 @@ object TextAnalysis {
       .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
   }
 
+  /** Within-document span dedup: splits `text` on a LITERAL separator
+    * (regex-quoted) and keeps only the FIRST occurrence of each span,
+    * preserving order — the line-level cleanup web-scale pipelines
+    * run before corpus dedup (navigation chrome and boilerplate lines
+    * repeat inside a page; dropping repeats sharpens every downstream
+    * near-dup signal). Pure per-row projection: whole-stage codegen,
+    * no shuffle, embarrassingly parallel.
+    *
+    * First-occurrence filtering via `array_position(sp, sp[i]) = i`
+    * is order-stable and engine-reproducible (array_distinct's order
+    * guarantees are murkier across engines); NULL text stays NULL. */
+  def dedupSpans(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val kept = F.expr(
+      """transform(
+           filter(sequence(1, size(__sp)),
+                  i -> array_position(__sp, element_at(__sp, i)) = i),
+           i -> element_at(__sp, i))""")
+    docs.withColumn("__sp", F.split(F.col("text"), quoted))
+      .withColumn("text",
+        F.when(F.col("text").isNull, F.lit(null))
+          .otherwise(F.array_join(kept, sep)))
+      .drop("__sp")
+  }
+
   /** Corpus-level n-gram heavy hitters: the `k` most frequent word
     * n-grams with occurrence and document counts — the discovery pass
     * behind boilerplate blocklists (navigation chrome, license

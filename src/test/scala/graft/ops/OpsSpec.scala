@@ -402,6 +402,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("span dedup keeps first occurrence of each line in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header\nbody one\nheader\nbody two\nheader"),
+      (2L, "only\nunique\nlines"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "header\nbody one\nbody two")
+    assert(out(2L) == "only\nunique\nlines")
+    assert(out(3L) == null)
+    // separator is literal, not regex: '.' must not match everything
+    val dotted = Seq((1L, "a.b.a.c")).toDF("doc_id", "text")
+    assert(TextAnalysis.dedupSpans(dotted, ".").collect()
+      .head.getString(1) == "a.b.c")
+  }
+
   test("top ngrams count occurrences and distinct docs exactly") {
     import spark.implicits._
     val docs = Seq(
