@@ -946,6 +946,36 @@ object SparkEntry {
                 row_number() over (partition by shard, (cum - n_tokens) // 2048
                                    order by hk, doc_id)::INT as seq_pos
               from c""")),
+    // materialized training sequences: documents concatenated in
+    // seq_pos order per (shard, seq) — DuckDB's ordered string_agg
+    // replays the exact concatenation
+    ("q_pack_concat",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents").filter("text is not null")
+          .selectExpr("doc_id", "text",
+            "cast(size(filter(split(lower(text), ' '), t -> t <> '')) as bigint) as n_tokens")
+        val packed = graft.ops.Export.packSequences(
+          docs, "doc_id", "n_tokens", 2048L, 8)
+        graft.ops.Export.concatSequences(packed, "text", "n_tokens")
+      },
+      Some("""with t as (select doc_id, text,
+                  len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT as n_tokens,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 as shard,
+                  md5(doc_id::VARCHAR) as hk
+                from documents where text is not null),
+              c as (select doc_id, text, shard, n_tokens, hk,
+                      sum(n_tokens) over (partition by shard order by hk, doc_id
+                                          rows unbounded preceding)::BIGINT as cum
+                    from t),
+              p as (select doc_id, text, shard, n_tokens, hk,
+                      (cum - n_tokens) // 2048 as seq,
+                      row_number() over (partition by shard, (cum - n_tokens) // 2048
+                                         order by hk, doc_id) as seq_pos
+                    from c)
+              select shard, seq, count(*) as n_docs,
+                sum(n_tokens)::BIGINT as seq_tokens,
+                string_agg(text, ' ' order by seq_pos) as text
+              from p group by shard, seq""")),
     // int8 max-abs quantization: scale + checksum aggregates pin every
     // quantized value (floor(x+0.5) — round() diverges at .5 between
     // engines; identical IEEE doubles floor identically)

@@ -94,4 +94,27 @@ object Export {
       .withColumn("seq_pos", (F.col("__rn") - F.col("__start") + 1).cast("int"))
       .drop("__hk", "__cum", "__rn", "__prev", "__bstart", "__start")
   }
+
+  /** Materializes the packed training sequences: one output row per
+    * (shard, seq) with the documents concatenated in seq_pos order —
+    * what actually ships to the trainer after [[packSequences]]
+    * assigns the layout.
+    *
+    * collect_list here is bounded by construction: a sequence holds at
+    * most ~budget tokens, so per-group state is one training sequence,
+    * never a corpus-sized buffer. Ordering is pinned by sorting the
+    * (seq_pos, text) structs INSIDE the group (collect_list order is
+    * otherwise partition-arrival order), making the concatenation
+    * deterministic and engine-reproducible. One shuffle on
+    * (shard, seq) with map-side partials. */
+  def concatSequences(packed: DataFrame, textCol: String,
+                      tokensCol: String, sep: String = " "): DataFrame = {
+    val pieces = F.array_sort(
+      F.collect_list(F.struct(F.col("seq_pos"), F.col(textCol).as("__txt"))))
+    packed.groupBy("shard", "seq")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+           F.sum(F.col(tokensCol).cast("long")).as("seq_tokens"),
+           F.array_join(
+             F.transform(pieces, s => s.getField("__txt")), sep).as("text"))
+  }
 }

@@ -377,6 +377,27 @@ class OpsSpec extends SparkTestBase {
       expected)
   }
 
+  test("concatenated sequences preserve seq_pos order and token sums") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, s"doc$i", 100L + i))
+      .toDF("doc_id", "text", "n_tokens")
+    val packed = Export.packSequences(df, "doc_id", "n_tokens", 300L, 2)
+    val seqs = Export.concatSequences(packed, "text", "n_tokens").collect()
+    // every document appears exactly once across all sequences
+    val allDocs = seqs.flatMap(_.getAs[String]("text").split(" "))
+    assert(allDocs.sorted.toSeq == (1L to 20L).map(i => s"doc$i").sorted)
+    // concatenation order equals seq_pos order within each sequence
+    val byKey = packed.collect().map(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("seq"), r.getAs[Int]("seq_pos"), r.getAs[String]("text")))
+    seqs.foreach { r =>
+      val expect = byKey
+        .filter(p => p._1 == r.getAs[Long]("shard") && p._2 == r.getAs[Long]("seq"))
+        .sortBy(_._3).map(_._4).mkString(" ")
+      assert(r.getAs[String]("text") == expect)
+      assert(r.getAs[Long]("n_docs") == expect.split(" ").length)
+    }
+  }
+
   test("int8 quantization has exact hand-computed checksums") {
     import spark.implicits._
     val emb = Seq(
