@@ -93,6 +93,11 @@ object SparkEntry {
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation
          where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""",
+    // INTERSECT ALL: multiset intersection, min-multiplicity survives
+    "q_intersect_all" ->
+      """select l_returnflag from lineitem where l_quantity < 3
+         intersect all
+         select l_returnflag from lineitem where l_quantity < 5""",
     // explicit NULLS FIRST/LAST pins null placement cross-engine
     // (Spark defaults nulls-first ascending, DuckDB nulls-last) —
     // observable through the LIMIT

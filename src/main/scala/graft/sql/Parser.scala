@@ -103,8 +103,9 @@ final class Parser(tokens: Vector[Token]) {
         combined = true
       } else if (atKw("intersect")) {
         checkFirstBranch()
-        pos += 1; eatKw("distinct"); eatKw("all")
-        left = SetOp("intersect", left, branch())
+        pos += 1
+        val all = eatKw("all"); if (!all) eatKw("distinct")
+        left = SetOp(if (all) "intersect_all" else "intersect", left, branch())
         combined = true
       } else if (atKw("except")) {
         checkFirstBranch()

@@ -41,6 +41,7 @@ final class Translator(catalog: String => DataFrame) {
         case "union"      => lf.union(rf).distinct()
         case "union_all"  => lf.union(rf)
         case "intersect"  => lf.intersect(rf)
+        case "intersect_all" => lf.intersectAll(rf)
         case "except"     => lf.except(rf)
         case "except_all" => lf.exceptAll(rf)
         case other        => fail(s"unknown set op $other")

@@ -923,6 +923,20 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by rollup(c_nationkey) order by nk""")
   }
 
+  test("intersect all keeps duplicate multiplicity") {
+    // multiset semantics: min(count_l, count_r) copies survive —
+    // plain INTERSECT would collapse to one (previously INTERSECT ALL
+    // silently dropped the ALL)
+    checkAgainstSparkSql(
+      """select l_returnflag from lineitem where l_quantity < 3
+         intersect all
+         select l_returnflag from lineitem where l_quantity < 5""")
+    checkAgainstSparkSql(
+      """select n_regionkey from nation
+         intersect all
+         select r_regionkey from region""")
+  }
+
   test("order by nulls first/last pins null placement") {
     checkAgainstSparkSql(
       """select c_custkey, nullif(c_nationkey, 3) as nk from customer
