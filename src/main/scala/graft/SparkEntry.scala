@@ -93,6 +93,13 @@ object SparkEntry {
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation
          where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""",
+    // DISTINCT aggregate variants (sum/avg; count(distinct) has its
+    // own entry) — previously silently computed the non-distinct form
+    "q_agg_distinct" ->
+      """select l_returnflag,
+           round(sum(distinct l_quantity), 2) as sd,
+           round(avg(distinct l_quantity), 4) as ad
+         from lineitem group by l_returnflag""",
     // INTERSECT ALL: multiset intersection, min-multiplicity survives
     "q_intersect_all" ->
       """select l_returnflag from lineitem where l_quantity < 3

@@ -1121,6 +1121,16 @@ final class Translator(catalog: String => DataFrame) {
           case Star(_) => fail("COUNT(DISTINCT *) unsupported")
           case e       => F.countDistinct(lower(e))
         }
+      // DISTINCT variants: sum has a native form; avg(DISTINCT x) ≡
+      // sum(DISTINCT x)/count(DISTINCT x) (Column division yields
+      // double for integral inputs, matching avg's result type);
+      // min/max are distinct-insensitive; dispersion forms have no
+      // distinct lowering — loud error rather than a silent plain agg
+      case "sum" if a.distinct => F.sum_distinct(arg)
+      case "avg" if a.distinct =>
+        F.sum_distinct(arg) / F.countDistinct(arg)
+      case ("stddev" | "variance") if a.distinct =>
+        fail(s"${a.func}(DISTINCT ...) is not supported")
       case "count"    => F.count(arg)
       case "sum"      => F.sum(arg)
       case "avg"      => F.avg(arg)

@@ -923,6 +923,19 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by rollup(c_nationkey) order by nk""")
   }
 
+  test("sum and avg honor DISTINCT") {
+    // previously parsed but silently computed the non-distinct form
+    checkAgainstSparkSql(
+      """select l_returnflag,
+           round(sum(distinct l_quantity), 2) as sd,
+           round(avg(distinct l_quantity), 4) as ad,
+           min(distinct l_linenumber) as md
+         from lineitem group by l_returnflag order by l_returnflag""")
+    val e = intercept[RuntimeException](graftSession.query(
+      "select stddev(distinct l_quantity) as s from lineitem").collect())
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
+  }
+
   test("intersect all keeps duplicate multiplicity") {
     // multiset semantics: min(count_l, count_r) copies survive —
     // plain INTERSECT would collapse to one (previously INTERSECT ALL
