@@ -93,6 +93,12 @@ object SparkEntry {
     "q_in_expr_list" ->
       """select n_nationkey, n_name from nation
          where n_nationkey in (n_regionkey, n_regionkey + 4, 10)""",
+    // null-safe equality: IS [NOT] DISTINCT FROM never yields UNKNOWN
+    "q_is_distinct" ->
+      """select n_nationkey,
+           nullif(n_regionkey, 2) is distinct from 1 as d,
+           nullif(n_regionkey, 2) is not distinct from nullif(n_regionkey, 2) as nd
+         from nation""",
     // DISTINCT aggregate variants (sum/avg; count(distinct) has its
     // own entry) — previously silently computed the non-distinct form
     "q_agg_distinct" ->

@@ -366,8 +366,17 @@ final class Parser(tokens: Vector[Token]) {
     } else if (atKw("is")) {
       pos += 1
       val neg = eatKw("not")
-      expectKw("null")
-      IsNull(l, neg)
+      // IS [NOT] DISTINCT FROM — null-safe equality (graft dialect
+      // extension; lowers to Spark's <=>)
+      if (eatKw("distinct")) {
+        expectKw("from")
+        val r = parseAdditive()
+        val eq = Cmp("<=>", l, r)
+        if (neg) eq else Not(eq)
+      } else {
+        expectKw("null")
+        IsNull(l, neg)
+      }
     } else if (atKw("like")) {
       pos += 1
       next() match {

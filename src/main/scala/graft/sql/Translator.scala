@@ -1074,6 +1074,7 @@ final class Translator(catalog: String => DataFrame) {
   private def cmp(op: String, l: Column, r: Column): Column = op match {
     case "="  => l === r
     case "<>" => l =!= r
+    case "<=>" => l <=> r // null-safe equality (IS NOT DISTINCT FROM)
     case ">"  => l > r
     case "<"  => l < r
     case ">=" => l >= r

@@ -923,6 +923,19 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by rollup(c_nationkey) order by nk""")
   }
 
+  test("is distinct from is null-safe equality") {
+    // NULL IS DISTINCT FROM 1 = true, NULL IS NOT DISTINCT FROM NULL
+    // = true — never UNKNOWN (spark.sql supports the same syntax)
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where nullif(n_regionkey, 2) is distinct from 1
+         order by n_nationkey""")
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where nullif(n_regionkey, 2) is not distinct from nullif(n_regionkey, 2)
+         order by n_nationkey""")
+  }
+
   test("sum and avg honor DISTINCT") {
     // previously parsed but silently computed the non-distinct form
     checkAgainstSparkSql(
