@@ -106,11 +106,17 @@ object Export {
     * (seq_pos, text) structs INSIDE the group (collect_list order is
     * otherwise partition-arrival order), making the concatenation
     * deterministic and engine-reproducible. One shuffle on
-    * (shard, seq) with map-side partials. */
+    * (shard, seq) with map-side partials.
+    *
+    * NULL text coalesces to the empty string BEFORE collection:
+    * array_join would otherwise silently skip the element, making
+    * n_docs/seq_tokens disagree with the shipped text (callers should
+    * still filter null-text docs before packing). */
   def concatSequences(packed: DataFrame, textCol: String,
                       tokensCol: String, sep: String = " "): DataFrame = {
     val pieces = F.array_sort(
-      F.collect_list(F.struct(F.col("seq_pos"), F.col(textCol).as("__txt"))))
+      F.collect_list(F.struct(F.col("seq_pos"),
+        F.coalesce(F.col(textCol), F.lit("")).as("__txt"))))
     packed.groupBy("shard", "seq")
       .agg(F.count(F.lit(1)).as("n_docs"),
            F.sum(F.col(tokensCol).cast("long")).as("seq_tokens"),

@@ -489,10 +489,15 @@ final class Translator(catalog: String => DataFrame) {
     val selAgg =
       if (!hasAgg) selItems
       else {
-        // hoisted helper columns referenced outside an aggregate
+        // hoisted helper columns referenced outside an aggregate —
+        // scalar-subquery values AND existence flags (projected
+        // IN/EXISTS booleans): a flag probing a group key is constant
+        // within any group SQL would accept it in, so appending it to
+        // the keys leaves the grouping unchanged
         def refs(e: Expr): Seq[Expr] = e match {
           case ColRef(None, n)
-              if n.startsWith("__ssq_") || n.startsWith("__csq_") =>
+              if n.startsWith("__ssq_") || n.startsWith("__csq_") ||
+                 n.startsWith("__sq_flag_") =>
             Seq(ColRef(None, n))
           case AggExpr(_, _, _, _) => Nil // inside an aggregate is fine
           case other => Ast.children(other).flatMap(refs)
@@ -506,9 +511,13 @@ final class Translator(catalog: String => DataFrame) {
           // constant, so aggregate it instead (min of a constant);
           // a correlated one varies across the rolled-up super-groups
           // and has no defined value there — loud error.
-          if (extra.exists { case ColRef(_, n) => n.startsWith("__csq_")
-                             case _ => false })
-            fail("correlated scalar subqueries with ROLLUP/CUBE are not supported")
+          // flags vary per base group the same way — no defined value
+          // in a rolled-up super-group
+          if (extra.exists { case ColRef(_, n) =>
+                 n.startsWith("__csq_") || n.startsWith("__sq_flag_")
+               case _ => false })
+            fail("correlated scalar subqueries / projected IN-EXISTS " +
+              "flags with ROLLUP/CUBE are not supported")
           def wrap(e: Expr): Expr = e match {
             case c @ ColRef(None, n) if n.startsWith("__ssq_") =>
               AggExpr("min", distinct = false, c, None)

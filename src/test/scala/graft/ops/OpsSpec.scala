@@ -386,6 +386,13 @@ class OpsSpec extends SparkTestBase {
     // every document appears exactly once across all sequences
     val allDocs = seqs.flatMap(_.getAs[String]("text").split(" "))
     assert(allDocs.sorted.toSeq == (1L to 20L).map(i => s"doc$i").sorted)
+    // NULL text coalesces to '' — the doc still occupies its slot, so
+    // n_docs stays consistent with the concatenation
+    import org.apache.spark.sql.functions.{lit, when, col}
+    val withNull = packed.withColumn("text",
+      when(col("doc_id") === 1L, lit(null)).otherwise(col("text")))
+    val np = Export.concatSequences(withNull, "text", "n_tokens").collect()
+    assert(np.map(_.getAs[Long]("n_docs")).sum == 20L)
     // concatenation order equals seq_pos order within each sequence
     val byKey = packed.collect().map(r => (r.getAs[Long]("shard"),
       r.getAs[Long]("seq"), r.getAs[Int]("seq_pos"), r.getAs[String]("text")))

@@ -1048,6 +1048,20 @@ class SqlSurfaceSpec extends SparkTestBase {
       """select c_nationkey in (select n_nationkey from nation where n_regionkey = 0) as r0,
            count(*) as n
          from customer group by 1 order by r0""")
+    // projected flag ALONGSIDE group keys — the flag must survive the
+    // aggregation (appended to the group keys like scalar helpers)
+    checkAgainstSparkSql(
+      """select c_nationkey,
+           c_nationkey in (select n_nationkey from nation where n_regionkey < 2) as low,
+           count(*) as n
+         from customer group by c_nationkey order by c_nationkey""")
+    // and in a grouped query with NO aggregates
+    checkAgainstSparkSql(
+      """select c_nationkey,
+           exists (select 1 from nation
+                   where nation.n_nationkey = customer.c_nationkey
+                     and n_regionkey = 0) as r0
+         from customer group by c_nationkey order by c_nationkey""")
   }
 
   test("registration api") {
