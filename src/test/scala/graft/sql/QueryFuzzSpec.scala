@@ -256,6 +256,37 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // projected IN/EXISTS booleans (round-3): in plain projections and
+  // alongside GROUP BY, where the existence flag must survive the
+  // aggregation via the key-append mechanism
+  private val genProjectedFlagQuery: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    v <- Gen.choose(0, 4)
+    grouped <- Gen.oneOf(true, false)
+    agg <- Gen.oneOf(true, false)
+    pred <- Gen.option(genPred)
+  } yield {
+    val flag =
+      s"c_nationkey ${neg}in (select n_nationkey from nation where n_regionkey <= $v)"
+    val where = pred.map(p => s" where $p").getOrElse("")
+    if (grouped) {
+      val aggItem = if (agg) ", count(*) as n" else ""
+      s"select c_nationkey, $flag as f$aggItem from customer$where" +
+        " group by c_nationkey order by c_nationkey"
+    } else
+      s"select c_custkey, $flag as f from customer$where order by c_custkey"
+  }
+
+  test("30 random projected-flag queries match spark.sql exactly") {
+    val queries = Gen.listOfN(30, genProjectedFlagQuery)
+      .pureApply(Gen.Parameters.default, Seed(61L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   // QUALIFY (round-3): spark.sql has no QUALIFY, so each generated
   // query carries its own subquery-form oracle — the pair is built
   // from the same random pieces
