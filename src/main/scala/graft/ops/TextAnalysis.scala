@@ -95,10 +95,14 @@ object TextAnalysis {
   /** Top-k salient terms per document by a TF-IDF-style score.
     *
     * Shape at scale: the token explode is a flatMap (no shuffle); term
-    * frequencies shuffle on (doc_id, term) with map-side partials;
-    * document frequencies shuffle on term; the corpus size N is a
-    * broadcast 1-row aggregate; the final top-k is one window shuffle
-    * on doc_id. Nothing quadratic, nothing driver-side.
+    * frequencies shuffle on (doc_id, term) with map-side partials; the
+    * document frequency is a WINDOW count over the term partition of
+    * that same tf table — df(term) = number of tf rows for the term —
+    * which replaces the former groupBy("term")+join-back-on-term pair
+    * (two exchanges and a join) with one exchange and no join at any
+    * scale; the corpus size N is a broadcast 1-row aggregate; the
+    * final top-k is one window shuffle on doc_id. Nothing quadratic,
+    * nothing driver-side.
     *
     * The idf factor is the BM25 ratio WITHOUT the log —
     * (N - df + 0.5) / (df + 0.5) — because +,-,*,/ are IEEE-defined
@@ -111,9 +115,9 @@ object TextAnalysis {
       .selectExpr("doc_id", "explode(split(lower(text), ' ')) as term")
       .filter("term <> ''")
     val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val n = docs.agg(F.count(F.lit(1)).as("__n"))
-    val scored = tf.join(df, Seq("term"))
+    val scored = tf
+      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
       .crossJoin(F.broadcast(n))
       .withColumn("score",
         F.col("tf") * (F.col("__n").cast("double") - F.col("df") + F.lit(0.5)) /
@@ -195,13 +199,17 @@ object TextAnalysis {
     * repetition signals above are per-document, this is the
     * cross-document view).
     *
-    * Scale shape: ONE explode pass into a combined
-    * count(*) + count(distinct doc_id) aggregation — partial
-    * aggregation collapses boilerplate grams map-side (the whole
-    * point), and the global top-k is TakeOrderedAndProject
-    * (per-partition heaps, k rows per partition reach the final
-    * sort), never a full global sort. Tie-break on the gram text
-    * keeps the k-boundary deterministic. */
+    * Scale shape: ONE explode pass, pre-aggregated on (gram, doc_id)
+    * and re-aggregated on gram. A single
+    * count(*) + count(distinct doc_id) aggregate looks cheaper but
+    * Spark lowers it through an Expand that DOUBLES every exploded
+    * row before the first shuffle; the two-step form dedups per-doc
+    * repeats map-side (an exploded doc's grams are all in one
+    * partition), so the first shuffle carries at most one row per
+    * (gram, doc) and the second one row per gram. The global top-k is
+    * TakeOrderedAndProject (per-partition heaps, k rows per partition
+    * reach the final sort), never a full global sort. Tie-break on
+    * the gram text keeps the k-boundary deterministic. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
     val gram = (0 until n).map(j => s"element_at(w, i+$j)").mkString(", ' ', ")
@@ -210,9 +218,9 @@ object TextAnalysis {
       .filter(s"size(w) >= $n")
       .selectExpr("doc_id",
         s"explode(transform(sequence(1, size(w) - ${n - 1}), i -> concat($gram))) as g")
+      .groupBy("g", "doc_id").agg(F.count(F.lit(1)).as("__c"))
       .groupBy("g")
-      .agg(F.count(F.lit(1)).as("n_occ"),
-           F.countDistinct("doc_id").as("n_docs"))
+      .agg(F.sum("__c").as("n_occ"), F.count(F.lit(1)).as("n_docs"))
       .orderBy(F.col("n_occ").desc, F.col("g").asc)
       .limit(k)
   }
