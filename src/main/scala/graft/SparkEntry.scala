@@ -83,6 +83,76 @@ object SparkEntry {
                        where customer.c_nationkey = nation.n_nationkey
                          and customer.c_acctbal > 9500)
             or n_regionkey = 4""",
+    // correlated EXISTS with a non-equality (theta/range) conjunct in
+    // conjunct position — the "any earlier/bigger event" shape; the
+    // range predicate becomes part of the semi-join condition
+    "q_exists_theta" ->
+      """select c_custkey, c_name from customer
+         where exists (select 1 from orders
+                       where orders.o_custkey = customer.c_custkey
+                         and orders.o_totalprice > customer.c_acctbal * 50)
+           and c_acctbal > 0""",
+    // correlated IN with an equality key plus a range conjunct in
+    // conjunct position (semi-join carries the theta condition)
+    "q_in_theta" ->
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice > customer.c_acctbal * 10)""",
+    // theta EXISTS in flag position (under OR): decorrelated through
+    // the per-group max (∃ t > x ⟺ max(t) > x)
+    "q_exists_theta_or" ->
+      """select n_nationkey, n_name from nation
+         where exists (select 1 from customer
+                       where customer.c_nationkey = nation.n_nationkey
+                         and customer.c_acctbal > nation.n_regionkey * 2000)
+            or n_regionkey = 0""",
+    // theta IN in flag position (under OR) — the 3VL existence flag
+    // with min/max-decorrelated range arms
+    "q_in_theta_or" ->
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice > customer.c_acctbal * 20)
+            or c_acctbal > 9990""",
+    // projected theta IN flag with a null-bearing key set: the null
+    // arm of the 3VL table must also respect the range condition
+    "q_in_theta_select" ->
+      """select n_nationkey,
+           n_nationkey in (select nullif(c_custkey % 25, 7) from customer
+                           where customer.c_nationkey = nation.n_nationkey
+                             and customer.c_acctbal > nation.n_regionkey * 1000) as f
+         from nation""",
+    // correlated scalar subqueries: inner GROUP BY keys admitted
+    // alongside the correlation keys (empty correlation group then
+    // yields zero rows — NULL even for COUNT), and expressions over
+    // several aggregates
+    "q_scalar_corr_grouped" ->
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            group by customer.c_nationkey) as n_cust,
+           (select max(c_acctbal) - min(c_acctbal) from customer
+            where customer.c_nationkey = nation.n_nationkey) as bal_range
+         from nation""",
+    // GROUPING SETS with an expression key: the named grouping column
+    // is shared across every set that lists the expression
+    "q_grouping_sets_expr" ->
+      """select l_returnflag, l_quantity > 25 as big, count(*) as n,
+           round(sum(l_quantity), 2) as qty
+         from lineitem
+         group by grouping sets ((l_returnflag, l_quantity > 25), (l_returnflag), ())""",
+    // named WINDOW definitions referenced from OVER (PostgreSQL/DuckDB
+    // surface; the reference grammar's window_definition is empty —
+    // real content is the useful extension)
+    "q_named_window" ->
+      """select c_custkey,
+           cast(rank() over w as bigint) as rk,
+           round(sum(c_acctbal) over w2, 2) as sbal,
+           lag(c_custkey, 1) over w as prev_id
+         from customer
+         window w as (partition by c_nationkey order by c_acctbal desc, c_custkey),
+                w2 as (partition by c_nationkey)""",
     // IN (subquery) inside HAVING (sql.lark:22,112-130) — existence
     // flag joined onto the aggregated result; probe is an aggregate
     "q_having_in_subquery" ->

@@ -76,8 +76,14 @@ object Ast {
   final case class ILike(e: Expr, pattern: String) extends Expr
 
   // ---- windows (sql.lark:51-65) -------------------------------------
+  /** `ref`: a named-window reference (`OVER w`) — resolved against the
+    * SELECT's WINDOW clause by the translator; partition/order/frame
+    * are empty until then. The reference grammar's window_definition
+    * is literally empty (sql.lark:144); named definitions with real
+    * content are a graft dialect extension. */
   final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[OrderItem],
-                              frame: Option[Frame])
+                              frame: Option[Frame],
+                              ref: Option[String] = None)
   final case class Frame(isRows: Boolean, start: FrameBound, end: FrameBound)
   sealed trait FrameBound
   case object UnboundedPreceding extends FrameBound
@@ -122,7 +128,8 @@ object Ast {
                           groupBy: Seq[Expr], having: Option[Expr],
                           groupMode: String = "plain",
                           qualify: Option[Expr] = None,
-                          groupSets: Seq[Seq[Expr]] = Nil)
+                          groupSets: Seq[Seq[Expr]] = Nil,
+                          windows: Seq[(String, WindowSpec)] = Nil)
   final case class Query(sel: Select, orderBy: Seq[OrderItem],
                          limit: Option[Long], offset: Option[Long])
 

@@ -209,9 +209,22 @@ final class Parser(tokens: Vector[Token]) {
           }
           expectOp(")")
           groupSets = sets.result()
-          // flattened distinct key union, in first-appearance order
+          // flattened distinct key union, in first-appearance order.
+          // Dedup matches the translator's group-key resolution: column
+          // names compare case-insensitively, and a qualifier only
+          // distinguishes when BOTH sides carry one — so ((a,b),(A))
+          // and ((t.a),(a)) each contribute ONE `a` key, not two
+          // columns that later collide.
+          def sameKey(a: Expr, b: Expr): Boolean = (a, b) match {
+            case (ColRef(q1, n1), ColRef(q2, n2)) =>
+              n1.equalsIgnoreCase(n2) && ((q1, q2) match {
+                case (Some(x), Some(y)) => x.equalsIgnoreCase(y)
+                case _ => true
+              })
+            case (x, y) => x == y
+          }
           groupSets.flatten.foldLeft(Seq.empty[Expr])((acc, e) =>
-            if (acc.contains(e)) acc else acc :+ e)
+            if (acc.exists(sameKey(_, e))) acc else acc :+ e)
         }
         // GROUP BY ROLLUP(a, b) / CUBE(a, b) — graft dialect extension
         else if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
@@ -230,12 +243,17 @@ final class Parser(tokens: Vector[Token]) {
         }
       } else Nil
     val having = if (eatKw("having")) Some(parseExpr()) else None
-    // WINDOW name AS ( ) — the reference grammar's window_definition
-    // is empty (sql.lark:26,144); parse and discard for parity
+    // WINDOW name AS (spec) [, ...] — the reference grammar's
+    // window_definition is literally empty (sql.lark:26,144), which
+    // still parses here as an empty spec; real definitions referenced
+    // from `OVER name` are a graft dialect extension
+    // (DuckDB/PostgreSQL named windows)
+    val windows = Seq.newBuilder[(String, WindowSpec)]
     if (eatKw("window")) {
       var more = true
       while (more) {
-        ident(); expectKw("as"); expectOp("("); expectOp(")")
+        val name = ident(); expectKw("as")
+        windows += (name -> parseWindowSpec())
         more = eatOp(",")
       }
     }
@@ -243,7 +261,7 @@ final class Parser(tokens: Vector[Token]) {
     // filter on window-function results, after HAVING/WINDOW
     val qualify = if (eatKw("qualify")) Some(parseExpr()) else None
     Select(distinct, items.result(), from, where, groupBy, having,
-      groupMode, qualify, groupSets)
+      groupMode, qualify, groupSets, windows.result())
   }
 
   private def parseSelectItem(): SelectItem = {
@@ -522,13 +540,13 @@ final class Parser(tokens: Vector[Token]) {
           case "rank" | "dense_rank" if isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("("); expectOp(")")
             expectKw("over")
-            RankExpr(dense = lower == "dense_rank", window = parseWindowSpec())
+            RankExpr(dense = lower == "dense_rank", window = parseOverSpec())
           case f if aggFuncs.contains(f) && isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("(")
             val distinct = eatKw("distinct")
             val arg = if (atOp("*")) { pos += 1; Star(None) } else parseExpr()
             expectOp(")")
-            val win = if (eatKw("over")) Some(parseWindowSpec()) else None
+            val win = if (eatKw("over")) Some(parseOverSpec()) else None
             AggExpr(aggFuncs(f), distinct, arg, win)
           case _ if isOpAt(pos + 1, "(") =>
             // generic scalar or window function (graft extension)
@@ -539,7 +557,7 @@ final class Parser(tokens: Vector[Token]) {
               while (more) { args += parseExpr(); more = eatOp(",") }
             }
             expectOp(")")
-            if (eatKw("over")) WinFunc(lower, args.result(), parseWindowSpec())
+            if (eatKw("over")) WinFunc(lower, args.result(), parseOverSpec())
             else FuncCall(lower, args.result())
           case _ =>
             pos += 1
@@ -583,6 +601,12 @@ final class Parser(tokens: Vector[Token]) {
     expectOp(")")
     Cast(e, t)
   }
+
+  /** After OVER: an inline (spec) or a bare identifier referencing a
+    * WINDOW-clause definition (resolved by the translator). */
+  private def parseOverSpec(): WindowSpec =
+    if (atOp("(")) parseWindowSpec()
+    else WindowSpec(Nil, Nil, None, ref = Some(ident()))
 
   /** OVER ( [PARTITION BY ...] [ORDER BY ... [frame]] ) — sql.lark:51-65. */
   private def parseWindowSpec(): WindowSpec = {

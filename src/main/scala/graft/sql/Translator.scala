@@ -144,7 +144,47 @@ final class Translator(catalog: String => DataFrame) {
 
   // ---- select core --------------------------------------------------
 
-  private def translateSelect(sel: Select): DataFrame = {
+  /** Helper-column name prefixes the lowerings below synthesize; user
+    * aliases colliding with them would be silently dropped by the
+    * helper cleanup (or shadow a hidden QUALIFY item) — reject loudly
+    * instead. */
+  private val reservedAliasPrefixes =
+    Seq("__qw_", "__sq_", "__ssq_", "__csq_", "__hq_", "__gk_", "__agg_")
+
+  /** Resolves `OVER name` references against the SELECT's WINDOW
+    * clause (returns the select with `windows` consumed). Unknown
+    * names and definition-to-definition references fail loudly. */
+  private def resolveNamedWindows(sel: Select): Select = {
+    val defs = sel.windows.map { case (n, w) => n.toLowerCase -> w }.toMap
+    if (defs.size != sel.windows.length)
+      fail("duplicate WINDOW definition name")
+    defs.values.foreach { w =>
+      if (w.ref.isDefined)
+        fail("a WINDOW definition cannot reference another window")
+    }
+    def resolveSpec(w: WindowSpec): WindowSpec = w.ref match {
+      case Some(n) => defs.getOrElse(n.toLowerCase,
+        fail(s"unknown window name '$n' (define it in the WINDOW clause)"))
+      case None => w
+    }
+    def fix(e: Expr): Expr = Ast.transformUp(e) {
+      case AggExpr(f, d, a, Some(w)) if w.ref.isDefined =>
+        AggExpr(f, d, a, Some(resolveSpec(w)))
+      case RankExpr(d, w) if w.ref.isDefined => RankExpr(d, resolveSpec(w))
+      case WinFunc(n, args, w) if w.ref.isDefined =>
+        WinFunc(n, args, resolveSpec(w))
+    }
+    sel.copy(items = sel.items.map(i => i.copy(e = fix(i.e))),
+      having = sel.having.map(fix), qualify = sel.qualify.map(fix),
+      windows = Nil)
+  }
+
+  private def translateSelect(sel00: Select): DataFrame = {
+    sel00.items.foreach(_.alias.foreach { a =>
+      if (reservedAliasPrefixes.exists(p => a.toLowerCase.startsWith(p)))
+        fail(s"alias '$a' uses a reserved graft helper prefix")
+    })
+    val sel = resolveNamedWindows(sel00)
     val from0 = translateRelation(sel.from)
 
     // IN (subquery) in WHERE must become a join (Catalyst has no
@@ -168,13 +208,21 @@ final class Translator(catalog: String => DataFrame) {
     // substitute the materialized column (must produce a single row —
     // the standard scalar-subquery contract).
     //
-    // Correlated aggregate form — `(select AGG(x) from t WHERE t.k =
-    // outer.k [and local...])` — decorrelates classically: group the
-    // inner relation by its correlation keys, left_outer join the
-    // grouped result on those keys, and read the aggregate column.
-    // Missing groups yield NULL (SQL's aggregate-over-empty), except
-    // COUNT which coalesces to 0. Outer refs must be alias-qualified;
-    // every correlated conjunct must be an equality.
+    // Correlated aggregate form — `(select AGG-expr from t WHERE t.k =
+    // outer.k [and local...] [GROUP BY ...])` — decorrelates
+    // classically: group the inner relation by its correlation keys
+    // (plus any inner GROUP BY keys), left_outer join the grouped
+    // result on the correlation keys, and read the aggregate
+    // expression. The select item may be any expression over one or
+    // more aggregates (`max(x) - min(x)`). Missing groups yield NULL
+    // (SQL's aggregate-over-empty), except ungrouped COUNT which
+    // coalesces to 0 — with an inner GROUP BY an empty correlation
+    // group returns zero ROWS, so even COUNT reads NULL. An inner
+    // GROUP BY that leaves >1 row in some evaluated correlation group
+    // raises the standard more-than-one-row error at runtime (window
+    // count over the correlation keys + raise_error). Outer refs must
+    // be alias-qualified; every correlated conjunct must be an
+    // equality.
     def hoistScalars(e: Expr): Expr =
       Ast.transformUp(e) { case ScalarSubquery(sub) =>
         // standard SQL shadowing: an inner relation with the same
@@ -183,9 +231,12 @@ final class Translator(catalog: String => DataFrame) {
         def outerOnly(q: Query): Set[String] =
           outerAliasesPre -- relationAliases(q.sel.from)
         val corrForm = sub match {
-          case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+          case Leaf(q) if q.sel.groupMode == "plain" &&
+              q.sel.groupSets.isEmpty && q.sel.having.isEmpty &&
+              q.sel.qualify.isEmpty &&
+              (!q.sel.distinct || q.sel.groupBy.isEmpty) &&
               q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
-              q.sel.items.head.e.isInstanceOf[AggExpr] &&
+              containsAgg(q.sel.items.head.e) &&
               q.sel.where.exists(w =>
                 splitConjuncts(w).exists(refersToAliases(_, outerOnly(q)))) =>
             Some(q)
@@ -200,21 +251,50 @@ final class Translator(catalog: String => DataFrame) {
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
             val keyNames = keyPairs.indices.map(i => s"__csq_${idx}_k$i")
-            val valName = s"__csq_${idx}_v"
-            val agg = q.sel.items.head.e.asInstanceOf[AggExpr]
-            val grouped = inner
-              .groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
-                exprToCol(ik, None).as(n)
-              }: _*)
-              .agg(aggColumn(agg).as(valName))
+            val innerKeys = q.sel.groupBy
+            val gNames = innerKeys.indices.map(j => s"__csq_${idx}_g$j")
+            // every aggregate node in the item becomes one agg column;
+            // the item expression is rebuilt over the post-join refs
+            var aggs = Vector.empty[(String, AggExpr)]
+            val substituted = Ast.transformUp(q.sel.items.head.e) {
+              case a: AggExpr if a.window.isEmpty =>
+                val n = aggs.find(_._2 == a).map(_._1).getOrElse {
+                  val nn = s"__csq_${idx}_a${aggs.size}"
+                  aggs :+= (nn -> a); nn
+                }
+                if (a.func == "count" && innerKeys.isEmpty)
+                  Coalesce(Seq(ColRef(None, n), NumLit("0")))
+                else ColRef(None, n)
+            }
+            if (aggs.isEmpty)
+              fail("correlated scalar subquery needs at least one aggregate")
+            val grpCols = keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+              exprToCol(ik, None).as(n)
+            } ++ innerKeys.zip(gNames).map { case (g, n) =>
+              exprToCol(g, None).as(n)
+            }
+            val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
+            var grouped = inner.groupBy(grpCols: _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+            val cntN = s"__csq_${idx}_c"
+            val guarded: Expr =
+              if (innerKeys.isEmpty) substituted
+              else {
+                grouped = grouped.withColumn(cntN,
+                  F.count(F.lit(1)).over(
+                    Window.partitionBy(keyNames.map(F.col): _*)))
+                CaseWhen(Seq((Cmp(">", ColRef(None, cntN), NumLit("1")),
+                  FuncCall("raise_error", Seq(StrLit(
+                    "scalar subquery returned more than one row"))))),
+                  substituted)
+              }
             val cond = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
               exprToCol(ok, None) === F.col(n)
             }.reduce(_ && _)
             from = from.join(grouped, cond, "left_outer")
-            helperCols = valName :: (keyNames.toList ::: helperCols)
-            if (agg.func == "count")
-              Coalesce(Seq(ColRef(None, valName), NumLit("0")))
-            else ColRef(None, valName)
+            helperCols = aggs.map(_._1).toList ::: cntN ::
+              (keyNames.toList ::: gNames.toList ::: helperCols)
+            guarded
           case None =>
             val subDf = translate(sub)
             if (subDf.columns.length != 1)
@@ -290,6 +370,7 @@ final class Translator(catalog: String => DataFrame) {
             val flagN = s"__sq_flag_$i"
             val corrForm = sub match {
               case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+                  q.sel.qualify.isEmpty &&
                   q.limit.isEmpty && q.offset.isEmpty &&
                   q.sel.items.length == 1 &&
                   q.sel.where.exists(w => splitConjuncts(w).exists(
@@ -305,8 +386,17 @@ final class Translator(catalog: String => DataFrame) {
                 // when the probe is null or the group has a null key.
                 // Two narrow key-shuffled left_outer joins (group
                 // summary + distinct match keys), no row multiplication.
+                //
+                // With a range (theta) conjunct, each arm carries the
+                // per-group min/max of the inner range expression
+                // (`∃ t < x ⟺ min(t) < x`): match iff the probe's key
+                // group has a theta-satisfying row, nonempty iff the
+                // correlation group does, null-key iff a null-keyed
+                // row does — the same 3VL table, evaluated against
+                // the outer side after the join.
                 val outerRefs = outerAliases -- relationAliases(q.sel.from)
-                val (keyPairs, local) = corrKeyPairs(q, outerRefs, "IN")
+                val (keyPairs, theta, local) =
+                  corrSplit(q, outerRefs, "IN", allowTheta = true)
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
@@ -314,34 +404,74 @@ final class Translator(catalog: String => DataFrame) {
                 val grpN = s"__sq_grp_$i"; val nullN = s"__sq_null_$i"
                 val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
                 val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
+                val thetaCols = theta.map { case (ie, _, _) =>
+                  exprToCol(ie, None) }.toSeq
                 val keyed = inner.select(
                   exprToCol(q.sel.items.head.e, None).as(keyN) +:
-                    keyPairs.zip(ckS).map { case ((ik, _), n) =>
-                      exprToCol(ik, None).as(n) }: _*)
-                val summary = keyed
-                  .groupBy(ckS.map(F.col): _*)
-                  .agg(F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
-                  .withColumn(grpN, F.lit(true))
-                val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
-                  .withColumn(markN, F.lit(true))
-                  .select(F.col(keyN) +: F.col(markN) +:
-                    ckS.zip(ckK).map { case (s, k) => F.col(s).as(k) }: _*)
+                    (keyPairs.zip(ckS).map { case ((ik, _), n) =>
+                      exprToCol(ik, None).as(n) } ++
+                     thetaCols.map(_.as(s"__sq_t_$i"))): _*)
                 val sumCond = keyPairs.zip(ckS).map { case ((_, ok), n) =>
-                  exprToCol(ok, None) === F.col(n) }.reduce(_ && _)
+                  exprToCol(ok, None) === F.col(n) }
+                  .reduceOption(_ && _).getOrElse(F.lit(true))
                 val keyCond = keyPairs.zip(ckK).map { case ((_, ok), n) =>
                   exprToCol(ok, None) === F.col(n)
                 }.foldLeft(probe === F.col(keyN))(_ && _)
-                from = from
-                  .join(summary, sumCond, "left_outer")
-                  .join(keys, keyCond, "left_outer")
-                  .withColumn(flagN,
-                    F.when(F.col(markN).isNotNull, F.lit(true))
-                      .when(F.col(grpN).isNull, F.lit(false))
-                      .when(probe.isNull || F.col(nullN),
-                        F.lit(null).cast(BooleanType))
-                      .otherwise(F.lit(false)))
-                helperCols = flagN :: markN :: grpN :: nullN :: keyN ::
-                  (ckS.toList ::: ckK.toList ::: helperCols)
+                theta match {
+                  case None =>
+                    val summary = keyed
+                      .groupBy(ckS.map(F.col): _*)
+                      .agg(F.coalesce(F.max(F.col(keyN).isNull), F.lit(false)).as(nullN))
+                      .withColumn(grpN, F.lit(true))
+                    val keys = keyed.filter(F.col(keyN).isNotNull).distinct()
+                      .withColumn(markN, F.lit(true))
+                      .select(F.col(keyN) +: F.col(markN) +:
+                        ckS.zip(ckK).map { case (s, k) => F.col(s).as(k) }: _*)
+                    from = from
+                      .join(summary, sumCond, "left_outer")
+                      .join(keys, keyCond, "left_outer")
+                      .withColumn(flagN,
+                        F.when(F.col(markN).isNotNull, F.lit(true))
+                          .when(F.col(grpN).isNull, F.lit(false))
+                          .when(probe.isNull || F.col(nullN),
+                            F.lit(null).cast(BooleanType))
+                          .otherwise(F.lit(false)))
+                    helperCols = flagN :: markN :: grpN :: nullN :: keyN ::
+                      (ckS.toList ::: ckK.toList ::: helperCols)
+                  case Some((_, op, oe)) =>
+                    val t = F.col(s"__sq_t_$i")
+                    val allN = s"__sq_tall_$i"; val nulN = s"__sq_tnull_$i"
+                    val matN = s"__sq_tmatch_$i"
+                    val summary = keyed
+                      .groupBy(ckS.map(F.col): _*)
+                      .agg(thetaAgg(t, op).as(allN),
+                        thetaAgg(F.when(F.col(keyN).isNull, t), op).as(nulN))
+                      .withColumn(grpN, F.lit(true))
+                    val keys = keyed.filter(F.col(keyN).isNotNull)
+                      .groupBy((F.col(keyN) +: ckS.map(F.col)): _*)
+                      .agg(thetaAgg(t, op).as(matN))
+                      .withColumn(markN, F.lit(true))
+                      .select(F.col(keyN) +: F.col(markN) +: F.col(matN) +:
+                        ckS.zip(ckK).map { case (s, k) => F.col(s).as(k) }: _*)
+                    val outerC = exprToCol(oe, None)
+                    val matched =
+                      (F.col(markN).isNotNull && cmp(op, F.col(matN), outerC)) <=> F.lit(true)
+                    val nonempty =
+                      (F.col(grpN).isNotNull && cmp(op, F.col(allN), outerC)) <=> F.lit(true)
+                    from = from
+                      .join(summary, sumCond, "left_outer")
+                      .join(keys, keyCond, "left_outer")
+                      .withColumn(flagN,
+                        F.when(matched, F.lit(true))
+                          .when(!nonempty, F.lit(false))
+                          .when(probe.isNull ||
+                              (cmp(op, F.col(nulN), outerC) <=> F.lit(true)),
+                            F.lit(null).cast(BooleanType))
+                          .otherwise(F.lit(false)))
+                    helperCols = flagN :: markN :: grpN :: allN :: nulN ::
+                      matN :: keyN ::
+                      (ckS.toList ::: ckK.toList ::: helperCols)
+                }
               case None =>
                 val (step, hs, _) = inFlagStep(sub, probe, "__sq", i)
                 from = step(from)
@@ -356,24 +486,48 @@ final class Translator(catalog: String => DataFrame) {
             existsCorrInfo(sub, outerAliases) match {
               case Some((q, outerRefs, _, _)) =>
                 if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+                    q.sel.qualify.nonEmpty ||
                     q.limit.nonEmpty || q.offset.nonEmpty)
                   fail("correlated EXISTS subquery supports FROM/WHERE only")
                 // dedup the inner side on its correlation keys before a
-                // left_outer presence join — no row multiplication
-                val (keyPairs, local) = corrKeyPairs(q, outerRefs, "EXISTS")
+                // left_outer presence join — no row multiplication. A
+                // range (theta) conjunct rides as the per-group min/max
+                // of the inner range expression, compared against the
+                // outer side after the join (`∃ t < x ⟺ min(t) < x`);
+                // EXISTS is two-valued, so an UNKNOWN comparison (null
+                // range values, null outer) reads false.
+                val (keyPairs, theta, local) =
+                  corrSplit(q, outerRefs, "EXISTS", allowTheta = true)
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val markN = s"__sq_mark_$i"
                 val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
-                val keys = inner.select(keyPairs.zip(ckK).map { case ((ik, _), n) =>
-                    exprToCol(ik, None).as(n) }: _*)
-                  .distinct().withColumn(markN, F.lit(true))
                 val cond = keyPairs.zip(ckK).map { case ((_, ok), n) =>
-                  exprToCol(ok, None) === F.col(n) }.reduce(_ && _)
-                from = from.join(keys, cond, "left_outer")
-                  .withColumn(flagN, F.col(markN).isNotNull)
-                helperCols = flagN :: markN :: (ckK.toList ::: helperCols)
+                  exprToCol(ok, None) === F.col(n) }
+                  .reduceOption(_ && _).getOrElse(F.lit(true))
+                theta match {
+                  case None =>
+                    val keys = inner.select(keyPairs.zip(ckK).map {
+                        case ((ik, _), n) => exprToCol(ik, None).as(n) }: _*)
+                      .distinct().withColumn(markN, F.lit(true))
+                    from = from.join(keys, cond, "left_outer")
+                      .withColumn(flagN, F.col(markN).isNotNull)
+                    helperCols = flagN :: markN :: (ckK.toList ::: helperCols)
+                  case Some((ie, op, oe)) =>
+                    val aggN = s"__sq_tagg_$i"
+                    val keys = inner
+                      .groupBy(keyPairs.zip(ckK).map { case ((ik, _), n) =>
+                        exprToCol(ik, None).as(n) }: _*)
+                      .agg(thetaAgg(exprToCol(ie, None), op).as(aggN))
+                      .withColumn(markN, F.lit(true))
+                    from = from.join(keys, cond, "left_outer")
+                      .withColumn(flagN,
+                        (F.col(markN).isNotNull &&
+                          cmp(op, F.col(aggN), exprToCol(oe, None))) <=> F.lit(true))
+                    helperCols = flagN :: markN :: aggN ::
+                      (ckK.toList ::: helperCols)
+                }
               case None =>
                 // uncorrelated: broadcast 1-row COUNT(*) > 0 summary
                 // over the one-row nonempty probe
@@ -401,6 +555,7 @@ final class Translator(catalog: String => DataFrame) {
           // SQL scoping) — only non-shadowed qualifiers are outer refs
           val corrForm = sub match {
             case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+                q.sel.qualify.isEmpty &&
                 q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
                 q.sel.where.exists(w =>
                   splitConjuncts(w).exists(refersToAliases(_,
@@ -687,15 +842,30 @@ final class Translator(catalog: String => DataFrame) {
         case "sets" =>
           // explicit GROUPING SETS over the flattened key union; keys
           // resolve positionals/aliases like plain GROUP BY, then are
-          // matched to grouping columns by expression — restricted to
-          // plain columns (expressions would need the __gk naming to
-          // line up across sets — loud error instead)
-          val sets = sel.groupSets.map(_.map(resolveGroupKey).map {
-            case c @ ColRef(_, _) => exprToCol(c, None)
-            case other =>
-              fail(s"GROUPING SETS keys must be plain columns, got $other")
+          // matched to the grouping columns by structural equality.
+          // Expression keys are MATERIALIZED as named `__gk_i` columns
+          // first and both lists pass plain references: handing
+          // `expr AS __gk_i` to groupingSets twice creates two alias
+          // nodes with distinct exprIds, and Spark's Expand then
+          // null-pads the selected one in every set (plain attribute
+          // references resolve by name, so the set entry and the
+          // grouping column are the same attribute).
+          val preIn = groupNamed.foldLeft(in) {
+            case (d, (g, _, Some(n))) => d.withColumn(n, exprToCol(g, None))
+            case (d, _) => d
+          }
+          def plainKey(t: (Expr, Column, Option[String])): Column = t match {
+            case (_, _, Some(n)) => F.col(n)
+            case (g, _, None)    => exprToCol(g, None)
+          }
+          val sets = sel.groupSets.map(_.map(resolveGroupKey).map { g =>
+            groupNamed.find(t => sameExpr(t._1, g)) match {
+              case Some(t) => plainKey(t)
+              case None =>
+                fail(s"GROUPING SETS key $g missing from the key union")
+            }
           })
-          in.groupingSets(sets, groupCols: _*)
+          preIn.groupingSets(sets, groupNamed.map(plainKey): _*)
         case _        => in.groupBy(groupCols: _*)
       }
 
@@ -905,7 +1075,7 @@ final class Translator(catalog: String => DataFrame) {
   private def correlatedExistsSide(q: Query, corr: Seq[Expr], local: Seq[Expr])
       : (DataFrame, Column) = {
     if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
-        q.limit.nonEmpty || q.offset.nonEmpty)
+        q.sel.qualify.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
       fail("correlated EXISTS subquery supports FROM/WHERE only")
     var inner = translateRelation(q.sel.from)
     local.reduceOption(And).foreach(p =>
@@ -934,23 +1104,67 @@ final class Translator(catalog: String => DataFrame) {
     translate(stripped).select(F.lit(1).as("__exists_probe")).limit(1)
   }
 
-  /** Splits a correlated subquery's WHERE into equality key pairs
-    * `(innerExpr, outerExpr)` plus local filter conjuncts; fails
-    * loudly on a non-equality correlated predicate (the flag-join
-    * lowering needs keys it can group/dedup the inner side on). */
-  private def corrKeyPairs(q: Query, outerRefs: Set[String], what: String)
-      : (Seq[(Expr, Expr)], Seq[Expr]) = {
+  /** Splits a correlated subquery's WHERE for the decorrelated
+    * lowerings: equality conjuncts become `(innerExpr, outerExpr)`
+    * group/join key pairs; when `allowTheta`, at most ONE monotone
+    * range conjunct (<, <=, >, >=) between an inner-only and an
+    * outer-only expression is returned normalized as
+    * `(innerExpr, op, outerExpr)` — the flag lowerings decorrelate it
+    * through a per-group min/max (`∃ t: t < x  ⟺  min(t) < x`), which
+    * is sound for ONE range but cannot decompose a JOINT condition
+    * over two inner columns, hence the cap. Anything else (including
+    * theta where not allowed) fails loudly. */
+  private def corrSplit(q: Query, outerRefs: Set[String], what: String,
+                        allowTheta: Boolean)
+      : (Seq[(Expr, Expr)], Option[(Expr, String, Expr)], Seq[Expr]) = {
     val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
       .partition(refersToAliases(_, outerRefs))
-    val pairs = corr.map {
-      case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
-          !refersToAliases(l, outerRefs) => (l, r)
-      case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
-          !refersToAliases(r, outerRefs) => (r, l)
-      case other => fail(
-        s"correlated $what predicates in this position must be equalities, got $other")
+    def flip(op: String): String = op match {
+      case "<" => ">"
+      case "<=" => ">="
+      case ">" => "<"
+      case ">=" => "<="
     }
+    val eq = Seq.newBuilder[(Expr, Expr)]
+    var theta = List.empty[(Expr, String, Expr)]
+    corr.foreach {
+      case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
+          !refersToAliases(l, outerRefs) => eq += ((l, r))
+      case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
+          !refersToAliases(r, outerRefs) => eq += ((r, l))
+      case Cmp(op @ ("<" | "<=" | ">" | ">="), l, r)
+          if allowTheta && refersToAliases(r, outerRefs) &&
+            !refersToAliases(l, outerRefs) => theta ::= ((l, op, r))
+      case Cmp(op @ ("<" | "<=" | ">" | ">="), l, r)
+          if allowTheta && refersToAliases(l, outerRefs) &&
+            !refersToAliases(r, outerRefs) => theta ::= ((r, flip(op), l))
+      case other =>
+        val accepted = if (allowTheta)
+          "equalities or a <, <=, >, >= range comparison" else "equalities"
+        fail(s"correlated $what predicates in this position must be " +
+          s"$accepted, got $other")
+    }
+    if (theta.length > 1)
+      fail(s"correlated $what supports at most one range conjunct in " +
+        "this position (min/max decorrelation cannot decompose a joint " +
+        "range condition over several inner columns)")
+    (eq.result(), theta.headOption, local)
+  }
+
+  /** Equality-only corrSplit (positions with no theta lowering). */
+  private def corrKeyPairs(q: Query, outerRefs: Set[String], what: String)
+      : (Seq[(Expr, Expr)], Seq[Expr]) = {
+    val (pairs, _, local) = corrSplit(q, outerRefs, what, allowTheta = false)
     (pairs, local)
+  }
+
+  /** The decorrelating aggregate for a range conjunct: per-group min
+    * for <, <= (`∃ t: t < x ⟺ min(t) < x`), max for >, >=. min/max
+    * skip NULLs, so rows whose range expression is NULL never satisfy
+    * the (3VL-unknown) comparison — as SQL requires. */
+  private def thetaAgg(c: Column, op: String): Column = op match {
+    case "<" | "<=" => F.min(c)
+    case ">" | ">=" => F.max(c)
   }
 
   /** Splits a WHERE tree into (top-level-conjunct [NOT] IN/EXISTS
@@ -1131,14 +1345,16 @@ final class Translator(catalog: String => DataFrame) {
           case Star(_) => fail("COUNT(DISTINCT *) unsupported")
           case e       => F.countDistinct(lower(e))
         }
-      // DISTINCT variants: sum has a native form; avg(DISTINCT x) ≡
-      // sum(DISTINCT x)/count(DISTINCT x) (Column division yields
-      // double for integral inputs, matching avg's result type);
-      // min/max are distinct-insensitive; dispersion forms have no
-      // distinct lowering — loud error rather than a silent plain agg
+      // DISTINCT variants: sum has a native form; avg(DISTINCT) lowers
+      // through the native aggregate (GraftFn bridges Column.fn), so
+      // the result type matches engine AVG for every input — the
+      // former sum_distinct/countDistinct quotient changed decimal
+      // precision/scale; min/max are distinct-insensitive; dispersion
+      // forms have no distinct lowering — loud error rather than a
+      // silent plain agg
       case "sum" if a.distinct => F.sum_distinct(arg)
       case "avg" if a.distinct =>
-        F.sum_distinct(arg) / F.countDistinct(arg)
+        org.apache.spark.sql.GraftFn.distinctAgg("avg", arg)
       case ("stddev" | "variance") if a.distinct =>
         fail(s"${a.func}(DISTINCT ...) is not supported")
       case "count"    => F.count(arg)
@@ -1155,6 +1371,9 @@ final class Translator(catalog: String => DataFrame) {
   private def windowSpec(w: WindowSpec,
                          lower: Expr => Column =
                            exprToCol(_, None)): SparkWindow = {
+    if (w.ref.isDefined)
+      fail(s"named window '${w.ref.get}' is only valid in the SELECT/" +
+        "HAVING/QUALIFY of the query whose WINDOW clause defines it")
     var spec: SparkWindow =
       if (w.partitionBy.nonEmpty)
         Window.partitionBy(w.partitionBy.map(lower): _*)

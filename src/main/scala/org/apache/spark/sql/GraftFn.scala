@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+/** Bridge to `Column.fn` (package-private in spark-sql-api): builds a
+  * DISTINCT aggregate call (`avg(DISTINCT x)`, ...) as the native
+  * Catalyst aggregate, so result types (decimal precision/scale,
+  * overflow behavior) match the engine's own `AVG` instead of a
+  * hand-assembled sum/count quotient. No execution-path code lives
+  * here — it only constructs an unresolved function Column. */
+object GraftFn {
+  def distinctAgg(name: String, cols: Column*): Column =
+    Column.fn(name, isDistinct = true, cols: _*)
+}

@@ -327,4 +327,41 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // round-4 lowerings: theta (range) correlated conjuncts mixed with
+  // equality correlations, in conjunct and flag positions, [NOT]
+  // variants, null-bearing keys — graft decorrelates flag positions
+  // through per-group min/max, so every op direction must agree with
+  // Spark's own subquery planning
+  private val genThetaPred: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    op <- Gen.oneOf("<", "<=", ">", ">=")
+    mult <- Gen.choose(1, 60)
+    k <- Gen.choose(0, 1500)
+    key <- Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)")
+    shape <- Gen.oneOf(0, 1, 2, 3)
+    p <- genPred
+    ex = s"${neg}exists (select 1 from orders" +
+      s" where orders.o_custkey = customer.c_custkey" +
+      s" and o_totalprice $op customer.c_acctbal * $mult)"
+    inq = s"c_custkey ${neg}in (select $key from orders" +
+      s" where orders.o_custkey = customer.c_custkey" +
+      s" and o_totalprice $op customer.c_acctbal * $mult)"
+  } yield shape match {
+    case 0 => ex
+    case 1 => inq
+    case 2 => s"($ex) or $p"
+    case 3 => s"($inq) or $p"
+  }
+
+  test("40 random theta-correlated queries match spark.sql exactly") {
+    val preds = Gen.listOfN(40, genThetaPred)
+      .pureApply(Gen.Parameters.default, Seed(47L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
 }

@@ -1003,11 +1003,11 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by grouping sets ((c_nationkey), ()) order by c_nationkey""",
       """select c_nationkey, count(*) as n from customer
          group by rollup(c_nationkey) order by c_nationkey""")
-    // expression keys are rejected loudly
-    val e = intercept[RuntimeException](graftSession.query(
-      """select count(*) as n from customer
-         group by grouping sets ((c_nationkey + 1))""").collect())
-    assert(e.getMessage.contains("plain columns"))
+    // expression keys group (and OUTPUT) through one shared named
+    // grouping column per distinct expression (r4; previously rejected)
+    checkAgainstSparkSql(
+      """select c_nationkey + 1 as k1, count(*) as n from customer
+         group by grouping sets ((c_nationkey + 1), ()) order by k1""")
   }
 
   test("in and exists subqueries as select-item values") {
@@ -1062,6 +1062,165 @@ class SqlSurfaceSpec extends SparkTestBase {
                    where nation.n_nationkey = customer.c_nationkey
                      and n_regionkey = 0) as r0
          from customer group by c_nationkey order by c_nationkey""")
+  }
+
+  test("theta-correlated EXISTS and IN in conjunct position") {
+    // range predicate joins as part of the semi/anti-join condition
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where orders.o_custkey = customer.c_custkey
+                         and orders.o_totalprice > customer.c_acctbal * 50)
+         order by c_custkey""")
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where not exists (select 1 from orders
+                           where orders.o_custkey = customer.c_custkey
+                             and orders.o_totalprice >= customer.c_acctbal * 50)
+         order by c_custkey""")
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice > customer.c_acctbal * 10)
+         order by c_custkey""")
+  }
+
+  test("theta-correlated EXISTS and IN in flag positions") {
+    // under OR: decorrelated through the per-group min/max
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where exists (select 1 from customer
+                       where customer.c_nationkey = nation.n_nationkey
+                         and customer.c_acctbal > nation.n_regionkey * 2000)
+            or n_regionkey = 0
+         order by n_nationkey""")
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice < customer.c_acctbal * 30)
+            or c_acctbal > 9900
+         order by c_custkey""")
+    // projected flag with a null-bearing key set: the 3VL null arm
+    // honors the range condition. spark.sql DEVIATES from the
+    // standard here (no-match vs a null-bearing set reads false, not
+    // NULL — see the verify notes), so the oracle is the spelled-out
+    // CASE; the driver's DuckDB compare covers the same query
+    // verbatim (q_in_theta_select).
+    assertSameRows(
+      graftSession.query(
+        """select n_nationkey,
+             n_nationkey in (select nullif(c_custkey % 25, 7) from customer
+                             where customer.c_nationkey = nation.n_nationkey
+                               and customer.c_acctbal > nation.n_regionkey * 1000) as f
+           from nation order by n_nationkey"""),
+      spark.sql(
+        """select n_nationkey,
+             case
+               when exists (select 1 from customer
+                            where customer.c_nationkey = nation.n_nationkey
+                              and customer.c_acctbal > nation.n_regionkey * 1000
+                              and nullif(c_custkey % 25, 7) = n_nationkey) then true
+               when not exists (select 1 from customer
+                                where customer.c_nationkey = nation.n_nationkey
+                                  and customer.c_acctbal > nation.n_regionkey * 1000)
+                 then false
+               when exists (select 1 from customer
+                            where customer.c_nationkey = nation.n_nationkey
+                              and customer.c_acctbal > nation.n_regionkey * 1000
+                              and nullif(c_custkey % 25, 7) is null)
+                 then cast(null as boolean)
+               else false
+             end as f
+           from nation order by n_nationkey"""))
+  }
+
+  test("theta correlation rejects undecomposable shapes loudly") {
+    // two range conjuncts in a flag position cannot decorrelate
+    val e = intercept[RuntimeException](graftSession.query(
+      """select n_nationkey from nation
+         where exists (select 1 from customer
+                       where customer.c_nationkey = nation.n_nationkey
+                         and customer.c_acctbal > nation.n_regionkey * 1000
+                         and customer.c_custkey < nation.n_nationkey * 100)
+            or n_regionkey = 9"""))
+    assert(e.getMessage.contains("one range conjunct"), e.getMessage)
+    // <> correlation has no lowering anywhere
+    val e2 = intercept[RuntimeException](graftSession.query(
+      """select n_nationkey from nation
+         where exists (select 1 from customer
+                       where customer.c_acctbal <> nation.n_regionkey)
+            or n_regionkey = 9"""))
+    assert(e2.getMessage.contains("range comparison"), e2.getMessage)
+  }
+
+  test("correlated scalar subqueries with inner GROUP BY and multi-aggregate expressions") {
+    checkAgainstSparkSql(
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            group by customer.c_nationkey) as n_cust
+         from nation order by n_name""")
+    checkAgainstSparkSql(
+      """select n_name,
+           (select max(c_acctbal) - min(c_acctbal) from customer
+            where customer.c_nationkey = nation.n_nationkey) as bal_range
+         from nation order by n_name""")
+    // inner GROUP BY key independent of the correlation key: >1 row
+    // per evaluated correlation group raises the standard error
+    val e = intercept[Exception](graftSession.query(
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            group by customer.c_mktsegment) as x
+         from nation""").collect())
+    assert(e.getMessage.toLowerCase.contains("more than one row"), e.getMessage)
+  }
+
+  test("named WINDOW definitions referenced from OVER") {
+    checkAgainstSparkSql(
+      """select c_custkey,
+           cast(rank() over w as bigint) as rk,
+           round(sum(c_acctbal) over w2, 2) as sbal,
+           lag(c_custkey, 1) over w as prev_id
+         from customer
+         window w as (partition by c_nationkey order by c_acctbal desc, c_custkey),
+                w2 as (partition by c_nationkey)
+         order by c_custkey""")
+    // unknown name and duplicate definitions fail loudly
+    val e = intercept[RuntimeException](graftSession.query(
+      "select rank() over nope from customer window w as (order by c_custkey)"))
+    assert(e.getMessage.contains("unknown window"), e.getMessage)
+    val e2 = intercept[RuntimeException](graftSession.query(
+      """select c_custkey from customer
+         window w as (order by c_custkey), w as (order by c_acctbal)"""))
+    assert(e2.getMessage.contains("duplicate WINDOW"), e2.getMessage)
+    // the reference's vestigial empty definition still parses
+    checkAgainstSparkSql(
+      "select c_custkey from customer window w as () order by c_custkey")
+  }
+
+  test("user aliases may not use reserved helper prefixes") {
+    val e = intercept[RuntimeException](graftSession.query(
+      "select c_custkey as __qw_0 from customer"))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[RuntimeException](graftSession.query(
+      "select c_acctbal as __sq_flag_1 from customer"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("grouping sets with expression keys and case-insensitive dedup") {
+    checkAgainstSparkSql(
+      """select c_nationkey, c_acctbal > 1000 as rich, count(*) as n
+         from customer
+         group by grouping sets ((c_nationkey, c_acctbal > 1000), (c_nationkey), ())
+         order by c_nationkey, rich""")
+    // ((a,b),(A)) contributes ONE `a` grouping column, not two
+    checkAgainstSparkSql(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets ((c_nationkey, c_mktsegment), (C_NATIONKEY))
+         order by c_nationkey, c_mktsegment""")
   }
 
   test("registration api") {
