@@ -73,8 +73,14 @@ object AsOf {
     // Backward: right rows sort BEFORE left rows at equal time and the
     // frame looks back → inclusive <=. Forward: right rows sort AFTER
     // left rows at equal time and the frame looks ahead → inclusive >=.
+    // The trailing __m struct is a deterministic tiebreak among RIGHT
+    // rows sharing the same (key, time): without it last/first picks a
+    // partition-arrival-dependent row, breaking run-to-run and
+    // cross-engine reproducibility. Backward resolves such ties to the
+    // largest (rt, value) struct, forward to the smallest; left rows
+    // carry a NULL struct and are unaffected.
     val sideOrd = if (forward) F.col("__side").desc else F.col("__side").asc
-    val base = Window.partitionBy(key).orderBy(F.col("__t"), sideOrd)
+    val base = Window.partitionBy(key).orderBy(F.col("__t"), sideOrd, F.col("__m"))
     val matched =
       if (forward) {
         val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -192,23 +192,37 @@ object Dedup {
     * The convergence test is one cheap `isEmpty` (limit-1 scan) per
     * round over the already-checkpointed labels. Deterministic,
     * shuffle-per-round on vertex id, no driver-side loop over data
-    * (the loop drives PLAN construction; at 100 TB checkpoint to a
-    * reliable dir instead of executor-local blocks, same shape
-    * GraphX/Pregel uses).
+    * (the loop drives PLAN construction; same shape GraphX/Pregel
+    * uses).
+    *
+    * Failure-recovery contract: by default each round materializes
+    * via eager `localCheckpoint` — blocks live on executors, so
+    * losing an executor mid-iteration severs lineage and fails the
+    * job (fine at test scale; rerun). At 100 TB pass `checkpointDir`
+    * (an HDFS/object-store path): rounds then write RELIABLE
+    * checkpoints there, and executor loss only recomputes lost
+    * partitions from the last checkpoint — the durability a
+    * multi-hour iteration needs. Same plan shape either way (OpsSpec
+    * pins equal output).
     *
     * Output: (id, label) for every vertex appearing in `pairs`, label
     * = min id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // each round references the previous labels twice (join + carry),
     // so an unbroken lineage doubles per round (2^rounds plan nodes)
     // and re-derives the candidate pipeline under every leaf. Eager
-    // localCheckpoint materializes round inputs once and cuts lineage.
-    val edges = pairs.selectExpr("id_a as src", "id_b as dst")
-      .union(pairs.selectExpr("id_b as src", "id_a as dst"))
-      .localCheckpoint(true)
-    var labels = edges.selectExpr("src as id").distinct()
-      .selectExpr("id", "id as label")
-      .localCheckpoint(true)
+    // checkpointing materializes round inputs once and cuts lineage.
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val edges = ckpt(pairs.selectExpr("id_a as src", "id_b as dst")
+      .union(pairs.selectExpr("id_b as src", "id_a as dst")))
+    var labels = ckpt(edges.selectExpr("src as id").distinct()
+      .selectExpr("id", "id as label"))
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
@@ -224,9 +238,9 @@ object Dedup {
             F.coalesce(F.col("nlabel"), F.col("l0.label"))).as("label"),
           (F.col("nlabel").isNotNull &&
             F.col("nlabel") < F.col("l0.label")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(F.col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      val nextCk = ckpt(next)
+      converged = nextCk.filter(F.col("__changed")).isEmpty
+      labels = nextCk.drop("__changed")
     }
     // the cap exists to bound pathological inputs, and hitting it
     // means labels are under-merged — the silent-split wrong answer

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data export operators (SURVEY.md §2.2 rows 75-76):
@@ -15,11 +15,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Export {
 
+  /** Backtick-quoted identifier for SQL-text fragments: a column name
+    * with a space, hyphen or reserved word must not misparse when
+    * spliced (embedded backticks double). */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** First 8 hex chars of md5(key) as a uniform unsigned 32-bit
     * value — identical in Spark (`conv(hex,16,10)`) and DuckDB
-    * (`('0x'||hex)::BIGINT`). */
-  private def hash32Sql(keyCol: String): String =
-    s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint)"
+    * (`('0x'||hex)::BIGINT`). Column API, so any column name works. */
+  private def hash32(key: Column): Column =
+    F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Adds a deterministic `shard` column in [0, numShards): uniform
     * md5-hash of the key, mod the shard count. Pure projection — no
@@ -28,7 +33,7 @@ object Export {
     * `partitionBy("shard")` so each output file is one shard. */
   def withShard(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    df.withColumn("shard", F.expr(s"${hash32Sql(keyCol)} % $numShards"))
+    df.withColumn("shard", hash32(F.col(keyCol)) % numShards)
   }
 
   /** Per-shard row/byte totals — the balance check run before an
@@ -70,7 +75,7 @@ object Export {
                     budget: Long, numShards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     val sharded = withShard(df, idCol, numShards)
-      .withColumn("__hk", F.expr(s"md5(cast($idCol as string))"))
+      .withColumn("__hk", F.md5(F.col(idCol).cast("string")))
     val order = Window.partitionBy("shard")
       .orderBy(F.col("__hk"), F.col(idCol))
     val running = order
@@ -85,7 +90,7 @@ object Export {
     sharded
       .withColumn("__cum", F.sum(F.col(tokensCol).cast("long")).over(running))
       .withColumn("__rn", F.row_number().over(order))
-      .withColumn("seq", F.expr(s"(__cum - $tokensCol) div $budget"))
+      .withColumn("seq", F.expr(s"(__cum - ${q(tokensCol)}) div $budget"))
       .withColumn("__prev", F.lag("seq", 1).over(order))
       .withColumn("__bstart",
         F.when(F.col("__prev").isNull || F.col("__prev") =!= F.col("seq"),

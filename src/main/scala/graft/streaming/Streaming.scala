@@ -66,12 +66,13 @@ object Streaming {
     * seen, keeping state only within the watermark horizon — the
     * streaming face of `Dedup.exactDuplicates` (bounded state on
     * unbounded input; at-least-once sources become effectively-once). */
-  def streamingDedup(spark: SparkSession, path: String): DataFrame = {
-    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+  def streamingDedup(spark: SparkSession, path: String): DataFrame =
+    dedupStream(spark.readStream.schema(eventsSchema).parquet(path))
+
+  private[streaming] def dedupStream(stream: DataFrame): DataFrame =
     withEventTime(stream)
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-  }
 
   /** documents raw schema (TESTDATA.md). */
   val documentsSchema: StructType = StructType(Seq(
@@ -143,15 +144,21 @@ object Streaming {
   }
 
   /** Streaming throughput bench: drives the windowed aggregation and
-    * the exact-dedup streams over the events table under
-    * Trigger.AvailableNow into a noop sink, reporting input rows,
-    * wall seconds, rows/s, and mean micro-batch latency from the
-    * engine's own progress telemetry. Returns ONE JSON object string
-    * (embedded in Bench's output line). Failures degrade to an
-    * "error" field rather than killing the batch bench. */
+    * the exact-dedup streams under Trigger.AvailableNow into a noop
+    * sink, at TWO input scales (1× and 2× the events table), each
+    * split into one file per micro-batch (maxFilesPerTrigger=1) so a
+    * run has ≥12 batches and a STEADY-STATE number exists: the first
+    * batch carries stream/JVM startup and is excluded from the
+    * steady block, which reports its own rows/s plus mean/max batch
+    * latency from the engine's progress telemetry. Comparing the two
+    * scales' steady rows/s shows whether per-row cost is flat as
+    * state grows (watermark-bounded state ⇒ it should be). Returns
+    * ONE JSON object string (embedded in Bench's output line);
+    * failures degrade to an "error" field rather than killing the
+    * batch bench. */
   def benchJson(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.streaming.Trigger
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path}
     def errJson(name: String, e: Throwable): String = {
       val msg = Option(e.getMessage).getOrElse("")
         .linesIterator.toSeq.headOption.getOrElse("")
@@ -167,44 +174,58 @@ object Streaming {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        val progress = q.recentProgress
+        val progress = q.recentProgress.filter(_.numInputRows > 0)
         val rows = progress.map(_.numInputRows).sum
         val batches = progress.length
-        val batchMs =
-          if (batches == 0) 0.0
-          else progress.map(_.batchDuration).sum.toDouble / batches
         val rps = if (sec > 0) (rows / sec).round else 0L
-        s""""$name":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps,"batches":$batches,"avg_batch_ms":$batchMs}"""
+        // steady state: drop the first (startup-loaded) batch
+        val steady = progress.drop(1)
+        val sRows = steady.map(_.numInputRows).sum
+        val sMs = steady.map(_.batchDuration).sum
+        val sRps = if (sMs > 0) (sRows * 1000.0 / sMs).round else 0L
+        val sMean = if (steady.isEmpty) 0.0 else sMs.toDouble / steady.length
+        val sMax = if (steady.isEmpty) 0L else steady.map(_.batchDuration).max
+        s""""$name":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps,""" +
+          s""""batches":$batches,"steady":{"batches":${steady.length},""" +
+          s""""rows_per_sec":$sRps,"mean_batch_ms":$sMean,"max_batch_ms":$sMax}}"""
       } catch { case e: Throwable => errJson(name, e) }
-    // the file streaming source requires a DIRECTORY; the testdata
-    // tables are single parquet files — stage events into a temp dir
-    // (which also holds the checkpoints, so ONE recursive delete
-    // cleans everything up). Staging failure degrades to error
-    // fields like any other streaming failure — it must never kill
-    // the batch bench results Bench prints after this call.
+    // the file streaming source requires a DIRECTORY of files and the
+    // per-batch split needs one file per batch — stage the events
+    // table as 12 (1×) and 24 (2×, self-unioned with offset ids)
+    // parquet files in a temp dir that also holds the checkpoints, so
+    // ONE recursive delete cleans up. Staging failure degrades to
+    // error fields — it must never kill the batch bench results
+    // Bench prints after this call.
     val staged =
       try {
-        // data/ holds ONLY the streamed parquet (the file source
-        // must see a directory of data files, not the checkpoints)
         val stage = Files.createTempDirectory("graft_stream_bench")
         try {
-          Files.createDirectory(stage.resolve("data"))
-          Files.copy(Paths.get(s"$sfDir/events.parquet"),
-            stage.resolve("data").resolve("events.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
+          val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          ev.repartition(12).write.mode("overwrite")
+            .parquet(stage.resolve("data1").toString)
+          ev.union(ev.selectExpr("event_id + 1000000000 as event_id",
+              "ts", "user_id", "event_type", "value", "props"))
+            .repartition(24).write.mode("overwrite")
+            .parquet(stage.resolve("data2").toString)
           Right(stage)
         } catch { case e: Throwable => deleteRecursively(stage); Left(e) }
       } catch { case e: Throwable => Left(e) }
     staged match {
       case Left(e) =>
-        Seq(errJson("windowed_counts", e), errJson("dedup", e))
+        Seq(errJson("windowed_counts_1x", e), errJson("dedup_1x", e))
           .mkString("{", ",", "}")
       case Right(stage) =>
         try {
-          val events = stage.resolve("data").toString
+          def src(scale: Int): String =
+            stage.resolve(s"data$scale").toString
+          def oneFilePerBatch(path: String): DataFrame =
+            spark.readStream.schema(eventsSchema)
+              .option("maxFilesPerTrigger", "1").parquet(path)
           Seq(
-            run(stage)("windowed_counts", streamingWindowedCounts(spark, events)),
-            run(stage)("dedup", streamingDedup(spark, events))
+            run(stage)("windowed_counts_1x", windowedStream(oneFilePerBatch(src(1)))),
+            run(stage)("windowed_counts_2x", windowedStream(oneFilePerBatch(src(2)))),
+            run(stage)("dedup_1x", dedupStream(oneFilePerBatch(src(1)))),
+            run(stage)("dedup_2x", dedupStream(oneFilePerBatch(src(2))))
           ).mkString("{", ",", "}")
         } finally deleteRecursively(stage)
     }
@@ -219,13 +240,14 @@ object Streaming {
   /** Streaming flavor of `windowedCounts` with a 1-hour watermark —
     * state for a window is dropped once event time passes its end by
     * the watermark, bounding memory on unbounded input. */
-  def streamingWindowedCounts(spark: SparkSession, path: String): DataFrame = {
-    val stream = spark.readStream.schema(eventsSchema).parquet(path)
+  def streamingWindowedCounts(spark: SparkSession, path: String): DataFrame =
+    windowedStream(spark.readStream.schema(eventsSchema).parquet(path))
+
+  private[streaming] def windowedStream(stream: DataFrame): DataFrame =
     withEventTime(stream)
       .withWatermark("event_time", "1 hour")
       .groupBy(F.window(F.col("event_time"), "1 hour"), F.col("event_type"))
       .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("sum_value"))
       .selectExpr("cast(window.start as bigint) as bucket_start",
         "event_type", "n", "sum_value")
-  }
 }

@@ -183,6 +183,56 @@ class OpsSpec extends SparkTestBase {
       l2(10L) == 10L && l2(11L) == 10L, l2.toString)
   }
 
+  test("connected components reliable-checkpoint path matches local") {
+    import spark.implicits._
+    // checkpointDir switches the per-round materialization from
+    // executor-local blocks to reliable checkpoints (the 100 TB
+    // failure-recovery contract); output must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val reliable = Dedup.connectedComponents(pairs,
+        checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(reliable == local, s"reliable=$reliable local=$local")
+    // the reliable run actually wrote checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .count() > 1
+    assert(wrote, "no reliable checkpoint files written")
+  }
+
+  test("as-of join ties on (key, time) resolve deterministically") {
+    import spark.implicits._
+    // three right rows share (key=1, vt=100): backward must pick the
+    // LARGEST (rt, value) struct — reproducible across partitionings
+    val left = Seq((10L, 1L, 150L)).toDF("event_id", "user_id", "t")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 3L), (1L, 100L, 9L))
+      .toDF("user_id", "vt", "view_id")
+      .repartition(3) // scatter the tied rows across partitions
+    val out = AsOf.join(left, right, "user_id", "t", "vt", "view_id")
+      .select("event_id", "asof_time", "asof_value").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 100L && out.head.getLong(2) == 9L,
+      out.head.toString)
+    // forward from t=50: picks the SMALLEST struct among the ties
+    val leftF = Seq((11L, 1L, 50L)).toDF("event_id", "user_id", "t")
+    val outF = AsOf.joinForward(leftF, right, "user_id", "t", "vt", "view_id")
+      .select("event_id", "asof_time", "asof_value").collect()
+    assert(outF.head.getLong(1) == 100L && outF.head.getLong(2) == 3L,
+      outF.head.toString)
+  }
+
+  test("export sharding handles column names needing quoting") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("doc id", "n tokens")
+    val sharded = graft.ops.Export.withShard(df, "doc id", 4)
+    assert(sharded.select("shard").collect().forall(_.getLong(0) < 4))
+    val packed = graft.ops.Export.packSequences(df, "doc id", "n tokens", 8L, 2)
+    assert(packed.count() == 2)
+  }
+
   test("embedding dup candidates join on (band, bucket) keys") {
     val df = Similarity.embeddingDupPairs(embeddings, 0.3)
     val joinConds = df.queryExecution.optimizedPlan.collect {
