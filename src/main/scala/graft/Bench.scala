@@ -59,6 +59,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", broadcast)
+      // the generated-code cache defaults to 100 entries; 122
+      // interleaved queries × several codegen units evict everything
+      // between rounds, so every query pays janino re-compilation
+      // every round (~0.05-0.1 s) — a cost consecutive-run probes
+      // never see. Sized to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // single-JVM local mode: every task is process-local, the
       // delay-scheduling wait is pure per-stage latency here
       .config("spark.locality.wait", "0")
@@ -80,9 +86,15 @@ object Bench {
     val times = Array.fill(queries.length, rounds)(0.0)
     for (r <- 0 until rounds) {
       System.gc()
-      for (((_, fn), qi) <- queries.zipWithIndex) {
+      for (((name, fn), qi) <- queries.zipWithIndex) {
         val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        // a throwing query must be VISIBLE — a swallowed error would
+        // report a fake near-zero time (correctness is gated
+        // separately by Verify, but the bench must not lie)
+        try exec(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED round $r: ${e.getMessage}")
+        }
         times(qi)(r) = (System.nanoTime() - t0) / 1e9
       }
     }

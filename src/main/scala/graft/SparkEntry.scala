@@ -257,11 +257,14 @@ object SparkEntry {
            max(l_quantity) as max_qty,
            count(l_quantity) as count_qty
          from lineitem group by l_returnflag""",
-    // dispersion aggregates (sample forms in both engines); 4dp
-    // rounding absorbs accumulation-algorithm ulps
+    // dispersion aggregates (sample forms in both engines), plain and
+    // DISTINCT (r4: native lowering); 4dp rounding absorbs
+    // accumulation-algorithm ulps
     "q_agg_dispersion" ->
       """select l_returnflag, round(stddev(l_quantity), 4) as sd,
-           round(variance(l_quantity), 4) as vr
+           round(variance(l_quantity), 4) as vr,
+           round(stddev(distinct l_quantity), 4) as sdd,
+           round(variance(distinct l_quantity), 4) as vrd
          from lineitem group by l_returnflag""",
     "q_count_star" ->
       "select count(*) as n from lineitem",

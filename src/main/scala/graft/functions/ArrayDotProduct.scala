@@ -119,5 +119,9 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_textstats", exprs => TextStats(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_topgram_max",
+      exprs => TopGramMax(exprs(0), litInt(exprs(1), "graft_topgram_max n")),
+      "built-in")
   }
 }

@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash", "one-pass simhash over tokens"),
       (exprs: Seq[Expression]) =>
         SimHash(exprs(0), GraftFunctions.litIntArg(exprs(1), "bits"))))
+    e.injectFunction((FunctionIdentifier("graft_topgram_max"),
+      info("graft_topgram_max", "max n-gram multiplicity within a token array"),
+      (exprs: Seq[Expression]) =>
+        TopGramMax(exprs(0), GraftFunctions.litIntArg(exprs(1), "n"))))
   }
 }

@@ -134,36 +134,33 @@ object TextAnalysis {
     * the most common bigram. High values flag boilerplate/spam for
     * training-data filtering.
     *
-    * Both signals are exploded-count aggregations — two narrow
-    * (doc_id[, gram]) shuffles with map-side partials, joined on
-    * doc_id. Fractions are int/int IEEE divisions left UNROUNDED:
-    * word counts are often powers of two, which puts rounded values
-    * exactly on .xx5 boundaries where engines' rounding modes diverge
-    * (identical doubles canonicalize identically instead). Documents
-    * with fewer than two words surface a NULL top_bigram_frac. */
+    * Every signal is a PER-ROW computation — no explode, no shuffle,
+    * no join: `size(array_distinct(w))` is the exploded
+    * COUNT(DISTINCT) value, and the top-bigram count is the native
+    * one-pass [[graft.functions.TopGramMax]] (`max(c)` of the
+    * exploded per-doc bigram counts; the bigram total is just
+    * `size(w) - 1`). The r3 formulation shuffled the exploded bigrams
+    * on (doc_id, gram) and re-aggregated on doc_id — two exchanges
+    * that this pure projection eliminates at every scale. Fractions
+    * are int/int IEEE divisions left UNROUNDED: word counts are often
+    * powers of two, which puts rounded values exactly on .xx5
+    * boundaries where engines' rounding modes diverge (identical
+    * doubles canonicalize identically instead). Documents with fewer
+    * than two words surface a NULL top_bigram_frac (the exploded form
+    * emits no rows for them). */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val tok = docs.selectExpr("doc_id",
-      "filter(split(lower(text), ' '), t -> t <> '') as w")
-    // word stats are PER-ROW array expressions — no explode, no
-    // shuffle (size(array_distinct(w)) ≡ the exploded COUNT(DISTINCT)
-    // value, without the expand+aggregate). The empty filter mirrors
-    // the exploded form, where a zero-word doc emits no rows.
-    val wordStats = tok
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+        "filter(split(lower(text), ' '), t -> t <> '') as w")
       .filter("size(w) > 0")
       .selectExpr("doc_id",
         "cast(size(w) as bigint) as n_words",
-        "cast(size(array_distinct(w)) as double) as __nd")
+        "cast(size(array_distinct(w)) as double) as __nd",
+        """case when size(w) >= 2
+             then cast(graft_topgram_max(w, 2) as double) / (size(w) - 1)
+           end as top_bigram_frac""")
       .withColumn("dup_word_frac",
         F.lit(1.0) - F.col("__nd") / F.col("n_words"))
-    val top = tok
-      .filter("size(w) >= 2")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(w) - 1),
-             i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) as g""")
-      .groupBy("doc_id", "g").agg(F.count(F.lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((F.max("c").cast("double") / F.sum("c")).as("top_bigram_frac"))
-    wordStats.join(top, Seq("doc_id"), "left_outer")
       .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
   }
 

@@ -773,15 +773,19 @@ final class Translator(catalog: String => DataFrame) {
     val groupCols = groupNamed.map(_._2)
 
     // every aggregate node appearing in SELECT or HAVING, deduped by
-    // its column expression text
-    var aggMap = Vector.empty[(String, Column)] // internal name -> agg col
-    def aggName(c: Column): String = {
-      val key = c.toString
-      aggMap.find(_._2.toString == key) match {
-        case Some((n, _)) => n
+    // its rendered column text PLUS the distinct flag — the internal
+    // node behind Column.fn(name, isDistinct = true) renders WITHOUT
+    // the DISTINCT marker, so text alone would silently unify
+    // stddev(x) with stddev(DISTINCT x)
+    var aggMap = Vector.empty[(String, String, Column)] // name, key, col
+    def aggName(a: AggExpr): String = {
+      val c = aggColumn(a)
+      val key = s"${a.func}|${a.distinct}|$c"
+      aggMap.find(_._2 == key) match {
+        case Some((n, _, _)) => n
         case None =>
           val n = s"__agg_${aggMap.size}"
-          aggMap :+= (n -> c)
+          aggMap :+= ((n, key, c))
           n
       }
     }
@@ -790,7 +794,7 @@ final class Translator(catalog: String => DataFrame) {
     // group-by expressions → their post-agg values
     def post(e: Expr): Column = e match {
       case a @ AggExpr(_, _, _, None) =>
-        F.col(aggName(aggColumn(a)))
+        F.col(aggName(a))
       // window functions over the AGGREGATED result (standard SQL:
       // windows evaluate after GROUP BY/HAVING) — partition/order keys
       // and arguments lower through post, so aggregates and group keys
@@ -945,7 +949,7 @@ final class Translator(catalog: String => DataFrame) {
     // the grouping (RelationalGroupedDataset.agg needs one), dropped
     // right after — semantically one row per group, same cost as a
     // distinct() over the keys
-    val aggExprs: Seq[Column] = aggMap.map { case (n, c) => c.as(n) } match {
+    val aggExprs: Seq[Column] = aggMap.map { case (n, _, c) => c.as(n) } match {
       case Seq() => Seq(F.first(F.lit(1)).as("__gb_dummy"))
       case es => es
     }
@@ -1345,18 +1349,19 @@ final class Translator(catalog: String => DataFrame) {
           case Star(_) => fail("COUNT(DISTINCT *) unsupported")
           case e       => F.countDistinct(lower(e))
         }
-      // DISTINCT variants: sum has a native form; avg(DISTINCT) lowers
-      // through the native aggregate (GraftFn bridges Column.fn), so
-      // the result type matches engine AVG for every input — the
-      // former sum_distinct/countDistinct quotient changed decimal
-      // precision/scale; min/max are distinct-insensitive; dispersion
-      // forms have no distinct lowering — loud error rather than a
-      // silent plain agg
+      // DISTINCT variants: sum has a native form; avg/stddev/variance
+      // DISTINCT lower through the native aggregates (GraftFn bridges
+      // Column.fn), so result types match the engine's own forms for
+      // every input — the former sum_distinct/countDistinct avg
+      // quotient changed decimal precision/scale, and dispersion
+      // DISTINCT used to be rejected; min/max are distinct-insensitive
       case "sum" if a.distinct => F.sum_distinct(arg)
       case "avg" if a.distinct =>
         org.apache.spark.sql.GraftFn.distinctAgg("avg", arg)
-      case ("stddev" | "variance") if a.distinct =>
-        fail(s"${a.func}(DISTINCT ...) is not supported")
+      case "stddev" if a.distinct =>
+        org.apache.spark.sql.GraftFn.distinctAgg("stddev_samp", arg)
+      case "variance" if a.distinct =>
+        org.apache.spark.sql.GraftFn.distinctAgg("var_samp", arg)
       case "count"    => F.count(arg)
       case "sum"      => F.sum(arg)
       case "avg"      => F.avg(arg)

@@ -103,4 +103,27 @@ class FunctionsSpec extends SparkTestBase {
       SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("graft_topgram_max equals the exploded per-doc bigram max") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+      .selectExpr("doc_id", "filter(split(lower(text), ' '), t -> t <> '') as w")
+      .filter("size(w) >= 2")
+    val native = docs.selectExpr("doc_id", "graft_topgram_max(w, 2) as m")
+    val exploded = docs
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(w) - 1),
+             i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) as g""")
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.max("count").as("m"))
+      .selectExpr("doc_id", "cast(m as int) as m")
+    assert(native.exceptAll(exploded).isEmpty && exploded.exceptAll(native).isEmpty)
+    // unigrams and short arrays
+    import spark.implicits._
+    val tiny = Seq((1L, Seq("a", "b", "a", "b", "a")), (2L, Seq("x"))).toDF("id", "w")
+    val r = tiny.selectExpr("id", "graft_topgram_max(w, 2) as m2",
+        "graft_topgram_max(w, 1) as m1")
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+    assert(r(1L) == ((2, 3)) && r(2L) == ((0, 1)), r.toString)
+  }
 }

@@ -936,17 +936,18 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by n_nationkey""")
   }
 
-  test("sum and avg honor DISTINCT") {
-    // previously parsed but silently computed the non-distinct form
+  test("aggregates honor DISTINCT, including dispersion forms") {
+    // previously parsed but silently computed the non-distinct form;
+    // stddev/variance DISTINCT were rejected until the native
+    // Column.fn lowering (r4)
     checkAgainstSparkSql(
       """select l_returnflag,
            round(sum(distinct l_quantity), 2) as sd,
            round(avg(distinct l_quantity), 4) as ad,
+           round(stddev(distinct l_quantity), 4) as dd,
+           round(variance(distinct l_quantity), 4) as vd,
            min(distinct l_linenumber) as md
          from lineitem group by l_returnflag order by l_returnflag""")
-    val e = intercept[RuntimeException](graftSession.query(
-      "select stddev(distinct l_quantity) as s from lineitem").collect())
-    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
   }
 
   test("intersect all keeps duplicate multiplicity") {
