@@ -168,5 +168,39 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q_ngram_top")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(p.contains("partial_"), "gram counts not map-side combined")
+    // r4: the (gram, doc) pre-aggregate replaced count-distinct's
+    // Expand, which doubled every exploded row before the shuffle
+    assert(!p.contains("Expand"), "ngram counts regressed to Expand")
+  }
+
+  test("repetition stats are a shuffle-free per-row projection") {
+    // r4: native graft_topgram_max — no explode, no (doc_id, gram)
+    // shuffle, no join; two exchanges eliminated at any scale
+    val p = plan("q_text_repetition")
+    assert(shuffleCount("q_text_repetition") == 0, p.take(3000))
+    assert(!p.contains("Generate"), "repetition regressed to explode")
+    assert(!p.toLowerCase.contains("join"), "repetition regressed to a join")
+  }
+
+  test("tfidf derives df without a join (window over the tf table)") {
+    val p = plan("q_text_tfidf")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "tfidf regressed to a df equi-join")
+    // exchanges: (doc_id, term) agg, term window, doc_id top-k window
+    assert(shuffleCount("q_text_tfidf") <= 3, p.take(3000))
+  }
+
+  test("theta flag lowerings join on equality keys, no row multiplication") {
+    val p = plan("q_in_theta_or")
+    assert(!p.contains("CartesianProduct"),
+      "theta IN flag produced a cartesian product")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "theta decorrelation lost its per-group min/max partials")
+  }
+
+  test("grouped correlated scalar joins the grouped inner on corr keys") {
+    val p = plan("q_scalar_corr_grouped")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_"), "inner aggregation not two-phase")
   }
 }
