@@ -135,6 +135,18 @@ object SparkEntry {
            (select max(c_acctbal) - min(c_acctbal) from customer
             where customer.c_nationkey = nation.n_nationkey) as bal_range
          from nation""",
+    // correlated scalar subqueries with HAVING: groups failing the
+    // filter contribute zero rows — NULL scalar, even for COUNT
+    "q_scalar_corr_having" ->
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            having count(*) > 30) as big_n,
+           (select round(sum(c_acctbal), 2) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            group by customer.c_nationkey
+            having count(*) > 30) as big_sum
+         from nation""",
     // GROUPING SETS with an expression key: the named grouping column
     // is shared across every set that lists the expression
     "q_grouping_sets_expr" ->

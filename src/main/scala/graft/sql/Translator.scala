@@ -232,7 +232,7 @@ final class Translator(catalog: String => DataFrame) {
           outerAliasesPre -- relationAliases(q.sel.from)
         val corrForm = sub match {
           case Leaf(q) if q.sel.groupMode == "plain" &&
-              q.sel.groupSets.isEmpty && q.sel.having.isEmpty &&
+              q.sel.groupSets.isEmpty &&
               q.sel.qualify.isEmpty &&
               (!q.sel.distinct || q.sel.groupBy.isEmpty) &&
               q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
@@ -253,18 +253,38 @@ final class Translator(catalog: String => DataFrame) {
             val keyNames = keyPairs.indices.map(i => s"__csq_${idx}_k$i")
             val innerKeys = q.sel.groupBy
             val gNames = innerKeys.indices.map(j => s"__csq_${idx}_g$j")
-            // every aggregate node in the item becomes one agg column;
-            // the item expression is rebuilt over the post-join refs
+            // every aggregate node in the item (and the subquery's
+            // HAVING) becomes one agg column; the item expression is
+            // rebuilt over the post-join refs, HAVING filters the
+            // grouped frame BEFORE the join (so filtered-out groups
+            // read NULL — zero subquery rows — even for COUNT)
             var aggs = Vector.empty[(String, AggExpr)]
+            def aggRef(a: AggExpr): String =
+              aggs.find(_._2 == a).map(_._1).getOrElse {
+                val nn = s"__csq_${idx}_a${aggs.size}"
+                aggs :+= (nn -> a); nn
+              }
             val substituted = Ast.transformUp(q.sel.items.head.e) {
               case a: AggExpr if a.window.isEmpty =>
-                val n = aggs.find(_._2 == a).map(_._1).getOrElse {
-                  val nn = s"__csq_${idx}_a${aggs.size}"
-                  aggs :+= (nn -> a); nn
-                }
-                if (a.func == "count" && innerKeys.isEmpty)
+                val n = aggRef(a)
+                if (a.func == "count" && innerKeys.isEmpty &&
+                    q.sel.having.isEmpty)
                   Coalesce(Seq(ColRef(None, n), NumLit("0")))
                 else ColRef(None, n)
+            }
+            // HAVING: aggregates map to agg columns; bare refs that
+            // structurally match a group key read its grouped column
+            val havingSubst: Option[Expr] = q.sel.having.map { h =>
+              Ast.transformUp(h) {
+                case a: AggExpr if a.window.isEmpty =>
+                  ColRef(None, aggRef(a))
+                case c: ColRef
+                    if (keyPairs.map(_._1) ++ innerKeys)
+                      .exists(k => sameExpr(k, c)) =>
+                  val all = keyPairs.map(_._1).zip(keyNames) ++
+                    innerKeys.zip(gNames)
+                  ColRef(None, all.find(t => sameExpr(t._1, c)).get._2)
+              }
             }
             if (aggs.isEmpty)
               fail("correlated scalar subquery needs at least one aggregate")
@@ -276,6 +296,7 @@ final class Translator(catalog: String => DataFrame) {
             val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
             var grouped = inner.groupBy(grpCols: _*)
               .agg(aggCols.head, aggCols.tail: _*)
+            havingSubst.foreach(h => grouped = grouped.filter(exprToCol(h, None)))
             val cntN = s"__csq_${idx}_c"
             val guarded: Expr =
               if (innerKeys.isEmpty) substituted

@@ -1179,6 +1179,22 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("more than one row"), e.getMessage)
   }
 
+  test("correlated scalar subqueries with HAVING filter groups to NULL") {
+    checkAgainstSparkSql(
+      """select n_name,
+           (select count(*) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            having count(*) > 30) as big_n
+         from nation order by n_name""")
+    checkAgainstSparkSql(
+      """select n_name,
+           (select round(sum(c_acctbal), 2) from customer
+            where customer.c_nationkey = nation.n_nationkey
+            group by customer.c_nationkey
+            having count(*) > 30) as big_sum
+         from nation order by n_name""")
+  }
+
   test("named WINDOW definitions referenced from OVER") {
     checkAgainstSparkSql(
       """select c_custkey,
