@@ -871,11 +871,16 @@ object SparkEntry {
             .distinctCount(F.col("user_id"), 1 << 20).as("n_users")),
       Some("""select event_type, count(distinct user_id) as n_users
               from events group by event_type""")),
-    // JSON column extraction: get_json_object ≡ DuckDB json_extract_string
+    // JSON column extraction ≡ DuckDB json_extract_string. Schema'd
+    // from_json, not get_json_object: Catalyst pushes the filter
+    // through the projection, so the parse evaluates in BOTH the
+    // filter and the project — the typed single-field parser is ~2x
+    // cheaper per evaluation (measured 0.35 vs 0.66 s at sf0.1;
+    // variant_get measured 0.57). Same values for numeric fields.
     ("q_json_extract",
       (s: SparkSession, dir: String) =>
         tbl(s, dir, "events").selectExpr("event_id",
-          "cast(get_json_object(props, '$.k') as bigint) as k")
+          "from_json(props, 'k BIGINT').k as k")
           .filter("k is not null and k % 10 = 0"),
       Some("""select event_id, json_extract_string(props, '$.k')::BIGINT as k
               from events where json_extract_string(props, '$.k') is not null

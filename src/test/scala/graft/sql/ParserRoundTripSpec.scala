@@ -92,6 +92,36 @@ class ParserRoundTripSpec extends AnyFunSuite {
                     ILike(ColRef(None, "b2"), "Y%")))
   }
 
+  test("round-4 syntax parses to the expected shapes") {
+    // named WINDOW definitions + OVER name references
+    val q = Parser.parse(
+      """select a, rank() over w as rk, sum(b) over w2 as sb
+         from t
+         window w as (partition by a order by b desc nulls last),
+                w2 as (partition by a order by b rows 2 preceding)""")
+    val sel = q.asInstanceOf[Leaf].q.sel
+    assert(sel.windows.map(_._1) == Seq("w", "w2"), sel.windows.toString)
+    val w1 = sel.windows.head._2
+    assert(w1.partitionBy == Seq(ColRef(None, "a")) &&
+      w1.orderBy == Seq(OrderItem(ColRef(None, "b"), asc = false,
+        nullsFirst = Some(false))), w1.toString)
+    // bare "2 preceding" frame: start bound + implicit CURRENT ROW end
+    assert(sel.windows(1)._2.frame ==
+      Some(Frame(isRows = true, Preceding(2), CurrentRow)))
+    sel.items.collect { case SelectItem(RankExpr(_, w), _) =>
+      assert(w.ref.contains("w"))
+    }
+    // empty reference-parity definition
+    val q2 = Parser.parse("select a from t window w as ()")
+    assert(q2.asInstanceOf[Leaf].q.sel.windows ==
+      Seq("w" -> WindowSpec(Nil, Nil, None)))
+    // grouping sets dedup the flattened union case-insensitively
+    val q3 = Parser.parse(
+      "select a, b, count(*) as n from t group by grouping sets ((a, b), (A))")
+    assert(q3.asInstanceOf[Leaf].q.sel.groupBy ==
+      Seq(ColRef(None, "a"), ColRef(None, "b")), q3.toString)
+  }
+
   test("full query round-trip for a representative query") {
     val sql = """select a, (b2 + 3) as c from t1
                  where (a > 1 and b2 < 2) or a = 5
