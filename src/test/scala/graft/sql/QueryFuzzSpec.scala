@@ -354,6 +354,98 @@ class QueryFuzzSpec extends SparkTestBase {
     case 3 => s"($inq) or $p"
   }
 
+  // round-4: named WINDOW definitions — graft parses the WINDOW
+  // clause itself; spark.sql supports the same syntax, so the whole
+  // query is the differential oracle
+  private val genNamedWindowQuery: Gen[String] = for {
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    fn <- Gen.oneOf("cast(rank() over w as bigint)",
+      "cast(row_number() over w as bigint)",
+      "round(sum(c_acctbal) over w, 2)",
+      "lag(c_custkey, 1) over w",
+      "percent_rank() over w")
+    extra <- Gen.oneOf(true, false)
+    pred <- Gen.option(genPred)
+  } yield {
+    val sel = if (extra)
+      s"select c_custkey, $fn as v, round(avg(c_acctbal) over w2, 4) as v2"
+    else s"select c_custkey, $fn as v"
+    val defs = if (extra)
+      s"window w as (partition by $part order by c_custkey), w2 as (partition by $part)"
+    else s"window w as (partition by $part order by c_custkey)"
+    s"$sel from customer" + pred.map(p => s" where $p").getOrElse("") + s" $defs"
+  }
+
+  test("25 random named-window queries match spark.sql exactly") {
+    val queries = Gen.listOfN(25, genNamedWindowQuery)
+      .pureApply(Gen.Parameters.default, Seed(59L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  // round-4: GROUPING SETS with expression keys (shared named
+  // grouping columns) — spark.sql runs the same text
+  private val genGroupingSetsQuery: Gen[String] = for {
+    k <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    div <- Gen.choose(2, 9)
+    expr = s"c_custkey % $div"
+    shape <- Gen.oneOf(0, 1, 2)
+    agg <- Gen.oneOf("count(*)", "round(sum(c_acctbal), 2)", "min(c_custkey)")
+  } yield shape match {
+    case 0 =>
+      s"select $k, $expr as e, $agg as v from customer" +
+        s" group by grouping sets (($k, $expr), ($k), ())"
+    case 1 =>
+      s"select $expr as e, $agg as v from customer" +
+        s" group by grouping sets (($expr), ())"
+    case 2 =>
+      s"select $k, $expr as e, $agg as v from customer" +
+        s" group by grouping sets (($k, $expr), ($expr))"
+  }
+
+  test("25 random expression-key grouping-set queries match spark.sql exactly") {
+    val queries = Gen.listOfN(25, genGroupingSetsQuery)
+      .pureApply(Gen.Parameters.default, Seed(61L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  // round-4: correlated scalar subqueries with GROUP BY / HAVING /
+  // multi-aggregate expressions
+  private val genScalarGroupedPred: Gen[String] = for {
+    agg <- Gen.oneOf("count(*)", "max(o_totalprice)",
+      "max(o_totalprice) - min(o_totalprice)", "count(*) * 2")
+    v <- Gen.choose(0, 20)
+    shape <- Gen.oneOf(0, 1, 2)
+  } yield shape match {
+    case 0 =>
+      s"(select $agg from orders where orders.o_custkey = customer.c_custkey" +
+        s" group by orders.o_custkey)"
+    case 1 =>
+      s"(select $agg from orders where orders.o_custkey = customer.c_custkey" +
+        s" having count(*) > $v)"
+    case 2 =>
+      s"(select $agg from orders where orders.o_custkey = customer.c_custkey" +
+        s" group by orders.o_custkey having count(*) > $v)"
+  }
+
+  test("30 random grouped/HAVING correlated scalars match spark.sql exactly") {
+    val preds = Gen.listOfN(30, genScalarGroupedPred)
+      .pureApply(Gen.Parameters.default, Seed(67L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey, $pred as v from customer"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   test("40 random theta-correlated queries match spark.sql exactly") {
     val preds = Gen.listOfN(40, genThetaPred)
       .pureApply(Gen.Parameters.default, Seed(47L))
