@@ -294,6 +294,12 @@ object SparkEntry {
       "select c_custkey, c_acctbal from customer order by c_acctbal desc, c_custkey",
     "q_limit" ->
       "select c_custkey, c_name from customer order by c_custkey limit 10 offset 5",
+    // ORDER BY aggregate expressions after GROUP BY (the sort key is
+    // computed per group through a hidden select item)
+    "q_order_by_agg" ->
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey
+         order by count(*) desc, c_nationkey limit 10""",
     // --- joins (rows 22-27)
     "q_join_inner" ->
       """select n_name, r_name from nation

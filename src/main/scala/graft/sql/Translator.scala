@@ -48,8 +48,39 @@ final class Translator(catalog: String => DataFrame) {
       }
   }
 
-  private def translateQuery(q: Query): DataFrame =
-    applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset)
+  private def translateQuery(q: Query): DataFrame = {
+    // reserved helper-name prefixes: a user alias like `__qw_0` would
+    // collide with hidden helper columns and be silently dropped —
+    // reject loudly. Checked HERE (not in translateSelect) because
+    // the aggregate-ORDER-BY lowering below appends its own hidden
+    // `__ob_i` items.
+    q.sel.items.foreach(_.alias.foreach { a =>
+      if (reservedAliasPrefixes.exists(p => a.toLowerCase.startsWith(p)))
+        fail(s"alias '$a' uses a reserved graft helper prefix")
+    })
+    // ORDER BY expressions containing aggregates (`order by count(*)
+    // desc` after GROUP BY — standard SQL: the sort key is computed
+    // over each group) evaluate as hidden select items through the
+    // aggregation pipeline, then sort by the hidden column and drop
+    // it. Plain ORDER BY (aliases, positionals, row expressions)
+    // resolves against the SELECT output as before.
+    val aggOrderIdx = q.orderBy.zipWithIndex
+      .collect { case (oi, i) if containsAgg(oi.e) => i }.toSet
+    if (aggOrderIdx.isEmpty)
+      applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset)
+    else {
+      val hidden = q.orderBy.zipWithIndex.collect {
+        case (oi, i) if aggOrderIdx(i) =>
+          SelectItem(oi.e, Some(s"__ob_$i"))
+      }
+      val df = translateSelect(q.sel.copy(items = q.sel.items ++ hidden))
+      val orderBy2 = q.orderBy.zipWithIndex.map { case (oi, i) =>
+        if (aggOrderIdx(i)) oi.copy(e = ColRef(None, s"__ob_$i")) else oi
+      }
+      applyOrderLimit(df, orderBy2, q.limit, q.offset)
+        .drop(hidden.flatMap(_.alias): _*)
+    }
+  }
 
   /** Sort direction + explicit NULLS FIRST/LAST (None = Spark's
     * default: nulls first when ascending, last when descending). */
@@ -149,7 +180,8 @@ final class Translator(catalog: String => DataFrame) {
     * helper cleanup (or shadow a hidden QUALIFY item) — reject loudly
     * instead. */
   private val reservedAliasPrefixes =
-    Seq("__qw_", "__sq_", "__ssq_", "__csq_", "__hq_", "__gk_", "__agg_")
+    Seq("__qw_", "__sq_", "__ssq_", "__csq_", "__hq_", "__gk_", "__agg_",
+      "__ob_")
 
   /** Resolves `OVER name` references against the SELECT's WINDOW
     * clause (returns the select with `windows` consumed). Unknown
@@ -180,10 +212,6 @@ final class Translator(catalog: String => DataFrame) {
   }
 
   private def translateSelect(sel00: Select): DataFrame = {
-    sel00.items.foreach(_.alias.foreach { a =>
-      if (reservedAliasPrefixes.exists(p => a.toLowerCase.startsWith(p)))
-        fail(s"alias '$a' uses a reserved graft helper prefix")
-    })
     val sel = resolveNamedWindows(sel00)
     val from0 = translateRelation(sel.from)
 
@@ -757,11 +785,12 @@ final class Translator(catalog: String => DataFrame) {
     val itemAliases = sel.items.collect {
       case SelectItem(e, Some(a)) => a.toLowerCase -> e
     }.toMap
-    // positional refs address USER items only — the hidden __qw_
-    // QUALIFY item is appended after them and must stay unaddressable
-    // (group by <n+1> would otherwise silently group by the predicate)
-    val visibleItems =
-      sel.items.filterNot(_.alias.exists(_.startsWith("__qw_")))
+    // positional refs address USER items only — hidden __qw_ QUALIFY
+    // and __ob_ aggregate-order items are appended after them and must
+    // stay unaddressable (group by <n+1> would otherwise silently
+    // group by the predicate/sort key)
+    val visibleItems = sel.items.filterNot(_.alias.exists(a =>
+      a.startsWith("__qw_") || a.startsWith("__ob_")))
     def resolveGroupKey(g: Expr): Expr = g match {
       case NumLit(t) if t.matches("[0-9]+") =>
         val i = t.toInt
@@ -1082,7 +1111,12 @@ final class Translator(catalog: String => DataFrame) {
     * rather than a deep analyzer error later. */
   private def existsCorrInfo(sub: SetExpr, outerAliases: Set[String])
       : Option[(Query, Set[String], Seq[Expr], Seq[Expr])] = sub match {
-    case Leaf(q) =>
+    case Leaf(q0) =>
+      // LIMIT k >= 1 cannot change existence — strip it so the common
+      // hand-written `EXISTS (SELECT 1 ... LIMIT 1)` lowers; LIMIT 0
+      // and OFFSET genuinely alter emptiness and stay loud errors
+      val q = if (q0.limit.exists(_ >= 1) && q0.offset.isEmpty)
+        q0.copy(limit = None) else q0
       val outerRefs = outerAliases -- relationAliases(q.sel.from)
       val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
         .partition(refersToAliases(_, outerRefs))

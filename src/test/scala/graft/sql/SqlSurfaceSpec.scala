@@ -1179,6 +1179,61 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("more than one row"), e.getMessage)
   }
 
+  test("ORDER BY aggregate expressions after GROUP BY") {
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey
+         order by count(*) desc, c_nationkey limit 10""")
+    // unselected aggregate as the sort key; expression over aggregates
+    checkAgainstSparkSql(
+      """select c_nationkey from customer group by c_nationkey
+         order by sum(c_acctbal) desc, c_nationkey""")
+    checkAgainstSparkSql(
+      """select c_mktsegment, count(*) as n from customer
+         group by c_mktsegment
+         order by round(sum(c_acctbal), 2) / count(*) desc, c_mktsegment""")
+    // positional and alias order refs still address user items only
+    checkAgainstSparkSql(
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey order by 2 desc, 1 limit 5""")
+  }
+
+  test("correlated EXISTS ignores a harmless LIMIT") {
+    // LIMIT k >= 1 cannot change existence; the hand-written
+    // `EXISTS (SELECT 1 ... LIMIT 1)` idiom must lower
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey from customer
+           where exists (select 1 from orders
+                         where orders.o_custkey = customer.c_custkey
+                           and o_totalprice > 100000 limit 1)
+           order by c_custkey"""),
+      spark.sql(
+        """select c_custkey from customer
+           where exists (select 1 from orders
+                         where orders.o_custkey = customer.c_custkey
+                           and o_totalprice > 100000)
+           order by c_custkey"""))
+    // flag position too
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey from customer
+           where exists (select 1 from orders
+                         where orders.o_custkey = customer.c_custkey limit 5)
+              or c_acctbal > 9900 order by c_custkey"""),
+      spark.sql(
+        """select c_custkey from customer
+           where exists (select 1 from orders
+                         where orders.o_custkey = customer.c_custkey)
+              or c_acctbal > 9900 order by c_custkey"""))
+    // LIMIT 0 genuinely changes emptiness — stays a loud error
+    val e = intercept[RuntimeException](graftSession.query(
+      """select c_custkey from customer
+         where exists (select 1 from orders
+                       where orders.o_custkey = customer.c_custkey limit 0)"""))
+    assert(e.getMessage.contains("FROM/WHERE"), e.getMessage)
+  }
+
   test("correlated scalar subqueries with HAVING filter groups to NULL") {
     checkAgainstSparkSql(
       """select n_name,
