@@ -58,28 +58,49 @@ final class Translator(catalog: String => DataFrame) {
       if (reservedAliasPrefixes.exists(p => a.toLowerCase.startsWith(p)))
         fail(s"alias '$a' uses a reserved graft helper prefix")
     })
-    // ORDER BY expressions containing aggregates (`order by count(*)
-    // desc` after GROUP BY — standard SQL: the sort key is computed
-    // over each group) evaluate as hidden select items through the
-    // aggregation pipeline, then sort by the hidden column and drop
-    // it. Plain ORDER BY (aliases, positionals, row expressions)
-    // resolves against the SELECT output as before.
-    val aggOrderIdx = q.orderBy.zipWithIndex
-      .collect { case (oi, i) if containsAgg(oi.e) => i }.toSet
-    if (aggOrderIdx.isEmpty)
+    // ORDER BY expressions that cannot evaluate on the OUTPUT frame
+    // lower as hidden select items (computed through the projection /
+    // aggregation pipeline), then the sort reads the hidden column
+    // and drops it:
+    //  - aggregates (`order by count(*) desc` after GROUP BY),
+    //  - window functions (`order by row_number() over (...)`),
+    //  - expressions structurally matching a GROUP BY key (`group by
+    //    c % 7 order by c % 7` — the source column no longer exists).
+    // Plain ORDER BY (aliases, positionals, row expressions) resolves
+    // against the SELECT output as before.
+    val isAggQuery = q.sel.groupBy.nonEmpty ||
+      q.sel.items.exists(i => containsAgg(i.e)) ||
+      q.sel.having.exists(containsAgg)
+    val hiddenIdx = q.orderBy.zipWithIndex.collect {
+      case (oi, i) if containsAgg(oi.e) || containsWindow(oi.e) ||
+          (isAggQuery && !oi.e.isInstanceOf[ColRef] &&
+            q.sel.groupBy.exists(g => sameExpr(g, oi.e))) => i
+    }.toSet
+    if (hiddenIdx.isEmpty)
       applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset)
     else {
+      // DISTINCT: a hidden sort key would join the distinct tuple and
+      // change which rows survive — standard SQL rejects the shape
+      if (q.sel.distinct)
+        fail("ORDER BY expressions of a SELECT DISTINCT query must " +
+          "appear in the select list")
       val hidden = q.orderBy.zipWithIndex.collect {
-        case (oi, i) if aggOrderIdx(i) =>
-          SelectItem(oi.e, Some(s"__ob_$i"))
+        case (oi, i) if hiddenIdx(i) => SelectItem(oi.e, Some(s"__ob_$i"))
       }
       val df = translateSelect(q.sel.copy(items = q.sel.items ++ hidden))
       val orderBy2 = q.orderBy.zipWithIndex.map { case (oi, i) =>
-        if (aggOrderIdx(i)) oi.copy(e = ColRef(None, s"__ob_$i")) else oi
+        if (hiddenIdx(i)) oi.copy(e = ColRef(None, s"__ob_$i")) else oi
       }
       applyOrderLimit(df, orderBy2, q.limit, q.offset)
         .drop(hidden.flatMap(_.alias): _*)
     }
+  }
+
+  /** True when the expression contains a window function / windowed
+    * aggregate anywhere. */
+  private def containsWindow(e: Expr): Boolean = e match {
+    case AggExpr(_, _, _, Some(_)) | RankExpr(_, _) | WinFunc(_, _, _) => true
+    case other => Ast.children(other).exists(containsWindow)
   }
 
   /** Sort direction + explicit NULLS FIRST/LAST (None = Spark's

@@ -1198,6 +1198,28 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by c_nationkey order by 2 desc, 1 limit 5""")
   }
 
+  test("ORDER BY window functions and group-key expressions") {
+    // spark.sql itself rejects window functions in ORDER BY — the
+    // oracle is the explicit subquery rewrite
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey from customer
+           order by row_number() over (order by c_acctbal, c_custkey), c_custkey
+           limit 20"""),
+      spark.sql(
+        """select c_custkey from
+             (select c_custkey, row_number() over
+                (order by c_acctbal, c_custkey) as rn from customer)
+           order by rn, c_custkey limit 20"""))
+    checkAgainstSparkSql(
+      """select c_custkey % 7 as b, count(*) as n from customer
+         group by c_custkey % 7 order by c_custkey % 7""")
+    // DISTINCT + non-selected sort expression is rejected loudly
+    val e = intercept[RuntimeException](graftSession.query(
+      "select distinct c_nationkey from customer order by count(*)"))
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
+  }
+
   test("correlated EXISTS ignores a harmless LIMIT") {
     // LIMIT k >= 1 cannot change existence; the hand-written
     // `EXISTS (SELECT 1 ... LIMIT 1)` idiom must lower
