@@ -448,6 +448,9 @@ final class Parser(tokens: Vector[Token]) {
     while (continue) {
       if (eatOp("+")) l = Arith("+", l, parseMultiplicative())
       else if (eatOp("-")) l = Arith("-", l, parseMultiplicative())
+      // `||` string concatenation (standard SQL; NULL-propagating like
+      // concat) — graft dialect extension at additive precedence
+      else if (eatOp("||")) l = FuncCall("concat", Seq(l, parseMultiplicative()))
       else continue = false
     }
     l

@@ -1198,6 +1198,16 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by c_nationkey order by 2 desc, 1 limit 5""")
   }
 
+  test("|| string concatenation operator") {
+    checkAgainstSparkSql(
+      "select n_name || '_x' as nx from nation order by nx")
+    // chained, mixed types, NULL-propagating (standard || semantics)
+    checkAgainstSparkSql(
+      """select n_name || '/' || n_regionkey as path,
+           nullif(n_name, 'CHINA') || '!' as maybe
+         from nation order by n_name""")
+  }
+
   test("ORDER BY window functions and group-key expressions") {
     // spark.sql itself rejects window functions in ORDER BY — the
     // oracle is the explicit subquery rewrite
