@@ -269,6 +269,13 @@ object SparkEntry {
            max(l_quantity) as max_qty,
            count(l_quantity) as count_qty
          from lineitem group by l_returnflag""",
+    // FILTER (WHERE ...) aggregate clause (standard SQL; CASE-wrapped
+    // argument — NULLs are invisible to every aggregate form)
+    "q_agg_filter" ->
+      """select l_returnflag,
+           round(sum(l_quantity) filter (where l_discount > 0.05), 2) as sq,
+           count(*) filter (where l_tax > 0.04) as ct
+         from lineitem group by l_returnflag""",
     // dispersion aggregates (sample forms in both engines), plain and
     // DISTINCT (r4: native lowering); 4dp rounding absorbs
     // accumulation-algorithm ulps

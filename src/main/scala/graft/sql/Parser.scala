@@ -547,8 +547,24 @@ final class Parser(tokens: Vector[Token]) {
           case f if aggFuncs.contains(f) && isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("(")
             val distinct = eatKw("distinct")
-            val arg = if (atOp("*")) { pos += 1; Star(None) } else parseExpr()
+            val arg0 = if (atOp("*")) { pos += 1; Star(None) } else parseExpr()
             expectOp(")")
+            // agg(...) FILTER (WHERE pred) — graft dialect extension
+            // (standard SQL / DuckDB / Spark SQL). Lowers by CASE-
+            // wrapping the argument: NULLs are invisible to every
+            // aggregate (including DISTINCT forms and COUNT), which
+            // is exactly FILTER's semantics; COUNT(*) counts a
+            // non-null literal instead.
+            val arg =
+              if (atKw("filter") && isOpAt(pos + 1, "(")) {
+                pos += 1; expectOp("("); expectKw("where")
+                val pred = parseExpr(); expectOp(")")
+                val base = arg0 match {
+                  case Star(_) => NumLit("1")
+                  case e => e
+                }
+                CaseWhen(Seq((pred, base)), NullLit())
+              } else arg0
             val win = if (eatKw("over")) Some(parseOverSpec()) else None
             AggExpr(aggFuncs(f), distinct, arg, win)
           case _ if isOpAt(pos + 1, "(") =>

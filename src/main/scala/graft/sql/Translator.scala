@@ -1528,11 +1528,19 @@ final class Translator(catalog: String => DataFrame) {
   private def scalarFunc(name: String, cols: Seq[Column],
                          raw: Seq[Expr]): Column = {
     def c(i: Int): Column = cols(i)
+    def isIntLit(i: Int): Boolean = raw(i) match {
+      case NumLit(_) | Neg(NumLit(_)) => true
+      case _ => false
+    }
     def n(i: Int): Int = raw(i) match {
       case NumLit(t)      => t.toDouble.toInt
       case Neg(NumLit(t)) => -t.toDouble.toInt
       case other          => fail(s"expected integer literal, got $other")
     }
+    // typed functions whose Scala API takes Int parameters only apply
+    // to literal arguments; computed arguments (substring(x, k, 3)
+    // with a column k) fall through to the registry call, which binds
+    // column expressions fine
     (name, cols.length) match {
       case ("lower", 1)     => F.lower(c(0))
       case ("upper", 1)     => F.upper(c(0))
@@ -1540,12 +1548,13 @@ final class Translator(catalog: String => DataFrame) {
       case ("trim", 1)      => F.trim(c(0))
       case ("abs", 1)       => F.abs(c(0))
       case ("round", 1)     => F.round(c(0))
-      case ("round", 2)     => F.round(c(0), n(1))
+      case ("round", 2) if isIntLit(1) => F.round(c(0), n(1))
       case ("floor", 1)     => F.floor(c(0))
       case ("ceil", 1)      => F.ceil(c(0))
       case ("sqrt", 1)      => F.sqrt(c(0))
       case ("concat", _)    => F.concat(cols: _*)
-      case ("substring", 3) => F.substring(c(0), n(1), n(2))
+      case ("substring", 3) if isIntLit(1) && isIntLit(2) =>
+        F.substring(c(0), n(1), n(2))
       case ("year", 1)      => F.year(c(0))
       case ("month", 1)     => F.month(c(0))
       case ("day", 1)       => F.dayofmonth(c(0))

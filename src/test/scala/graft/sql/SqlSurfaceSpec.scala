@@ -1198,6 +1198,29 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by c_nationkey order by 2 desc, 1 limit 5""")
   }
 
+  test("FILTER (WHERE ...) aggregate clause") {
+    checkAgainstSparkSql(
+      """select l_returnflag,
+           round(sum(l_quantity) filter (where l_discount > 0.05), 2) as sq,
+           count(*) filter (where l_tax > 0.04) as ct,
+           count(distinct l_suppkey) filter (where l_quantity > 25) as cd
+         from lineitem group by l_returnflag order by l_returnflag""")
+    // windowed aggregate with FILTER: spark.sql rejects this shape
+    // outright ("not supported yet") while the CASE lowering makes it
+    // just a windowed sum — the oracle is the explicit CASE form
+    assertSameRows(
+      graftSession.query(
+        """select l_orderkey, l_linenumber,
+             round(sum(l_quantity) filter (where l_discount > 0.02)
+               over (partition by l_orderkey), 2) as fsum
+           from lineitem order by l_orderkey, l_linenumber limit 100"""),
+      spark.sql(
+        """select l_orderkey, l_linenumber,
+             round(sum(case when l_discount > 0.02 then l_quantity end)
+               over (partition by l_orderkey), 2) as fsum
+           from lineitem order by l_orderkey, l_linenumber limit 100"""))
+  }
+
   test("|| string concatenation operator") {
     checkAgainstSparkSql(
       "select n_name || '_x' as nx from nation order by nx")
