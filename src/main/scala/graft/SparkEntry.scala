@@ -123,6 +123,22 @@ object SparkEntry {
                            where customer.c_nationkey = nation.n_nationkey
                              and customer.c_acctbal > nation.n_regionkey * 1000) as f
          from nation""",
+    // correlated EXISTS whose inner query AGGREGATES (GROUP BY +
+    // HAVING) — "has a day with 2+ orders"; decorrelated through the
+    // grouped derived-table rewrite, then the plain semi-join lowering
+    "q_exists_grouped" ->
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                       group by o.o_orderdate having count(*) >= 2)""",
+    // correlated IN against a grouped inner with a HAVING aggregate
+    // threshold — membership decided per surviving group
+    "q_in_grouped" ->
+      """select c_custkey, c_acctbal from customer c
+         where c.c_custkey in (select o.o_custkey from orders o
+                               where o.o_custkey = c.c_custkey
+                               group by o.o_custkey
+                               having sum(o.o_totalprice) > 200000)""",
     // correlated scalar subqueries: inner GROUP BY keys admitted
     // alongside the correlation keys (empty correlation group then
     // yields zero rows — NULL even for COUNT), and expressions over

@@ -267,6 +267,16 @@ final class Parser(tokens: Vector[Token]) {
   private def parseSelectItem(): SelectItem = {
     val e = parseExpr()
     val alias = parseOptionalAlias()
+    // reserved helper-name prefixes: a user alias like `__qw_0` would
+    // collide with hidden helper columns and be silently dropped —
+    // reject loudly. Checked HERE (the user-text boundary) so the
+    // translator's own rewrites (hidden ORDER BY items, decorrelated
+    // grouped subqueries) may use these names internally.
+    alias.foreach { a =>
+      if (Parser.reservedAliasPrefixes.exists(p =>
+            a.toLowerCase.startsWith(p)))
+        fail(s"alias '$a' uses a reserved graft helper prefix")
+    }
     SelectItem(e, alias)
   }
 
@@ -683,4 +693,11 @@ final class Parser(tokens: Vector[Token]) {
 object Parser {
   def parse(sql: String): Ast.SetExpr =
     new Parser(Lexer.tokenize(sql)).parse()
+
+  /** Hidden helper-column name prefixes the translator generates; user
+    * select-item aliases may not collide with them (parseSelectItem
+    * rejects loudly — helper cleanup would silently drop the column). */
+  val reservedAliasPrefixes: Seq[String] =
+    Seq("__qw_", "__sq_", "__ssq_", "__csq_", "__hq_", "__gk_", "__agg_",
+      "__ob_", "__gq_")
 }

@@ -49,15 +49,6 @@ final class Translator(catalog: String => DataFrame) {
   }
 
   private def translateQuery(q: Query): DataFrame = {
-    // reserved helper-name prefixes: a user alias like `__qw_0` would
-    // collide with hidden helper columns and be silently dropped —
-    // reject loudly. Checked HERE (not in translateSelect) because
-    // the aggregate-ORDER-BY lowering below appends its own hidden
-    // `__ob_i` items.
-    q.sel.items.foreach(_.alias.foreach { a =>
-      if (reservedAliasPrefixes.exists(p => a.toLowerCase.startsWith(p)))
-        fail(s"alias '$a' uses a reserved graft helper prefix")
-    })
     // ORDER BY expressions that cannot evaluate on the OUTPUT frame
     // lower as hidden select items (computed through the projection /
     // aggregation pipeline), then the sort reads the hidden column
@@ -195,14 +186,6 @@ final class Translator(catalog: String => DataFrame) {
   }
 
   // ---- select core --------------------------------------------------
-
-  /** Helper-column name prefixes the lowerings below synthesize; user
-    * aliases colliding with them would be silently dropped by the
-    * helper cleanup (or shadow a hidden QUALIFY item) — reject loudly
-    * instead. */
-  private val reservedAliasPrefixes =
-    Seq("__qw_", "__sq_", "__ssq_", "__csq_", "__hq_", "__gk_", "__agg_",
-      "__ob_")
 
   /** Resolves `OVER name` references against the SELECT's WINDOW
     * clause (returns the select with `windows` consumed). Unknown
@@ -434,7 +417,8 @@ final class Translator(catalog: String => DataFrame) {
       def freshIdx(): Int = { val i = flagIdx; flagIdx += 1; i }
       (expr0: Expr) =>
         Ast.transformUp(expr0) {
-          case InSubquery(e, sub) =>
+          case InSubquery(e, sub0) =>
+            val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
             val probe = exprToCol(e, None)
             val i = freshIdx()
             val flagN = s"__sq_flag_$i"
@@ -548,9 +532,10 @@ final class Translator(catalog: String => DataFrame) {
                 helperCols = hs ::: helperCols
             }
             ColRef(None, flagN)
-          case ExistsSubquery(sub) =>
+          case ExistsSubquery(sub0) =>
             // EXISTS in arbitrary boolean position (under OR, nested
             // NOT). EXISTS is two-valued, so the flag is never NULL.
+            val sub = degroupCorrSub(sub0, outerAliases, forExists = true)
             val i = freshIdx()
             val flagN = s"__sq_flag_$i"
             existsCorrInfo(sub, outerAliases) match {
@@ -613,7 +598,8 @@ final class Translator(catalog: String => DataFrame) {
     val whereResidual: Option[Expr] = selScalars.where.map { w =>
       val (subqueries, residual0) = extractInSubqueries(w)
       subqueries.foreach {
-        case (InSubquery(e, sub), negated) =>
+        case (InSubquery(e, sub0), negated) =>
+          val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
           val probe = exprToCol(e, None)
           // Correlated IN (sub's WHERE references an outer alias):
           // split like EXISTS — correlated conjuncts join, local
@@ -670,7 +656,8 @@ final class Translator(catalog: String => DataFrame) {
               from = from.join(subDf.distinct(), cond,
                 if (negated) "left_anti" else "left_semi")
           }
-        case (ExistsSubquery(sub), negated) =>
+        case (ExistsSubquery(sub0), negated) =>
+          val sub = degroupCorrSub(sub0, outerAliases, forExists = true)
           // [NOT] EXISTS: semi/anti join. A CORRELATED subquery's
           // WHERE splits ONCE (existsCorrInfo) into local conjuncts
           // (filter the inner relation) and correlated conjuncts
@@ -1147,6 +1134,84 @@ final class Translator(catalog: String => DataFrame) {
         fail("correlated EXISTS supports correlation in WHERE only")
       else None
     case _ => None
+  }
+
+  /** Rewrites a correlated subquery whose inner query AGGREGATES
+    * (nonempty GROUP BY, optionally HAVING) into the FROM/WHERE shape
+    * every correlated lowering already handles: the aggregate moves
+    * into a derived table whose grouping keys grow the correlated
+    * equality keys (projected under reserved `__gq_` names), and the
+    * correlation becomes plain WHERE equalities against those
+    * columns. `EXISTS (SELECT 1 FROM o WHERE o.k = c.k GROUP BY o.d
+    * HAVING count(*) > 3)` thereby reaches the same semi-join
+    * lowering as an unaggregated EXISTS, and membership/3VL flag
+    * lowerings apply unchanged to grouped IN. Sound because a
+    * NONEMPTY GROUP BY yields no output groups for a correlation key
+    * with no rows — existence/membership is decided per surviving
+    * group. (A GROUP-BY-less HAVING aggregate always emits one row
+    * even over zero input, which this rewrite cannot express — that
+    * shape keeps its existing loud error.) Returns the input
+    * unchanged when the rewrite doesn't apply — uncorrelated, no
+    * grouping, non-equality correlation, ROLLUP/CUBE/SETS, QUALIFY,
+    * LIMIT/OFFSET, window functions (their partitions would span
+    * correlation groups) — so those shapes keep their existing
+    * lowerings or loud errors. */
+  private def degroupCorrSub(sub: SetExpr, outerAliases: Set[String],
+                             forExists: Boolean): SetExpr = sub match {
+    case Leaf(q) if q.sel.groupBy.nonEmpty && q.sel.groupMode == "plain" &&
+        q.sel.groupSets.isEmpty && q.sel.qualify.isEmpty &&
+        q.limit.isEmpty && q.offset.isEmpty =>
+      val outerRefs = outerAliases -- relationAliases(q.sel.from)
+      val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+        .partition(refersToAliases(_, outerRefs))
+      val pairs: Seq[Option[(Expr, Expr)]] = corr.map {
+        case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
+            !refersToAliases(l, outerRefs) => Some((l, r))
+        case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
+            !refersToAliases(r, outerRefs) => Some((r, l))
+        case _ => None
+      }
+      val windowed =
+        (q.sel.items.map(_.e) ++ q.sel.having).exists(containsWindow)
+      if (corr.isEmpty || pairs.contains(None) || windowed ||
+          (!forExists && q.sel.items.length != 1) ||
+          (q.sel.having.toSeq ++ q.sel.groupBy)
+            .exists(refersToAliases(_, outerRefs)))
+        sub
+      else {
+        val kvs = pairs.flatten
+        val keyNs = kvs.indices.map(j => s"__gq_k_$j")
+        // EXISTS discards its projection, so items referencing the
+        // outer scope (legal SQL there) are dropped rather than sent
+        // to the derived-table translation, which could not resolve
+        // them; IN keeps its single item under a stable alias
+        val baseItems =
+          if (forExists) {
+            val kept =
+              q.sel.items.filterNot(i => refersToAliases(i.e, outerRefs))
+            if (kept.nonEmpty) kept else Seq(SelectItem(NumLit("1"), None))
+          } else {
+            val it = q.sel.items.head
+            Seq(if (it.alias.isDefined) it else it.copy(alias = Some("__gq_v")))
+          }
+        val derived = Leaf(Query(q.sel.copy(
+            distinct = false,
+            items = baseItems ++ kvs.map(_._1).zip(keyNs)
+              .map { case (e, n) => SelectItem(e, Some(n)) },
+            where = local.reduceOption(And),
+            groupBy = q.sel.groupBy ++ kvs.map(_._1)),
+          Nil, None, None))
+        val a = "__gq_sub"
+        val cond = keyNs.zip(kvs.map(_._2)).map { case (n, o) =>
+          Cmp("=", ColRef(Some(a), n), o): Expr }.reduce(And)
+        val item =
+          if (forExists) SelectItem(NumLit("1"), None)
+          else SelectItem(ColRef(Some(a), baseItems.head.alias.get), None)
+        Leaf(Query(Select(distinct = false, items = Seq(item),
+          from = SubqueryRel(derived, Some(a)), where = Some(cond),
+          groupBy = Nil, having = None), Nil, None, None))
+      }
+    case _ => sub
   }
 
   /** Inner side + join condition for a correlated EXISTS in conjunct

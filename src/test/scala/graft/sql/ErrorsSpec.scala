@@ -60,11 +60,21 @@ class ErrorsSpec extends SparkTestBase {
   }
 
   test("correlated EXISTS beyond FROM/WHERE is rejected; uncorrelated is unrestricted") {
+    // a nonempty inner GROUP BY decorrelates through the grouped
+    // derived-table rewrite (round 4b) — no longer an error
+    checkAgainstSparkSql(
+      """select n_name from nation
+         where exists (select count(*) from region
+                       where region.r_regionkey = nation.n_regionkey
+                       group by r_name)
+         order by n_name""")
+    // but a GROUP-BY-less HAVING aggregate (one row even over zero
+    // input) has no grouped rewrite — still a loud error
     val e = intercept[RuntimeException](graftSession.query(
       """select n_name from nation
          where exists (select count(*) from region
                        where region.r_regionkey = nation.n_regionkey
-                       group by r_name)"""))
+                       having count(*) > 0)"""))
     assert(e.getMessage.toLowerCase.contains("exists"))
     // correlation OUTSIDE the subquery's WHERE (HAVING / GROUP BY)
     // is rejected with a graft message, not a deep analyzer error

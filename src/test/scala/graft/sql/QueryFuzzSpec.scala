@@ -456,4 +456,59 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // round-4b: correlated IN/EXISTS whose inner query AGGREGATES
+  // (nonempty GROUP BY, optional HAVING) — decorrelated through the
+  // grouped derived-table rewrite (Translator.degroupCorrSub) in
+  // conjunct, OR-branch, and projected-flag positions
+  private def genGroupedCorrPred(nullKeys: Boolean): Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    g <- Gen.oneOf("o_orderdate", "o_orderpriority", "o_orderstatus")
+    n <- Gen.choose(1, 3)
+    t <- Gen.choose(1000, 300000)
+    k <- Gen.choose(0, 1500)
+    having <- Gen.oneOf("", s" having count(*) >= $n",
+      s" having sum(o_totalprice) > $t")
+    // null-bearing IN-sets only where spark.sql follows standard 3VL:
+    // in WHERE position UNKNOWN drops the row either way, but in
+    // PROJECTION position spark.sql returns false where the standard
+    // (and graft) says NULL — the documented spark.sql deviation
+    inKey <- if (nullKeys)
+      Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)", "max(o_custkey)")
+    else Gen.oneOf("o_custkey", "max(o_custkey)")
+    shape <- Gen.oneOf(0, 1, 2, 3)
+    p <- genPred
+    ex = s"${neg}exists (select 1 from orders" +
+      s" where orders.o_custkey = customer.c_custkey group by $g$having)"
+    inq = s"c_custkey ${neg}in (select $inKey from orders" +
+      s" where orders.o_custkey = customer.c_custkey" +
+      s" group by o_custkey, $g$having)"
+  } yield shape match {
+    case 0 => ex
+    case 1 => inq
+    case 2 => s"($ex) or $p"
+    case 3 => s"($inq) or $p"
+  }
+
+  test("40 random grouped-correlated IN/EXISTS queries match spark.sql exactly") {
+    val preds = Gen.listOfN(40, genGroupedCorrPred(nullKeys = true))
+      .pureApply(Gen.Parameters.default, Seed(71L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  test("20 random projected grouped-correlated flags match spark.sql exactly") {
+    val preds = Gen.listOfN(20, genGroupedCorrPred(nullKeys = false))
+      .pureApply(Gen.Parameters.default, Seed(73L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey, ($pred) as flag from customer"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
 }

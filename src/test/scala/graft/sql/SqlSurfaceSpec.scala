@@ -1289,6 +1289,66 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("FROM/WHERE"), e.getMessage)
   }
 
+  test("correlated IN/EXISTS with inner GROUP BY and HAVING") {
+    // "has a day with 2+ orders" — grouped EXISTS, conjunct position
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                       group by o.o_orderdate having count(*) >= 2)
+         order by c_custkey""")
+    // grouped NOT EXISTS
+    checkAgainstSparkSql(
+      """select count(*) as n from customer c
+         where not exists (select 1 from orders o
+                           where o.o_custkey = c.c_custkey
+                           group by o.o_orderdate having count(*) >= 2)""")
+    // grouped IN keyed on an aggregate-thresholded group key
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where c.c_custkey in (select o.o_custkey from orders o
+                               where o.o_custkey = c.c_custkey
+                               group by o.o_custkey
+                               having sum(o.o_totalprice) > 300000)
+         order by c_custkey""")
+    // IN whose value is an aggregate over each group
+    checkAgainstSparkSql(
+      """select o_orderkey from orders o
+         where o.o_totalprice in (select max(l.l_extendedprice) * 2
+                                  from lineitem l
+                                  where l.l_orderkey = o.o_orderkey
+                                  group by l.l_linestatus)
+         order by o_orderkey""")
+    // flag position (under OR) and projected flag
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where c_acctbal < 0 or exists
+           (select 1 from orders o where o.o_custkey = c.c_custkey
+            group by o.o_orderdate having count(*) >= 2)
+         order by c_custkey""")
+    checkAgainstSparkSql(
+      """select c_custkey, exists
+           (select 1 from orders o where o.o_custkey = c.c_custkey
+            group by o.o_orderdate having count(*) >= 2) as busy
+         from customer c order by c_custkey""")
+    // local conjuncts filter before grouping; HAVING over a second agg
+    checkAgainstSparkSql(
+      """select s_suppkey from supplier s
+         where exists (select 1 from lineitem l
+                       where l.l_suppkey = s.s_suppkey
+                         and l.l_quantity > 45
+                       group by l.l_returnflag having count(*) >= 3)
+         order by s_suppkey""")
+    // a GROUP-BY-less HAVING aggregate always emits one row even over
+    // zero input — not expressible as the grouped rewrite; loud error
+    val e = intercept[RuntimeException](graftSession.query(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                       having count(*) > 5)"""))
+    assert(e.getMessage.contains("FROM/WHERE"), e.getMessage)
+  }
+
   test("correlated scalar subqueries with HAVING filter groups to NULL") {
     checkAgainstSparkSql(
       """select n_name,

@@ -7,17 +7,65 @@ object OrderAggProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = graft.Graft.forDir(spark, "/root/testdata/sf0.001")
-    def t(sql: String): Unit =
-      try { g.query(sql).collect(); println("OK   " + sql.replaceAll("\\s+", " ").take(90)) }
-      catch { case e: Throwable => println("FAIL " + sql.replaceAll("\\s+", " ").take(90) + " => " + e.getMessage.linesIterator.next().take(90)) }
-    t("select substring(n_name, n_regionkey + 1, 3) as s from nation")
-    t("select round(c_acctbal, n_nationkey % 3) as r from customer join nation on c_nationkey = n_nationkey")
-    t("select upper(n_name) as u, lpad(n_name, 12, '.') as p from nation")
-    t("select case when rank() over (order by c_acctbal) > 5 then 'hi' else 'lo' end as b from customer")
-    t("select n_regionkey, count(case when n_nationkey > 10 then 1 end) as c from nation group by n_regionkey")
-    t("select sum(case when l_quantity > 25 then l_extendedprice else 0 end) as s from lineitem")
-    t("select l_returnflag, sum(l_quantity) filter (where l_discount > 0.05) as s from lineitem group by l_returnflag")
-    t("select greatest(n_nationkey, n_regionkey * 5) as g, least(n_nationkey, 7) as l from nation")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .createOrReplaceTempView(t)
+    }
+    // diff graft vs spark.sql on the grouped-correlated shapes
+    def d(sql: String): Unit =
+      try {
+        val a = g.query(sql).collect().map(_.toString).sorted
+        val b = spark.sql(sql).collect().map(_.toString).sorted
+        if (a.sameElements(b)) println("SAME " + sql.replaceAll("\\s+", " ").take(100))
+        else println(s"DIFF(${a.length}/${b.length}) " + sql.replaceAll("\\s+", " ").take(100))
+      } catch { case e: Throwable =>
+        println("FAIL " + sql.replaceAll("\\s+", " ").take(100) + " => " +
+          e.getMessage.linesIterator.next().take(120)) }
+    // conjunct EXISTS with GROUP BY + HAVING: customers with a day of 2+ orders
+    d("""select c_custkey from customer c where exists
+          (select 1 from orders o where o.o_custkey = c.c_custkey
+           group by o.o_orderdate having count(*) >= 2)
+        order by c_custkey""")
+    // conjunct NOT EXISTS grouped
+    d("""select count(*) as n from customer c where not exists
+          (select 1 from orders o where o.o_custkey = c.c_custkey
+           group by o.o_orderdate having count(*) >= 2)""")
+    // conjunct IN with GROUP BY + HAVING on an aggregate value
+    d("""select c_custkey from customer c where c.c_custkey in
+          (select o.o_custkey from orders o where o.o_custkey = c.c_custkey
+           group by o.o_custkey having sum(o.o_totalprice) > 300000)
+        order by c_custkey""")
+    // grouped IN, value is an aggregate
+    d("""select o_orderkey from orders o where o.o_totalprice in
+          (select max(l.l_extendedprice) * 2 from lineitem l
+           where l.l_orderkey = o.o_orderkey group by l.l_linestatus)
+        order by o_orderkey""")
+    // flag position: EXISTS grouped under OR
+    d("""select c_custkey from customer c
+        where c_acctbal < 0 or exists
+          (select 1 from orders o where o.o_custkey = c.c_custkey
+           group by o.o_orderdate having count(*) >= 2)
+        order by c_custkey""")
+    // projected flag: grouped EXISTS as a select item
+    d("""select c_custkey, exists
+          (select 1 from orders o where o.o_custkey = c.c_custkey
+           group by o.o_orderdate having count(*) >= 2) as busy
+        from customer c order by c_custkey""")
+    // projected grouped NOT IN (3VL)
+    d("""select c_custkey, c_custkey not in
+          (select o.o_custkey from orders o where o.o_custkey = c.c_custkey
+           group by o.o_custkey having count(*) > 30) as few
+        from customer c order by c_custkey""")
+    // grouped EXISTS with local + correlated conjuncts and expression key
+    d("""select s_suppkey from supplier s where exists
+          (select 1 from lineitem l where l.l_suppkey = s.s_suppkey
+           and l.l_quantity > 45 group by l.l_returnflag having count(*) >= 3)
+        order by s_suppkey""")
+    // GROUP-BY-less HAVING stays a loud error (one-row aggregate shape)
+    d("""select c_custkey from customer c where exists
+          (select 1 from orders o where o.o_custkey = c.c_custkey
+           having count(*) > 5) order by c_custkey""")
     spark.stop()
   }
 }
