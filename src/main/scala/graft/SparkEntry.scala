@@ -131,6 +131,15 @@ object SparkEntry {
          where exists (select 1 from orders o
                        where o.o_custkey = c.c_custkey
                        group by o.o_orderdate having count(*) >= 2)""",
+    // the "more than N related rows" idiom: GROUP-BY-less HAVING
+    // aggregate (one row even over empty input) — split into the
+    // grouped disjunct plus the h-on-empty guard; count(*) < 3 is
+    // TRUE for customers with NO orders, exercising the guard
+    "q_exists_having" ->
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                       having count(*) < 3)""",
     // correlated IN against a grouped inner with a HAVING aggregate
     // threshold — membership decided per surviving group
     "q_in_grouped" ->

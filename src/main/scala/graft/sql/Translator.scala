@@ -369,12 +369,16 @@ final class Translator(catalog: String => DataFrame) {
             ColRef(None, n)
         }
       }
+    // GROUP-BY-less HAVING EXISTS rewrites FIRST (it introduces the
+    // scalar-subquery guard hoistScalars then materializes)
+    def preHoist(e: Expr): Expr =
+      hoistScalars(rewriteHavingOnlyExists(e, outerAliasesPre))
     val selScalars0 = sel.copy(
-      items = sel.items.map(i => i.copy(e = hoistScalars(i.e))),
-      where = sel.where.map(hoistScalars),
+      items = sel.items.map(i => i.copy(e = preHoist(i.e))),
+      where = sel.where.map(preHoist),
       groupBy = sel.groupBy.map(hoistScalars),
       having = sel.having.map(hoistScalars),
-      qualify = sel.qualify.map(hoistScalars))
+      qualify = sel.qualify.map(preHoist))
 
     // QUALIFY (post-window filter): the WHOLE predicate hoists to ONE
     // hidden boolean select item — windows AND plain input columns
@@ -1135,6 +1139,71 @@ final class Translator(catalog: String => DataFrame) {
       else None
     case _ => None
   }
+
+  /** Rewrites a correlated EXISTS whose inner query is a GROUP-BY-less
+    * HAVING aggregate — `EXISTS (SELECT ... FROM i WHERE i.k = o.k
+    * HAVING count(*) > 5)`, the "more than N related rows" idiom.
+    * Such an aggregate emits exactly ONE row even over an EMPTY
+    * group, so existence equals the HAVING predicate evaluated on
+    * the correlated group:
+    *
+    *   EXISTS(... WHERE corr ∧ local HAVING h)
+    *     ⟺ EXISTS(SELECT 1 ... WHERE corr ∧ local
+    *              GROUP BY corrKeys HAVING h)        — nonempty groups
+    *     ∨ ( (SELECT h FROM i WHERE false)           — h on empty input
+    *         ∧ NOT EXISTS(SELECT 1 ... WHERE corr ∧ local) )
+    *
+    * The first disjunct reaches the grouped derived-table rewrite
+    * ([[degroupCorrSub]] — grouping by the correlation keys makes
+    * each correlated set one group); the guard's scalar subquery is
+    * UNCORRELATED (one row: aggregates over zero input — TRUE only
+    * for shapes like `count(*) = 0`) and its empty scan folds
+    * plan-side. Applies only to equality-correlated, window-free
+    * shapes; anything else keeps its loud error. */
+  private def rewriteHavingOnlyExists(e0: Expr,
+                                      outerAliases: Set[String]): Expr =
+    Ast.transformUp(e0) {
+      case orig @ ExistsSubquery(Leaf(q0)) if q0.sel.groupBy.isEmpty &&
+          q0.sel.having.nonEmpty && q0.sel.groupSets.isEmpty &&
+          q0.sel.qualify.isEmpty && q0.offset.isEmpty &&
+          q0.limit.forall(_ >= 1) =>
+        val q = q0.copy(limit = None)
+        val outerRefs = outerAliases -- relationAliases(q.sel.from)
+        val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+          .partition(refersToAliases(_, outerRefs))
+        val eqOnly = corr.nonEmpty && corr.forall {
+          case Cmp("=", l, r) =>
+            refersToAliases(l, outerRefs) ^ refersToAliases(r, outerRefs)
+          case _ => false
+        }
+        // HAVING may resolve the inner SELECT's item aliases
+        val aliasMap = q.sel.items.collect {
+          case SelectItem(ie, Some(a)) => a.toLowerCase -> ie }.toMap
+        val h = Ast.transformUp(q.sel.having.get) {
+          case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
+            aliasMap(n.toLowerCase)
+        }
+        if (!eqOnly || refersToAliases(h, outerRefs) || containsWindow(h))
+          orig
+        else {
+          val innerKeys = corr.map { case Cmp("=", l, r) =>
+            if (refersToAliases(l, outerRefs)) r else l }
+          val one = Seq(SelectItem(NumLit("1"), None))
+          val grouped = ExistsSubquery(Leaf(q.copy(sel = q.sel.copy(
+            distinct = false, items = one,
+            groupBy = innerKeys, having = Some(h)))))
+          // COALESCE keeps EXISTS two-valued: h over empty input may
+          // be NULL (avg/max thresholds), which must read FALSE
+          val emptyGuard = ScalarSubquery(Leaf(Query(Select(
+            distinct = false,
+            items = Seq(SelectItem(Coalesce(Seq(h, BoolLit(false))), None)),
+            from = q.sel.from, where = Some(BoolLit(false)),
+            groupBy = Nil, having = None), Nil, None, None)))
+          val anyRows = ExistsSubquery(Leaf(q.copy(sel = q.sel.copy(
+            distinct = false, items = one, having = None))))
+          Or(grouped, And(emptyGuard, Not(anyRows)))
+        }
+    }
 
   /** Rewrites a correlated subquery whose inner query AGGREGATES
     * (nonempty GROUP BY, optionally HAVING) into the FROM/WHERE shape

@@ -68,14 +68,15 @@ class ErrorsSpec extends SparkTestBase {
                        where region.r_regionkey = nation.n_regionkey
                        group by r_name)
          order by n_name""")
-    // but a GROUP-BY-less HAVING aggregate (one row even over zero
-    // input) has no grouped rewrite — still a loud error
-    val e = intercept[RuntimeException](graftSession.query(
+    // a GROUP-BY-less HAVING aggregate decorrelates too (round 4b:
+    // the one-row-even-over-empty-input semantics ride the
+    // empty-guard disjunct of rewriteHavingOnlyExists)
+    checkAgainstSparkSql(
       """select n_name from nation
          where exists (select count(*) from region
                        where region.r_regionkey = nation.n_regionkey
-                       having count(*) > 0)"""))
-    assert(e.getMessage.toLowerCase.contains("exists"))
+                       having count(*) > 0)
+         order by n_name""")
     // correlation OUTSIDE the subquery's WHERE (HAVING / GROUP BY)
     // is rejected with a graft message, not a deep analyzer error
     val eh = intercept[RuntimeException](graftSession.query(

@@ -511,4 +511,48 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // round-4b: GROUP-BY-less HAVING EXISTS (the "more than N related
+  // rows" idiom) — rewriteHavingOnlyExists splits nonempty groups
+  // from the h-on-empty-input guard; thresholds chosen to exercise
+  // both disjuncts (count(*) = 0 is TRUE exactly on empty groups)
+  private val genHavingOnlyExists: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    n <- Gen.choose(0, 9)
+    agg <- Gen.oneOf(s"count(*) > $n", "count(*) = 0", s"count(*) <= $n",
+      s"sum(o_totalprice) > ${n * 50000}",
+      s"avg(o_totalprice) > ${100000 + n * 10000}",
+      s"max(o_totalprice) < ${150000 + n * 20000}")
+    local <- Gen.oneOf("", " and o_totalprice > 100000")
+    shape <- Gen.oneOf(0, 1, 2)
+    p <- genPred
+    ex = s"${neg}exists (select 1 from orders" +
+      s" where orders.o_custkey = customer.c_custkey$local having $agg)"
+  } yield shape match {
+    case 0 => ex
+    case 1 => s"($ex) or $p"
+    case 2 => s"($ex) and ($p or $ex)"
+  }
+
+  test("30 random HAVING-only EXISTS queries match spark.sql exactly") {
+    val preds = Gen.listOfN(30, genHavingOnlyExists)
+      .pureApply(Gen.Parameters.default, Seed(79L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  test("15 random projected HAVING-only EXISTS flags match spark.sql exactly") {
+    val preds = Gen.listOfN(15, genHavingOnlyExists)
+      .pureApply(Gen.Parameters.default, Seed(83L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey, ($pred) as flag from customer"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
 }

@@ -1339,14 +1339,51 @@ class SqlSurfaceSpec extends SparkTestBase {
                          and l.l_quantity > 45
                        group by l.l_returnflag having count(*) >= 3)
          order by s_suppkey""")
-    // a GROUP-BY-less HAVING aggregate always emits one row even over
-    // zero input — not expressible as the grouped rewrite; loud error
-    val e = intercept[RuntimeException](graftSession.query(
+  }
+
+  test("correlated EXISTS with GROUP-BY-less HAVING (more-than-N idiom)") {
+    // a GROUP-BY-less HAVING aggregate emits one row even over zero
+    // input; rewriteHavingOnlyExists splits nonempty groups (grouped
+    // EXISTS) from the empty-group case (uncorrelated h-on-empty
+    // guard ∧ NOT EXISTS)
+    checkAgainstSparkSql(
       """select c_custkey from customer c
          where exists (select 1 from orders o
                        where o.o_custkey = c.c_custkey
-                       having count(*) > 5)"""))
-    assert(e.getMessage.contains("FROM/WHERE"), e.getMessage)
+                       having count(*) > 5)
+         order by c_custkey""")
+    checkAgainstSparkSql(
+      """select count(*) as n from customer c
+         where not exists (select 1 from orders o
+                           where o.o_custkey = c.c_custkey
+                           having count(*) > 5)""")
+    // HAVING true on EMPTY input — customers with no orders qualify
+    // through the empty-guard disjunct
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                       having count(*) = 0)
+         order by c_custkey""")
+    // local conjunct + sum threshold; alias-resolved HAVING; avg
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice > 100000
+                       having sum(o.o_totalprice) > 500000)
+         order by c_custkey""")
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where exists (select count(*) as cnt from orders o
+                       where o.o_custkey = c.c_custkey having cnt > 5)
+         order by c_custkey""")
+    // projected flag and OR positions
+    checkAgainstSparkSql(
+      """select c_custkey, exists
+           (select 1 from orders o where o.o_custkey = c.c_custkey
+            having avg(o.o_totalprice) > 150000) as rich
+         from customer c order by c_custkey""")
   }
 
   test("correlated scalar subqueries with HAVING filter groups to NULL") {
