@@ -140,6 +140,15 @@ object SparkEntry {
          where exists (select 1 from orders o
                        where o.o_custkey = c.c_custkey
                        having count(*) < 3)""",
+    // IN against a having-only single-row set: lowered as
+    // nonempty-test ∧ probe = correlated scalar. max(o_custkey) per
+    // correlation group IS the probe, so this selects customers with
+    // more than two orders — nontrivial matches on exact int keys.
+    "q_in_having" ->
+      """select c_custkey from customer c
+         where c.c_custkey in
+           (select max(o.o_custkey) from orders o
+            where o.o_custkey = c.c_custkey having count(*) > 2)""",
     // correlated IN against a grouped inner with a HAVING aggregate
     // threshold — membership decided per surviving group
     "q_in_grouped" ->
@@ -190,6 +199,22 @@ object SparkEntry {
          from customer
          window w as (partition by c_nationkey order by c_acctbal desc, c_custkey),
                 w2 as (partition by c_nationkey)""",
+    // window inheritance (PostgreSQL/DuckDB): definitions extend a
+    // base window (ORDER BY over an unordered base; a frame over an
+    // ordered one). One-level references only here: DuckDB resolves
+    // TRANSITIVE chains incorrectly (w->w2->w3 disagrees with its own
+    // expanded form, verified v1.x), so the two-level case is pinned
+    // against spark.sql's expansion in SqlSurfaceSpec instead.
+    "q_named_window_chain" ->
+      """select c_custkey,
+           cast(rank() over w2 as bigint) as rk,
+           round(sum(c_acctbal) over w3, 2) as run
+         from customer
+         window w as (partition by c_nationkey),
+                w2 as (w order by c_acctbal desc, c_custkey),
+                wo as (partition by c_nationkey
+                       order by c_acctbal desc, c_custkey),
+                w3 as (wo rows between 1 preceding and current row)""",
     // IN (subquery) inside HAVING (sql.lark:22,112-130) — existence
     // flag joined onto the aggregated result; probe is an aggregate
     "q_having_in_subquery" ->

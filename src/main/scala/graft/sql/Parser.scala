@@ -637,9 +637,18 @@ final class Parser(tokens: Vector[Token]) {
     if (atOp("(")) parseWindowSpec()
     else WindowSpec(Nil, Nil, None, ref = Some(ident()))
 
-  /** OVER ( [PARTITION BY ...] [ORDER BY ... [frame]] ) — sql.lark:51-65. */
+  /** OVER ( [base_window] [PARTITION BY ...] [ORDER BY ... [frame]] )
+    * — sql.lark:51-65; the optional leading base-window name is
+    * PostgreSQL/DuckDB window inheritance (graft dialect extension),
+    * resolved and merged by the translator. */
   private def parseWindowSpec(): WindowSpec = {
     expectOp("(")
+    val base = peek match {
+      case Ident(v, _) if !Set("partition", "order", "rows", "range")
+          .contains(v.toLowerCase) =>
+        pos += 1; Some(v)
+      case _ => None
+    }
     val parts =
       if (eatKw("partition")) { expectKw("by")
         val ps = Seq.newBuilder[Expr]
@@ -660,9 +669,14 @@ final class Parser(tokens: Vector[Token]) {
             Some(parseFrameExtent(isRows))
           } else None
         (os, fr)
+      } else if (atKw("rows") || atKw("range")) {
+        // frame with no ORDER BY of its own — legal when inheriting a
+        // base window that brings the ordering (`w2 AS (w ROWS ...)`)
+        val isRows = eatKw("rows"); if (!isRows) expectKw("range")
+        (Nil: Seq[OrderItem], Some(parseFrameExtent(isRows)))
       } else (Nil, None)
     expectOp(")")
-    WindowSpec(parts, orders, frame)
+    WindowSpec(parts, orders, frame, ref = base)
   }
 
   private def parseFrameExtent(isRows: Boolean): Frame = {

@@ -191,16 +191,49 @@ final class Translator(catalog: String => DataFrame) {
     * clause (returns the select with `windows` consumed). Unknown
     * names and definition-to-definition references fail loudly. */
   private def resolveNamedWindows(sel: Select): Select = {
-    val defs = sel.windows.map { case (n, w) => n.toLowerCase -> w }.toMap
-    if (defs.size != sel.windows.length)
+    val defs0 = sel.windows.map { case (n, w) => n.toLowerCase -> w }
+    if (defs0.map(_._1).distinct.length != sel.windows.length)
       fail("duplicate WINDOW definition name")
-    defs.values.foreach { w =>
-      if (w.ref.isDefined)
-        fail("a WINDOW definition cannot reference another window")
+    // window inheritance (PostgreSQL/DuckDB): a spec may name a base
+    // window. A bare reference (`OVER w`, `w2 AS (w)`) copies the
+    // resolved base verbatim; a reference WITH clauses copies the
+    // base's PARTITION BY, may add ORDER BY only if the base has
+    // none, may not add its own PARTITION BY, and the base may not
+    // carry a frame — the PostgreSQL rules, enforced loudly.
+    def merge(base: WindowSpec, child: WindowSpec): WindowSpec = {
+      if (child.partitionBy.isEmpty && child.orderBy.isEmpty &&
+          child.frame.isEmpty) base
+      else {
+        if (child.partitionBy.nonEmpty)
+          fail("a window referencing another may not add PARTITION BY")
+        if (base.orderBy.nonEmpty && child.orderBy.nonEmpty)
+          fail("a window referencing another may add ORDER BY only if " +
+            "the base has none")
+        if (base.frame.isDefined)
+          fail("a referenced base window may not carry a frame")
+        WindowSpec(base.partitionBy,
+          if (child.orderBy.nonEmpty) child.orderBy else base.orderBy,
+          child.frame)
+      }
     }
+    val resolved = scala.collection.mutable.Map.empty[String, WindowSpec]
+    def resolveDef(n: String, seen: Set[String]): WindowSpec =
+      resolved.getOrElse(n, {
+        if (seen.contains(n))
+          fail(s"WINDOW definitions form a cycle through '$n'")
+        val raw = defs0.collectFirst { case (k, w) if k == n => w }
+          .getOrElse(
+            fail(s"unknown window name '$n' (define it in the WINDOW clause)"))
+        val r = raw.ref match {
+          case Some(b) =>
+            merge(resolveDef(b.toLowerCase, seen + n), raw.copy(ref = None))
+          case None => raw
+        }
+        resolved(n) = r; r
+      })
     def resolveSpec(w: WindowSpec): WindowSpec = w.ref match {
-      case Some(n) => defs.getOrElse(n.toLowerCase,
-        fail(s"unknown window name '$n' (define it in the WINDOW clause)"))
+      case Some(n) => merge(resolveDef(n.toLowerCase, Set.empty),
+        w.copy(ref = None))
       case None => w
     }
     def fix(e: Expr): Expr = Ast.transformUp(e) {
@@ -1203,6 +1236,31 @@ final class Translator(catalog: String => DataFrame) {
             distinct = false, items = one, having = None))))
           Or(grouped, And(emptyGuard, Not(anyRows)))
         }
+
+      // probe IN (SELECT agg FROM i WHERE i.k = o.k HAVING h): the
+      // set holds at most ONE row (the group aggregate, kept only
+      // when h passes), so membership is `set nonempty ∧ probe =
+      // value` — the nonempty test is the having-only EXISTS above
+      // and the value a correlated scalar WITH the HAVING (NULL when
+      // filtered out). 3VL: empty set → AND(false, NULL) = FALSE;
+      // null probe/value propagate NULL through the equality.
+      case InSubquery(probe, Leaf(q0)) if q0.sel.groupBy.isEmpty &&
+          q0.sel.having.nonEmpty && q0.sel.groupSets.isEmpty &&
+          q0.sel.qualify.isEmpty && q0.offset.isEmpty &&
+          q0.limit.isEmpty && q0.sel.items.length == 1 && {
+            val outerRefs = outerAliases -- relationAliases(q0.sel.from)
+            val corr = q0.sel.where.map(splitConjuncts).getOrElse(Nil)
+              .filter(refersToAliases(_, outerRefs))
+            corr.nonEmpty && corr.forall {
+              case Cmp("=", l, r) =>
+                refersToAliases(l, outerRefs) ^ refersToAliases(r, outerRefs)
+              case _ => false
+            } && !(q0.sel.having.toSeq ++ q0.sel.items.map(_.e))
+              .exists(e => refersToAliases(e, outerRefs) || containsWindow(e))
+          } =>
+        val nonempty =
+          rewriteHavingOnlyExists(ExistsSubquery(Leaf(q0)), outerAliases)
+        And(nonempty, Cmp("=", probe, ScalarSubquery(Leaf(q0))))
     }
 
   /** Rewrites a correlated subquery whose inner query AGGREGATES

@@ -1384,6 +1384,24 @@ class SqlSurfaceSpec extends SparkTestBase {
            (select 1 from orders o where o.o_custkey = c.c_custkey
             having avg(o.o_totalprice) > 150000) as rich
          from customer c order by c_custkey""")
+    // IN against a having-only single-row set: nonempty-test ∧
+    // probe = correlated scalar (NULL-propagating 3VL)
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where c.c_acctbal in
+           (select max(o.o_totalprice) from orders o
+            where o.o_custkey = c.c_custkey having count(*) > 2)
+         order by c_custkey""")
+    checkAgainstSparkSql(
+      """select count(*) as n from customer c
+         where c.c_acctbal not in
+           (select min(o.o_totalprice) from orders o
+            where o.o_custkey = c.c_custkey having count(*) >= 1)""")
+    checkAgainstSparkSql(
+      """select c_custkey, c_acctbal in
+           (select max(o.o_totalprice) - 100000 from orders o
+            where o.o_custkey = c.c_custkey having count(*) > 1) as f
+         from customer c order by c_custkey""")
   }
 
   test("correlated scalar subqueries with HAVING filter groups to NULL") {
@@ -1423,6 +1441,62 @@ class SqlSurfaceSpec extends SparkTestBase {
     // the reference's vestigial empty definition still parses
     checkAgainstSparkSql(
       "select c_custkey from customer window w as () order by c_custkey")
+  }
+
+  test("window inheritance: definitions and OVER specs extend a base window") {
+    // spark.sql has no window inheritance — the oracle is the
+    // hand-expanded form
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey, cast(rank() over w2 as bigint) as r from customer
+           window w as (partition by c_nationkey),
+                  w2 as (w order by c_acctbal desc, c_custkey)
+           order by c_custkey"""),
+      spark.sql(
+        """select c_custkey, cast(rank() over (partition by c_nationkey
+             order by c_acctbal desc, c_custkey) as bigint) as r
+           from customer order by c_custkey"""))
+    // child adds a frame to an ordered base; bare-name copy keeps the
+    // base frame verbatim; two-level chains resolve transitively
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey, round(sum(c_acctbal) over w2, 2) as s,
+             round(sum(c_acctbal) over w3, 2) as s3 from customer
+           window w as (partition by c_nationkey order by c_custkey),
+                  w2 as (w rows between 1 preceding and current row),
+                  w3 as (w2)
+           order by c_custkey"""),
+      spark.sql(
+        """select c_custkey, round(sum(c_acctbal) over (partition by c_nationkey
+             order by c_custkey rows between 1 preceding and current row), 2) as s,
+             round(sum(c_acctbal) over (partition by c_nationkey
+             order by c_custkey rows between 1 preceding and current row), 2) as s3
+           from customer order by c_custkey"""))
+    // inline OVER (base ...) inheritance
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey, cast(rank() over (w order by c_acctbal) as bigint) as r
+           from customer window w as (partition by c_nationkey)
+           order by c_custkey"""),
+      spark.sql(
+        """select c_custkey, cast(rank() over (partition by c_nationkey
+             order by c_acctbal) as bigint) as r
+           from customer order by c_custkey"""))
+    // PostgreSQL rules enforced loudly: cycle, added PARTITION BY,
+    // ORDER BY over an ordered base
+    val ec = intercept[RuntimeException](graftSession.query(
+      """select rank() over w as r from customer
+         window w as (w2 order by c_acctbal), w2 as (w)"""))
+    assert(ec.getMessage.contains("cycle"), ec.getMessage)
+    val ep = intercept[RuntimeException](graftSession.query(
+      """select rank() over w2 as r from customer
+         window w as (partition by c_nationkey),
+                w2 as (w partition by c_mktsegment order by c_acctbal)"""))
+    assert(ep.getMessage.contains("PARTITION BY"), ep.getMessage)
+    val eo = intercept[RuntimeException](graftSession.query(
+      """select rank() over w2 as r from customer
+         window w as (order by c_custkey), w2 as (w order by c_acctbal)"""))
+    assert(eo.getMessage.contains("ORDER BY"), eo.getMessage)
   }
 
   test("user aliases may not use reserved helper prefixes") {

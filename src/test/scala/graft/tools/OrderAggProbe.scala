@@ -7,59 +7,68 @@ object OrderAggProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = graft.Graft.forDir(spark, "/root/testdata/sf0.001")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
+    Seq("nation", "customer").foreach { t =>
       spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
         .createOrReplaceTempView(t)
     }
-    def d(sql: String): Unit =
+    // graft chain syntax vs spark.sql EXPANDED equivalent
+    def d(label: String, graftSql: String, sparkSql: String): Unit =
       try {
-        val a = g.query(sql).collect().map(_.toString).sorted
-        val b = spark.sql(sql).collect().map(_.toString).sorted
-        if (a.sameElements(b)) println("SAME " + sql.replaceAll("\\s+", " ").take(100))
-        else println(s"DIFF(${a.length}/${b.length}) " + sql.replaceAll("\\s+", " ").take(100))
+        val a = g.query(graftSql).collect().map(_.toString).sorted
+        val b = spark.sql(sparkSql).collect().map(_.toString).sorted
+        println((if (a.sameElements(b)) "SAME " else s"DIFF(${a.length}/${b.length}) ") + label)
       } catch { case e: Throwable =>
-        println("FAIL " + sql.replaceAll("\\s+", " ").take(100) + " => " +
-          e.getMessage.linesIterator.next().take(120)) }
-    // the "more than N related rows" idiom — conjunct position
-    d("""select c_custkey from customer c where exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having count(*) > 5) order by c_custkey""")
-    // NOT EXISTS form
-    d("""select count(*) as n from customer c where not exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having count(*) > 5)""")
-    // HAVING true on empty input (count(*) = 0): exists even for
-    // customers with NO orders — the empty-guard disjunct
-    d("""select c_custkey from customer c where exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having count(*) = 0) order by c_custkey""")
-    d("""select c_custkey from customer c where exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having count(*) < 3) order by c_custkey""")
-    // local conjunct + aggregate threshold
-    d("""select c_custkey from customer c where exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           and o.o_totalprice > 100000 having sum(o.o_totalprice) > 500000)
-        order by c_custkey""")
-    // under OR (flag position)
-    d("""select c_custkey from customer c
-        where c_acctbal < -900 or exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having count(*) > 8) order by c_custkey""")
-    // projected flag
-    d("""select c_custkey, exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having count(*) > 5) as busy from customer c order by c_custkey""")
-    // HAVING referencing a select alias
-    d("""select c_custkey from customer c where exists
-          (select count(*) as cnt from orders o
-           where o.o_custkey = c.c_custkey having cnt > 5)
-        order by c_custkey""")
-    // avg threshold (NULL on empty input -> guard false)
-    d("""select c_custkey from customer c where exists
-          (select 1 from orders o where o.o_custkey = c.c_custkey
-           having avg(o.o_totalprice) > 150000) order by c_custkey""")
+        println(s"FAIL $label => " + e.getMessage.linesIterator.next().take(120)) }
+    d("def-chain-orderby",
+      """select c_custkey, rank() over w2 as r from customer
+         window w as (partition by c_nationkey), w2 as (w order by c_acctbal)
+         order by c_custkey""",
+      """select c_custkey, rank() over (partition by c_nationkey order by c_acctbal) as r
+         from customer order by c_custkey""")
+    d("def-chain-frame",
+      """select c_custkey, round(sum(c_acctbal) over w2, 2) as s from customer
+         window w as (partition by c_nationkey order by c_custkey),
+                w2 as (w rows between 1 preceding and current row)
+         order by c_custkey""",
+      """select c_custkey, round(sum(c_acctbal) over (partition by c_nationkey
+           order by c_custkey rows between 1 preceding and current row), 2) as s
+         from customer order by c_custkey""")
+    d("inline-inherit",
+      """select c_custkey, rank() over (w order by c_acctbal desc) as r from customer
+         window w as (partition by c_nationkey) order by c_custkey""",
+      """select c_custkey, rank() over (partition by c_nationkey order by c_acctbal desc) as r
+         from customer order by c_custkey""")
+    d("bare-copy-with-frame",
+      """select c_custkey, round(sum(c_acctbal) over w2, 2) as s from customer
+         window w as (partition by c_nationkey order by c_custkey
+                      rows between 2 preceding and current row),
+                w2 as (w)
+         order by c_custkey""",
+      """select c_custkey, round(sum(c_acctbal) over (partition by c_nationkey
+           order by c_custkey rows between 2 preceding and current row), 2) as s
+         from customer order by c_custkey""")
+    d("two-level-chain",
+      """select c_custkey, rank() over w3 as r from customer
+         window w as (partition by c_nationkey), w2 as (w), w3 as (w2 order by c_acctbal)
+         order by c_custkey""",
+      """select c_custkey, rank() over (partition by c_nationkey order by c_acctbal) as r
+         from customer order by c_custkey""")
+    // errors: cycle, child partition by, base frame + clauses
+    def expectFail(label: String, sql: String): Unit =
+      try { g.query(sql).collect(); println(s"NOFAIL $label") }
+      catch { case e: Throwable => println(s"LOUD $label => " + e.getMessage.linesIterator.next().take(80)) }
+    expectFail("cycle",
+      """select rank() over w as r from customer
+         window w as (w2 order by c_acctbal), w2 as (w)""")
+    expectFail("child-partition",
+      """select rank() over w2 as r from customer
+         window w as (partition by c_nationkey),
+                w2 as (w partition by c_mktsegment order by c_acctbal)""")
+    expectFail("base-frame-extended",
+      """select sum(c_acctbal) over w2 as s from customer
+         window w as (partition by c_nationkey order by c_custkey
+                      rows between 1 preceding and current row),
+                w2 as (w order by c_acctbal)""")
     spark.stop()
   }
 }
