@@ -115,6 +115,15 @@ object SparkEntry {
                              where orders.o_custkey = customer.c_custkey
                                and orders.o_totalprice > customer.c_acctbal * 20)
             or c_acctbal > 9990""",
+    // <> correlation in flag position: "another line of the same
+    // order from a DIFFERENT supplier exists" — decorrelated through
+    // the per-group (count, min, max) triple
+    "q_exists_ne_flag" ->
+      """select l_orderkey, l_linenumber,
+           exists (select 1 from lineitem l2
+                   where l2.l_orderkey = lineitem.l_orderkey
+                     and l2.l_suppkey <> lineitem.l_suppkey) as multi_supp
+         from lineitem""",
     // projected theta IN flag with a null-bearing key set: the null
     // arm of the 3VL table must also respect the range condition
     "q_in_theta_select" ->

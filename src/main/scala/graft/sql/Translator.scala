@@ -531,24 +531,32 @@ final class Translator(catalog: String => DataFrame) {
                       (ckS.toList ::: ckK.toList ::: helperCols)
                   case Some((_, op, oe)) =>
                     val t = F.col(s"__sq_t_$i")
-                    val allN = s"__sq_tall_$i"; val nulN = s"__sq_tnull_$i"
-                    val matN = s"__sq_tmatch_$i"
+                    val allDefs = thetaAggCols(t, op, s"__sq_tall_$i")
+                    val nulDefs = thetaAggCols(
+                      F.when(F.col(keyN).isNull, t), op, s"__sq_tnull_$i")
+                    val matDefs = thetaAggCols(t, op, s"__sq_tmatch_$i")
+                    val sumAggs = allDefs ++ nulDefs
                     val summary = keyed
                       .groupBy(ckS.map(F.col): _*)
-                      .agg(thetaAgg(t, op).as(allN),
-                        thetaAgg(F.when(F.col(keyN).isNull, t), op).as(nulN))
+                      .agg(sumAggs.head._2.as(sumAggs.head._1),
+                        sumAggs.tail.map { case (n, c) => c.as(n) }: _*)
                       .withColumn(grpN, F.lit(true))
                     val keys = keyed.filter(F.col(keyN).isNotNull)
                       .groupBy((F.col(keyN) +: ckS.map(F.col)): _*)
-                      .agg(thetaAgg(t, op).as(matN))
+                      .agg(matDefs.head._2.as(matDefs.head._1),
+                        matDefs.tail.map { case (n, c) => c.as(n) }: _*)
                       .withColumn(markN, F.lit(true))
-                      .select(F.col(keyN) +: F.col(markN) +: F.col(matN) +:
-                        ckS.zip(ckK).map { case (s, k) => F.col(s).as(k) }: _*)
+                      .select(F.col(keyN) +: F.col(markN) +:
+                        (matDefs.map(d => F.col(d._1)) ++
+                          ckS.zip(ckK).map { case (s, k) =>
+                            F.col(s).as(k) }): _*)
                     val outerC = exprToCol(oe, None)
+                    def tc(defs: Seq[(String, Column)]): Column =
+                      thetaCond(op, defs.map(d => F.col(d._1)), outerC)
                     val matched =
-                      (F.col(markN).isNotNull && cmp(op, F.col(matN), outerC)) <=> F.lit(true)
+                      (F.col(markN).isNotNull && tc(matDefs)) <=> F.lit(true)
                     val nonempty =
-                      (F.col(grpN).isNotNull && cmp(op, F.col(allN), outerC)) <=> F.lit(true)
+                      (F.col(grpN).isNotNull && tc(allDefs)) <=> F.lit(true)
                     from = from
                       .join(summary, sumCond, "left_outer")
                       .join(keys, keyCond, "left_outer")
@@ -556,12 +564,12 @@ final class Translator(catalog: String => DataFrame) {
                         F.when(matched, F.lit(true))
                           .when(!nonempty, F.lit(false))
                           .when(probe.isNull ||
-                              (cmp(op, F.col(nulN), outerC) <=> F.lit(true)),
+                              (tc(nulDefs) <=> F.lit(true)),
                             F.lit(null).cast(BooleanType))
                           .otherwise(F.lit(false)))
-                    helperCols = flagN :: markN :: grpN :: allN :: nulN ::
-                      matN :: keyN ::
-                      (ckS.toList ::: ckK.toList ::: helperCols)
+                    helperCols = flagN :: markN :: grpN :: keyN ::
+                      ((allDefs ++ nulDefs ++ matDefs).map(_._1).toList :::
+                        ckS.toList ::: ckK.toList ::: helperCols)
                 }
               case None =>
                 val (step, hs, _) = inFlagStep(sub, probe, "__sq", i)
@@ -607,18 +615,21 @@ final class Translator(catalog: String => DataFrame) {
                       .withColumn(flagN, F.col(markN).isNotNull)
                     helperCols = flagN :: markN :: (ckK.toList ::: helperCols)
                   case Some((ie, op, oe)) =>
-                    val aggN = s"__sq_tagg_$i"
+                    val aggDefs =
+                      thetaAggCols(exprToCol(ie, None), op, s"__sq_tagg_$i")
                     val keys = inner
                       .groupBy(keyPairs.zip(ckK).map { case ((ik, _), n) =>
                         exprToCol(ik, None).as(n) }: _*)
-                      .agg(thetaAgg(exprToCol(ie, None), op).as(aggN))
+                      .agg(aggDefs.head._2.as(aggDefs.head._1),
+                        aggDefs.tail.map { case (n, c) => c.as(n) }: _*)
                       .withColumn(markN, F.lit(true))
                     from = from.join(keys, cond, "left_outer")
                       .withColumn(flagN,
                         (F.col(markN).isNotNull &&
-                          cmp(op, F.col(aggN), exprToCol(oe, None))) <=> F.lit(true))
-                    helperCols = flagN :: markN :: aggN ::
-                      (ckK.toList ::: helperCols)
+                          thetaCond(op, aggDefs.map(d => F.col(d._1)),
+                            exprToCol(oe, None))) <=> F.lit(true))
+                    helperCols = flagN :: markN ::
+                      (aggDefs.map(_._1).toList ::: ckK.toList ::: helperCols)
                 }
               case None =>
                 // uncorrelated: broadcast 1-row COUNT(*) > 0 summary
@@ -1396,6 +1407,7 @@ final class Translator(catalog: String => DataFrame) {
       case "<=" => ">="
       case ">" => "<"
       case ">=" => "<="
+      case "<>" => "<>"
     }
     val eq = Seq.newBuilder[(Expr, Expr)]
     var theta = List.empty[(Expr, String, Expr)]
@@ -1404,15 +1416,15 @@ final class Translator(catalog: String => DataFrame) {
           !refersToAliases(l, outerRefs) => eq += ((l, r))
       case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
           !refersToAliases(r, outerRefs) => eq += ((r, l))
-      case Cmp(op @ ("<" | "<=" | ">" | ">="), l, r)
+      case Cmp(op @ ("<" | "<=" | ">" | ">=" | "<>"), l, r)
           if allowTheta && refersToAliases(r, outerRefs) &&
             !refersToAliases(l, outerRefs) => theta ::= ((l, op, r))
-      case Cmp(op @ ("<" | "<=" | ">" | ">="), l, r)
+      case Cmp(op @ ("<" | "<=" | ">" | ">=" | "<>"), l, r)
           if allowTheta && refersToAliases(l, outerRefs) &&
             !refersToAliases(r, outerRefs) => theta ::= ((r, flip(op), l))
       case other =>
         val accepted = if (allowTheta)
-          "equalities or a <, <=, >, >= range comparison" else "equalities"
+          "equalities or a <, <=, >, >=, <> comparison" else "equalities"
         fail(s"correlated $what predicates in this position must be " +
           s"$accepted, got $other")
     }
@@ -1430,13 +1442,32 @@ final class Translator(catalog: String => DataFrame) {
     (pairs, local)
   }
 
-  /** The decorrelating aggregate for a range conjunct: per-group min
-    * for <, <= (`∃ t: t < x ⟺ min(t) < x`), max for >, >=. min/max
-    * skip NULLs, so rows whose range expression is NULL never satisfy
-    * the (3VL-unknown) comparison — as SQL requires. */
-  private def thetaAgg(c: Column, op: String): Column = op match {
-    case "<" | "<=" => F.min(c)
-    case ">" | ">=" => F.max(c)
+  /** The decorrelating aggregates for a theta conjunct: per-group min
+    * for <, <= (`∃ t: t < x ⟺ min(t) < x`), max for >, >=; for <>
+    * the (count, min, max) triple (`∃ t: t <> x ⟺ count(t) > 0 ∧
+    * (min ≠ max ∨ min ≠ x)` — two distinct values guarantee one
+    * differs from any x; one value just compares). min/max/count
+    * skip NULLs, so rows whose theta expression is NULL never satisfy
+    * the (3VL-unknown) comparison — as SQL requires. Returns
+    * (helperName, aggColumn) pairs; [[thetaCond]] consumes the same
+    * names in order. */
+  private def thetaAggCols(c: Column, op: String, prefix: String)
+      : Seq[(String, Column)] = op match {
+    case "<" | "<=" => Seq(prefix -> F.min(c))
+    case ">" | ">=" => Seq(prefix -> F.max(c))
+    case "<>" => Seq(s"${prefix}_c" -> F.count(c),
+      s"${prefix}_n" -> F.min(c), s"${prefix}_x" -> F.max(c))
+  }
+
+  /** The outer-side comparison over [[thetaAggCols]]'s aggregates.
+    * NULL-safe only as SQL 3VL dictates: any NULL operand yields
+    * NULL, which every caller collapses with `<=> true`. */
+  private def thetaCond(op: String, cols: Seq[Column], outer: Column)
+      : Column = op match {
+    case "<>" =>
+      val Seq(cnt, mn, mx) = cols
+      outer.isNotNull && cnt > 0 && (mn =!= mx || mn =!= outer)
+    case _ => cmp(op, cols.head, outer)
   }
 
   /** Splits a WHERE tree into (top-level-conjunct [NOT] IN/EXISTS

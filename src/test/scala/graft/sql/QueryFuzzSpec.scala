@@ -335,7 +335,7 @@ class QueryFuzzSpec extends SparkTestBase {
   // Spark's own subquery planning
   private val genThetaPred: Gen[String] = for {
     neg <- Gen.oneOf("", "not ")
-    op <- Gen.oneOf("<", "<=", ">", ">=")
+    op <- Gen.oneOf("<", "<=", ">", ">=", "<>", "!=")
     mult <- Gen.choose(1, 60)
     k <- Gen.choose(0, 1500)
     key <- Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)")

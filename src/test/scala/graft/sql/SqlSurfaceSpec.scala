@@ -1147,13 +1147,22 @@ class SqlSurfaceSpec extends SparkTestBase {
                          and customer.c_custkey < nation.n_nationkey * 100)
             or n_regionkey = 9"""))
     assert(e.getMessage.contains("one range conjunct"), e.getMessage)
-    // <> correlation has no lowering anywhere
+    // a <> correlation now lowers (count/min/max triple) — but only
+    // ONE theta conjunct; a joint <>+<> condition cannot decompose
     val e2 = intercept[RuntimeException](graftSession.query(
       """select n_nationkey from nation
          where exists (select 1 from customer
-                       where customer.c_acctbal <> nation.n_regionkey)
+                       where customer.c_acctbal <> nation.n_regionkey
+                         and customer.c_custkey <> nation.n_nationkey)
             or n_regionkey = 9"""))
-    assert(e2.getMessage.contains("range comparison"), e2.getMessage)
+    assert(e2.getMessage.contains("one range conjunct"), e2.getMessage)
+    // keyless <> correlation decorrelates through the GLOBAL triple
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where exists (select 1 from customer
+                       where customer.c_acctbal <> nation.n_regionkey)
+            or n_regionkey = 9
+         order by n_nationkey""")
   }
 
   test("correlated scalar subqueries with inner GROUP BY and multi-aggregate expressions") {
@@ -1441,6 +1450,29 @@ class SqlSurfaceSpec extends SparkTestBase {
     // the reference's vestigial empty definition still parses
     checkAgainstSparkSql(
       "select c_custkey from customer window w as () order by c_custkey")
+  }
+
+  test("<> correlation decorrelates in flag positions") {
+    // (count, min, max) triple: ∃ x≠y ⟺ cnt>0 ∧ (mn≠mx ∨ mn≠y)
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           exists (select 1 from lineitem l2
+                   where l2.l_orderkey = lineitem.l_orderkey
+                     and l2.l_suppkey <> lineitem.l_suppkey) as multi
+         from lineitem order by l_orderkey, l_linenumber""")
+    checkAgainstSparkSql(
+      """select o_orderkey, o_custkey in
+           (select o2.o_custkey from orders o2
+            where o2.o_custkey = orders.o_custkey
+              and o2.o_orderkey <> orders.o_orderkey) as repeat_buyer
+         from orders order by o_orderkey""")
+    // != spelling, under OR
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where c_acctbal < -900 or exists
+           (select 1 from orders o where o.o_custkey = c.c_custkey
+            and o.o_orderkey != c.c_custkey)
+         order by c_custkey""")
   }
 
   test("window inheritance: definitions and OVER specs extend a base window") {
