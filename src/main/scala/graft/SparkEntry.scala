@@ -166,6 +166,15 @@ object SparkEntry {
                                where o.o_custkey = c.c_custkey
                                group by o.o_custkey
                                having sum(o.o_totalprice) > 200000)""",
+    // theta-correlated scalar: aggregate over the rows a range
+    // comparison against the outer row selects ("count of earlier
+    // lines") — per-distinct-outer-tuple aggregation joined back
+    "q_scalar_theta" ->
+      """select l_orderkey, l_linenumber,
+           (select count(*) from lineitem l2
+            where l2.l_orderkey = lineitem.l_orderkey
+              and l2.l_linenumber < lineitem.l_linenumber) as earlier
+         from lineitem""",
     // correlated scalar subqueries: inner GROUP BY keys admitted
     // alongside the correlation keys (empty correlation group then
     // yields zero rows — NULL even for COUNT), and expressions over

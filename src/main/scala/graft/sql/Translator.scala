@@ -311,7 +311,12 @@ final class Translator(catalog: String => DataFrame) {
           case Some(q) =>
             val outerRefs = outerOnly(q)
             val idx = helperCols.size
-            val (keyPairs, local) = corrKeyPairs(q, outerRefs, "scalar subquery")
+            // ONE theta conjunct decorrelates when the subquery is a
+            // plain aggregate (no inner GROUP BY / HAVING): the
+            // "aggregate over earlier/smaller rows" shape
+            val (keyPairs, theta, local) = corrSplit(q, outerRefs,
+              "scalar subquery",
+              allowTheta = q.sel.groupBy.isEmpty && q.sel.having.isEmpty)
             var inner = translateRelation(q.sel.from)
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
@@ -359,28 +364,58 @@ final class Translator(catalog: String => DataFrame) {
               exprToCol(g, None).as(n)
             }
             val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-            var grouped = inner.groupBy(grpCols: _*)
-              .agg(aggCols.head, aggCols.tail: _*)
-            havingSubst.foreach(h => grouped = grouped.filter(exprToCol(h, None)))
-            val cntN = s"__csq_${idx}_c"
-            val guarded: Expr =
-              if (innerKeys.isEmpty) substituted
-              else {
-                grouped = grouped.withColumn(cntN,
-                  F.count(F.lit(1)).over(
-                    Window.partitionBy(keyNames.map(F.col): _*)))
-                CaseWhen(Seq((Cmp(">", ColRef(None, cntN), NumLit("1")),
-                  FuncCall("raise_error", Seq(StrLit(
-                    "scalar subquery returned more than one row"))))),
-                  substituted)
-              }
-            val cond = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
-              exprToCol(ok, None) === F.col(n)
-            }.reduce(_ && _)
-            from = from.join(grouped, cond, "left_outer")
-            helperCols = aggs.map(_._1).toList ::: cntN ::
-              (keyNames.toList ::: gNames.toList ::: helperCols)
-            guarded
+            theta match {
+              case Some((ie, op, oe)) =>
+                // theta scalar: the aggregated set depends on the
+                // outer theta operand, so aggregate per DISTINCT
+                // outer (keys, operand) tuple — an equi-join on the
+                // correlation keys carrying the theta comparison as
+                // residual condition — then join back on the tuple.
+                // One row per tuple, no outer-row multiplication.
+                val tN = s"__csq_${idx}_t"
+                val okCols = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
+                  exprToCol(ok, None).as(n) }
+                val tuples = from
+                  .select(okCols :+ exprToCol(oe, None).as(tN): _*)
+                  .distinct()
+                val joinCond = keyPairs.zip(keyNames)
+                  .map { case ((ik, _), n) => exprToCol(ik, None) === F.col(n) }
+                  .foldLeft(cmp(op, exprToCol(ie, None), F.col(tN)))(_ && _)
+                val grouped = tuples.join(inner, joinCond, "inner")
+                  .groupBy((keyNames.map(F.col) :+ F.col(tN)): _*)
+                  .agg(aggCols.head, aggCols.tail: _*)
+                val backCond = keyPairs.zip(keyNames)
+                  .map { case ((_, ok), n) => exprToCol(ok, None) === F.col(n) }
+                  .foldLeft(exprToCol(oe, None) === F.col(tN))(_ && _)
+                from = from.join(grouped, backCond, "left_outer")
+                helperCols = aggs.map(_._1).toList ::: tN ::
+                  (keyNames.toList ::: helperCols)
+                substituted
+              case None =>
+                var grouped = inner.groupBy(grpCols: _*)
+                  .agg(aggCols.head, aggCols.tail: _*)
+                havingSubst.foreach(h =>
+                  grouped = grouped.filter(exprToCol(h, None)))
+                val cntN = s"__csq_${idx}_c"
+                val guarded: Expr =
+                  if (innerKeys.isEmpty) substituted
+                  else {
+                    grouped = grouped.withColumn(cntN,
+                      F.count(F.lit(1)).over(
+                        Window.partitionBy(keyNames.map(F.col): _*)))
+                    CaseWhen(Seq((Cmp(">", ColRef(None, cntN), NumLit("1")),
+                      FuncCall("raise_error", Seq(StrLit(
+                        "scalar subquery returned more than one row"))))),
+                      substituted)
+                  }
+                val cond = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
+                  exprToCol(ok, None) === F.col(n)
+                }.reduce(_ && _)
+                from = from.join(grouped, cond, "left_outer")
+                helperCols = aggs.map(_._1).toList ::: cntN ::
+                  (keyNames.toList ::: gNames.toList ::: helperCols)
+                guarded
+            }
           case None =>
             val subDf = translate(sub)
             if (subDf.columns.length != 1)

@@ -435,6 +435,31 @@ class QueryFuzzSpec extends SparkTestBase {
         s" group by orders.o_custkey having count(*) > $v)"
   }
 
+  // round-4b: theta-correlated scalar subqueries — aggregate over the
+  // rows a range/<> comparison against the outer row selects
+  private val genThetaScalar: Gen[String] = for {
+    op <- Gen.oneOf("<", "<=", ">", ">=", "<>")
+    agg <- Gen.oneOf("count(*)", "max(o_totalprice)",
+      "round(max(o_totalprice) - min(o_totalprice), 2)")
+    mult <- Gen.choose(1, 60)
+    keyed <- Gen.oneOf(true, false)
+  } yield {
+    val corr = if (keyed) "orders.o_custkey = customer.c_custkey and " else ""
+    s"(select $agg from orders where $corr" +
+      s"o_totalprice $op customer.c_acctbal * $mult)"
+  }
+
+  test("30 random theta-correlated scalars match spark.sql exactly") {
+    val preds = Gen.listOfN(30, genThetaScalar)
+      .pureApply(Gen.Parameters.default, Seed(89L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey, $pred as v from customer"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   test("30 random grouped/HAVING correlated scalars match spark.sql exactly") {
     val preds = Gen.listOfN(30, genScalarGroupedPred)
       .pureApply(Gen.Parameters.default, Seed(67L))

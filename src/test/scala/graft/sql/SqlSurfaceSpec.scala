@@ -1452,6 +1452,40 @@ class SqlSurfaceSpec extends SparkTestBase {
       "select c_custkey from customer window w as () order by c_custkey")
   }
 
+  test("theta-correlated scalar subqueries aggregate the selected rows") {
+    // "count of earlier lines of the same order" — running-aggregate
+    // shape; COUNT over an empty selection reads 0, not NULL
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           (select count(*) from lineitem l2
+            where l2.l_orderkey = lineitem.l_orderkey
+              and l2.l_linenumber < lineitem.l_linenumber) as earlier
+         from lineitem order by l_orderkey, l_linenumber""")
+    // keyless theta (global tuple aggregation); max over a <> set
+    checkAgainstSparkSql(
+      """select n_nationkey,
+           (select count(*) from region
+            where region.r_regionkey < nation.n_regionkey) as smaller
+         from nation order by n_nationkey""")
+    // expression over two aggregates with a <> theta conjunct
+    checkAgainstSparkSql(
+      """select o_orderkey,
+           round((select max(l.l_extendedprice) - min(l.l_extendedprice)
+            from lineitem l
+            where l.l_orderkey = orders.o_orderkey
+              and l.l_linenumber <> orders.o_custkey % 5 + 1), 2) as spread
+         from orders order by o_orderkey""")
+    // theta + inner GROUP BY stays a loud error
+    val e = intercept[RuntimeException](graftSession.query(
+      """select o_orderkey,
+           (select max(l.l_extendedprice) from lineitem l
+            where l.l_orderkey = orders.o_orderkey
+              and l.l_linenumber < orders.o_orderkey
+            group by l.l_linestatus) as x
+         from orders"""))
+    assert(e.getMessage.contains("equalities"), e.getMessage)
+  }
+
   test("<> correlation decorrelates in flag positions") {
     // (count, min, max) triple: ∃ x≠y ⟺ cnt>0 ∧ (mn≠mx ∨ mn≠y)
     checkAgainstSparkSql(

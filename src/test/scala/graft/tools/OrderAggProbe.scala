@@ -7,7 +7,7 @@ object OrderAggProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = graft.Graft.forDir(spark, "/root/testdata/sf0.001")
-    Seq("nation", "customer", "orders", "lineitem").foreach { t =>
+    Seq("nation", "region", "customer", "orders", "lineitem").foreach { t =>
       spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
         .createOrReplaceTempView(t)
     }
@@ -18,45 +18,48 @@ object OrderAggProbe {
         println((if (a.sameElements(b)) "SAME " else s"DIFF(${a.length}/${b.length}) ") + label)
       } catch { case e: Throwable =>
         println(s"FAIL $label => " + e.getMessage.linesIterator.next().take(120)) }
-    // <> correlation in conjunct EXISTS ("another different row exists")
-    d("conj-exists-ne",
-      """select l_orderkey, l_linenumber from lineitem l1
-         where exists (select 1 from lineitem l2
-                       where l2.l_orderkey = l1.l_orderkey
-                         and l2.l_suppkey <> l1.l_suppkey)
-         order by l_orderkey, l_linenumber""")
-    // <> correlation in conjunct NOT EXISTS
-    d("conj-not-exists-ne",
-      """select count(*) as n from lineitem l1
-         where not exists (select 1 from lineitem l2
-                           where l2.l_orderkey = l1.l_orderkey
-                             and l2.l_suppkey <> l1.l_suppkey)""")
-    // <> in conjunct IN
-    d("conj-in-ne",
-      """select o_orderkey from orders o
-         where o.o_custkey in (select o2.o_custkey from orders o2
-                               where o2.o_custkey = o.o_custkey
-                                 and o2.o_orderkey <> o.o_orderkey)
-         order by o_orderkey""")
-    // <> EXISTS under OR (flag position) — expect loud error today
-    d("flag-exists-ne",
-      """select c_custkey from customer c
-         where c_acctbal < -900 or exists
-           (select 1 from orders o where o.o_custkey = c.c_custkey
-            and o.o_orderkey <> c.c_custkey)
-         order by c_custkey""")
-    // projected <> EXISTS flag
-    d("proj-exists-ne",
-      """select l_orderkey, l_linenumber, exists
-           (select 1 from lineitem l2 where l2.l_orderkey = lineitem.l_orderkey
-            and l2.l_suppkey <> lineitem.l_suppkey) as multi
+    // running-aggregate-style theta scalar: count of EARLIER lines in the order
+    d("scalar-theta-count",
+      """select l_orderkey, l_linenumber,
+           (select count(*) from lineitem l2
+            where l2.l_orderkey = lineitem.l_orderkey
+              and l2.l_linenumber < lineitem.l_linenumber) as earlier
          from lineitem order by l_orderkey, l_linenumber""")
-    // projected <> IN flag (3VL with nullable set)
-    d("proj-in-ne",
-      """select o_orderkey, o_custkey in
-           (select o2.o_custkey from orders o2
+    // max over smaller-priced orders of the same customer
+    d("scalar-theta-max",
+      """select o_orderkey,
+           round((select max(o2.o_totalprice) from orders o2
             where o2.o_custkey = orders.o_custkey
-              and o2.o_orderkey <> orders.o_orderkey) as f
+              and o2.o_totalprice < orders.o_totalprice), 2) as prev_max
+         from orders order by o_orderkey""")
+    // keyless theta: global aggregate over smaller values
+    d("scalar-theta-keyless",
+      """select n_nationkey,
+           (select count(*) from region
+            where region.r_regionkey < nation.n_regionkey) as smaller
+         from nation order by n_nationkey""")
+    // theta scalar in WHERE
+    d("scalar-theta-where",
+      """select o_orderkey from orders
+         where (select count(*) from lineitem l
+                where l.l_orderkey = orders.o_orderkey
+                  and l.l_quantity > 30) > 2
+         order by o_orderkey""")
+    // expression over two aggregates with theta
+    d("scalar-theta-expr",
+      """select o_orderkey,
+           round((select max(l.l_extendedprice) - min(l.l_extendedprice)
+            from lineitem l
+            where l.l_orderkey = orders.o_orderkey
+              and l.l_linenumber <> 1), 2) as spread
+         from orders order by o_orderkey""")
+    // theta + GROUP BY inside stays loud
+    d("scalar-theta-grouped-loud",
+      """select o_orderkey,
+           (select max(l.l_extendedprice) from lineitem l
+            where l.l_orderkey = orders.o_orderkey
+              and l.l_linenumber < orders.o_orderkey
+            group by l.l_linestatus) as x
          from orders order by o_orderkey""")
     spark.stop()
   }
