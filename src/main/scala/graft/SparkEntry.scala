@@ -698,6 +698,31 @@ object SparkEntry {
                  join e a on a.vec_id = c.id_a
                  join e b on b.vec_id = c.id_b) t
                where cos >= 0.3""")),
+    // SemDeDup-style semantic dedup: within-cell cosine pairs →
+    // connected groups → keep min-id per group. Cells are the
+    // precomputed label column (trained k-means form spec-tested:
+    // a float-accumulating trainer can't replay cross-engine).
+    ("q_dedup_semantic",
+      (s: SparkSession, dir: String) => Similarity.semanticDedupFrom(
+        tbl(s, dir, "embeddings"), 0.3, cellCol = "label"),
+      Some("""with recursive e as (select vec_id, label as cell, embedding,
+                 list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+               from embeddings),
+               vp as (select a.vec_id as id_a, b.vec_id as id_b
+                      from e a join e b on a.cell = b.cell and a.vec_id < b.vec_id
+                      where list_sum(list_transform(a.embedding, (x, i) -> x::DOUBLE * (b.embedding[i])::DOUBLE))
+                              / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.3),
+               edges as (select id_a as src, id_b as dst from vp
+                         union select id_b, id_a from vp),
+               reach(id, r) as (
+                 select distinct src, src from edges
+                 union
+                 select h.id, e2.dst from reach h join edges e2 on e2.src = h.r),
+               grp as (select id, min(r) as group_id from reach group by id)
+               select e.vec_id, e.cell,
+                 coalesce(g.group_id, e.vec_id) as group_id,
+                 coalesce(g.group_id, e.vec_id) = e.vec_id as kept
+               from e left join grp g on g.id = e.vec_id""")),
     ("q_ann_brute",
       (s: SparkSession, dir: String) => Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 5),
       Some(s"""$duckEmbCte,

@@ -255,6 +255,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** SemDeDup-style semantic deduplication (the embedding-space
+    * analogue of MinHash dedup used on modern pretraining corpora):
+    * partition the corpus into coarse cells, connect within-cell
+    * pairs with cosine >= threshold, and keep ONE representative per
+    * connected duplicate group — the min-id member, matching
+    * [[graft.ops.Dedup.dedupedCorpus]]'s convention. Returns one row
+    * per vector: (vec_id, cell, group_id, kept).
+    *
+    * Scale: pairs form per cell only — the cell-key shuffle moves
+    * each (id, embedding) row once and per-cell cost is O(|cell|²),
+    * the SemDeDup cost model (cell count grows with the corpus to
+    * bound |cell|; duplicate groups never span cells by
+    * construction). Group closure runs the same bounded min-label
+    * propagation as text dedup (reliable checkpointing available
+    * there for cluster runs). */
+  def semanticDedupFrom(cellAssigned: DataFrame, threshold: Double,
+                        cellCol: String = "cell"): DataFrame = {
+    GraftFunctions.register(cellAssigned.sparkSession)
+    val e = cellAssigned.selectExpr("vec_id", "embedding",
+      s"$cellCol as cell", s"$norm2Expr as norm2")
+    val a = e.select(F.col("cell").as("cell_a"), F.col("vec_id").as("id_a"),
+      F.col("embedding").as("ea"), F.col("norm2").as("na"))
+    val b = e.select(F.col("cell").as("cell_b"), F.col("vec_id").as("id_b"),
+      F.col("embedding").as("eb"), F.col("norm2").as("nb"))
+    val pairs = a.join(b,
+        F.col("cell_a") === F.col("cell_b") && F.col("id_a") < F.col("id_b"))
+      .filter(F.expr(pairCos) >= threshold)
+      .select(F.col("id_a"), F.col("id_b"))
+    val groups = graft.ops.Dedup.connectedComponents(pairs)
+      .select(F.col("id").as("vec_id"), F.col("label").as("group_id"))
+    e.select("vec_id", "cell")
+      .join(groups, Seq("vec_id"), "left_outer")
+      .selectExpr("vec_id", "cell",
+        "coalesce(group_id, vec_id) as group_id",
+        "coalesce(group_id, vec_id) = vec_id as kept")
+  }
+
+  /** [[semanticDedupFrom]] over real k-means cells ([[ivfBuild]]).
+    * The oracle-checked entry uses the precomputed `label` column as
+    * the cell instead (trainer float accumulation cannot be replayed
+    * bit-identically cross-engine); the plan below is identical. */
+  def semanticDedup(emb: DataFrame, threshold: Double, cells: Int = 16,
+                    seed: Long = 42L): DataFrame =
+    semanticDedupFrom(ivfBuild(emb, cells, seed), threshold)
+
   /** Per-label embedding centroids in long form (label, dimension,
     * mean) — the building block for class prototypes and IVF/k-means
     * cell refresh. posexplode is a flatMap (no shuffle); the mean is

