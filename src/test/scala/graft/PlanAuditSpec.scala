@@ -203,4 +203,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("partial_"), "inner aggregation not two-phase")
   }
+
+  test("grouped-inner EXISTS/IN decorrelate through keyed aggregates") {
+    for (q <- Seq("q_exists_grouped", "q_in_grouped",
+                  "q_exists_having", "q_in_having")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(p.contains("partial_"), s"$q: inner aggregation not two-phase")
+    }
+  }
+
+  test("<>-correlated flag lowers via (count,min,max) triple, no blowup") {
+    val p = plan("q_exists_ne_flag")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_count"), "lost the per-group count partial")
+  }
+
+  test("theta scalar subquery aggregates per outer tuple, no cartesian") {
+    val p = plan("q_scalar_theta")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_"), "per-tuple aggregation not two-phase")
+  }
+
+  test("semantic dedup pairs join inside cells, never all-pairs") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      "semantic dedup degenerated to an all-pairs cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup pair join lost its cell equi-key")
+  }
 }
