@@ -175,6 +175,37 @@ object SparkEntry {
             where l2.l_orderkey = lineitem.l_orderkey
               and l2.l_linenumber < lineitem.l_linenumber) as earlier
          from lineitem""",
+    // JOINT theta condition in a flag position (r4c): two range
+    // conjuncts cannot decompose through per-group min/max, so the
+    // lowering semi-joins the DISTINCT outer-tuple table on the full
+    // condition — the "any related row inside a 2-sided window" shape
+    "q_exists_theta_joint" ->
+      """select n_nationkey, n_name from nation
+         where exists (select 1 from customer
+                       where customer.c_nationkey = nation.n_nationkey
+                         and customer.c_acctbal > nation.n_regionkey * 1000
+                         and customer.c_custkey < nation.n_nationkey * 90)
+            or n_regionkey = 0""",
+    // projected IN flag over a joint theta pair with a null-bearing
+    // key set — the 3VL arms (match / empty / null) aggregate per
+    // distinct outer tuple over the same full-condition join
+    "q_in_theta_joint" ->
+      """select c_custkey,
+           c_custkey in (select nullif(o_custkey, 751) from orders
+                         where orders.o_custkey = customer.c_custkey
+                           and orders.o_totalprice < customer.c_acctbal * 40
+                           and orders.o_orderkey > customer.c_custkey * 2) as f
+         from customer""",
+    // scalar aggregate over a two-sided theta window ("count of
+    // related lines inside a value band") — per-distinct-outer-tuple
+    // aggregation carrying BOTH comparisons into the join
+    "q_scalar_theta_joint" ->
+      """select o_orderkey,
+           (select count(*) from lineitem l
+            where l.l_orderkey = orders.o_orderkey
+              and l.l_quantity < orders.o_totalprice / 1000
+              and l.l_linenumber > orders.o_orderkey % 3) as n
+         from orders""",
     // correlated scalar subqueries: inner GROUP BY keys admitted
     // alongside the correlation keys (empty correlation group then
     // yields zero rows — NULL even for COUNT), and expressions over

@@ -311,10 +311,10 @@ final class Translator(catalog: String => DataFrame) {
           case Some(q) =>
             val outerRefs = outerOnly(q)
             val idx = helperCols.size
-            // ONE theta conjunct decorrelates when the subquery is a
-            // plain aggregate (no inner GROUP BY / HAVING): the
-            // "aggregate over earlier/smaller rows" shape
-            val (keyPairs, theta, local) = corrSplit(q, outerRefs,
+            // theta conjuncts (any number) decorrelate when the
+            // subquery is a plain aggregate (no inner GROUP BY /
+            // HAVING): the "aggregate over earlier/smaller rows" shape
+            val (keyPairs, thetas, local) = corrSplit(q, outerRefs,
               "scalar subquery",
               allowTheta = q.sel.groupBy.isEmpty && q.sel.having.isEmpty)
             var inner = translateRelation(q.sel.from)
@@ -364,34 +364,40 @@ final class Translator(catalog: String => DataFrame) {
               exprToCol(g, None).as(n)
             }
             val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-            theta match {
-              case Some((ie, op, oe)) =>
+            if (thetas.nonEmpty) {
                 // theta scalar: the aggregated set depends on the
-                // outer theta operand, so aggregate per DISTINCT
-                // outer (keys, operand) tuple — an equi-join on the
-                // correlation keys carrying the theta comparison as
+                // outer theta operand(s), so aggregate per DISTINCT
+                // outer (keys, operands) tuple — an equi-join on the
+                // correlation keys carrying every theta comparison as
                 // residual condition — then join back on the tuple.
-                // One row per tuple, no outer-row multiplication.
-                val tN = s"__csq_${idx}_t"
+                // One row per tuple, no outer-row multiplication;
+                // sound for ANY number of range conjuncts (a joint
+                // condition evaluates row-by-row inside the join).
+                val tNs = thetas.indices.map(j => s"__csq_${idx}_t$j")
                 val okCols = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
                   exprToCol(ok, None).as(n) }
                 val tuples = from
-                  .select(okCols :+ exprToCol(oe, None).as(tN): _*)
+                  .select(okCols ++ thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                    exprToCol(oe, None).as(n) }: _*)
                   .distinct()
-                val joinCond = keyPairs.zip(keyNames)
-                  .map { case ((ik, _), n) => exprToCol(ik, None) === F.col(n) }
-                  .foldLeft(cmp(op, exprToCol(ie, None), F.col(tN)))(_ && _)
+                val joinCond =
+                  (keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+                    exprToCol(ik, None) === F.col(n) } ++
+                   thetas.zip(tNs).map { case ((ie, op, _), n) =>
+                    cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
                 val grouped = tuples.join(inner, joinCond, "inner")
-                  .groupBy((keyNames.map(F.col) :+ F.col(tN)): _*)
+                  .groupBy((keyNames ++ tNs).map(F.col): _*)
                   .agg(aggCols.head, aggCols.tail: _*)
-                val backCond = keyPairs.zip(keyNames)
-                  .map { case ((_, ok), n) => exprToCol(ok, None) === F.col(n) }
-                  .foldLeft(exprToCol(oe, None) === F.col(tN))(_ && _)
+                val backCond =
+                  (keyPairs.zip(keyNames).map { case ((_, ok), n) =>
+                    exprToCol(ok, None) === F.col(n) } ++
+                   thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                    exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
                 from = from.join(grouped, backCond, "left_outer")
-                helperCols = aggs.map(_._1).toList ::: tN ::
-                  (keyNames.toList ::: helperCols)
+                helperCols = aggs.map(_._1).toList ::: tNs.toList :::
+                  keyNames.toList ::: helperCols
                 substituted
-              case None =>
+            } else {
                 var grouped = inner.groupBy(grpCols: _*)
                   .agg(aggCols.head, aggCols.tail: _*)
                 havingSubst.foreach(h =>
@@ -521,13 +527,60 @@ final class Translator(catalog: String => DataFrame) {
                 // row does — the same 3VL table, evaluated against
                 // the outer side after the join.
                 val outerRefs = outerAliases -- relationAliases(q.sel.from)
-                val (keyPairs, theta, local) =
+                val (keyPairs, thetas, local) =
                   corrSplit(q, outerRefs, "IN", allowTheta = true)
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
                 val grpN = s"__sq_grp_$i"; val nullN = s"__sq_null_$i"
+                if (thetas.length >= 2) {
+                  // JOINT theta condition: per-group min/max cannot
+                  // decompose it, so switch to the distinct-outer-
+                  // tuple lowering — aggregate the 3VL arms per
+                  // DISTINCT (probe, keys, theta operands) tuple over
+                  // an equi-join carrying every comparison, then join
+                  // back on the tuple. |tuples| ≤ |outer| rows ever
+                  // shuffle; no outer-row multiplication.
+                  val probeT = s"__sq_tp_$i"
+                  val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
+                  val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+                  val tuples = from.select(
+                    probe.as(probeT) +:
+                      (keyPairs.zip(okN).map { case ((_, ok), n) =>
+                        exprToCol(ok, None).as(n) } ++
+                       thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                        exprToCol(oe, None).as(n) }): _*).distinct()
+                  val joinCond =
+                    (keyPairs.zip(okN).map { case ((ik, _), n) =>
+                      exprToCol(ik, None) === F.col(n) } ++
+                     thetas.zip(tNs).map { case ((ie, op, _), n) =>
+                      cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                  val keyC = exprToCol(q.sel.items.head.e, None)
+                  val grouped = tuples.join(inner, joinCond, "inner")
+                    .groupBy((probeT +: (okN ++ tNs)).map(F.col): _*)
+                    .agg(
+                      F.max(F.coalesce(keyC === F.col(probeT), F.lit(false)))
+                        .as(markN),
+                      F.max(keyC.isNull).as(nullN))
+                    .withColumn(grpN, F.lit(true))
+                  val backCond =
+                    ((probe <=> F.col(probeT)) +:
+                      (keyPairs.zip(okN).map { case ((_, ok), n) =>
+                        exprToCol(ok, None) <=> F.col(n) } ++
+                       thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                        exprToCol(oe, None) <=> F.col(n) })).reduce(_ && _)
+                  from = from.join(grouped, backCond, "left_outer")
+                    .withColumn(flagN,
+                      F.when(F.col(markN) <=> F.lit(true), F.lit(true))
+                        .when(F.col(grpN).isNull, F.lit(false))
+                        .when(probe.isNull || F.col(nullN),
+                          F.lit(null).cast(BooleanType))
+                        .otherwise(F.lit(false)))
+                  helperCols = flagN :: markN :: grpN :: nullN :: probeT ::
+                    (okN.toList ::: tNs.toList ::: helperCols)
+                } else {
+                val theta = thetas.headOption
                 val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
                 val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
                 val thetaCols = theta.map { case (ie, _, _) =>
@@ -606,6 +659,7 @@ final class Translator(catalog: String => DataFrame) {
                       ((allDefs ++ nulDefs ++ matDefs).map(_._1).toList :::
                         ckS.toList ::: ckK.toList ::: helperCols)
                 }
+                }
               case None =>
                 val (step, hs, _) = inFlagStep(sub, probe, "__sq", i)
                 from = step(from)
@@ -631,12 +685,45 @@ final class Translator(catalog: String => DataFrame) {
                 // outer side after the join (`∃ t < x ⟺ min(t) < x`);
                 // EXISTS is two-valued, so an UNKNOWN comparison (null
                 // range values, null outer) reads false.
-                val (keyPairs, theta, local) =
+                val (keyPairs, thetas, local) =
                   corrSplit(q, outerRefs, "EXISTS", allowTheta = true)
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val markN = s"__sq_mark_$i"
+                if (thetas.length >= 2) {
+                  // JOINT theta condition (e.g. a time-window pair
+                  // `e.ts < o.ts AND e.ts > o.ts - 1h`): min/max
+                  // cannot decompose it, so semi-join the DISTINCT
+                  // (keys, theta operands) outer-tuple table against
+                  // the inner rows on the FULL condition, then join
+                  // the surviving tuples back. EXISTS is two-valued —
+                  // an absent tuple (incl. NULL operands) reads false.
+                  val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
+                  val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+                  val tuples = from.select(
+                    keyPairs.zip(okN).map { case ((_, ok), n) =>
+                      exprToCol(ok, None).as(n) } ++
+                    thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None).as(n) }: _*).distinct()
+                  val joinCond =
+                    (keyPairs.zip(okN).map { case ((ik, _), n) =>
+                      exprToCol(ik, None) === F.col(n) } ++
+                     thetas.zip(tNs).map { case ((ie, op, _), n) =>
+                      cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                  val matched = tuples.join(inner, joinCond, "left_semi")
+                    .withColumn(markN, F.lit(true))
+                  val backCond =
+                    (keyPairs.zip(okN).map { case ((_, ok), n) =>
+                      exprToCol(ok, None) <=> F.col(n) } ++
+                     thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
+                  from = from.join(matched, backCond, "left_outer")
+                    .withColumn(flagN, F.col(markN).isNotNull)
+                  helperCols = flagN :: markN ::
+                    (okN.toList ::: tNs.toList ::: helperCols)
+                } else {
+                val theta = thetas.headOption
                 val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
                 val cond = keyPairs.zip(ckK).map { case ((_, ok), n) =>
                   exprToCol(ok, None) === F.col(n) }
@@ -665,6 +752,7 @@ final class Translator(catalog: String => DataFrame) {
                             exprToCol(oe, None))) <=> F.lit(true))
                     helperCols = flagN :: markN ::
                       (aggDefs.map(_._1).toList ::: ckK.toList ::: helperCols)
+                }
                 }
               case None =>
                 // uncorrelated: broadcast 1-row COUNT(*) > 0 summary
@@ -1424,17 +1512,17 @@ final class Translator(catalog: String => DataFrame) {
 
   /** Splits a correlated subquery's WHERE for the decorrelated
     * lowerings: equality conjuncts become `(innerExpr, outerExpr)`
-    * group/join key pairs; when `allowTheta`, at most ONE monotone
-    * range conjunct (<, <=, >, >=) between an inner-only and an
-    * outer-only expression is returned normalized as
-    * `(innerExpr, op, outerExpr)` — the flag lowerings decorrelate it
-    * through a per-group min/max (`∃ t: t < x  ⟺  min(t) < x`), which
-    * is sound for ONE range but cannot decompose a JOINT condition
-    * over two inner columns, hence the cap. Anything else (including
-    * theta where not allowed) fails loudly. */
+    * group/join key pairs; when `allowTheta`, range conjuncts
+    * (<, <=, >, >=, <>) between an inner-only and an outer-only
+    * expression are returned normalized as `(innerExpr, op,
+    * outerExpr)` in source order. A SINGLE theta decorrelates through
+    * a per-group min/max (`∃ t: t < x  ⟺  min(t) < x`); several are a
+    * JOINT condition min/max cannot decompose, and the callers switch
+    * to the distinct-outer-tuple lowering instead. Anything else
+    * (including theta where not allowed) fails loudly. */
   private def corrSplit(q: Query, outerRefs: Set[String], what: String,
                         allowTheta: Boolean)
-      : (Seq[(Expr, Expr)], Option[(Expr, String, Expr)], Seq[Expr]) = {
+      : (Seq[(Expr, Expr)], Seq[(Expr, String, Expr)], Seq[Expr]) = {
     val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
       .partition(refersToAliases(_, outerRefs))
     def flip(op: String): String = op match {
@@ -1463,11 +1551,7 @@ final class Translator(catalog: String => DataFrame) {
         fail(s"correlated $what predicates in this position must be " +
           s"$accepted, got $other")
     }
-    if (theta.length > 1)
-      fail(s"correlated $what supports at most one range conjunct in " +
-        "this position (min/max decorrelation cannot decompose a joint " +
-        "range condition over several inner columns)")
-    (eq.result(), theta.headOption, local)
+    (eq.result(), theta.reverse, local)
   }
 
   /** Equality-only corrSplit (positions with no theta lowering). */

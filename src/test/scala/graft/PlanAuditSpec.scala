@@ -225,6 +225,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "per-tuple aggregation not two-phase")
   }
 
+  test("joint-theta flags join the distinct tuple table on keys") {
+    for (q <- Seq("q_exists_theta_joint", "q_in_theta_joint",
+                  "q_scalar_theta_joint")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(p.contains("HashAggregate"),
+        s"$q: lost the distinct-tuple aggregation")
+    }
+  }
+
   test("semantic dedup pairs join inside cells, never all-pairs") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"),

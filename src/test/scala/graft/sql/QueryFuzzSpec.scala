@@ -354,6 +354,71 @@ class QueryFuzzSpec extends SparkTestBase {
     case 3 => s"($inq) or $p"
   }
 
+  // round-4c: JOINT theta conditions — several range/<> conjuncts per
+  // correlated subquery, lowered through the distinct-outer-tuple
+  // path (min/max cannot decompose a joint condition); optional
+  // equality correlation, [NOT] variants, null-bearing IN keys,
+  // conjunct/OR/flag positions, plus scalar aggregates
+  private val genJointThetaPred: Gen[String] = for {
+    neg <- Gen.oneOf("", "not ")
+    op1 <- Gen.oneOf("<", "<=", ">", ">=", "<>")
+    op2 <- Gen.oneOf("<", ">", "<>", "<=")
+    mult <- Gen.choose(1, 60)
+    mod <- Gen.choose(2, 9)
+    k <- Gen.choose(0, 1500)
+    key <- Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)")
+    keyed <- Gen.oneOf(true, false)
+    shape <- Gen.oneOf(0, 1, 2, 3)
+    p <- genPred
+    corr = if (keyed) "orders.o_custkey = customer.c_custkey and " else ""
+    thetas = s"o_totalprice $op1 customer.c_acctbal * $mult" +
+      s" and o_orderkey % $mod $op2 customer.c_custkey % $mod"
+    ex = s"${neg}exists (select 1 from orders where $corr$thetas)"
+    inq = s"c_custkey ${neg}in (select $key from orders where $corr$thetas)"
+  } yield shape match {
+    case 0 => ex
+    case 1 => inq
+    case 2 => s"($ex) or $p"
+    case 3 => s"($inq) or $p"
+  }
+
+  test("40 random JOINT-theta correlated queries match spark.sql exactly") {
+    val preds = Gen.listOfN(40, genJointThetaPred)
+      .pureApply(Gen.Parameters.default, Seed(97L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey from customer where $pred"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  private val genJointThetaScalar: Gen[String] = for {
+    op1 <- Gen.oneOf("<", "<=", ">", ">=", "<>")
+    op2 <- Gen.oneOf("<", ">", "<=")
+    agg <- Gen.oneOf("count(*)", "max(o_totalprice)",
+      "round(max(o_totalprice) - min(o_totalprice), 2)")
+    mult <- Gen.choose(1, 60)
+    mod <- Gen.choose(2, 9)
+    keyed <- Gen.oneOf(true, false)
+  } yield {
+    val corr = if (keyed) "orders.o_custkey = customer.c_custkey and " else ""
+    s"(select $agg from orders where $corr" +
+      s"o_totalprice $op1 customer.c_acctbal * $mult" +
+      s" and o_orderkey % $mod $op2 customer.c_custkey % $mod)"
+  }
+
+  test("25 random JOINT-theta correlated scalars match spark.sql exactly") {
+    val preds = Gen.listOfN(25, genJointThetaScalar)
+      .pureApply(Gen.Parameters.default, Seed(101L))
+    preds.distinct.foreach { pred =>
+      val sql = s"select c_custkey, $pred as v from customer"
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   // round-4: named WINDOW definitions — graft parses the WINDOW
   // clause itself; spark.sql supports the same syntax, so the whole
   // query is the differential oracle

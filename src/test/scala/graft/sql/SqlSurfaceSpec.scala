@@ -1137,25 +1137,47 @@ class SqlSurfaceSpec extends SparkTestBase {
            from nation order by n_nationkey"""))
   }
 
-  test("theta correlation rejects undecomposable shapes loudly") {
-    // two range conjuncts in a flag position cannot decorrelate
-    val e = intercept[RuntimeException](graftSession.query(
+  test("JOINT theta conditions lower through the distinct-tuple path") {
+    // two range conjuncts in a flag position: min/max cannot
+    // decompose the joint condition, so the lowering switches to the
+    // distinct-outer-tuple semi-join (r4c) — the "any related row in
+    // a value window" shape
+    checkAgainstSparkSql(
       """select n_nationkey from nation
          where exists (select 1 from customer
                        where customer.c_nationkey = nation.n_nationkey
                          and customer.c_acctbal > nation.n_regionkey * 1000
                          and customer.c_custkey < nation.n_nationkey * 100)
-            or n_regionkey = 9"""))
-    assert(e.getMessage.contains("one range conjunct"), e.getMessage)
-    // a <> correlation now lowers (count/min/max triple) — but only
-    // ONE theta conjunct; a joint <>+<> condition cannot decompose
-    val e2 = intercept[RuntimeException](graftSession.query(
+            or n_regionkey = 9
+         order by n_nationkey""")
+    // joint <>+<> condition, keyless
+    checkAgainstSparkSql(
       """select n_nationkey from nation
          where exists (select 1 from customer
                        where customer.c_acctbal <> nation.n_regionkey
                          and customer.c_custkey <> nation.n_nationkey)
-            or n_regionkey = 9"""))
-    assert(e2.getMessage.contains("one range conjunct"), e2.getMessage)
+            or n_regionkey = 9
+         order by n_nationkey""")
+    // IN flag with a joint range pair under OR (3VL tuple arms)
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where c_custkey in (select o_custkey from orders
+                             where orders.o_custkey = customer.c_custkey
+                               and orders.o_totalprice < customer.c_acctbal * 30
+                               and orders.o_orderkey > customer.c_custkey * 2)
+            or c_acctbal > 9900
+         order by c_custkey""")
+    // scalar aggregate over a two-sided value window
+    checkAgainstSparkSql(
+      """select o_orderkey,
+           (select count(*) from lineitem l
+            where l.l_orderkey = orders.o_orderkey
+              and l.l_quantity < orders.o_totalprice / 1000
+              and l.l_linenumber > orders.o_orderkey % 3) as n
+         from orders order by o_orderkey limit 500""")
+  }
+
+  test("theta correlation keyless <> decorrelates globally") {
     // keyless <> correlation decorrelates through the GLOBAL triple
     checkAgainstSparkSql(
       """select n_nationkey from nation
