@@ -206,6 +206,26 @@ object SparkEntry {
               and l.l_quantity < orders.o_totalprice / 1000
               and l.l_linenumber > orders.o_orderkey % 3) as n
          from orders""",
+    // quantified comparisons (ANY/ALL, r4d): correlated ALL over the
+    // per-key (count, min, max) summary — "balance beats EVERY order"
+    // — with the empty-group arm (no orders ⟹ TRUE)
+    "q_quant_all" ->
+      """select c_custkey, c_acctbal from customer
+         where c_acctbal > all (select o_totalprice / 20 from orders
+                                where orders.o_custkey = customer.c_custkey)""",
+    // projected ANY flag with a null-bearing set and a null-capable
+    // probe: all three 3VL arms (TRUE / FALSE / NULL) land in output
+    "q_quant_any_flag" ->
+      """select c_custkey,
+           nullif(c_custkey, 7) < any (select nullif(o_custkey, o_custkey % 977)
+                                       from orders
+                                       where orders.o_custkey = customer.c_custkey + 1) as f
+         from customer""",
+    // <> ANY decided through the min/max pair, uncorrelated set
+    "q_quant_ne_any" ->
+      """select n_nationkey, n_name from nation
+         where n_regionkey <> any (select n_regionkey from nation n2
+                                   where n2.n_name like 'A%')""",
     // correlated scalar subqueries: inner GROUP BY keys admitted
     // alongside the correlation keys (empty correlation group then
     // yields zero rows — NULL even for COUNT), and expressions over

@@ -63,6 +63,12 @@ object Ast {
   final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
   final case class InList(e: Expr, values: Seq[Expr], negated: Boolean) extends Expr
   final case class InSubquery(e: Expr, sub: SetExpr) extends Expr
+  /** Quantified comparison `e op ANY/SOME/ALL (subquery)` — graft
+    * dialect extension (standard SQL 8.9). The parser canonicalizes
+    * `= ANY` to [[InSubquery]] and `<> ALL` to NOT IN, so `op` here is
+    * never those forms; `all` = false means ANY/SOME. */
+  final case class QuantCmp(op: String, all: Boolean, e: Expr,
+                            sub: SetExpr) extends Expr
   /** Uncorrelated scalar subquery in expression position — graft
     * dialect extension (must produce one row, one column). */
   final case class ScalarSubquery(sub: SetExpr) extends Expr
@@ -186,6 +192,7 @@ object Ast {
     case Between(x, lo, hi)   => Between(f(x), f(lo), f(hi))
     case InList(x, vs, n)     => InList(f(x), vs.map(f), n)
     case InSubquery(x, sub)   => InSubquery(f(x), sub)
+    case QuantCmp(op, a, x, sub) => QuantCmp(op, a, f(x), sub)
     case IsNull(x, n)         => IsNull(f(x), n)
     case Like(x, p)           => Like(f(x), p)
     case ILike(x, p)          => ILike(f(x), p)

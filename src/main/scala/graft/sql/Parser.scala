@@ -385,8 +385,29 @@ final class Parser(tokens: Vector[Token]) {
     val l = parseAdditive()
     if (atOp("=") || atOp("<>") || atOp("!=") || atOp(">") || atOp("<") ||
         atOp(">=") || atOp("<=")) {
-      val Op(op, _) = next(): @unchecked
-      Cmp(if (op == "!=") "<>" else op, l, parseAdditive())
+      val Op(op0, _) = next(): @unchecked
+      val op = if (op0 == "!=") "<>" else op0
+      // quantified comparison `op ANY/SOME/ALL (SELECT ...)` —
+      // standard SQL 8.9, graft dialect extension. Only the exact
+      // `any|some|all ( select` shape quantifies, so columns named
+      // `all` keep working as plain comparison operands.
+      if ((atKw("any") || atKw("some") || atKw("all")) &&
+          isOpAt(pos + 1, "(") &&
+          pos + 2 < tokens.length && isKw(tokens(pos + 2), "select")) {
+        val all = atKw("all")
+        pos += 1
+        expectOp("(")
+        val sub = parseSetExpr()
+        expectOp(")")
+        (op, all) match {
+          // `= ANY` IS `IN`; `<> ALL` IS `NOT IN` — canonicalize so
+          // they ride the full IN machinery (semi-joins, correlation,
+          // 3VL) instead of a parallel lowering
+          case ("=", false) => InSubquery(l, sub)
+          case ("<>", true) => Not(InSubquery(l, sub))
+          case _            => QuantCmp(op, all, l, sub)
+        }
+      } else Cmp(op, l, parseAdditive())
     } else if (atKw("between")) {
       pos += 1
       val lo = parseAdditive(); expectKw("and"); val hi = parseAdditive()

@@ -763,6 +763,69 @@ final class Translator(catalog: String => DataFrame) {
                 helperCols = flagN :: helperCols
             }
             ColRef(None, flagN)
+          case QuantCmp(op, all, e, sub0) =>
+            // Quantified comparison `x op ANY/ALL (subquery)` in any
+            // boolean position: lower against a (count, has-null,
+            // min, max) summary of the subquery column — `x < ANY(S)
+            // ⟺ x < max(S)`, `x < ALL(S) ⟺ ¬(x >= min(S))`, `<> ANY`
+            // and `= ALL` through the min/max pair — with the
+            // standard 3VL arms (empty set, null probe, null-bearing
+            // set) decided by quantFlag. Correlated equality-key
+            // forms group the summary per key and left-join (narrow
+            // key shuffle, no row multiplication); uncorrelated
+            // forms broadcast the one-row summary. (`= ANY`/`<> ALL`
+            // never reach here — the parser canonicalizes them to
+            // [NOT] IN.)
+            val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
+            val probe = exprToCol(e, None)
+            val i = freshIdx()
+            val flagN = s"__sq_flag_$i"
+            val corrForm = sub match {
+              case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
+                  q.sel.qualify.isEmpty &&
+                  q.limit.isEmpty && q.offset.isEmpty &&
+                  q.sel.items.length == 1 &&
+                  q.sel.where.exists(w => splitConjuncts(w).exists(
+                    refersToAliases(_, outerAliases -- relationAliases(q.sel.from)))) =>
+                Some(q)
+              case _ => None
+            }
+            corrForm match {
+              case Some(q) =>
+                val outerRefs = outerAliases -- relationAliases(q.sel.from)
+                val (keyPairs, _, local) = corrSplit(q, outerRefs,
+                  "quantified comparison", allowTheta = false)
+                var inner = translateRelation(q.sel.from)
+                local.reduceOption(And).foreach(p =>
+                  inner = inner.filter(exprToCol(p, None)))
+                val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
+                val cntN = s"__sq_qc_$i"; val nulN = s"__sq_qn_$i"
+                val minN = s"__sq_qmin_$i"; val maxN = s"__sq_qmax_$i"
+                val y = exprToCol(q.sel.items.head.e, None)
+                val summary = inner
+                  .groupBy(keyPairs.zip(ckS).map { case ((ik, _), n) =>
+                    exprToCol(ik, None).as(n) }: _*)
+                  .agg(F.count(F.lit(1)).as(cntN),
+                    F.coalesce(F.max(y.isNull), F.lit(false)).as(nulN),
+                    F.min(y).as(minN), F.max(y).as(maxN))
+                val cond = keyPairs.zip(ckS).map { case ((_, ok), n) =>
+                  exprToCol(ok, None) === F.col(n) }
+                  .reduceOption(_ && _).getOrElse(F.lit(true))
+                // an absent group (no summary row) is the EMPTY set:
+                // coalesce count to 0 so the empty arms fire
+                from = from.join(summary, cond, "left_outer")
+                  .withColumn(flagN, quantFlag(op, all, probe,
+                    F.coalesce(F.col(cntN), F.lit(0L)),
+                    F.coalesce(F.col(nulN), F.lit(false)),
+                    F.col(minN), F.col(maxN)))
+                helperCols = flagN :: cntN :: nulN :: minN :: maxN ::
+                  (ckS.toList ::: helperCols)
+              case None =>
+                val (step, hs, _) = quantFlagStep(sub, probe, op, all, "__sq", i)
+                from = step(from)
+                helperCols = hs ::: helperCols
+            }
+            ColRef(None, flagN)
         }
     }
 
@@ -1140,6 +1203,15 @@ final class Translator(catalog: String => DataFrame) {
           joins ::= { (df: DataFrame) => df.crossJoin(F.broadcast(summary)) }
           helpers = flagN :: helpers
           ColRef(None, flagN)
+        case QuantCmp(op, all, probe, sub) =>
+          // quantified comparison in HAVING — uncorrelated only, like
+          // IN/EXISTS here; the probe may itself be an aggregate
+          val i = idx; idx += 1
+          val (step, hs, flagN) =
+            quantFlagStep(sub, lowerProbe(probe), op, all, "__hq", i)
+          joins ::= step
+          helpers = hs ::: helpers
+          ColRef(None, flagN)
       }
       (rewritten, joins.reverse, helpers)
     }
@@ -1277,6 +1349,76 @@ final class Translator(catalog: String => DataFrame) {
               F.lit(null).cast(BooleanType))
             .otherwise(F.lit(false)))
     (step, List(flagN, markN, emptyN, nullN, keyN), flagN)
+  }
+
+  /** Uncorrelated quantified-comparison machinery for one probe: a
+    * broadcast 1-row (count, has-null, min, max) summary of the
+    * subquery column composed into a join-and-flag step — shared by
+    * the boolean-position and HAVING lowerings. */
+  private def quantFlagStep(sub: SetExpr, probe: Column, op: String,
+                            all: Boolean, prefix: String, i: Int)
+      : (DataFrame => DataFrame, List[String], String) = {
+    val subDf = translate(sub)
+    if (subDf.columns.length != 1)
+      fail("quantified comparison requires a single-column subquery")
+    val y = F.col(subDf.columns.head)
+    val cntN = s"${prefix}_qc_$i"; val nulN = s"${prefix}_qn_$i"
+    val minN = s"${prefix}_qmin_$i"; val maxN = s"${prefix}_qmax_$i"
+    val flagN = s"${prefix}_flag_$i"
+    val summary = subDf.agg(
+      F.count(F.lit(1)).as(cntN),
+      F.coalesce(F.max(y.isNull), F.lit(false)).as(nulN),
+      F.min(y).as(minN), F.max(y).as(maxN))
+    val step = (df: DataFrame) =>
+      df.crossJoin(F.broadcast(summary))
+        .withColumn(flagN, quantFlag(op, all, probe,
+          F.col(cntN), F.col(nulN), F.col(minN), F.col(maxN)))
+    (step, List(flagN, cntN, nulN, minN, maxN), flagN)
+  }
+
+  /** The quantified-comparison truth table over a (count, has-null,
+    * min, max) summary of the subquery column — standard SQL 8.9 3VL.
+    * ANY: TRUE iff some comparison is TRUE, decided through the
+    * non-null bounds (`x < ANY ⟺ x < max`, `x <> ANY ⟺ min <> max ∨
+    * min <> x`); FALSE against an EMPTY set; otherwise UNKNOWN when
+    * the probe is null or the set has nulls, else FALSE. ALL: TRUE
+    * against an empty set; FALSE iff some comparison is FALSE
+    * (`x < ALL` fails iff `x >= min`, `x = ALL` iff a bound differs);
+    * otherwise UNKNOWN when nulls are involved, else TRUE. min/max
+    * ignore nulls, so an all-null set leaves the bound comparison
+    * UNKNOWN (coalesced to "not decided") and the null arms decide. */
+  private def quantFlag(op: String, all: Boolean, x: Column, cnt: Column,
+                        hasNull: Column, mn: Column, mx: Column): Column = {
+    val nullB = F.lit(null).cast(BooleanType)
+    if (!all) {
+      val anyTrue = op match {
+        case "<"   => x < mx
+        case "<="  => x <= mx
+        case ">"   => x > mn
+        case ">="  => x >= mn
+        case "<>"  => (mn =!= mx) || (mn =!= x)
+        case other => fail(s"unsupported quantified comparison op $other ANY")
+      }
+      F.when(cnt === 0, F.lit(false))
+        .when(x.isNull, nullB)
+        .when(F.coalesce(anyTrue, F.lit(false)), F.lit(true))
+        .when(hasNull, nullB)
+        .otherwise(F.lit(false))
+    } else {
+      val someFalse = op match {
+        case "<"   => x >= mn
+        case "<="  => x > mn
+        case ">"   => x <= mx
+        case ">="  => x < mx
+        case "="   => (mn =!= x) || (mx =!= x)
+        case other => fail(s"unsupported quantified comparison op $other ALL")
+      }
+      F.when(cnt === 0, F.lit(true))
+        .when(x.isNull, nullB)
+        .when(F.coalesce(someFalse, F.lit(false)), F.lit(false))
+        .when(hasNull, nullB)
+        .otherwise(F.lit(true))
+    }
   }
 
   /** The ONE EXISTS correlation classifier (the conjunct and residual
@@ -1701,6 +1843,8 @@ final class Translator(catalog: String => DataFrame) {
     case FuncCall(name, args) =>
       scalarFunc(name, args.map(exprToCol(_, in)), args)
     case _: InSubquery => fail("IN (subquery) not supported in this position")
+    case _: QuantCmp =>
+      fail("quantified comparison (ANY/ALL) not supported in this position")
     case _: ScalarSubquery => fail("scalar subquery not supported in this position")
     case _: ExistsSubquery =>
       fail("EXISTS is not supported in this position")

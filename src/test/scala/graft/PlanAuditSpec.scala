@@ -235,6 +235,17 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("quantified comparisons join a grouped summary, no row blowup") {
+    // correlated ANY/ALL: per-key (count, has-null, min, max) summary
+    // left-joined on the correlation keys — a narrow key shuffle, no
+    // cartesian, two-phase aggregation
+    for (q <- Seq("q_quant_all", "q_quant_any_flag")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(p.contains("HashAggregate"), s"$q: lost the summary aggregation")
+    }
+  }
+
   test("semantic dedup pairs join inside cells, never all-pairs") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"),

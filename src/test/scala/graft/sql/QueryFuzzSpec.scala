@@ -382,6 +382,84 @@ class QueryFuzzSpec extends SparkTestBase {
     case 3 => s"($inq) or $p"
   }
 
+  // round-4d: quantified comparisons (ANY/SOME/ALL). spark.sql has no
+  // quantified-subquery support, so the oracle is the standard-SQL
+  // truth table spelled as CASE over scalar subqueries (count/min/max
+  // bounds), which spark.sql does plan — keyed and uncorrelated
+  // forms, null-bearing sets via nullif, conjunct/OR/projected
+  // positions. `= ANY`/`<> ALL` are excluded here (they canonicalize
+  // to [NOT] IN and ride the separately-fuzzed IN machinery).
+  private def quantOracle(op: String, all: Boolean, x: String,
+                          item: String, where: String): String = {
+    def sq(sel: String) = s"(select $sel from orders where $where)"
+    val cnt = sq("count(*)"); val cntNN = sq(s"count($item)")
+    val mn = sq(s"min($item)"); val mx = sq(s"max($item)")
+    if (!all) {
+      val anyTrue = op match {
+        case "<"  => s"$x < $mx"
+        case "<=" => s"$x <= $mx"
+        case ">"  => s"$x > $mn"
+        case ">=" => s"$x >= $mn"
+        case "<>" => s"($mn <> $mx or $mn <> $x)"
+      }
+      s"(case when $cnt = 0 then false" +
+        s" when ($x) is null then cast(null as boolean)" +
+        s" when $anyTrue then true" +
+        s" when $cnt > $cntNN then cast(null as boolean)" +
+        s" else false end)"
+    } else {
+      val someFalse = op match {
+        case "<"  => s"$x >= $mn"
+        case "<=" => s"$x > $mn"
+        case ">"  => s"$x <= $mx"
+        case ">=" => s"$x < $mx"
+        case "="  => s"($mn <> $x or $mx <> $x)"
+      }
+      s"(case when $cnt = 0 then true" +
+        s" when ($x) is null then cast(null as boolean)" +
+        s" when $someFalse then false" +
+        s" when $cnt > $cntNN then cast(null as boolean)" +
+        s" else true end)"
+    }
+  }
+
+  private val genQuantPair: Gen[(String, String)] = for {
+    all <- Gen.oneOf(true, false)
+    op <- if (all) Gen.oneOf("<", "<=", ">", ">=", "=")
+          else Gen.oneOf("<", "<=", ">", ">=", "<>")
+    quant <- if (all) Gen.const("all") else Gen.oneOf("any", "some")
+    mult <- Gen.choose(1, 60)
+    k <- Gen.choose(0, 3000)
+    item <- Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)")
+    keyed <- Gen.oneOf(true, false)
+    bound <- Gen.choose(1000, 200000)
+    px <- Gen.choose(0, 1400)
+    x <- Gen.oneOf("c_custkey", s"c_acctbal * $mult", s"nullif(c_custkey, $px)")
+    shape <- Gen.oneOf(0, 1, 2)
+    p <- genPred
+    where = (if (keyed) "orders.o_custkey = customer.c_custkey and " else "") +
+      s"o_totalprice < $bound"
+    pred = s"$x $op $quant (select $item from orders where $where)"
+    oracle = quantOracle(op, all, x, item, where)
+  } yield shape match {
+    case 0 => (s"select c_custkey from customer where $pred",
+               s"select c_custkey from customer where $oracle")
+    case 1 => (s"select c_custkey from customer where ($pred) or $p",
+               s"select c_custkey from customer where ($oracle) or $p")
+    case 2 => (s"select c_custkey, ($pred) as f from customer",
+               s"select c_custkey, $oracle as f from customer")
+  }
+
+  test("40 random quantified-comparison queries match the 3VL rewrite") {
+    val pairs = Gen.listOfN(40, genQuantPair)
+      .pureApply(Gen.Parameters.default, Seed(113L))
+    pairs.distinct.foreach { case (sql, oracle) =>
+      withClue(s"\nquery: $sql\noracle: $oracle\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(oracle))
+      }
+    }
+  }
+
   test("40 random JOINT-theta correlated queries match spark.sql exactly") {
     val preds = Gen.listOfN(40, genJointThetaPred)
       .pureApply(Gen.Parameters.default, Seed(97L))

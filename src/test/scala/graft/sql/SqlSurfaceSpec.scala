@@ -1616,4 +1616,187 @@ class SqlSurfaceSpec extends SparkTestBase {
     g.removeTable("temp_nation")
     intercept[RuntimeException](g.query("select * from temp_nation"))
   }
+
+  // ---- quantified comparisons (ANY/SOME/ALL) — r4d --------------------
+  // spark.sql has NO quantified-comparison support, so the oracle is
+  // the standard-SQL rewrite over scalar subqueries (CASE over
+  // count/min/max), which spark.sql does run.
+
+  test("uncorrelated ANY/ALL quantified comparisons with 3VL arms") {
+    // x < ANY ⟺ x < max(S)
+    checkTranslated(
+      """select n_nationkey from nation
+         where n_nationkey < any (select c_nationkey from customer
+                                  where c_mktsegment = 'BUILDING')
+         order by n_nationkey""",
+      """select n_nationkey from nation
+         where n_nationkey < (select max(c_nationkey) from customer
+                              where c_mktsegment = 'BUILDING')
+         order by n_nationkey""")
+    // SOME is ANY
+    checkTranslated(
+      """select n_nationkey from nation
+         where n_regionkey >= some (select n_regionkey from nation where n_name like 'A%')
+         order by n_nationkey""",
+      """select n_nationkey from nation
+         where n_regionkey >= (select min(n_regionkey) from nation where n_name like 'A%')
+         order by n_nationkey""")
+    // x > ALL ⟺ x > max(S) on a null-free set
+    checkTranslated(
+      """select c_custkey from customer
+         where c_custkey > all (select o_custkey from orders where o_custkey < 100)
+         order by c_custkey limit 20""",
+      """select c_custkey from customer
+         where c_custkey > (select max(o_custkey) from orders where o_custkey < 100)
+         order by c_custkey limit 20""")
+    // empty set: ANY → FALSE (no rows), ALL → TRUE (all rows)
+    assert(graftSession.query(
+      """select n_nationkey from nation
+         where n_nationkey < any (select c_nationkey from customer where c_custkey < 0)"""
+      ).count() == 0)
+    assert(graftSession.query(
+      """select n_nationkey from nation
+         where n_nationkey < all (select c_nationkey from customer where c_custkey < 0)"""
+      ).count() == 25)
+  }
+
+  test("null-bearing sets and null probes follow quantified 3VL") {
+    // projected flags expose the UNKNOWN arm directly; oracle spells
+    // the standard truth table over spark.sql scalar subqueries
+    checkTranslated(
+      """select n_nationkey,
+           n_nationkey*6 < any (select nullif(c_custkey, 30) from customer
+                                where c_custkey <= 30) as f
+         from nation order by n_nationkey""",
+      """select n_nationkey,
+           case when n_nationkey*6 < (select max(nullif(c_custkey, 30))
+                                      from customer where c_custkey <= 30) then true
+                when true then cast(null as boolean)  -- set has a null
+                else false end as f
+         from nation order by n_nationkey""")
+    // ALL against a null-bearing set: FALSE wins over UNKNOWN
+    checkTranslated(
+      """select n_nationkey,
+           n_nationkey*6 >= all (select nullif(c_custkey, 30) from customer
+                                 where c_custkey <= 30) as f
+         from nation order by n_nationkey""",
+      """select n_nationkey,
+           case when n_nationkey*6 < (select max(nullif(c_custkey, 30))
+                                      from customer where c_custkey <= 30) then false
+                when true then cast(null as boolean)
+                else true end as f
+         from nation order by n_nationkey""")
+    // all-null set: never TRUE/FALSE — UNKNOWN (unless empty)
+    checkTranslated(
+      """select n_nationkey,
+           n_nationkey < any (select cast(null as bigint) from customer
+                              where c_custkey <= 5) as f
+         from nation order by n_nationkey""",
+      """select n_nationkey, cast(null as boolean) as f
+         from nation order by n_nationkey""")
+    // null probe over a nonempty set: UNKNOWN
+    checkTranslated(
+      """select c_custkey,
+           nullif(c_custkey, 1) + 0 > all (select n_nationkey from nation) as f
+         from customer where c_custkey <= 2 order by c_custkey""",
+      """select c_custkey,
+           case when c_custkey = 1 then cast(null as boolean)
+                else c_custkey > (select max(n_nationkey) from nation) end as f
+         from customer where c_custkey <= 2 order by c_custkey""")
+  }
+
+  test("<> ANY and = ALL decide through the min/max pair") {
+    // x <> ANY(S): TRUE iff S has a value different from x
+    checkTranslated(
+      """select n_nationkey,
+           n_regionkey <> any (select n_regionkey from nation n2
+                               where n2.n_nationkey <= 3) as f
+         from nation order by n_nationkey""",
+      """select n_nationkey,
+           case when (select min(n_regionkey) from nation n2 where n2.n_nationkey <= 3)
+                     <> (select max(n_regionkey) from nation n2 where n2.n_nationkey <= 3)
+                  or (select min(n_regionkey) from nation n2 where n2.n_nationkey <= 3)
+                     <> n_regionkey then true
+                else false end as f
+         from nation order by n_nationkey""")
+    // x = ALL(S): TRUE iff every value equals x (single-valued set)
+    checkTranslated(
+      """select n_nationkey,
+           n_regionkey = all (select n_regionkey from nation n2
+                              where n2.n_nationkey = nation.n_nationkey) as f
+         from nation order by n_nationkey""",
+      "select n_nationkey, true as f from nation order by n_nationkey")
+  }
+
+  test("correlated quantified comparisons group the summary per key") {
+    // "customer's balance beats EVERY one of their orders' price/20"
+    checkTranslated(
+      """select c_custkey from customer
+         where c_acctbal > all (select o_totalprice / 20 from orders
+                                where orders.o_custkey = customer.c_custkey)
+         order by c_custkey""",
+      """select c_custkey from customer
+         where (select count(*) from orders
+                where orders.o_custkey = customer.c_custkey) = 0
+            or c_acctbal > (select max(o_totalprice / 20) from orders
+                            where orders.o_custkey = customer.c_custkey)
+         order by c_custkey""")
+    // ANY over an empty correlation group is FALSE, not a dropped row
+    checkTranslated(
+      """select c_custkey,
+           c_acctbal < any (select o_totalprice from orders
+                            where orders.o_custkey = customer.c_custkey) as f
+         from customer order by c_custkey""",
+      """select c_custkey,
+           case when (select count(*) from orders
+                      where orders.o_custkey = customer.c_custkey) = 0 then false
+                when c_acctbal < (select max(o_totalprice) from orders
+                                  where orders.o_custkey = customer.c_custkey) then true
+                else false end as f
+         from customer order by c_custkey""")
+  }
+
+  test("= ANY is IN and <> ALL is NOT IN (canonicalized at parse)") {
+    checkTranslated(
+      """select c_custkey from customer
+         where c_nationkey = any (select n_nationkey from nation where n_regionkey = 1)
+         order by c_custkey""",
+      """select c_custkey from customer
+         where c_nationkey in (select n_nationkey from nation where n_regionkey = 1)
+         order by c_custkey""")
+    checkTranslated(
+      """select c_custkey from customer
+         where c_nationkey <> all (select n_nationkey from nation where n_regionkey = 1)
+         order by c_custkey""",
+      """select c_custkey from customer
+         where c_nationkey not in (select n_nationkey from nation where n_regionkey = 1)
+         order by c_custkey""")
+  }
+
+  test("quantified comparison in HAVING over an aggregate probe") {
+    checkTranslated(
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey
+         having count(*) > all (select n_nationkey * 2 from nation where n_regionkey = 4)
+         order by c_nationkey""",
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey
+         having count(*) > (select max(n_nationkey) * 2 from nation where n_regionkey = 4)
+         order by c_nationkey""")
+  }
+
+  test("quantified comparisons reject unsupported positions loudly") {
+    // GROUP BY keys have no flag-lowering home
+    val e = intercept[RuntimeException](graftSession.query(
+      """select count(*) as n from customer
+         group by c_acctbal < any (select o_totalprice from orders)"""))
+    assert(e.getMessage.contains("quantified comparison"), e.getMessage)
+    // columns named any/all still parse as plain identifiers
+    val g = graft.Graft(spark)
+    g.registerTable("quant_t", spark.sql(
+      "select 1 as x, 2 as all, 3 as any"))
+    assert(g.query("select x from quant_t where x < all + any")
+      .collect().head.getInt(0) == 1)
+    g.removeTable("quant_t")
+  }
 }
