@@ -221,6 +221,14 @@ object SparkEntry {
                                        from orders
                                        where orders.o_custkey = customer.c_custkey + 1) as f
          from customer""",
+    // theta-correlated quantifier: the compared set depends on an
+    // outer range operand, so the (count, has-null, min, max) summary
+    // groups per distinct outer tuple — "beats every cheap order"
+    "q_quant_theta" ->
+      """select c_custkey from customer
+         where c_acctbal * 50 > all (select o_totalprice from orders
+                                     where orders.o_custkey = customer.c_custkey
+                                       and o_totalprice < customer.c_acctbal * 40)""",
     // <> ANY decided through the min/max pair, uncorrelated set
     "q_quant_ne_any" ->
       """select n_nationkey, n_name from nation

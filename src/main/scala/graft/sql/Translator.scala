@@ -793,21 +793,62 @@ final class Translator(catalog: String => DataFrame) {
             corrForm match {
               case Some(q) =>
                 val outerRefs = outerAliases -- relationAliases(q.sel.from)
-                val (keyPairs, _, local) = corrSplit(q, outerRefs,
-                  "quantified comparison", allowTheta = false)
+                val (keyPairs, thetas, local) = corrSplit(q, outerRefs,
+                  "quantified comparison", allowTheta = true)
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
-                val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
                 val cntN = s"__sq_qc_$i"; val nulN = s"__sq_qn_$i"
                 val minN = s"__sq_qmin_$i"; val maxN = s"__sq_qmax_$i"
                 val y = exprToCol(q.sel.items.head.e, None)
+                def summaryAggs = Seq(
+                  F.count(F.lit(1)).as(cntN),
+                  F.coalesce(F.max(y.isNull), F.lit(false)).as(nulN),
+                  F.min(y).as(minN), F.max(y).as(maxN))
+                if (thetas.nonEmpty) {
+                  // theta-correlated quantifier: the compared set
+                  // depends on the outer theta operand(s), so build
+                  // the summary per DISTINCT (keys, operands) tuple
+                  // over an equi-join carrying every theta comparison
+                  // — the same distinct-outer-tuple shape as theta
+                  // scalars — then join back null-safely. A tuple
+                  // whose selection is empty (incl. NULL operands:
+                  // every theta comparison UNKNOWN ⟹ empty set) has
+                  // no summary row; count coalesces to 0 and the
+                  // empty arms fire (ANY→FALSE, ALL→TRUE).
+                  val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
+                  val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+                  val tuples = from.select(
+                    keyPairs.zip(okN).map { case ((_, ok), n) =>
+                      exprToCol(ok, None).as(n) } ++
+                    thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None).as(n) }: _*).distinct()
+                  val joinCond =
+                    (keyPairs.zip(okN).map { case ((ik, _), n) =>
+                      exprToCol(ik, None) === F.col(n) } ++
+                     thetas.zip(tNs).map { case ((ie, top, _), n) =>
+                      cmp(top, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                  val grouped = tuples.join(inner, joinCond, "inner")
+                    .groupBy((okN ++ tNs).map(F.col): _*)
+                    .agg(summaryAggs.head, summaryAggs.tail: _*)
+                  val backCond =
+                    (keyPairs.zip(okN).map { case ((_, ok), n) =>
+                      exprToCol(ok, None) <=> F.col(n) } ++
+                     thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
+                  from = from.join(grouped, backCond, "left_outer")
+                    .withColumn(flagN, quantFlag(op, all, probe,
+                      F.coalesce(F.col(cntN), F.lit(0L)),
+                      F.coalesce(F.col(nulN), F.lit(false)),
+                      F.col(minN), F.col(maxN)))
+                  helperCols = flagN :: cntN :: nulN :: minN :: maxN ::
+                    (okN.toList ::: tNs.toList ::: helperCols)
+                } else {
+                val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
                 val summary = inner
                   .groupBy(keyPairs.zip(ckS).map { case ((ik, _), n) =>
                     exprToCol(ik, None).as(n) }: _*)
-                  .agg(F.count(F.lit(1)).as(cntN),
-                    F.coalesce(F.max(y.isNull), F.lit(false)).as(nulN),
-                    F.min(y).as(minN), F.max(y).as(maxN))
+                  .agg(summaryAggs.head, summaryAggs.tail: _*)
                 val cond = keyPairs.zip(ckS).map { case ((_, ok), n) =>
                   exprToCol(ok, None) === F.col(n) }
                   .reduceOption(_ && _).getOrElse(F.lit(true))
@@ -820,6 +861,7 @@ final class Translator(catalog: String => DataFrame) {
                     F.col(minN), F.col(maxN)))
                 helperCols = flagN :: cntN :: nulN :: minN :: maxN ::
                   (ckS.toList ::: helperCols)
+                }
               case None =>
                 val (step, hs, _) = quantFlagStep(sub, probe, op, all, "__sq", i)
                 from = step(from)

@@ -432,13 +432,23 @@ class QueryFuzzSpec extends SparkTestBase {
     k <- Gen.choose(0, 3000)
     item <- Gen.oneOf("o_custkey", s"nullif(o_custkey, $k)")
     keyed <- Gen.oneOf(true, false)
+    // 0 = no theta, 1 = one range theta, 2 = joint theta pair — all
+    // through the distinct-outer-tuple summary
+    nTheta <- Gen.oneOf(0, 0, 1, 1, 2)
+    top1 <- Gen.oneOf("<", "<=", ">", ">=")
+    tmult <- Gen.choose(10, 80)
+    mod <- Gen.choose(2, 9)
     bound <- Gen.choose(1000, 200000)
     px <- Gen.choose(0, 1400)
     x <- Gen.oneOf("c_custkey", s"c_acctbal * $mult", s"nullif(c_custkey, $px)")
     shape <- Gen.oneOf(0, 1, 2)
     p <- genPred
+    theta = (if (nTheta >= 1)
+        s" and o_totalprice $top1 customer.c_acctbal * $tmult" else "") +
+      (if (nTheta >= 2)
+        s" and o_orderkey % $mod < customer.c_custkey % $mod" else "")
     where = (if (keyed) "orders.o_custkey = customer.c_custkey and " else "") +
-      s"o_totalprice < $bound"
+      s"o_totalprice < $bound$theta"
     pred = s"$x $op $quant (select $item from orders where $where)"
     oracle = quantOracle(op, all, x, item, where)
   } yield shape match {
@@ -450,8 +460,8 @@ class QueryFuzzSpec extends SparkTestBase {
                s"select c_custkey, $oracle as f from customer")
   }
 
-  test("40 random quantified-comparison queries match the 3VL rewrite") {
-    val pairs = Gen.listOfN(40, genQuantPair)
+  test("60 random quantified-comparison queries match the 3VL rewrite") {
+    val pairs = Gen.listOfN(60, genQuantPair)
       .pureApply(Gen.Parameters.default, Seed(113L))
     pairs.distinct.foreach { case (sql, oracle) =>
       withClue(s"\nquery: $sql\noracle: $oracle\n") {

@@ -1785,6 +1785,50 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by c_nationkey""")
   }
 
+  test("theta-correlated quantifiers build the summary per outer tuple") {
+    // "acctbal beats EVERY total among the customer's cheap orders" —
+    // equality key + range theta; the summary groups per distinct
+    // (key, operand) tuple over a join carrying the comparison
+    checkTranslated(
+      """select c_custkey from customer
+         where c_acctbal * 50 > all (select o_totalprice from orders
+                                     where orders.o_custkey = customer.c_custkey
+                                       and o_totalprice < customer.c_acctbal * 40)
+         order by c_custkey""",
+      """select c_custkey from customer
+         where (select count(*) from orders
+                where orders.o_custkey = customer.c_custkey
+                  and o_totalprice < customer.c_acctbal * 40) = 0
+            or c_acctbal * 50 > (select max(o_totalprice) from orders
+                                 where orders.o_custkey = customer.c_custkey
+                                   and o_totalprice < customer.c_acctbal * 40)
+         order by c_custkey""")
+    // keyless theta (no equality conjunct) rides the same tuple path
+    checkTranslated(
+      """select n_nationkey,
+           n_nationkey < any (select c_nationkey from customer
+                              where c_acctbal > nation.n_regionkey * 2400) as f
+         from nation order by n_nationkey""",
+      """select n_nationkey,
+           case when (select count(*) from customer
+                      where c_acctbal > nation.n_regionkey * 2400) = 0 then false
+                when n_nationkey < (select max(c_nationkey) from customer
+                                    where c_acctbal > nation.n_regionkey * 2400)
+                  then true
+                else false end as f
+         from nation order by n_nationkey""")
+    // NULL theta operand ⟹ empty selection ⟹ ALL reads TRUE
+    checkTranslated(
+      """select c_custkey,
+           c_custkey > all (select o_orderkey from orders
+                            where orders.o_custkey = customer.c_custkey
+                              and o_totalprice <
+                                  nullif(customer.c_acctbal, customer.c_acctbal)) as f
+         from customer where c_custkey <= 5 order by c_custkey""",
+      """select c_custkey, true as f
+         from customer where c_custkey <= 5 order by c_custkey""")
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
