@@ -1829,6 +1829,64 @@ class SqlSurfaceSpec extends SparkTestBase {
          from customer where c_custkey <= 5 order by c_custkey""")
   }
 
+  test("subqueries nest inside CASE WHEN branches") {
+    // IN / EXISTS / quantified flags and scalar subqueries are all
+    // expression-position rewrites, so they compose inside CASE arms
+    checkAgainstSparkSql(
+      """select c_custkey,
+           case when c_custkey in (select o_custkey from orders
+                                   where o_totalprice > 100000)
+                then 'big' else 'small' end as cls
+         from customer order by c_custkey""")
+    checkAgainstSparkSql(
+      """select n_nationkey,
+           case when exists (select 1 from customer
+                             where customer.c_nationkey = nation.n_nationkey
+                               and c_acctbal > 9000)
+                then n_name else 'none' end as rich
+         from nation order by n_nationkey""")
+    checkTranslated(
+      """select c_custkey,
+           case when c_acctbal > all (select o_totalprice / 30 from orders
+                                      where orders.o_custkey = customer.c_custkey)
+                then 1 else 0 end as wins
+         from customer order by c_custkey""",
+      """select c_custkey,
+           case when (select count(*) from orders
+                      where orders.o_custkey = customer.c_custkey) = 0
+                  or c_acctbal > (select max(o_totalprice) / 30 from orders
+                                  where orders.o_custkey = customer.c_custkey)
+                then 1 else 0 end as wins
+         from customer order by c_custkey""")
+    // scalar subquery inside a CASE result arm, in WHERE
+    checkAgainstSparkSql(
+      """select n_nationkey from nation
+         where case when n_regionkey = 1
+                    then (select count(*) from customer) else 0 end > 100
+         order by n_nationkey""")
+  }
+
+  test("grouped correlated quantifiers ride the derived-table rewrite") {
+    // inner GROUP BY + aggregate: degroupCorrSub turns the grouped
+    // subquery into a derived table with plain equality correlation,
+    // then the quantifier summary applies — "beats every per-status
+    // order total of this customer"
+    checkTranslated(
+      """select c_custkey from customer
+         where c_acctbal * 40 >= all (select sum(o_totalprice) as s from orders
+                                      where orders.o_custkey = customer.c_custkey
+                                      group by o_orderstatus)
+         order by c_custkey""",
+      """select c_custkey from customer
+         where (select count(*) from orders
+                where orders.o_custkey = customer.c_custkey) = 0
+            or c_acctbal * 40 >= (select max(s) from
+                                   (select o_custkey, sum(o_totalprice) as s
+                                    from orders group by o_custkey, o_orderstatus) g
+                                  where g.o_custkey = customer.c_custkey)
+         order by c_custkey""")
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
