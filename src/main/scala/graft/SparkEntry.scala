@@ -206,6 +206,12 @@ object SparkEntry {
               and l.l_quantity < orders.o_totalprice / 1000
               and l.l_linenumber > orders.o_orderkey % 3) as n
          from orders""",
+    // GROUP BY ALL / ORDER BY ALL (r4d, DuckDB conveniences): every
+    // non-aggregate item groups; every output column orders
+    "q_group_by_all" ->
+      """select c_nationkey, c_mktsegment, count(*) as n,
+           round(sum(c_acctbal), 2) as bal
+         from customer group by all order by all""",
     // quantified comparisons (ANY/ALL, r4d): correlated ALL over the
     // per-key (count, min, max) summary — "balance beats EVERY order"
     // — with the empty-group arm (no orders ⟹ TRUE)

@@ -149,7 +149,34 @@ final class Parser(tokens: Vector[Token]) {
     case t => fail(s"expected integer, got $t")
   }
 
+  /** True when the token AFTER an `all` keyword shows it ends the
+    * clause (DuckDB-style GROUP BY ALL / ORDER BY ALL) rather than
+    * starting an expression over a column named `all`. */
+  private def allEndsClause(after: Int): Boolean =
+    after >= tokens.length || (tokens(after) match {
+      case End(_)   => true
+      case Op(v, _) => v == ")"
+      case t => Seq("having", "order", "limit", "offset", "qualify",
+        "window", "union", "intersect", "except", "asc", "desc",
+        "nulls").exists(isKw(t, _))
+    })
+
   private def parseOrderList(): Seq[OrderItem] = {
+    // ORDER BY ALL — every output column, left to right (DuckDB
+    // convenience; graft dialect extension). Parsed as a Star order
+    // key the translator expands against the final projection, so
+    // `SELECT *` works too.
+    if (atKw("all") && allEndsClause(pos + 1)) {
+      pos += 1
+      val asc = if (eatKw("desc")) false else { eatKw("asc"); true }
+      val nullsFirst =
+        if (eatKw("nulls")) {
+          if (eatKw("first")) Some(true)
+          else if (eatKw("last")) Some(false)
+          else fail("expected FIRST or LAST after NULLS")
+        } else None
+      return Seq(OrderItem(Star(None), asc, nullsFirst))
+    }
     val items = Seq.newBuilder[OrderItem]
     var more = true
     while (more) {
@@ -178,6 +205,7 @@ final class Parser(tokens: Vector[Token]) {
       items += parseSelectItem()
       more = eatOp(",")
     }
+    val selectItems = items.result()
     expectKw("from")
     val from = parseFrom()
     val where = if (eatKw("where")) Some(parseExpr()) else None
@@ -185,9 +213,22 @@ final class Parser(tokens: Vector[Token]) {
     var groupSets = Seq.empty[Seq[Expr]]
     val groupBy =
       if (eatKw("group")) { expectKw("by")
+        // GROUP BY ALL — every select item free of aggregates and
+        // window functions becomes a key (DuckDB/Databricks
+        // convenience; graft dialect extension). An all-aggregate
+        // select yields no keys = a global aggregate, matching DuckDB.
+        if (atKw("all") && allEndsClause(pos + 1)) {
+          pos += 1
+          if (selectItems.exists(i => i.e.isInstanceOf[Star] &&
+                !hasAggOrWindow(i.e)))
+            fail("GROUP BY ALL requires explicit select columns, not *")
+          selectItems.collect {
+            case SelectItem(e, _) if !hasAggOrWindow(e) => e
+          }
+        }
         // GROUP BY GROUPING SETS ((a,b),(a),()) — graft dialect
         // extension; a bare key is a singleton set, () the grand total
-        if (atKw("grouping") && pos + 1 < tokens.length &&
+        else if (atKw("grouping") && pos + 1 < tokens.length &&
             isKw(tokens(pos + 1), "sets")) {
           pos += 2
           groupMode = "sets"
@@ -260,8 +301,17 @@ final class Parser(tokens: Vector[Token]) {
     // QUALIFY — graft dialect extension (DuckDB/Snowflake/BigQuery):
     // filter on window-function results, after HAVING/WINDOW
     val qualify = if (eatKw("qualify")) Some(parseExpr()) else None
-    Select(distinct, items.result(), from, where, groupBy, having,
+    Select(distinct, selectItems, from, where, groupBy, having,
       groupMode, qualify, groupSets, windows.result())
+  }
+
+  /** True when the expression contains an aggregate or a window
+    * function anywhere — such select items are NOT GROUP BY ALL keys
+    * (aggregates are the grouped values; windows evaluate after
+    * grouping). */
+  private def hasAggOrWindow(e: Expr): Boolean = e match {
+    case _: AggExpr | _: RankExpr | _: WinFunc => true
+    case other => Ast.children(other).exists(hasAggOrWindow)
   }
 
   private def parseSelectItem(): SelectItem = {

@@ -112,11 +112,20 @@ final class Translator(catalog: String => DataFrame) {
                               offset: Option[Long]): DataFrame = {
     var df = in
     if (orderBy.nonEmpty) {
+      // ORDER BY ALL (parsed as a Star order key): every output
+      // column, left to right, one direction for the lot — expanded
+      // HERE so it sees the final projection (works after SELECT *)
+      val expanded = orderBy.flatMap { oi =>
+        oi.e match {
+          case Star(None) => df.columns.toSeq.map(n => oi.copy(e = ColRef(None, n)))
+          case _          => Seq(oi)
+        }
+      }
       // ORDER BY resolves against the SELECT output (aliases visible),
       // falling back to the literal expression. A bare integer literal
       // is POSITIONAL (1-based output column), matching Spark SQL and
       // DuckDB — ordering by a constant would be meaningless.
-      val cols = orderBy.map { oi =>
+      val cols = expanded.map { oi =>
         val c = oi.e match {
           case ColRef(None, n) =>
             df.columns.find(_.equalsIgnoreCase(n))

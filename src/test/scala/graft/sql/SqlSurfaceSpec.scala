@@ -1887,6 +1887,61 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by c_custkey""")
   }
 
+  test("GROUP BY ALL groups every non-aggregate select item") {
+    checkTranslated(
+      """select c_nationkey, c_mktsegment, count(*) as n,
+           round(sum(c_acctbal), 2) as bal
+         from customer group by all order by c_nationkey, c_mktsegment""",
+      """select c_nationkey, c_mktsegment, count(*) as n,
+           round(sum(c_acctbal), 2) as bal
+         from customer group by c_nationkey, c_mktsegment
+         order by c_nationkey, c_mktsegment""")
+    // expression items become expression keys
+    checkTranslated(
+      """select c_nationkey % 5 as bucket, count(*) as n
+         from customer group by all order by bucket""",
+      """select c_nationkey % 5 as bucket, count(*) as n
+         from customer group by c_nationkey % 5 order by bucket""")
+    // window items are NOT keys (DuckDB rule); all-aggregate select
+    // has NO keys — a global aggregate
+    checkTranslated(
+      """select c_nationkey, round(sum(c_acctbal), 2) as bal,
+           rank() over (order by sum(c_acctbal) desc) as r
+         from customer group by all order by c_nationkey""",
+      """select c_nationkey, round(sum(c_acctbal), 2) as bal,
+           rank() over (order by sum(c_acctbal) desc) as r
+         from customer group by c_nationkey order by c_nationkey""")
+    checkTranslated(
+      "select count(*) as n, round(sum(c_acctbal), 2) as s from customer group by all",
+      "select count(*) as n, round(sum(c_acctbal), 2) as s from customer")
+    // * with GROUP BY ALL is loud
+    val e = intercept[RuntimeException](graftSession.query(
+      "select * from customer group by all"))
+    assert(e.getMessage.contains("explicit select columns"), e.getMessage)
+  }
+
+  test("ORDER BY ALL orders by every output column left to right") {
+    checkTranslated(
+      "select c_mktsegment, c_nationkey, c_custkey from customer order by all limit 40",
+      """select c_mktsegment, c_nationkey, c_custkey from customer
+         order by c_mktsegment, c_nationkey, c_custkey limit 40""")
+    checkTranslated(
+      "select c_mktsegment, c_nationkey, c_custkey from customer order by all desc limit 40",
+      """select c_mktsegment, c_nationkey, c_custkey from customer
+         order by c_mktsegment desc, c_nationkey desc, c_custkey desc limit 40""")
+    // after SELECT * (expansion sees the final projection)
+    checkTranslated(
+      "select * from nation order by all",
+      "select * from nation order by n_nationkey, n_name, n_regionkey")
+    // composes with GROUP BY ALL
+    checkTranslated(
+      """select c_nationkey, c_mktsegment, count(*) as n
+         from customer group by all order by all""",
+      """select c_nationkey, c_mktsegment, count(*) as n
+         from customer group by c_nationkey, c_mktsegment
+         order by c_nationkey, c_mktsegment, n""")
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
