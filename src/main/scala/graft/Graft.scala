@@ -36,7 +36,7 @@ final class Graft(val spark: SparkSession) {
 
   /** Parse + translate SQL to a lazy DataFrame. */
   def query(sqlText: String): DataFrame =
-    new Translator(lookup).translate(Parser.parse(sqlText))
+    new Translator(lookup, spark).translate(Parser.parse(sqlText))
 }
 
 object Graft {

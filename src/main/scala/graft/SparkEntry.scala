@@ -206,6 +206,14 @@ object SparkEntry {
               and l.l_quantity < orders.o_totalprice / 1000
               and l.l_linenumber > orders.o_orderkey % 3) as n
          from orders""",
+    // VALUES inline table (r4d) joined as a dim-style lookup — folds
+    // to a LocalRelation, broadcast side of the join
+    "q_values_join" ->
+      """select v.label, count(*) as n, round(sum(c_acctbal), 2) as bal
+         from customer
+         join (values (0, 'west'), (1, 'east'), (2, 'north')) as v(rk, label)
+           on customer.c_nationkey % 3 = v.rk
+         group by v.label""",
     // GROUP BY ALL / ORDER BY ALL (r4d, DuckDB conveniences): every
     // non-aggregate item groups; every output column orders
     "q_group_by_all" ->

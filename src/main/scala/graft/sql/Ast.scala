@@ -108,6 +108,11 @@ object Ast {
   sealed trait Relation
   final case class TableRef(name: String, alias: Option[String]) extends Relation
   final case class SubqueryRel(q: SetExpr, alias: Option[String]) extends Relation
+  /** `(VALUES (…), (…)) [AS] t [(col, …)]` inline table — graft
+    * dialect extension. Column names default to col0, col1, …
+    * (DuckDB convention) when no list is given. */
+  final case class ValuesRel(rows: Seq[Seq[Expr]], colNames: Option[Seq[String]],
+                             alias: Option[String]) extends Relation
   /** joinType: inner|left|right|full|cross. on=None for cross. */
   final case class JoinRel(left: Relation, right: Relation, joinType: String,
                            on: Option[Expr]) extends Relation

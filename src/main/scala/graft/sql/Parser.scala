@@ -396,6 +396,32 @@ final class Parser(tokens: Vector[Token]) {
         val q = parseSetExpr()
         expectOp(")")
         SubqueryRel(q, parseOptionalAlias())
+      } else if (atKw("values")) {
+        // (VALUES (1,'a'),(2,'b')) [AS] t [(x, y)] — inline table,
+        // graft dialect extension
+        pos += 1
+        val rows = Seq.newBuilder[Seq[Expr]]
+        var m = true
+        while (m) {
+          expectOp("(")
+          val row = Seq.newBuilder[Expr]
+          var rm = true
+          while (rm) { row += parseExpr(); rm = eatOp(",") }
+          expectOp(")")
+          rows += row.result()
+          m = eatOp(",")
+        }
+        expectOp(")")
+        val alias = parseOptionalAlias()
+        val cols =
+          if (alias.isDefined && eatOp("(")) {
+            val cs = Seq.newBuilder[String]
+            var cm = true
+            while (cm) { cs += ident(); cm = eatOp(",") }
+            expectOp(")")
+            Some(cs.result())
+          } else None
+        ValuesRel(rows.result(), cols, alias)
       } else {
         val j = parseJoinChain()
         expectOp(")")

@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.{Window, WindowSpec => SparkWindow}
 import org.apache.spark.sql.types._
 import Ast._
@@ -14,7 +14,8 @@ import Ast._
   * pruning, join selection, partial aggregation and AQE on it. No
   * execution happens at translation time; no RDDs, no UDFs.
   */
-final class Translator(catalog: String => DataFrame) {
+final class Translator(catalog: String => DataFrame,
+                       session: SparkSession) {
 
   final case class TranslateException(msg: String) extends RuntimeException(msg)
   private def fail(msg: String): Nothing = throw TranslateException(msg)
@@ -30,7 +31,7 @@ final class Translator(catalog: String => DataFrame) {
       val scope = scala.collection.mutable.Map.empty[String, DataFrame]
       val scopedCatalog: String => DataFrame =
         name => scope.getOrElse(name.toLowerCase, catalog(name))
-      val inner = new Translator(scopedCatalog)
+      val inner = new Translator(scopedCatalog, session)
       ctes.foreach { case (name, sub) =>
         scope(name.toLowerCase) = inner.translate(sub)
       }
@@ -161,6 +162,22 @@ final class Translator(catalog: String => DataFrame) {
       df.alias(alias.getOrElse(name).toLowerCase)
     case SubqueryRel(q, alias) =>
       val df = translate(q)
+      alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
+    case ValuesRel(rows, colsOpt, alias) =>
+      // inline table: each row projects its literal expressions over a
+      // one-row frame; the union folds to a LocalRelation plan-side
+      // (no scan, broadcastable). Rows must union-compatibly type —
+      // mismatches fail loudly at analysis.
+      if (rows.isEmpty) fail("VALUES requires at least one row")
+      val w = rows.head.length
+      if (rows.exists(_.length != w))
+        fail("VALUES rows must all have the same number of columns")
+      val names = colsOpt.getOrElse((0 until w).map(i => s"col$i"))
+      if (names.length != w)
+        fail(s"VALUES column list has ${names.length} names for $w columns")
+      val one = session.range(1)
+      val df = rows.map(r => one.select(r.zip(names).map { case (e, n) =>
+        exprToCol(e, None).as(n) }: _*)).reduce(_.union(_))
       alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
     case AliasedRel(rel, alias) =>
       translateRelation(rel).alias(alias.toLowerCase)
@@ -1351,6 +1368,7 @@ final class Translator(catalog: String => DataFrame) {
   private def relationAliases(r: Relation): Set[String] = r match {
     case TableRef(n, a) => Set(a.getOrElse(n).toLowerCase)
     case SubqueryRel(_, a) => a.map(_.toLowerCase).toSet
+    case ValuesRel(_, _, a) => a.map(_.toLowerCase).toSet
     case AliasedRel(_, a) => Set(a.toLowerCase)
     case JoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case UsingJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)

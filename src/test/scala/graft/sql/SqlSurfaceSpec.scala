@@ -1942,6 +1942,34 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by c_nationkey, c_mktsegment, n""")
   }
 
+  test("VALUES inline tables join, filter, and aggregate like tables") {
+    // spark.sql supports the same surface — whole-query differential
+    checkAgainstSparkSql(
+      """select t.x, t.y from (values (1, 'a'), (2, 'b'), (3, 'c')) as t(x, y)
+         where t.x > 1 order by t.x""")
+    // joined against a real table (dim-style lookup)
+    checkAgainstSparkSql(
+      """select v.label, count(*) as n
+         from nation join (values (0, 'west'), (1, 'east')) as v(rk, label)
+           on nation.n_regionkey = v.rk
+         group by v.label order by v.label""")
+    // aggregation straight over the inline rows; NULL + coercion
+    checkAgainstSparkSql(
+      """select sum(x) as sx, count(y) as cy
+         from (values (1, 'a'), (2, null), (3, 'c')) as t(x, y)""")
+    // default column names are col0, col1 (DuckDB convention)
+    assert(graftSession.query(
+      "select col0, col1 from (values (1, 'a'), (2, 'b')) t order by col0")
+      .columns.toSeq == Seq("col0", "col1"))
+    // arity mismatches are loud
+    val e = intercept[RuntimeException](graftSession.query(
+      "select * from (values (1, 2), (3)) t(a, b)"))
+    assert(e.getMessage.contains("same number"), e.getMessage)
+    val e2 = intercept[RuntimeException](graftSession.query(
+      "select * from (values (1, 2)) t(a)"))
+    assert(e2.getMessage.contains("column list"), e2.getMessage)
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
