@@ -206,6 +206,11 @@ object SparkEntry {
               and l.l_quantity < orders.o_totalprice / 1000
               and l.l_linenumber > orders.o_orderkey % 3) as n
          from orders""",
+    // star EXCLUDE/REPLACE (r4d): prune the wide text column and
+    // normalize another in place — the everyday wide-table idiom
+    "q_star_exclude" ->
+      """select * exclude (text) replace (n_chars + 0 as n_chars)
+         from documents""",
     // VALUES inline table (r4d) joined as a dim-style lookup — folds
     // to a LocalRelation, broadcast side of the join
     "q_values_join" ->

@@ -18,6 +18,11 @@ object Ast {
   final case class ColRef(qualifier: Option[String], name: String) extends Expr
   /** `*` or `t.*` (sql.lark:82,143). */
   final case class Star(qualifier: Option[String]) extends Expr
+  /** `* EXCLUDE (a, b) REPLACE (expr AS c)` star modifiers (DuckDB
+    * convenience) — only ever produced in select-item position;
+    * `replace` keeps the column's original position and name. */
+  final case class StarMod(qualifier: Option[String], exclude: Seq[String],
+                           replace: Seq[(Expr, String)]) extends Expr
   final case class NumLit(text: String) extends Expr
   /** NULL literal — graft dialect extension (reference literals are
     * bool/number/string/timestamp only, sql.lark:132-138). */
@@ -198,6 +203,8 @@ object Ast {
     case InList(x, vs, n)     => InList(f(x), vs.map(f), n)
     case InSubquery(x, sub)   => InSubquery(f(x), sub)
     case QuantCmp(op, a, x, sub) => QuantCmp(op, a, f(x), sub)
+    case StarMod(q, ex, rep)  =>
+      StarMod(q, ex, rep.map { case (e, n) => (f(e), n) })
     case IsNull(x, n)         => IsNull(f(x), n)
     case Like(x, p)           => Like(f(x), p)
     case ILike(x, p)          => ILike(f(x), p)

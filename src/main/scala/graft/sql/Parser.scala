@@ -315,7 +315,38 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseSelectItem(): SelectItem = {
-    val e = parseExpr()
+    val e0 = parseExpr()
+    // star modifiers `* EXCLUDE (a, b) REPLACE (expr AS c)` — DuckDB
+    // convenience, graft dialect extension; either clause, any order,
+    // single-column EXCLUDE parens optional
+    val e = e0 match {
+      case Star(q) if atKw("exclude") || atKw("replace") =>
+        var exclude = Seq.empty[String]
+        var replace = Seq.empty[(Expr, String)]
+        var cont = true
+        while (cont) {
+          if (eatKw("exclude")) {
+            val paren = eatOp("(")
+            val cs = Seq.newBuilder[String]
+            var m = true
+            while (m) { cs += ident(); m = paren && eatOp(",") }
+            if (paren) expectOp(")")
+            exclude ++= cs.result()
+          } else if (eatKw("replace")) {
+            expectOp("(")
+            val rs = Seq.newBuilder[(Expr, String)]
+            var m = true
+            while (m) {
+              val re = parseExpr(); expectKw("as"); rs += ((re, ident()))
+              m = eatOp(",")
+            }
+            expectOp(")")
+            replace ++= rs.result()
+          } else cont = false
+        }
+        StarMod(q, exclude, replace)
+      case other => other
+    }
     val alias = parseOptionalAlias()
     // reserved helper-name prefixes: a user alias like `__qw_0` would
     // collide with hidden helper columns and be silently dropped —

@@ -1296,7 +1296,7 @@ final class Translator(catalog: String => DataFrame,
 
     // force materialization of agg map: walk select + having
     val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
-      case SelectItem(Star(_), _) =>
+      case SelectItem(Star(_) | StarMod(_, _, _), _) =>
         fail("SELECT * with aggregation requires explicit columns")
       // hidden QUALIFY items: select aliases resolve inside the window
       // spec (DuckDB QUALIFY scoping) — the aliased expression is the
@@ -1827,6 +1827,28 @@ final class Translator(catalog: String => DataFrame,
     items.flatMap {
       case SelectItem(Star(None), _) => Seq(F.col("*"))
       case SelectItem(Star(Some(t)), _) => Seq(F.col(s"${t.toLowerCase}.*"))
+      case SelectItem(StarMod(q, exclude, replace), _) =>
+        // `* EXCLUDE/REPLACE`: expand the star against the input
+        // frame, drop excluded names, swap replaced columns in place
+        // (original position AND name) — unknown names are loud
+        val base: Seq[String] = q match {
+          case None    => in.columns.toSeq
+          case Some(t) => in.select(F.col(s"${t.toLowerCase}.*")).columns.toSeq
+        }
+        def resolve(n: String, what: String): String =
+          base.find(_.equalsIgnoreCase(n)).getOrElse(
+            fail(s"$what column '$n' is not in the ${
+              q.map(t => s"$t.*").getOrElse("*")} expansion"))
+        val excluded = exclude.map(resolve(_, "EXCLUDE")).toSet
+        val replaced = replace.map { case (e, n) =>
+          resolve(n, "REPLACE") -> e }.toMap
+        base.filterNot(excluded).map { n =>
+          replaced.get(n) match {
+            case Some(e) => exprToCol(e, None).as(n)
+            case None    => q.map(t => F.col(s"${t.toLowerCase}.$n"))
+                              .getOrElse(F.col(n))
+          }
+        }
       case SelectItem(e, alias) =>
         Seq(exprToCol(e, None).as(alias.getOrElse(defaultName(e, in))))
     }
@@ -1914,6 +1936,8 @@ final class Translator(catalog: String => DataFrame,
     case _: InSubquery => fail("IN (subquery) not supported in this position")
     case _: QuantCmp =>
       fail("quantified comparison (ANY/ALL) not supported in this position")
+    case _: StarMod =>
+      fail("* EXCLUDE/REPLACE is only valid as a plain select item")
     case _: ScalarSubquery => fail("scalar subquery not supported in this position")
     case _: ExistsSubquery =>
       fail("EXISTS is not supported in this position")

@@ -1970,6 +1970,33 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("column list"), e2.getMessage)
   }
 
+  test("star EXCLUDE and REPLACE modify the expansion in place") {
+    checkTranslated(
+      "select * exclude (n_name) from nation order by n_nationkey",
+      "select n_nationkey, n_regionkey from nation order by n_nationkey")
+    // single-column EXCLUDE without parens; REPLACE keeps position + name
+    checkTranslated(
+      """select * exclude n_name replace (n_regionkey * 10 as n_regionkey)
+         from nation order by n_nationkey""",
+      """select n_nationkey, n_regionkey * 10 as n_regionkey
+         from nation order by n_nationkey""")
+    // qualified star with modifiers, next to other items
+    checkTranslated(
+      """select nation.* exclude (n_regionkey), r_name
+         from nation join region on nation.n_regionkey = region.r_regionkey
+         order by n_nationkey""",
+      """select n_nationkey, n_name, r_name
+         from nation join region on nation.n_regionkey = region.r_regionkey
+         order by n_nationkey""")
+    // unknown names are loud
+    val e = intercept[RuntimeException](graftSession.query(
+      "select * exclude (nope) from nation"))
+    assert(e.getMessage.contains("EXCLUDE column"), e.getMessage)
+    val e2 = intercept[RuntimeException](graftSession.query(
+      "select * replace (1 as nope) from nation"))
+    assert(e2.getMessage.contains("REPLACE column"), e2.getMessage)
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
