@@ -206,6 +206,12 @@ object SparkEntry {
               and l.l_quantity < orders.o_totalprice / 1000
               and l.l_linenumber > orders.o_orderkey % 3) as n
          from orders""",
+    // DISTINCT ON (r4d): latest/biggest row per key — one window over
+    // one key shuffle, no self-join
+    "q_distinct_on" ->
+      """select distinct on (o_custkey) o_custkey, o_orderkey, o_totalprice
+         from orders
+         order by o_custkey, o_totalprice desc, o_orderkey""",
     // star EXCLUDE/REPLACE (r4d): prune the wide text column and
     // normalize another in place — the everyday wide-table idiom
     "q_star_exclude" ->

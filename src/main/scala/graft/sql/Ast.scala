@@ -145,7 +145,8 @@ object Ast {
                           groupMode: String = "plain",
                           qualify: Option[Expr] = None,
                           groupSets: Seq[Seq[Expr]] = Nil,
-                          windows: Seq[(String, WindowSpec)] = Nil)
+                          windows: Seq[(String, WindowSpec)] = Nil,
+                          distinctOn: Seq[Expr] = Nil)
   final case class Query(sel: Select, orderBy: Seq[OrderItem],
                          limit: Option[Long], offset: Option[Long])
 

@@ -198,7 +198,20 @@ final class Parser(tokens: Vector[Token]) {
   /** sql.lark:12. */
   private def parseSelect(): Select = {
     expectKw("select")
-    val distinct = eatKw("distinct"); if (!distinct) eatKw("all")
+    val distinctKw = eatKw("distinct")
+    // DISTINCT ON (exprs) — PostgreSQL/DuckDB "first row per group"
+    // (graft dialect extension); plain DISTINCT stays a set distinct
+    val distinctOn =
+      if (distinctKw && atKw("on") && isOpAt(pos + 1, "(")) {
+        pos += 1; expectOp("(")
+        val es = Seq.newBuilder[Expr]
+        var m = true
+        while (m) { es += parseExpr(); m = eatOp(",") }
+        expectOp(")")
+        es.result()
+      } else Nil
+    val distinct = distinctKw && distinctOn.isEmpty
+    if (!distinctKw) eatKw("all")
     val items = Seq.newBuilder[SelectItem]
     var more = true
     while (more) {
@@ -302,7 +315,7 @@ final class Parser(tokens: Vector[Token]) {
     // filter on window-function results, after HAVING/WINDOW
     val qualify = if (eatKw("qualify")) Some(parseExpr()) else None
     Select(distinct, selectItems, from, where, groupBy, having,
-      groupMode, qualify, groupSets, windows.result())
+      groupMode, qualify, groupSets, windows.result(), distinctOn)
   }
 
   /** True when the expression contains an aggregate or a window
@@ -841,5 +854,5 @@ object Parser {
     * rejects loudly — helper cleanup would silently drop the column). */
   val reservedAliasPrefixes: Seq[String] =
     Seq("__qw_", "__sq_", "__ssq_", "__csq_", "__hq_", "__gk_", "__agg_",
-      "__ob_", "__gq_")
+      "__ob_", "__gq_", "__don_")
 }

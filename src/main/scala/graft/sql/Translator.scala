@@ -49,7 +49,77 @@ final class Translator(catalog: String => DataFrame,
       }
   }
 
-  private def translateQuery(q: Query): DataFrame = {
+  private def translateQuery(q: Query): DataFrame =
+    if (q.sel.distinctOn.nonEmpty) translateDistinctOn(q)
+    else translateQueryPlain(q)
+
+  /** `SELECT DISTINCT ON (keys) … ORDER BY …` — keep the FIRST row of
+    * each key group in ORDER BY order (PostgreSQL/DuckDB semantics),
+    * lowered to a `row_number() OVER (PARTITION BY keys ORDER BY …)
+    * = 1` filter — a single window over one key shuffle, no
+    * self-join. ON/ORDER expressions that are not output columns,
+    * aliases, or positionals ride as hidden select items so input
+    * columns the projection drops still partition/order; the ORDER BY
+    * is REQUIRED (without it the kept row would be
+    * partition-arrival-dependent, against the repo's reproducibility
+    * contract — PostgreSQL itself warns the row is unpredictable). */
+  private def translateDistinctOn(q: Query): DataFrame = {
+    val sel = q.sel
+    if (q.orderBy.isEmpty)
+      fail("DISTINCT ON requires an ORDER BY to make the kept row " +
+        "deterministic")
+    // names the final projection exposes: explicit aliases + bare refs
+    val outNames: Set[String] = sel.items.flatMap {
+      case SelectItem(_, Some(a)) => Seq(a.toLowerCase)
+      case SelectItem(ColRef(_, n), None) => Seq(n.toLowerCase)
+      case _ => Nil
+    }.toSet
+    def resolvesOnOutput(e: Expr): Boolean = e match {
+      case ColRef(None, n) => outNames.contains(n.toLowerCase)
+      case NumLit(t) => t.matches("[0-9]+")
+      case _ => false
+    }
+    val donHid = sel.distinctOn.zipWithIndex.collect {
+      case (e, i) if !resolvesOnOutput(e) => i -> s"__don_$i" }.toMap
+    val obHid = q.orderBy.zipWithIndex.collect {
+      case (oi, i) if !resolvesOnOutput(oi.e) => i -> s"__don_ob_$i" }.toMap
+    val hidden =
+      sel.distinctOn.zipWithIndex.collect { case (e, i) if donHid.contains(i) =>
+        SelectItem(e, Some(donHid(i))) } ++
+      q.orderBy.zipWithIndex.collect { case (oi, i) if obHid.contains(i) =>
+        SelectItem(oi.e, Some(obHid(i))) }
+    val df = translateSelect(sel.copy(items = sel.items ++ hidden,
+      distinctOn = Nil))
+    def resolve(e: Expr, hid: Option[String]): Column = hid match {
+      case Some(n) => F.col(n)
+      case None => e match {
+        case ColRef(None, n) =>
+          df.columns.find(_.equalsIgnoreCase(n)).map(F.col).getOrElse(
+            fail(s"DISTINCT ON: column '$n' not found"))
+        case NumLit(t) =>
+          val i = t.toInt
+          if (i < 1 || i > sel.items.length)
+            fail(s"DISTINCT ON position $i out of range (1..${sel.items.length})")
+          F.col(df.columns(i - 1))
+        case other => exprToCol(other, None)
+      }
+    }
+    val part = sel.distinctOn.zipWithIndex.map { case (e, i) =>
+      resolve(e, donHid.get(i)) }
+    val ord = q.orderBy.zipWithIndex.map { case (oi, i) =>
+      orderedCol(resolve(oi.e, obHid.get(i)), oi) }
+    val rn = "__don_rn"
+    val kept = df
+      .withColumn(rn,
+        F.row_number().over(Window.partitionBy(part: _*).orderBy(ord: _*)))
+      .filter(F.col(rn) === 1)
+    val orderBy2 = q.orderBy.zipWithIndex.map { case (oi, i) =>
+      obHid.get(i).map(n => oi.copy(e = ColRef(None, n))).getOrElse(oi) }
+    applyOrderLimit(kept, orderBy2, q.limit, q.offset)
+      .drop(rn +: (donHid.values.toSeq ++ obHid.values.toSeq): _*)
+  }
+
+  private def translateQueryPlain(q: Query): DataFrame = {
     // ORDER BY expressions that cannot evaluate on the OUTPUT frame
     // lower as hidden select items (computed through the projection /
     // aggregation pipeline), then the sort reads the hidden column

@@ -1997,6 +1997,46 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("REPLACE column"), e2.getMessage)
   }
 
+  test("DISTINCT ON keeps the first row per key in ORDER BY order") {
+    // spark.sql has no DISTINCT ON — oracle is the row_number rewrite
+    checkTranslated(
+      """select distinct on (c_nationkey) c_nationkey, c_custkey, c_acctbal
+         from customer
+         order by c_nationkey, c_acctbal desc, c_custkey""",
+      """select c_nationkey, c_custkey, c_acctbal from (
+           select c_nationkey, c_custkey, c_acctbal,
+             row_number() over (partition by c_nationkey
+                                order by c_acctbal desc, c_custkey) as rn
+           from customer) where rn = 1
+         order by c_nationkey, c_acctbal desc, c_custkey""")
+    // ON key and order column dropped by the projection still work
+    // (hidden-item machinery); two-part key
+    checkTranslated(
+      """select distinct on (c_nationkey, c_mktsegment) c_name
+         from customer
+         order by c_nationkey, c_mktsegment, c_custkey desc""",
+      """select c_name from (
+           select c_name,
+             row_number() over (partition by c_nationkey, c_mktsegment
+                                order by c_custkey desc) as rn
+           from customer
+         ) where rn = 1""")
+    // expression key
+    checkTranslated(
+      """select distinct on (c_custkey % 7) c_custkey
+         from customer order by c_custkey % 7, c_custkey""",
+      """select c_custkey from (
+           select c_custkey,
+             row_number() over (partition by c_custkey % 7
+                                order by c_custkey) as rn
+           from customer) where rn = 1
+         order by c_custkey % 7, c_custkey""")
+    // no ORDER BY: the kept row would be nondeterministic — loud
+    val e = intercept[RuntimeException](graftSession.query(
+      "select distinct on (c_nationkey) c_custkey from customer"))
+    assert(e.getMessage.contains("ORDER BY"), e.getMessage)
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
