@@ -212,6 +212,38 @@ object SparkEntry {
       """select distinct on (o_custkey) o_custkey, o_orderkey, o_totalprice
          from orders
          order by o_custkey, o_totalprice desc, o_orderkey""",
+    // typed DATE literals + INTERVAL arithmetic (r4e): the TPC-H
+    // predicate idiom; shifts lower as TIMESTAMP_NTZ calendar
+    // arithmetic (month-end clamping identical in both engines)
+    "q_date_arith" ->
+      """select o_orderkey,
+                o_orderdate + interval 3 month as plus3m,
+                cast(o_orderdate - interval '1 day' as date)::varchar as minus1d
+         from orders
+         where o_orderdate >= date '1995-06-01'
+           and o_orderdate < date '1995-06-01' + interval 2 month""",
+    // EXTRACT sugar (r4e): every supported field, int-pinned so both
+    // engines agree on width
+    "q_extract" ->
+      """select o_orderkey,
+                cast(extract(year from o_orderdate) as int) as y,
+                cast(extract(month from o_orderdate) as int) as m,
+                cast(extract(day from o_orderdate) as int) as d,
+                cast(extract(quarter from o_orderdate) as int) as q,
+                cast(extract(doy from o_orderdate) as int) as dy,
+                cast(extract(dow from o_orderdate) as int) as dw
+         from orders where o_orderkey % 64 = 0""",
+    // standard string-syntax forms + :: cast (r4e)
+    "q_str_syntax" ->
+      """select p_partkey,
+                substring(p_name from 3 for 8) as sub,
+                cast(position('al' in p_name) as int) as pos_al,
+                trim(leading 'a' from p_name) as lt,
+                trim(trailing 'e' from p_name) as rt,
+                p_partkey::smallint as pk_16
+         from part
+         where p_partkey <= 400 and (p_name like '%al%'
+            or p_name like '%s!_%' escape '!')""",
     // star EXCLUDE/REPLACE (r4d): prune the wide text column and
     // normalize another in place — the everyday wide-table idiom
     "q_star_exclude" ->

@@ -33,6 +33,16 @@ object Ast {
   final case class NowLit() extends Expr
   final case class TodayLit() extends Expr
   final case class TimestampLit(date: String, time: String) extends Expr
+  /** `DATE '1994-01-01'` typed literal — graft dialect extension
+    * (standard SQL; the reference grammar has no date literals). */
+  final case class DateLit(value: String) extends Expr
+  /** `INTERVAL [']n['] unit [n unit ...]` literal, normalized at parse
+    * to (months, days, seconds) — the SQL interval triple (weeks fold
+    * into days, years into months, hours/minutes into seconds). Only
+    * valid as a `+`/`-` operand against a date/timestamp; the
+    * translator lowers the arithmetic, never the literal alone. */
+  final case class IntervalLit(months: Long, days: Long,
+                               seconds: Long) extends Expr
 
   /** Binary arithmetic: + - * / (sql.lark:40-80). */
   final case class Arith(op: String, left: Expr, right: Expr) extends Expr
@@ -82,9 +92,14 @@ object Ast {
     * the outer relation's alias/name. */
   final case class ExistsSubquery(sub: SetExpr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
-  final case class Like(e: Expr, pattern: String) extends Expr
+  /** `escape`: the `LIKE ... ESCAPE 'c'` character (graft dialect
+    * extension, standard SQL) — when set the pattern lowers through a
+    * regex so escaped wildcards match literally. */
+  final case class Like(e: Expr, pattern: String,
+                        escape: Option[Char] = None) extends Expr
   /** Case-insensitive LIKE — graft dialect extension. */
-  final case class ILike(e: Expr, pattern: String) extends Expr
+  final case class ILike(e: Expr, pattern: String,
+                         escape: Option[Char] = None) extends Expr
 
   // ---- windows (sql.lark:51-65) -------------------------------------
   /** `ref`: a named-window reference (`OVER w`) — resolved against the
@@ -207,10 +222,11 @@ object Ast {
     case StarMod(q, ex, rep)  =>
       StarMod(q, ex, rep.map { case (e, n) => (f(e), n) })
     case IsNull(x, n)         => IsNull(f(x), n)
-    case Like(x, p)           => Like(f(x), p)
-    case ILike(x, p)          => ILike(f(x), p)
+    case Like(x, p, esc)      => Like(f(x), p, esc)
+    case ILike(x, p, esc)     => ILike(f(x), p, esc)
     case leaf @ (ColRef(_, _) | Star(_) | NumLit(_) | NullLit() | StrLit(_) |
          BoolLit(_) | NowLit() | TodayLit() | TimestampLit(_, _) |
+         DateLit(_) | IntervalLit(_, _, _) |
          ScalarSubquery(_) | ExistsSubquery(_) | Hole) => leaf
   }
 

@@ -548,28 +548,20 @@ final class Parser(tokens: Vector[Token]) {
       }
     } else if (atKw("like")) {
       pos += 1
-      next() match {
-        case Str(p, _) => Like(l, p)
-        case t => fail(s"expected pattern string after LIKE, got $t")
-      }
+      val (p, esc) = parseLikePattern("LIKE")
+      Like(l, p, esc)
     } else if (atKw("ilike")) {
       pos += 1
-      next() match {
-        case Str(p, _) => ILike(l, p)
-        case t => fail(s"expected pattern string after ILIKE, got $t")
-      }
+      val (p, esc) = parseLikePattern("ILIKE")
+      ILike(l, p, esc)
     } else if (atKw("not") && isKw(tokens(pos + 1), "like")) {
       pos += 2
-      next() match {
-        case Str(p, _) => Not(Like(l, p))
-        case t => fail(s"expected pattern string after NOT LIKE, got $t")
-      }
+      val (p, esc) = parseLikePattern("NOT LIKE")
+      Not(Like(l, p, esc))
     } else if (atKw("not") && isKw(tokens(pos + 1), "ilike")) {
       pos += 2
-      next() match {
-        case Str(p, _) => Not(ILike(l, p))
-        case t => fail(s"expected pattern string after NOT ILIKE, got $t")
-      }
+      val (p, esc) = parseLikePattern("NOT ILIKE")
+      Not(ILike(l, p, esc))
     } else if (atKw("not") && isKw(tokens(pos + 1), "between")) {
       pos += 2
       val lo = parseAdditive(); expectKw("and"); val hi = parseAdditive()
@@ -591,6 +583,21 @@ final class Parser(tokens: Vector[Token]) {
         InList(l, vs.result(), neg)
       }
     } else l
+  }
+
+  /** Pattern string plus optional `ESCAPE 'c'` suffix (graft dialect
+    * extension, standard SQL; the escape must be one character). */
+  private def parseLikePattern(ctx: String): (String, Option[Char]) = {
+    val p = next() match {
+      case Str(s, _) => s
+      case t => fail(s"expected pattern string after $ctx, got $t")
+    }
+    val esc =
+      if (eatKw("escape")) next() match {
+        case Str(s, _) if s.length == 1 => Some(s.head)
+        case t => fail(s"ESCAPE requires a single-character string, got $t")
+      } else None
+    (p, esc)
   }
 
   private def parseAdditive(): Expr = {
@@ -621,7 +628,14 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseUnary(): Expr =
-    if (eatOp("-")) Neg(parseUnary()) else parsePrimary()
+    if (eatOp("-")) Neg(parseUnary())
+    else {
+      // postfix `expr::type` cast chain (PostgreSQL/DuckDB shorthand —
+      // graft dialect extension); binds tighter than unary minus
+      var e = parsePrimary()
+      while (eatOp("::")) e = Cast(e, ident())
+      e
+    }
 
   /** Aggregate spellings accepted by the reference
     * (parsing/aggregation_aliases.py: mean≡avg, minimum≡min,
@@ -686,6 +700,100 @@ final class Parser(tokens: Vector[Token]) {
             }
             expectOp(")")
             TimestampLit(d, t)
+          // typed literals DATE '...' / TIMESTAMP '...' — graft
+          // dialect extension (standard SQL; the reference only has
+          // the TIMESTAMP('d','t') call form, sql.lark:147)
+          case "date" if isStrAt(pos + 1) =>
+            pos += 1
+            val Str(v, _) = next(): @unchecked
+            DateLit(v.trim)
+          case "timestamp" if isStrAt(pos + 1) =>
+            pos += 1
+            val Str(v, _) = next(): @unchecked
+            v.trim.split("\\s+", 2) match {
+              case Array(d, t) => TimestampLit(d, t)
+              case Array(d)    => TimestampLit(d, "00:00:00")
+            }
+          case "interval" if isStrAt(pos + 1) ||
+              (pos + 1 < tokens.length && tokens(pos + 1).isInstanceOf[Num]) =>
+            pos += 1
+            parseInterval()
+          // EXTRACT(field FROM expr) — graft dialect extension
+          // (standard SQL); pure sugar, lowered at parse to the
+          // registry functions so every downstream path just works
+          case "extract" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val field = ident().toLowerCase
+            expectKw("from")
+            val src = parseExpr()
+            expectOp(")")
+            field match {
+              case "year" | "month" | "quarter" | "hour" | "minute" |
+                   "second" | "day" => FuncCall(field, Seq(src))
+              case "week" | "isoweek"   => FuncCall("weekofyear", Seq(src))
+              case "doy" | "dayofyear"  => FuncCall("dayofyear", Seq(src))
+              // DuckDB/PostgreSQL dow: Sunday = 0; Spark dayofweek:
+              // Sunday = 1
+              case "dow" | "dayofweek" =>
+                Arith("-", FuncCall("dayofweek", Seq(src)), NumLit("1"))
+              // isodow: Monday = 1 .. Sunday = 7; Spark weekday:
+              // Monday = 0
+              case "isodow" =>
+                Arith("+", FuncCall("weekday", Seq(src)), NumLit("1"))
+              case "epoch" => FuncCall("unix_timestamp", Seq(src))
+              case other => fail(s"unsupported EXTRACT field '$other'")
+            }
+          // SUBSTRING(x FROM start [FOR len]) — standard syntax sugar
+          // over the 2/3-arg function form
+          case "substring" | "substr" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val s0 = parseExpr()
+            if (eatKw("from")) {
+              val start = parseExpr()
+              val len = if (eatKw("for")) Some(parseExpr()) else None
+              expectOp(")")
+              FuncCall("substring", s0 +: start +: len.toSeq)
+            } else {
+              val args = Seq.newBuilder[Expr]; args += s0
+              while (eatOp(",")) args += parseExpr()
+              expectOp(")")
+              FuncCall(lower, args.result())
+            }
+          // POSITION(needle IN haystack) — standard syntax; the first
+          // operand parses at additive precedence so the IN keyword
+          // stays ours (1-based index, 0 = not found)
+          case "position" if isOpAt(pos + 1, "(") =>
+            pos += 1; expectOp("(")
+            val needle = parseAdditive()
+            if (eatKw("in")) {
+              val hay = parseExpr()
+              expectOp(")")
+              FuncCall("position", Seq(needle, hay))
+            } else {
+              val args = Seq.newBuilder[Expr]; args += needle
+              while (eatOp(",")) args += parseExpr()
+              expectOp(")")
+              FuncCall("position", args.result())
+            }
+          // TRIM([LEADING|TRAILING|BOTH] [chars] FROM x) — standard
+          // syntax mapped onto ltrim/rtrim/trim
+          case "trim" if isOpAt(pos + 1, "(") &&
+              (isKwAt(pos + 2, "leading") || isKwAt(pos + 2, "trailing") ||
+               isKwAt(pos + 2, "both") ||
+               (isStrAt(pos + 2) && isKwAt(pos + 3, "from"))) =>
+            pos += 1; expectOp("(")
+            val fn =
+              if (eatKw("leading")) "ltrim"
+              else if (eatKw("trailing")) "rtrim"
+              else { eatKw("both"); "trim" }
+            val chars = peek match {
+              case Str(s, _) => pos += 1; Some(s)
+              case _ => None
+            }
+            expectKw("from")
+            val src = parseExpr()
+            expectOp(")")
+            FuncCall(fn, src +: chars.map(StrLit).toSeq)
           case "exists" if isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("(")
             val sub = parseSetExpr()
@@ -746,6 +854,63 @@ final class Parser(tokens: Vector[Token]) {
       case Op(v, _) => v == op
       case _ => false
     })
+
+  private def isStrAt(p: Int): Boolean =
+    p < tokens.length && tokens(p).isInstanceOf[Str]
+
+  private def isKwAt(p: Int, kw: String): Boolean =
+    p < tokens.length && isKw(tokens(p), kw)
+
+  private val intervalUnits: Map[String, (Long, Long, Long)] = Map(
+    "year" -> ((12L, 0L, 0L)), "month" -> ((1L, 0L, 0L)),
+    "week" -> ((0L, 7L, 0L)), "day" -> ((0L, 1L, 0L)),
+    "hour" -> ((0L, 0L, 3600L)), "minute" -> ((0L, 0L, 60L)),
+    "second" -> ((0L, 0L, 1L)))
+
+  /** INTERVAL literal bodies: `3 month`, `'3' month`, `'3 months'`,
+    * `'1 day 2 hours'`, and repeated `n unit` pairs (`1 day 2 hour`).
+    * Normalized to the (months, days, seconds) triple at parse. */
+  private def parseInterval(): Expr = {
+    var months = 0L; var days = 0L; var seconds = 0L
+    def add(nTxt: String, unitRaw: String): Unit = {
+      val n = try nTxt.toLong catch { case _: NumberFormatException =>
+        fail(s"INTERVAL quantity must be an integer, got '$nTxt'") }
+      intervalUnits.get(unitRaw.toLowerCase.stripSuffix("s")) match {
+        case Some((m, d, s)) => months += m * n; days += d * n; seconds += s * n
+        case None => fail(s"unsupported INTERVAL unit '$unitRaw'")
+      }
+    }
+    def unitAt(p: Int): Option[String] = if (p < tokens.length) tokens(p) match {
+      case Ident(v, _)
+        if intervalUnits.contains(v.toLowerCase.stripSuffix("s")) => Some(v)
+      case _ => None
+    } else None
+    var any = false
+    var continue = true
+    while (continue) {
+      peek match {
+        case Num(v, _) if unitAt(pos + 1).isDefined =>
+          pos += 1; add(v, unitAt(pos).get); pos += 1; any = true
+        case Str(s, _) =>
+          val t = s.trim
+          if (t.matches("[0-9]+") && unitAt(pos + 1).isDefined) {
+            pos += 1; add(t, unitAt(pos).get); pos += 1; any = true
+          } else {
+            val parts = t.split("\\s+")
+            if (parts.length >= 2 && parts.length % 2 == 0 &&
+                parts.grouped(2).forall(_(0).matches("[0-9]+"))) {
+              pos += 1
+              parts.grouped(2).foreach(g => add(g(0), g(1)))
+              any = true
+            } else if (!any) fail(s"cannot parse INTERVAL literal '$s'")
+            continue = false
+          }
+        case _ => continue = false
+      }
+    }
+    if (!any) fail("INTERVAL requires a quantity and a unit")
+    IntervalLit(months, days, seconds)
+  }
 
   private def parseCase(): Expr = {
     val branches = Seq.newBuilder[(Expr, Expr)]

@@ -1242,7 +1242,11 @@ final class Translator(catalog: String => DataFrame,
         }
       case ColRef(_, _) => exprToCol(e, None)
       case NumLit(_) | NullLit() | StrLit(_) | BoolLit(_) | NowLit() |
-           TodayLit() | TimestampLit(_, _) => exprToCol(e, None)
+           TodayLit() | TimestampLit(_, _) | DateLit(_) => exprToCol(e, None)
+      case Arith(op @ ("+" | "-"), l, i: IntervalLit) =>
+        shiftByInterval(post(l), i, negate = op == "-")
+      case Arith("+", i: IntervalLit, r) =>
+        shiftByInterval(post(r), i, negate = false)
       case Arith(op, l, r)  => arith(op, post(l), post(r))
       case Neg(x)           => -post(x)
       case CaseWhen(bs, o) =>
@@ -1260,8 +1264,8 @@ final class Translator(catalog: String => DataFrame,
         val c = inListCol(post(x), vs, v => post(v))
         if (neg) !c else c
       case IsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
-      case Like(x, p) => post(x).like(p)
-      case ILike(x, p) => post(x).ilike(p)
+      case Like(x, p, esc) => likeCol(post(x), p, esc, ci = false)
+      case ILike(x, p, esc) => likeCol(post(x), p, esc, ci = true)
       case FuncCall(nm, args) => scalarFunc(nm, args.map(post), args)
       case other => fail(s"unsupported expression in aggregate context: $other")
     }
@@ -1972,6 +1976,15 @@ final class Translator(catalog: String => DataFrame,
     case NowLit()   => F.current_timestamp()
     case TodayLit() => F.current_date()
     case TimestampLit(d, t) => F.to_timestamp(F.lit(s"$d $t"))
+    case DateLit(v) => F.to_date(F.lit(v))
+    case Arith(op @ ("+" | "-"), l, i: IntervalLit) =>
+      shiftByInterval(exprToCol(l, in), i, negate = op == "-")
+    case Arith("+", i: IntervalLit, r) =>
+      shiftByInterval(exprToCol(r, in), i, negate = false)
+    case Arith("-", _: IntervalLit, _) =>
+      fail("cannot subtract a date/timestamp from an INTERVAL")
+    case _: IntervalLit =>
+      fail("INTERVAL literal is only valid as a +/- operand of a date/timestamp")
     case Arith(op, l, r) => arith(op, exprToCol(l, in), exprToCol(r, in))
     case Neg(x) => -exprToCol(x, in)
     case CaseWhen(bs, o) =>
@@ -1999,8 +2012,8 @@ final class Translator(catalog: String => DataFrame,
       if (neg) !c else c
     case IsNull(x, neg) =>
       if (neg) exprToCol(x, in).isNotNull else exprToCol(x, in).isNull
-    case Like(x, p) => exprToCol(x, in).like(p)
-    case ILike(x, p) => exprToCol(x, in).ilike(p)
+    case Like(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = false)
+    case ILike(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = true)
     case FuncCall(name, args) =>
       scalarFunc(name, args.map(exprToCol(_, in)), args)
     case _: InSubquery => fail("IN (subquery) not supported in this position")
@@ -2012,6 +2025,52 @@ final class Translator(catalog: String => DataFrame,
     case _: ExistsSubquery =>
       fail("EXISTS is not supported in this position")
     case Ast.Hole => fail("internal error: traversal placeholder escaped")
+  }
+
+  /** date/timestamp ± INTERVAL: the operand casts to TIMESTAMP_NTZ
+    * (matching the DuckDB/standard session-zone-free TIMESTAMP, so the
+    * result never depends on the Spark session timezone) and shifts by
+    * calendar months first, then days/seconds — the SQL interval
+    * triple order; month arithmetic clamps to month ends (Jan 31 + 1
+    * month = Feb 28), identical in Spark and DuckDB. */
+  private def shiftByInterval(c: Column, i: IntervalLit,
+                              negate: Boolean): Column = {
+    val sgn = if (negate) -1L else 1L
+    var out = c.cast(TimestampNTZType)
+    if (i.months != 0)
+      out = out + F.call_function("make_ym_interval",
+        F.lit(0), F.lit((sgn * i.months).toInt))
+    if (i.days != 0 || i.seconds != 0)
+      out = out + F.call_function("make_dt_interval",
+        F.lit((sgn * i.days).toInt), F.lit(0), F.lit(0),
+        F.lit((sgn * i.seconds).toDouble))
+    out
+  }
+
+  /** LIKE / ILIKE with an optional ESCAPE character. Escape-free
+    * patterns use the native (codegen'd, pushdown-friendly) operators;
+    * escaped patterns lower through an anchored regex — `(?s)` so `%`
+    * crosses newlines like LIKE does, `(?i)` for ILIKE — since
+    * Column.like exposes no escape parameter. */
+  private def likeCol(c: Column, pattern: String, esc: Option[Char],
+                      ci: Boolean): Column = esc match {
+    case None => if (ci) c.ilike(pattern) else c.like(pattern)
+    case Some(e) =>
+      val sb = new StringBuilder(if (ci) "(?is)^" else "(?s)^")
+      var i = 0
+      while (i < pattern.length) {
+        val ch = pattern.charAt(i)
+        if (ch == e) {
+          if (i + 1 >= pattern.length)
+            fail("LIKE pattern ends with a dangling escape character")
+          sb ++= java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString)
+          i += 2
+        } else if (ch == '%') { sb ++= ".*"; i += 1 }
+        else if (ch == '_') { sb ++= "."; i += 1 }
+        else { sb ++= java.util.regex.Pattern.quote(ch.toString); i += 1 }
+      }
+      sb += '$'
+      c.rlike(sb.toString)
   }
 
   private def arith(op: String, l: Column, r: Column): Column = op match {
@@ -2186,6 +2245,11 @@ final class Translator(catalog: String => DataFrame,
       case Neg(NumLit(t)) => -t.toDouble.toInt
       case other          => fail(s"expected integer literal, got $other")
     }
+    def isStrLit(i: Int): Boolean = raw(i).isInstanceOf[StrLit]
+    def strLit(i: Int): String = raw(i) match {
+      case StrLit(v) => v
+      case other     => fail(s"expected string literal, got $other")
+    }
     // typed functions whose Scala API takes Int parameters only apply
     // to literal arguments; computed arguments (substring(x, k, 3)
     // with a column k) fall through to the registry call, which binds
@@ -2195,6 +2259,15 @@ final class Translator(catalog: String => DataFrame,
       case ("upper", 1)     => F.upper(c(0))
       case ("length", 1)    => F.length(c(0))
       case ("trim", 1)      => F.trim(c(0))
+      // 2-arg trims take (string, chars) — graft order, matching the
+      // TRIM(LEADING 'c' FROM x) sugar and the Scala API (Spark's SQL
+      // registry confusingly reverses them); non-literal char sets
+      // fall through to the registry with the operands swapped back
+      case ("trim", 2) if isStrLit(1)  => F.trim(c(0), strLit(1))
+      case ("ltrim", 2) if isStrLit(1) => F.ltrim(c(0), strLit(1))
+      case ("rtrim", 2) if isStrLit(1) => F.rtrim(c(0), strLit(1))
+      case ("trim" | "ltrim" | "rtrim", 2) =>
+        F.call_function(name, cols(1), cols(0))
       case ("abs", 1)       => F.abs(c(0))
       case ("round", 1)     => F.round(c(0))
       case ("round", 2) if isIntLit(1) => F.round(c(0), n(1))

@@ -2037,6 +2037,116 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("ORDER BY"), e.getMessage)
   }
 
+  test("typed DATE/TIMESTAMP literals and INTERVAL arithmetic") {
+    // graft lowers x ± interval as TIMESTAMP_NTZ shifts (DuckDB's
+    // session-zone-free TIMESTAMP semantics); the oracle spells the
+    // same shape in spark.sql
+    checkTranslated(
+      """select o_orderkey,
+                o_orderdate + interval 3 month as m3,
+                cast(o_orderdate - interval '1 day' as date) as d1
+         from orders
+         where o_orderdate >= date '1995-06-01'
+           and o_orderdate < date '1995-06-01' + interval 1 month""",
+      """select o_orderkey,
+                cast(o_orderdate as timestamp_ntz) + interval 3 month as m3,
+                cast(cast(o_orderdate as timestamp_ntz) - interval 1 day as date) as d1
+         from orders
+         where o_orderdate >= date '1995-06-01'
+           and o_orderdate < cast(date '1995-06-01' as timestamp_ntz) + interval 1 month""")
+    // compound single-string intervals, timestamp literal, clamping
+    checkTranslated(
+      """select timestamp '1994-01-31 10:30:00' + interval '1 month' as clamp,
+                date '1994-01-01' + interval '1 day 2 hours' as dh,
+                date '1994-03-01' - interval 1 year as back
+         from region where r_regionkey = 0""",
+      """select cast(timestamp '1994-01-31 10:30:00' as timestamp_ntz) + interval 1 month as clamp,
+                cast(date '1994-01-01' as timestamp_ntz) + interval 1 day + interval 2 hour as dh,
+                cast(date '1994-03-01' as timestamp_ntz) - interval 1 year as back
+         from region where r_regionkey = 0""")
+    // a bare interval outside +/- arithmetic is loud
+    val e = intercept[RuntimeException](graftSession.query(
+      "select interval 3 month from region"))
+    assert(e.getMessage.contains("INTERVAL"), e.getMessage)
+  }
+
+  test("EXTRACT fields lower to the registry date functions") {
+    checkTranslated(
+      """select o_orderkey,
+                extract(year from o_orderdate) as y,
+                extract(month from o_orderdate) as m,
+                extract(day from o_orderdate) as d,
+                extract(quarter from o_orderdate) as q,
+                extract(week from o_orderdate) as w,
+                extract(doy from o_orderdate) as dy,
+                extract(dow from o_orderdate) as dw,
+                extract(isodow from o_orderdate) as idw
+         from orders where o_orderkey <= 160""",
+      """select o_orderkey,
+                year(o_orderdate) as y, month(o_orderdate) as m,
+                day(o_orderdate) as d, quarter(o_orderdate) as q,
+                weekofyear(o_orderdate) as w, dayofyear(o_orderdate) as dy,
+                dayofweek(o_orderdate) - 1 as dw, weekday(o_orderdate) + 1 as idw
+         from orders where o_orderkey <= 160""")
+    val e = intercept[RuntimeException](graftSession.query(
+      "select extract(century from o_orderdate) from orders"))
+    assert(e.getMessage.contains("EXTRACT field"), e.getMessage)
+  }
+
+  test("SUBSTRING FROM/FOR, POSITION IN, TRIM spec forms, :: casts") {
+    checkTranslated(
+      """select p_partkey,
+                substring(p_name from 3 for 8) as sub,
+                substring(p_name from 5) as tail5,
+                position('al' in p_name) as pos,
+                trim(leading 'a' from p_name) as lt,
+                trim(trailing 'e' from p_name) as rt,
+                trim(both 'a' from p_name) as bt,
+                trim('s' from p_name) as st,
+                p_partkey::string as pks,
+                p_retailprice::int as pri
+         from part where p_partkey <= 120""",
+      """select p_partkey,
+                substring(p_name, 3, 8) as sub,
+                substring(p_name, 5) as tail5,
+                position('al', p_name) as pos,
+                ltrim('a', p_name) as lt,
+                rtrim('e', p_name) as rt,
+                trim(BOTH 'a' FROM p_name) as bt,
+                trim(BOTH 's' FROM p_name) as st,
+                cast(p_partkey as string) as pks,
+                cast(p_retailprice as int) as pri
+         from part where p_partkey <= 120""")
+  }
+
+  test("LIKE ESCAPE matches wildcards literally via the regex lowering") {
+    // seed rows exercising escaped %, escaped _, and both wildcards
+    val escDf = spark.sql(
+      """select * from values ('100% pure'), ('100x pure'), ('a_b'),
+         ('axb'), ('50% off!'), (null) as t(s)""")
+    graftSession.registerTable("esc_t", escDf)
+    escDf.createOrReplaceTempView("esc_t")
+    // spark.sql supports ESCAPE natively — same text both engines;
+    // graft goes through the rlike conversion
+    checkTranslated(
+      "select s from esc_t where s like '100!% p%' escape '!'",
+      "select s from esc_t where s like '100!% p%' escape '!'")
+    checkTranslated(
+      "select s from esc_t where s like 'a!_b' escape '!'",
+      "select s from esc_t where s like 'a!_b' escape '!'")
+    checkTranslated(
+      "select s from esc_t where s not like '%!%%' escape '!'",
+      "select s from esc_t where s not like '%!%%' escape '!'")
+    // ILIKE has no spark.sql ESCAPE form — oracle via upper()
+    checkTranslated(
+      "select s from esc_t where s ilike '100!% P%' escape '!'",
+      "select s from esc_t where upper(s) like upper('100!% P%') escape '!'")
+    graftSession.removeTable("esc_t")
+    val e = intercept[RuntimeException](graftSession.query(
+      "select r_name from region where r_name like 'A%!' escape '!'"))
+    assert(e.getMessage.contains("escape"), e.getMessage)
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
