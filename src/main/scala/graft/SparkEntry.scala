@@ -469,6 +469,52 @@ object SparkEntry {
            round(stddev(distinct l_quantity), 4) as sdd,
            round(variance(distinct l_quantity), 4) as vrd
          from lineitem group by l_returnflag""",
+    // r5 aggregate catalog: boolean aggregates, conditional count,
+    // exact median (both engines interpolate even counts)
+    "q_agg_bool" ->
+      """select l_returnflag,
+           bool_and(l_quantity > 1) as all_gt1,
+           bool_or(l_tax > 0.07) as any_tax,
+           cast(count_if(l_discount > 0.05) as bigint) as n_disc,
+           round(median(l_quantity), 4) as med
+         from lineitem group by l_returnflag""",
+    // two-column statistics (sample + population forms)
+    "q_agg_stats2" ->
+      """select l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) as cr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) as cvs,
+           round(covar_pop(l_quantity, l_extendedprice), 4) as cvp
+         from lineitem group by l_returnflag""",
+    // positional aggregates: the value at the extremum of ANOTHER
+    // column; by-keys are per-group-unique (c_custkey), so the result
+    // is deterministic — ties on the by-key are engine-defined
+    "q_agg_argminmax" ->
+      """select c_nationkey,
+           max_by(c_name, c_custkey) as last_name,
+           min_by(c_name, c_custkey) as first_name,
+           arg_max(c_custkey, c_custkey) as max_id
+         from customer group by c_nationkey""",
+    // ordered-set aggregates (r5): ORDER BY inside the call is
+    // REQUIRED (deterministic element order — same reproducibility
+    // contract as DISTINCT ON); string_agg composes with FILTER
+    "q_agg_string" ->
+      """select c_nationkey,
+           string_agg(c_name, ',' order by c_custkey desc) as names,
+           string_agg(c_name, ';' order by c_custkey)
+             filter (where c_acctbal > 9000) as rich_names
+         from customer group by c_nationkey""",
+    "q_agg_array" ->
+      """select c_mktsegment,
+           array_agg(c_custkey order by c_acctbal desc, c_custkey) as top_ids
+         from customer
+         where c_acctbal > 9900 group by c_mktsegment""",
+    // GROUPING() disambiguates rolled-up NULL keys from data NULLs
+    "q_grouping_fn" ->
+      """select l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) as int) as g_rf,
+           cast(grouping(l_linestatus) as int) as g_ls,
+           count(*) as n
+         from lineitem group by rollup(l_returnflag, l_linestatus)""",
     "q_count_star" ->
       "select count(*) as n from lineitem",
     "q_count_distinct" ->
@@ -677,6 +723,20 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String) =
     tables.getOrElseUpdate((s, dir, name),
       s.read.parquet(s"$dir/$name.parquet"))
+
+  /** events with ts normalized to epoch MICROS (bigint `t`) — works
+    * for both testdata vintages (int64 nanos read as long pre-r5;
+    * parquet timestamp[us] read as TIMESTAMP_NTZ from r5). Sessions
+    * run UTC, so the NTZ→TIMESTAMP cast is instant-preserving and
+    * matches DuckDB's epoch_us(ts). */
+  private def eventMicros(s: SparkSession, dir: String) = {
+    val ev = tbl(s, dir, "events")
+    val t = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _ => "unix_micros(cast(ts as timestamp))"
+    }
+    ev.selectExpr("event_id", "user_id", s"$t as t", "value", "event_type")
+  }
 
   /** Drops the session/table memos. Bench and Verify call this on
     * entry: the memo only pays for itself WITHIN one invocation
@@ -975,8 +1035,7 @@ object SparkEntry {
     // union+window as-of implementation
     ("q_asof_join",
       (s: SparkSession, dir: String) => {
-        val ev = tbl(s, dir, "events")
-          .selectExpr("event_id", "user_id", "ts div 1000 as t", "value", "event_type")
+        val ev = eventMicros(s, dir)
         val p = ev.filter("event_type = 'purchase'")
           .select("event_id", "user_id", "t", "value")
         val v = ev.filter("event_type = 'view'")
@@ -995,8 +1054,7 @@ object SparkEntry {
     // is DuckDB's native ASOF with the inequality flipped
     ("q_asof_forward",
       (s: SparkSession, dir: String) => {
-        val ev = tbl(s, dir, "events")
-          .selectExpr("event_id", "user_id", "ts div 1000 as t", "value", "event_type")
+        val ev = eventMicros(s, dir)
         val p = ev.filter("event_type = 'purchase'")
           .select("event_id", "user_id", "t", "value")
         val v = ev.filter("event_type = 'view'")
@@ -1015,8 +1073,7 @@ object SparkEntry {
     // further back than the bound become NULL, pandas merge_asof-style
     ("q_asof_tolerance",
       (s: SparkSession, dir: String) => {
-        val ev = tbl(s, dir, "events")
-          .selectExpr("event_id", "user_id", "ts div 1000 as t", "value", "event_type")
+        val ev = eventMicros(s, dir)
         val p = ev.filter("event_type = 'purchase'")
           .select("event_id", "user_id", "t", "value")
         val v = ev.filter("event_type = 'view'")

@@ -54,9 +54,15 @@ object Ast {
   final case class Cast(e: Expr, typeName: String) extends Expr
   final case class Coalesce(args: Seq[Expr]) extends Expr
 
-  /** sum/avg/min/max/count aggregate, optionally windowed (sql.lark:46,107). */
+  /** sum/avg/min/max/count aggregate, optionally windowed (sql.lark:46,107).
+    * r5 extensions: `extraArgs` carries arguments beyond the first for
+    * multi-argument aggregates (corr/covar/max_by/min_by/string_agg),
+    * `aggOrder` the ORDER BY inside an ordered-set aggregate
+    * (string_agg/array_agg) — both empty for the reference surface. */
   final case class AggExpr(func: String, distinct: Boolean, arg: Expr,
-                           window: Option[WindowSpec]) extends Expr
+                           window: Option[WindowSpec],
+                           extraArgs: Seq[Expr] = Nil,
+                           aggOrder: Seq[OrderItem] = Nil) extends Expr
   /** RANK()/DENSE_RANK() OVER (...) (sql.lark:47-48). */
   final case class RankExpr(dense: Boolean, window: WindowSpec) extends Expr
 
@@ -207,7 +213,10 @@ object Ast {
     case CaseWhen(bs, o)      => CaseWhen(bs.map { case (c, v) => (f(c), f(v)) }, f(o))
     case Cast(x, t)           => Cast(f(x), t)
     case Coalesce(args)       => Coalesce(args.map(f))
-    case AggExpr(fn, d, a, w) => AggExpr(fn, d, f(a), w.map(mapWindow(_, f)))
+    case ag: AggExpr =>
+      ag.copy(arg = f(ag.arg), window = ag.window.map(mapWindow(_, f)),
+              extraArgs = ag.extraArgs.map(f),
+              aggOrder = ag.aggOrder.map(oi => oi.copy(e = f(oi.e))))
     case RankExpr(d, w)       => RankExpr(d, mapWindow(w, f))
     case WinFunc(n, args, w)  => WinFunc(n, args.map(f), mapWindow(w, f))
     case FuncCall(n, args)    => FuncCall(n, args.map(f))

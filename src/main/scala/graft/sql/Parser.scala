@@ -647,7 +647,19 @@ final class Parser(tokens: Vector[Token]) {
     // dispersion aggregates — graft dialect extension (sample forms,
     // the SQL-standard default)
     "stddev" -> "stddev", "stddev_samp" -> "stddev",
-    "variance" -> "variance", "var_samp" -> "variance")
+    "variance" -> "variance", "var_samp" -> "variance",
+    // r5 aggregate-catalog extensions (DuckDB/Spark-common names):
+    // boolean/conditional/positional aggregates, two-column statistics,
+    // ordered-set aggregates, and GROUPING() for grouping-set queries
+    "bool_and" -> "bool_and", "bool_or" -> "bool_or",
+    "count_if" -> "count_if", "median" -> "median",
+    "corr" -> "corr", "covar_pop" -> "covar_pop",
+    "covar_samp" -> "covar_samp",
+    "max_by" -> "max_by", "arg_max" -> "max_by",
+    "min_by" -> "min_by", "arg_min" -> "min_by",
+    "string_agg" -> "string_agg", "listagg" -> "string_agg",
+    "array_agg" -> "array_agg",
+    "grouping" -> "grouping")
 
   private def parsePrimary(): Expr = {
     peek match {
@@ -807,6 +819,14 @@ final class Parser(tokens: Vector[Token]) {
             pos += 1; expectOp("(")
             val distinct = eatKw("distinct")
             val arg0 = if (atOp("*")) { pos += 1; Star(None) } else parseExpr()
+            // r5: arguments beyond the first (corr(x, y), max_by(a, b),
+            // string_agg(x, sep)) and an ORDER BY inside the call for
+            // ordered-set aggregates (string_agg/array_agg)
+            val extras = Seq.newBuilder[Expr]
+            while (eatOp(",")) extras += parseExpr()
+            val aggOrder =
+              if (eatKw("order")) { expectKw("by"); parseOrderList() }
+              else Nil
             expectOp(")")
             // agg(...) FILTER (WHERE pred) — graft dialect extension
             // (standard SQL / DuckDB / Spark SQL). Lowers by CASE-
@@ -814,10 +834,19 @@ final class Parser(tokens: Vector[Token]) {
             // aggregate (including DISTINCT forms and COUNT), which
             // is exactly FILTER's semantics; COUNT(*) counts a
             // non-null literal instead.
+            val canon = aggFuncs(f)
             val arg =
               if (atKw("filter") && isOpAt(pos + 1, "(")) {
                 pos += 1; expectOp("("); expectKw("where")
                 val pred = parseExpr(); expectOp(")")
+                // FILTER lowers by CASE-wrapping the FIRST argument —
+                // equivalent only where a NULL argument is invisible
+                // to the aggregate. That fails for multi-argument
+                // aggregates (the other columns still see the row) and
+                // for array_agg (NULL elements are kept): loud error.
+                if (canon == "array_agg" ||
+                    (extras.result().nonEmpty && canon != "string_agg"))
+                  fail(s"FILTER is not supported on $f")
                 val base = arg0 match {
                   case Star(_) => NumLit("1")
                   case e => e
@@ -825,7 +854,7 @@ final class Parser(tokens: Vector[Token]) {
                 CaseWhen(Seq((pred, base)), NullLit())
               } else arg0
             val win = if (eatKw("over")) Some(parseOverSpec()) else None
-            AggExpr(aggFuncs(f), distinct, arg, win)
+            AggExpr(canon, distinct, arg, win, extras.result(), aggOrder)
           case _ if isOpAt(pos + 1, "(") =>
             // generic scalar or window function (graft extension)
             pos += 1; expectOp("(")

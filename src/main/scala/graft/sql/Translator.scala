@@ -161,7 +161,8 @@ final class Translator(catalog: String => DataFrame,
   /** True when the expression contains a window function / windowed
     * aggregate anywhere. */
   private def containsWindow(e: Expr): Boolean = e match {
-    case AggExpr(_, _, _, Some(_)) | RankExpr(_, _) | WinFunc(_, _, _) => true
+    case a: AggExpr if a.window.isDefined => true
+    case RankExpr(_, _) | WinFunc(_, _, _) => true
     case other => Ast.children(other).exists(containsWindow)
   }
 
@@ -333,8 +334,8 @@ final class Translator(catalog: String => DataFrame,
       case None => w
     }
     def fix(e: Expr): Expr = Ast.transformUp(e) {
-      case AggExpr(f, d, a, Some(w)) if w.ref.isDefined =>
-        AggExpr(f, d, a, Some(resolveSpec(w)))
+      case a: AggExpr if a.window.exists(_.ref.isDefined) =>
+        a.copy(window = a.window.map(resolveSpec))
       case RankExpr(d, w) if w.ref.isDefined => RankExpr(d, resolveSpec(w))
       case WinFunc(n, args, w) if w.ref.isDefined =>
         WinFunc(n, args, resolveSpec(w))
@@ -1083,7 +1084,7 @@ final class Translator(catalog: String => DataFrame,
               if n.startsWith("__ssq_") || n.startsWith("__csq_") ||
                  n.startsWith("__sq_flag_") =>
             Seq(ColRef(None, n))
-          case AggExpr(_, _, _, _) => Nil // inside an aggregate is fine
+          case _: AggExpr => Nil // inside an aggregate is fine
           case other => Ast.children(other).flatMap(refs)
         }
         val extra = (selItems.items.flatMap(i => refs(i.e)) ++
@@ -1145,7 +1146,7 @@ final class Translator(catalog: String => DataFrame,
     // reference parity (test_errors.py:73-76): sum/avg over a
     // non-numeric column is rejected rather than implicitly cast
     def checkNumericAgg(e: Expr): Unit = e match {
-      case AggExpr(f, _, ColRef(_, n), _)
+      case AggExpr(f, _, ColRef(_, n), _, _, _)
           if f == "sum" || f == "avg" || f == "stddev" || f == "variance" =>
         in.schema.fields.find(_.name.equalsIgnoreCase(n)).foreach { fld =>
           fld.dataType match {
@@ -1223,7 +1224,7 @@ final class Translator(catalog: String => DataFrame,
     // rewrite an expression: aggregate nodes → post-agg column refs,
     // group-by expressions → their post-agg values
     def post(e: Expr): Column = e match {
-      case a @ AggExpr(_, _, _, None) =>
+      case a @ AggExpr(_, _, _, None, _, _) =>
         F.col(aggName(a))
       // window functions over the AGGREGATED result (standard SQL:
       // windows evaluate after GROUP BY/HAVING) — partition/order keys
@@ -1426,12 +1427,12 @@ final class Translator(catalog: String => DataFrame,
   }
 
   private def containsAgg(e: Expr): Boolean = e match {
-    case AggExpr(_, _, _, None) => true
+    case AggExpr(_, _, _, None, _, _) => true
     // windowed aggregates and window functions are per-row values —
     // but a PLAIN aggregate inside their args or window spec (e.g.
     // `rank() over (order by count(*))`) still makes the query
     // aggregating, so descend into the children
-    case w @ (AggExpr(_, _, _, Some(_)) | RankExpr(_, _) |
+    case w @ (AggExpr(_, _, _, Some(_), _, _) | RankExpr(_, _) |
               WinFunc(_, _, _)) =>
       Ast.children(w).exists(containsAgg)
     case other => Ast.children(other).exists(containsAgg)
@@ -1938,14 +1939,14 @@ final class Translator(catalog: String => DataFrame,
       "scalar_subquery" + n.dropWhile(!_.isDigit).takeWhile(_.isDigit)
     case ColRef(_, n) =>
       in.columns.find(_.equalsIgnoreCase(n)).getOrElse(n)
-    case AggExpr(f, d, Star(_), _) =>
+    case AggExpr(f, d, Star(_), _, _, _) =>
       if (d) s"${f}_distinct_star" else s"${f}_star"
     // the ROLLUP/CUBE path wraps hoisted scalar subqueries in min():
     // keep the plain path's user-visible name, not min___ssq_N
-    case AggExpr(_, _, ColRef(_, n), _)
+    case AggExpr(_, _, ColRef(_, n), _, _, _)
         if n.startsWith("__ssq_") || n.startsWith("__csq_") =>
       "scalar_subquery" + n.dropWhile(!_.isDigit).takeWhile(_.isDigit)
-    case AggExpr(f, d, ColRef(_, n), _) =>
+    case AggExpr(f, d, ColRef(_, n), _, _, _) =>
       if (d) s"${f}_distinct_$n" else s"${f}_$n"
     case _ => render(e)
   }
@@ -2153,7 +2154,91 @@ final class Translator(catalog: String => DataFrame,
       case "max"      => F.max(arg)
       case "stddev"   => F.stddev_samp(arg)
       case "variance" => F.var_samp(arg)
+      // ---- r5 aggregate catalog ----------------------------------
+      case f @ ("bool_and" | "bool_or" | "count_if" | "median") =>
+        if (a.distinct) fail(s"DISTINCT $f is not supported")
+        F.call_function(f, arg)
+      case "grouping" =>
+        // valid only under ROLLUP/CUBE/GROUPING SETS — Spark's
+        // analyzer raises the (clear) error otherwise
+        F.grouping(arg)
+      case f @ ("corr" | "covar_pop" | "covar_samp" | "max_by" | "min_by") =>
+        if (a.extraArgs.length != 1)
+          fail(s"$f takes exactly two arguments")
+        if (a.distinct) fail(s"DISTINCT $f is not supported")
+        F.call_function(f, arg, lower(a.extraArgs.head))
+      case f @ ("string_agg" | "array_agg") =>
+        orderedSetAgg(a, arg, lower)
       case other      => fail(s"unknown aggregate $other")
+    }
+  }
+
+  /** Ordered-set aggregates (r5): string_agg(x, sep ORDER BY keys) /
+    * array_agg(x ORDER BY keys). The ORDER BY is REQUIRED — without
+    * it the element order depends on partitioning and the result is
+    * irreproducible (same contract as DISTINCT ON); ties on the keys
+    * are likewise engine-defined, so callers should order by a
+    * per-group-unique key. Lowering: collect (keys..., value) structs,
+    * sort with a comparator honoring per-key ASC/DESC and NULLS
+    * FIRST/LAST (Spark defaults: nulls first ascending, last
+    * descending), project the value back out. One ordinary hash
+    * aggregation — per-group state is the group's values (inherent to
+    * the result), never the corpus. */
+  private def orderedSetAgg(a: AggExpr, value: Column,
+                            lower: Expr => Column): Column = {
+    val f = a.func
+    if (a.distinct) fail(s"DISTINCT $f is not supported")
+    if (a.window.isDefined)
+      fail(s"$f OVER a window is not supported")
+    if (a.aggOrder.isEmpty)
+      fail(s"$f requires ORDER BY inside the call " +
+        "(deterministic element order)")
+    // array_join's delimiter parameter is a String, not a Column —
+    // the separator must be a string literal
+    val sep: Option[String] = f match {
+      case "string_agg" =>
+        if (a.extraArgs.length != 1)
+          fail("string_agg takes (value, separator)")
+        a.extraArgs.head match {
+          case StrLit(v) => Some(v)
+          case other =>
+            fail(s"string_agg separator must be a string literal, got $other")
+        }
+      case _ =>
+        if (a.extraArgs.nonEmpty) fail(s"$f takes one argument")
+        None
+    }
+    val keys = a.aggOrder.map(oi => lower(oi.e))
+    val fields = keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } :+
+      value.as("__v")
+    val collected = F.collect_list(F.struct(fields: _*))
+    val n = a.aggOrder.length
+    def cmp(l: Column, r: Column, i: Int): Column =
+      if (i == n) F.lit(0)
+      else {
+        val oi = a.aggOrder(i)
+        val lk = l.getField(s"__k$i"); val rk = r.getField(s"__k$i")
+        val less = if (oi.asc) -1 else 1
+        val nullsFirst = oi.nullsFirst.getOrElse(oi.asc)
+        val nf = if (nullsFirst) -1 else 1
+        F.when(lk.isNull && rk.isNull, cmp(l, r, i + 1))
+          .when(lk.isNull, F.lit(nf))
+          .when(rk.isNull, F.lit(-nf))
+          .when(lk < rk, F.lit(less))
+          .when(lk > rk, F.lit(-less))
+          .otherwise(cmp(l, r, i + 1))
+      }
+    val sorted = F.array_sort(collected, (l, r) => cmp(l, r, 0))
+    val vals = F.transform(sorted, s => s.getField("__v"))
+    sep match {
+      // string_agg: NULL values are invisible (which is what makes
+      // FILTER's CASE-wrap valid), and an empty / all-NULL selection
+      // yields NULL, not '' — the standard string_agg contract
+      case Some(s) =>
+        val nn = F.filter(vals, v => v.isNotNull)
+        F.when(F.size(nn) === 0, F.lit(null).cast("string"))
+          .otherwise(F.array_join(nn, s))
+      case None    => vals
     }
   }
 

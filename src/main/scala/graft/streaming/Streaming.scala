@@ -13,17 +13,27 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events raw schema with ts as long nanos (see TESTDATA.md /
-    * nanosAsLong). */
+  /** events raw schema (TESTDATA.md): ts is parquet timestamp[us],
+    * read by Spark as TIMESTAMP_NTZ. */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Nanos → proper event-time timestamp (micros truncation). */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.selectExpr("event_id", "timestamp_micros(ts div 1000) as event_time",
-      "user_id", "event_type", "value")
+  /** events.ts → proper event-time timestamp. The driver's testdata
+    * has carried ts as int64 NANOS (pre-r5, read as long via
+    * nanosAsLong) and as parquet timestamp[us] (r5 regeneration, read
+    * as TIMESTAMP_NTZ): branch on the read dtype so either vintage
+    * works. Sessions run with timeZone=UTC, so the NTZ→TIMESTAMP cast
+    * is instant-preserving. */
+  def withEventTime(events: DataFrame): DataFrame = {
+    val et = events.schema("ts").dataType match {
+      case LongType => F.expr("timestamp_micros(ts div 1000)")
+      case _        => F.col("ts").cast(TimestampType)
+    }
+    events.select(F.col("event_id"), et.as("event_time"),
+      F.col("user_id"), F.col("event_type"), F.col("value"))
+  }
 
   /** Hourly tumbling-window counts + value sums per event type.
     * Output bucket as epoch seconds: engine-neutral, no timestamp
