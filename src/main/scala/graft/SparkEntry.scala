@@ -552,6 +552,21 @@ object SparkEntry {
          full outer join supplier on c_nationkey = s_nationkey and c_custkey < 100""",
     "q_join_cross" ->
       "select count(*) as n from nation, region",
+    // SEMI / ANTI joins (r5): existence filtering as an explicit join
+    // type — DuckDB spelling; lowers to the same LeftSemi/LeftAnti
+    // plans as EXISTS / NOT EXISTS
+    "q_join_semi" ->
+      """select c_custkey, c_name from customer
+         semi join orders on o_custkey = c_custkey and o_totalprice > 400000""",
+    "q_join_anti" ->
+      """select c_custkey from customer
+         anti join orders on o_custkey = c_custkey""",
+    // NATURAL JOIN (r5): common columns via CTE renames (TPC-H-style
+    // prefixed names share none), standard one-copy output layout
+    "q_join_natural" ->
+      """with a as (select n_regionkey as rk, n_name from nation),
+              b as (select r_regionkey as rk, r_name from region)
+         select rk, n_name, r_name from a natural join b""",
     "q_subquery" ->
       """select big.n_name from
            (select * from (select n_name, n_regionkey from nation) inner1

@@ -151,6 +151,12 @@ object Ast {
                                 joinType: String,
                                 cols: Seq[String]) extends Relation
 
+  /** NATURAL [INNER|LEFT|RIGHT|FULL] JOIN (r5) — the using-columns are
+    * every same-named column pair, resolved at translation when both
+    * schemas are known. */
+  final case class NaturalJoinRel(left: Relation, right: Relation,
+                                  joinType: String) extends Relation
+
   // ---- query structure (sql.lark:3-12) ------------------------------
   final case class SelectItem(e: Expr, alias: Option[String])
   /** groupMode: "plain" | "rollup" | "cube" (rollup/cube are graft

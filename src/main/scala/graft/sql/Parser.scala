@@ -28,7 +28,8 @@ final class Parser(tokens: Vector[Token]) {
     "when", "then", "else", "end", "asc", "desc", "by", "all",
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
-    "unbounded", "current", "row", "using", "window", "with", "qualify")
+    "unbounded", "current", "row", "using", "window", "with", "qualify",
+    "natural", "semi", "anti")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -401,11 +402,31 @@ final class Parser(tokens: Vector[Token]) {
       if (atKw("cross")) {
         pos += 1; expectKw("join")
         left = JoinRel(left, parseRelationPrimary(), "cross", None)
+      } else if (atKw("natural")) {
+        // NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN (r5)
+        pos += 1
+        val t =
+          if (eatKw("inner")) "inner"
+          else if (eatKw("left")) { eatKw("outer"); "left" }
+          else if (eatKw("right")) { eatKw("outer"); "right" }
+          else if (eatKw("full")) { eatKw("outer"); "full" }
+          else "inner"
+        expectKw("join")
+        left = NaturalJoinRel(left, parseRelationPrimary(), t)
       } else {
         val jt: Option[String] =
           if (atKw("join")) Some("inner")
           else if (atKw("inner")) { pos += 1; Some("inner") }
-          else if (atKw("left")) { pos += 1; eatKw("outer"); Some("left") }
+          // SEMI/ANTI joins (r5): DuckDB spelling (`SEMI JOIN`) and
+          // the Spark SQL spelling (`LEFT SEMI JOIN`) both accepted
+          else if (atKw("semi")) { pos += 1; Some("semi") }
+          else if (atKw("anti")) { pos += 1; Some("anti") }
+          else if (atKw("left")) {
+            pos += 1
+            if (eatKw("semi")) Some("semi")
+            else if (eatKw("anti")) Some("anti")
+            else { eatKw("outer"); Some("left") }
+          }
           else if (atKw("right")) { pos += 1; eatKw("outer"); Some("right") }
           else if (atKw("full")) { pos += 1; eatKw("outer"); Some("full") }
           else None

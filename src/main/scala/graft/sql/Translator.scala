@@ -253,14 +253,19 @@ final class Translator(catalog: String => DataFrame,
     case AliasedRel(rel, alias) =>
       translateRelation(rel).alias(alias.toLowerCase)
     case UsingJoinRel(l, r, jt, cols) =>
-      val sparkType = jt match {
-        case "inner" => "inner"
-        case "left"  => "left_outer"
-        case "right" => "right_outer"
-        case "full"  => "full_outer"
-        case other   => fail(s"USING not supported for $other join")
-      }
-      translateRelation(l).join(translateRelation(r), cols, sparkType)
+      translateRelation(l).join(translateRelation(r), cols, sparkJoinType(jt))
+    case NaturalJoinRel(l, r, jt) =>
+      // the using-set is every same-named column pair (case-insensitive,
+      // matching the translator's column resolution); standard output
+      // layout — one copy of each common column first — comes from
+      // Spark's using-join
+      val lf = translateRelation(l)
+      val rf = translateRelation(r)
+      val rset = rf.columns.map(_.toLowerCase).toSet
+      val common = lf.columns.filter(c => rset.contains(c.toLowerCase))
+      if (common.isEmpty)
+        fail("NATURAL JOIN requires at least one common column name")
+      lf.join(rf, common.toSeq, sparkJoinType(jt))
     case JoinRel(l, rr, jt, on) =>
       val lf = translateRelation(l)
       val rf = translateRelation(rr)
@@ -269,17 +274,24 @@ final class Translator(catalog: String => DataFrame,
         case t =>
           on match {
             case Some(cond) =>
-              val sparkType = t match {
-                case "inner" => "inner"
-                case "left"  => "left_outer"
-                case "right" => "right_outer"
-                case "full"  => "full_outer"
-                case other   => fail(s"unknown join type $other")
-              }
-              lf.join(rf, exprToCol(cond, None), sparkType)
+              lf.join(rf, exprToCol(cond, None), sparkJoinType(t))
             case None => fail(s"$t JOIN requires ON condition")
           }
       }
+  }
+
+  /** graft join-type → Spark join-type string. SEMI/ANTI (r5) filter
+    * the left side by match existence — right columns never surface
+    * (they lower to the same LeftSemi/LeftAnti plans as EXISTS /
+    * NOT EXISTS conjuncts). */
+  private def sparkJoinType(t: String): String = t match {
+    case "inner" => "inner"
+    case "left"  => "left_outer"
+    case "right" => "right_outer"
+    case "full"  => "full_outer"
+    case "semi"  => "left_semi"
+    case "anti"  => "left_anti"
+    case other   => fail(s"unknown join type $other")
   }
 
   // ---- select core --------------------------------------------------
@@ -1447,6 +1459,7 @@ final class Translator(catalog: String => DataFrame,
     case AliasedRel(_, a) => Set(a.toLowerCase)
     case JoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case UsingJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
+    case NaturalJoinRel(l, rr, _) => relationAliases(l) ++ relationAliases(rr)
   }
 
   /** Top-level AND conjuncts of a predicate tree. */
