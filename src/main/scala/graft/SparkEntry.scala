@@ -419,6 +419,11 @@ object SparkEntry {
          from nation""",
     "q_is_null" ->
       "select c_custkey from customer where c_acctbal is not null and c_mktsegment is not null",
+    // UNNEST in select position (r5, DuckDB form) — one row per array
+    // element via a Generate; string_split maps to regex-quoted split
+    "q_unnest" ->
+      """select doc_id, unnest(string_split(lower(text), ' ')) as tok
+         from documents where doc_id % 20 = 0""",
     // --- expressions (rows 11-15)
     // charge left unrounded: both engines evaluate the identical IEEE
     // expression tree, so full-precision doubles match bitwise, while
@@ -719,6 +724,24 @@ object SparkEntry {
         "timestamp('2020-01-02', '03:04:05') as ts from nation",
       "select n_nationkey, 42::BIGINT as i, 2.5::DOUBLE as d, 'x' as s, true as b, " +
         "TIMESTAMP '2020-01-02 03:04:05' as ts from nation"),
+    // PIVOT (r5): one output column per IN value; oracle is the
+    // conditional-aggregation expansion (l_quantity is integral-valued
+    // so unrounded double sums are exact in any order)
+    ("q_pivot",
+      """select * from (select l_returnflag, l_linestatus, l_quantity from lineitem)
+         pivot (sum(l_quantity) for l_linestatus in ('O' as qty_o, 'F' as qty_f))""",
+      """select l_returnflag,
+           sum(case when l_linestatus = 'O' then l_quantity end) as qty_o,
+           sum(case when l_linestatus = 'F' then l_quantity end) as qty_f
+         from lineitem group by l_returnflag"""),
+    // UNPIVOT (r5): wide → long via one stack() projection; NULLs kept
+    ("q_unpivot",
+      """select c_custkey, kind, val from
+           (select c_custkey, c_acctbal, c_acctbal * 0.5 as half from customer)
+         unpivot (val for kind in (c_acctbal as 'bal', half as 'half'))""",
+      """select c_custkey, 'bal' as kind, c_acctbal as val from customer
+         union all
+         select c_custkey, 'half' as kind, c_acctbal * 0.5 as val from customer"""),
   )
 
   // ---- pipeline operators (SURVEY §2.2) -----------------------------

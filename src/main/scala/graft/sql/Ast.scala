@@ -157,6 +157,21 @@ object Ast {
   final case class NaturalJoinRel(left: Relation, right: Relation,
                                   joinType: String) extends Relation
 
+  /** FROM ... PIVOT (agg FOR col IN (v [AS name], ...)) (r5).
+    * Implicit group-by: every column the aggregate and the FOR column
+    * don't use (Spark SQL / Snowflake semantics). */
+  final case class PivotRel(rel: Relation, agg: AggExpr, forCol: String,
+                            values: Seq[(Expr, Option[String])])
+      extends Relation
+
+  /** FROM ... UNPIVOT (val FOR name IN (col [AS 'label'], ...)) (r5).
+    * NULL values are KEPT (Spark stack semantics; DuckDB drops them —
+    * add a WHERE val IS NOT NULL for that behavior). */
+  final case class UnpivotRel(rel: Relation, valueName: String,
+                              varName: String,
+                              cols: Seq[(String, Option[String])])
+      extends Relation
+
   // ---- query structure (sql.lark:3-12) ------------------------------
   final case class SelectItem(e: Expr, alias: Option[String])
   /** groupMode: "plain" | "rollup" | "cube" (rollup/cube are graft

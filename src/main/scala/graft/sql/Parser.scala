@@ -29,7 +29,7 @@ final class Parser(tokens: Vector[Token]) {
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
     "unbounded", "current", "row", "using", "window", "with", "qualify",
-    "natural", "semi", "anti")
+    "natural", "semi", "anti", "pivot", "unpivot")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -456,6 +456,56 @@ final class Parser(tokens: Vector[Token]) {
   /** Parenthesized from-items may be subqueries OR joins
     * (sql.lark:33: subquery: "(" (query_expr | join | cross_join) ")"). */
   private def parseRelationPrimary(): Relation = {
+    var rel = parseRelationAtom()
+    // postfix PIVOT / UNPIVOT (r5) — bind tighter than joins
+    var cont = true
+    while (cont) {
+      if (atKw("pivot") && isOpAt(pos + 1, "(")) {
+        pos += 1; expectOp("(")
+        val aggE = parseExpr() match {
+          case a: AggExpr if a.window.isEmpty => a
+          case other => fail(s"PIVOT takes a single aggregate, got $other")
+        }
+        expectKw("for")
+        val forCol = ident()
+        expectKw("in"); expectOp("(")
+        val vals = Seq.newBuilder[(Expr, Option[String])]
+        var m = true
+        while (m) {
+          val v = parseExpr()
+          val nm = if (eatKw("as")) Some(ident()) else None
+          vals += (v -> nm)
+          m = eatOp(",")
+        }
+        expectOp(")"); expectOp(")")
+        rel = PivotRel(rel, aggE, forCol, vals.result())
+      } else if (atKw("unpivot") && isOpAt(pos + 1, "(")) {
+        pos += 1; expectOp("(")
+        val valueName = ident()
+        expectKw("for")
+        val varName = ident()
+        expectKw("in"); expectOp("(")
+        val cols = Seq.newBuilder[(String, Option[String])]
+        var m = true
+        while (m) {
+          val c = ident()
+          val lab =
+            if (eatKw("as")) Some(peek match {
+              case Str(v, _) => pos += 1; v
+              case _ => ident()
+            })
+            else None
+          cols += (c -> lab)
+          m = eatOp(",")
+        }
+        expectOp(")"); expectOp(")")
+        rel = UnpivotRel(rel, valueName, varName, cols.result())
+      } else cont = false
+    }
+    rel
+  }
+
+  private def parseRelationAtom(): Relation = {
     if (eatOp("(")) {
       if (atKw("select")) {
         val q = parseSetExpr()

@@ -266,6 +266,50 @@ final class Translator(catalog: String => DataFrame,
       if (common.isEmpty)
         fail("NATURAL JOIN requires at least one common column name")
       lf.join(rf, common.toSeq, sparkJoinType(jt))
+    case PivotRel(rel, agg, forCol, values) =>
+      // Spark SQL / Snowflake semantics: implicit group-by = every
+      // column the aggregate and the FOR column don't reference; one
+      // output column per IN value (missing combinations read NULL).
+      // Explicit IN values ⟹ no discovery pass over the data — the
+      // pivot is a single two-phase aggregation at any scale.
+      val df = translateRelation(rel)
+      val forActual = df.columns.find(_.equalsIgnoreCase(forCol)).getOrElse(
+        fail(s"PIVOT column '$forCol' not found"))
+      var used = Set.empty[String]
+      def collectRefs(e: Expr): Unit = e match {
+        case ColRef(_, n) => used += n.toLowerCase
+        case other => Ast.children(other).foreach(collectRefs)
+      }
+      collectRefs(agg)
+      val groupCols = df.columns.filterNot(c =>
+        used.contains(c.toLowerCase) || c.equalsIgnoreCase(forActual))
+      if (!values.forall(v => isLiteral(v._1)))
+        fail("PIVOT IN values must be literals")
+      val litVals = values.map(v => litValue(v._1))
+      val pivoted = df.groupBy(groupCols.map(F.col).toSeq: _*)
+        .pivot(forActual, litVals)
+        .agg(aggColumn(agg))
+      values.foldLeft(pivoted) {
+        case (d, (v, Some(n))) =>
+          d.withColumnRenamed(String.valueOf(litValue(v)), n)
+        case (d, _) => d
+      }
+    case UnpivotRel(rel, valueName, varName, cols) =>
+      // one stack() Generate — a pure projection (no shuffle); NULL
+      // values are kept (add WHERE val IS NOT NULL for DuckDB's drop)
+      val df = translateRelation(rel)
+      val resolved = cols.map { case (c, lab) =>
+        val actual = df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          fail(s"UNPIVOT column '$c' not found"))
+        (actual, lab.getOrElse(actual))
+      }
+      val unpivotSet = resolved.map(_._1.toLowerCase).toSet
+      val ids = df.columns.filterNot(c => unpivotSet.contains(c.toLowerCase))
+      val stackArgs = resolved.map { case (c, l) =>
+        s"'${l.replace("'", "''")}', `$c`" }.mkString(", ")
+      df.selectExpr(ids.map(c => s"`$c`") :+
+        (s"stack(${resolved.length}, $stackArgs) " +
+          s"as (`$varName`, `$valueName`)"): _*)
     case JoinRel(l, rr, jt, on) =>
       val lf = translateRelation(l)
       val rf = translateRelation(rr)
@@ -1134,6 +1178,27 @@ final class Translator(catalog: String => DataFrame,
           case Some(h) => filtered0.filter(exprToCol(h, None))
           case None    => filtered0
         }
+        // UNNEST (r5, DuckDB select-position form): lowered to explode
+        // — a Generate producing one output row per array element
+        // (empty/NULL arrays produce zero rows, matching DuckDB).
+        // Restrictions keep the semantics unambiguous: top-level item
+        // only, at most one per SELECT, not mixed with window
+        // functions (relative evaluation order would be undefined).
+        def isUnnest(e: Expr): Boolean = e match {
+          case FuncCall("unnest", _) => true
+          case _ => false
+        }
+        def nestedUnnest(e: Expr): Boolean =
+          Ast.children(e).exists(c => isUnnest(c) || nestedUnnest(c))
+        val unnestCount = selAgg.items.count(i => isUnnest(i.e))
+        if (selAgg.items.exists(i => nestedUnnest(i.e)))
+          fail("unnest(...) is only supported as a top-level select item")
+        if (unnestCount > 1)
+          fail("at most one unnest(...) per SELECT " +
+            "(DuckDB zips parallel unnests; use two queries instead)")
+        if (unnestCount > 0 && selAgg.items.exists(i => containsWindow(i.e)))
+          fail("unnest(...) cannot be combined with window functions " +
+            "in the same SELECT")
         base.select(selectCols(selAgg.items, base): _*)
       } else translateAggregate(selAgg, filtered0)
 
@@ -1460,6 +1525,8 @@ final class Translator(catalog: String => DataFrame,
     case JoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case UsingJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case NaturalJoinRel(l, rr, _) => relationAliases(l) ++ relationAliases(rr)
+    case PivotRel(rel, _, _, _) => relationAliases(rel)
+    case UnpivotRel(rel, _, _, _) => relationAliases(rel)
   }
 
   /** Top-level AND conjuncts of a predicate tree. */
@@ -1937,6 +2004,12 @@ final class Translator(catalog: String => DataFrame,
                               .getOrElse(F.col(n))
           }
         }
+      case SelectItem(FuncCall("unnest", args), alias) =>
+        if (args.length != 1) fail("unnest takes exactly one array argument")
+        // inline the array expression INSIDE explode — exploding a
+        // pre-materialized array column makes Generate copy the
+        // backing array per emitted element (~13× slower, measured r3)
+        Seq(F.explode(exprToCol(args.head, None)).as(alias.getOrElse("unnest")))
       case SelectItem(e, alias) =>
         Seq(exprToCol(e, None).as(alias.getOrElse(defaultName(e, in))))
     }
@@ -2375,6 +2448,17 @@ final class Translator(catalog: String => DataFrame,
       case ("concat", _)    => F.concat(cols: _*)
       case ("substring", 3) if isIntLit(1) && isIntLit(2) =>
         F.substring(c(0), n(1), n(2))
+      case ("unnest", _) =>
+        fail("unnest(...) is only supported as a top-level select item " +
+          "of a non-aggregating SELECT")
+      // string_split(x, 'sep') — DuckDB name, LITERAL separator:
+      // Spark's split() takes a regex, so the separator is
+      // regex-quoted. Computed separators would need runtime quoting
+      // — loud instead.
+      case ("string_split", 2) =>
+        if (!isStrLit(1))
+          fail("string_split separator must be a string literal")
+        F.split(c(0), java.util.regex.Pattern.quote(strLit(1)))
       case ("year", 1)      => F.year(c(0))
       case ("month", 1)     => F.month(c(0))
       case ("day", 1)       => F.dayofmonth(c(0))
