@@ -622,6 +622,26 @@ object SparkEntry {
       """with a as (select n_regionkey as rk, n_name from nation),
               b as (select r_regionkey as rk, r_name from region)
          select rk, n_name, r_name from a join b using (rk)""",
+    // WITH RECURSIVE (r5): UNION ALL transitive closure over a
+    // +5-step edge relation (terminates when keys leave the domain) —
+    // driver-side fixpoint iteration, the Pregel pattern
+    "q_recursive_cte" ->
+      """with recursive reach(k, root) as (
+           select n_nationkey as k, n_nationkey as root from nation where n_regionkey = 0
+           union all
+           select n.n_nationkey, r.root from nation n join reach r on n.n_nationkey = r.k + 5
+         )
+         select root, count(*) as n, max(k) as far from reach group by root""",
+    // WITH RECURSIVE UNION (distinct): a CYCLIC walk that only
+    // terminates because each round deduplicates against everything
+    // seen — the convergence-by-distinct contract
+    "q_recursive_union" ->
+      """with recursive walk(k) as (
+           select cast(n_nationkey as int) as k from nation where n_nationkey = 0
+           union
+           select cast((k * 2 + 3) % 25 as int) from walk
+         )
+         select k from walk""",
     // CTEs (graft dialect extension; plain SQL in DuckDB)
     "q_with_cte" ->
       """with big as (select l_orderkey, round(sum(l_quantity), 2) as qty

@@ -196,10 +196,16 @@ object Ast {
   final case class Leaf(q: Query) extends SetExpr
   /** op: union|union_all|intersect|except|except_all (sql.lark:4-8). */
   final case class SetOp(op: String, l: SetExpr, r: SetExpr) extends SetExpr
-  /** WITH ctes body — graft extension (the reference grammar has no
-    * CTEs); each CTE sees the ones defined before it. */
+  /** WITH [RECURSIVE] ctes body — graft extension (the reference
+    * grammar has no CTEs); each CTE sees the ones defined before it.
+    * r5: `recursive` marks the WITH RECURSIVE form (self-referencing
+    * `base UNION [ALL] step` definitions iterate to a fixpoint);
+    * `cteCols` carries each CTE's optional column-name list. */
   final case class WithQuery(ctes: Seq[(String, SetExpr)],
-                             body: SetExpr) extends SetExpr
+                             body: SetExpr,
+                             recursive: Boolean = false,
+                             cteCols: Seq[Option[Seq[String]]] = Nil)
+      extends SetExpr
   /** ORDER BY / LIMIT / OFFSET applied to a whole set-op result
     * (standard SQL binding for a tail after UNION/INTERSECT/EXCEPT). */
   final case class OrderedSet(body: SetExpr, orderBy: Seq[OrderItem],

@@ -59,18 +59,32 @@ final class Parser(tokens: Vector[Token]) {
     // reference grammar (which has no CTEs); names are visible to
     // later CTEs and the body
     val e = if (eatKw("with")) {
+      // WITH RECURSIVE (r5): self-referencing `base UNION [ALL] step`
+      // CTEs iterate to a fixpoint at translation
+      val recursive = eatKw("recursive")
       val ctes = Seq.newBuilder[(String, SetExpr)]
+      val cols = Seq.newBuilder[Option[Seq[String]]]
       var more = true
       while (more) {
         val name = ident()
+        // optional column list: r(x, y) AS (...)
+        val cs =
+          if (eatOp("(")) {
+            val b = Seq.newBuilder[String]
+            var m = true
+            while (m) { b += ident(); m = eatOp(",") }
+            expectOp(")")
+            Some(b.result())
+          } else None
         expectKw("as")
         expectOp("(")
         val sub = parseSetExpr()
         expectOp(")")
         ctes += (name -> sub)
+        cols += cs
         more = eatOp(",")
       }
-      WithQuery(ctes.result(), parseSetExpr())
+      WithQuery(ctes.result(), parseSetExpr(), recursive, cols.result())
     } else parseSetExpr()
     peek match {
       case End(_) => e

@@ -24,7 +24,7 @@ final class Translator(catalog: String => DataFrame,
     case Leaf(q) => translateQuery(q)
     case OrderedSet(body, orderBy, limit, offset) =>
       applyOrderLimit(translate(body), orderBy, limit, offset)
-    case WithQuery(ctes, body) =>
+    case WithQuery(ctes, body, recursive, cteCols) =>
       // resolve each CTE against the catalog extended with the CTEs
       // defined before it; the body sees all of them. Case-insensitive
       // like table registration.
@@ -32,8 +32,22 @@ final class Translator(catalog: String => DataFrame,
       val scopedCatalog: String => DataFrame =
         name => scope.getOrElse(name.toLowerCase, catalog(name))
       val inner = new Translator(scopedCatalog, session)
-      ctes.foreach { case (name, sub) =>
-        scope(name.toLowerCase) = inner.translate(sub)
+      ctes.zipWithIndex.foreach { case ((name, sub), i) =>
+        val cols = cteCols.lift(i).flatten
+        val df = sub match {
+          case SetOp(op @ ("union" | "union_all"), base, step)
+              if recursive && referencesTable(step, name) =>
+            translateRecursiveCte(name, op == "union_all", base, step,
+              cols, inner, scope)
+          case _ =>
+            // without RECURSIVE, the CTE's own name inside its body
+            // resolves to the OUTER catalog (standard shadowing:
+            // `with t as (select * from t where ...)` filters the
+            // base table) — scope only gains the name afterwards
+            val d = inner.translate(sub)
+            cols.map(cs => d.toDF(cs: _*)).getOrElse(d)
+        }
+        scope(name.toLowerCase) = df
       }
       inner.translate(body)
     case SetOp(op, l, r) =>
@@ -47,6 +61,73 @@ final class Translator(catalog: String => DataFrame,
         case "except_all" => lf.exceptAll(rf)
         case other        => fail(s"unknown set op $other")
       }
+  }
+
+  /** WITH RECURSIVE (r5): standard SQL fixpoint iteration, the same
+    * driver-side loop shape as `Dedup.connectedComponents` (the Pregel
+    * pattern — Spark has no native recursion). Each round re-binds the
+    * CTE name to the PREVIOUS round's new rows (the standard "working
+    * table"), translates the step against it, and eagerly
+    * `localCheckpoint`s the round so lineage stays flat; UNION
+    * deduplicates against everything seen, UNION ALL appends. The
+    * iteration cap raises loudly (non-converging recursions must not
+    * spin), and per-round work shuffles only the step's own keys —
+    * the 100 TB posture is identical to connectedComponents
+    * (executor-local checkpoint blocks; long jobs would add a
+    * reliable checkpointDir, Dedup.scala documents the trade). */
+  private def translateRecursiveCte(name: String, all: Boolean,
+      base: SetExpr, step: SetExpr, cols: Option[Seq[String]],
+      inner: Translator,
+      scope: scala.collection.mutable.Map[String, DataFrame]): DataFrame = {
+    val maxIters = 200
+    var result = inner.translate(base)
+    cols.foreach(cs => result = result.toDF(cs: _*))
+    if (!all) result = result.distinct()
+    result = result.localCheckpoint(true)
+    var working = result
+    var iter = 0
+    var done = working.isEmpty
+    while (!done) {
+      iter += 1
+      if (iter > maxIters)
+        fail(s"WITH RECURSIVE '$name' exceeded $maxIters iterations " +
+          "without converging")
+      scope(name.toLowerCase) = working
+      var next = inner.translate(step).toDF(result.columns: _*)
+      if (!all) next = next.distinct().except(result)
+      next = next.localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        result = result.union(next).localCheckpoint(true)
+        working = next
+      }
+    }
+    result
+  }
+
+  /** True when any FROM tree inside `se` references table `name`
+    * (case-insensitive). Subqueries in EXPRESSION position are not
+    * scanned — referencing the recursive CTE from one is unsupported
+    * (as in most engines) and fails at resolution instead. */
+  private def referencesTable(se: SetExpr, name: String): Boolean = {
+    def inRel(r: Relation): Boolean = r match {
+      case TableRef(n, _) => n.equalsIgnoreCase(name)
+      case SubqueryRel(q, _) => inSet(q)
+      case ValuesRel(_, _, _) => false
+      case JoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
+      case UsingJoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
+      case NaturalJoinRel(l, r2, _) => inRel(l) || inRel(r2)
+      case PivotRel(rel, _, _, _) => inRel(rel)
+      case UnpivotRel(rel, _, _, _) => inRel(rel)
+      case AliasedRel(rel, _) => inRel(rel)
+    }
+    def inSet(s: SetExpr): Boolean = s match {
+      case Leaf(q) => inRel(q.sel.from)
+      case OrderedSet(b, _, _, _) => inSet(b)
+      case WithQuery(cs, b, _, _) => cs.exists(c => inSet(c._2)) || inSet(b)
+      case SetOp(_, l, r) => inSet(l) || inSet(r)
+    }
+    inSet(se)
   }
 
   private def translateQuery(q: Query): DataFrame =

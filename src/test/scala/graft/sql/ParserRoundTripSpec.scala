@@ -82,7 +82,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
          from c join t2 using (a)
          where a not like 'x%' and b2 ilike 'Y%'
          group by rollup(a, b2)""")
-    val WithQuery(ctes, Leaf(body)) = q: @unchecked
+    val WithQuery(ctes, Leaf(body), _, _) = q: @unchecked
     assert(ctes.map(_._1) == Seq("c"))
     assert(body.sel.groupMode == "rollup" && body.sel.groupBy.length == 2)
     assert(body.sel.from.isInstanceOf[UsingJoinRel])

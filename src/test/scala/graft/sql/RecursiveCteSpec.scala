@@ -1,0 +1,84 @@
+package graft.sql
+
+import graft.SparkTestBase
+
+/** Round-5 WITH RECURSIVE (SURVEY §2.1 row 36ak): fixpoint iteration
+  * with UNION ALL (append) and UNION (converge-by-distinct)
+  * semantics; spark.sql has no recursion, so expectations are
+  * closed-form or planted. */
+class RecursiveCteSpec extends SparkTestBase {
+
+  test("UNION ALL closure follows chains until keys leave the domain") {
+    val df = graftSession.query(
+      """with recursive reach(k, root) as (
+           select n_nationkey as k, n_nationkey as root from nation
+           where n_regionkey = 0
+           union all
+           select n.n_nationkey, r.root from nation n
+           join reach r on n.n_nationkey = r.k + 5
+         )
+         select root, count(*) as n, max(k) as far from reach
+         group by root order by root""")
+    val rows = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    // roots are the regionkey-0 nations; each chain steps +5 to 24
+    val roots = spark.sql(
+      "select n_nationkey from nation where n_regionkey = 0")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val expected = roots.map { r0 =>
+      val chain = Iterator.iterate(r0)(_ + 5).takeWhile(_ <= 24).toSeq
+      (r0, chain.length.toLong, chain.max)
+    }
+    assert(rows == expected)
+  }
+
+  test("UNION distinct converges on a cyclic step relation") {
+    val df = graftSession.query(
+      """with recursive walk(k) as (
+           select cast(n_nationkey as int) as k from nation where n_nationkey = 0
+           union
+           select cast((k * 2 + 3) % 25 as int) from walk
+         )
+         select k from walk order by k""")
+    val got = df.collect().map(_.getInt(0)).toSeq
+    // closed-form: iterate k -> (2k+3) mod 25 from 0 to closure
+    var seen = Set(0)
+    var frontier = Set(0)
+    while (frontier.nonEmpty) {
+      frontier = frontier.map(k => (2 * k + 3) % 25) -- seen
+      seen ++= frontier
+    }
+    assert(got == seen.toSeq.sorted)
+  }
+
+  test("recursive CTEs compose with other CTEs and the body pipeline") {
+    val df = graftSession.query(
+      """with recursive
+           seeds as (select n_nationkey from nation where n_nationkey < 2),
+           reach(k) as (
+             select n_nationkey as k from seeds
+             union all
+             select k + 10 from reach where k + 10 <= 24
+           )
+         select count(*) as n from reach""")
+    // 0 -> 10 -> 20; 1 -> 11 -> 21: 6 rows
+    assert(df.collect().head.getLong(0) == 6L)
+  }
+
+  test("non-recursive WITH still shadows outward (name refers to base table)") {
+    checkAgainstSparkSql(
+      """with nation as (select * from nation where n_regionkey = 0)
+         select n_nationkey from nation order by n_nationkey""")
+  }
+
+  test("a non-converging recursion hits the iteration cap loudly") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """with recursive boom(k) as (
+           select n_nationkey as k from nation where n_nationkey = 0
+           union all
+           select k + 1 from boom
+         )
+         select count(*) as n from boom"""))
+    assert(e.getMessage.contains("iterations"))
+  }
+}
