@@ -1315,6 +1315,56 @@ object SparkEntry {
               union all
               select doc_id from documents
               where doc_id % 5 = 0 and text is null""")),
+    // Bloom-prefiltered incremental dedup (r5): the corpus side
+    // collapses to one broadcast Bloom build (no corpus shuffle);
+    // only maybe-duplicates exact-verify — result is EXACTLY the
+    // plain incremental anti-join, which is the oracle (a Bloom has
+    // no false negatives and positives are verified)
+    ("q_dedup_bloom",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.bloomIncrementalDedup(
+          docs.filter("doc_id % 7 = 0"), docs.filter("doc_id % 7 <> 0"))
+      },
+      Some("""with inc as (select md5(text) as h, min(doc_id) as doc_id
+                           from documents
+                           where doc_id % 7 = 0 and text is not null group by 1)
+              select doc_id from inc
+              where h not in (select md5(text) from documents
+                              where doc_id % 7 <> 0 and text is not null)
+              union all
+              select doc_id from documents
+              where doc_id % 7 = 0 and text is null""")),
+    // sliding-window chunking (r5): overlapping token windows, a pure
+    // per-row Generate (no shuffle) — the long-context training prep
+    ("q_text_chunks",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.chunkDocuments(tbl(s, dir, "documents"), 64, 48)
+          .selectExpr("doc_id", "cast(chunk_id as bigint) as chunk_id",
+            "chunk_text", "cast(n_tokens as bigint) as n_tokens"),
+      Some("""with t as (select doc_id, string_split(text, ' ') as w
+                         from documents where text is not null)
+              select doc_id, i as chunk_id,
+                array_to_string(w[i*48+1 : i*48+64], ' ') as chunk_text,
+                len(w[i*48+1 : i*48+64]) as n_tokens
+              from t, unnest(range(0, ((len(w)-1)//48) + 1)) as u(i)""")),
+    // deterministic N-way split assignment (r5): cumulative md5
+    // thresholds — growing a fraction only moves rows across the
+    // adjacent boundary
+    ("q_sample_split",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.splitAssign(tbl(s, dir, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(F.count(F.lit(1)).as("n"), F.min("doc_id").as("first_id")),
+      Some(s"""select case
+                 when substring(md5(cast(doc_id as varchar)), 1, 8)
+                   < '${graft.ops.Sampling.thresholdHex(0.8)}' then 'train'
+                 when substring(md5(cast(doc_id as varchar)), 1, 8)
+                   < '${graft.ops.Sampling.thresholdHex(0.9)}' then 'val'
+                 else 'test' end as split,
+               count(*) as n, min(doc_id) as first_id
+              from documents group by 1""")),
     // train/eval contamination: per eval doc, the fraction of its
     // shingles found anywhere in the training split — distinct train
     // shingle set join + doc count, narrow key shuffles only.

@@ -123,5 +123,10 @@ object GraftFunctions {
       "graft_topgram_max",
       exprs => TopGramMax(exprs(0), litInt(exprs(1), "graft_topgram_max n")),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomContains(exprs(0), exprs(1),
+        litInt(exprs(2), "graft_bloom_contains k")),
+      "built-in")
   }
 }

@@ -40,5 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topgram_max", "max n-gram multiplicity within a token array"),
       (exprs: Seq[Expression]) =>
         TopGramMax(exprs(0), GraftFunctions.litIntArg(exprs(1), "n"))))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "Bloom-filter membership probe"),
+      (exprs: Seq[Expression]) =>
+        BloomContains(exprs(0), exprs(1),
+          GraftFunctions.litIntArg(exprs(2), "k"))))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Document deduplication operators (SURVEY.md §2.2 rows 37-40).
   *
@@ -366,6 +366,57 @@ object Dedup {
     val seen = existing.filter(F.col("text").isNotNull)
       .select(F.md5(F.col("text")).as("text_hash")).distinct()
     keepFirst.join(seen, Seq("text_hash"), "left_anti").select("doc_id")
+      .union(incoming.filter(F.col("text").isNull).select("doc_id"))
+  }
+
+  /** Bloom-prefiltered incremental dedup (r5): same contract and same
+    * RESULT as [[incrementalDedup]] — keep-first within the batch,
+    * drop texts already in the corpus — but the corpus side collapses
+    * to a broadcast Bloom filter, so the anti-join's corpus-sized
+    * shuffle disappears for the (typical) mostly-new batch:
+    *
+    *  1. ONE pass over the corpus builds an m-bit filter whose
+    *     per-partition state is fixed-size and merges with bitwise OR
+    *     (no corpus shuffle at all — the aggregation is a single
+    *     global combine of m/8-byte partials).
+    *  2. The batch probes the broadcast filter in whole-stage codegen.
+    *     Definite-NOs (no false negatives) pass straight through —
+    *     zero shuffle for them.
+    *  3. Only MAYBE rows — true duplicates plus the small
+    *     false-positive slice — exact-verify through the anti-join,
+    *     so the result is exactly [[incrementalDedup]]'s.
+    *
+    * At 100 TB: the corpus never re-shuffles (the filter can also be
+    * built once and persisted), and per-batch shuffle volume drops
+    * from |corpus| + |batch| keys to ~|duplicates| + fp-rate·|batch|.
+    * Size `bits` for the corpus cardinality (default 2^24 bits = 2 MiB
+    * broadcast, ~0.3% fp at 1M corpus keys with k=5). */
+  def bloomIncrementalDedup(incoming: DataFrame, existing: DataFrame,
+                            bits: Int = 1 << 24, k: Int = 5): DataFrame = {
+    import graft.functions.BloomUtil
+    // 60-bit md5 prefix as the probe hash — same hash family as the
+    // exact path's md5 key, so fp-verification reuses text_hash
+    def h60(c: Column): Column =
+      F.conv(F.md5(c).substr(1, 15), 16, 10).cast("long")
+    val keepFirst = incoming.filter(F.col("text").isNotNull)
+      .groupBy(F.md5(F.col("text")).as("text_hash"))
+      .agg(F.min("doc_id").as("doc_id"))
+      .withColumn("h", F.conv(F.col("text_hash").substr(1, 15), 16, 10)
+        .cast("long"))
+    val corpusClean = existing.filter(F.col("text").isNotNull)
+    val bloom = corpusClean.agg(
+      BloomUtil.build(h60(F.col("text")), bits, k).as("bf"))
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val probed = keepFirst
+      .crossJoin(F.broadcast(bloom))
+      .withColumn("maybe", F.expr(s"graft_bloom_contains(bf, h, $k)"))
+    val definiteNew = probed.filter(!F.col("maybe")).select("doc_id")
+    val seen = corpusClean.select(F.md5(F.col("text")).as("text_hash"))
+      .distinct()
+    val verifiedNew = probed.filter(F.col("maybe"))
+      .select("text_hash", "doc_id")
+      .join(seen, Seq("text_hash"), "left_anti").select("doc_id")
+    definiteNew.union(verifiedNew)
       .union(incoming.filter(F.col("text").isNull).select("doc_id"))
   }
 }

@@ -64,4 +64,28 @@ object Sampling {
     df.filter(F.expr(s"substring(md5(cast($keyCol as string)), 1, 8)")
       < threshold)
   }
+
+  /** Deterministic train/val/test (N-way) split assignment (r5): the
+    * row's md5 hash lands in one of the cumulative [0,1) intervals —
+    * a pure per-row projection (no shuffle, engine-replayable), and
+    * STABLE under fraction tweaks the way a training pipeline needs:
+    * growing a split's fraction only moves rows across the ADJACENT
+    * boundary (train 0.8→0.9 moves val rows into train; membership of
+    * everything else is untouched), because assignment is by fixed
+    * hash position against moving thresholds. Fractions must sum to
+    * ≤ 1; the last split absorbs the remainder. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splitAssign needs at least one split")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val hex = F.expr(s"substring(md5(cast($keyCol as string)), 1, 8)")
+    val assignment = splits.init.zip(cum).foldRight(
+      F.lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), c), acc) =>
+        F.when(hex < F.lit(thresholdHex(c)), name).otherwise(acc)
+    }
+    df.withColumn("split", assignment)
+  }
 }

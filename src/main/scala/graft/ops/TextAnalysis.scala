@@ -221,4 +221,32 @@ object TextAnalysis {
       .orderBy(F.col("n_occ").desc, F.col("g").asc)
       .limit(k)
   }
+
+  /** Sliding-window document chunking (r5): long documents become
+    * overlapping token-window chunks — the long-context training prep
+    * that follows cleaning/dedup (chunk i covers whitespace tokens
+    * [i·stride, i·stride+size), i while i·stride < n, so the tail
+    * chunk may be short and consecutive chunks overlap by
+    * size − stride tokens).
+    *
+    * Scale shape: a pure per-row Generate — the exploded sequence is
+    * the (tiny) chunk-index list, never a token array (exploding a
+    * materialized array column copies it per emitted element —
+    * measured 13×, see topNgrams); the token slice re-derives from
+    * `text` per chunk inside codegen. No shuffle at all: chunking
+    * pipelines straight into the pack/shard exporters. NULL text
+    * produces zero chunks. */
+  def chunkDocuments(docs: DataFrame, size: Int = 64,
+                     stride: Int = 48): DataFrame = {
+    require(size >= 1 && stride >= 1, "size and stride must be positive")
+    docs.filter(F.col("text").isNotNull)
+      .selectExpr("doc_id", "text",
+        s"explode(sequence(0, (size(split(text, ' ')) - 1) div $stride)) " +
+          "as chunk_id")
+      .selectExpr("doc_id", "chunk_id",
+        s"array_join(slice(split(text, ' '), chunk_id * $stride + 1, $size)" +
+          ", ' ') as chunk_text",
+        s"size(slice(split(text, ' '), chunk_id * $stride + 1, $size)) " +
+          "as n_tokens")
+  }
 }
