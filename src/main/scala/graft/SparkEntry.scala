@@ -244,6 +244,42 @@ object SparkEntry {
          from part
          where p_partkey <= 400 and (p_name like '%al%'
             or p_name like '%s!_%' escape '!')""",
+    // r5 scalar-function catalog: string functions common to Spark
+    // and DuckDB (the fallthrough registry call makes the whole Spark
+    // builtin surface available; these pin cross-engine agreement)
+    "q_str_funcs" ->
+      """select p_partkey,
+           upper(p_name) as up, lower(p_brand) as lo,
+           replace(p_name, 'a', '@') as rep,
+           left(p_name, 5) as l5, right(p_name, 4) as r4,
+           lpad(p_brand, 12, '*') as lp, rpad(p_brand, 12, '.') as rp,
+           reverse(p_type) as rev, repeat(p_brand, 2) as rpt,
+           concat_ws('-', p_brand, p_type) as cw,
+           cast(length(trim(p_name)) as int) as len,
+           md5(p_name) as h,
+           cast(instr(p_name, 'al') as int) as pos
+         from part where p_partkey % 3 = 0""",
+    // math catalog — only functions with bit-identical cross-engine
+    // results (sqrt is IEEE correctly-rounded; exp/ln differ by libm
+    // ulps between JVM and C and are deliberately excluded)
+    "q_math_funcs" ->
+      """select l_orderkey, l_linenumber,
+           abs(l_quantity - 25) as ab,
+           cast(ceil(l_quantity / 7) as bigint) as ce,
+           cast(floor(l_quantity / 7) as bigint) as fl,
+           sqrt(l_quantity) as sq,
+           cast(sign(l_discount - 0.05) as int) as sg,
+           greatest(l_quantity, l_extendedprice / 100) as gr,
+           least(l_tax, l_discount) as ls,
+           mod(l_orderkey, 7) as md
+         from lineitem where l_orderkey % 10 = 0""",
+    // date catalog over the (r5) timestamp columns
+    "q_date_funcs" ->
+      """select o_orderkey,
+           cast(cast(date_trunc('month', o_orderdate) as date) as varchar) as mon,
+           cast(last_day(cast(o_orderdate as date)) as varchar) as ld,
+           cast(make_date(1995, cast(extract(month from o_orderdate) as int), 1) as varchar) as md
+         from orders where o_orderkey % 16 = 0""",
     // star EXCLUDE/REPLACE (r4d): prune the wide text column and
     // normalize another in place — the everyday wide-table idiom
     "q_star_exclude" ->
@@ -650,6 +686,24 @@ object SparkEntry {
          from big where qty > 100""",
     // --- TPC-H-style multi-join analytics (join-order/broadcast
     // exercise; revenue sums rounded to absorb accumulation-order ulps)
+    // TPC-H Q1 (r5 — the r5 testdata regeneration added l_shipdate):
+    // the canonical pricing-summary scan+agg; sums rounded 2dp /
+    // avgs 4dp to absorb accumulation-order ulps (2-decimal inputs
+    // keep the 2dp boundary safe)
+    "q_tpch_q1" ->
+      """select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) as sum_qty,
+           round(sum(l_extendedprice), 2) as sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+           round(avg(l_quantity), 4) as avg_qty,
+           round(avg(l_extendedprice), 4) as avg_price,
+           round(avg(l_discount), 4) as avg_disc,
+           count(*) as count_order
+         from lineitem
+         where l_shipdate <= date '2000-12-01' - interval 90 day
+         group by l_returnflag, l_linestatus
+         order by l_returnflag, l_linestatus""",
     "q_tpch_q3" ->
       """select l_orderkey, o_orderdate,
            round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
