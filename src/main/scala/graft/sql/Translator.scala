@@ -366,15 +366,27 @@ final class Translator(catalog: String => DataFrame,
         used.contains(c.toLowerCase) || c.equalsIgnoreCase(forActual))
       if (!values.forall(v => isLiteral(v._1)))
         fail("PIVOT IN values must be literals")
-      val litVals = values.map(v => litValue(v._1))
-      val pivoted = df.groupBy(groupCols.map(F.col).toSeq: _*)
-        .pivot(forActual, litVals)
-        .agg(aggColumn(agg))
-      values.foldLeft(pivoted) {
-        case (d, (v, Some(n))) =>
-          d.withColumnRenamed(String.valueOf(litValue(v)), n)
-        case (d, _) => d
+      if (agg.extraArgs.nonEmpty || agg.aggOrder.nonEmpty)
+        fail("PIVOT aggregate must be a single-argument aggregate")
+      // conditional-aggregation lowering, NOT RelationalGroupedDataset
+      // .pivot: Spark's pivot plans TWO aggregations (one on
+      // group+pivot keys, then PivotFirst on the group keys) — two
+      // shuffles; CASE-wrapping the argument per IN value (the FILTER
+      // lowering's trick: NULLs are invisible to every aggregate)
+      // computes all pivot cells in ONE two-phase aggregation
+      // (PlanAuditSpec pins the single exchange)
+      val aggCols = values.map { case (v, nameOpt) =>
+        val base = agg.arg match {
+          case Star(_) => NumLit("1")
+          case e => e
+        }
+        val wrapped = agg.copy(arg = CaseWhen(
+          Seq((Cmp("=", ColRef(None, forActual), v), base)), NullLit()))
+        aggColumn(wrapped).as(nameOpt.getOrElse(
+          String.valueOf(litValue(v))))
       }
+      df.groupBy(groupCols.map(F.col).toSeq: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
     case UnpivotRel(rel, valueName, varName, cols) =>
       // one stack() Generate — a pure projection (no shuffle); NULL
       // values are kept (add WHERE val IS NOT NULL for DuckDB's drop)

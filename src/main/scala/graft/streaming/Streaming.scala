@@ -124,6 +124,51 @@ object Streaming {
     withEventTime(stream).join(F.broadcast(dim), Seq(key), "left_outer")
   }
 
+  /** Stream-stream interval join (r5): each purchase joins the SAME
+    * user's views from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire join state: a view is droppable once
+    * the purchase-side watermark passes its time + 1 hour — state is
+    * bounded by rate × interval, never the stream's history. This is
+    * the canonical attribution shape (conversions ← impressions
+    * within a window) and the stateful tier above the stream-static
+    * enrichment join. Inner join: unmatched purchases drop (use the
+    * batch form for outer semantics — streaming outer needs BOTH
+    * watermarks to emit nulls, with the same state contract). */
+  def streamingIntervalJoin(spark: SparkSession, path: String): DataFrame = {
+    val p = withEventTime(spark.readStream.schema(eventsSchema).parquet(path))
+      .filter("event_type = 'purchase'")
+      .selectExpr("event_id as p_id", "user_id", "event_time as p_time",
+        "value")
+      .withWatermark("p_time", "1 hour")
+    val v = withEventTime(spark.readStream.schema(eventsSchema).parquet(path))
+      .filter("event_type = 'view'")
+      .selectExpr("event_id as v_id", "user_id as v_user",
+        "event_time as v_time")
+      .withWatermark("v_time", "2 hours")
+    joinPurchasesToViews(p, v)
+  }
+
+  /** The same join on batch frames — the spec's equivalence oracle. */
+  def batchIntervalJoin(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val p = e.filter("event_type = 'purchase'")
+      .selectExpr("event_id as p_id", "user_id", "event_time as p_time",
+        "value")
+    val v = e.filter("event_type = 'view'")
+      .selectExpr("event_id as v_id", "user_id as v_user",
+        "event_time as v_time")
+    joinPurchasesToViews(p, v)
+  }
+
+  private def joinPurchasesToViews(p: DataFrame, v: DataFrame): DataFrame =
+    p.join(v, F.expr(
+        """user_id = v_user
+           and v_time between p_time - interval 1 hour and p_time"""))
+      .selectExpr("p_id", "user_id",
+        "cast(p_time as bigint) as p_sec", "v_id",
+        "cast(v_time as bigint) as v_sec", "value")
+
   /** Per-user running totals via arbitrary stateful processing
     * (flatMapGroupsWithState): the custom-state escape hatch for
     * logic windows/sessions can't express. State is one small case

@@ -253,4 +253,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "semantic dedup pair join lost its cell equi-key")
   }
+
+  // ---- round 5 ------------------------------------------------------
+
+  test("bloom dedup probes a broadcast filter in codegen") {
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("graft_bloom_contains"), p.take(2000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row Bloom filter should broadcast")
+  }
+
+  test("chunking is a pure Generate — zero exchanges") {
+    val p = plan("q_text_chunks")
+    assert(p.contains("Generate"), p.take(1500))
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+  }
+
+  test("unnest lowers to one Generate with the array inlined") {
+    val p = plan("q_unnest")
+    assert(p.contains("Generate explode"), p.take(1500))
+  }
+
+  test("pivot is ONE two-phase aggregation") {
+    val p = plan("q_pivot")
+    assert(p.contains("partial_"), "pivot lost map-side partials")
+    val shuffles = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(shuffles == 1, s"pivot should shuffle once, saw $shuffles")
+  }
+
+  test("unpivot is a pure projection — zero exchanges") {
+    val p = plan("q_unpivot")
+    assert(!p.contains("Exchange"), "unpivot must not shuffle")
+  }
+
+  test("semi/anti join types reach the physical plan") {
+    assert(plan("q_join_semi").toLowerCase.contains("leftsemi"))
+    assert(plan("q_join_anti").toLowerCase.contains("leftanti"))
+  }
 }

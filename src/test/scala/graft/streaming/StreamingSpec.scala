@@ -29,6 +29,20 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(spark.table("stream_counts"), batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("events_ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val batch = Streaming.batchIntervalJoin(spark.read.parquet(path))
+    val q = Streaming.streamingIntervalJoin(spark, path)
+      .writeStream.format("memory").queryName("stream_ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    assertSameRows(spark.table("stream_ssjoin"), batch)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val dir = java.nio.file.Files.createTempDirectory("events_enrich")
     java.nio.file.Files.copy(
