@@ -385,6 +385,25 @@ object SparkEntry {
                 wo as (partition by c_nationkey
                        order by c_acctbal desc, c_custkey),
                 w3 as (wo rows between 1 preceding and current row)""",
+    // IGNORE NULLS window functions (r5, standard <null treatment>;
+    // DuckDB's inside-parens position is the shared spelling, the
+    // standard after-parens form also parses). nullif plants NULLs
+    "q_window_ignore_nulls" ->
+      """select c_custkey,
+           lag(nullif(c_acctbal, 0.0), 1 ignore nulls)
+             over (partition by c_nationkey order by c_custkey) as prev_nn,
+           first_value(nullif(c_mktsegment, 'BUILDING') ignore nulls)
+             over (partition by c_nationkey order by c_custkey
+                   rows between unbounded preceding and current row) as first_seg,
+           last_value(nullif(c_mktsegment, 'BUILDING') ignore nulls)
+             over (partition by c_nationkey order by c_custkey
+                   rows between unbounded preceding and current row) as last_seg
+         from customer""",
+    // FETCH FIRST (r5 standard forms): OFFSET n ROWS + FETCH ... ONLY
+    // is LIMIT/OFFSET spelled per the standard — shared text
+    "q_fetch_only" ->
+      """select c_custkey from customer order by c_custkey
+         offset 5 rows fetch first 10 rows only""",
     // IN (subquery) inside HAVING (sql.lark:22,112-130) — existence
     // flag joined onto the aggregated result; probe is an aggregate
     "q_having_in_subquery" ->
@@ -675,7 +694,7 @@ object SparkEntry {
       """with recursive walk(k) as (
            select cast(n_nationkey as int) as k from nation where n_nationkey = 0
            union
-           select cast((k * 2 + 3) % 25 as int) from walk
+           select cast((k * 2 + 3) % 11 as int) from walk
          )
          select k from walk""",
     // CTEs (graft dialect extension; plain SQL in DuckDB)
@@ -808,6 +827,18 @@ object SparkEntry {
            sum(case when l_linestatus = 'O' then l_quantity end) as qty_o,
            sum(case when l_linestatus = 'F' then l_quantity end) as qty_f
          from lineitem group by l_returnflag"""),
+    // FETCH FIRST n ROWS WITH TIES (r5): every row tied on the sort
+    // key with the n-th row survives — lowered TakeOrdered(n) →
+    // distinct key tuples → broadcast semi-join (never a global rank
+    // window); oracle is the equivalent rank() filter (DuckDB has no
+    // WITH TIES)
+    ("q_fetch_ties",
+      """select c_custkey, c_nationkey from customer
+         order by c_nationkey fetch first 100 rows with ties""",
+      """select c_custkey, c_nationkey from
+           (select c_custkey, c_nationkey,
+                   rank() over (order by c_nationkey) as rk from customer) t
+         where rk <= 100"""),
     // UNPIVOT (r5): wide → long via one stack() projection; NULLs kept
     ("q_unpivot",
       """select c_custkey, kind, val from

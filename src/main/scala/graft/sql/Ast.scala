@@ -70,7 +70,8 @@ object Ast {
     * reference grammar: lead/lag/first_value/last_value/row_number
     * OVER (...). */
   final case class WinFunc(name: String, args: Seq[Expr],
-                           window: WindowSpec) extends Expr
+                           window: WindowSpec,
+                           ignoreNulls: Boolean = false) extends Expr
 
   /** Generic scalar function call — extension beyond the reference
     * grammar for the pipeline operators (lower/upper/length/...). */
@@ -190,7 +191,8 @@ object Ast {
                           windows: Seq[(String, WindowSpec)] = Nil,
                           distinctOn: Seq[Expr] = Nil)
   final case class Query(sel: Select, orderBy: Seq[OrderItem],
-                         limit: Option[Long], offset: Option[Long])
+                         limit: Option[Long], offset: Option[Long],
+                         fetchTies: Boolean = false)
 
   sealed trait SetExpr
   final case class Leaf(q: Query) extends SetExpr
@@ -210,7 +212,8 @@ object Ast {
     * (standard SQL binding for a tail after UNION/INTERSECT/EXCEPT). */
   final case class OrderedSet(body: SetExpr, orderBy: Seq[OrderItem],
                               limit: Option[Long],
-                              offset: Option[Long]) extends SetExpr
+                              offset: Option[Long],
+                              fetchTies: Boolean = false) extends SetExpr
 
   // ---- generic traversal --------------------------------------------
   //
@@ -245,7 +248,8 @@ object Ast {
               extraArgs = ag.extraArgs.map(f),
               aggOrder = ag.aggOrder.map(oi => oi.copy(e = f(oi.e))))
     case RankExpr(d, w)       => RankExpr(d, mapWindow(w, f))
-    case WinFunc(n, args, w)  => WinFunc(n, args.map(f), mapWindow(w, f))
+    case wf: WinFunc =>
+      wf.copy(args = wf.args.map(f), window = mapWindow(wf.window, f))
     case FuncCall(n, args)    => FuncCall(n, args.map(f))
     case And(l, r)            => And(f(l), f(r))
     case Or(l, r)             => Or(f(l), f(r))

@@ -29,7 +29,7 @@ final class Parser(tokens: Vector[Token]) {
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
     "unbounded", "current", "row", "using", "window", "with", "qualify",
-    "natural", "semi", "anti", "pivot", "unpivot")
+    "natural", "semi", "anti", "pivot", "unpivot", "fetch")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -133,14 +133,9 @@ final class Parser(tokens: Vector[Token]) {
     if (combined) {
       val orderBy =
         if (eatKw("order")) { expectKw("by"); parseOrderList() } else Nil
-      var limit: Option[Long] = None
-      var offset: Option[Long] = None
-      if (eatKw("limit")) {
-        limit = Some(parseIntLit())
-        if (eatKw("offset")) offset = Some(parseIntLit())
-      }
+      val (limit, offset, ties) = parseLimitClause()
       if (orderBy.nonEmpty || limit.nonEmpty || offset.nonEmpty)
-        OrderedSet(left, orderBy, limit, offset)
+        OrderedSet(left, orderBy, limit, offset, ties)
       else left
     } else left
   }
@@ -150,13 +145,39 @@ final class Parser(tokens: Vector[Token]) {
     val sel = parseSelect()
     val orderBy =
       if (eatKw("order")) { expectKw("by"); parseOrderList() } else Nil
+    val (limit, offset, ties) = parseLimitClause()
+    Query(sel, orderBy, limit, offset, ties)
+  }
+
+  /** `LIMIT n [OFFSET m]`, plus the standard forms (r5):
+    * `OFFSET m [ROW|ROWS]` and `FETCH {FIRST|NEXT} [n] {ROW|ROWS}
+    * {ONLY | WITH TIES}`. Returns (limit, offset, withTies). */
+  private def parseLimitClause(): (Option[Long], Option[Long], Boolean) = {
     var limit: Option[Long] = None
     var offset: Option[Long] = None
+    var ties = false
     if (eatKw("limit")) {
       limit = Some(parseIntLit())
       if (eatKw("offset")) offset = Some(parseIntLit())
+    } else {
+      if (eatKw("offset")) {
+        offset = Some(parseIntLit())
+        if (!eatKw("rows")) eatKw("row")
+      }
+      if (eatKw("fetch")) {
+        if (!eatKw("first")) expectKw("next")
+        limit = Some(peek match {
+          case Num(_, _) => parseIntLit()
+          case _ => 1L // FETCH FIRST ROW ONLY
+        })
+        if (!eatKw("rows")) eatKw("row")
+        if (!eatKw("only")) {
+          expectKw("with"); expectKw("ties")
+          ties = true
+        }
+      }
     }
-    Query(sel, orderBy, limit, offset)
+    (limit, offset, ties)
   }
 
   private def parseIntLit(): Long = next() match {
@@ -948,9 +969,35 @@ final class Parser(tokens: Vector[Token]) {
               var more = true
               while (more) { args += parseExpr(); more = eatOp(",") }
             }
+            // <null treatment> (r5): DuckDB puts IGNORE/RESPECT NULLS
+            // INSIDE the parens, the SQL standard AFTER them — accept
+            // both positions
+            def nullTreatment(): Option[Boolean] =
+              if (atKw("ignore") && isKw(tokens(pos + 1), "nulls")) {
+                pos += 2; Some(true)
+              } else if (atKw("respect") && isKw(tokens(pos + 1), "nulls")) {
+                pos += 2; Some(false)
+              } else None
+            val ntInside = nullTreatment()
             expectOp(")")
-            if (eatKw("over")) WinFunc(lower, args.result(), parseOverSpec())
-            else FuncCall(lower, args.result())
+            // after-parens (standard) position only when OVER follows
+            // — otherwise `outer(inner(x) ignore nulls)` would let the
+            // INNER call steal the outer's null treatment
+            val ntAfter =
+              if (ntInside.isEmpty && (atKw("ignore") || atKw("respect")) &&
+                  isKw(tokens(pos + 1), "nulls") &&
+                  isKw(tokens(pos + 2), "over")) nullTreatment()
+              else None
+            val nt = ntInside.orElse(ntAfter)
+            if (eatKw("over"))
+              WinFunc(lower, args.result(), parseOverSpec(),
+                ignoreNulls = nt.getOrElse(false))
+            else {
+              if (nt.isDefined)
+                fail("IGNORE/RESPECT NULLS is only valid on window " +
+                  "functions (OVER required)")
+              FuncCall(lower, args.result())
+            }
           case _ =>
             pos += 1
             // qualified column t.col or t.*

@@ -22,8 +22,8 @@ final class Translator(catalog: String => DataFrame,
 
   def translate(e: SetExpr): DataFrame = e match {
     case Leaf(q) => translateQuery(q)
-    case OrderedSet(body, orderBy, limit, offset) =>
-      applyOrderLimit(translate(body), orderBy, limit, offset)
+    case OrderedSet(body, orderBy, limit, offset, ties) =>
+      applyOrderLimit(translate(body), orderBy, limit, offset, ties)
     case WithQuery(ctes, body, recursive, cteCols) =>
       // resolve each CTE against the catalog extended with the CTEs
       // defined before it; the body sees all of them. Case-insensitive
@@ -98,7 +98,14 @@ final class Translator(catalog: String => DataFrame,
       next = next.localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        result = result.union(next).localCheckpoint(true)
+        // next is checkpointed every round (it feeds the next step's
+        // translation); the accumulated result is a cheap union chain
+        // over those checkpointed blocks — re-checkpointing it every
+        // round would add one materialization job per round for a
+        // plan that is already flat. Every 8 rounds keeps the chain
+        // short for the UNION mode's per-round except(result).
+        result = result.union(next)
+        if (iter % 8 == 0) result = result.localCheckpoint(true)
         working = next
       }
     }
@@ -123,7 +130,7 @@ final class Translator(catalog: String => DataFrame,
     }
     def inSet(s: SetExpr): Boolean = s match {
       case Leaf(q) => inRel(q.sel.from)
-      case OrderedSet(b, _, _, _) => inSet(b)
+      case OrderedSet(b, _, _, _, _) => inSet(b)
       case WithQuery(cs, b, _, _) => cs.exists(c => inSet(c._2)) || inSet(b)
       case SetOp(_, l, r) => inSet(l) || inSet(r)
     }
@@ -196,7 +203,7 @@ final class Translator(catalog: String => DataFrame,
       .filter(F.col(rn) === 1)
     val orderBy2 = q.orderBy.zipWithIndex.map { case (oi, i) =>
       obHid.get(i).map(n => oi.copy(e = ColRef(None, n))).getOrElse(oi) }
-    applyOrderLimit(kept, orderBy2, q.limit, q.offset)
+    applyOrderLimit(kept, orderBy2, q.limit, q.offset, q.fetchTies)
       .drop(rn +: (donHid.values.toSeq ++ obHid.values.toSeq): _*)
   }
 
@@ -220,7 +227,8 @@ final class Translator(catalog: String => DataFrame,
             q.sel.groupBy.exists(g => sameExpr(g, oi.e))) => i
     }.toSet
     if (hiddenIdx.isEmpty)
-      applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset)
+      applyOrderLimit(translateSelect(q.sel), q.orderBy, q.limit, q.offset,
+        q.fetchTies)
     else {
       // DISTINCT: a hidden sort key would join the distinct tuple and
       // change which rows survive — standard SQL rejects the shape
@@ -234,7 +242,7 @@ final class Translator(catalog: String => DataFrame,
       val orderBy2 = q.orderBy.zipWithIndex.map { case (oi, i) =>
         if (hiddenIdx(i)) oi.copy(e = ColRef(None, s"__ob_$i")) else oi
       }
-      applyOrderLimit(df, orderBy2, q.limit, q.offset)
+      applyOrderLimit(df, orderBy2, q.limit, q.offset, q.fetchTies)
         .drop(hidden.flatMap(_.alias): _*)
     }
   }
@@ -243,7 +251,7 @@ final class Translator(catalog: String => DataFrame,
     * aggregate anywhere. */
   private def containsWindow(e: Expr): Boolean = e match {
     case a: AggExpr if a.window.isDefined => true
-    case RankExpr(_, _) | WinFunc(_, _, _) => true
+    case RankExpr(_, _) | WinFunc(_, _, _, _) => true
     case other => Ast.children(other).exists(containsWindow)
   }
 
@@ -259,11 +267,19 @@ final class Translator(catalog: String => DataFrame,
       case (false, Some(false)) => c.desc_nulls_last
     }
 
-  /** ORDER BY (alias/positional-aware) + LIMIT/OFFSET over a result. */
+  /** ORDER BY (alias/positional-aware) + LIMIT/OFFSET over a result.
+    * `ties` = FETCH FIRST n ROWS WITH TIES (r5): keep every row whose
+    * sort-key tuple appears among the first n rows' tuples — lowered
+    * as TakeOrdered(n) → distinct key tuples → BROADCAST semi-join
+    * (null-safe on the keys), never a global rank window (which would
+    * sort everything into one partition). */
   private def applyOrderLimit(in: DataFrame, orderBy: Seq[OrderItem],
                               limit: Option[Long],
-                              offset: Option[Long]): DataFrame = {
+                              offset: Option[Long],
+                              ties: Boolean = false): DataFrame = {
     var df = in
+    if (ties && orderBy.isEmpty)
+      fail("FETCH ... WITH TIES requires ORDER BY")
     if (orderBy.nonEmpty) {
       // ORDER BY ALL (parsed as a Star order key): every output
       // column, left to right, one direction for the lot — expanded
@@ -278,8 +294,8 @@ final class Translator(catalog: String => DataFrame,
       // falling back to the literal expression. A bare integer literal
       // is POSITIONAL (1-based output column), matching Spark SQL and
       // DuckDB — ordering by a constant would be meaningless.
-      val cols = expanded.map { oi =>
-        val c = oi.e match {
+      val raw = expanded.map { oi =>
+        oi.e match {
           case ColRef(None, n) =>
             df.columns.find(_.equalsIgnoreCase(n))
               .map(F.col).getOrElse(exprToCol(oi.e, None))
@@ -290,7 +306,24 @@ final class Translator(catalog: String => DataFrame,
             F.col(df.columns(i - 1))
           case other => exprToCol(other, None)
         }
-        orderedCol(c, oi)
+      }
+      val cols = expanded.zip(raw).map { case (oi, c) => orderedCol(c, oi) }
+      if (ties) {
+        if (offset.nonEmpty)
+          fail("FETCH ... WITH TIES does not compose with OFFSET")
+        val n = limit.getOrElse(
+          fail("FETCH ... WITH TIES requires a row count")).toInt
+        val keyNames = raw.indices.map(i => s"__ft_$i")
+        var keyed = df
+        raw.zip(keyNames).foreach { case (c, nm) =>
+          keyed = keyed.withColumn(nm, c)
+        }
+        val top = keyed.orderBy(cols: _*).limit(n)
+          .select(keyNames.map(F.col): _*).distinct()
+        val cond = keyNames.map(nm => keyed(nm) <=> top(nm)).reduce(_ && _)
+        return keyed.join(F.broadcast(top), cond, "left_semi")
+          .drop(keyNames: _*)
+          .orderBy(cols: _*)
       }
       df = df.orderBy(cols: _*)
     }
@@ -486,8 +519,8 @@ final class Translator(catalog: String => DataFrame,
       case a: AggExpr if a.window.exists(_.ref.isDefined) =>
         a.copy(window = a.window.map(resolveSpec))
       case RankExpr(d, w) if w.ref.isDefined => RankExpr(d, resolveSpec(w))
-      case WinFunc(n, args, w) if w.ref.isDefined =>
-        WinFunc(n, args, resolveSpec(w))
+      case wf: WinFunc if wf.window.ref.isDefined =>
+        wf.copy(window = resolveSpec(wf.window))
     }
     sel.copy(items = sel.items.map(i => i.copy(e = fix(i.e))),
       having = sel.having.map(fix), qualify = sel.qualify.map(fix),
@@ -1404,8 +1437,8 @@ final class Translator(catalog: String => DataFrame,
         aggColumnBase(a, post).over(windowSpec(a.window.get, post))
       case RankExpr(dense, w) =>
         (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w, post))
-      case WinFunc(nm, args, w) =>
-        winFunc(nm, args, post).over(windowSpec(w, post))
+      case WinFunc(nm, args, w, ign) =>
+        winFunc(nm, args, post, ign).over(windowSpec(w, post))
       case _ if groupNamed.exists(t => sameExpr(t._1, e)) =>
         groupNamed.find(t => sameExpr(t._1, e)).get match {
           case (_, _, Some(n)) => F.col(n) // named expression key
@@ -1603,7 +1636,7 @@ final class Translator(catalog: String => DataFrame,
     // `rank() over (order by count(*))`) still makes the query
     // aggregating, so descend into the children
     case w @ (AggExpr(_, _, _, Some(_), _, _) | RankExpr(_, _) |
-              WinFunc(_, _, _)) =>
+              WinFunc(_, _, _, _)) =>
       Ast.children(w).exists(containsAgg)
     case other => Ast.children(other).exists(containsAgg)
   }
@@ -2179,8 +2212,8 @@ final class Translator(catalog: String => DataFrame,
     case a: AggExpr => aggColumn(a)
     case RankExpr(dense, w) =>
       (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
-    case WinFunc(name, args, w) =>
-      winFunc(name, args, exprToCol(_, in)).over(windowSpec(w))
+    case WinFunc(name, args, w, ign) =>
+      winFunc(name, args, exprToCol(_, in), ign).over(windowSpec(w))
     case And(l, r) => exprToCol(l, in) && exprToCol(r, in)
     case Or(l, r)  => exprToCol(l, in) || exprToCol(r, in)
     case Not(x)    => !exprToCol(x, in)
@@ -2470,13 +2503,32 @@ final class Translator(catalog: String => DataFrame,
     * lead/lag (with optional offset and default), first_value /
     * last_value, row_number, ntile. */
   private def winFunc(name: String, args: Seq[Expr],
-                      lower: Expr => Column): Column = {
+                      lower: Expr => Column,
+                      ignoreNulls: Boolean = false): Column = {
     def c(i: Int): Column = lower(args(i))
     def n(i: Int): Int = args(i) match {
       case NumLit(t)      => t.toDouble.toInt
       case Neg(NumLit(t)) => -t.toDouble.toInt
       case other          => fail(s"expected integer literal, got $other")
     }
+    // IGNORE NULLS (r5, standard <null treatment>): supported exactly
+    // where Spark supports it — the offset/value window functions
+    if (ignoreNulls)
+      (name, args.length) match {
+        case ("lead", 1) => return F.lead(c(0), 1, null, ignoreNulls = true)
+        case ("lead", 2) => return F.lead(c(0), n(1), null, ignoreNulls = true)
+        case ("lead", 3) =>
+          return F.lead(c(0), n(1), litValue(args(2)), ignoreNulls = true)
+        case ("lag", 1)  => return F.lag(c(0), 1, null, ignoreNulls = true)
+        case ("lag", 2)  => return F.lag(c(0), n(1), null, ignoreNulls = true)
+        case ("lag", 3)  =>
+          return F.lag(c(0), n(1), litValue(args(2)), ignoreNulls = true)
+        case ("first_value", 1) => return F.first(c(0), ignoreNulls = true)
+        case ("last_value", 1)  => return F.last(c(0), ignoreNulls = true)
+        case ("nth_value", 2)   =>
+          return F.nth_value(c(0), n(1), ignoreNulls = true)
+        case _ => fail(s"IGNORE NULLS is not supported on $name")
+      }
     (name, args.length) match {
       case ("lead", 1) => F.lead(c(0), 1)
       case ("lead", 2) => F.lead(c(0), n(1))

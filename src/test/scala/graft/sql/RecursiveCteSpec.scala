@@ -37,7 +37,7 @@ class RecursiveCteSpec extends SparkTestBase {
       """with recursive walk(k) as (
            select cast(n_nationkey as int) as k from nation where n_nationkey = 0
            union
-           select cast((k * 2 + 3) % 25 as int) from walk
+           select cast((k * 2 + 3) % 11 as int) from walk
          )
          select k from walk order by k""")
     val got = df.collect().map(_.getInt(0)).toSeq
@@ -45,7 +45,7 @@ class RecursiveCteSpec extends SparkTestBase {
     var seen = Set(0)
     var frontier = Set(0)
     while (frontier.nonEmpty) {
-      frontier = frontier.map(k => (2 * k + 3) % 25) -- seen
+      frontier = frontier.map(k => (2 * k + 3) % 11) -- seen
       seen ++= frontier
     }
     assert(got == seen.toSeq.sorted)
