@@ -161,7 +161,7 @@ object Ast {
   /** FROM ... PIVOT (agg FOR col IN (v [AS name], ...)) (r5).
     * Implicit group-by: every column the aggregate and the FOR column
     * don't use (Spark SQL / Snowflake semantics). */
-  final case class PivotRel(rel: Relation, agg: AggExpr, forCol: String,
+  final case class PivotRel(rel: Relation, agg: Expr, forCol: String,
                             values: Seq[(Expr, Option[String])])
       extends Relation
 

@@ -497,10 +497,13 @@ final class Parser(tokens: Vector[Token]) {
     while (cont) {
       if (atKw("pivot") && isOpAt(pos + 1, "(")) {
         pos += 1; expectOp("(")
-        val aggE = parseExpr() match {
-          case a: AggExpr if a.window.isEmpty => a
-          case other => fail(s"PIVOT takes a single aggregate, got $other")
+        val aggE = parseExpr()
+        def pivotHasAgg(e: Expr): Boolean = e match {
+          case a: AggExpr => a.window.isEmpty
+          case other => Ast.children(other).exists(pivotHasAgg)
         }
+        if (!pivotHasAgg(aggE))
+          fail(s"PIVOT takes an aggregate expression, got $aggE")
         expectKw("for")
         val forCol = ident()
         expectKw("in"); expectOp("(")

@@ -399,8 +399,6 @@ final class Translator(catalog: String => DataFrame,
         used.contains(c.toLowerCase) || c.equalsIgnoreCase(forActual))
       if (!values.forall(v => isLiteral(v._1)))
         fail("PIVOT IN values must be literals")
-      if (agg.extraArgs.nonEmpty || agg.aggOrder.nonEmpty)
-        fail("PIVOT aggregate must be a single-argument aggregate")
       // conditional-aggregation lowering, NOT RelationalGroupedDataset
       // .pivot: Spark's pivot plans TWO aggregations (one on
       // group+pivot keys, then PivotFirst on the group keys) — two
@@ -409,13 +407,18 @@ final class Translator(catalog: String => DataFrame,
       // computes all pivot cells in ONE two-phase aggregation
       // (PlanAuditSpec pins the single exchange)
       val aggCols = values.map { case (v, nameOpt) =>
-        val base = agg.arg match {
-          case Star(_) => NumLit("1")
-          case e => e
+        val wrapped = Ast.transformUp(agg) {
+          case a: AggExpr if a.window.isEmpty =>
+            if (a.extraArgs.nonEmpty || a.aggOrder.nonEmpty)
+              fail("PIVOT supports single-argument aggregates only")
+            val base = a.arg match {
+              case Star(_) => NumLit("1")
+              case e => e
+            }
+            a.copy(arg = CaseWhen(
+              Seq((Cmp("=", ColRef(None, forActual), v), base)), NullLit()))
         }
-        val wrapped = agg.copy(arg = CaseWhen(
-          Seq((Cmp("=", ColRef(None, forActual), v), base)), NullLit()))
-        aggColumn(wrapped).as(nameOpt.getOrElse(
+        lowerPivotAgg(wrapped).as(nameOpt.getOrElse(
           String.valueOf(litValue(v))))
       }
       df.groupBy(groupCols.map(F.col).toSeq: _*)
@@ -448,6 +451,21 @@ final class Translator(catalog: String => DataFrame,
             case None => fail(s"$t JOIN requires ON condition")
           }
       }
+  }
+
+  /** Lowers a PIVOT aggregate expression — an expression tree over
+    * one or more plain aggregates (`round(avg(x), 4)`) — in aggregate
+    * context: AggExpr nodes become aggregate Columns, scalar wrappers
+    * compose around them. */
+  private def lowerPivotAgg(e: Expr): Column = e match {
+    case a: AggExpr if a.window.isEmpty => aggColumn(a)
+    case FuncCall(n, args) => scalarFunc(n, args.map(lowerPivotAgg), args)
+    case Arith(op, l, r) => arith(op, lowerPivotAgg(l), lowerPivotAgg(r))
+    case Neg(x) => -lowerPivotAgg(x)
+    case Cast(x, t) => lowerPivotAgg(x).cast(sparkType(t))
+    case Coalesce(args) => F.coalesce(args.map(lowerPivotAgg): _*)
+    case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit() => exprToCol(e, None)
+    case other => fail(s"unsupported expression in PIVOT aggregate: $other")
   }
 
   /** graft join-type → Spark join-type string. SEMI/ANTI (r5) filter

@@ -733,4 +733,151 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- round 5 fuzz classes -----------------------------------------
+
+  // SEMI/ANTI joins must agree with their EXISTS/NOT EXISTS forms
+  // (same LeftSemi/LeftAnti lowering reached through different syntax)
+  private val genSemiAnti: Gen[(String, String)] = for {
+    kind <- Gen.oneOf("semi", "anti")
+    spelling <- Gen.oneOf("", "left ")
+    v <- Gen.choose(0, 400000)
+  } yield {
+    val pred = s"o_totalprice > $v"
+    val g = s"select c_custkey from customer $spelling$kind join orders " +
+      s"on o_custkey = c_custkey and $pred"
+    val o =
+      if (kind == "semi")
+        "select c_custkey from customer where exists " +
+          s"(select 1 from orders where o_custkey = c_custkey and $pred)"
+      else
+        "select c_custkey from customer where not exists " +
+          s"(select 1 from orders where o_custkey = c_custkey and $pred)"
+    (g, o)
+  }
+
+  test("30 random semi/anti joins match their EXISTS forms") {
+    Gen.listOfN(30, genSemiAnti).pureApply(Gen.Parameters.default, Seed(91L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
+  // FETCH FIRST n ROWS WITH TIES ≡ rank() <= n (the semi-join
+  // lowering must keep exactly the tied key tuples, every direction)
+  private val genTies: Gen[(String, String)] = for {
+    col <- Gen.oneOf("c_nationkey", "c_mktsegment", "c_acctbal")
+    dir <- Gen.oneOf("asc", "desc")
+    n <- Gen.choose(1, 120)
+  } yield (
+    s"select c_custkey, $col from customer order by $col $dir " +
+      s"fetch first $n rows with ties",
+    s"select c_custkey, $col from (select c_custkey, $col, " +
+      s"rank() over (order by $col $dir) as rk from customer) t " +
+      s"where rk <= $n")
+
+  test("25 random WITH TIES queries match the rank filter") {
+    Gen.listOfN(25, genTies).pureApply(Gen.Parameters.default, Seed(92L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
+  // IGNORE NULLS: the DuckDB inside-parens position must mean exactly
+  // what spark.sql's standard after-parens spelling means
+  private val genIgnoreNulls: Gen[(String, String)] = for {
+    fn <- Gen.oneOf("lag", "lead")
+    off <- Gen.choose(1, 3)
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    mod <- Gen.choose(2, 5)
+  } yield {
+    val v = s"nullif(c_custkey % $mod, 0)"
+    val spec = s"over (partition by $part order by c_custkey)"
+    (s"select c_custkey, $fn($v, $off ignore nulls) $spec as x from customer",
+     s"select c_custkey, $fn($v, $off) ignore nulls $spec as x from customer")
+  }
+
+  test("20 random IGNORE NULLS offsets match spark.sql") {
+    Gen.listOfN(20, genIgnoreNulls)
+      .pureApply(Gen.Parameters.default, Seed(93L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
+  // ordered-set string_agg vs the collect_list/array_sort formulation
+  private val genOrderedAgg: Gen[(String, String)] = for {
+    sep <- Gen.oneOf(",", "|", ";")
+    asc <- Gen.oneOf(true, false)
+    key <- Gen.oneOf("c_nationkey", "c_mktsegment")
+  } yield {
+    val dir = if (asc) "" else " desc"
+    val inner = "array_sort(collect_list(struct(c_custkey, c_name)))"
+    val ordered = if (asc) inner else s"reverse($inner)"
+    (s"select $key, string_agg(c_name, '$sep' order by c_custkey$dir) as s " +
+       s"from customer group by $key",
+     s"select $key, array_join(transform($ordered, t -> t.c_name), '$sep') " +
+       s"as s from customer group by $key")
+  }
+
+  test("12 random ordered string_agg queries match the sort formulation") {
+    Gen.listOfN(12, genOrderedAgg)
+      .pureApply(Gen.Parameters.default, Seed(94L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
+  // PIVOT ≡ its conditional-aggregation expansion for every aggregate
+  private val genPivotPair: Gen[(String, String)] = for {
+    agg <- Gen.oneOf("sum(l_quantity)", "min(l_quantity)",
+      "max(l_quantity)", "round(avg(l_quantity), 4)")
+    flip <- Gen.oneOf(true, false)
+  } yield {
+    val (v1, v2) = if (flip) ("O", "F") else ("F", "O")
+    def cell(v: String) =
+      agg.replace("l_quantity", s"case when l_linestatus = '$v' then l_quantity end")
+    (s"select * from (select l_returnflag, l_linestatus, l_quantity " +
+       s"from lineitem) pivot ($agg for l_linestatus in ('$v1' as a, '$v2' as b))",
+     s"select l_returnflag, ${cell(v1)} as a, ${cell(v2)} as b " +
+       s"from lineitem group by l_returnflag")
+  }
+
+  test("8 random pivots match conditional aggregation") {
+    Gen.listOfN(8, genPivotPair)
+      .pureApply(Gen.Parameters.default, Seed(95L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
+  // UNNEST ≡ explode over regex-safe separators
+  private val genUnnest: Gen[(String, String)] = for {
+    sep <- Gen.oneOf(" ", "a", "e")
+    k <- Gen.choose(5, 30)
+  } yield (
+    s"select doc_id, unnest(string_split(text, '$sep')) as t " +
+      s"from documents where doc_id % $k = 0",
+    s"select doc_id, explode(split(text, '$sep')) as t " +
+      s"from documents where doc_id % $k = 0")
+
+  test("10 random unnests match explode") {
+    Gen.listOfN(10, genUnnest)
+      .pureApply(Gen.Parameters.default, Seed(96L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
 }
