@@ -37,6 +37,14 @@ final class Graft(val spark: SparkSession) {
   /** Parse + translate SQL to a lazy DataFrame. */
   def query(sqlText: String): DataFrame =
     new Translator(lookup, spark).translate(Parser.parse(sqlText))
+
+  /** Formatted physical plan of `sqlText` — the plan-inspection
+    * surface (`.explain("formatted")` for a query without executing
+    * it): scans with PushedFilters/ReadSchema, exchanges, join
+    * strategies, codegen stages. */
+  def explain(sqlText: String): String =
+    query(sqlText).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 }
 
 object Graft {

@@ -786,6 +786,14 @@ object SparkEntry {
   )
 
   private val sharedSqlWindowExt: Seq[(String, String)] = Seq(
+    // RANGE frames with VALUE offsets (r5): the peers window is a
+    // numeric band around the current row's order value
+    "q_window_range" ->
+      """select l_orderkey, l_linenumber,
+           round(sum(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             range between 100 preceding and 100 following), 2) as band_qty
+         from lineitem""",
     // graft window-function extensions (lead/lag/row_number) — same
     // text runs in DuckDB; l_extendedprice is tie-free per order
     "q_window_lead" ->

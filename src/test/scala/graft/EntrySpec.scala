@@ -14,4 +14,11 @@ class EntrySpec extends SparkTestBase {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("explain returns the formatted physical plan without executing") {
+    val plan = graftSession.explain(
+      "select l_orderkey from lineitem where l_quantity > 45")
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("Scan parquet"), plan.take(500))
+  }
 }
