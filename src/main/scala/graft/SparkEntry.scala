@@ -385,6 +385,18 @@ object SparkEntry {
                 wo as (partition by c_nationkey
                        order by c_acctbal desc, c_custkey),
                 w3 as (wo rows between 1 preceding and current row)""",
+    // LATERAL correlated aggregate derived tables (r5): the
+    // multi-column scalar-subquery generalization, decorrelated to
+    // one grouped aggregation + null-safe tuple join (never per-row
+    // re-execution); COUNT over empty correlation groups reads 0
+    "q_lateral" ->
+      """select c.c_custkey, o.n_orders, o.total, o.biggest
+         from customer c
+         cross join lateral (
+           select count(*) as n_orders,
+                  round(sum(o_totalprice), 2) as total,
+                  max(o_totalprice) as biggest
+           from orders where orders.o_custkey = c.c_custkey) o""",
     // IGNORE NULLS window functions (r5, standard <null treatment>;
     // DuckDB's inside-parens position is the shared spelling, the
     // standard after-parens form also parses). nullif plants NULLs

@@ -158,6 +158,14 @@ object Ast {
   final case class NaturalJoinRel(left: Relation, right: Relation,
                                   joinType: String) extends Relation
 
+  /** [CROSS] JOIN LATERAL (SELECT aggs ... WHERE inner.k = outer.k)
+    * alias (r5) — the correlated aggregate derived table. Restricted
+    * to aggregate subqueries (exactly one row per outer row), which
+    * makes CROSS/INNER/LEFT forms equivalent; lowered by grouped
+    * decorrelation, never per-row re-execution. */
+  final case class LateralRel(left: Relation, sub: SetExpr,
+                              alias: String) extends Relation
+
   /** FROM ... PIVOT (agg FOR col IN (v [AS name], ...)) (r5).
     * Implicit group-by: every column the aggregate and the FOR column
     * don't use (Spark SQL / Snowflake semantics). */

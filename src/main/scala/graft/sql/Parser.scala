@@ -29,7 +29,7 @@ final class Parser(tokens: Vector[Token]) {
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
     "unbounded", "current", "row", "using", "window", "with", "qualify",
-    "natural", "semi", "anti", "pivot", "unpivot", "fetch")
+    "natural", "semi", "anti", "pivot", "unpivot", "fetch", "lateral")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -422,12 +422,34 @@ final class Parser(tokens: Vector[Token]) {
   // ---- FROM / joins (sql.lark:28-38) --------------------------------
   private def parseFrom(): Relation = {
     var left = parseJoinChain()
-    // comma-separated FROM list = implicit cross join (test_select.py:60)
+    // comma-separated FROM list = implicit cross join (test_select.py:60);
+    // `, lateral (select ...)` is the correlated form (r5)
     while (eatOp(",")) {
-      val right = parseJoinChain()
-      left = JoinRel(left, right, "cross", None)
+      if (atKw("lateral")) left = parseLateral(left)
+      else left = JoinRel(left, parseJoinChain(), "cross", None)
     }
     left
+  }
+
+  /** LATERAL (SELECT ...) alias (r5) — after a comma or a join
+    * keyword; an ON clause (for JOIN spellings) must be literal TRUE
+    * (the aggregate-subquery restriction makes any other condition
+    * ill-defined — correlate inside the subquery instead). */
+  private def parseLateral(left: Relation): Relation = {
+    expectKw("lateral")
+    expectOp("(")
+    val sub = parseSetExpr()
+    expectOp(")")
+    val alias = parseOptionalAlias().getOrElse(
+      fail("LATERAL subquery requires an alias"))
+    if (eatKw("on")) {
+      parseExpr() match {
+        case BoolLit(true) => ()
+        case other => fail(s"LATERAL join ON must be TRUE, got $other " +
+          "(correlate inside the subquery)")
+      }
+    }
+    LateralRel(left, sub, alias)
   }
 
   private def parseJoinChain(): Relation = {
@@ -436,7 +458,8 @@ final class Parser(tokens: Vector[Token]) {
     while (continue) {
       if (atKw("cross")) {
         pos += 1; expectKw("join")
-        left = JoinRel(left, parseRelationPrimary(), "cross", None)
+        if (atKw("lateral")) left = parseLateral(left)
+        else left = JoinRel(left, parseRelationPrimary(), "cross", None)
       } else if (atKw("natural")) {
         // NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN (r5)
         pos += 1
@@ -468,6 +491,10 @@ final class Parser(tokens: Vector[Token]) {
         jt match {
           case Some(t) =>
             expectKw("join")
+            if (atKw("lateral") && (t == "inner" || t == "left")) {
+              left = parseLateral(left)
+              // continue the join chain from the lateral result
+            } else {
             val right = parseRelationPrimary()
             if (eatKw("using")) {
               // JOIN ... USING (a, b) — graft dialect extension
@@ -480,6 +507,7 @@ final class Parser(tokens: Vector[Token]) {
             } else {
               val on = if (eatKw("on")) Some(parseExpr()) else None
               left = JoinRel(left, right, t, on)
+            }
             }
           case None => continue = false
         }

@@ -126,6 +126,7 @@ final class Translator(catalog: String => DataFrame,
       case NaturalJoinRel(l, r2, _) => inRel(l) || inRel(r2)
       case PivotRel(rel, _, _, _) => inRel(rel)
       case UnpivotRel(rel, _, _, _) => inRel(rel)
+      case LateralRel(l2, s2, _) => inRel(l2) || inSet(s2)
       case AliasedRel(rel, _) => inRel(rel)
     }
     def inSet(s: SetExpr): Boolean = s match {
@@ -380,6 +381,8 @@ final class Translator(catalog: String => DataFrame,
       if (common.isEmpty)
         fail("NATURAL JOIN requires at least one common column name")
       lf.join(rf, common.toSeq, sparkJoinType(jt))
+    case LateralRel(l, sub, alias) =>
+      translateLateral(l, sub, alias)
     case PivotRel(rel, agg, forCol, values) =>
       // Spark SQL / Snowflake semantics: implicit group-by = every
       // column the aggregate and the FOR column don't reference; one
@@ -451,6 +454,100 @@ final class Translator(catalog: String => DataFrame,
             case None => fail(s"$t JOIN requires ON condition")
           }
       }
+  }
+
+  /** LATERAL (r5): correlated aggregate derived tables —
+    * `cross join lateral (select count(*) n, sum(x) s from t where
+    * t.k = outer.k) a` — the multi-column generalization of the
+    * correlated scalar subquery. Restricted to aggregate subqueries
+    * (no GROUP BY/HAVING/DISTINCT/ORDER/LIMIT, every item aggregates,
+    * correlation by equality conjuncts), which guarantees exactly one
+    * lateral row per outer row and makes CROSS/INNER/LEFT spellings
+    * equivalent.
+    *
+    * Lowering (never per-row re-execution): the inner relation groups
+    * by the correlation keys ONCE; the outer's distinct key tuples
+    * left-join those groups (missing groups read NULL, bare COUNTs
+    * coalesce to 0 — aggregate-over-empty semantics); item
+    * expressions project under the lateral alias; the outer frame
+    * then joins back NULL-SAFELY on the key tuple — one narrow key
+    * shuffle for the aggregation plus one equi-join, the same scale
+    * shape as the scalar decorrelation. */
+  private def translateLateral(l: Relation, sub: SetExpr,
+                               alias: String): DataFrame = {
+    val lf = translateRelation(l)
+    val outerAliases = relationAliases(l)
+    val q = sub match {
+      case Leaf(q0) => q0
+      case _ => fail("LATERAL supports a single SELECT subquery")
+    }
+    if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+        q.sel.qualify.isDefined || q.sel.distinct ||
+        q.sel.distinctOn.nonEmpty || q.sel.groupSets.nonEmpty ||
+        q.orderBy.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
+      fail("LATERAL subqueries support plain aggregate SELECTs only " +
+        "(no GROUP BY/HAVING/DISTINCT/ORDER/LIMIT)")
+    if (q.sel.items.isEmpty || !q.sel.items.forall(i => containsAgg(i.e)))
+      fail("every LATERAL select item must aggregate " +
+        "(the per-outer-row top-k form is not supported)")
+    val outerOnly = outerAliases -- relationAliases(q.sel.from)
+    val conjs = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+    val (corr, local) = conjs.partition(refersToAliases(_, outerOnly))
+    val keyPairs = corr.map { // (inner expr, outer expr)
+      case Cmp("=", a, b)
+          if refersToAliases(b, outerOnly) && !refersToAliases(a, outerOnly) =>
+        (a, b)
+      case Cmp("=", a, b)
+          if refersToAliases(a, outerOnly) && !refersToAliases(b, outerOnly) =>
+        (b, a)
+      case other => fail("LATERAL correlation must be equality " +
+        s"conjuncts between inner and outer columns, got $other")
+    }
+    var inner = translateRelation(q.sel.from)
+    local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
+    val keyNames = keyPairs.indices.map(i => s"__lat_k$i")
+    var aggs = Vector.empty[(String, AggExpr)]
+    def aggRef(a: AggExpr): String =
+      aggs.find(_._2 == a).map(_._1).getOrElse {
+        val nn = s"__lat_a${aggs.size}"
+        aggs :+= (nn -> a); nn
+      }
+    val items = q.sel.items.map { item =>
+      val rewritten = Ast.transformUp(item.e) {
+        case a: AggExpr if a.window.isEmpty =>
+          val n = aggRef(a)
+          if (a.func == "count") Coalesce(Seq(ColRef(None, n), NumLit("0")))
+          else ColRef(None, n)
+      }
+      val name = item.alias.getOrElse(defaultName(item.e, inner))
+      (rewritten, name)
+    }
+    val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
+    val grouped =
+      if (keyPairs.isEmpty) inner.agg(aggCols.head, aggCols.tail: _*)
+      else inner.groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+          exprToCol(ik, None).as(n) }: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    if (keyPairs.isEmpty) {
+      // uncorrelated: a global aggregate is ONE row — broadcast it
+      val lat = grouped.select(items.map { case (e, n) =>
+        exprToCol(e, None).as(n) }: _*).alias(alias.toLowerCase)
+      lf.crossJoin(F.broadcast(lat))
+    } else {
+      // every outer key tuple gets a row (missing groups filled here,
+      // so COUNT coalesces apply BEFORE aliasing and qualified refs
+      // a.col keep working), then join back null-safely on the tuple
+      val outerKeys = lf.select(keyPairs.zip(keyNames).map {
+        case ((_, oe), n) => exprToCol(oe, None).as(n) }: _*).distinct()
+      val filled = outerKeys.join(grouped, keyNames.toSeq, "left_outer")
+      val lat = filled.select((keyNames.map(F.col) ++ items.map {
+        case (e, n) => exprToCol(e, None).as(n) }): _*)
+        .alias(alias.toLowerCase)
+      val cond = keyPairs.zip(keyNames).map { case ((_, oe), n) =>
+        exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
+      }.reduce(_ && _)
+      lf.join(lat, cond, "inner").drop(keyNames: _*)
+    }
   }
 
   /** Lowers a PIVOT aggregate expression — an expression tree over
@@ -1671,6 +1768,7 @@ final class Translator(catalog: String => DataFrame,
     case NaturalJoinRel(l, rr, _) => relationAliases(l) ++ relationAliases(rr)
     case PivotRel(rel, _, _, _) => relationAliases(rel)
     case UnpivotRel(rel, _, _, _) => relationAliases(rel)
+    case LateralRel(l, _, a) => relationAliases(l) + a.toLowerCase
   }
 
   /** Top-level AND conjuncts of a predicate tree. */
