@@ -580,6 +580,15 @@ object SparkEntry {
            array_agg(c_custkey order by c_acctbal desc, c_custkey) as top_ids
          from customer
          where c_acctbal > 9900 group by c_mktsegment""",
+    // WITHIN GROUP percentiles (r5, standard ordered-set syntax):
+    // percentile_cont interpolates (≡ DuckDB quantile_cont),
+    // percentile_disc picks the smallest value at cum-dist >= f
+    "q_agg_within_group" ->
+      """select l_returnflag,
+           round(percentile_cont(0.5) within group (order by l_quantity), 4) as p50,
+           round(percentile_cont(0.95) within group (order by l_quantity), 4) as p95,
+           percentile_disc(0.25) within group (order by l_quantity) as p25d
+         from lineitem group by l_returnflag""",
     // GROUPING() disambiguates rolled-up NULL keys from data NULLs
     "q_grouping_fn" ->
       """select l_returnflag, l_linestatus,

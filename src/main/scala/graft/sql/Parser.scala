@@ -796,6 +796,8 @@ final class Parser(tokens: Vector[Token]) {
     "min_by" -> "min_by", "arg_min" -> "min_by",
     "string_agg" -> "string_agg", "listagg" -> "string_agg",
     "array_agg" -> "array_agg",
+    "percentile_cont" -> "percentile_cont",
+    "percentile_disc" -> "percentile_disc",
     "grouping" -> "grouping")
 
   private def parsePrimary(): Expr = {
@@ -965,13 +967,33 @@ final class Parser(tokens: Vector[Token]) {
               if (eatKw("order")) { expectKw("by"); parseOrderList() }
               else Nil
             expectOp(")")
+            val canon = aggFuncs(f)
+            // WITHIN GROUP (ORDER BY x) — standard ordered-set
+            // aggregate syntax (r5): the fraction rides as the CALL
+            // argument, the aggregated column comes from the ORDER BY
+            if (atKw("within")) {
+              pos += 1; expectKw("group"); expectOp("(")
+              expectKw("order"); expectKw("by")
+              val wo = parseOrderList()
+              expectOp(")")
+              if (canon != "percentile_cont" && canon != "percentile_disc")
+                fail(s"WITHIN GROUP is not supported on $f")
+              if (extras.result().nonEmpty || aggOrder.nonEmpty || distinct)
+                fail(s"$f takes one fraction argument and WITHIN GROUP")
+              if (atKw("filter"))
+                fail("FILTER is not supported with WITHIN GROUP")
+              val win = if (eatKw("over")) Some(parseOverSpec()) else None
+              return AggExpr(canon, distinct = false,
+                wo.head.e, win, Seq(arg0), wo)
+            }
+            if (canon == "percentile_cont" || canon == "percentile_disc")
+              fail(s"$f requires WITHIN GROUP (ORDER BY x)")
             // agg(...) FILTER (WHERE pred) — graft dialect extension
             // (standard SQL / DuckDB / Spark SQL). Lowers by CASE-
             // wrapping the argument: NULLs are invisible to every
             // aggregate (including DISTINCT forms and COUNT), which
             // is exactly FILTER's semantics; COUNT(*) counts a
             // non-null literal instead.
-            val canon = aggFuncs(f)
             val arg =
               if (atKw("filter") && isOpAt(pos + 1, "(")) {
                 pos += 1; expectOp("("); expectKw("where")

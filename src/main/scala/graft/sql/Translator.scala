@@ -2497,6 +2497,20 @@ final class Translator(catalog: String => DataFrame,
         F.call_function(f, arg, lower(a.extraArgs.head))
       case f @ ("string_agg" | "array_agg") =>
         orderedSetAgg(a, arg, lower)
+      // WITHIN GROUP percentiles (r5): arg is the ORDER BY column,
+      // extraArgs.head the fraction. percentile_cont ≡ Spark's exact
+      // interpolating `percentile` (≡ DuckDB quantile_cont, already
+      // oracle-pinned by q_text_stats); percentile_disc is Spark's
+      // own PercentileDisc. Descending or multi-key WITHIN GROUP
+      // has no Spark lowering — loud.
+      case f @ ("percentile_cont" | "percentile_disc") =>
+        if (a.aggOrder.length != 1 || !a.aggOrder.head.asc ||
+            a.aggOrder.head.nullsFirst.isDefined)
+          fail(s"$f supports WITHIN GROUP (ORDER BY x) with a single " +
+            "ascending key only")
+        val frac = lower(a.extraArgs.head)
+        if (f == "percentile_cont") F.call_function("percentile", arg, frac)
+        else org.apache.spark.sql.GraftFn.percentileDisc(arg, frac)
       case other      => fail(s"unknown aggregate $other")
     }
   }

@@ -9,4 +9,15 @@ package org.apache.spark.sql
 object GraftFn {
   def distinctAgg(name: String, cols: Column*): Column =
     Column.fn(name, isDistinct = true, cols: _*)
+
+  /** PERCENTILE_DISC(f) WITHIN GROUP (ORDER BY x): the registry entry
+    * only accepts the parser's WITHIN GROUP route (its builder takes
+    * the fraction alone and reads the sort from the parse tree), so
+    * the Catalyst aggregate is constructed directly. */
+  def percentileDisc(sortCol: Column, frac: Column): Column =
+    classic.ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc(
+        classic.ExpressionUtils.expression(sortCol),
+        classic.ExpressionUtils.expression(frac))
+        .toAggregateExpression())
 }

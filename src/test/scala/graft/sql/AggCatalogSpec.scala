@@ -126,4 +126,28 @@ class AggCatalogSpec extends SparkTestBase {
       "select string_agg(c_name, c_name order by c_custkey) from customer"))
     assert(e4.getMessage.contains("literal"))
   }
+
+  test("WITHIN GROUP percentiles match spark.sql's forms") {
+    checkTranslated(
+      """select l_returnflag,
+           percentile_cont(0.5) within group (order by l_quantity) as p50,
+           percentile_disc(0.25) within group (order by l_quantity) as p25
+         from lineitem group by l_returnflag""",
+      """select l_returnflag,
+           percentile(l_quantity, 0.5) as p50,
+           percentile_disc(0.25) within group (order by l_quantity) as p25
+         from lineitem group by l_returnflag""")
+  }
+
+  test("WITHIN GROUP restrictions are loud") {
+    val e = intercept[RuntimeException](graftSession.query(
+      "select percentile_cont(0.5) from lineitem"))
+    assert(e.getMessage.contains("WITHIN GROUP"))
+    val e2 = intercept[RuntimeException](graftSession.query(
+      "select percentile_cont(0.5) within group (order by l_quantity desc) from lineitem"))
+    assert(e2.getMessage.contains("ascending"))
+    val e3 = intercept[RuntimeException](graftSession.query(
+      "select sum(l_quantity) within group (order by l_quantity) from lineitem"))
+    assert(e3.getMessage.contains("WITHIN GROUP"))
+  }
 }
