@@ -397,6 +397,26 @@ object SparkEntry {
                   round(sum(o_totalprice), 2) as total,
                   max(o_totalprice) as biggest
            from orders where orders.o_custkey = c.c_custkey) o""",
+    // LATERAL top-n (r5b): each customer's 2 biggest orders — ONE
+    // row_number window on the correlation key + one equi-join, never
+    // per-row re-execution (the unique o_orderkey tiebreak makes the
+    // result deterministic across engines)
+    "q_lateral_topn" ->
+      """select c.c_custkey, t.o_orderkey, t.o_totalprice
+         from customer c
+         cross join lateral (
+           select o_orderkey, o_totalprice from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 2) t""",
+    // LEFT JOIN LATERAL: customers with no orders survive with NULLs
+    // (the one place the INNER/LEFT lateral spelling matters)
+    "q_lateral_topn_left" ->
+      """select c.c_custkey, t.o_orderkey
+         from customer c
+         left join lateral (
+           select o_orderkey from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 1) t on true""",
     // IGNORE NULLS window functions (r5, standard <null treatment>;
     // DuckDB's inside-parens position is the shared spelling, the
     // standard after-parens form also parses). nullif plants NULLs

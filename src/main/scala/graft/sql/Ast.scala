@@ -158,13 +158,20 @@ object Ast {
   final case class NaturalJoinRel(left: Relation, right: Relation,
                                   joinType: String) extends Relation
 
-  /** [CROSS] JOIN LATERAL (SELECT aggs ... WHERE inner.k = outer.k)
-    * alias (r5) — the correlated aggregate derived table. Restricted
-    * to aggregate subqueries (exactly one row per outer row), which
-    * makes CROSS/INNER/LEFT forms equivalent; lowered by grouped
-    * decorrelation, never per-row re-execution. */
+  /** [CROSS] JOIN LATERAL (SELECT ... WHERE inner.k = outer.k) alias
+    * (r5) — correlated derived tables in two restricted forms, both
+    * decorrelated (never per-row re-execution):
+    *  - aggregate subqueries (exactly one row per outer row, so
+    *    CROSS/INNER/LEFT spellings are equivalent) — grouped
+    *    decorrelation;
+    *  - top-n subqueries (`ORDER BY ... LIMIT n`, plain items) —
+    *    row_number window partitioned by the correlation keys.
+    * `kind` distinguishes INNER (CROSS/INNER/comma spellings) from
+    * LEFT JOIN LATERAL ... ON TRUE, which differ only for top-n
+    * (outer rows with no inner rows survive with NULLs). */
   final case class LateralRel(left: Relation, sub: SetExpr,
-                              alias: String) extends Relation
+                              alias: String,
+                              kind: String = "inner") extends Relation
 
   /** FROM ... PIVOT (agg FOR col IN (v [AS name], ...)) (r5).
     * Implicit group-by: every column the aggregate and the FOR column

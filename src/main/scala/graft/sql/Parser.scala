@@ -433,9 +433,10 @@ final class Parser(tokens: Vector[Token]) {
 
   /** LATERAL (SELECT ...) alias (r5) — after a comma or a join
     * keyword; an ON clause (for JOIN spellings) must be literal TRUE
-    * (the aggregate-subquery restriction makes any other condition
-    * ill-defined — correlate inside the subquery instead). */
-  private def parseLateral(left: Relation): Relation = {
+    * (correlation lives inside the subquery). `kind` records the
+    * INNER vs LEFT spelling — they differ only for the top-n form. */
+  private def parseLateral(left: Relation,
+                           kind: String = "inner"): Relation = {
     expectKw("lateral")
     expectOp("(")
     val sub = parseSetExpr()
@@ -449,7 +450,7 @@ final class Parser(tokens: Vector[Token]) {
           "(correlate inside the subquery)")
       }
     }
-    LateralRel(left, sub, alias)
+    LateralRel(left, sub, alias, kind)
   }
 
   private def parseJoinChain(): Relation = {
@@ -492,7 +493,7 @@ final class Parser(tokens: Vector[Token]) {
           case Some(t) =>
             expectKw("join")
             if (atKw("lateral") && (t == "inner" || t == "left")) {
-              left = parseLateral(left)
+              left = parseLateral(left, t)
               // continue the join chain from the lateral result
             } else {
             val right = parseRelationPrimary()

@@ -126,7 +126,7 @@ final class Translator(catalog: String => DataFrame,
       case NaturalJoinRel(l, r2, _) => inRel(l) || inRel(r2)
       case PivotRel(rel, _, _, _) => inRel(rel)
       case UnpivotRel(rel, _, _, _) => inRel(rel)
-      case LateralRel(l2, s2, _) => inRel(l2) || inSet(s2)
+      case LateralRel(l2, s2, _, _) => inRel(l2) || inSet(s2)
       case AliasedRel(rel, _) => inRel(rel)
     }
     def inSet(s: SetExpr): Boolean = s match {
@@ -381,8 +381,8 @@ final class Translator(catalog: String => DataFrame,
       if (common.isEmpty)
         fail("NATURAL JOIN requires at least one common column name")
       lf.join(rf, common.toSeq, sparkJoinType(jt))
-    case LateralRel(l, sub, alias) =>
-      translateLateral(l, sub, alias)
+    case LateralRel(l, sub, alias, kind) =>
+      translateLateral(l, sub, alias, kind)
     case PivotRel(rel, agg, forCol, values) =>
       // Spark SQL / Snowflake semantics: implicit group-by = every
       // column the aggregate and the FOR column don't reference; one
@@ -474,22 +474,32 @@ final class Translator(catalog: String => DataFrame,
     * shuffle for the aggregation plus one equi-join, the same scale
     * shape as the scalar decorrelation. */
   private def translateLateral(l: Relation, sub: SetExpr,
-                               alias: String): DataFrame = {
-    val lf = translateRelation(l)
-    val outerAliases = relationAliases(l)
+                               alias: String, kind: String): DataFrame = {
     val q = sub match {
       case Leaf(q0) => q0
       case _ => fail("LATERAL supports a single SELECT subquery")
     }
     if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
         q.sel.qualify.isDefined || q.sel.distinct ||
-        q.sel.distinctOn.nonEmpty || q.sel.groupSets.nonEmpty ||
-        q.orderBy.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
-      fail("LATERAL subqueries support plain aggregate SELECTs only " +
-        "(no GROUP BY/HAVING/DISTINCT/ORDER/LIMIT)")
+        q.sel.distinctOn.nonEmpty || q.sel.groupSets.nonEmpty)
+      fail("LATERAL subqueries take no GROUP BY/HAVING/DISTINCT/QUALIFY " +
+        "(aggregate over the correlation, or use the top-n form)")
+    if (q.sel.items.nonEmpty && q.sel.items.exists(i => containsAgg(i.e)))
+      translateLateralAgg(l, q, alias)
+    else
+      translateLateralTopN(l, q, alias, kind)
+  }
+
+  private def translateLateralAgg(l: Relation, q: Query,
+                                  alias: String): DataFrame = {
+    val lf = translateRelation(l)
+    val outerAliases = relationAliases(l)
+    if (q.orderBy.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
+      fail("LATERAL aggregate subqueries take no ORDER BY/LIMIT " +
+        "(they yield exactly one row per outer row)")
     if (q.sel.items.isEmpty || !q.sel.items.forall(i => containsAgg(i.e)))
-      fail("every LATERAL select item must aggregate " +
-        "(the per-outer-row top-k form is not supported)")
+      fail("LATERAL select items must either all aggregate or " +
+        "(for the top-n form) none aggregate")
     val outerOnly = outerAliases -- relationAliases(q.sel.from)
     val conjs = q.sel.where.map(splitConjuncts).getOrElse(Nil)
     val (corr, local) = conjs.partition(refersToAliases(_, outerOnly))
@@ -547,6 +557,121 @@ final class Translator(catalog: String => DataFrame,
         exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
       }.reduce(_ && _)
       lf.join(lat, cond, "inner").drop(keyNames: _*)
+    }
+  }
+
+  /** LATERAL top-n (r5b): `[cross|inner|left] join lateral (select
+    * cols from t2 where t2.k = o.k order by s [desc] limit n
+    * [offset m]) a` — the per-outer-row top-k shape (latest order per
+    * customer, best k matches per query, ...).
+    *
+    * Lowering (never per-row re-execution): ONE row_number (or, for
+    * FETCH ... WITH TIES, rank) window over the inner relation
+    * partitioned by the correlation keys picks each group's rows in
+    * (offset, offset+limit]; the outer frame then equi-joins the
+    * survivors null-safely on the key tuple. One window shuffle on
+    * the correlation keys plus one equi-join — the scale-safe
+    * top-n-per-group plan (no global sort, no per-row subquery).
+    * INNER/CROSS spellings drop outer rows with no inner match; LEFT
+    * keeps them with NULL lateral columns — the one place the
+    * spelling matters. Uncorrelated subqueries are a global
+    * TakeOrdered broadcast instead. */
+  private def translateLateralTopN(l: Relation, q: Query,
+                                   alias: String,
+                                   kind: String): DataFrame = {
+    val lf = translateRelation(l)
+    val outerAliases = relationAliases(l)
+    if (q.sel.items.isEmpty)
+      fail("LATERAL subquery needs at least one select item")
+    if (q.orderBy.isEmpty || (q.limit.isEmpty && q.offset.isEmpty))
+      fail("non-aggregate LATERAL subqueries require ORDER BY ... " +
+        "LIMIT n (the deterministic top-n-per-outer-row form)")
+    if (q.fetchTies && q.offset.exists(_ > 0))
+      fail("LATERAL FETCH ... WITH TIES cannot combine with OFFSET")
+    if (q.sel.items.exists(i => containsWindow(i.e)) ||
+        q.orderBy.exists(oi => containsWindow(oi.e)))
+      fail("window functions inside LATERAL top-n subqueries are " +
+        "unsupported (apply them outside the lateral)")
+    val outerOnly = outerAliases -- relationAliases(q.sel.from)
+    val conjs = q.sel.where.map(splitConjuncts).getOrElse(Nil)
+    val (corr, local) = conjs.partition(refersToAliases(_, outerOnly))
+    val keyPairs = corr.map { // (inner expr, outer expr)
+      case Cmp("=", a, b)
+          if refersToAliases(b, outerOnly) && !refersToAliases(a, outerOnly) =>
+        (a, b)
+      case Cmp("=", a, b)
+          if refersToAliases(a, outerOnly) && !refersToAliases(b, outerOnly) =>
+        (b, a)
+      case other => fail("LATERAL correlation must be equality " +
+        s"conjuncts between inner and outer columns, got $other")
+    }
+    var inner = translateRelation(q.sel.from)
+    local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
+    // ORDER BY sees the subquery's select aliases (and positions),
+    // falling back to inner columns — evaluated PRE-projection so
+    // unprojected sort keys work too
+    val aliasMap = q.sel.items.flatMap(i =>
+      i.alias.map(a => a.toLowerCase -> i.e)).toMap
+    def resolveSort(e: Expr): Expr = e match {
+      case Star(_) => fail("ORDER BY ALL is unsupported inside LATERAL")
+      case NumLit(t) if t.forall(_.isDigit) =>
+        val i = t.toInt
+        if (i < 1 || i > q.sel.items.length)
+          fail(s"LATERAL ORDER BY position $i out of range")
+        q.sel.items(i - 1).e
+      case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
+        aliasMap(n.toLowerCase)
+      case other => other
+    }
+    val sortCols = q.orderBy.map(oi =>
+      orderedCol(exprToCol(resolveSort(oi.e), None), oi))
+    // items project under the lateral alias; a bare * expands to the
+    // inner relation's columns (qualified stars: alias-qualify refs)
+    val items: Seq[(Expr, String)] = q.sel.items.flatMap { item =>
+      item.e match {
+        case Star(None) =>
+          inner.columns.toSeq.map(c => (ColRef(None, c): Expr, c))
+        case Star(Some(_)) =>
+          fail("qualified stars inside LATERAL are unsupported " +
+            "(use a bare * or name the columns)")
+        case e => Seq((e, item.alias.getOrElse(defaultName(e, inner))))
+      }
+    }
+    val off = q.offset.getOrElse(0L)
+    if (keyPairs.isEmpty) {
+      // uncorrelated: a global top-n is tiny — TakeOrdered + broadcast
+      var lat0 = inner.orderBy(sortCols: _*)
+      if (off > 0) lat0 = lat0.offset(off.toInt)
+      q.limit.foreach(n => lat0 = lat0.limit(n.toInt))
+      val lat = lat0.select(items.map { case (e, n) =>
+        exprToCol(e, None).as(n) }: _*).alias(alias.toLowerCase)
+      if (kind == "left") lf.join(F.broadcast(lat), F.lit(true), "left_outer")
+      else lf.crossJoin(F.broadcast(lat))
+    } else {
+      val keyNames = keyPairs.indices.map(i => s"__lat_k$i")
+      val w = Window
+        .partitionBy(keyPairs.map(kp => exprToCol(kp._1, None)): _*)
+        .orderBy(sortCols: _*)
+      val rn = (if (q.fetchTies) F.rank() else F.row_number()).over(w)
+      // filter on the MATERIALIZED rank column — filtering on the
+      // window expression post-select would re-plan the window over
+      // the projected frame, whose partition keys may be dropped
+      var keep = F.col("__lat_rn") > F.lit(off)
+      q.limit.foreach(n => keep = keep && F.col("__lat_rn") <= F.lit(off + n))
+      val lat = inner
+        .select((keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+          exprToCol(ik, None).as(n) } ++
+          items.map { case (e, n) => exprToCol(e, None).as(n) } :+
+          rn.as("__lat_rn")): _*)
+        .filter(keep).drop("__lat_rn")
+        .alias(alias.toLowerCase)
+      val cond = keyPairs.zip(keyNames).map { case ((_, oe), n) =>
+        exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
+      }.reduce(_ && _)
+      val joined =
+        if (kind == "left") lf.join(lat, cond, "left_outer")
+        else lf.join(lat, cond, "inner")
+      joined.drop(keyNames: _*)
     }
   }
 
@@ -1768,7 +1893,7 @@ final class Translator(catalog: String => DataFrame,
     case NaturalJoinRel(l, rr, _) => relationAliases(l) ++ relationAliases(rr)
     case PivotRel(rel, _, _, _) => relationAliases(rel)
     case UnpivotRel(rel, _, _, _) => relationAliases(rel)
-    case LateralRel(l, _, a) => relationAliases(l) + a.toLowerCase
+    case LateralRel(l, _, a, _) => relationAliases(l) + a.toLowerCase
   }
 
   /** Top-level AND conjuncts of a predicate tree. */

@@ -56,6 +56,114 @@ class LateralSpec extends SparkTestBase {
              and o_totalprice > 1000) o""")
   }
 
+  // ---- top-n form (r5b): ORDER BY ... LIMIT inside LATERAL --------
+
+  test("cross join lateral top-n picks each customer's biggest orders") {
+    checkAgainstSparkSql(
+      """select c.c_custkey, t.o_orderkey, t.o_totalprice
+         from customer c
+         cross join lateral (
+           select o_orderkey, o_totalprice from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 2) t""")
+  }
+
+  test("left join lateral keeps customers with no orders") {
+    checkAgainstSparkSql(
+      """select c.c_custkey, t.o_orderkey
+         from customer c
+         left join lateral (
+           select o_orderkey from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 1) t on true""")
+  }
+
+  test("lateral top-n with offset skips each group's leader") {
+    checkAgainstSparkSql(
+      """select c.c_custkey, t.o_orderkey
+         from customer c
+         cross join lateral (
+           select o_orderkey from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 2 offset 1) t""")
+  }
+
+  test("lateral top-n sorts by unprojected keys and select aliases") {
+    checkAgainstSparkSql(
+      """select c.c_custkey, t.k from customer c
+         cross join lateral (
+           select o_orderkey as k from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 1) t""")
+    // alias as the sort key
+    checkTranslated(
+      """select c.c_custkey, t.p from customer c
+         cross join lateral (
+           select o_totalprice as p from orders
+           where orders.o_custkey = c.c_custkey
+           order by p desc, o_orderkey limit 1) t""",
+      """select c.c_custkey, t.p from customer c
+         cross join lateral (
+           select o_totalprice as p from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc, o_orderkey limit 1) t""")
+  }
+
+  test("lateral top-n bare star expands the inner columns") {
+    checkAgainstSparkSql(
+      """select n.n_name, t.s_name, t.s_acctbal
+         from nation n
+         cross join lateral (
+           select * from supplier
+           where supplier.s_nationkey = n.n_nationkey
+           order by s_acctbal desc, s_suppkey limit 1) t""")
+  }
+
+  test("lateral fetch first with ties keeps tied rows per group") {
+    // graft dialect: FETCH ... WITH TIES inside LATERAL = rank() <= n
+    assertSameRows(
+      graftSession.query(
+        """select c.c_nationkey, t.seg from customer c
+           cross join lateral (
+             select c_mktsegment as seg from customer c2
+             where c2.c_nationkey = c.c_nationkey
+             order by c_mktsegment
+             fetch first 1 rows with ties) t"""),
+      spark.sql(
+        """select c.c_nationkey, t.seg from customer c
+           cross join lateral (
+             select c_mktsegment as seg from
+               (select c_mktsegment,
+                       rank() over (partition by c_nationkey
+                                    order by c_mktsegment) rnk
+                from customer c2 where c2.c_nationkey = c.c_nationkey)
+             where rnk <= 1) t"""))
+  }
+
+  test("uncorrelated lateral top-n broadcasts the global top rows") {
+    checkAgainstSparkSql(
+      """select r.r_name, t.n_name from region r
+         cross join lateral (
+           select n_name from nation order by n_name limit 2) t""")
+  }
+
+  test("lateral top-n restrictions are loud") {
+    val e1 = intercept[RuntimeException](graftSession.query(
+      """select c.c_custkey, t.o_orderkey from customer c
+         cross join lateral (
+           select o_orderkey from orders
+           where orders.o_custkey = c.c_custkey limit 2) t"""))
+    assert(e1.getMessage.contains("ORDER BY"))
+    val e2 = intercept[RuntimeException](graftSession.query(
+      """select c.c_custkey, t.o_orderkey from customer c
+         cross join lateral (
+           select o_orderkey from orders
+           where orders.o_custkey = c.c_custkey
+           order by o_totalprice desc
+           offset 1 rows fetch first 2 rows with ties) t"""))
+    assert(e2.getMessage.contains("TIES"))
+  }
+
   test("lateral restrictions are loud") {
     val e1 = intercept[RuntimeException](graftSession.query(
       """select c.c_custkey, o.k from customer c
