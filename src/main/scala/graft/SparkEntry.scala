@@ -888,6 +888,18 @@ object SparkEntry {
            (select c_custkey, c_nationkey,
                    rank() over (order by c_nationkey) as rk from customer) t
          where rk <= 100"""),
+    // FROM-position unnest WITH ORDINALITY (r5b, PostgreSQL form):
+    // one Generate (posexplode) over the scan, 1-based ordinality;
+    // oracle is DuckDB's zipped parallel-unnest spelling
+    ("q_unnest_from",
+      """select doc_id, t.tok, t.ord
+         from documents, unnest(string_split(lower(text), ' '))
+              with ordinality as t(tok, ord)
+         where doc_id % 40 = 0""",
+      """select doc_id,
+           unnest(string_split(lower(text), ' ')) as tok,
+           unnest(generate_series(1, len(string_split(lower(text), ' ')))) as ord
+         from documents where doc_id % 40 = 0"""),
     // UNPIVOT (r5): wide → long via one stack() projection; NULLs kept
     ("q_unpivot",
       """select c_custkey, kind, val from

@@ -173,6 +173,18 @@ object Ast {
                               alias: String,
                               kind: String = "inner") extends Relation
 
+  /** FROM-position unnest (r5b, PostgreSQL/DuckDB form):
+    * `FROM t, unnest(t.arr) [WITH ORDINALITY] [AS] u [(x [, ord])]`
+    * — one output row per array element, lowered to a Generate
+    * (explode / posexplode) over the left relation; `left` None is
+    * the uncorrelated `FROM unnest(expr)` form. `kind` "left" (LEFT
+    * JOIN unnest ... ON TRUE) keeps rows whose array is empty or
+    * NULL via explode_outer. Ordinality is 1-based. */
+  final case class UnnestRel(left: Option[Relation], arr: Expr,
+                             alias: Option[String], cols: Seq[String],
+                             ordinality: Boolean,
+                             kind: String = "inner") extends Relation
+
   /** FROM ... PIVOT (agg FOR col IN (v [AS name], ...)) (r5).
     * Implicit group-by: every column the aggregate and the FOR column
     * don't use (Spark SQL / Snowflake semantics). */

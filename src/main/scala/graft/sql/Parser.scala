@@ -423,12 +423,49 @@ final class Parser(tokens: Vector[Token]) {
   private def parseFrom(): Relation = {
     var left = parseJoinChain()
     // comma-separated FROM list = implicit cross join (test_select.py:60);
-    // `, lateral (select ...)` is the correlated form (r5)
+    // `, lateral (select ...)` and `, unnest(arr)` are the correlated
+    // forms (r5/r5b)
     while (eatOp(",")) {
       if (atKw("lateral")) left = parseLateral(left)
+      else if (atUnnest) left = parseUnnestRel(Some(left), "inner")
       else left = JoinRel(left, parseJoinChain(), "cross", None)
     }
     left
+  }
+
+  private def atUnnest: Boolean = atKw("unnest") && isOpAt(pos + 1, "(")
+
+  /** FROM-position unnest (r5b): `unnest(arr) [WITH ORDINALITY]
+    * [AS] u [(x [, ord])]` — after a comma, a join keyword, or as the
+    * sole FROM relation (`left` None). A JOIN-spelling ON clause must
+    * be literal TRUE (the element source is the row itself). */
+  private def parseUnnestRel(left: Option[Relation],
+                             kind: String): Relation = {
+    expectKw("unnest")
+    expectOp("(")
+    val arr = parseExpr()
+    expectOp(")")
+    val ord = if (eatKw("with")) { expectKw("ordinality"); true } else false
+    val alias = parseOptionalAlias()
+    val cols =
+      if (alias.isDefined && eatOp("(")) {
+        val cs = Seq.newBuilder[String]
+        var m = true
+        while (m) { cs += ident(); m = eatOp(",") }
+        expectOp(")")
+        cs.result()
+      } else Nil
+    if (cols.length > (if (ord) 2 else 1))
+      fail("unnest column list takes one name" +
+        (if (ord) " plus the ordinality column" else
+          " (two WITH ORDINALITY)"))
+    if (eatKw("on")) {
+      parseExpr() match {
+        case BoolLit(true) => ()
+        case other => fail(s"JOIN unnest(...) ON must be TRUE, got $other")
+      }
+    }
+    UnnestRel(left, arr, alias, cols, ord, kind)
   }
 
   /** LATERAL (SELECT ...) alias (r5) — after a comma or a join
@@ -460,6 +497,7 @@ final class Parser(tokens: Vector[Token]) {
       if (atKw("cross")) {
         pos += 1; expectKw("join")
         if (atKw("lateral")) left = parseLateral(left)
+        else if (atUnnest) left = parseUnnestRel(Some(left), "inner")
         else left = JoinRel(left, parseRelationPrimary(), "cross", None)
       } else if (atKw("natural")) {
         // NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN (r5)
@@ -495,6 +533,8 @@ final class Parser(tokens: Vector[Token]) {
             if (atKw("lateral") && (t == "inner" || t == "left")) {
               left = parseLateral(left, t)
               // continue the join chain from the lateral result
+            } else if (atUnnest && (t == "inner" || t == "left")) {
+              left = parseUnnestRel(Some(left), t)
             } else {
             val right = parseRelationPrimary()
             if (eatKw("using")) {
@@ -612,6 +652,9 @@ final class Parser(tokens: Vector[Token]) {
           case None    => j
         }
       }
+    } else if (atUnnest) {
+      // sole-relation unnest: FROM unnest(expr) AS t(x)
+      parseUnnestRel(None, "inner")
     } else {
       val name = ident()
       TableRef(name, parseOptionalAlias())

@@ -20,6 +20,13 @@ final class Translator(catalog: String => DataFrame,
   final case class TranslateException(msg: String) extends RuntimeException(msg)
   private def fail(msg: String): Nothing = throw TranslateException(msg)
 
+  /** Aliases of FROM-position unnests (r5b): their single column is a
+    * plain (unqualified) attribute of the exploded frame, so refs
+    * qualified by the unnest alias (`u.x`) resolve by DROPPING the
+    * qualifier. Registered when the UnnestRel translates — relations
+    * lower before the expressions that reference them. */
+  private var flatAliases: Set[String] = Set.empty
+
   def translate(e: SetExpr): DataFrame = e match {
     case Leaf(q) => translateQuery(q)
     case OrderedSet(body, orderBy, limit, offset, ties) =>
@@ -127,6 +134,7 @@ final class Translator(catalog: String => DataFrame,
       case PivotRel(rel, _, _, _) => inRel(rel)
       case UnpivotRel(rel, _, _, _) => inRel(rel)
       case LateralRel(l2, s2, _, _) => inRel(l2) || inSet(s2)
+      case UnnestRel(l2, _, _, _, _, _) => l2.exists(inRel)
       case AliasedRel(rel, _) => inRel(rel)
     }
     def inSet(s: SetExpr): Boolean = s match {
@@ -383,6 +391,37 @@ final class Translator(catalog: String => DataFrame,
       lf.join(rf, common.toSeq, sparkJoinType(jt))
     case LateralRel(l, sub, alias, kind) =>
       translateLateral(l, sub, alias, kind)
+    case UnnestRel(leftOpt, arr, alias, cols, ord, kind) =>
+      // FROM-position unnest (r5b): ONE Generate over the left frame —
+      // the array expression is inlined inside explode (never a
+      // pre-materialized column: the 13× Generate-copy trap). LEFT
+      // spelling keeps empty/NULL-array rows via explode_outer.
+      alias.foreach(a => flatAliases += a.toLowerCase)
+      val valName = cols.headOption.orElse(alias).getOrElse("unnest")
+      val arrCol = exprToCol(arr, None)
+      if (ord) {
+        val ordName = cols.lift(1).getOrElse("ordinality")
+        val g = (if (kind == "left") F.posexplode_outer(arrCol)
+                 else F.posexplode(arrCol)).as(Seq("__un_pos", valName))
+        val base = leftOpt match {
+          case Some(l) =>
+            val lf = translateRelation(l)
+            lf.select(lf.col("*"), g)
+          case None => session.range(1).select(g)
+        }
+        // WITH ORDINALITY is 1-based (PostgreSQL); posexplode is 0-based
+        base.withColumn(ordName, F.col("__un_pos") + F.lit(1L))
+          .drop("__un_pos")
+      } else {
+        val g = (if (kind == "left") F.explode_outer(arrCol)
+                 else F.explode(arrCol)).as(valName)
+        leftOpt match {
+          case Some(l) =>
+            val lf = translateRelation(l)
+            lf.select(lf.col("*"), g)
+          case None => session.range(1).select(g)
+        }
+      }
     case PivotRel(rel, agg, forCol, values) =>
       // Spark SQL / Snowflake semantics: implicit group-by = every
       // column the aggregate and the FOR column don't reference; one
@@ -1894,6 +1933,8 @@ final class Translator(catalog: String => DataFrame,
     case PivotRel(rel, _, _, _) => relationAliases(rel)
     case UnpivotRel(rel, _, _, _) => relationAliases(rel)
     case LateralRel(l, _, a, _) => relationAliases(l) + a.toLowerCase
+    case UnnestRel(l, _, a, _, _, _) =>
+      l.map(relationAliases).getOrElse(Set.empty) ++ a.map(_.toLowerCase)
   }
 
   /** Top-level AND conjuncts of a predicate tree. */
@@ -2417,6 +2458,8 @@ final class Translator(catalog: String => DataFrame,
   // ---- expression lowering ------------------------------------------
 
   def exprToCol(e: Expr, in: Option[DataFrame]): Column = e match {
+    case ColRef(Some(q), n) if flatAliases.contains(q.toLowerCase) =>
+      F.col(n)
     case ColRef(Some(q), n) => F.col(s"${q.toLowerCase}.$n")
     case ColRef(None, n)    => F.col(n)
     case Star(None)         => F.col("*")

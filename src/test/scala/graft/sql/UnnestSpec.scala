@@ -35,6 +35,75 @@ class UnnestSpec extends SparkTestBase {
          from documents where doc_id < 10""")
   }
 
+  // ---- FROM-position unnest (r5b, PostgreSQL/DuckDB form) ---------
+
+  test("from-position unnest explodes with comma and CROSS JOIN spellings") {
+    val oracle =
+      """select doc_id, tok from documents
+         lateral view explode(split(lower(text), ' ')) t as tok
+         where doc_id < 10"""
+    checkTranslated(
+      """select doc_id, t.tok
+         from documents, unnest(string_split(lower(text), ' ')) as t(tok)
+         where doc_id < 10""", oracle)
+    checkTranslated(
+      """select doc_id, tok
+         from documents cross join unnest(string_split(lower(text), ' ')) as t(tok)
+         where doc_id < 10""", oracle)
+  }
+
+  test("with ordinality numbers elements from 1") {
+    checkTranslated(
+      """select doc_id, t.tok, t.ord
+         from documents, unnest(string_split(lower(text), ' '))
+              with ordinality as t(tok, ord)
+         where doc_id < 10""",
+      """select doc_id, tok, p + 1 as ord from documents
+         lateral view posexplode(split(lower(text), ' ')) t as p, tok
+         where doc_id < 10""")
+  }
+
+  test("left join unnest keeps rows whose array is NULL") {
+    checkTranslated(
+      """select doc_id, t.tok
+         from documents
+         left join unnest(case when doc_id % 2 = 0
+                               then string_split(lower(text), ' ') end)
+           as t(tok) on true
+         where doc_id < 10""",
+      """select doc_id, tok from documents
+         lateral view outer explode(case when doc_id % 2 = 0
+                                         then split(lower(text), ' ') end) t as tok
+         where doc_id < 10""")
+  }
+
+  test("sole-relation unnest and default column names") {
+    checkTranslated(
+      "select x from unnest(string_split('a b c', ' ')) as t(x)",
+      "select explode(split('a b c', ' ')) as x")
+    // no column list: the column takes the alias name; no alias: "unnest"
+    checkTranslated(
+      "select t from unnest(string_split('a b', ' ')) as t",
+      "select explode(split('a b', ' ')) as t")
+  }
+
+  test("from-position unnest composes with aggregation") {
+    checkTranslated(
+      """select t.tok, count(*) as n
+         from documents, unnest(string_split(lower(text), ' ')) as t(tok)
+         where doc_id < 20 group by t.tok""",
+      """select tok, count(*) as n from documents
+         lateral view explode(split(lower(text), ' ')) t as tok
+         where doc_id < 20 group by tok""")
+  }
+
+  test("from-position unnest column-list arity errors are loud") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """select 1 from documents,
+         unnest(string_split(text, ' ')) as t(a, b)"""))
+    assert(e.getMessage.contains("column list"))
+  }
+
   test("unsupported unnest positions fail loudly") {
     // in WHERE
     val e1 = intercept[RuntimeException](graftSession.query(
