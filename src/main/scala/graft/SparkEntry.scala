@@ -1494,6 +1494,53 @@ object SparkEntry {
                 array_to_string(w[i*48+1 : i*48+64], ' ') as chunk_text,
                 len(w[i*48+1 : i*48+64]) as n_tokens
               from t, unnest(range(0, ((len(w)-1)//48) + 1)) as u(i)""")),
+    // per-domain document cap (r5b): URL canonicalization +
+    // registered-domain extraction (pure anchored-regexp projections)
+    // + ONE row_number window on the domain key — the crawl-mixture
+    // control at any corpus size; the synthesized URL exercises
+    // scheme/www/query/fragment/trailing-slash stripping and the
+    // subdomain-collapsing domain heuristic
+    ("q_domain_cap",
+      (s: SparkSession, dir: String) => {
+        val url = F.concat(F.lit("HTTPS://"),
+          F.when(F.col("doc_id") % 2 === 0, "WWW.").otherwise("blog."),
+          F.col("source"), F.lit(".COM/p/"),
+          F.col("doc_id").cast("string"), F.lit("/?utm_source=x#f"))
+        graft.ops.Curation.capPerDomain(
+            tbl(s, dir, "documents").withColumn("url", url),
+            F.col("url"), 5,
+            Seq(F.col("n_chars").desc, F.col("doc_id")))
+          .select(F.col("doc_id"),
+            graft.ops.Curation.registeredDomain(F.col("url")).as("domain"),
+            graft.ops.Curation.normalizedUrl(F.col("url")).as("url_norm"))
+      },
+      Some("""with u as (
+                select doc_id, n_chars,
+                  'HTTPS://' ||
+                  (case when doc_id % 2 = 0 then 'WWW.' else 'blog.' end) ||
+                  source || '.COM/p/' || doc_id || '/?utm_source=x#f' as url0
+                from documents),
+              norm as (
+                select doc_id, n_chars,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(lower(url0),
+                      '^[a-z][a-z0-9+.-]*://', ''),
+                    '^www\.', ''), '[?#].*$', ''), '/+$', '') as url_norm
+                from u),
+              dom as (
+                select doc_id, n_chars, url_norm,
+                  coalesce(
+                    nullif(regexp_extract(
+                      regexp_extract(url_norm, '^([^/]+)', 1),
+                      '([^.]+\.[^.]+)$', 1), ''),
+                    regexp_extract(url_norm, '^([^/]+)', 1)) as domain
+                from norm)
+              select doc_id, domain, url_norm from (
+                select doc_id, domain, url_norm,
+                  row_number() over (partition by domain
+                                     order by n_chars desc, doc_id) as rn
+                from dom) t
+              where rn <= 5""")),
     // deterministic N-way split assignment (r5): cumulative md5
     // thresholds — growing a fraction only moves rows across the
     // adjacent boundary
