@@ -511,6 +511,14 @@ object SparkEntry {
     "q_unnest" ->
       """select doc_id, unnest(string_split(lower(text), ' ')) as tok
          from documents where doc_id % 20 = 0""",
+    // parallel unnests ZIP to the longest array, shorter ones padded
+    // with NULLs (r5b, DuckDB semantics) — lowered as one explode of
+    // the index sequence + positional try_element_at reads
+    "q_unnest_multi" ->
+      """select doc_id,
+           unnest(string_split(lower(text), ' ')) as tok,
+           unnest(string_split(lower(text), 'a')) as frag
+         from documents where doc_id % 50 = 0""",
     // --- expressions (rows 11-15)
     // charge left unrounded: both engines evaluate the identical IEEE
     // expression tree, so full-precision doubles match bitwise, while

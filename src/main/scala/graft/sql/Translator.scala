@@ -1598,13 +1598,48 @@ final class Translator(catalog: String => DataFrame,
         val unnestCount = selAgg.items.count(i => isUnnest(i.e))
         if (selAgg.items.exists(i => nestedUnnest(i.e)))
           fail("unnest(...) is only supported as a top-level select item")
-        if (unnestCount > 1)
-          fail("at most one unnest(...) per SELECT " +
-            "(DuckDB zips parallel unnests; use two queries instead)")
         if (unnestCount > 0 && selAgg.items.exists(i => containsWindow(i.e)))
           fail("unnest(...) cannot be combined with window functions " +
             "in the same SELECT")
-        base.select(selectCols(selAgg.items, base): _*)
+        if (unnestCount > 1) {
+          // Parallel unnests ZIP (r5b, DuckDB semantics): one output
+          // row per index up to the LONGEST array, shorter arrays and
+          // NULL arrays padded with NULLs. Lowered as ONE explode of
+          // the tiny index sequence (never of the value arrays — the
+          // Generate-copy trap) with values re-read positionally via
+          // try_element_at; non-unnest items evaluate once pre-explode.
+          var j = -1
+          val infos = selAgg.items.map { item =>
+            j += 1
+            item.e match {
+              case FuncCall("unnest", args) =>
+                if (args.length != 1)
+                  fail("unnest takes exactly one array argument")
+                (j, s"__un_a$j", Some(args.head),
+                  item.alias.getOrElse("unnest"))
+              case e =>
+                (j, s"__un_o$j", None,
+                  item.alias.getOrElse(defaultName(e, base)))
+            }
+          }
+          val pre = base.select(infos.map {
+            case (jj, hn, Some(arr), _) => exprToCol(arr, None).as(hn)
+            case (jj, hn, None, _) =>
+              exprToCol(selAgg.items(jj).e, None).as(hn)
+          }: _*)
+          val maxLen = F.greatest(infos.collect { case (_, hn, Some(_), _) =>
+            F.coalesce(F.when(F.col(hn).isNotNull, F.size(F.col(hn))),
+              F.lit(0)) }: _*)
+          val exploded = pre.select(F.col("*"),
+            F.explode(F.when(maxLen > F.lit(0),
+              F.sequence(F.lit(1), maxLen))).as("__un_i"))
+          exploded.select(infos.map {
+            case (_, hn, Some(_), name) =>
+              F.try_element_at(F.col(hn), F.col("__un_i")).as(name)
+            case (_, hn, None, name) => F.col(hn).as(name)
+          }: _*)
+        }
+        else base.select(selectCols(selAgg.items, base): _*)
       } else translateAggregate(selAgg, filtered0)
 
     val qualified = qualifyExpr match {

@@ -97,6 +97,38 @@ class UnnestSpec extends SparkTestBase {
          where doc_id < 20 group by tok""")
   }
 
+  // ---- parallel select-position unnests zip (r5b, DuckDB) ---------
+
+  test("parallel unnests zip to the longest array with NULL padding") {
+    // words vs sentence-ish splits have different lengths per doc
+    checkTranslated(
+      """select doc_id,
+           unnest(string_split(lower(text), ' ')) as tok,
+           unnest(string_split(lower(text), 'a')) as frag
+         from documents where doc_id < 10""",
+      """select doc_id,
+           try_element_at(w, i) as tok, try_element_at(f, i) as frag
+         from (select doc_id, split(lower(text), ' ') as w,
+                      split(lower(text), 'a') as f
+               from documents where doc_id < 10)
+         lateral view explode(sequence(1,
+           greatest(coalesce(size(w), 0), coalesce(size(f), 0)))) t as i""")
+  }
+
+  test("a NULL array zips as all-NULL against a populated one") {
+    checkTranslated(
+      """select doc_id,
+           unnest(case when doc_id % 2 = 0
+                       then string_split(lower(text), ' ') end) as a,
+           unnest(string_split(lower(text), ' ')) as b
+         from documents where doc_id < 6""",
+      """select doc_id,
+           case when doc_id % 2 = 0 then tok end as a, tok as b
+         from documents
+         lateral view explode(split(lower(text), ' ')) t as tok
+         where doc_id < 6""")
+  }
+
   test("from-position unnest column-list arity errors are loud") {
     val e = intercept[RuntimeException](graftSession.query(
       """select 1 from documents,
@@ -113,11 +145,6 @@ class UnnestSpec extends SparkTestBase {
     val e2 = intercept[RuntimeException](graftSession.query(
       "select length(unnest(string_split(text, ' '))) from documents"))
     assert(e2.getMessage.contains("top-level"))
-    // two unnests
-    val e3 = intercept[RuntimeException](graftSession.query(
-      """select unnest(string_split(text, ' ')) as a,
-           unnest(string_split(text, '.')) as b from documents"""))
-    assert(e3.getMessage.contains("at most one"))
     // in an aggregating query
     val e4 = intercept[RuntimeException](graftSession.query(
       "select count(unnest(string_split(text, ' '))) from documents"))
