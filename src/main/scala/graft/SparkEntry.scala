@@ -896,6 +896,18 @@ object SparkEntry {
            (select c_custkey, c_nationkey,
                    rank() over (order by c_nationkey) as rk from customer) t
          where rk <= 100"""),
+    // windowed ordered-set aggregate (r5b): every row reads its
+    // partition's full ordered string_agg (OVER takes PARTITION BY
+    // only); the oracle is the equivalent GROUP BY aggregation over
+    // the distinct projection
+    ("q_agg_string_window",
+      """select distinct c_nationkey,
+           string_agg(c_mktsegment, '|' order by c_mktsegment, c_custkey)
+             over (partition by c_nationkey) as segs
+         from customer where c_custkey % 7 = 0""",
+      """select c_nationkey,
+           string_agg(c_mktsegment, '|' order by c_mktsegment, c_custkey) as segs
+         from customer where c_custkey % 7 = 0 group by c_nationkey"""),
     // FROM-position unnest WITH ORDINALITY (r5b, PostgreSQL form):
     // one Generate (posexplode) over the scan, 1-based ordinality;
     // oracle is DuckDB's zipped parallel-unnest spelling

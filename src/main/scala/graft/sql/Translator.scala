@@ -1748,7 +1748,9 @@ final class Translator(catalog: String => DataFrame,
       // and arguments lower through post, so aggregates and group keys
       // inside the window spec resolve to their post-agg columns
       case a: AggExpr if a.window.isDefined =>
-        aggColumnBase(a, post).over(windowSpec(a.window.get, post))
+        if (a.func == "string_agg" || a.func == "array_agg")
+          orderedSetWindowed(a, post)
+        else aggColumnBase(a, post).over(windowSpec(a.window.get, post))
       case RankExpr(dense, w) =>
         (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w, post))
       case WinFunc(nm, args, w, ign) =>
@@ -2527,7 +2529,9 @@ final class Translator(catalog: String => DataFrame,
     case Cast(x, t)     => exprToCol(x, in).cast(sparkType(t))
     case Coalesce(args) => F.coalesce(args.map(exprToCol(_, in)): _*)
     case a: AggExpr if a.window.isDefined =>
-      aggColumnBase(a).over(windowSpec(a.window.get))
+      if (a.func == "string_agg" || a.func == "array_agg")
+        orderedSetWindowed(a, exprToCol(_, None))
+      else aggColumnBase(a).over(windowSpec(a.window.get))
     case a: AggExpr => aggColumn(a)
     case RankExpr(dense, w) =>
       (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
@@ -2730,11 +2734,13 @@ final class Translator(catalog: String => DataFrame,
     * aggregation — per-group state is the group's values (inherent to
     * the result), never the corpus. */
   private def orderedSetAgg(a: AggExpr, value: Column,
-                            lower: Expr => Column): Column = {
+                            lower: Expr => Column,
+                            over: Option[SparkWindow] = None): Column = {
     val f = a.func
     if (a.distinct) fail(s"DISTINCT $f is not supported")
-    if (a.window.isDefined)
-      fail(s"$f OVER a window is not supported")
+    if (a.window.isDefined && over.isEmpty)
+      fail(s"$f OVER a window takes PARTITION BY only " +
+        "(element order comes from the ORDER BY inside the call)")
     if (a.aggOrder.isEmpty)
       fail(s"$f requires ORDER BY inside the call " +
         "(deterministic element order)")
@@ -2756,7 +2762,13 @@ final class Translator(catalog: String => DataFrame,
     val keys = a.aggOrder.map(oi => lower(oi.e))
     val fields = keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } :+
       value.as("__v")
-    val collected = F.collect_list(F.struct(fields: _*))
+    // windowed form (r5b): the collect is the ONLY aggregate part —
+    // it runs over the (whole-partition) window; the sort/project
+    // post-processing wraps the windowed array per row
+    val collected = over match {
+      case Some(w) => F.collect_list(F.struct(fields: _*)).over(w)
+      case None    => F.collect_list(F.struct(fields: _*))
+    }
     val n = a.aggOrder.length
     def cmp(l: Column, r: Column, i: Int): Column =
       if (i == n) F.lit(0)
@@ -2785,6 +2797,25 @@ final class Translator(catalog: String => DataFrame,
           .otherwise(F.array_join(nn, s))
       case None    => vals
     }
+  }
+
+  /** string_agg/array_agg OVER (PARTITION BY ...) (r5b): every row
+    * reads its partition's complete ordered aggregation. OVER may
+    * carry PARTITION BY only — an OVER-level ORDER BY would imply a
+    * running frame, while the element order is the call's own
+    * ORDER BY; with no OVER ORDER BY Spark's default frame is the
+    * whole partition, which is exactly the semantics. */
+  private def orderedSetWindowed(a: AggExpr,
+                                 lower: Expr => Column): Column = {
+    val w = a.window.get
+    if (w.orderBy.nonEmpty || w.frame.isDefined)
+      fail(s"${a.func} OVER takes PARTITION BY only " +
+        "(element order comes from the ORDER BY inside the call)")
+    val arg = a.arg match {
+      case Star(_) => fail(s"${a.func} takes a value argument")
+      case e       => lower(e)
+    }
+    orderedSetAgg(a, arg, lower, Some(windowSpec(w, lower)))
   }
 
   private def windowSpec(w: WindowSpec,

@@ -106,6 +106,36 @@ class AggCatalogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("ORDER BY"))
   }
 
+  test("ordered-set aggregates work over PARTITION BY windows") {
+    // every row reads its partition's full ordered aggregation, so
+    // DISTINCT over the windowed projection equals the GROUP BY form
+    checkTranslated(
+      """select distinct c_nationkey,
+           string_agg(c_mktsegment, ',' order by c_mktsegment, c_custkey)
+             over (partition by c_nationkey) as segs
+         from customer where c_custkey <= 40""",
+      """select c_nationkey,
+           array_join(transform(array_sort(collect_list(
+             struct(c_mktsegment as k1, c_custkey as k2,
+                    c_mktsegment as v))), s -> s.v), ',') as segs
+         from customer where c_custkey <= 40 group by c_nationkey""")
+    checkTranslated(
+      """select distinct c_nationkey,
+           array_agg(c_custkey order by c_custkey)
+             over (partition by c_nationkey) as ids
+         from customer where c_custkey <= 60""",
+      """select c_nationkey, sort_array(collect_list(c_custkey)) as ids
+         from customer where c_custkey <= 60 group by c_nationkey""")
+  }
+
+  test("windowed ordered-set aggregates take PARTITION BY only") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """select string_agg(c_name, ',' order by c_name)
+           over (partition by c_nationkey order by c_custkey)
+         from customer"""))
+    assert(e.getMessage.contains("PARTITION BY only"))
+  }
+
   test("unsupported combinations fail loudly") {
     // DISTINCT on the new aggregates
     val e = intercept[RuntimeException](graftSession.query(
