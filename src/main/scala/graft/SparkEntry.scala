@@ -1718,6 +1718,24 @@ object SparkEntry {
               select g, count(*) as n_occ, count(distinct doc_id) as n_docs
               from gx group by g
               order by n_occ desc, g asc limit 20""")),
+    // approximate heavy hitters (r5b): Misra-Gries typed Aggregator —
+    // bounded sketch state per partition, ONE global merge, no
+    // per-gram shuffle; sketch=4096 exceeds the corpus's distinct
+    // bigram count (~931), so counts are EXACT and the plain count
+    // oracle checks the whole operator (specs pin the eviction-regime
+    // bounds on planted data)
+    ("q_ngram_mg",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.approxTopNgrams(tbl(s, dir, "documents"), 2, 20),
+      Some("""with tok as (select doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') as w
+                from documents),
+              gx as (select doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) as g
+                     from tok where len(w) >= 2)
+              select g, count(*) as n_est
+              from gx group by g
+              order by n_est desc, g asc limit 20""")),
     // within-document span dedup (first occurrence kept, order
     // preserved) — word-separated here; newline-separated in OpsSpec
     ("q_text_dedup_spans",

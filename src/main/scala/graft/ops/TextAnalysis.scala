@@ -222,6 +222,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Approximate corpus n-gram heavy hitters (r5b): same inlined-
+    * explode gram stream as [[topNgrams]], summarized by ONE global
+    * Misra–Gries aggregation (graft.functions.HeavyHitters) instead
+    * of the exact per-gram hash shuffle. Partials carry at most
+    * `sketch` counters per partition regardless of gram cardinality —
+    * the bounded-state plan for key spaces that outgrow a shuffle.
+    * Counts are lower bounds within n/(sketch+1); with `sketch` above
+    * the distinct-gram count they are exact (the oracle regime).
+    * Output: the k largest estimates, gram-text tie-break. */
+  def approxTopNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+                      sketch: Int = 4096): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val gram = (0 until n).map(j => s"element_at(w, i+$j)").mkString(", ' ', ")
+    docs
+      .selectExpr("filter(split(lower(text), ' '), t -> t <> '') as w")
+      .filter(s"size(w) >= $n")
+      .selectExpr(
+        s"explode(transform(sequence(1, size(w) - ${n - 1}), i -> concat($gram))) as g")
+      .agg(graft.functions.HeavyHitters.misraGries(F.col("g"), sketch).as("mg"))
+      .select(F.explode(F.col("mg")).as(Seq("g", "n_est")))
+      .orderBy(F.col("n_est").desc, F.col("g").asc)
+      .limit(k)
+  }
+
   /** Sliding-window document chunking (r5): long documents become
     * overlapping token-window chunks — the long-context training prep
     * that follows cleaning/dedup (chunk i covers whitespace tokens
