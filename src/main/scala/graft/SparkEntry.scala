@@ -1561,6 +1561,18 @@ object SparkEntry {
                                      order by n_chars desc, doc_id) as rn
                 from dom) t
               where rn <= 5""")),
+    // quantile quality gate (r5b): keep the corpus's top fraction by
+    // a score — the threshold reduces to ONE broadcast row (exact
+    // interpolating percentile ≡ DuckDB quantile_cont) and rows
+    // filter in place, never shuffling
+    ("q_quality_filter",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.keepTopQuantile(
+            tbl(s, dir, "documents"), F.col("n_chars"), 0.25)
+          .select("doc_id", "n_chars"),
+      Some("""select doc_id, n_chars from documents
+              where n_chars >= (select quantile_cont(n_chars, 0.75)
+                                from documents)""")),
     // deterministic N-way split assignment (r5): cumulative md5
     // thresholds — growing a fraction only moves rows across the
     // adjacent boundary

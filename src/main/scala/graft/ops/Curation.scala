@@ -45,6 +45,29 @@ object Curation {
       F.nullif(F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1), F.lit("")), h)
   }
 
+  /** Quantile-threshold filtering — "keep the top `keepFrac` of the
+    * corpus by this score", the standard quality-gate after scoring.
+    * Two aggregations, no extra shuffle of the data itself: the
+    * (1 − keepFrac) quantile reduces to ONE broadcast row and the
+    * corpus filters against it — rows never move. `exact = true` uses
+    * Spark's exact interpolating percentile (≡ DuckDB quantile_cont,
+    * so the oracle replays it bit-for-bit); at 100 TB pass
+    * `exact = false` for approx_percentile — identical plan shape
+    * (mergeable sketch partials instead of a per-value map) with a
+    * bounded rank error. */
+  def keepTopQuantile(df: DataFrame, score: Column, keepFrac: Double,
+                      exact: Boolean = true): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    val q = 1.0 - keepFrac
+    val thrCol =
+      if (exact) F.call_function("percentile", score, F.lit(q))
+      else F.call_function("approx_percentile", score, F.lit(q), F.lit(10000))
+    val thr = df.agg(thrCol.as("__q_thr"))
+    df.crossJoin(F.broadcast(thr))
+      .filter(score >= F.col("__q_thr"))
+      .drop("__q_thr")
+  }
+
   /** Keep at most `n` rows per domain, best-first by `order` (pass a
     * total order — include a unique id as the last key — so the kept
     * set is deterministic). ONE row_number window partitioned by the

@@ -63,6 +63,21 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L, 5L))
   }
 
+  test("quantile filter keeps exactly the top fraction") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("s")
+    // 75th percentile of 1..100 interpolates to 75.25 -> keep 76..100
+    val kept = Curation.keepTopQuantile(df, F.col("s"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (76 to 100).map(_.toLong).toSet)
+    // keepFrac 1.0 keeps everything (threshold = the minimum)
+    assert(Curation.keepTopQuantile(df, F.col("s"), 1.0).count() == 100)
+    // the approx path lands within sketch tolerance on this range
+    val approxN = Curation.keepTopQuantile(df, F.col("s"), 0.25,
+      exact = false).count()
+    assert(approxN >= 20 && approxN <= 30)
+  }
+
   test("cap output drops helper columns and keeps the input schema") {
     import spark.implicits._
     val docs = Seq((1L, "https://x.com/1", 5L)).toDF("doc_id", "url", "n_chars")
