@@ -896,6 +896,16 @@ object SparkEntry {
            (select c_custkey, c_nationkey,
                    rank() over (order by c_nationkey) as rk from customer) t
          where rk <= 100"""),
+    // DISTINCT ordered-set aggregate (r5b, PostgreSQL rule: the sort
+    // key must be the aggregated expression) — dedup composes after
+    // the comparator sort, first occurrences keep the order
+    ("q_agg_string_distinct",
+      """select c_nationkey,
+           string_agg(distinct c_mktsegment, '|' order by c_mktsegment) as segs
+         from customer group by c_nationkey""",
+      """select c_nationkey,
+           string_agg(distinct c_mktsegment, '|' order by c_mktsegment) as segs
+         from customer group by c_nationkey"""),
     // windowed ordered-set aggregate (r5b): every row reads its
     // partition's full ordered string_agg (OVER takes PARTITION BY
     // only); the oracle is the equivalent GROUP BY aggregation over

@@ -2737,7 +2737,13 @@ final class Translator(catalog: String => DataFrame,
                             lower: Expr => Column,
                             over: Option[SparkWindow] = None): Column = {
     val f = a.func
-    if (a.distinct) fail(s"DISTINCT $f is not supported")
+    // DISTINCT ordered-set (r5b, PostgreSQL rule): legal only when
+    // the ORDER BY is the argument itself — any other key would make
+    // "which duplicate's key wins" undefined
+    if (a.distinct &&
+        (a.aggOrder.length != 1 || !sameExpr(a.aggOrder.head.e, a.arg)))
+      fail(s"DISTINCT $f requires ORDER BY to be the aggregated " +
+        "expression itself")
     if (a.window.isDefined && over.isEmpty)
       fail(s"$f OVER a window takes PARTITION BY only " +
         "(element order comes from the ORDER BY inside the call)")
@@ -2786,7 +2792,10 @@ final class Translator(catalog: String => DataFrame,
           .otherwise(cmp(l, r, i + 1))
       }
     val sorted = F.array_sort(collected, (l, r) => cmp(l, r, 0))
-    val vals = F.transform(sorted, s => s.getField("__v"))
+    val vals0 = F.transform(sorted, s => s.getField("__v"))
+    // DISTINCT: dedup AFTER the sort — array_distinct keeps first
+    // occurrences, so a sorted input stays sorted
+    val vals = if (a.distinct) F.array_distinct(vals0) else vals0
     sep match {
       // string_agg: NULL values are invisible (which is what makes
       // FILTER's CASE-wrap valid), and an empty / all-NULL selection

@@ -128,6 +128,27 @@ class AggCatalogSpec extends SparkTestBase {
          from customer where c_custkey <= 60 group by c_nationkey""")
   }
 
+  test("DISTINCT ordered-set aggregates dedup in key order") {
+    checkTranslated(
+      """select c_nationkey,
+           string_agg(distinct c_mktsegment, ',' order by c_mktsegment) as segs
+         from customer group by c_nationkey""",
+      """select c_nationkey,
+           array_join(sort_array(collect_set(c_mktsegment)), ',') as segs
+         from customer group by c_nationkey""")
+    checkTranslated(
+      """select array_agg(distinct c_nationkey order by c_nationkey desc) as ks
+         from customer""",
+      "select sort_array(collect_set(c_nationkey), false) as ks from customer")
+  }
+
+  test("DISTINCT ordered-set with a foreign sort key is loud") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """select string_agg(distinct c_mktsegment, ',' order by c_custkey)
+         from customer"""))
+    assert(e.getMessage.contains("DISTINCT"))
+  }
+
   test("windowed ordered-set aggregates take PARTITION BY only") {
     val e = intercept[RuntimeException](graftSession.query(
       """select string_agg(c_name, ',' order by c_name)
