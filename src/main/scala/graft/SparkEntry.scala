@@ -206,6 +206,27 @@ object SparkEntry {
               and l.l_quantity < orders.o_totalprice / 1000
               and l.l_linenumber > orders.o_orderkey % 3) as n
          from orders""",
+    // theta-correlated scalar WITH inner GROUP BY (r5b): grouping by
+    // the correlation key keeps one group per tuple; the theta
+    // conjunct selects each order's cheaper-than-half lines. The
+    // (keys, theta-operands, group-keys) aggregation joins back on
+    // the tuple — never per-row re-execution
+    "q_scalar_theta_grouped" ->
+      """select o_orderkey,
+           (select round(sum(l2.l_extendedprice), 4) from lineitem l2
+            where l2.l_orderkey = orders.o_orderkey
+              and l2.l_extendedprice < orders.o_totalprice / 2
+            group by l2.l_orderkey) as cheap_sum
+         from orders""",
+    // theta-correlated scalar with GROUP-BY-less HAVING (r5b):
+    // tuples whose aggregate fails the HAVING read NULL
+    "q_scalar_theta_having" ->
+      """select o_orderkey,
+           (select count(*) from lineitem l2
+            where l2.l_orderkey = orders.o_orderkey
+              and l2.l_extendedprice < orders.o_totalprice
+            having count(*) > 2) as big
+         from orders""",
     // DISTINCT ON (r4d): latest/biggest row per key — one window over
     // one key shuffle, no self-join
     "q_distinct_on" ->

@@ -869,12 +869,12 @@ final class Translator(catalog: String => DataFrame,
           case Some(q) =>
             val outerRefs = outerOnly(q)
             val idx = helperCols.size
-            // theta conjuncts (any number) decorrelate when the
-            // subquery is a plain aggregate (no inner GROUP BY /
-            // HAVING): the "aggregate over earlier/smaller rows" shape
+            // theta conjuncts (any number) decorrelate for plain
+            // aggregates AND (r5b) for inner GROUP BY/HAVING — the
+            // "aggregate over earlier/smaller rows" shape in both
+            // grouped and ungrouped forms
             val (keyPairs, thetas, local) = corrSplit(q, outerRefs,
-              "scalar subquery",
-              allowTheta = q.sel.groupBy.isEmpty && q.sel.having.isEmpty)
+              "scalar subquery", allowTheta = true)
             var inner = translateRelation(q.sel.from)
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
@@ -943,18 +943,39 @@ final class Translator(catalog: String => DataFrame,
                     exprToCol(ik, None) === F.col(n) } ++
                    thetas.zip(tNs).map { case ((ie, op, _), n) =>
                     cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
-                val grouped = tuples.join(inner, joinCond, "inner")
-                  .groupBy((keyNames ++ tNs).map(F.col): _*)
+                // inner GROUP BY keys (r5b) extend the tuple grouping;
+                // HAVING filters groups BEFORE the join back, and more
+                // than one surviving group per tuple is the standard
+                // loud runtime error (window count + raise_error)
+                var grouped = tuples.join(inner, joinCond, "inner")
+                  .groupBy((keyNames ++ tNs).map(F.col) ++
+                    innerKeys.zip(gNames).map { case (g, n) =>
+                      exprToCol(g, None).as(n) }: _*)
                   .agg(aggCols.head, aggCols.tail: _*)
+                havingSubst.foreach(h =>
+                  grouped = grouped.filter(exprToCol(h, None)))
+                val cntN = s"__csq_${idx}_c"
+                val guarded: Expr =
+                  if (innerKeys.isEmpty) substituted
+                  else {
+                    grouped = grouped.withColumn(cntN,
+                      F.count(F.lit(1)).over(
+                        Window.partitionBy((keyNames ++ tNs).map(F.col): _*)))
+                    CaseWhen(Seq((Cmp(">", ColRef(None, cntN), NumLit("1")),
+                      FuncCall("raise_error", Seq(StrLit(
+                        "scalar subquery returned more than one row"))))),
+                      substituted)
+                  }
                 val backCond =
                   (keyPairs.zip(keyNames).map { case ((_, ok), n) =>
                     exprToCol(ok, None) === F.col(n) } ++
                    thetas.zip(tNs).map { case ((_, _, oe), n) =>
                     exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
                 from = from.join(grouped, backCond, "left_outer")
-                helperCols = aggs.map(_._1).toList ::: tNs.toList :::
-                  keyNames.toList ::: helperCols
-                substituted
+                helperCols = aggs.map(_._1).toList ::: cntN ::
+                  (tNs.toList ::: keyNames.toList ::: gNames.toList :::
+                    helperCols)
+                guarded
             } else {
                 var grouped = inner.groupBy(grpCols: _*)
                   .agg(aggCols.head, aggCols.tail: _*)

@@ -613,6 +613,48 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // round-5b: theta-correlated scalars WITH inner GROUP BY (by the
+  // correlation key -> one group per tuple) and optional HAVING.
+  // spark.sql rejects non-equality correlation under aggregation, so
+  // the oracle is the hand-decorrelated join built from the same
+  // parameters and run through spark.sql.
+  private val genGroupedThetaScalarPair: Gen[(String, String)] = for {
+    op <- Gen.oneOf("<", "<=", ">", ">=")
+    agg <- Gen.oneOf("count(*)", "max(l2.l_extendedprice)",
+      "min(l2.l_linenumber)")
+    div <- Gen.choose(2, 6)
+    hav <- Gen.option(Gen.choose(1, 3))
+  } yield {
+    val aggO = agg.replace("l2.", "")
+    val havG = hav.map(v => s" having count(*) > $v").getOrElse("")
+    val graftSql =
+      s"""select o_orderkey,
+            (select $agg from lineitem l2
+             where l2.l_orderkey = orders.o_orderkey
+               and l2.l_extendedprice $op orders.o_totalprice / $div
+             group by l2.l_orderkey$havG) as v
+          from orders"""
+    val oracleSql =
+      s"""select orders.o_orderkey, t.v from orders
+          left join (select l2.l_orderkey as k, $aggO as v
+                     from orders o2 join lineitem l2
+                       on l2.l_orderkey = o2.o_orderkey
+                      and l2.l_extendedprice $op o2.o_totalprice / $div
+                     group by l2.l_orderkey$havG) t
+            on orders.o_orderkey = t.k"""
+    (graftSql, oracleSql)
+  }
+
+  test("15 random grouped-theta correlated scalars match their decorrelated form") {
+    val pairs = Gen.listOfN(15, genGroupedThetaScalarPair)
+      .pureApply(Gen.Parameters.default, Seed(113L))
+    pairs.distinct.foreach { case (g, o) =>
+      withClue(s"\nquery: $g\n") {
+        assertSameRows(graftSession.query(g), spark.sql(o))
+      }
+    }
+  }
+
   test("30 random grouped/HAVING correlated scalars match spark.sql exactly") {
     val preds = Gen.listOfN(30, genScalarGroupedPred)
       .pureApply(Gen.Parameters.default, Seed(67L))

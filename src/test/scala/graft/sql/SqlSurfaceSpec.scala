@@ -1497,15 +1497,58 @@ class SqlSurfaceSpec extends SparkTestBase {
             where l.l_orderkey = orders.o_orderkey
               and l.l_linenumber <> orders.o_custkey % 5 + 1), 2) as spread
          from orders order by o_orderkey""")
-    // theta + inner GROUP BY stays a loud error
-    val e = intercept[RuntimeException](graftSession.query(
+  }
+
+  test("theta-correlated scalars take inner GROUP BY and HAVING (r5b)") {
+    // grouped by the correlation key -> at most one group per tuple;
+    // the theta conjunct selects each order's cheaper lines. Oracle
+    // is the hand-decorrelated join (spark.sql rejects non-equality
+    // correlation under aggregation)
+    checkTranslated(
       """select o_orderkey,
-           (select max(l.l_extendedprice) from lineitem l
-            where l.l_orderkey = orders.o_orderkey
-              and l.l_linenumber < orders.o_orderkey
-            group by l.l_linestatus) as x
-         from orders"""))
-    assert(e.getMessage.contains("equalities"), e.getMessage)
+           (select round(sum(l2.l_extendedprice), 2) from lineitem l2
+            where l2.l_orderkey = orders.o_orderkey
+              and l2.l_extendedprice < orders.o_totalprice / 2
+            group by l2.l_orderkey) as cheap_sum
+         from orders order by o_orderkey""",
+      """select o_orderkey, round(s, 2) as cheap_sum from orders
+         left join (select o2.o_orderkey as k, sum(l2.l_extendedprice) as s
+                    from orders o2 join lineitem l2
+                      on l2.l_orderkey = o2.o_orderkey
+                     and l2.l_extendedprice < o2.o_totalprice / 2
+                    group by o2.o_orderkey) t on orders.o_orderkey = t.k
+         order by o_orderkey""")
+    // GROUP-BY-less HAVING: tuples whose aggregate fails the HAVING
+    // read NULL (documented: filtered groups read NULL even for COUNT)
+    checkTranslated(
+      """select o_orderkey,
+           (select count(*) from lineitem l2
+            where l2.l_orderkey = orders.o_orderkey
+              and l2.l_extendedprice < orders.o_totalprice
+            having count(*) > 2) as big
+         from orders order by o_orderkey""",
+      """select o_orderkey, case when c > 2 then c end as big
+         from orders
+         left join (select o2.o_orderkey as k, count(*) as c
+                    from orders o2 join lineitem l2
+                      on l2.l_orderkey = o2.o_orderkey
+                     and l2.l_extendedprice < o2.o_totalprice
+                    group by o2.o_orderkey) t on orders.o_orderkey = t.k
+         order by o_orderkey""")
+    // more than one surviving group per tuple is the standard loud
+    // runtime error
+    val e = intercept[Exception] {
+      graftSession.query(
+        """select o_orderkey,
+             (select max(l.l_extendedprice) from lineitem l
+              where l.l_orderkey = orders.o_orderkey
+                and l.l_linenumber < orders.o_orderkey + 10
+              group by l.l_linenumber) as x
+           from orders""").collect()
+    }
+    assert(e.getMessage.contains("more than one row") ||
+      Option(e.getCause).exists(_.getMessage.contains("more than one row")),
+      e.getMessage)
   }
 
   test("<> correlation decorrelates in flag positions") {
