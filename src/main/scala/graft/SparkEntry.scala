@@ -905,6 +905,19 @@ object SparkEntry {
            sum(case when l_linestatus = 'O' then l_quantity end) as qty_o,
            sum(case when l_linestatus = 'F' then l_quantity end) as qty_f
          from lineitem group by l_returnflag"""),
+    // multi-aggregate PIVOT (r5b): values × aggregates cells named
+    // value_aggAlias, still ONE two-phase aggregation (conditional-
+    // aggregation lowering); oracle is the expansion
+    ("q_pivot_multi",
+      """select * from (select l_returnflag, l_linestatus, l_quantity from lineitem)
+         pivot (sum(l_quantity) as s, count(*) as c
+                for l_linestatus in ('O' as o, 'F' as f))""",
+      """select l_returnflag,
+           sum(case when l_linestatus = 'O' then l_quantity end) as o_s,
+           count(case when l_linestatus = 'O' then 1 end)::BIGINT as o_c,
+           sum(case when l_linestatus = 'F' then l_quantity end) as f_s,
+           count(case when l_linestatus = 'F' then 1 end)::BIGINT as f_c
+         from lineitem group by l_returnflag"""),
     // FETCH FIRST n ROWS WITH TIES (r5): every row tied on the sort
     // key with the n-th row survives — lowered TakeOrdered(n) →
     // distinct key tuples → broadcast semi-join (never a global rank

@@ -185,10 +185,14 @@ object Ast {
                              ordinality: Boolean,
                              kind: String = "inner") extends Relation
 
-  /** FROM ... PIVOT (agg FOR col IN (v [AS name], ...)) (r5).
-    * Implicit group-by: every column the aggregate and the FOR column
-    * don't use (Spark SQL / Snowflake semantics). */
-  final case class PivotRel(rel: Relation, agg: Expr, forCol: String,
+  /** FROM ... PIVOT (agg [AS a] [, agg2 AS b ...] FOR col IN
+    * (v [AS name], ...)) (r5; multi-aggregate r5b). Implicit
+    * group-by: every column the aggregates and the FOR column don't
+    * use (Spark SQL / Snowflake semantics). With several aggregates
+    * each needs an alias; cells are named value_aggAlias. */
+  final case class PivotRel(rel: Relation,
+                            aggs: Seq[(Expr, Option[String])],
+                            forCol: String,
                             values: Seq[(Expr, Option[String])])
       extends Relation
 

@@ -566,13 +566,26 @@ final class Parser(tokens: Vector[Token]) {
     while (cont) {
       if (atKw("pivot") && isOpAt(pos + 1, "(")) {
         pos += 1; expectOp("(")
-        val aggE = parseExpr()
         def pivotHasAgg(e: Expr): Boolean = e match {
           case a: AggExpr => a.window.isEmpty
           case other => Ast.children(other).exists(pivotHasAgg)
         }
-        if (!pivotHasAgg(aggE))
-          fail(s"PIVOT takes an aggregate expression, got $aggE")
+        // one or more aggregate expressions, each optionally aliased
+        // (required for several — the alias names the cell columns)
+        val aggsB = Seq.newBuilder[(Expr, Option[String])]
+        var moreAggs = true
+        while (moreAggs) {
+          val aggE = parseExpr()
+          if (!pivotHasAgg(aggE))
+            fail(s"PIVOT takes aggregate expressions, got $aggE")
+          val al = if (eatKw("as")) Some(ident()) else None
+          aggsB += (aggE -> al)
+          moreAggs = eatOp(",")
+        }
+        val aggs = aggsB.result()
+        if (aggs.length > 1 && aggs.exists(_._2.isEmpty))
+          fail("each aggregate of a multi-aggregate PIVOT needs an " +
+            "AS alias (they name the cell columns)")
         expectKw("for")
         val forCol = ident()
         expectKw("in"); expectOp("(")
@@ -585,7 +598,7 @@ final class Parser(tokens: Vector[Token]) {
           m = eatOp(",")
         }
         expectOp(")"); expectOp(")")
-        rel = PivotRel(rel, aggE, forCol, vals.result())
+        rel = PivotRel(rel, aggs, forCol, vals.result())
       } else if (atKw("unpivot") && isOpAt(pos + 1, "(")) {
         pos += 1; expectOp("(")
         val valueName = ident()

@@ -422,7 +422,7 @@ final class Translator(catalog: String => DataFrame,
           case None => session.range(1).select(g)
         }
       }
-    case PivotRel(rel, agg, forCol, values) =>
+    case PivotRel(rel, aggsList, forCol, values) =>
       // Spark SQL / Snowflake semantics: implicit group-by = every
       // column the aggregate and the FOR column don't reference; one
       // output column per IN value (missing combinations read NULL).
@@ -436,7 +436,7 @@ final class Translator(catalog: String => DataFrame,
         case ColRef(_, n) => used += n.toLowerCase
         case other => Ast.children(other).foreach(collectRefs)
       }
-      collectRefs(agg)
+      aggsList.foreach { case (agg, _) => collectRefs(agg) }
       val groupCols = df.columns.filterNot(c =>
         used.contains(c.toLowerCase) || c.equalsIgnoreCase(forActual))
       if (!values.forall(v => isLiteral(v._1)))
@@ -446,22 +446,28 @@ final class Translator(catalog: String => DataFrame,
       // group+pivot keys, then PivotFirst on the group keys) — two
       // shuffles; CASE-wrapping the argument per IN value (the FILTER
       // lowering's trick: NULLs are invisible to every aggregate)
-      // computes all pivot cells in ONE two-phase aggregation
-      // (PlanAuditSpec pins the single exchange)
-      val aggCols = values.map { case (v, nameOpt) =>
-        val wrapped = Ast.transformUp(agg) {
-          case a: AggExpr if a.window.isEmpty =>
-            if (a.extraArgs.nonEmpty || a.aggOrder.nonEmpty)
-              fail("PIVOT supports single-argument aggregates only")
-            val base = a.arg match {
-              case Star(_) => NumLit("1")
-              case e => e
-            }
-            a.copy(arg = CaseWhen(
-              Seq((Cmp("=", ColRef(None, forActual), v), base)), NullLit()))
+      // computes all pivot cells — values × aggregates (r5b) — in ONE
+      // two-phase aggregation (PlanAuditSpec pins the single exchange)
+      val aggCols = values.flatMap { case (v, nameOpt) =>
+        val cellBase = nameOpt.getOrElse(String.valueOf(litValue(v)))
+        aggsList.map { case (agg, aggAlias) =>
+          val wrapped = Ast.transformUp(agg) {
+            case a: AggExpr if a.window.isEmpty =>
+              if (a.extraArgs.nonEmpty || a.aggOrder.nonEmpty)
+                fail("PIVOT supports single-argument aggregates only")
+              val base = a.arg match {
+                case Star(_) => NumLit("1")
+                case e => e
+              }
+              a.copy(arg = CaseWhen(
+                Seq((Cmp("=", ColRef(None, forActual), v), base)), NullLit()))
+          }
+          val cellName = aggAlias match {
+            case Some(al) => s"${cellBase}_$al" // aliased agg names the cell
+            case None     => cellBase           // lone unaliased aggregate
+          }
+          lowerPivotAgg(wrapped).as(cellName)
         }
-        lowerPivotAgg(wrapped).as(nameOpt.getOrElse(
-          String.valueOf(litValue(v))))
       }
       df.groupBy(groupCols.map(F.col).toSeq: _*)
         .agg(aggCols.head, aggCols.tail: _*)

@@ -27,6 +27,27 @@ class PivotSpec extends SparkTestBase {
          from lineitem group by l_returnflag""")
   }
 
+  test("multi-aggregate pivot names cells value_aggAlias (r5b)") {
+    checkTranslated(
+      """select * from (select l_returnflag, l_linestatus, l_quantity from lineitem)
+         pivot (sum(l_quantity) as s, count(*) as c
+                for l_linestatus in ('O' as o, 'F' as f))""",
+      """select l_returnflag,
+           sum(case when l_linestatus = 'O' then l_quantity end) as o_s,
+           count(case when l_linestatus = 'O' then 1 end) as o_c,
+           sum(case when l_linestatus = 'F' then l_quantity end) as f_s,
+           count(case when l_linestatus = 'F' then 1 end) as f_c
+         from lineitem group by l_returnflag""")
+  }
+
+  test("multi-aggregate pivot requires aggregate aliases") {
+    val e = intercept[RuntimeException](graftSession.query(
+      """select * from (select l_returnflag, l_linestatus, l_quantity from lineitem)
+         pivot (sum(l_quantity), count(*) as c
+                for l_linestatus in ('O' as o))"""))
+    assert(e.getMessage.contains("alias"))
+  }
+
   test("pivot composes with further query clauses") {
     checkTranslated(
       """select l_returnflag, qty_o + qty_f as total from
