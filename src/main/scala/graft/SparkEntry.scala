@@ -418,6 +418,16 @@ object SparkEntry {
                   round(sum(o_totalprice), 2) as total,
                   max(o_totalprice) as biggest
            from orders where orders.o_custkey = c.c_custkey) o""",
+    // theta-correlated LATERAL aggregate (r5b): per-distinct-outer-
+    // tuple aggregation (the theta-scalar decorrelation generalized
+    // to several columns) — COUNT over empty tuples reads 0
+    "q_lateral_theta" ->
+      """select c.c_custkey, o.n, o.mx
+         from customer c
+         cross join lateral (
+           select count(*) as n, max(o_totalprice) as mx from orders
+           where orders.o_custkey = c.c_custkey
+             and orders.o_totalprice < c.c_acctbal * 40) o""",
     // LATERAL top-n (r5b): each customer's 2 biggest orders — ONE
     // row_number window on the correlation key + one equi-join, never
     // per-row re-execution (the unique o_orderkey tiebreak makes the

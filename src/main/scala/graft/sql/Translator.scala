@@ -546,21 +546,14 @@ final class Translator(catalog: String => DataFrame,
       fail("LATERAL select items must either all aggregate or " +
         "(for the top-n form) none aggregate")
     val outerOnly = outerAliases -- relationAliases(q.sel.from)
-    val conjs = q.sel.where.map(splitConjuncts).getOrElse(Nil)
-    val (corr, local) = conjs.partition(refersToAliases(_, outerOnly))
-    val keyPairs = corr.map { // (inner expr, outer expr)
-      case Cmp("=", a, b)
-          if refersToAliases(b, outerOnly) && !refersToAliases(a, outerOnly) =>
-        (a, b)
-      case Cmp("=", a, b)
-          if refersToAliases(a, outerOnly) && !refersToAliases(b, outerOnly) =>
-        (b, a)
-      case other => fail("LATERAL correlation must be equality " +
-        s"conjuncts between inner and outer columns, got $other")
-    }
+    // theta conjuncts (r5b) decorrelate through the same per-distinct-
+    // outer-tuple aggregation as theta scalar subqueries
+    val (keyPairs, thetas, local) =
+      corrSplit(q, outerOnly, "LATERAL", allowTheta = true)
     var inner = translateRelation(q.sel.from)
     local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
     val keyNames = keyPairs.indices.map(i => s"__lat_k$i")
+    val tNames = thetas.indices.map(i => s"__lat_t$i")
     var aggs = Vector.empty[(String, AggExpr)]
     def aggRef(a: AggExpr): String =
       aggs.find(_._2 == a).map(_._1).getOrElse {
@@ -578,30 +571,50 @@ final class Translator(catalog: String => DataFrame,
       (rewritten, name)
     }
     val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-    val grouped =
-      if (keyPairs.isEmpty) inner.agg(aggCols.head, aggCols.tail: _*)
-      else inner.groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
-          exprToCol(ik, None).as(n) }: _*)
-        .agg(aggCols.head, aggCols.tail: _*)
-    if (keyPairs.isEmpty) {
+    if (keyPairs.isEmpty && thetas.isEmpty) {
       // uncorrelated: a global aggregate is ONE row — broadcast it
+      val grouped = inner.agg(aggCols.head, aggCols.tail: _*)
       val lat = grouped.select(items.map { case (e, n) =>
         exprToCol(e, None).as(n) }: _*).alias(alias.toLowerCase)
       lf.crossJoin(F.broadcast(lat))
     } else {
-      // every outer key tuple gets a row (missing groups filled here,
-      // so COUNT coalesces apply BEFORE aliasing and qualified refs
-      // a.col keep working), then join back null-safely on the tuple
-      val outerKeys = lf.select(keyPairs.zip(keyNames).map {
-        case ((_, oe), n) => exprToCol(oe, None).as(n) }: _*).distinct()
-      val filled = outerKeys.join(grouped, keyNames.toSeq, "left_outer")
-      val lat = filled.select((keyNames.map(F.col) ++ items.map {
+      // every outer (key, theta-operand) tuple gets a row (missing
+      // groups filled here, so COUNT coalesces apply BEFORE aliasing
+      // and qualified refs a.col keep working), then join back
+      // null-safely on the tuple. With thetas the inner side joins
+      // the DISTINCT tuple table on keys + theta comparisons first —
+      // one aggregation per tuple, never per outer row.
+      val tupleNames = keyNames ++ tNames
+      val tupleCols = keyPairs.zip(keyNames).map { case ((_, oe), n) =>
+        exprToCol(oe, None).as(n) } ++
+        thetas.zip(tNames).map { case ((_, _, oe), n) =>
+          exprToCol(oe, None).as(n) }
+      val tuples = lf.select(tupleCols: _*).distinct()
+      val grouped =
+        if (thetas.isEmpty)
+          inner.groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+            exprToCol(ik, None).as(n) }: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        else {
+          val joinCond =
+            (keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+              exprToCol(ik, None) === F.col(n) } ++
+             thetas.zip(tNames).map { case ((ie, op, _), n) =>
+              cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+          tuples.join(inner, joinCond, "inner")
+            .groupBy(tupleNames.map(F.col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        }
+      val filled = tuples.join(grouped, tupleNames.toSeq, "left_outer")
+      val lat = filled.select((tupleNames.map(F.col) ++ items.map {
         case (e, n) => exprToCol(e, None).as(n) }): _*)
         .alias(alias.toLowerCase)
-      val cond = keyPairs.zip(keyNames).map { case ((_, oe), n) =>
-        exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
-      }.reduce(_ && _)
-      lf.join(lat, cond, "inner").drop(keyNames: _*)
+      val cond = (keyPairs.zip(keyNames).map { case ((_, oe), n) =>
+        exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n") } ++
+        thetas.zip(tNames).map { case ((_, _, oe), n) =>
+          exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
+        }).reduce(_ && _)
+      lf.join(lat, cond, "inner").drop(tupleNames: _*)
     }
   }
 

@@ -56,6 +56,34 @@ class LateralSpec extends SparkTestBase {
              and o_totalprice > 1000) o""")
   }
 
+  test("theta-correlated lateral aggregates (r5b)") {
+    // keyless theta: count of orders under a per-customer threshold
+    checkTranslated(
+      """select c.c_custkey, o.n from customer c
+         cross join lateral (
+           select count(*) as n from orders
+           where orders.o_totalprice < c.c_acctbal * 50) o""",
+      """select c_custkey,
+           (select count(*) from orders
+            where orders.o_totalprice < customer.c_acctbal * 50) as n
+         from customer""")
+    // equality key + theta operand, several aggregates
+    checkTranslated(
+      """select c.c_custkey, o.n, o.mx from customer c
+         cross join lateral (
+           select count(*) as n, max(o_totalprice) as mx from orders
+           where orders.o_custkey = c.c_custkey
+             and orders.o_totalprice < c.c_acctbal * 40) o""",
+      """select c_custkey,
+           (select count(*) from orders
+            where orders.o_custkey = customer.c_custkey
+              and orders.o_totalprice < customer.c_acctbal * 40) as n,
+           (select max(o_totalprice) from orders
+            where orders.o_custkey = customer.c_custkey
+              and orders.o_totalprice < customer.c_acctbal * 40) as mx
+         from customer""")
+  }
+
   // ---- top-n form (r5b): ORDER BY ... LIMIT inside LATERAL --------
 
   test("cross join lateral top-n picks each customer's biggest orders") {
@@ -173,8 +201,9 @@ class LateralSpec extends SparkTestBase {
     val e2 = intercept[RuntimeException](graftSession.query(
       """select c.c_custkey, o.n from customer c
          cross join lateral (select count(*) as n from orders
-                             where orders.o_custkey > c.c_custkey) o"""))
-    assert(e2.getMessage.contains("equality"))
+                             where orders.o_custkey = c.c_custkey
+                                or orders.o_totalprice > 0) o"""))
+    assert(e2.getMessage.contains("comparison"))
     val e3 = intercept[RuntimeException](graftSession.query(
       """select c.c_custkey from customer c
          join lateral (select count(*) as n from orders
