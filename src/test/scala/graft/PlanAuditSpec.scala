@@ -292,4 +292,63 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("q_join_semi").toLowerCase.contains("leftsemi"))
     assert(plan("q_join_anti").toLowerCase.contains("leftanti"))
   }
+
+  // ---- r5b additions ------------------------------------------------
+
+  test("lateral top-n is one window plus one equi-join, no re-execution") {
+    val p = plan("q_lateral_topn")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(3000))
+    assert(!p.toLowerCase.contains("cartesian"), "top-n must not cartesian")
+    // row_number filter happens BEFORE the join back — the join's
+    // build side is the k-per-group survivors, not the full inner
+    assert(p.contains("row_number"), p.take(3000))
+  }
+
+  test("from-position unnest is a single Generate over the scan") {
+    val p = plan("q_unnest_from")
+    assert("Generate ".r.findAllIn(p).length == 1, p.take(2000))
+    assert(shuffleCount("q_unnest_from") == 0,
+      "from-position unnest must not shuffle")
+  }
+
+  test("parallel unnest zip explodes the index sequence, not the arrays") {
+    val p = plan("q_unnest_multi")
+    // the Generate child is sequence(1, greatest(...)), and values are
+    // re-read positionally (try_element_at renders as
+    // element_at(..., None, false)) — arrays never feed the Generate
+    assert(p.contains("sequence(1"), p.take(3000))
+    assert(p.contains("element_at(__un_a"), p.take(3000))
+  }
+
+  test("domain cap is ONE window shuffle on the domain key") {
+    assert(shuffleCount("q_domain_cap") == 1, plan("q_domain_cap").take(3000))
+  }
+
+  test("quantile gate broadcasts a one-row threshold, rows never move") {
+    val p = plan("q_quality_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(shuffleCount("q_quality_filter") == 0,
+      "the corpus side of the quantile gate must not shuffle")
+  }
+
+  test("misra-gries is one global aggregation of bounded partials") {
+    val p = plan("q_ngram_mg")
+    // partial_misragries on every partition, ONE single-partition
+    // exchange of the k-bounded sketches, no per-gram hashpartitioning
+    assert(!p.contains("Exchange hashpartitioning(g"),
+      "MG must not shuffle per-gram rows")
+    assert(p.toLowerCase.contains("misragries"), p.take(3000))
+  }
+
+  test("windowed ordered-set aggregate is one partition-key window") {
+    assert(shuffleCount("q_agg_string_window") == 1,
+      plan("q_agg_string_window").take(3000))
+  }
+
+  test("theta lateral aggregates per distinct tuple, no cartesian") {
+    val p = plan("q_lateral_theta")
+    assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
 }
