@@ -613,6 +613,34 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // round-5b: LATERAL top-n — spark.sql supports lateral subqueries
+  // with ORDER BY/LIMIT natively, so the whole query differentials.
+  // The o_orderkey tiebreak keeps every pick deterministic.
+  private val genLateralTopN: Gen[String] = for {
+    k <- Gen.choose(1, 3)
+    off <- Gen.oneOf(0, 0, 1)
+    dir <- Gen.oneOf("asc", "desc")
+    kind <- Gen.oneOf("cross join lateral", "left join lateral")
+    sort <- Gen.oneOf("o_totalprice", "o_orderkey % 97", "o_custkey + o_orderkey")
+  } yield {
+    val on = if (kind.startsWith("left")) " on true" else ""
+    val offSql = if (off > 0) s" offset $off" else ""
+    s"""select c.c_custkey, t.o_orderkey from customer c
+        $kind (select o_orderkey from orders
+               where orders.o_custkey = c.c_custkey
+               order by $sort $dir, o_orderkey limit $k$offSql) t$on"""
+  }
+
+  test("20 random LATERAL top-n queries match spark.sql exactly") {
+    val qs = Gen.listOfN(20, genLateralTopN)
+      .pureApply(Gen.Parameters.default, Seed(131L))
+    qs.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   // round-5b: theta-correlated scalars WITH inner GROUP BY (by the
   // correlation key -> one group per tuple) and optional HAVING.
   // spark.sql rejects non-equality correlation under aggregation, so
