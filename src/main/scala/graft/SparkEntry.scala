@@ -166,6 +166,24 @@ object SparkEntry {
                                where o.o_custkey = c.c_custkey
                                group by o.o_custkey
                                having sum(o.o_totalprice) > 200000)""",
+    // theta EXISTS with GROUP-BY-less HAVING (r5b): the HAVING
+    // aggregates rewrite to theta-correlated scalar subqueries
+    // (identical empty semantics); count(*) < 3 keeps customers with
+    // NO qualifying orders, exercising the h-on-empty arm
+    "q_exists_theta_having" ->
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 50
+                       having count(*) > 3)""",
+    // theta EXISTS over a bare GROUP BY (r5b): grouping cannot change
+    // existence — dropped at rewrite, the plain theta lowering applies
+    "q_exists_theta_grouped" ->
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 60
+                       group by o.o_orderdate)""",
     // theta-correlated scalar: aggregate over the rows a range
     // comparison against the outer row selects ("count of earlier
     // lines") — per-distinct-outer-tuple aggregation joined back

@@ -2201,7 +2201,32 @@ final class Translator(catalog: String => DataFrame,
           case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
             aliasMap(n.toLowerCase)
         }
-        if (!eqOnly || refersToAliases(h, outerRefs) || containsWindow(h))
+        // theta correlation (r5b): a GROUP-BY-less HAVING aggregate
+        // row exists ALWAYS (one row even over empty input), so
+        // EXISTS equals the HAVING evaluated on the aggregates — and
+        // each aggregate over the theta-selected set IS the matching
+        // theta-correlated scalar subquery (identical empty
+        // semantics: COUNT reads 0, others NULL). COALESCE keeps
+        // EXISTS two-valued.
+        val thetaOk = corr.nonEmpty && corr.forall {
+          case Cmp("=" | "<" | "<=" | ">" | ">=" | "<>", l, r) =>
+            refersToAliases(l, outerRefs) ^ refersToAliases(r, outerRefs)
+          case _ => false
+        }
+        if (refersToAliases(h, outerRefs) || containsWindow(h))
+          orig
+        else if (!eqOnly && thetaOk) {
+          var rewritable = true
+          val h2 = Ast.transformUp(h) {
+            case a: AggExpr if a.window.isEmpty =>
+              ScalarSubquery(Leaf(Query(q.sel.copy(distinct = false,
+                items = Seq(SelectItem(a, None)), having = None),
+                Nil, None, None)))
+            case a: AggExpr => rewritable = false; a
+          }
+          if (!rewritable) orig else Coalesce(Seq(h2, BoolLit(false)))
+        }
+        else if (!eqOnly)
           orig
         else {
           val innerKeys = corr.map { case Cmp("=", l, r) =>
@@ -2270,6 +2295,20 @@ final class Translator(catalog: String => DataFrame,
     * lowerings or loud errors. */
   private def degroupCorrSub(sub: SetExpr, outerAliases: Set[String],
                              forExists: Boolean): SetExpr = sub match {
+    // EXISTS over GROUP BY without HAVING (r5b): grouping cannot
+    // change existence — drop it. This also admits THETA correlation
+    // (the derived-table rewrite below is equality-only): the plain
+    // correlated-EXISTS lowerings then apply, and the plan loses an
+    // aggregation it never needed.
+    case Leaf(q) if forExists && q.sel.groupBy.nonEmpty &&
+        q.sel.having.isEmpty && q.sel.groupMode == "plain" &&
+        q.sel.groupSets.isEmpty && q.sel.qualify.isEmpty &&
+        q.limit.isEmpty && q.offset.isEmpty &&
+        !q.sel.groupBy.exists(
+          refersToAliases(_, outerAliases -- relationAliases(q.sel.from))) =>
+      Leaf(Query(q.sel.copy(distinct = false,
+        items = Seq(SelectItem(NumLit("1"), None)), groupBy = Nil),
+        Nil, None, None))
     case Leaf(q) if q.sel.groupBy.nonEmpty && q.sel.groupMode == "plain" &&
         q.sel.groupSets.isEmpty && q.sel.qualify.isEmpty &&
         q.limit.isEmpty && q.offset.isEmpty =>

@@ -1551,6 +1551,55 @@ class SqlSurfaceSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("theta EXISTS takes GROUP-BY-less HAVING and bare GROUP BY (r5b)") {
+    // HAVING aggregates over the theta-selected set == the matching
+    // theta-correlated scalar subqueries (identical empty semantics)
+    checkTranslated(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 50
+                       having count(*) > 3)""",
+      """select c_custkey from customer c
+         where (select count(*) from orders o
+                where o.o_custkey = c.c_custkey
+                  and o.o_totalprice < c.c_acctbal * 50) > 3""")
+    // h true on EMPTY selection: count(*) < 3 keeps customers with
+    // no qualifying orders at all
+    checkTranslated(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 50
+                       having count(*) < 3)""",
+      """select c_custkey from customer c
+         where (select count(*) from orders o
+                where o.o_custkey = c.c_custkey
+                  and o.o_totalprice < c.c_acctbal * 50) < 3""")
+    // NOT EXISTS with a theta HAVING, and under OR
+    checkTranslated(
+      """select c_custkey from customer c
+         where c_acctbal < -900
+            or not exists (select 1 from orders o
+                           where o.o_custkey = c.c_custkey
+                             and o.o_totalprice > c.c_acctbal * 10
+                           having count(*) >= 2)""",
+      """select c_custkey from customer c
+         where c_acctbal < -900
+            or not ((select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                       and o.o_totalprice > c.c_acctbal * 10) >= 2)""")
+    // GROUP BY without HAVING cannot change existence — dropped, so
+    // theta correlation composes with grouped EXISTS
+    checkAgainstSparkSql(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 60
+                       group by o.o_orderdate)
+         order by c_custkey""")
+  }
+
   test("<> correlation decorrelates in flag positions") {
     // (count, min, max) triple: ∃ x≠y ⟺ cnt>0 ∧ (mn≠mx ∨ mn≠y)
     checkAgainstSparkSql(
