@@ -184,6 +184,14 @@ object SparkEntry {
                        where o.o_custkey = c.c_custkey
                          and o.o_totalprice < c.c_acctbal * 60
                        group by o.o_orderdate)""",
+    // theta IN over a having-only aggregate set (r5b): membership in
+    // the at-most-one-row set = nonempty AND probe = value
+    "q_in_theta_having" ->
+      """select c_custkey from customer c
+         where 2 in (select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                       and o.o_totalprice < c.c_acctbal * 60
+                     having count(*) >= 1)""",
     // theta-correlated scalar: aggregate over the rows a range
     // comparison against the outer row selects ("count of earlier
     // lines") — per-distinct-outer-tuple aggregation joined back

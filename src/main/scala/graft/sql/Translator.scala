@@ -2262,7 +2262,10 @@ final class Translator(catalog: String => DataFrame,
             val corr = q0.sel.where.map(splitConjuncts).getOrElse(Nil)
               .filter(refersToAliases(_, outerRefs))
             corr.nonEmpty && corr.forall {
-              case Cmp("=", l, r) =>
+              // theta conjuncts admitted r5b: both the nonempty test
+              // (having-only EXISTS) and the value (scalar WITH the
+              // HAVING) handle them
+              case Cmp("=" | "<" | "<=" | ">" | ">=" | "<>", l, r) =>
                 refersToAliases(l, outerRefs) ^ refersToAliases(r, outerRefs)
               case _ => false
             } && !(q0.sel.having.toSeq ++ q0.sel.items.map(_.e))

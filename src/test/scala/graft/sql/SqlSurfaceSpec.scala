@@ -1600,6 +1600,21 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by c_custkey""")
   }
 
+  test("theta IN over a having-only aggregate set (r5b)") {
+    // membership in the one-row set = nonempty AND probe = value;
+    // probe 2 matches customers with exactly two qualifying orders
+    checkTranslated(
+      """select c_custkey from customer c
+         where 2 in (select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                       and o.o_totalprice < c.c_acctbal * 60
+                     having count(*) >= 1)""",
+      """select c_custkey from customer c
+         where (select count(*) from orders o
+                where o.o_custkey = c.c_custkey
+                  and o.o_totalprice < c.c_acctbal * 60) = 2""")
+  }
+
   test("<> correlation decorrelates in flag positions") {
     // (count, min, max) triple: ∃ x≠y ⟺ cnt>0 ∧ (mn≠mx ∨ mn≠y)
     checkAgainstSparkSql(
