@@ -1810,6 +1810,26 @@ object SparkEntry {
               select g, count(*) as n_occ, count(distinct doc_id) as n_docs
               from gx group by g
               order by n_occ desc, g asc limit 20""")),
+    // cross-document duplicate spans (r5b): exact-substring dedup
+    // stats — one Generate + one hash window + one per-doc agg; a
+    // small n keeps planted duplicates plentiful at sf0.01
+    ("q_dedup_spans_cross",
+      (s: SparkSession, dir: String) =>
+        Dedup.duplicateSpanStats(tbl(s, dir, "documents"), 8),
+      Some("""with tok as (select doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') as w
+                from documents),
+              sp as (select doc_id, i as pos,
+                       md5(array_to_string(w[i : i+7], ' ')) as h
+                     from tok, unnest(range(1, len(w) - 6)) as u(i)
+                     where len(w) >= 8),
+              rk as (select doc_id,
+                       row_number() over (partition by h
+                                          order by doc_id, pos) as rn
+                     from sp)
+              select doc_id, count(*) as n_spans,
+                sum(case when rn > 1 then 1 else 0 end)::bigint as n_dup
+              from rk group by doc_id""")),
     // approximate heavy hitters (r5b): Misra-Gries typed Aggregator —
     // bounded sketch state per partition, ONE global merge, no
     // per-gram shuffle; sketch=4096 exceeds the corpus's distinct

@@ -419,4 +419,40 @@ object Dedup {
     definiteNew.union(verifiedNew)
       .union(incoming.filter(F.col("text").isNull).select("doc_id"))
   }
+
+  /** Cross-document duplicate-SPAN statistics (r5b): for every
+    * document, how many of its n-token spans (stride 1) also occur
+    * earlier in the corpus — the practical approximation of exact-
+    * substring dedup (Lee et al.'s suffix-array pass) for boilerplate
+    * and cross-document contamination measurement. "Earlier" is the
+    * global (doc_id, pos) order, so exactly one occurrence of every
+    * distinct span is original and the result is deterministic.
+    *
+    * Plan shape: one Generate emitting (doc_id, pos, md5(span)) —
+    * the span text re-derived inside codegen from the token array,
+    * never a materialized span column — then ONE row_number window
+    * on the span hash (first occurrence wins) and ONE per-document
+    * aggregation. Only (hash, doc, pos) triples shuffle, never text.
+    * At 100 TB stride-1 span volume ≈ token volume × 1: the narrow
+    * triple shuffle is the cost of exactness; raise the stride or
+    * pre-filter with a Bloom pass when approximate coverage is
+    * enough. */
+  def duplicateSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .selectExpr("doc_id",
+        "filter(split(lower(text), ' '), t -> t <> '') as w")
+      .filter(s"size(w) >= $n")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> struct(i as pos, md5(array_join(slice(w, i, $n), ' ')) as h))) as sp")
+      .select(F.col("doc_id"), F.col("sp.pos").as("pos"), F.col("sp.h").as("h"))
+      .withColumn("__first",
+        F.row_number().over(
+          Window.partitionBy("h").orderBy("doc_id", "pos")) === 1)
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_spans"),
+        F.sum(F.when(F.col("__first"), 0L).otherwise(1L)).as("n_dup"))
+  }
 }

@@ -534,4 +534,20 @@ class OpsSpec extends SparkTestBase {
     // ties broken by gram text ascending after count descending
     assert(out.map(_._2).sorted.reverse.sameElements(out.map(_._2)))
   }
+
+  test("cross-document duplicate spans: first global occurrence is original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),  // spans: [a..h], [b..x] — both original
+      (2L, "z a b c d e f g h"),  // [z..g] original, [a..h] duplicates doc 1
+      (3L, "a b c d e f g h x")   // both spans duplicate doc 1 exactly
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.duplicateSpanStats(docs, 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 0L), 2L -> (2L, 1L), 3L -> (2L, 2L)))
+    // documents shorter than the span length produce no row
+    val short = graft.ops.Dedup.duplicateSpanStats(
+      Seq((9L, "too short")).toDF("doc_id", "text"), 8)
+    assert(short.count() == 0)
+  }
 }
