@@ -34,8 +34,50 @@ final class Graft(val spark: SparkSession) {
   private def lookup(name: String): DataFrame =
     tables.getOrElse(name.toLowerCase, throw TableNotFoundException(name))
 
-  /** Parse + translate SQL to a lazy DataFrame. */
-  def query(sqlText: String): DataFrame =
+  // ---- statement forms (r5b): the SQL spellings of the register/
+  // remove API plus EXPLAIN. Views are LAZY logical plans, exactly
+  // like registerTable - nothing materializes at CREATE time.
+  private val CreateViewRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
+  private val ExplainRe = """(?is)^\s*explain\s+(select.*|with.*)$""".r
+
+  private def status(kind: String, name: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    spark.range(1).select(F.lit(kind).as("kind"), F.lit(name).as("name"))
+  }
+
+  /** Parse + translate SQL to a lazy DataFrame. Besides queries,
+    * accepts `CREATE [OR REPLACE] [TEMP] VIEW name AS select`
+    * (registers the unexecuted plan under the name; without OR
+    * REPLACE an existing name is a loud error), `DROP VIEW
+    * [IF EXISTS] name`, and `EXPLAIN select` (one `plan` row per
+    * formatted-plan line). */
+  def query(sqlText: String): DataFrame = sqlText match {
+    case CreateViewRe(orReplace, quoted, bare, body) =>
+      val name = Option(quoted).getOrElse(bare)
+      if (orReplace == null && tables.contains(name.toLowerCase))
+        throw new RuntimeException(
+          s"view '$name' already exists (use CREATE OR REPLACE VIEW)")
+      registerTable(name, translateOnly(body))
+      status("view", name.toLowerCase)
+    case DropViewRe(ifExists, quoted, bare) =>
+      val name = Option(quoted).getOrElse(bare)
+      if (!tables.contains(name.toLowerCase)) {
+        if (ifExists == null) throw TableNotFoundException(name)
+        status("noop", name.toLowerCase)
+      } else {
+        removeTable(name)
+        status("dropped", name.toLowerCase)
+      }
+    case ExplainRe(body) =>
+      import spark.implicits._
+      explain(body).split("\n").toSeq.toDF("plan")
+    case _ => translateOnly(sqlText)
+  }
+
+  private def translateOnly(sqlText: String): DataFrame =
     new Translator(lookup, spark).translate(Parser.parse(sqlText))
 
   /** Formatted physical plan of `sqlText` — the plan-inspection

@@ -1,0 +1,53 @@
+package graft
+
+/** SQL statement forms (r5b): CREATE/DROP VIEW and EXPLAIN — the SQL
+  * spellings of the register/remove API. Uses a private session so
+  * registry mutations don't leak into other suites. */
+class StatementsSpec extends SparkTestBase {
+
+  private def fresh: Graft = Graft.forDir(spark, TestSpark.sfDir)
+
+  test("create view registers a lazy plan queryable by name") {
+    val g = fresh
+    val st = g.query(
+      "create view big_orders as select * from orders where o_totalprice > 100000")
+    assert(st.collect().map(_.getString(0)).toSeq == Seq("view"))
+    val n = g.query("select count(*) as n from big_orders")
+      .collect().head.getLong(0)
+    val direct = g.query(
+      "select count(*) as n from orders where o_totalprice > 100000")
+      .collect().head.getLong(0)
+    assert(n == direct && n > 0)
+    // views compose: a view over the view
+    g.query("create temp view big2 as select o_custkey from big_orders")
+    assert(g.query("select * from big2").columns.toSeq == Seq("o_custkey"))
+  }
+
+  test("create view without OR REPLACE refuses to overwrite") {
+    val g = fresh
+    g.query("create view v1 as select 1 as x from region")
+    val e = intercept[RuntimeException](
+      g.query("create view v1 as select 2 as x from region"))
+    assert(e.getMessage.contains("already exists"))
+    g.query("create or replace view v1 as select 2 as x from region")
+    assert(g.query("select distinct x from v1").collect().head.getLong(0) == 2L)
+  }
+
+  test("drop view removes the name; IF EXISTS tolerates absence") {
+    val g = fresh
+    g.query("create view doomed as select * from nation")
+    assert(g.query("drop view doomed").collect().head.getString(0) == "dropped")
+    intercept[RuntimeException](g.query("select * from doomed"))
+    intercept[RuntimeException](g.query("drop view doomed"))
+    assert(g.query("drop view if exists doomed")
+      .collect().head.getString(0) == "noop")
+  }
+
+  test("explain returns the formatted physical plan as rows") {
+    val g = fresh
+    val lines = g.query("explain select n_name from nation where n_regionkey = 1")
+      .collect().map(_.getString(0))
+    assert(lines.exists(_.contains("Physical Plan")))
+    assert(lines.exists(_.contains("PushedFilters")))
+  }
+}
