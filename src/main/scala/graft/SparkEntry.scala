@@ -184,6 +184,16 @@ object SparkEntry {
                        where o.o_custkey = c.c_custkey
                          and o.o_totalprice < c.c_acctbal * 60
                        group by o.o_orderdate)""",
+    // grouped + HAVING theta EXISTS (r5b): does ANY inner group of
+    // the theta-selected rows satisfy h? — per-distinct-outer-tuple
+    // survivors semi-joined back
+    "q_exists_theta_group_having" ->
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 100
+                       group by o.o_orderdate
+                       having count(*) >= 2)""",
     // theta IN over a having-only aggregate set (r5b): membership in
     // the at-most-one-row set = nonempty AND probe = value
     "q_in_theta_having" ->

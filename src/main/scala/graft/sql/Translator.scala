@@ -1540,10 +1540,19 @@ final class Translator(catalog: String => DataFrame,
           // may be ANY query — aggregates, GROUP BY, LIMIT, set ops —
           // reduced to a one-row nonempty probe (existsProbeSide).
           existsCorrInfo(sub, outerAliases) match {
-            case Some((q, _, corr, local)) =>
-              val (inner, cond) = correlatedExistsSide(q, corr, local)
-              from = from.join(inner, cond,
-                if (negated) "left_anti" else "left_semi")
+            case Some((q, outerRefs, corr, local)) =>
+              // grouped + HAVING with THETA correlation (r5b): does
+              // any group over the theta-selected rows satisfy h? —
+              // per-distinct-outer-tuple survivors, semi/anti-joined
+              groupedThetaExistsSurvivors(q, outerRefs, from) match {
+                case Some((survivors, cond)) =>
+                  from = from.join(survivors, cond,
+                    if (negated) "left_anti" else "left_semi")
+                case None =>
+                  val (inner, cond) = correlatedExistsSide(q, corr, local)
+                  from = from.join(inner, cond,
+                    if (negated) "left_anti" else "left_semi")
+              }
             case None =>
               from = from.join(existsProbeSide(sub), F.lit(true),
                 if (negated) "left_anti" else "left_semi")
@@ -2366,6 +2375,88 @@ final class Translator(catalog: String => DataFrame,
           groupBy = Nil, having = None), Nil, None, None))
       }
     case _ => sub
+  }
+
+  private var gteIdx = 0
+
+  /** Grouped + HAVING EXISTS with THETA correlation, conjunct
+    * position (r5b): `EXISTS (SELECT 1 FROM t WHERE t.k = o.k AND
+    * t.x < o.y GROUP BY g HAVING h)` — does ANY group of the
+    * theta-selected rows satisfy h? The theta comparison makes the
+    * group content outer-row-dependent, so the inner side joins the
+    * DISTINCT outer (key, theta-operand) tuple table on keys + theta
+    * first, groups by (tuple, inner keys), filters by h, and the
+    * surviving tuples semi/anti-join back — one aggregation per
+    * tuple, never per outer row. Returns None when the shape doesn't
+    * apply (equality-only and simpler shapes keep their existing
+    * lowerings). */
+  private def groupedThetaExistsSurvivors(
+      q: Query, outerRefs: Set[String], outer: DataFrame)
+      : Option[(DataFrame, Column)] = {
+    if (q.sel.groupBy.isEmpty || q.sel.having.isEmpty ||
+        q.sel.groupMode != "plain" || q.sel.groupSets.nonEmpty ||
+        q.sel.qualify.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
+      return None
+    val aliasMap = q.sel.items.collect {
+      case SelectItem(ie, Some(a)) => a.toLowerCase -> ie }.toMap
+    val h = Ast.transformUp(q.sel.having.get) {
+      case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
+        aliasMap(n.toLowerCase)
+    }
+    if (refersToAliases(h, outerRefs) || containsWindow(h) ||
+        q.sel.groupBy.exists(refersToAliases(_, outerRefs)))
+      return None
+    val (keyPairs, thetas, local) =
+      corrSplit(q, outerRefs, "EXISTS", allowTheta = true)
+    if (thetas.isEmpty) return None // equality-only: degroup handles it
+    val i = gteIdx; gteIdx += 1
+    val keyNames = keyPairs.indices.map(j => s"__gte_${i}_k$j")
+    val tNames = thetas.indices.map(j => s"__gte_${i}_t$j")
+    val gNames = q.sel.groupBy.indices.map(j => s"__gte_${i}_g$j")
+    var inner = translateRelation(q.sel.from)
+    local.reduceOption(And).foreach(p =>
+      inner = inner.filter(exprToCol(p, None)))
+    val tuples = outer.select(
+      keyPairs.zip(keyNames).map { case ((_, oe), n) =>
+        exprToCol(oe, None).as(n) } ++
+      thetas.zip(tNames).map { case ((_, _, oe), n) =>
+        exprToCol(oe, None).as(n) }: _*).distinct()
+    val joinCond =
+      (keyPairs.zip(keyNames).map { case ((ik, _), n) =>
+        exprToCol(ik, None) === F.col(n) } ++
+       thetas.zip(tNames).map { case ((ie, op, _), n) =>
+        cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+    var aggs = Vector.empty[(String, AggExpr)]
+    val hSub = Ast.transformUp(h) {
+      case a: AggExpr if a.window.isEmpty =>
+        val n = aggs.find(_._2 == a).map(_._1).getOrElse {
+          val nn = s"__gte_${i}_a${aggs.size}"
+          aggs :+= (nn -> a); nn
+        }
+        ColRef(None, n)
+      case c: ColRef if q.sel.groupBy.exists(k => sameExpr(k, c)) =>
+        ColRef(None,
+          gNames(q.sel.groupBy.indexWhere(k => sameExpr(k, c))))
+    }
+    if (aggs.isEmpty) return None // h without aggregates — not this shape
+    val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
+    val survivors = tuples.join(inner, joinCond, "inner")
+      .groupBy((keyNames ++ tNames).map(F.col) ++
+        q.sel.groupBy.zip(gNames).map { case (g, n) =>
+          exprToCol(g, None).as(n) }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .filter(exprToCol(hSub, None))
+      .select((keyNames ++ tNames).map(F.col): _*)
+      .distinct()
+    // EXISTS is two-valued: tuples with NULL keys/operands never
+    // joined any inner row, are absent from survivors, and the ===
+    // back-join reads false (anti reads true) — the standard answer
+    val cond =
+      (keyPairs.zip(keyNames).map { case ((_, oe), n) =>
+        exprToCol(oe, None) === F.col(n) } ++
+       thetas.zip(tNames).map { case ((_, _, oe), n) =>
+        exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
+    Some((survivors, cond))
   }
 
   /** Inner side + join condition for a correlated EXISTS in conjunct

@@ -1600,6 +1600,37 @@ class SqlSurfaceSpec extends SparkTestBase {
          order by c_custkey""")
   }
 
+  test("grouped + HAVING EXISTS with theta correlation (r5b)") {
+    // does ANY order-date group of the theta-selected orders have >= 2
+    // rows? oracle = the hand-decorrelated grouped join
+    checkTranslated(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 100
+                       group by o.o_orderdate
+                       having count(*) >= 2)""",
+      """select distinct c.c_custkey from customer c
+         join orders o on o.o_custkey = c.c_custkey
+                      and o.o_totalprice < c.c_acctbal * 100
+         group by c.c_custkey, c.c_acctbal, o.o_orderdate
+         having count(*) >= 2""")
+    // NOT EXISTS keeps everyone else, including no-order customers
+    checkTranslated(
+      """select c_custkey from customer c
+         where not exists (select 1 from orders o
+                           where o.o_custkey = c.c_custkey
+                             and o.o_totalprice < c.c_acctbal * 100
+                           group by o.o_orderdate
+                           having count(*) >= 2)""",
+      """select c_custkey from customer where c_custkey not in (
+           select distinct c.c_custkey from customer c
+           join orders o on o.o_custkey = c.c_custkey
+                        and o.o_totalprice < c.c_acctbal * 100
+           group by c.c_custkey, c.c_acctbal, o.o_orderdate
+           having count(*) >= 2)""")
+  }
+
   test("theta IN over a having-only aggregate set (r5b)") {
     // membership in the one-row set = nonempty AND probe = value;
     // probe 2 matches customers with exactly two qualifying orders
