@@ -198,6 +198,66 @@ object Streaming {
       .selectExpr("user_id", "n_events", "round(sum_value, 2) as sum_value")
   }
 
+  /** Like [[withEventTime]] but keeps every column (props included). */
+  def withEventTimeKeepAll(events: DataFrame): DataFrame = {
+    val et = events.schema("ts").dataType match {
+      case LongType => F.expr("timestamp_micros(ts div 1000)")
+      case _        => F.col("ts").cast(TimestampType)
+    }
+    events.withColumn("event_time", et)
+  }
+
+  /** Per-window Misra–Gries sketch state for [[streamingTopKeys]]. */
+  final case class SketchState(nSeen: Long, counts: Map[String, Long])
+
+  /** Streaming heavy hitters (r5b): per hourly window, the top-k
+    * event property keys via the bounded Misra–Gries sketch
+    * (graft.functions.HeavyHitters) held in flatMapGroupsWithState
+    * state — at most `sketch` counters per window NO MATTER the key
+    * cardinality, the streaming analogue of approxTopNgrams. Each
+    * micro-batch folds its rows into the window's sketch and emits
+    * the current top-k as (bucket_start, n_seen, key, est); the
+    * emission with the window's largest n_seen is the final answer
+    * (est values are MG lower bounds — exact when `sketch` exceeds
+    * the window's distinct keys). State is bounded by
+    * |windows| × sketch; with a watermark + timeout closed windows
+    * would age out (NoTimeout here — finite AvailableNow inputs). */
+  def streamingTopKeys(spark: SparkSession, path: String, k: Int = 5,
+                       sketch: Int = 256,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    var reader = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.parquet(path)
+    val et = stream.schema("ts").dataType match {
+      case LongType => F.expr("timestamp_micros(ts div 1000)")
+      case _        => F.col("ts").cast(TimestampType)
+    }
+    val typed = stream
+      .select(F.date_trunc("hour", et).cast("long").as("w"),
+        F.get_json_object(F.col("props"), "$.k").as("pk"))
+      .as[(Long, String)]
+    val mg = new graft.functions.HeavyHitters.MisraGries(sketch)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SketchState, (Long, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (w: Long, rows: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[SketchState]) =>
+          val prev = state.getOption.getOrElse(SketchState(0L, Map.empty))
+          var counts = prev.counts
+          var n = prev.nSeen
+          rows.foreach { case (_, pk) =>
+            if (pk != null) { counts = mg.reduce(counts, pk); n += 1 }
+          }
+          state.update(SketchState(n, counts))
+          counts.toSeq.sortBy(t => (-t._2, t._1)).take(k)
+            .map { case (key, c) => (w, n, key, c) }.iterator
+      }
+      .toDF("bucket_start", "n_seen", "key", "est")
+  }
+
   /** Streaming throughput bench: drives the windowed aggregation and
     * the exact-dedup streams under Trigger.AvailableNow into a noop
     * sink, at TWO input scales (1× and 2× the events table), each

@@ -126,4 +126,44 @@ class StreamingSpec extends SparkTestBase {
              org.apache.spark.sql.functions.sum("value"), 2).as("sum_value"))
     assertSameRows(spark.table("user_totals"), batch)
   }
+
+  test("streaming top keys converge to the exact batch top-k across batches") {
+    import org.apache.spark.sql.{functions => F}
+    // two files -> two micro-batches: the second folds into the
+    // first's sketch state, so the test exercises the state merge
+    val dir = java.nio.file.Files.createTempDirectory("events_topk")
+    val ev = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    ev.filter("event_id % 2 = 0").coalesce(1)
+      .write.parquet(dir.resolve("a").toString)
+    ev.filter("event_id % 2 = 1").coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    val glob = s"$dir/*/*.parquet"
+    val q = Streaming.streamingTopKeys(spark, glob, k = 5,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("top_keys")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val out = spark.table("top_keys")
+    // at least two distinct n_seen per window proves multi-batch state
+    assert(out.select("bucket_start", "n_seen").distinct()
+      .groupBy("bucket_start").count().agg(F.max("count")).head.getLong(0) >= 2)
+    // final emission per window (largest n_seen) == exact batch top-5
+    // (sketch 256 > 100 distinct keys -> exact counts)
+    val finalTop = out
+      .withColumn("rk", F.rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket_start").orderBy(F.col("n_seen").desc)))
+      .filter("rk = 1").select("bucket_start", "key", "est").distinct()
+    val exact = Streaming.withEventTimeKeepAll(ev)
+      .select(F.date_trunc("hour", F.col("event_time")).cast("long").as("bucket_start"),
+        F.get_json_object(F.col("props"), "$.k").as("key"))
+      .filter("key is not null")
+      .groupBy("bucket_start", "key").agg(F.count(F.lit(1)).as("est"))
+      .withColumn("rn", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket_start")
+          .orderBy(F.col("est").desc, F.col("key"))))
+      .filter("rn <= 5").select("bucket_start", "key", "est")
+    assertSameRows(finalTop, exact)
+  }
 }
