@@ -18,6 +18,26 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Raw text, one row per LINE, with source-file provenance — the
+    * line-oriented shape raw corpus dumps arrive in (r5b). Splitting
+    * is per-file-block and parallel; no inference pass. */
+  def textLines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    spark.read.text(path)
+      .select(F.input_file_name().as("source_file"),
+        F.col("value").as("text"))
+  }
+
+  /** Raw text, one row per whole FILE — document-per-file corpora
+    * (r5b). Each file must fit an executor partition; for big files
+    * use [[textLines]] + reassembly or a record-delimited format. */
+  def wholeTextFiles(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    spark.read.option("wholetext", "true").text(path)
+      .select(F.input_file_name().as("source_file"),
+        F.col("value").as("text"))
+  }
+
   /** CSV with an explicit schema. Passing the schema avoids Spark's
     * inference pass (a full extra scan at scale). */
   def csv(spark: SparkSession, path: String, schema: StructType,

@@ -113,6 +113,23 @@ class SourcesSpec extends SparkTestBase {
       graft.ops.Export.withShard(docs, "doc_id", 4).filter("shard = 2").count())
   }
 
+  test("raw text readers: per-line and per-file with provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("rawtext")
+    java.nio.file.Files.write(dir.resolve("a.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.txt"),
+      "solo line\n".getBytes("UTF-8"))
+    val lines = Sources.textLines(spark, dir.toString).collect()
+    assert(lines.length == 3)
+    assert(lines.forall(_.getString(0).endsWith(".txt")))
+    assert(lines.map(_.getString(1)).sorted.toSeq ==
+      Seq("line one", "line two", "solo line"))
+    val whole = Sources.wholeTextFiles(spark, dir.toString).collect()
+    assert(whole.length == 2)
+    assert(whole.exists(r => r.getString(0).endsWith("a.txt") &&
+      r.getString(1) == "line one\nline two\n"))
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     val events = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
     val sessions = graft.streaming.Streaming.sessionize(events).collect()
