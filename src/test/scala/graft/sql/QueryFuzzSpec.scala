@@ -673,6 +673,44 @@ class QueryFuzzSpec extends SparkTestBase {
     (graftSql, oracleSql)
   }
 
+  // round-5b: grouped + HAVING EXISTS with theta correlation — the
+  // per-tuple-survivor lowering, oracle = hand-decorrelated grouped
+  // join (with NOT EXISTS as the complement)
+  private val genGroupedThetaExistsPair: Gen[(String, String)] = for {
+    op <- Gen.oneOf("<", ">")
+    mult <- Gen.choose(10, 120)
+    thr <- Gen.choose(1, 3)
+    neg <- Gen.oneOf(false, false, true)
+  } yield {
+    val ex =
+      s"""exists (select 1 from orders o
+            where o.o_custkey = c.c_custkey
+              and o.o_totalprice $op c.c_acctbal * $mult
+            group by o.o_orderdate having count(*) >= $thr)"""
+    val innerSet =
+      s"""select distinct c2.c_custkey from customer c2
+          join orders o on o.o_custkey = c2.c_custkey
+                       and o.o_totalprice $op c2.c_acctbal * $mult
+          group by c2.c_custkey, c2.c_acctbal, o.o_orderdate
+          having count(*) >= $thr"""
+    if (neg)
+      (s"select c_custkey from customer c where not $ex",
+       s"select c_custkey from customer where c_custkey not in ($innerSet)")
+    else
+      (s"select c_custkey from customer c where $ex",
+       s"select c_custkey from customer where c_custkey in ($innerSet)")
+  }
+
+  test("12 random grouped-theta EXISTS match their decorrelated form") {
+    val pairs = Gen.listOfN(12, genGroupedThetaExistsPair)
+      .pureApply(Gen.Parameters.default, Seed(137L))
+    pairs.distinct.foreach { case (g, o) =>
+      withClue(s"\nquery: $g\n") {
+        assertSameRows(graftSession.query(g), spark.sql(o))
+      }
+    }
+  }
+
   test("15 random grouped-theta correlated scalars match their decorrelated form") {
     val pairs = Gen.listOfN(15, genGroupedThetaScalarPair)
       .pureApply(Gen.Parameters.default, Seed(113L))
