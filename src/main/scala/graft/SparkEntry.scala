@@ -194,6 +194,15 @@ object SparkEntry {
                          and o.o_totalprice < c.c_acctbal * 100
                        group by o.o_orderdate
                        having count(*) >= 2)""",
+    // grouped theta IN (r5b): membership among per-group aggregate
+    // values of the theta-selected rows — surviving (tuple, value)
+    // pairs semi-joined on tuple match AND probe = value
+    "q_in_theta_grouped" ->
+      """select c_custkey from customer c
+         where 2 in (select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                       and o.o_totalprice < c.c_acctbal * 100
+                     group by o.o_orderdate)""",
     // theta IN over a having-only aggregate set (r5b): membership in
     // the at-most-one-row set = nonempty AND probe = value
     "q_in_theta_having" ->

@@ -1516,19 +1516,36 @@ final class Translator(catalog: String => DataFrame,
               from = from.join(inner, cond,
                 if (negated) "left_anti" else "left_semi")
             case None =>
-              val subDf = translate(sub)
-              if (subDf.columns.length != 1)
-                fail("IN (subquery) requires a single-column subquery")
-              val key = subDf(subDf.columns.head)
-              // anti-join emulating SQL NOT IN three-valued logic: a
-              // null probe or any null key means "no row is NOT IN"
-              // (unless the set is empty, where the anti join keeps
-              // everything because the condition never evaluates)
-              val cond =
-                if (negated) probe === key || probe.isNull || key.isNull
-                else probe === key
-              from = from.join(subDf.distinct(), cond,
-                if (negated) "left_anti" else "left_semi")
+              // grouped + theta IN, positive conjunct (r5b):
+              // membership = surviving (tuple, value) match. NOT IN
+              // over this shape keeps its loud error (3VL over
+              // possibly-NULL per-group values needs the null arms).
+              val groupedTheta = sub match {
+                case Leaf(q0) if !negated =>
+                  groupedThetaSurvivors(q0,
+                    outerAliases -- relationAliases(q0.sel.from),
+                    from, wantValue = true)
+                case _ => None
+              }
+              groupedTheta match {
+                case Some((survivors, cond0, Some(v))) =>
+                  from = from.join(survivors, cond0 && probe === v,
+                    "left_semi")
+                case _ =>
+                  val subDf = translate(sub)
+                  if (subDf.columns.length != 1)
+                    fail("IN (subquery) requires a single-column subquery")
+                  val key = subDf(subDf.columns.head)
+                  // anti-join emulating SQL NOT IN three-valued logic:
+                  // a null probe or any null key means "no row is NOT
+                  // IN" (unless the set is empty, where the anti join
+                  // keeps everything — the condition never evaluates)
+                  val cond =
+                    if (negated) probe === key || probe.isNull || key.isNull
+                    else probe === key
+                  from = from.join(subDf.distinct(), cond,
+                    if (negated) "left_anti" else "left_semi")
+              }
           }
         case (ExistsSubquery(sub0), negated) =>
           val sub = degroupCorrSub(sub0, outerAliases, forExists = true)
@@ -2392,22 +2409,43 @@ final class Translator(catalog: String => DataFrame,
     * lowerings). */
   private def groupedThetaExistsSurvivors(
       q: Query, outerRefs: Set[String], outer: DataFrame)
-      : Option[(DataFrame, Column)] = {
-    if (q.sel.groupBy.isEmpty || q.sel.having.isEmpty ||
+      : Option[(DataFrame, Column)] =
+    groupedThetaSurvivors(q, outerRefs, outer, wantValue = false)
+      .map { case (s, c, _) => (s, c) }
+
+  /** Shared grouped-theta survivor machinery (r5b): the DISTINCT
+    * outer (key, theta-operand) tuple table joins the inner relation
+    * on keys + theta, groups by (tuple, inner keys), filters by the
+    * substituted HAVING. `wantValue = false` (EXISTS) returns the
+    * surviving tuples; `wantValue = true` (IN) additionally carries
+    * the single select item's value per surviving group, so
+    * membership is `tuple match AND probe = value`. Returns None when
+    * the shape doesn't apply — equality-only (degroup handles it),
+    * outer refs in HAVING/keys/item, windows, no theta. */
+  private def groupedThetaSurvivors(
+      q: Query, outerRefs: Set[String], outer: DataFrame,
+      wantValue: Boolean)
+      : Option[(DataFrame, Column, Option[Column])] = {
+    if (q.sel.groupBy.isEmpty ||
+        (!wantValue && q.sel.having.isEmpty) ||
+        (wantValue && q.sel.items.length != 1) ||
         q.sel.groupMode != "plain" || q.sel.groupSets.nonEmpty ||
         q.sel.qualify.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
       return None
     val aliasMap = q.sel.items.collect {
       case SelectItem(ie, Some(a)) => a.toLowerCase -> ie }.toMap
-    val h = Ast.transformUp(q.sel.having.get) {
+    val h0 = q.sel.having.map(h => Ast.transformUp(h) {
       case ColRef(None, n) if aliasMap.contains(n.toLowerCase) =>
         aliasMap(n.toLowerCase)
-    }
-    if (refersToAliases(h, outerRefs) || containsWindow(h) ||
+    })
+    val item0 = if (wantValue) Some(q.sel.items.head.e) else None
+    val checked = h0.toSeq ++ item0
+    if (checked.exists(e =>
+          refersToAliases(e, outerRefs) || containsWindow(e)) ||
         q.sel.groupBy.exists(refersToAliases(_, outerRefs)))
       return None
     val (keyPairs, thetas, local) =
-      corrSplit(q, outerRefs, "EXISTS", allowTheta = true)
+      corrSplit(q, outerRefs, "subquery", allowTheta = true)
     if (thetas.isEmpty) return None // equality-only: degroup handles it
     val i = gteIdx; gteIdx += 1
     val keyNames = keyPairs.indices.map(j => s"__gte_${i}_k$j")
@@ -2427,7 +2465,7 @@ final class Translator(catalog: String => DataFrame,
        thetas.zip(tNames).map { case ((ie, op, _), n) =>
         cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
     var aggs = Vector.empty[(String, AggExpr)]
-    val hSub = Ast.transformUp(h) {
+    def subst(e: Expr): Expr = Ast.transformUp(e) {
       case a: AggExpr if a.window.isEmpty =>
         val n = aggs.find(_._2 == a).map(_._1).getOrElse {
           val nn = s"__gte_${i}_a${aggs.size}"
@@ -2438,25 +2476,36 @@ final class Translator(catalog: String => DataFrame,
         ColRef(None,
           gNames(q.sel.groupBy.indexWhere(k => sameExpr(k, c))))
     }
-    if (aggs.isEmpty) return None // h without aggregates — not this shape
-    val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-    val survivors = tuples.join(inner, joinCond, "inner")
+    val hSub = h0.map(subst)
+    val valSub = item0.map(subst)
+    if (aggs.isEmpty && !wantValue)
+      return None // EXISTS form needs aggregates in h
+    val aggCols =
+      if (aggs.isEmpty) Seq(F.count(F.lit(1)).as(s"__gte_${i}_n"))
+      else aggs.map { case (n, a) => aggColumn(a).as(n) }
+    var grouped = tuples.join(inner, joinCond, "inner")
       .groupBy((keyNames ++ tNames).map(F.col) ++
         q.sel.groupBy.zip(gNames).map { case (g, n) =>
           exprToCol(g, None).as(n) }: _*)
       .agg(aggCols.head, aggCols.tail: _*)
-      .filter(exprToCol(hSub, None))
-      .select((keyNames ++ tNames).map(F.col): _*)
-      .distinct()
-    // EXISTS is two-valued: tuples with NULL keys/operands never
-    // joined any inner row, are absent from survivors, and the ===
-    // back-join reads false (anti reads true) — the standard answer
+    hSub.foreach(h => grouped = grouped.filter(exprToCol(h, None)))
+    val vName = s"__gte_${i}_v"
+    val survivors = valSub match {
+      case Some(v) =>
+        grouped.select((keyNames ++ tNames).map(F.col) :+
+          exprToCol(v, None).as(vName): _*).distinct()
+      case None =>
+        grouped.select((keyNames ++ tNames).map(F.col): _*).distinct()
+    }
+    // two-valued in conjunct position: tuples with NULL keys/operands
+    // never joined any inner row, are absent from survivors, and the
+    // === back-join reads false (anti reads true)
     val cond =
       (keyPairs.zip(keyNames).map { case ((_, oe), n) =>
         exprToCol(oe, None) === F.col(n) } ++
        thetas.zip(tNames).map { case ((_, _, oe), n) =>
         exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
-    Some((survivors, cond))
+    Some((survivors, cond, valSub.map(_ => F.col(vName))))
   }
 
   /** Inner side + join condition for a correlated EXISTS in conjunct

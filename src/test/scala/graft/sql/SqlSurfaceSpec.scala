@@ -1631,6 +1631,34 @@ class SqlSurfaceSpec extends SparkTestBase {
            having count(*) >= 2)""")
   }
 
+  test("grouped theta IN: membership in per-group aggregate sets (r5b)") {
+    // "some order-date of the theta-selected orders has exactly 2"
+    checkTranslated(
+      """select c_custkey from customer c
+         where 2 in (select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                       and o.o_totalprice < c.c_acctbal * 100
+                     group by o.o_orderdate)""",
+      """select distinct c.c_custkey from customer c
+         join orders o on o.o_custkey = c.c_custkey
+                      and o.o_totalprice < c.c_acctbal * 100
+         group by c.c_custkey, c.c_acctbal, o.o_orderdate
+         having count(*) = 2""")
+    // group-key item (no aggregate): membership in the distinct keys
+    // of the theta-selected rows, with a HAVING filter on top
+    checkTranslated(
+      """select c_custkey from customer c
+         where 'O' in (select o.o_orderstatus from orders o
+                       where o.o_custkey = c.c_custkey
+                         and o.o_totalprice < c.c_acctbal * 50
+                       group by o.o_orderstatus
+                       having count(*) >= 1)""",
+      """select distinct c.c_custkey from customer c
+         join orders o on o.o_custkey = c.c_custkey
+                      and o.o_totalprice < c.c_acctbal * 50
+         where o.o_orderstatus = 'O'""")
+  }
+
   test("theta IN over a having-only aggregate set (r5b)") {
     // membership in the one-row set = nonempty AND probe = value;
     // probe 2 matches customers with exactly two qualifying orders
