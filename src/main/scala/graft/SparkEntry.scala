@@ -1798,6 +1798,26 @@ object SparkEntry {
     // int8 max-abs quantization: scale + checksum aggregates pin every
     // quantized value (floor(x+0.5) — round() diverges at .5 between
     // engines; identical IEEE doubles floor identically)
+    // matryoshka truncate + renormalize (r5b): zero-shuffle per-row
+    // projection; oracle checks per-vector norm and renormalized
+    // coordinate sum at 4dp (the established list_sum idiom)
+    ("q_embed_mrl",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.truncateNormalize(tbl(s, dir, "embeddings"), 4)
+          .selectExpr("vec_id", "cast(size(unit) as int) as dim",
+            "round(norm, 4) as norm",
+            "round(aggregate(unit, 0D, (acc, x) -> acc + x), 4) as u_sum"),
+      Some("""with t0 as (select vec_id,
+                  list_transform(embedding[1:4], v -> v::DOUBLE) as t
+                from embeddings),
+              n0 as (select vec_id, t,
+                  sqrt(list_sum(list_transform(t, x -> x * x))) as nrm
+                from t0)
+              select vec_id, len(t)::INT as dim, round(nrm, 4) as norm,
+                round(case when nrm = 0 then 0
+                      else list_sum(list_transform(t, x -> x / nrm)) end,
+                  4) as u_sum
+              from n0""")),
     ("q_embed_quantize",
       (s: SparkSession, dir: String) =>
         graft.ops.Similarity.quantizeEmbeddings(tbl(s, dir, "embeddings")),

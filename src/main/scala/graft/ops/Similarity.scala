@@ -345,4 +345,23 @@ object Similarity {
         "cast(size(q) as int) as dim",
         "aggregate(q, 0L, (acc, x) -> acc + x) as q_sum",
         "aggregate(q, 0L, (acc, x) -> acc + abs(x)) as q_l1")
+
+  /** Matryoshka truncation + L2 renormalization (r5b): keep the
+    * first `d` dimensions and rescale to unit length — the standard
+    * cheap-ANN move for models trained with nested (MRL) objectives:
+    * the truncated index costs d/D of the full one, and queries can
+    * re-rank survivors with full vectors. Pure per-row projection —
+    * zero shuffle, codegen'd, composes directly with the LSH/IVF
+    * builders. Zero vectors map to zero vectors (no NaNs). */
+  def truncateNormalize(emb: DataFrame, d: Int): DataFrame = {
+    require(d >= 1, "dimension count must be positive")
+    emb
+      .selectExpr("vec_id",
+        s"transform(slice(embedding, 1, $d), v -> cast(v as double)) as t")
+      .selectExpr("vec_id",
+        "sqrt(aggregate(t, 0D, (acc, x) -> acc + x * x)) as norm", "t")
+      .selectExpr("vec_id", "norm",
+        "case when norm = 0D then transform(t, x -> 0D) " +
+          "else transform(t, x -> x / norm) end as unit")
+  }
 }

@@ -535,6 +535,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.map(_._2).sorted.reverse.sameElements(out.map(_._2)))
   }
 
+  test("matryoshka truncation renormalizes to unit length") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(3f, 4f, 100f, 100f)),  // first-2 norm = 5
+      (2L, Seq(0f, 0f, 9f, 9f))       // first-2 is the zero vector
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.truncateNormalize(emb, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(math.abs(out(1L)._1 - 5.0) < 1e-9)
+    assert(out(1L)._2.zip(Seq(0.6, 0.8)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // zero slice -> zero unit vector, no NaNs
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0.0, 0.0))
+    // unit norm is 1 for every nonzero vector of the real table
+    val units = graft.ops.Similarity.truncateNormalize(
+      spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet"), 4)
+      .selectExpr("aggregate(unit, 0D, (a, x) -> a + x * x) as n2")
+      .collect().map(_.getDouble(0))
+    assert(units.forall(n2 => math.abs(n2 - 1.0) < 1e-9 || n2 == 0.0))
+  }
+
   test("cross-document duplicate spans: first global occurrence is original") {
     import spark.implicits._
     val docs = Seq(
