@@ -42,6 +42,9 @@ final class Graft(val spark: SparkSession) {
   private val DropViewRe =
     """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val ExplainRe = """(?is)^\s*explain\s+(select.*|with.*)$""".r
+  private val DescribeRe =
+    """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
+  private val ShowTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
 
   private def status(kind: String, name: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -74,6 +77,15 @@ final class Graft(val spark: SparkSession) {
     case ExplainRe(body) =>
       import spark.implicits._
       explain(body).split("\n").toSeq.toDF("plan")
+    case DescribeRe(quoted, bare) =>
+      import spark.implicits._
+      val name = Option(quoted).getOrElse(bare)
+      lookup(name).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString, f.nullable))
+        .toDF("col_name", "data_type", "nullable")
+    case ShowTablesRe() =>
+      import spark.implicits._
+      tables.keySet.toSeq.sorted.toDF("table_name")
     case _ => translateOnly(sqlText)
   }
 

@@ -43,6 +43,20 @@ class StatementsSpec extends SparkTestBase {
       .collect().head.getString(0) == "noop")
   }
 
+  test("describe and show tables read the registry") {
+    val g = fresh
+    val cols = g.query("describe nation")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cols.map(_._1).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(Set("int", "bigint").contains(cols.head._2))
+    assert(g.query("desc table nation").count() == 3)
+    val names = g.query("show tables").collect().map(_.getString(0)).toSeq
+    assert(names.contains("nation") && names.contains("lineitem"))
+    assert(names == names.sorted)
+    intercept[RuntimeException](g.query("describe no_such_table"))
+  }
+
   test("explain returns the formatted physical plan as rows") {
     val g = fresh
     val lines = g.query("explain select n_name from nation where n_regionkey = 1")
