@@ -184,6 +184,12 @@ object SparkEntry {
                        where o.o_custkey = c.c_custkey
                          and o.o_totalprice < c.c_acctbal * 60
                        group by o.o_orderdate)""",
+    // UNION ALL BY NAME (r5b, DuckDB): name-matched union, either
+    // side's missing columns read NULL on the other
+    "q_union_byname" ->
+      """select n_nationkey as k, n_name as name from nation where n_nationkey < 5
+         union all by name
+         select r_name as name, r_regionkey as k, 'extra' as note from region""",
     // grouped + HAVING theta EXISTS (r5b): does ANY inner group of
     // the theta-selected rows satisfy h? — per-distinct-outer-tuple
     // survivors semi-joined back

@@ -114,7 +114,17 @@ final class Parser(tokens: Vector[Token]) {
         checkFirstBranch()
         pos += 1
         val all = eatKw("all"); if (!all) eatKw("distinct")
-        left = SetOp(if (all) "union_all" else "union", left, branch())
+        // UNION [ALL] BY NAME (r5b, DuckDB): match columns by NAME
+        // rather than position; either side's missing columns read
+        // NULL on the other
+        val byName = if (eatKw("by")) { expectKw("name"); true } else false
+        val op = (all, byName) match {
+          case (true, true)   => "union_all_byname"
+          case (false, true)  => "union_byname"
+          case (true, false)  => "union_all"
+          case (false, false) => "union"
+        }
+        left = SetOp(op, left, branch())
         combined = true
       } else if (atKw("intersect")) {
         checkFirstBranch()

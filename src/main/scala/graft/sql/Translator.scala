@@ -62,6 +62,12 @@ final class Translator(catalog: String => DataFrame,
       op match {
         case "union"      => lf.union(rf).distinct()
         case "union_all"  => lf.union(rf)
+        // BY NAME (r5b): name-matched union, missing columns NULL
+        // (DuckDB semantics = Spark's allowMissingColumns)
+        case "union_byname" =>
+          lf.unionByName(rf, allowMissingColumns = true).distinct()
+        case "union_all_byname" =>
+          lf.unionByName(rf, allowMissingColumns = true)
         case "intersect"  => lf.intersect(rf)
         case "intersect_all" => lf.intersectAll(rf)
         case "except"     => lf.except(rf)

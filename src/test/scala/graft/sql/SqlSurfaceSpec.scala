@@ -1631,6 +1631,26 @@ class SqlSurfaceSpec extends SparkTestBase {
            having count(*) >= 2)""")
   }
 
+  test("UNION [ALL] BY NAME matches columns by name with NULL fill (r5b)") {
+    checkTranslated(
+      """select n_nationkey as k, n_name as name from nation where n_nationkey < 5
+         union all by name
+         select r_name as name, r_regionkey as k, 'extra' as note from region""",
+      """select k, name, cast(null as string) as note
+         from (select n_nationkey as k, n_name as name from nation
+               where n_nationkey < 5)
+         union all
+         select k, name, note
+         from (select r_regionkey as k, r_name as name, 'extra' as note
+               from region)""")
+    // distinct form dedups the combined by-name rows
+    checkTranslated(
+      """select n_regionkey as k from nation
+         union by name
+         select r_regionkey as k from region""",
+      "select n_regionkey as k from nation union select r_regionkey from region")
+  }
+
   test("grouped theta IN: membership in per-group aggregate sets (r5b)") {
     // "some order-date of the theta-selected orders has exactly 2"
     checkTranslated(
