@@ -39,8 +39,10 @@ final class Graft(val spark: SparkSession) {
   // like registerTable - nothing materializes at CREATE time.
   private val CreateViewRe =
     """(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
+  private val CreateTableRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?table\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
   private val DropViewRe =
-    """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
+    """(?is)^\s*drop\s+(?:view|table)\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val ExplainRe = """(?is)^\s*explain\s+(select.*|with.*)$""".r
   private val DescribeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
@@ -65,12 +67,26 @@ final class Graft(val spark: SparkSession) {
           s"view '$name' already exists (use CREATE OR REPLACE VIEW)")
       registerTable(name, translateOnly(body))
       status("view", name.toLowerCase)
+    case CreateTableRe(orReplace, quoted, bare, body) =>
+      // CREATE TABLE AS (r5b): like a view but MATERIALIZED-once —
+      // the plan is cached, so downstream queries reread the stored
+      // result instead of recomputing (unpersist via DROP TABLE)
+      val name = Option(quoted).getOrElse(bare)
+      if (orReplace == null && tables.contains(name.toLowerCase))
+        throw new RuntimeException(
+          s"table '$name' already exists (use CREATE OR REPLACE TABLE)")
+      registerTable(name, translateOnly(body).cache())
+      status("table", name.toLowerCase)
     case DropViewRe(ifExists, quoted, bare) =>
       val name = Option(quoted).getOrElse(bare)
       if (!tables.contains(name.toLowerCase)) {
         if (ifExists == null) throw TableNotFoundException(name)
         status("noop", name.toLowerCase)
       } else {
+        // a CTAS table may hold cached blocks — release them
+        tables.get(name.toLowerCase).foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
         removeTable(name)
         status("dropped", name.toLowerCase)
       }

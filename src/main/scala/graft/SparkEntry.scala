@@ -966,6 +966,15 @@ object SparkEntry {
            sum(case when l_linestatus = 'O' then l_quantity end) as qty_o,
            sum(case when l_linestatus = 'F' then l_quantity end) as qty_f
          from lineitem group by l_returnflag"""),
+    // deterministic SQL-level sampling (r5b): USING SAMPLE p% KEY —
+    // the md5-threshold membership as a relation clause (pure
+    // pushdown-friendly filter, engine-replayable)
+    ("q_sample_sql",
+      "select count(*) as n, min(l_orderkey) as first_k " +
+        "from lineitem using sample 25% key (l_orderkey)",
+      "select count(*) as n, min(l_orderkey) as first_k from lineitem " +
+        s"where substring(md5(cast(l_orderkey as varchar)), 1, 8) < " +
+        s"'${graft.ops.Sampling.thresholdHex(0.25)}'"),
     // multi-aggregate PIVOT (r5b): values × aggregates cells named
     // value_aggAlias, still ONE two-phase aggregation (conditional-
     // aggregation lowering); oracle is the expansion

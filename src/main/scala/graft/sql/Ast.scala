@@ -173,6 +173,15 @@ object Ast {
                               alias: String,
                               kind: String = "inner") extends Relation
 
+  /** Deterministic sampling clause (r5b): `FROM t USING SAMPLE p%
+    * KEY (col)` — DuckDB's clause spelling with an explicit hash key
+    * (md5-threshold membership), so the sample is reproducible across
+    * runs, engines and partitionings and MONOTONE in the fraction.
+    * A keyless (rand-based) sample is a loud error — repo
+    * reproducibility contract. */
+  final case class SampleRel(rel: Relation, percent: Double,
+                             key: String) extends Relation
+
   /** FROM-position unnest (r5b, PostgreSQL/DuckDB form):
     * `FROM t, unnest(t.arr) [WITH ORDINALITY] [AS] u [(x [, ord])]`
     * — one output row per array element, lowered to a Generate

@@ -630,6 +630,25 @@ final class Parser(tokens: Vector[Token]) {
         }
         expectOp(")"); expectOp(")")
         rel = UnpivotRel(rel, valueName, varName, cols.result())
+      } else if (atKw("using") && pos + 1 < tokens.length &&
+                 isKw(tokens(pos + 1), "sample")) {
+        // USING SAMPLE p% KEY (col) (r5b): deterministic md5-keyed
+        // sampling — KEY is required (a rand sample would not be
+        // reproducible)
+        pos += 2
+        val pct = peek match {
+          case Num(v, _) => pos += 1; v.toDouble
+          case _ => fail("USING SAMPLE takes a numeric percentage")
+        }
+        if (!eatOp("%")) expectKw("percent")
+        if (pct < 0 || pct > 100) fail(s"sample percentage $pct out of range")
+        if (!eatKw("key"))
+          fail("USING SAMPLE requires KEY (col) — keyed md5 sampling " +
+            "is reproducible; a rand() sample is not")
+        expectOp("(")
+        val key = ident()
+        expectOp(")")
+        rel = SampleRel(rel, pct, key)
       } else cont = false
     }
     rel

@@ -141,6 +141,7 @@ final class Translator(catalog: String => DataFrame,
       case UnpivotRel(rel, _, _, _) => inRel(rel)
       case LateralRel(l2, s2, _, _) => inRel(l2) || inSet(s2)
       case UnnestRel(l2, _, _, _, _, _) => l2.exists(inRel)
+      case SampleRel(r2, _, _) => inRel(r2)
       case AliasedRel(rel, _) => inRel(rel)
     }
     def inSet(s: SetExpr): Boolean = s match {
@@ -397,6 +398,15 @@ final class Translator(catalog: String => DataFrame,
       lf.join(rf, common.toSeq, sparkJoinType(jt))
     case LateralRel(l, sub, alias, kind) =>
       translateLateral(l, sub, alias, kind)
+    case SampleRel(rel, pct, key) =>
+      // deterministic keyed sampling (r5b): the md5-threshold filter
+      // (Sampling.consistentSample) as a relation clause — a pure
+      // pushdown-friendly filter, stable under repartitioning and
+      // replayable by any engine with md5
+      val df = translateRelation(rel)
+      df.filter(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8) <
+          F.lit(graft.ops.Sampling.thresholdHex(pct / 100.0)))
     case UnnestRel(leftOpt, arr, alias, cols, ord, kind) =>
       // FROM-position unnest (r5b): ONE Generate over the left frame —
       // the array expression is inlined inside explode (never a
@@ -2044,6 +2054,7 @@ final class Translator(catalog: String => DataFrame,
     case LateralRel(l, _, a, _) => relationAliases(l) + a.toLowerCase
     case UnnestRel(l, _, a, _, _, _) =>
       l.map(relationAliases).getOrElse(Set.empty) ++ a.map(_.toLowerCase)
+    case SampleRel(r2, _, _) => relationAliases(r2)
   }
 
   /** Top-level AND conjuncts of a predicate tree. */

@@ -43,6 +43,19 @@ class StatementsSpec extends SparkTestBase {
       .collect().head.getString(0) == "noop")
   }
 
+  test("create table as caches a materialized-once result") {
+    val g = fresh
+    val st = g.query(
+      "create table big as select * from orders where o_totalprice > 100000")
+    assert(st.collect().head.getString(0) == "table")
+    val n1 = g.query("select count(*) as n from big").collect().head.getLong(0)
+    assert(n1 > 0)
+    intercept[RuntimeException](
+      g.query("create table big as select 1 as x from region"))
+    assert(g.query("drop table big").collect().head.getString(0) == "dropped")
+    intercept[RuntimeException](g.query("select * from big"))
+  }
+
   test("describe and show tables read the registry") {
     val g = fresh
     val cols = g.query("describe nation")

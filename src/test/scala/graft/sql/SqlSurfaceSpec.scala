@@ -1631,6 +1631,30 @@ class SqlSurfaceSpec extends SparkTestBase {
            having count(*) >= 2)""")
   }
 
+  test("USING SAMPLE is deterministic, keyed, and monotone (r5b)") {
+    val q25 = graftSession.query(
+      """select l_orderkey, l_linenumber from lineitem
+         using sample 25% key (l_orderkey)""").collect()
+    val q25b = graftSession.query(
+      """select l_orderkey, l_linenumber from lineitem
+         using sample 25 percent key (l_orderkey)""").collect()
+    assert(q25.length == q25b.length && q25.nonEmpty)
+    // monotone: the 25% sample is a subset of the 50% sample
+    val keys25 = q25.map(_.getLong(0)).toSet
+    val keys50 = graftSession.query(
+      """select l_orderkey from lineitem
+         using sample 50% key (l_orderkey)""")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys25.subsetOf(keys50))
+    // composes with joins/filters; keyless sampling is loud
+    val e = intercept[RuntimeException](graftSession.query(
+      "select * from lineitem using sample 10%"))
+    assert(e.getMessage.contains("KEY"))
+    val e2 = intercept[RuntimeException](graftSession.query(
+      "select * from lineitem using sample 200% key (l_orderkey)"))
+    assert(e2.getMessage.contains("range"))
+  }
+
   test("UNION [ALL] BY NAME matches columns by name with NULL fill (r5b)") {
     checkTranslated(
       """select n_nationkey as k, n_name as name from nation where n_nationkey < 5
