@@ -184,6 +184,15 @@ object SparkEntry {
                        where o.o_custkey = c.c_custkey
                          and o.o_totalprice < c.c_acctbal * 60
                        group by o.o_orderdate)""",
+    // correlated EXISTS in HAVING (r5b): the correlation's outer side
+    // is a group key; the existence flag left-joins the inner side's
+    // distinct keys onto the aggregated frame
+    "q_having_exists_corr" ->
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having exists (select 1 from supplier s
+                        where s.s_nationkey = c.c_nationkey
+                          and s.s_acctbal > 0)""",
     // UNION ALL BY NAME (r5b, DuckDB): name-matched union, either
     // side's missing columns read NULL on the other
     "q_union_byname" ->

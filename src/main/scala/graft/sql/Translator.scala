@@ -1942,11 +1942,42 @@ final class Translator(catalog: String => DataFrame,
         case ExistsSubquery(sub) =>
           val i = idx; idx += 1
           val flagN = s"__hq_flag_$i"
-          val summary =
-            existsProbeSide(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
-          joins ::= { (df: DataFrame) => df.crossJoin(F.broadcast(summary)) }
-          helpers = flagN :: helpers
-          ColRef(None, flagN)
+          // correlated EXISTS in HAVING (r5b): the correlation's outer
+          // side must be a GROUP KEY expression (anything else has no
+          // post-aggregation value — standard SQL agrees); the flag
+          // left-joins the inner side's DISTINCT keys onto the
+          // aggregated frame. Equality correlation only.
+          existsCorrInfo(sub, relationAliases(sel.from)) match {
+            case Some((q, outerRefs, _, _)) =>
+              if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+                  q.sel.qualify.nonEmpty)
+                fail("correlated EXISTS in HAVING supports FROM/WHERE only")
+              val (keyPairs, local) =
+                corrKeyPairs(q, outerRefs, "HAVING EXISTS")
+              var inner = translateRelation(q.sel.from)
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val kNs = keyPairs.indices.map(j => s"__hq_k_${i}_$j")
+              val rhs = inner.select(keyPairs.zip(kNs).map {
+                  case ((ik, _), n) => exprToCol(ik, None).as(n) }: _*)
+                .distinct().withColumn(flagN, F.lit(true))
+              joins ::= { (df: DataFrame) =>
+                val cond = keyPairs.zip(kNs).map { case ((_, oe), n) =>
+                  lowerProbe(oe) === F.col(n) }.reduce(_ && _)
+                df.join(rhs, cond, "left_outer")
+                  .withColumn(flagN, F.coalesce(F.col(flagN), F.lit(false)))
+                  .drop(kNs: _*)
+              }
+              helpers = flagN :: helpers
+              ColRef(None, flagN)
+            case None =>
+              val summary =
+                existsProbeSide(sub).agg((F.count(F.lit(1)) > 0).as(flagN))
+              joins ::= { (df: DataFrame) =>
+                df.crossJoin(F.broadcast(summary)) }
+              helpers = flagN :: helpers
+              ColRef(None, flagN)
+          }
         case QuantCmp(op, all, probe, sub) =>
           // quantified comparison in HAVING — uncorrelated only, like
           // IN/EXISTS here; the probe may itself be an aggregate

@@ -1631,6 +1631,30 @@ class SqlSurfaceSpec extends SparkTestBase {
            having count(*) >= 2)""")
   }
 
+  test("correlated EXISTS in HAVING joins flags onto group keys (r5b)") {
+    checkTranslated(
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having exists (select 1 from supplier s
+                        where s.s_nationkey = c.c_nationkey
+                          and s.s_acctbal > 0)""",
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey
+         having c_nationkey in (select s_nationkey from supplier
+                                where s_acctbal > 0)""")
+    // NOT EXISTS keeps groups with no matching inner rows
+    checkTranslated(
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having not exists (select 1 from supplier s
+                            where s.s_nationkey = c.c_nationkey
+                              and s.s_acctbal > 5000)""",
+      """select c_nationkey, count(*) as n from customer
+         group by c_nationkey
+         having c_nationkey not in (select s_nationkey from supplier
+                                    where s_acctbal > 5000)""")
+  }
+
   test("USING SAMPLE is deterministic, keyed, and monotone (r5b)") {
     val q25 = graftSession.query(
       """select l_orderkey, l_linenumber from lineitem
