@@ -184,6 +184,15 @@ object SparkEntry {
                        where o.o_custkey = c.c_custkey
                          and o.o_totalprice < c.c_acctbal * 60
                        group by o.o_orderdate)""",
+    // correlated IN in HAVING (r5b): aggregate probe against the
+    // per-correlation-key value set — presence/has-null summary plus
+    // distinct (key, value) matches, two left joins, standard 3VL
+    "q_having_in_corr" ->
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having count(*) not in (select s.s_suppkey from supplier s
+                                 where s.s_nationkey = c.c_nationkey
+                                   and s.s_acctbal > 9990)""",
     // correlated EXISTS in HAVING (r5b): the correlation's outer side
     // is a group key; the existence flag left-joins the inner side's
     // distinct keys onto the aggregated frame

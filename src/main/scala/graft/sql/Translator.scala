@@ -1935,10 +1935,71 @@ final class Translator(catalog: String => DataFrame,
       val rewritten = Ast.transformUp(h) {
         case InSubquery(probe, sub) =>
           val i = idx; idx += 1
-          val (step, hs, flagN) = inFlagStep(sub, lowerProbe(probe), "__hq", i)
-          joins ::= step
-          helpers = hs ::: helpers
-          ColRef(None, flagN)
+          // correlated IN in HAVING (r5b): group-key equality
+          // correlation — per correlation key a presence/has-null
+          // summary plus distinct non-null (key, value) match rows,
+          // two left joins onto the aggregated frame; the flag
+          // replays the standard 3VL table with "empty" = no inner
+          // rows for this key
+          val corrInfo = sub match {
+            case Leaf(q) if q.sel.groupBy.isEmpty &&
+                q.sel.having.isEmpty && q.sel.qualify.isEmpty &&
+                q.limit.isEmpty && q.offset.isEmpty &&
+                q.sel.items.length == 1 &&
+                q.sel.where.exists(w => splitConjuncts(w).exists(
+                  refersToAliases(_,
+                    relationAliases(sel.from) -- relationAliases(q.sel.from))))
+              => Some((q,
+                relationAliases(sel.from) -- relationAliases(q.sel.from)))
+            case _ => None
+          }
+          corrInfo match {
+            case Some((q, outerRefs)) =>
+              val (keyPairs, local) = corrKeyPairs(q, outerRefs, "HAVING IN")
+              var inner = translateRelation(q.sel.from)
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val vN = s"__hq_v_$i"
+              val sNs = keyPairs.indices.map(j => s"__hq_sk_${i}_$j")
+              val mNs = keyPairs.indices.map(j => s"__hq_mk_${i}_$j")
+              val presentN = s"__hq_present_$i"; val nullN = s"__hq_null_$i"
+              val markN = s"__hq_mark_$i"; val flagN = s"__hq_flag_$i"
+              val base = inner.select(keyPairs.zip(sNs).map {
+                  case ((ik, _), n) => exprToCol(ik, None).as(n) } :+
+                exprToCol(q.sel.items.head.e, None).as(vN): _*)
+              val summary = base.groupBy(sNs.map(F.col): _*)
+                .agg(F.lit(true).as(presentN),
+                  F.coalesce(F.max(F.col(vN).isNull), F.lit(false)).as(nullN))
+              val matches = base.filter(F.col(vN).isNotNull)
+                .select(sNs.zip(mNs).map { case (s0, m) =>
+                  F.col(s0).as(m) } :+ F.col(vN): _*)
+                .distinct().withColumn(markN, F.lit(true))
+              val probeCol = lowerProbe(probe)
+              joins ::= { (df: DataFrame) =>
+                val sCond = keyPairs.zip(sNs).map { case ((_, oe), n) =>
+                  lowerProbe(oe) === F.col(n) }.reduce(_ && _)
+                val mCond = (keyPairs.zip(mNs).map { case ((_, oe), n) =>
+                  lowerProbe(oe) === F.col(n) } :+
+                  (probeCol === F.col(vN))).reduce(_ && _)
+                df.join(summary, sCond, "left_outer")
+                  .join(matches, mCond, "left_outer")
+                  .withColumn(flagN,
+                    F.when(F.col(markN).isNotNull, F.lit(true))
+                      .when(F.col(presentN).isNull, F.lit(false))
+                      .when(probeCol.isNull || F.col(nullN),
+                        F.lit(null).cast(org.apache.spark.sql.types.BooleanType))
+                      .otherwise(F.lit(false)))
+                  .drop((sNs ++ mNs): _*).drop(vN)
+              }
+              helpers = flagN :: markN :: presentN :: nullN :: helpers
+              ColRef(None, flagN)
+            case None =>
+              val (step, hs, flagN) =
+                inFlagStep(sub, lowerProbe(probe), "__hq", i)
+              joins ::= step
+              helpers = hs ::: helpers
+              ColRef(None, flagN)
+          }
         case ExistsSubquery(sub) =>
           val i = idx; idx += 1
           val flagN = s"__hq_flag_$i"

@@ -1655,6 +1655,38 @@ class SqlSurfaceSpec extends SparkTestBase {
                                     where s_acctbal > 5000)""")
   }
 
+  test("correlated IN in HAVING with aggregate probes (r5b)") {
+    // does this nation's customer count appear among its suppliers'
+    // account balances rounded to hundreds? (aggregate probe against
+    // a per-key value set)
+    checkTranslated(
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having count(*) in (select cast(round(s.s_acctbal / 100, 0) as bigint)
+                             from supplier s
+                             where s.s_nationkey = c.c_nationkey)""",
+      """select c_nationkey, n from (
+           select c_nationkey, count(*) as n from customer
+           group by c_nationkey) t
+         where exists (select 1 from supplier s
+                       where s.s_nationkey = t.c_nationkey
+                         and cast(round(s.s_acctbal / 100, 0) as bigint) = t.n)""")
+    // NOT IN: groups with an empty correlated set read TRUE
+    checkTranslated(
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having count(*) not in (select s.s_suppkey from supplier s
+                                 where s.s_nationkey = c.c_nationkey
+                                   and s.s_acctbal > 9990)""",
+      """select c_nationkey, n from (
+           select c_nationkey, count(*) as n from customer
+           group by c_nationkey) t
+         where not exists (select 1 from supplier s
+                           where s.s_nationkey = t.c_nationkey
+                             and s.s_acctbal > 9990
+                             and s.s_suppkey = t.n)""")
+  }
+
   test("USING SAMPLE is deterministic, keyed, and monotone (r5b)") {
     val q25 = graftSession.query(
       """select l_orderkey, l_linenumber from lineitem
