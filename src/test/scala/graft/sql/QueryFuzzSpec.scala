@@ -701,6 +701,45 @@ class QueryFuzzSpec extends SparkTestBase {
        s"select c_custkey from customer where c_custkey in ($innerSet)")
   }
 
+  // round-5b: correlated EXISTS/IN in HAVING (group-key equality) —
+  // oracle = the subquery-over-aggregated-result rewrite
+  private val genHavingCorrPair: Gen[(String, String)] = for {
+    bal <- Gen.choose(0, 8000)
+    form <- Gen.oneOf("exists", "not_exists", "in", "not_in")
+  } yield {
+    val inner =
+      s"select 1 from supplier s where s.s_nationkey = c.c_nationkey " +
+        s"and s.s_acctbal > $bal"
+    val innerVal =
+      s"select s.s_suppkey from supplier s where s.s_nationkey = c.c_nationkey " +
+        s"and s.s_acctbal > $bal"
+    val (havingSql, oracleCond) = form match {
+      case "exists" => (s"exists ($inner)",
+        s"exists (select 1 from supplier s where s.s_nationkey = t.c_nationkey and s.s_acctbal > $bal)")
+      case "not_exists" => (s"not exists ($inner)",
+        s"not exists (select 1 from supplier s where s.s_nationkey = t.c_nationkey and s.s_acctbal > $bal)")
+      case "in" => (s"count(*) in ($innerVal)",
+        s"exists (select 1 from supplier s where s.s_nationkey = t.c_nationkey and s.s_acctbal > $bal and s.s_suppkey = t.n)")
+      case _ => (s"count(*) not in ($innerVal)",
+        s"not exists (select 1 from supplier s where s.s_nationkey = t.c_nationkey and s.s_acctbal > $bal and s.s_suppkey = t.n)")
+    }
+    (s"""select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey having $havingSql""",
+     s"""select c_nationkey, n from (
+           select c_nationkey, count(*) as n from customer
+           group by c_nationkey) t where $oracleCond""")
+  }
+
+  test("16 random correlated HAVING EXISTS/IN match their rewrites") {
+    val pairs = Gen.listOfN(16, genHavingCorrPair)
+      .pureApply(Gen.Parameters.default, Seed(139L))
+    pairs.distinct.foreach { case (g, o) =>
+      withClue(s"\nquery: $g\n") {
+        assertSameRows(graftSession.query(g), spark.sql(o))
+      }
+    }
+  }
+
   test("12 random grouped-theta EXISTS match their decorrelated form") {
     val pairs = Gen.listOfN(12, genGroupedThetaExistsPair)
       .pureApply(Gen.Parameters.default, Seed(137L))
