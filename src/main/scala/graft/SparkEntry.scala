@@ -184,6 +184,15 @@ object SparkEntry {
                        where o.o_custkey = c.c_custkey
                          and o.o_totalprice < c.c_acctbal * 60
                        group by o.o_orderdate)""",
+    // correlated quantified comparison in HAVING (r5b): per-key
+    // (count, has-null, min, max) summary left-joined on group keys;
+    // ALL reads TRUE against a key's empty set
+    "q_having_quant_corr" ->
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having count(*) > all (select s.s_suppkey from supplier s
+                                where s.s_nationkey = c.c_nationkey
+                                  and s.s_acctbal > 500)""",
     // correlated IN in HAVING (r5b): aggregate probe against the
     // per-correlation-key value set — presence/has-null summary plus
     // distinct (key, value) matches, two left joins, standard 3VL

@@ -2040,14 +2040,64 @@ final class Translator(catalog: String => DataFrame,
               ColRef(None, flagN)
           }
         case QuantCmp(op, all, probe, sub) =>
-          // quantified comparison in HAVING — uncorrelated only, like
-          // IN/EXISTS here; the probe may itself be an aggregate
           val i = idx; idx += 1
-          val (step, hs, flagN) =
-            quantFlagStep(sub, lowerProbe(probe), op, all, "__hq", i)
-          joins ::= step
-          helpers = hs ::: helpers
-          ColRef(None, flagN)
+          // correlated quantified comparison in HAVING (r5b): the
+          // (count, has-null, min, max) summary computes PER
+          // correlation key and left-joins on the group keys; a
+          // missing key row is the empty set (count 0)
+          val corrInfo = sub match {
+            case Leaf(q) if q.sel.groupBy.isEmpty &&
+                q.sel.having.isEmpty && q.sel.qualify.isEmpty &&
+                q.limit.isEmpty && q.offset.isEmpty &&
+                q.sel.items.length == 1 &&
+                q.sel.where.exists(w => splitConjuncts(w).exists(
+                  refersToAliases(_,
+                    relationAliases(sel.from) -- relationAliases(q.sel.from))))
+              => Some((q,
+                relationAliases(sel.from) -- relationAliases(q.sel.from)))
+            case _ => None
+          }
+          corrInfo match {
+            case Some((q, outerRefs)) =>
+              val (keyPairs, local) =
+                corrKeyPairs(q, outerRefs, "HAVING quantified comparison")
+              var inner = translateRelation(q.sel.from)
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val kNs = keyPairs.indices.map(j => s"__hq_qk_${i}_$j")
+              val cntN = s"__hq_qc_$i"; val nulN = s"__hq_qn_$i"
+              val minN = s"__hq_qmin_$i"; val maxN = s"__hq_qmax_$i"
+              val flagN = s"__hq_flag_$i"
+              val y = exprToCol(q.sel.items.head.e, None)
+              val summary = inner
+                .select(keyPairs.zip(kNs).map { case ((ik, _), n) =>
+                  exprToCol(ik, None).as(n) } :+ y.as("__hq_y"): _*)
+                .groupBy(kNs.map(F.col): _*)
+                .agg(F.count(F.lit(1)).as(cntN),
+                  F.coalesce(F.max(F.col("__hq_y").isNull), F.lit(false))
+                    .as(nulN),
+                  F.min(F.col("__hq_y")).as(minN),
+                  F.max(F.col("__hq_y")).as(maxN))
+              val probeCol = lowerProbe(probe)
+              joins ::= { (df: DataFrame) =>
+                val cond = keyPairs.zip(kNs).map { case ((_, oe), n) =>
+                  lowerProbe(oe) === F.col(n) }.reduce(_ && _)
+                df.join(summary, cond, "left_outer")
+                  .withColumn(flagN, quantFlag(op, all, probeCol,
+                    F.coalesce(F.col(cntN), F.lit(0L)),
+                    F.coalesce(F.col(nulN), F.lit(false)),
+                    F.col(minN), F.col(maxN)))
+                  .drop(kNs: _*)
+              }
+              helpers = flagN :: cntN :: nulN :: minN :: maxN :: helpers
+              ColRef(None, flagN)
+            case None =>
+              val (step, hs, flagN) =
+                quantFlagStep(sub, lowerProbe(probe), op, all, "__hq", i)
+              joins ::= step
+              helpers = hs ::: helpers
+              ColRef(None, flagN)
+          }
       }
       (rewritten, joins.reverse, helpers)
     }

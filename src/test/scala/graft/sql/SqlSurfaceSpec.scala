@@ -1655,6 +1655,33 @@ class SqlSurfaceSpec extends SparkTestBase {
                                     where s_acctbal > 5000)""")
   }
 
+  test("correlated quantified comparisons in HAVING (r5b)") {
+    // nations whose customer count exceeds every local supplier key
+    checkTranslated(
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having count(*) > all (select s.s_suppkey from supplier s
+                                where s.s_nationkey = c.c_nationkey)""",
+      """select c_nationkey, n from (
+           select c_nationkey, count(*) as n from customer
+           group by c_nationkey) t
+         where not exists (select 1 from supplier s
+                           where s.s_nationkey = t.c_nationkey
+                             and s.s_suppkey >= t.n)""")
+    // ANY: true iff SOME theta comparison holds; empty set is FALSE
+    checkTranslated(
+      """select c.c_nationkey, count(*) as n from customer c
+         group by c.c_nationkey
+         having count(*) <= any (select s.s_suppkey from supplier s
+                                 where s.s_nationkey = c.c_nationkey)""",
+      """select c_nationkey, n from (
+           select c_nationkey, count(*) as n from customer
+           group by c_nationkey) t
+         where exists (select 1 from supplier s
+                       where s.s_nationkey = t.c_nationkey
+                         and t.n <= s.s_suppkey)""")
+  }
+
   test("correlated IN in HAVING with aggregate probes (r5b)") {
     // does this nation's customer count appear among its suppliers'
     // account balances rounded to hundreds? (aggregate probe against
