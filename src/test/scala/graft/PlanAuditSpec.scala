@@ -351,4 +351,21 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q_lateral_theta")
     assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
   }
+
+  test("USING SAMPLE is a pure scan filter, no shuffle") {
+    val p = plan("q_sample_sql")
+    assert(p.contains("md5"), p.take(2000))
+    // the sampled aggregate is one two-phase aggregation over the
+    // filtered scan — the sample itself adds no exchange
+    assert(shuffleCount("q_sample_sql") == 0, p.take(3000))
+  }
+
+  test("HAVING correlation joins flags/summaries on keys, no cartesian") {
+    for (q <- Seq("q_having_exists_corr", "q_having_in_corr",
+                  "q_having_quant_corr")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesian"), s"$q: ${p.take(1500)}")
+      assert(p.contains("partial_"), s"$q: aggregation not two-phase")
+    }
+  }
 }
