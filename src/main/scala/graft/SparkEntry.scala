@@ -227,6 +227,15 @@ object SparkEntry {
                          and o.o_totalprice < c.c_acctbal * 100
                        group by o.o_orderdate
                        having count(*) >= 2)""",
+    // grouped theta NOT IN (r5b): the full 3VL flag — per-tuple
+    // presence/has-null summary + distinct matches; empty correlated
+    // sets keep the row, UNKNOWN filters
+    "q_not_in_theta_grouped" ->
+      """select c_custkey from customer c
+         where 2 not in (select count(*) from orders o
+                         where o.o_custkey = c.c_custkey
+                           and o.o_totalprice < c.c_acctbal * 100
+                         group by o.o_orderdate)""",
     // grouped theta IN (r5b): membership among per-group aggregate
     // values of the theta-selected rows — surviving (tuple, value)
     // pairs semi-joined on tuple match AND probe = value

@@ -1532,21 +1532,56 @@ final class Translator(catalog: String => DataFrame,
               from = from.join(inner, cond,
                 if (negated) "left_anti" else "left_semi")
             case None =>
-              // grouped + theta IN, positive conjunct (r5b):
-              // membership = surviving (tuple, value) match. NOT IN
-              // over this shape keeps its loud error (3VL over
-              // possibly-NULL per-group values needs the null arms).
+              // grouped + theta IN conjuncts (r5b): membership =
+              // surviving (tuple, value) match; NOT IN via the full
+              // 3VL flag (per-tuple presence/has-null summary +
+              // distinct non-null matches — UNKNOWN filters, a
+              // tuple's empty set keeps the row)
               val groupedTheta = sub match {
-                case Leaf(q0) if !negated =>
+                case Leaf(q0) =>
                   groupedThetaSurvivors(q0,
                     outerAliases -- relationAliases(q0.sel.from),
                     from, wantValue = true)
                 case _ => None
               }
               groupedTheta match {
-                case Some((survivors, cond0, Some(v))) =>
+                case Some((survivors, cond0, Some(v))) if !negated =>
                   from = from.join(survivors, cond0 && probe === v,
                     "left_semi")
+                case Some((survivors, _, Some(_))) =>
+                  val parts = lastSurvivorParts.get
+                  val vn = parts.valueName.get
+                  val i2 = gteIdx; gteIdx += 1
+                  val presentN = s"__gte_${i2}_present"
+                  val nullN = s"__gte_${i2}_nul"
+                  val markN = s"__gte_${i2}_mark"
+                  val summary = survivors
+                    .groupBy(parts.tupleNames.map(F.col): _*)
+                    .agg(F.lit(true).as(presentN),
+                      F.coalesce(F.max(F.col(vn).isNull), F.lit(false))
+                        .as(nullN))
+                  val mNs = parts.tupleNames.map(_ + "_m")
+                  val matches = survivors.filter(F.col(vn).isNotNull)
+                    .select(parts.tupleNames.zip(mNs).map { case (a, b) =>
+                      F.col(a).as(b) } :+ F.col(vn): _*)
+                    .distinct().withColumn(markN, F.lit(true))
+                  val sCond = parts.outerExprs.zip(parts.tupleNames)
+                    .map { case (oe, n) => exprToCol(oe, None) === F.col(n) }
+                    .reduce(_ && _)
+                  val mCond = (parts.outerExprs.zip(mNs).map {
+                    case (oe, n) => exprToCol(oe, None) === F.col(n) } :+
+                    (probe === F.col(vn))).reduce(_ && _)
+                  val flag =
+                    F.when(F.col(markN).isNotNull, F.lit(true))
+                      .when(F.col(presentN).isNull, F.lit(false))
+                      .when(probe.isNull || F.col(nullN),
+                        F.lit(null).cast(BooleanType))
+                      .otherwise(F.lit(false))
+                  from = from.join(summary, sCond, "left_outer")
+                    .join(matches, mCond, "left_outer")
+                    .filter(!flag) // strictly-FALSE membership survives
+                    .drop(parts.tupleNames: _*).drop(mNs: _*)
+                    .drop(vn, presentN, nullN, markN)
                 case _ =>
                   val subDf = translate(sub)
                   if (subDf.columns.length != 1)
@@ -2664,8 +2699,21 @@ final class Translator(catalog: String => DataFrame,
         exprToCol(oe, None) === F.col(n) } ++
        thetas.zip(tNames).map { case ((_, _, oe), n) =>
         exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
+    lastSurvivorParts = Some(SurvivorParts(
+      (keyNames ++ tNames).toList,
+      keyPairs.map(_._2) ++ thetas.map(_._3),
+      if (valSub.isDefined) Some(vName) else None))
     Some((survivors, cond, valSub.map(_ => F.col(vName))))
   }
+
+  /** Structured view of the last [[groupedThetaSurvivors]] result for
+    * callers needing more than a semi-join (the NOT IN flag wiring):
+    * tuple column names, the matching outer expressions, and the
+    * value column name. */
+  private final case class SurvivorParts(tupleNames: List[String],
+                                         outerExprs: Seq[Expr],
+                                         valueName: Option[String])
+  private var lastSurvivorParts: Option[SurvivorParts] = None
 
   /** Inner side + join condition for a correlated EXISTS in conjunct
     * position: local conjuncts filter the inner relation, correlated

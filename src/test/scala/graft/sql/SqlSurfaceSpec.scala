@@ -1786,6 +1786,25 @@ class SqlSurfaceSpec extends SparkTestBase {
          where o.o_orderstatus = 'O'""")
   }
 
+  test("grouped theta NOT IN applies the full 3VL flag (r5b)") {
+    // customers whose per-date qualifying-order counts never hit 2;
+    // customers with NO qualifying orders at all survive (empty set)
+    checkTranslated(
+      """select c_custkey from customer c
+         where 2 not in (select count(*) from orders o
+                         where o.o_custkey = c.c_custkey
+                           and o.o_totalprice < c.c_acctbal * 100
+                         group by o.o_orderdate)""",
+      """select c_custkey from customer c
+         where not exists (
+           select 1 from (
+             select o.o_custkey as k, o.o_orderdate, count(*) as cnt
+             from orders o join customer c2 on o.o_custkey = c2.c_custkey
+             where o.o_totalprice < c2.c_acctbal * 100
+             group by o.o_custkey, o.o_orderdate) g
+           where g.k = c.c_custkey and g.cnt = 2)""")
+  }
+
   test("theta IN over a having-only aggregate set (r5b)") {
     // membership in the one-row set = nonempty AND probe = value;
     // probe 2 matches customers with exactly two qualifying orders
