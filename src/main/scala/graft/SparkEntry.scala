@@ -262,6 +262,56 @@ object SparkEntry {
             where l2.l_orderkey = lineitem.l_orderkey
               and l2.l_linenumber < lineitem.l_linenumber) as earlier
          from lineitem""",
+    // GENERAL correlation (r5c): correlation under OR — no key/theta
+    // decorrelation exists, so the flag lowers through the DISTINCT
+    // outer-tuple join on the FULL condition (a nested-loop join
+    // against the tuple table, bounded by |tuples| × |inner|, never
+    // |outer| × |inner|)
+    "q_exists_or_corr" ->
+      """select s_suppkey, s_name,
+           exists (select 1 from nation n
+                   where n.n_nationkey = s.s_nationkey
+                      or n.n_name = s.s_name) as flag
+         from supplier s""",
+    // OR-correlated IN under OR (flag position, full 3VL membership)
+    "q_in_or_corr" ->
+      """select c_custkey from customer c
+         where c.c_nationkey in (select n.n_regionkey from nation n
+                                 where n.n_nationkey = c.c_nationkey
+                                    or n.n_name like 'A%')
+            or c.c_acctbal < 0""",
+    // OR-correlated scalar COUNT — per-distinct-outer-tuple aggregate
+    "q_scalar_or_corr" ->
+      """select s_suppkey,
+           (select count(*) from nation n
+            where n.n_nationkey = s.s_nationkey
+               or n.n_regionkey = s.s_suppkey % 5) as cnt
+         from supplier s""",
+    // MIXED-side correlated comparison (`l.x + o.y > k` references
+    // both sides): no side split exists — the general tuple lowering
+    // carries it as a residual of the equality hash join
+    "q_scalar_mixed_corr" ->
+      """select o_orderkey,
+           (select count(*) from lineitem l
+            where l.l_orderkey = o.o_orderkey
+              and l.l_extendedprice + o.o_totalprice / 10 > 40000) as n
+         from orders o""",
+    // OR-correlated quantified comparison: the (count, has-null,
+    // min, max) summary builds per distinct outer tuple over the
+    // full-condition join
+    "q_quant_or_corr" ->
+      """select s_suppkey,
+           s_suppkey * 3 < all (select n.n_nationkey + 50 from nation n
+                                where n.n_regionkey = s.s_nationkey % 5
+                                   or n.n_name > s.s_name) as flag
+         from supplier s""",
+    // OR-correlated LATERAL aggregate (multi-column scalar form)
+    "q_lateral_or_corr" ->
+      """select s_suppkey, a.cnt
+         from supplier s cross join lateral
+              (select count(*) as cnt from nation n
+               where n.n_nationkey = s.s_nationkey
+                  or n.n_regionkey = s.s_suppkey % 5) a""",
     // JOINT theta condition in a flag position (r4c): two range
     // conjuncts cannot decompose through per-group min/max, so the
     // lowering semi-joins the DISTINCT outer-tuple table on the full

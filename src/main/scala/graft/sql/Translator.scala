@@ -563,9 +563,12 @@ final class Translator(catalog: String => DataFrame,
         "(for the top-n form) none aggregate")
     val outerOnly = outerAliases -- relationAliases(q.sel.from)
     // theta conjuncts (r5b) decorrelate through the same per-distinct-
-    // outer-tuple aggregation as theta scalar subqueries
-    val (keyPairs, thetas, local) =
-      corrSplit(q, outerOnly, "LATERAL", allowTheta = true)
+    // outer-tuple aggregation as theta scalar subqueries; general
+    // correlated predicates (r5c: correlation under OR/NOT, mixed-side
+    // comparisons) ride the same tuple join as residual conditions
+    val (keyPairs, thetas, gens, genDefs, local) =
+      corrSplitG(q, outerOnly, "LATERAL", allowTheta = true,
+        Some("__lat_ge"))
     var inner = translateRelation(q.sel.from)
     local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
     val keyNames = keyPairs.indices.map(i => s"__lat_k$i")
@@ -587,27 +590,30 @@ final class Translator(catalog: String => DataFrame,
       (rewritten, name)
     }
     val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-    if (keyPairs.isEmpty && thetas.isEmpty) {
+    if (keyPairs.isEmpty && thetas.isEmpty && gens.isEmpty) {
       // uncorrelated: a global aggregate is ONE row — broadcast it
       val grouped = inner.agg(aggCols.head, aggCols.tail: _*)
       val lat = grouped.select(items.map { case (e, n) =>
         exprToCol(e, None).as(n) }: _*).alias(alias.toLowerCase)
       lf.crossJoin(F.broadcast(lat))
     } else {
-      // every outer (key, theta-operand) tuple gets a row (missing
-      // groups filled here, so COUNT coalesces apply BEFORE aliasing
-      // and qualified refs a.col keep working), then join back
-      // null-safely on the tuple. With thetas the inner side joins
-      // the DISTINCT tuple table on keys + theta comparisons first —
-      // one aggregation per tuple, never per outer row.
-      val tupleNames = keyNames ++ tNames
+      // every outer (key, operand) tuple gets a row (missing groups
+      // filled here, so COUNT coalesces apply BEFORE aliasing and
+      // qualified refs a.col keep working), then join back
+      // null-safely on the tuple. With thetas/generals the inner
+      // side joins the DISTINCT tuple table on keys + the full
+      // condition first — one aggregation per tuple, never per
+      // outer row.
+      val gNames = genDefs.map(_._1)
+      val tupleNames = keyNames ++ tNames ++ gNames
       val tupleCols = keyPairs.zip(keyNames).map { case ((_, oe), n) =>
         exprToCol(oe, None).as(n) } ++
         thetas.zip(tNames).map { case ((_, _, oe), n) =>
-          exprToCol(oe, None).as(n) }
+          exprToCol(oe, None).as(n) } ++
+        genDefs.map { case (n, oe) => exprToCol(oe, None).as(n) }
       val tuples = lf.select(tupleCols: _*).distinct()
       val grouped =
-        if (thetas.isEmpty)
+        if (thetas.isEmpty && gens.isEmpty)
           inner.groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
             exprToCol(ik, None).as(n) }: _*)
             .agg(aggCols.head, aggCols.tail: _*)
@@ -616,18 +622,34 @@ final class Translator(catalog: String => DataFrame,
             (keyPairs.zip(keyNames).map { case ((ik, _), n) =>
               exprToCol(ik, None) === F.col(n) } ++
              thetas.zip(tNames).map { case ((ie, op, _), n) =>
-              cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+              cmp(op, exprToCol(ie, None), F.col(n)) } ++
+             gens.map(exprToCol(_, None))).reduce(_ && _)
           tuples.join(inner, joinCond, "inner")
             .groupBy(tupleNames.map(F.col): _*)
             .agg(aggCols.head, aggCols.tail: _*)
         }
-      val filled = tuples.join(grouped, tupleNames.toSeq, "left_outer")
+      // a general predicate (IS NULL, OR arms) can select rows for a
+      // NULL-operand tuple, so the fill join must be NULL-SAFE on the
+      // general tuple columns (Spark's name-based join is not)
+      val filled =
+        if (gens.isEmpty) tuples.join(grouped, tupleNames.toSeq, "left_outer")
+        else {
+          val renamed = grouped.select(grouped.columns.map(c =>
+            if (tupleNames.contains(c)) F.col(c).as(c + "__g")
+            else F.col(c)): _*)
+          tuples.join(renamed,
+              tupleNames.map(n => F.col(n) <=> F.col(n + "__g"))
+                .reduce(_ && _), "left_outer")
+            .drop(tupleNames.map(_ + "__g"): _*)
+        }
       val lat = filled.select((tupleNames.map(F.col) ++ items.map {
         case (e, n) => exprToCol(e, None).as(n) }): _*)
         .alias(alias.toLowerCase)
       val cond = (keyPairs.zip(keyNames).map { case ((_, oe), n) =>
         exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n") } ++
         thetas.zip(tNames).map { case ((_, _, oe), n) =>
+          exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n") } ++
+        genDefs.map { case (n, oe) =>
           exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
         }).reduce(_ && _)
       lf.join(lat, cond, "inner").drop(tupleNames: _*)
@@ -908,8 +930,9 @@ final class Translator(catalog: String => DataFrame,
             // aggregates AND (r5b) for inner GROUP BY/HAVING — the
             // "aggregate over earlier/smaller rows" shape in both
             // grouped and ungrouped forms
-            val (keyPairs, thetas, local) = corrSplit(q, outerRefs,
-              "scalar subquery", allowTheta = true)
+            val (keyPairs, thetas, gens, genDefs, local) = corrSplitG(q,
+              outerRefs, "scalar subquery", allowTheta = true,
+              Some(s"__csq_${idx}_ge"))
             var inner = translateRelation(q.sel.from)
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
@@ -957,33 +980,40 @@ final class Translator(catalog: String => DataFrame,
               exprToCol(g, None).as(n)
             }
             val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-            if (thetas.nonEmpty) {
-                // theta scalar: the aggregated set depends on the
-                // outer theta operand(s), so aggregate per DISTINCT
-                // outer (keys, operands) tuple — an equi-join on the
-                // correlation keys carrying every theta comparison as
-                // residual condition — then join back on the tuple.
-                // One row per tuple, no outer-row multiplication;
-                // sound for ANY number of range conjuncts (a joint
-                // condition evaluates row-by-row inside the join).
+            if (thetas.nonEmpty || gens.nonEmpty) {
+                // theta / general scalar: the aggregated set depends
+                // on the outer operand(s), so aggregate per DISTINCT
+                // outer (keys, operands) tuple — a join on the
+                // correlation keys carrying every theta comparison
+                // and (r5c) every general correlated predicate
+                // (correlation under OR/NOT, mixed-side comparisons)
+                // as residual condition — then join back on the
+                // tuple. One row per tuple, no outer-row
+                // multiplication; sound for ANY condition (it
+                // evaluates row-by-row inside the join).
                 val tNs = thetas.indices.map(j => s"__csq_${idx}_t$j")
+                val gNs = genDefs.map(_._1)
                 val okCols = keyPairs.zip(keyNames).map { case ((_, ok), n) =>
                   exprToCol(ok, None).as(n) }
                 val tuples = from
-                  .select(okCols ++ thetas.zip(tNs).map { case ((_, _, oe), n) =>
-                    exprToCol(oe, None).as(n) }: _*)
+                  .select(okCols ++
+                    thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None).as(n) } ++
+                    genDefs.map { case (n, oe) =>
+                      exprToCol(oe, None).as(n) }: _*)
                   .distinct()
                 val joinCond =
                   (keyPairs.zip(keyNames).map { case ((ik, _), n) =>
                     exprToCol(ik, None) === F.col(n) } ++
                    thetas.zip(tNs).map { case ((ie, op, _), n) =>
-                    cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                    cmp(op, exprToCol(ie, None), F.col(n)) } ++
+                   gens.map(exprToCol(_, None))).reduce(_ && _)
                 // inner GROUP BY keys (r5b) extend the tuple grouping;
                 // HAVING filters groups BEFORE the join back, and more
                 // than one surviving group per tuple is the standard
                 // loud runtime error (window count + raise_error)
                 var grouped = tuples.join(inner, joinCond, "inner")
-                  .groupBy((keyNames ++ tNs).map(F.col) ++
+                  .groupBy((keyNames ++ tNs ++ gNs).map(F.col) ++
                     innerKeys.zip(gNames).map { case (g, n) =>
                       exprToCol(g, None).as(n) }: _*)
                   .agg(aggCols.head, aggCols.tail: _*)
@@ -995,21 +1025,28 @@ final class Translator(catalog: String => DataFrame,
                   else {
                     grouped = grouped.withColumn(cntN,
                       F.count(F.lit(1)).over(
-                        Window.partitionBy((keyNames ++ tNs).map(F.col): _*)))
+                        Window.partitionBy(
+                          (keyNames ++ tNs ++ gNs).map(F.col): _*)))
                     CaseWhen(Seq((Cmp(">", ColRef(None, cntN), NumLit("1")),
                       FuncCall("raise_error", Seq(StrLit(
                         "scalar subquery returned more than one row"))))),
                       substituted)
                   }
+                // general tuple columns join back NULL-SAFELY: unlike
+                // pure comparisons, a general predicate (IS NULL, OR
+                // arms) can select rows for a NULL operand tuple, and
+                // that tuple's aggregate must reach its outer rows
                 val backCond =
                   (keyPairs.zip(keyNames).map { case ((_, ok), n) =>
                     exprToCol(ok, None) === F.col(n) } ++
                    thetas.zip(tNs).map { case ((_, _, oe), n) =>
-                    exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
+                    exprToCol(oe, None) === F.col(n) } ++
+                   genDefs.map { case (n, oe) =>
+                    exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
                 from = from.join(grouped, backCond, "left_outer")
                 helperCols = aggs.map(_._1).toList ::: cntN ::
-                  (tNs.toList ::: keyNames.toList ::: gNames.toList :::
-                    helperCols)
+                  (tNs.toList ::: gNs.toList ::: keyNames.toList :::
+                    gNames.toList ::: helperCols)
                 guarded
             } else {
                 var grouped = inner.groupBy(grpCols: _*)
@@ -1141,38 +1178,45 @@ final class Translator(catalog: String => DataFrame,
                 // row does — the same 3VL table, evaluated against
                 // the outer side after the join.
                 val outerRefs = outerAliases -- relationAliases(q.sel.from)
-                val (keyPairs, thetas, local) =
-                  corrSplit(q, outerRefs, "IN", allowTheta = true)
+                val (keyPairs, thetas, gens, genDefs, local) =
+                  corrSplitG(q, outerRefs, "IN", allowTheta = true,
+                    Some(s"__sq_ge_${i}_"))
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
                 val grpN = s"__sq_grp_$i"; val nullN = s"__sq_null_$i"
-                if (thetas.length >= 2) {
-                  // JOINT theta condition: per-group min/max cannot
-                  // decompose it, so switch to the distinct-outer-
+                if (gens.nonEmpty || thetas.length >= 2) {
+                  // JOINT theta condition, or a GENERAL correlated
+                  // predicate (r5c: correlation under OR/NOT, mixed-
+                  // side comparisons): per-group min/max cannot
+                  // decompose these, so switch to the distinct-outer-
                   // tuple lowering — aggregate the 3VL arms per
-                  // DISTINCT (probe, keys, theta operands) tuple over
-                  // an equi-join carrying every comparison, then join
-                  // back on the tuple. |tuples| ≤ |outer| rows ever
+                  // DISTINCT (probe, keys, operands) tuple over a
+                  // join carrying the FULL condition, then join back
+                  // on the tuple. |tuples| ≤ |outer| rows ever
                   // shuffle; no outer-row multiplication.
                   val probeT = s"__sq_tp_$i"
                   val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
                   val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+                  val gNs = genDefs.map(_._1)
                   val tuples = from.select(
                     probe.as(probeT) +:
                       (keyPairs.zip(okN).map { case ((_, ok), n) =>
                         exprToCol(ok, None).as(n) } ++
                        thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                        exprToCol(oe, None).as(n) } ++
+                       genDefs.map { case (n, oe) =>
                         exprToCol(oe, None).as(n) }): _*).distinct()
                   val joinCond =
                     (keyPairs.zip(okN).map { case ((ik, _), n) =>
                       exprToCol(ik, None) === F.col(n) } ++
                      thetas.zip(tNs).map { case ((ie, op, _), n) =>
-                      cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                      cmp(op, exprToCol(ie, None), F.col(n)) } ++
+                     gens.map(exprToCol(_, None))).reduce(_ && _)
                   val keyC = exprToCol(q.sel.items.head.e, None)
                   val grouped = tuples.join(inner, joinCond, "inner")
-                    .groupBy((probeT +: (okN ++ tNs)).map(F.col): _*)
+                    .groupBy((probeT +: (okN ++ tNs ++ gNs)).map(F.col): _*)
                     .agg(
                       F.max(F.coalesce(keyC === F.col(probeT), F.lit(false)))
                         .as(markN),
@@ -1183,6 +1227,8 @@ final class Translator(catalog: String => DataFrame,
                       (keyPairs.zip(okN).map { case ((_, ok), n) =>
                         exprToCol(ok, None) <=> F.col(n) } ++
                        thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                        exprToCol(oe, None) <=> F.col(n) } ++
+                       genDefs.map { case (n, oe) =>
                         exprToCol(oe, None) <=> F.col(n) })).reduce(_ && _)
                   from = from.join(grouped, backCond, "left_outer")
                     .withColumn(flagN,
@@ -1192,7 +1238,7 @@ final class Translator(catalog: String => DataFrame,
                           F.lit(null).cast(BooleanType))
                         .otherwise(F.lit(false)))
                   helperCols = flagN :: markN :: grpN :: nullN :: probeT ::
-                    (okN.toList ::: tNs.toList ::: helperCols)
+                    (okN.toList ::: tNs.toList ::: gNs.toList ::: helperCols)
                 } else {
                 val theta = thetas.headOption
                 val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
@@ -1299,43 +1345,52 @@ final class Translator(catalog: String => DataFrame,
                 // outer side after the join (`∃ t < x ⟺ min(t) < x`);
                 // EXISTS is two-valued, so an UNKNOWN comparison (null
                 // range values, null outer) reads false.
-                val (keyPairs, thetas, local) =
-                  corrSplit(q, outerRefs, "EXISTS", allowTheta = true)
+                val (keyPairs, thetas, gens, genDefs, local) =
+                  corrSplitG(q, outerRefs, "EXISTS", allowTheta = true,
+                    Some(s"__sq_ge_${i}_"))
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val markN = s"__sq_mark_$i"
-                if (thetas.length >= 2) {
+                if (gens.nonEmpty || thetas.length >= 2) {
                   // JOINT theta condition (e.g. a time-window pair
-                  // `e.ts < o.ts AND e.ts > o.ts - 1h`): min/max
-                  // cannot decompose it, so semi-join the DISTINCT
-                  // (keys, theta operands) outer-tuple table against
-                  // the inner rows on the FULL condition, then join
-                  // the surviving tuples back. EXISTS is two-valued —
-                  // an absent tuple (incl. NULL operands) reads false.
+                  // `e.ts < o.ts AND e.ts > o.ts - 1h`) or a GENERAL
+                  // correlated predicate (r5c: correlation under
+                  // OR/NOT, mixed-side comparisons): min/max cannot
+                  // decompose these, so semi-join the DISTINCT
+                  // (keys, operands) outer-tuple table against the
+                  // inner rows on the FULL condition, then join the
+                  // surviving tuples back. EXISTS is two-valued — an
+                  // absent tuple (incl. NULL operands) reads false.
                   val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
                   val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+                  val gNs = genDefs.map(_._1)
                   val tuples = from.select(
                     keyPairs.zip(okN).map { case ((_, ok), n) =>
                       exprToCol(ok, None).as(n) } ++
                     thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None).as(n) } ++
+                    genDefs.map { case (n, oe) =>
                       exprToCol(oe, None).as(n) }: _*).distinct()
                   val joinCond =
                     (keyPairs.zip(okN).map { case ((ik, _), n) =>
                       exprToCol(ik, None) === F.col(n) } ++
                      thetas.zip(tNs).map { case ((ie, op, _), n) =>
-                      cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                      cmp(op, exprToCol(ie, None), F.col(n)) } ++
+                     gens.map(exprToCol(_, None))).reduce(_ && _)
                   val matched = tuples.join(inner, joinCond, "left_semi")
                     .withColumn(markN, F.lit(true))
                   val backCond =
                     (keyPairs.zip(okN).map { case ((_, ok), n) =>
                       exprToCol(ok, None) <=> F.col(n) } ++
                      thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None) <=> F.col(n) } ++
+                     genDefs.map { case (n, oe) =>
                       exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
                   from = from.join(matched, backCond, "left_outer")
                     .withColumn(flagN, F.col(markN).isNotNull)
                   helperCols = flagN :: markN ::
-                    (okN.toList ::: tNs.toList ::: helperCols)
+                    (okN.toList ::: tNs.toList ::: gNs.toList ::: helperCols)
                 } else {
                 val theta = thetas.headOption
                 val ckK = keyPairs.indices.map(j => s"__sq_ck_${i}_$j")
@@ -1407,8 +1462,9 @@ final class Translator(catalog: String => DataFrame,
             corrForm match {
               case Some(q) =>
                 val outerRefs = outerAliases -- relationAliases(q.sel.from)
-                val (keyPairs, thetas, local) = corrSplit(q, outerRefs,
-                  "quantified comparison", allowTheta = true)
+                val (keyPairs, thetas, gens, genDefs, local) =
+                  corrSplitG(q, outerRefs, "quantified comparison",
+                    allowTheta = true, Some(s"__sq_ge_${i}_"))
                 var inner = translateRelation(q.sel.from)
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
@@ -1419,36 +1475,44 @@ final class Translator(catalog: String => DataFrame,
                   F.count(F.lit(1)).as(cntN),
                   F.coalesce(F.max(y.isNull), F.lit(false)).as(nulN),
                   F.min(y).as(minN), F.max(y).as(maxN))
-                if (thetas.nonEmpty) {
-                  // theta-correlated quantifier: the compared set
-                  // depends on the outer theta operand(s), so build
-                  // the summary per DISTINCT (keys, operands) tuple
-                  // over an equi-join carrying every theta comparison
-                  // — the same distinct-outer-tuple shape as theta
-                  // scalars — then join back null-safely. A tuple
-                  // whose selection is empty (incl. NULL operands:
-                  // every theta comparison UNKNOWN ⟹ empty set) has
+                if (thetas.nonEmpty || gens.nonEmpty) {
+                  // theta- or (r5c) generally-correlated quantifier:
+                  // the compared set depends on the outer operand(s),
+                  // so build the summary per DISTINCT (keys,
+                  // operands) tuple over a join carrying every theta
+                  // comparison and every general correlated predicate
+                  // (correlation under OR/NOT, mixed-side
+                  // comparisons) — the same distinct-outer-tuple
+                  // shape as theta scalars — then join back
+                  // null-safely. A tuple whose selection is empty
+                  // (incl. NULL operands under pure comparisons) has
                   // no summary row; count coalesces to 0 and the
                   // empty arms fire (ANY→FALSE, ALL→TRUE).
                   val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
                   val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+                  val gNs = genDefs.map(_._1)
                   val tuples = from.select(
                     keyPairs.zip(okN).map { case ((_, ok), n) =>
                       exprToCol(ok, None).as(n) } ++
                     thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None).as(n) } ++
+                    genDefs.map { case (n, oe) =>
                       exprToCol(oe, None).as(n) }: _*).distinct()
                   val joinCond =
                     (keyPairs.zip(okN).map { case ((ik, _), n) =>
                       exprToCol(ik, None) === F.col(n) } ++
                      thetas.zip(tNs).map { case ((ie, top, _), n) =>
-                      cmp(top, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+                      cmp(top, exprToCol(ie, None), F.col(n)) } ++
+                     gens.map(exprToCol(_, None))).reduce(_ && _)
                   val grouped = tuples.join(inner, joinCond, "inner")
-                    .groupBy((okN ++ tNs).map(F.col): _*)
+                    .groupBy((okN ++ tNs ++ gNs).map(F.col): _*)
                     .agg(summaryAggs.head, summaryAggs.tail: _*)
                   val backCond =
                     (keyPairs.zip(okN).map { case ((_, ok), n) =>
                       exprToCol(ok, None) <=> F.col(n) } ++
                      thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                      exprToCol(oe, None) <=> F.col(n) } ++
+                     genDefs.map { case (n, oe) =>
                       exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
                   from = from.join(grouped, backCond, "left_outer")
                     .withColumn(flagN, quantFlag(op, all, probe,
@@ -1456,7 +1520,7 @@ final class Translator(catalog: String => DataFrame,
                       F.coalesce(F.col(nulN), F.lit(false)),
                       F.col(minN), F.col(maxN)))
                   helperCols = flagN :: cntN :: nulN :: minN :: maxN ::
-                    (okN.toList ::: tNs.toList ::: helperCols)
+                    (okN.toList ::: tNs.toList ::: gNs.toList ::: helperCols)
                 } else {
                 val ckS = keyPairs.indices.map(j => s"__sq_cs_${i}_$j")
                 val summary = inner
@@ -2758,11 +2822,28 @@ final class Translator(catalog: String => DataFrame,
     * outerExpr)` in source order. A SINGLE theta decorrelates through
     * a per-group min/max (`∃ t: t < x  ⟺  min(t) < x`); several are a
     * JOINT condition min/max cannot decompose, and the callers switch
-    * to the distinct-outer-tuple lowering instead. Anything else
-    * (including theta where not allowed) fails loudly. */
-  private def corrSplit(q: Query, outerRefs: Set[String], what: String,
-                        allowTheta: Boolean)
-      : (Seq[(Expr, Expr)], Seq[(Expr, String, Expr)], Seq[Expr]) = {
+    * to the distinct-outer-tuple lowering instead.
+    *
+    * r5c: with `genPrefix` set, conjuncts the classifier cannot
+    * reduce to key/theta pairs — correlation under OR or NOT,
+    * mixed-side comparisons (`i.a - o.a < 5`), BETWEEN / LIKE /
+    * IS NULL / CASE over outer refs — are returned as GENERAL
+    * predicates with every outer column reference substituted by a
+    * reserved tuple-column name, plus the (name → outer ColRef)
+    * definitions. The callers' distinct-outer-tuple lowerings
+    * evaluate them row-by-row inside the tuple join: each embedded
+    * equality stays a top-level comparison after substitution, so
+    * Catalyst still extracts hash-join keys when the condition has
+    * any; a pure-OR correlation is a nested-loop join against the
+    * DISTINCT tuple table — the irreducible cost of the semantics,
+    * bounded by |distinct outer tuples| × |inner|, never
+    * |outer| × |inner|. Conjuncts nesting subqueries, aggregates, or
+    * window functions stay loud (not evaluable in a join condition),
+    * as does everything general when `genPrefix` is None. */
+  private def corrSplitG(q: Query, outerRefs: Set[String], what: String,
+                         allowTheta: Boolean, genPrefix: Option[String])
+      : (Seq[(Expr, Expr)], Seq[(Expr, String, Expr)],
+         Seq[Expr], Seq[(String, Expr)], Seq[Expr]) = {
     val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
       .partition(refersToAliases(_, outerRefs))
     def flip(op: String): String = op match {
@@ -2774,24 +2855,65 @@ final class Translator(catalog: String => DataFrame,
     }
     val eq = Seq.newBuilder[(Expr, Expr)]
     var theta = List.empty[(Expr, String, Expr)]
+    val gen = Seq.newBuilder[Expr]
+    val genDefs = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (String, Expr)]
+    def checkEvaluable(e: Expr): Unit = e match {
+      case _: InSubquery | _: ExistsSubquery | _: ScalarSubquery |
+           _: QuantCmp =>
+        fail(s"correlated $what predicates may not nest subqueries " +
+          "inside a non-conjunct correlation")
+      case _: AggExpr | _: WinFunc | _: RankExpr =>
+        fail(s"correlated $what predicates may not contain aggregates " +
+          "or window functions")
+      case other => Ast.children(other).foreach(checkEvaluable)
+    }
+    def substitute(e: Expr): Expr = Ast.transformUp(e) {
+      case c @ ColRef(Some(qual), n) if outerRefs.contains(qual.toLowerCase) =>
+        val key = (qual.toLowerCase, n.toLowerCase)
+        val nm = genDefs.getOrElseUpdate(key,
+          (s"${genPrefix.get}${genDefs.size}", c))._1
+        ColRef(None, nm)
+    }
+    // a key/theta pair's OUTER side must not reference the subquery's
+    // own aliases (a MIXED-side expression like `i.a + o.b` has no
+    // side split — r5c routes it to the general lowering; previously
+    // it misclassified and died in the analyzer)
+    val innerAliases = relationAliases(q.sel.from)
+    def outerSide(e: Expr): Boolean =
+      refersToAliases(e, outerRefs) && !refersToAliases(e, innerAliases)
     corr.foreach {
-      case Cmp("=", l, r) if refersToAliases(r, outerRefs) &&
+      case Cmp("=", l, r) if outerSide(r) &&
           !refersToAliases(l, outerRefs) => eq += ((l, r))
-      case Cmp("=", l, r) if refersToAliases(l, outerRefs) &&
+      case Cmp("=", l, r) if outerSide(l) &&
           !refersToAliases(r, outerRefs) => eq += ((r, l))
       case Cmp(op @ ("<" | "<=" | ">" | ">=" | "<>"), l, r)
-          if allowTheta && refersToAliases(r, outerRefs) &&
+          if allowTheta && outerSide(r) &&
             !refersToAliases(l, outerRefs) => theta ::= ((l, op, r))
       case Cmp(op @ ("<" | "<=" | ">" | ">=" | "<>"), l, r)
-          if allowTheta && refersToAliases(l, outerRefs) &&
+          if allowTheta && outerSide(l) &&
             !refersToAliases(r, outerRefs) => theta ::= ((r, flip(op), l))
+      case other if genPrefix.isDefined =>
+        checkEvaluable(other)
+        gen += substitute(other)
       case other =>
         val accepted = if (allowTheta)
           "equalities or a <, <=, >, >=, <> comparison" else "equalities"
         fail(s"correlated $what predicates in this position must be " +
           s"$accepted, got $other")
     }
-    (eq.result(), theta.reverse, local)
+    (eq.result(), theta.reverse, gen.result(),
+      genDefs.values.toSeq, local)
+  }
+
+  /** [[corrSplitG]] without the general-predicate lowering (positions
+    * where only key/theta decorrelations exist). */
+  private def corrSplit(q: Query, outerRefs: Set[String], what: String,
+                        allowTheta: Boolean)
+      : (Seq[(Expr, Expr)], Seq[(Expr, String, Expr)], Seq[Expr]) = {
+    val (eq, theta, _, _, local) =
+      corrSplitG(q, outerRefs, what, allowTheta, None)
+    (eq, theta, local)
   }
 
   /** Equality-only corrSplit (positions with no theta lowering). */

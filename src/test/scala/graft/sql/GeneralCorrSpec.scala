@@ -1,0 +1,258 @@
+package graft.sql
+
+import graft.SparkTestBase
+
+/** General correlated predicates (r5c): correlation under OR / NOT,
+  * mixed-side comparisons, IS NULL / BETWEEN / LIKE over outer refs —
+  * in every subquery position (EXISTS/IN flags, scalar aggregates,
+  * quantified comparisons, LATERAL). These shapes have no key/theta
+  * decorrelation; they lower through the distinct-outer-tuple join on
+  * the FULL condition. Oracles are spark.sql where it plans the same
+  * text, else a hand-decorrelated equivalent. */
+class GeneralCorrSpec extends SparkTestBase {
+
+  // ---- EXISTS -------------------------------------------------------
+
+  test("OR-correlated EXISTS in conjunct position (join-condition path)") {
+    checkAgainstSparkSql(
+      """select s_suppkey, s_name from supplier s
+         where exists (select 1 from nation n
+                       where n.n_nationkey = s.s_nationkey
+                          or n.n_name = s.s_name)""")
+  }
+
+  test("OR-correlated EXISTS as a projected flag") {
+    checkTranslated(
+      """select s_suppkey,
+                exists (select 1 from nation n
+                        where n.n_nationkey = s.s_nationkey
+                           or length(n.n_name) > s.s_suppkey) as flag
+         from supplier s""",
+      """select s_suppkey,
+                exists (select 1 from nation n
+                        where n.n_nationkey = s.s_nationkey)
+                or exists (select 1 from nation n
+                           where length(n.n_name) > s.s_suppkey) as flag
+         from supplier s""")
+  }
+
+  test("OR-correlated NOT EXISTS under OR (flag position)") {
+    checkTranslated(
+      """select c_custkey from customer c
+         where c.c_acctbal < 0
+            or not exists (select 1 from nation n
+                           where n.n_nationkey = c.c_nationkey
+                              or n.n_regionkey > c.c_custkey)""",
+      """select c_custkey from customer c
+         where c.c_acctbal < 0
+            or not (exists (select 1 from nation n
+                            where n.n_nationkey = c.c_nationkey)
+                    or exists (select 1 from nation n
+                               where n.n_regionkey > c.c_custkey))""")
+  }
+
+  test("mixed-side comparison correlation in EXISTS flag") {
+    // n.n_nationkey + s.s_suppkey is neither inner-only nor outer-only
+    checkTranslated(
+      """select s_suppkey,
+                exists (select 1 from nation n
+                        where n.n_nationkey + s.s_suppkey = 10) as flag
+         from supplier s""",
+      """select s_suppkey,
+                exists (select 1 from nation n
+                        where n.n_nationkey = 10 - s.s_suppkey) as flag
+         from supplier s""")
+  }
+
+  test("outer-only IS NULL disjunct inside correlated EXISTS") {
+    checkTranslated(
+      """select c_custkey from customer c
+         where exists (select 1 from nation n
+                       where n.n_nationkey = c.c_nationkey
+                         and (c.c_mktsegment is null or n.n_regionkey < 3))
+           and c_custkey <= 60""",
+      """select c_custkey from customer c
+         where exists (select 1 from nation n
+                       where n.n_nationkey = c.c_nationkey
+                         and n.n_regionkey < 3)
+           and c_custkey <= 60""")
+  }
+
+  // ---- IN -----------------------------------------------------------
+
+  test("OR-correlated IN as a projected flag (3VL)") {
+    checkTranslated(
+      """select s_suppkey,
+                s_nationkey in (select n.n_regionkey from nation n
+                                where n.n_nationkey = s.s_nationkey
+                                   or n.n_name < s.s_name) as flag
+         from supplier s""",
+      // 3VL spelled out over the per-row set
+      """select s_suppkey,
+                case when exists (select 1 from nation n
+                                  where (n.n_nationkey = s.s_nationkey
+                                         or n.n_name < s.s_name)
+                                    and n.n_regionkey = s.s_nationkey)
+                       then true
+                     when not exists (select 1 from nation n
+                                      where n.n_nationkey = s.s_nationkey
+                                         or n.n_name < s.s_name)
+                       then false
+                     when s.s_nationkey is null then null
+                     when exists (select 1 from nation n
+                                  where (n.n_nationkey = s.s_nationkey
+                                         or n.n_name < s.s_name)
+                                    and n.n_regionkey is null)
+                       then null
+                     else false end as flag
+         from supplier s""")
+  }
+
+  test("OR-correlated NOT IN with null-bearing set keeps 3VL") {
+    // nullif plants NULLs in the inner value column
+    checkTranslated(
+      """select c_custkey from customer c
+         where c.c_nationkey not in
+               (select nullif(n.n_regionkey, 1) from nation n
+                where n.n_nationkey = c.c_nationkey
+                   or n.n_name like 'A%')
+           and c_custkey <= 100""",
+      """select c_custkey from customer c
+         where not (
+           case when exists (select 1 from nation n
+                             where (n.n_nationkey = c.c_nationkey
+                                    or n.n_name like 'A%')
+                               and nullif(n.n_regionkey, 1) = c.c_nationkey)
+                  then true
+                when not exists (select 1 from nation n
+                                 where n.n_nationkey = c.c_nationkey
+                                    or n.n_name like 'A%')
+                  then false
+                when c.c_nationkey is null then null
+                when exists (select 1 from nation n
+                             where (n.n_nationkey = c.c_nationkey
+                                    or n.n_name like 'A%')
+                               and nullif(n.n_regionkey, 1) is null)
+                  then null
+                else false end)
+           and c_custkey <= 100""")
+  }
+
+  // ---- scalar aggregates ---------------------------------------------
+
+  test("OR-correlated scalar COUNT") {
+    checkTranslated(
+      """select s_suppkey,
+                (select count(*) from nation n
+                 where n.n_nationkey = s.s_nationkey
+                    or n.n_regionkey = s.s_suppkey % 5) as cnt
+         from supplier s""",
+      // inclusion-exclusion over the two equality arms
+      """select s_suppkey,
+                (select count(*) from nation n
+                 where n.n_nationkey = s.s_nationkey)
+              + (select count(*) from nation n
+                 where n.n_regionkey = s.s_suppkey % 5)
+              - (select count(*) from nation n
+                 where n.n_nationkey = s.s_nationkey
+                   and n.n_regionkey = s.s_suppkey % 5) as cnt
+         from supplier s""")
+  }
+
+  test("mixed-side scalar MAX keyed by equality plus general residual") {
+    checkTranslated(
+      """select c_custkey,
+                (select max(o.o_totalprice) from orders o
+                 where o.o_custkey = c.c_custkey
+                   and o.o_totalprice + c.c_acctbal > 100000) as m
+         from customer c where c_custkey <= 80""",
+      """select c_custkey,
+                (select max(o.o_totalprice) from orders o
+                 where o.o_custkey = c.c_custkey
+                   and o.o_totalprice > 100000 - c.c_acctbal) as m
+         from customer c where c_custkey <= 80""")
+  }
+
+  test("keyless general scalar correlation") {
+    checkTranslated(
+      """select r_regionkey,
+                (select count(*) from nation n
+                 where n.n_regionkey = r.r_regionkey
+                    or n.n_nationkey > 20 + r.r_regionkey) as cnt
+         from region r""",
+      """select r_regionkey,
+                (select count(*) from nation n
+                 where n.n_regionkey = r.r_regionkey)
+              + (select count(*) from nation n
+                 where n.n_nationkey > 20 + r.r_regionkey)
+              - (select count(*) from nation n
+                 where n.n_regionkey = r.r_regionkey
+                   and n.n_nationkey > 20 + r.r_regionkey) as cnt
+         from region r""")
+  }
+
+  // ---- quantified comparisons ----------------------------------------
+
+  test("OR-correlated < ALL") {
+    checkTranslated(
+      """select s_suppkey,
+                s_suppkey < all (select n.n_nationkey + 3 from nation n
+                                 where n.n_regionkey = s.s_nationkey % 5
+                                    or n.n_name > s.s_name) as flag
+         from supplier s""",
+      """select s_suppkey,
+                case when not exists (select 1 from nation n
+                                      where n.n_regionkey = s.s_nationkey % 5
+                                         or n.n_name > s.s_name)
+                       then true
+                     when s_suppkey < (select min(n.n_nationkey + 3)
+                                       from nation n
+                                       where n.n_regionkey = s.s_nationkey % 5
+                                          or n.n_name > s.s_name)
+                       then true
+                     else false end as flag
+         from supplier s""")
+  }
+
+  // ---- LATERAL --------------------------------------------------------
+
+  test("OR-correlated LATERAL aggregate") {
+    checkTranslated(
+      """select s_suppkey, a.cnt, a.mx
+         from supplier s cross join lateral
+              (select count(*) as cnt, max(n.n_nationkey) as mx
+               from nation n
+               where n.n_nationkey = s.s_nationkey
+                  or n.n_regionkey = s.s_suppkey % 5) a""",
+      // arms are equality-correlated (spark.sql plans them); the OR
+      // set's max is the greatest of the per-arm maxes (greatest
+      // skips NULLs), its count is inclusion-exclusion
+      """select s_suppkey,
+                (select count(*) from nation n
+                 where n.n_nationkey = s.s_nationkey)
+              + (select count(*) from nation n
+                 where n.n_regionkey = s.s_suppkey % 5)
+              - (select count(*) from nation n
+                 where n.n_nationkey = s.s_nationkey
+                   and n.n_regionkey = s.s_suppkey % 5) as cnt,
+                greatest(
+                  (select max(n.n_nationkey) from nation n
+                   where n.n_nationkey = s.s_nationkey),
+                  (select max(n.n_nationkey) from nation n
+                   where n.n_regionkey = s.s_suppkey % 5)) as mx
+         from supplier s""")
+  }
+
+  // ---- loud walls stay loud -------------------------------------------
+
+  test("nested subquery inside a general correlation is a loud error") {
+    val e = intercept[Exception](graftSession.query(
+      """select s_suppkey from supplier s
+         where s_suppkey in (select n.n_nationkey from nation n
+                             where n.n_name = s.s_name
+                                or n.n_regionkey in (select r_regionkey
+                                                     from region)) or false
+      """).collect())
+    assert(e.getMessage.contains("subquer"))
+  }
+}

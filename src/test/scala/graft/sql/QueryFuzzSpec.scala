@@ -1027,4 +1027,77 @@ class QueryFuzzSpec extends SparkTestBase {
         }
       }
   }
+
+  // ---- round 5c: GENERAL correlated predicates -----------------------
+  // correlation under OR / NOT, mixed-side comparisons, outer-only
+  // IS NULL disjuncts — lowered through the distinct-outer-tuple join
+  // on the full condition. spark.sql 4.x plans the same text
+  // (DecorrelateInnerQuery), giving a same-text differential oracle.
+
+  /** A correlated predicate corrSplit cannot reduce to key/theta
+    * pairs: an equality arm OR'd/negated with a second arm. */
+  private val genGeneralCorrPred: Gen[String] = for {
+    k <- Gen.choose(1, 9)
+    v <- Gen.choose(1000, 200000)
+    armB <- Gen.oneOf(
+      s"o.o_totalprice > c.c_acctbal * $k",        // theta arm
+      s"o.o_custkey % 25 = c.c_nationkey",          // equality arm
+      s"o.o_custkey + c.c_custkey = ${k * 30}",     // mixed-side arm
+      s"c.c_acctbal < ${v / 100}",                  // outer-only arm
+      s"o.o_totalprice < $v")                       // inner-only arm
+    shape <- Gen.oneOf(0, 1, 2)
+  } yield shape match {
+    case 0 => s"o.o_custkey = c.c_custkey or $armB"
+    case 1 => s"not (o.o_custkey <> c.c_custkey and not ($armB))"
+    case 2 => s"(o.o_custkey = c.c_custkey or $armB) " +
+      s"and o.o_totalprice < ${v * 2}"
+  }
+
+  test("30 random general-correlated EXISTS flags match spark.sql") {
+    val preds = Gen.listOfN(30, genGeneralCorrPred)
+      .pureApply(Gen.Parameters.default, Seed(97L))
+    preds.distinct.foreach { pred =>
+      val sql =
+        s"""select c_custkey,
+                   exists (select 1 from orders o where $pred) as flag
+            from customer c where c_custkey <= 120"""
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  test("25 random general-correlated IN under OR match spark.sql") {
+    val cases = Gen.listOfN(25, for {
+      p <- genGeneralCorrPred
+      neg <- Gen.oneOf("", "not ")
+      probe <- Gen.oneOf("c.c_custkey", "c.c_nationkey * 40")
+    } yield (p, neg, probe)).pureApply(Gen.Parameters.default, Seed(98L))
+    cases.distinct.foreach { case (pred, neg, probe) =>
+      // WHERE position under OR (graft's flag path; spark.sql agrees
+      // on 3VL there — its documented deviation is projection-only)
+      val sql =
+        s"""select c_custkey from customer c
+            where ($probe ${neg}in (select o.o_custkey % 150 from orders o
+                                    where $pred))
+               or c.c_acctbal < -900"""
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
+  test("25 random general-correlated scalar counts match spark.sql") {
+    val preds = Gen.listOfN(25, genGeneralCorrPred)
+      .pureApply(Gen.Parameters.default, Seed(99L))
+    preds.distinct.foreach { pred =>
+      val sql =
+        s"""select c_custkey,
+                   (select count(*) from orders o where $pred) as cnt
+            from customer c where c_custkey <= 100"""
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
 }
