@@ -1773,6 +1773,110 @@ object SparkEntry {
       Some("""select doc_id, n_chars from documents
               where n_chars >= (select quantile_cont(n_chars, 0.75)
                                 from documents)""")),
+    // corpus-relative vocabulary stats (r5c): OOV ratio + mean token
+    // corpus-frequency against the top-500 vocabulary — the CCNet-
+    // style LM quality gate with exact integer arithmetic (no ln()).
+    // Tokens pre-aggregate to (doc_id, term, cnt) map-side; term
+    // totals are a window over that table; the vocabulary broadcasts.
+    ("q_text_vocab",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.vocabularyStats(
+          tbl(s, dir, "documents"), 500),
+      Some("""with toks as (select doc_id,
+                     unnest(string_split(lower(text), ' ')) as term
+                   from documents),
+              tk as (select doc_id, term from toks where term <> ''),
+              tf as (select doc_id, term, count(*) as cnt
+                     from tk group by 1, 2),
+              tc as (select term, sum(cnt) as tc from tf group by 1),
+              vocab as (select term from tc
+                        order by tc desc, term asc limit 500),
+              probe as (select tf.doc_id, tf.cnt, tc.tc,
+                          (v.term is not null) as iv
+                        from tf join tc on tf.term = tc.term
+                        left join vocab v on tf.term = v.term)
+              select doc_id,
+                     cast(sum(cnt) as bigint) as n_tokens,
+                     cast(sum(case when iv then 0 else cnt end) as bigint)
+                       as n_oov,
+                     sum(case when iv then 0 else cnt end)::DOUBLE
+                       / sum(cnt) as oov_ratio,
+                     sum(cnt * tc)::DOUBLE / sum(cnt) as mean_tok_freq
+              from probe group by doc_id""")),
+    // PageRank over the customer-nation → supplier-nation trade graph
+    // (r5c): 3 damped power iterations with dangling-mass
+    // redistribution — contributions shuffle once per round on the
+    // destination key with map-side partial sums, the dangling mass
+    // is a one-row broadcast, rounds checkpoint eagerly. Ranks sum
+    // exactly to 1 per round; 4dp rounding absorbs summation order.
+    ("q_domain_rank",
+      (s: SparkSession, dir: String) => {
+        val li = tbl(s, dir, "lineitem"); val ord = tbl(s, dir, "orders")
+        val cust = tbl(s, dir, "customer"); val sup = tbl(s, dir, "supplier")
+        val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .select(cust("c_nationkey").cast("long").as("src"),
+            sup("s_nationkey").cast("long").as("dst"))
+          .where(F.col("src") =!= F.col("dst")).distinct()
+        graft.ops.Curation.pageRank(edges, iterations = 3, damping = 0.85)
+          .select(F.col("node"), F.round(F.col("rank"), 4).as("rank"))
+      },
+      Some("""with edges as (
+                select distinct c.c_nationkey::BIGINT as src,
+                                s.s_nationkey::BIGINT as dst
+                from lineitem l
+                join orders o on l.l_orderkey = o.o_orderkey
+                join customer c on o.o_custkey = c.c_custkey
+                join supplier s on l.l_suppkey = s.s_suppkey
+                where c.c_nationkey <> s.s_nationkey),
+              nodes as (select src as node from edges
+                        union select dst from edges),
+              n as (select count(*)::DOUBLE as n from nodes),
+              outdeg as (select src, count(*)::DOUBLE as outdeg
+                         from edges group by 1),
+              r0 as (select node, 1.0 / n.n as rank
+                     from nodes cross join n),
+              r1 as (
+                select nd.node,
+                       (1 - 0.85) / n.n
+                       + 0.85 * (coalesce(i.c, 0) + dm.dm / n.n) as rank
+                from nodes nd cross join n
+                cross join (select coalesce(sum(r.rank), 0) as dm
+                            from r0 r left join outdeg d on r.node = d.src
+                            where d.src is null) dm
+                left join (select e.dst as node,
+                             sum(r.rank / d.outdeg) as c
+                           from r0 r join outdeg d on r.node = d.src
+                           join edges e on e.src = r.node
+                           group by 1) i on nd.node = i.node),
+              r2 as (
+                select nd.node,
+                       (1 - 0.85) / n.n
+                       + 0.85 * (coalesce(i.c, 0) + dm.dm / n.n) as rank
+                from nodes nd cross join n
+                cross join (select coalesce(sum(r.rank), 0) as dm
+                            from r1 r left join outdeg d on r.node = d.src
+                            where d.src is null) dm
+                left join (select e.dst as node,
+                             sum(r.rank / d.outdeg) as c
+                           from r1 r join outdeg d on r.node = d.src
+                           join edges e on e.src = r.node
+                           group by 1) i on nd.node = i.node),
+              r3 as (
+                select nd.node,
+                       (1 - 0.85) / n.n
+                       + 0.85 * (coalesce(i.c, 0) + dm.dm / n.n) as rank
+                from nodes nd cross join n
+                cross join (select coalesce(sum(r.rank), 0) as dm
+                            from r2 r left join outdeg d on r.node = d.src
+                            where d.src is null) dm
+                left join (select e.dst as node,
+                             sum(r.rank / d.outdeg) as c
+                           from r2 r join outdeg d on r.node = d.src
+                           join edges e on e.src = r.node
+                           group by 1) i on nd.node = i.node)
+              select node, round(rank, 4) as rank from r3""")),
     // deterministic N-way split assignment (r5): cumulative md5
     // thresholds — growing a fraction only moves rows across the
     // adjacent boundary

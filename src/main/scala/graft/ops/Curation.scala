@@ -68,6 +68,72 @@ object Curation {
       .drop("__q_thr")
   }
 
+  /** PageRank over an edge table (r5c) — the crawl-curation authority
+    * signal: rank domains/pages by the link graph before capping or
+    * mixing (the CommonCrawl-style domain-ranking pass). Standard
+    * damped power iteration with dangling-mass redistribution:
+    *
+    *   rank'(v) = (1−d)/N + d · (Σ_{u→v} rank(u)/outdeg(u) + D/N)
+    *
+    * where D is the summed rank of dangling (no-out-edge) nodes, so
+    * total mass stays exactly 1 every round.
+    *
+    * Distribution (the same Pregel shape as
+    * [[Dedup.connectedComponents]]): contributions shuffle once per
+    * round on the edge destination key with map-side partial sums
+    * (high in-degree skew collapses before the exchange); ranks and
+    * out-degrees co-key on the node; the dangling mass reduces to a
+    * ONE-ROW broadcast; each round eagerly checkpoints to cut the
+    * doubling lineage — `checkpointDir` selects RELIABLE checkpoints
+    * for executor-loss recovery on long multi-hour graphs, exactly as
+    * in connectedComponents. The single driver-side value is N (one
+    * count), needed as a literal in every round's arithmetic.
+    *
+    * Edges are used as given (pre-deduplicate for simple-graph
+    * semantics); self-loops are legal and count as out-edges. Input
+    * must have columns `src` and `dst`; output is (node, rank). */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    val e = ckpt(edges.select("src", "dst"))
+    val nodes = ckpt(e.selectExpr("src as node")
+      .union(e.selectExpr("dst as node")).distinct())
+    val n = nodes.count()
+    val outDeg = ckpt(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")))
+    var ranks = ckpt(nodes.withColumn("rank", F.lit(1.0 / n)))
+    for (_ <- 1 to iterations) {
+      val rd = ranks.alias("r")
+        .join(outDeg.alias("d"), F.col("r.node") === F.col("d.src"),
+          "left_outer")
+        .select(F.col("r.node").as("node"), F.col("r.rank").as("rank"),
+          F.col("d.outdeg").as("outdeg"))
+      val dangling = rd.filter(F.col("outdeg").isNull)
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).as("__dm"))
+      val contrib = rd.filter(F.col("outdeg").isNotNull).alias("c")
+        .join(e.alias("e"), F.col("c.node") === F.col("e.src"))
+        .groupBy(F.col("e.dst").as("node"))
+        .agg(F.sum(F.col("c.rank") / F.col("c.outdeg")).as("__in"))
+      val next = nodes.alias("n")
+        .join(contrib.alias("i"), F.col("n.node") === F.col("i.node"),
+          "left_outer")
+        .crossJoin(F.broadcast(dangling))
+        .select(F.col("n.node").as("node"),
+          (F.lit((1.0 - damping) / n) + F.lit(damping) *
+            (F.coalesce(F.col("__in"), F.lit(0.0)) +
+              F.col("__dm") / F.lit(n.toDouble))).as("rank"))
+      ranks = ckpt(next)
+    }
+    ranks
+  }
+
   /** Keep at most `n` rows per domain, best-first by `order` (pass a
     * total order — include a unique id as the last key — so the kept
     * set is deterministic). ONE row_number window partitioned by the

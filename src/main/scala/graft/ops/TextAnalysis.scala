@@ -129,6 +129,50 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "score", "rnk")
   }
 
+  /** Corpus-relative vocabulary statistics per document (r5c) — the
+    * CCNet-style language-model quality gate without the KenLM
+    * dependency: documents whose tokens are mostly OUTSIDE the
+    * corpus's core vocabulary (or whose tokens are corpus-rare on
+    * average) are gibberish, wrong-language, or boilerplate-coded
+    * text. Per document: token count, out-of-vocabulary token count
+    * and ratio against the `vocabSize` most frequent corpus tokens
+    * (ties broken lexicographically — deterministic vocabulary), and
+    * the mean corpus frequency of its tokens. All ratios are exact
+    * integer sums over one IEEE division, so the DuckDB oracle
+    * replays them bit-identically (no log-probabilities — ln() is
+    * libm-dependent; the ranking is order-equivalent).
+    *
+    * 100 TB shape: tokens pre-aggregate to (doc_id, term, cnt)
+    * map-side (instance-level stopword skew collapses before any
+    * exchange — same as tfidf); corpus term totals are a window over
+    * that table's term partition (one exchange, no join-back); the
+    * vocabulary is ≤ vocabSize rows via per-partition TakeOrdered
+    * heaps and BROADCASTS to the probe; the final aggregation keys
+    * on doc_id. Nothing quadratic, nothing driver-side. */
+  def vocabularyStats(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) as term")
+      .filter("term <> ''")
+    val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("cnt"))
+    val tcw = tf.withColumn("tc",
+      F.sum("cnt").over(Window.partitionBy("term")))
+    val vocab = tcw.select("term", "tc").distinct()
+      .orderBy(F.col("tc").desc, F.col("term").asc)
+      .limit(vocabSize)
+      .select("term").withColumn("__iv", F.lit(true))
+    tcw.join(F.broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        F.sum("cnt").as("n_tokens"),
+        F.sum(F.when(F.col("__iv").isNull, F.col("cnt"))
+          .otherwise(F.lit(0L))).as("n_oov"),
+        (F.sum(F.when(F.col("__iv").isNull, F.col("cnt"))
+          .otherwise(F.lit(0L))).cast("double") /
+          F.sum("cnt")).as("oov_ratio"),
+        (F.sum(F.col("cnt") * F.col("tc")).cast("double") /
+          F.sum("cnt")).as("mean_tok_freq"))
+  }
+
   /** Gopher-style repetition signals per document: fraction of
     * repeated words (1 - distinct/total) and the frequency share of
     * the most common bigram. High values flag boilerplate/spam for

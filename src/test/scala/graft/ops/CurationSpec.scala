@@ -84,4 +84,48 @@ class CurationSpec extends SparkTestBase {
     val out = Curation.capPerDomain(docs, F.col("url"), 1, Seq(F.col("doc_id")))
     assert(out.columns.toSeq == Seq("doc_id", "url", "n_chars"))
   }
+
+  // ---- pageRank (r5c) -------------------------------------------------
+
+  test("pageRank handles dangling nodes with exact hand-computed values") {
+    import spark.implicits._
+    // a -> b, b dangles. N=2, r0 = (0.5, 0.5).
+    // iter1: dangling mass = 0.5 (b); contrib(b) = 0.5/1
+    //   a: 0.15/2 + 0.85*(0 + 0.25)   = 0.2875
+    //   b: 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Curation.pageRank(edges, iterations = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.2875) < 1e-12)
+    assert(math.abs(r(2L) - 0.7125) < 1e-12)
+  }
+
+  test("pageRank conserves total mass and ranks the hub highest") {
+    import spark.implicits._
+    // star: 1..5 all point at 6; 6 points back at 1
+    val edges = ((1L to 5L).map(i => (i, 6L)) :+ ((6L, 1L))).toDF("src", "dst")
+    val r = Curation.pageRank(edges, iterations = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // dangling-safe mass
+    // 1 receives ALL of the hub's concentrated mass (0.85·r(6)) and
+    // dominates; the hub collects the five base-rate leaves; the
+    // symmetric leaves tie at the bottom
+    assert(r(1L) == r.values.max)
+    assert(r(6L) > r(2L))
+    assert((2L to 5L).map(r).distinct.size == 1)
+  }
+
+  test("pageRank reliable-checkpoint path equals the local path") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val local = Curation.pageRank(edges, iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_ckpt").toString
+    val reliable = Curation.pageRank(edges, iterations = 4,
+        checkpointDir = Some(dir))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    assert(local.toSeq == reliable.toSeq)
+  }
 }

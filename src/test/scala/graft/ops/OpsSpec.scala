@@ -337,6 +337,36 @@ class OpsSpec extends SparkTestBase {
     assert(out(3L).isNullAt(3)) // no bigram for a 1-word doc
   }
 
+  test("vocabulary stats count OOV tokens against the top-V exactly") {
+    import spark.implicits._
+    // corpus counts: the=4, cat=2, dog=1, zebra=1 — with V=2 the
+    // vocabulary is {the, cat} (counts, then lexicographic ties)
+    val docs = Seq(
+      (1L, "the cat the dog"),
+      (2L, "the zebra"),
+      (3L, "cat the")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyStats(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4)       // n_tokens
+    assert(out(1L).getLong(2) == 1)       // dog is OOV
+    assert(out(1L).getDouble(3) == 0.25)  // oov_ratio
+    // mean corpus freq: (4 + 2 + 4 + 1) / 4
+    assert(out(1L).getDouble(4) == 11.0 / 4)
+    assert(out(2L).getLong(2) == 1)       // zebra OOV
+    assert(out(3L).getLong(2) == 0)       // cat + the both in-vocab
+    assert(out(3L).getDouble(3) == 0.0)
+  }
+
+  test("vocabulary boundary ties break lexicographically") {
+    import spark.implicits._
+    // beta and alpha tie at count 1 behind top=2: V=2 must pick alpha
+    val docs = Seq((1L, "top top alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyStats(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 0) // top, alpha in vocab
+    assert(out(2L).getLong(2) == 1) // beta out
+  }
+
   test("incremental dedup drops batch rows already in the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta"),
