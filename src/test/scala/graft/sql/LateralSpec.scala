@@ -198,12 +198,20 @@ class LateralSpec extends SparkTestBase {
          cross join lateral (select o_orderkey as k from orders
                              where orders.o_custkey = c.c_custkey) o"""))
     assert(e1.getMessage.contains("aggregate"))
-    val e2 = intercept[RuntimeException](graftSession.query(
+    // r5c: OR-correlation is no longer a restriction — it lowers
+    // through the general distinct-outer-tuple join (GeneralCorrSpec
+    // covers the semantics; this pins that the old wall stays down)
+    val orLateral = graftSession.query(
       """select c.c_custkey, o.n from customer c
          cross join lateral (select count(*) as n from orders
                              where orders.o_custkey = c.c_custkey
-                                or orders.o_totalprice > 0) o"""))
-    assert(e2.getMessage.contains("comparison"))
+                                or orders.o_totalprice > 0) o""")
+    assertSameRows(orLateral, spark.sql(
+      """select c.c_custkey,
+                (select count(*) from orders
+                 where orders.o_custkey = c.c_custkey
+                    or orders.o_totalprice > 0) as n
+         from customer c"""))
     val e3 = intercept[RuntimeException](graftSession.query(
       """select c.c_custkey from customer c
          join lateral (select count(*) as n from orders
