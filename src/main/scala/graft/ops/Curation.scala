@@ -109,29 +109,37 @@ object Curation {
     val n = nodes.count()
     val outDeg = ckpt(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")))
     var ranks = ckpt(nodes.withColumn("rank", F.lit(1.0 / n)))
-    for (_ <- 1 to iterations) {
-      val rd = ranks.alias("r")
-        .join(outDeg.alias("d"), F.col("r.node") === F.col("d.src"),
-          "left_outer")
-        .select(F.col("r.node").as("node"), F.col("r.rank").as("rank"),
-          F.col("d.outdeg").as("outdeg"))
-      val dangling = rd.filter(F.col("outdeg").isNull)
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).as("__dm"))
-      val contrib = rd.filter(F.col("outdeg").isNotNull).alias("c")
-        .join(e.alias("e"), F.col("c.node") === F.col("e.src"))
-        .groupBy(F.col("e.dst").as("node"))
-        .agg(F.sum(F.col("c.rank") / F.col("c.outdeg")).as("__in"))
-      val next = nodes.alias("n")
-        .join(contrib.alias("i"), F.col("n.node") === F.col("i.node"),
-          "left_outer")
-        .crossJoin(F.broadcast(dangling))
-        .select(F.col("n.node").as("node"),
-          (F.lit((1.0 - damping) / n) + F.lit(damping) *
-            (F.coalesce(F.col("__in"), F.lit(0.0)) +
-              F.col("__dm") / F.lit(n.toDouble))).as("rank"))
-      ranks = ckpt(next)
-    }
+    for (_ <- 1 to iterations)
+      ranks = ckpt(pageRankRound(nodes, e, outDeg, ranks, n, damping))
     ranks
+  }
+
+  /** One power-iteration round (exposed for plan auditing — the
+    * public method checkpoints each round, so the returned frame's
+    * executed plan is a checkpoint scan and the round's shape is
+    * only visible here). */
+  private[graft] def pageRankRound(nodes: DataFrame, e: DataFrame,
+      outDeg: DataFrame, ranks: DataFrame, n: Long,
+      damping: Double): DataFrame = {
+    val rd = ranks.alias("r")
+      .join(outDeg.alias("d"), F.col("r.node") === F.col("d.src"),
+        "left_outer")
+      .select(F.col("r.node").as("node"), F.col("r.rank").as("rank"),
+        F.col("d.outdeg").as("outdeg"))
+    val dangling = rd.filter(F.col("outdeg").isNull)
+      .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).as("__dm"))
+    val contrib = rd.filter(F.col("outdeg").isNotNull).alias("c")
+      .join(e.alias("e"), F.col("c.node") === F.col("e.src"))
+      .groupBy(F.col("e.dst").as("node"))
+      .agg(F.sum(F.col("c.rank") / F.col("c.outdeg")).as("__in"))
+    nodes.alias("n")
+      .join(contrib.alias("i"), F.col("n.node") === F.col("i.node"),
+        "left_outer")
+      .crossJoin(F.broadcast(dangling))
+      .select(F.col("n.node").as("node"),
+        (F.lit((1.0 - damping) / n) + F.lit(damping) *
+          (F.coalesce(F.col("__in"), F.lit(0.0)) +
+            F.col("__dm") / F.lit(n.toDouble))).as("rank"))
   }
 
   /** Keep at most `n` rows per domain, best-first by `order` (pass a

@@ -368,4 +368,58 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("partial_"), s"$q: aggregation not two-phase")
     }
   }
+
+  // ---- r5c lowerings ---------------------------------------------------
+
+  test("mixed-side correlation keeps the equality hash join") {
+    // q_scalar_mixed_corr has one equality conjunct + one mixed-side
+    // residual: the tuple join must stay a HASH join on the equality
+    // (the residual rides as its condition), never a nested loop over
+    // orders × lineitem
+    val p = plan("q_scalar_mixed_corr")
+    assert(p.contains("HashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("nestedloop"), p.take(3000))
+  }
+
+  test("pure-OR correlation nested-loops the DISTINCT tuple table only") {
+    // no decomposition exists for pure-OR correlation — the expected
+    // plan is a BroadcastNestedLoopJoin whose build side is the
+    // DEDUPLICATED tuple table (bounded by |distinct outer tuples|),
+    // plus the null-safe hash join back
+    val p = plan("q_exists_or_corr")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("Deduplicate") ||
+      p.contains("distinct"), p.take(3000))
+  }
+
+  test("pageRank rounds pre-aggregate contributions map-side") {
+    // the public method checkpoints each round (its executed plan is
+    // a checkpoint scan), so audit ONE round's plan directly
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = e.selectExpr("src as node")
+      .union(e.selectExpr("dst as node")).distinct()
+    val outDeg = e.groupBy("src")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("outdeg"))
+    val ranks = nodes.withColumn("rank",
+      org.apache.spark.sql.functions.lit(1.0 / 3))
+    val p = graft.ops.Curation
+      .pageRankRound(nodes, e, outDeg, ranks, 3L, 0.85)
+      .queryExecution.executedPlan.toString()
+    // in-degree skew collapses before the exchange; the dangling
+    // mass is a broadcast, never a shuffle of ranks
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
+
+  test("vocabulary stats broadcast the vocabulary, one term window") {
+    val p = plan("q_text_vocab")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the top-V vocabulary comes from per-partition heaps, not a
+    // global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
+  }
 }
