@@ -1019,6 +1019,27 @@ object SparkEntry {
            lead(l_quantity, 1) over (partition by l_orderkey order by l_extendedprice) as next_qty,
            cast(row_number() over (partition by l_orderkey order by l_extendedprice) as bigint) as rn
          from lineitem""",
+    // frame EXCLUDE (r5c): graft lowers sum/count/avg exclusions as
+    // same-window subtraction (no native Spark support); DuckDB runs
+    // the clause natively. l_quantity is integral-valued, so the
+    // subtraction algebra is exact and matches DuckDB's re-summation.
+    // The leave-one-out shape: each line against its order's OTHER
+    // lines.
+    "q_window_exclude" ->
+      """select l_orderkey, l_linenumber,
+           sum(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as others_qty,
+           avg(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as loo_avg,
+           cast(count(*) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row
+             exclude group) as bigint) as before_grp,
+           cast(count(*) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row
+             exclude ties) as bigint) as no_ties
+         from lineitem""",
     // rank-family dialect extensions. pr/cd stay UNROUNDED: both
     // engines evaluate the identical (rank-1)/(n-1) IEEE division, so
     // raw doubles match bitwise, while round(x, 6) lands exactly on

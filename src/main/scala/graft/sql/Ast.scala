@@ -114,9 +114,13 @@ object Ast {
     * are empty until then. The reference grammar's window_definition
     * is literally empty (sql.lark:144); named definitions with real
     * content are a graft dialect extension. */
+  /** `exclude`: the standard frame-exclusion clause (r5c) — one of
+    * "no others" (default), "current row", "group", "ties". Parsed
+    * only after a frame extent, as the standard requires. */
   final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[OrderItem],
                               frame: Option[Frame],
-                              ref: Option[String] = None)
+                              ref: Option[String] = None,
+                              exclude: String = "no others")
   final case class Frame(isRows: Boolean, start: FrameBound, end: FrameBound)
   sealed trait FrameBound
   case object UnboundedPreceding extends FrameBound

@@ -1281,8 +1281,20 @@ final class Parser(tokens: Vector[Token]) {
         val isRows = eatKw("rows"); if (!isRows) expectKw("range")
         (Nil: Seq[OrderItem], Some(parseFrameExtent(isRows)))
       } else (Nil, None)
+    // standard frame exclusion (r5c): EXCLUDE {CURRENT ROW | GROUP |
+    // TIES | NO OTHERS} — part of the frame clause, so a frame extent
+    // must precede it
+    val exclude =
+      if (eatKw("exclude")) {
+        if (frame.isEmpty)
+          fail("EXCLUDE requires a frame clause (ROWS/RANGE ...) before it")
+        if (eatKw("current")) { expectKw("row"); "current row" }
+        else if (eatKw("group")) "group"
+        else if (eatKw("ties")) "ties"
+        else { expectKw("no"); expectKw("others"); "no others" }
+      } else "no others"
     expectOp(")")
-    WindowSpec(parts, orders, frame, ref = base)
+    WindowSpec(parts, orders, frame, ref = base, exclude = exclude)
   }
 
   private def parseFrameExtent(isRows: Boolean): Frame = {

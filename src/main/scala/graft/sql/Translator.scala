@@ -828,7 +828,7 @@ final class Translator(catalog: String => DataFrame,
           fail("a referenced base window may not carry a frame")
         WindowSpec(base.partitionBy,
           if (child.orderBy.nonEmpty) child.orderBy else base.orderBy,
-          child.frame)
+          child.frame, exclude = child.exclude)
       }
     }
     val resolved = scala.collection.mutable.Map.empty[String, WindowSpec]
@@ -1931,7 +1931,7 @@ final class Translator(catalog: String => DataFrame,
       case a: AggExpr if a.window.isDefined =>
         if (a.func == "string_agg" || a.func == "array_agg")
           orderedSetWindowed(a, post)
-        else aggColumnBase(a, post).over(windowSpec(a.window.get, post))
+        else windowedAgg(a, post)
       case RankExpr(dense, w) =>
         (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w, post))
       case WinFunc(nm, args, w, ign) =>
@@ -3082,7 +3082,7 @@ final class Translator(catalog: String => DataFrame,
     case a: AggExpr if a.window.isDefined =>
       if (a.func == "string_agg" || a.func == "array_agg")
         orderedSetWindowed(a, exprToCol(_, None))
-      else aggColumnBase(a).over(windowSpec(a.window.get))
+      else windowedAgg(a, exprToCol(_, None))
     case a: AggExpr => aggColumn(a)
     case RankExpr(dense, w) =>
       (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
@@ -3378,12 +3378,100 @@ final class Translator(catalog: String => DataFrame,
     orderedSetAgg(a, arg, lower, Some(windowSpec(w, lower)))
   }
 
+  /** Windowed-aggregate dispatch, including the standard frame
+    * EXCLUSION clause (r5c) — Spark has no native frame exclusion, so
+    * sum/count/avg lower as same-window aggregate algebra:
+    *
+    *   agg OVER (w EXCLUDE CURRENT ROW) = frameAgg − currentContribution
+    *   agg OVER (w EXCLUDE GROUP)       = frameAgg − peerGroupAgg
+    *   agg OVER (w EXCLUDE TIES)        = frameAgg − peerGroupAgg + current
+    *
+    * Sound when (a) the frame provably contains the current row
+    * (every bound pair except frames strictly before/after it), and
+    * (b) for GROUP/TIES the frame contains the WHOLE peer group —
+    * true exactly for RANGE frames (peers sit at value-distance 0),
+    * never guaranteed for ROWS frames, which stay loud. The
+    * peer-group aggregate is the same aggregate over PARTITION BY
+    * (partition keys ++ order keys): the SAME window exchange and
+    * sort, one more window function, zero extra shuffle — the
+    * leave-one-out encoding shape (`sum(y) over (partition by g rows
+    * between unbounded preceding and unbounded following exclude
+    * current row)`) at any scale. SUM/AVG track the remaining
+    * non-null count so an empty remaining set reads NULL exactly as
+    * a native exclusion does. Float caveat: frameSum − excludedSum
+    * is subtraction, not re-summation — exact for integer/decimal
+    * inputs, last-ulp different from a re-summing engine for floats.
+    * Other window functions have no subtraction decomposition and
+    * fail loudly (see [[windowSpec]]). */
+  private def windowedAgg(a: AggExpr, lower: Expr => Column): Column = {
+    val w = a.window.get
+    if (w.exclude == "no others")
+      return aggColumnBase(a, lower).over(windowSpec(w, lower))
+    if (a.distinct)
+      fail("EXCLUDE with DISTINCT window aggregates is not supported")
+    if (a.func != "sum" && a.func != "count" && a.func != "avg")
+      fail("EXCLUDE applies to sum/count/avg window aggregates only " +
+        "(no decomposition exists for other window functions)")
+    val mode = w.exclude
+    val f = w.frame.get // the parser ties EXCLUDE to a frame extent
+    val startOk = f.start match {
+      case UnboundedPreceding | CurrentRow => true
+      case Preceding(n) => n >= 0
+      case Following(_) => false
+    }
+    val endOk = f.end match {
+      case UnboundedFollowing | CurrentRow => true
+      case Following(n) => n >= 0
+      case Preceding(_) => false
+    }
+    if (!startOk || !endOk)
+      fail("EXCLUDE requires a frame that contains the current row")
+    if ((mode == "group" || mode == "ties") && f.isRows)
+      fail("EXCLUDE GROUP/TIES requires a RANGE frame " +
+        "(a ROWS frame may cut the peer group)")
+    if ((mode == "group" || mode == "ties") && w.orderBy.isEmpty)
+      fail("EXCLUDE GROUP/TIES requires ORDER BY (peers are order ties)")
+    val frameSpec = windowSpec(w.copy(exclude = "no others"), lower)
+    val peersSpec = windowSpec(
+      WindowSpec(w.partitionBy ++ w.orderBy.map(_.e), Nil, None), lower)
+    val isStar = a.arg match { case Star(_) => true; case _ => false }
+    val arg: Column = a.arg match {
+      case Star(_) => F.lit(1)
+      case e       => lower(e)
+    }
+    val curNN: Column =
+      if (isStar) F.lit(1L)
+      else F.when(arg.isNotNull, F.lit(1L)).otherwise(F.lit(0L))
+    def cnt(spec: SparkWindow): Column = F.count(arg).over(spec)
+    val exclNN: Column = mode match {
+      case "current row" => curNN
+      case "group"       => cnt(peersSpec)
+      case "ties"        => cnt(peersSpec) - curNN
+    }
+    if (a.func == "count") cnt(frameSpec) - exclNN
+    else {
+      val s = F.sum(arg).over(frameSpec)
+      val p = F.sum(arg).over(peersSpec)
+      val exclSum: Column = mode match {
+        case "current row" => F.coalesce(arg, F.lit(0))
+        case "group"       => F.coalesce(p, F.lit(0))
+        case "ties" => F.coalesce(p, F.lit(0)) - F.coalesce(arg, F.lit(0))
+      }
+      val remaining = cnt(frameSpec) - exclNN
+      val adj = F.when(remaining > 0, s - exclSum)
+      if (a.func == "sum") adj else adj / remaining
+    }
+  }
+
   private def windowSpec(w: WindowSpec,
                          lower: Expr => Column =
                            exprToCol(_, None)): SparkWindow = {
     if (w.ref.isDefined)
       fail(s"named window '${w.ref.get}' is only valid in the SELECT/" +
         "HAVING/QUALIFY of the query whose WINDOW clause defines it")
+    if (w.exclude != "no others")
+      fail("EXCLUDE applies to sum/count/avg window aggregates only " +
+        "(no decomposition exists for other window functions)")
     var spec: SparkWindow =
       if (w.partitionBy.nonEmpty)
         Window.partitionBy(w.partitionBy.map(lower): _*)

@@ -239,6 +239,96 @@ class SqlSurfaceSpec extends SparkTestBase {
          from lineitem""")
   }
 
+  test("frame EXCLUDE CURRENT ROW / GROUP / TIES (r5c)") {
+    // leave-one-out sum + avg: the whole-partition frame minus the
+    // current row. spark.sql has no EXCLUDE — oracle spells out the
+    // identical subtraction (same float ops, so doubles match too)
+    checkTranslated(
+      """select l_orderkey, l_linenumber,
+           sum(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as others,
+           avg(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as loo_avg
+         from lineitem""",
+      """select l_orderkey, l_linenumber,
+           case when count(l_quantity) over (partition by l_orderkey) > 1
+                then sum(l_quantity) over (partition by l_orderkey)
+                     - l_quantity end as others,
+           case when count(l_quantity) over (partition by l_orderkey) > 1
+                then (sum(l_quantity) over (partition by l_orderkey)
+                      - l_quantity)
+                     / (count(l_quantity) over (partition by l_orderkey)
+                        - 1) end as loo_avg
+         from lineitem""")
+    // EXCLUDE GROUP: running count of rows strictly before the peer
+    // group; EXCLUDE TIES: peers drop but the current row stays
+    checkTranslated(
+      """select l_orderkey, l_quantity,
+           count(*) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row
+             exclude group) as before_grp,
+           count(*) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row
+             exclude ties) as no_ties
+         from lineitem""",
+      """select l_orderkey, l_quantity,
+           count(*) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row)
+           - count(*) over (partition by l_orderkey, l_quantity)
+             as before_grp,
+           count(*) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row)
+           - count(*) over (partition by l_orderkey, l_quantity) + 1
+             as no_ties
+         from lineitem""")
+    // EXCLUDE NO OTHERS is the explicit default
+    checkTranslated(
+      """select l_orderkey,
+           sum(l_quantity) over (partition by l_orderkey order by l_linenumber
+             rows between 1 preceding and current row
+             exclude no others) as w
+         from lineitem""",
+      """select l_orderkey,
+           sum(l_quantity) over (partition by l_orderkey order by l_linenumber
+             rows between 1 preceding and current row) as w
+         from lineitem""")
+  }
+
+  test("frame EXCLUDE restrictions are loud") {
+    // not a sum/count/avg aggregate
+    val e1 = intercept[Exception](graftSession.query(
+      """select min(l_quantity) over (partition by l_orderkey
+           rows between unbounded preceding and unbounded following
+           exclude current row) as m from lineitem""").collect())
+    assert(e1.getMessage.contains("sum/count/avg"))
+    // rank is not an aggregate at all
+    val e2 = intercept[Exception](graftSession.query(
+      """select rank() over (partition by l_orderkey order by l_quantity
+           rows between unbounded preceding and current row
+           exclude current row) as r from lineitem""").collect())
+    assert(e2.getMessage.contains("sum/count/avg"))
+    // GROUP/TIES demand a RANGE frame
+    val e3 = intercept[Exception](graftSession.query(
+      """select count(*) over (partition by l_orderkey order by l_quantity
+           rows between unbounded preceding and current row
+           exclude group) as c from lineitem""").collect())
+    assert(e3.getMessage.contains("RANGE"))
+    // frames strictly before the current row cannot exclude it
+    val e4 = intercept[Exception](graftSession.query(
+      """select sum(l_quantity) over (partition by l_orderkey
+           order by l_linenumber
+           rows between unbounded preceding and 1 preceding
+           exclude current row) as s from lineitem""").collect())
+    assert(e4.getMessage.contains("contains the current row"))
+    // EXCLUDE without a frame clause is a parse error
+    val e5 = intercept[Exception](graftSession.query(
+      """select sum(l_quantity) over (partition by l_orderkey
+           exclude current row) as s from lineitem""").collect())
+    assert(e5.getMessage.contains("frame"))
+  }
+
   test("lead lag first_value last_value row_number windows") {
     checkAgainstSparkSql(
       """select l_orderkey, l_linenumber,
