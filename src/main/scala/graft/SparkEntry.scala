@@ -869,6 +869,14 @@ object SparkEntry {
            round(sum(l_quantity), 2) as qty
          from lineitem
          group by grouping sets ((l_returnflag, l_linestatus), l_returnflag, ())""",
+    // nested ROLLUP inside GROUPING SETS (r5c): elements expand in
+    // place — DuckDB runs the same nesting natively
+    "q_grouping_sets_nested" ->
+      """select l_returnflag, l_linestatus, count(*) as n,
+           round(sum(l_quantity), 2) as qty
+         from lineitem
+         group by grouping sets (rollup(l_returnflag, l_linestatus),
+                                 (l_linestatus))""",
     // scalar subquery under ROLLUP — the constant is aggregated
     // (min) rather than added to the keys, keeping the grouping sets
     "q_rollup_scalar" ->
@@ -1898,6 +1906,31 @@ object SparkEntry {
                            join edges e on e.src = r.node
                            group by 1) i on nd.node = i.node)
               select node, round(rank, 4) as rank from r3""")),
+    // keyed corpus upsert (r5c): batch rows replace same-key corpus
+    // rows, new keys append — one key anti-join + union, the
+    // recrawl/refresh maintenance shape
+    ("q_corpus_upsert",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        val batch = docs.where(F.col("doc_id") % 7 === 0)
+          .select(
+            F.when(F.col("doc_id") % 14 === 0, F.col("doc_id") + 10000000L)
+              .otherwise(F.col("doc_id")).as("doc_id"),
+            F.col("text"), F.col("lang"),
+            F.upper(F.col("source")).as("source"), F.col("n_chars"))
+        graft.ops.Export.upsert(docs, batch, "doc_id")
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some("""with batch as (
+                select case when doc_id % 14 = 0 then doc_id + 10000000
+                            else doc_id end as doc_id,
+                       text, lang, upper(source) as source, n_chars
+                from documents where doc_id % 7 = 0)
+              select doc_id, lang, source, n_chars from (
+                select * from documents
+                where doc_id not in (select doc_id from batch)
+                union all
+                select * from batch)""")),
     // deterministic N-way split assignment (r5): cumulative md5
     // thresholds — growing a fraction only moves rows across the
     // adjacent boundary

@@ -128,4 +128,22 @@ object Export {
            F.array_join(
              F.transform(pieces, s => s.getField("__txt")), sep).as("text"))
   }
+
+  /** Keyed corpus upsert (r5c) — the recrawl/refresh maintenance
+    * shape: batch rows REPLACE same-key corpus rows, new keys append.
+    * One key-shuffled anti-join plus a name-matched union: corpus
+    * rows whose key the batch re-delivers never materialize twice,
+    * and (unlike a MERGE over a sorted table) nothing rewrites the
+    * untouched remainder. Batch-internal duplicate keys are the
+    * caller's contract (run the dedup family first); schemas must
+    * agree by name. At 100 TB this pairs with the persisted-hash
+    * incremental-dedup table: both jobs shuffle only (key) columns. */
+  def upsert(corpus: DataFrame, batch: DataFrame,
+             keyCol: String): DataFrame = {
+    require(corpus.columns.map(_.toLowerCase).sorted.sameElements(
+        batch.columns.map(_.toLowerCase).sorted),
+      "upsert requires matching corpus/batch schemas")
+    corpus.join(batch.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(batch)
+  }
 }

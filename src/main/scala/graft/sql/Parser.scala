@@ -295,7 +295,24 @@ final class Parser(tokens: Vector[Token]) {
           val sets = Seq.newBuilder[Seq[Expr]]
           var m = true
           while (m) {
-            if (atOp("(")) {
+            // nested ROLLUP/CUBE elements (r5c, standard SQL): expand
+            // in place into their grouping-set lists — GROUPING SETS
+            // (ROLLUP(a,b), c) = ((a,b),(a),(),(c)). Duplicate sets
+            // are kept (standard semantics: duplicate result groups).
+            if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
+              val kind = ident().toLowerCase
+              expectOp("(")
+              val ks = Seq.newBuilder[Expr]
+              var km = true
+              while (km) { ks += parseExpr(); km = eatOp(",") }
+              expectOp(")")
+              val keys = ks.result()
+              if (kind == "rollup")
+                sets ++= (keys.length to 0 by -1).map(keys.take)
+              else
+                sets ++= (keys.length to 0 by -1)
+                  .flatMap(k => keys.combinations(k))
+            } else if (atOp("(")) {
               expectOp("(")
               val set = Seq.newBuilder[Expr]
               if (!atOp(")")) {

@@ -367,6 +367,22 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L).getLong(2) == 1) // beta out
   }
 
+  test("upsert replaces same-key rows and appends new keys") {
+    import spark.implicits._
+    val corpus = Seq((1L, "old-a"), (2L, "old-b"), (3L, "old-c"))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, "new-b"), (9L, "new-i")).toDF("doc_id", "text")
+    val out = graft.ops.Export.upsert(corpus, batch, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "old-a", 2L -> "new-b",
+      3L -> "old-c", 9L -> "new-i"))
+    // schema mismatch is loud
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Export.upsert(corpus,
+        Seq((1L, "x", 1)).toDF("doc_id", "text", "extra"), "doc_id"))
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("incremental dedup drops batch rows already in the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha"), (2L, "beta"),

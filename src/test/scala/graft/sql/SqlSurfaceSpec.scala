@@ -1094,6 +1094,19 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by grouping sets ((c_nationkey), ()) order by c_nationkey""",
       """select c_nationkey, count(*) as n from customer
          group by rollup(c_nationkey) order by c_nationkey""")
+    // nested ROLLUP/CUBE elements expand in place (r5c)
+    checkTranslated(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets (rollup(c_nationkey, c_mktsegment),
+                                 (c_mktsegment))""",
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets ((c_nationkey, c_mktsegment),
+                                 (c_nationkey), (), (c_mktsegment))""")
+    checkTranslated(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets (cube(c_nationkey, c_mktsegment))""",
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by cube(c_nationkey, c_mktsegment)""")
     // expression keys group (and OUTPUT) through one shared named
     // grouping column per distinct expression (r4; previously rejected)
     checkAgainstSparkSql(
