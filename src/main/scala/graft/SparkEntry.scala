@@ -312,6 +312,24 @@ object SparkEntry {
               (select count(*) as cnt from nation n
                where n.n_nationkey = s.s_nationkey
                   or n.n_regionkey = s.s_suppkey % 5) a""",
+    // grouped + HAVING EXISTS with GENERAL (OR) correlation (r5c):
+    // groups form over the OR-selected rows per outer binding, so the
+    // survivors machinery groups by (distinct outer tuple, inner keys)
+    "q_exists_or_grouped" ->
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                          or o.o_totalprice > c.c_acctbal * 200
+                       group by o.o_orderdate
+                       having count(*) >= 2)""",
+    // grouped IN with general correlation: membership among the
+    // per-group aggregate values of the OR-selected rows
+    "q_in_or_grouped" ->
+      """select c_custkey from customer c
+         where 2 in (select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                        or o.o_totalprice > c.c_acctbal * 200
+                     group by o.o_orderdate)""",
     // JOINT theta condition in a flag position (r4c): two range
     // conjuncts cannot decompose through per-group min/max, so the
     // lowering semi-joins the DISTINCT outer-tuple table on the full

@@ -1629,11 +1629,18 @@ final class Translator(catalog: String => DataFrame,
                     .select(parts.tupleNames.zip(mNs).map { case (a, b) =>
                       F.col(a).as(b) } :+ F.col(vn): _*)
                     .distinct().withColumn(markN, F.lit(true))
+                  // general tuple columns (r5c) join null-safely —
+                  // their surviving NULL-operand tuples are real
+                  def tCmp(oe: Expr, n: String, ns: Boolean): Column =
+                    if (ns) exprToCol(oe, None) <=> F.col(n)
+                    else exprToCol(oe, None) === F.col(n)
                   val sCond = parts.outerExprs.zip(parts.tupleNames)
-                    .map { case (oe, n) => exprToCol(oe, None) === F.col(n) }
+                    .zip(parts.nullSafe)
+                    .map { case ((oe, n), ns) => tCmp(oe, n, ns) }
                     .reduce(_ && _)
-                  val mCond = (parts.outerExprs.zip(mNs).map {
-                    case (oe, n) => exprToCol(oe, None) === F.col(n) } :+
+                  val mCond = (parts.outerExprs.zip(mNs)
+                    .zip(parts.nullSafe).map {
+                      case ((oe, n), ns) => tCmp(oe, n, ns) } :+
                     (probe === F.col(vn))).reduce(_ && _)
                   val flag =
                     F.when(F.col(markN).isNotNull, F.lit(true))
@@ -2702,13 +2709,16 @@ final class Translator(catalog: String => DataFrame,
           refersToAliases(e, outerRefs) || containsWindow(e)) ||
         q.sel.groupBy.exists(refersToAliases(_, outerRefs)))
       return None
-    val (keyPairs, thetas, local) =
-      corrSplit(q, outerRefs, "subquery", allowTheta = true)
-    if (thetas.isEmpty) return None // equality-only: degroup handles it
     val i = gteIdx; gteIdx += 1
+    val (keyPairs, thetas, gens, genDefs, local) =
+      corrSplitG(q, outerRefs, "subquery", allowTheta = true,
+        Some(s"__gte_${i}_ge"))
+    // equality-only: the degroup derived-table rewrite handles it
+    if (thetas.isEmpty && gens.isEmpty) return None
     val keyNames = keyPairs.indices.map(j => s"__gte_${i}_k$j")
     val tNames = thetas.indices.map(j => s"__gte_${i}_t$j")
     val gNames = q.sel.groupBy.indices.map(j => s"__gte_${i}_g$j")
+    val geNames = genDefs.map(_._1)
     var inner = translateRelation(q.sel.from)
     local.reduceOption(And).foreach(p =>
       inner = inner.filter(exprToCol(p, None)))
@@ -2716,12 +2726,15 @@ final class Translator(catalog: String => DataFrame,
       keyPairs.zip(keyNames).map { case ((_, oe), n) =>
         exprToCol(oe, None).as(n) } ++
       thetas.zip(tNames).map { case ((_, _, oe), n) =>
+        exprToCol(oe, None).as(n) } ++
+      genDefs.map { case (n, oe) =>
         exprToCol(oe, None).as(n) }: _*).distinct()
     val joinCond =
       (keyPairs.zip(keyNames).map { case ((ik, _), n) =>
         exprToCol(ik, None) === F.col(n) } ++
        thetas.zip(tNames).map { case ((ie, op, _), n) =>
-        cmp(op, exprToCol(ie, None), F.col(n)) }).reduce(_ && _)
+        cmp(op, exprToCol(ie, None), F.col(n)) } ++
+       gens.map(exprToCol(_, None))).reduce(_ && _)
     var aggs = Vector.empty[(String, AggExpr)]
     def subst(e: Expr): Expr = Ast.transformUp(e) {
       case a: AggExpr if a.window.isEmpty =>
@@ -2742,31 +2755,39 @@ final class Translator(catalog: String => DataFrame,
       if (aggs.isEmpty) Seq(F.count(F.lit(1)).as(s"__gte_${i}_n"))
       else aggs.map { case (n, a) => aggColumn(a).as(n) }
     var grouped = tuples.join(inner, joinCond, "inner")
-      .groupBy((keyNames ++ tNames).map(F.col) ++
+      .groupBy((keyNames ++ tNames ++ geNames).map(F.col) ++
         q.sel.groupBy.zip(gNames).map { case (g, n) =>
           exprToCol(g, None).as(n) }: _*)
       .agg(aggCols.head, aggCols.tail: _*)
     hSub.foreach(h => grouped = grouped.filter(exprToCol(h, None)))
     val vName = s"__gte_${i}_v"
+    val tupleCols = (keyNames ++ tNames ++ geNames).map(F.col)
     val survivors = valSub match {
       case Some(v) =>
-        grouped.select((keyNames ++ tNames).map(F.col) :+
-          exprToCol(v, None).as(vName): _*).distinct()
+        grouped.select(tupleCols :+ exprToCol(v, None).as(vName): _*)
+          .distinct()
       case None =>
-        grouped.select((keyNames ++ tNames).map(F.col): _*).distinct()
+        grouped.select(tupleCols: _*).distinct()
     }
     // two-valued in conjunct position: tuples with NULL keys/operands
-    // never joined any inner row, are absent from survivors, and the
-    // === back-join reads false (anti reads true)
+    // never joined any inner row under pure comparisons, are absent
+    // from survivors, and the === back-join reads false (anti reads
+    // true). GENERAL tuple columns (r5c) join back NULL-SAFELY: an
+    // IS NULL arm can select rows for a NULL-operand tuple, and that
+    // surviving tuple must reach its outer rows.
     val cond =
       (keyPairs.zip(keyNames).map { case ((_, oe), n) =>
         exprToCol(oe, None) === F.col(n) } ++
        thetas.zip(tNames).map { case ((_, _, oe), n) =>
-        exprToCol(oe, None) === F.col(n) }).reduce(_ && _)
+        exprToCol(oe, None) === F.col(n) } ++
+       genDefs.map { case (n, oe) =>
+        exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
     lastSurvivorParts = Some(SurvivorParts(
-      (keyNames ++ tNames).toList,
-      keyPairs.map(_._2) ++ thetas.map(_._3),
-      if (valSub.isDefined) Some(vName) else None))
+      (keyNames ++ tNames ++ geNames).toList,
+      keyPairs.map(_._2) ++ thetas.map(_._3) ++ genDefs.map(_._2),
+      if (valSub.isDefined) Some(vName) else None,
+      nullSafe = List.fill(keyNames.length + tNames.length)(false) :::
+        List.fill(geNames.length)(true)))
     Some((survivors, cond, valSub.map(_ => F.col(vName))))
   }
 
@@ -2776,7 +2797,8 @@ final class Translator(catalog: String => DataFrame,
     * value column name. */
   private final case class SurvivorParts(tupleNames: List[String],
                                          outerExprs: Seq[Expr],
-                                         valueName: Option[String])
+                                         valueName: Option[String],
+                                         nullSafe: List[Boolean])
   private var lastSurvivorParts: Option[SurvivorParts] = None
 
   /** Inner side + join condition for a correlated EXISTS in conjunct

@@ -243,6 +243,41 @@ class GeneralCorrSpec extends SparkTestBase {
          from supplier s""")
   }
 
+  // ---- grouped inners (r5c closes the last correlation wall) ----------
+
+  test("OR-correlated grouped + HAVING EXISTS in conjunct position") {
+    checkTranslated(
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                          or o.o_totalprice > c.c_acctbal * 200
+                       group by o.o_orderdate
+                       having count(*) >= 2)""",
+      // per-outer evaluation over the OR-selected rows, spelled as a
+      // scalar max over per-date counts
+      """select c_custkey from customer c
+         where (select max(cnt) from (
+                  select count(*) as cnt from orders o
+                  where o.o_custkey = c.c_custkey
+                     or o.o_totalprice > c.c_acctbal * 200
+                  group by o.o_orderdate)) >= 2""")
+  }
+
+  test("OR-correlated grouped IN in conjunct position") {
+    checkTranslated(
+      """select c_custkey from customer c
+         where 2 in (select count(*) from orders o
+                     where o.o_custkey = c.c_custkey
+                        or o.o_totalprice > c.c_acctbal * 200
+                     group by o.o_orderdate)""",
+      """select c_custkey from customer c
+         where exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                          or o.o_totalprice > c.c_acctbal * 200
+                       group by o.o_orderdate
+                       having count(*) = 2)""")
+  }
+
   // ---- loud walls stay loud -------------------------------------------
 
   test("nested subquery inside a general correlation is a loud error") {
