@@ -1865,26 +1865,37 @@ object SparkEntry {
           .join(sup, li("l_suppkey") === sup("s_suppkey"))
           .select(cust("c_nationkey").cast("long").as("src"),
             sup("s_nationkey").cast("long").as("dst"))
-          .where(F.col("src") =!= F.col("dst")).distinct()
+          // structural (pair-keyed) sparsifier: the raw trade graph is
+          // near-complete at any SF (uniform PageRank would be a weak
+          // oracle); keeping ~1/7 of the PAIRS yields out-degrees 3-4
+          // and a non-uniform rank distribution, identical at every SF
+          .where(F.col("src") =!= F.col("dst") &&
+            (F.col("src") * 31 + F.col("dst")) % 7 === 0)
+          .distinct()
         graft.ops.Curation.pageRank(edges, iterations = 3, damping = 0.85)
           .select(F.col("node"), F.round(F.col("rank"), 4).as("rank"))
       },
-      Some("""with edges as (
+      // MATERIALIZED hints are load-bearing: DuckDB 1.0 inlines a CTE
+      // per reference, and edges/r_k are each referenced 2-3 times —
+      // inlining re-derives the 4-table join exponentially (the
+      // un-hinted form filled the disk with spill at sf0.1)
+      Some("""with edges as materialized (
                 select distinct c.c_nationkey::BIGINT as src,
                                 s.s_nationkey::BIGINT as dst
                 from lineitem l
                 join orders o on l.l_orderkey = o.o_orderkey
                 join customer c on o.o_custkey = c.c_custkey
                 join supplier s on l.l_suppkey = s.s_suppkey
-                where c.c_nationkey <> s.s_nationkey),
-              nodes as (select src as node from edges
+                where c.c_nationkey <> s.s_nationkey
+                  and (c.c_nationkey * 31 + s.s_nationkey) % 7 = 0),
+              nodes as materialized (select src as node from edges
                         union select dst from edges),
-              n as (select count(*)::DOUBLE as n from nodes),
-              outdeg as (select src, count(*)::DOUBLE as outdeg
+              n as materialized (select count(*)::DOUBLE as n from nodes),
+              outdeg as materialized (select src, count(*)::DOUBLE as outdeg
                          from edges group by 1),
-              r0 as (select node, 1.0 / n.n as rank
+              r0 as materialized (select node, 1.0 / n.n as rank
                      from nodes cross join n),
-              r1 as (
+              r1 as materialized (
                 select nd.node,
                        (1 - 0.85) / n.n
                        + 0.85 * (coalesce(i.c, 0) + dm.dm / n.n) as rank
@@ -1897,7 +1908,7 @@ object SparkEntry {
                            from r0 r join outdeg d on r.node = d.src
                            join edges e on e.src = r.node
                            group by 1) i on nd.node = i.node),
-              r2 as (
+              r2 as materialized (
                 select nd.node,
                        (1 - 0.85) / n.n
                        + 0.85 * (coalesce(i.c, 0) + dm.dm / n.n) as rank
@@ -1910,7 +1921,7 @@ object SparkEntry {
                            from r1 r join outdeg d on r.node = d.src
                            join edges e on e.src = r.node
                            group by 1) i on nd.node = i.node),
-              r3 as (
+              r3 as materialized (
                 select nd.node,
                        (1 - 0.85) / n.n
                        + 0.85 * (coalesce(i.c, 0) + dm.dm / n.n) as rank
