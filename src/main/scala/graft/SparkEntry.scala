@@ -314,22 +314,28 @@ object SparkEntry {
                   or n.n_regionkey = s.s_suppkey % 5) a""",
     // grouped + HAVING EXISTS with GENERAL (OR) correlation (r5c):
     // groups form over the OR-selected rows per outer binding, so the
-    // survivors machinery groups by (distinct outer tuple, inner keys)
+    // survivors machinery groups by (distinct outer tuple, inner
+    // keys). An OR-selection is inherently |tuples| × |inner| work
+    // (each outer tuple selects its own row set), so the shape
+    // belongs on a BOUNDED inner — here ≤125 distinct tuples × 25
+    // nations; the customer×orders variant of this query was 250 s
+    // at sf0.1 in BOTH engines, the semantics' own cost, not a plan
+    // defect
     "q_exists_or_grouped" ->
-      """select c_custkey from customer c
-         where exists (select 1 from orders o
-                       where o.o_custkey = c.c_custkey
-                          or o.o_totalprice > c.c_acctbal * 200
-                       group by o.o_orderdate
+      """select s_suppkey from supplier s
+         where exists (select 1 from nation n
+                       where n.n_nationkey = s.s_nationkey
+                          or n.n_regionkey = s.s_suppkey % 5
+                       group by n.n_regionkey
                        having count(*) >= 2)""",
     // grouped IN with general correlation: membership among the
     // per-group aggregate values of the OR-selected rows
     "q_in_or_grouped" ->
-      """select c_custkey from customer c
-         where 2 in (select count(*) from orders o
-                     where o.o_custkey = c.c_custkey
-                        or o.o_totalprice > c.c_acctbal * 200
-                     group by o.o_orderdate)""",
+      """select s_suppkey from supplier s
+         where 3 in (select count(*) from nation n
+                     where n.n_nationkey = s.s_nationkey
+                        or n.n_regionkey = s.s_suppkey % 5
+                     group by n.n_regionkey)""",
     // JOINT theta condition in a flag position (r4c): two range
     // conjuncts cannot decompose through per-group min/max, so the
     // lowering semi-joins the DISTINCT outer-tuple table on the full
