@@ -1053,6 +1053,54 @@ class QueryFuzzSpec extends SparkTestBase {
       s"and o.o_totalprice < ${v * 2}"
   }
 
+  /** Frame-EXCLUDE fuzz (r5c): graft's subtraction lowering vs the
+    * spelled-out subtraction in spark.sql — identical float algebra,
+    * so doubles compare exactly. */
+  private val genExcludeQuery: Gen[(String, String)] = for {
+    agg <- Gen.oneOf("sum", "count", "avg")
+    mode <- Gen.oneOf("current row", "group", "ties")
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+  } yield {
+    // RANGE frame (GROUP/TIES-eligible), order by a tie-bearing key
+    val frame = "range between unbounded preceding and current row"
+    val over = s"partition by $part order by c_acctbal"
+    val arg = "c_custkey"
+    val g =
+      s"""select c_custkey, $agg($arg) over ($over $frame
+            exclude $mode) as v from customer"""
+    val frameAgg = s"$agg($arg) over ($over $frame)"
+    val peerCnt = s"count($arg) over (partition by $part, c_acctbal)"
+    val peerSum = s"sum($arg) over (partition by $part, c_acctbal)"
+    val frameCnt = s"count($arg) over ($over $frame)"
+    val (exclCnt, exclSum) = mode match {
+      case "current row" => ("1", s"$arg")
+      case "group"       => (peerCnt, peerSum)
+      case "ties"        => (s"$peerCnt - 1", s"$peerSum - $arg")
+    }
+    val o = agg match {
+      case "count" => s"""select c_custkey,
+          $frameCnt - ($exclCnt) as v from customer"""
+      case "sum" => s"""select c_custkey,
+          case when $frameCnt - ($exclCnt) > 0
+               then $frameAgg - ($exclSum) end as v from customer"""
+      case "avg" => s"""select c_custkey,
+          case when $frameCnt - ($exclCnt) > 0
+               then (sum($arg) over ($over $frame) - ($exclSum))
+                    / ($frameCnt - ($exclCnt)) end as v from customer"""
+    }
+    (g, o)
+  }
+
+  test("18 random frame-EXCLUDE queries match the subtraction rewrite") {
+    Gen.listOfN(18, genExcludeQuery)
+      .pureApply(Gen.Parameters.default, Seed(101L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
   test("30 random general-correlated EXISTS flags match spark.sql") {
     val preds = Gen.listOfN(30, genGeneralCorrPred)
       .pureApply(Gen.Parameters.default, Seed(97L))
