@@ -2128,6 +2128,44 @@ object SparkEntry {
                 list_sum(ql)::BIGINT as q_sum,
                 list_sum(list_transform(ql, x -> abs(x)))::BIGINT as q_l1
               from z""")),
+    // product quantization (r5c): codes + reconstruction error on the
+    // int8 lattice with the deterministic seed codebook — broadcast
+    // codebook, pure per-row codegen projection, EXACT integer
+    // arithmetic (DuckDB replays codes bit-for-bit; ties break to the
+    // lowest code in both engines)
+    ("q_pq_encode",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.pqEncode(tbl(s, dir, "embeddings"), 4, 16),
+      Some("""with q0 as (select vec_id, embedding,
+                  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) as scale
+                from embeddings),
+              qz as (select vec_id,
+                       case when scale = 0
+                         then list_transform(embedding, v -> 0::BIGINT)
+                         else list_transform(embedding,
+                           v -> floor(v::DOUBLE * 127 / scale + 0.5)::BIGINT)
+                       end as ql
+                     from q0),
+              seeds as (select ql,
+                          (row_number() over (order by vec_id) - 1)::INT as code
+                        from qz order by vec_id limit 16),
+              blk as (select unnest(range(0, 4)) as block),
+              cb as materialized (
+                select blk.block, s.code,
+                       s.ql[blk.block*16+1 : blk.block*16+16] as centroid
+                from seeds s cross join blk),
+              dist as (select v.vec_id, c.block, c.code,
+                         list_sum(list_transform(range(1, 17), i ->
+                           (v.ql[c.block*16+i] - c.centroid[i])
+                           * (v.ql[c.block*16+i] - c.centroid[i]))) as d
+                       from qz v cross join cb c),
+              best as (select vec_id, block, code, d,
+                         row_number() over (partition by vec_id, block
+                                            order by d, code) as rn
+                       from dist)
+              select vec_id, array_agg(code order by block) as codes,
+                     sum(d)::BIGINT as pq_err
+              from best where rn = 1 group by vec_id""")),
     // corpus-level bigram heavy hitters (boilerplate discovery):
     // map-side partials collapse hot grams before the shuffle, global
     // top-k via per-partition heaps; ties break on the gram text

@@ -346,6 +346,76 @@ object Similarity {
         "aggregate(q, 0L, (acc, x) -> acc + x) as q_sum",
         "aggregate(q, 0L, (acc, x) -> acc + abs(x)) as q_l1")
 
+  /** Int8 lattice shared by [[quantizeEmbeddings]] and the PQ encoder:
+    * (vec_id, q: array<bigint>) — symmetric max-abs quantization with
+    * floor(x+0.5) rounding (IEEE-identical cross-engine), zero
+    * vectors guarded. */
+  private def int8Lattice(emb: DataFrame): DataFrame =
+    emb
+      .selectExpr("vec_id", "embedding",
+        "cast(array_max(transform(embedding, v -> abs(cast(v as double)))) as double) as __scale")
+      .selectExpr("vec_id",
+        """case when __scale = 0D then transform(embedding, v -> 0L)
+             else transform(embedding,
+               v -> cast(floor(cast(v as double) * 127D / __scale + 0.5D) as bigint))
+           end as q""")
+
+  /** Product quantization encode (r5c) — the ANN compression tier
+    * beyond int8: each vector splits into `m` sub-blocks and each
+    * block stores only the index of its nearest codebook centroid,
+    * taking d·4 float bytes down to m code bytes (k ≤ 256); ADC
+    * search then scores candidates from per-block lookup tables.
+    *
+    * The codebook here is the DETERMINISTIC seed form — block slices
+    * of the k lowest-vec_id vectors on the int8 lattice — so the
+    * assignment arithmetic is EXACT integer math and the DuckDB
+    * oracle replays codes and reconstruction error bit-for-bit
+    * (per-block k-means training, the production codebook, drops
+    * into the same plan: it only changes the centroid table, exactly
+    * as ivfBuild does for IVF cells). Ties break toward the lowest
+    * code in both engines.
+    *
+    * 100 TB shape: the codebook (m·k centroids) aggregates into ONE
+    * row and BROADCASTS; encoding is then a pure per-row projection
+    * of nested codegen'd HOFs — zero shuffle, zero explode, the same
+    * posture as int8 quantization. Output: (vec_id, codes
+    * array<int>, pq_err bigint = summed squared int8 distance). */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be positive")
+    val q = int8Lattice(emb)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // seed codebook: k rows, the window is k-row tiny by construction
+    val seeds = q.orderBy("vec_id").limit(k)
+      .withColumn("code", F.row_number().over(w).cast("int") - 1)
+    val cb = seeds.selectExpr("code",
+        s"""explode(transform(sequence(0, ${m - 1}), b ->
+             struct(b as block,
+               slice(q, b * (size(q) div $m) + 1, size(q) div $m)
+                 as centroid))) as bc""")
+      .selectExpr("bc.block as block", "code", "bc.centroid as centroid")
+    val cbRow = cb.groupBy().agg(F.expr(
+      "array_sort(collect_list(struct(block, code, centroid)))").as("__cb"))
+    val dist =
+      s"""aggregate(sequence(1, size(q) div $m), 0L, (s, i) ->
+            s + (element_at(q, cast(b * (size(q) div $m) + i as int))
+                 - element_at(element_at(__cb, b * $k + c + 1).centroid,
+                     cast(i as int)))
+              * (element_at(q, cast(b * (size(q) div $m) + i as int))
+                 - element_at(element_at(__cb, b * $k + c + 1).centroid,
+                     cast(i as int))))"""
+    q.crossJoin(F.broadcast(cbRow))
+      .selectExpr("vec_id",
+        s"""transform(sequence(0, ${m - 1}), b ->
+              aggregate(sequence(0, ${k - 1}),
+                struct(cast(-1 as int) as code, 9223372036854775807L as best),
+                (acc, c) -> if($dist < acc.best,
+                  struct(cast(c as int) as code, $dist as best),
+                  acc))) as __bs""")
+      .selectExpr("vec_id",
+        "transform(__bs, s -> s.code) as codes",
+        "aggregate(transform(__bs, s -> s.best), 0L, (a, x) -> a + x) as pq_err")
+  }
+
   /** Matryoshka truncation + L2 renormalization (r5b): keep the
     * first `d` dimensions and rescale to unit length — the standard
     * cheap-ANN move for models trained with nested (MRL) objectives:

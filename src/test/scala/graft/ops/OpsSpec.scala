@@ -367,6 +367,25 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L).getLong(2) == 1) // beta out
   }
 
+  test("PQ encode: seed vectors are their own codes with zero error") {
+    import spark.implicits._
+    // 4 vectors, dim 4, m=2 blocks, k=2 codes: vectors 1 and 2 ARE
+    // the codebook, so they encode to themselves with pq_err 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.1f, 0.1f, 1.0f)),  // near vector 1
+      (4L, Array(0.1f, 1.0f, 1.0f, 0.1f))   // near vector 2
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.pqEncode(emb, m = 2, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == Seq(0, 0) && out(1L)._2 == 0L)
+    assert(out(2L)._1 == Seq(1, 1) && out(2L)._2 == 0L)
+    assert(out(3L)._1 == Seq(0, 0) && out(3L)._2 > 0L) // nearest seed 1
+    assert(out(4L)._1 == Seq(1, 1) && out(4L)._2 > 0L) // nearest seed 2
+  }
+
   test("upsert replaces same-key rows and appends new keys") {
     import spark.implicits._
     val corpus = Seq((1L, "old-a"), (2L, "old-b"), (3L, "old-c"))
