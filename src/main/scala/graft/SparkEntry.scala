@@ -1941,6 +1941,42 @@ object SparkEntry {
                            join edges e on e.src = r.node
                            group by 1) i on nd.node = i.node)
               select node, round(rank, 4) as rank from r3""")),
+    // z-order layout key (r5c): Morton interleave of two bucketed
+    // keys + per-z-range stats — each bucket's bounding box is
+    // compact in BOTH dimensions (the data-skipping evidence); exact
+    // integer arithmetic, DuckDB replays the interleave
+    ("q_zorder",
+      (s: SparkSession, dir: String) => {
+        val li = tbl(s, dir, "lineitem")
+        val x = (F.col("l_partkey") % 256).cast("long")
+        val y = (F.col("l_suppkey") % 256).cast("long")
+        li.select(
+            graft.ops.Export.zorderValue(Seq(x, y), 8).as("z"),
+            x.as("x"), y.as("y"))
+          .groupBy(F.expr("z div 4096").as("bucket"))
+          .agg(F.count(F.lit(1)).as("n"),
+            F.min("x").as("x_min"), F.max("x").as("x_max"),
+            F.min("y").as("y_min"), F.max("y").as("y_max"))
+      },
+      Some("""with z0 as (
+                select (l_partkey % 256)::BIGINT as x,
+                       (l_suppkey % 256)::BIGINT as y
+                from lineitem),
+              zv as (select x, y,
+                       (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+                     + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+                     + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+                     + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+                     + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+                     + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+                     + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+                     + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15)
+                       as z
+                     from z0)
+              select z // 4096 as bucket, count(*) as n,
+                     min(x) as x_min, max(x) as x_max,
+                     min(y) as y_min, max(y) as y_max
+              from zv group by 1""")),
     // keyed corpus upsert (r5c): batch rows replace same-key corpus
     // rows, new keys append — one key anti-join + union, the
     // recrawl/refresh maintenance shape

@@ -129,6 +129,44 @@ object Export {
              F.transform(pieces, s => s.getField("__txt")), sep).as("text"))
   }
 
+  /** Z-order (Morton) interleave of `cols`' low `bits` bits (r5c) —
+    * the multi-dimensional data-skipping layout key (the Delta/
+    * Iceberg OPTIMIZE ZORDER technique): rows sorted by the
+    * interleaved value cluster in EVERY key dimension at once, so
+    * per-file min/max column statistics prune scans for predicates
+    * on ANY of the keys, not just a lexicographic prefix. Columns
+    * must be non-negative integers in [0, 2^bits) — rank/bucket
+    * upstream (a percentile bucketing is one window per key); the
+    * interleave itself is a pure codegen projection, exact integer
+    * arithmetic, engine-replayable. */
+  def zorderValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zorderValue needs at least one column")
+    val n = cols.length
+    require(bits * n <= 62, "interleaved width must fit a long")
+    (0 until bits).foldLeft(F.lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + F.shiftleft(
+          F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1L)),
+          i * n + j)
+      }
+    }
+  }
+
+  /** Range-partition + sort by the z-value: one range exchange (the
+    * same cost as any global layout pass), after which every output
+    * partition covers a compact z-range — the write-side half of
+    * z-ordered data skipping. */
+  def zorderBy(df: DataFrame, cols: Seq[Column], bits: Int = 16,
+               partitions: Int = 0): DataFrame = {
+    val parts =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.withColumn("__z", zorderValue(cols, bits))
+      .repartitionByRange(parts, F.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Keyed corpus upsert (r5c) — the recrawl/refresh maintenance
     * shape: batch rows REPLACE same-key corpus rows, new keys append.
     * One key-shuffled anti-join plus a name-matched union: corpus

@@ -386,6 +386,43 @@ class OpsSpec extends SparkTestBase {
     assert(out(4L)._1 == Seq(1, 1) && out(4L)._2 > 0L) // nearest seed 2
   }
 
+  test("z-order interleave matches hand-computed Morton codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+    val z = df.select(graft.ops.Export
+        .zorderValue(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave x bit i -> position 2i, y bit i -> 2i+1
+    assert(z == Seq(1L, 2L, 15L, 6L))
+  }
+
+  test("z-ordered layout clusters both dimensions per partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 32x32 grid; 16 range partitions on the z-value: most partitions
+    // are compact ~8x8 Morton tiles (a sampled boundary can straddle
+    // a quadrant edge, so assert the MEAN bounding-box area — far
+    // below the 32x32=961 extent a row-major or random layout gives
+    // in the off dimension)
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val parts = graft.ops.Export
+      .zorderBy(grid, Seq(col("x"), col("y")), bits = 5, partitions = 16)
+      .rdd.mapPartitions { it =>
+        val rows = it.toSeq
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+          Iterator((xs.max - xs.min) * (ys.max - ys.min))
+        }
+      }.collect()
+    assert(parts.nonEmpty)
+    assert(parts.sum.toDouble / parts.length <= 256.0,
+      s"mean z-partition box area ${parts.sum.toDouble / parts.length}")
+  }
+
   test("upsert replaces same-key rows and appends new keys") {
     import spark.implicits._
     val corpus = Seq((1L, "old-a"), (2L, "old-b"), (3L, "old-c"))
