@@ -2002,6 +2002,88 @@ object SparkEntry {
                 where doc_id not in (select doc_id from batch)
                 union all
                 select * from batch)""")),
+    // batch interval join (r5c): purchases paired with every same-user
+    // view window [vt, vt+30min] containing them — bucketized
+    // (key, bucket) equi-join with the exact range residual; the
+    // oracle is DuckDB's native range join
+    ("q_interval_join",
+      (s: SparkSession, dir: String) => {
+        val ev = eventMicros(s, dir)
+        val p = ev.filter("event_type = 'purchase'")
+          .select("event_id", "user_id", "t")
+        val v = ev.filter("event_type = 'view'")
+          .selectExpr("user_id", "event_id as view_id",
+            "t as v_start", "t + 1800000000 as v_end")
+        graft.ops.AsOf.intervalJoin(p, v, "user_id", "t",
+            "v_start", "v_end", bucket = 1800000000L)
+          .select("event_id", "user_id", "t", "view_id", "v_start")
+      },
+      Some("""with p as (select event_id, user_id, epoch_us(ts) as t
+                         from events where event_type = 'purchase'),
+                   v as (select user_id, event_id as view_id,
+                           epoch_us(ts) as v_start,
+                           epoch_us(ts) + 1800000000 as v_end
+                         from events where event_type = 'view')
+              select p.event_id, p.user_id, p.t, v.view_id, v.v_start
+              from p join v on p.user_id = v.user_id
+                and p.t between v.v_start and v.v_end""")),
+    // SCD2 history build (r5c): the purchase log becomes validity
+    // intervals — valid_from inclusive, valid_to exclusive (NULL while
+    // current); one (key) window, no self-join
+    ("q_scd2",
+      (s: SparkSession, dir: String) => {
+        val ev = eventMicros(s, dir)
+        val log = ev.filter("event_type = 'purchase'")
+          .select("user_id", "t", "value")
+        graft.ops.Export.scd2(log, "user_id", "t")
+          .select("user_id", "t", "value", "valid_from", "valid_to",
+            "is_current")
+      },
+      Some("""with p as (select user_id, epoch_us(ts) as t, value
+                         from events where event_type = 'purchase')
+              select user_id, t, value, t as valid_from,
+                lead(t) over (partition by user_id order by t) as valid_to,
+                (lead(t) over (partition by user_id order by t) is null)
+                  as is_current
+              from p""")),
+    // corpus-pair overlap from bottom-k shingle sketches (r5c): the
+    // KMV Jaccard estimate between the even- and odd-doc_id halves —
+    // fixed-size sketches, no corpus-sized join; md5 order is
+    // engine-identical so the oracle replays the EXACT estimate
+    ("q_corpus_overlap",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.corpusOverlap(
+          docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), 256)
+      },
+      Some("""with tok as (select doc_id,
+                             string_split(lower(text), ' ') as w
+                           from documents),
+              sh as (select doc_id, list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingles
+                     from tok),
+              ea as (select md5(unnest(shingles)) as h from sh
+                     where doc_id % 2 = 0),
+              eb as (select md5(unnest(shingles)) as h from sh
+                     where doc_id % 2 = 1),
+              sa as (select h from (select distinct h from ea)
+                     order by h limit 256),
+              sb as (select h from (select distinct h from eb)
+                     order by h limit 256),
+              mem as (select h, max(in_a) as in_a, max(in_b) as in_b
+                      from (select h, 1 as in_a, 0 as in_b from sa
+                            union all
+                            select h, 0 as in_a, 1 as in_b from sb)
+                      group by h),
+              topk as (select * from mem order by h limit 256)
+              select count(*) as k_union,
+                sum(case when in_a = 1 and in_b = 1
+                    then 1 else 0 end)::BIGINT as n_both,
+                round(sum(case when in_a = 1 and in_b = 1
+                          then 1 else 0 end)::DOUBLE / count(*), 4)
+                  as jaccard_est
+              from topk""")),
     // deterministic N-way split assignment (r5): cumulative md5
     // thresholds — growing a fraction only moves rows across the
     // adjacent boundary

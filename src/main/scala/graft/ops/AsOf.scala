@@ -44,6 +44,40 @@ object AsOf {
     asof(left, right, key, leftTime, rightTime, rightValue,
       forward = true, tolerance)
 
+  /** Batch interval (range) join: left rows paired with every right
+    * row of the same key whose [start, end] interval contains the
+    * left time (inclusive both ends) — the point-in-interval shape
+    * (event ↔ enclosing session/campaign/maintenance window) that a
+    * naive formulation makes a cartesian-with-filter.
+    *
+    * Scale shape: right intervals explode to the `bucket`-sized time
+    * buckets they overlap, left rows carry their single bucket, and
+    * the join is a plain equi-join on (key, bucket) with the exact
+    * range predicate as a residual — a narrow hash join instead of a
+    * key-only join that replays every interval of a hot key against
+    * every event. Each matching pair appears exactly once because a
+    * left row has exactly ONE bucket. Pick `bucket` near the typical
+    * interval length: an interval spanning B buckets costs B join
+    * rows (the usual interval-bucketing tradeoff). Time columns are
+    * longs (e.g. epoch micros); right rows with NULL bounds and left
+    * rows with NULL time cannot match and are dropped (inner join). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightStart: String, rightEnd: String,
+                   bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val r = right
+      .filter(F.col(rightStart).isNotNull && F.col(rightEnd).isNotNull &&
+        F.col(rightStart) <= F.col(rightEnd))
+      .withColumn("__b", F.explode(F.sequence(
+        F.floor(F.col(rightStart) / bucket),
+        F.floor(F.col(rightEnd) / bucket))))
+    val l = left.filter(F.col(leftTime).isNotNull)
+      .withColumn("__b", F.floor(F.col(leftTime) / bucket))
+    l.join(r, Seq(key, "__b"))
+      .filter(F.col(leftTime).between(F.col(rightStart), F.col(rightEnd)))
+      .drop("__b")
+  }
+
   private def asof(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String, rightValue: String,
                    forward: Boolean, tolerance: Option[Long]): DataFrame = {

@@ -355,6 +355,47 @@ object Dedup {
       .select("doc_id", "n_shingles", "matched", "contamination")
   }
 
+  /** Bottom-k (KMV) sketch of a corpus's distinct shingle hashes: the
+    * k lexicographically smallest md5(shingle) values — a fixed-size
+    * corpus summary whose sketches UNION (bottom-k of merged sketches
+    * = sketch of merged corpora), so per-source sketches computed once
+    * serve every later pairwise comparison. Plan shape: map-side
+    * partial dedup of hash strings, one hash shuffle (32-byte strings,
+    * never documents), then heap top-k (TakeOrderedAndProject — k rows
+    * per partition to the driver, no global sort). */
+  def shingleSketch(docs: DataFrame, k: Int, n: Int = ShingleN): DataFrame =
+    withShingleRows(docs, n)
+      .select(F.md5(F.col("s")).as("h")).distinct()
+      .orderBy("h").limit(k)
+
+  /** Corpus-pair overlap WITHOUT a corpus-sized join (r5c): the
+    * bottom-k estimate of the shingle-set Jaccard similarity between
+    * two corpora — the "how much of crawl B is already in crawl A"
+    * number that decides whether a new dump is worth ingesting,
+    * at the cost of two fixed-size sketches instead of the
+    * contamination check's full shingle join. Estimator: with
+    * S = bottom-k of (A ∪ B) (computed from the two sketches — union
+    * property above), J ≈ |S ∩ sketch(A) ∩ sketch(B)| / |S|; standard
+    * KMV, error O(1/√k). Everything after the two sketch passes
+    * touches ≤ 2k rows. Deterministic — same md5 order on any engine,
+    * so the oracle replays the exact estimate, not a tolerance. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, k: Int,
+                    n: Int = ShingleN): DataFrame = {
+    val marked = shingleSketch(a, k, n).select(
+        F.col("h"), F.lit(1).as("in_a"), F.lit(0).as("in_b"))
+      .unionByName(shingleSketch(b, k, n).select(
+        F.col("h"), F.lit(0).as("in_a"), F.lit(1).as("in_b")))
+    marked.groupBy("h")
+      .agg(F.max("in_a").as("in_a"), F.max("in_b").as("in_b"))
+      .orderBy("h").limit(k)
+      .agg(F.count(F.lit(1)).as("k_union"),
+        F.sum(F.when(F.col("in_a") === 1 && F.col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(F.col("k_union"), F.col("n_both"),
+        F.round(F.col("n_both").cast("double") / F.col("k_union"), 4)
+          .as("jaccard_est"))
+  }
+
   def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
     // null text is a degenerate document, not a duplicate class: SQL
     // equality semantics (null matches nothing, not even other nulls)

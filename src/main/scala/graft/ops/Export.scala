@@ -184,4 +184,34 @@ object Export {
     corpus.join(batch.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(batch)
   }
+
+  /** SCD2 history build (r5c): turns a keyed, timestamped change log
+    * into validity intervals — each row becomes effective at its own
+    * timestamp and expires at the key's NEXT change (`valid_from`
+    * inclusive, `valid_to` exclusive, NULL while current +
+    * `is_current`) — the slowly-changing-dimension versioning shape
+    * every metadata/provenance table needs (license changes, domain
+    * recategorization, quality-score revisions) so corpus snapshots
+    * are reproducible AS OF a date.
+    *
+    * One (key) shuffle + one window sort; no self-join, no extra
+    * pass: rows sharing a key AND timestamp would produce zero-width
+    * intervals the as-of reader can't order, so the guard rides the
+    * same window as a `raise_error` branch — the job fails loudly at
+    * the first duplicate instead of shipping ambiguous history.
+    * Pairs with [[upsert]] (which keeps only the latest) when the
+    * history itself must ship. tsCol is a long (e.g. epoch micros). */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(F.col(tsCol))
+    val next = F.lead(F.col(tsCol).cast("long"), 1).over(w)
+    log
+      .withColumn("valid_from", F.col(tsCol).cast("long"))
+      .withColumn("valid_to",
+        F.when(next === F.col(tsCol).cast("long"), F.raise_error(F.lit(
+          s"scd2: duplicate ($keyCol, $tsCol) in change log — " +
+            "zero-width validity interval; deduplicate the log first")
+          ).cast("long"))
+         .otherwise(next))
+      .withColumn("is_current", F.col("valid_to").isNull)
+  }
 }

@@ -422,4 +422,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
   }
+
+  test("interval join is a (key, bucket) equi-join with a range residual") {
+    val df = SparkEntry.queries("q_interval_join")(spark, TestSpark.sfDir)
+    // the join must carry BOTH equi-keys — a key-only join would
+    // replay every interval of a hot key against every event
+    val joinConds = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(joinConds.exists(c => c.contains("user_id") && c.contains("__b")),
+      joinConds.mkString("\n"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("corpus overlap sketches are heap top-k, partials map-side") {
+    val p = plan("q_corpus_overlap")
+    // bottom-k of distinct hashes: TakeOrderedAndProject (per-
+    // partition heaps), never a global sort of the shingle table
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("scd2 is one key-window exchange, no self-join") {
+    val df = SparkEntry.queries("q_scd2")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("Window"), p.take(3000))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "scd2 must not self-join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected ONE key exchange, saw $exchanges\n" + p.take(3000))
+  }
 }

@@ -140,6 +140,59 @@ class AsOfSkewSpec extends SparkTestBase {
     assert(lo.nonEmpty && hi.size < docs.count())
   }
 
+  test("interval join pairs each point with every containing interval") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", 90L, 120L, 900L),   // contains t=100
+                    ("u1", 95L, 300L, 901L),   // contains 100 AND 250
+                    ("u2", 60L, 80L, 902L))    // misses t=50
+      .toDF("user", "lo", "hi", "rid")
+    val out = AsOf.intervalJoin(left, right, "user", "t", "lo", "hi", 50L)
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 900L), (1L, 901L), (2L, 901L)))
+  }
+
+  test("interval join: one row per pair even when the interval spans buckets") {
+    import spark.implicits._
+    // interval [0, 1000] spans 21 buckets at bucket=50; the point's
+    // single bucket keeps the pair from duplicating
+    val left = Seq((1L, "u", 500L)).toDF("id", "user", "t")
+    val right = Seq(("u", 0L, 1000L, 9L)).toDF("user", "lo", "hi", "rid")
+    val out = AsOf.intervalJoin(left, right, "user", "t", "lo", "hi", 50L)
+    assert(out.count() == 1)
+    // inclusive at both ends; NULL bounds / reversed intervals drop
+    val edges = Seq(("u", 500L, 500L, 1L),
+                    ("u", 400L, 500L, 2L), ("u", 500L, 600L, 3L))
+      .toDF("user", "lo", "hi", "rid")
+    val eo = AsOf.intervalJoin(left, edges, "user", "t", "lo", "hi", 50L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(eo == Set(1L, 2L, 3L))
+    val bad = Seq(("u", Option.empty[Long], Option(1000L), 1L),
+                  ("u", Option(600L), Option(400L), 2L))
+      .toDF("user", "lo", "hi", "rid")
+    assert(AsOf.intervalJoin(left, bad, "user", "t", "lo", "hi", 50L)
+      .count() == 0)
+  }
+
+  test("interval join equals the naive key-join + range filter") {
+    import spark.implicits._
+    // deterministic pseudo-random layout, several bucket widths
+    val left = (0 until 300).map { i =>
+      (i.toLong, s"u${i % 7}", (i * 37 % 211).toLong) }.toDF("id", "user", "t")
+    val right = (0 until 120).map { i =>
+      val lo = (i * 53 % 190).toLong
+      (s"u${i % 7}", lo, lo + (i * 13 % 45).toLong, i.toLong)
+    }.toDF("user", "lo", "hi", "rid")
+    val naive = left.join(right, Seq("user"))
+      .filter($"t" >= $"lo" && $"t" <= $"hi").select("id", "rid")
+    for (bucket <- Seq(1L, 7L, 64L, 1000L)) {
+      val out = AsOf.intervalJoin(left, right, "user", "t", "lo", "hi", bucket)
+        .select("id", "rid")
+      assertSameRows(out, naive)
+    }
+  }
+
   test("salted aggregation equals plain groupBy") {
     val events = spark.read.parquet(s"${graft.TestSpark.sfDir}/events.parquet")
     val salted = Skew.saltedSumCount(events, "event_type", "value", "event_id")

@@ -674,4 +674,64 @@ class OpsSpec extends SparkTestBase {
       Seq((9L, "too short")).toDF("doc_id", "text"), 8)
     assert(short.count() == 0)
   }
+
+  test("scd2 chains validity intervals per key, current row open-ended") {
+    import spark.implicits._
+    val log = Seq(("k1", 100L, "v1"), ("k1", 200L, "v2"), ("k1", 300L, "v3"),
+                  ("k2", 150L, "w1"))
+      .toDF("k", "t", "v")
+    val out = graft.ops.Export.scd2(log, "k", "t")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")), r.getAs[Boolean]("is_current")))
+      .toSet
+    assert(out == Set(
+      ("k1", 100L, Some(200L), false),
+      ("k1", 200L, Some(300L), false),
+      ("k1", 300L, None, true),
+      ("k2", 150L, None, true)))
+  }
+
+  test("scd2 rejects duplicate (key, ts) — zero-width interval") {
+    import spark.implicits._
+    val log = Seq(("k", 100L, "a"), ("k", 100L, "b")).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      graft.ops.Export.scd2(log, "k", "t").collect()
+    }
+    assert(e.getMessage.contains("zero-width")
+      || Option(e.getCause).exists(_.getMessage.contains("zero-width")))
+  }
+
+  test("corpus overlap: identical corpora 1.0, disjoint 0.0, subset exact") {
+    import spark.implicits._
+    def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val a = corpus((1L, "the quick brown fox jumps over the lazy dog"),
+                   (2L, "pack my box with five dozen liquor jugs"))
+    val same = graft.ops.Dedup.corpusOverlap(a, a, 64).collect().head
+    assert(same.getAs[Double]("jaccard_est") == 1.0)
+    val b = corpus((3L, "completely different words in this sentence here"))
+    val disj = graft.ops.Dedup.corpusOverlap(a, b, 64).collect().head
+    assert(disj.getAs[Double]("jaccard_est") == 0.0)
+    // k >= |union|: the estimate IS the exact jaccard. a has 13
+    // distinct 3-gram shingles (7 + 6), a∪b has 19, a∩b = 7
+    val sub = corpus((1L, "the quick brown fox jumps over the lazy dog"))
+    val est = graft.ops.Dedup.corpusOverlap(a, sub, 64).collect().head
+    assert(est.getAs[Long]("k_union") == 13L)
+    assert(est.getAs[Long]("n_both") == 7L)
+    assert(est.getAs[Double]("jaccard_est") == math.rint(7.0 / 13.0 * 1e4) / 1e4)
+  }
+
+  test("corpus overlap sketch size is capped at k") {
+    import spark.implicits._
+    // 40 distinct single-word docs per side, k=8: sketches hold 8
+    // hashes, the union sample holds 8, estimate stays in [0,1]
+    val a = (0 until 40).map(i => (i.toLong, s"worda$i wordb$i wordc$i"))
+      .toDF("doc_id", "text")
+    val b = (0 until 40).map(i => (i.toLong, s"wordx$i wordy$i wordz$i"))
+      .toDF("doc_id", "text")
+    val sk = graft.ops.Dedup.shingleSketch(a, 8)
+    assert(sk.count() == 8)
+    val est = graft.ops.Dedup.corpusOverlap(a, b, 8).collect().head
+    assert(est.getAs[Long]("k_union") == 8L)
+    assert(est.getAs[Long]("n_both") == 0L)
+  }
 }
