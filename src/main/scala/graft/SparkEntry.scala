@@ -2230,6 +2230,48 @@ object SparkEntry {
                       else list_sum(list_transform(t, x -> x / nrm)) end,
                   4) as u_sum
               from n0""")),
+    // two-stage retrieval (r5c): coarse top-12 on the 4-dim MRL index,
+    // exact full-dim re-rank of the survivors to top-3 — both stages
+    // deterministic (engine-identical arithmetic, id tie-breaks), so
+    // the oracle replays the exact pipeline, not a recall bound
+    ("q_two_stage",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.twoStageTopK(tbl(s, dir, "embeddings"),
+          "vec_id < 10", d = 4, k = 3, mult = 4),
+      Some("""with t0 as (select vec_id,
+                  list_transform(embedding[1:4], v -> v::DOUBLE) as t
+                from embeddings),
+              n0 as (select vec_id, t,
+                  sqrt(list_sum(list_transform(t, x -> x * x))) as nrm
+                from t0),
+              u as (select vec_id,
+                  case when nrm = 0 then list_transform(t, x -> x * 0)
+                       else list_transform(t, x -> x / nrm) end as unit
+                from n0),
+              c0 as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                       round(list_sum(list_transform(q.unit,
+                         (x, i) -> x * c.unit[i])), 6) as coarse
+                     from u q join u c
+                       on q.vec_id < 10 and c.vec_id <> q.vec_id),
+              cand as (select query_id, neighbor_id,
+                         row_number() over (partition by query_id
+                           order by coarse desc, neighbor_id) as crnk
+                       from c0 qualify crnk <= 12),
+              e as (select vec_id, embedding,
+                      list_sum(list_transform(embedding,
+                        (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+                    from embeddings),
+              scored as (select cand.query_id, cand.neighbor_id,
+                           round(list_sum(list_transform(q.embedding,
+                               (x, i) -> x::DOUBLE * (c.embedding[i])::DOUBLE))
+                             / (sqrt(q.norm2) * sqrt(c.norm2)), 6) as sim
+                         from cand
+                         join e q on cand.query_id = q.vec_id
+                         join e c on cand.neighbor_id = c.vec_id)
+              select query_id, neighbor_id, sim,
+                row_number() over (partition by query_id
+                  order by sim desc, neighbor_id) as rnk
+              from scored qualify rnk <= 3""")),
     ("q_embed_quantize",
       (s: SparkSession, dir: String) =>
         graft.ops.Similarity.quantizeEmbeddings(tbl(s, dir, "embeddings")),

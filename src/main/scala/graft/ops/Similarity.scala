@@ -434,4 +434,52 @@ object Similarity {
         "case when norm = 0D then transform(t, x -> 0D) " +
           "else transform(t, x -> x / norm) end as unit")
   }
+
+  /** Two-stage retrieval (r5c): coarse search on the [[truncateNormalize]]
+    * MRL index (cosine = plain dot of unit vectors at d/D scan cost),
+    * keep each query's top `mult`·k coarse survivors, then exact-rank
+    * ONLY the survivors with full-dimension cosine — the standard
+    * recall/cost dial of production vector search (coarse recall
+    * rises with `mult`, stage-2 cost is Q·mult·k rows regardless of
+    * corpus size).
+    *
+    * Plan shape: stage 1 is the broadcast-queries corpus scan + heap
+    * window of [[bruteForceTopK]] at truncated width; stage 2
+    * BROADCASTS the (query, survivor) id list — the corpus is probed
+    * by a broadcast hash join, never shuffled, and full vectors are
+    * touched for survivors only. Both stages rank with deterministic
+    * (score desc, neighbor_id) tie-breaks on engine-identical
+    * arithmetic, so the oracle replays the exact result. */
+  def twoStageTopK(emb: DataFrame, queryPred: String, d: Int, k: Int,
+                   mult: Int = 4): DataFrame = {
+    require(mult >= 1, "candidate multiplier must be positive")
+    GraftFunctions.register(emb.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    val t = truncateNormalize(emb, d).select("vec_id", "unit")
+    val qc = F.broadcast(t.filter(queryPred)
+      .select(F.col("vec_id").as("query_id"), F.col("unit").as("ua")))
+    val cand = qc.join(
+        t.select(F.col("vec_id").as("neighbor_id"), F.col("unit").as("ub")),
+        F.col("query_id") =!= F.col("neighbor_id"))
+      .selectExpr("query_id", "neighbor_id",
+        "round(graft_dot(ua, ub), 6) as coarse")
+      .withColumn("crnk", F.row_number().over(
+        w.orderBy(F.col("coarse").desc, F.col("neighbor_id"))))
+      .filter(F.col("crnk") <= mult * k)
+      .select("query_id", "neighbor_id")
+    val e = emb.selectExpr("vec_id", "embedding", s"$norm2Expr as norm2")
+    val qf = F.broadcast(e.filter(queryPred)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+        F.col("norm2").as("na")))
+    e.select(F.col("vec_id").as("neighbor_id"), F.col("embedding").as("eb"),
+        F.col("norm2").as("nb"))
+      .join(F.broadcast(cand), Seq("neighbor_id"))
+      .join(qf, Seq("query_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        w.orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

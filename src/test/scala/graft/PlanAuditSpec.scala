@@ -447,6 +447,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("two-stage retrieval broadcasts queries and survivors, corpus never shuffles") {
+    val df = SparkEntry.queries("q_two_stage")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    // stage 1 broadcasts the query set; stage 2 broadcasts the
+    // survivor id list into a hash join against the corpus scan
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+    // no exchange repartitions the corpus by anything but the two
+    // per-query rank windows
+    val corpusExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        !l.contains("query_id"))
+    assert(corpusExchanges == 0,
+      s"corpus-side shuffle leaked into the plan\n" + p.take(3000))
+  }
+
   test("scd2 is one key-window exchange, no self-join") {
     val df = SparkEntry.queries("q_scd2")(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString()

@@ -720,6 +720,25 @@ class OpsSpec extends SparkTestBase {
     assert(est.getAs[Double]("jaccard_est") == math.rint(7.0 / 13.0 * 1e4) / 1e4)
   }
 
+  test("two-stage retrieval equals brute force when candidates cover the corpus") {
+    import spark.implicits._
+    // 24 deterministic 8-dim vectors; mult*k >= N makes stage 1
+    // candidate-complete, so stage 2 must reproduce brute force
+    val emb = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(j => ((i * 31 + j * 17) % 13 - 6).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id < 4", 3)
+    val two = graft.ops.Similarity.twoStageTopK(emb, "vec_id < 4",
+      d = 8, k = 3, mult = 8)
+    assertSameRows(two, brute)
+    // with a tight multiplier the result is still k rows per query,
+    // drawn from the coarse survivors
+    val tight = graft.ops.Similarity.twoStageTopK(emb, "vec_id < 4",
+      d = 2, k = 3, mult = 1)
+    val counts = tight.groupBy("query_id").count().collect()
+    assert(counts.length == 4 && counts.forall(_.getLong(1) == 3L))
+  }
+
   test("corpus overlap sketch size is capped at k") {
     import spark.implicits._
     // 40 distinct single-word docs per side, k=8: sketches hold 8
