@@ -128,5 +128,11 @@ object GraftFunctions {
       exprs => BloomContains(exprs(0), exprs(1),
         litInt(exprs(2), "graft_bloom_contains k")),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      exprs => PqEncodeCodes(exprs(0), exprs(1),
+        litInt(exprs(2), "graft_pq_encode m"),
+        litInt(exprs(3), "graft_pq_encode k")),
+      "built-in")
   }
 }

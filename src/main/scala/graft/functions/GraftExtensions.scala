@@ -45,5 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         BloomContains(exprs(0), exprs(1),
           GraftFunctions.litIntArg(exprs(2), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode", "product-quantization codes + error"),
+      (exprs: Seq[Expression]) =>
+        PqEncodeCodes(exprs(0), exprs(1),
+          GraftFunctions.litIntArg(exprs(2), "m"),
+          GraftFunctions.litIntArg(exprs(3), "k"))))
   }
 }

@@ -382,11 +382,17 @@ object Similarity {
     * array<int>, pq_err bigint = summed squared int8 distance). */
   def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
     require(m >= 1 && k >= 1, "m and k must be positive")
+    GraftFunctions.register(emb.sparkSession)
     val q = int8Lattice(emb)
     val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
     // seed codebook: k rows, the window is k-row tiny by construction
     val seeds = q.orderBy("vec_id").limit(k)
       .withColumn("code", F.row_number().over(w).cast("int") - 1)
+    // ONE flat block-major array [(b·k + c)·sub + i] — the broadcast
+    // payload the codegen'd encoder indexes directly (the r5c HOF
+    // formulation carried an array of (block, code, centroid) structs
+    // and re-evaluated the distance aggregate per comparison through
+    // interpreted lambdas — 1.95 s at sf0.1 vs 0.35 s for this form)
     val cb = seeds.selectExpr("code",
         s"""explode(transform(sequence(0, ${m - 1}), b ->
              struct(b as block,
@@ -394,26 +400,12 @@ object Similarity {
                  as centroid))) as bc""")
       .selectExpr("bc.block as block", "code", "bc.centroid as centroid")
     val cbRow = cb.groupBy().agg(F.expr(
-      "array_sort(collect_list(struct(block, code, centroid)))").as("__cb"))
-    val dist =
-      s"""aggregate(sequence(1, size(q) div $m), 0L, (s, i) ->
-            s + (element_at(q, cast(b * (size(q) div $m) + i as int))
-                 - element_at(element_at(__cb, b * $k + c + 1).centroid,
-                     cast(i as int)))
-              * (element_at(q, cast(b * (size(q) div $m) + i as int))
-                 - element_at(element_at(__cb, b * $k + c + 1).centroid,
-                     cast(i as int))))"""
+      """flatten(transform(
+           array_sort(collect_list(struct(block, code, centroid))),
+           s -> s.centroid))""").as("__cb"))
     q.crossJoin(F.broadcast(cbRow))
-      .selectExpr("vec_id",
-        s"""transform(sequence(0, ${m - 1}), b ->
-              aggregate(sequence(0, ${k - 1}),
-                struct(cast(-1 as int) as code, 9223372036854775807L as best),
-                (acc, c) -> if($dist < acc.best,
-                  struct(cast(c as int) as code, $dist as best),
-                  acc))) as __bs""")
-      .selectExpr("vec_id",
-        "transform(__bs, s -> s.code) as codes",
-        "aggregate(transform(__bs, s -> s.best), 0L, (a, x) -> a + x) as pq_err")
+      .selectExpr("vec_id", s"graft_pq_encode(q, __cb, $m, $k) as __r")
+      .selectExpr("vec_id", "__r.codes as codes", "__r.pq_err as pq_err")
   }
 
   /** Matryoshka truncation + L2 renormalization (r5b): keep the
