@@ -795,9 +795,16 @@ object SparkEntry {
            string_agg(c_name, ';' order by c_custkey)
              filter (where c_acctbal > 9000) as rich_names
          from customer group by c_nationkey""",
+    // array output serialized via array_to_string (r6): the driver's
+    // pandas comparator cannot hash array-typed columns, so both
+    // engines project the comma-joined form — same information,
+    // scalar schema (the raw array form stays pinned in
+    // AggCatalogSpec)
     "q_agg_array" ->
       """select c_mktsegment,
-           array_agg(c_custkey order by c_acctbal desc, c_custkey) as top_ids
+           array_to_string(
+             array_agg(c_custkey order by c_acctbal desc, c_custkey),
+             ',') as top_ids
          from customer
          where c_acctbal > 9900 group by c_mktsegment""",
     // WITHIN GROUP percentiles (r5, standard ordered-set syntax):
@@ -2293,9 +2300,14 @@ object SparkEntry {
     // codebook, pure per-row codegen projection, EXACT integer
     // arithmetic (DuckDB replays codes bit-for-bit; ties break to the
     // lowest code in both engines)
+    // codes serialized to CSV on BOTH sides (r6): the driver's pandas
+    // comparator cannot hash array columns; the raw array form stays
+    // pinned by OpsSpec's seed-identity test
     ("q_pq_encode",
       (s: SparkSession, dir: String) =>
-        graft.ops.Similarity.pqEncode(tbl(s, dir, "embeddings"), 4, 16),
+        graft.ops.Similarity.pqEncode(tbl(s, dir, "embeddings"), 4, 16)
+          .withColumn("codes",
+            F.array_join(F.col("codes").cast("array<string>"), ",")),
       Some("""with q0 as (select vec_id, embedding,
                   list_max(list_transform(embedding, v -> abs(v::DOUBLE))) as scale
                 from embeddings),
@@ -2323,7 +2335,8 @@ object SparkEntry {
                          row_number() over (partition by vec_id, block
                                             order by d, code) as rn
                        from dist)
-              select vec_id, array_agg(code order by block) as codes,
+              select vec_id,
+                     array_to_string(array_agg(code order by block), ',') as codes,
                      sum(d)::BIGINT as pq_err
               from best where rn = 1 group by vec_id""")),
     // corpus-level bigram heavy hitters (boilerplate discovery):

@@ -37,7 +37,13 @@ case class PqEncodeCodes(left: Expression, right: Expression, m: Int, k: Int)
   override def prettyName: String = "graft_pq_encode"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
+    // invalid block/code counts fail HERE, at analysis, instead of as
+    // a raw per-row ArithmeticException (m=0 divides by zero in
+    // compute) or silent garbage (negative m skips every block)
+    if (m < 1 || k < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode requires m >= 1 and k >= 1, got m=$m, k=$k")
+    else (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(

@@ -23,6 +23,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOf {
 
+  /** Internal helper columns must not already exist on the input —
+    * withColumn would silently REPLACE the caller's same-named column
+    * and the final drop would swallow it, corrupting output. Loud
+    * beats a generated fresh name here: these are reserved internal
+    * names, same contract as the SQL translator's __-prefixed helper
+    * namespace. */
+  private def requireFree(df: DataFrame, side: String, names: String*): Unit = {
+    val clash = df.columns.filter(c => names.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"$side input columns [${clash.mkString(", ")}] collide with " +
+        s"reserved internal helper names [${names.mkString(", ")}]")
+  }
+
   /** Backward as-of: the most recent right row with
     * right.time <= left.time. leftTime/rightTime are long (e.g. epoch
     * micros) columns. Returns left rows + `asof_time` (matched right
@@ -65,6 +78,8 @@ object AsOf {
                    leftTime: String, rightStart: String, rightEnd: String,
                    bucket: Long): DataFrame = {
     require(bucket > 0, "bucket must be positive")
+    requireFree(left, "left", "__b")
+    requireFree(right, "right", "__b")
     val r = right
       .filter(F.col(rightStart).isNotNull && F.col(rightEnd).isNotNull &&
         F.col(rightStart) <= F.col(rightEnd))
@@ -81,6 +96,8 @@ object AsOf {
   private def asof(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String, rightValue: String,
                    forward: Boolean, tolerance: Option[Long]): DataFrame = {
+    requireFree(left, "left", "__side", "__t", "__m", "__match",
+      "asof_time", "asof_value")
     val valueType = right.schema(rightValue).dataType
     val l = left.withColumn("__side", F.lit(1))
       .withColumn("__t", F.col(leftTime))

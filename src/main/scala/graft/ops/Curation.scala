@@ -34,15 +34,82 @@ object Curation {
   def host(url: Column): Column =
     F.regexp_extract(normalizedUrl(url), "^([^/]+)", 1)
 
-  /** Registered-domain heuristic: the last two dot-separated labels
-    * of the host (`a.b.example.com` → `example.com`); a dot-free host
-    * is its own domain. A production pipeline would broadcast-join
-    * the public-suffix list instead — same plan shape (a tiny
-    * broadcast lookup), different table. */
-  def registeredDomain(url: Column): Column = {
+  /** Multi-label public suffixes (r6): second-level registry zones
+    * where the registered domain is one label DEEPER than the plain
+    * last-two-labels heuristic (`shop.example.co.uk` → `example.co.uk`,
+    * not `co.uk`). A curated subset of the Mozilla Public Suffix List
+    * covering the common ccTLD second-level registries; pass the full
+    * PSL to [[registeredDomain]] when exactness beyond these matters
+    * (the lowering is generic over the set's contents, including
+    * 3-label entries). */
+  val DefaultMultiLabelSuffixes: Seq[String] = Seq(
+    // United Kingdom / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    // Japan / Korea / China / Taiwan / Hong Kong / Singapore
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    // South / Southeast Asia
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "res.in", "firm.in",
+    "co.th", "net.th", "or.th", "go.th", "ac.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.pk", "com.bd",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "com.ve", "com.uy", "com.ec", "com.bo", "com.py",
+    "com.gt", "com.do", "com.sv", "com.hn", "com.ni", "com.pa",
+    // Africa / Middle East / Europe (second-level registries)
+    "co.za", "net.za", "org.za", "gov.za", "ac.za",
+    "co.ke", "or.ke", "go.ke", "ac.ke",
+    "com.ng", "com.eg", "com.sa", "com.tr", "net.tr", "org.tr",
+    "gov.tr", "edu.tr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl")
+
+  /** Registered domain of a URL: the label immediately below the
+    * host's public suffix, with the suffix (`example.co.uk`,
+    * `example.com`). Longest-match against `suffixes` (3-label
+    * entries checked before 2-label, per PSL semantics), falling back
+    * to the last-two-labels heuristic for ordinary TLDs, then to the
+    * whole host (dot-free, or the host IS a listed suffix).
+    *
+    * Pure codegen'd projection — the suffix set lowers to a literal
+    * array probed per row, which beats even a broadcast join (no join
+    * node at all) and replays identically on any engine. The default
+    * set covers the common second-level registries; pass the full
+    * ~9k-entry PSL for exactness (still a per-row probe of a
+    * broadcast-sized literal; for sets that large prefer sorting it
+    * so misses exit early — or pre-extract the host once and join a
+    * suffix TABLE if the set must be runtime-updatable). */
+  def registeredDomain(
+      url: Column,
+      suffixes: Seq[String] = DefaultMultiLabelSuffixes): Column = {
     val h = host(url)
+    def lastN(n: Int): Column = F.nullif(
+      F.regexp_extract(h, "(" + Seq.fill(n)("[^.]+").mkString("\\.") + ")$", 1),
+      F.lit(""))
+    val (three, two) = suffixes.partition(_.count(_ == '.') == 2)
+    def inSet(set: Seq[String], c: Column): Column =
+      if (set.isEmpty) F.lit(false)
+      else F.array_contains(F.typedLit(set.sorted), c)
     F.coalesce(
-      F.nullif(F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1), F.lit("")), h)
+      F.when(inSet(three, lastN(3)), lastN(4)),
+      F.when(inSet(two, lastN(2)), lastN(3)),
+      lastN(2), h)
   }
 
   /** Quantile-threshold filtering — "keep the top `keepFrac` of the
@@ -97,21 +164,32 @@ object Curation {
                checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // checkpointDir is session-global SparkContext state: set it for
+    // the iteration, restore the caller's prior dir after (r6 — the
+    // bare set silently redirected every later checkpoint user in the
+    // session). The returned frame is already materialized by the
+    // final round's eager checkpoint, so restoring on exit is safe.
+    val sc = edges.sparkSession.sparkContext
+    val prior = sc.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
-    val e = ckpt(edges.select("src", "dst"))
-    val nodes = ckpt(e.selectExpr("src as node")
-      .union(e.selectExpr("dst as node")).distinct())
-    val n = nodes.count()
-    val outDeg = ckpt(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")))
-    var ranks = ckpt(nodes.withColumn("rank", F.lit(1.0 / n)))
-    for (_ <- 1 to iterations)
-      ranks = ckpt(pageRankRound(nodes, e, outDeg, ranks, n, damping))
-    ranks
+    try {
+      val e = ckpt(edges.select("src", "dst"))
+      val nodes = ckpt(e.selectExpr("src as node")
+        .union(e.selectExpr("dst as node")).distinct())
+      val n = nodes.count()
+      val outDeg = ckpt(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")))
+      var ranks = ckpt(nodes.withColumn("rank", F.lit(1.0 / n)))
+      for (_ <- 1 to iterations)
+        ranks = ckpt(pageRankRound(nodes, e, outDeg, ranks, n, damping))
+      ranks
+    } finally {
+      if (checkpointDir.isDefined) prior.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** One power-iteration round (exposed for plan auditing — the

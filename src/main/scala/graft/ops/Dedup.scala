@@ -138,11 +138,13 @@ object Dedup {
   /** Candidates verified by exact n-gram Jaccard >= threshold, all
     * derived from a persisted signature table: job 2 of the two-job
     * 100 TB workflow (job 1 = [[writeSignatureTable]]). Bit-identical
-    * to the inline [[jaccardPairs]] (OpsSpec pins this). */
-  def jaccardPairsFromSignatures(sig: DataFrame, threshold: Double): DataFrame =
+    * to the inline [[jaccardPairs]] (OpsSpec pins this).
+    * `broadcastCandidates` — see [[jaccardPairs]]. */
+  def jaccardPairsFromSignatures(sig: DataFrame, threshold: Double,
+      broadcastCandidates: Boolean = true): DataFrame =
     verifyCandidates(
-      F.broadcast(minhashCandidatesFromSignatures(sig)),
-      sig.select("doc_id", "shingles"), threshold)
+      minhashCandidatesFromSignatures(sig),
+      sig.select("doc_id", "shingles"), threshold, broadcastCandidates)
 
   /** Candidates verified by exact n-gram Jaccard >= threshold.
     *
@@ -151,7 +153,8 @@ object Dedup {
     * shingle+minhash projection once and reuses its exchange
     * (ReusedExchange) — one pass over the corpus, one shuffle, with
     * verification inline after the join. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   broadcastCandidates: Boolean = true): DataFrame = {
     // The shingle table feeds minhash banding AND both verification
     // sides. Recomputing it (cheap, codegen'd projection) measures
     // faster than persist(): in-memory columnar caching of string
@@ -159,20 +162,36 @@ object Dedup {
     // severs whole-stage codegen. At 100 TB the signature table would
     // be written to storage once and reused across jobs instead.
     val sh = withShingles(docs)
-    // candidates are provably tiny relative to the corpus (only
-    // near-dup pairs survive banding) — broadcast THEM explicitly;
-    // left to stats the planner sometimes broadcasts the shingle-array
-    // side, which is the whole corpus
-    verifyCandidates(F.broadcast(minhashCandidatesFrom(sh)), sh, threshold)
+    verifyCandidates(minhashCandidatesFrom(sh), sh, threshold,
+      broadcastCandidates)
   }
 
-  /** Exact-jaccard verification of a (broadcast) candidate-pair set
-    * against a (doc_id, shingles) table. */
-  private def verifyCandidates(cands: DataFrame, sh: DataFrame,
-                               threshold: Double): DataFrame =
-    cands
+  /** Exact-jaccard verification of a candidate-pair set against a
+    * (doc_id, shingles) table.
+    *
+    * Join-strategy guard (r6): with `broadcastCands` the candidate
+    * set broadcasts — right when candidates are tiny relative to the
+    * corpus (the typical LSH outcome; left to stats the planner
+    * sometimes broadcasts the shingle-array side, which is the whole
+    * corpus). But candidates scale with the TRUE near-dup count: a
+    * crawl-heavy 100 TB corpus yields billions of pairs, and a forced
+    * broadcast OOMs the driver. Pass `broadcastCands = false` there:
+    * the verification falls back to shuffle-hash joins with the
+    * narrow pair table as the build side — identical result (OpsSpec
+    * pins both paths equal), corpus-sized side streams. */
+  private def verifyCandidates(cands0: DataFrame, sh: DataFrame,
+                               threshold: Double,
+                               broadcastCands: Boolean): DataFrame = {
+    // the hint re-applies before EACH join: a hint rides the side it
+    // is attached to and is consumed by the first join, so without
+    // the second application the planner is free to broadcast the
+    // corpus-sized shingle side of join 2 (observed under AQE stats)
+    def tag(df: DataFrame): DataFrame =
+      if (broadcastCands) F.broadcast(df) else df.hint("shuffle_hash")
+    val j1 = tag(cands0)
       .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_a")),
             F.col("id_a") === F.col("doc_id")).drop("doc_id")
+    tag(j1)
       .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_b")),
             F.col("id_b") === F.col("doc_id")).drop("doc_id")
       .selectExpr("id_a", "id_b",
@@ -180,6 +199,7 @@ object Dedup {
            / size(array_union(sh_a, sh_b)) as jacc""")
       .filter(F.col("jacc") >= threshold)
       .selectExpr("id_a", "id_b", "round(jacc, 4) as jacc")
+  }
 
   /** Connected components over an undirected pair list by iterative
     * minimum-label propagation TO CONVERGENCE: every vertex starts as
@@ -213,43 +233,53 @@ object Dedup {
     // so an unbroken lineage doubles per round (2^rounds plan nodes)
     // and re-derives the candidate pipeline under every leaf. Eager
     // checkpointing materializes round inputs once and cuts lineage.
+    // checkpointDir is session-global SparkContext state: set it for
+    // the iteration, restore the caller's prior dir after (r6). The
+    // returned labels are already materialized by the final round's
+    // eager checkpoint, so restoring on exit is safe.
+    val sc = pairs.sparkSession.sparkContext
+    val prior = sc.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
-    val edges = ckpt(pairs.selectExpr("id_a as src", "id_b as dst")
-      .union(pairs.selectExpr("id_b as src", "id_a as dst")))
-    var labels = ckpt(edges.selectExpr("src as id").distinct()
-      .selectExpr("id", "id as label"))
-    var converged = false
-    var round = 0
-    while (!converged && round < maxIters) {
-      round += 1
-      val prop = edges.alias("e")
-        .join(labels.alias("l"), F.col("e.dst") === F.col("l.id"))
-        .groupBy(F.col("e.src").as("pid"))
-        .agg(F.min("l.label").as("nlabel"))
-      val next = labels.alias("l0")
-        .join(prop, F.col("l0.id") === F.col("pid"), "left_outer")
-        .select(F.col("l0.id").as("id"),
-          F.least(F.col("l0.label"),
-            F.coalesce(F.col("nlabel"), F.col("l0.label"))).as("label"),
-          (F.col("nlabel").isNotNull &&
-            F.col("nlabel") < F.col("l0.label")).as("__changed"))
-      val nextCk = ckpt(next)
-      converged = nextCk.filter(F.col("__changed")).isEmpty
-      labels = nextCk.drop("__changed")
+    try {
+      val edges = ckpt(pairs.selectExpr("id_a as src", "id_b as dst")
+        .union(pairs.selectExpr("id_b as src", "id_a as dst")))
+      var labels = ckpt(edges.selectExpr("src as id").distinct()
+        .selectExpr("id", "id as label"))
+      var converged = false
+      var round = 0
+      while (!converged && round < maxIters) {
+        round += 1
+        val prop = edges.alias("e")
+          .join(labels.alias("l"), F.col("e.dst") === F.col("l.id"))
+          .groupBy(F.col("e.src").as("pid"))
+          .agg(F.min("l.label").as("nlabel"))
+        val next = labels.alias("l0")
+          .join(prop, F.col("l0.id") === F.col("pid"), "left_outer")
+          .select(F.col("l0.id").as("id"),
+            F.least(F.col("l0.label"),
+              F.coalesce(F.col("nlabel"), F.col("l0.label"))).as("label"),
+            (F.col("nlabel").isNotNull &&
+              F.col("nlabel") < F.col("l0.label")).as("__changed"))
+        val nextCk = ckpt(next)
+        converged = nextCk.filter(F.col("__changed")).isEmpty
+        labels = nextCk.drop("__changed")
+      }
+      // the cap exists to bound pathological inputs, and hitting it
+      // means labels are under-merged — the silent-split wrong answer
+      // this method exists to prevent, so fail loudly instead
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIters rounds " +
+          "(component diameter exceeds the cap); raise maxIters")
+      labels
+    } finally {
+      if (checkpointDir.isDefined) prior.foreach(sc.setCheckpointDir)
     }
-    // the cap exists to bound pathological inputs, and hitting it
-    // means labels are under-merged — the silent-split wrong answer
-    // this method exists to prevent, so fail loudly instead
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIters rounds " +
-        "(component diameter exceeds the cap); raise maxIters")
-    labels
   }
 
   /** Near-duplicate groups: minhash candidates verified at jaccard >=
@@ -435,6 +465,23 @@ object Dedup {
   def bloomIncrementalDedup(incoming: DataFrame, existing: DataFrame,
                             bits: Int = 1 << 24, k: Int = 5): DataFrame = {
     import graft.functions.BloomUtil
+    require(bits > 0 && k > 0, "bits and k must be positive")
+    // broadcast-sizing guard (r6): a useful filter for 10⁹+ corpus
+    // keys is multi-GB — past executor broadcast comfort. The result
+    // is SAFE at any sizing (an undersized filter just verifies more
+    // maybes through the exact anti-join), so an oversized request is
+    // a cost cliff, not a correctness cliff: cap hard at 2^30 bits
+    // (128 MiB) and warn from 2^28 (32 MiB). Beyond that, partition
+    // the KEY SPACE instead — shard both sides on hash(key) % s and
+    // run this per shard, each with its own 2^28-bit filter.
+    require(bits <= (1 << 30),
+      s"bloom filter of $bits bits exceeds the 2^30 broadcast cap; " +
+        "shard the key space and run per shard instead")
+    if (bits > (1 << 28))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloomIncrementalDedup: $bits-bit filter broadcasts " +
+          s"${bits / 8 / 1024 / 1024} MiB to every executor; consider " +
+          "sharding the key space")
     // 60-bit md5 prefix as the probe hash — same hash family as the
     // exact path's md5 key, so fp-verification reuses text_hash
     def h60(c: Column): Column =

@@ -74,6 +74,12 @@ object Export {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     budget: Long, numShards: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val reserved = Seq("__hk", "__cum", "__rn", "__prev", "__bstart",
+      "__start", "seq", "seq_pos")
+    val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"input columns [${clash.mkString(", ")}] collide with reserved " +
+        "packSequences helper/output names")
     val sharded = withShard(df, idCol, numShards)
       .withColumn("__hk", F.md5(F.col(idCol).cast("string")))
     val order = Window.partitionBy("shard")
@@ -158,6 +164,10 @@ object Export {
     * z-ordered data skipping. */
   def zorderBy(df: DataFrame, cols: Seq[Column], bits: Int = 16,
                partitions: Int = 0): DataFrame = {
+    // withColumn would silently REPLACE a caller's __z and the final
+    // drop would swallow it — reserved internal name, loud collision
+    require(!df.columns.exists(_.equalsIgnoreCase("__z")),
+      "input column __z collides with the reserved internal z-value name")
     val parts =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -144,9 +144,14 @@ object TextAnalysis {
     *
     * 100 TB shape: tokens pre-aggregate to (doc_id, term, cnt)
     * map-side (instance-level stopword skew collapses before any
-    * exchange — same as tfidf); corpus term totals are a window over
-    * that table's term partition (one exchange, no join-back); the
-    * vocabulary is ≤ vocabSize rows via per-partition TakeOrdered
+    * exchange — same as tfidf); corpus term totals are a
+    * groupBy('term') — TWO-PHASE, so a hot stopword collapses to one
+    * partial row per map task before the exchange — joined back onto
+    * the probe on the term key (r6; the previous `sum over (partition
+    * by term)` window concentrated every document's row for a hot
+    * stopword into one task with no skew remedy — a join lets AQE's
+    * skew handling split the probe side, which a window never can);
+    * the vocabulary is ≤ vocabSize rows via per-partition TakeOrdered
     * heaps and BROADCASTS to the probe; the final aggregation keys
     * on doc_id. Nothing quadratic, nothing driver-side. */
   def vocabularyStats(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
@@ -154,13 +159,13 @@ object TextAnalysis {
       .selectExpr("doc_id", "explode(split(lower(text), ' ')) as term")
       .filter("term <> ''")
     val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("cnt"))
-    val tcw = tf.withColumn("tc",
-      F.sum("cnt").over(Window.partitionBy("term")))
-    val vocab = tcw.select("term", "tc").distinct()
+    val totals = tf.groupBy("term").agg(F.sum("cnt").as("tc"))
+    val vocab = totals
       .orderBy(F.col("tc").desc, F.col("term").asc)
       .limit(vocabSize)
       .select("term").withColumn("__iv", F.lit(true))
-    tcw.join(F.broadcast(vocab), Seq("term"), "left_outer")
+    tf.join(totals, Seq("term"))
+      .join(F.broadcast(vocab), Seq("term"), "left_outer")
       .groupBy("doc_id")
       .agg(
         F.sum("cnt").as("n_tokens"),

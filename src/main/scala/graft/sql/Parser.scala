@@ -299,19 +299,10 @@ final class Parser(tokens: Vector[Token]) {
             // in place into their grouping-set lists — GROUPING SETS
             // (ROLLUP(a,b), c) = ((a,b),(a),(),(c)). Duplicate sets
             // are kept (standard semantics: duplicate result groups).
+            // r6: composite elements ROLLUP((a,b),c) roll up as units.
             if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
               val kind = ident().toLowerCase
-              expectOp("(")
-              val ks = Seq.newBuilder[Expr]
-              var km = true
-              while (km) { ks += parseExpr(); km = eatOp(",") }
-              expectOp(")")
-              val keys = ks.result()
-              if (kind == "rollup")
-                sets ++= (keys.length to 0 by -1).map(keys.take)
-              else
-                sets ++= (keys.length to 0 by -1)
-                  .flatMap(k => keys.combinations(k))
+              sets ++= expandRollupCube(kind, parseGroupingElements())
             } else if (atOp("(")) {
               expectOp("(")
               val set = Seq.newBuilder[Expr]
@@ -326,32 +317,23 @@ final class Parser(tokens: Vector[Token]) {
           }
           expectOp(")")
           groupSets = sets.result()
-          // flattened distinct key union, in first-appearance order.
-          // Dedup matches the translator's group-key resolution: column
-          // names compare case-insensitively, and a qualifier only
-          // distinguishes when BOTH sides carry one — so ((a,b),(A))
-          // and ((t.a),(a)) each contribute ONE `a` key, not two
-          // columns that later collide.
-          def sameKey(a: Expr, b: Expr): Boolean = (a, b) match {
-            case (ColRef(q1, n1), ColRef(q2, n2)) =>
-              n1.equalsIgnoreCase(n2) && ((q1, q2) match {
-                case (Some(x), Some(y)) => x.equalsIgnoreCase(y)
-                case _ => true
-              })
-            case (x, y) => x == y
-          }
-          groupSets.flatten.foldLeft(Seq.empty[Expr])((acc, e) =>
-            if (acc.exists(sameKey(_, e))) acc else acc :+ e)
+          groupingKeyUnion(groupSets)
         }
-        // GROUP BY ROLLUP(a, b) / CUBE(a, b) — graft dialect extension
+        // GROUP BY ROLLUP(a, b) / CUBE(a, b) — graft dialect
+        // extension; r6: composite elements ROLLUP((a,b),c) lower
+        // through GROUPING SETS (Dataset.rollup/cube take flat keys
+        // only; the expansion is definitionally the same sets)
         else if ((atKw("rollup") || atKw("cube")) && isOpAt(pos + 1, "(")) {
-          groupMode = ident().toLowerCase
-          expectOp("(")
-          val gs = Seq.newBuilder[Expr]
-          var m = true
-          while (m) { gs += parseExpr(); m = eatOp(",") }
-          expectOp(")")
-          gs.result()
+          val kind = ident().toLowerCase
+          val keys = parseGroupingElements()
+          if (keys.forall(_.length == 1)) {
+            groupMode = kind
+            keys.flatten
+          } else {
+            groupMode = "sets"
+            groupSets = expandRollupCube(kind, keys)
+            groupingKeyUnion(groupSets)
+          }
         } else {
           val gs = Seq.newBuilder[Expr]
           var m = true
@@ -379,6 +361,63 @@ final class Parser(tokens: Vector[Token]) {
     val qualify = if (eatKw("qualify")) Some(parseExpr()) else None
     Select(distinct, selectItems, from, where, groupBy, having,
       groupMode, qualify, groupSets, windows.result(), distinctOn)
+  }
+
+  /** Key list of `ROLLUP(...)` / `CUBE(...)`: each element is a
+    * single expression or a parenthesized COMPOSITE `(a, b)` that
+    * rolls up as one unit (standard SQL:1999 form, r6). Returns one
+    * Seq per element. An element STARTING with an arithmetic paren —
+    * `(a+b)*c` — is disambiguated by lookahead: if the closing paren
+    * is not followed by `,` or `)` the paren opened an expression and
+    * the element re-parses as one. */
+  private def parseGroupingElements(): Seq[Seq[Expr]] = {
+    expectOp("(")
+    val ks = Seq.newBuilder[Seq[Expr]]
+    var km = true
+    while (km) {
+      val p0 = pos
+      var done = false
+      if (atOp("(")) {
+        expectOp("(")
+        val comp = Seq.newBuilder[Expr]
+        var cm = true
+        while (cm) { comp += parseExpr(); cm = eatOp(",") }
+        expectOp(")")
+        if (atOp(",") || atOp(")")) { ks += comp.result(); done = true }
+        else pos = p0 // `(a+b)*c` — the paren opened an expression
+      }
+      if (!done) ks += Seq(parseExpr())
+      km = eatOp(",")
+    }
+    expectOp(")")
+    ks.result()
+  }
+
+  /** Grouping-set expansion of ROLLUP/CUBE over (possibly composite)
+    * elements: ROLLUP((a,b),c) = ((a,b,c),(a,b),()); CUBE drops every
+    * subset of elements. */
+  private def expandRollupCube(kind: String,
+                               keys: Seq[Seq[Expr]]): Seq[Seq[Expr]] =
+    if (kind == "rollup") (keys.length to 0 by -1).map(n => keys.take(n).flatten)
+    else (keys.length to 0 by -1).flatMap(k => keys.combinations(k).map(_.flatten))
+
+  /** Flattened distinct key union of grouping sets, in
+    * first-appearance order. Dedup matches the translator's group-key
+    * resolution: column names compare case-insensitively, and a
+    * qualifier only distinguishes when BOTH sides carry one — so
+    * ((a,b),(A)) and ((t.a),(a)) each contribute ONE `a` key, not two
+    * columns that later collide. */
+  private def groupingKeyUnion(sets: Seq[Seq[Expr]]): Seq[Expr] = {
+    def sameKey(a: Expr, b: Expr): Boolean = (a, b) match {
+      case (ColRef(q1, n1), ColRef(q2, n2)) =>
+        n1.equalsIgnoreCase(n2) && ((q1, q2) match {
+          case (Some(x), Some(y)) => x.equalsIgnoreCase(y)
+          case _ => true
+        })
+      case (x, y) => x == y
+    }
+    sets.flatten.foldLeft(Seq.empty[Expr])((acc, e) =>
+      if (acc.exists(sameKey(_, e))) acc else acc :+ e)
   }
 
   /** True when the expression contains an aggregate or a window

@@ -3638,6 +3638,14 @@ final class Translator(catalog: String => DataFrame,
         if (!isStrLit(1))
           fail("string_split separator must be a string literal")
         F.split(c(0), java.util.regex.Pattern.quote(strLit(1)))
+      // array_to_string(arr, 'sep') — DuckDB name; Spark's array_join
+      // takes array<string> only, so non-string elements cast first
+      // (both engines render integers identically, so the oracle can
+      // hash array-valued results through this scalar form)
+      case ("array_to_string", 2) =>
+        if (!isStrLit(1))
+          fail("array_to_string separator must be a string literal")
+        F.array_join(c(0).cast("array<string>"), strLit(1))
       case ("year", 1)      => F.year(c(0))
       case ("month", 1)     => F.month(c(0))
       case ("day", 1)       => F.dayofmonth(c(0))

@@ -47,6 +47,51 @@ class CurationSpec extends SparkTestBase {
     ) == Seq("example.com", "example.co", "example.com", "localhost"))
   }
 
+  test("registered domain honors multi-label public suffixes (r6)") {
+    assert(dom(
+      "https://shop.Example.co.uk/x",
+      "https://news.bbc.co.uk",
+      "http://example.com.au/y",
+      "https://www.example.com.au", // www stripped before the lookup
+      "https://a.b.example.co.jp/z",
+      "https://example.gob.mx",
+      // the bare suffix itself falls back to the suffix (no
+      // registrable label below it)
+      "https://co.uk/",
+      // ordinary TLDs keep the last-two heuristic
+      "https://a.b.example.com/x"
+    ) == Seq("example.co.uk", "bbc.co.uk", "example.com.au",
+      "example.com.au", "example.co.jp", "example.gob.mx",
+      "co.uk", "example.com"))
+  }
+
+  test("registered domain accepts a caller-supplied suffix set incl. 3-label") {
+    import spark.implicits._
+    val d = Seq("https://x.city.kawasaki.jp/a", "https://x.co.uk/b")
+      .toDF("u")
+      .select(Curation.registeredDomain(F.col("u"),
+        suffixes = Seq("city.kawasaki.jp")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    // 3-label suffix extends to four labels; co.uk NOT in the custom
+    // set falls back to last-two
+    assert(d == Seq("x.city.kawasaki.jp", "co.uk"))
+  }
+
+  test("pageRank restores the caller's prior checkpoint dir (r6)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = java.nio.file.Files
+      .createTempDirectory("graft_prior_ckpt").toString
+    sc.setCheckpointDir(before)
+    val prDir = java.nio.file.Files
+      .createTempDirectory("graft_pr_ckpt2").toString
+    Curation.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+      iterations = 1, checkpointDir = Some(prDir)).collect()
+    // the session-global dir is back to the caller's (URI-normalized)
+    assert(sc.getCheckpointDir.exists(_.contains(
+      new java.io.File(before).getName)))
+  }
+
   test("per-domain cap keeps the best n deterministically") {
     import spark.implicits._
     val docs = Seq(

@@ -40,6 +40,37 @@ class OpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getDouble(2) >= 0.9))
   }
 
+  test("jaccard shuffle-join candidate path equals the broadcast path (r6)") {
+    // the 100 TB cost-cliff guard: with broadcastCandidates=false the
+    // verification must produce the identical pair set through
+    // shuffle-hash joins, and its physical plan must contain NO
+    // broadcast of the candidate set
+    def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.jaccardPairs(documents, 0.5)
+    val s = Dedup.jaccardPairs(documents, 0.5, broadcastCandidates = false)
+    assert(pairs(b) == pairs(s))
+    assert(pairs(b).nonEmpty)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "shuffle path must not broadcast any side of the verification join")
+    // same contract from a persisted signature table
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_r6").toString
+    Dedup.writeSignatureTable(documents, dir)
+    val sig = spark.read.parquet(dir)
+    assert(pairs(Dedup.jaccardPairsFromSignatures(sig, 0.5)) ==
+      pairs(Dedup.jaccardPairsFromSignatures(sig, 0.5,
+        broadcastCandidates = false)))
+  }
+
+  test("bloom dedup rejects an over-cap filter size loudly (r6)") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bloomIncrementalDedup(documents.limit(1), documents.limit(1),
+        bits = Int.MaxValue)
+    }
+    assert(ex.getMessage.contains("2^30"))
+  }
+
   test("simhash of identical docs is identical, near-dups are close") {
     val sims = Dedup.withSimhash(documents).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -222,6 +253,49 @@ class OpsSpec extends SparkTestBase {
       .select("event_id", "asof_time", "asof_value").collect()
     assert(outF.head.getLong(1) == 100L && outF.head.getLong(2) == 3L,
       outF.head.toString)
+  }
+
+  test("reserved helper-column collisions fail loudly (r6)") {
+    import spark.implicits._
+    // intervalJoin: an input __b would be silently replaced + dropped
+    val l = Seq((1L, 10L, 9L)).toDF("k", "t", "__b")
+    val r = Seq((1L, 5L, 15L)).toDF("k", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.intervalJoin(l, r, "k", "t", "s", "e", bucket = 10L)
+    }
+    assert(e1.getMessage.contains("__b"))
+    // as-of: a left asof_value would be clobbered by the output column
+    val l2 = Seq((1L, 10L, "x")).toDF("k", "t", "asof_value")
+    val r2 = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l2, r2, "k", "t", "rt", "v")
+    }
+    assert(e2.getMessage.contains("asof_value"))
+    // zorderBy: __z
+    val e3 = intercept[IllegalArgumentException] {
+      Export.zorderBy(Seq((1L, 2L)).toDF("a", "__z"),
+        Seq(org.apache.spark.sql.functions.col("a")))
+    }
+    assert(e3.getMessage.contains("__z"))
+    // packSequences: an input `seq` column would collide with output
+    val e4 = intercept[IllegalArgumentException] {
+      Export.packSequences(Seq((1L, 5L, 2L)).toDF("id", "n", "seq"),
+        "id", "n", budget = 10L, numShards = 2)
+    }
+    assert(e4.getMessage.contains("seq"))
+  }
+
+  test("graft_pq_encode rejects invalid m/k at analysis time (r6)") {
+    graft.functions.GraftFunctions.register(spark)
+    // selectExpr analyzes eagerly — the rejection fires right here,
+    // before any job runs
+    val ex = intercept[Exception] {
+      embeddings.selectExpr(
+        "graft_pq_encode(transform(embedding, x -> 1L), array(1L), 0, 16)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("m >= 1"),
+      s"expected analysis-time m/k rejection, got: ${ex.getMessage}")
   }
 
   test("export sharding handles column names needing quoting") {

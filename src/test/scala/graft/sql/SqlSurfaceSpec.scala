@@ -1114,6 +1114,44 @@ class SqlSurfaceSpec extends SparkTestBase {
          group by grouping sets ((c_nationkey + 1), ()) order by k1""")
   }
 
+  test("composite rollup/cube elements roll up as units (r6)") {
+    // ROLLUP((a,b),c): the (a,b) pair is ONE rollup unit —
+    // sets = ((a,b,c),(a,b),()) — standard SQL:1999; spark.sql
+    // supports the form natively, free differential oracle
+    checkAgainstSparkSql(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by rollup((c_nationkey, c_mktsegment))
+         order by c_nationkey, c_mktsegment""")
+    checkTranslated(
+      """select l_returnflag, l_linestatus, l_linenumber, count(*) as n
+         from lineitem
+         group by rollup((l_returnflag, l_linestatus), l_linenumber)""",
+      """select l_returnflag, l_linestatus, l_linenumber, count(*) as n
+         from lineitem
+         group by grouping sets ((l_returnflag, l_linestatus, l_linenumber),
+                                 (l_returnflag, l_linestatus), ())""")
+    // CUBE with a composite: subsets over the ELEMENTS, pairs intact
+    checkTranslated(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by cube((c_nationkey, c_mktsegment))""",
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets ((c_nationkey, c_mktsegment), ())""")
+    // nested-in-GROUPING-SETS composite form (the ADVICE r5 gap)
+    checkTranslated(
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets (rollup((c_nationkey, c_mktsegment)))""",
+      """select c_nationkey, c_mktsegment, count(*) as n from customer
+         group by grouping sets ((c_nationkey, c_mktsegment), ())""")
+    // an element STARTING with an arithmetic paren is still ONE
+    // expression key, not a composite (lookahead disambiguation)
+    checkAgainstSparkSql(
+      """select (c_nationkey + 1) * 2 as k, count(*) as n from customer
+         group by rollup((c_nationkey + 1) * 2) order by k""")
+    checkAgainstSparkSql(
+      """select (c_nationkey + 1) * 2 as k, count(*) as n from customer
+         group by rollup(((c_nationkey + 1) * 2)) order by k""")
+  }
+
   test("in and exists subqueries as select-item values") {
     // uncorrelated IN as a projected boolean (3VL: NULL probe -> NULL)
     checkAgainstSparkSql(
