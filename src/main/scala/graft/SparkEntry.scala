@@ -1079,6 +1079,29 @@ object SparkEntry {
              range between unbounded preceding and current row
              exclude ties) as bigint) as no_ties
          from lineitem""",
+    // min/max frame EXCLUDE (r6): extrema have no subtraction
+    // decomposition, so graft splits the frame around the excluded
+    // row — least/greatest of the [start,-1] and [+1,end] partial
+    // aggregates over the SAME window sort; DuckDB runs the clause
+    // natively. Leave-one-out extrema: each line vs its order's OTHER
+    // lines; bounded trailing frames exercise the one-sided splits.
+    "q_window_exclude_minmax" ->
+      """select l_orderkey, l_linenumber,
+           max(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as others_max,
+           min(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as others_min,
+           min(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between 2 preceding and current row
+             exclude current row) as prev2_min,
+           max(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between current row and 2 following
+             exclude current row) as next2_max
+         from lineitem""",
     // rank-family dialect extensions. pr/cd stay UNROUNDED: both
     // engines evaluate the identical (rank-1)/(n-1) IEEE division, so
     // raw doubles match bitwise, while round(x, 6) lands exactly on

@@ -93,11 +93,74 @@ final class Translator(catalog: String => DataFrame,
       inner: Translator,
       scope: scala.collection.mutable.Map[String, DataFrame]): DataFrame = {
     val maxIters = 200
-    var result = inner.translate(base)
-    cols.foreach(cs => result = result.toDF(cs: _*))
-    if (!all) result = result.distinct()
-    result = result.localCheckpoint(true)
-    var working = result
+    var base0 = inner.translate(base)
+    cols.foreach(cs => base0 = base0.toDF(cs: _*))
+    if (!all) base0 = base0.distinct()
+    // UNION (distinct) dedup cost (r6) — two tiers, switched on the
+    // accumulated row count:
+    //
+    // SMALL closures (the common graph-toy tier, below
+    // spark.graft.recursive.keyedDedupRows, default 4M): plain
+    // `fresh.except(accumulated)` — at this size the whole closure
+    // re-shuffles in one cheap stage and anything cleverer just adds
+    // per-round stages (the keyed tier measured 5× slower on an
+    // 11-round toy).
+    //
+    // LARGE closures: the accumulated rows live as individually
+    // checkpointed BLOCKS, each carrying a 64-bit full-row hash key
+    // and hash-partitioned ON it (the checkpoint preserves the
+    // partitioning in the LogicalRDD). A round then runs the
+    // hash-prefilter shape (same pattern as
+    // Dedup.bloomIncrementalDedup): per block, a LEFT SEMI join on
+    // the row-hash key alone selects the seen rows colliding with
+    // the frontier — single-key equi-join, co-partitioned against
+    // the block's advertised partitioning, so the seen side is
+    // SCANNED but never re-shuffled and the output is
+    // frontier-bounded — then ONE exact full-row `except` against
+    // that small union verifies precisely (collisions cost extra
+    // comparisons, never correctness: an equal row shares its hash
+    // by construction). Per-round SHUFFLE work is bounded by the
+    // frontier however large the closure. (A single anti-join with
+    // the row comparison as a residual would be simpler, but
+    // Catalyst extracts every a.c <=> b.c conjunct into the join
+    // keys — SimplifyConditionalsInPredicate undoes any disguise —
+    // widening the required clustering past the blocks'
+    // partitioning.) Crossing the threshold re-keys the existing
+    // blocks once; every 8 rounds blocks consolidate into one so the
+    // chain, and the scan fan-out, stay short.
+    val RK = "__graft_rck"
+    if (base0.columns.exists(_.equalsIgnoreCase(RK)))
+      fail(s"recursive CTE columns may not use the reserved name $RK")
+    val outCols = base0.columns.toSeq
+    val sess = base0.sparkSession
+    val keyedThreshold = sess.conf
+      .get("spark.graft.recursive.keyedDedupRows", "4000000").toLong
+    def withKey(df: DataFrame): DataFrame =
+      df.withColumn(RK, F.xxhash64(outCols.map(F.col): _*))
+    // EXPLICIT partition count: an expression-only repartition lets
+    // AQE coalesce each block to a different count, breaking the
+    // cross-round co-partitioning the keyed tier exists for
+    val nPart = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    def partByKey(df: DataFrame): DataFrame =
+      df.repartition(nPart, F.col(RK))
+    // keyed blocks must ADVERTISE their partitioning after the
+    // checkpoint, or every later semi re-shuffles them. Under AQE
+    // the adaptive plan reports UnknownPartitioning at checkpoint
+    // time (observed: ENSURE_REQUIREMENTS exchanges over every block
+    // scan), so keyed-block materialization briefly disables AQE —
+    // the non-adaptive plan's top exchange partitioning flows into
+    // the LogicalRDD and RDDScanExec re-advertises it.
+    def ckptPartitioned(df: DataFrame): DataFrame = {
+      val prior = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint(true)
+      finally sess.conf.set("spark.sql.adaptive.enabled", prior)
+    }
+    var keyed = false
+    var blocks = List(base0.localCheckpoint(true))
+    var seenRows = if (all) 0L else blocks.head.count()
+    def workingOf(b: DataFrame): DataFrame = if (keyed) b.drop(RK) else b
+    var working = blocks.head
     var iter = 0
     var done = working.isEmpty
     while (!done) {
@@ -106,23 +169,47 @@ final class Translator(catalog: String => DataFrame,
         fail(s"WITH RECURSIVE '$name' exceeded $maxIters iterations " +
           "without converging")
       scope(name.toLowerCase) = working
-      var next = inner.translate(step).toDF(result.columns: _*)
-      if (!all) next = next.distinct().except(result)
-      next = next.localCheckpoint(true)
-      if (next.isEmpty) done = true
+      var next = inner.translate(step).toDF(outCols: _*)
+      if (!all) {
+        if (!keyed) {
+          next = next.distinct().except(blocks.reduce(_ union _))
+            .localCheckpoint(true)
+        } else {
+          // one plan per round: Spark reuses the fresh exchange
+          // across the per-block semis and the except
+          val fresh = partByKey(withKey(next.distinct()))
+          val freshKeys = fresh.select(RK)
+          val seenSub = blocks.map(b =>
+              b.alias("__rb").join(freshKeys.alias("__ra"),
+                F.col(s"__rb.$RK") === F.col(s"__ra.$RK"), "left_semi"))
+            .reduce(_ union _)
+          next = ckptPartitioned(partByKey(fresh.except(seenSub)))
+        }
+      } else next = next.localCheckpoint(true)
+      val newRows = if (all) { if (next.isEmpty) 0L else 1L }
+        else next.count()
+      if (newRows == 0) done = true
       else {
-        // next is checkpointed every round (it feeds the next step's
-        // translation); the accumulated result is a cheap union chain
-        // over those checkpointed blocks — re-checkpointing it every
-        // round would add one materialization job per round for a
-        // plan that is already flat. Every 8 rounds keeps the chain
-        // short for the UNION mode's per-round except(result).
-        result = result.union(next)
-        if (iter % 8 == 0) result = result.localCheckpoint(true)
-        working = next
+        blocks = blocks :+ next
+        seenRows += newRows
+        if (!all && !keyed && seenRows > keyedThreshold) {
+          // one-time transition: re-key and re-partition the seen
+          // blocks (one O(seen) pass, amortized over every later
+          // frontier-bounded round)
+          blocks = blocks.map(b => ckptPartitioned(partByKey(withKey(b))))
+          keyed = true
+        }
+        // consolidation keeps the block chain (and the result plan)
+        // short; the keyed tier re-establishes its partitioning
+        if (iter % 8 == 0)
+          blocks = List(
+            if (keyed) ckptPartitioned(partByKey(blocks.reduce(_ union _)))
+            else blocks.reduce(_ union _).localCheckpoint(true))
+        working = workingOf(next)
       }
     }
-    result
+    val out = blocks.reduce(_ union _)
+    if (keyed) out.drop(RK) else out
   }
 
   /** True when any FROM tree inside `se` references table `name`
@@ -3423,17 +3510,20 @@ final class Translator(catalog: String => DataFrame,
     * a native exclusion does. Float caveat: frameSum − excludedSum
     * is subtraction, not re-summation — exact for integer/decimal
     * inputs, last-ulp different from a re-summing engine for floats.
-    * Other window functions have no subtraction decomposition and
-    * fail loudly (see [[windowSpec]]). */
+    * min/max (r6) take a different rewrite — the frame SPLITS around
+    * the excluded current row (see inline) — sound for ROWS frames
+    * with EXCLUDE CURRENT ROW. Other window functions have no
+    * decomposition and fail loudly (see [[windowSpec]]). */
   private def windowedAgg(a: AggExpr, lower: Expr => Column): Column = {
     val w = a.window.get
     if (w.exclude == "no others")
       return aggColumnBase(a, lower).over(windowSpec(w, lower))
     if (a.distinct)
       fail("EXCLUDE with DISTINCT window aggregates is not supported")
-    if (a.func != "sum" && a.func != "count" && a.func != "avg")
-      fail("EXCLUDE applies to sum/count/avg window aggregates only " +
-        "(no decomposition exists for other window functions)")
+    if (a.func != "sum" && a.func != "count" && a.func != "avg" &&
+        a.func != "min" && a.func != "max")
+      fail("EXCLUDE applies to sum/count/avg/min/max window aggregates " +
+        "only (no decomposition exists for other window functions)")
     val mode = w.exclude
     val f = w.frame.get // the parser ties EXCLUDE to a frame extent
     val startOk = f.start match {
@@ -3448,6 +3538,51 @@ final class Translator(catalog: String => DataFrame,
     }
     if (!startOk || !endOk)
       fail("EXCLUDE requires a frame that contains the current row")
+    // min/max (r6): no subtraction decomposition exists for extrema —
+    // instead the frame SPLITS around the excluded row into its
+    // preceding part [start, -1] and following part [+1, end], and
+    // the answer is least/greatest of the two partial aggregates
+    // (least/greatest skip NULLs, so an empty side contributes
+    // nothing and both-empty reads NULL — native semantics). Row
+    // offsets address exactly one excluded row, so this is sound
+    // precisely for ROWS frames with EXCLUDE CURRENT ROW; RANGE
+    // frames cannot address "one row away" (peers sit at distance 0)
+    // and GROUP/TIES would need variable per-row split points — both
+    // stay loud. Same partition exchange and sort, two window
+    // functions instead of one.
+    if (a.func == "min" || a.func == "max") {
+      if (mode != "current row" || !f.isRows)
+        fail("EXCLUDE for min/max supports ROWS frames with EXCLUDE " +
+          "CURRENT ROW only (split-frame rewrite; extrema have no " +
+          "subtraction decomposition for range/group exclusion)")
+      val arg = a.arg match {
+        case Star(_) => fail(s"${a.func} takes a value argument")
+        case e       => lower(e)
+      }
+      val base = windowSpec(
+        WindowSpec(w.partitionBy, w.orderBy, None), lower)
+      def rowBound(b: FrameBound): Long = b match {
+        case UnboundedPreceding => Window.unboundedPreceding
+        case UnboundedFollowing => Window.unboundedFollowing
+        case CurrentRow         => 0L
+        case Preceding(n)       => -n
+        case Following(n)       => n
+      }
+      val aggF: Column => Column =
+        if (a.func == "min") F.min else F.max
+      val lo = rowBound(f.start); val hi = rowBound(f.end)
+      val parts = Seq(
+        if (lo <= -1) Some(aggF(arg).over(base.rowsBetween(lo, -1L)))
+        else None,
+        if (hi >= 1) Some(aggF(arg).over(base.rowsBetween(1L, hi)))
+        else None).flatten
+      return parts match {
+        case Nil => F.when(F.lit(false), arg) // frame was only the row
+        case Seq(one) => one
+        case Seq(p, q) =>
+          if (a.func == "min") F.least(p, q) else F.greatest(p, q)
+      }
+    }
     if ((mode == "group" || mode == "ties") && f.isRows)
       fail("EXCLUDE GROUP/TIES requires a RANGE frame " +
         "(a ROWS frame may cut the peer group)")
@@ -3492,8 +3627,8 @@ final class Translator(catalog: String => DataFrame,
       fail(s"named window '${w.ref.get}' is only valid in the SELECT/" +
         "HAVING/QUALIFY of the query whose WINDOW clause defines it")
     if (w.exclude != "no others")
-      fail("EXCLUDE applies to sum/count/avg window aggregates only " +
-        "(no decomposition exists for other window functions)")
+      fail("EXCLUDE applies to sum/count/avg/min/max window aggregates " +
+        "only (no decomposition exists for other window functions)")
     var spec: SparkWindow =
       if (w.partitionBy.nonEmpty)
         Window.partitionBy(w.partitionBy.map(lower): _*)

@@ -1101,6 +1101,48 @@ class QueryFuzzSpec extends SparkTestBase {
       }
   }
 
+  /** min/max frame-EXCLUDE fuzz (r6): graft's split-frame lowering vs
+    * the spelled-out least/greatest of the two sub-frames in
+    * spark.sql. ROWS offsets need a deterministic order — c_custkey
+    * is unique. Bounds draw one-sided and empty splits too. */
+  private val genExcludeMinMaxQuery: Gen[(String, String)] = for {
+    agg <- Gen.oneOf("min", "max")
+    start <- Gen.oneOf("unbounded preceding", "3 preceding",
+      "1 preceding", "current row")
+    end <- Gen.oneOf("current row", "1 following", "2 following",
+      "unbounded following")
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+  } yield {
+    val over = s"partition by $part order by c_custkey"
+    val g = s"""select c_custkey, $agg(c_acctbal) over ($over
+          rows between $start and $end exclude current row) as v
+        from customer"""
+    val combine = if (agg == "min") "least" else "greatest"
+    val pre =
+      if (start == "current row") None
+      else Some(s"$agg(c_acctbal) over ($over rows between $start and 1 preceding)")
+    val post =
+      if (end == "current row") None
+      else Some(s"$agg(c_acctbal) over ($over rows between 1 following and $end)")
+    val v = (pre, post) match {
+      case (Some(p), Some(q)) => s"$combine($p, $q)"
+      case (Some(p), None)    => p
+      case (None, Some(q))    => q
+      case (None, None)       => "cast(null as double)"
+    }
+    (g, s"select c_custkey, $v as v from customer")
+  }
+
+  test("20 random min/max frame-EXCLUDE queries match the split rewrite") {
+    Gen.listOfN(20, genExcludeMinMaxQuery)
+      .pureApply(Gen.Parameters.default, Seed(103L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
   test("30 random general-correlated EXISTS flags match spark.sql") {
     val preds = Gen.listOfN(30, genGeneralCorrPred)
       .pureApply(Gen.Parameters.default, Seed(97L))

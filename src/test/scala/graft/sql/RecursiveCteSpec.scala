@@ -71,6 +71,67 @@ class RecursiveCteSpec extends SparkTestBase {
          select n_nationkey from nation order by n_nationkey""")
   }
 
+  test("round dedup shuffles only the frontier against seen blocks (r6)") {
+    // the invariant the distinct-mode rewrite rests on: a block
+    // repartitioned on its row-hash key and checkpointed ADVERTISES
+    // that partitioning (LogicalRDD), so the per-block row-hash SEMI
+    // join co-partitions with NO seen-side exchange, and the exact
+    // except that follows touches only the (frontier-bounded) hash
+    // matches. Model the round exactly (broadcast off — at closure
+    // scale the seen side is never broadcastable) and pin: no
+    // Exchange anywhere above a block's checkpoint scan; every
+    // exchange in the plan is on the frontier side.
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("__rck", xxhash64(col("k")))
+      // block materialization runs NON-adaptive, exactly as the
+      // translator does: an AQE plan reports UnknownPartitioning at
+      // checkpoint time, which would lose the advertised partitioning
+      def ckpt(df: org.apache.spark.sql.DataFrame) = {
+        val p = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try df.localCheckpoint(true)
+        finally spark.conf.set("spark.sql.adaptive.enabled", p)
+      }
+      val b1 = ckpt(keyed(spark.range(0, 1000).toDF("k").distinct())
+        .repartition(n, col("__rck")))
+      val b2 = ckpt(keyed(spark.range(1400, 1450).toDF("k").distinct())
+        .repartition(n, col("__rck")))
+      val fresh = keyed(spark.range(500, 1500).toDF("k").distinct())
+        .repartition(n, col("__rck"))
+      val freshKeys = fresh.select("__rck")
+      val seenSub = Seq(b1, b2).map(b =>
+          b.alias("__rb").join(freshKeys.alias("__ra"),
+            col("__rb.__rck") === col("__ra.__rck"), "left_semi"))
+        .reduce(_ union _)
+      val round = fresh.except(seenSub)
+      assert(round.collect().map(_.getLong(0)).sorted.toSeq ==
+        (1000L until 1400L) ++ (1450L until 1500L))
+      // frontier-side exchanges only: the fresh pipeline owns at most
+      // 4 (distinct, repartition-by-key, and the except re-clustering
+      // both of its frontier-bounded sides); a re-shuffled seen block
+      // would add one Exchange per block on top. Count them in the
+      // final adaptive plan.
+      val plan = round.queryExecution.executedPlan.toString
+      val finalSection = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i  => plan.substring(0, i)
+      }
+      val exchanges = finalSection.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange"))
+      assert(exchanges <= 4,
+        s"expected <= 4 frontier-side exchanges, got $exchanges " +
+          "(a seen block was re-shuffled):\n" + finalSection.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+  }
+
   test("a non-converging recursion hits the iteration cap loudly") {
     val e = intercept[RuntimeException](graftSession.query(
       """with recursive boom(k) as (

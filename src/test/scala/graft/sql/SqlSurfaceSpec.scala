@@ -283,6 +283,50 @@ class SqlSurfaceSpec extends SparkTestBase {
            - count(*) over (partition by l_orderkey, l_quantity) + 1
              as no_ties
          from lineitem""")
+    // min/max EXCLUDE CURRENT ROW (r6): the split-frame rewrite —
+    // spark.sql oracle spells out least/greatest over the [start,-1]
+    // and [+1,end] sub-frames (ROWS offsets need a tie-free order —
+    // l_extendedprice is unique per order in this data)
+    checkTranslated(
+      """select l_orderkey, l_linenumber,
+           max(l_quantity) over (partition by l_orderkey
+             rows between unbounded preceding and unbounded following
+             exclude current row) as others_max,
+           min(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between 2 preceding and current row
+             exclude current row) as prev2_min,
+           max(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between current row and 1 following
+             exclude current row) as next_max
+         from lineitem""",
+      """select l_orderkey, l_linenumber,
+           greatest(
+             max(l_quantity) over (partition by l_orderkey
+               order by l_extendedprice
+               rows between unbounded preceding and 1 preceding),
+             max(l_quantity) over (partition by l_orderkey
+               order by l_extendedprice
+               rows between 1 following and unbounded following))
+             as others_max,
+           min(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between 2 preceding and 1 preceding) as prev2_min,
+           max(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between 1 following and 1 following) as next_max
+         from lineitem""")
+    // a frame that is EXACTLY the current row excludes to empty: NULL
+    checkTranslated(
+      """select l_orderkey, l_linenumber,
+           min(l_quantity) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between current row and current row
+             exclude current row) as empty_min
+         from lineitem""",
+      """select l_orderkey, l_linenumber,
+           cast(null as double) as empty_min from lineitem""")
     // EXCLUDE NO OTHERS is the explicit default
     checkTranslated(
       """select l_orderkey,
@@ -297,12 +341,21 @@ class SqlSurfaceSpec extends SparkTestBase {
   }
 
   test("frame EXCLUDE restrictions are loud") {
-    // not a sum/count/avg aggregate
+    // min/max support ROWS + EXCLUDE CURRENT ROW only (r6): a RANGE
+    // frame cannot split around one row, GROUP/TIES need variable
+    // split points
     val e1 = intercept[Exception](graftSession.query(
       """select min(l_quantity) over (partition by l_orderkey
-           rows between unbounded preceding and unbounded following
+           order by l_quantity
+           range between unbounded preceding and current row
+           exclude group) as m from lineitem""").collect())
+    assert(e1.getMessage.contains("split-frame"))
+    val e1b = intercept[Exception](graftSession.query(
+      """select max(l_quantity) over (partition by l_orderkey
+           order by l_quantity
+           range between unbounded preceding and current row
            exclude current row) as m from lineitem""").collect())
-    assert(e1.getMessage.contains("sum/count/avg"))
+    assert(e1b.getMessage.contains("split-frame"))
     // rank is not an aggregate at all
     val e2 = intercept[Exception](graftSession.query(
       """select rank() over (partition by l_orderkey order by l_quantity
