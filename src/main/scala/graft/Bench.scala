@@ -109,12 +109,44 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val p50 = median(results.map(_._2).toArray)
-    val streaming = Streaming.benchJson(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds,"streaming":$streaming,"sf":"$sfDir"}""")
+    // streaming state store: hdfs (default) or rocksdb via env — the
+    // 100 TB posture knob (see Streaming.benchJson)
+    val streaming = Streaming.benchJson(spark, sfDir,
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs"))
+    // compute-bound split (r6): the suite total is floor-dominated
+    // (160+ queries DuckDB answers in <50 ms in-process while graft
+    // pays a fixed job-submission constant), which hides per-tier
+    // regressions. Classify against the committed per-query DuckDB
+    // baseline (tools/duckdb_baseline_sf0.1.json — classification by
+    // NAME; the duck_sec sums are that snapshot's, not this run's)
+    // and publish both tiers' totals.
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_BASELINE",
+      "tools/duckdb_baseline_sf0.1.json")
+    val split: String =
+      try {
+        val txt = {
+          val src = scala.io.Source.fromFile(duckPath)
+          try src.mkString finally src.close()
+        }
+        val re = """"([^"]+)"\s*:\s*([0-9.eE+\-]+|null)""".r
+        val duck: Map[String, Double] = re.findAllMatchIn(txt)
+          .flatMap(m => m.group(2) match {
+            case "null" => None
+            case v      => Some(m.group(1) -> v.toDouble)
+          }).toMap
+        val cb = results.filter { case (n, _) => duck.get(n).exists(_ >= 0.05) }
+        val fl = results.filter { case (n, _) => duck.get(n).exists(_ < 0.05) }
+        val ahead = cb.count { case (n, t) => duck(n) >= t }
+        s""","compute_bound":{"n":${cb.length},"graft_sec":${cb.map(_._2).sum},""" +
+          s""""duck_snapshot_sec":${cb.map(x => duck(x._1)).sum},"graft_ahead":$ahead},""" +
+          s""""floor_bound":{"n":${fl.length},"graft_sec":${fl.map(_._2).sum},""" +
+          s""""duck_snapshot_sec":${fl.map(x => duck(x._1)).sum}}"""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds$split,"streaming":$streaming,"sf":"$sfDir"}""")
     // compact summary LAST: the driver's capture window tails the
     // output, and r2 lost the "total" field when the per-query JSON
     // line outgrew it — the short line always survives the tail
-    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"rounds":$rounds,"streaming":$streaming,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"rounds":$rounds$split,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -336,6 +336,28 @@ object SparkEntry {
                      where n.n_nationkey = s.s_nationkey
                         or n.n_regionkey = s.s_suppkey % 5
                      group by n.n_regionkey)""",
+    // grouped + general correlation in FLAG positions (r6 — closes
+    // the correlation matrix): the same survivors machinery, with
+    // surviving tuples LEFT-joined back as a presence mark (EXISTS)
+    // or through the full-3VL membership flag (IN). Bounded inner,
+    // same |tuples| × |inner| cost note as q_exists_or_grouped.
+    // (modulo HAVING keeps the flag discriminating at every SF — a
+    // monotone threshold saturates as per-group counts grow)
+    "q_exists_or_grouped_flag" ->
+      """select n_nationkey,
+           exists (select 1 from customer c
+                   where c.c_nationkey = n.n_nationkey
+                      or c.c_acctbal > 9990 + n.n_regionkey
+                   group by c.c_mktsegment
+                   having count(*) % 3 = 0) as f
+         from nation n""",
+    "q_in_or_grouped_flag" ->
+      """select n_nationkey from nation n
+         where n_regionkey = 1
+            or 3 in (select count(*) % 7 from customer c
+                     where c.c_nationkey = n.n_nationkey
+                        or c.c_acctbal > 9990 + n.n_regionkey
+                     group by c.c_mktsegment)""",
     // JOINT theta condition in a flag position (r4c): two range
     // conjuncts cannot decompose through per-group min/max, so the
     // lowering semi-joins the DISTINCT outer-tuple table on the full

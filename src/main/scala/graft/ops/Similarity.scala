@@ -388,17 +388,70 @@ object Similarity {
     // seed codebook: k rows, the window is k-row tiny by construction
     val seeds = q.orderBy("vec_id").limit(k)
       .withColumn("code", F.row_number().over(w).cast("int") - 1)
-    // ONE flat block-major array [(b·k + c)·sub + i] — the broadcast
-    // payload the codegen'd encoder indexes directly (the r5c HOF
-    // formulation carried an array of (block, code, centroid) structs
-    // and re-evaluated the distance aggregate per comparison through
-    // interpreted lambdas — 1.95 s at sf0.1 vs 0.35 s for this form)
     val cb = seeds.selectExpr("code",
         s"""explode(transform(sequence(0, ${m - 1}), b ->
              struct(b as block,
                slice(q, b * (size(q) div $m) + 1, size(q) div $m)
                  as centroid))) as bc""")
       .selectExpr("bc.block as block", "code", "bc.centroid as centroid")
+    encodeWithCodebook(q, cb, m, k)
+  }
+
+  /** Trained PQ codebook (r6): per-block k-means over the int8
+    * lattice's block slices — the production codebook [[pqEncode]]'s
+    * scaladoc promises, reusing the same spark.ml distributed
+    * Lloyd's path as [[ivfBuild]] (m fits of a k-centroid model, one
+    * per block). Centroids round back ONTO the int8 lattice
+    * (floor(c + 0.5)) so encoding stays exact integer arithmetic in
+    * the same codegen'd [[graft.functions.PqEncodeCodes]] expression
+    * — training only changes the centroid table, exactly as ivfBuild
+    * does for IVF cells. Output: (block, code, centroid) — feed to
+    * [[pqEncodeWith]]. Like IVF, the float-accumulation-sensitive
+    * trainer cannot be replayed bit-identically in another engine, so
+    * the oracle entry stays on the seed form; OpsSpec pins trained
+    * reconstruction error <= seed error. */
+  def pqTrain(emb: DataFrame, m: Int = 4, k: Int = 16,
+              seed: Long = 42L): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be positive")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val q = int8Lattice(emb)
+    val rows = (0 until m).flatMap { b =>
+      val bf = q.selectExpr(
+          s"slice(q, $b * (size(q) div $m) + 1, size(q) div $m) as blk")
+        .withColumn("__vec",
+          array_to_vector(F.expr("transform(blk, x -> cast(x as double))")))
+      val model = new KMeans().setK(k).setSeed(seed + b)
+        .setFeaturesCol("__vec").setPredictionCol("__c")
+        .fit(bf)
+      model.clusterCenters.zipWithIndex.map { case (v, c) =>
+        (b, c, v.toArray.map(x => math.floor(x + 0.5).toLong).toSeq)
+      }
+    }
+    emb.sparkSession.createDataFrame(rows)
+      .toDF("block", "code", "centroid")
+  }
+
+  /** PQ encode against a caller-supplied (block, code, centroid)
+    * codebook — trained ([[pqTrain]]) or seed; same broadcast +
+    * codegen projection either way. */
+  def pqEncodeWith(emb: DataFrame, codebook: DataFrame,
+                   m: Int = 4, k: Int = 16): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be positive")
+    GraftFunctions.register(emb.sparkSession)
+    encodeWithCodebook(int8Lattice(emb),
+      codebook.selectExpr("block", "code",
+        "transform(centroid, x -> cast(x as bigint)) as centroid"), m, k)
+  }
+
+  /** Shared encode tail: collapse the (block, code, centroid) table
+    * into ONE flat block-major array [(b·k + c)·sub + i] — the
+    * broadcast payload the codegen'd encoder indexes directly (the
+    * r5c HOF formulation carried an array of structs and re-evaluated
+    * the distance aggregate per comparison through interpreted
+    * lambdas — 1.95 s at sf0.1 vs 0.35 s for this form). */
+  private def encodeWithCodebook(q: DataFrame, cb: DataFrame,
+                                 m: Int, k: Int): DataFrame = {
     val cbRow = cb.groupBy().agg(F.expr(
       """flatten(transform(
            array_sort(collect_list(struct(block, code, centroid))),

@@ -1408,9 +1408,29 @@ final class Translator(catalog: String => DataFrame,
                 }
                 }
               case None =>
-                val (step, hs, _) = inFlagStep(sub, probe, "__sq", i)
-                from = step(from)
-                helperCols = hs ::: helperCols
+                // grouped + theta/general IN in FLAG position (r6 —
+                // the last correlation-matrix cell): membership over
+                // per-(distinct outer tuple, inner keys) surviving
+                // groups, materialized as the same full-3VL flag the
+                // conjunct NOT IN path uses, kept as a COLUMN here
+                val groupedTheta = sub match {
+                  case Leaf(q0) =>
+                    groupedThetaSurvivors(q0,
+                      outerAliases -- relationAliases(q0.sel.from),
+                      from, wantValue = true)
+                  case _ => None
+                }
+                groupedTheta match {
+                  case Some((survivors, _, Some(_))) =>
+                    val (joined, hs) = survivorMembershipFlag(
+                      from, probe, survivors, flagN)
+                    from = joined
+                    helperCols = hs ::: helperCols
+                  case _ =>
+                    val (step, hs, _) = inFlagStep(sub, probe, "__sq", i)
+                    from = step(from)
+                    helperCols = hs ::: helperCols
+                }
             }
             ColRef(None, flagN)
           case ExistsSubquery(sub0) =>
@@ -1420,11 +1440,31 @@ final class Translator(catalog: String => DataFrame,
             val i = freshIdx()
             val flagN = s"__sq_flag_$i"
             existsCorrInfo(sub, outerAliases) match {
-              case Some((q, outerRefs, _, _)) =>
-                if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+              case Some((q, outerRefs, _, _))
+                  if q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
                     q.sel.qualify.nonEmpty ||
-                    q.limit.nonEmpty || q.offset.nonEmpty)
-                  fail("correlated EXISTS subquery supports FROM/WHERE only")
+                    q.limit.nonEmpty || q.offset.nonEmpty =>
+                // grouped + theta/general EXISTS in FLAG position
+                // (r6): does any group of the tuple's theta-selected
+                // rows satisfy HAVING? — surviving tuples LEFT-join
+                // back as a presence mark; EXISTS stays two-valued
+                // (an absent tuple, incl. NULL keys/operands under
+                // pure comparisons, reads false; general tuple
+                // columns join null-safely)
+                groupedThetaExistsSurvivors(q, outerRefs, from) match {
+                  case Some((survivors, cond)) =>
+                    val parts = lastSurvivorParts.get
+                    val markN = s"__sq_mark_$i"
+                    from = from.join(
+                        survivors.withColumn(markN, F.lit(true)),
+                        cond, "left_outer")
+                      .withColumn(flagN, F.col(markN).isNotNull)
+                    helperCols = flagN :: markN ::
+                      (parts.tupleNames ::: helperCols)
+                  case None =>
+                    fail("correlated EXISTS subquery supports FROM/WHERE only")
+                }
+              case Some((q, outerRefs, _, _)) =>
                 // dedup the inner side on its correlation keys before a
                 // left_outer presence join — no row multiplication. A
                 // range (theta) conjunct rides as the per-group min/max
@@ -1700,46 +1740,13 @@ final class Translator(catalog: String => DataFrame,
                   from = from.join(survivors, cond0 && probe === v,
                     "left_semi")
                 case Some((survivors, _, Some(_))) =>
-                  val parts = lastSurvivorParts.get
-                  val vn = parts.valueName.get
-                  val i2 = gteIdx; gteIdx += 1
-                  val presentN = s"__gte_${i2}_present"
-                  val nullN = s"__gte_${i2}_nul"
-                  val markN = s"__gte_${i2}_mark"
-                  val summary = survivors
-                    .groupBy(parts.tupleNames.map(F.col): _*)
-                    .agg(F.lit(true).as(presentN),
-                      F.coalesce(F.max(F.col(vn).isNull), F.lit(false))
-                        .as(nullN))
-                  val mNs = parts.tupleNames.map(_ + "_m")
-                  val matches = survivors.filter(F.col(vn).isNotNull)
-                    .select(parts.tupleNames.zip(mNs).map { case (a, b) =>
-                      F.col(a).as(b) } :+ F.col(vn): _*)
-                    .distinct().withColumn(markN, F.lit(true))
-                  // general tuple columns (r5c) join null-safely —
-                  // their surviving NULL-operand tuples are real
-                  def tCmp(oe: Expr, n: String, ns: Boolean): Column =
-                    if (ns) exprToCol(oe, None) <=> F.col(n)
-                    else exprToCol(oe, None) === F.col(n)
-                  val sCond = parts.outerExprs.zip(parts.tupleNames)
-                    .zip(parts.nullSafe)
-                    .map { case ((oe, n), ns) => tCmp(oe, n, ns) }
-                    .reduce(_ && _)
-                  val mCond = (parts.outerExprs.zip(mNs)
-                    .zip(parts.nullSafe).map {
-                      case ((oe, n), ns) => tCmp(oe, n, ns) } :+
-                    (probe === F.col(vn))).reduce(_ && _)
-                  val flag =
-                    F.when(F.col(markN).isNotNull, F.lit(true))
-                      .when(F.col(presentN).isNull, F.lit(false))
-                      .when(probe.isNull || F.col(nullN),
-                        F.lit(null).cast(BooleanType))
-                      .otherwise(F.lit(false))
-                  from = from.join(summary, sCond, "left_outer")
-                    .join(matches, mCond, "left_outer")
-                    .filter(!flag) // strictly-FALSE membership survives
-                    .drop(parts.tupleNames: _*).drop(mNs: _*)
-                    .drop(vn, presentN, nullN, markN)
+                  // full 3VL via the shared flag builder (r6):
+                  // strictly-FALSE membership survives NOT IN
+                  val fi = gteIdx
+                  val (joined, hs) = survivorMembershipFlag(
+                    from, probe, survivors, s"__gte_${fi}_nif")
+                  from = joined.filter(!F.col(s"__gte_${fi}_nif"))
+                    .drop(hs: _*)
                 case _ =>
                   val subDf = translate(sub)
                   if (subDf.columns.length != 1)
@@ -2887,6 +2894,58 @@ final class Translator(catalog: String => DataFrame,
                                          valueName: Option[String],
                                          nullSafe: List[Boolean])
   private var lastSurvivorParts: Option[SurvivorParts] = None
+
+  /** Full 3VL membership flag from grouped-theta/general survivors
+    * (r6, extracted from the r5b conjunct NOT-IN wiring so FLAG
+    * positions can ride the same machinery): per-tuple summary
+    * (present, any-null surviving value) plus distinct non-null
+    * (tuple, value) matches, both LEFT-joined onto `from0` — flag
+    * TRUE on a value match, FALSE for a tuple with no surviving
+    * groups, NULL when the probe is null or a surviving value is
+    * null without a match. General tuple columns join null-safely
+    * (IS NULL arms legitimately select rows for NULL-operand
+    * tuples). Returns the joined frame and every helper column it
+    * added (including `flagN` itself). */
+  private def survivorMembershipFlag(from0: DataFrame, probe: Column,
+      survivors: DataFrame, flagN: String): (DataFrame, List[String]) = {
+    val parts = lastSurvivorParts.get
+    val vn = parts.valueName.get
+    val i2 = gteIdx; gteIdx += 1
+    val presentN = s"__gte_${i2}_present"
+    val nullN = s"__gte_${i2}_nul"
+    val markN = s"__gte_${i2}_mark"
+    val summary = survivors
+      .groupBy(parts.tupleNames.map(F.col): _*)
+      .agg(F.lit(true).as(presentN),
+        F.coalesce(F.max(F.col(vn).isNull), F.lit(false)).as(nullN))
+    val mNs = parts.tupleNames.map(_ + "_m")
+    val matches = survivors.filter(F.col(vn).isNotNull)
+      .select(parts.tupleNames.zip(mNs).map { case (a, b) =>
+        F.col(a).as(b) } :+ F.col(vn): _*)
+      .distinct().withColumn(markN, F.lit(true))
+    def tCmp(oe: Expr, n: String, ns: Boolean): Column =
+      if (ns) exprToCol(oe, None) <=> F.col(n)
+      else exprToCol(oe, None) === F.col(n)
+    val sCond = parts.outerExprs.zip(parts.tupleNames)
+      .zip(parts.nullSafe)
+      .map { case ((oe, n), ns) => tCmp(oe, n, ns) }
+      .reduce(_ && _)
+    val mCond = (parts.outerExprs.zip(mNs)
+      .zip(parts.nullSafe).map {
+        case ((oe, n), ns) => tCmp(oe, n, ns) } :+
+      (probe === F.col(vn))).reduce(_ && _)
+    val flag =
+      F.when(F.col(markN).isNotNull, F.lit(true))
+        .when(F.col(presentN).isNull, F.lit(false))
+        .when(probe.isNull || F.col(nullN),
+          F.lit(null).cast(BooleanType))
+        .otherwise(F.lit(false))
+    val out = from0.join(summary, sCond, "left_outer")
+      .join(matches, mCond, "left_outer")
+      .withColumn(flagN, flag)
+    (out, flagN :: markN :: presentN :: nullN :: vn ::
+      (parts.tupleNames ::: mNs))
+  }
 
   /** Inner side + join condition for a correlated EXISTS in conjunct
     * position: local conjuncts filter the inner relation, correlated

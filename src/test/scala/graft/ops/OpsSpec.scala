@@ -460,6 +460,58 @@ class OpsSpec extends SparkTestBase {
     assert(out(4L)._1 == Seq(1, 1) && out(4L)._2 > 0L) // nearest seed 2
   }
 
+  test("trained PQ codebook reconstructs no worse than the seed codebook (r6)") {
+    // per-block k-means minimizes exactly the summed squared distance
+    // pq_err measures — it must beat (or tie) the arbitrary
+    // first-k-vectors seed codebook on total reconstruction error
+    val m = 4; val k = 8
+    val seedErr = Similarity.pqEncode(embeddings, m, k)
+      .agg(org.apache.spark.sql.functions.sum("pq_err")).collect()(0).getLong(0)
+    val trained = Similarity.pqTrain(embeddings, m, k)
+    assert(trained.count() == m.toLong * k)
+    val enc = Similarity.pqEncodeWith(embeddings, trained, m, k)
+    val rows = enc.collect()
+    assert(rows.length == embeddings.count())
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < k))
+    }
+    val trainedErr = enc
+      .agg(org.apache.spark.sql.functions.sum("pq_err")).collect()(0).getLong(0)
+    assert(trainedErr <= seedErr,
+      s"trained codebook worse than seed: $trainedErr > $seedErr")
+  }
+
+  test("pqEncodeWith on the seed codebook reproduces pqEncode (r6)") {
+    import spark.implicits._
+    // extract the seed codebook by encoding the k lowest-id vectors'
+    // block slices — equivalently, build it directly on the lattice
+    val m = 2; val k = 2
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.2f, 0.3f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    // seed codebook on the int8 lattice: vectors 1,2 quantized; block
+    // b slice of vector c = centroid (b, c)
+    def lat(v: Array[Float]): Array[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      if (s == 0) v.map(_ => 0L)
+      else v.map(x => math.floor(x.toDouble * 127 / s + 0.5).toLong)
+    }
+    val cb = Seq(
+      (0, 0, lat(Array(1.0f, 0.0f, 0.0f, 1.0f)).slice(0, 2).toSeq),
+      (1, 0, lat(Array(1.0f, 0.0f, 0.0f, 1.0f)).slice(2, 4).toSeq),
+      (0, 1, lat(Array(0.0f, 1.0f, 1.0f, 0.0f)).slice(0, 2).toSeq),
+      (1, 1, lat(Array(0.0f, 1.0f, 1.0f, 0.0f)).slice(2, 4).toSeq)
+    ).toDF("block", "code", "centroid")
+    val a = Similarity.pqEncode(emb, m, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).sortBy(_._1)
+    val b = Similarity.pqEncodeWith(emb, cb, m, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("z-order interleave matches hand-computed Morton codes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -278,6 +278,123 @@ class GeneralCorrSpec extends SparkTestBase {
                        having count(*) = 2)""")
   }
 
+  // ---- grouped inners in FLAG positions (r6 closes the matrix) --------
+
+  test("OR-correlated grouped + HAVING EXISTS as a projected flag (r6)") {
+    checkTranslated(
+      """select c_custkey,
+           exists (select 1 from orders o
+                   where o.o_custkey = c.c_custkey
+                      or o.o_totalprice > c.c_acctbal * 200
+                   group by o.o_orderdate
+                   having count(*) >= 2) as f
+         from customer c order by c_custkey""",
+      // "some group passes" = max over per-group counts clears the
+      // threshold; empty selection -> NULL max -> coalesce false
+      """select c_custkey,
+           coalesce((select max(cnt) from (
+                       select count(*) as cnt from orders o
+                       where o.o_custkey = c.c_custkey
+                          or o.o_totalprice > c.c_acctbal * 200
+                       group by o.o_orderdate)) >= 2, false) as f
+         from customer c order by c_custkey""")
+  }
+
+  test("OR-correlated grouped EXISTS under OR / NOT in WHERE (r6)") {
+    checkTranslated(
+      """select c_custkey from customer c
+         where c_acctbal < 100
+            or exists (select 1 from orders o
+                       where o.o_custkey = c.c_custkey
+                          or o.o_totalprice > c.c_acctbal * 200
+                       group by o.o_orderdate
+                       having count(*) >= 3)""",
+      """select c_custkey from customer c
+         where c_acctbal < 100
+            or coalesce((select max(cnt) from (
+                 select count(*) as cnt from orders o
+                 where o.o_custkey = c.c_custkey
+                    or o.o_totalprice > c.c_acctbal * 200
+                 group by o.o_orderdate)) >= 3, false)""")
+    checkTranslated(
+      """select c_custkey from customer c
+         where not exists (select 1 from orders o
+                           where o.o_custkey = c.c_custkey
+                              or o.o_totalprice > c.c_acctbal * 200
+                           group by o.o_orderdate
+                           having count(*) >= 2)
+           and c_custkey <= 200""",
+      """select c_custkey from customer c
+         where not coalesce((select max(cnt) from (
+                 select count(*) as cnt from orders o
+                 where o.o_custkey = c.c_custkey
+                    or o.o_totalprice > c.c_acctbal * 200
+                 group by o.o_orderdate)) >= 2, false)
+           and c_custkey <= 200""")
+  }
+
+  test("OR-correlated grouped IN as a projected flag (r6, 3VL)") {
+    // per-group counts are never NULL: membership is two-valued here
+    checkTranslated(
+      """select c_custkey,
+           2 in (select count(*) from orders o
+                 where o.o_custkey = c.c_custkey
+                    or o.o_totalprice > c.c_acctbal * 200
+                 group by o.o_orderdate) as f
+         from customer c order by c_custkey""",
+      """select c_custkey,
+           coalesce((select max(case when cnt = 2 then 1 else 0 end)
+                     from (select count(*) as cnt from orders o
+                           where o.o_custkey = c.c_custkey
+                              or o.o_totalprice > c.c_acctbal * 200
+                           group by o.o_orderdate)) = 1, false) as f
+         from customer c order by c_custkey""")
+  }
+
+  test("OR-correlated grouped NOT IN flag vs null-bearing values (r6)") {
+    // nullif plants NULL values: a tuple with surviving groups, no
+    // exact match, and a NULL value must read UNKNOWN -> the NOT IN
+    // flag is NULL -> row filtered in WHERE position; spelled-out 3VL
+    checkTranslated(
+      """select c_custkey from customer c
+         where 2 not in (select nullif(count(*), 3) from orders o
+                         where o.o_custkey = c.c_custkey
+                            or o.o_totalprice > c.c_acctbal * 200
+                         group by o.o_orderdate)
+           and c_custkey <= 300""",
+      """select c_custkey from customer c
+         where not coalesce((
+             select case when max(case when cnt = 2 then 1 else 0 end) = 1
+                           then true
+                         when max(case when cnt is null then 1 else 0 end) = 1
+                           then cast(null as boolean)
+                         else false end
+             from (select nullif(count(*), 3) as cnt from orders o
+                   where o.o_custkey = c.c_custkey
+                      or o.o_totalprice > c.c_acctbal * 200
+                   group by o.o_orderdate)), false)
+           and c_custkey <= 300""")
+  }
+
+  test("grouped general IN without HAVING keeps aggregate membership (r6)") {
+    // no HAVING at all: membership over the per-group aggregate set
+    checkTranslated(
+      """select c_custkey,
+           c_nationkey in (select min(o.o_custkey) % 30 from orders o
+                           where o.o_custkey = c.c_custkey
+                              or o.o_totalprice > c.c_acctbal * 200
+                           group by o.o_orderdate) as f
+         from customer c order by c_custkey""",
+      """select c_custkey,
+           exists (select 1
+                   from (select min(o.o_custkey) % 30 as v from orders o
+                         where o.o_custkey = c.c_custkey
+                            or o.o_totalprice > c.c_acctbal * 200
+                         group by o.o_orderdate)
+                   where v = c.c_nationkey) as f
+         from customer c order by c_custkey""")
+  }
+
   // ---- loud walls stay loud -------------------------------------------
 
   test("nested subquery inside a general correlation is a loud error") {

@@ -1143,6 +1143,57 @@ class QueryFuzzSpec extends SparkTestBase {
       }
   }
 
+  /** Grouped + general correlation in FLAG positions (r6 — the last
+    * correlation-matrix cell): EXISTS/IN over GROUP BY [+ HAVING]
+    * inners with OR/NOT/mixed-side correlation, in projected-flag,
+    * OR-position and NOT-position forms. spark.sql cannot plan the
+    * flag forms directly (mixed outer/local aggregate refs), so the
+    * oracle is the hand-decorrelation: "some group passes HAVING" =
+    * scalar max over per-group counts; membership = EXISTS over the
+    * derived per-group aggregate table. */
+  private val genGroupedFlagQuery: Gen[(String, String)] = for {
+    pred <- genGeneralCorrPred
+    thr <- Gen.choose(1, 3)
+    groupKey <- Gen.oneOf("o.o_orderdate", "o.o_orderkey % 5")
+    isIn <- Gen.oneOf(false, true)
+    pos <- Gen.oneOf(0, 1, 2)
+  } yield {
+    val (flagG, flagO) =
+      if (!isIn) (
+        s"""exists (select 1 from orders o where $pred
+              group by $groupKey having count(*) >= $thr)""",
+        s"""coalesce((select max(cnt) from (
+              select count(*) as cnt from orders o where $pred
+              group by $groupKey)) >= $thr, false)""")
+      else (
+        s"""$thr in (select count(*) from orders o where $pred
+              group by $groupKey)""",
+        s"""exists (select 1 from (
+              select count(*) as cnt from orders o where $pred
+              group by $groupKey) where cnt = $thr)""")
+    pos match {
+      case 0 => (
+        s"select c_custkey, $flagG as f from customer c where c_custkey <= 150",
+        s"select c_custkey, $flagO as f from customer c where c_custkey <= 150")
+      case 1 => (
+        s"select c_custkey from customer c where c_acctbal < 500 or $flagG",
+        s"select c_custkey from customer c where c_acctbal < 500 or $flagO")
+      case _ => (
+        s"select c_custkey from customer c where not ($flagG) and c_custkey <= 150",
+        s"select c_custkey from customer c where not ($flagO) and c_custkey <= 150")
+    }
+  }
+
+  test("24 random grouped-general flags match the hand-decorrelated rewrite") {
+    Gen.listOfN(24, genGroupedFlagQuery)
+      .pureApply(Gen.Parameters.default, Seed(107L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
   test("30 random general-correlated EXISTS flags match spark.sql") {
     val preds = Gen.listOfN(30, genGeneralCorrPred)
       .pureApply(Gen.Parameters.default, Seed(97L))

@@ -29,6 +29,40 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(spark.table("stream_counts"), batch)
   }
 
+  test("RocksDB state store produces the same results as the default (r6)") {
+    // the 100 TB streaming posture: state lives in RocksDB on local
+    // disk instead of the executor heap. The provider only changes
+    // WHERE state sits — results must be identical; pin windowed
+    // counts under RocksDB against the batch oracle.
+    val dir = java.nio.file.Files.createTempDirectory("events_rocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val batch = Streaming.windowedCounts(spark.read.parquet(path))
+    val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streaming.streamingWindowedCounts(spark, path)
+        .writeStream.format("memory").queryName("stream_counts_rocks")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+      // the running query really used RocksDB (not a silently ignored
+      // conf): the state operator's custom metrics are provider-
+      // specific
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.nonEmpty &&
+        prog.stateOperators(0).customMetrics.toString.contains("rocksdb"),
+        s"expected rocksdb state metrics, got: $prog")
+      assertSameRows(spark.table("stream_counts_rocks"), batch)
+    } finally prior match {
+      case Some(p) => spark.conf.set(ProviderConf, p)
+      case None    => spark.conf.unset(ProviderConf)
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("events_ssjoin")
     java.nio.file.Files.copy(
