@@ -1715,6 +1715,59 @@ object SparkEntry {
                    when 'src1' then '${graft.ops.Sampling.thresholdHex(0.5)}'
                    when 'src2' then '${graft.ops.Sampling.thresholdHex(0.1)}'
                    else '${graft.ops.Sampling.thresholdHex(0.25)}' end""")),
+    // temperature-scaled domain mixture (r6): p_d ∝ n_d^0.5 — the
+    // exponent-smoothed rebalancing rule; tau=0.5 stays on sqrt
+    // (IEEE-exact), the weight normalizer folds over the SORTED
+    // weight list (sequential sorted summation is bit-reproducible —
+    // a plain SUM's accumulation order is not), and membership is the
+    // usual md5 threshold — DuckDB replays the full computation
+    ("q_mixture_temp",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.temperatureMixture(
+          tbl(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", targetRows = 1000L, tau = 0.5),
+      Some("""with c as (select source, count(*) as n
+                         from documents group by source),
+              w as (select source, n, sqrt(n::DOUBLE) as w from c),
+              s as (select list_reduce(list_sort(list(w)),
+                             (a, b) -> a + b) as wsum from w),
+              f as (select source, n,
+                      least(1.0, w / s.wsum * 1000.0 / n::DOUBLE) as f
+                    from w cross join s),
+              t as (select source,
+                      case when f >= 1.0 then 'g'
+                        else printf('%08x',
+                               cast(floor(f * 4294967296.0) as bigint))
+                      end as thr
+                    from f)
+              select d.doc_id, d.source
+              from documents d join t using (source)
+              where substr(md5(d.doc_id::VARCHAR), 1, 8) < t.thr""")),
+    // quality-gate retention curve (r6): rows + weight mass a
+    // `score >= t` gate keeps, per candidate threshold — ONE
+    // aggregation pass computing every threshold's conditional sums
+    // side by side, exploded to rows; weight sums are exact BIGINTs,
+    // fractions single IEEE divisions
+    ("q_retention_curve",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.retentionCurve(
+          tbl(s, dir, "documents"), "n_chars", "n_chars",
+          Seq(200.0, 500.0, 1000.0, 2000.0)),
+      Some("""with t as (select cast(unnest([200.0, 500.0, 1000.0, 2000.0])
+                           as double) as threshold),
+              tot as (select count(*) as tn, sum(n_chars)::BIGINT as tw
+                      from documents)
+              select t.threshold,
+                sum(case when d.n_chars >= t.threshold
+                         then 1 else 0 end)::BIGINT as n_kept,
+                sum(case when d.n_chars >= t.threshold
+                         then 1 else 0 end)::DOUBLE / max(tot.tn) as keep_frac,
+                sum(case when d.n_chars >= t.threshold
+                         then d.n_chars else 0 end)::BIGINT as w_kept,
+                sum(case when d.n_chars >= t.threshold
+                         then d.n_chars else 0 end)::DOUBLE / max(tot.tw) as w_frac
+              from documents d cross join t cross join tot
+              group by t.threshold""")),
     ("q_sample_stratified",
       (s: SparkSession, dir: String) =>
         graft.ops.Sampling.stratifiedSample(

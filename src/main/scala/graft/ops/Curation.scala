@@ -135,6 +135,51 @@ object Curation {
       .drop("__q_thr")
   }
 
+  /** Quality-gate retention curve (r6): for each candidate threshold,
+    * how many rows — and how much `weightCol` mass (tokens, bytes) —
+    * a `score >= t` gate would keep, as counts and fractions. The
+    * calibration table read before picking [[keepTopQuantile]]'s
+    * fraction or a classifier cutoff: thresholds are knowable knobs,
+    * retention is what the training-token budget actually constrains.
+    *
+    * Plan shape: ONE pass — a single aggregation computing every
+    * threshold's conditional count/sum side by side (thresholds are a
+    * small literal list), then an explode of the one result row into
+    * |thresholds| output rows. No per-threshold scans, no shuffle
+    * beyond the aggregation's one-row combine. Weights sum as
+    * BIGINTs (exact at any accumulation order — the fractions are
+    * then single IEEE divisions, engine-reproducible). NULL scores
+    * fail every gate (SQL comparison semantics), NULL weights count
+    * zero mass. */
+  def retentionCurve(df: DataFrame, scoreCol: String, weightCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "retentionCurve needs thresholds")
+    val total = Seq(
+      F.count(F.lit(1)).as("__tot_n"),
+      F.sum(F.col(weightCol).cast("long")).as("__tot_w"))
+    val per = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      F.sum(F.when(F.col(scoreCol) >= t, 1L).otherwise(0L)).as(s"__n_$i"),
+      F.coalesce(F.sum(F.when(F.col(scoreCol) >= t,
+        F.col(weightCol).cast("long")).otherwise(0L)), F.lit(0L))
+        .as(s"__w_$i"))
+    }
+    val aggCols = total ++ per
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      F.struct(F.lit(t).as("threshold"), F.col(s"__n_$i").as("n_kept"),
+        F.col(s"__w_$i").as("w_kept"))
+    }
+    agg.select(F.col("__tot_n"), F.col("__tot_w"),
+        F.explode(F.array(rows: _*)).as("__r"))
+      .select(F.col("__r.threshold").as("threshold"),
+        F.col("__r.n_kept").as("n_kept"),
+        (F.col("__r.n_kept").cast("double") / F.col("__tot_n"))
+          .as("keep_frac"),
+        F.col("__r.w_kept").as("w_kept"),
+        (F.col("__r.w_kept").cast("double") / F.col("__tot_w"))
+          .as("w_frac"))
+  }
+
   /** PageRank over an edge table (r5c) — the crawl-curation authority
     * signal: rank domains/pages by the link graph before capping or
     * mixing (the CommonCrawl-style domain-ranking pass). Standard

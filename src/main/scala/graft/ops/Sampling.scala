@@ -65,6 +65,51 @@ object Sampling {
       < threshold)
   }
 
+  /** Temperature-scaled domain mixture (r6) — the multilingual/
+    * multi-source rebalancing rule (the mBERT/XLM-R exponent-smoothed
+    * sampling): group d's target sampling probability is
+    * p_d ∝ n_d^tau (tau < 1 upweights small domains relative to
+    * their share; tau = 1 is proportional = no rebalancing), and the
+    * per-group keep fraction for a `targetRows`-sized sample is
+    * f_d = min(1, p_d · targetRows / n_d). Membership then uses the
+    * same md5-threshold filter as [[consistentSample]] — pure,
+    * reproducible, monotone in targetRows.
+    *
+    * Plan shape: one tiny groupBy for the per-group counts, the
+    * weight normalizer folded over the SORTED weight list (sequential
+    * sorted summation is bit-reproducible on any engine — a plain
+    * SUM's accumulation order is not), one broadcast join of the
+    * per-group threshold, then the pure filter — the corpus itself
+    * never shuffles. tau = 0.5 and 1.0 use sqrt/identity (IEEE-exact,
+    * oracle-replayable); other exponents go through pow, which is
+    * libm-dependent across engines (documented, same caveat family
+    * as ln()). NULL groups get their own class (null-safe join). */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         targetRows: Long, tau: Double = 0.5): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    require(tau > 0 && tau <= 1, "temperature must be in (0, 1]")
+    val counts = df.groupBy(groupCol).agg(F.count(F.lit(1)).as("__n"))
+    val w =
+      if (tau == 0.5) F.sqrt(F.col("__n").cast("double"))
+      else if (tau == 1.0) F.col("__n").cast("double")
+      else F.pow(F.col("__n").cast("double"), F.lit(tau))
+    val weighted = counts.withColumn("__w", w)
+    val tot = weighted.agg(F.expr(
+      "aggregate(array_sort(collect_list(__w)), 0D, (a, x) -> a + x)")
+      .as("__wsum"))
+    val frac = weighted.crossJoin(F.broadcast(tot))
+      .withColumn("__f", F.least(F.lit(1.0),
+        F.col("__w") / F.col("__wsum") * F.lit(targetRows.toDouble) /
+          F.col("__n").cast("double")))
+      .select(F.col(groupCol).as("__g"), F.col("__f"))
+    val thr = F.when(F.col("__f") >= 1.0, F.lit("g"))
+      .otherwise(F.lpad(F.lower(F.hex(
+        F.floor(F.col("__f") * 4294967296.0).cast("bigint"))), 8, "0"))
+    df.join(F.broadcast(frac), F.col(groupCol) <=> F.col("__g"))
+      .filter(F.expr(s"substring(md5(cast($keyCol as string)), 1, 8)") < thr)
+      .drop("__g", "__f")
+  }
+
   /** Deterministic train/val/test (N-way) split assignment (r5): the
     * row's md5 hash lands in one of the cumulative [0,1) intervals —
     * a pure per-row projection (no shuffle, engine-replayable), and

@@ -609,6 +609,52 @@ class OpsSpec extends SparkTestBase {
     assert(out((1, 0)) == (1L, 5.0) && out((1, 1)) == (1L, 5.0))
   }
 
+  test("temperature mixture upweights small domains at tau=0.5 (r6)") {
+    import spark.implicits._
+    // A: 90 rows, B: 10 rows, target 50.
+    //   tau=0.5: w=(sqrt(90), sqrt(10)) -> p=(0.75, 0.25)
+    //     f_A = 0.75*50/90 ~= 0.417; f_B = 0.25*50/10 = 1.25 -> clamp 1
+    //   tau=1.0: proportional -> f = 0.5 for both
+    val df = ((1 to 90).map(i => (i.toLong, "A")) ++
+      (101 to 110).map(i => (i.toLong, "B"))).toDF("doc_id", "g")
+    val half = Sampling.temperatureMixture(df, "g", "doc_id", 50L, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every B row survives (clamped fraction 1)
+    assert(half.count(_._2 == "B") == 10)
+    // A thinned to roughly f_A * 90 = ~37 (hash noise allowed)
+    val aKept = half.count(_._2 == "A")
+    assert(aKept > 20 && aKept < 55, s"aKept=$aKept")
+    // deterministic: identical selection on re-run
+    val again = Sampling.temperatureMixture(df, "g", "doc_id", 50L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(half.toSet == again.toSet)
+    // tau=1.0 is proportional: both groups at ~0.5
+    val prop = Sampling.temperatureMixture(df, "g", "doc_id", 50L, tau = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(prop.count(_._2 == "B") < 10) // no clamp at proportional
+    // a NULL group forms its own class and is preserved, not dropped
+    val withNull = df.union(Seq((200L, null.asInstanceOf[String]),
+      (201L, null.asInstanceOf[String])).toDF("doc_id", "g"))
+    val noverall = Sampling.temperatureMixture(withNull, "g", "doc_id",
+      200L, 0.5)
+    assert(noverall.filter("g is null").count() == 2) // f clamps to 1
+  }
+
+  test("retention curve counts rows and weight mass per threshold (r6)") {
+    import spark.implicits._
+    val df = Seq((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L))
+      .toDF("score", "w")
+      .union(Seq((null.asInstanceOf[java.lang.Double], 99L))
+        .toDF("score", "w").selectExpr("cast(score as double)", "w"))
+    val out = Curation.retentionCurve(df, "score", "w", Seq(2.5, 0.5, 9.0))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // totals: 5 rows, weight 199 (null score still carries mass)
+    assert(out(2.5) == ((2L, 2.0 / 5, 70L, 70.0 / 199)))
+    assert(out(0.5) == ((4L, 4.0 / 5, 100L, 100.0 / 199)))
+    assert(out(9.0) == ((0L, 0.0, 0L, 0.0)))
+  }
+
   test("shard assignment is uniform-ish, in range and deterministic") {
     val sharded = Export.withShard(documents, "doc_id", 16)
     val counts = sharded.groupBy("shard").count().collect()
