@@ -1021,6 +1021,209 @@ object SparkEntry {
          where r_name = 'ASIA'
          group by n_name
          order by revenue desc, n_name""",
+    // --- TPC-H battery (r6): the remaining classic query SHAPES,
+    // adapted to this schema (no partsupp table, no commit/receipt
+    // dates — substituted predicates keep each query's characteristic
+    // plan: correlated scalar min/avg, EXISTS/NOT-EXISTS pairs,
+    // grouped-HAVING IN, disjunctive join predicates, CTE + scalar
+    // max over it, left-join histogram, case-ratio aggregates).
+    // Q2 shape: correlated scalar MIN whose inner is itself a join;
+    // outer is the implicit 4-table FROM
+    "q_tpch_q2" ->
+      """select distinct s_acctbal, s_name, n_name, p_partkey, p_type
+         from part, supplier, lineitem, nation
+         where p_partkey = l_partkey and s_suppkey = l_suppkey
+           and p_size <= 8 and p_type = 'LARGE'
+           and s_nationkey = n_nationkey
+           and s_acctbal = (select min(s2.s_acctbal)
+                            from supplier s2 join lineitem l2 on s2.s_suppkey = l2.l_suppkey
+                            where l2.l_partkey = p_partkey)
+         order by s_acctbal desc, n_name, s_name, p_partkey
+         limit 20""",
+    // Q4 shape: correlated EXISTS feeding a grouped count
+    "q_tpch_q4" ->
+      """select o_orderpriority, count(*) as order_count
+         from orders
+         where o_orderdate >= date '1996-01-01' and o_orderdate < date '1996-01-01' + interval 3 month
+           and exists (select * from lineitem where l_orderkey = o_orderkey and l_quantity > 45)
+         group by o_orderpriority
+         order by o_orderpriority""",
+    // Q6: pure scan-filter-agg (the forecasting-revenue one-pass)
+    "q_tpch_q6" ->
+      """select round(sum(l_extendedprice * l_discount), 2) as revenue
+         from lineitem
+         where l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'
+           and l_discount between 0.02 and 0.04 and l_quantity < 24""",
+    // Q7 shape: two nation self-join aliases + disjunctive pair filter
+    "q_tpch_q7" ->
+      """select supp_nation, cust_nation, l_year, round(sum(volume), 2) as revenue
+         from (select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                 cast(extract(year from l_shipdate) as int) as l_year,
+                 l_extendedprice * (1 - l_discount) as volume
+               from supplier
+                 join lineitem on s_suppkey = l_suppkey
+                 join orders on o_orderkey = l_orderkey
+                 join customer on c_custkey = o_custkey
+                 join nation n1 on s_nationkey = n1.n_nationkey
+                 join nation n2 on c_nationkey = n2.n_nationkey
+               where ((n1.n_name = 'NATION_3' and n2.n_name = 'NATION_7')
+                   or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_3'))
+                 and l_shipdate between date '1996-01-01' and date '1997-12-31') as shipping
+         group by supp_nation, cust_nation, l_year
+         order by supp_nation, cust_nation, l_year""",
+    // Q8 shape: 8-table join, market-share case-ratio per year
+    "q_tpch_q8" ->
+      """select o_year, round(sum(case when nation = 'NATION_5' then volume else 0 end) / sum(volume), 4) as mkt_share
+         from (select cast(extract(year from o_orderdate) as int) as o_year,
+                 l_extendedprice * (1 - l_discount) as volume,
+                 n2.n_name as nation
+               from part
+                 join lineitem on p_partkey = l_partkey
+                 join supplier on s_suppkey = l_suppkey
+                 join orders on l_orderkey = o_orderkey
+                 join customer on o_custkey = c_custkey
+                 join nation n1 on c_nationkey = n1.n_nationkey
+                 join region on n1.n_regionkey = r_regionkey
+                 join nation n2 on s_nationkey = n2.n_nationkey
+               where r_name = 'ASIA' and p_type = 'ECONOMY'
+                 and o_orderdate between date '1996-01-01' and date '1997-12-31') as all_nations
+         group by o_year
+         order by o_year""",
+    // Q9 shape: LIKE-filtered part join, per-nation-year profit
+    // (retailprice-based cost substitutes the missing ps_supplycost)
+    "q_tpch_q9" ->
+      """select nation, o_year, cast(round(sum(amount), 2) as double) as sum_profit
+         from (select n_name as nation,
+                 cast(extract(year from o_orderdate) as int) as o_year,
+                 cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))
+                   - cast(p_retailprice as decimal(18,2)) * cast(0.06 as decimal(4,2)) * cast(l_quantity as decimal(18,2)) as amount
+               from part
+                 join lineitem on p_partkey = l_partkey
+                 join supplier on s_suppkey = l_suppkey
+                 join orders on o_orderkey = l_orderkey
+                 join nation on s_nationkey = n_nationkey
+               where p_name like '%gear%') as profit
+         group by nation, o_year
+         order by nation, o_year desc""",
+    // Q10 shape: returned-item revenue, wide group keys, top 20
+    "q_tpch_q10" ->
+      """select c_custkey, c_name,
+                cast(round(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))), 2) as double) as revenue,
+                c_acctbal, n_name
+         from customer
+           join orders on c_custkey = o_custkey
+           join lineitem on l_orderkey = o_orderkey
+           join nation on c_nationkey = n_nationkey
+         where o_orderdate >= date '1996-01-01' and o_orderdate < date '1996-01-01' + interval 3 month
+           and l_returnflag = 'R'
+         group by c_custkey, c_name, c_acctbal, n_name
+         order by revenue desc, c_custkey
+         limit 20""",
+    // Q13 shape: LEFT JOIN with an extra ON conjunct, count histogram
+    // (aggregate of an aggregate)
+    "q_tpch_q13" ->
+      """select c_count, count(*) as custdist
+         from (select c_custkey, count(o_orderkey) as c_count
+               from customer left join orders on c_custkey = o_custkey and o_orderpriority <> '5-LOW'
+               group by c_custkey) as c_orders
+         group by c_count
+         order by custdist desc, c_count desc""",
+    // Q14 shape: promo-revenue case-ratio over one month
+    "q_tpch_q14" ->
+      """select round(100.00 * sum(case when p_type = 'PROMO' then l_extendedprice * (1 - l_discount) else 0 end)
+                / sum(l_extendedprice * (1 - l_discount)), 4) as promo_revenue
+         from lineitem join part on l_partkey = p_partkey
+         where l_shipdate >= date '1996-09-01' and l_shipdate < date '1996-10-01'""",
+    // Q15 shape: CTE revenue view + scalar MAX over the same CTE
+    "q_tpch_q15" ->
+      """with revenue as (
+           select l_suppkey as supplier_no, round(sum(l_extendedprice * (1 - l_discount)), 2) as total_revenue
+           from lineitem
+           where l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-04-01'
+           group by l_suppkey)
+         select s_suppkey, s_name, total_revenue
+         from supplier join revenue on s_suppkey = supplier_no
+         where total_revenue = (select max(total_revenue) from revenue)
+         order by s_suppkey""",
+    // Q16 shape: NOT IN subquery + count(distinct) over wide keys
+    "q_tpch_q16" ->
+      """select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+         from lineitem join part on p_partkey = l_partkey
+         where p_brand <> 'Brand#45' and p_type <> 'PROMO'
+           and p_size in (1, 4, 7, 9, 10, 14, 19, 23, 45)
+           and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 100)
+         group by p_brand, p_type, p_size
+         order by supplier_cnt desc, p_brand, p_type, p_size
+         limit 25""",
+    // Q17 shape: correlated scalar AVG against the joined outer — the
+    // small-quantity-order classic
+    "q_tpch_q17" ->
+      """select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly
+         from lineitem join part on p_partkey = l_partkey
+         where p_brand = 'Brand#23' and p_type = 'MEDIUM'
+           and l_quantity < (select 0.5 * avg(l2.l_quantity) from lineitem l2 where l2.l_partkey = p_partkey)""",
+    // Q18 shape: grouped-HAVING IN over the fact table itself
+    "q_tpch_q18" ->
+      """select c_name, c_custkey, o_orderkey, cast(cast(o_orderdate as date) as varchar) as odate,
+                o_totalprice, round(sum(l_quantity), 2) as total_qty
+         from customer
+           join orders on c_custkey = o_custkey
+           join lineitem on o_orderkey = l_orderkey
+         where o_orderkey in (select l_orderkey from lineitem group by l_orderkey having sum(l_quantity) > 250)
+         group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         order by o_totalprice desc, o_orderkey
+         limit 100""",
+    // Q19 shape: disjunctive predicates spanning BOTH join sides —
+    // the residual-OR-over-equi-join classic
+    "q_tpch_q19" ->
+      """select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+         from lineitem join part on p_partkey = l_partkey
+         where (p_brand = 'Brand#12' and p_size between 1 and 5 and l_quantity between 1 and 11)
+            or (p_brand = 'Brand#23' and p_size between 1 and 10 and l_quantity between 10 and 20)
+            or (p_brand = 'Brand#34' and p_size between 1 and 15 and l_quantity between 20 and 30)""",
+    // Q20 shape: nested IN chain (supplier ← grouped-HAVING lineitem
+    // ← LIKE-filtered part)
+    "q_tpch_q20" ->
+      """select s_name, s_acctbal
+         from supplier
+         where s_suppkey in (
+           select l_suppkey from lineitem
+           where l_partkey in (select p_partkey from part where p_name like 'red%')
+             and l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'
+           group by l_suppkey
+           having sum(l_quantity) > 400)
+         order by s_name""",
+    // Q21 shape: the waiting-supplier EXISTS + NOT EXISTS pair, both
+    // theta-correlated (<> on suppkey within the same order)
+    "q_tpch_q21" ->
+      """select s_name, count(*) as numwait
+         from supplier
+           join lineitem l1 on s_suppkey = l1.l_suppkey
+           join orders on o_orderkey = l1.l_orderkey
+           join nation on s_nationkey = n_nationkey
+         where o_orderstatus = 'F' and l1.l_returnflag = 'R'
+           and n_name in ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+           and exists (select * from lineitem l2
+                       where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey)
+           and not exists (select * from lineitem l3
+                           where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+                             and l3.l_returnflag = 'R')
+         group by s_name
+         order by numwait desc, s_name
+         limit 100""",
+    // Q22 shape: uncorrelated scalar AVG threshold + anti-join on
+    // customers with no recent orders
+    "q_tpch_q22" ->
+      """select cntrycode, count(*) as numcust, round(sum(c_acctbal), 2) as totacctbal
+         from (select cast(c_nationkey % 10 as int) as cntrycode, c_acctbal, c_custkey
+               from customer
+               where c_nationkey % 10 in (1, 3, 5, 7, 9)
+                 and c_acctbal > (select avg(c_acctbal) from customer
+                                  where c_acctbal > 0 and c_nationkey % 10 in (1, 3, 5, 7, 9))) as potential
+         where not exists (select * from orders
+                           where o_custkey = c_custkey and o_orderdate >= date '2000-01-01')
+         group by cntrycode
+         order by cntrycode""",
     // --- set ops (rows 28-31)
     "q_union" ->
       """select n_name as name from nation where n_regionkey = 0

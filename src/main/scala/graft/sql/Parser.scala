@@ -912,7 +912,7 @@ final class Parser(tokens: Vector[Token]) {
       // postfix `expr::type` cast chain (PostgreSQL/DuckDB shorthand —
       // graft dialect extension); binds tighter than unary minus
       var e = parsePrimary()
-      while (eatOp("::")) e = Cast(e, ident())
+      while (eatOp("::")) e = Cast(e, parseTypeName())
       e
     }
 
@@ -1288,9 +1288,28 @@ final class Parser(tokens: Vector[Token]) {
     expectOp("(")
     val e = parseExpr()
     expectKw("as")
-    val t = ident()
+    val t = parseTypeName()
     expectOp(")")
     Cast(e, t)
+  }
+
+  /** A type name with optional parenthesized integer parameters —
+    * `decimal(18,2)`, `numeric(10)`, `varchar(255)` (r6, standard
+    * SQL). The parameters ride inside the type string; the translator
+    * interprets them. */
+  private def parseTypeName(): String = {
+    val base = ident()
+    if (atOp("(")) {
+      def param(): String = next() match {
+        case Num(v, _) => v
+        case t => fail(s"expected a numeric type parameter, got $t")
+      }
+      expectOp("(")
+      val params = scala.collection.mutable.ListBuffer(param())
+      while (eatOp(",")) params += param()
+      expectOp(")")
+      s"$base(${params.mkString(",")})"
+    } else base
   }
 
   /** After OVER: an inline (spec) or a bare identifier referencing a

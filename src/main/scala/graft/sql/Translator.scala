@@ -240,9 +240,196 @@ final class Translator(catalog: String => DataFrame,
     inSet(se)
   }
 
-  private def translateQuery(q: Query): DataFrame =
+  private def translateQuery(q0: Query): DataFrame = {
+    val q = qualifySubqueryOuterRefs(q0)
     if (q.sel.distinctOn.nonEmpty) translateDistinctOn(q)
     else translateQueryPlain(q)
+  }
+
+  // ---- bare outer-reference qualification (r6) -----------------------
+
+  /** Output column names a relation contributes to its scope, keyed by
+    * alias; `None` marks a relation whose columns cannot be enumerated
+    * statically (dynamic pivots, column-less unnests) — its presence
+    * poisons resolution decisions that would need the full scope. */
+  private def scopeEntries(r: Relation): Seq[(String, Option[Set[String]])] =
+    r match {
+      case TableRef(n, a) =>
+        Seq((a.getOrElse(n).toLowerCase,
+          scala.util.Try(catalog(n).columns.map(_.toLowerCase).toSet).toOption))
+      case SubqueryRel(q, a) =>
+        a.map(al => (al.toLowerCase, setExprColumns(q))).toSeq
+      case ValuesRel(rows, cols, a) =>
+        a.map { al =>
+          val cs = cols.map(_.map(_.toLowerCase).toSet).orElse(
+            rows.headOption.map(r2 => r2.indices.map(i => s"col$i").toSet))
+          (al.toLowerCase, cs)
+        }.toSeq
+      case AliasedRel(rel, a) =>
+        val under = scopeEntries(rel)
+        Seq((a.toLowerCase,
+          if (under.forall(_._2.isDefined))
+            Some(under.flatMap(_._2.get).toSet)
+          else None))
+      case JoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
+      case UsingJoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
+      case NaturalJoinRel(l, rr, _) => scopeEntries(l) ++ scopeEntries(rr)
+      case LateralRel(l, sub, a, _) =>
+        scopeEntries(l) :+ ((a.toLowerCase, setExprColumns(sub)))
+      case UnnestRel(l, _, a, cols, ord, _) =>
+        l.map(scopeEntries).getOrElse(Nil) ++ a.map { al =>
+          (al.toLowerCase,
+            if (cols.nonEmpty)
+              Some(cols.map(_.toLowerCase).toSet ++
+                (if (ord) Set("ordinality") else Set.empty[String]))
+            else None)
+        }
+      case SampleRel(r2, _, _) => scopeEntries(r2)
+      // pivot output columns are value-dependent; unpivot renames —
+      // both poison enumeration (conservative: no qualification)
+      case PivotRel(_, _, _, _) => Seq(("__pivot__", None))
+      case UnpivotRel(_, _, _, _) => Seq(("__unpivot__", None))
+    }
+
+  /** Statically derivable output column names of a set expression —
+    * None when any select item's name is not derivable. A bare star
+    * enumerates through the FROM scope when that scope is itself
+    * fully enumerable. */
+  private def setExprColumns(se: SetExpr): Option[Set[String]] = se match {
+    case Leaf(q) =>
+      val fromCols = {
+        lazy val entries = scopeEntries(q.sel.from)
+        () => if (entries.forall(_._2.isDefined))
+          Some(entries.flatMap(_._2.get).toSet) else None
+      }
+      val perItem: Seq[Option[Set[String]]] = q.sel.items.map {
+        case SelectItem(_, Some(a)) => Some(Set(a.toLowerCase))
+        case SelectItem(ColRef(_, n), None) => Some(Set(n.toLowerCase))
+        case SelectItem(Star(_), None) => fromCols()
+        case _ => None
+      }
+      if (perItem.forall(_.isDefined)) Some(perItem.flatMap(_.get).toSet)
+      else None
+    case SetOp(_, l, _) => setExprColumns(l)
+    case WithQuery(_, body, _, _) => setExprColumns(body)
+    case OrderedSet(body, _, _, _, _) => setExprColumns(body)
+  }
+
+  /** Standard SQL scoping for subqueries: a bare column reference
+    * inside a subquery that does not resolve against the subquery's
+    * own FROM resolves against the ENCLOSING query's relations —
+    * classic TPC-H text (`where l2.l_partkey = p_partkey`) depends on
+    * it. The correlation machinery keys on alias QUALIFIERS, so this
+    * pass rewrites such refs to qualified form before translation.
+    * One enclosing level per pass — deeper subqueries are qualified
+    * when their own enclosing query translates (every subquery body
+    * flows back through translateQuery), so resolution composes level
+    * by level exactly like the standard's innermost-scope-outward
+    * rule. Conservative: if the inner scope is not fully enumerable
+    * the ref is left untouched (it was an analyzer error before this
+    * pass and still is); a name matching several outer relations is
+    * the standard ambiguity error. Inner relations shadow same-named
+    * outer aliases. */
+  private def qualifySubqueryOuterRefs(q: Query): Query = {
+    val outerScope = scopeEntries(q.sel.from)
+    val outerEnumerable = outerScope.forall(_._2.isDefined)
+    if (!outerEnumerable) return q
+
+    def qualifySet(se: SetExpr): SetExpr = se match {
+      case Leaf(iq) => Leaf(qualifyIn(iq))
+      case SetOp(op, l, r) => SetOp(op, qualifySet(l), qualifySet(r))
+      // CTE definitions cannot be correlated (standard); only the body
+      case w @ WithQuery(_, body, _, _) => w.copy(body = qualifySet(body))
+      case os @ OrderedSet(body, _, _, _, _) =>
+        os.copy(body = qualifySet(body))
+    }
+
+    def qualifyIn(iq: Query): Query = {
+      val innerEntries = scopeEntries(iq.sel.from)
+      if (innerEntries.exists(_._2.isEmpty)) return iq
+      val innerCols = innerEntries.flatMap(_._2.get).toSet
+      val innerAliases = innerEntries.map(_._1).toSet
+      val itemAliases =
+        iq.sel.items.flatMap(_.alias.map(_.toLowerCase)).toSet
+      def fix(e: Expr): Expr = Ast.transformUp(e) {
+        case cr @ ColRef(None, n) =>
+          val nl = n.toLowerCase
+          if (innerCols.contains(nl) || itemAliases.contains(nl)) cr
+          else outerScope.collect {
+            case (a, Some(cols))
+                if cols.contains(nl) && !innerAliases.contains(a) => a
+          }.distinct match {
+            case Seq(a) => ColRef(Some(a), n)
+            case Nil => cr
+            case several => fail(s"column '$n' in a subquery is " +
+              s"ambiguous across outer relations ${several.mkString(", ")}")
+          }
+      }
+      iq.copy(sel = iq.sel.copy(
+        where = iq.sel.where.map(fix),
+        having = iq.sel.having.map(fix)))
+    }
+
+    def walk(e: Expr): Expr = Ast.transformUp(e) {
+      case ScalarSubquery(s) => ScalarSubquery(qualifySet(s))
+      case ExistsSubquery(s) => ExistsSubquery(qualifySet(s))
+      case InSubquery(x, s) => InSubquery(x, qualifySet(s))
+      case QuantCmp(op, all, x, s) => QuantCmp(op, all, x, qualifySet(s))
+    }
+
+    // LATERAL derived tables correlate against the relations to their
+    // left — qualify their bodies against that prefix scope
+    def walkRel(r: Relation): Relation = r match {
+      case LateralRel(l, sub, a, k) =>
+        val left = walkRel(l)
+        val leftScope = scopeEntries(left)
+        val sub2 = if (leftScope.forall(_._2.isDefined)) {
+          def qs(se: SetExpr): SetExpr = se match {
+            case Leaf(iq) =>
+              val innerEntries = scopeEntries(iq.sel.from)
+              if (innerEntries.exists(_._2.isEmpty)) Leaf(iq)
+              else {
+                val innerCols = innerEntries.flatMap(_._2.get).toSet
+                val innerAliases = innerEntries.map(_._1).toSet
+                val itemAliases =
+                  iq.sel.items.flatMap(_.alias.map(_.toLowerCase)).toSet
+                def fix(e: Expr): Expr = Ast.transformUp(e) {
+                  case cr @ ColRef(None, n) =>
+                    val nl = n.toLowerCase
+                    if (innerCols.contains(nl) || itemAliases.contains(nl)) cr
+                    else leftScope.collect {
+                      case (al, Some(cols))
+                          if cols.contains(nl) && !innerAliases.contains(al) => al
+                    }.distinct match {
+                      case Seq(al) => ColRef(Some(al), n)
+                      case _ => cr
+                    }
+                }
+                Leaf(iq.copy(sel = iq.sel.copy(
+                  where = iq.sel.where.map(fix),
+                  having = iq.sel.having.map(fix))))
+              }
+            case other => other
+          }
+          qs(sub)
+        } else sub
+        LateralRel(left, sub2, a, k)
+      case JoinRel(l, rr, jt, on) => JoinRel(walkRel(l), walkRel(rr), jt, on)
+      case UsingJoinRel(l, rr, jt, cs) =>
+        UsingJoinRel(walkRel(l), walkRel(rr), jt, cs)
+      case NaturalJoinRel(l, rr, jt) => NaturalJoinRel(walkRel(l), walkRel(rr), jt)
+      case other => other
+    }
+
+    q.copy(
+      sel = q.sel.copy(
+        from = walkRel(q.sel.from),
+        items = q.sel.items.map(si => si.copy(e = walk(si.e))),
+        where = q.sel.where.map(walk),
+        having = q.sel.having.map(walk),
+        qualify = q.sel.qualify.map(walk)),
+      orderBy = q.orderBy.map(oi => oi.copy(e = walk(oi.e))))
+  }
 
   /** `SELECT DISTINCT ON (keys) … ORDER BY …` — keep the FIRST row of
     * each key group in ORDER BY order (PostgreSQL/DuckDB semantics),
@@ -3724,6 +3911,16 @@ final class Translator(catalog: String => DataFrame,
     case "timestamp" | "datetime64"                   => TimestampType
     case "date"                                       => DateType
     case "time"                                       => StringType
+    // parameterized types (r6): decimal/numeric carry (precision,
+    // scale) for EXACT arithmetic — the cross-engine-deterministic
+    // money type; varchar(n) ignores its length (Spark strings are
+    // unbounded, matching DuckDB comparison semantics)
+    case dec if dec.startsWith("decimal(") || dec.startsWith("numeric(") =>
+      val ps = dec.substring(dec.indexOf('(') + 1, dec.length - 1)
+        .split(',').map(_.trim.toInt)
+      if (ps.length == 1) DecimalType(ps(0), 0) else DecimalType(ps(0), ps(1))
+    case "decimal" | "numeric"                        => DecimalType(18, 3)
+    case vc if vc.startsWith("varchar(") || vc.startsWith("char(") => StringType
     case other => fail(s"unknown type name $other")
   }
 
