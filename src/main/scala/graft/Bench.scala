@@ -75,7 +75,12 @@ object Bench {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b times just
+    // those queries (never set by the driver — full suite by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       queries.foreach { case (_, fn) =>
@@ -128,7 +133,10 @@ object Bench {
           val src = scala.io.Source.fromFile(duckPath)
           try src.mkString finally src.close()
         }
-        val re = """"([^"]+)"\s*:\s*([0-9.eE+\-]+|null)""".r
+        // only q_-prefixed keys are query timings — the snapshot may
+        // grow nested/metadata numeric fields and a generic key:number
+        // scrape would misclassify them into tiers
+        val re = """"(q_[^"]+)"\s*:\s*([0-9.eE+\-]+|null)""".r
         val duck: Map[String, Double] = re.findAllMatchIn(txt)
           .flatMap(m => m.group(2) match {
             case "null" => None
@@ -141,7 +149,14 @@ object Bench {
           s""""duck_snapshot_sec":${cb.map(x => duck(x._1)).sum},"graft_ahead":$ahead},""" +
           s""""floor_bound":{"n":${fl.length},"graft_sec":${fl.map(_._2).sum},""" +
           s""""duck_snapshot_sec":${fl.map(x => duck(x._1)).sum}}"""
-      } catch { case _: Throwable => "" }
+      } catch {
+        case e: Throwable =>
+          // loud skip: a silently-missing tier split looks like a
+          // formatting choice, not a broken baseline path
+          System.err.println(
+            s"[bench] tier split skipped ($duckPath): $e")
+          ""
+      }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds$split,"streaming":$streaming,"sf":"$sfDir"}""")
     // compact summary LAST: the driver's capture window tails the
     // output, and r2 lost the "total" field when the per-query JSON

@@ -88,6 +88,15 @@ object Sampling {
                          targetRows: Long, tau: Double = 0.5): DataFrame = {
     require(targetRows > 0, "targetRows must be positive")
     require(tau > 0 && tau <= 1, "temperature must be in (0, 1]")
+    // same reserved-helper-name contract as AsOf/Export: an input
+    // column named like a helper would be silently replaced/dropped
+    locally {
+      val reserved = Seq("__n", "__w", "__g", "__f", "__wsum")
+      val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input columns [${clash.mkString(", ")}] collide with reserved " +
+          s"internal helper names [${reserved.mkString(", ")}]")
+    }
     val counts = df.groupBy(groupCol).agg(F.count(F.lit(1)).as("__n"))
     val w =
       if (tau == 0.5) F.sqrt(F.col("__n").cast("double"))
@@ -106,7 +115,7 @@ object Sampling {
       .otherwise(F.lpad(F.lower(F.hex(
         F.floor(F.col("__f") * 4294967296.0).cast("bigint"))), 8, "0"))
     df.join(F.broadcast(frac), F.col(groupCol) <=> F.col("__g"))
-      .filter(F.expr(s"substring(md5(cast($keyCol as string)), 1, 8)") < thr)
+      .filter(F.substring(F.md5(F.col(keyCol).cast("string")), 1, 8) < thr)
       .drop("__g", "__f")
   }
 

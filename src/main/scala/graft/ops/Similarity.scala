@@ -424,7 +424,14 @@ object Similarity {
       val model = new KMeans().setK(k).setSeed(seed + b)
         .setFeaturesCol("__vec").setPredictionCol("__c")
         .fit(bf)
-      model.clusterCenters.zipWithIndex.map { case (v, c) =>
+      // KMeans may return < k centers when a block has fewer than k
+      // distinct slices; the flat block-major codebook the codegen'd
+      // encoder indexes assumes exactly k per block, so pad by
+      // repeating the last center (a duplicate centroid is harmless:
+      // argmin just never picks the higher code)
+      val centers = model.clusterCenters
+      val padded = centers ++ Array.fill(k - centers.length)(centers.last)
+      padded.zipWithIndex.map { case (v, c) =>
         (b, c, v.toArray.map(x => math.floor(x + 0.5).toLong).toSeq)
       }
     }
@@ -438,6 +445,14 @@ object Similarity {
   def pqEncodeWith(emb: DataFrame, codebook: DataFrame,
                    m: Int = 4, k: Int = 16): DataFrame = {
     require(m >= 1 && k >= 1, "m and k must be positive")
+    // the flat block-major payload the codegen'd encoder indexes
+    // assumes exactly m*k (block, code) rows — a short codebook would
+    // silently misalign every block past the gap (one tiny count on a
+    // ≤ m·k-row table; this entry point is the caller-supplied one,
+    // the seed path constructs exactly m*k by construction)
+    val n = codebook.count()
+    require(n == m.toLong * k,
+      s"codebook must have exactly m*k = ${m * k} rows, got $n")
     GraftFunctions.register(emb.sparkSession)
     encodeWithCodebook(int8Lattice(emb),
       codebook.selectExpr("block", "code",

@@ -139,8 +139,13 @@ final class Translator(catalog: String => DataFrame,
       df.withColumn(RK, F.xxhash64(outCols.map(F.col): _*))
     // EXPLICIT partition count: an expression-only repartition lets
     // AQE coalesce each block to a different count, breaking the
-    // cross-round co-partitioning the keyed tier exists for
-    val nPart = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    // cross-round co-partitioning the keyed tier exists for.
+    // Non-numeric settings (some platforms use "auto") fall back to
+    // the context's parallelism instead of throwing mid-query.
+    val nPart =
+      try sess.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: NumberFormatException =>
+        sess.sparkContext.defaultParallelism }
     def partByKey(df: DataFrame): DataFrame =
       df.repartition(nPart, F.col(RK))
     // keyed blocks must ADVERTISE their partitioning after the
@@ -150,19 +155,33 @@ final class Translator(catalog: String => DataFrame,
     // scan), so keyed-block materialization briefly disables AQE —
     // the non-adaptive plan's top exchange partitioning flows into
     // the LogicalRDD and RDDScanExec re-advertises it.
-    def ckptPartitioned(df: DataFrame): DataFrame = {
-      val prior = sess.conf.get("spark.sql.adaptive.enabled", "true")
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      try df.localCheckpoint(true)
-      finally sess.conf.set("spark.sql.adaptive.enabled", prior)
-    }
+    // The AQE toggle is session-global mutable state: serialize plan
+    // compilation against concurrent queries on the same session
+    // (otherwise another query can compile while adaptive=false, or
+    // two recursions interleave and restore a stale prior value).
+    // `eager = false` marks the RDD and captures the non-adaptive
+    // partitioning in the LogicalRDD at compile time; the caller's
+    // next action (the per-round count below) materializes it — one
+    // job instead of two.
+    def ckptPartitioned(df: DataFrame, eager: Boolean = true): DataFrame =
+      sess.synchronized {
+        val prior = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try df.localCheckpoint(eager)
+        finally sess.conf.set("spark.sql.adaptive.enabled", prior)
+      }
     var keyed = false
-    var blocks = List(base0.localCheckpoint(true))
-    var seenRows = if (all) 0L else blocks.head.count()
+    // lazy checkpoint: the count() doubles as the materializing
+    // action, folding r6's "eager checkpoint job + count job (+
+    // initial isEmpty job)" into one job per round — the whole r6
+    // q_recursive_union regression was this per-round job floor
+    var blocks = List(base0.localCheckpoint(false))
+    val baseRows = blocks.head.count()
+    var seenRows = if (all) 0L else baseRows
     def workingOf(b: DataFrame): DataFrame = if (keyed) b.drop(RK) else b
     var working = blocks.head
     var iter = 0
-    var done = working.isEmpty
+    var done = baseRows == 0
     while (!done) {
       iter += 1
       if (iter > maxIters)
@@ -172,8 +191,11 @@ final class Translator(catalog: String => DataFrame,
       var next = inner.translate(step).toDF(outCols: _*)
       if (!all) {
         if (!keyed) {
-          next = next.distinct().except(blocks.reduce(_ union _))
-            .localCheckpoint(true)
+          // EXCEPT already deduplicates (ReplaceExceptWithAntiJoin
+          // plans Distinct over the anti-join) — an explicit
+          // .distinct() here would add a redundant exchange per round
+          next = next.except(blocks.reduce(_ union _))
+            .localCheckpoint(false)
         } else {
           // one plan per round: Spark reuses the fresh exchange
           // across the per-block semis and the except
@@ -183,11 +205,15 @@ final class Translator(catalog: String => DataFrame,
               b.alias("__rb").join(freshKeys.alias("__ra"),
                 F.col(s"__rb.$RK") === F.col(s"__ra.$RK"), "left_semi"))
             .reduce(_ union _)
-          next = ckptPartitioned(partByKey(fresh.except(seenSub)))
+          next = ckptPartitioned(partByKey(fresh.except(seenSub)),
+            eager = false)
         }
-      } else next = next.localCheckpoint(true)
-      val newRows = if (all) { if (next.isEmpty) 0L else 1L }
-        else next.count()
+      } else next = next.localCheckpoint(false)
+      // ONE action per round: count() materializes the lazy
+      // checkpoint and reports the frontier size (the round must be
+      // fully materialized either way — it feeds the next step's
+      // translation and the final union)
+      val newRows = next.count()
       if (newRows == 0) done = true
       else {
         blocks = blocks :+ next
@@ -200,11 +226,13 @@ final class Translator(catalog: String => DataFrame,
           keyed = true
         }
         // consolidation keeps the block chain (and the result plan)
-        // short; the keyed tier re-establishes its partitioning
+        // short; the keyed tier re-establishes its partitioning. The
+        // small tier consolidates lazily — the next round's except
+        // scan materializes it, no dedicated job
         if (iter % 8 == 0)
           blocks = List(
             if (keyed) ckptPartitioned(partByKey(blocks.reduce(_ union _)))
-            else blocks.reduce(_ union _).localCheckpoint(true))
+            else blocks.reduce(_ union _).localCheckpoint(false))
         working = workingOf(next)
       }
     }

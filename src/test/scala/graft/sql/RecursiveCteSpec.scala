@@ -132,6 +132,36 @@ class RecursiveCteSpec extends SparkTestBase {
     }
   }
 
+  test("keyed large-closure dedup tier matches the small tier end-to-end (r7)") {
+    // force the transition at 3 accumulated rows so a real query
+    // exercises the keyed path (re-key of existing blocks, per-round
+    // semi + except, the %8 keyed consolidation, and the final RK
+    // drop) — the default 4M threshold means the sf-test suite
+    // otherwise only ever runs the small tier
+    val sql =
+      """with recursive walk(k) as (
+           select cast(n_nationkey as int) as k from nation
+           where n_nationkey = 0
+           union
+           select cast((k * 2 + 3) % 23 as int) from walk
+         )
+         select k from walk order by k"""
+    val small = graftSession.query(sql).collect().map(_.getInt(0)).toSeq
+    assert(small.size > 8) // enough rounds to cross a consolidation
+    spark.conf.set("spark.graft.recursive.keyedDedupRows", "3")
+    try {
+      val keyed = graftSession.query(sql).collect().map(_.getInt(0)).toSeq
+      assert(keyed == small)
+      // and against the closed-form closure
+      var seen = Set(0); var frontier = Set(0)
+      while (frontier.nonEmpty) {
+        frontier = frontier.map(k => (2 * k + 3) % 23) -- seen
+        seen ++= frontier
+      }
+      assert(keyed == seen.toSeq.sorted)
+    } finally spark.conf.unset("spark.graft.recursive.keyedDedupRows")
+  }
+
   test("a non-converging recursion hits the iteration cap loudly") {
     val e = intercept[RuntimeException](graftSession.query(
       """with recursive boom(k) as (
