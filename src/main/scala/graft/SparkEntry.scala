@@ -1327,6 +1327,41 @@ object SparkEntry {
              rows between current row and 2 following
              exclude current row) as next2_max
          from lineitem""",
+    // ROWS-frame GROUP/TIES EXCLUDE (r7): graft replays the frame's
+    // ROWS bounds inside the peer-group partition (intersection of
+    // peer group and frame) under a deterministic tiebreak; DuckDB
+    // runs the clause natively with its OWN tie order. Tie order is
+    // implementation-defined for ROWS frames, so the query is built
+    // tie-order-INVARIANT: the aggregate arg is a function of the
+    // order key (any position range has a fixed arg multiset) and the
+    // per-row window values — pure functions of global position —
+    // are re-aggregated per order-key group, collapsing the
+    // position-to-row assignment the engines are free to differ on.
+    // The unbounded-frame columns are per-row deterministic already
+    // (frame always covers the whole peer group). floor() before the
+    // int cast on both sides: Spark casts double→int by truncation,
+    // DuckDB by rounding.
+    "q_window_exclude_rows" ->
+      """with w as (
+           select cast(floor(c_custkey / 10) as int) as grp,
+             sum(floor(c_custkey / 10)) over (partition by c_mktsegment
+               order by floor(c_custkey / 10)
+               rows between 9 preceding and 9 following
+               exclude group) as vg,
+             sum(floor(c_custkey / 10)) over (partition by c_mktsegment
+               order by floor(c_custkey / 10)
+               rows between 4 preceding and 2 following
+               exclude ties) as vt,
+             cast(count(*) over (partition by c_mktsegment
+               order by floor(c_custkey / 10)
+               rows between unbounded preceding and unbounded following
+               exclude group) as bigint) as cg
+           from customer)
+         select grp,
+                round(cast(sum(vg) as double), 4) as s_group,
+                round(cast(sum(vt) as double), 4) as s_ties,
+                cast(sum(cg) as bigint) as c_group
+         from w group by grp""",
     // rank-family dialect extensions. pr/cd stay UNROUNDED: both
     // engines evaluate the identical (rank-1)/(n-1) IEEE division, so
     // raw doubles match bitwise, while round(x, 6) lands exactly on
@@ -1851,16 +1886,44 @@ object SparkEntry {
                 on e.event_type = d.event_type""")),
     // approx corpus stats: HLL++ distinct + quantile sketch — the
     // 100 TB form of q_text_stats (fixed-size partial state instead of
-    // exact percentile's full sort). Sketch values are implementation-
-    // specific, so no cross-engine oracle — rows-only check here,
-    // accuracy-vs-exact asserted in OpsSpec.
+    // exact percentile's full sort). Sketch VALUES are implementation-
+    // specific (no cross-engine form), so the oracle checks the
+    // sketch's documented ERROR CONTRACT instead (r7, closing the last
+    // rows-only entry): the query emits per-group booleans "approx
+    // within band of exact" — HLL++ at default rsd 0.05 within 3σ
+    // (15% relative, +2 absolute slack for tiny groups), quantile
+    // sketch at accuracy 10000 within its rank-error bound n/10000
+    // (+1 rank slack) — and the oracle asserts the bands hold (TRUE
+    // per group). A drifting sketch flips a flag and fails the hash.
     ("q_text_stats_approx",
-      (s: SparkSession, dir: String) =>
-        tbl(s, dir, "documents").groupBy("lang")
-          .agg(F.approx_count_distinct("source").as("n_sources"),
+      (s: SparkSession, dir: String) => {
+        val d = tbl(s, dir, "documents")
+        val approx = d.groupBy("lang")
+          .agg(F.approx_count_distinct("source").as("__ns_a"),
                F.percentile_approx(F.col("n_chars"), F.lit(0.5), F.lit(10000))
-                 .as("median_chars")),
-      None),
+                 .as("__med_a"))
+        d.join(F.broadcast(approx), Seq("lang"))
+          .groupBy("lang")
+          .agg(F.countDistinct("source").as("__ns_e"),
+               F.count("n_chars").as("__n"),
+               F.sum(F.when(F.col("n_chars") < F.col("__med_a"), 1L)
+                 .otherwise(0L)).as("__rank_lo"),
+               F.sum(F.when(F.col("n_chars") <= F.col("__med_a"), 1L)
+                 .otherwise(0L)).as("__rank_hi"),
+               F.max("__ns_a").as("__ns_a"))
+          .select(F.col("lang"),
+            (F.abs(F.col("__ns_a") - F.col("__ns_e")) <=
+              F.greatest(F.lit(2L),
+                F.ceil(F.col("__ns_e") * 0.15))).as("distinct_in_band"),
+            (F.col("__rank_lo") <=
+              F.col("__n") * 0.5 + F.col("__n") / 10000.0 + 1.0 &&
+             F.col("__rank_hi") >=
+              F.col("__n") * 0.5 - F.col("__n") / 10000.0 - 1.0)
+              .as("median_in_band"))
+      },
+      Some("""select lang, true as distinct_in_band,
+                     true as median_in_band
+              from documents group by lang""")),
     ("q_text_stats",
       (s: SparkSession, dir: String) =>
         tbl(s, dir, "documents").groupBy("lang")

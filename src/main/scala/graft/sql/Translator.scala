@@ -3771,12 +3771,15 @@ final class Translator(catalog: String => DataFrame,
     *
     * Sound when (a) the frame provably contains the current row
     * (every bound pair except frames strictly before/after it), and
-    * (b) for GROUP/TIES the frame contains the WHOLE peer group —
-    * true exactly for RANGE frames (peers sit at value-distance 0),
-    * never guaranteed for ROWS frames, which stay loud. The
-    * peer-group aggregate is the same aggregate over PARTITION BY
-    * (partition keys ++ order keys): the SAME window exchange and
-    * sort, one more window function, zero extra shuffle — the
+    * (b) the peer-group term matches what the frame can see: for
+    * RANGE frames the whole peer group (peers sit at value-distance
+    * 0); for ROWS frames (r7) the INTERSECTION of the peer group with
+    * the frame, computed by replaying the same ROWS bounds inside the
+    * peer-group partition under a shared deterministic tiebreak (see
+    * inline). The peer-group aggregate is the same aggregate over
+    * PARTITION BY (partition keys ++ order keys): the SAME window
+    * exchange and sort, one more window function, zero extra shuffle
+    * — the
     * leave-one-out encoding shape (`sum(y) over (partition by g rows
     * between unbounded preceding and unbounded following exclude
     * current row)`) at any scale. SUM/AVG track the remaining
@@ -3857,14 +3860,50 @@ final class Translator(catalog: String => DataFrame,
           if (a.func == "min") F.least(p, q) else F.greatest(p, q)
       }
     }
-    if ((mode == "group" || mode == "ties") && f.isRows)
-      fail("EXCLUDE GROUP/TIES requires a RANGE frame " +
-        "(a ROWS frame may cut the peer group)")
     if ((mode == "group" || mode == "ties") && w.orderBy.isEmpty)
       fail("EXCLUDE GROUP/TIES requires ORDER BY (peers are order ties)")
-    val frameSpec = windowSpec(w.copy(exclude = "no others"), lower)
-    val peersSpec = windowSpec(
-      WindowSpec(w.partitionBy ++ w.orderBy.map(_.e), Nil, None), lower)
+    // GROUP/TIES with a ROWS frame (r7, closing the r6 loud wall): a
+    // ROWS frame may CUT the peer group, so the excluded set is
+    // (peer group ∩ frame). Peers are CONTIGUOUS in the partition
+    // sort, which makes relative row offsets inside the peer-group
+    // partition equal to global offsets — so the SAME ROWS bounds
+    // over a window partitioned by (partition ++ order keys), clipped
+    // at the peer-partition edges by Spark's native frame clipping,
+    // select exactly that intersection. The tie order must be
+    // CONSISTENT between the frame window and the peer window (they
+    // are separate WindowExecs with different partitionings): a
+    // deterministic whole-row-hash tiebreak appended to both sorts
+    // pins it. Any consistent tie order is a valid answer for a ROWS
+    // frame under the standard (tie order is implementation-defined);
+    // identical rows commute under any aggregate, and distinct rows
+    // colliding in xxhash64 is a 2^-64 event. Same two exchanges as
+    // the RANGE path — zero extra shuffle.
+    val rowsGroupTies = (mode == "group" || mode == "ties") && f.isRows
+    val (frameSpec, peersSpec) =
+      if (rowsGroupTies) {
+        def rowBound(b: FrameBound): Long = b match {
+          case UnboundedPreceding => Window.unboundedPreceding
+          case UnboundedFollowing => Window.unboundedFollowing
+          case CurrentRow         => 0L
+          case Preceding(n)       => -n
+          case Following(n)       => n
+        }
+        val tb = F.expr("xxhash64(struct(*))")
+        val lo = rowBound(f.start); val hi = rowBound(f.end)
+        val pCols = w.partitionBy.map(lower)
+        val fs = Window.partitionBy(pCols: _*)
+          .orderBy(w.orderBy.map(oi => orderedCol(lower(oi.e), oi)) :+
+            tb.asc: _*)
+          .rowsBetween(lo, hi)
+        val ps = Window
+          .partitionBy(pCols ++ w.orderBy.map(oi => lower(oi.e)): _*)
+          .orderBy(tb.asc)
+          .rowsBetween(lo, hi)
+        (fs, ps)
+      } else
+        (windowSpec(w.copy(exclude = "no others"), lower),
+         windowSpec(
+           WindowSpec(w.partitionBy ++ w.orderBy.map(_.e), Nil, None), lower))
     val isStar = a.arg match { case Star(_) => true; case _ => false }
     val arg: Column = a.arg match {
       case Star(_) => F.lit(1)

@@ -1143,6 +1143,63 @@ class QueryFuzzSpec extends SparkTestBase {
       }
   }
 
+  /** ROWS-frame GROUP/TIES EXCLUDE fuzz (r7): graft replays the same
+    * ROWS bounds inside the peer-group partition under a shared
+    * whole-row-hash tiebreak; the spark.sql oracle spells out the
+    * identical two-window formula with its own explicit tiebreak.
+    * Output columns are (partition, order key, v) with aggregate args
+    * that are order-key functions, so the row multiset is invariant
+    * under tie order — the engines need not agree on a tiebreak. */
+  private val genExcludeRowsGroupQuery: Gen[(String, String)] = for {
+    agg <- Gen.oneOf("sum", "count", "avg")
+    mode <- Gen.oneOf("group", "ties")
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    start <- Gen.oneOf("unbounded preceding", "3 preceding",
+      "1 preceding", "current row")
+    end <- Gen.oneOf("current row", "1 following", "2 following",
+      "unbounded following")
+  } yield {
+    val frame = s"rows between $start and $end"
+    val arg = if (agg == "count") "*" else "c_acctbal"
+    val g =
+      s"""select $part, c_acctbal, $agg($arg) over (partition by $part
+            order by c_acctbal $frame exclude $mode) as v from customer"""
+    val tb = "xxhash64(struct(*))"
+    val fw = s"partition by $part order by c_acctbal, $tb $frame"
+    val pw = s"partition by $part, c_acctbal order by $tb $frame"
+    val cntArg = if (agg == "count") "*" else "c_acctbal"
+    val fCnt = s"count($cntArg) over ($fw)"
+    val pCnt = s"count($cntArg) over ($pw)"
+    val exclCnt = if (mode == "group") pCnt else s"($pCnt - 1)"
+    val o = agg match {
+      case "count" =>
+        s"select $part, c_acctbal, $fCnt - $exclCnt as v from customer"
+      case _ =>
+        val fSum = s"sum(c_acctbal) over ($fw)"
+        val pSum = s"sum(c_acctbal) over ($pw)"
+        val exclSum =
+          if (mode == "group") pSum else s"($pSum - c_acctbal)"
+        val sumExpr = s"$fSum - $exclSum"
+        val body =
+          if (agg == "sum") sumExpr
+          else s"($sumExpr) / ($fCnt - $exclCnt)"
+        s"""select $part, c_acctbal,
+              case when $fCnt - $exclCnt > 0 then $body end as v
+            from customer"""
+    }
+    (g, o)
+  }
+
+  test("24 random ROWS-frame GROUP/TIES EXCLUDE queries match the rewrite") {
+    Gen.listOfN(24, genExcludeRowsGroupQuery)
+      .pureApply(Gen.Parameters.default, Seed(107L))
+      .distinct.foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(o))
+        }
+      }
+  }
+
   /** Grouped + general correlation in FLAG positions (r6 — the last
     * correlation-matrix cell): EXISTS/IN over GROUP BY [+ HAVING]
     * inners with OR/NOT/mixed-side correlation, in projected-flag,

@@ -340,6 +340,102 @@ class SqlSurfaceSpec extends SparkTestBase {
          from lineitem""")
   }
 
+  test("frame EXCLUDE GROUP/TIES with ROWS frames (r7)") {
+    // a ROWS frame may CUT the peer group: the excluded set is
+    // (peer group ∩ frame), computed by replaying the same ROWS
+    // bounds inside the peer-group partition under a shared
+    // deterministic whole-row-hash tiebreak. The spark.sql oracle
+    // spells out the identical two-window formula with the same
+    // explicit tiebreak (deterministic sorts keep its own two
+    // WindowExecs consistent). Output columns are functions of
+    // (partition, order key) only and the aggregate args are
+    // functions of the order key, so the row MULTISET is invariant
+    // under tie order and the comparison does not depend on the two
+    // engines picking the same tiebreak.
+    checkTranslated(
+      """select l_orderkey, l_quantity,
+           sum(l_quantity) over (partition by l_orderkey
+             order by l_quantity
+             rows between 2 preceding and 1 following
+             exclude group) as sg,
+           count(*) over (partition by l_orderkey
+             order by l_quantity
+             rows between 2 preceding and 1 following
+             exclude ties) as ct,
+           avg(l_quantity) over (partition by l_orderkey
+             order by l_quantity
+             rows between 3 preceding and current row
+             exclude group) as ag
+         from lineitem""",
+      """select l_orderkey, l_quantity,
+           case when count(l_quantity) over (partition by l_orderkey
+                  order by l_quantity, xxhash64(struct(*))
+                  rows between 2 preceding and 1 following)
+                - count(l_quantity) over (
+                  partition by l_orderkey, l_quantity
+                  order by xxhash64(struct(*))
+                  rows between 2 preceding and 1 following) > 0
+                then sum(l_quantity) over (partition by l_orderkey
+                       order by l_quantity, xxhash64(struct(*))
+                       rows between 2 preceding and 1 following)
+                   - sum(l_quantity) over (
+                       partition by l_orderkey, l_quantity
+                       order by xxhash64(struct(*))
+                       rows between 2 preceding and 1 following) end as sg,
+           count(*) over (partition by l_orderkey
+               order by l_quantity, xxhash64(struct(*))
+               rows between 2 preceding and 1 following)
+             - (count(*) over (partition by l_orderkey, l_quantity
+               order by xxhash64(struct(*))
+               rows between 2 preceding and 1 following) - 1) as ct,
+           case when count(l_quantity) over (partition by l_orderkey
+                  order by l_quantity, xxhash64(struct(*))
+                  rows between 3 preceding and current row)
+                - count(l_quantity) over (
+                  partition by l_orderkey, l_quantity
+                  order by xxhash64(struct(*))
+                  rows between 3 preceding and current row) > 0
+                then (sum(l_quantity) over (partition by l_orderkey
+                       order by l_quantity, xxhash64(struct(*))
+                       rows between 3 preceding and current row)
+                    - sum(l_quantity) over (
+                       partition by l_orderkey, l_quantity
+                       order by xxhash64(struct(*))
+                       rows between 3 preceding and current row))
+                   / (count(l_quantity) over (partition by l_orderkey
+                       order by l_quantity, xxhash64(struct(*))
+                       rows between 3 preceding and current row)
+                    - count(l_quantity) over (
+                       partition by l_orderkey, l_quantity
+                       order by xxhash64(struct(*))
+                       rows between 3 preceding and current row)) end as ag
+         from lineitem""")
+    // the unbounded ROWS frame always covers the whole peer group —
+    // equals the RANGE whole-group subtraction, per-row deterministic
+    checkTranslated(
+      """select l_orderkey, l_quantity,
+           sum(l_quantity) over (partition by l_orderkey
+             order by l_quantity
+             rows between unbounded preceding and unbounded following
+             exclude group) as sg,
+           count(*) over (partition by l_orderkey
+             order by l_quantity
+             rows between unbounded preceding and unbounded following
+             exclude ties) as ct
+         from lineitem""",
+      """select l_orderkey, l_quantity,
+           case when count(l_quantity) over (partition by l_orderkey)
+                - count(l_quantity) over (
+                    partition by l_orderkey, l_quantity) > 0
+                then sum(l_quantity) over (partition by l_orderkey)
+                   - sum(l_quantity) over (
+                       partition by l_orderkey, l_quantity) end as sg,
+           count(*) over (partition by l_orderkey)
+             - (count(*) over (partition by l_orderkey, l_quantity) - 1)
+             as ct
+         from lineitem""")
+  }
+
   test("frame EXCLUDE restrictions are loud") {
     // min/max support ROWS + EXCLUDE CURRENT ROW only (r6): a RANGE
     // frame cannot split around one row, GROUP/TIES need variable
@@ -362,12 +458,15 @@ class SqlSurfaceSpec extends SparkTestBase {
            rows between unbounded preceding and current row
            exclude current row) as r from lineitem""").collect())
     assert(e2.getMessage.contains("sum/count/avg"))
-    // GROUP/TIES demand a RANGE frame
+    // GROUP/TIES on min/max stay loud for every frame kind (extrema
+    // have no subtraction decomposition; r7 lifted the ROWS GROUP/
+    // TIES restriction for sum/count/avg only)
     val e3 = intercept[Exception](graftSession.query(
-      """select count(*) over (partition by l_orderkey order by l_quantity
+      """select min(l_quantity) over (partition by l_orderkey
+           order by l_quantity
            rows between unbounded preceding and current row
            exclude group) as c from lineitem""").collect())
-    assert(e3.getMessage.contains("RANGE"))
+    assert(e3.getMessage.contains("split-frame"))
     // frames strictly before the current row cannot exclude it
     val e4 = intercept[Exception](graftSession.query(
       """select sum(l_quantity) over (partition by l_orderkey
