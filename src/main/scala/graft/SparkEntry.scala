@@ -611,6 +611,25 @@ object SparkEntry {
            select count(*) as n, max(o_totalprice) as mx from orders
            where orders.o_custkey = c.c_custkey
              and orders.o_totalprice < c.c_acctbal * 40) o""",
+    // grouped LATERAL with OR-disjunct (general) correlation (r7 —
+    // closing SURVEY 36ap's last loud wall): each outer row fans out
+    // to its correlated set's GROUPS, HAVING filters groups before
+    // the join back, and the OR arm rides the tuple join as residual
+    // condition next to the key equality (keeping the join equi-keyed
+    // — a bare OR correlation with no equi conjunct is the inherently
+    // quadratic form and belongs on bounded inners only). DuckDB runs
+    // the lateral natively — a true cross-implementation check.
+    "q_lateral_or_grouped" ->
+      """select c.c_custkey, a.st, a.n, round(a.total, 4) as total
+         from customer c cross join lateral (
+           select o.o_orderstatus as st, count(*) as n,
+                  sum(o.o_totalprice) as total
+           from orders o
+           where o.o_custkey = c.c_custkey
+             and (o.o_orderstatus = 'F'
+                  or o.o_totalprice < c.c_acctbal * 10)
+           group by o.o_orderstatus
+           having count(*) > 1) a""",
     // LATERAL top-n (r5b): each customer's 2 biggest orders — ONE
     // row_number window on the correlation key + one equi-join, never
     // per-row re-execution (the unique o_orderkey tiebreak makes the

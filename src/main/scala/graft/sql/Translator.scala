@@ -842,25 +842,29 @@ final class Translator(catalog: String => DataFrame,
       case Leaf(q0) => q0
       case _ => fail("LATERAL supports a single SELECT subquery")
     }
-    if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
-        q.sel.qualify.isDefined || q.sel.distinct ||
+    if (q.sel.qualify.isDefined || q.sel.distinct ||
         q.sel.distinctOn.nonEmpty || q.sel.groupSets.nonEmpty)
-      fail("LATERAL subqueries take no GROUP BY/HAVING/DISTINCT/QUALIFY " +
+      fail("LATERAL subqueries take no DISTINCT/QUALIFY/GROUPING SETS " +
         "(aggregate over the correlation, or use the top-n form)")
-    if (q.sel.items.nonEmpty && q.sel.items.exists(i => containsAgg(i.e)))
-      translateLateralAgg(l, q, alias)
+    if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
+        (q.sel.items.nonEmpty && q.sel.items.exists(i => containsAgg(i.e))))
+      translateLateralAgg(l, q, alias, kind)
     else
       translateLateralTopN(l, q, alias, kind)
   }
 
   private def translateLateralAgg(l: Relation, q: Query,
-                                  alias: String): DataFrame = {
+                                  alias: String, kind: String): DataFrame = {
     val lf = translateRelation(l)
     val outerAliases = relationAliases(l)
     if (q.orderBy.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
       fail("LATERAL aggregate subqueries take no ORDER BY/LIMIT " +
-        "(they yield exactly one row per outer row)")
-    if (q.sel.items.isEmpty || !q.sel.items.forall(i => containsAgg(i.e)))
+        "(one row per outer row, or one per surviving group)")
+    val innerKeys = q.sel.groupBy
+    if (q.sel.items.isEmpty)
+      fail("LATERAL aggregate subqueries need select items")
+    if (innerKeys.isEmpty && q.sel.having.isEmpty &&
+        !q.sel.items.forall(i => containsAgg(i.e)))
       fail("LATERAL select items must either all aggregate or " +
         "(for the top-n form) none aggregate")
     val outerOnly = outerAliases -- relationAliases(q.sel.from)
@@ -875,29 +879,65 @@ final class Translator(catalog: String => DataFrame,
     local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
     val keyNames = keyPairs.indices.map(i => s"__lat_k$i")
     val tNames = thetas.indices.map(i => s"__lat_t$i")
+    // inner GROUP BY keys (r7): each surviving (tuple, group) becomes
+    // one lateral row — the "per-outer-row breakdown" shape. HAVING
+    // filters groups BEFORE the join back. A grouped (or HAVING-
+    // filtered) lateral can yield ZERO rows for a tuple, so the
+    // missing-tuple fill only applies to the plain one-row-per-tuple
+    // aggregate form; CROSS/INNER then drop unmatched outer rows and
+    // LEFT keeps them with NULL lateral columns (standard LATERAL
+    // join semantics — the first place the spelling matters for the
+    // aggregate form).
+    val grpNames = innerKeys.indices.map(i => s"__lat_g$i")
+    val fillMissing = innerKeys.isEmpty && q.sel.having.isEmpty
     var aggs = Vector.empty[(String, AggExpr)]
     def aggRef(a: AggExpr): String =
       aggs.find(_._2 == a).map(_._1).getOrElse {
         val nn = s"__lat_a${aggs.size}"
         aggs :+= (nn -> a); nn
       }
+    // TOP-DOWN: an aggregate must be captured WHOLE (its args are
+    // inner-frame expressions the aggregation evaluates) — a
+    // bottom-up pass would rewrite a group-key ref inside an agg arg
+    // to a post-grouping helper name the inner frame doesn't have
+    def substGroupKeys(e: Expr): Expr = e match {
+      case a: AggExpr if a.window.isEmpty =>
+        val n = aggRef(a)
+        if (a.func == "count" && fillMissing)
+          Coalesce(Seq(ColRef(None, n), NumLit("0")))
+        else ColRef(None, n)
+      case c if innerKeys.exists(k => sameExpr(k, c)) =>
+        ColRef(None,
+          innerKeys.zip(grpNames).find(t => sameExpr(t._1, c)).get._2)
+      case other => Ast.mapChildren(other, substGroupKeys)
+    }
+    val innerAliasSet = relationAliases(q.sel.from)
     val items = q.sel.items.map { item =>
-      val rewritten = Ast.transformUp(item.e) {
-        case a: AggExpr if a.window.isEmpty =>
-          val n = aggRef(a)
-          if (a.func == "count") Coalesce(Seq(ColRef(None, n), NumLit("0")))
-          else ColRef(None, n)
-      }
+      val rewritten = substGroupKeys(item.e)
+      if (refersToAliases(rewritten, innerAliasSet))
+        fail("LATERAL aggregate select items must be aggregates or " +
+          s"GROUP BY keys, got ${item.e}")
       val name = item.alias.getOrElse(defaultName(item.e, inner))
       (rewritten, name)
     }
+    val havingSubst: Option[Expr] = q.sel.having.map(substGroupKeys)
+    if (aggs.isEmpty)
+      fail("LATERAL aggregate subqueries need at least one aggregate " +
+        "(use the top-n form for plain correlated selection)")
     val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
+    val grpCols = innerKeys.zip(grpNames).map { case (g, n) =>
+      exprToCol(g, None).as(n) }
     if (keyPairs.isEmpty && thetas.isEmpty && gens.isEmpty) {
-      // uncorrelated: a global aggregate is ONE row — broadcast it
-      val grouped = inner.agg(aggCols.head, aggCols.tail: _*)
+      // uncorrelated: a global aggregate is ONE row (or one per
+      // group) — broadcast it
+      var grouped =
+        if (innerKeys.isEmpty) inner.agg(aggCols.head, aggCols.tail: _*)
+        else inner.groupBy(grpCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      havingSubst.foreach(h => grouped = grouped.filter(exprToCol(h, None)))
       val lat = grouped.select(items.map { case (e, n) =>
         exprToCol(e, None).as(n) }: _*).alias(alias.toLowerCase)
-      lf.crossJoin(F.broadcast(lat))
+      if (kind == "left") lf.join(F.broadcast(lat), F.lit(true), "left_outer")
+      else lf.crossJoin(F.broadcast(lat))
     } else {
       // every outer (key, operand) tuple gets a row (missing groups
       // filled here, so COUNT coalesces apply BEFORE aliasing and
@@ -914,10 +954,10 @@ final class Translator(catalog: String => DataFrame,
           exprToCol(oe, None).as(n) } ++
         genDefs.map { case (n, oe) => exprToCol(oe, None).as(n) }
       val tuples = lf.select(tupleCols: _*).distinct()
-      val grouped =
+      var grouped =
         if (thetas.isEmpty && gens.isEmpty)
           inner.groupBy(keyPairs.zip(keyNames).map { case ((ik, _), n) =>
-            exprToCol(ik, None).as(n) }: _*)
+            exprToCol(ik, None).as(n) } ++ grpCols: _*)
             .agg(aggCols.head, aggCols.tail: _*)
         else {
           val joinCond =
@@ -927,14 +967,19 @@ final class Translator(catalog: String => DataFrame,
               cmp(op, exprToCol(ie, None), F.col(n)) } ++
              gens.map(exprToCol(_, None))).reduce(_ && _)
           tuples.join(inner, joinCond, "inner")
-            .groupBy(tupleNames.map(F.col): _*)
+            .groupBy(tupleNames.map(F.col) ++ grpCols: _*)
             .agg(aggCols.head, aggCols.tail: _*)
         }
+      havingSubst.foreach(h => grouped = grouped.filter(exprToCol(h, None)))
       // a general predicate (IS NULL, OR arms) can select rows for a
       // NULL-operand tuple, so the fill join must be NULL-SAFE on the
-      // general tuple columns (Spark's name-based join is not)
+      // general tuple columns (Spark's name-based join is not).
+      // Grouped/HAVING forms skip the fill: a tuple with no surviving
+      // groups has ZERO lateral rows, not one NULL row
       val filled =
-        if (gens.isEmpty) tuples.join(grouped, tupleNames.toSeq, "left_outer")
+        if (!fillMissing) grouped
+        else if (gens.isEmpty)
+          tuples.join(grouped, tupleNames.toSeq, "left_outer")
         else {
           val renamed = grouped.select(grouped.columns.map(c =>
             if (tupleNames.contains(c)) F.col(c).as(c + "__g")
@@ -954,7 +999,9 @@ final class Translator(catalog: String => DataFrame,
         genDefs.map { case (n, oe) =>
           exprToCol(oe, None) <=> F.col(s"${alias.toLowerCase}.$n")
         }).reduce(_ && _)
-      lf.join(lat, cond, "inner").drop(tupleNames: _*)
+      val joinType =
+        if (kind == "left" && !fillMissing) "left_outer" else "inner"
+      lf.join(lat, cond, joinType).drop(tupleNames: _*)
     }
   }
 

@@ -192,6 +192,65 @@ class LateralSpec extends SparkTestBase {
     assert(e2.getMessage.contains("TIES"))
   }
 
+  test("grouped LATERAL aggregates with OR correlation and HAVING (r7)") {
+    // each outer row fans out to its correlated set's groups; Spark's
+    // native lateral is the independent oracle (different plan)
+    def check(sql: String): Unit =
+      assertSameRows(graftSession.query(sql), spark.sql(sql))
+    check(
+      """select c.c_custkey, a.k, a.n from customer c
+         cross join lateral (
+           select o.o_orderstatus as k, count(*) as n from orders o
+           where o.o_custkey = c.c_custkey
+              or o.o_totalprice > c.c_acctbal * 100
+           group by o.o_orderstatus) a""")
+    // LEFT keeps outer rows whose correlated set has no surviving
+    // group (NULL lateral columns); CROSS drops them — the one place
+    // the join spelling matters for the aggregate form. graft's LEFT
+    // spelling takes ON TRUE; Spark's native lateral takes none.
+    assertSameRows(
+      graftSession.query(
+        """select c.c_custkey, a.k, a.n from customer c
+           left join lateral (
+             select o.o_orderstatus as k, count(*) as n from orders o
+             where o.o_custkey = c.c_custkey
+             group by o.o_orderstatus
+             having count(*) > 5) a on true"""),
+      spark.sql(
+        """select c.c_custkey, a.k, a.n from customer c
+           left join lateral (
+             select o.o_orderstatus as k, count(*) as n from orders o
+             where o.o_custkey = c.c_custkey
+             group by o.o_orderstatus
+             having count(*) > 5) a"""))
+    // GROUP-BY-less HAVING: zero-or-one lateral row per outer row
+    check(
+      """select c.c_custkey, a.n from customer c
+         cross join lateral (
+           select count(*) as n from orders o
+           where o.o_custkey = c.c_custkey
+           having count(*) > 5) a""")
+    // group keys may appear inside item expressions and agg args
+    check(
+      """select c.c_custkey, a.lab, a.n from customer c
+         cross join lateral (
+           select concat(o.o_orderstatus, '!') as lab,
+                  count(o.o_orderstatus) as n
+           from orders o
+           where o.o_custkey = c.c_custkey
+             and (o.o_orderstatus = 'F' or o.o_totalprice < c.c_acctbal)
+           group by o.o_orderstatus) a""")
+    // a select item that is neither an aggregate nor a group key is
+    // loud
+    val e = intercept[RuntimeException](graftSession.query(
+      """select c.c_custkey, a.x from customer c
+         cross join lateral (
+           select o.o_orderkey as x, count(*) as n from orders o
+           where o.o_custkey = c.c_custkey
+           group by o.o_orderstatus) a"""))
+    assert(e.getMessage.contains("GROUP BY keys"), e.getMessage)
+  }
+
   test("lateral restrictions are loud") {
     val e1 = intercept[RuntimeException](graftSession.query(
       """select c.c_custkey, o.k from customer c

@@ -1200,6 +1200,54 @@ class QueryFuzzSpec extends SparkTestBase {
       }
   }
 
+  /** Grouped LATERAL fuzz (r7 — SURVEY 36ap's last loud wall):
+    * LATERAL aggregate subqueries with inner GROUP BY / HAVING and
+    * key-eq + theta + OR-disjunct (general) correlation, in CROSS and
+    * LEFT spellings, vs Spark SQL's NATIVE lateral decorrelation — an
+    * independent engine-side oracle (different plan shape entirely:
+    * Catalyst's DecorrelateInnerQuery vs graft's distinct-tuple
+    * machinery). Money sums round at 4dp: the two plans aggregate in
+    * different orders. */
+  private val genLateralGroupedQuery: Gen[(String, String)] = for {
+    key <- Gen.oneOf("o_orderstatus", "o_orderpriority")
+    agg <- Gen.oneOf(
+      Seq("count(*) as n"),
+      Seq("count(*) as n", "round(sum(o.o_totalprice), 4) as s"),
+      Seq("round(max(o.o_totalprice), 4) as mx"))
+    corr <- Gen.oneOf(
+      "o.o_custkey = c.c_custkey",
+      "o.o_custkey = c.c_custkey and (o.o_orderstatus = 'F' " +
+        "or o.o_totalprice < c.c_acctbal * 10)",
+      "o.o_custkey = c.c_custkey and o.o_totalprice < c.c_acctbal * 40",
+      "o.o_custkey = c.c_custkey and (o.o_totalprice > c.c_acctbal " +
+        "or o.o_orderpriority like '1%') " +
+        "and o.o_totalprice < c.c_acctbal * 60")
+    having <- Gen.oneOf("", "having count(*) > 1", "having count(*) >= 3")
+    kind <- Gen.oneOf("cross", "left")
+  } yield {
+    val outCols = "a.k" +: agg.map(a => "a." + a.split(" as ").last.trim)
+    val sub = s"""(select o.$key as k, ${agg.mkString(", ")}
+                   from orders o where $corr group by o.$key $having) a"""
+    val joinG =
+      if (kind == "left") s"left join lateral $sub on true"
+      else s"cross join lateral $sub"
+    val joinS =
+      if (kind == "left") s"left join lateral $sub"
+      else s"join lateral $sub"
+    (s"select c.c_custkey, ${outCols.mkString(", ")} from customer c $joinG",
+     s"select c.c_custkey, ${outCols.mkString(", ")} from customer c $joinS")
+  }
+
+  test("20 random grouped-LATERAL queries match Spark's native lateral") {
+    Gen.listOfN(20, genLateralGroupedQuery)
+      .pureApply(Gen.Parameters.default, Seed(109L))
+      .distinct.foreach { case (g, s) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(s))
+        }
+      }
+  }
+
   /** Grouped + general correlation in FLAG positions (r6 — the last
     * correlation-matrix cell): EXISTS/IN over GROUP BY [+ HAVING]
     * inners with OR/NOT/mixed-side correlation, in projected-flag,
