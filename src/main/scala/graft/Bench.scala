@@ -114,10 +114,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val p50 = median(results.map(_._2).toArray)
-    // streaming state store: hdfs (default) or rocksdb via env — the
-    // 100 TB posture knob (see Streaming.benchJson)
+    // streaming state store: rocksdb is the benched DEFAULT (the
+    // 100 TB posture — state lives off-heap/SSD, not executor heap);
+    // hdfs selectable via env for comparison (see Streaming.benchJson)
     val streaming = Streaming.benchJson(spark, sfDir,
-      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs"))
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb"))
     // compute-bound split (r6): the suite total is floor-dominated
     // (160+ queries DuckDB answers in <50 ms in-process while graft
     // pays a fixed job-submission constant), which hides per-tier

@@ -334,8 +334,18 @@ object Streaming {
         val sRps = if (sMs > 0) (sRows * 1000.0 / sMs).round else 0L
         val sMean = if (steady.isEmpty) 0.0 else sMs.toDouble / steady.length
         val sMax = if (steady.isEmpty) 0L else steady.map(_.batchDuration).max
+        // state-store footprint from the final progress: live rows
+        // and provider-reported bytes (heap for hdfs, native/SST for
+        // rocksdb) — the number that must stay watermark-bounded for
+        // the 100 TB posture, published so flat throughput can't mask
+        // unbounded state
+        val ops = progress.lastOption.map(_.stateOperators)
+          .getOrElse(Array.empty)
+        val stRows = ops.map(_.numRowsTotal).sum
+        val stBytes = ops.map(_.memoryUsedBytes).sum
         s""""$name":{"rows":$rows,"sec":$sec,"rows_per_sec":$rps,""" +
-          s""""batches":$batches,"steady":{"batches":${steady.length},""" +
+          s""""batches":$batches,"state_rows":$stRows,""" +
+          s""""state_bytes":$stBytes,"steady":{"batches":${steady.length},""" +
           s""""rows_per_sec":$sRps,"mean_batch_ms":$sMean,"max_batch_ms":$sMax}}"""
       } catch { case e: Throwable => errJson(name, e) }
     // the file streaming source requires a DIRECTORY of files and the

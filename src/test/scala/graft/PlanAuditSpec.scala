@@ -464,6 +464,50 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus-side shuffle leaked into the plan\n" + p.take(3000))
   }
 
+  test("tpch q9: 6-way join broadcasts every dim, no cartesian, two-phase agg") {
+    val p = plan("q_tpch_q9")
+    // part/supplier/orders/nation all broadcast against the streamed
+    // lineitem scan — the only exchanges are the final group-by's
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "a dim join fell back to sort-merge\n" + p.take(3000))
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 4, s"expected 4 broadcast joins, saw $bhj\n" + p.take(3000))
+    assert(p.contains("partial_sum"), "profit aggregation not two-phase")
+    // the LIKE filter reaches the part scan
+    assert(p.contains("StringContains(p_name,gear)"), p.take(3000))
+  }
+
+  test("tpch q18: HAVING-IN lowers to a semi join, not a re-aggregation join") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("LeftSemi"), "order-qualifier IN is not a semi join\n" +
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // exactly two shuffles: the inner per-order sum and the final
+    // group-by (a re-aggregation join would add a third)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, saw $exchanges\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 not pushed into TakeOrderedAndProject")
+  }
+
+  test("tpch q21: exists/not-exists pair is semi+anti on the order key, one exchange") {
+    val p = plan("q_tpch_q21")
+    // both correlated subqueries join key-equi on l_orderkey with the
+    // <> suppkey theta as residual — never a cartesian or key-less loop
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "exists lowering lost its equi key\n" + p.take(3000))
+    // the semi/anti carry the theta residual on the join itself
+    assert(p.contains("NOT (l_suppkey"), p.take(3000))
+    // the only shuffle is the final s_name group-by
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("scd2 is one key-window exchange, no self-join") {
     val df = SparkEntry.queries("q_scd2")(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString()
