@@ -2268,7 +2268,7 @@ object SparkEntry {
           .where(F.col("src") =!= F.col("dst") &&
             (F.col("src") * 31 + F.col("dst")) % 7 === 0)
           .distinct()
-        graft.ops.Curation.pageRank(edges, iterations = 3, damping = 0.85)
+        graft.ops.Curation.pageRank(edges, iterations = 3, damping = 0.85, checkpointEvery = 1)
           .select(F.col("node"), F.round(F.col("rank"), 4).as("rank"))
       },
       // MATERIALIZED hints are load-bearing: DuckDB 1.0 inlines a CTE

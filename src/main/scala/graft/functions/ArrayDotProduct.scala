@@ -129,6 +129,16 @@ object GraftFunctions {
         litInt(exprs(2), "graft_bloom_contains k")),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_word_ngrams",
+      exprs => WordNgrams(exprs(0), litInt(exprs(1), "graft_word_ngrams n"),
+        filterEmpty = true, distinct = false, padShort = false),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_word_shingles",
+      exprs => WordNgrams(exprs(0), litInt(exprs(1), "graft_word_shingles n"),
+        filterEmpty = false, distinct = true, padShort = true),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncodeCodes(exprs(0), exprs(1),
         litInt(exprs(2), "graft_pq_encode m"),

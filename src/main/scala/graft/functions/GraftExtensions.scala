@@ -45,6 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         BloomContains(exprs(0), exprs(1),
           GraftFunctions.litIntArg(exprs(2), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams", "word n-gram array (empty tokens filtered)"),
+      (exprs: Seq[Expression]) =>
+        WordNgrams(exprs(0), GraftFunctions.litIntArg(exprs(1), "n"),
+          filterEmpty = true, distinct = false, padShort = false)))
+    e.injectFunction((FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "distinct word n-gram shingle array"),
+      (exprs: Seq[Expression]) =>
+        WordNgrams(exprs(0), GraftFunctions.litIntArg(exprs(1), "n"),
+          filterEmpty = false, distinct = true, padShort = true)))
     e.injectFunction((FunctionIdentifier("graft_pq_encode"),
       info("graft_pq_encode", "product-quantization codes + error"),
       (exprs: Seq[Expression]) =>

@@ -206,9 +206,11 @@ object Curation {
     * must have columns `src` and `dst`; output is (node, rank). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
                damping: Double = 0.85,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               checkpointEvery: Int = 3): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // checkpointDir is session-global SparkContext state: set it for
     // the iteration, restore the caller's prior dir after (r6 — the
     // bare set silently redirected every later checkpoint user in the
@@ -222,15 +224,48 @@ object Curation {
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
+    val lazyCkpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(_) => df => df.checkpoint(false)
+      case None    => df => df.localCheckpoint(false)
+    }
     try {
-      val e = ckpt(edges.select("src", "dst"))
-      val nodes = ckpt(e.selectExpr("src as node")
+      // setup frames checkpoint LAZILY: the one node count
+      // materializes edges+nodes, the first round's job materializes
+      // outDeg — the r6 version paid an eager job for each
+      val e = lazyCkpt(edges.select("src", "dst"))
+      val nodes = lazyCkpt(e.selectExpr("src as node")
         .union(e.selectExpr("dst as node")).distinct())
       val n = nodes.count()
-      val outDeg = ckpt(e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")))
-      var ranks = ckpt(nodes.withColumn("rank", F.lit(1.0 / n)))
-      for (_ <- 1 to iterations)
-        ranks = ckpt(pageRankRound(nodes, e, outDeg, ranks, n, damping))
+      val outDeg = lazyCkpt(
+        e.groupBy("src").agg(F.count(F.lit(1)).as("outdeg")))
+      // the initial uniform rank vector is a pure projection of the
+      // checkpointed nodes — nothing to checkpoint
+      var ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+      // rounds compose LAZILY and checkpoint (one materializing job +
+      // one plan compile) every `checkpointEvery` rounds: per-round
+      // eager checkpoints made the job/compile floor the dominant
+      // cost at bench scale, and at cluster scale a k-round lineage
+      // block is the standard iterative trade (a failure recomputes
+      // at most k rounds from the last checkpoint). Each un-
+      // checkpointed round PERSISTS: a round reads its predecessor
+      // twice (dangling-mass aggregate + contribution join), so
+      // without the cache k lazy rounds would re-run the edge join
+      // 2^k times — the InMemoryRelation evaluates it once
+      val bcast = n <= edges.sparkSession.conf
+        .get("spark.graft.pagerank.broadcastRankRows", "4000000").toLong
+      var cached: List[DataFrame] = Nil
+      for (i <- 1 to iterations) {
+        val r = pageRankRound(nodes, e, outDeg, ranks, n, damping, bcast)
+        if (i % checkpointEvery == 0 || i == iterations) {
+          ranks = ckpt(r)
+          cached.foreach(_.unpersist(false))
+          cached = Nil
+        } else {
+          val p = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached ::= p
+          ranks = p
+        }
+      }
       ranks
     } finally {
       if (checkpointDir.isDefined) prior.foreach(sc.setCheckpointDir)
@@ -243,7 +278,7 @@ object Curation {
     * only visible here). */
   private[graft] def pageRankRound(nodes: DataFrame, e: DataFrame,
       outDeg: DataFrame, ranks: DataFrame, n: Long,
-      damping: Double): DataFrame = {
+      damping: Double, broadcastRanks: Boolean = false): DataFrame = {
     val rd = ranks.alias("r")
       .join(outDeg.alias("d"), F.col("r.node") === F.col("d.src"),
         "left_outer")
@@ -251,8 +286,15 @@ object Curation {
         F.col("d.outdeg").as("outdeg"))
     val dangling = rd.filter(F.col("outdeg").isNull)
       .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).as("__dm"))
-    val contrib = rd.filter(F.col("outdeg").isNotNull).alias("c")
-      .join(e.alias("e"), F.col("c.node") === F.col("e.src"))
+    // broadcast-rank regime (r7): when the rank vector fits a
+    // broadcast (node count below the dial), ship IT to the edges —
+    // the edge table, the big side at web scale, never shuffles; the
+    // only per-round exchange is the n-sized contribution partials.
+    // Past the dial the planner keys both sides as before.
+    val live = rd.filter(F.col("outdeg").isNotNull).alias("c")
+    val contrib = (if (broadcastRanks) e.alias("e")
+        .join(F.broadcast(live), F.col("c.node") === F.col("e.src"))
+      else live.join(e.alias("e"), F.col("c.node") === F.col("e.src")))
       .groupBy(F.col("e.dst").as("node"))
       .agg(F.sum(F.col("c.rank") / F.col("c.outdeg")).as("__in"))
     nodes.alias("n")

@@ -34,33 +34,32 @@ object Dedup {
       .filter(F.col("copies") > 1)
       .select("keep_id", "copies")
 
-  /** SQL text of the distinct token-n-gram shingle array over a
-    * `__toks` column. Consumers that need ROWS must inline this
-    * directly inside `explode(...)`: materializing the array into a
-    * named column and exploding it in a separate projection makes
-    * Spark's Generate copy the backing array per emitted element —
-    * measured 13× slower at sf0.1 (4.4 s vs 0.35 s for the train
-    * split's ~630k shingles). */
-  private def shingleArraySql(n: Int): String = {
-    val gram = (0 until n).map(k => s"element_at(__toks, i+$k)")
-      .mkString(", ' ', ")
-    s"""array_distinct(transform(
-          sequence(1, greatest(size(__toks) - ${n - 1}, 1)),
-          i -> concat($gram)))"""
-  }
+  /** SQL text of the distinct token-n-gram shingle array — the
+    * native graft.functions.WordNgrams one-pass form (r7; the
+    * historical `array_distinct(transform(sequence(...)))` paid
+    * interpreted HOF dispatch per token and per gram). Consumers that
+    * need ROWS must still inline this directly inside `explode(...)`:
+    * materializing the array into a named column and exploding it in
+    * a separate projection makes Spark's Generate copy the backing
+    * array per emitted element — measured 13× slower at sf0.1 (4.4 s
+    * vs 0.35 s for the train split's ~630k shingles). */
+  private def shingleArraySql(n: Int): String =
+    s"graft_word_shingles(lower(text), $n)"
 
   /** doc_id + distinct token-n-gram shingles (array form — for
     * per-document array consumers like minhash; row consumers use
     * [[withShingleRows]]). */
-  def withShingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
-    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
-      .selectExpr("doc_id", s"${shingleArraySql(n)} as shingles")
+  def withShingles(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id", s"${shingleArraySql(n)} as shingles")
+  }
 
   /** (doc_id, s): one row per distinct shingle, the explode inlined
-    * over the token projection (see [[shingleArraySql]] for why). */
-  def withShingleRows(docs: DataFrame, n: Int = ShingleN): DataFrame =
-    docs.selectExpr("doc_id", "split(lower(text), ' ') as __toks")
-      .selectExpr("doc_id", s"explode(${shingleArraySql(n)}) as s")
+    * over the text projection (see [[shingleArraySql]] for why). */
+  def withShingleRows(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id", s"explode(${shingleArraySql(n)}) as s")
+  }
 
   /** doc_id + NumHashes minhash signatures h0..h{k-1}. Rather than k
     * md5 calls per shingle, each seeded 128-bit md5 is sliced into
@@ -528,14 +527,16 @@ object Dedup {
   def duplicateSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
     import org.apache.spark.sql.expressions.Window
+    // native one-pass span stream (WordNgrams, inlined in the
+    // generator); posexplode is 0-based where the old sequence(1,..)
+    // positions were 1-based
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .selectExpr("doc_id",
-        "filter(split(lower(text), ' '), t -> t <> '') as w")
-      .filter(s"size(w) >= $n")
-      .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> struct(i as pos, md5(array_join(slice(w, i, $n), ' ')) as h))) as sp")
-      .select(F.col("doc_id"), F.col("sp.pos").as("pos"), F.col("sp.h").as("h"))
+      .select(F.col("doc_id"),
+        F.posexplode(F.expr(s"graft_word_ngrams(lower(text), $n)"))
+          .as(Seq("__p0", "__g")))
+      .select(F.col("doc_id"), (F.col("__p0") + 1).as("pos"),
+        F.md5(F.col("__g")).as("h"))
       .withColumn("__first",
         F.row_number().over(
           Window.partitionBy("h").orderBy("doc_id", "pos")) === 1)

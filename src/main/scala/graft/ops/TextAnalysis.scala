@@ -258,12 +258,12 @@ object TextAnalysis {
     * the gram text keeps the k-boundary deterministic. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    val gram = (0 until n).map(j => s"element_at(w, i+$j)").mkString(", ' ', ")
+    // native one-pass gram stream (WordNgrams): short documents yield
+    // an empty array — explode drops them like the old size() filter
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .selectExpr("doc_id", "filter(split(lower(text), ' '), t -> t <> '') as w")
-      .filter(s"size(w) >= $n")
       .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size(w) - ${n - 1}), i -> concat($gram))) as g")
+        s"explode(graft_word_ngrams(lower(text), $n)) as g")
       .groupBy("g", "doc_id").agg(F.count(F.lit(1)).as("__c"))
       .groupBy("g")
       .agg(F.sum("__c").as("n_occ"), F.count(F.lit(1)).as("n_docs"))
@@ -283,12 +283,9 @@ object TextAnalysis {
   def approxTopNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
                       sketch: Int = 4096): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    val gram = (0 until n).map(j => s"element_at(w, i+$j)").mkString(", ' ', ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .selectExpr("filter(split(lower(text), ' '), t -> t <> '') as w")
-      .filter(s"size(w) >= $n")
-      .selectExpr(
-        s"explode(transform(sequence(1, size(w) - ${n - 1}), i -> concat($gram))) as g")
+      .selectExpr(s"explode(graft_word_ngrams(lower(text), $n)) as g")
       .agg(graft.functions.HeavyHitters.misraGries(F.col("g"), sketch).as("mg"))
       .select(F.explode(F.col("mg")).as(Seq("g", "n_est")))
       .orderBy(F.col("n_est").desc, F.col("g").asc)

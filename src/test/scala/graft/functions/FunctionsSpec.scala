@@ -126,4 +126,69 @@ class FunctionsSpec extends SparkTestBase {
       .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
     assert(r(1L) == ((2, 3)) && r(2L) == ((0, 1)), r.toString)
   }
+
+  test("graft_word_ngrams equals the filtered HOF gram stream") {
+    GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .limit(300)
+    for (n <- Seq(1, 2, 8)) {
+      val native = docs.selectExpr("doc_id",
+        s"explode(graft_word_ngrams(lower(text), $n)) as g")
+      val hof = docs
+        .selectExpr("doc_id", "filter(split(lower(text), ' '), t -> t <> '') as w")
+        .filter(s"size(w) >= $n")
+        .selectExpr("doc_id",
+          s"""explode(transform(sequence(1, size(w) - ${n - 1}),
+               i -> concat(${(0 until n).map(j => s"element_at(w, i+$j)")
+                 .mkString(", ' ', ")}))) as g""")
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+        s"n=$n mismatch")
+    }
+  }
+
+  test("graft_word_shingles equals array_distinct of the raw-split grams") {
+    GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .limit(300)
+      // plant text with doubled spaces and short docs
+      .selectExpr("doc_id",
+        "case when doc_id % 7 = 0 then 'one two' " +
+        "     when doc_id % 7 = 1 then replace(text, ' ', '  ') " +
+        "     else text end as text")
+    val native = docs.selectExpr("doc_id",
+      "graft_word_shingles(lower(text), 3) as sh")
+    val hof = docs
+      .selectExpr("doc_id", "split(lower(text), ' ') as __toks")
+      .selectExpr("doc_id",
+        """array_distinct(transform(
+             sequence(1, greatest(size(__toks) - 2, 1)),
+             i -> concat(try_element_at(__toks, i), ' ',
+                         try_element_at(__toks, i+1), ' ',
+                         try_element_at(__toks, i+2)))) as sh""")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("graft_word_ngrams edge cases: empty, spaces-only, null, short") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val t = Seq((1L, ""), (2L, "   "), (3L, null: String), (4L, "a b"),
+        (5L, " a  b ")).toDF("id", "text")
+    val r = t.selectExpr("id",
+        "graft_word_ngrams(text, 2) as g",
+        "graft_word_shingles(text, 2) as s")
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.getSeq[String](1)).map(_.toList),
+          Option(x.getSeq[String](2)).map(_.toList)))).toMap
+    assert(r(1L) == ((Some(Nil), Some(List(null)))), r(1L).toString)
+    // raw split of three spaces = four empty tokens; every 2-gram is
+    // the single joining space, deduped to one
+    assert(r(2L) == ((Some(Nil), Some(List(" ")))), r(2L).toString)
+    assert(r(3L) == ((None, None)))
+    assert(r(4L) == ((Some(List("a b")), Some(List("a b")))))
+    // filtered: tokens [a,b] -> one gram; raw: ["","a","","b",""]
+    assert(r(5L)._1 == Some(List("a b")), r(5L).toString)
+    assert(r(5L)._2 == Some(List(" a", "a ", " b", "b ")), r(5L).toString)
+  }
 }
