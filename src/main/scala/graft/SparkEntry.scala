@@ -2807,6 +2807,97 @@ object SparkEntry {
           "orc", tmp)
       },
       Some("select doc_id, lang, source, n_chars from documents")),
+    // declarative constraint audit (r7): all four row-local rules in
+    // ONE aggregation pass; uniqueness is a key-grouped two-phase
+    // aggregate, referential presence one anti join against the
+    // broadcast distinct dim keys
+    ("q_quality_audit",
+      (s: SparkSession, dir: String) => {
+        import graft.ops.Quality._
+        auditConstraints(tbl(s, dir, "orders"), Seq(
+          NotNull("o_custkey"),
+          InRange("o_totalprice", 0.0, 500000.0),
+          Matches("o_orderstatus", "^[A-Z]$"),
+          InSet("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+          Unique(Seq("o_orderkey")),
+          RefIntegrity("o_custkey", tbl(s, dir, "customer"), "c_custkey")))
+      },
+      Some("""select 'not_null(o_custkey)' as rule,
+                cast(sum(case when o_custkey is null then 1 else 0 end) as bigint) as violations
+              from orders
+              union all
+              select 'in_range(o_totalprice)',
+                cast(sum(case when o_totalprice is not null
+                          and (o_totalprice < 0.0 or o_totalprice > 500000.0)
+                         then 1 else 0 end) as bigint)
+              from orders
+              union all
+              select 'matches(o_orderstatus)',
+                cast(sum(case when o_orderstatus is not null
+                          and not regexp_matches(o_orderstatus, '^[A-Z]$')
+                         then 1 else 0 end) as bigint)
+              from orders
+              union all
+              select 'in_set(o_orderpriority)',
+                cast(sum(case when o_orderpriority is not null
+                          and o_orderpriority not in ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                         then 1 else 0 end) as bigint)
+              from orders
+              union all
+              select 'unique(o_orderkey)',
+                cast(coalesce(sum(c - 1), 0) as bigint)
+              from (select count(*) as c from orders group by o_orderkey) g
+              union all
+              select 'ref(o_custkey->c_custkey)', cast(count(*) as bigint)
+              from orders o
+              where o_custkey is not null
+                and not exists (select 1 from customer c
+                                where c.c_custkey = o.o_custkey)""")),
+    // per-dimension embedding stats (r7): one zero-shuffle vector-
+    // buffer aggregation (DimStats Aggregator); mean/std rounded 4dp
+    // (summation order differs across engines), extrema exact
+    ("q_embed_dimstats",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Similarity.dimensionStats(tbl(s, dir, "embeddings"))
+          .select(F.col("dim"), F.col("n"),
+            F.round(F.col("mean"), 4).as("mean"),
+            F.round(F.col("std"), 4).as("std"),
+            F.round(F.col("mn"), 5).as("mn"), F.round(F.col("mx"), 5).as("mx")),
+      Some("""select cast(dim as int) as dim, cast(count(x) as bigint) as n,
+                round(avg(x), 4) as mean,
+                round(stddev_samp(x), 4) as std,
+                cast(round(min(x), 5) as double) as mn,
+                cast(round(max(x), 5) as double) as mx
+              from (select unnest(embedding) as x,
+                           unnest(range(1, len(embedding) + 1)) as dim
+                    from embeddings where embedding is not null)
+              group by dim""")),
+    // persisted mergeable HLL distinct sketches (r7): per-batch
+    // per-lang sketch build + cross-batch union; the estimate is
+    // checked against the exact distinct within the documented
+    // 3-sigma HLL error band (rse = 1.04/sqrt(2^12)), the same
+    // error-contract oracle pattern as q_text_stats_approx
+    ("q_sketch_distinct",
+      (s: SparkSession, dir: String) => {
+        import graft.ops.Sketches._
+        val d = tbl(s, dir, "documents")
+          .selectExpr("doc_id", "lang", "md5(text) as h")
+        val batches = Seq(0, 1).map(p =>
+          distinctSketches(d.filter(s"doc_id % 2 = $p"), Seq("lang"), "h"))
+        val est = mergeDistinctEstimates(batches, Seq("lang"))
+        val exact = d.groupBy("lang")
+          .agg(F.countDistinct("h").as("n_exact"))
+        exact.join(est, Seq("lang"))
+          .select(F.col("lang"), F.col("n_exact"),
+            (F.abs(F.col("distinct_est") - F.col("n_exact")) <=
+              F.greatest(F.lit(2.0),
+                F.col("n_exact") * (3.0 * 1.04 / math.sqrt(1 << 12))))
+              .as("est_in_band"))
+      },
+      Some("""select lang, cast(count(distinct md5(text)) as bigint) as n_exact,
+                true as est_in_band
+              from documents group by lang""")),
   )
 
   /** Flagship: TPC-H Q1-flavored aggregation through the graft engine. */

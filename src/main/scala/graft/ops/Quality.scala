@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Declarative data-quality constraint audit (SURVEY.md §2.2 row
+  * 103) — the ingest gate a production training pipeline runs before
+  * a batch is admitted to the corpus (the dbt-test / AWS-Deequ
+  * pattern, re-expressed Spark-first; the reference has no quality
+  * surface).
+  *
+  * Scale shape: every ROW-LOCAL rule (not-null, range, regex, set
+  * membership) folds into ONE aggregation pass over the table — a
+  * batch of k such rules costs one scan and a 1-row result no matter
+  * the corpus size. Each uniqueness rule is one key-grouped
+  * aggregation (two-phase, map-side partials), and each referential
+  * rule one anti join against the DISTINCT key side (broadcast when
+  * the dimension is small). Nothing driver-side, nothing quadratic;
+  * violation counts arrive as one tiny frame of (rule, violations).
+  */
+object Quality {
+
+  /** One declarative constraint; `name` keys the audit output row. */
+  sealed trait Rule { def name: String }
+
+  /** `col` must be non-null. */
+  final case class NotNull(col: String) extends Rule {
+    def name = s"not_null($col)"
+  }
+
+  /** Non-null `col` must fall in [lo, hi] (inclusive). */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range($col)"
+  }
+
+  /** Non-null `col` must match `regex` (Java regex, `rlike`
+    * partial-match semantics — anchor with ^...$ for full match). */
+  final case class Matches(col: String, regex: String) extends Rule {
+    def name = s"matches($col)"
+  }
+
+  /** Non-null `col` must be one of `values`. */
+  final case class InSet(col: String, values: Seq[String]) extends Rule {
+    def name = s"in_set($col)"
+  }
+
+  /** `cols` must be unique together; violations = rows beyond the
+    * first of each duplicated key (null keys group like values, the
+    * GROUP BY convention). */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Non-null `col` must exist in `dimCol` of `dim` (foreign-key
+    * presence). */
+  final case class RefIntegrity(col: String, dim: DataFrame,
+                                dimCol: String) extends Rule {
+    def name = s"ref($col->$dimCol)"
+  }
+
+  /** Audits `df` against `rules`, returning one (rule, violations)
+    * row per rule (row-local rules first, then unique/referential —
+    * key on the `rule` column, not row order; violations is the
+    * COUNT of offending rows, 0 when clean). See the class doc for
+    * the per-rule-kind plan shapes. */
+  def auditConstraints(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "auditConstraints needs at least one rule")
+    val names = rules.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate rule names: ${names.diff(names.distinct).mkString(", ")}")
+    def violations(c: Column): Column =
+      F.sum(F.when(c, 1L).otherwise(0L)).as("violations")
+    val rowLocal: Seq[(String, Column)] = rules.collect {
+      case r @ NotNull(c) => r.name -> violations(F.col(c).isNull)
+      case r @ InRange(c, lo, hi) => r.name ->
+        violations(F.col(c).isNotNull &&
+          (F.col(c) < F.lit(lo) || F.col(c) > F.lit(hi)))
+      case r @ Matches(c, re) => r.name ->
+        violations(F.col(c).isNotNull && !F.col(c).rlike(re))
+      case r @ InSet(c, vs) => r.name ->
+        violations(F.col(c).isNotNull && !F.col(c).isin(vs: _*))
+    }
+    val localFrame: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else Some {
+        // one scan for the whole row-local batch; unpivot the single
+        // result row into (rule, violations)
+        val agged = df.agg(
+          rowLocal.head._2.as("__v0"),
+          rowLocal.tail.zipWithIndex.map { case ((_, c), i) =>
+            c.as(s"__v${i + 1}") }: _*)
+        agged.select(F.explode(F.map(
+          rowLocal.zipWithIndex.flatMap { case ((n, _), i) =>
+            Seq(F.lit(n), F.coalesce(F.col(s"__v$i"), F.lit(0L)))
+          }: _*)).as(Seq("rule", "violations")))
+      }
+    val perRule: Seq[DataFrame] = rules.flatMap {
+      case u @ Unique(cols) => Some(
+        df.groupBy(cols.map(F.col): _*).agg(F.count(F.lit(1)).as("__n"))
+          .agg(F.coalesce(F.sum(F.col("__n") - 1L), F.lit(0L))
+            .as("violations"))
+          .select(F.lit(u.name).as("rule"), F.col("violations")))
+      case r @ RefIntegrity(c, dim, dc) => Some(
+        df.filter(F.col(c).isNotNull)
+          .join(dim.select(F.col(dc).as("__ref")).distinct(),
+            F.col(c) === F.col("__ref"), "left_anti")
+          .agg(F.count(F.lit(1)).as("violations"))
+          .select(F.lit(r.name).as("rule"), F.col("violations")))
+      case _ => None
+    }
+    (localFrame.toSeq ++ perRule).reduce(_ unionAll _)
+  }
+}

@@ -542,4 +542,21 @@ object Similarity {
       .filter(F.col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** Per-dimension embedding statistics (r7, SURVEY §2.2 row 104):
+    * (dim, n, mean, std, mn, mx) with 1-based dims — the
+    * normalization/standardization profile a training pipeline
+    * derives before whitening or clipping embeddings. ONE
+    * zero-shuffle aggregation via the [[graft.functions.DimStats]]
+    * vector-buffer Aggregator (partial state = five fixed-width
+    * arrays per partition; a posexplode+groupBy formulation would
+    * shuffle rows × dim records). Ragged vectors and null rows
+    * tolerated — per-dim n says how many vectors covered each
+    * dimension. */
+  def dimensionStats(emb: DataFrame, col: String = "embedding"): DataFrame =
+    emb.agg(graft.functions.DimStats.dimStats(F.col(col)).as("__ds"))
+      .select(F.explode(F.col("__ds")).as("d"))
+      .select(F.col("d.dim").as("dim"), F.col("d.n").as("n"),
+        F.col("d.mean").as("mean"), F.col("d.std").as("std"),
+        F.col("d.mn").as("mn"), F.col("d.mx").as("mx"))
 }

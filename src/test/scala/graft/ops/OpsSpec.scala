@@ -925,4 +925,98 @@ class OpsSpec extends SparkTestBase {
     assert(est.getAs[Long]("k_union") == 8L)
     assert(est.getAs[Long]("n_both") == 0L)
   }
+
+  // ---- constraint audit (r7) ------------------------------------------
+
+  test("constraint audit counts every violation kind exactly") {
+    import Quality._
+    import spark.implicits._
+    val t = Seq(
+      (Some(1L), Some(10.0), Some("F"), Some("1-URGENT")),
+      (Some(1L), Some(-5.0), Some("FF"), Some("9-BOGUS")), // dup + range + format + set
+      (None, Some(20.0), None, None),                      // null key
+      (Some(3L), None, Some("O"), Some("2-HIGH")),
+      (Some(4L), Some(999.0), Some("x"), Some("3-MEDIUM")) // range + format (lowercase)
+    ).toDF("k", "price", "status", "prio")
+    val dim = Seq(1L, 3L).toDF("ck")
+    val r = auditConstraints(t, Seq(
+        NotNull("k"), InRange("price", 0.0, 100.0),
+        Matches("status", "^[A-Z]$"), InSet("prio",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        Unique(Seq("k")), RefIntegrity("k", dim, "ck")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map(
+      "not_null(k)" -> 1L, "in_range(price)" -> 2L,
+      "matches(status)" -> 2L, "in_set(prio)" -> 1L,
+      "unique(k)" -> 1L, "ref(k->ck)" -> 1L), r.toString)
+    // a clean table audits to zeros (incl. the empty-sum coalesce)
+    val clean = auditConstraints(dim.select($"ck".as("k")),
+      Seq(NotNull("k"), Unique(Seq("k")))).collect()
+    assert(clean.forall(_.getLong(1) == 0L), clean.mkString(","))
+  }
+
+  test("constraint audit row-local batch is one aggregation pass") {
+    import Quality._
+    val p = auditConstraints(documents, Seq(
+        NotNull("doc_id"), InRange("n_chars", 0, 1e9),
+        Matches("lang", "^[a-z]+$")))
+      .queryExecution.executedPlan.toString
+    // a single global two-phase aggregate: one exchange, no join
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  // ---- per-dimension embedding stats (r7) -----------------------------
+
+  test("dimension stats equal the exploded formulation and handle ragged input") {
+    import org.apache.spark.sql.{functions => F}
+    val native = Similarity.dimensionStats(embeddings)
+      .selectExpr("dim", "n", "round(mean, 6) as mean", "round(std, 6) as std",
+        "round(mn, 6) as mn", "round(mx, 6) as mx")
+    val exploded = embeddings.where("embedding is not null")
+      .select(F.posexplode(F.col("embedding")).as(Seq("p", "x")))
+      .groupBy((F.col("p") + 1).as("dim"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg(F.col("x").cast("double")), 6).as("mean"),
+        F.round(F.stddev_samp(F.col("x").cast("double")), 6).as("std"),
+        F.round(F.min(F.col("x").cast("double")), 6).as("mn"),
+        F.round(F.max(F.col("x").cast("double")), 6).as("mx"))
+    assert(native.exceptAll(exploded).isEmpty &&
+      exploded.exceptAll(native).isEmpty)
+    // zero shuffles before the one-row result
+    val p = Similarity.dimensionStats(embeddings)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    // ragged + null vectors: per-dim n tracks coverage
+    import spark.implicits._
+    val ragged = Seq(Some(Seq(1f, 2f, 3f)), Some(Seq(10f)), None)
+      .toDF("embedding")
+    val r = Similarity.dimensionStats(ragged).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1) == ((2L, 5.5)) && r(2)._1 == 1L && r(3)._1 == 1L, r.toString)
+  }
+
+  // ---- mergeable distinct sketches (r7) -------------------------------
+
+  test("merged batch sketches estimate distincts within the HLL band") {
+    import org.apache.spark.sql.{functions => F}
+    val d = documents.selectExpr("doc_id", "lang", "md5(text) as h")
+    val batches = Seq(0, 1, 2).map(p =>
+      Sketches.distinctSketches(d.filter(s"doc_id % 3 = $p"), Seq("lang"), "h"))
+    val est = Sketches.mergeDistinctEstimates(batches, Seq("lang"))
+    val exact = d.groupBy("lang").agg(F.countDistinct("h").as("n_exact"))
+    val joined = exact.join(est, Seq("lang")).collect()
+    assert(joined.nonEmpty)
+    val rse3 = 3.0 * 1.04 / math.sqrt(1 << 12)
+    joined.foreach { r =>
+      val ex = r.getAs[Long]("n_exact").toDouble
+      val e = r.getAs[Long]("distinct_est").toDouble
+      assert(math.abs(e - ex) <= math.max(2.0, ex * rse3),
+        s"${r.getString(0)}: est $e vs exact $ex")
+    }
+    // merging the per-batch sketches equals sketching the whole input
+    val whole = Sketches.distinctSketches(d, Seq("lang"), "h")
+    val mergedOne = Sketches.mergeDistinctEstimates(Seq(whole), Seq("lang"))
+    assert(est.exceptAll(mergedOne).isEmpty && mergedOne.exceptAll(est).isEmpty)
+  }
 }
