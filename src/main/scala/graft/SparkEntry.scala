@@ -2067,6 +2067,49 @@ object SparkEntry {
     // broadcast, window top-k on doc_id. The BM25-style idf ratio is
     // log-free so the score arithmetic (and so top-k membership) is
     // IEEE-identical cross-engine; ties break on term.
+    // BM25 top-k keyword retrieval (r7): three literal keyword
+    // queries against the documents corpus; no-log idf ratio (same
+    // IEEE-exactness rationale as tfidf), 6dp round-before-rank
+    ("q_text_bm25",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val queries = Seq(
+          (1L, "hash join"), (2L, "vector scan batch"), (3L, "spark")
+        ).toDF("query_id", "terms")
+        graft.ops.TextAnalysis.bm25TopK(
+          tbl(s, dir, "documents"), queries, 5)
+      },
+      Some("""with q as (select * from (values (1::BIGINT, 'hash join'),
+                           (2::BIGINT, 'vector scan batch'),
+                           (3::BIGINT, 'spark')) v(query_id, terms)),
+              qt as (select distinct query_id,
+                       unnest(list_filter(string_split(lower(terms), ' '),
+                              t -> t <> '')) as term from q),
+              toks as (select doc_id,
+                         unnest(string_split(lower(text), ' ')) as term
+                       from documents),
+              tf as (select doc_id, term, count(*) as tf from toks
+                     where term <> '' group by 1, 2),
+              dl as (select doc_id, sum(tf) as dl from tf group by 1),
+              stats as (select (select count(*) from documents) as n,
+                               (select avg(dl) from dl) as avgdl),
+              m as (select qt.query_id, tf.doc_id, tf.term, tf.tf
+                    from tf join qt on tf.term = qt.term),
+              df as (select term, count(*) as df
+                     from (select distinct doc_id, term from m) group by 1),
+              scored as (select m.query_id, m.doc_id,
+                           round(sum((stats.n::DOUBLE - df.df + 0.5) / (df.df::DOUBLE + 0.5)
+                             * (m.tf * (1.2 + 1))
+                             / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))), 6) as score,
+                           count(*) as n_terms
+                         from m join df on m.term = df.term
+                           join dl on m.doc_id = dl.doc_id
+                           cross join stats
+                         group by m.query_id, m.doc_id)
+              select query_id, doc_id, score, n_terms, rnk::INT as rnk from (
+                select *, row_number() over (partition by query_id
+                    order by score desc, doc_id asc) as rnk
+                from scored) where rnk <= 5""")),
     ("q_text_tfidf",
       (s: SparkSession, dir: String) =>
         graft.ops.TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3),

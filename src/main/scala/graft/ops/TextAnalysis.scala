@@ -92,6 +92,71 @@ object TextAnalysis {
     docs.selectExpr("doc_id", s"graft_fingerprint(text, $window) as fp")
   }
 
+  /** BM25 keyword retrieval (r7, SURVEY §2.2 row 106): top-k
+    * documents per query by the Okapi BM25 score over whitespace
+    * terms — the lexical-retrieval complement of the embedding ANN
+    * family (two-stage RAG pipelines run exactly this next to
+    * `Similarity.twoStageTopK`).
+    *
+    * Scale shape: doc term frequencies shuffle ONCE on (doc_id,
+    * term) with map-side partials; the query-term table (tiny by
+    * construction) broadcasts, and tf rows for non-query terms die
+    * at that broadcast semi join BEFORE the document-frequency
+    * aggregation, so df/idf work is proportional to matched rows,
+    * not the corpus vocabulary. Document lengths ride the same tf
+    * table (sum over the doc partition of tf — no second text
+    * scan); N and avgdl are a broadcast one-row aggregate; the final
+    * top-k is one row_number window per query. Nothing quadratic —
+    * cost is bounded by |postings of query terms|.
+    *
+    * The idf factor is the BM25 ratio WITHOUT the log —
+    * (N - df + 0.5) / (df + 0.5) — for the same reason as
+    * [[tfidfTopTerms]]: +,-,*,/ are IEEE-bit-identical across
+    * engines, ln() is not, and the DuckDB oracle must reproduce
+    * scores exactly. Production would wrap log1p; the plan shape is
+    * unchanged. Term matching is exact lowercase whitespace tokens
+    * (the corpus tokenization). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tf = docs
+      .selectExpr("doc_id", "explode(graft_word_ngrams(lower(text), 1)) as term")
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(F.sum("tf").as("dl"))
+    val stats = docs.agg(F.count(F.lit(1)).as("__n"))
+      .crossJoin(dl.agg(F.avg("dl").as("__avgdl")))
+    val qTerms = queries
+      .selectExpr("query_id",
+        "explode(graft_word_ngrams(lower(terms), 1)) as term")
+      .distinct()
+    val matched = tf.join(F.broadcast(qTerms), Seq("term"))
+    // tf rows are distinct (doc, term) by construction, so df is a
+    // plain count — no count-distinct Expand
+    val df = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val scored = matched
+      .join(F.broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__contrib",
+        (F.col("__n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) *
+          (F.col("tf") * (k1 + 1)) /
+          (F.col("tf") + F.lit(k1) *
+            (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))))
+      .groupBy("query_id", "doc_id")
+      // 6dp round BEFORE ranking (the ANN-entry convention): the
+      // per-pair contribution sum's accumulation order is the only
+      // cross-engine nondeterminism, and ranking the rounded score
+      // keeps the k-boundary stable
+      .agg(F.round(F.sum("__contrib"), 6).as("score"),
+        F.count(F.lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("score").desc, F.col("doc_id").asc)
+    scored.withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "n_terms", "rnk")
+  }
+
   /** Top-k salient terms per document by a TF-IDF-style score.
     *
     * Shape at scale: the token explode is a flatMap (no shuffle); term

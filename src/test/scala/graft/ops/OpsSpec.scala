@@ -926,6 +926,32 @@ class OpsSpec extends SparkTestBase {
     assert(est.getAs[Long]("n_both") == 0L)
   }
 
+  // ---- BM25 retrieval (r7) --------------------------------------------
+
+  test("bm25 matches hand-computed scores, ranks, and term counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val q = Seq((10L, "a b"), (20L, "zzz")).toDF("query_id", "terms")
+    val r = TextAnalysis.bm25TopK(docs, q, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getLong(3), x.getInt(4)))).toMap
+    // N=3, avgdl=3; idf(a)=(3-2+.5)/2.5=0.6, idf(b)=2.5/1.5
+    // d1: 0.6*4.4/3.2 + (2.5/1.5)*2.2/2.2 = 0.825 + 1.666667
+    assert(math.abs(r((10L, 1L))._1 - 2.491667) < 1e-6, r.toString)
+    assert(r((10L, 1L))._2 == 2L && r((10L, 1L))._3 == 1)
+    // d2: 0.6*2.2/(1 + 1.2*(0.25 + 0.75*2/3)) = 0.694737
+    assert(math.abs(r((10L, 2L))._1 - 0.694737) < 1e-6, r.toString)
+    assert(r((10L, 2L))._3 == 2)
+    // d3 matches nothing; query 20 matches nothing at all
+    assert(r.size == 2, r.toString)
+    // plan: no cartesian; query terms and df broadcast
+    val p = TextAnalysis.bm25TopK(documents.limit(500), q, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   // ---- constraint audit (r7) ------------------------------------------
 
   test("constraint audit counts every violation kind exactly") {
