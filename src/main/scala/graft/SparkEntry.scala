@@ -1470,6 +1470,29 @@ object SparkEntry {
       """select c_nationkey,
            string_agg(c_mktsegment, '|' order by c_mktsegment, c_custkey) as segs
          from customer where c_custkey % 7 = 0 group by c_nationkey"""),
+    // windowed ordered-set aggregate with OVER-level ORDER BY + frame
+    // (r7, closing the r5b wall): the window's order/frame select the
+    // ROWS (running prefix here), the call's ORDER BY orders the
+    // ELEMENTS. DuckDB has no in-window aggregate ORDER BY — its
+    // windowed string_agg appends in FRAME order, equivalent because
+    // the internal order matches the (total) window order
+    ("q_agg_string_running",
+      """select o_custkey, o_orderkey,
+           string_agg(cast(o_orderkey as string), ',' order by o_orderkey)
+             over (partition by o_custkey order by o_orderkey
+                   rows between unbounded preceding and current row) as so_far,
+           string_agg(cast(o_orderkey as string), ',' order by o_orderkey)
+             over (partition by o_custkey order by o_orderkey
+                   rows between 1 preceding and 1 following) as nearby
+         from orders where o_custkey % 97 = 0""",
+      """select o_custkey, o_orderkey,
+           string_agg(cast(o_orderkey as varchar), ',')
+             over (partition by o_custkey order by o_orderkey
+                   rows between unbounded preceding and current row) as so_far,
+           string_agg(cast(o_orderkey as varchar), ',')
+             over (partition by o_custkey order by o_orderkey
+                   rows between 1 preceding and 1 following) as nearby
+         from orders where o_custkey % 97 = 0"""),
     // FROM-position unnest WITH ORDINALITY (r5b, PostgreSQL form):
     // one Generate (posexplode) over the scan, 1-based ordinality;
     // oracle is DuckDB's zipped parallel-unnest spelling

@@ -3864,18 +3864,21 @@ final class Translator(catalog: String => DataFrame,
     }
   }
 
-  /** string_agg/array_agg OVER (PARTITION BY ...) (r5b): every row
-    * reads its partition's complete ordered aggregation. OVER may
-    * carry PARTITION BY only — an OVER-level ORDER BY would imply a
-    * running frame, while the element order is the call's own
-    * ORDER BY; with no OVER ORDER BY Spark's default frame is the
-    * whole partition, which is exactly the semantics. */
+  /** string_agg/array_agg OVER (PARTITION BY ... [ORDER BY ...
+    * [frame]]) (r5b; r7 closes the OVER-level ORDER BY/frame wall):
+    * the WINDOW's order/frame select WHICH rows each output row
+    * aggregates (running/sliding semantics, Spark's collect_list
+    * honors any frame), while the call's own ORDER BY orders the
+    * ELEMENTS within that selection — the two clauses are
+    * independent, exactly the standard's reading. Without OVER
+    * ORDER BY the frame defaults to the whole partition; with it,
+    * Spark's default RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    * (peers included) matches DuckDB's windowed-aggregate default.
+    * Same single window exchange either way — the sort/projection
+    * post-processing wraps each row's collected array. */
   private def orderedSetWindowed(a: AggExpr,
                                  lower: Expr => Column): Column = {
     val w = a.window.get
-    if (w.orderBy.nonEmpty || w.frame.isDefined)
-      fail(s"${a.func} OVER takes PARTITION BY only " +
-        "(element order comes from the ORDER BY inside the call)")
     val arg = a.arg match {
       case Star(_) => fail(s"${a.func} takes a value argument")
       case e       => lower(e)

@@ -149,12 +149,42 @@ class AggCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("DISTINCT"))
   }
 
-  test("windowed ordered-set aggregates take PARTITION BY only") {
+  test("windowed ordered-set aggregates take OVER-level ORDER BY and frames (r7)") {
+    // running prefix: window order/frame select the rows, internal
+    // ORDER BY orders the elements — with internal order matching the
+    // window order this equals Spark's frame-ordered collect_list
+    checkTranslated(
+      """select o_custkey, o_orderkey,
+           string_agg(cast(o_orderkey as string), ',' order by o_orderkey)
+             over (partition by o_custkey order by o_orderkey
+                   rows between unbounded preceding and current row) as so_far
+         from orders where o_custkey <= 50""",
+      """select o_custkey, o_orderkey,
+           array_join(collect_list(cast(o_orderkey as string))
+             over (partition by o_custkey order by o_orderkey
+                   rows between unbounded preceding and current row), ',') as so_far
+         from orders where o_custkey <= 50""")
+    // sliding frame with a DESC internal order over an ASC window:
+    // the elements re-sort within each frame
+    checkTranslated(
+      """select o_custkey, o_orderkey,
+           array_agg(o_orderkey order by o_orderkey desc)
+             over (partition by o_custkey order by o_orderkey
+                   rows between 1 preceding and 1 following) as nearby
+         from orders where o_custkey <= 50""",
+      """select o_custkey, o_orderkey,
+           reverse(collect_list(o_orderkey)
+             over (partition by o_custkey order by o_orderkey
+                   rows between 1 preceding and 1 following)) as nearby
+         from orders where o_custkey <= 50""")
+    // EXCLUDE on a collect window stays loud (no decomposition)
     val e = intercept[RuntimeException](graftSession.query(
       """select string_agg(c_name, ',' order by c_name)
-           over (partition by c_nationkey order by c_custkey)
+           over (partition by c_nationkey order by c_custkey
+                 rows between unbounded preceding and current row
+                 exclude current row)
          from customer"""))
-    assert(e.getMessage.contains("PARTITION BY only"))
+    assert(e.getMessage.contains("EXCLUDE"))
   }
 
   test("unsupported combinations fail loudly") {
