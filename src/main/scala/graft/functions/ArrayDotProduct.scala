@@ -129,6 +129,10 @@ object GraftFunctions {
         litInt(exprs(2), "graft_bloom_contains k")),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_bottom_k",
+      exprs => BottomKDistinct(exprs(0), litInt(exprs(1), "graft_bottom_k k")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_word_ngrams",
       exprs => WordNgrams(exprs(0), litInt(exprs(1), "graft_word_ngrams n"),
         filterEmpty = true, distinct = false, padShort = false),

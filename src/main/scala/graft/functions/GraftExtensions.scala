@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         BloomContains(exprs(0), exprs(1),
           GraftFunctions.litIntArg(exprs(2), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_bottom_k"),
+      info("graft_bottom_k", "bottom-k distinct strings (KMV sketch pass)"),
+      (exprs: Seq[Expression]) =>
+        BottomKDistinct(exprs(0), GraftFunctions.litIntArg(exprs(1), "k"))))
     e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams", "word n-gram array (empty tokens filtered)"),
       (exprs: Seq[Expression]) =>

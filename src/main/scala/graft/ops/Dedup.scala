@@ -392,10 +392,19 @@ object Dedup {
     * partial dedup of hash strings, one hash shuffle (32-byte strings,
     * never documents), then heap top-k (TakeOrderedAndProject — k rows
     * per partition to the driver, no global sort). */
-  def shingleSketch(docs: DataFrame, k: Int, n: Int = ShingleN): DataFrame =
+  def shingleSketch(docs: DataFrame, k: Int, n: Int = ShingleN): DataFrame = {
+    // bounded bottom-k-distinct aggregate (r7): the former
+    // distinct().orderBy.limit shuffled EVERY distinct shingle hash
+    // before TakeOrdered; the BottomKDistinct buffer caps per-
+    // partition state at k, so the exchange carries ≤k strings per
+    // partition at any corpus size. Same exact result (KMV bottom-k
+    // of the distinct set, ascending md5 order).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     withShingleRows(docs, n)
-      .select(F.md5(F.col("s")).as("h")).distinct()
-      .orderBy("h").limit(k)
+      .select(F.md5(F.col("s")).as("h"))
+      .agg(F.expr(s"graft_bottom_k(h, $k)").as("__hs"))
+      .select(F.explode(F.col("__hs")).as("h"))
+  }
 
   /** Corpus-pair overlap WITHOUT a corpus-sized join (r5c): the
     * bottom-k estimate of the shingle-set Jaccard similarity between

@@ -438,13 +438,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
-  test("corpus overlap sketches are heap top-k, partials map-side") {
+  test("corpus overlap sketch pass is bounded map-side state, no hash shuffle") {
     val p = plan("q_corpus_overlap")
-    // bottom-k of distinct hashes: TakeOrderedAndProject (per-
-    // partition heaps), never a global sort of the shingle table
-    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // r7: BottomKDistinct partials cap per-partition state at k, so
+    // the only shingle-side exchange carries one ≤k array per
+    // partition (SinglePartition) — the former distinct() hash
+    // shuffle of every distinct hash is gone entirely
+    assert(p.contains("partial_graft_bottom_k"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a corpus-sized hash shuffle crept back into the sketch pass\n" +
+        p.take(3000))
     assert(!p.contains("rangepartitioning"), p.take(3000))
-    assert(p.contains("partial_"), p.take(3000))
+    // the post-sketch union bottom-k stays a TakeOrdered heap
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
   test("two-stage retrieval broadcasts queries and survivors, corpus never shuffles") {
