@@ -2927,11 +2927,13 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         graft.ops.Similarity.dimensionStats(tbl(s, dir, "embeddings"))
           .select(F.col("dim"), F.col("n"),
-            F.round(F.col("mean"), 4).as("mean"),
+            // + 0.0 collapses IEEE negative zero (round of a tiny
+            // negative mean) to positive zero on both engines
+            (F.round(F.col("mean"), 4) + F.lit(0.0)).as("mean"),
             F.round(F.col("std"), 4).as("std"),
             F.round(F.col("mn"), 5).as("mn"), F.round(F.col("mx"), 5).as("mx")),
       Some("""select cast(dim as int) as dim, cast(count(x) as bigint) as n,
-                round(avg(x), 4) as mean,
+                round(avg(x), 4) + 0.0 as mean,
                 round(stddev_samp(x), 4) as std,
                 cast(round(min(x), 5) as double) as mn,
                 cast(round(max(x), 5) as double) as mx
