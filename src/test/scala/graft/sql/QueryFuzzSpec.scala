@@ -1208,6 +1208,55 @@ class QueryFuzzSpec extends SparkTestBase {
     * Catalyst's DecorrelateInnerQuery vs graft's distinct-tuple
     * machinery). Money sums round at 4dp: the two plans aggregate in
     * different orders. */
+  /** Windowed ordered-set aggregates with OVER-level ORDER BY/frames
+    * (r7 — SURVEY 36ar): random frames × internal element order, vs a
+    * Spark-native collect_list formulation. The window orders by the
+    * UNIQUE o_orderkey so frames are total-ordered: internal ASC ==
+    * frame order, internal DESC == its reverse — an independent
+    * lowering (Spark's own WindowExec collect vs graft's comparator
+    * sort wrap). */
+  private val genOrderedSetWindowQuery: Gen[(String, String)] = for {
+    frame <- Gen.oneOf(
+      "rows between unbounded preceding and current row",
+      "rows between 2 preceding and current row",
+      "rows between 1 preceding and 1 following",
+      "rows between current row and 2 following",
+      "rows between unbounded preceding and unbounded following")
+    desc <- Gen.oneOf(false, true)
+    fn <- Gen.oneOf("string_agg", "array_agg")
+    pred <- Gen.oneOf("o_custkey % 89 = 0", "o_custkey % 97 = 1",
+      "o_custkey < 400")
+  } yield {
+    val dir = if (desc) " desc" else ""
+    val call =
+      if (fn == "string_agg")
+        s"string_agg(cast(o_orderkey as string), ',' order by o_orderkey$dir)"
+      else s"array_agg(o_orderkey order by o_orderkey$dir)"
+    val over = s"over (partition by o_custkey order by o_orderkey $frame)"
+    val g = s"""select o_custkey, o_orderkey, $call $over as agg
+                from orders where $pred"""
+    val collect =
+      if (fn == "string_agg") "collect_list(cast(o_orderkey as string))"
+      else "collect_list(o_orderkey)"
+    val base = s"$collect $over"
+    val shaped = if (desc) s"reverse($base)" else base
+    val rendered =
+      if (fn == "string_agg") s"array_join($shaped, ',')" else shaped
+    val sqlRef = s"""select o_custkey, o_orderkey, $rendered as agg
+                     from orders where $pred"""
+    (g, sqlRef)
+  }
+
+  test("16 random windowed ordered-set frame queries match Spark collect_list") {
+    Gen.listOfN(16, genOrderedSetWindowQuery)
+      .pureApply(Gen.Parameters.default, Seed(113L))
+      .distinct.foreach { case (g, s) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), spark.sql(s))
+        }
+      }
+  }
+
   private val genLateralGroupedQuery: Gen[(String, String)] = for {
     key <- Gen.oneOf("o_orderstatus", "o_orderpriority")
     agg <- Gen.oneOf(
