@@ -2873,6 +2873,33 @@ object SparkEntry {
           "orc", tmp)
       },
       Some("select doc_id, lang, source, n_chars from documents")),
+    // per-group percentile score calibration (r7): one window shuffle
+    // on the group key; ranks are exact 1/(n-1) multiples, UNROUNDED
+    // (identical IEEE divisions — rounding lands on .xx5 boundaries)
+    ("q_score_calibrate",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.calibrateScores(
+            tbl(s, dir, "documents"), "lang", "n_chars")
+          .select("doc_id", "lang", "score_pct", "score_cume"),
+      Some("""select doc_id, lang,
+                percent_rank() over (partition by lang order by n_chars asc) as score_pct,
+                cume_dist() over (partition by lang order by n_chars asc) as score_cume
+              from documents""")),
+    // token-budget greedy selection (r7): best prefix by cumulative
+    // weight strictly-before, overshoot at most one document
+    ("q_budget_select",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.budgetSelect(
+            tbl(s, dir, "documents"), "n_chars", 2000000L,
+            Seq(F.col("n_chars").desc, F.col("doc_id").asc))
+          .select("doc_id", "n_chars"),
+      Some("""select doc_id, n_chars from (
+                select doc_id, n_chars,
+                  coalesce(sum(n_chars) over (
+                    order by n_chars desc, doc_id asc
+                    rows between unbounded preceding and 1 preceding), 0) as prior
+                from documents) t
+              where prior < 2000000""")),
     // declarative constraint audit (r7): all four row-local rules in
     // ONE aggregation pass; uniqueness is a key-grouped two-phase
     // aggregate, referential presence one anti join against the

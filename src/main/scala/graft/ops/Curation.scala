@@ -180,6 +180,54 @@ object Curation {
           .as("w_frac"))
   }
 
+  /** Per-group percentile score calibration (r7, SURVEY §2.2 row
+    * 107): raw quality scores are not comparable across domains (a
+    * mediocre encyclopedia page outscores an excellent forum post),
+    * so a cross-domain gate must cut on each document's standing
+    * WITHIN its domain. Emits percent_rank (0 at the group's worst,
+    * 1 at its best; ties share a rank) and cume_dist over the score
+    * inside each group — ONE window shuffle on the group key at any
+    * corpus size, the identical plan to capPerDomain. Ranks are
+    * exact multiples of 1/(n-1): left UNROUNDED (identical IEEE
+    * divisions format identically; rounding would land on .xx5
+    * boundaries — see q_window_rank). NULL scores sort first
+    * (Spark/DuckDB agree ascending) and receive ranks like values. */
+  def calibrateScores(df: DataFrame, groupCol: String,
+                      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(F.col(groupCol))
+      .orderBy(F.col(scoreCol).asc)
+    df.withColumn("score_pct", F.percent_rank().over(w))
+      .withColumn("score_cume", F.cume_dist().over(w))
+  }
+
+  /** Token-budget greedy selection (r7, SURVEY §2.2 row 108): keep
+    * the best-scoring documents whose cumulative weight (tokens/
+    * bytes) fits `budget` — the "fill the training-token budget with
+    * the best data" selection that replaces a hand-tuned score
+    * threshold. A document is kept when the running weight sum
+    * STRICTLY BEFORE it (in best-first order) is below the budget,
+    * so the selection always takes the best prefix and may overshoot
+    * by at most one document — the deterministic greedy contract.
+    * ONE global-order window (single-partition for the cumulative
+    * sum): exact global greedy selection is inherently a total
+    * order. At 100 TB, pre-aggregate per score-bucket and run the
+    * cumulative sum over the ~1e4 bucket rows, then keep whole
+    * buckets and recurse into the boundary bucket — same contract,
+    * bucket-bounded exactness; this operator is the exact tier.
+    * `order` must be a TOTAL order (include a unique id last) for a
+    * deterministic kept set; NULL weights carry zero mass. */
+  def budgetSelect(df: DataFrame, weightCol: String, budget: Long,
+                   order: Seq[Column]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(order.nonEmpty, "budgetSelect needs a best-first order")
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prior",
+        F.coalesce(F.sum(F.col(weightCol).cast("long")).over(w), F.lit(0L)))
+      .filter(F.col("__prior") < budget)
+      .drop("__prior")
+  }
+
   /** PageRank over an edge table (r5c) — the crawl-curation authority
     * signal: rank domains/pages by the link graph before capping or
     * mixing (the CommonCrawl-style domain-ranking pass). Standard

@@ -926,6 +926,49 @@ class OpsSpec extends SparkTestBase {
     assert(est.getAs[Long]("n_both") == 0L)
   }
 
+  // ---- score calibration + budget selection (r7) ----------------------
+
+  test("score calibration ranks within groups with tie sharing") {
+    import spark.implicits._
+    val t = Seq(("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 20), ("a", 4L, 40),
+        ("b", 5L, 7)).toDF("g", "id", "score")
+    val r = Curation.calibrateScores(t, "g", "score").collect()
+      .map(x => x.getLong(1) -> ((x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((0.0, 0.25)))
+    assert(r(2L)._1 == r(3L)._1 && r(2L)._1 == 1.0 / 3)  // tied pct
+    assert(r(2L)._2 == 0.75 && r(3L)._2 == 0.75)         // tied cume
+    assert(r(4L) == ((1.0, 1.0)))
+    assert(r(5L) == ((0.0, 1.0)))                        // singleton group
+    // one exchange: the group-key window shuffle
+    val p = Curation.calibrateScores(documents, "lang", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(2000))
+  }
+
+  test("budget selection keeps the best prefix, overshooting at most one doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val t = Seq((1L, 50L), (2L, 30L), (3L, 30L), (4L, 10L), (5L, 5L))
+      .toDF("id", "w")
+    def kept(budget: Long): Seq[Long] =
+      Curation.budgetSelect(t, "w", budget,
+          Seq(F.col("w").desc, F.col("id").asc))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept(50) == Seq(1L))            // prior of id=2 is 50, not < 50
+    assert(kept(51) == Seq(1L, 2L))        // overshoot by one allowed
+    assert(kept(80) == Seq(1L, 2L))
+    assert(kept(81) == Seq(1L, 2L, 3L))
+    assert(kept(1000) == Seq(1L, 2L, 3L, 4L, 5L))
+    // null weights carry zero mass and never block later docs
+    val withNull = t.union(Seq((6L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "w").select(F.col("id"), F.col("w").cast("long")))
+    val k = Curation.budgetSelect(withNull, "w", 81,
+        Seq(F.col("w").desc, F.col("id").asc))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(k.contains(3L), k.toString)
+  }
+
   // ---- BM25 retrieval (r7) --------------------------------------------
 
   test("bm25 matches hand-computed scores, ranks, and term counts") {
