@@ -1397,6 +1397,53 @@ object SparkEntry {
 
   /** graft-dialect SQL differs from the DuckDB oracle text. */
   private val dialectSql: Seq[(String, String, String)] = Seq(
+    // GROUPS frame mode (r7b): graft lowers GROUPS as RANGE over a
+    // hidden dense_rank ordinal (Spark has no GROUPS frame type).
+    // DuckDB 1.0 does not implement GROUPS either ("not implemented
+    // yet"), so the oracle is the spelled-out two-step rewrite —
+    // dense_rank subquery + RANGE frame + peer-group algebra —
+    // evaluated by DuckDB's own window engine. GROUPS frames always
+    // cover WHOLE peer groups, so per-row values are
+    // tie-order-independent by construction (integral-valued sums
+    // keep the arithmetic exact); EXCLUDE GROUP/TIES compose through
+    // the same frame algebra.
+    ("q_window_groups",
+      """select c_custkey,
+           cast(sum(floor(c_custkey / 10)) over (partition by c_mktsegment
+             order by floor(c_custkey / 10)
+             groups between 2 preceding and 1 following) as double) as g_sum,
+           cast(count(*) over (partition by c_mktsegment
+             order by floor(c_custkey / 10)
+             groups between 1 preceding and current row) as bigint) as g_cnt,
+           cast(sum(floor(c_custkey / 10)) over (partition by c_mktsegment
+             order by floor(c_custkey / 10)
+             groups between 1 preceding and 1 following
+             exclude group) as double) as g_exg,
+           cast(sum(floor(c_custkey / 10)) over (partition by c_mktsegment
+             order by floor(c_custkey / 10)
+             groups between unbounded preceding and current row
+             exclude ties) as double) as g_ext
+         from customer""",
+      """with b as (
+           select c_custkey, c_mktsegment, floor(c_custkey / 10) as k,
+             dense_rank() over (partition by c_mktsegment
+               order by floor(c_custkey / 10)) as g
+           from customer)
+         select c_custkey,
+           sum(k) over (partition by c_mktsegment order by g
+             range between 2 preceding and 1 following) as g_sum,
+           cast(count(*) over (partition by c_mktsegment order by g
+             range between 1 preceding and current row) as bigint) as g_cnt,
+           case when count(*) over (partition by c_mktsegment order by g
+               range between 1 preceding and 1 following) >
+             count(*) over (partition by c_mktsegment, g)
+             then sum(k) over (partition by c_mktsegment order by g
+               range between 1 preceding and 1 following) -
+               sum(k) over (partition by c_mktsegment, g) end as g_exg,
+           sum(k) over (partition by c_mktsegment order by g
+             range between unbounded preceding and current row) -
+             sum(k) over (partition by c_mktsegment, g) + k as g_ext
+         from b"""),
     // oracle casts align literal dtypes: graft integral literals are
     // bigint, fractional are double; DuckDB defaults to int32/decimal
     ("q_literals",

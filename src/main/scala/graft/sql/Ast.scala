@@ -121,7 +121,13 @@ object Ast {
                               frame: Option[Frame],
                               ref: Option[String] = None,
                               exclude: String = "no others")
-  final case class Frame(isRows: Boolean, start: FrameBound, end: FrameBound)
+  /** `isGroups`: the standard GROUPS frame mode (r7b, graft dialect
+    * extension — Spark has no GROUPS frame type). Carried orthogonally
+    * to `isRows` (isGroups=true ⇒ isRows=false); the translator lowers
+    * it to a RANGE frame over a hidden dense_rank ordinal before the
+    * spec reaches Spark. */
+  final case class Frame(isRows: Boolean, start: FrameBound, end: FrameBound,
+                         isGroups: Boolean = false)
   sealed trait FrameBound
   case object UnboundedPreceding extends FrameBound
   case object UnboundedFollowing extends FrameBound

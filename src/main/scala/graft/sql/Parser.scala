@@ -1325,7 +1325,7 @@ final class Parser(tokens: Vector[Token]) {
   private def parseWindowSpec(): WindowSpec = {
     expectOp("(")
     val base = peek match {
-      case Ident(v, _) if !Set("partition", "order", "rows", "range")
+      case Ident(v, _) if !Set("partition", "order", "rows", "range", "groups")
           .contains(v.toLowerCase) =>
         pos += 1; Some(v)
       case _ => None
@@ -1345,16 +1345,14 @@ final class Parser(tokens: Vector[Token]) {
       if (eatKw("order")) { expectKw("by")
         val os = parseOrderList()
         val fr =
-          if (atKw("rows") || atKw("range")) {
-            val isRows = eatKw("rows"); if (!isRows) expectKw("range")
-            Some(parseFrameExtent(isRows))
-          } else None
+          if (atKw("rows") || atKw("range") || atKw("groups"))
+            Some(parseFrameMode())
+          else None
         (os, fr)
-      } else if (atKw("rows") || atKw("range")) {
+      } else if (atKw("rows") || atKw("range") || atKw("groups")) {
         // frame with no ORDER BY of its own — legal when inheriting a
         // base window that brings the ordering (`w2 AS (w ROWS ...)`)
-        val isRows = eatKw("rows"); if (!isRows) expectKw("range")
-        (Nil: Seq[OrderItem], Some(parseFrameExtent(isRows)))
+        (Nil: Seq[OrderItem], Some(parseFrameMode()))
       } else (Nil, None)
     // standard frame exclusion (r5c): EXCLUDE {CURRENT ROW | GROUP |
     // TIES | NO OTHERS} — part of the frame clause, so a frame extent
@@ -1362,7 +1360,8 @@ final class Parser(tokens: Vector[Token]) {
     val exclude =
       if (eatKw("exclude")) {
         if (frame.isEmpty)
-          fail("EXCLUDE requires a frame clause (ROWS/RANGE ...) before it")
+          fail("EXCLUDE requires a frame clause (ROWS/RANGE/GROUPS ...) " +
+            "before it")
         if (eatKw("current")) { expectKw("row"); "current row" }
         else if (eatKw("group")) "group"
         else if (eatKw("ties")) "ties"
@@ -1372,15 +1371,26 @@ final class Parser(tokens: Vector[Token]) {
     WindowSpec(parts, orders, frame, ref = base, exclude = exclude)
   }
 
-  private def parseFrameExtent(isRows: Boolean): Frame = {
+  /** Eats the frame-mode keyword (ROWS/RANGE/GROUPS — the standard's
+    * three modes; GROUPS is a graft dialect extension over Spark) and
+    * the extent that follows. */
+  private def parseFrameMode(): Frame = {
+    val isRows = eatKw("rows")
+    val isGroups = !isRows && eatKw("groups")
+    if (!isRows && !isGroups) expectKw("range")
+    parseFrameExtent(isRows, isGroups)
+  }
+
+  private def parseFrameExtent(isRows: Boolean,
+                               isGroups: Boolean = false): Frame = {
     if (eatKw("between")) {
       val start = parseFrameBound()
       expectKw("and")
       val end = parseFrameBound()
-      Frame(isRows, start, end)
+      Frame(isRows, start, end, isGroups)
     } else {
       // bare "n PRECEDING" / "UNBOUNDED PRECEDING" = start, end=current row
-      Frame(isRows, parseFrameBound(), CurrentRow)
+      Frame(isRows, parseFrameBound(), CurrentRow, isGroups)
     }
   }
 

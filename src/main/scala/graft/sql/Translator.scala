@@ -2196,11 +2196,29 @@ final class Translator(catalog: String => DataFrame,
         else selItems.copy(groupBy = selItems.groupBy ++ extra)
       }
 
+    // GROUPS frame pre-pass (r7b, plain path): materialize the hidden
+    // dense_rank ordinals on the pre-projection frame and retarget
+    // every GROUPS spec to RANGE over them (see GroupsFrameRewriter).
+    // The ordinals join helperCols, so SELECT * cannot leak them and
+    // the final drop cleans up. DISTINCT stays sound: dense_rank is a
+    // function of the (partition, order) key VALUES, so duplicate
+    // projected rows carry duplicate ordinals.
+    val (plainFrom, selPlain) =
+      if (!hasAgg && selAgg.items.exists(i => containsGroupsFrame(i.e))) {
+        val rw = new GroupsFrameRewriter(exprToCol(_, None))
+        val items2 = selAgg.items.map(i => i.copy(e = rw.rewrite(i.e)))
+        val d = rw.pending.foldLeft(filtered0) {
+          case (df, (n, c)) => df.withColumn(n, c)
+        }
+        helperCols = rw.pending.keys.toList ::: helperCols
+        (d, selAgg.copy(items = items2))
+      } else (filtered0, selAgg)
+
     val projected: DataFrame =
       if (!hasAgg) {
-        val base = selAgg.having match { // HAVING w/o aggregates = WHERE
-          case Some(h) => filtered0.filter(exprToCol(h, None))
-          case None    => filtered0
+        val base = selPlain.having match { // HAVING w/o aggregates = WHERE
+          case Some(h) => plainFrom.filter(exprToCol(h, None))
+          case None    => plainFrom
         }
         // UNNEST (r5, DuckDB select-position form): lowered to explode
         // — a Generate producing one output row per array element
@@ -2214,10 +2232,10 @@ final class Translator(catalog: String => DataFrame,
         }
         def nestedUnnest(e: Expr): Boolean =
           Ast.children(e).exists(c => isUnnest(c) || nestedUnnest(c))
-        val unnestCount = selAgg.items.count(i => isUnnest(i.e))
-        if (selAgg.items.exists(i => nestedUnnest(i.e)))
+        val unnestCount = selPlain.items.count(i => isUnnest(i.e))
+        if (selPlain.items.exists(i => nestedUnnest(i.e)))
           fail("unnest(...) is only supported as a top-level select item")
-        if (unnestCount > 0 && selAgg.items.exists(i => containsWindow(i.e)))
+        if (unnestCount > 0 && selPlain.items.exists(i => containsWindow(i.e)))
           fail("unnest(...) cannot be combined with window functions " +
             "in the same SELECT")
         if (unnestCount > 1) {
@@ -2228,7 +2246,7 @@ final class Translator(catalog: String => DataFrame,
           // Generate-copy trap) with values re-read positionally via
           // try_element_at; non-unnest items evaluate once pre-explode.
           var j = -1
-          val infos = selAgg.items.map { item =>
+          val infos = selPlain.items.map { item =>
             j += 1
             item.e match {
               case FuncCall("unnest", args) =>
@@ -2244,7 +2262,7 @@ final class Translator(catalog: String => DataFrame,
           val pre = base.select(infos.map {
             case (jj, hn, Some(arr), _) => exprToCol(arr, None).as(hn)
             case (jj, hn, None, _) =>
-              exprToCol(selAgg.items(jj).e, None).as(hn)
+              exprToCol(selPlain.items(jj).e, None).as(hn)
           }: _*)
           val maxLen = F.greatest(infos.collect { case (_, hn, Some(_), _) =>
             F.coalesce(F.when(F.col(hn).isNotNull, F.size(F.col(hn))),
@@ -2258,7 +2276,7 @@ final class Translator(catalog: String => DataFrame,
             case (_, hn, None, name) => F.col(hn).as(name)
           }: _*)
         }
-        else base.select(selectCols(selAgg.items, base): _*)
+        else base.select(selectCols(selPlain.items, base): _*)
       } else translateAggregate(selAgg, filtered0)
 
     val qualified = qualifyExpr match {
@@ -2649,8 +2667,20 @@ final class Translator(catalog: String => DataFrame,
     // collapsed groups on unprojected keys, evaluated window items
     // over pre-group rows, and dropped rollup super-group rows.
 
+    // GROUPS frame pre-pass (r7b, aggregate path): windows over the
+    // AGGREGATED frame may carry GROUPS frames too — rewrite items
+    // against `post` lowering (partition/order keys resolve to their
+    // post-agg columns); the hidden ordinals materialize on the
+    // aggregated frame after HAVING (standard evaluation order) and
+    // never reach the output (the final select projects named items).
+    val grw = new GroupsFrameRewriter(post)
+    val selGItems: Seq[SelectItem] =
+      if (sel.items.exists(i => containsGroupsFrame(i.e)))
+        sel.items.map(i => i.copy(e = grw.rewrite(i.e)))
+      else sel.items
+
     // force materialization of agg map: walk select + having
-    val selectPost: Seq[(Expr, Option[String], Column)] = sel.items.map {
+    val selectPost: Seq[(Expr, Option[String], Column)] = selGItems.map {
       case SelectItem(Star(_) | StarMod(_, _, _), _) =>
         fail("SELECT * with aggregation requires explicit columns")
       // hidden QUALIFY items: select aliases resolve inside the window
@@ -2683,6 +2713,7 @@ final class Translator(catalog: String => DataFrame,
 
     agged = havingJoins.foldLeft(agged)((d, f) => f(d))
     havingPost.foreach(h => agged = agged.filter(h))
+    grw.pending.foreach { case (n, c) => agged = agged.withColumn(n, c) }
 
     val out = selectPost.map { case (e, alias, c) =>
       c.as(alias.getOrElse(defaultName(e, in)))
@@ -4058,9 +4089,83 @@ final class Translator(catalog: String => DataFrame,
     }
   }
 
+  /** True when the expression carries a window with a GROUPS frame
+    * anywhere (the pre-pass trigger). */
+  private def containsGroupsFrame(e: Expr): Boolean = {
+    def inSpec(w: WindowSpec): Boolean = w.frame.exists(_.isGroups)
+    e match {
+      case a: AggExpr if a.window.exists(inSpec) => true
+      case RankExpr(_, w) if inSpec(w) => true
+      case wf: WinFunc if inSpec(wf.window) => true
+      case other => Ast.children(other).exists(containsGroupsFrame)
+    }
+  }
+
+  /** GROUPS frame mode (r7b, standard SQL:2011; Spark has NO GROUPS
+    * frame type): dense_rank over the window's own sort is a
+    * CONSECUTIVE peer-group ordinal, so `GROUPS BETWEEN a PRECEDING
+    * AND b FOLLOWING` is exactly `RANGE BETWEEN a PRECEDING AND b
+    * FOLLOWING` over that ordinal — n preceding ordinals are the n
+    * preceding peer groups (no gaps), CURRENT ROW spans the whole
+    * current group (distance 0 = all peers), UNBOUNDED passes through.
+    * Each distinct (partition, order) pair materializes ONE hidden
+    * ordinal column and every GROUPS spec retargets its ORDER BY to
+    * it; the ordinal's window has the same partitioning and sort as
+    * the frame it serves, so both compute in the same WindowExec
+    * pipeline — zero extra shuffle. EXCLUDE composes through the
+    * existing range-frame aggregate algebra unchanged (peers by the
+    * ordinal ARE the order peers). Order-INSENSITIVE aggregates only:
+    * first_value/last_value/nth_value read frame order, which the
+    * ordinal sort does not preserve among peers — loud; ordered-set
+    * aggregates must carry their own internal ORDER BY. */
+  private final class GroupsFrameRewriter(lower: Expr => Column) {
+    /** hidden ordinal columns to materialize, in creation order */
+    val pending = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    private val cache = scala.collection.mutable.Map.empty[String, String]
+    private def ordinal(w: WindowSpec): String = {
+      val key = w.partitionBy.mkString("") + "|" +
+        w.orderBy.mkString("")
+      cache.getOrElseUpdate(key, {
+        val n = s"__grps_${cache.size}"
+        var s: SparkWindow =
+          if (w.partitionBy.nonEmpty)
+            Window.partitionBy(w.partitionBy.map(lower): _*)
+          else Window.partitionBy()
+        s = s.orderBy(w.orderBy.map(oi => orderedCol(lower(oi.e), oi)): _*)
+        pending(n) = F.dense_rank().over(s).cast("long")
+        n
+      })
+    }
+    private def fixSpec(w: WindowSpec): WindowSpec = {
+      if (w.orderBy.isEmpty)
+        fail("GROUPS frame requires ORDER BY (peer groups are order ties)")
+      val n = ordinal(w)
+      w.copy(orderBy = Seq(OrderItem(ColRef(None, n), asc = true)),
+        frame = w.frame.map(f => f.copy(isRows = false, isGroups = false)))
+    }
+    def rewrite(e: Expr): Expr = Ast.transformUp(e) {
+      case a: AggExpr if a.window.exists(_.frame.exists(_.isGroups)) =>
+        if ((a.func == "string_agg" || a.func == "array_agg") &&
+            a.aggOrder.isEmpty)
+          fail(s"${a.func} over a GROUPS frame requires an internal " +
+            "ORDER BY (frame order over the group ordinal is undefined " +
+            "among peers)")
+        a.copy(window = a.window.map(fixSpec))
+      case RankExpr(_, w) if w.frame.exists(_.isGroups) =>
+        fail("rank()/dense_rank() take no frame clause")
+      case wf: WinFunc if wf.window.frame.exists(_.isGroups) =>
+        fail(s"GROUPS frames support order-insensitive aggregates only " +
+          s"(${wf.name} reads frame order, which the group-ordinal sort " +
+          "does not preserve among peers)")
+    }
+  }
+
   private def windowSpec(w: WindowSpec,
                          lower: Expr => Column =
                            exprToCol(_, None)): SparkWindow = {
+    if (w.frame.exists(_.isGroups))
+      fail("GROUPS frames are supported on windowed aggregates in the " +
+        "SELECT list (including QUALIFY/ORDER BY hoisted items) only")
     if (w.ref.isDefined)
       fail(s"named window '${w.ref.get}' is only valid in the SELECT/" +
         "HAVING/QUALIFY of the query whose WINDOW clause defines it")

@@ -514,6 +514,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("GROUPS frames ride one partition exchange (ordinal + frames co-planned)") {
+    // the hidden dense_rank ordinal windows by the SAME partition keys
+    // as the frames it serves — all five window computations (ordinal,
+    // g_sum, g_cnt, and the exclude algebra's frame/peer pairs) must
+    // share the single hashpartitioning(c_mktsegment) exchange
+    val p = plan("q_window_groups")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("scd2 is one key-window exchange, no self-join") {
     val df = SparkEntry.queries("q_scd2")(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString()

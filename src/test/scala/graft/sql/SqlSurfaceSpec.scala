@@ -2752,6 +2752,103 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("escape"), e.getMessage)
   }
 
+  test("GROUPS frame mode lowers as RANGE over the dense_rank ordinal (r7b)") {
+    // hand-computed: peer groups [1,1],[2],[3,3] under ORDER BY x
+    val tiny = graftSession.query(
+      """select x, sum(x) over (order by x
+           groups between 1 preceding and current row) as s
+         from (values (1),(1),(2),(3),(3)) t(x)""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(tiny.toSeq == Seq((1L, 2L), (1L, 2L), (2L, 4L),
+      (3L, 8L), (3L, 8L)), tiny.mkString(","))
+    // differential vs the spelled-out two-step rewrite through
+    // spark.sql (dense_rank subquery + RANGE over it) — real ties on
+    // l_quantity; the frame the GROUPS spec selects must match
+    def oracle(lo: String, hi: String): String =
+      s"""select l_orderkey, l_quantity,
+            sum(l_quantity) over (partition by l_returnflag order by __g
+              range between $lo and $hi) as s
+          from (select *, dense_rank() over (partition by l_returnflag
+                  order by l_quantity) as __g from lineitem)"""
+    assertSameRows(
+      graftSession.query(
+        """select l_orderkey, l_quantity,
+             sum(l_quantity) over (partition by l_returnflag
+               order by l_quantity
+               groups between 2 preceding and 1 following) as s
+           from lineitem"""),
+      spark.sql(oracle("2 preceding", "1 following")).drop("__g"))
+    // CURRENT ROW spans the WHOLE peer group in GROUPS mode
+    assertSameRows(
+      graftSession.query(
+        """select l_orderkey, l_quantity,
+             count(*) over (partition by l_returnflag order by l_quantity
+               groups between unbounded preceding and current row) as c
+           from lineitem"""),
+      spark.sql(
+        """select l_orderkey, l_quantity,
+             count(*) over (partition by l_returnflag order by l_quantity
+               range between unbounded preceding and current row) as c
+           from lineitem"""))
+    // EXCLUDE composes through the range-frame algebra unchanged
+    assertSameRows(
+      graftSession.query(
+        """select l_orderkey, l_quantity,
+             sum(l_quantity) over (partition by l_returnflag
+               order by l_quantity
+               groups between 1 preceding and 1 following
+               exclude group) as s
+           from lineitem"""),
+      spark.sql(
+        """select l_orderkey, l_quantity,
+             sum(l_quantity) over (partition by l_returnflag order by __g
+               range between 1 preceding and 1 following) -
+             sum(l_quantity) over (partition by l_returnflag, l_quantity)
+               as s
+           from (select *, dense_rank() over (partition by l_returnflag
+                   order by l_quantity) as __g from lineitem)""")
+        .drop("__g"))
+    // aggregate path: the window evaluates over the GROUPED frame
+    assertSameRows(
+      graftSession.query(
+        """select l_returnflag, l_linestatus,
+             sum(sum(l_quantity)) over (partition by l_returnflag
+               order by count(*)
+               groups between 1 preceding and current row) as s
+           from lineitem group by l_returnflag, l_linestatus"""),
+      spark.sql(
+        """select l_returnflag, l_linestatus,
+             sum(sq) over (partition by l_returnflag order by __g
+               range between 1 preceding and current row) as s
+           from (select l_returnflag, l_linestatus, sum(l_quantity) as sq,
+                   dense_rank() over (partition by l_returnflag
+                     order by count(*)) as __g
+                 from lineitem group by l_returnflag, l_linestatus)""")
+        .drop("sq", "__g"))
+  }
+
+  test("GROUPS frame walls are loud") {
+    // order-sensitive window functions read frame order, which the
+    // group-ordinal sort does not preserve among peers
+    val e1 = intercept[Exception](graftSession.query(
+      """select first_value(l_orderkey) over (order by l_quantity
+           groups between 1 preceding and current row) as f
+         from lineitem"""))
+    assert(e1.getMessage.contains("order-insensitive"), e1.getMessage)
+    // GROUPS requires ORDER BY (peer groups are order ties)
+    val e2 = intercept[Exception](graftSession.query(
+      """select sum(l_quantity) over (partition by l_returnflag
+           groups between 1 preceding and current row) as s
+         from lineitem"""))
+    assert(e2.getMessage.contains("ORDER BY"), e2.getMessage)
+    // windowed string_agg over GROUPS needs its own element order
+    val e3 = intercept[Exception](graftSession.query(
+      """select string_agg(l_returnflag, ',') over (order by l_quantity
+           groups between 1 preceding and current row) as s
+         from lineitem"""))
+    assert(e3.getMessage.contains("internal"), e3.getMessage)
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
