@@ -1397,6 +1397,50 @@ object SparkEntry {
 
   /** graft-dialect SQL differs from the DuckDB oracle text. */
   private val dialectSql: Seq[(String, String, String)] = Seq(
+    // ASOF JOIN SQL surface (r7b): graft lowers it WITHOUT a join
+    // (tag + union + one last/first_value window on the key
+    // partition); DuckDB runs ASOF JOIN natively — a true
+    // cross-implementation check of directions, tie inclusion and
+    // LEFT-vs-inner row survival. (user_id, ts) is unique in the
+    // events data, so the matched row is deterministic.
+    ("q_asof_sql",
+      """with p as (select event_id, user_id as pu,
+                      unix_micros(cast(ts as timestamp)) as pt, value as pv
+                    from events where event_type = 'purchase'),
+              v as (select user_id as vu,
+                      unix_micros(cast(ts as timestamp)) as vt,
+                      event_id as view_id
+                    from events where event_type = 'view')
+         select event_id, pu, pt, pv, vt, view_id
+         from p asof left join v on pu = vu and pt >= vt""",
+      """with p as (select event_id, user_id as pu, epoch_us(ts) as pt,
+                      value as pv
+                    from events where event_type = 'purchase'),
+              v as (select user_id as vu, epoch_us(ts) as vt,
+                      event_id as view_id
+                    from events where event_type = 'view')
+         select event_id, pu, pt, pv, vt, view_id
+         from p asof left join v on pu = vu and pt >= vt"""),
+    // forward STRICT inner variant: the earliest view strictly after
+    // each purchase; unmatched purchases drop (inner)
+    ("q_asof_sql_fwd",
+      """with p as (select event_id, user_id as pu,
+                      unix_micros(cast(ts as timestamp)) as pt, value as pv
+                    from events where event_type = 'purchase'),
+              v as (select user_id as vu,
+                      unix_micros(cast(ts as timestamp)) as vt,
+                      event_id as view_id
+                    from events where event_type = 'view')
+         select event_id, pu, pt, pv, vt, view_id
+         from p asof join v on pu = vu and pt < vt""",
+      """with p as (select event_id, user_id as pu, epoch_us(ts) as pt,
+                      value as pv
+                    from events where event_type = 'purchase'),
+              v as (select user_id as vu, epoch_us(ts) as vt,
+                      event_id as view_id
+                    from events where event_type = 'view')
+         select event_id, pu, pt, pv, vt, view_id
+         from p asof join v on pu = vu and pt < vt"""),
     // GROUPS frame mode (r7b): graft lowers GROUPS as RANGE over a
     // hidden dense_rank ordinal (Spark has no GROUPS frame type).
     // DuckDB 1.0 does not implement GROUPS either ("not implemented

@@ -168,6 +168,15 @@ object Ast {
   final case class NaturalJoinRel(left: Relation, right: Relation,
                                   joinType: String) extends Relation
 
+  /** ASOF [LEFT] JOIN (r7b, DuckDB dialect): for each left row the
+    * SINGLE nearest right row within equal keys — the ON condition is
+    * equality conjuncts plus exactly ONE inequality, which names the
+    * time columns and picks the direction (`l.t >= r.t` = backward:
+    * latest right at-or-before; `<=` = forward; strict ops exclude
+    * equal times). `leftOuter` keeps unmatched left rows with NULLs. */
+  final case class AsofJoinRel(left: Relation, right: Relation,
+                               leftOuter: Boolean, on: Expr) extends Relation
+
   /** [CROSS] JOIN LATERAL (SELECT ... WHERE inner.k = outer.k) alias
     * (r5) — correlated derived tables in two restricted forms, both
     * decorrelated (never per-row re-execution):

@@ -29,7 +29,8 @@ final class Parser(tokens: Vector[Token]) {
     "distinct", "case", "cast", "between", "in", "is", "null", "like",
     "over", "partition", "rows", "range", "preceding", "following",
     "unbounded", "current", "row", "using", "window", "with", "qualify",
-    "natural", "semi", "anti", "pivot", "unpivot", "fetch", "lateral")
+    "natural", "semi", "anti", "pivot", "unpivot", "fetch", "lateral",
+    "asof")
 
   private def isKw(t: Token, kw: String): Boolean = t match {
     case Ident(v, _) => v.equalsIgnoreCase(kw)
@@ -565,6 +566,15 @@ final class Parser(tokens: Vector[Token]) {
         if (atKw("lateral")) left = parseLateral(left)
         else if (atUnnest) left = parseUnnestRel(Some(left), "inner")
         else left = JoinRel(left, parseRelationPrimary(), "cross", None)
+      } else if (atKw("asof")) {
+        // ASOF [LEFT] JOIN ... ON eq-conjuncts AND one inequality
+        // (r7b, DuckDB dialect)
+        pos += 1
+        val leftOuter = if (eatKw("left")) { eatKw("outer"); true } else false
+        expectKw("join")
+        val right = parseRelationPrimary()
+        expectKw("on")
+        left = AsofJoinRel(left, right, leftOuter, parseExpr())
       } else if (atKw("natural")) {
         // NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN (r5)
         pos += 1

@@ -325,6 +325,7 @@ final class Translator(catalog: String => DataFrame,
       case SubqueryRel(q, _) => inSet(q)
       case ValuesRel(_, _, _) => false
       case JoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
+      case AsofJoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
       case UsingJoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
       case NaturalJoinRel(l, r2, _) => inRel(l) || inRel(r2)
       case PivotRel(rel, _, _, _) => inRel(rel)
@@ -375,6 +376,7 @@ final class Translator(catalog: String => DataFrame,
             Some(under.flatMap(_._2.get).toSet)
           else None))
       case JoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
+      case AsofJoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
       case UsingJoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
       case NaturalJoinRel(l, rr, _) => scopeEntries(l) ++ scopeEntries(rr)
       case LateralRel(l, sub, a, _) =>
@@ -518,6 +520,8 @@ final class Translator(catalog: String => DataFrame,
         } else sub
         LateralRel(left, sub2, a, k)
       case JoinRel(l, rr, jt, on) => JoinRel(walkRel(l), walkRel(rr), jt, on)
+      case AsofJoinRel(l, rr, lo, on) =>
+        AsofJoinRel(walkRel(l), walkRel(rr), lo, on)
       case UsingJoinRel(l, rr, jt, cs) =>
         UsingJoinRel(walkRel(l), walkRel(rr), jt, cs)
       case NaturalJoinRel(l, rr, jt) => NaturalJoinRel(walkRel(l), walkRel(rr), jt)
@@ -892,6 +896,122 @@ final class Translator(catalog: String => DataFrame,
             case None => fail(s"$t JOIN requires ON condition")
           }
       }
+    case aj: AsofJoinRel => translateAsofJoin(aj)
+  }
+
+  /** ASOF [LEFT] JOIN (r7b, DuckDB dialect): for each left row the
+    * single nearest right row within equal keys. Lowered WITHOUT a
+    * join — tag both sides, UNION, one last/first_value(ignoreNulls)
+    * window over the key partition: one shuffle on the keys, linear
+    * in total rows (the AsOf operator's plan shape, SURVEY §2.2 row
+    * 52, generalized to whole right rows and composite keys; a
+    * sort-merge formulation would shuffle both sides too and then pay
+    * a per-key merge with no codegen; an equi-join + row_number would
+    * multiply hot keys by their whole right history first). The
+    * matched right row travels in ONE struct so every output column
+    * comes from the SAME right row. Ties at equal times resolve by a
+    * side tag in the sort (inclusive ops admit the equal-time right
+    * row, strict ops exclude it); left rows with NULL keys or a NULL
+    * time match nothing (null keys are filtered off the right side
+    * and the time sort banishes null left times to the no-match end).
+    * The output frame is FLAT (both alias scopes register as
+    * qualifier-dropping), so the two sides' column names must be
+    * disjoint — loud otherwise. */
+  private def translateAsofJoin(aj: AsofJoinRel): DataFrame = {
+    val lf = translateRelation(aj.left)
+    val rf = translateRelation(aj.right)
+    val lAl = relationAliases(aj.left); val rAl = relationAliases(aj.right)
+    val lColsLc = lf.columns.map(_.toLowerCase).toSet
+    val rColsLc = rf.columns.map(_.toLowerCase).toSet
+    val overlap = lf.columns.filter(c => rColsLc.contains(c.toLowerCase))
+    if (overlap.nonEmpty)
+      fail(s"ASOF JOIN sides share column names [${overlap.mkString(", ")}]" +
+        " — the joined frame is flat; alias them apart in subqueries")
+    // which side does an ON operand read? (qualified refs by alias,
+    // bare refs by schema membership; mixed/ambiguous → None)
+    def side(e: Expr): Option[Boolean] = {
+      var l = false; var r = false; var bad = false
+      def walk(x: Expr): Unit = x match {
+        case ColRef(Some(q), _) =>
+          if (lAl.contains(q.toLowerCase)) l = true
+          else if (rAl.contains(q.toLowerCase)) r = true
+          else bad = true
+        case ColRef(None, n) =>
+          val inL = lColsLc.contains(n.toLowerCase)
+          val inR = rColsLc.contains(n.toLowerCase)
+          if (inL == inR) bad = true else if (inL) l = true else r = true
+        case other => Ast.children(other).foreach(walk)
+      }
+      walk(e)
+      if (bad || l == r) None else Some(l)
+    }
+    var eqs = Vector.empty[(Expr, Expr)] // (leftKey, rightKey)
+    var ineq: Option[(Expr, String, Expr)] = None // (leftT, op, rightT)
+    val flip = Map(">=" -> "<=", ">" -> "<", "<=" -> ">=", "<" -> ">")
+    splitConjuncts(aj.on).foreach {
+      case Cmp("=", a, b) => (side(a), side(b)) match {
+        case (Some(true), Some(false)) => eqs :+= ((a, b))
+        case (Some(false), Some(true)) => eqs :+= ((b, a))
+        case _ => fail("ASOF JOIN equality conjuncts must compare one " +
+          "left-side expression with one right-side expression")
+      }
+      case Cmp(op @ (">=" | ">" | "<=" | "<"), a, b) =>
+        if (ineq.isDefined)
+          fail("ASOF JOIN takes exactly ONE inequality conjunct")
+        (side(a), side(b)) match {
+          case (Some(true), Some(false)) => ineq = Some((a, op, b))
+          case (Some(false), Some(true)) => ineq = Some((b, flip(op), a))
+          case _ => fail("ASOF JOIN's inequality must compare a left-side " +
+            "expression with a right-side expression")
+        }
+      case other => fail("ASOF JOIN ON supports equality conjuncts plus " +
+        s"exactly one inequality, got: $other")
+    }
+    val (lt, op, rt) = ineq.getOrElse(fail("ASOF JOIN requires an " +
+      "inequality conjunct (it names the time columns and direction)"))
+    val backward = op == ">=" || op == ">"
+    val inclusive = op == ">=" || op == "<="
+    val kNs = eqs.indices.map(i => s"__asof_k$i")
+    val tN = "__asof_t"; val sN = "__asof_side"; val mN = "__asof_m"
+    var r2 = rf.select(eqs.map(_._2).zip(kNs).map { case (e, n) =>
+        exprToCol(e, None).as(n) } ++ Seq(
+        exprToCol(rt, None).as(tN),
+        F.struct(rf.columns.map(F.col): _*).as(mN)): _*)
+      .filter(F.col(tN).isNotNull)
+    if (kNs.nonEmpty)
+      r2 = r2.filter(kNs.map(F.col(_).isNotNull).reduce(_ && _))
+    val mType = r2.schema(mN).dataType
+    val leftCols = lf.columns.toSeq
+    val l3 = lf.select(leftCols.map(F.col) ++
+      eqs.map(_._1).zip(kNs).map { case (e, n) =>
+        exprToCol(e, None).as(n) } ++ Seq(
+      exprToCol(lt, None).as(tN), F.lit(1).as(sN),
+      F.lit(null).cast(mType).as(mN)): _*)
+    val r3 = r2.select(lf.schema.fields.toSeq.map(f =>
+        F.lit(null).cast(f.dataType).as(f.name)) ++
+      kNs.map(F.col) ++ Seq(F.col(tN), F.lit(0).as(sN), F.col(mN)): _*)
+    val u = l3.union(r3)
+    val ord =
+      if (backward) F.col(tN).asc_nulls_first else F.col(tN).asc_nulls_last
+    val tie = if (backward == inclusive) F.col(sN).asc else F.col(sN).desc
+    val spec = (if (kNs.nonEmpty) Window.partitionBy(kNs.map(F.col): _*)
+                else Window.partitionBy()).orderBy(ord, tie)
+    val matchN = "__asof_match"
+    val matchCol =
+      if (backward)
+        F.last(F.col(mN), ignoreNulls = true).over(
+          spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        F.first(F.col(mN), ignoreNulls = true).over(
+          spec.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    var matched = u.withColumn(matchN, matchCol).filter(F.col(sN) === 1)
+    if (!aj.leftOuter) matched = matched.filter(F.col(matchN).isNotNull)
+    val out = matched.select(leftCols.map(F.col) ++
+      rf.columns.toSeq.map(c => F.col(s"$matchN.$c").as(c)): _*)
+    // both scopes' qualified refs resolve by dropping the qualifier
+    // (names are disjoint — guarded above)
+    flatAliases ++= (lAl ++ rAl)
+    out
   }
 
   /** LATERAL (r5): correlated aggregate derived tables —
@@ -2757,6 +2877,7 @@ final class Translator(catalog: String => DataFrame,
     case ValuesRel(_, _, a) => a.map(_.toLowerCase).toSet
     case AliasedRel(_, a) => Set(a.toLowerCase)
     case JoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
+    case AsofJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case UsingJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case NaturalJoinRel(l, rr, _) => relationAliases(l) ++ relationAliases(rr)
     case PivotRel(rel, _, _, _) => relationAliases(rel)

@@ -57,4 +57,72 @@ class JoinKindsSpec extends SparkTestBase {
       """with a as (select n_regionkey as rk, n_name from nation)
          select rk, n_name from a where rk < 2""")
   }
+
+  // ---- ASOF JOIN (r7b) ------------------------------------------------
+
+  test("ASOF JOIN: all four directions, inner and left (r7b)") {
+    // hand-verified against DuckDB 1.0's NATIVE asof join on the same
+    // nine-cell fixture (see q_asof_sql's oracle for the live check)
+    def rows(op: String, lj: Boolean): Seq[(Long, Long, Any, Any)] =
+      graftSession.query(
+        s"""select k, t, t2, v from
+            (values (1,10),(1,20),(2,5)) a(k, t)
+            asof ${if (lj) "left " else ""}join
+            (values (1,10,'x'),(1,15,'y'),(2,99,'z')) b(k2, t2, v)
+            on k = k2 and t $op t2""").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows(">=", lj = true) == Seq((1L, 10L, 10L, "x"),
+      (1L, 20L, 15L, "y"), (2L, 5L, null, null)))
+    assert(rows(">", lj = true) == Seq((1L, 10L, null, null),
+      (1L, 20L, 15L, "y"), (2L, 5L, null, null)))
+    assert(rows("<=", lj = true) == Seq((1L, 10L, 10L, "x"),
+      (1L, 20L, null, null), (2L, 5L, 99L, "z")))
+    assert(rows("<", lj = true) == Seq((1L, 10L, 15L, "y"),
+      (1L, 20L, null, null), (2L, 5L, 99L, "z")))
+    // inner drops the unmatched left rows
+    assert(rows(">=", lj = false) == Seq((1L, 10L, 10L, "x"),
+      (1L, 20L, 15L, "y")))
+    assert(rows(">", lj = false) == Seq((1L, 20L, 15L, "y")))
+  }
+
+  test("ASOF JOIN: qualified refs, null keys/times never match, plan has no join") {
+    // alias-qualified refs resolve on the flat output frame
+    val df = graftSession.query(
+      """select l.k, l.t, r.v from
+          (values (1,10),(2,cast(null as bigint))) l(k, t)
+          asof left join
+          (values (1,5,'x'),(cast(null as bigint),1,'n')) r(k2, t2, v)
+          on l.k = r.k2 and l.t >= r.t2""")
+    val got = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
+    // row (2, null-time) matches nothing; the null-keyed right row
+    // serves nobody
+    assert(got == Seq((1L, "x"), (2L, null)), got.mkString(","))
+    // lowered WITHOUT a join: union + one window over the key
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("ASOF JOIN walls are loud") {
+    val e1 = intercept[RuntimeException](graftSession.query(
+      """select 1 as one from nation n asof join region r
+         on n.n_regionkey = r.r_regionkey"""))
+    assert(e1.getMessage.contains("inequality"), e1.getMessage)
+    val e2 = intercept[RuntimeException](graftSession.query(
+      """select 1 as one from
+          (select n_nationkey a, n_regionkey b from nation) n
+          asof join
+          (select r_regionkey c, r_name d from region) r
+         on n.a >= r.c and n.b >= r.c"""))
+    assert(e2.getMessage.contains("ONE inequality"), e2.getMessage)
+    // shared column names: the flat output frame cannot hold both
+    val e3 = intercept[RuntimeException](graftSession.query(
+      """select 1 as one from nation a asof join nation b
+         on a.n_regionkey = b.n_regionkey and a.n_nationkey >= b.n_nationkey"""))
+    assert(e3.getMessage.contains("share column names"), e3.getMessage)
+  }
 }
