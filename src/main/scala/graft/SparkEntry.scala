@@ -775,6 +775,14 @@ object SparkEntry {
            cast(7 as double) as litd,
            l_orderkey, l_linenumber
          from lineitem""",
+    // TRY_CAST (r7b): NULL on conversion failure — DuckDB runs the
+    // same text natively
+    "q_try_cast" ->
+      """select o_orderkey,
+           try_cast(substring(o_orderpriority, 1, 1) as integer) as pri,
+           try_cast(o_orderpriority as integer) as bad,
+           try_cast(o_orderstatus as double) as badf
+         from orders""",
     "q_coalesce" ->
       "select c_custkey, round(coalesce(c_acctbal, 0.0), 2) as bal from customer",
     // --- aggregation (rows 16-19)

@@ -51,7 +51,10 @@ object Ast {
   /** CASE WHEN ... THEN ... ELSE ... END (sql.lark:43,67). */
   final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Expr) extends Expr
   /** CAST(e AS type) (sql.lark:44-45,87-106). */
-  final case class Cast(e: Expr, typeName: String) extends Expr
+  /** `safe`: TRY_CAST (r7b, DuckDB/Spark dialect) — NULL on
+    * conversion failure instead of an error. */
+  final case class Cast(e: Expr, typeName: String,
+                        safe: Boolean = false) extends Expr
   final case class Coalesce(args: Seq[Expr]) extends Expr
 
   /** sum/avg/min/max/count aggregate, optionally windowed (sql.lark:46,107).
@@ -300,7 +303,7 @@ object Ast {
     case Arith(op, l, r)      => Arith(op, f(l), f(r))
     case Neg(x)               => Neg(f(x))
     case CaseWhen(bs, o)      => CaseWhen(bs.map { case (c, v) => (f(c), f(v)) }, f(o))
-    case Cast(x, t)           => Cast(f(x), t)
+    case Cast(x, t, sf)       => Cast(f(x), t, sf)
     case Coalesce(args)       => Coalesce(args.map(f))
     case ag: AggExpr =>
       ag.copy(arg = f(ag.arg), window = ag.window.map(mapWindow(_, f)),

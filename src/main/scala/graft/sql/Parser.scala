@@ -979,6 +979,8 @@ final class Parser(tokens: Vector[Token]) {
           case "false" => pos += 1; BoolLit(false)
           case "case" => pos += 1; parseCase()
           case "cast" if isOpAt(pos + 1, "(") => pos += 1; parseCast()
+          case "try_cast" if isOpAt(pos + 1, "(") =>
+            pos += 1; parseCast(safe = true)
           case "coalesce" if isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("(")
             val args = Seq.newBuilder[Expr]
@@ -1294,13 +1296,13 @@ final class Parser(tokens: Vector[Token]) {
     CaseWhen(branches.result(), otherwise)
   }
 
-  private def parseCast(): Expr = {
+  private def parseCast(safe: Boolean = false): Expr = {
     expectOp("(")
     val e = parseExpr()
     expectKw("as")
     val t = parseTypeName()
     expectOp(")")
-    Cast(e, t)
+    Cast(e, t, safe)
   }
 
   /** A type name with optional parenthesized integer parameters —

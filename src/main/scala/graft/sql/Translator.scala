@@ -1324,7 +1324,7 @@ final class Translator(catalog: String => DataFrame,
     case FuncCall(n, args) => scalarFunc(n, args.map(lowerPivotAgg), args)
     case Arith(op, l, r) => arith(op, lowerPivotAgg(l), lowerPivotAgg(r))
     case Neg(x) => -lowerPivotAgg(x)
-    case Cast(x, t) => lowerPivotAgg(x).cast(sparkType(t))
+    case Cast(x, t, sf) => castCol(lowerPivotAgg(x), t, sf)
     case Coalesce(args) => F.coalesce(args.map(lowerPivotAgg): _*)
     case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit() => exprToCol(e, None)
     case other => fail(s"unsupported expression in PIVOT aggregate: $other")
@@ -2530,7 +2530,7 @@ final class Translator(catalog: String => DataFrame,
         bs.tail.foldLeft(F.when(post(bs.head._1), post(bs.head._2))) {
           case (acc, (c, v)) => acc.when(post(c), post(v))
         }.otherwise(post(o))
-      case Cast(x, t)     => post(x).cast(sparkType(t))
+      case Cast(x, t, sf) => castCol(post(x), t, sf)
       case Coalesce(args) => F.coalesce(args.map(post): _*)
       case And(l, r)      => post(l) && post(r)
       case Or(l, r)       => post(l) || post(r)
@@ -3695,7 +3695,7 @@ final class Translator(catalog: String => DataFrame,
     case NumLit(t) => t
     case StrLit(v) => v
     case Arith(op, l, r) => s"${render(l)}$op${render(r)}"
-    case Cast(x, t) => s"cast_${render(x)}_$t"
+    case Cast(x, t, sf) => s"cast_${render(x)}_$t${if (sf) "_try" else ""}"
     case Coalesce(as) => s"coalesce_${as.map(render).mkString("_")}"
     case _ => "expr"
   }
@@ -3734,7 +3734,7 @@ final class Translator(catalog: String => DataFrame,
         F.when(exprToCol(bs.head._1, in), exprToCol(bs.head._2, in))) {
         case (acc, (c, v)) => acc.when(exprToCol(c, in), exprToCol(v, in))
       }.otherwise(exprToCol(o, in))
-    case Cast(x, t)     => exprToCol(x, in).cast(sparkType(t))
+    case Cast(x, t, sf) => castCol(exprToCol(x, in), t, sf)
     case Coalesce(args) => F.coalesce(args.map(exprToCol(_, in)): _*)
     case a: AggExpr if a.window.isDefined =>
       if (a.func == "string_agg" || a.func == "array_agg")
@@ -4316,6 +4316,12 @@ final class Translator(catalog: String => DataFrame,
     }
     spec
   }
+
+  /** CAST / TRY_CAST (r7b): try_cast returns NULL on conversion
+    * failure — Spark's native Column.try_cast, same semantics as
+    * DuckDB's TRY_CAST. */
+  private def castCol(c: Column, t: String, safe: Boolean): Column =
+    if (safe) c.try_cast(sparkType(t)) else c.cast(sparkType(t))
 
   /** Type names accepted by the reference (sql.lark:87-106) → Spark. */
   private def sparkType(t: String): DataType = t.toLowerCase match {

@@ -53,7 +53,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case And(l, r) => s"(${render(l)} and ${render(r)})"
     case Or(l, r) => s"(${render(l)} or ${render(r)})"
     case Coalesce(args) => s"coalesce(${args.map(render).mkString(", ")})"
-    case Cast(x, t) => s"cast(${render(x)} as $t)"
+    case Cast(x, t, sf) =>
+      s"${if (sf) "try_cast" else "cast"}(${render(x)} as $t)"
     case other => throw new IllegalArgumentException(other.toString)
   }
 

@@ -2752,6 +2752,20 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("escape"), e.getMessage)
   }
 
+  test("TRY_CAST returns NULL on conversion failure (r7b)") {
+    checkAgainstSparkSql(
+      """select o_orderkey,
+           try_cast(substring(o_orderpriority, 1, 1) as integer) as pri,
+           try_cast(o_orderpriority as integer) as bad,
+           try_cast(o_orderstatus as double) as badf
+         from orders""")
+    // :: sugar stays a HARD cast; try_cast composes inside expressions
+    checkAgainstSparkSql(
+      """select n_nationkey,
+           coalesce(try_cast(n_name as bigint), -1) as nn
+         from nation""")
+  }
+
   test("GROUPS frame mode lowers as RANGE over the dense_rank ordinal (r7b)") {
     // hand-computed: peer groups [1,1],[2],[3,3] under ORDER BY x
     val tiny = graftSession.query(
