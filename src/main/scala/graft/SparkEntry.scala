@@ -2585,6 +2585,34 @@ object SparkEntry {
     // SCD2 history build (r5c): the purchase log becomes validity
     // intervals — valid_from inclusive, valid_to exclusive (NULL while
     // current); one (key) window, no self-join
+    // snapshot diff (r7b): added/removed/changed/unchanged per key
+    // between two corpus snapshots — graft collapses each side to a
+    // fixed-width (key, n, hash-sum) row BEFORE one full-outer join;
+    // the oracle compares the actual values null-safely in DuckDB,
+    // a mechanism-independent check of the statuses
+    ("q_snapshot_diff",
+      (s: SparkSession, dir: String) => {
+        val d = tbl(s, dir, "documents")
+        val o = d.filter("doc_id % 7 != 0").select("doc_id", "text", "lang")
+        val n = d.filter("doc_id % 5 != 0").selectExpr("doc_id",
+          "case when doc_id % 3 = 0 then concat(text, '!') else text end" +
+            " as text", "lang")
+        graft.ops.Curation.snapshotDiff(o, n, Seq("doc_id"))
+      },
+      Some("""with o as (select doc_id, text, lang from documents
+                         where doc_id % 7 <> 0),
+                   n as (select doc_id,
+                           case when doc_id % 3 = 0 then text || '!'
+                                else text end as text, lang
+                         from documents where doc_id % 5 <> 0)
+              select coalesce(o.doc_id, n.doc_id) as doc_id,
+                case when o.doc_id is null then 'added'
+                     when n.doc_id is null then 'removed'
+                     when o.text is not distinct from n.text
+                      and o.lang is not distinct from n.lang
+                       then 'unchanged'
+                     else 'changed' end as status
+              from o full outer join n on o.doc_id = n.doc_id""")),
     ("q_scd2",
       (s: SparkSession, dir: String) => {
         val ev = eventMicros(s, dir)

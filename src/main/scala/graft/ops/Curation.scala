@@ -228,6 +228,53 @@ object Curation {
       .drop("__prior")
   }
 
+  /** Snapshot diff (r7b): the corpus-regression check between two
+    * keyed snapshots — which keys were ADDED, REMOVED, CHANGED or
+    * UNCHANGED from `oldDf` to `newDf`. The pre-admission gate for
+    * incremental corpus rebuilds ("this re-crawl changed 0.3% of
+    * documents, added 2%, dropped 1%" — anything else blocks the
+    * swap).
+    *
+    * Scale shape: each side collapses map-side to ONE fixed-width
+    * (key, n, hash-sum) row per key (two-phase aggregation — the
+    * exchange carries ~24 bytes per key regardless of document
+    * size), then ONE full-outer equi-join on the key. Value columns
+    * are the non-key columns common to both sides; rows sharing a key
+    * compare as MULTISETS via (count, order-independent sum of
+    * per-row xxhash64) — duplicate keys need no special casing, and
+    * the comparison is exchange-order-invariant. The repo-wide
+    * xxhash64 row-hash convention applies (same as the recursive-CTE
+    * keyed dedup tier): a false "unchanged" needs a 2⁻⁶⁴ collision.
+    *
+    * Output: (keys..., status) — one row per key present in either
+    * snapshot; callers aggregate `group by status` for the gate
+    * counts. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs key columns")
+    val keyLc = keys.map(_.toLowerCase).toSet
+    val newCols = newDf.columns.map(_.toLowerCase).toSet
+    val valueCols = oldDf.columns.filter(c =>
+      !keyLc.contains(c.toLowerCase) && newCols.contains(c.toLowerCase))
+    def summarize(df: DataFrame, side: String): DataFrame =
+      df.groupBy(keys.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as(s"__n_$side"),
+          // decimal(38,0) accumulator: a SUM of 2⁶³-scale hashes
+          // overflows long under ANSI mode; 38 digits hold ~10¹⁹
+          // rows per key before overflow
+          (if (valueCols.isEmpty) F.lit(java.math.BigDecimal.ZERO)
+           else F.sum(F.xxhash64(valueCols.map(F.col): _*)
+             .cast("decimal(38,0)"))).as(s"__h_$side"))
+    val joined = summarize(oldDf, "old")
+      .join(summarize(newDf, "new"), keys, "full_outer")
+    joined.select(keys.map(F.col) :+
+      F.when(F.col("__n_old").isNull, F.lit("added"))
+        .when(F.col("__n_new").isNull, F.lit("removed"))
+        .when(F.col("__n_old") === F.col("__n_new") &&
+          F.col("__h_old") === F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")).as("status"): _*)
+  }
+
   /** PageRank over an edge table (r5c) — the crawl-curation authority
     * signal: rank domains/pages by the link graph before capping or
     * mixing (the CommonCrawl-style domain-ranking pass). Standard

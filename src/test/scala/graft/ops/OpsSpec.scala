@@ -995,6 +995,32 @@ class OpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  // ---- snapshot diff (r7b) --------------------------------------------
+
+  test("snapshot diff statuses, duplicate-key multisets, null values") {
+    import spark.implicits._
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String),
+      (5L, "x"), (5L, "y"), (6L, "p"), (6L, "p")).toDF("k", "v")
+    val n = Seq((2L, "b"), (3L, "C"), (4L, null: String), (7L, "new"),
+      (5L, "y"), (5L, "x"), (6L, "p")).toDF("k", "v")
+    val r = Curation.snapshotDiff(o, n, Seq("k")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged",        // null values compare null-safely
+      5L -> "unchanged",        // multiset equal, order differs
+      6L -> "changed",          // duplicate count dropped 2 -> 1
+      7L -> "added"), r.toString)
+    // plan: two two-phase aggregations + ONE join; the exchange rows
+    // are fixed-width summaries, never the documents
+    val big = documents.select($"doc_id", $"text")
+    val p = Curation.snapshotDiff(big, big.limit(900), Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   // ---- constraint audit (r7) ------------------------------------------
 
   test("constraint audit counts every violation kind exactly") {
