@@ -2585,6 +2585,35 @@ object SparkEntry {
     // SCD2 history build (r5c): the purchase log becomes validity
     // intervals — valid_from inclusive, valid_to exclusive (NULL while
     // current); one (key) window, no self-join
+    // equi-width histogram (r7b): fixed-range one-pass profile; floor
+    // + IEEE division are exactly rounded so bucket edges are
+    // engine-identical; every bucket materializes (empty = 0) and the
+    // out-of-range/null mass rides every row
+    ("q_histogram",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Quality.histogram(tbl(s, dir, "customer"), "c_acctbal",
+          80, -1000.0, 10000.0),
+      Some("""with x as (select cast(c_acctbal as double) as v from customer),
+                   c as (select cast(least(79, floor((v - (-1000.0)) / 137.5))
+                             as bigint) as bucket,
+                           count(*) as n
+                         from x
+                         where v is not null and v >= -1000.0 and v <= 10000.0
+                         group by 1),
+                   o as (select
+                           cast(count(*) filter (where v < -1000.0) as bigint)
+                             as below,
+                           cast(count(*) filter (where v > 10000.0) as bigint)
+                             as above,
+                           cast(count(*) filter (where v is null) as bigint)
+                             as nulls
+                         from x),
+                   sp as (select unnest(range(0, 80)) as bucket)
+              select sp.bucket,
+                -1000.0 + sp.bucket * 137.5 as bucket_lo,
+                -1000.0 + (sp.bucket + 1) * 137.5 as bucket_hi,
+                coalesce(c.n, 0) as n, o.below, o.above, o.nulls
+              from sp left join c using (bucket) cross join o""")),
     // snapshot diff (r7b): added/removed/changed/unchanged per key
     // between two corpus snapshots — graft collapses each side to a
     // fixed-width (key, n, hash-sum) row BEFORE one full-outer join;

@@ -109,4 +109,58 @@ object Quality {
     }
     (localFrame.toSeq ++ perRule).reduce(_ unionAll _)
   }
+
+  /** Equi-width histogram of a numeric column over a caller-fixed
+    * [lo, hi] range (r7b) — the data-profiling primitive behind
+    * distribution drift checks ("did this batch's length/score
+    * distribution move?").
+    *
+    * ONE aggregation pass (two-phase, map-side partials): bucket
+    * index = least(bins−1, floor((x−lo)/w)) — floor and IEEE division
+    * are exactly rounded, so bucket edges are engine-identical —
+    * then every bucket materializes (empty ones read 0) by a
+    * broadcast join of the tiny bucket spine against the aggregated
+    * counts: bins rows total, never a corpus-sized structure. Values
+    * outside [lo, hi] and NULLs are counted separately in the
+    * `below`/`above`/`nulls` columns of every row (profilers need
+    * the clipped mass; silently dropping it misreads drift). The
+    * caller-fixed range keeps it one-pass at 100 TB; use
+    * [[histogramAuto]] to spend a min/max pre-pass instead. */
+  def histogram(df: DataFrame, col: String, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    require(lo < hi, "lo must be < hi")
+    val w = (hi - lo) / bins
+    val x = F.col(col).cast("double")
+    val bucket = F.least(F.lit(bins - 1L),
+      F.floor((x - F.lit(lo)) / F.lit(w))).cast("long")
+    val counts = df
+      .filter(x.isNotNull && x >= lo && x <= hi)
+      .groupBy(bucket.as("bucket"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val outside = df.agg(
+      F.count(F.when(x < lo, 1)).as("below"),
+      F.count(F.when(x > hi, 1)).as("above"),
+      F.count(F.when(x.isNull, 1)).as("nulls"))
+    val spine = df.sparkSession.range(bins).select(F.col("id").as("bucket"))
+    spine.join(F.broadcast(counts), Seq("bucket"), "left_outer")
+      .crossJoin(F.broadcast(outside))
+      .select(F.col("bucket"),
+        (F.lit(lo) + F.col("bucket") * w).as("bucket_lo"),
+        (F.lit(lo) + (F.col("bucket") + 1) * w).as("bucket_hi"),
+        F.coalesce(F.col("n"), F.lit(0L)).as("n"),
+        F.col("below"), F.col("above"), F.col("nulls"))
+  }
+
+  /** [[histogram]] with the range taken from the data: one extra
+    * min/max aggregation pass (the small price of not knowing the
+    * domain), then the fixed-range single pass. */
+  def histogramAuto(df: DataFrame, col: String, bins: Int): DataFrame = {
+    val x = F.col(col).cast("double")
+    val r = df.agg(F.min(x), F.max(x)).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"histogramAuto: column $col has no non-null values")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    histogram(df, col, bins, lo, if (hi > lo) hi else lo + 1.0)
+  }
 }

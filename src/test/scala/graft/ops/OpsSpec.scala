@@ -995,6 +995,35 @@ class OpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  // ---- histogram profiling (r7b) --------------------------------------
+
+  test("histogram buckets, clipped mass, empty buckets, auto range") {
+    import spark.implicits._
+    val t = Seq[java.lang.Double](0.0, 1.0, 2.5, 9.999, 10.0, -5.0, 42.0,
+      null).toDF("v")
+    val h = Quality.histogram(t, "v", 4, 0.0, 10.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // w = 2.5; buckets: [0,2.5)→{0,1}, [2.5,5)→{2.5}, [5,7.5)→{},
+    // [7.5,10]→{9.999, 10.0 (hi lands in the LAST bucket)}
+    assert(h(0L) == ((0.0, 2.5, 2L, 1L, 1L, 1L)), h.toString)
+    assert(h(1L) == ((2.5, 5.0, 1L, 1L, 1L, 1L)))
+    assert(h(2L)._3 == 0L, "empty bucket must materialize with 0")
+    assert(h(3L) == ((7.5, 10.0, 2L, 1L, 1L, 1L)))
+    // auto range spends one min/max pass then the same single pass
+    val a = Quality.histogramAuto(t, "v", 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == Map(0L -> 6L, 1L -> 1L), a.toString) // [-5,18.5),[18.5,42]
+    // plan: the corpus aggregates ONCE; the spine/outside sides are
+    // broadcast, never shuffled corpus-wide
+    val p = Quality.histogram(documents, "n_chars", 100, 0, 10000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   // ---- snapshot diff (r7b) --------------------------------------------
 
   test("snapshot diff statuses, duplicate-key multisets, null values") {
