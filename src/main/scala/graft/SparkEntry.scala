@@ -3124,6 +3124,27 @@ object SparkEntry {
                            unnest(range(1, len(embedding) + 1)) as dim
                     from embeddings where embedding is not null)
               group by dim""")),
+    // whitening transform (r7b): per-dim z-score via the broadcast
+    // dimensionStats row; output exploded to (vec_id, dim, wv) so the
+    // checker's float canonicalization applies element-wise (no
+    // array-of-float string formatting); 4dp + 0.0 per the
+    // summation-order / negative-zero rules
+    ("q_embed_whiten",
+      (s: SparkSession, dir: String) => {
+        val w = graft.ops.Similarity.whiten(tbl(s, dir, "embeddings"))
+        w.select(F.col("vec_id"),
+            F.posexplode(F.col("whitened")).as(Seq("i0", "w0")))
+          .select(F.col("vec_id"), (F.col("i0") + 1).cast("int").as("dim"),
+            (F.round(F.col("w0"), 4) + F.lit(0.0)).as("wv"))
+      },
+      Some("""with x as (select vec_id, unnest(embedding) as v,
+                           unnest(range(1, len(embedding) + 1)) as dim
+                         from embeddings where embedding is not null),
+                   st as (select dim, avg(v) as m, stddev_samp(v) as s
+                          from x group by dim)
+              select x.vec_id, cast(x.dim as int) as dim,
+                round((x.v - st.m) / st.s, 4) + 0.0 as wv
+              from x join st using (dim)""")),
     // persisted mergeable HLL distinct sketches (r7): per-batch
     // per-lang sketch build + cross-batch union; the estimate is
     // checked against the exact distinct within the documented

@@ -559,4 +559,38 @@ object Similarity {
       .select(F.col("d.dim").as("dim"), F.col("d.n").as("n"),
         F.col("d.mean").as("mean"), F.col("d.std").as("std"),
         F.col("d.mn").as("mn"), F.col("d.mx").as("mx"))
+
+  /** Whitening transform (r7b): per-dimension z-score of an embedding
+    * column — `w_i = (x_i − mean_i) / std_i` — the normalization pass
+    * before cosine/PQ work when dimensions carry wildly different
+    * scales (raw activations, concatenated feature blocks).
+    *
+    * Two passes total at any corpus size: the [[dimensionStats]]
+    * zero-shuffle aggregation collapses to ONE broadcast row holding
+    * the mean/std arrays, then one codegen-friendly projection maps
+    * each vector (a single per-element HOF over a short array — the
+    * fine kind). Dimensions with std NULL (n < 2) or 0, and elements
+    * past the stats length (ragged inputs), whiten to NULL — loud in
+    * the data rather than silently unscaled. Adds `whitened`
+    * (array<double>); the input column stays. */
+  def whiten(emb: DataFrame, col: String = "embedding"): DataFrame = {
+    require(!emb.columns.exists(c => c.equalsIgnoreCase("__wm") ||
+      c.equalsIgnoreCase("__ws") || c.equalsIgnoreCase("whitened")),
+      "input columns collide with reserved names __wm/__ws/whitened")
+    val stats = dimensionStats(emb, col)
+      .agg(F.array_sort(F.collect_list(F.struct(
+        F.col("dim"), F.col("mean"), F.col("std")))).as("__d"))
+      .select(
+        F.expr("transform(__d, d -> d.mean)").as("__wm"),
+        // DimStats reports NaN std for n = 1 — NaN and exact-zero
+        // dispersion both mean "cannot scale": NULL either way
+        F.expr("transform(__d, d -> " +
+          "nullif(nanvl(d.std, cast(null as double)), 0.0d))").as("__ws"))
+    emb.crossJoin(F.broadcast(stats))
+      .withColumn("whitened", F.expr(
+        s"""transform($col, (x, i) ->
+              (cast(x as double) - try_element_at(__wm, i + 1)) /
+              try_element_at(__ws, i + 1))"""))
+      .drop("__wm", "__ws")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{SparkTestBase, TestSpark}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, functions => F}
 
 /** Specs for the pipeline operators (SURVEY.md §2.2). */
 class OpsSpec extends SparkTestBase {
@@ -993,6 +993,48 @@ class OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  // ---- whitening transform (r7b) --------------------------------------
+
+  test("whitening z-scores per dim; zero-std, ragged and null inputs") {
+    import spark.implicits._
+    // dim 1: {1,3} -> mean 2, std sqrt(2); dim 2: {5,5} -> std 0;
+    // dim 3 exists only on the ragged row -> n=1, std NULL
+    val t = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(3.0f, 5.0f, 9.0f)),
+      (3L, null: Seq[Float])).toDF("vec_id", "embedding")
+    val r = Similarity.whiten(t).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) null else x.getSeq[Any](2))).toMap
+    val s2 = math.sqrt(2.0)
+    assert(r(3L) == null)
+    val w1 = r(1L); val w2 = r(2L)
+    assert(math.abs(w1(0).asInstanceOf[Double] - (-1.0 / s2)) < 1e-12)
+    assert(w1(1) == null, "zero-std dim must whiten to NULL")
+    assert(math.abs(w2(0).asInstanceOf[Double] - (1.0 / s2)) < 1e-12)
+    assert(w2(2) == null, "n=1 dim (NULL std) must whiten to NULL")
+    // parity with an exploded recomputation on real embeddings
+    val emb = embeddings.limit(500)
+    val viaOp = Similarity.whiten(emb)
+      .select($"vec_id", F.posexplode($"whitened").as(Seq("i", "w")))
+      .select($"vec_id", $"i", F.round($"w", 6).as("w"))
+    val exploded = emb.select($"vec_id",
+        F.posexplode($"embedding").as(Seq("i", "x")))
+    val st = exploded.groupBy("i")
+      .agg(F.avg("x").as("m"), F.stddev_samp("x").as("s"))
+    val viaSql = exploded.join(st, Seq("i"))
+      .select($"vec_id", $"i",
+        F.round(($"x".cast("double") - $"m") / F.nullif($"s", F.lit(0.0)), 6)
+          .as("w"))
+    assert(viaOp.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaOp).isEmpty)
+    // plan: stats broadcast; the corpus never shuffles
+    val p = Similarity.whiten(embeddings)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      p.take(3000))
   }
 
   // ---- histogram profiling (r7b) --------------------------------------
