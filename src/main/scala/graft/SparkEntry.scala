@@ -1449,6 +1449,27 @@ object SparkEntry {
                     from events where event_type = 'view')
          select event_id, pu, pt, pv, vt, view_id
          from p asof join v on pu = vu and pt < vt"""),
+    // lambda higher-order functions (r7b): element lambdas only (the
+    // cross-engine subset — DuckDB's indexed lambda is 1-based vs
+    // Spark's 0-based); the oracle re-derives the aggregate via
+    // list_sum since DuckDB has no init-carrying reduce. Spark
+    // sequence is end-INCLUSIVE vs DuckDB range end-EXCLUSIVE.
+    ("q_list_lambda",
+      """select c_custkey,
+           array_to_string(transform(sequence(1, 1 + c_custkey % 5),
+             x -> x * x), ',') as sq,
+           array_to_string(list_filter(sequence(1, 1 + c_custkey % 5),
+             x -> x % 2 = 1), ',') as od,
+           aggregate(sequence(1, 1 + c_custkey % 5), cast(0 as bigint),
+             (acc, x) -> acc + x) as sm
+         from customer""",
+      """select c_custkey,
+           array_to_string(list_transform(range(1, 2 + c_custkey % 5),
+             x -> x * x), ',') as sq,
+           array_to_string(list_filter(range(1, 2 + c_custkey % 5),
+             x -> x % 2 = 1), ',') as od,
+           cast(list_sum(range(1, 2 + c_custkey % 5)) as bigint) as sm
+         from customer"""),
     // GROUPS frame mode (r7b): graft lowers GROUPS as RANGE over a
     // hidden dense_rank ordinal (Spark has no GROUPS frame type).
     // DuckDB 1.0 does not implement GROUPS either ("not implemented

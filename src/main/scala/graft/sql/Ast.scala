@@ -80,6 +80,12 @@ object Ast {
     * grammar for the pipeline operators (lower/upper/length/...). */
   final case class FuncCall(name: String, args: Seq[Expr]) extends Expr
 
+  /** Lambda argument of a higher-order function (r7b, DuckDB/Spark
+    * dialect): `x -> x + 1`, `(x, i) -> ...` — valid only as a
+    * direct argument of transform/filter/aggregate and their
+    * list_* spellings. Params bind tighter than column names. */
+  final case class Lambda(params: Seq[String], body: Expr) extends Expr
+
   // boolean operators (sql.lark:112-131)
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
@@ -313,6 +319,7 @@ object Ast {
     case wf: WinFunc =>
       wf.copy(args = wf.args.map(f), window = mapWindow(wf.window, f))
     case FuncCall(n, args)    => FuncCall(n, args.map(f))
+    case Lambda(ps, b)        => Lambda(ps, f(b))
     case And(l, r)            => And(f(l), f(r))
     case Or(l, r)             => Or(f(l), f(r))
     case Not(x)               => Not(f(x))

@@ -65,7 +65,7 @@ object Lexer {
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (two == "<>" || two == "!=" || two == "<=" || two == ">=" ||
-            two == "||" || two == "::") {
+            two == "||" || two == "::" || two == "->") {
           out += Op(two, i); i += 2
         } else if ("=<>+-*/%(),.".indexOf(c) >= 0) {
           out += Op(c.toString, i); i += 1

@@ -1174,7 +1174,10 @@ final class Parser(tokens: Vector[Token]) {
             val args = Seq.newBuilder[Expr]
             if (!atOp(")")) {
               var more = true
-              while (more) { args += parseExpr(); more = eatOp(",") }
+              while (more) {
+                args += parseLambdaOrExpr()
+                more = eatOp(",")
+              }
             }
             // <null treatment> (r5): DuckDB puts IGNORE/RESPECT NULLS
             // INSIDE the parens, the SQL standard AFTER them — accept
@@ -1294,6 +1297,42 @@ final class Parser(tokens: Vector[Token]) {
     val otherwise = if (eatKw("else")) parseExpr() else NullLit()
     expectKw("end")
     CaseWhen(branches.result(), otherwise)
+  }
+
+  /** A higher-order-function argument: `x -> body` or
+    * `(x, i) -> body` (r7b) — detected by lookahead so plain
+    * parenthesized expressions are untouched; falls back to
+    * parseExpr. */
+  private def parseLambdaOrExpr(): Expr = {
+    peek match {
+      case Ident(v, _) if !reserved.contains(v.toLowerCase) &&
+          isOpAt(pos + 1, "->") =>
+        pos += 2
+        Lambda(Seq(v.toLowerCase), parseExpr())
+      case Op("(", _) =>
+        // scan ahead for "( ident (, ident)* ) ->"
+        var j = pos + 1
+        val ps = Seq.newBuilder[String]
+        var good = true; var done = false
+        while (good && !done) {
+          tokens(j) match {
+            case Ident(v, _) if !reserved.contains(v.toLowerCase) =>
+              ps += v.toLowerCase
+              tokens(j + 1) match {
+                case Op(",", _) => j += 2
+                case Op(")", _) => j += 2; done = true
+                case _ => good = false
+              }
+            case _ => good = false
+          }
+        }
+        val params = ps.result()
+        if (good && params.nonEmpty && isOpAt(j, "->")) {
+          pos = j + 1
+          Lambda(params, parseExpr())
+        } else parseExpr()
+      case _ => parseExpr()
+    }
   }
 
   private def parseCast(safe: Boolean = false): Expr = {

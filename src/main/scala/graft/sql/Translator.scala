@@ -27,6 +27,12 @@ final class Translator(catalog: String => DataFrame,
     * lower before the expressions that reference them. */
   private var flatAliases: Set[String] = Set.empty
 
+  /** In-scope lambda parameter bindings (r7b) — consulted by
+    * unqualified ColRef lowering before real columns (params shadow
+    * columns, the DuckDB/Spark lambda scoping rule). Saved/restored
+    * around each body lowering, so nesting shadows correctly. */
+  private var lambdaEnv: Map[String, Column] = Map.empty
+
   def translate(e: SetExpr): DataFrame = e match {
     case Leaf(q) => translateQuery(q)
     case OrderedSet(body, orderBy, limit, offset, ties) =>
@@ -2543,6 +2549,8 @@ final class Translator(catalog: String => DataFrame,
       case IsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
       case Like(x, p, esc) => likeCol(post(x), p, esc, ci = false)
       case ILike(x, p, esc) => likeCol(post(x), p, esc, ci = true)
+      case FuncCall(nm, args) if args.exists(_.isInstanceOf[Lambda]) =>
+        hofCall(nm, args, post)
       case FuncCall(nm, args) => scalarFunc(nm, args.map(post), args)
       case other => fail(s"unsupported expression in aggregate context: $other")
     }
@@ -3706,6 +3714,8 @@ final class Translator(catalog: String => DataFrame,
     case ColRef(Some(q), n) if flatAliases.contains(q.toLowerCase) =>
       F.col(n)
     case ColRef(Some(q), n) => F.col(s"${q.toLowerCase}.$n")
+    case ColRef(None, n) if lambdaEnv.contains(n.toLowerCase) =>
+      lambdaEnv(n.toLowerCase)
     case ColRef(None, n)    => F.col(n)
     case Star(None)         => F.col("*")
     case Star(Some(t))      => F.col(s"${t.toLowerCase}.*")
@@ -3758,8 +3768,13 @@ final class Translator(catalog: String => DataFrame,
       if (neg) exprToCol(x, in).isNotNull else exprToCol(x, in).isNull
     case Like(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = false)
     case ILike(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = true)
+    case FuncCall(name, args) if args.exists(_.isInstanceOf[Lambda]) =>
+      hofCall(name, args, exprToCol(_, in))
     case FuncCall(name, args) =>
       scalarFunc(name, args.map(exprToCol(_, in)), args)
+    case _: Lambda =>
+      fail("a lambda is only valid as a direct argument of " +
+        "transform/filter/aggregate (and their list_* spellings)")
     case _: InSubquery => fail("IN (subquery) not supported in this position")
     case _: QuantCmp =>
       fail("quantified comparison (ANY/ALL) not supported in this position")
@@ -4398,6 +4413,59 @@ final class Translator(catalog: String => DataFrame,
 
   /** Scalar function extension surface (graft addition; all map to
     * codegen'd Spark functions — no UDFs). */
+  /** Higher-order functions with lambda arguments (r7b, DuckDB/Spark
+    * dialect): transform/filter (element or (element, index) lambdas)
+    * and aggregate/reduce (init + merge [+ finish]), plus DuckDB's
+    * list_transform/list_filter spellings. Lambda bodies lower with
+    * their params bound in [[lambdaEnv]] (params shadow columns;
+    * save/restore nests correctly). Spark's HOF expressions are
+    * interpreted (CodegenFallback) — fine per-element on short
+    * arrays, the documented HOF rule. */
+  private def hofCall(name: String, args: Seq[Expr],
+                      lower: Expr => Column): Column = {
+    def body(l: Lambda, bound: Seq[Column]): Column = {
+      if (l.params.length != bound.length)
+        fail(s"$name lambda takes ${bound.length} parameter(s), " +
+          s"got ${l.params.length}")
+      val saved = lambdaEnv
+      lambdaEnv = lambdaEnv ++ l.params.map(_.toLowerCase).zip(bound)
+      try lower(l.body) finally lambdaEnv = saved
+    }
+    def lam(e: Expr): Lambda = e match {
+      case l: Lambda => l
+      case other => fail(s"$name expects a lambda, got $other")
+    }
+    name.toLowerCase match {
+      case "transform" | "list_transform" | "array_transform" =>
+        if (args.length != 2) fail(s"$name takes (array, lambda)")
+        val arr = lower(args.head); val l = lam(args(1))
+        if (l.params.length == 2)
+          F.transform(arr, (x, i) => body(l, Seq(x, i)))
+        else F.transform(arr, x => body(l, Seq(x)))
+      case "filter" | "list_filter" | "array_filter" =>
+        if (args.length != 2) fail(s"$name takes (array, lambda)")
+        val arr = lower(args.head); val l = lam(args(1))
+        if (l.params.length == 2)
+          F.filter(arr, (x, i) => body(l, Seq(x, i)))
+        else F.filter(arr, x => body(l, Seq(x)))
+      case "aggregate" | "reduce" =>
+        if (args.length != 3 && args.length != 4)
+          fail(s"$name takes (array, init, mergeLambda[, finishLambda])")
+        val arr = lower(args.head); val init = lower(args(1))
+        val merge = lam(args(2))
+        args.lift(3) match {
+          case Some(fin) =>
+            F.aggregate(arr, init, (acc, x) => body(merge, Seq(acc, x)),
+              acc => body(lam(fin), Seq(acc)))
+          case None =>
+            F.aggregate(arr, init, (acc, x) => body(merge, Seq(acc, x)))
+        }
+      case other =>
+        fail(s"$other does not take lambda arguments (supported: " +
+          "transform/filter/aggregate and their list_* spellings)")
+    }
+  }
+
   private def scalarFunc(name: String, cols: Seq[Column],
                          raw: Seq[Expr]): Column = {
     def c(i: Int): Column = cols(i)

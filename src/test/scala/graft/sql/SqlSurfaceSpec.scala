@@ -2752,6 +2752,49 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("escape"), e.getMessage)
   }
 
+  test("lambda higher-order functions (r7b)") {
+    // spark.sql shares the lambda syntax — element AND indexed forms
+    // (both 0-based in Spark; DuckDB's index is 1-based, so the
+    // DuckDB oracle entry q_list_lambda sticks to element lambdas)
+    checkAgainstSparkSql(
+      """select n_nationkey,
+           transform(sequence(1, 1 + n_nationkey % 4), x -> x * x) as sq,
+           transform(sequence(1, 1 + n_nationkey % 4), (x, i) -> x + i) as xi,
+           filter(sequence(1, 1 + n_nationkey % 4), x -> x % 2 = 1) as od,
+           aggregate(sequence(1, 1 + n_nationkey % 4), cast(0 as bigint),
+             (acc, x) -> acc + x) as sm,
+           aggregate(sequence(1, 1 + n_nationkey % 4), cast(0 as bigint),
+             (acc, x) -> acc + x, acc -> acc * 10) as smf
+         from nation""")
+    // DuckDB list_* spellings lower to the same HOFs; params shadow
+    // real columns (n_nationkey used as the param name)
+    assertSameRows(
+      graftSession.query(
+        """select list_transform(sequence(1, 3),
+             n_nationkey -> n_nationkey * 2) as t,
+             list_filter(sequence(1, 4), v -> v > 2) as f
+           from region where r_regionkey = 0"""),
+      spark.sql(
+        "select transform(sequence(1, 3), x -> x * 2) as t, " +
+          "filter(sequence(1, 4), v -> v > 2) as f " +
+          "from region where r_regionkey = 0"))
+    // nested lambdas shadow correctly
+    checkAgainstSparkSql(
+      """select n_nationkey,
+           transform(sequence(1, 2),
+             x -> aggregate(sequence(1, 3), cast(0 as bigint),
+                    (acc, x) -> acc + x) + x) as nested
+         from nation""")
+    // loud walls
+    val e1 = intercept[RuntimeException](graftSession.query(
+      "select lower(x -> x) as bad from nation"))
+    assert(e1.getMessage.contains("lambda"), e1.getMessage)
+    val e2 = intercept[RuntimeException](graftSession.query(
+      "select n_nationkey + (x -> x) as bad from nation"))
+    assert(e2.getMessage.contains("lambda") ||
+      e2.getMessage.contains("expected"), e2.getMessage)
+  }
+
   test("TRY_CAST returns NULL on conversion failure (r7b)") {
     checkAgainstSparkSql(
       """select o_orderkey,
