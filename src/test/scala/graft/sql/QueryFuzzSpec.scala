@@ -1395,4 +1395,52 @@ class QueryFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("30 random GROUPS-frame queries match their two-step rewrites (r7b)") {
+    // non-exclude cases check against spark.sql's independent
+    // evaluation of the dense_rank + RANGE rewrite; exclude cases
+    // route the rewrite through graft's OWN range-frame EXCLUDE
+    // machinery (itself fuzzed against spelled-out algebra) — an
+    // independent lowering path for the GROUPS→RANGE mapping.
+    // c_custkey sums stay integral ⟹ exact doubles in any order.
+    case class GF(part: Option[String], ord: String, func: String,
+                  a: String, b: String, excl: String)
+    val gen: Gen[GF] = for {
+      part <- Gen.oneOf(Some("c_mktsegment"), Some("c_nationkey"), None)
+      ord <- Gen.oneOf("floor(c_acctbal / 100)", "floor(c_acctbal / 1000)",
+        "c_nationkey % 7")
+      func <- Gen.oneOf("sum", "count", "avg", "min", "max")
+      a <- Gen.oneOf("unbounded preceding", "3 preceding", "1 preceding",
+        "current row")
+      b <- Gen.oneOf("current row", "1 following", "2 following",
+        "unbounded following")
+      excl0 <- Gen.oneOf("", "", "", " exclude current row",
+        " exclude group", " exclude ties")
+    } yield GF(part, ord, func,
+      a, b, if (func == "min" || func == "max") "" else excl0)
+    val cases = Gen.listOfN(30, gen)
+      .pureApply(Gen.Parameters.default, Seed(177L))
+    cases.distinct.foreach { g =>
+      val pPart = g.part.map(c => s"partition by $c ").getOrElse("")
+      val arg = if (g.func == "count") "*" else "c_custkey"
+      val groupsSql =
+        s"""select c_custkey, ${g.func}($arg) over ($pPart
+              order by ${g.ord}
+              groups between ${g.a} and ${g.b}${g.excl}) as v
+            from customer"""
+      val rangeSql =
+        s"""select c_custkey, ${g.func}($arg) over ($pPart order by __g
+              range between ${g.a} and ${g.b}${g.excl}) as v
+            from (select *, dense_rank() over ($pPart
+                    order by ${g.ord}) as __g
+                  from customer) t"""
+      withClue(s"\nquery: $groupsSql\n") {
+        if (g.excl.isEmpty)
+          assertSameRows(graftSession.query(groupsSql), spark.sql(rangeSql))
+        else
+          assertSameRows(graftSession.query(groupsSql),
+            graftSession.query(rangeSql))
+      }
+    }
+  }
 }
