@@ -1389,6 +1389,24 @@ object SparkEntry {
                 round(cast(sum(vt) as double), 4) as s_ties,
                 cast(sum(cg) as bigint) as c_group
          from w group by grp""",
+    // DISTINCT window aggregates (r7b): Spark rejects the native form
+    // outright — graft lowers via collect_set over the same window
+    // (count = size, sum/avg fold the set); DuckDB evaluates the
+    // clause NATIVELY, a true cross-implementation check. The value
+    // set {0..4} keeps sums exact in double; avg's division is the
+    // same IEEE op on both engines (unrounded per the percent_rank
+    // rule); the running form rides a tie-free ORDER BY.
+    "q_window_distinct" ->
+      """select c_custkey,
+           cast(count(distinct c_nationkey % 5) over
+             (partition by c_mktsegment) as bigint) as cd,
+           cast(sum(distinct c_nationkey % 5) over
+             (partition by c_mktsegment) as double) as sd,
+           cast(avg(distinct c_nationkey % 5) over
+             (partition by c_mktsegment) as double) as ad,
+           cast(count(distinct c_nationkey) over (partition by c_mktsegment
+             order by c_custkey) as bigint) as run_cd
+         from customer""",
     // rank-family dialect extensions. pr/cd stay UNROUNDED: both
     // engines evaluate the identical (rank-1)/(n-1) IEEE division, so
     // raw doubles match bitwise, while round(x, 6) lands exactly on

@@ -4085,6 +4085,36 @@ final class Translator(catalog: String => DataFrame,
     * decomposition and fail loudly (see [[windowSpec]]). */
   private def windowedAgg(a: AggExpr, lower: Expr => Column): Column = {
     val w = a.window.get
+    // DISTINCT window aggregates (r7b; Spark rejects the native form
+    // "Distinct window functions are not supported"): the frame's
+    // distinct non-null values are exactly collect_set over the same
+    // window — count = its size, sum/avg fold it (a single HOF over
+    // the per-row set, the fine kind), min/max are distinct-invariant
+    // and drop the flag. Same window exchange/sort as the plain
+    // aggregate; per-row state is the distinct set (bounded by the
+    // frame's distinct values, the inherent cost of the semantics —
+    // DuckDB's native evaluator pays the same). Sum/avg compute in
+    // double (exact for integral values to 2^53); empty sets read
+    // NULL like the native aggregates. EXCLUDE stays loud above.
+    if (a.distinct && w.exclude == "no others" &&
+        Set("count", "sum", "avg", "min", "max").contains(a.func)) {
+      val arg = a.arg match {
+        case Star(_) => fail(s"${a.func}(DISTINCT *) is not meaningful")
+        case e       => lower(e)
+      }
+      if (a.func == "min" || a.func == "max")
+        return aggColumnBase(a.copy(distinct = false), lower)
+          .over(windowSpec(w, lower))
+      val cs = F.collect_set(arg).over(windowSpec(w, lower))
+      return a.func match {
+        case "count" => F.size(cs).cast("long")
+        case "sum" | "avg" =>
+          val sum = F.aggregate(cs, F.lit(0.0),
+            (acc, x) => acc + x.cast("double"))
+          val guarded = F.when(F.size(cs) > 0, sum)
+          if (a.func == "sum") guarded else guarded / F.size(cs)
+      }
+    }
     if (w.exclude == "no others")
       return aggColumnBase(a, lower).over(windowSpec(w, lower))
     if (a.distinct)

@@ -2884,6 +2884,37 @@ class SqlSurfaceSpec extends SparkTestBase {
         .drop("sq", "__g"))
   }
 
+  test("DISTINCT window aggregates (r7b)") {
+    // hand-computed (spark.sql rejects the shape outright)
+    val r = graftSession.query(
+      """select k,
+           count(distinct v) over (partition by k) as cd,
+           sum(distinct v) over (partition by k) as sd,
+           avg(distinct v) over (partition by k) as ad,
+           min(distinct v) over (partition by k) as mn
+         from (values (1,1),(1,1),(1,2),(2,5),(3,cast(null as bigint))) t(k,v)""")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1),
+          if (x.isNullAt(2)) null else x.getDouble(2),
+          if (x.isNullAt(3)) null else x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 3.0, 1.5)), r.toString)
+    assert(r(2L) == ((1L, 5.0, 5.0)))
+    assert(r(3L) == ((0L, null, null)), "all-null frame reads 0/NULL")
+    // frames apply: running distinct count vs a hand-built rewrite
+    assertSameRows(
+      graftSession.query(
+        """select c_custkey,
+             count(distinct c_nationkey) over (partition by c_mktsegment
+               order by c_custkey) as rc
+           from customer"""),
+      spark.sql(
+        """select c_custkey,
+             cast(size(collect_set(c_nationkey) over
+               (partition by c_mktsegment order by c_custkey)) as bigint)
+               as rc
+           from customer"""))
+  }
+
   test("GROUPS frame walls are loud") {
     // order-sensitive window functions read frame order, which the
     // group-ordinal sort does not preserve among peers
