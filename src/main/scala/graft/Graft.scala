@@ -47,6 +47,18 @@ final class Graft(val spark: SparkSession) {
   private val DescribeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
+  // MERGE INTO (r7b): the statement spelling of the keyed-upsert /
+  // keyed-delete maintenance shapes (SURVEY row 94). Whole-row forms
+  // only (UPDATE SET * / INSERT *) — the Delta/DuckDB-style upsert
+  // contract; column-level SET lists are not a lazy-view operation.
+  private val MergeRe =
+    ("""(?is)^\s*merge\s+into\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+using\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+on\s+(.*?)""" +
+     """((?:\s+when\s+(?:not\s+)?matched\s+then\s+[^;]+)+)\s*;?\s*$""").r
+  private val WhenClauseRe =
+    """(?is)when\s+(not\s+)?matched\s+then\s+(update\s+set\s+\*|insert\s+\*|delete)""".r
+
+  private def fail(msg: String): Nothing = throw new RuntimeException(msg)
 
   private def status(kind: String, name: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -90,6 +102,71 @@ final class Graft(val spark: SparkSession) {
         removeTable(name)
         status("dropped", name.toLowerCase)
       }
+    case MergeRe(tq, tb, sq, sb, onCond, whenBlock) =>
+      import org.apache.spark.sql.{functions => F}
+      val tName = Option(tq).getOrElse(tb)
+      val sName = Option(sq).getOrElse(sb)
+      val target = lookup(tName); val source = lookup(sName)
+      // ON must be equality conjuncts on SAME-NAMED key columns
+      // (t.k = s.k) — the keyed-maintenance contract; anything else
+      // is loud
+      val keys = onCond.split("(?i)\\s+and\\s+").toSeq.map { c =>
+        val m = """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$"""
+          .r.findFirstMatchIn(c).getOrElse(fail(
+            s"MERGE ON supports same-named key equalities only, got: $c"))
+        if (!m.group(2).equalsIgnoreCase(m.group(4)))
+          fail("MERGE ON supports same-named key equalities only " +
+            s"(got ${m.group(2)} = ${m.group(4)})")
+        m.group(2).toLowerCase
+      }
+      val clauses = WhenClauseRe.findAllMatchIn(whenBlock).map { m =>
+        val not = m.group(1) != null
+        val act = m.group(2).toLowerCase.replaceAll("\\s+", " ")
+        (not, act)
+      }.toSeq
+      if (clauses.isEmpty)
+        fail("MERGE supports whole-row WHEN forms only: WHEN MATCHED " +
+          "THEN UPDATE SET * / DELETE, WHEN NOT MATCHED THEN INSERT *")
+      clauses.foreach {
+        case (false, a) if a.startsWith("update") || a == "delete" => ()
+        case (true, a) if a.startsWith("insert") => ()
+        case (not, a) => fail(s"MERGE: WHEN ${if (not) "NOT " else ""}" +
+          s"MATCHED cannot $a")
+      }
+      val doUpdate = clauses.exists(c => !c._1 && c._2.startsWith("update"))
+      val doDelete = clauses.exists(c => !c._1 && c._2 == "delete")
+      val doInsert = clauses.exists(c => c._1 && c._2.startsWith("insert"))
+      if (doUpdate && doDelete)
+        fail("MERGE: UPDATE SET * and DELETE cannot both apply to " +
+          "matched rows (whole-row forms)")
+      if (doUpdate || doInsert) {
+        val sameCols = target.columns.map(_.toLowerCase).sorted
+          .sameElements(source.columns.map(_.toLowerCase).sorted)
+        if (!sameCols) fail("MERGE UPDATE SET * / INSERT * require " +
+          "matching target/source schemas")
+      }
+      val srcKeys = source.select(keys.map(F.col): _*).distinct()
+      // untouched target rows survive every form; the clause mix
+      // decides what replaces / joins them — each path is one
+      // key-shuffled semi/anti join plus a name-matched union, the
+      // SURVEY row-94 plan shape (nothing rewrites the remainder)
+      val kept =
+        if (doUpdate || doDelete)
+          target.join(srcKeys, keys, "left_anti")
+        else target
+      val replaced =
+        if (doUpdate) {
+          if (doInsert) source // matched AND new source rows land
+          else source.join(
+            target.select(keys.map(F.col): _*).distinct(), keys, "left_semi")
+        } else if (doInsert)
+          source.join(
+            target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+        else null
+      val merged =
+        if (replaced == null) kept else kept.unionByName(replaced)
+      registerTable(tName, merged)
+      status("merged", tName.toLowerCase)
     case ExplainRe(body) =>
       import spark.implicits._
       explain(body).split("\n").toSeq.toDF("plan")

@@ -77,4 +77,48 @@ class StatementsSpec extends SparkTestBase {
     assert(lines.exists(_.contains("Physical Plan")))
     assert(lines.exists(_.contains("PushedFilters")))
   }
+
+  test("MERGE INTO: upsert, insert-only, replace-only, delete (r7b)") {
+    val g = fresh
+    g.query("create view t0 as select * from (values " +
+      "(1, 'a'), (2, 'b'), (3, 'c')) t(k, v)")
+    g.query("create view s0 as select * from (values " +
+      "(2, 'B'), (4, 'D')) t(k, v)")
+    def rows(name: String): Map[Long, String] =
+      g.query(s"select k, v from $name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // full upsert: matched rows replaced, new keys appended
+    g.query("create or replace table t1 as select * from t0")
+    g.query("""merge into t1 using s0 on t1.k = s0.k
+               when matched then update set *
+               when not matched then insert *""")
+    assert(rows("t1") == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // insert-only: matched rows untouched
+    g.query("create or replace table t2 as select * from t0")
+    g.query("""merge into t2 using s0 on k = k
+               when not matched then insert *""")
+    assert(rows("t2") == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "D"))
+    // replace-only: new source keys do NOT land
+    g.query("create or replace table t3 as select * from t0")
+    g.query("""merge into t3 using s0 on t3.k = s0.k
+               when matched then update set *""")
+    assert(rows("t3") == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // delete matched
+    g.query("create or replace table t4 as select * from t0")
+    g.query("merge into t4 using s0 on t4.k = s0.k when matched then delete")
+    assert(rows("t4") == Map(1L -> "a", 3L -> "c"))
+    // walls: theta ON, column-level SET, conflicting matched actions
+    val e1 = intercept[RuntimeException](g.query(
+      "merge into t1 using s0 on t1.k > s0.k when matched then delete"))
+    assert(e1.getMessage.contains("same-named key equalities"))
+    val e2 = intercept[RuntimeException](g.query(
+      """merge into t1 using s0 on t1.k = s0.k
+         when matched then update set v = 'x'"""))
+    assert(e2.getMessage.contains("whole-row"), e2.getMessage)
+    val e3 = intercept[RuntimeException](g.query(
+      """merge into t1 using s0 on t1.k = s0.k
+         when matched then update set *
+         when matched then delete"""))
+    assert(e3.getMessage.contains("cannot both"), e3.getMessage)
+  }
 }
