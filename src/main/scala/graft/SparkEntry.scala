@@ -2624,6 +2624,21 @@ object SparkEntry {
     // SCD2 history build (r5c): the purchase log becomes validity
     // intervals — valid_from inclusive, valid_to exclusive (NULL while
     // current); one (key) window, no self-join
+    // edit-distance fuzzy self-join (r7b): graft runs PassJoin chunk
+    // blocking + thresholded levenshtein; the oracle is the NAIVE
+    // O(n²) cross join in DuckDB — a mechanism-independent exactness
+    // check (blocking must lose nothing)
+    ("q_edit_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Dedup.editDistancePairs(
+          tbl(s, dir, "customer").filter("c_custkey % 10 = 0"),
+          "c_custkey", "c_name", maxDist = 2),
+      Some("""select a.c_custkey as id1, b.c_custkey as id2,
+                cast(levenshtein(a.c_name, b.c_name) as int) as dist
+              from customer a join customer b
+                on a.c_custkey < b.c_custkey
+              where a.c_custkey % 10 = 0 and b.c_custkey % 10 = 0
+                and levenshtein(a.c_name, b.c_name) <= 2""")),
     // equi-width histogram (r7b): fixed-range one-pass profile; floor
     // + IEEE division are exactly rounded so bucket edges are
     // engine-identical; every bucket materializes (empty = 0) and the

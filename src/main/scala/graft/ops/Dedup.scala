@@ -533,6 +533,80 @@ object Dedup {
     * triple shuffle is the cost of exactness; raise the stride or
     * pre-filter with a Bloom pass when approximate coverage is
     * enough. */
+  /** Edit-distance self-join (r7b): every pair of rows whose strings
+    * are within `maxDist` Levenshtein edits — the typo-level fuzzy
+    * dedup for SHORT strings (titles, names, URLs, product codes)
+    * that the shingle/minhash family cannot see (a 1-char edit barely
+    * moves Jaccard on 18-char strings). Output (id1, id2, dist) with
+    * id1 < id2.
+    *
+    * Scale shape = PassJoin-style chunk blocking, never the naive
+    * O(n²) cross join: split each string into k+1 even chunks — if
+    * ed(a,b) ≤ k, at most k chunks are touched by edits, so at least
+    * ONE chunk of `a` occurs VERBATIM as a substring of `b` (and by
+    * symmetry one of b's in a, so directed matching + id-ordering
+    * loses nothing). Each row emits its k+1 chunks (probe side) and
+    * its candidate substrings of the partner-chunk lengths (index
+    * side, |len_a − len_b| ≤ k bounds those to ~(2k+1)·len keys);
+    * candidates hash-join on the chunk CONTENT, dedupe, and verify
+    * with Spark's codegen'd thresholded levenshtein (early-exit at
+    * k+1). Strings of length ≤ 2k also meet in one short bucket
+    * (shorter strings have empty chunks the lemma can't cover).
+    * Arrays explode INLINE (the Generate-copy rule). Cost is
+    * per-row-length bounded — built for short-string columns;
+    * long-text near-dup belongs to the shingle family. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val p = k + 1
+    def side(idAs: String, sAs: String, keys: String): DataFrame =
+      df.filter(F.col(strCol).isNotNull)
+        .selectExpr(s"$idCol as $idAs", s"cast($strCol as string) as $sAs")
+        .selectExpr(idAs, sAs, s"explode(array_distinct($keys)) as __key")
+    // probe side: the k+1 PassJoin chunks (even split, remainder on
+    // the last chunks), empties filtered (len < k+1 rides the short
+    // bucket)
+    val chunks =
+      s"""concat(
+            filter(transform(sequence(0, $k), i ->
+              substring(__s_a,
+                1 + i * (length(__s_a) div $p) +
+                  greatest(0, i - ($p - length(__s_a) % $p)),
+                (length(__s_a) div $p) +
+                  (case when i >= $p - length(__s_a) % $p
+                        then 1 else 0 end))), x -> x != ''),
+            case when length(__s_a) <= ${2 * k}
+                 then array('short') else array() end)"""
+    // index side: all substrings at the partner-chunk lengths —
+    // base lengths floor(len_a/p) for len_a within ±k, plus the +1
+    // remainder chunks
+    val subs =
+      s"""concat(
+            flatten(transform(
+              sequence(greatest(1, (length(__s_b) - $k) div $p),
+                       ((length(__s_b) + $k) div $p) + 1),
+              L -> if(length(__s_b) >= L,
+                      transform(sequence(1, length(__s_b) - L + 1),
+                        q -> substring(__s_b, q, L)),
+                      array()))),
+            case when length(__s_b) <= ${2 * k}
+                 then array('short') else array() end)"""
+    val a = side("__id_a", "__s_a", chunks)
+    val b = side("__id_b", "__s_b", subs)
+    val cands = a.join(b,
+        a("__key") === b("__key") &&
+          F.col("__id_a") < F.col("__id_b") &&
+          F.abs(F.length(F.col("__s_a")) - F.length(F.col("__s_b"))) <= k)
+      .select("__id_a", "__id_b", "__s_a", "__s_b")
+      .distinct()
+    cands
+      .withColumn("__d", F.levenshtein(F.col("__s_a"), F.col("__s_b"), k))
+      .filter(F.col("__d") >= 0)
+      .select(F.col("__id_a").as("id1"), F.col("__id_b").as("id2"),
+        F.col("__d").as("dist"))
+  }
+
   def duplicateSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
     import org.apache.spark.sql.expressions.Window

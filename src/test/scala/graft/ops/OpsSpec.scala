@@ -995,6 +995,45 @@ class OpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  // ---- edit-distance fuzzy join (r7b) ---------------------------------
+
+  test("edit-distance pairs match brute force; blocking loses nothing") {
+    import spark.implicits._
+    val t = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitte"),
+      (4L, "mitten"), (5L, "zebra"), (6L, "a"), (7L, "ab"),
+      (8L, ""), (9L, null: String)).toDF("id", "s")
+    def brute(k: Int): Set[(Long, Long, Int)] = {
+      val rows = t.collect().collect {
+        case r if !r.isNullAt(1) => (r.getLong(0), r.getString(1))
+      }
+      (for {
+        (i1, s1) <- rows; (i2, s2) <- rows if i1 < i2
+        d = {
+          val dp = Array.tabulate(s1.length + 1, s2.length + 1) {
+            (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to s1.length; j <- 1 to s2.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+              dp(i - 1)(j - 1) + (if (s1(i - 1) == s2(j - 1)) 0 else 1))
+          dp(s1.length)(s2.length)
+        } if d <= k
+      } yield (i1, i2, d)).toSet
+    }
+    for (k <- 1 to 3) {
+      val got = Dedup.editDistancePairs(t, "id", "s", k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(k), s"k=$k got=$got expected=${brute(k)}")
+    }
+    // plan: no cartesian product — the candidate join is a hash join
+    // on the chunk content
+    val p = Dedup.editDistancePairs(
+        documents.limit(2000).selectExpr("doc_id", "substring(text, 1, 20) as s"),
+        "doc_id", "s", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   // ---- whitening transform (r7b) --------------------------------------
 
   test("whitening z-scores per dim; zero-std, ragged and null inputs") {
