@@ -1467,6 +1467,37 @@ object SparkEntry {
                     from events where event_type = 'view')
          select event_id, pu, pt, pv, vt, view_id
          from p asof join v on pu = vu and pt < vt"""),
+    // string/regexp/null-handling function parity (r7b): same names
+    // and semantics in both engines except the pinned divergences —
+    // Spark regexp_replace is global (DuckDB needs the 'g' flag),
+    // Spark instr = DuckDB strpos, Spark's string typename = varchar
+    ("q_string_fns",
+      """select c_custkey,
+           split_part(c_name, '#', 2) as sp,
+           left(c_name, 8) as lf, right(c_name, 3) as rt,
+           reverse(c_mktsegment) as rv,
+           lpad(cast(c_nationkey as string), 4, '0') as lp,
+           concat_ws('|', c_mktsegment, c_name) as cw,
+           regexp_extract(c_name, '([0-9]+)', 1) as re,
+           regexp_replace(c_name, '0', '_') as rr,
+           cast(instr(c_name, '#') as bigint) as ps,
+           greatest(c_custkey, cast(c_nationkey as bigint)) as g,
+           nullif(c_nationkey, 5) as nf,
+           cast(ifnull(nullif(c_nationkey, 5), -1) as bigint) as inn
+         from customer""",
+      """select c_custkey,
+           split_part(c_name, '#', 2) as sp,
+           left(c_name, 8) as lf, right(c_name, 3) as rt,
+           reverse(c_mktsegment) as rv,
+           lpad(cast(c_nationkey as varchar), 4, '0') as lp,
+           concat_ws('|', c_mktsegment, c_name) as cw,
+           regexp_extract(c_name, '([0-9]+)', 1) as re,
+           regexp_replace(c_name, '0', '_', 'g') as rr,
+           cast(strpos(c_name, '#') as bigint) as ps,
+           greatest(c_custkey, cast(c_nationkey as bigint)) as g,
+           nullif(c_nationkey, 5) as nf,
+           cast(ifnull(nullif(c_nationkey, 5), -1) as bigint) as inn
+         from customer"""),
     // lambda higher-order functions (r7b): element lambdas only (the
     // cross-engine subset — DuckDB's indexed lambda is 1-based vs
     // Spark's 0-based); the oracle re-derives the aggregate via
