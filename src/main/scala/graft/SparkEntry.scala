@@ -1944,6 +1944,30 @@ object SparkEntry {
                  (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
                    / length(text) as p
                from (select doc_id, text, string_split(lower(text), ' ') as w from documents))""")),
+    // model-based quality gate (r7b): the APPLY side with fixed
+    // weights — every feature op is exact-rounded IEEE on identical
+    // rounded inputs, so margins replay bit-identically in DuckDB
+    // (the trainer, like pqTrain, is pinned by spec instead)
+    ("q_quality_gate",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Quality.scoreGate(tbl(s, dir, "documents"),
+          wStop = 2.0, wPunct = -3.0, wLen = 1.5, intercept = -0.8),
+      Some(s"""with q as (
+                 select doc_id, n_chars_m, round(s, 6) as stop_ratio,
+                   round(p, 6) as punct_ratio
+                 from (select doc_id, length(text) as n_chars_m,
+                   len(list_filter(w, t -> t in (${TextAnalysis.stopwords("en").map("'" + _ + "'").mkString(", ")}))) / len(w) as s,
+                   (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+                     / length(text) as p
+                 from (select doc_id, text, string_split(lower(text), ' ') as w
+                       from documents)))
+               select doc_id, stop_ratio, punct_ratio,
+                 n_chars_m / (n_chars_m + 500.0) as len_sat,
+                 -0.8 + stop_ratio * 2.0 + punct_ratio * (-3.0) +
+                   (n_chars_m / (n_chars_m + 500.0)) * 1.5 as margin,
+                 (-0.8 + stop_ratio * 2.0 + punct_ratio * (-3.0) +
+                   (n_chars_m / (n_chars_m + 500.0)) * 1.5) > 0 as keep
+               from q""")),
     ("q_text_tokens",
       (s: SparkSession, dir: String) => TextAnalysis.tokenCounts(tbl(s, dir, "documents")),
       Some("""select doc_id,

@@ -152,6 +152,60 @@ object Quality {
         F.col("below"), F.col("above"), F.col("nulls"))
   }
 
+  /** Quality-gate feature vector (r7b): the heuristic signals as
+    * MODEL FEATURES — stopword ratio, punctuation ratio, and a
+    * saturating length feature n/(n+500) (rational, not log: every
+    * op is exact-rounded IEEE on both engines, so scores replay
+    * bit-identically cross-engine — ln/exp differ by libm ulps).
+    * Consumes [[graft.ops.TextAnalysis.qualityScore]]'s rounded
+    * outputs, so the features themselves are engine-deterministic. */
+  def gateFeatures(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.qualityScore(docs).selectExpr(
+      "doc_id", "stop_ratio", "punct_ratio",
+      // 500.0D: Spark SQL parses a bare 500.0 as DECIMAL(4,1) and the
+      // whole feature silently becomes decimal — doubles keep the
+      // cross-engine IEEE-exactness argument
+      "n_chars_m / (n_chars_m + 500.0D) as len_sat")
+
+  /** Linear quality scoring (r7b): margin = b + w·features, keep =
+    * margin > 0 — ONE codegen'd projection at any corpus size, the
+    * apply side of the fastText/CCNet-style model-based filter.
+    * Weights usually come from [[trainGate]]; fixed weights replay
+    * exactly in any engine (the oracle form). */
+  def scoreGate(docs: DataFrame, wStop: Double, wPunct: Double,
+                wLen: Double, intercept: Double): DataFrame =
+    gateFeatures(docs)
+      .withColumn("margin",
+        F.lit(intercept) + F.col("stop_ratio") * wStop +
+          F.col("punct_ratio") * wPunct + F.col("len_sat") * wLen)
+      .withColumn("keep", F.col("margin") > 0)
+
+  /** Trains the gate: logistic regression (Spark ML, L-BFGS) of a
+    * labeled sample's keep/drop decisions over [[gateFeatures]].
+    * Returns (wStop, wPunct, wLen, intercept) for [[scoreGate]].
+    * Like pqTrain (Similarity.scala), the optimizer's result is not
+    * bit-replayable in another engine — the oracle entry scores with
+    * FIXED weights; the spec pins that training recovers a planted
+    * separation. The fit itself runs on the labeled SAMPLE (small by
+    * construction); applying the model stays a full-scale one-pass
+    * projection. */
+  def trainGate(docs: DataFrame, labels: DataFrame,
+                labelCol: String = "label",
+                maxIter: Int = 50): (Double, Double, Double, Double) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val data = gateFeatures(docs).join(labels, "doc_id")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("stop_ratio", "punct_ratio", "len_sat"))
+      .setOutputCol("__f")
+      .transform(data)
+    val m = new LogisticRegression()
+      .setMaxIter(maxIter).setFeaturesCol("__f").setLabelCol(labelCol)
+      .fit(assembled)
+    val c = m.coefficients.toArray
+    (c(0), c(1), c(2), m.intercept)
+  }
+
   /** [[histogram]] with the range taken from the data: one extra
     * min/max aggregation pass (the small price of not knowing the
     * domain), then the fixed-range single pass. */

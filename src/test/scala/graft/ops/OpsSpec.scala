@@ -995,6 +995,34 @@ class OpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  // ---- model-based quality gate (r7b) ---------------------------------
+
+  test("quality gate: fixed-weight margins exact; training recovers a planted signal") {
+    import spark.implicits._
+    // hand-check one margin against the feature frame
+    val f = Quality.gateFeatures(documents.limit(50)).collect().head
+    val scored = Quality.scoreGate(documents.limit(50), 2.0, -3.0, 1.5, -0.8)
+      .collect().find(_.getLong(0) == f.getLong(0)).get
+    val expect = -0.8 + f.getDouble(1) * 2.0 + f.getDouble(2) * -3.0 +
+      f.getDouble(3) * 1.5
+    assert(scored.getDouble(4) == expect)
+    assert(scored.getBoolean(5) == (expect > 0))
+    // plant a separable signal: label by the heuristic quality median
+    // — the trained linear model must rank positives above negatives
+    val q = graft.ops.TextAnalysis.qualityScore(documents.limit(2000))
+    val med = q.stat.approxQuantile("quality", Array(0.5), 0.0).head
+    val labels = q.selectExpr("doc_id",
+      s"cast(quality > $med as double) as label")
+    val (w1, w2, w3, b) =
+      Quality.trainGate(documents.limit(2000), labels)
+    val m = Quality.scoreGate(documents.limit(2000), w1, w2, w3, b)
+      .join(labels, "doc_id")
+      .groupBy("label").agg(F.avg("margin").as("am"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(m(1.0) > m(0.0),
+      s"trained gate failed to separate: $m weights=($w1,$w2,$w3,$b)")
+  }
+
   // ---- edit-distance fuzzy join (r7b) ---------------------------------
 
   test("edit-distance pairs match brute force; blocking loses nothing") {
