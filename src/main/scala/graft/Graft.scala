@@ -60,6 +60,21 @@ final class Graft(val spark: SparkSession) {
 
   private def fail(msg: String): Nothing = throw new RuntimeException(msg)
 
+  // DML statements (r7b): the registry is a map of LAZY plans, so
+  // INSERT/UPDATE/DELETE re-register a composed plan — the same
+  // semantics as MERGE (nothing materializes; reads after the
+  // statement see the new plan). Expressions parse through the graft
+  // dialect by rewriting into a SELECT over the target.
+  private val InsertRe =
+    ("""(?is)^\s*insert\s+into\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+(select\s+.*|values\s*\(.*|with\s+.*)\s*;?\s*$""").r
+  private val DeleteRe =
+    ("""(?is)^\s*delete\s+from\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+where\s+(.*?)\s*;?\s*$""").r
+  private val UpdateRe =
+    ("""(?is)^\s*update\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+set\s+(.*?)(?:\s+where\s+(.*?))?\s*;?\s*$""").r
+
   private def status(kind: String, name: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     spark.range(1).select(F.lit(kind).as("kind"), F.lit(name).as("name"))
@@ -102,6 +117,52 @@ final class Graft(val spark: SparkSession) {
         removeTable(name)
         status("dropped", name.toLowerCase)
       }
+    case InsertRe(q, b, body) =>
+      val name = Option(q).getOrElse(b)
+      lookup(name) // loud on unknown target
+      // INSERT is positional (standard): UNION ALL carries the new
+      // rows — arity/type mismatches fail at analysis, loudly
+      val src =
+        if (body.trim.toLowerCase.startsWith("values"))
+          s"select * from ($body) __ins"
+        else body
+      registerTable(name,
+        translateOnly(s"select * from $name union all $src"))
+      status("inserted", name.toLowerCase)
+    case DeleteRe(q, b, pred) =>
+      val name = Option(q).getOrElse(b)
+      lookup(name)
+      // rows where the predicate is TRUE are deleted; NULL keeps
+      // (the standard's 3VL) — and the WHERE path brings the whole
+      // dialect (subqueries included) for free
+      registerTable(name, translateOnly(
+        s"select * from $name where not coalesce(($pred), false)"))
+      status("deleted", name.toLowerCase)
+    case UpdateRe(q, b, setList, predOrNull) =>
+      val name = Option(q).getOrElse(b)
+      val target = lookup(name)
+      val assigns: Map[String, String] =
+        splitTop(setList, ',').map { a =>
+          val i = a.indexOf('=')
+          if (i < 0) fail(s"UPDATE SET expects col = expr, got: $a")
+          val col = a.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+          val matched = target.columns.find(_.equalsIgnoreCase(col))
+            .getOrElse(fail(s"UPDATE: column '$col' not in $name"))
+          matched.toLowerCase -> a.substring(i + 1).trim
+        }.toMap
+      val pred = Option(predOrNull)
+      val items = target.columns.map { c =>
+        assigns.get(c.toLowerCase) match {
+          case Some(e) => pred match {
+            case Some(p) => s"""case when ($p) then ($e) else "$c" end as "$c""""
+            case None    => s"""($e) as "$c""""
+          }
+          case None => s""""$c""""
+        }
+      }
+      registerTable(name,
+        translateOnly(s"select ${items.mkString(", ")} from $name"))
+      status("updated", name.toLowerCase)
     case MergeRe(tq, tb, sq, sb, onCond, whenBlock) =>
       import org.apache.spark.sql.{functions => F}
       val tName = Option(tq).getOrElse(tb)
@@ -180,6 +241,26 @@ final class Graft(val spark: SparkSession) {
       import spark.implicits._
       tables.keySet.toSeq.sorted.toDF("table_name")
     case _ => translateOnly(sqlText)
+  }
+
+  /** Splits on `sep` at paren-depth 0 outside string literals —
+    * assignment lists may carry commas inside function calls. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val sb = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { ch =>
+      if (inStr) { sb += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; sb += ch
+        case '(' => depth += 1; sb += ch
+        case ')' => depth -= 1; sb += ch
+        case c if c == sep && depth == 0 =>
+          out += sb.toString; sb.clear()
+        case c => sb += c
+      }
+    }
+    out += sb.toString
+    out.result()
   }
 
   private def translateOnly(sqlText: String): DataFrame =

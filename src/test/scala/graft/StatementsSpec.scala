@@ -78,6 +78,40 @@ class StatementsSpec extends SparkTestBase {
     assert(lines.exists(_.contains("PushedFilters")))
   }
 
+  test("INSERT / UPDATE / DELETE re-register composed lazy plans (r7b)") {
+    val g = fresh
+    g.query("create table d0 as select * from (values " +
+      "(1, 10.0), (2, 20.0), (3, 30.0)) t(k, v)")
+    def rows(): Map[Long, Double] =
+      g.query("select k, v from d0").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // INSERT: select form and VALUES form, positional
+    g.query("insert into d0 values (4, 40.0)")
+    g.query("insert into d0 select k + 10, v * 10 from d0 where k = 1")
+    assert(rows() == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0,
+      4L -> 40.0, 11L -> 100.0))
+    // UPDATE with WHERE: untouched rows keep their values
+    g.query("update d0 set v = v + 1 where k <= 2")
+    assert(rows() == Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0,
+      4L -> 40.0, 11L -> 100.0))
+    // UPDATE without WHERE touches every row; multi-assignment with
+    // function commas survives the splitter
+    g.query("update d0 set v = round(v, 0), k = k")
+    assert(rows()(4L) == 40.0)
+    // DELETE with a subquery predicate (the WHERE path's full dialect)
+    g.query("delete from d0 where k in (select k from d0 where v > 50)")
+    assert(rows().keySet == Set(1L, 2L, 3L, 4L))
+    g.query("delete from d0 where k = 1")
+    assert(rows().keySet == Set(2L, 3L, 4L))
+    // walls: unknown column, unknown table, arity mismatch
+    val e1 = intercept[RuntimeException](
+      g.query("update d0 set nope = 1"))
+    assert(e1.getMessage.contains("not in"), e1.getMessage)
+    intercept[RuntimeException](g.query("insert into ghost values (1)"))
+    intercept[Exception](
+      g.query("insert into d0 values (1)").collect())
+  }
+
   test("MERGE INTO: upsert, insert-only, replace-only, delete (r7b)") {
     val g = fresh
     g.query("create view t0 as select * from (values " +
