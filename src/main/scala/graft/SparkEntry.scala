@@ -2017,6 +2017,34 @@ object SparkEntry {
     // oracle replays session-window semantics via lag(): a new session
     // starts when the micros gap to the previous event is >= 30 min
     // (Spark's session window end is exclusive)
+    // time-series resample + gap fill (r7b): hourly buckets per user
+    // between each user's first and last event, gaps materialized,
+    // forward-filled; sums round 4dp (summation order) AFTER the fill
+    // on both sides
+    ("q_resample",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TimeSeries.resample(
+          eventMicros(s, dir).filter("event_type = 'purchase'"),
+          "user_id", "t", "value", 3600000000L, fill = "ffill")
+          .selectExpr("user_id", "bucket_start", "n",
+            "round(value, 4) as value"),
+      Some("""with e as (select user_id, epoch_us(ts) // 3600000000 as b,
+                           value
+                         from events where event_type = 'purchase'),
+                   sp as (select user_id, min(b) as lo, max(b) as hi
+                          from e group by user_id),
+                   spine as (select user_id,
+                               unnest(generate_series(lo, hi)) as b
+                             from sp),
+                   a as (select user_id, b, count(*) as n,
+                           sum(value) as sv
+                         from e group by 1, 2)
+              select spine.user_id, spine.b * 3600000000 as bucket_start,
+                coalesce(a.n, 0) as n,
+                round(last_value(a.sv ignore nulls) over (
+                  partition by spine.user_id order by spine.b), 4) as value
+              from spine left join a
+                on spine.user_id = a.user_id and spine.b = a.b""")),
     ("q_events_sessions",
       (s: SparkSession, dir: String) => Streaming.sessionize(tbl(s, dir, "events")),
       Some("""with l as (select user_id, ts, value,

@@ -995,6 +995,50 @@ class OpsSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  // ---- time-series resample (r7b) -------------------------------------
+
+  test("resample materializes gaps; zero/null/ffill fills; span per key") {
+    import spark.implicits._
+    val t = Seq((1L, 10L, 1.0), (1L, 12L, 2.0), (1L, 45L, 4.0),
+      (2L, 100L, 9.0)).toDF("k", "ts", "v")
+    def run(fill: String): Map[(Long, Long), (Long, Any)] =
+      TimeSeries.resample(t, "k", "ts", "v", 10L, fill).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))))
+        .toMap
+    // key 1 spans buckets 1..4 (ts 10..45): bucket 1 has two events,
+    // 2 and 3 are GAPS, 4 has one; key 2 has a single bucket
+    val ff = run("ffill")
+    assert(ff.keySet == Set((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 100L)))
+    assert(ff((1L, 10L)) == ((2L, 3.0)))
+    assert(ff((1L, 20L)) == ((0L, 3.0)), "gap forward-fills")
+    assert(ff((1L, 30L)) == ((0L, 3.0)))
+    assert(ff((1L, 40L)) == ((1L, 4.0)), "own value wins over the fill")
+    assert(run("zero")((1L, 20L)) == ((0L, 0.0)))
+    assert(run("null")((1L, 20L)) == ((0L, null)))
+    // leading gaps (no earlier value) stay NULL under ffill
+    val lead = TimeSeries.resample(
+      Seq[(Long, Long, java.lang.Double)]((1L, 10L, null), (1L, 25L, 5.0))
+        .toDF("k", "ts", "v"), "k", "ts", "v", 10L, "ffill").collect()
+      .map(r => r.getLong(1) -> r.isNullAt(3)).toMap
+    assert(lead(10L), "bucket with only null values stays null")
+    // plan: spine explode + co-keyed join, no cartesian
+    val p = TimeSeries.resample(events(spark), "user_id", "t", "value",
+        3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  private def events(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val ev = s.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    val t = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _ => "unix_micros(cast(ts as timestamp))"
+    }
+    ev.selectExpr("user_id", s"$t as t", "value")
+  }
+
   // ---- model-based quality gate (r7b) ---------------------------------
 
   test("quality gate: fixed-weight margins exact; training recovers a planted signal") {
