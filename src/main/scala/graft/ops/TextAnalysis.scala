@@ -120,21 +120,12 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be positive")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // document length rides the SAME projection as the gram stream
-    // (size of the token array — two native evaluations per row beat
-    // a per-doc re-aggregation shuffle + join back), and N/avgdl come
-    // from one shuffle-free scan of docs
     val tf = docs
-      .selectExpr("doc_id",
-        "size(graft_word_ngrams(lower(text), 1)) as dl",
-        "explode(graft_word_ngrams(lower(text), 1)) as term")
-      .groupBy("doc_id", "term")
-      .agg(F.count(F.lit(1)).as("tf"), F.first("dl").as("dl"))
-    // nullif keeps zero-token documents out of avgdl, like the
-    // historical per-doc aggregation over tf rows did
-    val stats = docs.agg(F.count(F.lit(1)).as("__n"),
-      F.avg(F.expr("nullif(size(graft_word_ngrams(lower(text), 1)), 0)"))
-        .as("__avgdl"))
+      .selectExpr("doc_id", "explode(graft_word_ngrams(lower(text), 1)) as term")
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(F.sum("tf").as("dl"))
+    val stats = docs.agg(F.count(F.lit(1)).as("__n"))
+      .crossJoin(dl.agg(F.avg("dl").as("__avgdl")))
     val qTerms = queries
       .selectExpr("query_id",
         "explode(graft_word_ngrams(lower(terms), 1)) as term")
@@ -145,6 +136,7 @@ object TextAnalysis {
     val df = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val scored = matched
       .join(F.broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
       .crossJoin(F.broadcast(stats))
       .withColumn("__contrib",
         (F.col("__n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) *
