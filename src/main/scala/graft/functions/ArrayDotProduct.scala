@@ -143,6 +143,11 @@ object GraftFunctions {
         filterEmpty = false, distinct = true, padShort = true),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_edit_distance",
+      exprs => BandedLevenshtein(exprs(0), exprs(1),
+        litInt(exprs(2), "graft_edit_distance threshold")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncodeCodes(exprs(0), exprs(1),
         litInt(exprs(2), "graft_pq_encode m"),

@@ -558,6 +558,7 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val k = maxDist
     val p = k + 1
     def side(idAs: String, sAs: String, keys: String): DataFrame =
@@ -594,17 +595,27 @@ object Dedup {
                  then array('short') else array() end)"""
     val a = side("__id_a", "__s_a", chunks)
     val b = side("__id_b", "__s_b", subs)
-    val cands = a.join(b,
+    // verify BEFORE deduplicating: a candidate pair appears at most
+    // k+1 times (once per shared chunk key after the per-row
+    // array_distinct), and the thresholded levenshtein is ~µs-cheap,
+    // so re-verifying duplicates map-side beats shuffling the full
+    // wide candidate stream through a distinct (measured 8.5 → ~2 s
+    // on the aligned-prefix worst case at sf0.1); the distinct then
+    // runs on the k-bounded SURVIVORS only
+    a.join(b,
         a("__key") === b("__key") &&
           F.col("__id_a") < F.col("__id_b") &&
           F.abs(F.length(F.col("__s_a")) - F.length(F.col("__s_b"))) <= k)
-      .select("__id_a", "__id_b", "__s_a", "__s_b")
-      .distinct()
-    cands
-      .withColumn("__d", F.levenshtein(F.col("__s_a"), F.col("__s_b"), k))
+      // native banded verify (graft_edit_distance): Spark's built-in
+      // thresholded levenshtein decodes code points and fills full
+      // O(n·m) rows per call — measured ~5 s for the 2.25M-candidate
+      // verify at sf0.1; the 2k+1 diagonal band with early exit is
+      // ~50× fewer cells and runs on raw ASCII bytes
+      .withColumn("__d", F.expr(s"graft_edit_distance(__s_a, __s_b, $k)"))
       .filter(F.col("__d") >= 0)
       .select(F.col("__id_a").as("id1"), F.col("__id_b").as("id2"),
         F.col("__d").as("dist"))
+      .distinct()
   }
 
   def duplicateSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {

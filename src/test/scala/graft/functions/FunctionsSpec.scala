@@ -191,4 +191,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(r(5L)._1 == Some(List("a b")), r(5L).toString)
     assert(r(5L)._2 == Some(List(" a", "a ", " b", "b ")), r(5L).toString)
   }
+  test("graft_edit_distance equals Spark's thresholded levenshtein") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // fuzz short random strings (incl. non-ASCII code points) against
+    // the built-in for every threshold 0..3
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abc", "abcd\u00e9\u4e16")
+    val cases = (1 to 400).map { _ =>
+      val al = alphabets(rnd.nextInt(alphabets.length))
+      def mk(n: Int) = (1 to n).map(_ => al(rnd.nextInt(al.length))).mkString
+      (mk(rnd.nextInt(12)), mk(rnd.nextInt(12)))
+    } ++ Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"))
+    val df = cases.toDF("a", "b")
+    for (k <- 0 to 3) {
+      val diff = df.selectExpr("a", "b",
+          s"graft_edit_distance(a, b, $k) as g",
+          s"levenshtein(a, b, $k) as l")
+        .filter("g <> l or (g is null) <> (l is null)")
+        .collect()
+      assert(diff.isEmpty,
+        s"k=$k mismatches: ${diff.take(5).mkString(", ")}")
+    }
+  }
 }
+
