@@ -20,4 +20,11 @@ object GraftFn {
         classic.ExpressionUtils.expression(sortCol),
         classic.ExpressionUtils.expression(frac))
         .toAggregateExpression())
+
+  /** TRY_CAST through [[graft.functions.SafeCast]] — the
+    * regex-pre-guarded lowering that skips Spark's per-failing-row
+    * caught exception on string→number casts. */
+  def safeCast(c: Column, t: org.apache.spark.sql.types.DataType): Column =
+    classic.ExpressionUtils.column(
+      graft.functions.SafeCast(classic.ExpressionUtils.expression(c), t))
 }

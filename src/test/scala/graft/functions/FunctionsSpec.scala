@@ -214,5 +214,26 @@ class FunctionsSpec extends SparkTestBase {
         s"k=$k mismatches: ${diff.take(5).mkString(", ")}")
     }
   }
+  test("SafeCast matches Spark's try_cast on random dirty strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "0123456789+-. \teE.xF\u00e9\u0001"
+    val cases = (1 to 600).map { _ =>
+      (1 to rnd.nextInt(10)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " 42 ", "+7", "-0", "12.5", "1e3", "Infinity", "-inf",
+      "NaN", "nan", "0x10", "9999999999999999999999", " \u0001 5 ")
+    val df = cases.toDF("s")
+    for (t <- Seq("int", "bigint", "double", "float")) {
+      val diff = df.select($"s",
+          org.apache.spark.sql.GraftFn.safeCast($"s",
+            org.apache.spark.sql.types.DataType.fromDDL(t)).as("g"),
+          $"s".try_cast(t).as("b"))
+        .filter("g <> b or (g is null) <> (b is null)")
+        .collect()
+      assert(diff.isEmpty, s"$t: ${diff.take(5).mkString(", ")}")
+    }
+  }
 }
+
 
