@@ -933,6 +933,14 @@ final class Translator(catalog: String => DataFrame,
     if (overlap.nonEmpty)
       fail(s"ASOF JOIN sides share column names [${overlap.mkString(", ")}]" +
         " — the joined frame is flat; alias them apart in subqueries")
+    // the __asof_* helper namespace must be free on BOTH sides (the
+    // AsOf operator's requireFree contract): a same-named input
+    // column would be silently shadowed in the union frame
+    val clash = (lf.columns ++ rf.columns)
+      .filter(_.toLowerCase.startsWith("__asof_"))
+    if (clash.nonEmpty)
+      fail(s"ASOF JOIN input columns [${clash.mkString(", ")}] collide " +
+        "with the reserved __asof_* helper namespace")
     // which side does an ON operand read? (qualified refs by alias,
     // bare refs by schema membership; mixed/ambiguous → None)
     def side(e: Expr): Option[Boolean] = {

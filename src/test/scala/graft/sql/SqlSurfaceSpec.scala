@@ -2915,6 +2915,24 @@ class SqlSurfaceSpec extends SparkTestBase {
            from customer"""))
   }
 
+  test("GROUPS frames work through named WINDOW definitions (r7b)") {
+    // resolveNamedWindows runs before the GROUPS pre-pass, so a
+    // WINDOW-clause frame rewrites like an inline one
+    assertSameRows(
+      graftSession.query(
+        """select l_orderkey, sum(l_quantity) over w as s
+           from lineitem
+           window w as (partition by l_returnflag order by l_quantity
+             groups between 1 preceding and 1 following)"""),
+      spark.sql(
+        """select l_orderkey, sum(l_quantity) over (
+             partition by l_returnflag order by __g
+             range between 1 preceding and 1 following) as s
+           from (select *, dense_rank() over (partition by l_returnflag
+                   order by l_quantity) as __g from lineitem)""")
+        .drop("__g"))
+  }
+
   test("GROUPS frame walls are loud") {
     // order-sensitive window functions read frame order, which the
     // group-ordinal sort does not preserve among peers
