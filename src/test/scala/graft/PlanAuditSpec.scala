@@ -525,6 +525,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("asof SQL join is joinless: union + one key window") {
+    val df = SparkEntry.queries("q_asof_sql")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("Union"), p.take(3000))
+  }
+
+  test("resample rides key-partitioned operators, no cartesian") {
+    val p = plan("q_resample")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // the inline spine explode
+    assert(p.contains("Window"), p.take(3000))   // the forward fill
+  }
+
+  test("try_cast lowering carries the regex pre-guard, not a bare TRY cast") {
+    val p = plan("q_try_cast")
+    // the failure-heavy casts must route through the RLike guard
+    assert(p.contains("RLIKE") || p.contains("rlike"), p.take(3000))
+    assert(p.contains("*("), p.take(2000)) // stays in whole-stage codegen
+  }
+
   test("scd2 is one key-window exchange, no self-join") {
     val df = SparkEntry.queries("q_scd2")(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString()

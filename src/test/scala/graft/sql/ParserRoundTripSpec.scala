@@ -75,6 +75,40 @@ class ParserRoundTripSpec extends AnyFunSuite {
     assert(parseBack("'O''Brien'") == StrLit("O'Brien"))
   }
 
+  test("r7b syntax parses to the expected shapes") {
+    // GROUPS frame mode
+    val q = Parser.parse(
+      """select sum(b) over (partition by a order by b
+           groups between 2 preceding and 1 following exclude ties) as s
+         from t""")
+    val w = q.asInstanceOf[Leaf].q.sel.items.head.e
+      .asInstanceOf[AggExpr].window.get
+    assert(w.frame == Some(Frame(isRows = false, Preceding(2),
+      Following(1), isGroups = true)), w.toString)
+    assert(w.exclude == "ties")
+    // lambdas: element, indexed, multi-param; only in argument position
+    val q2 = Parser.parse(
+      "select transform(xs, x -> x + 1) as t, " +
+        "aggregate(xs, 0, (acc, v) -> acc + v) as s from t")
+    val items = q2.asInstanceOf[Leaf].q.sel.items
+    assert(items.head.e == FuncCall("transform", Seq(ColRef(None, "xs"),
+      Lambda(Seq("x"), Arith("+", ColRef(None, "x"), NumLit("1"))))))
+    assert(items(1).e.asInstanceOf[FuncCall].args(2) ==
+      Lambda(Seq("acc", "v"), Arith("+", ColRef(None, "acc"),
+        ColRef(None, "v"))))
+    // a parenthesized expression is NOT a lambda
+    val q3 = Parser.parse("select coalesce((a), b) as c from t")
+    assert(q3.asInstanceOf[Leaf].q.sel.items.head.e ==
+      Coalesce(Seq(ColRef(None, "a"), ColRef(None, "b"))))
+    // ASOF [LEFT] JOIN
+    val q4 = Parser.parse(
+      "select 1 as one from a asof left join b on a.k = b.k and a.t >= b.t")
+    val rel = q4.asInstanceOf[Leaf].q.sel.from.asInstanceOf[AsofJoinRel]
+    assert(rel.leftOuter)
+    assert(rel.on == And(Cmp("=", ColRef(Some("a"), "k"), ColRef(Some("b"), "k")),
+      Cmp(">=", ColRef(Some("a"), "t"), ColRef(Some("b"), "t"))))
+  }
+
   test("round-2 syntax parses to the expected shapes") {
     // CTE + USING + rollup + ilike + not-like + scalar subquery
     val q = Parser.parse(
