@@ -47,16 +47,20 @@ final class Graft(val spark: SparkSession) {
   private val DescribeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
-  // MERGE INTO (r7b): the statement spelling of the keyed-upsert /
-  // keyed-delete maintenance shapes (SURVEY row 94). Whole-row forms
-  // only (UPDATE SET * / INSERT *) — the Delta/DuckDB-style upsert
-  // contract; column-level SET lists are not a lazy-view operation.
+  // MERGE INTO (r7b; generalized r8): the statement spelling of the
+  // keyed-upsert / keyed-delete maintenance shapes (SURVEY row 94).
+  // r8 carries the full Delta/standard clause matrix: conditional
+  // `WHEN MATCHED [AND pred]`, column-level `UPDATE SET col = expr,
+  // …`, `WHEN NOT MATCHED [BY TARGET] [AND pred] THEN INSERT * /
+  // INSERT (cols) VALUES (exprs)`, and `WHEN NOT MATCHED BY SOURCE
+  // [AND pred] THEN UPDATE/DELETE`. ON and the WHEN block split with
+  // the quote/paren-aware keyword scanner, not regexes (r7 ADVICE).
   private val MergeRe =
     ("""(?is)^\s*merge\s+into\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
-     """\s+using\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+on\s+(.*?)""" +
-     """((?:\s+when\s+(?:not\s+)?matched\s+then\s+[^;]+)+)\s*;?\s*$""").r
-  private val WhenClauseRe =
-    """(?is)when\s+(not\s+)?matched\s+then\s+(update\s+set\s+\*|insert\s+\*|delete)""".r
+     """(?:\s+(?:as\s+)?(?!using\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
+     """\s+using\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """(?:\s+(?:as\s+)?(?!on\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
+     """\s+on\s+(.*)$""").r
 
   private def fail(msg: String): Nothing = throw new RuntimeException(msg)
 
@@ -71,9 +75,12 @@ final class Graft(val spark: SparkSession) {
   private val DeleteRe =
     ("""(?is)^\s*delete\s+from\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """\s+where\s+(.*?)\s*;?\s*$""").r
+  // the SET-list / WHERE split happens with the keyword scanner, not
+  // the regex — a string literal containing ' where ' inside an
+  // assignment must not split (r7 ADVICE)
   private val UpdateRe =
     ("""(?is)^\s*update\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
-     """\s+set\s+(.*?)(?:\s+where\s+(.*?))?\s*;?\s*$""").r
+     """\s+set\s+(.*?)\s*;?\s*$""").r
 
   private def status(kind: String, name: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -138,9 +145,16 @@ final class Graft(val spark: SparkSession) {
       registerTable(name, translateOnly(
         s"select * from $name where not coalesce(($pred), false)"))
       status("deleted", name.toLowerCase)
-    case UpdateRe(q, b, setList, predOrNull) =>
+    case UpdateRe(q, b, tail) =>
       val name = Option(q).getOrElse(b)
       val target = lookup(name)
+      // scanner-based SET/WHERE split: the first top-level WHERE
+      // keyword outside strings/parens ends the assignment list
+      val (setList, pred) = topLevelKeyword(tail, "where") match {
+        case Nil    => (tail, None)
+        case i :: _ => (tail.substring(0, i),
+                        Some(tail.substring(i + "where".length).trim))
+      }
       val assigns: Map[String, String] =
         splitTop(setList, ',').map { a =>
           val i = a.indexOf('=')
@@ -150,7 +164,6 @@ final class Graft(val spark: SparkSession) {
             .getOrElse(fail(s"UPDATE: column '$col' not in $name"))
           matched.toLowerCase -> a.substring(i + 1).trim
         }.toMap
-      val pred = Option(predOrNull)
       val items = target.columns.map { c =>
         assigns.get(c.toLowerCase) match {
           case Some(e) => pred match {
@@ -163,71 +176,9 @@ final class Graft(val spark: SparkSession) {
       registerTable(name,
         translateOnly(s"select ${items.mkString(", ")} from $name"))
       status("updated", name.toLowerCase)
-    case MergeRe(tq, tb, sq, sb, onCond, whenBlock) =>
-      import org.apache.spark.sql.{functions => F}
-      val tName = Option(tq).getOrElse(tb)
-      val sName = Option(sq).getOrElse(sb)
-      val target = lookup(tName); val source = lookup(sName)
-      // ON must be equality conjuncts on SAME-NAMED key columns
-      // (t.k = s.k) — the keyed-maintenance contract; anything else
-      // is loud
-      val keys = onCond.split("(?i)\\s+and\\s+").toSeq.map { c =>
-        val m = """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$"""
-          .r.findFirstMatchIn(c).getOrElse(fail(
-            s"MERGE ON supports same-named key equalities only, got: $c"))
-        if (!m.group(2).equalsIgnoreCase(m.group(4)))
-          fail("MERGE ON supports same-named key equalities only " +
-            s"(got ${m.group(2)} = ${m.group(4)})")
-        m.group(2).toLowerCase
-      }
-      val clauses = WhenClauseRe.findAllMatchIn(whenBlock).map { m =>
-        val not = m.group(1) != null
-        val act = m.group(2).toLowerCase.replaceAll("\\s+", " ")
-        (not, act)
-      }.toSeq
-      if (clauses.isEmpty)
-        fail("MERGE supports whole-row WHEN forms only: WHEN MATCHED " +
-          "THEN UPDATE SET * / DELETE, WHEN NOT MATCHED THEN INSERT *")
-      clauses.foreach {
-        case (false, a) if a.startsWith("update") || a == "delete" => ()
-        case (true, a) if a.startsWith("insert") => ()
-        case (not, a) => fail(s"MERGE: WHEN ${if (not) "NOT " else ""}" +
-          s"MATCHED cannot $a")
-      }
-      val doUpdate = clauses.exists(c => !c._1 && c._2.startsWith("update"))
-      val doDelete = clauses.exists(c => !c._1 && c._2 == "delete")
-      val doInsert = clauses.exists(c => c._1 && c._2.startsWith("insert"))
-      if (doUpdate && doDelete)
-        fail("MERGE: UPDATE SET * and DELETE cannot both apply to " +
-          "matched rows (whole-row forms)")
-      if (doUpdate || doInsert) {
-        val sameCols = target.columns.map(_.toLowerCase).sorted
-          .sameElements(source.columns.map(_.toLowerCase).sorted)
-        if (!sameCols) fail("MERGE UPDATE SET * / INSERT * require " +
-          "matching target/source schemas")
-      }
-      val srcKeys = source.select(keys.map(F.col): _*).distinct()
-      // untouched target rows survive every form; the clause mix
-      // decides what replaces / joins them — each path is one
-      // key-shuffled semi/anti join plus a name-matched union, the
-      // SURVEY row-94 plan shape (nothing rewrites the remainder)
-      val kept =
-        if (doUpdate || doDelete)
-          target.join(srcKeys, keys, "left_anti")
-        else target
-      val replaced =
-        if (doUpdate) {
-          if (doInsert) source // matched AND new source rows land
-          else source.join(
-            target.select(keys.map(F.col): _*).distinct(), keys, "left_semi")
-        } else if (doInsert)
-          source.join(
-            target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
-        else null
-      val merged =
-        if (replaced == null) kept else kept.unionByName(replaced)
-      registerTable(tName, merged)
-      status("merged", tName.toLowerCase)
+    case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
+      mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
+        Option(sq).getOrElse(sb), Option(sAl), rest)
     case ExplainRe(body) =>
       import spark.implicits._
       explain(body).split("\n").toSeq.toDF("plan")
@@ -261,6 +212,388 @@ final class Graft(val spark: SparkSession) {
     }
     out += sb.toString
     out.result()
+  }
+
+  private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Start offsets where `kw` occurs as a whole word at paren-depth 0
+    * outside single-quoted strings and double-quoted identifiers. */
+  private def topLevelKeyword(s: String, kw: String): List[Int] = {
+    val out = List.newBuilder[Int]
+    var depth = 0; var i = 0; var inStr = false; var inId = false
+    val n = s.length
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (inId) { if (ch == '"') inId = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '"'  => inId = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              (i + kw.length >= n || !isIdentChar(s.charAt(i + kw.length))))
+            out += i
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Split `s` into segments around top-level occurrences of `kw`
+    * (the keyword itself is dropped). */
+  private def splitKeyword(s: String, kw: String): Seq[String] = {
+    val pos = topLevelKeyword(s, kw)
+    if (pos.isEmpty) Seq(s)
+    else {
+      val bounds = -kw.length +: pos
+      bounds.zip(pos :+ s.length).map { case (a, b) =>
+        s.substring(a + kw.length, b)
+      }
+    }
+  }
+
+  /** Rewrites table-qualified column refs in a MERGE expression:
+    * `tQual.col` → the bare (quoted) target column, `sQual.col` →
+    * the `__s_`-prefixed source column of the joined frame. Scans
+    * outside string literals; bare (unqualified) refs pass through
+    * and resolve against the frame's target columns. */
+  private def rewriteRefs(e: String, tQuals: Set[String], sQuals: Set[String],
+                          tCols: Array[String], sCols: Array[String],
+                          tMap: String => String,
+                          sMap: String => String): String = {
+    val sb = new StringBuilder; var i = 0; val n = e.length
+    var inStr = false
+    while (i < n) {
+      val ch = e.charAt(i)
+      if (inStr) { sb += ch; if (ch == '\'') inStr = false; i += 1 }
+      else if (ch == '\'') { inStr = true; sb += ch; i += 1 }
+      else if (ch.isLetter || ch == '_') {
+        val st = i
+        while (i < n && isIdentChar(e.charAt(i))) i += 1
+        val id = e.substring(st, i)
+        val qualified = i < n && e.charAt(i) == '.' && i + 1 < n &&
+          (e.charAt(i + 1).isLetter || e.charAt(i + 1) == '_')
+        if (qualified &&
+            (tQuals.contains(id.toLowerCase) || sQuals.contains(id.toLowerCase))) {
+          var k = i + 1
+          while (k < n && isIdentChar(e.charAt(k))) k += 1
+          val col = e.substring(i + 1, k)
+          if (tQuals.contains(id.toLowerCase)) {
+            val c = tCols.find(_.equalsIgnoreCase(col))
+              .getOrElse(fail(s"MERGE: column '$col' not in target"))
+            sb ++= tMap(c)
+          } else {
+            val c = sCols.find(_.equalsIgnoreCase(col))
+              .getOrElse(fail(s"MERGE: column '$col' not in source"))
+            sb ++= sMap(c)
+          }
+          i = k
+        } else sb ++= id
+      }
+      else { sb += ch; i += 1 }
+    }
+    sb.toString
+  }
+
+  private sealed trait MergeAction
+  private case object DeleteAct extends MergeAction
+  private case object UpdateStar extends MergeAction
+  private final case class UpdateCols(assigns: Seq[(String, String)]) extends MergeAction
+  private case object InsertStar extends MergeAction
+  private final case class InsertCols(cols: Seq[String], exprs: Seq[String]) extends MergeAction
+  // cat: 0 = WHEN MATCHED, 1 = WHEN NOT MATCHED [BY TARGET],
+  //      2 = WHEN NOT MATCHED BY SOURCE
+  private final case class MergeClause(cat: Int, cond: Option[String],
+                                       act: MergeAction)
+
+  /** MERGE INTO lowering (r8 general form). The registry holds LAZY
+    * plans, so the statement re-registers a composed plan. Semantics
+    * follow the standard + Delta:
+    *  - WHEN clauses evaluate per row IN ORDER; the first clause of
+    *    the row's category whose condition holds applies; no clause →
+    *    the target row is kept unchanged / the source row is ignored.
+    *  - A target row matching MORE THAN ONE source row while any
+    *    MATCHED clause exists is a cardinality violation (SQL:2016)
+    *    — enforced LAZILY via a raise_error branch on the match flag,
+    *    so the plan stays unexecuted at statement time and errors at
+    *    first action (r7 ADVICE: the old whole-row path silently
+    *    duplicated).
+    *  - A non-last clause of a category without an AND condition
+    *    shadows everything after it — rejected loudly (Delta's rule).
+    *
+    * Plan shape at scale: one per-key count window on the SOURCE
+    * (same shuffle key as the join, so the exchange is shared), one
+    * left join target↔source on the keys, a single projection of
+    * per-column CASE chains, plus one anti join for the insert leg —
+    * no driver-side action, nothing materializes. */
+  private def mergeStatement(tName: String, tAlias: Option[String],
+                             sName: String, sAlias: Option[String],
+                             rest: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val target = lookup(tName); val source = lookup(sName)
+    val body = rest.trim.stripSuffix(";")
+    val whenPos = topLevelKeyword(body, "when")
+    if (whenPos.isEmpty) fail("MERGE requires at least one WHEN clause")
+    val onCond = body.substring(0, whenPos.head)
+    val tQuals = Set(tName.toLowerCase) ++ tAlias.map(_.toLowerCase)
+    val sQuals = Set(sName.toLowerCase) ++ sAlias.map(_.toLowerCase)
+
+    // ON must be equality conjuncts on SAME-NAMED key columns
+    // (t.k = s.k) — the keyed-maintenance contract; anything else
+    // is loud. Split on the keyword scanner (an AND inside a quoted
+    // string cannot mis-split — r7 ADVICE).
+    val keys = splitKeyword(onCond, "and").map { c =>
+      val m = """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$"""
+        .r.findFirstMatchIn(c).getOrElse(fail(
+          s"MERGE ON supports same-named key equalities only, got: $c"))
+      if (!m.group(2).equalsIgnoreCase(m.group(4)))
+        fail("MERGE ON supports same-named key equalities only " +
+          s"(got ${m.group(2)} = ${m.group(4)})")
+      m.group(2).toLowerCase
+    }
+
+    // ---- parse the WHEN clauses
+    val segs = (whenPos :+ body.length).sliding(2).map { w =>
+      body.substring(w(0) + "when".length, w(1))
+    }.toSeq
+    val HeadRe =
+      """(?is)^\s*(not\s+)?matched(?:\s+by\s+(source|target))?(?:\s+and\s+(.*?))?\s*$""".r
+    val clauses = segs.map { seg =>
+      val thenPos = topLevelKeyword(seg, "then")
+      if (thenPos.isEmpty) fail(s"MERGE WHEN clause missing THEN: $seg")
+      val head = seg.substring(0, thenPos.head)
+      val actTxt = seg.substring(thenPos.head + "then".length).trim
+      val (not, by, cond) = head match {
+        case HeadRe(n, b2, c) =>
+          (n != null, Option(b2).map(_.toLowerCase), Option(c).map(_.trim))
+        case _ => fail(s"cannot parse MERGE WHEN clause: when $seg")
+      }
+      val cat = (not, by) match {
+        case (false, None)           => 0
+        case (true, None)            => 1
+        case (true, Some("target"))  => 1
+        case (true, Some("source"))  => 2
+        case (false, Some(b3)) =>
+          fail(s"WHEN MATCHED BY ${b3.toUpperCase} is not a MERGE form " +
+            "(BY SOURCE/TARGET qualify NOT MATCHED)")
+        case (true, Some(b3)) => fail(s"unknown MERGE qualifier BY $b3")
+      }
+      val act: MergeAction = actTxt match {
+        case a if a.matches("(?is)^delete$") =>
+          if (cat == 1) fail("MERGE: WHEN NOT MATCHED cannot DELETE " +
+            "(no target row exists)")
+          DeleteAct
+        case a if a.matches("(?is)^update\\s+set\\s+\\*$") =>
+          if (cat == 1) fail("MERGE: WHEN NOT MATCHED cannot UPDATE")
+          if (cat == 2) fail("MERGE: NOT MATCHED BY SOURCE cannot " +
+            "UPDATE SET * (no source row exists)")
+          UpdateStar
+        case a if a.matches("(?is)^update\\s+set\\s+.*$") =>
+          if (cat == 1) fail("MERGE: WHEN NOT MATCHED cannot UPDATE")
+          val setList = a.replaceFirst("(?is)^update\\s+set\\s+", "")
+          UpdateCols(splitTop(setList, ',').map { asn =>
+            val i = asn.indexOf('=')
+            if (i < 0) fail(s"MERGE UPDATE SET expects col = expr, got: $asn")
+            val raw = asn.substring(0, i).trim
+            // optionally target-qualified on the left side
+            val colName = raw.split('.') match {
+              case Array(qual, c2) if tQuals.contains(qual.toLowerCase) => c2
+              case Array(c2) => c2
+              case _ => fail(s"MERGE UPDATE SET: bad column ref '$raw'")
+            }
+            val c = target.columns.find(_.equalsIgnoreCase(
+                colName.stripPrefix("\"").stripSuffix("\"")))
+              .getOrElse(fail(s"MERGE UPDATE: column '$colName' not in $tName"))
+            c -> asn.substring(i + 1).trim
+          })
+        case a if a.matches("(?is)^insert\\s+\\*$") =>
+          if (cat == 0) fail("MERGE: WHEN MATCHED cannot INSERT")
+          if (cat == 2) fail("MERGE: NOT MATCHED BY SOURCE cannot INSERT")
+          InsertStar
+        case a if a.matches("(?is)^insert\\s*\\(.*$") =>
+          if (cat == 0) fail("MERGE: WHEN MATCHED cannot INSERT")
+          if (cat == 2) fail("MERGE: NOT MATCHED BY SOURCE cannot INSERT")
+          val m = """(?is)^insert\s*\((.*?)\)\s*values\s*\((.*)\)\s*$"""
+            .r.findFirstMatchIn(a).getOrElse(
+              fail(s"MERGE INSERT expects INSERT (cols) VALUES (exprs): $a"))
+          val cols = splitTop(m.group(1), ',').map { c2 =>
+            val raw = c2.trim.stripPrefix("\"").stripSuffix("\"")
+            target.columns.find(_.equalsIgnoreCase(raw))
+              .getOrElse(fail(s"MERGE INSERT: column '$raw' not in $tName"))
+          }
+          val exprs = splitTop(m.group(2), ',').map(_.trim)
+          if (cols.length != exprs.length)
+            fail("MERGE INSERT: column/value count mismatch")
+          InsertCols(cols, exprs)
+        case a => fail(s"MERGE: unsupported action '$a'")
+      }
+      MergeClause(cat, cond, act)
+    }
+
+    // Delta's shadowing rule: within a category, only the LAST clause
+    // may omit its AND condition
+    Seq(0, 1, 2).foreach { cat =>
+      val inCat = clauses.filter(_.cat == cat)
+      inCat.dropRight(1).find(_.cond.isEmpty).foreach { _ =>
+        fail("MERGE: only the last WHEN clause of a kind may omit " +
+          "its AND condition (earlier unconditional clauses shadow " +
+          "the rest)")
+      }
+    }
+    val matchedCls = clauses.filter(_.cat == 0)
+    val insertCls  = clauses.filter(_.cat == 1)
+    val bySrcCls   = clauses.filter(_.cat == 2)
+    val starNeedsSchema = clauses.exists(c =>
+      c.act == UpdateStar || c.act == InsertStar)
+    if (starNeedsSchema) {
+      val sameCols = target.columns.map(_.toLowerCase).sorted
+        .sameElements(source.columns.map(_.toLowerCase).sorted)
+      if (!sameCols) fail("MERGE UPDATE SET * / INSERT * require " +
+        "matching target/source schemas")
+    }
+
+    val q = (c: String) => "\"" + c + "\""
+    val sQ = (c: String) => "\"__s_" + c.toLowerCase + "\""
+    def rw(e: String): String =
+      rewriteRefs(e, tQuals, sQuals, target.columns, source.columns,
+        c => q(c), c => sQ(c))
+
+    // ---- target-side leg: kept + matched-updated + by-source-updated
+    val targetLeg: DataFrame =
+      if (matchedCls.isEmpty && bySrcCls.isEmpty) target
+      else {
+        val joined =
+          if (matchedCls.nonEmpty) {
+            // full source columns ride the join; the per-key count
+            // (window on the join's own shuffle key) feeds the lazy
+            // cardinality guard on the match flag
+            val sRen = source.select(
+              source.columns.toSeq.map(c =>
+                F.col(c).as("__s_" + c.toLowerCase)) :+
+              F.lit(1).as("__s_exists0"): _*)
+            val wk = Window.partitionBy(keys.map(k => F.col("__s_" + k)): _*)
+            val sCnt = sRen.withColumn("__s_cnt", F.count(F.lit(1)).over(wk))
+            val cond = keys.map(k => F.col(k) === F.col("__s_" + k))
+              .reduce(_ && _)
+            target.join(sCnt, cond, "left_outer")
+              .withColumn("__s_exists",
+                F.when(F.col("__s_cnt") > 1, F.raise_error(F.lit(
+                  "MERGE cardinality violation: a target row matches " +
+                  "more than one source row")).cast("int"))
+                 .otherwise(F.col("__s_exists0")))
+          } else {
+            // no matched clause → only the existence flag is needed;
+            // a distinct key join cannot multiply target rows
+            val sKeys = source.select(keys.map(F.col): _*).distinct()
+              .select(keys.map(k => F.col(k).as("__s_" + k)) :+
+                F.lit(1).as("__s_exists"): _*)
+            val cond = keys.map(k => F.col(k) === F.col("__s_" + k))
+              .reduce(_ && _)
+            target.join(sKeys, cond, "left_outer")
+          }
+        // compose the per-column CASE projection through the graft
+        // dialect (conditions/exprs are user dialect text)
+        val tmp = s"__merge_${tName.toLowerCase}"
+        registerTable(tmp, joined)
+        try {
+          val rowCls = clauses.filter(c => c.cat == 0 || c.cat == 2)
+          def clauseCond(c: MergeClause): String = {
+            val m = if (c.cat == 0) "\"__s_exists\" = 1"
+                    else "\"__s_exists\" is null"
+            c.cond match {
+              case Some(p) => s"($m) and (${rw(p)})"
+              case None    => m
+            }
+          }
+          val assigned: Set[String] = rowCls.flatMap(c => c.act match {
+            case UpdateStar        => target.columns.toSeq
+            case UpdateCols(as)    => as.map(_._1)
+            case _                 => Seq.empty
+          }).toSet
+          val items = target.columns.map { c =>
+            if (!assigned.contains(c)) s"${q(c)}"
+            else {
+              val branches = rowCls.map { cl =>
+                val v = cl.act match {
+                  case UpdateStar     => sQ(c)
+                  case UpdateCols(as) =>
+                    as.find(_._1 == c).map(a => s"(${rw(a._2)})").getOrElse(q(c))
+                  case DeleteAct      => q(c) // row dropped by the filter
+                  case _              => q(c)
+                }
+                s"when ${clauseCond(cl)} then $v"
+              }
+              s"case ${branches.mkString(" ")} else ${q(c)} end as ${q(c)}"
+            }
+          }
+          val delCase = {
+            val branches = rowCls.map { cl =>
+              val v = if (cl.act == DeleteAct) "true" else "false"
+              s"when ${clauseCond(cl)} then $v"
+            }
+            s"case ${branches.mkString(" ")} else false end"
+          }
+          val whereTxt =
+            if (rowCls.exists(_.act == DeleteAct)) s" where not ($delCase)"
+            else ""
+          translateOnly(
+            s"select ${items.mkString(", ")} from $tmp$whereTxt")
+        } finally removeTable(tmp)
+      }
+
+    // ---- insert leg: source rows with no target match
+    val insertLeg: Option[DataFrame] =
+      if (insertCls.isEmpty) None
+      else {
+        val notMatched = source.join(
+          target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+        val tmp = s"__merge_src_${sName.toLowerCase}"
+        registerTable(tmp, notMatched)
+        try {
+          // source-frame rewriting: s-quals → bare source columns;
+          // target refs have no row here and fail loudly
+          def rwS(e: String): String =
+            rewriteRefs(e, tQuals, sQuals, target.columns, source.columns,
+              _ => fail("MERGE INSERT expressions cannot reference the " +
+                "target (no target row exists for NOT MATCHED)"),
+              c => q(c))
+          val conds = insertCls.map(c => c.cond.map(rwS))
+          val filt = {
+            val ors = conds.map(_.getOrElse("true")).map(c => s"($c)")
+            if (conds.exists(_.isEmpty)) "" // an unconditional clause admits all
+            else s" where ${ors.mkString(" or ")}"
+          }
+          val items = target.columns.map { c =>
+            val branches = insertCls.map { cl =>
+              val condTxt = cl.cond.map(rwS).map(p => s"($p)").getOrElse("true")
+              val v = cl.act match {
+                case InsertStar => q(c)
+                case InsertCols(cols, exprs) =>
+                  cols.zip(exprs).find(_._1 == c)
+                    .map(a => s"(${rwS(a._2)})").getOrElse("null")
+                case _ => "null"
+              }
+              s"when $condTxt then $v"
+            }
+            s"case ${branches.mkString(" ")} else null end as ${q(c)}"
+          }
+          val leg = translateOnly(
+            s"select ${items.mkString(", ")} from $tmp$filt")
+          // per-column cast to the TARGET types: all-null CASE arms
+          // land as NullType and assignment-casting is the standard's
+          // INSERT semantics anyway
+          Some(leg.select(target.schema.fields.toSeq.map(f =>
+            F.col(f.name).cast(f.dataType).as(f.name)): _*))
+        } finally removeTable(tmp)
+      }
+
+    val merged = insertLeg.fold(targetLeg)(targetLeg.unionByName)
+    registerTable(tName, merged)
+    status("merged", tName.toLowerCase)
   }
 
   private def translateOnly(sqlText: String): DataFrame =

@@ -280,6 +280,18 @@ object SparkEntry {
                                  where n.n_nationkey = c.c_nationkey
                                     or n.n_name like 'A%')
             or c.c_acctbal < 0""",
+    // nested UNCORRELATED scalar inside a general correlated conjunct
+    // (r8, the last 36ax wall): the subquery is a query-wide constant
+    // — hoisted to a guarded broadcast 1-row column on the inner
+    // frame BEFORE the tuple substitution, so the OR-correlation
+    // lowers through the same distinct-tuple join
+    "q_exists_nested_scalar" ->
+      """select c_custkey from customer o
+         where exists (select 1 from orders i
+                       where i.o_custkey = o.c_custkey
+                         and (o.c_acctbal >
+                                (select avg(c_acctbal) from customer)
+                              or i.o_totalprice < 2000))""",
     // OR-correlated scalar COUNT — per-distinct-outer-tuple aggregate
     "q_scalar_or_corr" ->
       """select s_suppkey,
@@ -1467,6 +1479,35 @@ object SparkEntry {
                     from events where event_type = 'view')
          select event_id, pu, pt, pv, vt, view_id
          from p asof join v on pu = vu and pt < vt"""),
+    // ASOF tolerance band (r8): a second bounded inequality on the
+    // time pair — `pt - vt <= 30min` — lowers as a post-match CASE
+    // bound (pandas merge_asof tolerance). DuckDB's ASOF has no
+    // tolerance, so the oracle applies the same bound over the plain
+    // ASOF result — an independent spelling of the identical
+    // semantics (the nearest match either qualifies or nothing does).
+    ("q_asof_sql_tol",
+      """with p as (select event_id, user_id as pu,
+                      unix_micros(cast(ts as timestamp)) as pt, value as pv
+                    from events where event_type = 'purchase'),
+              v as (select user_id as vu,
+                      unix_micros(cast(ts as timestamp)) as vt,
+                      event_id as view_id
+                    from events where event_type = 'view')
+         select event_id, pu, pt, pv, vt, view_id
+         from p asof left join v
+           on pu = vu and pt >= vt and pt - vt <= 1800000000""",
+      """with p as (select event_id, user_id as pu, epoch_us(ts) as pt,
+                      value as pv
+                    from events where event_type = 'purchase'),
+              v as (select user_id as vu, epoch_us(ts) as vt,
+                      event_id as view_id
+                    from events where event_type = 'view'),
+              j as (select event_id, pu, pt, pv, vt, view_id
+                    from p asof left join v on pu = vu and pt >= vt)
+         select event_id, pu, pt, pv,
+           case when pt - vt <= 1800000000 then vt end as vt,
+           case when pt - vt <= 1800000000 then view_id end as view_id
+         from j"""),
     // string/regexp/null-handling function parity (r7b): same names
     // and semantics in both engines except the pinned divergences —
     // Spark regexp_replace is global (DuckDB needs the 'g' flag),
@@ -2317,15 +2358,19 @@ object SparkEntry {
     ("q_text_bm25",
       (s: SparkSession, dir: String) => {
         import s.implicits._
+        // query 4 SHARES terms with 1 and 3 — pins the r8 df fix: a
+        // term in k queries must count each matching doc ONCE, not k×
         val queries = Seq(
-          (1L, "hash join"), (2L, "vector scan batch"), (3L, "spark")
+          (1L, "hash join"), (2L, "vector scan batch"), (3L, "spark"),
+          (4L, "spark join")
         ).toDF("query_id", "terms")
         graft.ops.TextAnalysis.bm25TopK(
           tbl(s, dir, "documents"), queries, 5)
       },
       Some("""with q as (select * from (values (1::BIGINT, 'hash join'),
                            (2::BIGINT, 'vector scan batch'),
-                           (3::BIGINT, 'spark')) v(query_id, terms)),
+                           (3::BIGINT, 'spark'),
+                           (4::BIGINT, 'spark join')) v(query_id, terms)),
               qt as (select distinct query_id,
                        unnest(list_filter(string_split(lower(terms), ' '),
                               t -> t <> '')) as term from q),

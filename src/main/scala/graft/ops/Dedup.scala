@@ -397,11 +397,16 @@ object Dedup {
     // distinct().orderBy.limit shuffled EVERY distinct shingle hash
     // before TakeOrdered; the BottomKDistinct buffer caps per-
     // partition state at k, so the exchange carries ≤k strings per
-    // partition at any corpus size. Same exact result (KMV bottom-k
-    // of the distinct set, ascending md5 order).
+    // partition at any corpus size. NULL hashes (sub-n-token
+    // documents shingle to [null] → md5 = NULL) are EXCLUDED from
+    // the sketch — the old orderBy path's asc_nulls_first would have
+    // admitted one NULL into the k-set; a sketch of the distinct
+    // NON-NULL hash set is the intended KMV semantics (a NULL carries
+    // no set element), made explicit by the filter below.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     withShingleRows(docs, n)
       .select(F.md5(F.col("s")).as("h"))
+      .filter(F.col("h").isNotNull)
       .agg(F.expr(s"graft_bottom_k(h, $k)").as("__hs"))
       .select(F.explode(F.col("__hs")).as("h"))
   }
@@ -540,82 +545,108 @@ object Dedup {
     * moves Jaccard on 18-char strings). Output (id1, id2, dist) with
     * id1 < id2.
     *
-    * Scale shape = PassJoin-style chunk blocking, never the naive
-    * O(n²) cross join: split each string into k+1 even chunks — if
-    * ed(a,b) ≤ k, at most k chunks are touched by edits, so at least
-    * ONE chunk of `a` occurs VERBATIM as a substring of `b` (and by
-    * symmetry one of b's in a, so directed matching + id-ordering
-    * loses nothing). Each row emits its k+1 chunks (probe side) and
-    * its candidate substrings of the partner-chunk lengths (index
-    * side, |len_a − len_b| ≤ k bounds those to ~(2k+1)·len keys);
-    * candidates hash-join on the chunk CONTENT, dedupe, and verify
-    * with Spark's codegen'd thresholded levenshtein (early-exit at
-    * k+1). Strings of length ≤ 2k also meet in one short bucket
-    * (shorter strings have empty chunks the lemma can't cover).
-    * Arrays explode INLINE (the Generate-copy rule). Cost is
+    * Scale shape = PassJoin chunk blocking with the published
+    * MULTI-MATCH-AWARE substring selection (r8; Li/Deng/Feng,
+    * PassJoin VLDB'11 §4), never the naive O(n²) cross join: split
+    * each string into k+1 even chunks — if ed(a,b) ≤ k, at most k
+    * chunks are touched by edits, so at least ONE chunk of `a`
+    * occurs VERBATIM in `b`, and the pigeonhole proof places that
+    * occurrence inside a POSITION WINDOW around the chunk's own
+    * start: for chunk m (1-based) at start pm with length lm, the
+    * matching start q in b satisfies
+    *   max(1, pm − (m−1), pm + Δ − (k+1−m)) ≤ q ≤
+    *   min(|b|−lm+1, pm + (m−1), pm + Δ + (k+1−m)),  Δ = |b| − |a|.
+    * The probe side emits its k+1 chunks keyed (content, |a|, m);
+    * the index side emits ONLY the windowed substrings per candidate
+    * partner length and chunk index — O(k²·window) keys per row
+    * instead of the r7b all-substrings-at-partner-lengths O(k·len)
+    * — and the (la, m) key components stop cross-position and
+    * cross-length content collisions cold. Candidates hash-join on
+    * the three-part key and verify with the native banded
+    * levenshtein (early-exit at k+1). Strings of length ≤ 2k meet in
+    * one short bucket (length ≤ k strings have empty chunks the
+    * lemma can't cover; their partners are ≤ 2k by the length
+    * bound). Arrays explode INLINE (the Generate-copy rule). Cost is
     * per-row-length bounded — built for short-string columns;
     * long-text near-dup belongs to the shingle family. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val k = maxDist
-    val p = k + 1
-    def side(idAs: String, sAs: String, keys: String): DataFrame =
-      df.filter(F.col(strCol).isNotNull)
-        .selectExpr(s"$idCol as $idAs", s"cast($strCol as string) as $sAs")
-        .selectExpr(idAs, sAs, s"explode(array_distinct($keys)) as __key")
-    // probe side: the k+1 PassJoin chunks (even split, remainder on
-    // the last chunks), empties filtered (len < k+1 rides the short
-    // bucket)
-    val chunks =
-      s"""concat(
-            filter(transform(sequence(0, $k), i ->
-              substring(__s_a,
-                1 + i * (length(__s_a) div $p) +
-                  greatest(0, i - ($p - length(__s_a) % $p)),
-                (length(__s_a) div $p) +
-                  (case when i >= $p - length(__s_a) % $p
-                        then 1 else 0 end))), x -> x != ''),
-            case when length(__s_a) <= ${2 * k}
-                 then array('short') else array() end)"""
-    // index side: all substrings at the partner-chunk lengths —
-    // base lengths floor(len_a/p) for len_a within ±k, plus the +1
-    // remainder chunks
-    val subs =
-      s"""concat(
-            flatten(transform(
-              sequence(greatest(1, (length(__s_b) - $k) div $p),
-                       ((length(__s_b) + $k) div $p) + 1),
-              L -> if(length(__s_b) >= L,
-                      transform(sequence(1, length(__s_b) - L + 1),
-                        q -> substring(__s_b, q, L)),
-                      array()))),
-            case when length(__s_b) <= ${2 * k}
-                 then array('short') else array() end)"""
-    val a = side("__id_a", "__s_a", chunks)
-    val b = side("__id_b", "__s_b", subs)
     // verify BEFORE deduplicating: a candidate pair appears at most
-    // k+1 times (once per shared chunk key after the per-row
-    // array_distinct), and the thresholded levenshtein is ~µs-cheap,
-    // so re-verifying duplicates map-side beats shuffling the full
-    // wide candidate stream through a distinct (measured 8.5 → ~2 s
-    // on the aligned-prefix worst case at sf0.1); the distinct then
-    // runs on the k-bounded SURVIVORS only
-    a.join(b,
-        a("__key") === b("__key") &&
-          F.col("__id_a") < F.col("__id_b") &&
-          F.abs(F.length(F.col("__s_a")) - F.length(F.col("__s_b"))) <= k)
+    // k+2 times (once per chunk index after the index-side struct
+    // dedup, plus the short bucket), and the banded levenshtein is
+    // ~µs-cheap, so re-verifying duplicates map-side beats shuffling
+    // the full wide candidate stream through a distinct (measured
+    // 8.5 → ~2 s on the aligned-prefix worst case at sf0.1); the
+    // distinct then runs on the k-bounded SURVIVORS only
+    editCandidates(df, idCol, strCol, maxDist)
       // native banded verify (graft_edit_distance): Spark's built-in
       // thresholded levenshtein decodes code points and fills full
       // O(n·m) rows per call — measured ~5 s for the 2.25M-candidate
       // verify at sf0.1; the 2k+1 diagonal band with early exit is
       // ~50× fewer cells and runs on raw ASCII bytes
-      .withColumn("__d", F.expr(s"graft_edit_distance(__s_a, __s_b, $k)"))
+      .withColumn("__d", F.expr(s"graft_edit_distance(__s_a, __s_b, $maxDist)"))
       .filter(F.col("__d") >= 0)
       .select(F.col("__id_a").as("id1"), F.col("__id_b").as("id2"),
         F.col("__d").as("dist"))
       .distinct()
+  }
+
+  /** The unverified PassJoin candidate stream (id/string pairs that
+    * share a windowed chunk key) — exposed so specs can pin the
+    * blocking selectivity independently of the verify step. */
+  private[graft] def editCandidates(df: DataFrame, idCol: String,
+                                    strCol: String, k: Int): DataFrame = {
+    val p = k + 1
+    def side(idAs: String, sAs: String, keys: String): DataFrame =
+      df.filter(F.col(strCol).isNotNull)
+        .selectExpr(s"$idCol as $idAs", s"cast($strCol as string) as $sAs")
+        .select(F.col(idAs), F.col(sAs), F.expr(s"inline($keys)"))
+    // probe side: the k+1 PassJoin chunks (even split, remainder on
+    // the last chunks) keyed (content, own length, chunk index);
+    // empties filtered (len ≤ k rides the short bucket)
+    val chunks =
+      s"""concat(
+            filter(transform(sequence(0, $k), i -> struct(
+              substring(__s_a,
+                1 + i * (length(__s_a) div $p) +
+                  greatest(0, i - ($p - length(__s_a) % $p)),
+                (length(__s_a) div $p) +
+                  (case when i >= $p - length(__s_a) % $p
+                        then 1 else 0 end)) as c,
+              cast(length(__s_a) as bigint) as la,
+              cast(i + 1 as bigint) as m)), x -> x.c != ''),
+            case when length(__s_a) <= ${2 * k}
+                 then array(struct('short' as c, 0L as la, 0L as m))
+                 else array() end)"""
+    // index side: for each candidate partner length la (within ±k)
+    // and chunk index m, ONLY the substrings of chunk-m length
+    // starting inside the multi-match-aware window above
+    val liE = s"((la div $p) + (case when m >= $p - (la % $p) + 1 then 1 else 0 end))"
+    val pmE = s"(1 + (m - 1) * (la div $p) + greatest(0, (m - 1) - ($p - la % $p)))"
+    val dE  = s"(length(__s_b) - la)"
+    val loE = s"greatest(1, $pmE - (m - 1), $pmE + $dE - ($k + 1 - m))"
+    val hiE = s"least(length(__s_b) - $liE + 1, $pmE + (m - 1), $pmE + $dE + ($k + 1 - m))"
+    val subs =
+      s"""concat(
+            array_distinct(flatten(transform(
+              sequence(greatest($p, length(__s_b) - $k), length(__s_b) + $k),
+              la -> flatten(transform(sequence(1, $p), m ->
+                if(($loE) <= ($hiE),
+                   transform(sequence($loE, $hiE), q ->
+                     struct(substring(__s_b, q, $liE) as c,
+                            cast(la as bigint) as la,
+                            cast(m as bigint) as m)),
+                   array())))))),
+            case when length(__s_b) <= ${2 * k}
+                 then array(struct('short' as c, 0L as la, 0L as m))
+                 else array() end)"""
+    val a = side("__id_a", "__s_a", chunks)
+    val b = side("__id_b", "__s_b", subs)
+    a.join(b,
+      a("c") === b("c") && a("la") === b("la") && a("m") === b("m") &&
+        F.col("__id_a") < F.col("__id_b"))
   }
 
   def duplicateSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {

@@ -130,11 +130,17 @@ object TextAnalysis {
       .selectExpr("query_id",
         "explode(graft_word_ngrams(lower(terms), 1)) as term")
       .distinct()
-    val matched = tf.join(F.broadcast(qTerms), Seq("term"))
-    // tf rows are distinct (doc, term) by construction, so df is a
-    // plain count — no count-distinct Expand
-    val df = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
-    val scored = matched
+    // Document frequency MUST count distinct docs per term, so the
+    // semi filter here is against the distinct TERM set — joining tf
+    // against (query_id, term) first would replicate each tf row per
+    // query containing the term and multiply df accordingly (r7
+    // ADVICE). hits rows stay distinct (doc, term) by construction,
+    // so df is a plain count — no count-distinct Expand.
+    val qTermSet = qTerms.select("term").distinct()
+    val hits = tf.join(F.broadcast(qTermSet), Seq("term"))
+    val df = hits.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val scored = hits
+      .join(F.broadcast(qTerms), Seq("term"))
       .join(F.broadcast(df), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(F.broadcast(stats))

@@ -961,7 +961,16 @@ final class Translator(catalog: String => DataFrame,
     }
     var eqs = Vector.empty[(Expr, Expr)] // (leftKey, rightKey)
     var ineq: Option[(Expr, String, Expr)] = None // (leftT, op, rightT)
+    // r8: a SECOND inequality forms a TOLERANCE BAND (the pandas
+    // merge_asof bound — `ON l.t >= r.t AND l.t - r.t <= 1800`). The
+    // primary direction inequality compares two BARE columns; the
+    // band is any further inequality (compound operands allowed) and
+    // lowers as a post-match filter against the matched row — the
+    // q_asof_tolerance CASE-bounded semantics: the nearest match
+    // either satisfies the band or the row has NO match.
+    var band: Option[Expr] = None
     val flip = Map(">=" -> "<=", ">" -> "<", "<=" -> ">=", "<" -> ">")
+    def isBareRef(e: Expr): Boolean = e.isInstanceOf[ColRef]
     splitConjuncts(aj.on).foreach {
       case Cmp("=", a, b) => (side(a), side(b)) match {
         case (Some(true), Some(false)) => eqs :+= ((a, b))
@@ -969,20 +978,46 @@ final class Translator(catalog: String => DataFrame,
         case _ => fail("ASOF JOIN equality conjuncts must compare one " +
           "left-side expression with one right-side expression")
       }
-      case Cmp(op @ (">=" | ">" | "<=" | "<"), a, b) =>
-        if (ineq.isDefined)
-          fail("ASOF JOIN takes exactly ONE inequality conjunct")
-        (side(a), side(b)) match {
-          case (Some(true), Some(false)) => ineq = Some((a, op, b))
-          case (Some(false), Some(true)) => ineq = Some((b, flip(op), a))
-          case _ => fail("ASOF JOIN's inequality must compare a left-side " +
-            "expression with a right-side expression")
+      case c @ Cmp(op @ (">=" | ">" | "<=" | "<"), a, b) =>
+        val primaryForm = isBareRef(a) && isBareRef(b) &&
+          ((side(a), side(b)) match {
+            case (Some(_), Some(_)) => true
+            case _                  => false
+          })
+        if (primaryForm) {
+          // bare-bare inequalities are the DIRECTION; a second one is
+          // loud (which would be primary is order-dependent) — a
+          // tolerance bound must be compound (e.g. l.t - r.t <= x)
+          if (ineq.isDefined)
+            fail("ASOF JOIN takes exactly ONE inequality conjunct " +
+              "(a tolerance bound must be a compound expression, " +
+              "e.g. l.t - r.t <= x)")
+          (side(a), side(b)) match {
+            case (Some(true), Some(false)) => ineq = Some((a, op, b))
+            case (Some(false), Some(true)) => ineq = Some((b, flip(op), a))
+            case _ => fail("ASOF JOIN's inequality must compare a " +
+              "left-side expression with a right-side expression")
+          }
+        } else {
+          if (band.isDefined)
+            fail("ASOF JOIN takes ONE direction inequality plus at most " +
+              "ONE tolerance bound")
+          def refsRight(e: Expr): Boolean = e match {
+            case ColRef(Some(q2), _) => rAl.contains(q2.toLowerCase)
+            case ColRef(None, n) => rColsLc.contains(n.toLowerCase)
+            case other2 => Ast.children(other2).exists(refsRight)
+          }
+          if (!refsRight(c))
+            fail("ASOF JOIN tolerance bound must reference the right " +
+              "side (a left-only predicate belongs in WHERE)")
+          band = Some(c)
         }
       case other => fail("ASOF JOIN ON supports equality conjuncts plus " +
         s"exactly one inequality, got: $other")
     }
-    val (lt, op, rt) = ineq.getOrElse(fail("ASOF JOIN requires an " +
-      "inequality conjunct (it names the time columns and direction)"))
+    val (lt, op, rt) = ineq.getOrElse(fail("ASOF JOIN requires a bare " +
+      "two-column inequality conjunct (it names the time columns and " +
+      "direction)"))
     val backward = op == ">=" || op == ">"
     val inclusive = op == ">=" || op == "<="
     val kNs = eqs.indices.map(i => s"__asof_k$i")
@@ -1008,6 +1043,12 @@ final class Translator(catalog: String => DataFrame,
     val ord =
       if (backward) F.col(tN).asc_nulls_first else F.col(tN).asc_nulls_last
     val tie = if (backward == inclusive) F.col(sN).asc else F.col(sN).desc
+    if (kNs.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "ASOF JOIN without an equality key lowers to a GLOBAL window — " +
+          "both sides serialize through ONE partition. Correct by " +
+          "semantics (fine for a small dimension side), but add an " +
+          "equality conjunct for scale.")
     val spec = (if (kNs.nonEmpty) Window.partitionBy(kNs.map(F.col): _*)
                 else Window.partitionBy()).orderBy(ord, tie)
     val matchN = "__asof_match"
@@ -1019,6 +1060,25 @@ final class Translator(catalog: String => DataFrame,
         F.first(F.col(mN), ignoreNulls = true).over(
           spec.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     var matched = u.withColumn(matchN, matchCol).filter(F.col(sN) === 1)
+    // tolerance band (r8): re-evaluate the bound against the MATCHED
+    // row — right refs read the match struct's fields, left refs the
+    // bare columns. A false/NULL bound nulls the match (pandas
+    // tolerance: the nearest row either qualifies or nothing does —
+    // time-monotone bounds can't be satisfied by a farther row).
+    band.foreach { b0 =>
+      val b1 = Ast.transformUp(b0) {
+        case ColRef(Some(q2), n) if rAl.contains(q2.toLowerCase) =>
+          ColRef(None, s"$matchN.$n")
+        case ColRef(Some(q2), n) if lAl.contains(q2.toLowerCase) =>
+          ColRef(None, n)
+        case ColRef(None, n) if rColsLc.contains(n.toLowerCase) &&
+            !lColsLc.contains(n.toLowerCase) =>
+          ColRef(None, s"$matchN.$n")
+      }
+      val ok = exprToCol(b1, None)
+      matched = matched.withColumn(matchN,
+        F.when(F.col(matchN).isNotNull && ok, F.col(matchN)))
+    }
     if (!aj.leftOuter) matched = matched.filter(F.col(matchN).isNotNull)
     val out = matched.select(leftCols.map(F.col) ++
       rf.columns.toSeq.map(c => F.col(s"$matchN.$c").as(c)): _*)
@@ -1084,7 +1144,7 @@ final class Translator(catalog: String => DataFrame,
     val (keyPairs, thetas, gens, genDefs, local) =
       corrSplitG(q, outerOnly, "LATERAL", allowTheta = true,
         Some("__lat_ge"))
-    var inner = translateRelation(q.sel.from)
+    var inner = drainGenHoists(translateRelation(q.sel.from))
     local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
     val keyNames = keyPairs.indices.map(i => s"__lat_k$i")
     val tNames = thetas.indices.map(i => s"__lat_t$i")
@@ -1259,7 +1319,7 @@ final class Translator(catalog: String => DataFrame,
       case other => fail("LATERAL correlation must be equality " +
         s"conjuncts between inner and outer columns, got $other")
     }
-    var inner = translateRelation(q.sel.from)
+    var inner = drainGenHoists(translateRelation(q.sel.from))
     local.reduceOption(And).foreach(p => inner = inner.filter(exprToCol(p, None)))
     // ORDER BY sees the subquery's select aliases (and positions),
     // falling back to inner columns — evaluated PRE-projection so
@@ -1421,9 +1481,21 @@ final class Translator(catalog: String => DataFrame,
       windows = Nil)
   }
 
+  /** The select's source frame, exposed for best-effort STATIC TYPE
+    * resolution (the DISTINCT window fold picks its accumulator type
+    * from it — r8). Saved/restored around each select so nested
+    * subquery translations can't clobber the outer frame. */
+  private var resolveFrame: Option[DataFrame] = None
+
   private def translateSelect(sel00: Select): DataFrame = {
+    val saved = resolveFrame
+    try translateSelectImpl(sel00) finally resolveFrame = saved
+  }
+
+  private def translateSelectImpl(sel00: Select): DataFrame = {
     val sel = resolveNamedWindows(sel00)
     val from0 = translateRelation(sel.from)
+    resolveFrame = Some(from0)
 
     // IN (subquery) in WHERE must become a join (Catalyst has no
     // scalar IN-subquery expression reachable from the public Column
@@ -1491,7 +1563,7 @@ final class Translator(catalog: String => DataFrame,
             val (keyPairs, thetas, gens, genDefs, local) = corrSplitG(q,
               outerRefs, "scalar subquery", allowTheta = true,
               Some(s"__csq_${idx}_ge"))
-            var inner = translateRelation(q.sel.from)
+            var inner = drainGenHoists(translateRelation(q.sel.from))
             local.reduceOption(And).foreach(p =>
               inner = inner.filter(exprToCol(p, None)))
             val keyNames = keyPairs.indices.map(i => s"__csq_${idx}_k$i")
@@ -1739,7 +1811,7 @@ final class Translator(catalog: String => DataFrame,
                 val (keyPairs, thetas, gens, genDefs, local) =
                   corrSplitG(q, outerRefs, "IN", allowTheta = true,
                     Some(s"__sq_ge_${i}_"))
-                var inner = translateRelation(q.sel.from)
+                var inner = drainGenHoists(translateRelation(q.sel.from))
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val keyN = s"__sq_key_$i"; val markN = s"__sq_mark_$i"
@@ -1946,7 +2018,7 @@ final class Translator(catalog: String => DataFrame,
                 val (keyPairs, thetas, gens, genDefs, local) =
                   corrSplitG(q, outerRefs, "EXISTS", allowTheta = true,
                     Some(s"__sq_ge_${i}_"))
-                var inner = translateRelation(q.sel.from)
+                var inner = drainGenHoists(translateRelation(q.sel.from))
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val markN = s"__sq_mark_$i"
@@ -2063,7 +2135,7 @@ final class Translator(catalog: String => DataFrame,
                 val (keyPairs, thetas, gens, genDefs, local) =
                   corrSplitG(q, outerRefs, "quantified comparison",
                     allowTheta = true, Some(s"__sq_ge_${i}_"))
-                var inner = translateRelation(q.sel.from)
+                var inner = drainGenHoists(translateRelation(q.sel.from))
                 local.reduceOption(And).foreach(p =>
                   inner = inner.filter(exprToCol(p, None)))
                 val cntN = s"__sq_qc_$i"; val nulN = s"__sq_qn_$i"
@@ -2174,7 +2246,7 @@ final class Translator(catalog: String => DataFrame,
           corrForm match {
             case Some(q) =>
               val outerRefs = outerAliases -- relationAliases(q.sel.from)
-              var inner = translateRelation(q.sel.from)
+              var inner = drainGenHoists(translateRelation(q.sel.from))
               val (corr, local) = q.sel.where
                 .map(splitConjuncts).getOrElse(Nil)
                 .partition(refersToAliases(_, outerRefs))
@@ -2189,7 +2261,13 @@ final class Translator(catalog: String => DataFrame,
               val matchCond =
                 if (negated) probe === keyCol || probe.isNull || keyCol.isNull
                 else probe === keyCol
-              val cond = corr.map(exprToCol(_, None))
+              // r8: nested uncorrelated scalars in the correlated
+              // conjuncts hoist onto the inner frame (see
+              // correlatedExistsSide)
+              val corrH = corr.map(hoistNestedScalars(_,
+                outerRefs ++ relationAliases(q.sel.from), "IN"))
+              inner = drainGenHoists(inner)
+              val cond = corrH.map(exprToCol(_, None))
                 .foldLeft(matchCond)(_ && _)
               from = from.join(inner, cond,
                 if (negated) "left_anti" else "left_semi")
@@ -2253,7 +2331,8 @@ final class Translator(catalog: String => DataFrame,
                   from = from.join(survivors, cond,
                     if (negated) "left_anti" else "left_semi")
                 case None =>
-                  val (inner, cond) = correlatedExistsSide(q, corr, local)
+                  val (inner, cond) =
+                    correlatedExistsSide(q, corr, local, outerRefs)
                   from = from.join(inner, cond,
                     if (negated) "left_anti" else "left_semi")
               }
@@ -2521,7 +2600,18 @@ final class Translator(catalog: String => DataFrame,
       case a: AggExpr if a.window.isDefined =>
         if (a.func == "string_agg" || a.func == "array_agg")
           orderedSetWindowed(a, post)
-        else windowedAgg(a, post)
+        else {
+          // DISTINCT sum/avg typed fold: resolve the arg against the
+          // PRE-AGG frame (group keys keep their type through the
+          // aggregate; post-agg-only refs fall back to the double fold)
+          val at = (a.arg, resolveFrame) match {
+            case _ if !(a.distinct && (a.func == "sum" || a.func == "avg")) => None
+            case (Star(_), _) | (_, None) => None
+            case (e, Some(df)) =>
+              scala.util.Try(df.select(exprToCol(e, None)).schema.head.dataType).toOption
+          }
+          windowedAgg(a, post, at)
+        }
       case RankExpr(dense, w) =>
         (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w, post))
       case WinFunc(nm, args, w, ign) =>
@@ -2647,7 +2737,7 @@ final class Translator(catalog: String => DataFrame,
           corrInfo match {
             case Some((q, outerRefs)) =>
               val (keyPairs, local) = corrKeyPairs(q, outerRefs, "HAVING IN")
-              var inner = translateRelation(q.sel.from)
+              var inner = drainGenHoists(translateRelation(q.sel.from))
               local.reduceOption(And).foreach(p =>
                 inner = inner.filter(exprToCol(p, None)))
               val vN = s"__hq_v_$i"
@@ -2706,7 +2796,7 @@ final class Translator(catalog: String => DataFrame,
                 fail("correlated EXISTS in HAVING supports FROM/WHERE only")
               val (keyPairs, local) =
                 corrKeyPairs(q, outerRefs, "HAVING EXISTS")
-              var inner = translateRelation(q.sel.from)
+              var inner = drainGenHoists(translateRelation(q.sel.from))
               local.reduceOption(And).foreach(p =>
                 inner = inner.filter(exprToCol(p, None)))
               val kNs = keyPairs.indices.map(j => s"__hq_k_${i}_$j")
@@ -2752,7 +2842,7 @@ final class Translator(catalog: String => DataFrame,
             case Some((q, outerRefs)) =>
               val (keyPairs, local) =
                 corrKeyPairs(q, outerRefs, "HAVING quantified comparison")
-              var inner = translateRelation(q.sel.from)
+              var inner = drainGenHoists(translateRelation(q.sel.from))
               local.reduceOption(And).foreach(p =>
                 inner = inner.filter(exprToCol(p, None)))
               val kNs = keyPairs.indices.map(j => s"__hq_qk_${i}_$j")
@@ -3318,7 +3408,7 @@ final class Translator(catalog: String => DataFrame,
     val tNames = thetas.indices.map(j => s"__gte_${i}_t$j")
     val gNames = q.sel.groupBy.indices.map(j => s"__gte_${i}_g$j")
     val geNames = genDefs.map(_._1)
-    var inner = translateRelation(q.sel.from)
+    var inner = drainGenHoists(translateRelation(q.sel.from))
     local.reduceOption(And).foreach(p =>
       inner = inner.filter(exprToCol(p, None)))
     val tuples = outer.select(
@@ -3455,15 +3545,23 @@ final class Translator(catalog: String => DataFrame,
   /** Inner side + join condition for a correlated EXISTS in conjunct
     * position: local conjuncts filter the inner relation, correlated
     * conjuncts become the semi/anti join condition. */
-  private def correlatedExistsSide(q: Query, corr: Seq[Expr], local: Seq[Expr])
+  private def correlatedExistsSide(q: Query, corr: Seq[Expr], local: Seq[Expr],
+                                   outerRefs: Set[String])
       : (DataFrame, Column) = {
     if (q.sel.groupBy.nonEmpty || q.sel.having.nonEmpty ||
         q.sel.qualify.nonEmpty || q.limit.nonEmpty || q.offset.nonEmpty)
       fail("correlated EXISTS subquery supports FROM/WHERE only")
-    var inner = translateRelation(q.sel.from)
+    var inner = drainGenHoists(translateRelation(q.sel.from))
     local.reduceOption(And).foreach(p =>
       inner = inner.filter(exprToCol(p, None)))
-    (inner, corr.reduceOption(And).map(exprToCol(_, None)).getOrElse(F.lit(true)))
+    // r8: nested uncorrelated scalars inside the join condition hoist
+    // onto the inner frame (the condition joins outer vs inner, so a
+    // cross-joined inner column resolves naturally)
+    val corr2 = corr.map(hoistNestedScalars(_,
+      outerRefs ++ relationAliases(q.sel.from), "EXISTS"))
+    inner = drainGenHoists(inner)
+    (inner,
+      corr2.reduceOption(And).map(exprToCol(_, None)).getOrElse(F.lit(true)))
   }
 
   /** One-row nonempty probe for an uncorrelated EXISTS. Existence
@@ -3513,10 +3611,92 @@ final class Translator(catalog: String => DataFrame,
     * |outer| × |inner|. Conjuncts nesting subqueries, aggregates, or
     * window functions stay loud (not evaluable in a join condition),
     * as does everything general when `genPrefix` is None. */
+  /** Uncorrelated scalar subqueries hoisted out of general correlated
+    * conjuncts (36ax, r8): reserved name → guarded broadcast 1-row
+    * frame. The corrSplitG caller MUST drain these onto its inner
+    * frame (drainGenHoists) before evaluating the gen conjuncts in a
+    * join condition; an unconsumed hoist surfaces as a loud
+    * unresolved-column error, never a wrong result. */
+  private val genHoists =
+    scala.collection.mutable.ListBuffer.empty[(String, DataFrame)]
+
+  private def drainGenHoists(inner: DataFrame): DataFrame = {
+    val out = genHoists.foldLeft(inner) { case (df, (_, one)) =>
+      df.crossJoin(F.broadcast(one))
+    }
+    genHoists.clear()
+    out
+  }
+
+  /** r8 (36ax closing): replaces UNCORRELATED nested scalar
+    * subqueries inside a correlated predicate with guarded broadcast
+    * 1-row columns — recorded in genHoists for the caller to
+    * cross-join onto its inner frame (drainGenHoists) so the
+    * reserved name resolves inside the join condition. The guard is
+    * the standard scalar contract (0 rows → NULL, >1 rows → loud
+    * runtime error). A nested scalar referencing the outer or inner
+    * scope stays a loud wall. */
+  /** Does any expression INSIDE `se` (its selects/wheres/havings and
+    * nested subqueries, at any depth) reference one of `aliases`,
+    * honoring standard shadowing (a relation re-introducing the alias
+    * hides the outer one)? ScalarSubquery is an Expr-traversal LEAF,
+    * so refersToAliases alone cannot see in — this walks the query
+    * tree. */
+  private def setExprRefers(se: SetExpr, aliases: Set[String]): Boolean = {
+    def exprRefers(e: Expr, as: Set[String]): Boolean = e match {
+      case ColRef(Some(q), _) => as.contains(q.toLowerCase)
+      case InSubquery(p, s2)  => exprRefers(p, as) || setRefers(s2, as)
+      case ExistsSubquery(s2) => setRefers(s2, as)
+      case ScalarSubquery(s2) => setRefers(s2, as)
+      case QuantCmp(_, _, p, s2) => exprRefers(p, as) || setRefers(s2, as)
+      case other => Ast.children(other).exists(exprRefers(_, as))
+    }
+    def setRefers(s: SetExpr, as: Set[String]): Boolean = s match {
+      case Leaf(q) =>
+        val vis = as -- relationAliases(q.sel.from)
+        if (vis.isEmpty) false
+        else {
+          val exprs = q.sel.items.map(_.e) ++ q.sel.where ++
+            q.sel.groupBy ++ q.sel.having ++ q.sel.qualify ++
+            q.sel.groupSets.flatten ++ q.orderBy.map(_.e)
+          exprs.exists(exprRefers(_, vis))
+        }
+      case SetOp(_, l, r) => setRefers(l, as) || setRefers(r, as)
+      case WithQuery(ctes, body, _, _) =>
+        ctes.exists(c => setRefers(c._2, as)) || setRefers(body, as)
+      case OrderedSet(body, ob, _, _, _) =>
+        setRefers(body, as) || ob.exists(o => exprRefers(o.e, as))
+    }
+    setRefers(se, aliases)
+  }
+
+  private def hoistNestedScalars(e: Expr, taboo: Set[String],
+                                 what: String): Expr = e match {
+    case s @ ScalarSubquery(sub) =>
+      if (setExprRefers(sub, taboo))
+        fail(s"correlated $what predicates may not nest CORRELATED " +
+          "subqueries inside a non-conjunct correlation")
+      val subDf = translate(sub)
+      if (subDf.columns.length != 1)
+        fail("scalar subquery requires a single-column subquery")
+      val nm = s"__nsc_${genHoists.size}"
+      val v = F.col(subDf.columns.head)
+      val one = subDf
+        .agg(F.first(v).as("__v"), F.count(F.lit(1)).as("__c"))
+        .select(
+          F.when(F.col("__c") > 1, F.raise_error(F.lit(
+            "scalar subquery returned more than one row")))
+            .otherwise(F.col("__v")).as(nm))
+      genHoists += ((nm, one))
+      ColRef(None, nm)
+    case other => Ast.mapChildren(other, hoistNestedScalars(_, taboo, what))
+  }
+
   private def corrSplitG(q: Query, outerRefs: Set[String], what: String,
                          allowTheta: Boolean, genPrefix: Option[String])
       : (Seq[(Expr, Expr)], Seq[(Expr, String, Expr)],
          Seq[Expr], Seq[(String, Expr)], Seq[Expr]) = {
+    genHoists.clear() // hygiene: a failed earlier lowering must not leak
     val (corr, local) = q.sel.where.map(splitConjuncts).getOrElse(Nil)
       .partition(refersToAliases(_, outerRefs))
     def flip(op: String): String = op match {
@@ -3531,9 +3711,21 @@ final class Translator(catalog: String => DataFrame,
     val gen = Seq.newBuilder[Expr]
     val genDefs = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), (String, Expr)]
+    // a key/theta pair's OUTER side must not reference the subquery's
+    // own aliases (a MIXED-side expression like `i.a + o.b` has no
+    // side split — r5c routes it to the general lowering; previously
+    // it misclassified and died in the analyzer)
+    val innerAliases = relationAliases(q.sel.from)
     def checkEvaluable(e: Expr): Unit = e match {
-      case _: InSubquery | _: ExistsSubquery | _: ScalarSubquery |
-           _: QuantCmp =>
+      case s: ScalarSubquery =>
+        // r8 (36ax closing): an UNCORRELATED nested scalar is a
+        // query-wide constant — hoistable to a guarded broadcast
+        // 1-row column on the inner frame (see substitute below).
+        // One referencing the outer or inner scope stays loud.
+        if (setExprRefers(s.sub, outerRefs ++ innerAliases))
+          fail(s"correlated $what predicates may not nest CORRELATED " +
+            "subqueries inside a non-conjunct correlation")
+      case _: InSubquery | _: ExistsSubquery | _: QuantCmp =>
         fail(s"correlated $what predicates may not nest subqueries " +
           "inside a non-conjunct correlation")
       case _: AggExpr | _: WinFunc | _: RankExpr =>
@@ -3541,18 +3733,19 @@ final class Translator(catalog: String => DataFrame,
           "or window functions")
       case other => Ast.children(other).foreach(checkEvaluable)
     }
-    def substitute(e: Expr): Expr = Ast.transformUp(e) {
+    def substitute(e: Expr): Expr = e match {
+      case s: ScalarSubquery =>
+        // checkEvaluable verified it is uncorrelated: the shared
+        // hoist lowers it once; the caller's drainGenHoists puts the
+        // column on the inner frame of the tuple join
+        hoistNestedScalars(s, outerRefs ++ innerAliases, what)
       case c @ ColRef(Some(qual), n) if outerRefs.contains(qual.toLowerCase) =>
         val key = (qual.toLowerCase, n.toLowerCase)
         val nm = genDefs.getOrElseUpdate(key,
           (s"${genPrefix.get}${genDefs.size}", c))._1
         ColRef(None, nm)
+      case other => Ast.mapChildren(other, substitute)
     }
-    // a key/theta pair's OUTER side must not reference the subquery's
-    // own aliases (a MIXED-side expression like `i.a + o.b` has no
-    // side split — r5c routes it to the general lowering; previously
-    // it misclassified and died in the analyzer)
-    val innerAliases = relationAliases(q.sel.from)
     def outerSide(e: Expr): Boolean =
       refersToAliases(e, outerRefs) && !refersToAliases(e, innerAliases)
     corr.foreach {
@@ -3757,7 +3950,17 @@ final class Translator(catalog: String => DataFrame,
     case a: AggExpr if a.window.isDefined =>
       if (a.func == "string_agg" || a.func == "array_agg")
         orderedSetWindowed(a, exprToCol(_, None))
-      else windowedAgg(a, exprToCol(_, None))
+      else {
+        // static arg type for the DISTINCT sum/avg typed fold —
+        // analysis-only (df.select(...).schema runs no job)
+        val at = (a.arg, resolveFrame) match {
+          case _ if !(a.distinct && (a.func == "sum" || a.func == "avg")) => None
+          case (Star(_), _) | (_, None) => None
+          case (e, Some(df)) =>
+            scala.util.Try(df.select(exprToCol(e, None)).schema.head.dataType).toOption
+        }
+        windowedAgg(a, exprToCol(_, None), at)
+      }
     case a: AggExpr => aggColumn(a)
     case RankExpr(dense, w) =>
       (if (dense) F.dense_rank() else F.rank()).over(windowSpec(w))
@@ -4091,7 +4294,8 @@ final class Translator(catalog: String => DataFrame,
     * the excluded current row (see inline) — sound for ROWS frames
     * with EXCLUDE CURRENT ROW. Other window functions have no
     * decomposition and fail loudly (see [[windowSpec]]). */
-  private def windowedAgg(a: AggExpr, lower: Expr => Column): Column = {
+  private def windowedAgg(a: AggExpr, lower: Expr => Column,
+                          argType: Option[org.apache.spark.sql.types.DataType] = None): Column = {
     val w = a.window.get
     // DISTINCT window aggregates (r7b; Spark rejects the native form
     // "Distinct window functions are not supported"): the frame's
@@ -4101,9 +4305,17 @@ final class Translator(catalog: String => DataFrame,
     // and drop the flag. Same window exchange/sort as the plain
     // aggregate; per-row state is the distinct set (bounded by the
     // frame's distinct values, the inherent cost of the semantics —
-    // DuckDB's native evaluator pays the same). Sum/avg compute in
-    // double (exact for integral values to 2^53); empty sets read
-    // NULL like the native aggregates. EXCLUDE stays loud above.
+    // DuckDB's native evaluator pays the same). Sum/avg fold in the
+    // ARGUMENT'S own widened type when it resolves statically (r8,
+    // r7 ADVICE): integral → long accumulator (Spark's native
+    // sum(integral) result type — exact, no silent double past 2^53),
+    // decimal(p,s) → decimal(38,s); float/double and statically
+    // unresolvable args (the post-GROUP-BY lowering path carries no
+    // frame to resolve against) keep the double fold. avg divides
+    // the typed sum by the set size — integral/double → double,
+    // decimal → decimal division, the same coercions the native avg
+    // applies. Empty sets read NULL like the native aggregates.
+    // EXCLUDE stays loud above.
     if (a.distinct && w.exclude == "no others" &&
         Set("count", "sum", "avg", "min", "max").contains(a.func)) {
       val arg = a.arg match {
@@ -4117,8 +4329,17 @@ final class Translator(catalog: String => DataFrame,
       return a.func match {
         case "count" => F.size(cs).cast("long")
         case "sum" | "avg" =>
-          val sum = F.aggregate(cs, F.lit(0.0),
-            (acc, x) => acc + x.cast("double"))
+          import org.apache.spark.sql.types._
+          val sum = argType match {
+            case Some(ByteType | ShortType | IntegerType | LongType) =>
+              F.aggregate(cs, F.lit(0L), (acc, x) => acc + x.cast("long"))
+            case Some(d: DecimalType) =>
+              val to = DecimalType(38, d.scale)
+              F.aggregate(cs, F.lit(java.math.BigDecimal.ZERO).cast(to),
+                (acc, x) => acc + x.cast(to))
+            case _ =>
+              F.aggregate(cs, F.lit(0.0), (acc, x) => acc + x.cast("double"))
+          }
           val guarded = F.when(F.size(cs) > 0, sum)
           if (a.func == "sum") guarded else guarded / F.size(cs)
       }

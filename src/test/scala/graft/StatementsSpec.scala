@@ -141,18 +141,87 @@ class StatementsSpec extends SparkTestBase {
     g.query("create or replace table t4 as select * from t0")
     g.query("merge into t4 using s0 on t4.k = s0.k when matched then delete")
     assert(rows("t4") == Map(1L -> "a", 3L -> "c"))
-    // walls: theta ON, column-level SET, conflicting matched actions
+    // walls: theta ON, shadowed unconditional clause, matched INSERT
     val e1 = intercept[RuntimeException](g.query(
       "merge into t1 using s0 on t1.k > s0.k when matched then delete"))
     assert(e1.getMessage.contains("same-named key equalities"))
-    val e2 = intercept[RuntimeException](g.query(
-      """merge into t1 using s0 on t1.k = s0.k
-         when matched then update set v = 'x'"""))
-    assert(e2.getMessage.contains("whole-row"), e2.getMessage)
     val e3 = intercept[RuntimeException](g.query(
       """merge into t1 using s0 on t1.k = s0.k
          when matched then update set *
          when matched then delete"""))
-    assert(e3.getMessage.contains("cannot both"), e3.getMessage)
+    assert(e3.getMessage.contains("shadow"), e3.getMessage)
+    val e4 = intercept[RuntimeException](g.query(
+      """merge into t1 using s0 on t1.k = s0.k
+         when matched then insert *"""))
+    assert(e4.getMessage.contains("cannot INSERT"), e4.getMessage)
+  }
+
+  test("MERGE INTO: column-level SET, conditional clauses, BY SOURCE (r8)") {
+    val g = fresh
+    // target: (k, v, n); source: (k, v2, bump)
+    g.query("create view t0 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40)) t(k, v, n)")
+    g.query("create view s1 as select * from (values " +
+      "(2, 'B', 5), (3, 'C', 100), (5, 'E', 7)) t(k, v2, bump)")
+    def rows(name: String): Map[Long, (String, Long)] =
+      g.query(s"select k, v, n from $name").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // column-level SET with source refs + arithmetic; conditional
+    // MATCHED precedence (first true clause wins); INSERT (cols)
+    // VALUES; NOT MATCHED BY SOURCE UPDATE.
+    // hand-computed:
+    //  k=1: unmatched-by-source -> n = n + 1  -> ('a', 11)
+    //  k=2: matched, bump=5  <= 50 -> second clause: v = v2 -> ('B', 20)
+    //  k=3: matched, bump=100 > 50 -> first clause: n = n + bump -> ('c', 130)
+    //  k=4: unmatched-by-source -> ('d', 41)
+    //  k=5: not matched -> insert (k, v) values (k, lower(v2)) -> ('e', null->0 cast? stays null)
+    g.query("create or replace table m1 as select * from t0")
+    g.query("""merge into m1 using s1 as s on m1.k = s.k
+               when matched and s.bump > 50 then update set n = n + s.bump
+               when matched then update set v = s.v2
+               when not matched then insert (k, v) values (s.k, lower(s.v2))
+               when not matched by source then update set n = n + 1""")
+    val r = g.query("select k, v, n from m1").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1),
+        if (x.isNullAt(2)) null else java.lang.Long.valueOf(x.getLong(2))))).toMap
+    assert(r == Map(
+      1L -> (("a", 11L: java.lang.Long)),
+      2L -> (("B", 20L: java.lang.Long)),
+      3L -> (("c", 130L: java.lang.Long)),
+      4L -> (("d", 41L: java.lang.Long)),
+      5L -> (("e", null))), r)
+    // NOT MATCHED BY SOURCE DELETE: matched rows kept, others dropped
+    g.query("create or replace table m2 as select * from t0")
+    g.query("""merge into m2 using s1 s on m2.k = s.k
+               when not matched by source then delete""")
+    assert(rows("m2").keySet == Set(2L, 3L))
+    // conditional DELETE on matched + conditional BY SOURCE coexist
+    g.query("create or replace table m3 as select * from t0")
+    g.query("""merge into m3 using s1 on m3.k = s1.k
+               when matched and s1.bump > 50 then delete
+               when not matched by source and n >= 40 then delete""")
+    assert(rows("m3").keySet == Set(1L, 2L))
+    // cardinality violation: two source rows for one target key with
+    // a MATCHED clause errors AT ACTION TIME (lazy plan, loud run)
+    g.query("create or replace table m4 as select * from t0")
+    g.query("create view sdup as select * from (values " +
+      "(2, 'x', 1), (2, 'y', 2)) t(k, v2, bump)")
+    g.query("""merge into m4 using sdup on m4.k = sdup.k
+               when matched then update set v = sdup.v2""")
+    val e = intercept[Exception](g.query("select * from m4").collect())
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // but insert-only with dup source keys is NOT a violation
+    g.query("create or replace table m5 as select * from t0")
+    g.query("create view sdup2 as select * from (values " +
+      "(9, 'x', 1), (9, 'y', 2)) t(k, v2, bump)")
+    g.query("""merge into m5 using sdup2 on m5.k = sdup2.k
+               when not matched then insert (k, v) values (sdup2.k, sdup2.v2)""")
+    assert(g.query("select count(*) as c from m5").collect()(0).getLong(0) == 6L)
+    // string literal containing ' and ' in a clause condition must
+    // not mis-split the ON scanner or the clause parser
+    g.query("create or replace table m6 as select * from t0")
+    g.query("""merge into m6 using s1 on m6.k = s1.k
+               when matched and s1.v2 <> 'x and y' then update set v = s1.v2""")
+    assert(rows("m6")(2L) == (("B", 20L)))
   }
 }

@@ -993,6 +993,16 @@ class OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // r8 (r7 ADVICE): a term appearing in SEVERAL queries must keep
+    // df = distinct matching docs, not df × queries — scores for a
+    // query are invariant to other queries sharing its terms
+    val qShared = Seq((10L, "a b"), (20L, "zzz"), (30L, "a"), (40L, "a c"))
+      .toDF("query_id", "terms")
+    val rs = TextAnalysis.bm25TopK(docs, qShared, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getLong(3), x.getInt(4)))).toMap
+    assert(rs((10L, 1L)) == r((10L, 1L)), s"$rs vs $r")
+    assert(rs((10L, 2L)) == r((10L, 2L)), s"$rs vs $r")
   }
 
   // ---- time-series resample (r7b) -------------------------------------

@@ -395,7 +395,73 @@ class GeneralCorrSpec extends SparkTestBase {
          from customer c order by c_custkey""")
   }
 
+  // ---- nested UNCORRELATED scalars hoist (r8, 36ax closing) ----------
+
+  test("uncorrelated scalar nested in a general EXISTS conjunct hoists") {
+    checkAgainstSparkSql(
+      """select c_custkey from customer o
+         where exists (select 1 from orders i
+                       where i.o_custkey = o.c_custkey
+                         and (o.c_acctbal >
+                                (select avg(c_acctbal) from customer)
+                              or i.o_totalprice < 2000))
+         order by c_custkey""")
+  }
+
+  test("uncorrelated scalar in a general IN-flag disjunct hoists") {
+    checkAgainstSparkSql(
+      """select s_suppkey,
+           s_nationkey in (select n.n_nationkey from nation n
+                           where n.n_name like 'A%'
+                              or s.s_acctbal + n.n_regionkey >
+                                  (select avg(s_acctbal) from supplier))
+             as flag
+         from supplier s order by s_suppkey""")
+  }
+
+  test("nested scalar in a general scalar-aggregate correlation hoists") {
+    checkAgainstSparkSql(
+      """select c_custkey,
+           (select count(*) from orders i
+            where i.o_custkey = c.c_custkey
+               or i.o_totalprice >
+                   (select max(c_acctbal) from customer) * 20) as n
+         from customer c order by c_custkey""")
+  }
+
+  test("nested scalar hoist keeps the standard guards (0 rows, >1 rows)") {
+    // 0-row subquery → NULL scalar → comparison NULL → disjunct falls
+    // to the equality arm
+    checkAgainstSparkSql(
+      """select s_suppkey from supplier s
+         where exists (select 1 from nation n
+                       where n.n_nationkey = s.s_nationkey
+                          or s.s_acctbal > (select avg(n_regionkey)
+                                            from nation where false))
+         order by s_suppkey""")
+    // >1-row scalar subquery errors at action time, loudly
+    val e = intercept[Exception](graftSession.query(
+      """select s_suppkey from supplier s
+         where exists (select 1 from nation n
+                       where n.n_nationkey = s.s_nationkey
+                          or s.s_acctbal > (select n_regionkey
+                                            from nation))""").collect())
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+  }
+
   // ---- loud walls stay loud -------------------------------------------
+
+  test("CORRELATED scalar nested in a general correlation stays loud") {
+    val e = intercept[Exception](graftSession.query(
+      """select s_suppkey from supplier s
+         where exists (select 1 from nation n
+                       where n.n_nationkey = s.s_nationkey
+                          or s.s_acctbal > (select avg(c_acctbal)
+                                            from customer
+                                            where c_nationkey = n.n_nationkey))
+      """).collect())
+    assert(e.getMessage.contains("CORRELATED"), e.getMessage)
+  }
 
   test("nested subquery inside a general correlation is a loud error") {
     val e = intercept[Exception](graftSession.query(

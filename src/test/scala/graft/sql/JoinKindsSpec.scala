@@ -107,6 +107,52 @@ class JoinKindsSpec extends SparkTestBase {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("ASOF JOIN tolerance band (r8): compound bound filters the match") {
+    // backward with band t - t2 <= 4: (1,20)'s nearest is 15 (within
+    // 5 > 4 → no match); (1,12) matches 10 within 2 ✓; order of the
+    // band and direction conjuncts must not matter
+    for (on <- Seq("k = k2 and t >= t2 and t - t2 <= 4",
+                   "t - t2 <= 4 and k = k2 and t >= t2")) {
+      val got = graftSession.query(
+        s"""select k, t, t2, v from
+            (values (1,12),(1,20),(2,5)) a(k, t)
+            asof left join
+            (values (1,10,'x'),(1,15,'y'),(2,99,'z')) b(k2, t2, v)
+            on $on""").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got == Seq((1L, 12L, 10L, "x"), (1L, 20L, null, null),
+        (2L, 5L, null, null)), got.mkString(","))
+    }
+    // inner + band: unmatched and out-of-band rows both drop
+    val inner = graftSession.query(
+      """select k, t, t2 from
+          (values (1,12),(1,20)) a(k, t)
+          asof join
+          (values (1,10,'x'),(1,15,'y')) b(k2, t2, v)
+          on k = k2 and t >= t2 and t - t2 <= 4""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inner == Seq((1L, 12L, 10L)), inner.mkString(","))
+    // the band may reference non-time right columns via the match
+    val vband = graftSession.query(
+      """select k, t, v from
+          (values (1,12),(1,20)) a(k, t)
+          asof left join
+          (values (1,10,'x'),(1,15,'y')) b(k2, t2, v)
+          on k = k2 and t >= t2 and t - length(v) >= 12""").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
+    assert(vband == Seq((12L, null), (20L, "y")), vband.mkString(","))
+    // left-only bounds belong in WHERE — loud
+    val e = intercept[RuntimeException](graftSession.query(
+      """select 1 as one from
+          (values (1,12)) a(k, t) asof join (values (1,10)) b(k2, t2)
+          on k = k2 and t >= t2 and t + 1 <= 20"""))
+    assert(e.getMessage.contains("reference the right"), e.getMessage)
+  }
+
   test("ASOF JOIN walls are loud") {
     val e1 = intercept[RuntimeException](graftSession.query(
       """select 1 as one from nation n asof join region r

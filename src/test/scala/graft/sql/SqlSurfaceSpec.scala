@@ -2895,11 +2895,20 @@ class SqlSurfaceSpec extends SparkTestBase {
          from (values (1,1),(1,1),(1,2),(2,5),(3,cast(null as bigint))) t(k,v)""")
       .collect().map(x => x.getLong(0) ->
         ((x.getLong(1),
-          if (x.isNullAt(2)) null else x.getDouble(2),
+          if (x.isNullAt(2)) null else x.getLong(2),
           if (x.isNullAt(3)) null else x.getDouble(3)))).toMap
-    assert(r(1L) == ((2L, 3.0, 1.5)), r.toString)
-    assert(r(2L) == ((1L, 5.0, 5.0)))
+    // r8 (r7 ADVICE): sum(distinct <integral>) folds in LONG — the
+    // same result type as the native non-windowed sum, not a silent
+    // double; avg still divides to double
+    assert(r(1L) == ((2L, 3L, 1.5)), r.toString)
+    assert(r(2L) == ((1L, 5L, 5.0)))
     assert(r(3L) == ((0L, null, null)), "all-null frame reads 0/NULL")
+    // exactness past 2^53: a double fold would corrupt 2^53 + 1
+    val big = graftSession.query(
+      """select sum(distinct v) over () as s
+         from (values (cast(9007199254740993 as bigint)), (1)) t(v)""")
+      .collect().map(_.getLong(0)).toSet
+    assert(big == Set(9007199254740994L), big.toString)
     // frames apply: running distinct count vs a hand-built rewrite
     assertSameRows(
       graftSession.query(
