@@ -148,6 +148,11 @@ object GraftFunctions {
         litInt(exprs(2), "graft_edit_distance threshold")),
       "built-in")
     registry.createOrReplaceTempFunction(
+      "graft_del_neighborhood",
+      exprs => DelNeighborhood(exprs(0),
+        litInt(exprs(1), "graft_del_neighborhood k")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
       "graft_pq_encode",
       exprs => PqEncodeCodes(exprs(0), exprs(1),
         litInt(exprs(2), "graft_pq_encode m"),

@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         WordNgrams(exprs(0), GraftFunctions.litIntArg(exprs(1), "n"),
           filterEmpty = false, distinct = true, padShort = true)))
+    e.injectFunction((FunctionIdentifier("graft_del_neighborhood"),
+      info("graft_del_neighborhood", "FastSS <=k-deletion neighborhood"),
+      (exprs: Seq[Expression]) =>
+        DelNeighborhood(exprs(0), GraftFunctions.litIntArg(exprs(1), "k"))))
     e.injectFunction((FunctionIdentifier("graft_pq_encode"),
       info("graft_pq_encode", "product-quantization codes + error"),
       (exprs: Seq[Expression]) =>

@@ -545,63 +545,108 @@ object Dedup {
     * moves Jaccard on 18-char strings). Output (id1, id2, dist) with
     * id1 < id2.
     *
-    * Scale shape = PassJoin chunk blocking with the published
-    * MULTI-MATCH-AWARE substring selection (r8; Li/Deng/Feng,
-    * PassJoin VLDB'11 §4), never the naive O(n²) cross join: split
-    * each string into k+1 even chunks — if ed(a,b) ≤ k, at most k
-    * chunks are touched by edits, so at least ONE chunk of `a`
-    * occurs VERBATIM in `b`, and the pigeonhole proof places that
-    * occurrence inside a POSITION WINDOW around the chunk's own
-    * start: for chunk m (1-based) at start pm with length lm, the
-    * matching start q in b satisfies
-    *   max(1, pm − (m−1), pm + Δ − (k+1−m)) ≤ q ≤
-    *   min(|b|−lm+1, pm + (m−1), pm + Δ + (k+1−m)),  Δ = |b| − |a|.
-    * The probe side emits its k+1 chunks keyed (content, |a|, m);
-    * the index side emits ONLY the windowed substrings per candidate
-    * partner length and chunk index — O(k²·window) keys per row
-    * instead of the r7b all-substrings-at-partner-lengths O(k·len)
-    * — and the (la, m) key components stop cross-position and
-    * cross-length content collisions cold. Candidates hash-join on
-    * the three-part key and verify with the native banded
-    * levenshtein (early-exit at k+1). Strings of length ≤ 2k meet in
-    * one short bucket (length ≤ k strings have empty chunks the
-    * lemma can't cover; their partners are ≤ 2k by the length
-    * bound). Arrays explode INLINE (the Generate-copy rule). Cost is
-    * per-row-length bounded — built for short-string columns;
-    * long-text near-dup belongs to the shingle family. */
+    * Scale shape (r8): a TWO-TIER hybrid, never the naive O(n²)
+    * cross join.
+    *
+    * Tier 1 — FastSS deletion neighborhoods (Bocek et al. 2007) for
+    * strings of length ≤ `fastssMaxLen` and k ≤ 3: each row emits
+    * its DISTINCT ≤k-deletion byte strings (native
+    * graft_del_neighborhood, C(len,k) keys per row); two strings
+    * within k edits always share a member (delete each side's edited
+    * positions), so a self-equi-join on the exploded keys is a
+    * complete candidate filter. Keys are near-full strings, so
+    * constant prefixes/chunks shared by the whole corpus never
+    * collide — the failure mode that caps chunk blocking: the
+    * aligned-prefix bench fixture measured 2.25M PassJoin candidates
+    * (every row shares two of its three chunks) vs 0.49M FastSS
+    * distinct pairs, 2.9 → 1.7 s end-to-end at sf0.1. Pair
+    * multiplicity is high (shared keys per true pair ~ C(len,k)
+    * alignments), so this tier DEDUPES the narrow (id1, id2) pairs
+    * BEFORE re-attaching strings and verifying — the opposite of
+    * tier 2's verify-first rule, each justified by its own
+    * multiplicity bound.
+    *
+    * Tier 2 — PassJoin chunk blocking with the published
+    * multi-match-aware substring selection (Li/Deng/Feng VLDB'11 §4)
+    * for longer strings, where C(len,k) key emission would dominate:
+    * split each string into k+1 even chunks — if ed(a,b) ≤ k some
+    * chunk of `a` occurs VERBATIM in `b` inside a position window
+    * around its own start; the probe side emits its chunks keyed
+    * (content, |a|, m), the index side only the windowed substrings
+    * per partner length and chunk index, and candidates verify
+    * BEFORE the pair dedup (multiplicity ≤ k+2; measured 8.5 → ~3 s
+    * vs distinct-first on the wide stream).
+    *
+    * The tiers overlap on lengths (fastssMaxLen−k, fastssMaxLen] so
+    * cross-tier pairs are found by tier 2 (both sides of such a pair
+    * exceed fastssMaxLen−k by the length bound); the final distinct
+    * merges double-covered pairs. Verification is the native banded
+    * levenshtein (2k+1 byte diagonal, early exit — Spark's built-in
+    * thresholded levenshtein decodes code points and fills full
+    * O(n·m) rows, ~10× slower). Long-text near-dup belongs to the
+    * shingle family. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int = 2): DataFrame = {
+                        maxDist: Int = 2, fastssMaxLen: Int = 24): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // verify BEFORE deduplicating: a candidate pair appears at most
-    // k+2 times (once per chunk index after the index-side struct
-    // dedup, plus the short bucket), and the banded levenshtein is
-    // ~µs-cheap, so re-verifying duplicates map-side beats shuffling
-    // the full wide candidate stream through a distinct (measured
-    // 8.5 → ~2 s on the aligned-prefix worst case at sf0.1); the
-    // distinct then runs on the k-bounded SURVIVORS only
-    editCandidates(df, idCol, strCol, maxDist)
-      // native banded verify (graft_edit_distance): Spark's built-in
-      // thresholded levenshtein decodes code points and fills full
-      // O(n·m) rows per call — measured ~5 s for the 2.25M-candidate
-      // verify at sf0.1; the 2k+1 diagonal band with early exit is
-      // ~50× fewer cells and runs on raw ASCII bytes
-      .withColumn("__d", F.expr(s"graft_edit_distance(__s_a, __s_b, $maxDist)"))
+    val k = maxDist
+    val base = df.filter(F.col(strCol).isNotNull)
+      .selectExpr(s"$idCol as __id", s"cast($strCol as string) as __s")
+    def verify(cands: DataFrame): DataFrame = cands
+      .withColumn("__d", F.expr(s"graft_edit_distance(__s_a, __s_b, $k)"))
       .filter(F.col("__d") >= 0)
       .select(F.col("__id_a").as("id1"), F.col("__id_b").as("id2"),
         F.col("__d").as("dist"))
+    val useFastss = k <= 3
+    val fastssLeg: Option[DataFrame] =
+      if (!useFastss) None
+      else {
+        val pairs = fastssPairs(
+          base.filter(F.length(F.col("__s")) <= fastssMaxLen), k)
+        // re-attach the strings by id (two narrow key joins — the
+        // planner broadcasts a small id side on its own)
+        val sa = base.select(F.col("__id").as("id1"), F.col("__s").as("__s_a"))
+        val sb = base.select(F.col("__id").as("id2"), F.col("__s").as("__s_b"))
+        Some(verify(pairs.join(sa, Seq("id1")).join(sb, Seq("id2"))
+          .select(F.col("id1").as("__id_a"), F.col("id2").as("__id_b"),
+            F.col("__s_a"), F.col("__s_b"))))
+      }
+    val longBase =
+      if (useFastss) base.filter(F.length(F.col("__s")) > fastssMaxLen - k)
+      else base
+    val passJoinLeg = verify(editCandidatesOf(longBase, k))
+    fastssLeg.fold(passJoinLeg)(_ unionByName passJoinLeg).distinct()
+  }
+
+  /** Tier-1 DISTINCT candidate id pairs: rows sharing a ≤k-deletion
+    * neighborhood member, id1 < id2 — exposed so specs pin the
+    * blocking selectivity. Input must carry (__id, __s). */
+  private[graft] def fastssPairs(base: DataFrame, k: Int): DataFrame = {
+    // the neighborhood array is generated INLINE in the explode (the
+    // Generate-copy rule)
+    val keys = base.selectExpr("__id",
+      s"explode(graft_del_neighborhood(__s, $k)) as __key")
+    keys.select(F.col("__id").as("id1"), F.col("__key"))
+      .join(keys.select(F.col("__id").as("id2"), F.col("__key")), Seq("__key"))
+      .filter(F.col("id1") < F.col("id2"))
+      .select("id1", "id2")
       .distinct()
   }
 
   /** The unverified PassJoin candidate stream (id/string pairs that
-    * share a windowed chunk key) — exposed so specs can pin the
-    * blocking selectivity independently of the verify step. */
+    * share a windowed chunk key) — exposed so specs pin the blocking
+    * selectivity independently of the verify step. */
   private[graft] def editCandidates(df: DataFrame, idCol: String,
-                                    strCol: String, k: Int): DataFrame = {
+                                    strCol: String, k: Int): DataFrame =
+    editCandidatesOf(
+      df.filter(F.col(strCol).isNotNull)
+        .selectExpr(s"$idCol as __id", s"cast($strCol as string) as __s"), k)
+
+  /** Tier-2 PassJoin candidates over a prepared (__id, __s) frame. */
+  private def editCandidatesOf(base: DataFrame, k: Int): DataFrame = {
     val p = k + 1
     def side(idAs: String, sAs: String, keys: String): DataFrame =
-      df.filter(F.col(strCol).isNotNull)
-        .selectExpr(s"$idCol as $idAs", s"cast($strCol as string) as $sAs")
+      base.select(F.col("__id").as(idAs), F.col("__s").as(sAs))
         .select(F.col(idAs), F.col(sAs), F.expr(s"inline($keys)"))
     // probe side: the k+1 PassJoin chunks (even split, remainder on
     // the last chunks) keyed (content, own length, chunk index);

@@ -72,7 +72,8 @@ class FunctionsSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     for (expr <- Seq("graft_textstats(text) as x",
                      "graft_fingerprint(text, 8) as x",
-                     "graft_simhash(split(lower(text), ' '), 60) as x")) {
+                     "graft_simhash(split(lower(text), ' '), 60) as x",
+                     "graft_del_neighborhood(substring(text, 1, 20), 2) as x")) {
       val plan = docs.selectExpr("doc_id", expr)
         .queryExecution.executedPlan.toString
       // '*(n) Project' = the projection runs inside WholeStageCodegen

@@ -1105,6 +1105,46 @@ class OpsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(got == brute(k), s"k=$k got=$got expected=${brute(k)}")
     }
+    // tier boundary (r8): pairs straddling fastssMaxLen must be found
+    // by the PassJoin tier — lengths around a FORCED tiny boundary of
+    // 8, with true pairs short-short, short-long and long-long
+    val tb = Seq((1L, "aaaabbb"),      // 7 (fastss tier)
+                 (2L, "aaaabbbb"),     // 8 (boundary, both tiers)
+                 (3L, "aaaabbbbc"),    // 9 (passjoin tier), ed(2,3)=1
+                 (4L, "aaaabbbbcc"),   // 10, ed(3,4)=1, ed(2,4)=2
+                 (5L, "zzzzzzzzzz")).toDF("id", "s")
+    val tbBrute = Set((1L, 2L, 1), (2L, 3L, 1), (3L, 4L, 1), (2L, 4L, 2),
+      (1L, 3L, 2))
+    val tbGot = Dedup.editDistancePairs(tb, "id", "s", 2, fastssMaxLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tbGot == tbBrute, s"got=$tbGot expected=$tbBrute")
+    // k > 3 routes everything through the PassJoin tier — same answer
+    val k4 = Dedup.editDistancePairs(t, "id", "s", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(k4 == brute(4), s"k=4 got=$k4")
+    // FastSS selectivity pin (r8): on an aligned-constant-prefix
+    // fixture (the q_edit_pairs shape — 12 shared chars mean two of
+    // the three PassJoin chunks are CONSTANT across the corpus, so
+    // chunk blocking degenerates to ~2× all-pairs) the
+    // deletion-neighborhood pairs must stay a small fraction: keys
+    // are near-full strings, suffix differences keep them apart.
+    // Suffixes are doubled 3-digit codes, so most pairs differ in
+    // ≥4 positions and are not deletion-compatible at k=2.
+    val adv = spark.range(200).selectExpr("id as __id",
+      """concat('Customer#000',
+                repeat(substring(lpad(cast(id as string), 3, '0'), 1, 1), 2),
+                repeat(substring(lpad(cast(id as string), 3, '0'), 2, 1), 2),
+                repeat(substring(lpad(cast(id as string), 3, '0'), 3, 1), 2))
+         as __s""")
+    val allPairs = 200L * 199 / 2
+    val fastssN = Dedup.fastssPairs(adv, 2).count()
+    val passJoinN = Dedup.editCandidates(
+      adv.selectExpr("__id as id", "__s as s"), "id", "s", 2)
+      .select("__id_a", "__id_b").distinct().count()
+    assert(passJoinN >= allPairs,
+      s"fixture no longer adversarial for chunks: $passJoinN vs $allPairs")
+    assert(fastssN < allPairs / 4,
+      s"fastss pairs $fastssN vs all-pairs $allPairs (passjoin $passJoinN)")
     // plan: no cartesian product — the candidate join is a hash join
     // on the chunk content
     val p = Dedup.editDistancePairs(
@@ -1114,6 +1154,26 @@ class OpsSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("deletion neighborhood: hand-computed members, dedupe, edge cases") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def nb(s: String, k: Int): Seq[String] =
+      Seq(Tuple1(s)).toDF("s")
+        .selectExpr(s"graft_del_neighborhood(s, $k) as n")
+        .collect()(0).getSeq[String](0)
+    // "aba" k=1: itself + delete each position ("ba","aa","ab")
+    assert(nb("aba", 1) == Seq("aba", "ba", "aa", "ab"))
+    // duplicate deletions collapse: "aaa" k=1 -> {aaa, aa}
+    assert(nb("aaa", 1) == Seq("aaa", "aa"))
+    // k=2 includes depth-2: "ab" k=2 -> {ab, b, a, ""}
+    assert(nb("ab", 2) == Seq("ab", "b", "a", ""))
+    // k >= len: the empty string appears exactly once
+    assert(nb("a", 3) == Seq("a", ""))
+    assert(nb("", 2) == Seq(""))
+    // count check: distinct deletions of a repeat-free string
+    assert(nb("abcdef", 2).length == 1 + 6 + 15)
   }
 
   // ---- whitening transform (r7b) --------------------------------------
