@@ -2015,6 +2015,19 @@ object SparkEntry {
                 len(regexp_split_to_array(trim(text), '\s+')) as n_ws_tokens,
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) as n_bpe_tokens
               from documents""")),
+    // greedy longest-match subword token counts (r8): the native trie
+    // walk's semantics are EXACTLY a longest-first regex alternation
+    // plus the one-codepoint fallback, which the oracle replays —
+    // overlapping vocab entries (table/tab, window/win) make the
+    // longest-match rule load-bearing
+    ("q_text_bpe",
+      (s: SparkSession, dir: String) => TextAnalysis.bpeCount(
+        tbl(s, dir, "documents"), TextAnalysis.DemoVocab),
+      Some("""select doc_id,
+                cast(len(regexp_extract_all(lower(text),
+                  '(?s)window|stream|table|batch|value|scan|sort|quer|tab|win|val|a|e|s|t| |.',
+                  0)) as bigint) as n_bpe
+              from documents""")),
     ("q_text_normalize",
       (s: SparkSession, dir: String) => TextAnalysis.normalize(tbl(s, dir, "documents")),
       Some("""select doc_id,

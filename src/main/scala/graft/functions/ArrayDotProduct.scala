@@ -101,6 +101,26 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"$what must be a literal, got $other")
   }
 
+  private[functions] def litStringArrayArg(e: Expression, what: String): Seq[String] =
+    litStringArray(e, what)
+
+  /** Evaluates a FOLDABLE array-of-strings argument (an `array('a',
+    * 'b', ...)` literal — the engine-replayable vocab contract). */
+  private[functions] def litStringArray(e: Expression, what: String): Seq[String] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a foldable array literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            s"$what must not contain NULL entries")
+          a.getUTF8String(i).toString
+        }
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an array, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
@@ -151,6 +171,16 @@ object GraftFunctions {
       "graft_del_neighborhood",
       exprs => DelNeighborhood(exprs(0),
         litInt(exprs(1), "graft_del_neighborhood k")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bpe_count",
+      exprs => BpeCount(exprs(0),
+        litStringArray(exprs(1), "graft_bpe_count vocab")),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bpe_tokens",
+      exprs => BpeTokenize(exprs(0),
+        litStringArray(exprs(1), "graft_bpe_tokens vocab")),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_pq_encode",

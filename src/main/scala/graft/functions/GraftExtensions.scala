@@ -63,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_del_neighborhood", "FastSS <=k-deletion neighborhood"),
       (exprs: Seq[Expression]) =>
         DelNeighborhood(exprs(0), GraftFunctions.litIntArg(exprs(1), "k"))))
+    e.injectFunction((FunctionIdentifier("graft_bpe_count"),
+      info("graft_bpe_count", "greedy longest-match subword token count"),
+      (exprs: Seq[Expression]) =>
+        BpeCount(exprs(0),
+          GraftFunctions.litStringArrayArg(exprs(1), "vocab"))))
+    e.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
+      info("graft_bpe_tokens", "greedy longest-match subword tokens"),
+      (exprs: Seq[Expression]) =>
+        BpeTokenize(exprs(0),
+          GraftFunctions.litStringArrayArg(exprs(1), "vocab"))))
     e.injectFunction((FunctionIdentifier("graft_pq_encode"),
       info("graft_pq_encode", "product-quantization codes + error"),
       (exprs: Seq[Expression]) =>

@@ -163,6 +163,42 @@ object TextAnalysis {
       .select("query_id", "doc_id", "score", "n_terms", "rnk")
   }
 
+  /** Greedy longest-match subword token counts against a fixed vocab
+    * (r8, verdict item 2): the deterministic MaxMatch encoder — the
+    * inference-time half of BPE/WordPiece — as a REAL token counter
+    * for the budget operators (packSequences, budgetSelect,
+    * retentionCurve weights), replacing the whitespace heuristic
+    * where a caller supplies a vocab. One codegen'd trie walk per
+    * document (functions/BpeTokens.scala); the vocab broadcasts as a
+    * plan literal, so the count is engine-replayable — the DuckDB
+    * oracle reproduces it with a longest-first `(?s)` regex
+    * alternation plus `.` (identical semantics, proven in OpsSpec by
+    * differential against regexp_extract_all). */
+  def bpeCount(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      s"graft_bpe_count(lower(text), ${vocabLit(vocab)}) as n_bpe")
+  }
+
+  /** The token array itself (diagnostics / downstream encoders). */
+  def bpeTokens(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      s"graft_bpe_tokens(lower(text), ${vocabLit(vocab)}) as toks")
+  }
+
+  private def vocabLit(vocab: Seq[String]): String =
+    vocab.map(v => "'" + v.replace("'", "''") + "'")
+      .mkString("array(", ", ", ")")
+
+  /** A demonstration subword vocab over the synthetic corpus'
+    * word stock — overlapping entries ("table"/"tab", "window"/"win")
+    * exercise the longest-match rule; single letters and the space
+    * keep unknown fallbacks rare but present. */
+  val DemoVocab: Seq[String] = Seq(
+    "window", "stream", "table", "batch", "value", "scan", "sort",
+    "quer", "tab", "win", "val", "a", "e", "s", "t", " ")
+
   /** Top-k salient terms per document by a TF-IDF-style score.
     *
     * Shape at scale: the token explode is a flatMap (no shuffle); term

@@ -1156,6 +1156,68 @@ class OpsSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("bpe greedy longest-match: hand-computed tokens and counts") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vocab = "array('table', 'tab', 'ab', 'le', 'a', ' ')"
+    def toks(s: String): Seq[String] =
+      Seq(Tuple1(s)).toDF("t")
+        .selectExpr(s"graft_bpe_tokens(t, $vocab) as x")
+        .collect()(0).getSeq[String](0)
+    def cnt(s: String): Long =
+      Seq(Tuple1(s)).toDF("t")
+        .selectExpr(s"graft_bpe_count(t, $vocab) as x")
+        .collect()(0).getLong(0)
+    // longest match wins: "table" consumes as one token, not tab+le
+    assert(toks("table") == Seq("table"))
+    // "tab" + unknown 'z' + "le"
+    assert(toks("tabzle") == Seq("tab", "z", "le"))
+    // greedy never backtracks: without 'table' in the vocab, 'tab'
+    // wins over the globally-better a+b+le split
+    val v2 = "array('tab', 'ab', 'le', 'a', 'b', 'l', 'e')"
+    val t2 = Seq(Tuple1("table")).toDF("t")
+      .selectExpr(s"graft_bpe_tokens(t, $v2) as x")
+      .collect()(0).getSeq[String](0)
+    assert(t2 == Seq("tab", "le"), t2)
+    // unknown multi-byte codepoint consumes as ONE token
+    assert(toks("a€b") == Seq("a", "€", "b"))
+    assert(cnt("table tab x") == 5L)
+    assert(toks("table tab x") == Seq("table", " ", "tab", " ", "x"))
+    assert(cnt("") == 0L)
+    // differential vs Spark's own regex alternation (same semantics:
+    // longest-first alternation + (?s). fallback, leftmost scan)
+    val docs = documents.limit(300)
+    val vlit = graft.ops.TextAnalysis.DemoVocab
+      .map(v => s"'$v'").mkString("array(", ", ", ")")
+    val re = "(?s)" + graft.ops.TextAnalysis.DemoVocab.mkString("|") + "|."
+    val bad = docs.selectExpr(
+        s"graft_bpe_count(lower(text), $vlit) as a",
+        s"size(regexp_extract_all(lower(text), '$re', 0)) as b")
+      .filter("a <> b")
+    assert(bad.count() == 0, bad.collect().take(3).mkString(","))
+    // walls: empty vocab entry, non-foldable vocab
+    intercept[Exception](Seq(Tuple1("x")).toDF("t")
+      .selectExpr("graft_bpe_count(t, array('a', ''))").collect())
+    intercept[Exception](Seq(Tuple1("x")).toDF("t")
+      .selectExpr("graft_bpe_count(t, array(t))").collect())
+  }
+
+  test("packSequences consumes BPE counts as the token budget") {
+    val counts = TextAnalysis.bpeCount(documents.limit(100),
+      TextAnalysis.DemoVocab)
+    val packed = Export.packSequences(counts, "doc_id", "n_bpe",
+      budget = 500L, numShards = 4)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // packSequences's contiguous-fill contract: within a (shard, seq)
+    // bucket every doc except the straddler STARTS inside the budget
+    val bySeq = rows.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+    bySeq.foreach { case (k, rs) =>
+      val tokens = rs.sortBy(_.getAs[Int]("seq_pos")).map(_.getAs[Long]("n_bpe"))
+      assert(tokens.init.sum < 500L, s"$k ${tokens.mkString(",")}")
+    }
+  }
+
   test("deletion neighborhood: hand-computed members, dedupe, edge cases") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
