@@ -3251,6 +3251,26 @@ object SparkEntry {
                     rows between unbounded preceding and 1 preceding), 0) as prior
                 from documents) t
               where prior < 2000000""")),
+    // the SCALE tier (r8): same kept set, but the corpus-sized
+    // cumulative sort collapses to per-score-bucket totals — the only
+    // single-partition window runs over ≤ buckets rows, and the one
+    // straddling bucket pays a BUCKET-partitioned window. Exactness
+    // vs the exact tier is also pinned across budgets × tiny bucket
+    // counts in OpsSpec; the oracle here is the same exact-semantics
+    // cumulative-prior SQL.
+    ("q_budget_bucketed",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Curation.budgetSelectBucketed(
+            tbl(s, dir, "documents"), "n_chars", 2000000L,
+            "n_chars", "doc_id", buckets = 64)
+          .select("doc_id", "n_chars"),
+      Some("""select doc_id, n_chars from (
+                select doc_id, n_chars,
+                  coalesce(sum(n_chars) over (
+                    order by n_chars desc, doc_id asc
+                    rows between unbounded preceding and 1 preceding), 0) as prior
+                from documents) t
+              where prior < 2000000""")),
     // declarative constraint audit (r7): all four row-local rules in
     // ONE aggregation pass; uniqueness is a key-grouped two-phase
     // aggregate, referential presence one anti join against the

@@ -228,6 +228,71 @@ object Curation {
       .drop("__prior")
   }
 
+  /** The SCALE tier of [[budgetSelect]] (r8): EXACTLY the same kept
+    * set for order = (scoreCol DESC NULLS LAST, tieCol ASC), without
+    * the exact tier's global single-partition sort. Rows bucket by
+    * score range (equal scores can never split across buckets, and
+    * bucket id is monotone against score order); the cumulative
+    * weight runs over the ~`buckets` per-bucket totals instead of the
+    * corpus; whole buckets keep or drop by their cumulative bounds,
+    * and ONLY the single straddling bucket pays a windowed prior —
+    * partitioned BY BUCKET, so the sort is bounded by one bucket's
+    * rows, not the corpus. One extra one-row min/max pre-pass (the
+    * histogramAuto pattern) buys the bucketing. Equivalence to the
+    * exact tier is pinned in CurationSpec at forced tiny bucket
+    * counts (1 = everything straddles, so the boundary path IS the
+    * exact path). */
+  def budgetSelectBucketed(df: DataFrame, weightCol: String, budget: Long,
+                           scoreCol: String, tieCol: String,
+                           buckets: Int = 10000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(buckets >= 1, "buckets must be positive")
+    val reserved = Seq("__bkt", "__mn", "__mx", "__tot", "__cumb", "__prior")
+    val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty, s"input columns [${clash.mkString(", ")}] " +
+      "collide with reserved budgetSelectBucketed helper names")
+    val mm = df.agg(F.min(F.col(scoreCol).cast("double")).as("__mn"),
+      F.max(F.col(scoreCol).cast("double")).as("__mx"))
+    // bucket 0 = best score; NULL scores land in their own bucket
+    // AFTER every real one (the exact tier's DESC NULLS LAST)
+    val withB = df.crossJoin(F.broadcast(mm))
+      .withColumn("__bkt",
+        F.when(F.col(scoreCol).isNull, F.lit(buckets.toLong))
+          .when(F.col("__mx") === F.col("__mn"), F.lit(0L))
+          .otherwise(F.least(F.lit(buckets.toLong - 1),
+            F.floor((F.col("__mx") - F.col(scoreCol).cast("double")) /
+              ((F.col("__mx") - F.col("__mn")) / buckets)))))
+      .drop("__mn", "__mx")
+    val totals = withB.groupBy("__bkt")
+      .agg(F.coalesce(F.sum(F.col(weightCol).cast("long")), F.lit(0L))
+        .as("__tot"))
+    // cumulative over the BUCKET rows only (≤ buckets+1 rows — the
+    // single partition here is a constant-size table, not the corpus)
+    val wB = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val decided = totals
+      .withColumn("__cumb", F.coalesce(F.sum("__tot").over(wB), F.lit(0L)))
+    val joined = withB.join(F.broadcast(decided), Seq("__bkt"))
+    // cumb < budget is load-bearing for zero-weight buckets (their
+    // rows' prior is exactly cumb — the exact tier drops them when
+    // cumb == budget)
+    val keepAll = joined
+      .filter(F.col("__cumb") < budget &&
+        F.col("__cumb") + F.col("__tot") <= budget)
+    val wIn = Window.partitionBy("__bkt")
+      .orderBy(F.col(scoreCol).desc_nulls_last, F.col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = joined
+      .filter(F.col("__cumb") < budget &&
+        F.col("__cumb") + F.col("__tot") > budget)
+      .withColumn("__prior", F.col("__cumb") +
+        F.coalesce(F.sum(F.col(weightCol).cast("long")).over(wIn), F.lit(0L)))
+      .filter(F.col("__prior") < budget)
+      .drop("__prior")
+    keepAll.unionByName(boundary)
+      .drop("__bkt", "__tot", "__cumb")
+  }
+
   /** Snapshot diff (r7b): the corpus-regression check between two
     * keyed snapshots — which keys were ADDED, REMOVED, CHANGED or
     * UNCHANGED from `oldDf` to `newDf`. The pre-admission gate for

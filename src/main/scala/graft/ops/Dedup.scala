@@ -107,6 +107,36 @@ object Dedup {
   def minhashCandidatesFromSignatures(sig: DataFrame): DataFrame =
     candidatesFromBands(bandTableFromSignatures(sig))
 
+  /** Per-document band hash COLUMNS `__band0..__band{B-1}` (r8):
+    * the column-per-band spelling of the band table, for consumers
+    * that must stay one-row-per-doc — the streaming tier-2 near-dup
+    * anti-joins each band column against the corpus band table
+    * (exploding a stream row would flip the dup test's granularity
+    * from ANY-band to per-band). */
+  private[graft] def withBandCols(docs: DataFrame,
+                                  keep: Seq[String] = Nil): DataFrame = {
+    val bandExprs = (0 until NumHashes / BandRows).map { b =>
+      val hs = (0 until BandRows).map(r => s"h${b * BandRows + r}")
+        .mkString(", ")
+      s"concat($hs) as __band$b"
+    }
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val shingled = docs.selectExpr(Seq("doc_id") ++ keep ++
+      Seq(s"${shingleArraySql(ShingleN)} as shingles"): _*)
+    withMinhash(shingled, keep)
+      .selectExpr(Seq("doc_id") ++ keep ++ bandExprs: _*)
+  }
+
+  /** The distinct band-`b` hashes of a persisted signature table —
+    * the static side of one streaming tier-2 anti join. */
+  private[graft] def bandHashes(sig: DataFrame, b: Int): DataFrame =
+    bandTableFromSignatures(sig)
+      .filter(F.col("band") === b)
+      .select(F.col("h").as(s"__band$b"))
+      .distinct()
+
+  private[graft] def numBands: Int = NumHashes / BandRows
+
   private def candidatesFromBands(bands: DataFrame): DataFrame =
     // shuffle-hash hint: the band table is narrow (doc_id, band, h)
     // and signature buckets are bounded, so hash-joining beats

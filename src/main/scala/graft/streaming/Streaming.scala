@@ -111,6 +111,47 @@ object Streaming {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Streaming near-dup TIER 2 (r8): per-batch MinHash banding
+    * against a PERSISTED corpus signature table — the streaming
+    * spelling of the incremental batch-vs-corpus near-dup. Each
+    * arriving document computes its banded minhash signature inline
+    * (one projection, the same 2×4 banding as `Dedup`), then one
+    * stream-static LEFT ANTI join PER BAND drops any document
+    * sharing a band hash with the corpus (band columns, not an
+    * explode — the dup test is ANY-band, so each band gets its own
+    * stateless anti join; exploding would test per-band rows).
+    * Survivors then dedup against EACH OTHER on full-signature
+    * identity with watermark-bounded state (the tier-1 semantics).
+    * The corpus side is the `Dedup.writeSignatureTable` artifact —
+    * the same amortization table the batch incremental path reads;
+    * at 100 TB the anti joins shuffle only the band hashes, never
+    * the text. Batch-equivalent by StreamingSpec (same survivors as
+    * the batch anti-join + signature dedup). */
+  def streamingNearDedupVsCorpus(spark: SparkSession, path: String,
+                                 signaturePath: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    nearDedupVsCorpusStream(
+      spark.readStream.schema(documentsSchema).parquet(path),
+      spark.read.parquet(signaturePath))
+  }
+
+  private[streaming] def nearDedupVsCorpusStream(stream: DataFrame,
+                                                 sig: DataFrame): DataFrame = {
+    import graft.ops.Dedup
+    val banded = Dedup.withBandCols(stream, keep = Seq("text"))
+    val survivors = (0 until Dedup.numBands).foldLeft(banded) { (df, b) =>
+      df.join(Dedup.bandHashes(sig, b), Seq(s"__band$b"), "left_anti")
+    }
+    val sigAll = (0 until Dedup.numBands).map(b => s"__band$b")
+      .mkString("concat(", ", ", ")")
+    survivors
+      .selectExpr("doc_id", "text", s"$sigAll as __sig",
+        "current_timestamp() as ingest_time")
+      .withWatermark("ingest_time", "1 hour")
+      .dropDuplicatesWithinWatermark("__sig")
+      .select("doc_id", "text")
+  }
+
   /** Stream-static enrichment join: every arriving event picks up the
     * matching dimension row. The static side is broadcast to each
     * micro-batch (stateless — no streaming state at all, unlike

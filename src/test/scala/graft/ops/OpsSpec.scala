@@ -969,6 +969,38 @@ class OpsSpec extends SparkTestBase {
     assert(k.contains(3L), k.toString)
   }
 
+  test("bucketed budget selection equals the exact tier (r8)") {
+    import org.apache.spark.sql.{functions => F}
+    // seeded pseudo-random scores/weights with deliberate TIES, a
+    // null score and a null weight; compare KEPT ID SETS across
+    // budgets and FORCED TINY bucket counts (1 = everything is the
+    // straddling bucket, so the boundary path IS the exact path)
+    val t = spark.range(200).selectExpr(
+      "id",
+      "case when id = 7 then cast(null as double) " +
+      "     else cast(xxhash64(id) % 37 as double) end as score",
+      "case when id = 11 then cast(null as bigint) " +
+      "     else abs(xxhash64(id, 1L)) % 50 + 1 end as w")
+    def exact(budget: Long): Seq[Long] =
+      Curation.budgetSelect(t, "w", budget,
+          Seq(F.col("score").desc_nulls_last, F.col("id").asc))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    def bucketed(budget: Long, nb: Int): Seq[Long] =
+      Curation.budgetSelectBucketed(t, "w", budget, "score", "id", nb)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    for (budget <- Seq(1L, 37L, 500L, 2000L, 4800L, 100000L);
+         nb <- Seq(1, 2, 3, 7, 1000)) {
+      assert(bucketed(budget, nb) == exact(budget),
+        s"budget=$budget buckets=$nb")
+    }
+    // the bucketed plan's only single-partition window runs over the
+    // bucket-TOTALS table (≤ buckets+1 rows); the corpus-sized
+    // boundary window partitions BY bucket id
+    val plan = Curation.budgetSelectBucketed(t, "w", 500L, "score", "id", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bkt"), plan.take(3000))
+  }
+
   // ---- BM25 retrieval (r7) --------------------------------------------
 
   test("bm25 matches hand-computed scores, ranks, and term counts") {

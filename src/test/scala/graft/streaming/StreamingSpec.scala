@@ -140,6 +140,58 @@ class StreamingSpec extends SparkTestBase {
     assert(n == distinctSigs, s"expected $distinctSigs survivors, got $n")
   }
 
+  test("streaming near-dedup vs a persisted corpus equals the batch path (r8)") {
+    import org.apache.spark.sql.{functions => F}
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    // corpus = even doc_ids; their signature table is the persisted
+    // batch artifact the stream anti-joins against
+    val sigDir = java.nio.file.Files.createTempDirectory("sig_tbl")
+    graft.ops.Dedup.writeSignatureTable(
+      docs.filter("doc_id % 2 = 0"), sigDir.toString + "/sig")
+    // the stream carries ALL docs, staged twice (within-stream dups)
+    val dir = java.nio.file.Files.createTempDirectory("docs_vs_corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("b.parquet"))
+    val q = Streaming.streamingNearDedupVsCorpus(spark, dir.toString,
+        sigDir.toString + "/sig")
+      .writeStream.format("memory").queryName("near_dedup_vs_corpus")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val got = spark.table("near_dedup_vs_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // batch replay: same band anti joins, then one survivor per
+    // distinct full signature
+    val sig = spark.read.parquet(sigDir.toString + "/sig")
+    val banded = graft.ops.Dedup.withBandCols(docs)
+    val surv = (0 until graft.ops.Dedup.numBands).foldLeft(banded) {
+      (df, b) =>
+        df.join(graft.ops.Dedup.bandHashes(sig, b), Seq(s"__band$b"),
+          "left_anti")
+    }
+    val sigAll = (0 until graft.ops.Dedup.numBands).map(b => s"__band$b")
+      .mkString("concat(", ", ", ")")
+    // one survivor per distinct signature; WHICH doc of a
+    // same-signature cluster survives is arrival-order-dependent, so
+    // the equivalence pins the SIGNATURE set and the count
+    val expectedSigs = surv.selectExpr(s"$sigAll as __sig")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(expectedSigs.nonEmpty && expectedSigs.size < docs.count(),
+      s"fixture degenerate: ${expectedSigs.size} survivors")
+    assert(got.length == expectedSigs.size,
+      s"stream ${got.length} vs batch ${expectedSigs.size}")
+    val gotSigs = banded
+      .join(spark.table("near_dedup_vs_corpus").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .selectExpr(s"$sigAll as __sig")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gotSigs == expectedSigs)
+  }
+
   test("stateful user totals equal batch aggregation on finite input") {
     val dir = java.nio.file.Files.createTempDirectory("events_state")
     java.nio.file.Files.copy(
