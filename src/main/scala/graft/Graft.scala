@@ -61,6 +61,10 @@ final class Graft(val spark: SparkSession) {
      """\s+using\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """(?:\s+(?:as\s+)?(?!on\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
      """\s+on\s+(.*)$""").r
+  // matches only up to USING ( — the balanced subquery is extracted
+  // by the scanner in query(), not a regex
+  private val MergeUsingSubqueryRe =
+    """(?is)^(\s*merge\s+into\s+(?:"[^"]+"|[a-zA-Z_][a-zA-Z0-9_]*)(?:\s+(?:as\s+)?(?!using\b)[a-zA-Z_][a-zA-Z0-9_]*)?\s+using\s*\().*$""".r
 
   private def fail(msg: String): Nothing = throw new RuntimeException(msg)
 
@@ -71,7 +75,8 @@ final class Graft(val spark: SparkSession) {
   // dialect by rewriting into a SELECT over the target.
   private val InsertRe =
     ("""(?is)^\s*insert\s+into\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
-     """\s+(select\s+.*|values\s*\(.*|with\s+.*)\s*;?\s*$""").r
+     """\s*(?:\(([^)]*)\)\s*)?""" +
+     """\s*(select\s+.*|values\s*\(.*|with\s+.*)\s*;?\s*$""").r
   private val DeleteRe =
     ("""(?is)^\s*delete\s+from\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """\s+where\s+(.*?)\s*;?\s*$""").r
@@ -124,17 +129,43 @@ final class Graft(val spark: SparkSession) {
         removeTable(name)
         status("dropped", name.toLowerCase)
       }
-    case InsertRe(q, b, body) =>
+    case InsertRe(q, b, colListOrNull, body) =>
+      import org.apache.spark.sql.{functions => F}
       val name = Option(q).getOrElse(b)
-      lookup(name) // loud on unknown target
-      // INSERT is positional (standard): UNION ALL carries the new
-      // rows — arity/type mismatches fail at analysis, loudly
+      val target = lookup(name) // loud on unknown target
       val src =
         if (body.trim.toLowerCase.startsWith("values"))
           s"select * from ($body) __ins"
         else body
-      registerTable(name,
-        translateOnly(s"select * from $name union all $src"))
+      Option(colListOrNull) match {
+        case None =>
+          // positional (standard): UNION ALL carries the new rows —
+          // arity/type mismatches fail at analysis, loudly
+          registerTable(name,
+            translateOnly(s"select * from $name union all $src"))
+        case Some(colList) =>
+          // column-list form (r8): listed columns take the source
+          // positionally, unlisted ones read NULL; assignment-casts
+          // to the target types (the standard INSERT semantics)
+          val cols = splitTop(colList, ',').map { c =>
+            val raw = c.trim.stripPrefix("\"").stripSuffix("\"")
+            target.columns.find(_.equalsIgnoreCase(raw))
+              .getOrElse(fail(s"INSERT: column '$raw' not in $name"))
+          }
+          if (cols.distinct.length != cols.length)
+            fail("INSERT column list names a column twice")
+          val srcDf = translateOnly(src)
+          if (srcDf.columns.length != cols.length)
+            fail(s"INSERT: ${cols.length} columns listed but the source " +
+              s"has ${srcDf.columns.length}")
+          val renamed = srcDf.toDF(cols: _*)
+          val filled = renamed.select(target.schema.fields.toSeq.map { f =>
+            if (cols.exists(_.equalsIgnoreCase(f.name)))
+              F.col(f.name).cast(f.dataType).as(f.name)
+            else F.lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          registerTable(name, target.unionByName(filled))
+      }
       status("inserted", name.toLowerCase)
     case DeleteRe(q, b, pred) =>
       val name = Option(q).getOrElse(b)
@@ -176,6 +207,31 @@ final class Graft(val spark: SparkSession) {
       registerTable(name,
         translateOnly(s"select ${items.mkString(", ")} from $name"))
       status("updated", name.toLowerCase)
+    case MergeUsingSubqueryRe(head) =>
+      // USING (subquery) [AS] alias (r8): extract the balanced-paren
+      // subquery with the scanner, register its LAZY plan under a
+      // reserved temp name, and re-enter with the rewritten text —
+      // the alias keeps working as the source qualifier
+      val open = sqlText.indexOf('(', head.length - 1)
+      var depth = 0; var close = -1; var i = open; var inStr = false
+      while (close < 0 && i < sqlText.length) {
+        val ch = sqlText.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) fail("MERGE USING (subquery): unbalanced parentheses")
+      val subSql = sqlText.substring(open + 1, close)
+      val tmp = "__merge_using_sub"
+      registerTable(tmp, translateOnly(subSql))
+      try query(sqlText.substring(0, open) + s" $tmp " +
+        sqlText.substring(close + 1))
+      finally removeTable(tmp)
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
         Option(sq).getOrElse(sb), Option(sAl), rest)

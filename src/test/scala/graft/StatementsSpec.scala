@@ -223,5 +223,41 @@ class StatementsSpec extends SparkTestBase {
     g.query("""merge into m6 using s1 on m6.k = s1.k
                when matched and s1.v2 <> 'x and y' then update set v = s1.v2""")
     assert(rows("m6")(2L) == (("B", 20L)))
+    // USING (subquery) alias (r8): the source is a derived table —
+    // the balanced-paren scanner must survive nested parens and
+    // string literals inside the subquery
+    g.query("create or replace table m7 as select * from t0")
+    g.query("""merge into m7 using (select k, upper(v2) as v2, bump
+                                    from s1 where v2 <> '(x)') s
+               on m7.k = s.k
+               when matched then update set v = s.v2""")
+    assert(rows("m7")(2L) == (("B", 20L)) && rows("m7")(3L) == (("C", 30L)))
+    assert(!g.tableNames.contains("__merge_using_sub"))
+  }
+
+  test("INSERT INTO with a column list fills unlisted columns with NULL (r8)") {
+    val g = fresh
+    g.query("create table i0 as select * from (values " +
+      "(1, 'a', 10)) t(k, v, n)")
+    g.query("insert into i0 (n, k) values (77, 9)")
+    g.query("insert into i0 (k) select k + 4 from i0 where k = 1")
+    val r = g.query("select k, v, n from i0 order by k").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) null else x.getString(1),
+        if (x.isNullAt(2)) null else java.lang.Long.valueOf(x.getLong(2))))
+    assert(r.toSeq == Seq(
+      (1L, "a", 10L: java.lang.Long),
+      (5L, null, null),
+      (9L, null, 77L: java.lang.Long)), r.mkString(","))
+    // walls: unknown column, arity mismatch, duplicate column
+    val e1 = intercept[RuntimeException](
+      g.query("insert into i0 (nope) values (1)"))
+    assert(e1.getMessage.contains("not in"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      g.query("insert into i0 (k, v) values (1)"))
+    assert(e2.getMessage.contains("listed"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g.query("insert into i0 (k, k) values (1, 2)"))
+    assert(e3.getMessage.contains("twice"), e3.getMessage)
   }
 }
