@@ -1306,6 +1306,37 @@ object SparkEntry {
   )
 
   private val sharedSqlWindowExt: Seq[(String, String)] = Seq(
+    // generic EXCLUDE fallback (r8, closing the r6/r7b walls): min/max
+    // with RANGE frames and GROUP/TIES modes, plus DISTINCT + EXCLUDE
+    // — graft materializes the frame per row and filters the excluded
+    // elements; DuckDB runs every form NATIVELY, a true
+    // cross-implementation check. RANGE frames tolerate order ties
+    // (frames are value-determined); the one ROWS case rides the
+    // tie-free l_extendedprice per the ROWS rule.
+    "q_window_exclude_ext" ->
+      """select l_orderkey, l_linenumber,
+           min(l_quantity) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row
+             exclude group) as mn_g,
+           max(l_quantity) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and current row
+             exclude current row) as mx_c,
+           min(l_quantity) over (partition by l_orderkey order by l_quantity
+             range between unbounded preceding and unbounded following
+             exclude ties) as mn_t,
+           cast(count(distinct l_suppkey % 5) over (partition by l_orderkey
+             order by l_extendedprice
+             rows between unbounded preceding and current row
+             exclude current row) as bigint) as cd_x,
+           cast(sum(distinct l_suppkey % 5) over (partition by l_orderkey
+             order by l_quantity
+             range between unbounded preceding and current row
+             exclude group) as double) as sd_g,
+           cast(avg(distinct l_suppkey % 5) over (partition by l_orderkey
+             order by l_quantity
+             range between unbounded preceding and current row
+             exclude ties) as double) as ad_t
+         from lineitem""",
     // RANGE frames with VALUE offsets (r5): the peers window is a
     // numeric band around the current row's order value
     "q_window_range" ->

@@ -4346,8 +4346,6 @@ final class Translator(catalog: String => DataFrame,
     }
     if (w.exclude == "no others")
       return aggColumnBase(a, lower).over(windowSpec(w, lower))
-    if (a.distinct)
-      fail("EXCLUDE with DISTINCT window aggregates is not supported")
     if (a.func != "sum" && a.func != "count" && a.func != "avg" &&
         a.func != "min" && a.func != "max")
       fail("EXCLUDE applies to sum/count/avg/min/max window aggregates " +
@@ -4366,6 +4364,89 @@ final class Translator(catalog: String => DataFrame,
     }
     if (!startOk || !endOk)
       fail("EXCLUDE requires a frame that contains the current row")
+    if ((mode == "group" || mode == "ties") && w.orderBy.isEmpty)
+      fail("EXCLUDE GROUP/TIES requires ORDER BY (peers are order ties)")
+    // Generic collect-over-frame fallback (r8, closing the r6/r7b
+    // walls): DISTINCT + EXCLUDE, and min/max EXCLUDE beyond
+    // ROWS/CURRENT ROW (RANGE frames cannot address "one row away";
+    // GROUP/TIES need per-row split points — no decomposition
+    // exists). The frame materializes per row as an array of
+    // (order-key tuple, row id, value); the excluded rows filter
+    // ELEMENT-WISE — one occurrence of the current row's id for
+    // CURRENT ROW (identical rows are interchangeable under any
+    // aggregate, and distinct rows colliding in xxhash64 is a 2^-64
+    // event), all null-safe order-key peers for GROUP, peers minus
+    // one current copy for TIES — then the survivors fold. Per-row
+    // state is the frame itself: the inherent cost of semantics no
+    // subtraction rewrite covers, same exchange/sort as the plain
+    // window.
+    val needGeneric = a.distinct ||
+      ((a.func == "min" || a.func == "max") &&
+        !(mode == "current row" && f.isRows))
+    if (needGeneric) {
+      val argE = a.arg match {
+        case Star(_) if a.func == "count" && !a.distinct => F.lit(1)
+        case Star(_) => fail(s"${a.func}(${if (a.distinct) "DISTINCT " else ""}*) " +
+          "is not meaningful")
+        case e => lower(e)
+      }
+      // reserved struct-field names: a field aliased like an input
+      // column trips Spark's lateral-column-alias resolution inside
+      // window expressions
+      val okCols = w.orderBy.map(oi => lower(oi.e))
+      val okS = if (okCols.isEmpty) F.lit(0) else F.struct(okCols: _*)
+      // the removal id hashes (order keys, value) only: rows equal in
+      // both are interchangeable under any aggregate, so removing the
+      // first id match removes exactly one multiset occurrence.
+      // (A struct(*) row hash would be tighter but star expansion
+      // inside a window projection trips lateral-column-alias
+      // analysis on some sources.)
+      val rid = F.xxhash64(okS, argE)
+      val elem = F.struct(okS.as("__xok"), rid.as("__xrid"), argE.as("__xv"))
+      val frameW = windowSpec(w.copy(exclude = "no others"), lower)
+      val lst = F.collect_list(elem).over(frameW)
+      val kept: Column = mode match {
+        case "current row" =>
+          // remove the FIRST element carrying the current row's id —
+          // via slice/concat, NOT a lambda: a lambda body capturing a
+          // window-derived value fails window resolution (analysis
+          // falls through to lateral-column-alias and errors)
+          val idx = F.array_position(
+            F.transform(lst, x => x.getField("__xrid")), rid).cast("int")
+          F.concat(
+            F.slice(lst, F.lit(1), idx - 1),
+            F.slice(lst, idx + 1, F.size(lst) - idx))
+        case "group" =>
+          F.filter(lst, x => !(x.getField("__xok") <=> okS))
+        case "ties" =>
+          // drop every peer, put ONE copy of the current row back
+          F.concat(
+            F.filter(lst, x => !(x.getField("__xok") <=> okS)),
+            F.array(elem))
+      }
+      val vals0 = F.filter(
+        F.transform(kept, x => x.getField("__xv")), v => v.isNotNull)
+      val vals = if (a.distinct) F.array_distinct(vals0) else vals0
+      import org.apache.spark.sql.types._
+      return a.func match {
+        case "count" => F.size(vals).cast("long")
+        case "min"   => F.array_min(vals)
+        case "max"   => F.array_max(vals)
+        case "sum" | "avg" =>
+          val sum = argType match {
+            case Some(ByteType | ShortType | IntegerType | LongType) =>
+              F.aggregate(vals, F.lit(0L), (acc, x) => acc + x.cast("long"))
+            case Some(d: DecimalType) =>
+              val to = DecimalType(38, d.scale)
+              F.aggregate(vals, F.lit(java.math.BigDecimal.ZERO).cast(to),
+                (acc, x) => acc + x.cast(to))
+            case _ =>
+              F.aggregate(vals, F.lit(0.0), (acc, x) => acc + x.cast("double"))
+          }
+          val guarded = F.when(F.size(vals) > 0, sum)
+          if (a.func == "sum") guarded else guarded / F.size(vals)
+      }
+    }
     // min/max (r6): no subtraction decomposition exists for extrema —
     // instead the frame SPLITS around the excluded row into its
     // preceding part [start, -1] and following part [+1, end], and

@@ -436,37 +436,44 @@ class SqlSurfaceSpec extends SparkTestBase {
          from lineitem""")
   }
 
+  test("generic EXCLUDE fallback: min/max RANGE/GROUP/TIES, DISTINCT (r8)") {
+    // hand-computed on a tied fixture (2 appears twice): frames are
+    // value-determined so RANGE tolerates the tie; verified against
+    // DuckDB's NATIVE exclude in q_window_exclude_ext
+    val r = graftSession.query(
+      """select v,
+           min(v) over (order by v
+             range between unbounded preceding and current row
+             exclude group) as mg,
+           max(v) over (order by v
+             range between unbounded preceding and current row
+             exclude current row) as mc,
+           sum(distinct v) over (order by v
+             rows between unbounded preceding and current row
+             exclude ties) as sdt
+         from (values (1),(2),(2),(3)) t(v)""")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) null else java.lang.Long.valueOf(x.getLong(1)),
+        if (x.isNullAt(2)) null else java.lang.Long.valueOf(x.getLong(2)),
+        if (x.isNullAt(3)) null else java.lang.Long.valueOf(x.getLong(3))))
+      .sortBy(x => (x._1, Option(x._4).map(_.longValue).getOrElse(0L)))
+    // DuckDB 1.0 native answers on the same fixture:
+    // (1,NULL,NULL,1), (2,1,2,3), (2,1,2,3), (3,1,2,6)
+    assert(r.toSeq == Seq(
+      (1L, null, null, 1L: java.lang.Long),
+      (2L, 1L: java.lang.Long, 2L: java.lang.Long, 3L: java.lang.Long),
+      (2L, 1L: java.lang.Long, 2L: java.lang.Long, 3L: java.lang.Long),
+      (3L, 1L: java.lang.Long, 2L: java.lang.Long, 6L: java.lang.Long)),
+      r.mkString(","))
+  }
+
   test("frame EXCLUDE restrictions are loud") {
-    // min/max support ROWS + EXCLUDE CURRENT ROW only (r6): a RANGE
-    // frame cannot split around one row, GROUP/TIES need variable
-    // split points
-    val e1 = intercept[Exception](graftSession.query(
-      """select min(l_quantity) over (partition by l_orderkey
-           order by l_quantity
-           range between unbounded preceding and current row
-           exclude group) as m from lineitem""").collect())
-    assert(e1.getMessage.contains("split-frame"))
-    val e1b = intercept[Exception](graftSession.query(
-      """select max(l_quantity) over (partition by l_orderkey
-           order by l_quantity
-           range between unbounded preceding and current row
-           exclude current row) as m from lineitem""").collect())
-    assert(e1b.getMessage.contains("split-frame"))
     // rank is not an aggregate at all
     val e2 = intercept[Exception](graftSession.query(
       """select rank() over (partition by l_orderkey order by l_quantity
            rows between unbounded preceding and current row
            exclude current row) as r from lineitem""").collect())
     assert(e2.getMessage.contains("sum/count/avg"))
-    // GROUP/TIES on min/max stay loud for every frame kind (extrema
-    // have no subtraction decomposition; r7 lifted the ROWS GROUP/
-    // TIES restriction for sum/count/avg only)
-    val e3 = intercept[Exception](graftSession.query(
-      """select min(l_quantity) over (partition by l_orderkey
-           order by l_quantity
-           rows between unbounded preceding and current row
-           exclude group) as c from lineitem""").collect())
-    assert(e3.getMessage.contains("split-frame"))
     // frames strictly before the current row cannot exclude it
     val e4 = intercept[Exception](graftSession.query(
       """select sum(l_quantity) over (partition by l_orderkey
