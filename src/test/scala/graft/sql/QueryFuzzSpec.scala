@@ -1143,6 +1143,44 @@ class QueryFuzzSpec extends SparkTestBase {
       }
   }
 
+  /** Generic collect-over-frame EXCLUDE fuzz (r8): on a UNIQUE
+    * argument DISTINCT is a semantic no-op, so `agg(DISTINCT x) ...
+    * EXCLUDE m` (the r8 generic fallback) must equal `agg(x) ...
+    * EXCLUDE m` (the subtraction / split-frame fast paths) — a
+    * CI-runnable cross-validation of two independent lowerings.
+    * c_custkey is globally unique; RANGE frames order by it so peer
+    * groups are singletons (GROUP == CURRENT ROW there, also checked
+    * by the equivalence). */
+  private val genExcludeGenericQuery: Gen[(String, String)] = for {
+    mode <- Gen.oneOf("current row", "group", "ties")
+    isRows <- Gen.oneOf(true, false)
+    // min/max fast paths exist only for ROWS + EXCLUDE CURRENT ROW
+    agg <- if (isRows && mode == "current row")
+             Gen.oneOf("sum", "count", "avg", "min", "max")
+           else Gen.oneOf("sum", "count", "avg")
+    part <- Gen.oneOf("c_nationkey", "c_mktsegment")
+    start <- Gen.oneOf("unbounded preceding", "3 preceding", "current row")
+    end <- Gen.oneOf("current row", "2 following", "unbounded following")
+  } yield {
+    val kind = if (isRows) "rows" else "range"
+    val over = s"partition by $part order by c_custkey"
+    def q(distinct: String) =
+      s"""select c_custkey, $agg(${distinct}c_custkey) over ($over
+            $kind between $start and $end exclude $mode) as v
+          from customer"""
+    (q("distinct "), q(""))
+  }
+
+  test("24 random generic-EXCLUDE queries match the fast-path lowering (r8)") {
+    Gen.listOfN(60, genExcludeGenericQuery)
+      .pureApply(Gen.Parameters.default, Seed(108L))
+      .distinct.take(24).foreach { case (g, o) =>
+        withClue(s"\nquery: $g\n") {
+          assertSameRows(graftSession.query(g), graftSession.query(o))
+        }
+      }
+  }
+
   /** ROWS-frame GROUP/TIES EXCLUDE fuzz (r7): graft replays the same
     * ROWS bounds inside the peer-group partition under a shared
     * whole-row-hash tiebreak; the spark.sql oracle spells out the
