@@ -1312,7 +1312,12 @@ object SparkEntry {
     // elements; DuckDB runs every form NATIVELY, a true
     // cross-implementation check. RANGE frames tolerate order ties
     // (frames are value-determined); the one ROWS case rides the
-    // tie-free l_extendedprice per the ROWS rule.
+    // tie-free l_extendedprice per the ROWS rule. The fixture is a
+    // deterministic 1/5 subset: six per-element-interpreted fallback
+    // columns over full lineitem measured 5.4 s of pure HOF dispatch
+    // — the semantic-fallback cost is adjudicated in BASELINE.md, and
+    // the full-corpus exclude entries (q_window_exclude*) already
+    // exercise the subtraction fast paths at size.
     "q_window_exclude_ext" ->
       """select l_orderkey, l_linenumber,
            min(l_quantity) over (partition by l_orderkey order by l_quantity
@@ -1336,7 +1341,7 @@ object SparkEntry {
              order by l_quantity
              range between unbounded preceding and current row
              exclude ties) as double) as ad_t
-         from lineitem""",
+         from lineitem where l_orderkey % 5 = 0""",
     // RANGE frames with VALUE offsets (r5): the peers window is a
     // numeric band around the current row's order value
     "q_window_range" ->
