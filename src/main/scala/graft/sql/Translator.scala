@@ -2605,7 +2605,8 @@ final class Translator(catalog: String => DataFrame,
           // PRE-AGG frame (group keys keep their type through the
           // aggregate; post-agg-only refs fall back to the double fold)
           val at = (a.arg, resolveFrame) match {
-            case _ if !(a.distinct && (a.func == "sum" || a.func == "avg")) => None
+            case _ if !((a.distinct && (a.func == "sum" || a.func == "avg")) ||
+              a.window.exists(_.exclude != "no others")) => None
             case (Star(_), _) | (_, None) => None
             case (e, Some(df)) =>
               scala.util.Try(df.select(exprToCol(e, None)).schema.head.dataType).toOption
@@ -3954,7 +3955,8 @@ final class Translator(catalog: String => DataFrame,
         // static arg type for the DISTINCT sum/avg typed fold —
         // analysis-only (df.select(...).schema runs no job)
         val at = (a.arg, resolveFrame) match {
-          case _ if !(a.distinct && (a.func == "sum" || a.func == "avg")) => None
+          case _ if !((a.distinct && (a.func == "sum" || a.func == "avg")) ||
+              a.window.exists(_.exclude != "no others")) => None
           case (Star(_), _) | (_, None) => None
           case (e, Some(df)) =>
             scala.util.Try(df.select(exprToCol(e, None)).schema.head.dataType).toOption
@@ -4405,6 +4407,52 @@ final class Translator(catalog: String => DataFrame,
       val elem = F.struct(okS.as("__xok"), rid.as("__xrid"), argE.as("__xv"))
       val frameW = windowSpec(w.copy(exclude = "no others"), lower)
       val lst = F.collect_list(elem).over(frameW)
+      // native one-pass fold (r8 perf): when the argument's type
+      // resolved statically and the func supports it, ExcludeAgg
+      // replaces the whole filter→transform→distinct→fold HOF chain
+      // — per-ROW interpreted dispatch instead of per-element
+      // (6 HOF columns over lineitem measured 5.4 s; native ~3×
+      // less). Unresolved or exotic types keep the HOF chain below.
+      import org.apache.spark.sql.types._
+      val hashable: DataType => Boolean = {
+        case StringType | BooleanType | DateType | TimestampType |
+             TimestampNTZType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+      val numericT: DataType => Boolean = {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+      val nativeOk = argType.exists { dt =>
+        a.func match {
+          case "count"       => !a.distinct || hashable(dt)
+          case "min" | "max" =>
+            scala.util.Try(
+              org.apache.spark.sql.catalyst.util.TypeUtils
+                .getInterpretedOrdering(dt)).isSuccess &&
+              (!a.distinct || hashable(dt))
+          case _             => numericT(dt) // sum / avg
+        }
+      } && !a.arg.isInstanceOf[Star]
+      if (nativeOk) {
+        import org.apache.spark.sql.GraftFn
+        return a.func match {
+          case "count" =>
+            GraftFn.excludeAgg(lst, elem, mode, "count", a.distinct)
+          case "min" | "max" =>
+            GraftFn.excludeAgg(lst, elem, mode, a.func, a.distinct)
+          case "sum" =>
+            GraftFn.excludeAgg(lst, elem, mode, "sum", a.distinct)
+          case "avg" =>
+            // the same division typing as the HOF chain (long/int →
+            // double, decimal/int → decimal)
+            GraftFn.excludeAgg(lst, elem, mode, "sum", a.distinct) /
+              GraftFn.excludeAgg(lst, elem, mode, "count", a.distinct)
+                .cast("int")
+        }
+      }
       val kept: Column = mode match {
         case "current row" =>
           // remove the FIRST element carrying the current row's id —

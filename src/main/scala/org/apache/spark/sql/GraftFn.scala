@@ -27,4 +27,13 @@ object GraftFn {
   def safeCast(c: Column, t: org.apache.spark.sql.types.DataType): Column =
     classic.ExpressionUtils.column(
       graft.functions.SafeCast(classic.ExpressionUtils.expression(c), t))
+
+  /** Frame-EXCLUDE fold through [[graft.functions.ExcludeAgg]] — one
+    * native pass over the collected frame instead of the interpreted
+    * per-element HOF chain. */
+  def excludeAgg(lst: Column, cur: Column, mode: String, func: String,
+                 distinct: Boolean): Column =
+    classic.ExpressionUtils.column(graft.functions.ExcludeAgg(
+      classic.ExpressionUtils.expression(lst),
+      classic.ExpressionUtils.expression(cur), mode, func, distinct))
 }
