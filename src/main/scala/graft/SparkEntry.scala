@@ -1342,6 +1342,21 @@ object SparkEntry {
              range between unbounded preceding and current row
              exclude ties) as double) as ad_t
          from lineitem where l_orderkey % 5 = 0""",
+    // FILTER (WHERE …) on WINDOW aggregates (r8): the r4b CASE-wrap
+    // lowering composes with the window path unchanged (NULL args are
+    // invisible to every aggregate incl. the DISTINCT collect_set
+    // form); DuckDB evaluates windowed FILTER natively — a true
+    // cross-implementation check. Spark SQL itself REJECTS the form.
+    "q_window_filter" ->
+      """select l_orderkey, l_linenumber,
+           round(sum(l_quantity) filter (where l_discount > 0.05)
+             over (partition by l_orderkey order by l_extendedprice
+               rows between unbounded preceding and current row), 2) as sf,
+           cast(count(*) filter (where l_tax > 0.04)
+             over (partition by l_orderkey) as bigint) as cf,
+           cast(count(distinct l_suppkey % 3) filter (where l_quantity > 25)
+             over (partition by l_orderkey) as bigint) as cdf
+         from lineitem""",
     // RANGE frames with VALUE offsets (r5): the peers window is a
     // numeric band around the current row's order value
     "q_window_range" ->

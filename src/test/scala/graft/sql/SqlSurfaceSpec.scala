@@ -436,6 +436,28 @@ class SqlSurfaceSpec extends SparkTestBase {
          from lineitem""")
   }
 
+  test("FILTER (WHERE ...) composes with window aggregates (r8)") {
+    // Spark SQL rejects windowed FILTER outright; the CASE-wrap
+    // lowering is the oracle here, DuckDB-native in q_window_filter
+    assertSameRows(
+      graftSession.query(
+        """select l_orderkey, l_linenumber,
+             sum(l_quantity) filter (where l_discount > 0.05)
+               over (partition by l_orderkey order by l_extendedprice
+                 rows between unbounded preceding and current row) as sf,
+             count(*) filter (where l_tax > 0.04)
+               over (partition by l_orderkey) as cf
+           from lineitem"""),
+      spark.sql(
+        """select l_orderkey, l_linenumber,
+             sum(case when l_discount > 0.05 then l_quantity end)
+               over (partition by l_orderkey order by l_extendedprice
+                 rows between unbounded preceding and current row) as sf,
+             count(case when l_tax > 0.04 then 1 end)
+               over (partition by l_orderkey) as cf
+           from lineitem"""))
+  }
+
   test("generic EXCLUDE fallback: min/max RANGE/GROUP/TIES, DISTINCT (r8)") {
     // hand-computed on a tied fixture (2 appears twice): frames are
     // value-determined so RANGE tolerates the tie; verified against
