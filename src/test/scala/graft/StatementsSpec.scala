@@ -235,6 +235,86 @@ class StatementsSpec extends SparkTestBase {
     assert(!g.tableNames.contains("__merge_using_sub"))
   }
 
+  test("MERGE fuzz: 15 random clause matrices match a Scala-computed model (r8)") {
+    // deterministic pseudo-random scenarios over integer-only data
+    // (no 3VL edges — those are hand-pinned elsewhere); the model
+    // mirrors the documented MERGE contract: first true clause of a
+    // row's category applies, no clause keeps/skips, dup source keys
+    // with a MATCHED clause are a loud cardinality violation.
+    val rnd = new scala.util.Random(42)
+    for (scenario <- 1 to 15) {
+      val g = fresh
+      val nT = 8 + rnd.nextInt(8)
+      val target = (0 until nT).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong,
+         rnd.nextInt(50).toLong))
+      val allowDupSource = rnd.nextBoolean()
+      val srcKeys0 = (0 until 6 + rnd.nextInt(6)).map(_ => rnd.nextInt(16).toLong)
+      val srcKeys = if (allowDupSource) srcKeys0 else srcKeys0.distinct
+      val source = srcKeys.map(k =>
+        (k, rnd.nextInt(100).toLong, rnd.nextInt(60).toLong))
+      def values(rows: Seq[(Long, Long, Long)], cols: String) =
+        rows.map { case (a, b, c) => s"($a, $b, $c)" }
+          .mkString("(values ", ", ", s") t($cols)")
+      g.query(s"create or replace table ft as select * from ${values(target, "k, v, n")}")
+      g.query(s"create or replace view fs as select * from ${values(source, "k, v2, bump")}")
+      // clause pool: conditional forms first within each category
+      val c1 = rnd.nextInt(40); val c2 = rnd.nextInt(60); val c3 = rnd.nextInt(50)
+      val mUp = s"when matched and fs.bump > $c1 then update set v = fs.v2, n = n + fs.bump"
+      val mDel = "when matched then delete"
+      val ins = s"when not matched and fs.bump > $c2 then insert (k, v) values (fs.k, fs.v2)"
+      val bDel = s"when not matched by source and n > $c3 then delete"
+      val bUp = "when not matched by source then update set n = n + 1"
+      val useMUp = rnd.nextBoolean(); val useMDel = rnd.nextBoolean()
+      val useIns = rnd.nextBoolean()
+      val useBDel = rnd.nextBoolean(); val useBUp = rnd.nextBoolean()
+      val clauses = Seq(
+        if (useMUp) Some(mUp) else None,
+        if (useMDel) Some(mDel) else None,
+        if (useIns) Some(ins) else None,
+        if (useBDel) Some(bDel) else None,
+        if (useBUp) Some(bUp) else None).flatten
+      if (clauses.nonEmpty) {
+        val anyMatched = useMUp || useMDel
+        val stmt = s"merge into ft using fs on ft.k = fs.k ${clauses.mkString(" ")}"
+        val srcByKey = source.groupBy(_._1)
+        val violation = anyMatched &&
+          target.exists(t => srcByKey.getOrElse(t._1, Nil).size > 1)
+        g.query(stmt)
+        if (violation) {
+          val e = intercept[Exception](g.query("select * from ft").collect())
+          assert(e.getMessage.contains("cardinality"), s"#$scenario: ${e.getMessage}")
+        } else {
+          // model
+          val kept = target.flatMap { case (k, v, n) =>
+            srcByKey.get(k).map(_.head) match {
+              case Some((_, v2, bump)) =>
+                if (useMUp && bump > c1) Some((k, v2, n + bump))
+                else if (useMDel) None
+                else Some((k, v, n))
+              case None =>
+                if (useBDel && n > c3) None
+                else if (useBUp) Some((k, v, n + 1))
+                else Some((k, v, n))
+            }
+          }
+          val tKeys = target.map(_._1).toSet
+          val inserted = source.filter(s => !tKeys.contains(s._1)).flatMap {
+            case (k, v2, bump) =>
+              if (useIns && bump > c2) Some((k, v2, -1L)) else None // n NULL
+          }
+          val got = g.query("select k, v, n from ft").collect()
+            .map(r => (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) -1L else r.getLong(2)))
+            .sorted.toSeq
+          val expected = (kept ++ inserted).sorted
+          assert(got == expected,
+            s"#$scenario clauses=${clauses.mkString("; ")}\n got=$got\n exp=$expected")
+        }
+      }
+    }
+  }
+
   test("INSERT INTO with a column list fills unlisted columns with NULL (r8)") {
     val g = fresh
     g.query("create table i0 as select * from (values " +
