@@ -199,6 +199,76 @@ object TextAnalysis {
     "window", "stream", "table", "batch", "value", "scan", "sort",
     "quer", "tab", "win", "val", "a", "e", "s", "t", " ")
 
+  /** Learns a BPE merge vocabulary from the corpus (r8): classic
+    * byte-pair encoding over the WORD-FREQUENCY table — iteratively
+    * merge the most frequent adjacent symbol pair, ties broken
+    * lexicographically (fully deterministic, engine-replayable).
+    *
+    * Scale shape: ONE distributed job — tokenize + word counts (a
+    * (word) two-phase aggregation) + top-`maxWordTypes` by (count,
+    * word) — then the merge loop runs DRIVER-LOCAL over that bounded
+    * table (the pqTrain pattern: training state is vocabulary-sized
+    * by construction, never corpus-sized; 100k word types × merge
+    * rounds is milliseconds). No per-merge Spark jobs — a
+    * distributed pair-count per merge would pay `numMerges` job
+    * floors for data that fits in one partition.
+    *
+    * Returns (base single characters ++ merged subwords in merge
+    * order) — a ready vocab for the [[bpeCount]]/[[bpeTokens]]
+    * greedy MaxMatch encoder. (Greedy longest-match is the standard
+    * WordPiece-style inference; it does not replay merge ORDER like
+    * a strict BPE encoder, which is fine for the token-budget use —
+    * the counts are deterministic either way.) */
+  def learnBpeVocab(docs: DataFrame, numMerges: Int,
+                    maxWordTypes: Int = 100000): Seq[String] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val wordFreq: Array[(String, Long)] = docs
+      .selectExpr("explode(graft_word_ngrams(lower(text), 1)) as w")
+      .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+      .orderBy(F.col("c").desc, F.col("w").asc)
+      .limit(maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-local BPE: words as symbol sequences
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[String]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        val merged = best._1 + best._2
+        merges += merged
+        words = words.map { case (syms, c) =>
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 &&
+                syms(j + 1) == best._2) { out += merged; j += 2 }
+            else { out += syms(j); j += 1 }
+          }
+          (out.result(), c)
+        }
+        i += 1
+      }
+    }
+    val baseChars = wordFreq.iterator.flatMap(_._1.iterator)
+      .map(_.toString).toSeq.distinct.sorted
+    (baseChars ++ merges.result()).distinct
+  }
+
   /** Top-k salient terms per document by a TF-IDF-style score.
     *
     * Shape at scale: the token explode is a flatMap (no shuffle); term

@@ -1234,6 +1234,25 @@ class OpsSpec extends SparkTestBase {
       .selectExpr("graft_bpe_count(t, array(t))").collect())
   }
 
+  test("learnBpeVocab: hand-computed merge sequence, determinism, encoder fit") {
+    import spark.implicits._
+    // word freqs: aaab x3, aab x2. Pair counts: (a,a)=8, (a,b)=5 ->
+    // merge aa; then (a,b)=3 ties (aa,a)=3, lexicographic tiebreak
+    // picks (a,b) -> ab; then (aa,ab)=3 beats (aa,b)=2 -> aaab.
+    val docs = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val v = TextAnalysis.learnBpeVocab(docs, 3)
+    assert(v == Seq("a", "b", "aa", "ab", "aaab"), v)
+    // numMerges beyond exhaustion stops cleanly
+    assert(TextAnalysis.learnBpeVocab(docs, 100).contains("aab"))
+    // the learned vocab drives the encoder: "aaab" is ONE token
+    val cnt = TextAnalysis.bpeCount(docs, v).collect()(0).getLong(1)
+    assert(cnt == 3 + 2 * 2 + 4, cnt) // 3x aaab(1) + 2x aab(aa+b) + 4 spaces
+    // corpus run is deterministic call-to-call
+    val a1 = TextAnalysis.learnBpeVocab(documents.limit(200), 10)
+    val a2 = TextAnalysis.learnBpeVocab(documents.limit(200), 10)
+    assert(a1 == a2 && a1.nonEmpty)
+  }
+
   test("packSequences consumes BPE counts as the token budget") {
     val counts = TextAnalysis.bpeCount(documents.limit(100),
       TextAnalysis.DemoVocab)
