@@ -77,14 +77,25 @@ final class Graft(val spark: SparkSession) {
     ("""(?is)^\s*insert\s+into\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """\s*(?:\(([^)]*)\)\s*)?""" +
      """\s*(select\s+.*|values\s*\(.*|with\s+.*)\s*;?\s*$""").r
+  // DELETE ... USING (r9): the PostgreSQL join-delete form — target
+  // rows with ANY source row satisfying WHERE are dropped (semi
+  // semantics; multi-match is inherently fine, no cardinality guard)
+  private val DeleteUsingRe =
+    ("""(?is)^\s*delete\s+from\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """(?:\s+(?:as\s+)?(?!using\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
+     """\s+using\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """(?:\s+(?:as\s+)?(?!where\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
+     """\s+where\s+(.*?)\s*;?\s*$""").r
   private val DeleteRe =
     ("""(?is)^\s*delete\s+from\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """\s+where\s+(.*?)\s*;?\s*$""").r
   // the SET-list / WHERE split happens with the keyword scanner, not
   // the regex — a string literal containing ' where ' inside an
-  // assignment must not split (r7 ADVICE)
+  // assignment must not split (r7 ADVICE). A top-level FROM after the
+  // SET list routes to the r9 UPDATE ... FROM join form.
   private val UpdateRe =
     ("""(?is)^\s*update\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """(?:\s+(?:as\s+)?(?!set\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
      """\s+set\s+(.*?)\s*;?\s*$""").r
 
   private def status(kind: String, name: String): DataFrame = {
@@ -167,6 +178,21 @@ final class Graft(val spark: SparkSession) {
           registerTable(name, target.unionByName(filled))
       }
       status("inserted", name.toLowerCase)
+    case DeleteUsingRe(tq, tb, tAl, sq, sb, sAl, cond) =>
+      val tName = Option(tq).getOrElse(tb)
+      val sName = Option(sq).getOrElse(sb)
+      lookup(tName); lookup(sName)
+      val tA = Option(tAl).getOrElse(tName)
+      val sA = Option(sAl).getOrElse(sName)
+      // the anti of the semi: keep target rows with NO source row
+      // satisfying the condition. The correlated-EXISTS machinery
+      // decorrelates equality conjuncts into one key anti-join;
+      // multi-match needs no guard (no expression reads the source
+      // row) — PostgreSQL's semantics exactly.
+      registerTable(tName, translateOnly(
+        s"""select * from "$tName" as $tA where not exists """ +
+        s"""(select 1 from "$sName" as $sA where ($cond))"""))
+      status("deleted", tName.toLowerCase)
     case DeleteRe(q, b, pred) =>
       val name = Option(q).getOrElse(b)
       lookup(name)
@@ -176,9 +202,18 @@ final class Graft(val spark: SparkSession) {
       registerTable(name, translateOnly(
         s"select * from $name where not coalesce(($pred), false)"))
       status("deleted", name.toLowerCase)
-    case UpdateRe(q, b, tail) =>
+    case UpdateRe(q, b, tAl, tail) =>
       val name = Option(q).getOrElse(b)
       val target = lookup(name)
+      // a top-level FROM ends the SET list and routes to the r9
+      // join-update form (PostgreSQL UPDATE ... FROM)
+      topLevelKeyword(tail, "from") match {
+        case i :: _ =>
+          return updateFromStatement(name, Option(tAl),
+            tail.substring(0, i).trim,
+            tail.substring(i + "from".length))
+        case Nil =>
+      }
       // scanner-based SET/WHERE split: the first top-level WHERE
       // keyword outside strings/parens ends the assignment list
       val (setList, pred) = topLevelKeyword(tail, "where") match {
@@ -298,6 +333,94 @@ final class Graft(val spark: SparkSession) {
     out.result()
   }
 
+  /** Repeatedly strips a balanced outer paren pair: `((a = b))` →
+    * `a = b`; leaves `(a) and (b)` alone. */
+  private def stripParens(s0: String): String = {
+    var s = s0.trim; var go = true
+    while (go && s.startsWith("(") && s.endsWith(")")) {
+      var depth = 0; var whole = true; var inStr = false; var i = 0
+      while (i < s.length - 1) {
+        val ch = s.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '('  => depth += 1
+          case ')'  => depth -= 1; if (depth == 0) whole = false
+          case _    =>
+        }
+        i += 1
+      }
+      if (whole) s = s.substring(1, s.length - 1).trim else go = false
+    }
+    s
+  }
+
+  /** Splits `c` at its single top-level '=' (outside strings/parens,
+    * not part of <= >= !=); None when there isn't exactly one. */
+  private def topLevelEq(c: String): Option[(String, String)] = {
+    val out = List.newBuilder[Int]
+    var depth = 0; var inStr = false; var inId = false; var i = 0
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else if (inId) { if (ch == '"') inId = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '"'  => inId = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case '=' if depth == 0 =>
+          val prev = if (i > 0) c.charAt(i - 1) else ' '
+          if (prev != '<' && prev != '>' && prev != '!') out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.result() match {
+      case p :: Nil => Some((c.substring(0, p).trim, c.substring(p + 1).trim))
+      case _        => None
+    }
+  }
+
+  /** Which join frames does an expression text reference?
+    * (refsTarget, refsSource). Qualified refs decide by qualifier;
+    * bare idents (not function calls) by which frame carries the
+    * column — a bare ref living in both frames must qualify (loud). */
+  private def sidesOfExpr(e: String, tQuals: Set[String],
+                          sQuals: Set[String], tCols: Array[String],
+                          sCols: Array[String]): (Boolean, Boolean) = {
+    var t = false; var s2 = false
+    var i = 0; val n = e.length; var inStr = false
+    while (i < n) {
+      val ch = e.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else if (ch == '\'') { inStr = true; i += 1 }
+      else if (ch.isLetter || ch == '_') {
+        val st = i
+        while (i < n && isIdentChar(e.charAt(i))) i += 1
+        val id = e.substring(st, i)
+        val qualified = i < n && e.charAt(i) == '.' && i + 1 < n &&
+          (e.charAt(i + 1).isLetter || e.charAt(i + 1) == '_')
+        if (qualified && tQuals.contains(id.toLowerCase)) {
+          t = true; i += 1
+          while (i < n && isIdentChar(e.charAt(i))) i += 1
+        } else if (qualified && sQuals.contains(id.toLowerCase)) {
+          s2 = true; i += 1
+          while (i < n && isIdentChar(e.charAt(i))) i += 1
+        } else if (!qualified && !(i < n && e.charAt(i) == '(')) {
+          val inT = tCols.exists(_.equalsIgnoreCase(id))
+          val inS = sCols.exists(_.equalsIgnoreCase(id))
+          if (inT && inS)
+            fail(s"bare column '$id' exists in both the target and the " +
+              "source frame — qualify it (t.col / s.col)")
+          if (inT) t = true
+          if (inS) s2 = true
+        }
+      } else i += 1
+    }
+    (t, s2)
+  }
+
   /** Split `s` into segments around top-level occurrences of `kw`
     * (the keyword itself is dropped). */
   private def splitKeyword(s: String, kw: String): Seq[String] = {
@@ -365,18 +488,96 @@ final class Graft(val spark: SparkSession) {
   private final case class MergeClause(cat: Int, cond: Option[String],
                                        act: MergeAction)
 
-  /** MERGE INTO lowering (r8 general form). The registry holds LAZY
-    * plans, so the statement re-registers a composed plan. Semantics
-    * follow the standard + Delta:
+  /** UPDATE ... FROM (r9): the PostgreSQL join-update form, lowered
+    * through the MERGE target-leg machinery. WHERE conjuncts are
+    * classified: target=source equalities become the MERGE ON keys
+    * (at least one required); source-only conjuncts PRE-FILTER the
+    * source (so the >1-match guard never fires on source rows the
+    * condition excludes — closer to PostgreSQL, and a smaller join);
+    * everything else rides WHEN MATCHED AND. Multi-match after the
+    * pre-filter raises MERGE's cardinality violation — STRICTER than
+    * PostgreSQL, which silently applies an arbitrary matching row. */
+  private def updateFromStatement(tName: String, tAlias: Option[String],
+                                  setList: String,
+                                  fromTail: String): DataFrame = {
+    val target = lookup(tName)
+    val FromRe =
+      ("""(?is)^\s*(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+       """(?:\s+(?:as\s+)?([a-zA-Z_][a-zA-Z0-9_]*))?\s*$""").r
+    val (fromPart, cond) = topLevelKeyword(fromTail, "where") match {
+      case Nil => fail("UPDATE ... FROM requires a WHERE with at least " +
+        "one target=source equality conjunct (the join key)")
+      case i :: _ => (fromTail.substring(0, i),
+                      fromTail.substring(i + "where".length).trim)
+    }
+    val (sName, sAlias) = fromPart.trim match {
+      case FromRe(q2, b2, al) => (Option(q2).getOrElse(b2), Option(al))
+      case other => fail("UPDATE ... FROM supports a single table " +
+        "source (stage derived sources in a view or use MERGE USING " +
+        s"(subquery)), got: $other")
+    }
+    val source = lookup(sName)
+    val tQuals = Set(tName.toLowerCase) ++ tAlias.map(_.toLowerCase)
+    val sQuals = Set(sName.toLowerCase) ++ sAlias.map(_.toLowerCase)
+    val onKeys = Seq.newBuilder[String]
+    val srcOnly = Seq.newBuilder[String]
+    val residual = Seq.newBuilder[String]
+    splitKeyword(cond, "and").map(stripParens).foreach { c =>
+      val isKey = topLevelEq(c).exists { case (l, r) =>
+        val (lt, ls) =
+          sidesOfExpr(l, tQuals, sQuals, target.columns, source.columns)
+        val (rt, rs) =
+          sidesOfExpr(r, tQuals, sQuals, target.columns, source.columns)
+        (lt && !ls && rs && !rt) || (ls && !lt && rt && !rs)
+      }
+      if (isKey) onKeys += c
+      else {
+        val (t2, s2) =
+          sidesOfExpr(c, tQuals, sQuals, target.columns, source.columns)
+        if (s2 && !t2) srcOnly += c else residual += c
+      }
+    }
+    val keys = onKeys.result()
+    if (keys.isEmpty)
+      fail("UPDATE ... FROM requires at least one target=source " +
+        "equality conjunct in WHERE (the join key)")
+    val res = residual.result()
+    val andTxt =
+      if (res.isEmpty) "" else s" and ${res.map(c => s"($c)").mkString(" and ")}"
+    val restTxt =
+      s"${keys.mkString(" and ")} when matched$andTxt then update set $setList"
+    val srcConds = srcOnly.result()
+    if (srcConds.isEmpty)
+      mergeStatement(tName, tAlias, sName, sAlias, restTxt)
+    else {
+      val sEff = sAlias.getOrElse(sName)
+      val tmp = "__upd_src"
+      registerTable(tmp, translateOnly(
+        s"""select * from "$sName" as $sEff where """ +
+        srcConds.map(c => s"($c)").mkString(" and ")))
+      try mergeStatement(tName, tAlias, tmp, Some(sEff), restTxt)
+      finally removeTable(tmp)
+    }
+    status("updated", tName.toLowerCase)
+  }
+
+  /** MERGE INTO lowering (r8 general form; r9 generalizes ON to
+    * differently-named and expression equality keys). The registry
+    * holds LAZY plans, so the statement re-registers a composed plan.
+    * Semantics follow the standard + Delta:
     *  - WHEN clauses evaluate per row IN ORDER; the first clause of
     *    the row's category whose condition holds applies; no clause →
     *    the target row is kept unchanged / the source row is ignored.
     *  - A target row matching MORE THAN ONE source row while any
     *    MATCHED clause exists is a cardinality violation (SQL:2016)
-    *    — enforced LAZILY via a raise_error branch on the match flag,
-    *    so the plan stays unexecuted at statement time and errors at
-    *    first action (r7 ADVICE: the old whole-row path silently
-    *    duplicated).
+    *    — enforced LAZILY via a raise_error FILTER over the joined
+    *    frame (r8 ADVICE: a projected guard column was pruned away by
+    *    queries not reading an assigned column), so the plan stays
+    *    unexecuted at statement time and errors at first action.
+    *    The guard fires whenever ANY matched clause exists, even if
+    *    no clause condition applies to the >1-matched row —
+    *    SQL:2016's blunter reading, stricter than Delta's
+    *    "would-be-modified" rule.
     *  - A non-last clause of a category without an AND condition
     *    shadows everything after it — rejected loudly (Delta's rule).
     *
@@ -398,19 +599,74 @@ final class Graft(val spark: SparkSession) {
     val tQuals = Set(tName.toLowerCase) ++ tAlias.map(_.toLowerCase)
     val sQuals = Set(sName.toLowerCase) ++ sAlias.map(_.toLowerCase)
 
-    // ON must be equality conjuncts on SAME-NAMED key columns
-    // (t.k = s.k) — the keyed-maintenance contract; anything else
-    // is loud. Split on the keyword scanner (an AND inside a quoted
-    // string cannot mis-split — r7 ADVICE).
-    val keys = splitKeyword(onCond, "and").map { c =>
-      val m = """(?is)^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$"""
-        .r.findFirstMatchIn(c).getOrElse(fail(
-          s"MERGE ON supports same-named key equalities only, got: $c"))
-      if (!m.group(2).equalsIgnoreCase(m.group(4)))
-        fail("MERGE ON supports same-named key equalities only " +
-          s"(got ${m.group(2)} = ${m.group(4)})")
-      m.group(2).toLowerCase
+    // ON: equality conjuncts, each comparing a TARGET-side expression
+    // with a SOURCE-side expression (r9: differently-named columns —
+    // `t.id = s.src_id` — and expression keys — `t.k = s.k + 1` —
+    // join through computed key columns; same-named bare keys keep
+    // working). Non-equality conjuncts stay loud: the keyed-
+    // maintenance lowering needs hash-joinable keys, residual
+    // predicates belong in WHEN ... AND. Split on the keyword
+    // scanner (an AND inside a quoted string cannot mis-split).
+    def qq(c: String) = "\"" + c + "\""
+    def eqSplit(c: String): (String, String) =
+      topLevelEq(c).getOrElse(
+        fail("MERGE ON supports equality conjuncts only " +
+          s"(target expr = source expr), got: $c"))
+    def sidesOf(e: String): (Boolean, Boolean) =
+      sidesOfExpr(e, tQuals, sQuals, target.columns, source.columns)
+    val BareId = """(?is)^\s*(\w+)\s*$""".r
+    // keys: (target-frame expr text, source-frame expr text)
+    val keys: Seq[(String, String)] =
+      splitKeyword(onCond, "and").map(stripParens).map { c =>
+        val (lhs, rhs) = eqSplit(c)
+        (lhs, rhs) match {
+          // legacy same-named bare key (`ON k = k`): both sides read
+          // the like-named column of their own frame
+          case (BareId(a), BareId(b)) if a.equalsIgnoreCase(b) &&
+              target.columns.exists(_.equalsIgnoreCase(a)) &&
+              source.columns.exists(_.equalsIgnoreCase(a)) =>
+            (qq(target.columns.find(_.equalsIgnoreCase(a)).get),
+             qq(source.columns.find(_.equalsIgnoreCase(a)).get))
+          case _ =>
+            val (lt, ls) = sidesOf(lhs)
+            val (rt, rs) = sidesOf(rhs)
+            val (tTxt, sTxt) =
+              if (lt && !ls && rs && !rt) (lhs, rhs)
+              else if (ls && !lt && rt && !rs) (rhs, lhs)
+              else fail("MERGE ON equality must compare a target-side " +
+                "expression with a source-side expression " +
+                s"(one frame per side), got: $c")
+            (rewriteRefs(tTxt, tQuals, sQuals, target.columns,
+               source.columns, qq,
+               _ => fail("MERGE ON: source ref on the target side")),
+             rewriteRefs(sTxt, tQuals, sQuals, target.columns,
+               source.columns,
+               _ => fail("MERGE ON: target ref on the source side"), qq))
+        }
+      }
+    val tKeyNs = keys.indices.map(i => s"__t_key_$i")
+    val sKeyNs = keys.indices.map(i => s"__s_key_$i")
+    // computed key columns ride each frame through the dialect; the
+    // final projections select only the target's columns, so the key
+    // columns never surface
+    def attachKeys(df: DataFrame, base: String, exprs: Seq[String],
+                   names: Seq[String]): DataFrame = {
+      val tmp = s"__merge_keys_$base"
+      registerTable(tmp, df)
+      try {
+        val cols = df.columns.map(qq).mkString(", ")
+        val ks = exprs.zip(names)
+          .map { case (e, n2) => s"($e) as ${qq(n2)}" }.mkString(", ")
+        translateOnly(s"select $cols, $ks from $tmp")
+      } finally removeTable(tmp)
     }
+    val targetK = attachKeys(target, "t", keys.map(_._1), tKeyNs)
+    val sourceK = attachKeys(source, "s", keys.map(_._2), sKeyNs)
+    def keyCond: org.apache.spark.sql.Column =
+      tKeyNs.zip(sKeyNs).map { case (a, b) =>
+        org.apache.spark.sql.functions.col(a) ===
+          org.apache.spark.sql.functions.col(b)
+      }.reduce(_ && _)
 
     // ---- parse the WHEN clauses
     val segs = (whenPos :+ body.length).sliding(2).map { w =>
@@ -526,30 +782,32 @@ final class Graft(val spark: SparkSession) {
           if (matchedCls.nonEmpty) {
             // full source columns ride the join; the per-key count
             // (window on the join's own shuffle key) feeds the lazy
-            // cardinality guard on the match flag
-            val sRen = source.select(
+            // cardinality guard. The guard rides a FILTER, not a
+            // projected column (r8 ADVICE): column pruning removes
+            // projections a downstream query doesn't read, but never
+            // a filter — `select count(*) from t` still trips it.
+            // Semantics note: it raises whenever a matched target row
+            // has >1 source matches and ANY MATCHED clause exists,
+            // even if no clause condition applies to that row —
+            // SQL:2016's blunter reading, stricter than Delta.
+            val sRen = sourceK.select(
               source.columns.toSeq.map(c =>
-                F.col(c).as("__s_" + c.toLowerCase)) :+
-              F.lit(1).as("__s_exists0"): _*)
-            val wk = Window.partitionBy(keys.map(k => F.col("__s_" + k)): _*)
+                F.col(c).as("__s_" + c.toLowerCase)) ++
+              sKeyNs.map(F.col) :+
+              F.lit(1).as("__s_exists"): _*)
+            val wk = Window.partitionBy(sKeyNs.map(F.col): _*)
             val sCnt = sRen.withColumn("__s_cnt", F.count(F.lit(1)).over(wk))
-            val cond = keys.map(k => F.col(k) === F.col("__s_" + k))
-              .reduce(_ && _)
-            target.join(sCnt, cond, "left_outer")
-              .withColumn("__s_exists",
-                F.when(F.col("__s_cnt") > 1, F.raise_error(F.lit(
+            targetK.join(sCnt, keyCond, "left_outer")
+              .filter(F.when(F.col("__s_cnt") > 1, F.raise_error(F.lit(
                   "MERGE cardinality violation: a target row matches " +
-                  "more than one source row")).cast("int"))
-                 .otherwise(F.col("__s_exists0")))
+                  "more than one source row")).cast("boolean"))
+                .otherwise(F.lit(true)))
           } else {
             // no matched clause → only the existence flag is needed;
             // a distinct key join cannot multiply target rows
-            val sKeys = source.select(keys.map(F.col): _*).distinct()
-              .select(keys.map(k => F.col(k).as("__s_" + k)) :+
-                F.lit(1).as("__s_exists"): _*)
-            val cond = keys.map(k => F.col(k) === F.col("__s_" + k))
-              .reduce(_ && _)
-            target.join(sKeys, cond, "left_outer")
+            val sKeys = sourceK.select(sKeyNs.map(F.col): _*).distinct()
+              .withColumn("__s_exists", F.lit(1))
+            targetK.join(sKeys, keyCond, "left_outer")
           }
         // compose the per-column CASE projection through the graft
         // dialect (conditions/exprs are user dialect text)
@@ -605,8 +863,10 @@ final class Graft(val spark: SparkSession) {
     val insertLeg: Option[DataFrame] =
       if (insertCls.isEmpty) None
       else {
-        val notMatched = source.join(
-          target.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+        val notMatched = sourceK.join(
+            targetK.select(tKeyNs.map(F.col): _*).distinct(),
+            keyCond, "left_anti")
+          .select(source.columns.toSeq.map(F.col): _*)
         val tmp = s"__merge_src_${sName.toLowerCase}"
         registerTable(tmp, notMatched)
         try {

@@ -99,9 +99,18 @@ case class ExcludeAgg(lst: Expression, cur: Expression, mode: String,
     val it =
       if (!distinct) vals.iterator()
       else {
+        // JVM equality separates -0.0 from 0.0, Catalyst's
+        // array_distinct (the HOF fallback path) unifies them —
+        // normalize so both lowerings dedupe identically (r8 ADVICE)
         val seen = new java.util.LinkedHashSet[Any](vals.size * 2)
         val vi = vals.iterator()
-        while (vi.hasNext) seen.add(vi.next())
+        while (vi.hasNext) seen.add(vi.next() match {
+          case d: java.lang.Double if d.doubleValue == 0.0d =>
+            java.lang.Double.valueOf(0.0d)
+          case f: java.lang.Float if f.floatValue == 0.0f =>
+            java.lang.Float.valueOf(0.0f)
+          case v => v
+        })
         seen.iterator()
       }
     func match {

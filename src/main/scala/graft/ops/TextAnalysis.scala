@@ -187,8 +187,12 @@ object TextAnalysis {
       s"graft_bpe_tokens(lower(text), ${vocabLit(vocab)}) as toks")
   }
 
+  // Spark SQL's lexer treats '' as two ADJACENT literals concatenated
+  // ('don''t' → 'dont'), not an escaped quote — backslash-escape
+  // instead (r8 ADVICE; escapedStringLiterals=false default).
   private def vocabLit(vocab: Seq[String]): String =
-    vocab.map(v => "'" + v.replace("'", "''") + "'")
+    vocab.map(v => "'" +
+        v.replace("\\", "\\\\").replace("'", "\\'") + "'")
       .mkString("array(", ", ", ")")
 
   /** A demonstration subword vocab over the synthetic corpus'

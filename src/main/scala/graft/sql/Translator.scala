@@ -1020,6 +1020,85 @@ final class Translator(catalog: String => DataFrame,
       "direction)"))
     val backward = op == ">=" || op == ">"
     val inclusive = op == ">=" || op == "<="
+    // r9 (r8 ADVICE): the band lowers as a POST-MATCH filter, which
+    // is only sound when the bound is monotone toward the match
+    // direction — if the NEAREST row fails it, every FARTHER row
+    // must fail it too. Enforce, instead of trusting the comment:
+    //  (a) right-side refs in the band must be the right TIME column
+    //      (any other right column cannot be post-filtered — its
+    //      value on farther rows is unconstrained);
+    //  (b) the band must reference the left side too (a right-only
+    //      predicate is a plain pre-filter — subquery the right side);
+    //  (c) the right-time occurrences must sit in a +/- linear
+    //      context with one consistent sign, and the comparison
+    //      direction must make the predicate monotone-safe for the
+    //      join direction (backward: non-decreasing in right-time;
+    //      forward: non-increasing).
+    band.foreach { b0 =>
+      val rtName = rt.asInstanceOf[ColRef].name.toLowerCase
+      def isRightRef(c: ColRef): Boolean = c match {
+        case ColRef(Some(q2), _) => rAl.contains(q2.toLowerCase)
+        case ColRef(None, n) =>
+          rColsLc.contains(n.toLowerCase) && !lColsLc.contains(n.toLowerCase)
+      }
+      def rightRefs(e: Expr): Seq[ColRef] = e match {
+        case c: ColRef if isRightRef(c) => Seq(c)
+        case other => Ast.children(other).flatMap(rightRefs)
+      }
+      def refsLeft(e: Expr): Boolean = e match {
+        case ColRef(Some(q2), _) => lAl.contains(q2.toLowerCase)
+        case ColRef(None, n)     => lColsLc.contains(n.toLowerCase)
+        case other => Ast.children(other).exists(refsLeft)
+      }
+      rightRefs(b0).find(_.name.toLowerCase != rtName).foreach { c =>
+        fail("ASOF JOIN tolerance bound may reference the right side " +
+          s"only through its time column '${rt.asInstanceOf[ColRef].name}'" +
+          s" (got '${c.name}') — filter other right-side predicates in " +
+          "a subquery over the right table")
+      }
+      if (!refsLeft(b0))
+        fail("ASOF JOIN tolerance bound must reference both sides — a " +
+          "right-only predicate belongs in a subquery filtering the " +
+          "right side (post-match filtering cannot recover rows it " +
+          "would exclude)")
+      val Cmp(bop, ba, bb) = (b0: @unchecked)
+      val (e0, x0, cop) =
+        if (rightRefs(ba).nonEmpty) (ba, bb, bop)
+        else (bb, ba, Map(">=" -> "<=", ">" -> "<",
+                          "<=" -> ">=", "<" -> ">")(bop))
+      if (rightRefs(x0).nonEmpty)
+        fail("ASOF JOIN tolerance bound must keep the right time " +
+          "column on ONE side of the comparison")
+      // sign of each right-time occurrence through +/-/neg/cast; an
+      // occurrence under any other operator is non-monotone → None
+      def signs(e: Expr, s: Int): Seq[Option[Int]] = e match {
+        case c: ColRef if isRightRef(c) => Seq(Some(s))
+        case Arith("+", a2, b2) => signs(a2, s) ++ signs(b2, s)
+        case Arith("-", a2, b2) => signs(a2, s) ++ signs(b2, -s)
+        case Neg(e2)            => signs(e2, -s)
+        case Cast(e2, _, _)     => signs(e2, s)
+        case other =>
+          Ast.children(other).flatMap(signs(_, s)).map(_ => None)
+      }
+      val occ = signs(e0, 1)
+      val sgn =
+        if (occ.nonEmpty && occ.forall(_.contains(1))) Some(1)
+        else if (occ.nonEmpty && occ.forall(_.contains(-1))) Some(-1)
+        else None
+      val safe = sgn.exists { s =>
+        // `E <= X` with E increasing in right-time (s>0) is
+        // non-increasing in right-time; farther rows are SMALLER
+        // right-times backward / LARGER forward
+        val nonIncreasing = (cop == "<=" || cop == "<") == (s > 0)
+        if (backward) !nonIncreasing else nonIncreasing
+      }
+      if (!safe)
+        fail("ASOF JOIN tolerance bound must bound the match distance " +
+          "from above (monotone toward the join direction); a bound a " +
+          "farther row could satisfy when the nearest row fails cannot " +
+          "lower as a post-match filter — pre-filter the right side " +
+          "in a subquery instead")
+    }
     val kNs = eqs.indices.map(i => s"__asof_k$i")
     val tN = "__asof_t"; val sN = "__asof_side"; val mN = "__asof_m"
     var r2 = rf.select(eqs.map(_._2).zip(kNs).map { case (e, n) =>
@@ -3677,7 +3756,13 @@ final class Translator(catalog: String => DataFrame,
       if (setExprRefers(sub, taboo))
         fail(s"correlated $what predicates may not nest CORRELATED " +
           "subqueries inside a non-conjunct correlation")
-      val subDf = translate(sub)
+      // translate(sub) may recursively enter corrSplitG, whose entry
+      // hygiene clears genHoists — save/restore so a pending sibling
+      // hoist survives the nested translation (r8 ADVICE)
+      val savedHoists = genHoists.toList
+      val subDf =
+        try translate(sub)
+        finally { genHoists.clear(); genHoists ++= savedHoists }
       if (subDf.columns.length != 1)
         fail("scalar subquery requires a single-column subquery")
       val nm = s"__nsc_${genHoists.size}"

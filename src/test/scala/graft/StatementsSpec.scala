@@ -144,7 +144,7 @@ class StatementsSpec extends SparkTestBase {
     // walls: theta ON, shadowed unconditional clause, matched INSERT
     val e1 = intercept[RuntimeException](g.query(
       "merge into t1 using s0 on t1.k > s0.k when matched then delete"))
-    assert(e1.getMessage.contains("same-named key equalities"))
+    assert(e1.getMessage.contains("equality conjuncts only"), e1.getMessage)
     val e3 = intercept[RuntimeException](g.query(
       """merge into t1 using s0 on t1.k = s0.k
          when matched then update set *
@@ -235,6 +235,115 @@ class StatementsSpec extends SparkTestBase {
     assert(!g.tableNames.contains("__merge_using_sub"))
   }
 
+  test("MERGE ON: renamed keys, expression keys, guard survives pruning (r9)") {
+    val g = fresh
+    g.query("create view t0 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)) t(id, v, n)")
+    // source keys under a DIFFERENT name (the staging-table shape)
+    g.query("create view sr as select * from (values " +
+      "(2, 'B'), (4, 'D')) t(src_id, v2)")
+    def rows(name: String): Map[Long, String] =
+      g.query(s"select id, v from $name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    g.query("create or replace table r1 as select * from t0")
+    g.query("""merge into r1 using sr on r1.id = sr.src_id
+               when matched then update set v = sr.v2
+               when not matched then insert (id, v) values (sr.src_id, sr.v2)""")
+    assert(rows("r1") == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"),
+      rows("r1"))
+    // bare differently-named keys (each name lives in ONE frame only)
+    g.query("create or replace table r2 as select * from t0")
+    g.query("""merge into r2 using sr on id = src_id
+               when matched then delete""")
+    assert(rows("r2").keySet == Set(1L, 3L))
+    // EXPRESSION key: match target ids against shifted source keys
+    g.query("create view se as select * from (values " +
+      "(1, 'X'), (3, 'Y')) t(src_id, v2)")
+    g.query("create or replace table r3 as select * from t0")
+    g.query("""merge into r3 using se on r3.id = se.src_id + 1
+               when matched then update set v = se.v2""")
+    assert(rows("r3") == Map(1L -> "a", 2L -> "X", 3L -> "c"), rows("r3"))
+    // walls: one-frame-per-side, ambiguous bare column
+    val e1 = intercept[RuntimeException](g.query(
+      """merge into r3 using se on r3.id = r3.n when matched then delete"""))
+    assert(e1.getMessage.contains("one frame per side"), e1.getMessage)
+    g.query("create view samev as select * from (values (1, 'x')) t(id, w)")
+    val e2 = intercept[RuntimeException](g.query(
+      """merge into r3 using samev on id = samev.w
+         when matched then delete"""))
+    assert(e2.getMessage.contains("qualify"), e2.getMessage)
+    // r8 ADVICE: the cardinality guard must survive column pruning —
+    // a query reading NO assigned column (count(*), key-only) still
+    // trips it
+    g.query("create or replace table r4 as select * from t0")
+    g.query("create view sdup3 as select * from (values " +
+      "(2, 'x'), (2, 'y')) t(src_id, v2)")
+    g.query("""merge into r4 using sdup3 on r4.id = sdup3.src_id
+               when matched then update set v = sdup3.v2""")
+    val e3 = intercept[Exception](
+      g.query("select count(*) as c from r4").collect())
+    assert(e3.getMessage.contains("cardinality"), e3.getMessage)
+    val e4 = intercept[Exception](
+      g.query("select id from r4").collect())
+    assert(e4.getMessage.contains("cardinality"), e4.getMessage)
+  }
+
+  test("UPDATE ... FROM and DELETE ... USING (r9)") {
+    val g = fresh
+    g.query("create view t0 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40)) t(k, v, n)")
+    g.query("create view stage as select * from (values " +
+      "(2, 'B', 1, 5), (3, 'C', 0, 7), (4, 'D', 1, 100)) " +
+      "t(sk, sv, is_current, bump)")
+    def rows(name: String): Map[Long, (String, Long)] =
+      g.query(s"select k, v, n from $name").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // join-update: renamed key, source-only prefilter, mixed residual
+    //  k=2: sk=2 current, bump=5, n=20 > bump -> updated
+    //  k=3: sk=3 NOT current -> prefiltered out -> untouched
+    //  k=4: sk=4 current but n=40 < bump=100 -> residual false -> kept
+    g.query("create or replace table u1 as select * from t0")
+    g.query("""update u1 set v = stage.sv, n = u1.n + stage.bump
+               from stage
+               where u1.k = stage.sk and stage.is_current = 1
+                 and u1.n > stage.bump""")
+    assert(rows("u1") == Map(
+      1L -> (("a", 10L)), 2L -> (("B", 25L)),
+      3L -> (("c", 30L)), 4L -> (("d", 40L))), rows("u1"))
+    // multi-match AFTER the prefilter raises (MERGE's rule) ...
+    g.query("create view dup as select * from (values " +
+      "(2, 'x', 1), (2, 'y', 1)) t(sk, sv, is_current)")
+    g.query("create or replace table u2 as select * from t0")
+    g.query("update u2 set v = dup.sv from dup where u2.k = dup.sk")
+    val e1 = intercept[Exception](g.query("select * from u2").collect())
+    assert(e1.getMessage.contains("cardinality"), e1.getMessage)
+    // ... but a prefilter that makes the match unique does NOT raise
+    g.query("create view dup2 as select * from (values " +
+      "(2, 'x', 1), (2, 'y', 0)) t(sk, sv, is_current)")
+    g.query("create or replace table u3 as select * from t0")
+    g.query("""update u3 set v = dup2.sv from dup2
+               where u3.k = dup2.sk and dup2.is_current = 1""")
+    assert(rows("u3")(2L) == (("x", 20L)), rows("u3"))
+    // wall: no equality key
+    val e2 = intercept[RuntimeException](g.query(
+      "update u3 set v = 'z' from stage where u3.n > stage.bump"))
+    assert(e2.getMessage.contains("equality conjunct"), e2.getMessage)
+    // DELETE ... USING: semi semantics, multi-match fine, mixed conds
+    g.query("create or replace table d1 as select * from t0")
+    g.query("""delete from d1 using dup where d1.k = dup.sk""")
+    assert(rows("d1").keySet == Set(1L, 3L, 4L))
+    g.query("create or replace table d2 as select * from t0")
+    g.query("""delete from d2 using stage
+               where d2.k = stage.sk and stage.is_current = 1
+                 and d2.n < stage.bump""")
+    assert(rows("d2").keySet == Set(1L, 2L, 3L)) // only k=4 (40 < 100)
+    // aliased spelling + non-equi-only condition (nested-loop shape)
+    g.query("create or replace table d3 as select * from t0")
+    g.query("""delete from d3 as tt using stage s
+               where tt.n > s.bump * 5""")
+    assert(rows("d3").keySet == Set(1L, 2L)) // n=30,40 > bump(5)*5
+  }
+
   test("MERGE fuzz: 15 random clause matrices match a Scala-computed model (r8)") {
     // deterministic pseudo-random scenarios over integer-only data
     // (no 3VL edges — those are hand-pinned elsewhere); the model
@@ -256,13 +365,17 @@ class StatementsSpec extends SparkTestBase {
       def values(rows: Seq[(Long, Long, Long)], cols: String) =
         rows.map { case (a, b, c) => s"($a, $b, $c)" }
           .mkString("(values ", ", ", s") t($cols)")
+      // r9: every other scenario stages the source key under a
+      // DIFFERENT name — the renamed-key ON path must behave
+      // identically to the same-named one across the clause matrix
+      val sk = if (scenario % 2 == 0) "sk" else "k"
       g.query(s"create or replace table ft as select * from ${values(target, "k, v, n")}")
-      g.query(s"create or replace view fs as select * from ${values(source, "k, v2, bump")}")
+      g.query(s"create or replace view fs as select * from ${values(source, s"$sk, v2, bump")}")
       // clause pool: conditional forms first within each category
       val c1 = rnd.nextInt(40); val c2 = rnd.nextInt(60); val c3 = rnd.nextInt(50)
       val mUp = s"when matched and fs.bump > $c1 then update set v = fs.v2, n = n + fs.bump"
       val mDel = "when matched then delete"
-      val ins = s"when not matched and fs.bump > $c2 then insert (k, v) values (fs.k, fs.v2)"
+      val ins = s"when not matched and fs.bump > $c2 then insert (k, v) values (fs.$sk, fs.v2)"
       val bDel = s"when not matched by source and n > $c3 then delete"
       val bUp = "when not matched by source then update set n = n + 1"
       val useMUp = rnd.nextBoolean(); val useMDel = rnd.nextBoolean()
@@ -276,7 +389,7 @@ class StatementsSpec extends SparkTestBase {
         if (useBUp) Some(bUp) else None).flatten
       if (clauses.nonEmpty) {
         val anyMatched = useMUp || useMDel
-        val stmt = s"merge into ft using fs on ft.k = fs.k ${clauses.mkString(" ")}"
+        val stmt = s"merge into ft using fs on ft.k = fs.$sk ${clauses.mkString(" ")}"
         val srcByKey = source.groupBy(_._1)
         val violation = anyMatched &&
           target.exists(t => srcByKey.getOrElse(t._1, Nil).size > 1)
