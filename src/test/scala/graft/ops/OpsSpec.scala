@@ -1253,6 +1253,25 @@ class OpsSpec extends SparkTestBase {
     assert(a1 == a2 && a1.nonEmpty)
   }
 
+  test("bpe vocab entries with quotes/backslashes survive the SQL literal (r9)") {
+    import spark.implicits._
+    // Spark's lexer reads 'don''t' as TWO adjacent literals
+    // concatenated ('dont'), silently altering the vocab entry — the
+    // r8 ADVICE fix backslash-escapes instead
+    val docs = Seq((1L, "don't stop")).toDF("doc_id", "text")
+    val v = Seq("don't", "stop", "d", "o", "n", "t", "s", "p", "'", " ")
+    val toks = TextAnalysis.bpeTokens(docs, v).collect()(0)
+      .getSeq[String](1)
+    assert(toks.head == "don't", toks)
+    assert(toks == Seq("don't", " ", "stop"), toks)
+    // a backslash in a vocab entry round-trips too
+    val docs2 = Seq((1L, """a\b""")).toDF("doc_id", "text")
+    val v2 = Seq("""a\b""", "a", "b", "\\")
+    val toks2 = TextAnalysis.bpeTokens(docs2, v2).collect()(0)
+      .getSeq[String](1)
+    assert(toks2 == Seq("""a\b"""), toks2)
+  }
+
   test("packSequences consumes BPE counts as the token budget") {
     val counts = TextAnalysis.bpeCount(documents.limit(100),
       TextAnalysis.DemoVocab)

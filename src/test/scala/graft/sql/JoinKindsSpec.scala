@@ -135,16 +135,42 @@ class JoinKindsSpec extends SparkTestBase {
           on k = k2 and t >= t2 and t - t2 <= 4""").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(inner == Seq((1L, 12L, 10L)), inner.mkString(","))
-    // the band may reference non-time right columns via the match
-    val vband = graftSession.query(
+    // r9 (r8 ADVICE): a band referencing a NON-TIME right column is
+    // loud — post-match filtering cannot bound a farther row's other
+    // columns, so the r8 behavior (silently no-match when a farther
+    // row qualifies) was unsound
+    val eV = intercept[RuntimeException](graftSession.query(
       """select k, t, v from
           (values (1,12),(1,20)) a(k, t)
           asof left join
           (values (1,10,'x'),(1,15,'y')) b(k2, t2, v)
-          on k = k2 and t >= t2 and t - length(v) >= 12""").collect()
+          on k = k2 and t >= t2 and t - length(v) >= 12"""))
+    assert(eV.getMessage.contains("time column"), eV.getMessage)
+    // an equivalent REWRITTEN spelling of a safe bound still works
+    // (t2 >= t - 4 ⇔ t - t2 <= 4)
+    val rew = graftSession.query(
+      """select k, t, t2 from
+          (values (1,12),(1,20)) a(k, t)
+          asof left join
+          (values (1,10,'x'),(1,15,'y')) b(k2, t2, v)
+          on k = k2 and t >= t2 and t2 >= t - 4""").collect()
       .map(r => (r.getLong(1),
-        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
-    assert(vband == Seq((12L, null), (20L, "y")), vband.mkString(","))
+        if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1).toSeq
+    assert(rew == Seq((12L, 10L: java.lang.Long), (20L, null)),
+      rew.mkString(","))
+    // a MIN-distance bound (satisfiable by a FARTHER row when the
+    // nearest fails) cannot lower as a post-match filter — loud
+    val eMin = intercept[RuntimeException](graftSession.query(
+      """select 1 as one from
+          (values (1,12)) a(k, t) asof join (values (1,10)) b(k2, t2)
+          on k = k2 and t >= t2 and t - t2 >= 4"""))
+    assert(eMin.getMessage.contains("monotone"), eMin.getMessage)
+    // right-only bounds belong in a right-side subquery — loud
+    val eR = intercept[RuntimeException](graftSession.query(
+      """select 1 as one from
+          (values (1,12)) a(k, t) asof join (values (1,10)) b(k2, t2)
+          on k = k2 and t >= t2 and t2 >= 100"""))
+    assert(eR.getMessage.contains("both sides"), eR.getMessage)
     // left-only bounds belong in WHERE — loud
     val e = intercept[RuntimeException](graftSession.query(
       """select 1 as one from
