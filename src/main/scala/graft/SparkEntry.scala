@@ -41,6 +41,27 @@ object SparkEntry {
       "select l_orderkey, l_linenumber, l_quantity from lineitem where l_quantity between 10 and 12",
     "q_in_list" ->
       "select n_name from nation where n_name in ('CHINA', 'INDIA', 'FRANCE')",
+    // row-value comparisons (r9): graft desugars lexicographically,
+    // DuckDB compares the implicit struct field-wise — identical on
+    // the NON-NULL columns used here (null members diverge: struct
+    // equality treats NULL as a value, the standard says UNKNOWN —
+    // pinned in SqlSurfaceSpec, nulls stay out of shared oracles)
+    "q_row_cmp" ->
+      """select count(*) as n,
+           sum(case when (l_returnflag, l_linestatus) >= ('N', 'O')
+               then 1 else 0 end) as n_ge,
+           sum(case when (l_quantity, l_extendedprice) < (30.0, 40000.0)
+               then 1 else 0 end) as n_lt,
+           sum(case when (l_returnflag, l_linestatus) = ('R', 'F')
+               then 1 else 0 end) as n_eq,
+           sum(case when (l_suppkey, l_partkey) <> (l_partkey, l_suppkey)
+               then 1 else 0 end) as n_ne
+         from lineitem""",
+    // tuple IN (list of tuples) — shared text, OR-of-equalities in
+    // graft, struct IN in DuckDB (non-null columns, so identical)
+    "q_in_tuple_list" ->
+      """select n_name from nation
+         where (n_regionkey, n_nationkey % 7) in ((1, 1), (2, 5), (4, 0))""",
     "q_in_subquery" ->
       """select c_custkey, c_name from customer
          where c_nationkey in (select n_nationkey from nation where n_regionkey = 2)""",
@@ -1559,6 +1580,40 @@ object SparkEntry {
            case when pt - vt <= 1800000000 then vt end as vt,
            case when pt - vt <= 1800000000 then view_id end as view_id
          from j"""),
+    // row-value constructors (r9): tuple IN (subquery) lowers to a
+    // composite-key semi join; DuckDB 1.0 has NO multi-column IN, so
+    // the oracle is the spelled-out EXISTS equivalent (identical
+    // semantics in filter position)
+    ("q_in_tuple",
+      """select o_orderkey, o_custkey, o_orderstatus from orders
+         where (o_custkey, o_orderstatus) in
+           (select c_custkey, 'F' from customer
+            where c_mktsegment = 'BUILDING')""",
+      """select o_orderkey, o_custkey, o_orderstatus from orders
+         where exists (select 1 from customer
+                       where c_mktsegment = 'BUILDING'
+                         and c_custkey = o_custkey
+                         and o_orderstatus = 'F')"""),
+    // tuple NOT IN with a NULL-bearing set member: full 3VL — a pair
+    // that is (equal, NULL) makes the row comparison UNKNOWN, which
+    // must drop the outer row; the oracle spells the standard's
+    // "no row compares true-or-unknown" anti condition
+    ("q_not_in_tuple",
+      """select c_custkey from customer
+         where (c_nationkey, c_mktsegment) not in
+           (select n_nationkey,
+                   case when n_name like 'A%' then null
+                        else 'BUILDING' end
+            from nation)""",
+      """select c_custkey from customer
+         where not exists (select 1 from nation
+           where (n_nationkey = c_nationkey
+                  or n_nationkey is null or c_nationkey is null)
+             and ((case when n_name like 'A%' then null
+                        else 'BUILDING' end) = c_mktsegment
+                  or (case when n_name like 'A%' then null
+                           else 'BUILDING' end) is null
+                  or c_mktsegment is null))"""),
     // string/regexp/null-handling function parity (r7b): same names
     // and semantics in both engines except the pinned divergences —
     // Spark regexp_replace is global (DuckDB needs the 'g' flag),

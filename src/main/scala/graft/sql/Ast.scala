@@ -91,6 +91,11 @@ object Ast {
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  /** Row-value constructor `(a, b, ...)` (r9) — legal only as a
+    * comparison operand (`(a,b) = (c,d)`, lexicographic `<`), an IN
+    * probe/list element, or an IN-subquery probe; anywhere else is a
+    * loud error at translation. */
+  final case class RowTuple(items: Seq[Expr]) extends Expr
   final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
   final case class InList(e: Expr, values: Seq[Expr], negated: Boolean) extends Expr
   final case class InSubquery(e: Expr, sub: SetExpr) extends Expr
@@ -324,6 +329,7 @@ object Ast {
     case Or(l, r)             => Or(f(l), f(r))
     case Not(x)               => Not(f(x))
     case Cmp(op, l, r)        => Cmp(op, f(l), f(r))
+    case RowTuple(items)      => RowTuple(items.map(f))
     case Between(x, lo, hi)   => Between(f(x), f(lo), f(hi))
     case InList(x, vs, n)     => InList(f(x), vs.map(f), n)
     case InSubquery(x, sub)   => InSubquery(f(x), sub)

@@ -964,8 +964,13 @@ final class Parser(tokens: Vector[Token]) {
           ScalarSubquery(sub)
         } else {
           val e = parseExpr()
-          expectOp(")")
-          e
+          if (atOp(",")) {
+            // row-value constructor `(a, b, ...)` (r9)
+            val items = Seq.newBuilder[Expr]; items += e
+            while (eatOp(",")) items += parseExpr()
+            expectOp(")")
+            RowTuple(items.result())
+          } else { expectOp(")"); e }
         }
       case Op("*", _) =>
         pos += 1; Star(None)

@@ -2303,7 +2303,19 @@ final class Translator(catalog: String => DataFrame,
       subqueries.foreach {
         case (InSubquery(e, sub0), negated) =>
           val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
-          val probe = exprToCol(e, None)
+          // r9: a RowTuple probe fans out to component probes — the
+          // semi/anti lowering generalizes element-wise (positive:
+          // ALL pairs equal; negated anti-condition: every pair equal
+          // OR either side null = "comparison not strictly false")
+          val probes: Seq[Column] = e match {
+            case RowTuple(items) => items.map(exprToCol(_, None))
+            case _               => Seq(exprToCol(e, None))
+          }
+          val arity = probes.length
+          def pairCond(keyCols: Seq[Column], neg: Boolean): Column =
+            probes.zip(keyCols).map { case (p, k) =>
+              if (neg) p === k || p.isNull || k.isNull else p === k
+            }.reduce(_ && _)
           // Correlated IN (sub's WHERE references an outer alias):
           // split like EXISTS — correlated conjuncts join, local
           // conjuncts filter — and key on the sub's select expression.
@@ -2315,7 +2327,8 @@ final class Translator(catalog: String => DataFrame,
           val corrForm = sub match {
             case Leaf(q) if q.sel.groupBy.isEmpty && q.sel.having.isEmpty &&
                 q.sel.qualify.isEmpty &&
-                q.limit.isEmpty && q.offset.isEmpty && q.sel.items.length == 1 &&
+                q.limit.isEmpty && q.offset.isEmpty &&
+                q.sel.items.length == arity &&
                 q.sel.where.exists(w =>
                   splitConjuncts(w).exists(refersToAliases(_,
                     outerAliases -- relationAliases(q.sel.from)))) =>
@@ -2331,15 +2344,13 @@ final class Translator(catalog: String => DataFrame,
                 .partition(refersToAliases(_, outerRefs))
               local.reduceOption(And).foreach(p =>
                 inner = inner.filter(exprToCol(p, None)))
-              val keyCol = exprToCol(q.sel.items.head.e, None)
+              val keyCols = q.sel.items.map(i => exprToCol(i.e, None))
               // NOT IN needs the null arms for three-valued logic: a
               // null probe or a null key inside a NONEMPTY correlation
               // group yields UNKNOWN (row dropped), while an empty
               // group never satisfies the corr conjuncts, so the anti
               // join keeps the row — TRUE, as SQL requires.
-              val matchCond =
-                if (negated) probe === keyCol || probe.isNull || keyCol.isNull
-                else probe === keyCol
+              val matchCond = pairCond(keyCols, negated)
               // r8: nested uncorrelated scalars in the correlated
               // conjuncts hoist onto the inner frame (see
               // correlatedExistsSide)
@@ -2357,7 +2368,7 @@ final class Translator(catalog: String => DataFrame,
               // distinct non-null matches — UNKNOWN filters, a
               // tuple's empty set keeps the row)
               val groupedTheta = sub match {
-                case Leaf(q0) =>
+                case Leaf(q0) if arity == 1 =>
                   groupedThetaSurvivors(q0,
                     outerAliases -- relationAliases(q0.sel.from),
                     from, wantValue = true)
@@ -2365,28 +2376,28 @@ final class Translator(catalog: String => DataFrame,
               }
               groupedTheta match {
                 case Some((survivors, cond0, Some(v))) if !negated =>
-                  from = from.join(survivors, cond0 && probe === v,
+                  from = from.join(survivors, cond0 && probes.head === v,
                     "left_semi")
                 case Some((survivors, _, Some(_))) =>
                   // full 3VL via the shared flag builder (r6):
                   // strictly-FALSE membership survives NOT IN
                   val fi = gteIdx
                   val (joined, hs) = survivorMembershipFlag(
-                    from, probe, survivors, s"__gte_${fi}_nif")
+                    from, probes.head, survivors, s"__gte_${fi}_nif")
                   from = joined.filter(!F.col(s"__gte_${fi}_nif"))
                     .drop(hs: _*)
                 case _ =>
                   val subDf = translate(sub)
-                  if (subDf.columns.length != 1)
-                    fail("IN (subquery) requires a single-column subquery")
-                  val key = subDf(subDf.columns.head)
+                  if (subDf.columns.length != arity)
+                    fail(s"IN (subquery) requires a $arity-column " +
+                      s"subquery to match the probe, got " +
+                      s"${subDf.columns.length}")
                   // anti-join emulating SQL NOT IN three-valued logic:
                   // a null probe or any null key means "no row is NOT
                   // IN" (unless the set is empty, where the anti join
                   // keeps everything — the condition never evaluates)
-                  val cond =
-                    if (negated) probe === key || probe.isNull || key.isNull
-                    else probe === key
+                  val keyCols = subDf.columns.toSeq.map(subDf(_))
+                  val cond = pairCond(keyCols, negated)
                   from = from.join(subDf.distinct(), cond,
                     if (negated) "left_anti" else "left_semi")
               }
@@ -4056,9 +4067,19 @@ final class Translator(catalog: String => DataFrame,
     case And(l, r) => exprToCol(l, in) && exprToCol(r, in)
     case Or(l, r)  => exprToCol(l, in) || exprToCol(r, in)
     case Not(x)    => !exprToCol(x, in)
+    // row-value comparisons (r9): desugar to the standard's
+    // element-wise form — `=` is the AND chain (3VL exact), `<` is
+    // lexicographic — then translate the scalar expression
+    case Cmp(op, l: RowTuple, r) => exprToCol(rowCmpExpr(op, l, r), in)
+    case Cmp(op, l, r: RowTuple) => exprToCol(rowCmpExpr(op, l, r), in)
     case Cmp(op, l, r) => cmp(op, exprToCol(l, in), exprToCol(r, in))
     case Between(x, lo, hi) =>
       exprToCol(x, in).between(exprToCol(lo, in), exprToCol(hi, in))
+    case InList(x: RowTuple, vs, neg) =>
+      // `(a,b) IN ((1,2),(3,4))` → OR of row equalities; NOT IN via
+      // the negation (3VL rides the And/Or/Not lowering)
+      val m = vs.map(v => rowCmpExpr("=", x, v)).reduce(Or)
+      exprToCol(if (neg) Not(m) else m, in)
     case InList(x, vs, neg) =>
       val c = inListCol(exprToCol(x, in), vs, v => exprToCol(v, in))
       if (neg) !c else c
@@ -4073,6 +4094,9 @@ final class Translator(catalog: String => DataFrame,
     case _: Lambda =>
       fail("a lambda is only valid as a direct argument of " +
         "transform/filter/aggregate (and their list_* spellings)")
+    case _: RowTuple =>
+      fail("a row-value constructor is only valid as a comparison " +
+        "operand or an IN probe/list element")
     case _: InSubquery => fail("IN (subquery) not supported in this position")
     case _: QuantCmp =>
       fail("quantified comparison (ANY/ALL) not supported in this position")
@@ -4082,6 +4106,38 @@ final class Translator(catalog: String => DataFrame,
     case _: ExistsSubquery =>
       fail("EXISTS is not supported in this position")
     case Ast.Hole => fail("internal error: traversal placeholder escaped")
+  }
+
+  /** Desugars a row-value comparison (r9). `=` → element-wise AND
+    * (exactly the standard's 3VL: TRUE iff all pairs true, FALSE iff
+    * any pair false, else NULL); `<>` → NOT of the equality; ordering
+    * ops → the standard's lexicographic recursion
+    * `(a,b) < (c,d) ⇔ a < c OR (a = c AND b < d)`. */
+  private def rowCmpExpr(op: String, l: Expr, r: Expr): Expr = {
+    val pairs = (l, r) match {
+      case (RowTuple(as), RowTuple(bs)) =>
+        if (as.length != bs.length)
+          fail(s"row-value comparison arity mismatch " +
+            s"(${as.length} vs ${bs.length})")
+        as.zip(bs)
+      case _ => fail("a row-value constructor can only compare with " +
+        "another row value of the same arity")
+    }
+    op match {
+      case "=" =>
+        pairs.map { case (a, b) => Cmp("=", a, b): Expr }.reduce(And)
+      case "<>" | "!=" =>
+        Not(pairs.map { case (a, b) => Cmp("=", a, b): Expr }.reduce(And))
+      case "<" | "<=" | ">" | ">=" =>
+        val strict = op.stripSuffix("=")
+        def rec(ps: Seq[(Expr, Expr)]): Expr = ps match {
+          case Seq((a, b)) => Cmp(op, a, b)
+          case (a, b) +: rest =>
+            Or(Cmp(strict, a, b), And(Cmp("=", a, b), rec(rest)))
+        }
+        rec(pairs)
+      case other => fail(s"row-value comparison does not support '$other'")
+    }
   }
 
   /** date/timestamp ± INTERVAL: the operand casts to TIMESTAMP_NTZ

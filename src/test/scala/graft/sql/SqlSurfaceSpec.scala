@@ -2993,6 +2993,102 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e3.getMessage.contains("internal"), e3.getMessage)
   }
 
+  test("row-value comparisons match Spark struct ordering (r9)") {
+    // non-null operands: graft's lexicographic desugar must agree
+    // with Spark's independent struct field-wise ordering
+    // Spark struct ordering demands IDENTICAL field types — cast
+    // numeric components to double on the oracle side (ordering is
+    // unchanged; all values are exactly representable)
+    def cd(x: String): String =
+      if (x.startsWith("'") || x == "c_mktsegment") x
+      else s"cast($x as double)"
+    for (op <- Seq("=", "<>", "<", "<=", ">", ">=");
+         (e1, e2, v1, v2) <- Seq(
+           ("c_nationkey", "c_custkey % 10", "7", "3"),
+           ("c_nationkey % 3", "round(c_acctbal, 0)", "1", "4000.0"),
+           ("c_mktsegment", "c_nationkey", "'BUILDING'", "12")))
+      checkTranslated(
+        s"select c_custkey from customer where ($e1, $e2) $op ($v1, $v2)",
+        s"select c_custkey from customer where struct(${cd(e1)}, ${cd(e2)}) " +
+          s"$op struct(${cd(v1)}, ${cd(v2)})")
+    // 3-wide tuples recurse correctly
+    checkTranslated(
+      """select c_custkey from customer
+         where (c_nationkey, c_mktsegment, c_custkey % 10) < (12, 'MACHINERY', 5)""",
+      """select c_custkey from customer
+         where struct(cast(c_nationkey as double), c_mktsegment, cast(c_custkey % 10 as double))
+             < struct(cast(12 as double), 'MACHINERY', cast(5 as double))""")
+    // NULL members follow the STANDARD's 3VL (UNKNOWN filters), NOT
+    // struct-as-value equality — oracle is the spelled element form
+    for ((op, oracle) <- Seq(
+        ("=", "c_nationkey = 7 and nullif(c_custkey % 10, 3) = 4"),
+        ("<>", "not (c_nationkey = 7 and nullif(c_custkey % 10, 3) = 4)")))
+      checkTranslated(
+        s"select c_custkey from customer where (c_nationkey, nullif(c_custkey % 10, 3)) $op (7, 4)",
+        s"select c_custkey from customer where $oracle")
+    // tuple IN a literal list — OR-of-row-equalities
+    checkTranslated(
+      """select n_name from nation
+         where (n_regionkey, n_nationkey % 7) in ((1, 1), (2, 5), (4, 0))""",
+      """select n_name from nation
+         where (n_regionkey = 1 and n_nationkey % 7 = 1)
+            or (n_regionkey = 2 and n_nationkey % 7 = 5)
+            or (n_regionkey = 4 and n_nationkey % 7 = 0)""")
+    // NOT IN list with a NULL probe member: 3VL via the Not lowering
+    checkTranslated(
+      """select c_custkey from customer
+         where (c_nationkey, nullif(c_nationkey % 3, 1)) not in ((7, 0), (12, 2))""",
+      """select c_custkey from customer
+         where not ((c_nationkey = 7 and nullif(c_nationkey % 3, 1) = 0)
+                 or (c_nationkey = 12 and nullif(c_nationkey % 3, 1) = 2))""")
+  }
+
+  test("row-value IN (subquery) matches spark.sql multi-column IN (r9)") {
+    // spark.sql runs multi-column IN subqueries natively in filter
+    // position (standard-conformant there) — same text, both engines
+    checkAgainstSparkSql(
+      """select o_orderkey from orders
+         where (o_custkey, o_orderstatus) in
+           (select c_custkey, 'F' from customer where c_mktsegment = 'BUILDING')""")
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where (c_nationkey, c_nationkey % 3) not in
+           (select n_regionkey, n_regionkey % 3 from nation)""")
+    // NULL-bearing set + NOT IN: the standard's UNKNOWN-drops rule
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where (c_nationkey, c_mktsegment) not in
+           (select n_nationkey,
+                   case when n_name like '%_1%' then null else 'BUILDING' end
+            from nation)""")
+    // NULL probe member + NOT IN
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where (c_nationkey, nullif(c_nationkey % 3, 1)) not in
+           (select n_regionkey, n_regionkey % 3 from nation where n_nationkey < 10)""")
+    // CORRELATED tuple IN: component-wise keys plus the correlation
+    checkAgainstSparkSql(
+      """select c_custkey from customer
+         where (c_nationkey, c_custkey % 3) in
+           (select n_nationkey, n_regionkey % 3 from nation
+            where n_regionkey = c_nationkey % 5)""")
+    // under OR / projection position stays a loud wall
+    val e = intercept[RuntimeException](graftSession.query(
+      """select c_custkey from customer
+         where (c_nationkey, c_custkey) in (select n_nationkey, n_regionkey from nation)
+            or c_acctbal < 0"""))
+    assert(e.getMessage.contains("row-value"), e.getMessage)
+    // arity mismatch is loud
+    val e2 = intercept[RuntimeException](graftSession.query(
+      """select c_custkey from customer
+         where (c_nationkey, c_custkey) in (select n_nationkey from nation)"""))
+    assert(e2.getMessage.contains("2-column"), e2.getMessage)
+    // row tuple outside a comparison is loud
+    val e3 = intercept[RuntimeException](graftSession.query(
+      "select (c_custkey, c_nationkey) from customer"))
+    assert(e3.getMessage.contains("row-value"), e3.getMessage)
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
