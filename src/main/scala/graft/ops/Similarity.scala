@@ -384,17 +384,23 @@ object Similarity {
     require(m >= 1 && k >= 1, "m and k must be positive")
     GraftFunctions.register(emb.sparkSession)
     val q = int8Lattice(emb)
+    encodeWithCodebook(q, seedCodebook(q, m, k), m, k)
+  }
+
+  /** The deterministic seed codebook: block slices of the k
+    * lowest-vec_id vectors on the int8 lattice (oracle-replayable —
+    * see [[pqEncode]]). (block, code, centroid). */
+  private def seedCodebook(q: DataFrame, m: Int, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    // seed codebook: k rows, the window is k-row tiny by construction
+    // k rows — the window is k-row tiny by construction
     val seeds = q.orderBy("vec_id").limit(k)
       .withColumn("code", F.row_number().over(w).cast("int") - 1)
-    val cb = seeds.selectExpr("code",
+    seeds.selectExpr("code",
         s"""explode(transform(sequence(0, ${m - 1}), b ->
              struct(b as block,
                slice(q, b * (size(q) div $m) + 1, size(q) div $m)
                  as centroid))) as bc""")
       .selectExpr("bc.block as block", "code", "bc.centroid as centroid")
-    encodeWithCodebook(q, cb, m, k)
   }
 
   /** Trained PQ codebook (r6): per-block k-means over the int8
@@ -465,15 +471,88 @@ object Similarity {
     * r5c HOF formulation carried an array of structs and re-evaluated
     * the distance aggregate per comparison through interpreted
     * lambdas — 1.95 s at sf0.1 vs 0.35 s for this form). */
-  private def encodeWithCodebook(q: DataFrame, cb: DataFrame,
-                                 m: Int, k: Int): DataFrame = {
-    val cbRow = cb.groupBy().agg(F.expr(
+  private def flatCodebookRow(cb: DataFrame): DataFrame =
+    cb.groupBy().agg(F.expr(
       """flatten(transform(
            array_sort(collect_list(struct(block, code, centroid))),
            s -> s.centroid))""").as("__cb"))
+
+  private def encodeWithCodebook(q: DataFrame, cb: DataFrame,
+                                 m: Int, k: Int): DataFrame = {
+    val cbRow = flatCodebookRow(cb)
     q.crossJoin(F.broadcast(cbRow))
       .selectExpr("vec_id", s"graft_pq_encode(q, __cb, $m, $k) as __r")
       .selectExpr("vec_id", "__r.codes as codes", "__r.pq_err as pq_err")
+  }
+
+  /** ADC (asymmetric-distance) top-k search over the PQ-encoded
+    * corpus (r9) — the search half of SURVEY row 95. Each query
+    * precomputes an m×k distance table against the codebook on the
+    * int8 lattice (exact integer math, so the DuckDB oracle replays
+    * the CANDIDATE SET bit-for-bit); the corpus scan then reads only
+    * the m-byte codes and sums m table lookups per (query, vector)
+    * pair; the k·mult best ADC candidates per query are exact-cosine
+    * reranked.
+    *
+    * 100 TB shape: the distance tables ride a tiny broadcast (nq ×
+    * m·k longs); the big scan touches CODES ONLY (m ints per row vs
+    * d floats — the compression actually pays at scan time, not just
+    * at rest); the top-k window shuffles the narrow (query_id,
+    * neighbor_id, adc) stream; the exact rerank joins the
+    * candidate-bounded id set (broadcast) against the corpus, so
+    * full embeddings are only ever read for k·mult rows per query.
+    * Ties break on (adc, neighbor_id) then (sim desc, neighbor_id) —
+    * deterministic in both engines. */
+  def pqTopK(emb: DataFrame, queryPred: String, k: Int, m: Int = 4,
+             kc: Int = 16, mult: Int = 4,
+             codebook: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && mult >= 1, "k and mult must be positive")
+    GraftFunctions.register(emb.sparkSession)
+    val qz = int8Lattice(emb)
+    val cb = codebook
+      .map(_.selectExpr("block", "code",
+        "transform(centroid, x -> cast(x as bigint)) as centroid"))
+      .getOrElse(seedCodebook(qz, m, kc))
+    val codes = encodeWithCodebook(qz, cb, m, kc)
+    val cbRow = flatCodebookRow(cb)
+    // per-query distance tables: dtab[b*kc + c] = ‖q_block − centroid‖²
+    // (integer HOFs on the TINY query side only)
+    val qd = qz.filter(queryPred).crossJoin(F.broadcast(cbRow))
+      .selectExpr("vec_id as query_id",
+        s"""transform(sequence(0, ${m * kc - 1}), t ->
+              aggregate(sequence(1, size(q) div $m), 0L, (acc, i) ->
+                acc + (q[(t div $kc) * (size(q) div $m) + i - 1]
+                        - __cb[t * (size(q) div $m) + i - 1])
+                    * (q[(t div $kc) * (size(q) div $m) + i - 1]
+                        - __cb[t * (size(q) div $m) + i - 1])))
+           as dtab""")
+    val scored = codes
+      .join(F.broadcast(qd), F.col("query_id") =!= F.col("vec_id"))
+      .selectExpr("query_id", "vec_id as neighbor_id",
+        s"""aggregate(sequence(0, ${m - 1}), 0L,
+              (acc, b) -> acc + dtab[b * $kc + codes[b]]) as adc""")
+    val cands = scored
+      .withColumn("crnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("adc").asc, F.col("neighbor_id").asc)))
+      .filter(F.col("crnk") <= k * mult)
+      .select("query_id", "neighbor_id")
+    val e = emb.selectExpr("vec_id", "embedding", s"$norm2Expr as norm2")
+    val queries = e.filter(queryPred)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+              F.col("norm2").as("na"))
+    e.select(F.col("vec_id").as("neighbor_id"),
+             F.col("embedding").as("eb"), F.col("norm2").as("nb"))
+      .join(F.broadcast(cands), Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
   /** Matryoshka truncation + L2 renormalization (r5b): keep the

@@ -482,6 +482,42 @@ class OpsSpec extends SparkTestBase {
       s"trained codebook worse than seed: $trainedErr > $seedErr")
   }
 
+  test("pqTopK equals brute-force exactly at a candidate-complete multiplier (r9)") {
+    // with k·mult ≥ corpus size the ADC candidate set covers every
+    // non-self vector, so the exact rerank MUST reproduce the brute
+    // oracle bit-for-bit (same rounding, same tiebreaks)
+    val corpus = embeddings.filter("vec_id < 60")
+    val n = corpus.count().toInt
+    val k = 5
+    val adc = Similarity.pqTopK(corpus, "vec_id < 4", k = k,
+      m = 4, kc = 8, mult = (n + k - 1) / k)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(x => (x._1, x._4))
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id < 4", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(x => (x._1, x._4))
+    assert(adc.toSeq == brute.toSeq,
+      s"\nadc:   ${adc.take(8).mkString(",")}\nbrute: ${brute.take(8).mkString(",")}")
+    // tight multiplier: still k rows per query, ranks 1..k, sims
+    // within [-1, 1], and recall@k vs brute above a sane floor for
+    // a 4×8 codebook on 64-d data
+    val tight = Similarity.pqTopK(corpus, "vec_id < 4", k = k,
+      m = 4, kc = 8, mult = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(tight.length == 4 * k)
+    val byQ = tight.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._3).sorted.toSeq == (1 to k).map(_.toLong)))
+    val bruteSet = brute.map(x => (x._1, x._2)).toSet
+    val hits = tight.count(x => bruteSet.contains((x._1, x._2)))
+    assert(hits >= 2 * k, s"recall too low: $hits / ${4 * k}")
+    // the trained codebook drops into the same search plan
+    val trained = Similarity.pqTrain(corpus, 4, 8)
+    val tr = Similarity.pqTopK(corpus, "vec_id < 2", k = 3,
+      m = 4, kc = 8, mult = 4, codebook = Some(trained))
+      .collect()
+    assert(tr.length == 6 && tr.forall(r => r.getLong(3) <= 3))
+  }
+
   test("pqEncodeWith on the seed codebook reproduces pqEncode (r6)") {
     import spark.implicits._
     // extract the seed codebook by encoding the k lowest-id vectors'
