@@ -1614,6 +1614,46 @@ object SparkEntry {
                   or (case when n_name like 'A%' then null
                            else 'BUILDING' end) is null
                   or c_mktsegment is null))"""),
+    // EXCLUDE on windowed ordered-set collects (r9, 36ar's last
+    // wall): graft sorts elements by the call-level ORDER BY; DuckDB
+    // windowed string_agg/list has NO in-call order (appends in frame
+    // order), so both sides canonicalize to the VALUE-sorted list —
+    // multiset equality of the post-exclusion frame, immune to tie
+    // order. The ROWS-bounded column orders by l_extendedprice
+    // (tie-free within an order); GROUP/TIES columns use the tied
+    // l_returnflag order with a whole-partition frame (tie-immune).
+    ("q_agg_string_exclude",
+      """select l_orderkey, l_linenumber,
+           string_agg(cast(l_linenumber as string), ','
+               order by l_linenumber) over
+             (partition by l_orderkey order by l_extendedprice
+              rows between 2 preceding and 2 following
+              exclude current row) as sa_cur,
+           string_agg(cast(l_linenumber as string), ','
+               order by l_linenumber) over
+             (partition by l_orderkey order by l_returnflag
+              rows between unbounded preceding and unbounded following
+              exclude group) as sa_grp,
+           array_join(array_agg(cast(l_linenumber as string)
+               order by l_linenumber) over
+             (partition by l_orderkey order by l_returnflag
+              rows between unbounded preceding and unbounded following
+              exclude ties), ',') as aa_ties
+         from lineitem""",
+      """select l_orderkey, l_linenumber,
+           array_to_string(list_sort(list(l_linenumber::varchar) over
+             (partition by l_orderkey order by l_extendedprice
+              rows between 2 preceding and 2 following
+              exclude current row)), ',') as sa_cur,
+           array_to_string(list_sort(list(l_linenumber::varchar) over
+             (partition by l_orderkey order by l_returnflag
+              rows between unbounded preceding and unbounded following
+              exclude group)), ',') as sa_grp,
+           array_to_string(list_sort(list(l_linenumber::varchar) over
+             (partition by l_orderkey order by l_returnflag
+              rows between unbounded preceding and unbounded following
+              exclude ties)), ',') as aa_ties
+         from lineitem"""),
     // string/regexp/null-handling function parity (r7b): same names
     // and semantics in both engines except the pinned divergences —
     // Spark regexp_replace is global (DuckDB needs the 'g' flag),

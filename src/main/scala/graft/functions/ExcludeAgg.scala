@@ -52,6 +52,10 @@ case class ExcludeAgg(lst: Expression, cur: Expression, mode: String,
       case d: DecimalType => DecimalType(38, d.scale)
       case _ => DoubleType
     }
+    // r9: array-returning mode — the post-exclusion frame elements in
+    // frame order, feeding the ordered-set collects' comparator-sort
+    // projection (string_agg/array_agg + EXCLUDE)
+    case "collect" => ArrayType(vType, containsNull = true)
     case other => throw new IllegalArgumentException(
       s"graft_exclude_agg does not implement $other")
   }
@@ -92,10 +96,15 @@ case class ExcludeAgg(lst: Expression, cur: Expression, mode: String,
         case _ => // group | ties
           okOrd.compare(e.get(0, okType), curOk) == 0
       }
-      if (!excl && !e.isNullAt(2)) vals.add(e.get(2, vType))
+      // scalar folds drop null values (they are invisible to the
+      // aggregate); collect keeps them — the downstream projection
+      // owns null handling (string_agg filters, array_agg keeps)
+      if (!excl && (func == "collect" || !e.isNullAt(2)))
+        vals.add(if (e.isNullAt(2)) null else e.get(2, vType))
       i += 1
     }
-    if (mode == "ties" && curVal != null) vals.add(curVal)
+    if (mode == "ties" && (curVal != null || func == "collect"))
+      vals.add(curVal)
     val it =
       if (!distinct) vals.iterator()
       else {
@@ -114,6 +123,12 @@ case class ExcludeAgg(lst: Expression, cur: Expression, mode: String,
         seen.iterator()
       }
     func match {
+      case "collect" =>
+        val out = new Array[Any](vals.size)
+        var j = 0
+        val ci = vals.iterator()
+        while (ci.hasNext) { out(j) = ci.next(); j += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
       case "count" =>
         var k = 0L; while (it.hasNext) { it.next(); k += 1 }; k
       case "min" | "max" =>

@@ -4310,9 +4310,11 @@ final class Translator(catalog: String => DataFrame,
     * descending), project the value back out. One ordinary hash
     * aggregation — per-group state is the group's values (inherent to
     * the result), never the corpus. */
-  private def orderedSetAgg(a: AggExpr, value: Column,
-                            lower: Expr => Column,
-                            over: Option[SparkWindow] = None): Column = {
+  /** Shared head of the ordered-set collects: validations, the
+    * (__k0.., __v) struct fields, and the string_agg separator. */
+  private def orderedSetParts(a: AggExpr, value: Column,
+                              lower: Expr => Column)
+      : (Seq[Column], Option[String]) = {
     val f = a.func
     // DISTINCT ordered-set (r5b, PostgreSQL rule): legal only when
     // the ORDER BY is the argument itself — any other key would make
@@ -4321,9 +4323,6 @@ final class Translator(catalog: String => DataFrame,
         (a.aggOrder.length != 1 || !sameExpr(a.aggOrder.head.e, a.arg)))
       fail(s"DISTINCT $f requires ORDER BY to be the aggregated " +
         "expression itself")
-    if (a.window.isDefined && over.isEmpty)
-      fail(s"$f OVER a window takes PARTITION BY only " +
-        "(element order comes from the ORDER BY inside the call)")
     if (a.aggOrder.isEmpty)
       fail(s"$f requires ORDER BY inside the call " +
         "(deterministic element order)")
@@ -4345,6 +4344,16 @@ final class Translator(catalog: String => DataFrame,
     val keys = a.aggOrder.map(oi => lower(oi.e))
     val fields = keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } :+
       value.as("__v")
+    (fields, sep)
+  }
+
+  private def orderedSetAgg(a: AggExpr, value: Column,
+                            lower: Expr => Column,
+                            over: Option[SparkWindow] = None): Column = {
+    if (a.window.isDefined && over.isEmpty)
+      fail(s"${a.func} OVER a window takes PARTITION BY only " +
+        "(element order comes from the ORDER BY inside the call)")
+    val (fields, sep) = orderedSetParts(a, value, lower)
     // windowed form (r5b): the collect is the ONLY aggregate part —
     // it runs over the (whole-partition) window; the sort/project
     // post-processing wraps the windowed array per row
@@ -4352,6 +4361,16 @@ final class Translator(catalog: String => DataFrame,
       case Some(w) => F.collect_list(F.struct(fields: _*)).over(w)
       case None    => F.collect_list(F.struct(fields: _*))
     }
+    orderedSetPost(a, collected, sep)
+  }
+
+  /** The ordered-set collects' post-processing over an array of
+    * (__k0.., __v) structs: comparator sort on the call-level ORDER
+    * BY keys, value projection, DISTINCT dedup, string join. Shared
+    * by [[orderedSetAgg]] and the EXCLUDE path (r9), which feeds the
+    * post-exclusion frame from ExcludeAgg's collect mode. */
+  private def orderedSetPost(a: AggExpr, collected: Column,
+                             sep: Option[String]): Column = {
     val n = a.aggOrder.length
     def cmp(l: Column, r: Column, i: Int): Column =
       if (i == n) F.lit(0)
@@ -4404,7 +4423,50 @@ final class Translator(catalog: String => DataFrame,
       case Star(_) => fail(s"${a.func} takes a value argument")
       case e       => lower(e)
     }
-    orderedSetAgg(a, arg, lower, Some(windowSpec(w, lower)))
+    if (w.exclude == "no others")
+      return orderedSetAgg(a, arg, lower, Some(windowSpec(w, lower)))
+    // EXCLUDE on windowed ordered-set collects (r9, 36ar's last
+    // wall): ExcludeAgg's array-returning mode filters the collected
+    // frame — same element identity rules as the scalar folds
+    // (first-rid-match for CURRENT ROW, null-safe order-key peers
+    // for GROUP, peers minus one copy for TIES) — and the standard
+    // comparator-sort projection runs on the survivors. Same single
+    // window exchange/sort as the plain collect.
+    val mode = w.exclude
+    val f = w.frame.get // the parser ties EXCLUDE to a frame extent
+    val startOk = f.start match {
+      case UnboundedPreceding | CurrentRow => true
+      case Preceding(n) => n >= 0
+      case Following(_) => false
+    }
+    val endOk = f.end match {
+      case UnboundedFollowing | CurrentRow => true
+      case Following(n) => n >= 0
+      case Preceding(_) => false
+    }
+    if (!startOk || !endOk)
+      fail("EXCLUDE requires a frame that contains the current row")
+    if ((mode == "group" || mode == "ties") && w.orderBy.isEmpty)
+      fail("EXCLUDE GROUP/TIES requires ORDER BY (peers are order ties)")
+    val (fields, sep) = orderedSetParts(a, arg, lower)
+    val elemVal = F.struct(fields: _*)
+    val okCols = w.orderBy.map(oi => lower(oi.e))
+    val okS = if (okCols.isEmpty) F.lit(0) else F.struct(okCols: _*)
+    // element identity hashes (over-order keys, element struct):
+    // rows equal in both are interchangeable under the collect
+    val rid = F.xxhash64(okS, elemVal)
+    val elem = F.struct(okS.as("__xok"), rid.as("__xrid"),
+      elemVal.as("__xv"))
+    val frameW = windowSpec(w.copy(exclude = "no others"), lower)
+    val lst = F.collect_list(elem).over(frameW)
+    val included = org.apache.spark.sql.GraftFn.excludeAgg(
+      lst, elem, mode, "collect", distinct = false)
+    val out = orderedSetPost(a, included, sep)
+    sep match {
+      case Some(_) => out // string_agg owns its empty-set → NULL rule
+      case None    => // aggregate over an empty survivor set is NULL
+        F.when(F.size(included) === 0, F.lit(null)).otherwise(out)
+    }
   }
 
   /** Windowed-aggregate dispatch, including the standard frame

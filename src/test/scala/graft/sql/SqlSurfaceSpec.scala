@@ -3089,6 +3089,68 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e3.getMessage.contains("row-value"), e3.getMessage)
   }
 
+  test("EXCLUDE on windowed ordered-set collects matches a Scala model (r9)") {
+    import spark.implicits._
+    val g = graft.Graft(spark)
+    val rnd = new scala.util.Random(11)
+    // (p partition, k tied order key, v value with nulls, id unique)
+    val rows = (0 until 120).map { i =>
+      (i % 5, rnd.nextInt(6),
+       if (rnd.nextInt(8) == 0) null
+       else ('a' + rnd.nextInt(5)).toChar.toString, i)
+    }
+    g.registerTable("xt",
+      rows.toDF("p", "k", "v", "id"))
+    try {
+      val got = g.query(
+        """select p, k, id,
+             string_agg(v, ',' order by v) over (partition by p order by k
+               rows between unbounded preceding and unbounded following
+               exclude group) as xg,
+             string_agg(v, ',' order by v) over (partition by p order by k
+               rows between unbounded preceding and unbounded following
+               exclude ties) as xs,
+             string_agg(distinct v, ',' order by v) over (partition by p order by k
+               rows between unbounded preceding and unbounded following
+               exclude group) as xd,
+             string_agg(v, ',' order by v) over (partition by p order by id
+               rows between 1 preceding and 2 following
+               exclude current row) as xc
+           from xt""").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+      val byP = rows.groupBy(_._1)
+      def join(vs: Seq[String]): String = {
+        val nn = vs.filter(_ != null).sorted
+        if (nn.isEmpty) null else nn.mkString(",")
+      }
+      assert(got.length == rows.length)
+      got.foreach { case (p, k, id, xg, xs, xd, xc) =>
+        val part = byP(p)
+        val self = part.find(_._4 == id).get
+        val others = part.filter(_._2 != k).map(_._3)
+        assert(xg == join(others), s"xg p=$p k=$k id=$id")
+        assert(xs == join(others :+ self._3), s"xs p=$p k=$k id=$id")
+        val dd = Option(join(others)).map(
+          _.split(",").distinct.mkString(",")).orNull
+        assert(xd == dd, s"xd p=$p k=$k id=$id")
+        val sortedPart = part.sortBy(_._4)
+        val pos = sortedPart.indexWhere(_._4 == id)
+        val frame = sortedPart.slice(math.max(0, pos - 1), pos + 3)
+          .filter(_._4 != id).map(_._3)
+        assert(xc == join(frame), s"xc p=$p id=$id")
+      }
+      // frame must contain the current row; other window functions
+      // stay loud
+      val e1 = intercept[Exception](g.query(
+        """select string_agg(v, ',' order by v) over (partition by p order by id
+             rows between 3 preceding and 1 preceding exclude current row) as s
+           from xt"""))
+      assert(e1.getMessage.contains("contains the current row"),
+        e1.getMessage)
+    } finally g.removeTable("xt")
+  }
+
   test("quantified comparisons reject unsupported positions loudly") {
     // GROUP BY keys have no flag-lowering home
     val e = intercept[RuntimeException](graftSession.query(
