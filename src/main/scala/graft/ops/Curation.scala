@@ -401,6 +401,25 @@ object Curation {
       // the initial uniform rank vector is a pure projection of the
       // checkpointed nodes — nothing to checkpoint
       var ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+      // tiny tier (r9, the recursive-CTE unrolling trick): when the
+      // rank vector is vocabulary-bounded (domains, nations — the
+      // curation graphs), ALL k rounds compose into ONE lazy linear
+      // plan: no per-round checkpoint/persist/broadcast jobs, the
+      // driver-side job floor (~100 ms/round) vanishes. Linearity
+      // holds because the lazy round reads its predecessor ONCE —
+      // the dangling-mass aggregate (the second read in the eager
+      // round) is replaced by the mass invariant D = 1 − Σ in,
+      // computed by a global window over the n-row frame (fine
+      // under the dial, wrong posture above it — the eager tier
+      // keeps the one-row broadcast instead). Float caveat: D
+      // differs from the summed dangling ranks in the last ulps.
+      val lazyUnroll = n <= edges.sparkSession.conf
+        .get("spark.graft.pagerank.lazyUnrollRows", "200000").toLong
+      if (lazyUnroll) {
+        for (_ <- 1 to iterations)
+          ranks = pageRankRoundLazy(nodes, e, outDeg, ranks, n, damping)
+        return ranks
+      }
       // rounds compose LAZILY and checkpoint (one materializing job +
       // one plan compile) every `checkpointEvery` rounds: per-round
       // eager checkpoints made the job/compile floor the dominant
@@ -465,6 +484,38 @@ object Curation {
         (F.lit((1.0 - damping) / n) + F.lit(damping) *
           (F.coalesce(F.col("__in"), F.lit(0.0)) +
             F.col("__dm") / F.lit(n.toDouble))).as("rank"))
+  }
+
+  /** One LAZY power-iteration round (r9 tiny tier): reads the
+    * predecessor rank vector exactly once, so k rounds chain into a
+    * single linear plan/job. The dangling mass rides the invariant
+    * Σ rank = 1 (so D = 1 − Σ contributions) via a global window
+    * instead of the eager round's one-row broadcast aggregate —
+    * sound at any size, single-partition-shaped only under the
+    * [[pageRank]] dial. */
+  private[graft] def pageRankRoundLazy(nodes: DataFrame, e: DataFrame,
+      outDeg: DataFrame, ranks: DataFrame, n: Long,
+      damping: Double): DataFrame = {
+    val live = ranks.alias("r")
+      .join(outDeg.alias("d"), F.col("r.node") === F.col("d.src"))
+      .select(F.col("r.node").as("node"),
+        (F.col("r.rank") / F.col("d.outdeg")).as("share"))
+    val contrib = live.alias("c")
+      .join(e.alias("e"), F.col("c.node") === F.col("e.src"))
+      .groupBy(F.col("e.dst").as("node"))
+      .agg(F.sum(F.col("c.share")).as("__in"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.lit(1))
+    nodes.alias("n")
+      .join(contrib.alias("i"), F.col("n.node") === F.col("i.node"),
+        "left_outer")
+      .select(F.col("n.node").as("node"),
+        F.coalesce(F.col("i.__in"), F.lit(0.0)).as("__in0"))
+      .select(F.col("node"),
+        (F.lit((1.0 - damping) / n) + F.lit(damping) *
+          (F.col("__in0") +
+            (F.lit(1.0) - F.sum("__in0").over(wAll)) /
+              F.lit(n.toDouble))).as("rank"))
   }
 
   /** Keep at most `n` rows per domain, best-first by `order` (pass a

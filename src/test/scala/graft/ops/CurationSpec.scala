@@ -160,6 +160,27 @@ class CurationSpec extends SparkTestBase {
     assert((2L to 5L).map(r).distinct.size == 1)
   }
 
+  test("pageRank lazy tiny tier equals the eager checkpointed tier (r9)") {
+    import spark.implicits._
+    // asymmetric graph with a dangling node (4) so the invariant-based
+    // dangling mass (1 − Σ in) is load-bearing in every round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val lazyT = Curation.pageRank(edges, iterations = 5)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+    val dial = "spark.graft.pagerank.lazyUnrollRows"
+    spark.conf.set(dial, "0") // force the eager tier
+    try {
+      val eager = Curation.pageRank(edges, iterations = 5)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+      assert(lazyT.map(_._1).toSeq == eager.map(_._1).toSeq)
+      lazyT.zip(eager).foreach { case ((n1, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-12, s"node $n1: $a vs $b")
+      }
+      assert(math.abs(lazyT.map(_._2).sum - 1.0) < 1e-9)
+    } finally spark.conf.unset(dial)
+  }
+
   test("pageRank reliable-checkpoint path equals the local path") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
