@@ -177,14 +177,25 @@ class AggCatalogSpec extends SparkTestBase {
              over (partition by o_custkey order by o_orderkey
                    rows between 1 preceding and 1 following)) as nearby
          from orders where o_custkey <= 50""")
-    // EXCLUDE on a collect window stays loud (no decomposition)
-    val e = intercept[RuntimeException](graftSession.query(
-      """select string_agg(c_name, ',' order by c_name)
-           over (partition by c_nationkey order by c_custkey
-                 rows between unbounded preceding and current row
-                 exclude current row)
-         from customer"""))
-    assert(e.getMessage.contains("EXCLUDE"))
+    // EXCLUDE on a collect window (r9, the old loud wall): running
+    // frame minus the current row == the strictly-preceding frame
+    // (c_custkey is a tie-free order), so the spelled Spark form is
+    // an independent oracle; empty survivor sets read NULL
+    checkTranslated(
+      """select c_custkey,
+           string_agg(c_name, ',' order by c_name)
+             over (partition by c_nationkey order by c_custkey
+                   rows between unbounded preceding and current row
+                   exclude current row) as sa
+         from customer""",
+      """select c_custkey,
+           case when size(__l) = 0 then null
+                else array_join(array_sort(__l), ',') end as sa
+         from (select c_custkey,
+                 collect_list(c_name)
+                   over (partition by c_nationkey order by c_custkey
+                         rows between unbounded preceding and 1 preceding) as __l
+               from customer)""")
   }
 
   test("unsupported combinations fail loudly") {

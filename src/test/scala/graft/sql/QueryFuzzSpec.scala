@@ -318,6 +318,61 @@ class QueryFuzzSpec extends SparkTestBase {
        s") where __w <= $k")
   }
 
+  // row-value constructors (r9): random tuple comparisons and tuple
+  // [NOT] IN forms. Comparison oracles use Spark's independent struct
+  // ordering (fields cast to double — struct comparison demands
+  // identical field types); null-member equality and tuple IN-lists
+  // use the spelled element-wise form (struct equality treats NULL as
+  // a value, unlike the standard); tuple IN subqueries pass the SAME
+  // text to spark.sql (native multi-column IN, conformant in filter
+  // position).
+  private val genRowValuePair: Gen[(String, String)] = for {
+    form <- Gen.choose(0, 3)
+    op <- Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+    neg <- Gen.oneOf("", "not ")
+    v <- Gen.choose(0, 24)
+    k <- Gen.choose(0, 9)
+  } yield form match {
+    case 0 =>
+      val (e1, e2) = ("c_nationkey", s"c_custkey % ${k + 2}")
+      (s"select c_custkey from customer where ($e1, $e2) $op ($v, $k)",
+       s"select c_custkey from customer where " +
+         s"struct(cast($e1 as double), cast($e2 as double)) $op " +
+         s"struct(cast($v as double), cast($k as double))")
+    case 1 =>
+      val e2 = s"nullif(c_custkey % ${k + 2}, $k)"
+      val arm = s"c_nationkey = $v and $e2 = ${k % (k + 2)}"
+      val oracle = if (op == "=") arm else s"not ($arm)"
+      val gop = if (op == "=") "=" else "<>"
+      (s"select c_custkey from customer where (c_nationkey, $e2) $gop ($v, ${k % (k + 2)})",
+       s"select c_custkey from customer where $oracle")
+    case 2 =>
+      val pairs = Seq((v % 25, k), ((v + 7) % 25, (k + 3) % 10))
+      val tuples = pairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      val arms = pairs.map { case (a, b) =>
+        s"(c_nationkey = $a and c_custkey % 10 = $b)" }.mkString(" or ")
+      val oracle = if (neg.isEmpty) arms else s"not ($arms)"
+      (s"select c_custkey from customer where (c_nationkey, c_custkey % 10) ${neg}in ($tuples)",
+       s"select c_custkey from customer where $oracle")
+    case _ =>
+      val sub = s"select n_regionkey, n_regionkey % ${k + 2} from nation where n_nationkey < ${v % 20 + 3}"
+      val probe2 =
+        if (k % 3 == 0) s"nullif(c_nationkey % ${k + 2}, ${k % (k + 2)})"
+        else s"c_nationkey % ${k + 2}"
+      val q = s"select c_custkey from customer where (c_nationkey, $probe2) ${neg}in ($sub)"
+      (q, q)
+  }
+
+  test("40 random row-value queries match spark.sql (r9)") {
+    val pairs = Gen.listOfN(40, genRowValuePair)
+      .pureApply(Gen.Parameters.default, Seed(61L))
+    pairs.distinct.foreach { case (graftSql, oracle) =>
+      withClue(s"\nquery: $graftSql\noracle: $oracle\n") {
+        assertSameRows(graftSession.query(graftSql), spark.sql(oracle))
+      }
+    }
+  }
+
   test("30 random QUALIFY queries match their subquery form") {
     val pairs = Gen.listOfN(30, genQualifyPair)
       .pureApply(Gen.Parameters.default, Seed(53L))
