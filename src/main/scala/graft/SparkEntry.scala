@@ -1615,7 +1615,8 @@ object SparkEntry {
                            else 'BUILDING' end) is null
                   or c_mktsegment is null))"""),
     // EXCLUDE on windowed ordered-set collects (r9, 36ar's last
-    // wall): graft sorts elements by the call-level ORDER BY; DuckDB
+    // wall; deterministic 1/5 lineitem subset — the q_window_exclude_ext
+    // fixture convention, adjudicated in BASELINE): graft sorts elements by the call-level ORDER BY; DuckDB
     // windowed string_agg/list has NO in-call order (appends in frame
     // order), so both sides canonicalize to the VALUE-sorted list —
     // multiset equality of the post-exclusion frame, immune to tie
@@ -1639,7 +1640,7 @@ object SparkEntry {
              (partition by l_orderkey order by l_returnflag
               rows between unbounded preceding and unbounded following
               exclude ties), ',') as aa_ties
-         from lineitem""",
+         from lineitem where l_orderkey % 5 = 0""",
       """select l_orderkey, l_linenumber,
            array_to_string(list_sort(list(l_linenumber::varchar) over
              (partition by l_orderkey order by l_extendedprice
@@ -1653,7 +1654,7 @@ object SparkEntry {
              (partition by l_orderkey order by l_returnflag
               rows between unbounded preceding and unbounded following
               exclude ties)), ',') as aa_ties
-         from lineitem"""),
+         from lineitem where l_orderkey % 5 = 0"""),
     // string/regexp/null-handling function parity (r7b): same names
     // and semantics in both engines except the pinned divergences —
     // Spark regexp_replace is global (DuckDB needs the 'g' flag),
