@@ -608,42 +608,82 @@ final class Graft(val spark: SparkSession) {
     // predicates belong in WHEN ... AND. Split on the keyword
     // scanner (an AND inside a quoted string cannot mis-split).
     def qq(c: String) = "\"" + c + "\""
-    def eqSplit(c: String): (String, String) =
-      topLevelEq(c).getOrElse(
-        fail("MERGE ON supports equality conjuncts only " +
-          s"(target expr = source expr), got: $c"))
     def sidesOf(e: String): (Boolean, Boolean) =
       sidesOfExpr(e, tQuals, sQuals, target.columns, source.columns)
     val BareId = """(?is)^\s*(\w+)\s*$""".r
-    // keys: (target-frame expr text, source-frame expr text)
-    val keys: Seq[(String, String)] =
-      splitKeyword(onCond, "and").map(stripParens).map { c =>
-        val (lhs, rhs) = eqSplit(c)
-        (lhs, rhs) match {
-          // legacy same-named bare key (`ON k = k`): both sides read
-          // the like-named column of their own frame
-          case (BareId(a), BareId(b)) if a.equalsIgnoreCase(b) &&
-              target.columns.exists(_.equalsIgnoreCase(a)) &&
-              source.columns.exists(_.equalsIgnoreCase(a)) =>
-            (qq(target.columns.find(_.equalsIgnoreCase(a)).get),
-             qq(source.columns.find(_.equalsIgnoreCase(a)).get))
-          case _ =>
-            val (lt, ls) = sidesOf(lhs)
-            val (rt, rs) = sidesOf(rhs)
-            val (tTxt, sTxt) =
-              if (lt && !ls && rs && !rt) (lhs, rhs)
-              else if (ls && !lt && rt && !rs) (rhs, lhs)
-              else fail("MERGE ON equality must compare a target-side " +
-                "expression with a source-side expression " +
-                s"(one frame per side), got: $c")
-            (rewriteRefs(tTxt, tQuals, sQuals, target.columns,
-               source.columns, qq,
-               _ => fail("MERGE ON: source ref on the target side")),
-             rewriteRefs(sTxt, tQuals, sQuals, target.columns,
-               source.columns,
-               _ => fail("MERGE ON: target ref on the source side"), qq))
-        }
+    // ON conjunct classification (r9): two-sided equalities become
+    // the JOIN KEYS; everything else is a RESIDUAL — part of the
+    // match condition (a key-matched row failing the residual is NOT
+    // MATCHED: matched clauses skip it, BY SOURCE sees it, the insert
+    // leg admits its source row). Residuals must qualify every frame
+    // ref — they evaluate in differently-named frames per leg.
+    def requireQualified(c: String): Unit = {
+      var i = 0; val n = c.length; var inStr = false
+      while (i < n) {
+        val ch = c.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+        else if (ch == '\'') { inStr = true; i += 1 }
+        else if (ch.isLetter || ch == '_') {
+          val st = i
+          while (i < n && isIdentChar(c.charAt(i))) i += 1
+          val id = c.substring(st, i)
+          val qualified = i < n && c.charAt(i) == '.' && i + 1 < n &&
+            (c.charAt(i + 1).isLetter || c.charAt(i + 1) == '_')
+          if (qualified && (tQuals.contains(id.toLowerCase) ||
+              sQuals.contains(id.toLowerCase))) {
+            i += 1
+            while (i < n && isIdentChar(c.charAt(i))) i += 1
+          } else if (!qualified && !(i < n && c.charAt(i) == '(')) {
+            if (target.columns.exists(_.equalsIgnoreCase(id)) ||
+                source.columns.exists(_.equalsIgnoreCase(id)))
+              fail("MERGE ON non-key conjuncts must qualify every " +
+                s"column reference (t.col / s.col); got bare '$id' " +
+                s"in: $c")
+          }
+        } else i += 1
       }
+    }
+    val keyB = Seq.newBuilder[(String, String)]
+    val resB = Seq.newBuilder[String]
+    splitKeyword(onCond, "and").map(stripParens).foreach { c =>
+      val asKey: Option[(String, String)] =
+        topLevelEq(c).flatMap { case (lhs, rhs) =>
+          (lhs, rhs) match {
+            // legacy same-named bare key (`ON k = k`): both sides
+            // read the like-named column of their own frame
+            case (BareId(a), BareId(b)) if a.equalsIgnoreCase(b) &&
+                target.columns.exists(_.equalsIgnoreCase(a)) &&
+                source.columns.exists(_.equalsIgnoreCase(a)) =>
+              Some((qq(target.columns.find(_.equalsIgnoreCase(a)).get),
+                    qq(source.columns.find(_.equalsIgnoreCase(a)).get)))
+            case _ =>
+              val (lt, ls) = sidesOf(lhs)
+              val (rt, rs) = sidesOf(rhs)
+              val oriented =
+                if (lt && !ls && rs && !rt) Some((lhs, rhs))
+                else if (ls && !lt && rt && !rs) Some((rhs, lhs))
+                else None
+              oriented.map { case (tTxt, sTxt) =>
+                (rewriteRefs(tTxt, tQuals, sQuals, target.columns,
+                   source.columns, qq,
+                   _ => fail("MERGE ON: source ref on the target side")),
+                 rewriteRefs(sTxt, tQuals, sQuals, target.columns,
+                   source.columns,
+                   _ => fail("MERGE ON: target ref on the source side"),
+                   qq))
+              }
+          }
+        }
+      asKey match {
+        case Some(k) => keyB += k
+        case None    => requireQualified(c); resB += c
+      }
+    }
+    val keys = keyB.result()
+    val residuals = resB.result()
+    if (keys.isEmpty)
+      fail("MERGE ON requires at least one target=source equality " +
+        s"conjunct (the hash-join key), got: $onCond")
     val tKeyNs = keys.indices.map(i => s"__t_key_$i")
     val sKeyNs = keys.indices.map(i => s"__s_key_$i")
     // computed key columns ride each frame through the dialect; the
@@ -779,9 +819,14 @@ final class Graft(val spark: SparkSession) {
       if (matchedCls.isEmpty && bySrcCls.isEmpty) target
       else {
         val joined =
-          if (matchedCls.nonEmpty) {
-            // full source columns ride the join; the per-key count
-            // (window on the join's own shuffle key) feeds the lazy
+          if (matchedCls.nonEmpty ||
+              (residuals.nonEmpty && bySrcCls.nonEmpty)) {
+            // full source columns ride the join (BY SOURCE under ON
+            // residuals needs per-row source values for the match
+            // flag, so that combination takes this branch too, guard
+            // included — the single-joined-row assumption the
+            // per-column CASE needs). The per-key count (window on
+            // the join's own shuffle key) feeds the lazy
             // cardinality guard. The guard rides a FILTER, not a
             // projected column (r8 ADVICE): column pruning removes
             // projections a downstream query doesn't read, but never
@@ -816,8 +861,14 @@ final class Graft(val spark: SparkSession) {
         try {
           val rowCls = clauses.filter(c => c.cat == 0 || c.cat == 2)
           def clauseCond(c: MergeClause): String = {
-            val m = if (c.cat == 0) "\"__s_exists\" = 1"
-                    else "\"__s_exists\" is null"
+            // the MATCH condition = key existence AND the ON
+            // residuals (3VL: a NULL residual is not-matched); BY
+            // SOURCE = its strict negation
+            val matchTxt = (Seq("\"__s_exists\" = 1") ++
+              residuals.map(r => s"(${rw(r)})")).mkString(" and ")
+            val m = if (c.cat == 0) s"($matchTxt)"
+                    else if (residuals.isEmpty) "\"__s_exists\" is null"
+                    else s"not coalesce(($matchTxt), false)"
             c.cond match {
               case Some(p) => s"($m) and (${rw(p)})"
               case None    => m
@@ -863,10 +914,52 @@ final class Graft(val spark: SparkSession) {
     val insertLeg: Option[DataFrame] =
       if (insertCls.isEmpty) None
       else {
-        val notMatched = sourceK.join(
-            targetK.select(tKeyNs.map(F.col): _*).distinct(),
-            keyCond, "left_anti")
-          .select(source.columns.toSeq.map(F.col): _*)
+        // key-only ON: anti join on the distinct target keys. With ON
+        // residuals, NOT MATCHED means "no target row satisfies keys
+        // AND residuals" — lowered as a correlated NOT EXISTS through
+        // the dialect (decorrelates to the same key anti-join with
+        // the residual riding the join condition).
+        val notMatched =
+          if (residuals.isEmpty)
+            sourceK.join(
+                targetK.select(tKeyNs.map(F.col): _*).distinct(),
+                keyCond, "left_anti")
+              .select(source.columns.toSeq.map(F.col): _*)
+          else {
+            def qualifyQuoted(txt: String, al: String): String = {
+              val sb = new StringBuilder; var i = 0; var inStr = false
+              while (i < txt.length) {
+                val ch = txt.charAt(i)
+                if (inStr) {
+                  sb += ch; if (ch == '\'') inStr = false; i += 1
+                } else ch match {
+                  case '\'' => inStr = true; sb += ch; i += 1
+                  case '"' =>
+                    val close = txt.indexOf('"', i + 1)
+                    sb ++= al; sb += '.'
+                    sb ++= txt.substring(i, close + 1)
+                    i = close + 1
+                  case c2 => sb += c2; i += 1
+                }
+              }
+              sb.toString
+            }
+            val tmpS = "__merge_ins_src"; val tmpT = "__merge_ins_tgt"
+            registerTable(tmpS, source); registerTable(tmpT, target)
+            try {
+              val keyConds = keys.map { case (t, s2) =>
+                s"(${qualifyQuoted(t, "t")}) = (${qualifyQuoted(s2, "s")})"
+              }
+              val resConds = residuals.map(c2 =>
+                "(" + rewriteRefs(c2, tQuals, sQuals, target.columns,
+                  source.columns,
+                  c3 => "t.\"" + c3 + "\"", c3 => "s.\"" + c3 + "\"") + ")")
+              translateOnly(
+                s"select s.* from $tmpS as s where not exists " +
+                s"(select 1 from $tmpT as t where " +
+                (keyConds ++ resConds).mkString(" and ") + ")")
+            } finally { removeTable(tmpS); removeTable(tmpT) }
+          }
         val tmp = s"__merge_src_${sName.toLowerCase}"
         registerTable(tmp, notMatched)
         try {

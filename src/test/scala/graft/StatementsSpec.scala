@@ -144,7 +144,8 @@ class StatementsSpec extends SparkTestBase {
     // walls: theta ON, shadowed unconditional clause, matched INSERT
     val e1 = intercept[RuntimeException](g.query(
       "merge into t1 using s0 on t1.k > s0.k when matched then delete"))
-    assert(e1.getMessage.contains("equality conjuncts only"), e1.getMessage)
+    assert(e1.getMessage.contains("at least one target=source equality"),
+      e1.getMessage)
     val e3 = intercept[RuntimeException](g.query(
       """merge into t1 using s0 on t1.k = s0.k
          when matched then update set *
@@ -263,10 +264,12 @@ class StatementsSpec extends SparkTestBase {
     g.query("""merge into r3 using se on r3.id = se.src_id + 1
                when matched then update set v = se.v2""")
     assert(rows("r3") == Map(1L -> "a", 2L -> "X", 3L -> "c"), rows("r3"))
-    // walls: one-frame-per-side, ambiguous bare column
+    // walls: a one-frame equality is a residual, so alone it leaves
+    // no join key; ambiguous bare columns must qualify
     val e1 = intercept[RuntimeException](g.query(
       """merge into r3 using se on r3.id = r3.n when matched then delete"""))
-    assert(e1.getMessage.contains("one frame per side"), e1.getMessage)
+    assert(e1.getMessage.contains("at least one target=source equality"),
+      e1.getMessage)
     g.query("create view samev as select * from (values (1, 'x')) t(id, w)")
     val e2 = intercept[RuntimeException](g.query(
       """merge into r3 using samev on id = samev.w
@@ -286,6 +289,48 @@ class StatementsSpec extends SparkTestBase {
     val e4 = intercept[Exception](
       g.query("select id from r4").collect())
     assert(e4.getMessage.contains("cardinality"), e4.getMessage)
+  }
+
+  test("MERGE ON residual conjuncts: key + non-equality match condition (r9)") {
+    val g = fresh
+    g.query("create view t0 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)) t(id, v, n)")
+    g.query("create view sr2 as select * from (values " +
+      "(2, 'B', 1), (3, 'C', 0), (4, 'D', 1)) t(src_id, v2, flag)")
+    // residual-failed key matches are NOT MATCHED: matched clauses
+    // skip them, BY SOURCE sees them, the insert leg admits their
+    // source rows (two id=3 rows after — standard MERGE)
+    g.query("create or replace table r5 as select * from t0")
+    g.query("""merge into r5 using sr2
+               on r5.id = sr2.src_id and sr2.flag = 1
+               when matched then update set v = sr2.v2
+               when not matched then insert (id, v) values (sr2.src_id, sr2.v2)
+               when not matched by source then update set n = n + 100""")
+    val got = g.query("select id, v, n from r5").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, "a", 110L), (2L, "B", 20L), (3L, "C", -1L),
+      (3L, "c", 130L), (4L, "D", -1L)), got)
+    // TARGET-side residual
+    g.query("create or replace table r6 as select * from t0")
+    g.query("""merge into r6 using sr2
+               on r6.id = sr2.src_id and r6.n < 25
+               when matched then delete""")
+    assert(g.query("select id from r6").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+    // BY-SOURCE-only clause under a residual takes the guarded full
+    // join and still answers per-row
+    g.query("create or replace table r7 as select * from t0")
+    g.query("""merge into r7 using sr2
+               on r7.id = sr2.src_id and sr2.flag = 1
+               when not matched by source then delete""")
+    assert(g.query("select id from r7").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L)) // id=3 fails the residual -> deleted
+    // walls: bare refs in a residual must qualify
+    val e1 = intercept[RuntimeException](g.query(
+      """merge into r6 using sr2 on r6.id = sr2.src_id and flag = 1
+         when matched then delete"""))
+    assert(e1.getMessage.contains("qualify"), e1.getMessage)
   }
 
   test("UPDATE ... FROM and DELETE ... USING (r9)") {
@@ -381,6 +426,9 @@ class StatementsSpec extends SparkTestBase {
       val useMUp = rnd.nextBoolean(); val useMDel = rnd.nextBoolean()
       val useIns = rnd.nextBoolean()
       val useBDel = rnd.nextBoolean(); val useBUp = rnd.nextBoolean()
+      // r9: every other scenario adds an ON RESIDUAL — a key match
+      // failing it is NOT MATCHED for every clause category
+      val useRes = rnd.nextBoolean(); val rThr = rnd.nextInt(40).toLong
       val clauses = Seq(
         if (useMUp) Some(mUp) else None,
         if (useMDel) Some(mDel) else None,
@@ -389,18 +437,27 @@ class StatementsSpec extends SparkTestBase {
         if (useBUp) Some(bUp) else None).flatten
       if (clauses.nonEmpty) {
         val anyMatched = useMUp || useMDel
-        val stmt = s"merge into ft using fs on ft.k = fs.$sk ${clauses.mkString(" ")}"
+        val anyBySrc = useBDel || useBUp
+        val onTxt = s"ft.k = fs.$sk" +
+          (if (useRes) s" and fs.bump > $rThr" else "")
+        val stmt = s"merge into ft using fs on $onTxt ${clauses.mkString(" ")}"
         val srcByKey = source.groupBy(_._1)
-        val violation = anyMatched &&
+        // the guard counts KEY matches (residual-blind) whenever the
+        // lowering takes the full join: any MATCHED clause, or a
+        // residual with BY SOURCE clauses
+        val guarded = anyMatched || (useRes && anyBySrc)
+        val violation = guarded &&
           target.exists(t => srcByKey.getOrElse(t._1, Nil).size > 1)
         g.query(stmt)
         if (violation) {
           val e = intercept[Exception](g.query("select * from ft").collect())
           assert(e.getMessage.contains("cardinality"), s"#$scenario: ${e.getMessage}")
         } else {
-          // model
+          // model: a key-matched row failing the residual is NOT
+          // MATCHED (by-source branch; its source row may insert)
           val kept = target.flatMap { case (k, v, n) =>
-            srcByKey.get(k).map(_.head) match {
+            srcByKey.get(k).map(_.head)
+              .filter { case (_, _, bump) => !useRes || bump > rThr } match {
               case Some((_, v2, bump)) =>
                 if (useMUp && bump > c1) Some((k, v2, n + bump))
                 else if (useMDel) None
@@ -412,10 +469,12 @@ class StatementsSpec extends SparkTestBase {
             }
           }
           val tKeys = target.map(_._1).toSet
-          val inserted = source.filter(s => !tKeys.contains(s._1)).flatMap {
-            case (k, v2, bump) =>
-              if (useIns && bump > c2) Some((k, v2, -1L)) else None // n NULL
-          }
+          val inserted = source.filter(s =>
+              !tKeys.contains(s._1) || (useRes && s._3 <= rThr))
+            .flatMap {
+              case (k, v2, bump) =>
+                if (useIns && bump > c2) Some((k, v2, -1L)) else None // n NULL
+            }
           val got = g.query("select k, v, n from ft").collect()
             .map(r => (r.getLong(0), r.getLong(1),
               if (r.isNullAt(2)) -1L else r.getLong(2)))
