@@ -1855,6 +1855,55 @@ final class Translator(catalog: String => DataFrame,
       def freshIdx(): Int = { val i = flagIdx; flagIdx += 1; i }
       (expr0: Expr) =>
         Ast.transformUp(expr0) {
+          case InSubquery(e: RowTuple, sub0) =>
+            // r9: tuple IN in arbitrary boolean position (under OR,
+            // projected, NOT ...) — full 3VL as a flag. Lowering is
+            // the distinct-outer-tuple pattern: the DISTINCT probe
+            // tuples join the subquery on the "comparison not
+            // strictly false" condition (every pair equal-or-either-
+            // null), aggregate match/not-false marks per tuple, and
+            // join back null-safely — no outer-row multiplication;
+            // the tuple×sub join is the inherent cost of composite
+            // 3VL (null arms defeat hash keys). Correlated tuple IN
+            // stays conjunct-position-only (loud).
+            val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
+            if (setExprRefers(sub, outerAliases))
+              fail("correlated row-value IN is supported in WHERE " +
+                "conjunct position only")
+            val ps = e.items.map(exprToCol(_, None))
+            val subDf0 = translate(sub)
+            if (subDf0.columns.length != ps.length)
+              fail(s"IN (subquery) requires a ${ps.length}-column " +
+                s"subquery to match the probe, got " +
+                s"${subDf0.columns.length}")
+            val i = freshIdx()
+            val flagN = s"__sq_flag_$i"
+            val markN = s"__sq_mark_$i"; val nfN = s"__sq_nf_$i"
+            val probeNs = ps.indices.map(j => s"__sq_tp_${i}_$j")
+            val keyNs = ps.indices.map(j => s"__sq_tk_${i}_$j")
+            val keyed = subDf0.toDF(keyNs: _*)
+            val tuples = from.select(ps.zip(probeNs).map { case (p, n) =>
+              p.as(n) }: _*).distinct()
+            val grouped = tuples.join(keyed,
+                probeNs.zip(keyNs).map { case (n, k) =>
+                  F.col(n) === F.col(k) || F.col(n).isNull ||
+                    F.col(k).isNull }.reduce(_ && _), "inner")
+              .groupBy(probeNs.map(F.col): _*)
+              .agg(F.max(F.coalesce(
+                probeNs.zip(keyNs).map { case (n, k) =>
+                  F.col(n) === F.col(k) }.reduce(_ && _),
+                F.lit(false))).as(markN))
+              .withColumn(nfN, F.lit(true))
+            from = from.join(grouped,
+                ps.zip(probeNs).map { case (p, n) => p <=> F.col(n) }
+                  .reduce(_ && _), "left_outer")
+              .withColumn(flagN,
+                F.when(F.col(markN) <=> F.lit(true), F.lit(true))
+                  .when(F.col(nfN).isNull, F.lit(false)) // incl. empty set
+                  .otherwise(F.lit(null).cast(BooleanType)))
+            helperCols = flagN :: markN :: nfN ::
+              (probeNs.toList ::: helperCols)
+            ColRef(None, flagN)
           case InSubquery(e, sub0) =>
             val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
             val probe = exprToCol(e, None)

@@ -3072,12 +3072,6 @@ class SqlSurfaceSpec extends SparkTestBase {
          where (c_nationkey, c_custkey % 3) in
            (select n_nationkey, n_regionkey % 3 from nation
             where n_regionkey = c_nationkey % 5)""")
-    // under OR / projection position stays a loud wall
-    val e = intercept[RuntimeException](graftSession.query(
-      """select c_custkey from customer
-         where (c_nationkey, c_custkey) in (select n_nationkey, n_regionkey from nation)
-            or c_acctbal < 0"""))
-    assert(e.getMessage.contains("row-value"), e.getMessage)
     // arity mismatch is loud
     val e2 = intercept[RuntimeException](graftSession.query(
       """select c_custkey from customer
@@ -3087,6 +3081,49 @@ class SqlSurfaceSpec extends SparkTestBase {
     val e3 = intercept[RuntimeException](graftSession.query(
       "select (c_custkey, c_nationkey) from customer"))
     assert(e3.getMessage.contains("row-value"), e3.getMessage)
+  }
+
+  test("tuple IN flags: OR and projection positions with full 3VL (r9)") {
+    import spark.implicits._
+    val g = graft.Graft(spark)
+    // probe rows with null members; set {(1,1),(2,NULL),(9,9)}
+    g.registerTable("tp", Seq[(Long, java.lang.Long)](
+      (1L, 1L), (2L, 2L), (3L, null), (4L, 0L), (5L, 2L), (6L, null)
+    ).toDF("a", "b"))
+    g.registerTable("ts", Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, null), (9L, 9L)).toDF("x", "y"))
+    try {
+      val got = g.query(
+        """select a,
+             (a, b) in (select x, y from ts) as f,
+             (a, b) not in (select x, y from ts) as nf,
+             case when (a, b) in (select x, y from ts) or a = 4
+                  then 1 else 0 end as orf,
+             (a, b) in (select x, y from ts where x > 100) as emp
+           from tp""").collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(1)) null else java.lang.Boolean.valueOf(r.getBoolean(1)),
+          if (r.isNullAt(2)) null else java.lang.Boolean.valueOf(r.getBoolean(2)),
+          r.getLong(3).toInt,
+          if (r.isNullAt(4)) null else java.lang.Boolean.valueOf(r.getBoolean(4))
+        ))).toMap
+      val T = java.lang.Boolean.TRUE; val Fb = java.lang.Boolean.FALSE
+      // (1,1) exact match -> TRUE; (2,2) hits (2,NULL) -> UNKNOWN;
+      // (3,NULL)/(6,NULL): every row strictly false on x -> FALSE;
+      // (4,0)/(5,2): all false -> FALSE; empty set -> FALSE always
+      assert(got(1L) == ((T, Fb, 1, Fb)), got(1L))
+      assert(got(2L) == ((null, null, 0, Fb)), got(2L))
+      assert(got(3L) == ((Fb, T, 0, Fb)), got(3L))
+      assert(got(4L) == ((Fb, T, 1, Fb)), got(4L)) // orf via a = 4
+      assert(got(5L) == ((Fb, T, 0, Fb)), got(5L))
+      assert(got(6L) == ((Fb, T, 0, Fb)), got(6L))
+      // correlated tuple IN stays conjunct-position-only
+      val e = intercept[RuntimeException](g.query(
+        """select a from tp
+           where (a, b) in (select x, y from ts where x = tp.a)
+              or a = 4"""))
+      assert(e.getMessage.contains("conjunct position"), e.getMessage)
+    } finally { g.removeTable("tp"); g.removeTable("ts") }
   }
 
   test("EXCLUDE on windowed ordered-set collects matches a Scala model (r9)") {
