@@ -487,6 +487,59 @@ class StatementsSpec extends SparkTestBase {
     }
   }
 
+  test("UPDATE FROM / DELETE USING fuzz: 12 scenarios match a Scala model (r9)") {
+    val rnd = new scala.util.Random(77)
+    for (scenario <- 1 to 12) {
+      val g = fresh
+      val target = (0 until 10 + rnd.nextInt(6)).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(100).toLong,
+         rnd.nextInt(50).toLong))
+      // distinct keys by default; every third scenario introduces dup
+      // source keys with exactly one row passing the prefilter
+      val dupMode = scenario % 3 == 0
+      val srcKeys = (0 until 8).map(_ => rnd.nextInt(16).toLong).distinct
+      val source0 = srcKeys.map(k =>
+        (k, rnd.nextInt(100).toLong, 1L, rnd.nextInt(60).toLong))
+      val source = if (!dupMode) source0
+        else source0 ++ srcKeys.take(2).map(k =>
+          (k, rnd.nextInt(100).toLong, 0L, rnd.nextInt(60).toLong))
+      def values(rows: Seq[(Long, Long, Long, Long)], cols: String) =
+        rows.map { case (a, b, c, d) => s"($a, $b, $c, $d)" }
+          .mkString("(values ", ", ", s") t($cols)")
+      def values3(rows: Seq[(Long, Long, Long)], cols: String) =
+        rows.map { case (a, b, c) => s"($a, $b, $c)" }
+          .mkString("(values ", ", ", s") t($cols)")
+      g.query(s"create or replace table ut as select * from ${values3(target, "k, v, n")}")
+      g.query(s"create or replace view us as select * from ${values(source, "sk, sv, cur, bump")}")
+      val r1 = rnd.nextInt(60)
+      // UPDATE ... FROM with prefilter + residual
+      g.query(s"""update ut set v = us.sv, n = ut.n + us.bump
+                  from us
+                  where ut.k = us.sk and us.cur = 1 and ut.n > $r1""")
+      val curSrc = source.filter(_._3 == 1L).groupBy(_._1)
+      val expectU = target.map { case (k, v, n) =>
+        curSrc.get(k).map(_.head) match {
+          case Some((_, sv, _, bump)) if n > r1 => (k, sv, n + bump)
+          case _                                => (k, v, n)
+        }
+      }
+      val gotU = g.query("select k, v, n from ut").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(gotU == expectU.sorted, s"#$scenario UPDATE\n$gotU\n${expectU.sorted}")
+      // DELETE ... USING with a mixed condition (semi semantics)
+      val r2 = rnd.nextInt(60)
+      g.query(s"create or replace table dt as select * from ${values3(target, "k, v, n")}")
+      g.query(s"""delete from dt using us
+                  where dt.k = us.sk and us.bump > $r2 and dt.n < us.bump""")
+      val expectD = target.filter { case (k, _, n) =>
+        !source.exists(s => s._1 == k && s._4 > r2 && n < s._4)
+      }
+      val gotD = g.query("select k, v, n from dt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(gotD == expectD.sorted, s"#$scenario DELETE\n$gotD\n${expectD.sorted}")
+    }
+  }
+
   test("INSERT INTO with a column list fills unlisted columns with NULL (r8)") {
     val g = fresh
     g.query("create table i0 as select * from (values " +
