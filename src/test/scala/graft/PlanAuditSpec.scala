@@ -414,6 +414,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("cartesian"), p.take(3000))
   }
 
+  test("pq ADC search scans codes, broadcasts tables and candidates (r9)") {
+    val p = plan("q_ann_pq")
+    // the per-query distance tables and both rerank sides ride
+    // broadcasts; the corpus never cross-joins anything unbounded
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+    // the ADC candidate ranking is a window over the narrow scored
+    // stream
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("tuple IN semi/anti joins keep composite hash keys (r9)") {
+    val g = Graft.forDir(spark, TestSpark.sfDir)
+    val semi = g.query(
+      """select o_orderkey from orders
+         where (o_custkey, o_orderstatus) in
+           (select c_custkey, 'F' from customer)""")
+      .queryExecution.executedPlan.toString()
+    // both tuple components are equi-keys -> hash semi join, no
+    // nested loop, no cartesian
+    assert(semi.contains("LeftSemi"), semi.take(3000))
+    assert(!semi.toLowerCase.contains("nestedloop") ||
+      semi.contains("BroadcastHashJoin"), semi.take(3000))
+    assert(!semi.toLowerCase.contains("cartesianproduct"), semi.take(3000))
+  }
+
   test("vocabulary stats broadcast the vocabulary, one term window") {
     val p = plan("q_text_vocab")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
