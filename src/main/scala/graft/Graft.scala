@@ -86,6 +86,12 @@ final class Graft(val spark: SparkSession) {
      """\s+using\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """(?:\s+(?:as\s+)?(?!where\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
      """\s+where\s+(.*?)\s*;?\s*$""").r
+  // matches only up to USING ( — the balanced subquery is extracted
+  // by the scanner in query(), not a regex
+  private val DeleteUsingSubRe =
+    ("""(?is)^(\s*delete\s+from\s+(?:"[^"]+"|[a-zA-Z_][a-zA-Z0-9_]*)""" +
+     """(?:\s+(?:as\s+)?(?!using\b)[a-zA-Z_][a-zA-Z0-9_]*)?""" +
+     """\s+using\s*\().*$""").r
   private val DeleteRe =
     ("""(?is)^\s*delete\s+from\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """\s+where\s+(.*?)\s*;?\s*$""").r
@@ -248,24 +254,21 @@ final class Graft(val spark: SparkSession) {
       // reserved temp name, and re-enter with the rewritten text —
       // the alias keeps working as the source qualifier
       val open = sqlText.indexOf('(', head.length - 1)
-      var depth = 0; var close = -1; var i = open; var inStr = false
-      while (close < 0 && i < sqlText.length) {
-        val ch = sqlText.charAt(i)
-        if (inStr) { if (ch == '\'') inStr = false }
-        else ch match {
-          case '\'' => inStr = true
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = i
-          case _ =>
-        }
-        i += 1
-      }
-      if (close < 0) fail("MERGE USING (subquery): unbalanced parentheses")
-      val subSql = sqlText.substring(open + 1, close)
+      val (subSql, after) = balancedParen(sqlText, open)
       val tmp = "__merge_using_sub"
       registerTable(tmp, translateOnly(subSql))
       try query(sqlText.substring(0, open) + s" $tmp " +
-        sqlText.substring(close + 1))
+        sqlText.substring(after))
+      finally removeTable(tmp)
+    case DeleteUsingSubRe(head) =>
+      // DELETE ... USING (subquery) alias (r9): same scanner +
+      // re-enter pattern as MERGE USING (subquery)
+      val open = sqlText.indexOf('(', head.length - 1)
+      val (subSql, after) = balancedParen(sqlText, open)
+      val tmp = "__del_using_sub"
+      registerTable(tmp, translateOnly(subSql))
+      try query(sqlText.substring(0, open) + s" $tmp " +
+        sqlText.substring(after))
       finally removeTable(tmp)
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
@@ -331,6 +334,25 @@ final class Graft(val spark: SparkSession) {
       i += 1
     }
     out.result()
+  }
+
+  /** (inner text, index after the closing paren) of the balanced
+    * paren group starting at `open` (string-literal aware). */
+  private def balancedParen(s: String, open: Int): (String, Int) = {
+    var depth = 0; var close = -1; var i = open; var inStr = false
+    while (close < 0 && i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth == 0) close = i
+        case _    =>
+      }
+      i += 1
+    }
+    if (close < 0) fail("unbalanced parentheses in derived-table source")
+    (s.substring(open + 1, close), close + 1)
   }
 
   /** Repeatedly strips a balanced outer paren pair: `((a = b))` →
@@ -510,12 +532,25 @@ final class Graft(val spark: SparkSession) {
       case i :: _ => (fromTail.substring(0, i),
                       fromTail.substring(i + "where".length).trim)
     }
-    val (sName, sAlias) = fromPart.trim match {
-      case FromRe(q2, b2, al) => (Option(q2).getOrElse(b2), Option(al))
-      case other => fail("UPDATE ... FROM supports a single table " +
-        "source (stage derived sources in a view or use MERGE USING " +
-        s"(subquery)), got: $other")
+    // FROM (subquery) alias (r9): register the derived source's lazy
+    // plan under a reserved name — the composed MERGE plan captures
+    // the DataFrame, so the name unregisters on exit
+    val (sName, sAlias, tmpSub) = fromPart.trim match {
+      case fp if fp.startsWith("(") =>
+        val (sub, after) = balancedParen(fp, 0)
+        val al = """(?is)^\s*(?:as\s+)?([a-zA-Z_][a-zA-Z0-9_]*)\s*$""".r
+          .findFirstMatchIn(fp.substring(after)).map(_.group(1))
+          .getOrElse(fail(
+            "UPDATE ... FROM (subquery) requires an alias"))
+        val tmp = "__upd_from_sub"
+        registerTable(tmp, translateOnly(sub))
+        (tmp, Some(al), true)
+      case FromRe(q2, b2, al) =>
+        (Option(q2).getOrElse(b2), Option(al), false)
+      case other => fail("UPDATE ... FROM supports a single table or " +
+        s"(subquery) alias source, got: $other")
     }
+    try {
     val source = lookup(sName)
     val tQuals = Set(tName.toLowerCase) ++ tAlias.map(_.toLowerCase)
     val sQuals = Set(sName.toLowerCase) ++ sAlias.map(_.toLowerCase)
@@ -559,6 +594,7 @@ final class Graft(val spark: SparkSession) {
       finally removeTable(tmp)
     }
     status("updated", tName.toLowerCase)
+    } finally if (tmpSub) removeTable(sName)
   }
 
   /** MERGE INTO lowering (r8 general form; r9 generalizes ON to

@@ -387,6 +387,25 @@ class StatementsSpec extends SparkTestBase {
     g.query("""delete from d3 as tt using stage s
                where tt.n > s.bump * 5""")
     assert(rows("d3").keySet == Set(1L, 2L)) // n=30,40 > bump(5)*5
+    // derived-table sources (r9): FROM (subquery) alias and
+    // USING (subquery) alias
+    g.query("create or replace table u4 as select * from t0")
+    g.query("""update u4 set v = st.sv
+               from (select sk, sv from stage where is_current = 1) st
+               where u4.k = st.sk""")
+    assert(rows("u4")(2L) == (("B", 20L)) && rows("u4")(4L) == (("D", 40L))
+      && rows("u4")(3L) == (("c", 30L)), rows("u4"))
+    assert(!g.tableNames.contains("__upd_from_sub"))
+    g.query("create or replace table d4 as select * from t0")
+    g.query("""delete from d4 using (select sk from stage
+                 where is_current = 1) st
+               where d4.k = st.sk""")
+    assert(rows("d4").keySet == Set(1L, 3L))
+    assert(!g.tableNames.contains("__del_using_sub"))
+    // FROM (subquery) without an alias is loud
+    val e3 = intercept[RuntimeException](g.query(
+      "update u4 set v = 'x' from (select sk from stage) where u4.k = sk"))
+    assert(e3.getMessage.contains("alias"), e3.getMessage)
   }
 
   test("MERGE fuzz: 15 random clause matrices match a Scala-computed model (r8)") {
