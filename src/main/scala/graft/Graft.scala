@@ -43,6 +43,14 @@ final class Graft(val spark: SparkSession) {
     """(?is)^\s*create\s+(or\s+replace\s+)?table\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
   private val DropViewRe =
     """(?is)^\s*drop\s+(?:view|table)\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
+  // r9 registry DDL conveniences: TRUNCATE and the ALTER TABLE
+  // column/rename forms — pure plan rewrites over the lazy registry,
+  // the same semantics family as CREATE VIEW / the DML statements
+  private val TruncateRe =
+    """(?is)^\s*truncate\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
+  private val AlterRe =
+    ("""(?is)^\s*alter\s+table\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+(.*?)\s*;?\s*$""").r
   private val ExplainRe = """(?is)^\s*explain\s+(select.*|with.*)$""".r
   private val DescribeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
@@ -273,6 +281,61 @@ final class Graft(val spark: SparkSession) {
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
         Option(sq).getOrElse(sb), Option(sAl), rest)
+    case TruncateRe(q, b) =>
+      val name = Option(q).getOrElse(b)
+      registerTable(name, lookup(name).limit(0))
+      status("truncated", name.toLowerCase)
+    case AlterRe(q, b, action) =>
+      import org.apache.spark.sql.{functions => F}
+      val name = Option(q).getOrElse(b)
+      val t = lookup(name)
+      val AddCol =
+        """(?is)^add\s+(?:column\s+)?(?:if\s+not\s+exists\s+)?(?:"([^"]+)"|(\w+))\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)$""".r
+      val DropCol =
+        """(?is)^drop\s+(?:column\s+)?(?:if\s+exists\s+)?(?:"([^"]+)"|(\w+))$""".r
+      val RenameCol =
+        """(?is)^rename\s+(?:column\s+)?(?:"([^"]+)"|(\w+))\s+to\s+(?:"([^"]+)"|(\w+))$""".r
+      val RenameTo =
+        """(?is)^rename\s+to\s+(?:"([^"]+)"|(\w+))$""".r
+      action.trim match {
+        case AddCol(cq, cb, typ) =>
+          val c = Option(cq).getOrElse(cb)
+          if (t.columns.exists(_.equalsIgnoreCase(c)))
+            fail(s"ALTER TABLE: column '$c' already exists in $name")
+          // the new column reads NULL of the declared type (ADD
+          // COLUMN over a lazy plan cannot backfill); the type name
+          // goes through the dialect's CAST catalog via a 1-row parse
+          val typed = translateOnly(
+            s"""select cast(null as $typ) as "$c" from $name""")
+          registerTable(name,
+            t.withColumn(c, F.lit(null).cast(typed.schema.head.dataType)))
+          status("altered", name.toLowerCase)
+        case DropCol(cq, cb) =>
+          val c = Option(cq).getOrElse(cb)
+          val real = t.columns.find(_.equalsIgnoreCase(c))
+            .getOrElse(fail(s"ALTER TABLE: column '$c' not in $name"))
+          if (t.columns.length == 1)
+            fail("ALTER TABLE: cannot drop the only column")
+          registerTable(name, t.drop(real))
+          status("altered", name.toLowerCase)
+        case RenameCol(cq, cb, nq, nb) =>
+          val c = Option(cq).getOrElse(cb)
+          val n = Option(nq).getOrElse(nb)
+          val real = t.columns.find(_.equalsIgnoreCase(c))
+            .getOrElse(fail(s"ALTER TABLE: column '$c' not in $name"))
+          if (t.columns.exists(_.equalsIgnoreCase(n)))
+            fail(s"ALTER TABLE: column '$n' already exists in $name")
+          registerTable(name, t.withColumnRenamed(real, n))
+          status("altered", name.toLowerCase)
+        case RenameTo(nq, nb) =>
+          val n = Option(nq).getOrElse(nb)
+          if (tables.contains(n.toLowerCase))
+            fail(s"ALTER TABLE RENAME: '$n' already exists")
+          registerTable(n, t); removeTable(name)
+          status("renamed", n.toLowerCase)
+        case other => fail("ALTER TABLE supports ADD/DROP/RENAME " +
+          s"COLUMN and RENAME TO, got: $other")
+      }
     case ExplainRe(body) =>
       import spark.implicits._
       explain(body).split("\n").toSeq.toDF("plan")

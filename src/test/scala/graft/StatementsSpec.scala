@@ -506,6 +506,45 @@ class StatementsSpec extends SparkTestBase {
     }
   }
 
+  test("TRUNCATE and ALTER TABLE registry forms (r9)") {
+    val g = fresh
+    g.query("create table a0 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20)) t(k, v, n)")
+    // ADD COLUMN: NULL of the declared type, existing rows keep
+    g.query("alter table a0 add column score double")
+    val r1 = g.query("select k, score from a0 order by k").collect()
+    assert(r1.forall(_.isNullAt(1)) &&
+      g.query("select * from a0").schema("score").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+    // RENAME COLUMN + reads through the new name
+    g.query("alter table a0 rename column v to label")
+    assert(g.query("select label from a0 where k = 1").collect()(0)
+      .getString(0) == "a")
+    // DROP COLUMN
+    g.query("alter table a0 drop column n")
+    assert(!g.query("select * from a0").columns.contains("n"))
+    // RENAME TO moves the registry entry
+    g.query("alter table a0 rename to a1")
+    assert(g.tableNames.contains("a1") && !g.tableNames.contains("a0"))
+    // TRUNCATE empties but keeps the schema
+    g.query("truncate table a1")
+    assert(g.query("select count(*) as c from a1").collect()(0)
+      .getLong(0) == 0L)
+    assert(g.query("select * from a1").columns.toSeq ==
+      Seq("k", "label", "score"))
+    // walls
+    val e1 = intercept[RuntimeException](
+      g.query("alter table a1 drop column nope"))
+    assert(e1.getMessage.contains("not in"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      g.query("alter table a1 add column k int"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g.query("alter table a1 frobnicate"))
+    assert(e3.getMessage.contains("ALTER TABLE supports"), e3.getMessage)
+    intercept[Exception](g.query("truncate table ghost"))
+  }
+
   test("UPDATE FROM / DELETE USING fuzz: 12 scenarios match a Scala model (r9)") {
     val rnd = new scala.util.Random(77)
     for (scenario <- 1 to 12) {
