@@ -253,8 +253,15 @@ final class Graft(val spark: SparkSession) {
           case None => s""""$c""""
         }
       }
+      // thread the optional alias into the rewritten SELECT (r9
+      // ADVICE: a silently-dropped alias made `x.col` refs fail with
+      // an opaque unresolved-column error)
+      val fromTxt = tAl match {
+        case null => s""""$name""""
+        case al   => s""""$name" as $al"""
+      }
       registerTable(name,
-        translateOnly(s"select ${items.mkString(", ")} from $name"))
+        translateOnly(s"select ${items.mkString(", ")} from $fromTxt"))
       status("updated", name.toLowerCase)
     case MergeUsingSubqueryRe(head) =>
       // USING (subquery) [AS] alias (r8): extract the balanced-paren
@@ -290,7 +297,7 @@ final class Graft(val spark: SparkSession) {
       val name = Option(q).getOrElse(b)
       val t = lookup(name)
       val AddCol =
-        """(?is)^add\s+(?:column\s+)?(?:if\s+not\s+exists\s+)?(?:"([^"]+)"|(\w+))\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)$""".r
+        """(?is)^add\s+(?:column\s+)?(?:if\s+not\s+exists\s+)?(?:"([^"]+)"|(\w+))\s+(\w+(?:\s+\w+)*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)$""".r
       val DropCol =
         """(?is)^drop\s+(?:column\s+)?(?:if\s+exists\s+)?(?:"([^"]+)"|(\w+))$""".r
       val RenameCol =
@@ -305,8 +312,11 @@ final class Graft(val spark: SparkSession) {
           // the new column reads NULL of the declared type (ADD
           // COLUMN over a lazy plan cannot backfill); the type name
           // goes through the dialect's CAST catalog via a 1-row parse
+          // (table name QUOTED — r9 ADVICE: an unquoted probe broke
+          // for quoted names with spaces/mixed case; multi-word
+          // standard spellings parse since r10's parseTypeName)
           val typed = translateOnly(
-            s"""select cast(null as $typ) as "$c" from $name""")
+            s"""select cast(null as $typ) as "$c" from "$name"""")
           registerTable(name,
             t.withColumn(c, F.lit(null).cast(typed.schema.head.dataType)))
           status("altered", name.toLowerCase)
@@ -491,6 +501,23 @@ final class Graft(val spark: SparkSession) {
           while (i < n && isIdentChar(e.charAt(i))) i += 1
         } else if (qualified && sQuals.contains(id.toLowerCase)) {
           s2 = true; i += 1
+          while (i < n && isIdentChar(e.charAt(i))) i += 1
+        } else if (qualified) {
+          // a dot after a non-alias ident: struct-field access on a
+          // bare column classifies by the column's frame; anything
+          // else is a typo'd alias — loud (r9 ADVICE: the silent skip
+          // surfaced as confusing downstream analysis errors)
+          val inT = tCols.exists(_.equalsIgnoreCase(id))
+          val inS = sCols.exists(_.equalsIgnoreCase(id))
+          if (inT && inS)
+            fail(s"bare column '$id' exists in both the target and the " +
+              "source frame — qualify it (t.col / s.col)")
+          if (!inT && !inS)
+            fail(s"unknown alias or column '$id' in: $e (known " +
+              s"qualifiers: ${(tQuals ++ sQuals).toSeq.sorted.mkString(", ")})")
+          if (inT) t = true
+          if (inS) s2 = true
+          i += 1
           while (i < n && isIdentChar(e.charAt(i))) i += 1
         } else if (!qualified && !(i < n && e.charAt(i) == '(')) {
           val inT = tCols.exists(_.equalsIgnoreCase(id))
@@ -918,15 +945,12 @@ final class Graft(val spark: SparkSession) {
       if (matchedCls.isEmpty && bySrcCls.isEmpty) target
       else {
         val joined =
-          if (matchedCls.nonEmpty ||
-              (residuals.nonEmpty && bySrcCls.nonEmpty)) {
-            // full source columns ride the join (BY SOURCE under ON
-            // residuals needs per-row source values for the match
-            // flag, so that combination takes this branch too, guard
-            // included — the single-joined-row assumption the
-            // per-column CASE needs). The per-key count (window on
-            // the join's own shuffle key) feeds the lazy
-            // cardinality guard. The guard rides a FILTER, not a
+          if (matchedCls.nonEmpty) {
+            // full source columns ride the join (a MATCHED clause
+            // reads per-row source values — the single-joined-row
+            // assumption the per-column CASE needs). The per-key
+            // count (window on the join's own shuffle key) feeds the
+            // lazy cardinality guard. The guard rides a FILTER, not a
             // projected column (r8 ADVICE): column pruning removes
             // projections a downstream query doesn't read, but never
             // a filter — `select count(*) from t` still trips it.
@@ -946,6 +970,49 @@ final class Graft(val spark: SparkSession) {
                   "MERGE cardinality violation: a target row matches " +
                   "more than one source row")).cast("boolean"))
                 .otherwise(F.lit(true)))
+          } else if (residuals.nonEmpty) {
+            // BY-SOURCE-only with ON residuals (r10, r9 ADVICE): with
+            // no MATCHED clause SQL:2016 permits multi-match (matched
+            // rows pass through unchanged), so the row-multiplying
+            // guarded join is wrong — tag each target row, evaluate
+            // the key+residual match per joined pair, fold ANY-true
+            // per tag, and keep one row per tag. BY SOURCE conditions
+            // and assignments must not read source columns (no
+            // matching source row exists when the clause applies) —
+            // enforced loudly below, so the surviving arbitrary
+            // source values are never read.
+            (bySrcCls.flatMap(_.cond) ++ bySrcCls.flatMap(_.act match {
+              case UpdateCols(as) => as.map(_._2)
+              case _              => Seq.empty
+            })).foreach { e =>
+              val (_, refsSrc) = sidesOfExpr(e, tQuals, sQuals,
+                target.columns, source.columns)
+              if (refsSrc)
+                fail("MERGE: a NOT MATCHED BY SOURCE condition or " +
+                  s"assignment cannot reference source columns: $e")
+            }
+            val tTag = targetK.withColumn("__t_rid",
+              F.monotonically_increasing_id())
+            val sRen = sourceK.select(
+              source.columns.toSeq.map(c =>
+                F.col(c).as("__s_" + c.toLowerCase)) ++
+              sKeyNs.map(F.col) :+
+              F.lit(1).as("__s_exists"): _*)
+            val j0 = tTag.join(sRen, keyCond, "left_outer")
+            val tmp0 = "__merge_mflag"
+            registerTable(tmp0, j0)
+            val withM = try {
+              val matchTxt = (Seq("\"__s_exists\" = 1") ++
+                residuals.map(r => s"(${rw(r)})")).mkString(" and ")
+              translateOnly(s"""select *, ($matchTxt) as "__m" from $tmp0""")
+            } finally removeTable(tmp0)
+            val wr = Window.partitionBy(F.col("__t_rid"))
+            withM
+              .withColumn("__s_matched",
+                F.max(F.when(F.col("__m"), 1).otherwise(0)).over(wr))
+              .withColumn("__rn", F.row_number().over(
+                wr.orderBy(F.col("__t_rid"))))
+              .filter(F.col("__rn") === 1)
           } else {
             // no matched clause → only the existence flag is needed;
             // a distinct key join cannot multiply target rows
@@ -959,13 +1026,17 @@ final class Graft(val spark: SparkSession) {
         registerTable(tmp, joined)
         try {
           val rowCls = clauses.filter(c => c.cat == 0 || c.cat == 2)
+          // BY-SOURCE-only + residuals rides the tag/fold branch above,
+          // which pre-computes the per-target-row flag
+          val flagMode = matchedCls.isEmpty && residuals.nonEmpty
           def clauseCond(c: MergeClause): String = {
             // the MATCH condition = key existence AND the ON
             // residuals (3VL: a NULL residual is not-matched); BY
             // SOURCE = its strict negation
             val matchTxt = (Seq("\"__s_exists\" = 1") ++
               residuals.map(r => s"(${rw(r)})")).mkString(" and ")
-            val m = if (c.cat == 0) s"($matchTxt)"
+            val m = if (flagMode) "\"__s_matched\" = 0"
+                    else if (c.cat == 0) s"($matchTxt)"
                     else if (residuals.isEmpty) "\"__s_exists\" is null"
                     else s"not coalesce(($matchTxt), false)"
             c.cond match {

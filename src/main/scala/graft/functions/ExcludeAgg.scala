@@ -124,11 +124,14 @@ case class ExcludeAgg(lst: Expression, cur: Expression, mode: String,
       }
     func match {
       case "collect" =>
-        val out = new Array[Any](vals.size)
-        var j = 0
-        val ci = vals.iterator()
-        while (ci.hasNext) { out(j) = ci.next(); j += 1 }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        // read through `it`, not `vals`: the translator always passes
+        // distinct=false for collect today, but a future
+        // ExcludeAgg(collect, distinct=true) must dedupe, not silently
+        // ignore the flag (r9 ADVICE)
+        val out = new java.util.ArrayList[Any](vals.size)
+        while (it.hasNext) out.add(it.next())
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          out.toArray)
       case "count" =>
         var k = 0L; while (it.hasNext) { it.next(); k += 1 }; k
       case "min" | "max" =>

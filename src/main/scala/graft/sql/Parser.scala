@@ -1354,7 +1354,27 @@ final class Parser(tokens: Vector[Token]) {
     * SQL). The parameters ride inside the type string; the translator
     * interprets them. */
   private def parseTypeName(): String = {
-    val base = ident()
+    val base0 = ident()
+    // standard multi-word spellings (r10): `double precision`,
+    // `character varying(n)`, `timestamp/time with[out] time zone`
+    // — normalized to the single-word catalog name the translator
+    // interprets (the dialect carries no separate tz-aware type,
+    // matching DuckDB's TIMESTAMP default)
+    val base = base0.toLowerCase match {
+      case "double" if eatKw("precision") => base0
+      case "character" | "char" | "nchar" if eatKw("varying") => "varchar"
+      case "national" =>
+        if (!eatKw("character") && !eatKw("char"))
+          fail("expected CHARACTER after NATIONAL")
+        if (eatKw("varying")) () // NATIONAL CHARACTER [VARYING] -> varchar
+        "varchar"
+      case "timestamp" | "time" =>
+        if (eatKw("with") || eatKw("without")) {
+          expectKw("time"); expectKw("zone")
+        }
+        base0
+      case _ => base0
+    }
     if (atOp("(")) {
       def param(): String = next() match {
         case Num(v, _) => v

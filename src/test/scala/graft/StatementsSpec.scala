@@ -318,8 +318,8 @@ class StatementsSpec extends SparkTestBase {
                when matched then delete""")
     assert(g.query("select id from r6").collect().map(_.getLong(0))
       .sorted.toSeq == Seq(1L, 3L))
-    // BY-SOURCE-only clause under a residual takes the guarded full
-    // join and still answers per-row
+    // BY-SOURCE-only clause under a residual takes the tag/fold
+    // match-flag branch (r10) and still answers per-row
     g.query("create or replace table r7 as select * from t0")
     g.query("""merge into r7 using sr2
                on r7.id = sr2.src_id and sr2.flag = 1
@@ -543,6 +543,94 @@ class StatementsSpec extends SparkTestBase {
       g.query("alter table a1 frobnicate"))
     assert(e3.getMessage.contains("ALTER TABLE supports"), e3.getMessage)
     intercept[Exception](g.query("truncate table ghost"))
+  }
+
+  test("MERGE BY-SOURCE-only + ON residuals permits multi-match (r10)") {
+    val g = fresh
+    g.query("create view t0 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)) t(id, v, n)")
+    // id=2 matches TWO source rows — legal with no MATCHED clause
+    // (SQL:2016): matched rows pass through unchanged, the r9 guard
+    // must NOT fire (r9 ADVICE)
+    g.query("create view sm as select * from (values " +
+      "(2, 1), (2, 1), (3, 0)) t(src_id, flag)")
+    g.query("create or replace table m1 as select * from t0")
+    g.query("""merge into m1 using sm
+               on m1.id = sm.src_id and sm.flag = 1
+               when not matched by source then update set n = n + 100""")
+    val got = g.query("select id, n from m1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // id=1: no key match -> +100; id=2: matched (flag=1 pair exists,
+    // twice -- still matched) -> unchanged; id=3: key match but the
+    // residual fails -> NOT matched -> +100
+    assert(got == Seq((1L, 110L), (2L, 20L), (3L, 130L)), got)
+    // same shape with DELETE: only the matched row survives
+    g.query("create or replace table m2 as select * from t0")
+    g.query("""merge into m2 using sm
+               on m2.id = sm.src_id and sm.flag = 1
+               when not matched by source then delete""")
+    assert(g.query("select id from m2").collect().map(_.getLong(0))
+      .toSeq == Seq(2L))
+    // a residual that matches NO pair for a multi-matched key: every
+    // target row is by-source
+    g.query("create or replace table m3 as select * from t0")
+    g.query("""merge into m3 using sm
+               on m3.id = sm.src_id and sm.flag = 9
+               when not matched by source then update set v = 'x'""")
+    assert(g.query("select v from m3").collect()
+      .map(_.getString(0)).toSeq == Seq("x", "x", "x"))
+    // wall: BY SOURCE conditions/assignments cannot read source
+    // columns in this branch (no matching source row exists; the
+    // surviving arbitrary pair must never be read)
+    g.query("create or replace table m4 as select * from t0")
+    val e1 = intercept[RuntimeException](
+      g.query("""merge into m4 using sm
+                 on m4.id = sm.src_id and sm.flag = 1
+                 when not matched by source then update set n = sm.flag"""))
+    assert(e1.getMessage.contains("cannot reference source"), e1.getMessage)
+    // the guarded branch still raises when a MATCHED clause exists
+    g.query("create or replace table m5 as select * from t0")
+    g.query("""merge into m5 using sm
+               on m5.id = sm.src_id and sm.flag = 1
+               when matched then update set n = 0
+               when not matched by source then update set n = n + 100""")
+    val e2 = intercept[Exception](g.query("select * from m5").collect())
+    assert(e2.getMessage.contains("cardinality"), e2.getMessage)
+  }
+
+  test("ALTER ADD COLUMN multi-word types + quoted names; UPDATE alias (r10)") {
+    val g = fresh
+    g.query("create table a2 as select * from (values " +
+      "(1, 'a'), (2, 'b')) t(k, v)")
+    // standard multi-word type spellings parse (r9 ADVICE)
+    g.query("alter table a2 add column dp double precision")
+    assert(g.query("select * from a2").schema("dp").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    g.query("alter table a2 add column ts timestamp with time zone")
+    assert(g.query("select * from a2").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    g.query("alter table a2 add column cv character varying(12)")
+    assert(g.query("select * from a2").schema("cv").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // the cast-probe quotes the table name: mixed-case/space names work
+    g.query("""create table "My Table" as select * from (values (1)) t(k)""")
+    g.query("""alter table "My Table" add column s string""")
+    assert(g.query("""select * from "My Table"""").columns.toSeq ==
+      Seq("k", "s"))
+    // plain UPDATE with an alias: alias-qualified refs resolve (r9
+    // ADVICE: the alias was silently dropped)
+    g.query("create table u9 as select * from (values " +
+      "(1, 10), (2, 20)) t(k, n)")
+    g.query("update u9 as x set n = x.n + x.k where x.k = 2")
+    assert(g.query("select n from u9 where k = 2").collect()(0)
+      .getLong(0) == 22L)
+    // typo'd alias in UPDATE ... FROM WHERE is loud (r9 ADVICE:
+    // sidesOfExpr silently skipped unknown qualifiers)
+    g.query("create view src9 as select * from (values (2, 5)) t(sk, b)")
+    val e1 = intercept[RuntimeException](
+      g.query("update u9 set n = 0 from src9 " +
+        "where u9.k = src9.sk and zz.b = 5"))
+    assert(e1.getMessage.contains("unknown alias"), e1.getMessage)
   }
 
   test("UPDATE FROM / DELETE USING fuzz: 12 scenarios match a Scala model (r9)") {

@@ -235,6 +235,32 @@ class FunctionsSpec extends SparkTestBase {
       assert(diff.isEmpty, s"$t: ${diff.take(5).mkString(", ")}")
     }
   }
+
+  test("ExcludeAgg collect honors DISTINCT (r10, r9 ADVICE)") {
+    // the translator passes distinct=false for collect today; the
+    // expression itself must still dedupe when asked, not silently
+    // ignore the flag
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)).toDF("k", "v")
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val okS = F.struct(F.col("k"))
+    val rid = F.xxhash64(okS, F.col("v"))
+    val elem = F.struct(okS.as("__xok"), rid.as("__xrid"),
+      F.col("v").as("__xv"))
+    val lst = F.collect_list(elem).over(w)
+    val got = df
+      .withColumn("all", org.apache.spark.sql.GraftFn.excludeAgg(
+        lst, elem, "current row", "collect", distinct = false))
+      .withColumn("ded", org.apache.spark.sql.GraftFn.excludeAgg(
+        lst, elem, "current row", "collect", distinct = true))
+      .filter("k = 1")
+      .selectExpr("all", "ded").collect().head
+    assert(got.getSeq[Long](0) == Seq(2L, 2L, 3L), got)
+    assert(got.getSeq[Long](1) == Seq(2L, 3L), got)
+  }
 }
 
 
