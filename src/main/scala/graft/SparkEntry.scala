@@ -3351,6 +3351,77 @@ object SparkEntry {
                 row_number() over (partition by query_id
                                    order by sim desc, neighbor_id) as rnk
               from rer qualify rnk <= 5""")),
+    // IVF-PQ composed ANN (r10): coarse cells bound WHICH codes the
+    // ADC scan touches, PQ bounds WHAT it reads per row — the
+    // production 100 TB tier (VERDICT r9 #1). Deterministic label-cell
+    // form (the q_ann_ivf adjudication pattern): each query probes its
+    // own cell; same lattice/codebook CTEs as q_ann_pq with the
+    // same-label restriction on the candidate pairs.
+    ("q_ann_ivfpq",
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfPqTopK(tbl(s, dir, "embeddings"), "vec_id < 8",
+          k = 5, m = 4, kc = 16, mult = 4, nprobe = 1),
+      Some(s"""with q0 as (select vec_id, embedding,
+                  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) as scale
+                from embeddings),
+              qz as (select vec_id,
+                       case when scale = 0
+                         then list_transform(embedding, v -> 0::BIGINT)
+                         else list_transform(embedding,
+                           v -> floor(v::DOUBLE * 127 / scale + 0.5)::BIGINT)
+                       end as ql
+                     from q0),
+              seeds as (select ql,
+                          (row_number() over (order by vec_id) - 1)::INT as code
+                        from qz order by vec_id limit 16),
+              blk as (select unnest(range(0, 4)) as block),
+              cb as materialized (
+                select blk.block, s.code,
+                       s.ql[blk.block*16+1 : blk.block*16+16] as centroid
+                from seeds s cross join blk),
+              dist as (select v.vec_id, c.block, c.code,
+                         list_sum(list_transform(range(1, 17), i ->
+                           (v.ql[c.block*16+i] - c.centroid[i])
+                           * (v.ql[c.block*16+i] - c.centroid[i]))) as d
+                       from qz v cross join cb c),
+              best as (select vec_id, block, code, d,
+                         row_number() over (partition by vec_id, block
+                                            order by d, code) as rn
+                       from dist),
+              qtab as (select v.vec_id as query_id, c.block, c.code,
+                         list_sum(list_transform(range(1, 17), i ->
+                           (v.ql[c.block*16+i] - c.centroid[i])
+                           * (v.ql[c.block*16+i] - c.centroid[i]))) as d
+                       from qz v cross join cb c where v.vec_id < 8),
+              lab as (select vec_id, label from embeddings),
+              adc as (select qt.query_id, bc.vec_id as neighbor_id,
+                        sum(qt.d) as adc
+                      from best bc
+                      join qtab qt on qt.block = bc.block
+                                  and qt.code = bc.code
+                      join lab nl on nl.vec_id = bc.vec_id
+                      join lab ql2 on ql2.vec_id = qt.query_id
+                                  and ql2.label = nl.label
+                      where bc.rn = 1 and bc.vec_id <> qt.query_id
+                      group by qt.query_id, bc.vec_id),
+              cands as (select query_id, neighbor_id,
+                          row_number() over (partition by query_id
+                                             order by adc, neighbor_id) as crnk
+                        from adc),
+              e as (select vec_id, embedding,
+                      list_sum(list_transform(embedding,
+                        (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+                    from embeddings),
+              rer as (select c.query_id, c.neighbor_id,
+                        round(${duckPairCos("eq", "en")}, 6) as sim
+                      from cands c
+                      join e eq on eq.vec_id = c.query_id
+                      join e en on en.vec_id = c.neighbor_id
+                      where c.crnk <= 20)
+              select query_id, neighbor_id, sim,
+                row_number() over (partition by query_id
+                                   order by sim desc, neighbor_id) as rnk
+              from rer qualify rnk <= 5""")),
     // corpus-level bigram heavy hitters (boilerplate discovery):
     // map-side partials collapse hot grams before the shuffle, global
     // top-k via per-partition heaps; ties break on the gram text

@@ -349,16 +349,19 @@ object Similarity {
   /** Int8 lattice shared by [[quantizeEmbeddings]] and the PQ encoder:
     * (vec_id, q: array<bigint>) — symmetric max-abs quantization with
     * floor(x+0.5) rounding (IEEE-identical cross-engine), zero
-    * vectors guarded. */
-  private def int8Lattice(emb: DataFrame): DataFrame =
+    * vectors guarded. `keep` threads extra columns (e.g. the IVF cell)
+    * through the projection. */
+  private def int8Lattice(emb: DataFrame,
+                          keep: Seq[String] = Nil): DataFrame =
     emb
-      .selectExpr("vec_id", "embedding",
+      .selectExpr(Seq("vec_id", "embedding",
         "cast(array_max(transform(embedding, v -> abs(cast(v as double)))) as double) as __scale")
-      .selectExpr("vec_id",
+        ++ keep: _*)
+      .selectExpr(Seq("vec_id",
         """case when __scale = 0D then transform(embedding, v -> 0L)
              else transform(embedding,
                v -> cast(floor(cast(v as double) * 127D / __scale + 0.5D) as bigint))
-           end as q""")
+           end as q""") ++ keep: _*)
 
   /** Product quantization encode (r5c) — the ANN compression tier
     * beyond int8: each vector splits into `m` sub-blocks and each
@@ -478,12 +481,33 @@ object Similarity {
            s -> s.centroid))""").as("__cb"))
 
   private def encodeWithCodebook(q: DataFrame, cb: DataFrame,
-                                 m: Int, k: Int): DataFrame = {
+                                 m: Int, k: Int,
+                                 keep: Seq[String] = Nil): DataFrame = {
     val cbRow = flatCodebookRow(cb)
     q.crossJoin(F.broadcast(cbRow))
-      .selectExpr("vec_id", s"graft_pq_encode(q, __cb, $m, $k) as __r")
-      .selectExpr("vec_id", "__r.codes as codes", "__r.pq_err as pq_err")
+      .selectExpr(Seq("vec_id", s"graft_pq_encode(q, __cb, $m, $k) as __r")
+        ++ keep: _*)
+      .selectExpr(Seq("vec_id", "__r.codes as codes", "__r.pq_err as pq_err")
+        ++ keep: _*)
   }
+
+  /** Per-query ADC distance-table projection: dtab[b·kc + c] =
+    * ‖q_block − centroid(b, c)‖² on the int8 lattice — exact integer
+    * HOFs, evaluated on the TINY query side only. Expects `q` and the
+    * broadcast `__cb` flat codebook in scope. */
+  private def dtabExpr(m: Int, kc: Int): String =
+    s"""transform(sequence(0, ${m * kc - 1}), t ->
+          aggregate(sequence(1, size(q) div $m), 0L, (acc, i) ->
+            acc + (q[(t div $kc) * (size(q) div $m) + i - 1]
+                    - __cb[t * (size(q) div $m) + i - 1])
+                * (q[(t div $kc) * (size(q) div $m) + i - 1]
+                    - __cb[t * (size(q) div $m) + i - 1])))
+       as dtab"""
+
+  /** ADC score: m table lookups summed per (query, code-row) pair. */
+  private def adcExpr(m: Int, kc: Int): String =
+    s"""aggregate(sequence(0, ${m - 1}), 0L,
+          (acc, b) -> acc + dtab[b * $kc + codes[b]]) as adc"""
 
   /** ADC (asymmetric-distance) top-k search over the PQ-encoded
     * corpus (r9) — the search half of SURVEY row 95. Each query
@@ -518,19 +542,10 @@ object Similarity {
     // per-query distance tables: dtab[b*kc + c] = ‖q_block − centroid‖²
     // (integer HOFs on the TINY query side only)
     val qd = qz.filter(queryPred).crossJoin(F.broadcast(cbRow))
-      .selectExpr("vec_id as query_id",
-        s"""transform(sequence(0, ${m * kc - 1}), t ->
-              aggregate(sequence(1, size(q) div $m), 0L, (acc, i) ->
-                acc + (q[(t div $kc) * (size(q) div $m) + i - 1]
-                        - __cb[t * (size(q) div $m) + i - 1])
-                    * (q[(t div $kc) * (size(q) div $m) + i - 1]
-                        - __cb[t * (size(q) div $m) + i - 1])))
-           as dtab""")
+      .selectExpr("vec_id as query_id", dtabExpr(m, kc))
     val scored = codes
       .join(F.broadcast(qd), F.col("query_id") =!= F.col("vec_id"))
-      .selectExpr("query_id", "vec_id as neighbor_id",
-        s"""aggregate(sequence(0, ${m - 1}), 0L,
-              (acc, b) -> acc + dtab[b * $kc + codes[b]]) as adc""")
+      .selectExpr("query_id", "vec_id as neighbor_id", adcExpr(m, kc))
     val cands = scored
       .withColumn("crnk", F.row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -554,6 +569,121 @@ object Similarity {
       .filter(F.col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** IVF-PQ composed ANN (r10) — the production memory-bounded tier
+    * a 100 TB corpus actually runs (VERDICT r9 #1): coarse cells
+    * bound WHICH codes are scanned (IVF), product quantization bounds
+    * WHAT the scan reads per row (m code bytes), and the exact rerank
+    * touches full vectors for k·mult rows per query only. Flat-PQ
+    * ([[pqTopK]]) pays nq × corpus ADC sums per batch; this probes
+    * `nprobe` cells so the ADC scan is Σ|probed cells| instead.
+    *
+    * Stages:
+    *  1. encode: the corpus int8 lattice PQ-encodes against the
+    *     codebook (broadcast, codegen projection), the cell riding
+    *     along — at rest this is the (cell, codes) inverted file.
+    *  2. probe: nprobe=1 reads the query's own cell assignment (the
+    *     deterministic oracle form, [[ivfTopK]]'s adjudication
+    *     pattern). nprobe>1 ranks cells by ‖q − centroid(cell)‖² on
+    *     the int8 lattice — per-cell per-dim integer SUMS and counts
+    *     (exact, order-independent), then one IEEE-deterministic
+    *     division/fold per (query, cell) on the tiny broadcast side.
+    *  3. ADC: the codes scan hash-joins the broadcast (query, probe
+    *     cell, dtab) set ON THE CELL KEY — cell-bounded by plan
+    *     construction (PlanAuditSpec pins the BroadcastHashJoin),
+    *     reading m-byte codes only.
+    *  4. top k·mult candidates per query (group-limited window), then
+    *     the same broadcast exact-cosine rerank as [[pqTopK]].
+    *
+    * A vector lives in exactly one cell and a query's probe cells are
+    * distinct, so no (query, neighbor) pair duplicates — no dedup
+    * shuffle. Ties break (adc, neighbor_id) then (sim desc,
+    * neighbor_id): deterministic in both engines. */
+  def ivfPqTopKFrom(cellAssigned: DataFrame, queryPred: String, k: Int,
+                    m: Int = 4, kc: Int = 16, mult: Int = 4,
+                    nprobe: Int = 1,
+                    codebook: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && mult >= 1 && nprobe >= 1,
+      "k, mult and nprobe must be positive")
+    GraftFunctions.register(cellAssigned.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val qz = int8Lattice(cellAssigned, keep = Seq("cell"))
+    val cb = codebook
+      .map(_.selectExpr("block", "code",
+        "transform(centroid, x -> cast(x as bigint)) as centroid"))
+      .getOrElse(seedCodebook(qz, m, kc))
+    val codes = encodeWithCodebook(qz, cb, m, kc, keep = Seq("cell"))
+    val cbRow = flatCodebookRow(cb)
+    val qd = qz.filter(queryPred).crossJoin(F.broadcast(cbRow))
+      .selectExpr("vec_id as query_id", "q", "cell as qcell",
+        dtabExpr(m, kc))
+    val probes =
+      if (nprobe == 1)
+        qd.selectExpr("query_id", "qcell as pcell", "dtab")
+      else {
+        // per-cell lattice centroids: exact integer sums/counts, so
+        // the double mean and the probe ranking are order-independent
+        // and engine-deterministic
+        val cellCent = qz
+          .selectExpr("cell", "posexplode(q) as (pos, v)")
+          .groupBy("cell", "pos")
+          .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("cnt"))
+          .groupBy("cell")
+          .agg(F.expr("""transform(
+                 array_sort(collect_list(struct(pos, s, cnt))),
+                 e -> cast(e.s as double) / cast(e.cnt as double))""")
+            .as("cent"))
+        // queries × cells is bounded tiny (broadcast side only)
+        qd.crossJoin(F.broadcast(cellCent.withColumnRenamed("cell", "pcell")))
+          .selectExpr("query_id", "pcell", "dtab",
+            """aggregate(zip_with(q, cent,
+                 (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+               0D, (acc, x) -> acc + x) as cdist""")
+          .withColumn("prk", F.row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(F.col("cdist").asc, F.col("pcell").asc)))
+          .filter(F.col("prk") <= nprobe)
+          .select("query_id", "pcell", "dtab")
+      }
+    // the cell-bounded ADC scan: codes hash-join the broadcast probe
+    // set on the cell key; the != residual drops the self-pair
+    val scored = codes
+      .join(F.broadcast(probes),
+        F.col("cell") === F.col("pcell") &&
+        F.col("query_id") =!= F.col("vec_id"))
+      .selectExpr("query_id", "vec_id as neighbor_id", adcExpr(m, kc))
+    val cands = scored
+      .withColumn("crnk", F.row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(F.col("adc").asc, F.col("neighbor_id").asc)))
+      .filter(F.col("crnk") <= k * mult)
+      .select("query_id", "neighbor_id")
+    val e = cellAssigned.selectExpr("vec_id", "embedding",
+      s"$norm2Expr as norm2")
+    val queries = e.filter(queryPred)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("ea"),
+              F.col("norm2").as("na"))
+    e.select(F.col("vec_id").as("neighbor_id"),
+             F.col("embedding").as("eb"), F.col("norm2").as("nb"))
+      .join(F.broadcast(cands), Seq("neighbor_id"))
+      .join(F.broadcast(queries), Seq("query_id"))
+      .selectExpr("query_id", "neighbor_id", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(F.col("sim").desc, F.col("neighbor_id"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** [[ivfPqTopKFrom]] with the precomputed `label` column standing
+    * in for the coarse-quantizer cell — the oracle-checked form
+    * ([[ivfTopK]]'s adjudication pattern; the trained path is
+    * `ivfPqTopKFrom(ivfBuild(emb, cells), …)`, same plan shape). */
+  def ivfPqTopK(emb: DataFrame, queryPred: String, k: Int,
+                m: Int = 4, kc: Int = 16, mult: Int = 4,
+                nprobe: Int = 1): DataFrame =
+    ivfPqTopKFrom(emb.withColumn("cell", F.col("label")), queryPred, k,
+      m, kc, mult, nprobe)
 
   /** Matryoshka truncation + L2 renormalization (r5b): keep the
     * first `d` dimensions and rescale to unit length — the standard

@@ -586,4 +586,43 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected ONE key exchange, saw $exchanges\n" + p.take(3000))
   }
+
+  test("rank-limit pushdown (WindowGroupLimit) fires on every top-k window (r10)") {
+    // every `row_number over (partition by …) <= k` filter must plant
+    // a WindowGroupLimit below the Window: each partition's stream is
+    // heap-bounded to k rows per task BEFORE the sort/window, so no
+    // per-query reducer ever materializes a corpus-sized partition
+    // (VERDICT r9: the q_ann_pq candidate window risk). Spark plants
+    // a Partial limit before the exchange and a Final one after —
+    // pin at least one pair per query.
+    for (q <- Seq("q_ann_brute", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq",
+                  "q_two_stage", "q_lateral_topn", "q_domain_cap",
+                  "q_text_bm25")) {
+      val p = plan(q)
+      val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+      assert(n >= 2, s"$q: expected a partial+final WindowGroupLimit " +
+        s"pair, saw $n\n" + p.take(3000))
+    }
+    // q_ann_pq ranks twice (ADC candidates, exact rerank) — both
+    // windows must be group-limited (2 pairs)
+    val pq = plan("q_ann_pq")
+    val nPq = pq.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(nPq >= 4, s"q_ann_pq: expected 2 limited windows (4 nodes), " +
+      s"saw $nPq\n" + pq.take(3000))
+  }
+
+  test("ivf-pq ADC scan is cell-bounded: codes hash-join the probe set on the cell key (r10)") {
+    val p = plan("q_ann_ivfpq")
+    // the corpus codes scan must reach the broadcast (query, probe
+    // cell, dtab) set through a HASH join keyed on the cell — never a
+    // per-query full-code nested loop (pqTopK's flat shape)
+    val hashOnCell = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("[cell#"))
+    assert(hashOnCell, "no BroadcastHashJoin keyed on cell\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // both rank windows (ADC candidates, exact rerank) group-limited
+    val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(n >= 4, s"expected 2 limited windows (4 nodes), saw $n\n" +
+      p.take(3000))
+  }
 }

@@ -518,6 +518,44 @@ class OpsSpec extends SparkTestBase {
     assert(tr.length == 6 && tr.forall(r => r.getLong(3) <= 3))
   }
 
+  test("ivfPqTopK composes cells with ADC: brute/ivf equality at candidate-complete settings (r10)") {
+    val k = 5
+    val n = embeddings.count().toInt // 500 vectors, 10 label cells
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(x => (x._1, x._4)).toSeq
+    // probing EVERY cell with a candidate-complete multiplier must
+    // reproduce the brute oracle bit-for-bit (same rounding/tiebreaks)
+    // — this exercises the nprobe>1 centroid-ranking path end to end
+    val all = Similarity.ivfPqTopK(embeddings, "vec_id < 4", k = k,
+      m = 4, kc = 8, mult = (n + k - 1) / k, nprobe = 10)
+    assert(canon(all) == canon(
+      Similarity.bruteForceTopK(embeddings, "vec_id < 4", k)))
+    // nprobe=1 with an in-cell-complete multiplier = exact search
+    // within the query's own cell = ivfTopK (cells are <= 63 rows)
+    val own = Similarity.ivfPqTopK(embeddings, "vec_id < 4", k = k,
+      m = 4, kc = 8, mult = 13, nprobe = 1)
+    assert(canon(own) == canon(
+      Similarity.ivfTopK(embeddings, "vec_id < 4", k)))
+    // tight settings: k rows per query, ranks 1..k; neighbors at
+    // nprobe=1 stay inside the query's own cell
+    val labels = embeddings.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val tight = Similarity.ivfPqTopK(embeddings, "vec_id < 4", k = k,
+      m = 4, kc = 8, mult = 2, nprobe = 1).collect()
+    assert(tight.length == 4 * k)
+    tight.foreach(r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} escaped the probed cell"))
+    // the trained quantizer + trained codebook drop into the same plan
+    val cells = Similarity.ivfBuild(embeddings, cells = 8)
+    val trained = Similarity.pqTrain(embeddings, 4, 8)
+    val tr = Similarity.ivfPqTopKFrom(cells, "vec_id < 2", k = 3,
+      m = 4, kc = 8, mult = 4, nprobe = 2, codebook = Some(trained))
+      .collect()
+    assert(tr.length == 6 && tr.forall(r => r.getLong(3) <= 3))
+  }
+
   test("pqEncodeWith on the seed codebook reproduces pqEncode (r6)") {
     import spark.implicits._
     // extract the seed codebook by encoding the k lowest-id vectors'
