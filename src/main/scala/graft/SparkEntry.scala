@@ -1614,6 +1614,66 @@ object SparkEntry {
                   or (case when n_name like 'A%' then null
                            else 'BUILDING' end) is null
                   or c_mktsegment is null))"""),
+    // correlated tuple IN in FLAG position (r10, the last 36bi wall):
+    // projected 3VL flag with an equality-key + theta correlation —
+    // lowered through the distinct-outer-tuple existence flag (the
+    // 36n machinery with a composite probe). DuckDB has no
+    // multi-column IN, so the oracle spells the standard's 3VL table:
+    // strictly-true exists -> TRUE; not-strictly-false exists -> NULL;
+    // else FALSE.
+    ("q_in_tuple_corr_flag",
+      """select c_custkey,
+           (c_nationkey, c_mktsegment) in
+             (select n_nationkey,
+                     case when n_name like 'A%' then null
+                          else 'BUILDING' end
+              from nation
+              where n_regionkey = c_custkey % 5
+                and n_nationkey <= c_acctbal / 250.0) as f
+         from customer""",
+      """select c_custkey,
+           case when exists (select 1 from nation
+                  where n_regionkey = c_custkey % 5
+                    and n_nationkey <= c_acctbal / 250.0
+                    and n_nationkey = c_nationkey
+                    and (case when n_name like 'A%' then null
+                              else 'BUILDING' end) = c_mktsegment)
+                then true
+                when exists (select 1 from nation
+                  where n_regionkey = c_custkey % 5
+                    and n_nationkey <= c_acctbal / 250.0
+                    and (n_nationkey = c_nationkey
+                         or n_nationkey is null or c_nationkey is null)
+                    and ((case when n_name like 'A%' then null
+                               else 'BUILDING' end) = c_mktsegment
+                         or (case when n_name like 'A%' then null
+                                  else 'BUILDING' end) is null
+                         or c_mktsegment is null))
+                then cast(null as boolean)
+                else false end as f
+         from customer"""),
+    // correlated tuple NOT IN under OR (flag position, filter): the
+    // spelled anti form — NOT EXISTS a not-strictly-false row in the
+    // correlation group (filter position is semantics-identical)
+    ("q_not_in_tuple_corr_flag",
+      """select c_custkey from customer
+         where (c_nationkey, c_mktsegment) not in
+             (select n_nationkey,
+                     case when n_name like 'A%' then null
+                          else 'BUILDING' end
+              from nation where n_regionkey = c_custkey % 5)
+            or c_acctbal > 9900""",
+      """select c_custkey from customer
+         where not exists (select 1 from nation
+                 where n_regionkey = c_custkey % 5
+                   and (n_nationkey = c_nationkey
+                        or n_nationkey is null or c_nationkey is null)
+                   and ((case when n_name like 'A%' then null
+                              else 'BUILDING' end) = c_mktsegment
+                        or (case when n_name like 'A%' then null
+                                 else 'BUILDING' end) is null
+                        or c_mktsegment is null))
+            or c_acctbal > 9900"""),
     // EXCLUDE on windowed ordered-set collects (r9, 36ar's last
     // wall; deterministic 1/5 lineitem subset — the q_window_exclude_ext
     // fixture convention, adjudicated in BASELINE): graft sorts elements by the call-level ORDER BY; DuckDB

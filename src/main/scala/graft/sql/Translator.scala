@@ -1864,13 +1864,88 @@ final class Translator(catalog: String => DataFrame,
             // null), aggregate match/not-false marks per tuple, and
             // join back null-safely — no outer-row multiplication;
             // the tuple×sub join is the inherent cost of composite
-            // 3VL (null arms defeat hash keys). Correlated tuple IN
-            // stays conjunct-position-only (loud).
+            // 3VL (null arms defeat hash keys). r10 closes the last
+            // 36bi wall: CORRELATED tuple IN routes through the same
+            // distinct-outer-tuple machinery, the tuple widened by
+            // the correlation operands (the 36n flag pattern with a
+            // composite probe).
             val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
-            if (setExprRefers(sub, outerAliases))
-              fail("correlated row-value IN is supported in WHERE " +
-                "conjunct position only")
             val ps = e.items.map(exprToCol(_, None))
+            if (setExprRefers(sub, outerAliases)) {
+              // correlated composite probe (r10): the subquery must be
+              // a plain FROM/WHERE select of matching arity
+              val q = sub match {
+                case Leaf(q0) if q0.sel.groupBy.isEmpty &&
+                    q0.sel.having.isEmpty && q0.sel.qualify.isEmpty &&
+                    q0.limit.isEmpty && q0.offset.isEmpty &&
+                    q0.sel.items.length == ps.length =>
+                  q0
+                case _ => fail("correlated row-value IN supports plain " +
+                  "FROM/WHERE subqueries of matching arity only")
+              }
+              val outerRefs = outerAliases -- relationAliases(q.sel.from)
+              val i = freshIdx()
+              val flagN = s"__sq_flag_$i"
+              val markN = s"__sq_mark_$i"; val grpN = s"__sq_grp_$i"
+              val (keyPairs, thetas, gens, genDefs, local) =
+                corrSplitG(q, outerRefs, "IN", allowTheta = true,
+                  Some(s"__sq_ge_${i}_"))
+              var inner = drainGenHoists(translateRelation(q.sel.from))
+              local.reduceOption(And).foreach(p =>
+                inner = inner.filter(exprToCol(p, None)))
+              val probeNs = ps.indices.map(j => s"__sq_tp_${i}_$j")
+              val okN = keyPairs.indices.map(j => s"__sq_ok_${i}_$j")
+              val tNs = thetas.indices.map(j => s"__sq_tu_${i}_$j")
+              val gNs = genDefs.map(_._1)
+              val tuples = from.select(
+                (ps.zip(probeNs).map { case (p, n) => p.as(n) } ++
+                 keyPairs.zip(okN).map { case ((_, ok), n) =>
+                   exprToCol(ok, None).as(n) } ++
+                 thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                   exprToCol(oe, None).as(n) } ++
+                 genDefs.map { case (n, oe) =>
+                   exprToCol(oe, None).as(n) }): _*).distinct()
+              val keyCs = q.sel.items.map(it => exprToCol(it.e, None))
+              // join admits correlation-group rows whose composite
+              // comparison is NOT STRICTLY FALSE; strictly-false-only
+              // and empty groups both land on the FALSE arm via the
+              // missing group row — exactly the uncorrelated 3VL
+              val notFalse = ps.indices.map { j =>
+                keyCs(j) === F.col(probeNs(j)) ||
+                  keyCs(j).isNull || F.col(probeNs(j)).isNull
+              }.reduce(_ && _)
+              val joinCond =
+                (keyPairs.zip(okN).map { case ((ik, _), n) =>
+                   exprToCol(ik, None) === F.col(n) } ++
+                 thetas.zip(tNs).map { case ((ie, op, _), n) =>
+                   cmp(op, exprToCol(ie, None), F.col(n)) } ++
+                 gens.map(exprToCol(_, None)))
+                  .foldLeft(notFalse)(_ && _)
+              val grouped = tuples.join(inner, joinCond, "inner")
+                .groupBy((probeNs ++ okN ++ tNs ++ gNs).map(F.col): _*)
+                .agg(F.max(F.coalesce(
+                  ps.indices.map(j => keyCs(j) === F.col(probeNs(j)))
+                    .reduce(_ && _),
+                  F.lit(false))).as(markN))
+                .withColumn(grpN, F.lit(true))
+              val backCond =
+                (ps.zip(probeNs).map { case (p, n) => p <=> F.col(n) } ++
+                 keyPairs.zip(okN).map { case ((_, ok), n) =>
+                   exprToCol(ok, None) <=> F.col(n) } ++
+                 thetas.zip(tNs).map { case ((_, _, oe), n) =>
+                   exprToCol(oe, None) <=> F.col(n) } ++
+                 genDefs.map { case (n, oe) =>
+                   exprToCol(oe, None) <=> F.col(n) }).reduce(_ && _)
+              from = from.join(grouped, backCond, "left_outer")
+                .withColumn(flagN,
+                  F.when(F.col(markN) <=> F.lit(true), F.lit(true))
+                    .when(F.col(grpN).isNull, F.lit(false))
+                    .otherwise(F.lit(null).cast(BooleanType)))
+              helperCols = flagN :: markN :: grpN ::
+                (probeNs.toList ::: okN.toList ::: tNs.toList :::
+                  gNs.toList ::: helperCols)
+              ColRef(None, flagN)
+            } else {
             val subDf0 = translate(sub)
             if (subDf0.columns.length != ps.length)
               fail(s"IN (subquery) requires a ${ps.length}-column " +
@@ -1904,6 +1979,7 @@ final class Translator(catalog: String => DataFrame,
             helperCols = flagN :: markN :: nfN ::
               (probeNs.toList ::: helperCols)
             ColRef(None, flagN)
+            }
           case InSubquery(e, sub0) =>
             val sub = degroupCorrSub(sub0, outerAliases, forExists = false)
             val probe = exprToCol(e, None)

@@ -3117,13 +3117,92 @@ class SqlSurfaceSpec extends SparkTestBase {
       assert(got(4L) == ((Fb, T, 1, Fb)), got(4L)) // orf via a = 4
       assert(got(5L) == ((Fb, T, 0, Fb)), got(5L))
       assert(got(6L) == ((Fb, T, 0, Fb)), got(6L))
-      // correlated tuple IN stays conjunct-position-only
-      val e = intercept[RuntimeException](g.query(
+      // correlated tuple IN in flag position (r10, the last 36bi
+      // wall): group-for-a = ts rows with x = a. a=1: exact match ->
+      // TRUE; a=2: (2,NULL) -> UNKNOWN (dropped, a<>4); a=3/5/6:
+      // empty or strictly-false group -> FALSE; a=4: empty group but
+      // the OR arm keeps it
+      val corr = g.query(
         """select a from tp
            where (a, b) in (select x, y from ts where x = tp.a)
+              or a = 4""").collect().map(_.getLong(0)).sorted.toSeq
+      assert(corr == Seq(1L, 4L), corr)
+      // projected correlated tuple flag: full 3VL column
+      val pf = g.query(
+        """select a, (a, b) in (select x, y from ts where x = tp.a) as f
+           from tp""").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null
+           else java.lang.Boolean.valueOf(r.getBoolean(1)))).toMap
+      assert(pf == Map(1L -> T, 2L -> null, 3L -> Fb, 4L -> Fb,
+        5L -> Fb, 6L -> Fb), pf)
+      // non-plain correlated subqueries stay loud
+      val e = intercept[RuntimeException](g.query(
+        """select a from tp
+           where (a, b) in (select x, max(y) from ts where x = tp.a
+                            group by x)
               or a = 4"""))
-      assert(e.getMessage.contains("conjunct position"), e.getMessage)
+      assert(e.getMessage.contains("plain FROM/WHERE"), e.getMessage)
     } finally { g.removeTable("tp"); g.removeTable("ts") }
+  }
+
+  test("correlated tuple-IN flags fuzz vs the spelled EXISTS rewrite (r10)") {
+    import spark.implicits._
+    val g = graft.Graft(spark)
+    val rnd = new scala.util.Random(101)
+    def lv(bound: Int): java.lang.Long =
+      if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf(rnd.nextInt(bound).toLong)
+    for (round <- 0 until 6) {
+      val t = (0 until 40).map(i =>
+        (i.toLong, lv(4), lv(4), lv(6))) // id, a, b, k
+      val s = (0 until 30).map(_ => (lv(4), lv(4), lv(6), lv(6)))
+      g.registerTable("ft", t.toDF("id", "a", "b", "k"))
+      g.registerTable("fs", s.toDF("x", "y", "sk", "c"))
+      try {
+        // equality-key correlation; theta correlation on alternate
+        // rounds (routes keys + thetas through the same tuple join)
+        val corrTxt =
+          if (round % 2 == 0) "fs.sk = ft.k"
+          else "fs.sk = ft.k and fs.c <= ft.id"
+        def spelled(neg: Boolean): String = {
+          val base =
+            s"""case when exists (select 1 from fs where $corrTxt
+                       and fs.x = ft.a and fs.y = ft.b) then true
+                     when exists (select 1 from fs where $corrTxt
+                       and (fs.x = ft.a or fs.x is null or ft.a is null)
+                       and (fs.y = ft.b or fs.y is null or ft.b is null))
+                       then cast(null as boolean)
+                     else false end"""
+          if (neg) s"not ($base)" else base
+        }
+        val q = g.query(
+          s"""select id,
+                (a, b) in (select x, y from fs where $corrTxt) as f,
+                (a, b) not in (select x, y from fs where $corrTxt) as nf
+              from ft""").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getBoolean(1),
+            if (r.isNullAt(2)) null else r.getBoolean(2))).sortBy(_._1).toSeq
+        val ref = g.query(
+          s"""select id, ${spelled(neg = false)} as f,
+                ${spelled(neg = true)} as nf
+              from ft""").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null else r.getBoolean(1),
+            if (r.isNullAt(2)) null else r.getBoolean(2))).sortBy(_._1).toSeq
+        assert(q == ref, s"round $round:\n got $q\n ref $ref")
+        // filter position under OR: same rewrite equivalence
+        val gotF = g.query(
+          s"""select id from ft
+              where (a, b) not in (select x, y from fs where $corrTxt)
+                 or id % 7 = 0""").collect().map(_.getLong(0)).sorted.toSeq
+        val refF = g.query(
+          s"""select id from ft
+              where (${spelled(neg = true)}) or id % 7 = 0""")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(gotF == refF, s"round $round: $gotF vs $refF")
+      } finally { g.removeTable("ft"); g.removeTable("fs") }
+    }
   }
 
   test("EXCLUDE on windowed ordered-set collects matches a Scala model (r9)") {
