@@ -41,6 +41,11 @@ final class Graft(val spark: SparkSession) {
     """(?is)^\s*create\s+(or\s+replace\s+)?(?:temp(?:orary)?\s+)?view\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
   private val CreateTableRe =
     """(?is)^\s*create\s+(or\s+replace\s+)?table\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
+  // CREATE TABLE with an explicit column list (r10, VERDICT r9 #4):
+  // registers a TYPED empty plan (limit 0) — the plain-DDL companion
+  // of CTAS; types go through the dialect's CAST catalog
+  private val CreateTableSchemaRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?table\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*\((.*)\)\s*;?\s*$""".r
   private val DropViewRe =
     """(?is)^\s*drop\s+(?:view|table)\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   // r9 registry DDL conveniences: TRUNCATE and the ALTER TABLE
@@ -141,6 +146,30 @@ final class Graft(val spark: SparkSession) {
           s"table '$name' already exists (use CREATE OR REPLACE TABLE)")
       registerTable(name, translateOnly(body).cache())
       status("table", name.toLowerCase)
+    case CreateTableSchemaRe(orReplace, quoted, bare, defs) =>
+      val name = Option(quoted).getOrElse(bare)
+      if (orReplace == null && tables.contains(name.toLowerCase))
+        throw new RuntimeException(
+          s"table '$name' already exists (use CREATE OR REPLACE TABLE)")
+      val ColDef =
+        """(?is)^\s*(?:"([^"]+)"|(\w+))\s+(\w+(?:\s+\w+)*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$""".r
+      val cols = splitTop(defs, ',').map {
+        case ColDef(cq, cb, typ) => (Option(cq).getOrElse(cb), typ)
+        case other => fail(s"CREATE TABLE column definition must be " +
+          s"'name type', got: $other")
+      }
+      if (cols.isEmpty) fail("CREATE TABLE requires at least one column")
+      if (cols.map(_._1.toLowerCase).distinct.length != cols.length)
+        fail("CREATE TABLE column list names a column twice")
+      // one typed NULL projection over a 1-row VALUES relation, then
+      // limit(0): the registered plan carries the declared schema and
+      // zero rows — INSERT/MERGE populate it lazily like any table
+      val items = cols.map { case (c, t) =>
+        s"""cast(null as $t) as "$c"""" }.mkString(", ")
+      registerTable(name,
+        translateOnly(s"select $items from (values (0)) __cts(__x)")
+          .limit(0))
+      status("table", name.toLowerCase)
     case DropViewRe(ifExists, quoted, bare) =>
       val name = Option(quoted).getOrElse(bare)
       if (!tables.contains(name.toLowerCase)) {
@@ -154,44 +183,35 @@ final class Graft(val spark: SparkSession) {
         removeTable(name)
         status("dropped", name.toLowerCase)
       }
-    case InsertRe(q, b, colListOrNull, body) =>
-      import org.apache.spark.sql.{functions => F}
+    case InsertRe(q, b, colListOrNull, body0) =>
       val name = Option(q).getOrElse(b)
       val target = lookup(name) // loud on unknown target
-      val src =
-        if (body.trim.toLowerCase.startsWith("values"))
-          s"select * from ($body) __ins"
-        else body
-      Option(colListOrNull) match {
-        case None =>
-          // positional (standard): UNION ALL carries the new rows —
-          // arity/type mismatches fail at analysis, loudly
-          registerTable(name,
-            translateOnly(s"select * from $name union all $src"))
-        case Some(colList) =>
-          // column-list form (r8): listed columns take the source
-          // positionally, unlisted ones read NULL; assignment-casts
-          // to the target types (the standard INSERT semantics)
-          val cols = splitTop(colList, ',').map { c =>
-            val raw = c.trim.stripPrefix("\"").stripSuffix("\"")
-            target.columns.find(_.equalsIgnoreCase(raw))
-              .getOrElse(fail(s"INSERT: column '$raw' not in $name"))
-          }
-          if (cols.distinct.length != cols.length)
-            fail("INSERT column list names a column twice")
-          val srcDf = translateOnly(src)
-          if (srcDf.columns.length != cols.length)
-            fail(s"INSERT: ${cols.length} columns listed but the source " +
-              s"has ${srcDf.columns.length}")
-          val renamed = srcDf.toDF(cols: _*)
-          val filled = renamed.select(target.schema.fields.toSeq.map { f =>
-            if (cols.exists(_.equalsIgnoreCase(f.name)))
-              F.col(f.name).cast(f.dataType).as(f.name)
-            else F.lit(null).cast(f.dataType).as(f.name)
-          }: _*)
-          registerTable(name, target.unionByName(filled))
+      // ON CONFLICT (r10): split at the LAST top-level ON whose next
+      // word is CONFLICT (an unparenthesized join's ON inside an
+      // INSERT ... SELECT body is followed by its condition, never
+      // by the keyword CONFLICT)
+      val ocAt = topLevelKeyword(body0, "on").reverse.find { i =>
+        body0.substring(i + 2).trim.toLowerCase.startsWith("conflict")
       }
-      status("inserted", name.toLowerCase)
+      ocAt match {
+        case Some(i) =>
+          val tail = body0.substring(i + 2).trim.substring("conflict".length)
+          insertOnConflict(name, Option(colListOrNull),
+            body0.substring(0, i).trim, tail)
+        case None =>
+          val src = insertSrcSql(body0)
+          Option(colListOrNull) match {
+            case None =>
+              // positional (standard): UNION ALL carries the new rows —
+              // arity/type mismatches fail at analysis, loudly
+              registerTable(name,
+                translateOnly(s"select * from $name union all $src"))
+            case Some(colList) =>
+              registerTable(name, target.unionByName(
+                insertFilled(target, name, Some(colList), src)))
+          }
+          status("inserted", name.toLowerCase)
+      }
     case DeleteUsingRe(tq, tb, tAl, sq, sb, sAl, cond) =>
       val tName = Option(tq).getOrElse(tb)
       val sName = Option(sq).getOrElse(sb)
@@ -599,6 +619,93 @@ final class Graft(val spark: SparkSession) {
   //      2 = WHEN NOT MATCHED BY SOURCE
   private final case class MergeClause(cat: Int, cond: Option[String],
                                        act: MergeAction)
+
+  /** Wraps a VALUES body as a selectable derived table. */
+  private def insertSrcSql(body: String): String =
+    if (body.trim.toLowerCase.startsWith("values"))
+      s"select * from ($body) __ins"
+    else body
+
+  /** The INSERT source as a full-target-schema frame: listed columns
+    * take the source positionally, unlisted ones read NULL;
+    * assignment-casts to the target types (the standard INSERT
+    * semantics). colList = None takes the source positionally across
+    * ALL target columns. */
+  private def insertFilled(target: DataFrame, name: String,
+                           colList: Option[String],
+                           src: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val cols = colList match {
+      case Some(cl) => splitTop(cl, ',').map { c =>
+        val raw = c.trim.stripPrefix("\"").stripSuffix("\"")
+        target.columns.find(_.equalsIgnoreCase(raw))
+          .getOrElse(fail(s"INSERT: column '$raw' not in $name"))
+      }
+      case None => target.columns.toSeq
+    }
+    if (cols.distinct.length != cols.length)
+      fail("INSERT column list names a column twice")
+    val srcDf = translateOnly(src)
+    if (srcDf.columns.length != cols.length)
+      fail(s"INSERT: ${cols.length} columns listed but the source " +
+        s"has ${srcDf.columns.length}")
+    val renamed = srcDf.toDF(cols: _*)
+    renamed.select(target.schema.fields.toSeq.map { f =>
+      if (cols.exists(_.equalsIgnoreCase(f.name)))
+        F.col(f.name).cast(f.dataType).as(f.name)
+      else F.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** INSERT ... ON CONFLICT (r10, VERDICT r9 #4): the PostgreSQL
+    * upsert spelling, lowered through the MERGE clause matrix. The
+    * proposed row is visible as `excluded` (PostgreSQL's alias) in DO
+    * UPDATE SET expressions; unlisted columns of a column-list INSERT
+    * read NULL there, as PostgreSQL's defaults-free excluded row
+    * does. DO NOTHING keeps conflicting proposals out (insert-only
+    * MERGE leg, no cardinality guard); DO UPDATE inherits MERGE's
+    * rule — one target row claimed by >1 proposed rows raises the
+    * cardinality violation, the engine analog of PostgreSQL's
+    * "cannot affect row a second time". The conflict target column
+    * list is REQUIRED (there is no unique-constraint registry to
+    * infer it from). */
+  private def insertOnConflict(name: String, colList: Option[String],
+                               body: String, tail: String): DataFrame = {
+    val target = lookup(name)
+    val OcRe =
+      """(?is)^\s*(?:\(([^)]*)\)\s*)?do\s+(?:(nothing)|update\s+set\s+(.*?))\s*;?\s*$""".r
+    val (keysTxt, setList) = tail match {
+      case OcRe(ks, n2, sl) =>
+        if (n2 != null) (Option(ks), None) else (Option(ks), Some(sl))
+      case _ => fail("ON CONFLICT expects [(key cols)] DO NOTHING or " +
+        s"DO UPDATE SET assignments, got:$tail")
+    }
+    val keys = keysTxt.map(ks => splitTop(ks, ',').map { c =>
+      val raw = c.trim.stripPrefix("\"").stripSuffix("\"")
+      target.columns.find(_.equalsIgnoreCase(raw))
+        .getOrElse(fail(s"ON CONFLICT: column '$raw' not in $name"))
+    }).getOrElse(fail("ON CONFLICT requires an explicit conflict " +
+      "target column list — there is no unique-constraint registry " +
+      "to infer one from"))
+    if (keys.isEmpty) fail("ON CONFLICT key list is empty")
+    val filled = insertFilled(target, name, colList, insertSrcSql(body))
+    val tmp = "__ins_conflict_src"
+    registerTable(tmp, filled)
+    try {
+      // bare same-named keys (both frames carry the full target
+      // schema); two proposed rows sharing a key that is ABSENT from
+      // the target both insert — set semantics, vs PostgreSQL's
+      // row-at-a-time self-conflict skip
+      val onTxt = keys.map(k => s"$k = $k").mkString(" and ")
+      val restTxt = setList match {
+        case Some(sl) => s"$onTxt when matched then update set $sl " +
+          "when not matched then insert *"
+        case None => s"$onTxt when not matched then insert *"
+      }
+      mergeStatement(name, None, tmp, Some("excluded"), restTxt)
+    } finally removeTable(tmp)
+    status("inserted", name.toLowerCase)
+  }
 
   /** UPDATE ... FROM (r9): the PostgreSQL join-update form, lowered
     * through the MERGE target-leg machinery. WHERE conjuncts are

@@ -633,6 +633,98 @@ class StatementsSpec extends SparkTestBase {
     assert(e1.getMessage.contains("unknown alias"), e1.getMessage)
   }
 
+  test("CREATE TABLE with an explicit schema registers a typed empty plan (r10)") {
+    val g = fresh
+    g.query("""create table ct1 (k bigint, "v" string, score double precision,
+               amt decimal(10, 2))""")
+    val df = g.query("select * from ct1")
+    import org.apache.spark.sql.types._
+    assert(df.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("k", LongType), ("v", StringType), ("score", DoubleType),
+      ("amt", DecimalType(10, 2))), df.schema)
+    assert(df.count() == 0)
+    // populated by the ordinary DML family
+    g.query("insert into ct1 (k, v) values (1, 'a'), (2, 'b')")
+    assert(g.query("select count(*) as c from ct1").collect()(0)
+      .getLong(0) == 2L)
+    assert(g.query("select score from ct1 where k = 1").collect()(0)
+      .isNullAt(0))
+    // walls: duplicate column, bad def, existing name
+    val e1 = intercept[RuntimeException](
+      g.query("create table ct2 (a int, A string)"))
+    assert(e1.getMessage.contains("twice"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      g.query("create table ct2 (a)"))
+    assert(e2.getMessage.contains("name type"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g.query("create table ct1 (a int)"))
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    // OR REPLACE swaps the schema
+    g.query("create or replace table ct1 (only_col int)")
+    assert(g.query("select * from ct1").columns.toSeq == Seq("only_col"))
+  }
+
+  test("INSERT ... ON CONFLICT upserts through the MERGE matrix (r10)") {
+    val g = fresh
+    def rows(name: String): Map[Long, (String, Long)] =
+      g.query(s"select k, v, n from $name").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    g.query("create table oc1 as select * from (values " +
+      "(1, 'a', 10), (2, 'b', 20)) t(k, v, n)")
+    // DO UPDATE: conflicting row updates (excluded = the proposed
+    // row), new row inserts
+    g.query("""insert into oc1 values (2, 'B', 200), (3, 'c', 30)
+               on conflict (k) do update set v = excluded.v,
+                 n = oc1.n + excluded.n""")
+    assert(rows("oc1") == Map(1L -> (("a", 10L)), 2L -> (("B", 220L)),
+      3L -> (("c", 30L))), rows("oc1"))
+    // DO NOTHING: conflict-free inserts only
+    g.query("""insert into oc1 values (3, 'X', 999), (4, 'd', 40)
+               on conflict (k) do nothing""")
+    assert(rows("oc1") == Map(1L -> (("a", 10L)), 2L -> (("B", 220L)),
+      3L -> (("c", 30L)), 4L -> (("d", 40L))), rows("oc1"))
+    // column-list INSERT + ON CONFLICT: unlisted columns read NULL in
+    // excluded; bare col in SET reads the TARGET row
+    g.query("""insert into oc1 (k, v) values (4, 'D'), (5, 'e')
+               on conflict (k) do update set v = excluded.v,
+                 n = n + 1""")
+    assert(rows("oc1") == Map(1L -> (("a", 10L)), 2L -> (("B", 220L)),
+      3L -> (("c", 30L)), 4L -> (("D", 41L)), 5L -> (("e", -1L))),
+      rows("oc1"))
+    // composite conflict target
+    g.query("create table oc2 as select * from (values " +
+      "(1, 'x', 5)) t(a, b, c)")
+    g.query("""insert into oc2 values (1, 'x', 50), (1, 'y', 7)
+               on conflict (a, b) do update set c = excluded.c""")
+    assert(g.query("select a, b, c from oc2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      == Seq((1L, "x", 50L), (1L, "y", 7L)))
+    // INSERT ... SELECT body with a join carrying its own ON — the
+    // splitter must find the CONFLICT keyword, not the join's ON
+    g.query("create view ocsrc as select * from (values " +
+      "(2, 'q'), (6, 'w')) t(sk, sv)")
+    g.query("""insert into oc1
+               select s1.sk, s1.sv, 0 from ocsrc s1 join ocsrc s2
+                 on s1.sk = s2.sk
+               on conflict (k) do nothing""")
+    assert(rows("oc1")(6L) == (("w", 0L)) && rows("oc1")(2L) == (("B", 220L)))
+    // cardinality rule inherited from MERGE: two proposed rows
+    // claiming one existing target row raise lazily
+    g.query("""insert into oc1 values (1, 'p', 1), (1, 'q', 2)
+               on conflict (k) do update set n = excluded.n""")
+    val e1 = intercept[Exception](g.query("select * from oc1").collect())
+    assert(e1.getMessage.contains("cardinality"), e1.getMessage)
+    // walls: missing key list, unknown key column
+    val e2 = intercept[RuntimeException](g.query(
+      "insert into oc2 values (9, 'z', 0) on conflict do nothing"))
+    assert(e2.getMessage.contains("conflict target column list"),
+      e2.getMessage)
+    val e3 = intercept[RuntimeException](g.query(
+      "insert into oc2 values (9, 'z', 0) on conflict (zz) do nothing"))
+    assert(e3.getMessage.contains("not in"), e3.getMessage)
+  }
+
   test("UPDATE FROM / DELETE USING fuzz: 12 scenarios match a Scala model (r9)") {
     val rnd = new scala.util.Random(77)
     for (scenario <- 1 to 12) {
