@@ -1614,6 +1614,48 @@ object SparkEntry {
                   or (case when n_name like 'A%' then null
                            else 'BUILDING' end) is null
                   or c_mktsegment is null))"""),
+    // GROUPS frames + min/max/sum EXCLUDE (r10, the last 36ba cell):
+    // the Grps pre-pass lowers GROUPS to RANGE over the dense_rank
+    // ordinal, and the r8 generic collect fallback then covers
+    // min/max EXCLUDE on that RANGE form — the two compose with no
+    // new machinery. DuckDB 1.0 has NO GROUPS frames, so the oracle
+    // is the SAME dense_rank+RANGE rewrite with its native EXCLUDE —
+    // a true cross-check of the composition. All columns are
+    // value-determined (tie-immune); 1/5 fixture convention.
+    ("q_groups_exclude",
+      """select l_orderkey, l_linenumber,
+           min(l_quantity) over (partition by l_orderkey order by l_quantity
+             groups between 1 preceding and current row
+             exclude group) as mn_g,
+           max(l_quantity) over (partition by l_orderkey order by l_quantity
+             groups between 1 preceding and current row
+             exclude current row) as mx_c,
+           min(l_quantity) over (partition by l_orderkey order by l_quantity
+             groups between current row and 1 following
+             exclude ties) as mn_t,
+           round(sum(l_quantity) over (partition by l_orderkey
+             order by l_quantity
+             groups between 1 preceding and 1 following
+             exclude group), 2) as sm_g
+         from lineitem where l_orderkey % 5 = 1""",
+      """with d as (select l_orderkey, l_linenumber, l_quantity,
+             dense_rank() over (partition by l_orderkey
+                                order by l_quantity) as dr
+           from lineitem where l_orderkey % 5 = 1)
+         select l_orderkey, l_linenumber,
+           min(l_quantity) over (partition by l_orderkey order by dr
+             range between 1 preceding and current row
+             exclude group) as mn_g,
+           max(l_quantity) over (partition by l_orderkey order by dr
+             range between 1 preceding and current row
+             exclude current row) as mx_c,
+           min(l_quantity) over (partition by l_orderkey order by dr
+             range between current row and 1 following
+             exclude ties) as mn_t,
+           round(sum(l_quantity) over (partition by l_orderkey order by dr
+             range between 1 preceding and 1 following
+             exclude group), 2) as sm_g
+         from d"""),
     // correlated tuple IN in FLAG position (r10, the last 36bi wall):
     // projected 3VL flag with an equality-key + theta correlation —
     // lowered through the distinct-outer-tuple existence flag (the

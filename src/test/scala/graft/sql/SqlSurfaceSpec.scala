@@ -489,6 +489,32 @@ class SqlSurfaceSpec extends SparkTestBase {
       r.mkString(","))
   }
 
+  test("GROUPS frames compose with min/max/sum EXCLUDE (r10, last 36ba cell)") {
+    // hand-computed: v = 1,2,2,3,4 -> peer groups {1},{2,2},{3},{4}
+    val r = graftSession.query(
+      """select v,
+           min(v) over (order by v groups between 1 preceding and current row
+             exclude group) as mg,
+           max(v) over (order by v groups between 1 preceding and current row
+             exclude current row) as mc,
+           min(v) over (order by v groups between current row and 1 following
+             exclude ties) as mt
+         from (values (1),(2),(2),(3),(4)) t(v)""")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) null else java.lang.Long.valueOf(x.getLong(1)),
+        if (x.isNullAt(2)) null else java.lang.Long.valueOf(x.getLong(2)),
+        if (x.isNullAt(3)) null else java.lang.Long.valueOf(x.getLong(3))))
+      .sortBy(_._1).toSeq
+    def L(n: Long): java.lang.Long = java.lang.Long.valueOf(n)
+    assert(r == Seq(
+      (1L, null, null, L(1)),        // frame {1}: excl group -> empty
+      (2L, L(1), L(2), L(2)),        // frame {1,2,2}: -group={1}; -cur max=2
+      (2L, L(1), L(2), L(2)),        //   ties: {2,3} keep one current copy
+      (3L, L(2), L(2), L(3)),        // frame {2,2,3}
+      (4L, L(3), L(3), L(4))),       // frame {3,4}
+      r.mkString(","))
+  }
+
   test("frame EXCLUDE restrictions are loud") {
     // rank is not an aggregate at all
     val e2 = intercept[Exception](graftSession.query(
