@@ -1689,7 +1689,95 @@ final class Translator(catalog: String => DataFrame,
               exprToCol(g, None).as(n)
             }
             val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
-            if (thetas.nonEmpty || gens.nonEmpty) {
+            val fusable = thetas.length == 1 && gens.isEmpty &&
+              innerKeys.isEmpty && q.sel.having.isEmpty &&
+              keyPairs.nonEmpty &&
+              Set("<", "<=", ">", ">=").contains(thetas.head._2) &&
+              aggs.forall { case (_, a) =>
+                Set("count", "sum", "min", "max", "avg").contains(a.func) &&
+                  !a.distinct && a.aggOrder.isEmpty && a.extraArgs.isEmpty } &&
+              // the union re-selects every outer column by name — a
+              // self-joined outer frame with duplicate names keeps
+              // the tuple path
+              from.columns.map(_.toLowerCase).distinct.length ==
+                from.columns.length
+            if (fusable) {
+                // single-theta running-aggregate fusion (r10, VERDICT
+                // r9 #7 — the asof joinless pattern): instead of
+                // distinct-tuples → join → groupBy → join-back, UNION
+                // the outer rows (marker 0, the theta operand as the
+                // sort value) with the inner rows (marker 1, the
+                // theta expression), window-partition by the
+                // correlation keys ordered by value, and read each
+                // outer row's aggregate as a running window aggregate
+                // over ROWS UNBOUNDED PRECEDING..CURRENT — the frame
+                // IS the theta-selected set when equal values
+                // tie-break by marker (strict op: outer first among
+                // equals; inclusive: outer last) and '>' ops sort
+                // DESC. ONE key exchange total; no distinct, no
+                // grouped summary, no back-join. Inner rows with a
+                // NULL value or NULL key never satisfy the SQL
+                // predicate — filtered before the union; outer rows
+                // with a NULL operand sort nulls-FIRST, so their
+                // frame is empty — exactly aggregate-over-empty.
+                val (ie, op, oe) = thetas.head
+                val ukN = keyPairs.indices.map(j => s"__csq_${idx}_uk$j")
+                val valN = s"__csq_${idx}_val"; val mN = s"__csq_${idx}_m"
+                val argNs = aggs.indices.map(j => s"__csq_${idx}_w$j")
+                val iProj0 = inner.select(
+                  keyPairs.zip(ukN).map { case ((ik, _), n) =>
+                    exprToCol(ik, None).as(n) } ++
+                  Seq(exprToCol(ie, None).as(valN)) ++
+                  aggs.zip(argNs).map { case ((_, a), n) =>
+                    (a.arg match {
+                      case Star(_) => F.lit(1L) // count(*): inner markers
+                      case e2      => exprToCol(e2, None)
+                    }).as(n) }: _*)
+                val iProj = (F.col(valN).isNotNull +: ukN.map(n =>
+                  F.col(n).isNotNull)).reduce(_ && _) match {
+                  case c => iProj0.filter(c)
+                }
+                val iTypes = iProj.schema.fields
+                  .map(f => f.name -> f.dataType).toMap
+                val oSide = from.select(
+                  from.columns.toSeq.map(F.col) ++
+                  keyPairs.zip(ukN).map { case ((_, ok), n) =>
+                    exprToCol(ok, None).as(n) } ++
+                  Seq(exprToCol(oe, None).as(valN), F.lit(0).as(mN)) ++
+                  argNs.map(n => F.lit(null).cast(iTypes(n)).as(n)): _*)
+                val iSide = iProj.select(
+                  from.schema.fields.toSeq.map(f =>
+                    F.lit(null).cast(f.dataType).as(f.name)) ++
+                  ukN.map(F.col) ++
+                  Seq(F.col(valN), F.lit(1).as(mN)) ++
+                  argNs.map(F.col): _*)
+                val strict = op == "<" || op == ">"
+                val descending = op == ">" || op == ">="
+                val ord = Seq(
+                  if (descending) F.col(valN).desc_nulls_first
+                  else F.col(valN).asc_nulls_first,
+                  if (strict) F.col(mN).asc else F.col(mN).desc)
+                val w = Window.partitionBy(ukN.map(F.col): _*)
+                  .orderBy(ord: _*)
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                val aggColsW = aggs.zip(argNs).map { case ((n0, a), n) =>
+                  val c = a.func match {
+                    case "count" => F.count(F.col(n))
+                    case "sum"   => F.sum(F.col(n))
+                    case "min"   => F.min(F.col(n))
+                    case "max"   => F.max(F.col(n))
+                    case "avg"   => F.avg(F.col(n))
+                  }
+                  c.over(w).as(n0)
+                }
+                val unioned = oSide.union(iSide)
+                from = unioned
+                  .select(unioned.columns.toSeq.map(F.col) ++ aggColsW: _*)
+                  .filter(F.col(mN) === 0)
+                helperCols = aggs.map(_._1).toList ::: valN :: mN ::
+                  (ukN.toList ::: argNs.toList ::: helperCols)
+                substituted // innerKeys empty: no >1-row guard needed
+            } else if (thetas.nonEmpty || gens.nonEmpty) {
                 // theta / general scalar: the aggregated set depends
                 // on the outer operand(s), so aggregate per DISTINCT
                 // outer (keys, operands) tuple — a join on the
