@@ -3559,6 +3559,45 @@ object SparkEntry {
               select doc_id, count(*) as n_spans,
                 sum(case when rn > 1 then 1 else 0 end)::bigint as n_dup
               from rk group by doc_id""")),
+    // cross-document exact-substring REMOVAL (r10): the rewrite
+    // companion — later occurrences of each 8-token span drop their
+    // covered tokens; the oracle replays tokenization, hashing,
+    // first-occurrence ranking, and the positional anti-join
+    ("q_dedup_remove_spans",
+      (s: SparkSession, dir: String) =>
+        Dedup.removeDuplicateSpans(tbl(s, dir, "documents"), 8),
+      Some("""with tok as (select doc_id, text,
+                  list_filter(string_split(text, ' '), t -> t <> '') as w,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') as lw
+                from documents),
+              sp as (select doc_id, i as pos,
+                       md5(array_to_string(lw[i : i+7], ' ')) as h
+                     from tok, unnest(range(1, len(lw) - 6)) as u(i)
+                     where len(lw) >= 8),
+              rk as (select doc_id, pos,
+                       row_number() over (partition by h
+                                          order by doc_id, pos) as rn
+                     from sp),
+              cover as (select distinct doc_id, pos + j as i
+                        from rk, unnest(range(0, 8)) as v(j)
+                        where rn > 1),
+              tokpos as (select doc_id, i, w[i] as tok
+                         from tok, unnest(range(1, len(w) + 1)) as u(i)),
+              kept as (select t.doc_id, t.i, t.tok
+                       from tokpos t anti join cover c
+                         on t.doc_id = c.doc_id and t.i = c.i),
+              agg as (select doc_id,
+                        array_to_string(list(tok order by i), ' ') as txt
+                      from kept group by doc_id),
+              cov as (select doc_id, count(*) as n_cov
+                      from cover group by doc_id)
+              select d.doc_id,
+                case when d.text is null then null
+                     else coalesce(a.txt, '') end as text,
+                cast(coalesce(c.n_cov, 0) as bigint) as n_removed
+              from documents d
+              left join agg a on d.doc_id = a.doc_id
+              left join cov c on d.doc_id = c.doc_id""")),
     // approximate heavy hitters (r5b): Misra-Gries typed Aggregator —
     // bounded sketch state per partition, ONE global merge, no
     // per-gram shuffle; sketch=4096 exceeds the corpus's distinct

@@ -744,4 +744,78 @@ object Dedup {
       .agg(F.count(F.lit(1)).as("n_spans"),
         F.sum(F.when(F.col("__first"), 0L).otherwise(1L)).as("n_dup"))
   }
+
+  /** Cross-document exact-substring REMOVAL (SURVEY §2.2 row 118,
+    * r10) — the rewrite companion to [[duplicateSpanStats]]: the
+    * ExactSubstr pass of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better"), token-granular. Every
+    * stride-1 `n`-token span whose identical (lowercased) text
+    * occurred EARLIER in the corpus — global (doc_id, pos) order, so
+    * exactly one original occurrence per distinct span survives —
+    * marks its n token positions for removal; each document is
+    * rewritten with covered tokens dropped (first occurrences and
+    * sub-n-token tails stay).
+    *
+    * Plan shape: the same narrow (doc_id, pos, md5) span triples and
+    * ONE hash-window shuffle as [[duplicateSpanStats]] (never text),
+    * then the duplicate starts fold into per-doc MERGED coverage
+    * intervals (bounded by the doc's own maximal duplicated regions,
+    * not its duplicate-span count) and ONE doc_id join carries them
+    * back to the corpus; the rewrite is a pure codegen'd projection
+    * (positional filter against the merged intervals). Documents
+    * with no duplicated span never reach the join's build side.
+    *
+    * Returns (doc_id, text, n_removed). NULL text stays NULL;
+    * documents shorter than n tokens pass through unchanged.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 20): DataFrame = {
+    require(n >= 2, "span length must be at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    locally {
+      val reserved = Seq("__p0", "__g", "__pos", "__h", "__rn",
+        "__starts", "__ivs", "__iv")
+      val clash = docs.columns.filter(c =>
+        reserved.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input columns [${clash.mkString(", ")}] collide with reserved " +
+          s"internal helper names [${reserved.mkString(", ")}]")
+    }
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val dupStarts = docs
+      .select(F.col("doc_id"),
+        F.posexplode(F.expr(s"graft_word_ngrams(lower(text), $n)"))
+          .as(Seq("__p0", "__g")))
+      .select(F.col("doc_id"), (F.col("__p0") + 1).as("__pos"),
+        F.md5(F.col("__g")).as("__h"))
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy("__h").orderBy("doc_id", "__pos")))
+      .where(F.col("__rn") > 1)
+      .groupBy("doc_id")
+      .agg(F.sort_array(F.collect_list("__pos")).as("__starts"))
+    // sorted duplicate starts -> disjoint merged [lo, hi] coverage
+    // intervals (adjacent/overlapping runs collapse); the typed empty
+    // array comes from slice(ivs, 1, 0) so the fold needs no cast
+    docs.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__ivs", F.expr(
+        s"""transform(coalesce(__starts, slice(array(0), 1, 0)),
+              s -> named_struct('lo', s, 'hi', s + ${n - 1}))"""))
+      .withColumn("__iv", F.expr(
+        """aggregate(__ivs, slice(__ivs, 1, 0), (acc, v) ->
+             case when size(acc) > 0
+                    and v.lo <= element_at(acc, -1).hi + 1
+               then concat(slice(acc, 1, size(acc) - 1),
+                 array(named_struct('lo', element_at(acc, -1).lo,
+                   'hi', greatest(element_at(acc, -1).hi, v.hi))))
+               else concat(acc, array(v)) end)"""))
+      .select(F.col("doc_id"),
+        F.expr(
+          """case when text is null then null else
+               array_join(filter(filter(split(text, ' '), t -> t <> ''),
+                 (t, i) -> not exists(__iv,
+                   v -> v.lo <= i + 1 and i + 1 <= v.hi)), ' ')
+             end""").as("text"),
+        F.expr(
+          """aggregate(__iv, 0L, (a, v) -> a + v.hi - v.lo + 1)""")
+          .as("n_removed"))
+  }
 }

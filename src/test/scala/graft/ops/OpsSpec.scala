@@ -921,6 +921,38 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("exact-substring removal drops later occurrences token-granular") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z"),          // all 5 spans original
+      (2L, "q a b c d e r s"),          // spans 2-3 duplicate doc 1 -> cover [2,6]
+      (3L, "a b c d e x y z"),          // identical to doc 1 -> cover [1,8]
+      (4L, "too short"),                // < n tokens: unchanged
+      (5L, null.asInstanceOf[String]),  // NULL stays NULL
+      (6L, "m n o p m n o p m n o p"),  // within-doc repeats -> cover [5,12]
+      (7L, "A B C D E x2")              // lowercased match, case preserved
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.removeDuplicateSpans(docs, 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("text")), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(out == Map(
+      1L -> (Some("a b c d e x y z"), 0L),
+      2L -> (Some("q r s"), 5L),
+      3L -> (Some(""), 8L),
+      4L -> (Some("too short"), 0L),
+      5L -> (None, 0L),
+      6L -> (Some("m n o p"), 8L),
+      7L -> (Some("x2"), 5L)))
+    // reserved helper-name collision fails loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.removeDuplicateSpans(
+        Seq((1L, "x", 0)).toDF("doc_id", "text", "__starts"), 4)
+    }
+    assert(err.getMessage.contains("__starts"))
+  }
+
   test("scd2 chains validity intervals per key, current row open-ended") {
     import spark.implicits._
     val log = Seq(("k1", 100L, "v1"), ("k1", 200L, "v2"), ("k1", 300L, "v3"),
