@@ -2110,6 +2110,38 @@ object SparkEntry {
                  union
                  select h.id, e.dst from reach h join edges e on e.src = h.r)
                select id as doc_id, min(r) as group_id from reach group by id""")),
+    // soft dedup (r10): near-duplicates reweighted to 1/|group|
+    // instead of dropped; the oracle extends the recursive-CC replay
+    // with group sizes and a corpus-wide left join
+    ("q_dedup_soft_weights",
+      (s: SparkSession, dir: String) =>
+        Dedup.softDedupWeights(tbl(s, dir, "documents"), 0.5),
+      Some(s"""${duckShingleCtes.replaceFirst("with ", "with recursive ")},
+               cand as (select a.doc_id as id_a, b.doc_id as id_b
+                        from mh a join mh b on a.doc_id < b.doc_id and ($duckOrs)),
+               vp as (select id_a, id_b from (
+                        select c.id_a, c.id_b,
+                          len(list_intersect(sa.shingles, sb.shingles))
+                            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) as jacc
+                        from cand c
+                        join sh sa on sa.doc_id = c.id_a
+                        join sh sb on sb.doc_id = c.id_b) t
+                      where jacc >= 0.5),
+               edges as (select id_a as src, id_b as dst from vp
+                         union select id_b, id_a from vp),
+               reach(id, r) as (
+                 select distinct src, src from edges
+                 union
+                 select h.id, e.dst from reach h join edges e on e.src = h.r),
+               grp as (select id as doc_id, min(r) as group_id
+                       from reach group by id),
+               sz as (select group_id, count(*) as n
+                      from grp group by group_id)
+               select d.doc_id, g.group_id,
+                 coalesce(1.0 / s.n, 1.0) as weight
+               from documents d
+               left join grp g on d.doc_id = g.doc_id
+               left join sz s on g.group_id = s.group_id""")),
     ("q_dedup_simhash",
       (s: SparkSession, dir: String) => Dedup.withSimhash(tbl(s, dir, "documents")),
       Some(s"""with hs as (select doc_id, list_transform(string_split(lower(text), ' '),

@@ -320,6 +320,30 @@ object Dedup {
     connectedComponents(jaccardPairs(docs, threshold).select("id_a", "id_b"))
       .selectExpr("id as doc_id", "label as group_id")
 
+  /** Soft dedup (SURVEY §2.2 row 119, r10): near-duplicates are
+    * REWEIGHTED instead of dropped — every document keeps weight
+    * 1/|its duplicate group| (singletons 1.0), so one epoch over the
+    * weighted corpus sees each distinct content unit with equal total
+    * mass while preserving within-group variants (the SoftDeDup
+    * reweighting rule; the hard-removal alternative is
+    * [[dedupedCorpus]]).
+    *
+    * Plan shape: the group frame (|near-duplicate docs| rows, tiny vs
+    * the corpus) takes one count window on group_id; ONE doc_id join
+    * carries (group_id, weight) back to the corpus — broadcastable
+    * whenever the duplicate set is, and never wider than row 67's
+    * own resolution.
+    */
+  def softDedupWeights(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = duplicateGroups(docs, threshold)
+      .withColumn("__n",
+        F.count(F.lit(1)).over(Window.partitionBy("group_id")))
+    docs.join(sized, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("group_id"),
+        F.coalesce(F.lit(1.0) / F.col("__n"), F.lit(1.0)).as("weight"))
+  }
+
   /** The corpus with near-duplicates removed: group members other
     * than the representative (min doc_id) are anti-joined away. */
   def dedupedCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {

@@ -921,6 +921,34 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("soft dedup weights: 1/group size for members, 1.0 for singletons") {
+    val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
+    val w = graft.ops.Dedup.softDedupWeights(docs, 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("group_id")).map(_.asInstanceOf[Long]),
+          r.getAs[Double]("weight")))
+      .toMap
+    assert(w.size == docs.count())
+    val groups = graft.ops.Dedup.duplicateGroups(docs, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.nonEmpty) // the corpus plants near-duplicates
+    val sizes = groups.groupBy(_._2).map { case (g, m) => g -> m.size }
+    w.foreach { case (id, (grp, weight)) =>
+      grp match {
+        case Some(g) =>
+          assert(groups(id) == g)
+          assert(math.abs(weight - 1.0 / sizes(g)) < 1e-15)
+        case None =>
+          assert(!groups.contains(id) && weight == 1.0)
+      }
+    }
+    // each group's total mass is exactly 1.0 content unit
+    val byGroup = w.values.collect { case (Some(g), wt) => g -> wt }
+      .groupBy(_._1).map { case (g, ws) => ws.map(_._2).sum }
+    byGroup.foreach(tot => assert(math.abs(tot - 1.0) < 1e-12))
+  }
+
   test("exact-substring removal drops later occurrences token-granular") {
     import spark.implicits._
     val docs = Seq(
