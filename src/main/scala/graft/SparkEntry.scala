@@ -2199,6 +2199,22 @@ object SparkEntry {
                  coalesce(g.group_id, e.vec_id) as group_id,
                  coalesce(g.group_id, e.vec_id) = e.vec_id as kept
                from e left join grp g on g.id = e.vec_id""")),
+    // kNN graph (r10): per-vector top-k within label cells — the
+    // corpus-wide self-join form; sim ties break on dst like the ANN
+    // family, ranking over the 6dp-rounded sim on both engines
+    ("q_knn_graph",
+      (s: SparkSession, dir: String) =>
+        Similarity.knnGraphFrom(tbl(s, dir, "embeddings"), 3, cellCol = "label"),
+      Some(s"""with e as (select vec_id, label as cell, embedding,
+                 list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+               from embeddings),
+               scored as (select a.vec_id as src, b.vec_id as dst,
+                            round(${duckPairCos("a", "b")}, 6) as sim
+                          from e a join e b
+                            on a.cell = b.cell and a.vec_id <> b.vec_id)
+               select src, dst, sim,
+                 row_number() over (partition by src order by sim desc, dst) as rnk
+               from scored qualify rnk <= 3""")),
     ("q_ann_brute",
       (s: SparkSession, dir: String) => Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 5),
       Some(s"""$duckEmbCte,

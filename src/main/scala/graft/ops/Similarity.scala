@@ -292,6 +292,48 @@ object Similarity {
         "coalesce(group_id, vec_id) = vec_id as kept")
   }
 
+  /** kNN graph construction (SURVEY §2.2 row 120, r10): every
+    * vector's top-k cosine neighbors WITHIN its coarse cell — the
+    * corpus×corpus self-join form of ANN (the query-set operators
+    * broadcast a small query side; a graph build cannot). The
+    * all-pairs work is cell-bounded exactly like [[semanticDedupFrom]]
+    * (one cell-key shuffle, O(|cell|²) per cell, cells sized to bound
+    * the quadratic term), the per-source ranking rides Spark's
+    * rank-limit pushdown (WindowGroupLimit: each partition keeps k
+    * rows per src before the final sort) — the standard input to
+    * graph-based semantic clustering and kNN-propagated labels.
+    *
+    * Returns (src, dst, sim, rnk), rnk 1..k per src. Vectors alone in
+    * their cell emit no edges. */
+  def knnGraphFrom(cellAssigned: DataFrame, k: Int,
+                   cellCol: String = "cell"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    GraftFunctions.register(cellAssigned.sparkSession)
+    val e = cellAssigned.selectExpr("vec_id", "embedding",
+      s"$cellCol as cell", s"$norm2Expr as norm2")
+    val a = e.select(F.col("cell").as("cell_a"), F.col("vec_id").as("src"),
+      F.col("embedding").as("ea"), F.col("norm2").as("na"))
+    val b = e.select(F.col("cell").as("cell_b"), F.col("vec_id").as("dst"),
+      F.col("embedding").as("eb"), F.col("norm2").as("nb"))
+    a.join(b,
+        F.col("cell_a") === F.col("cell_b") && F.col("src") =!= F.col("dst"))
+      .selectExpr("src", "dst", s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("src")
+          .orderBy(F.col("sim").desc, F.col("dst"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("src", "dst", "sim", "rnk")
+  }
+
+  /** [[knnGraphFrom]] over real k-means cells ([[ivfBuild]]); the
+    * oracle-checked entry uses the precomputed `label` column (the
+    * q_ann_ivf adjudication pattern — trainer float accumulation
+    * cannot be replayed cross-engine; the plan is identical). */
+  def knnGraph(emb: DataFrame, k: Int, cells: Int = 16,
+               seed: Long = 42L): DataFrame =
+    knnGraphFrom(ivfBuild(emb, cells, seed), k)
+
   /** [[semanticDedupFrom]] over real k-means cells ([[ivfBuild]]).
     * The oracle-checked entry uses the precomputed `label` column as
     * the cell instead (trainer float accumulation cannot be replayed

@@ -597,7 +597,7 @@ class PlanAuditSpec extends SparkTestBase {
     // pin at least one pair per query.
     for (q <- Seq("q_ann_brute", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq",
                   "q_two_stage", "q_lateral_topn", "q_domain_cap",
-                  "q_text_bm25")) {
+                  "q_text_bm25", "q_knn_graph")) {
       val p = plan(q)
       val n = p.linesIterator.count(_.contains("WindowGroupLimit"))
       assert(n >= 2, s"$q: expected a partial+final WindowGroupLimit " +

@@ -921,6 +921,40 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("knn graph: cell-bounded top-k neighbors, hand-computed") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.8f, 0.6f), 0),
+      (3L, Seq(0f, 1f), 0),
+      (4L, Seq(1f, 0f), 1) // alone in its cell: no edges
+    ).toDF("vec_id", "embedding", "cell")
+    val out = graft.ops.Similarity.knnGraphFrom(emb, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // cos(1,2)=0.8, cos(1,3)=0, cos(2,3)=0.6
+    assert(out == Map(
+      (1L, 1L) -> (2L, 0.8), (1L, 2L) -> (3L, 0.0),
+      (2L, 1L) -> (1L, 0.8), (2L, 2L) -> (3L, 0.6),
+      (3L, 1L) -> (2L, 0.6), (3L, 2L) -> (1L, 0.0)))
+    // trained path: edges stay within k-means cells, ranks are 1..k
+    val real = spark.read.parquet(s"${graft.TestSpark.sfDir}/embeddings.parquet")
+    val g = graft.ops.Similarity.knnGraph(real, 3, cells = 4)
+    val cells = graft.ops.Similarity.ivfBuild(real, 4)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (src, dst, rnk) =>
+      assert(cells(src) == cells(dst) && rnk >= 1 && rnk <= 3)
+    }
+    val bySrc = edges.groupBy(_._1)
+    bySrc.values.foreach(es =>
+      assert(es.map(_._3).sorted.toSeq == (1L to es.size).toSeq))
+  }
+
   test("soft dedup weights: 1/group size for members, 1.0 for singletons") {
     val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
     val w = graft.ops.Dedup.softDedupWeights(docs, 0.5)
