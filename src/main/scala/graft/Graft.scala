@@ -117,6 +117,96 @@ final class Graft(val spark: SparkSession) {
      """(?:\s+(?:as\s+)?(?!set\b)([a-zA-Z_][a-zA-Z0-9_]*))?""" +
      """\s+set\s+(.*?)\s*;?\s*$""").r
 
+  // COPY (r10, DuckDB dialect): COPY <table | (query)> TO 'path'
+  // [(options)] writes through the Spark writer — the sink is a
+  // DIRECTORY of part files (the distributed convention; a
+  // 1000-executor write cannot target one file) — and COPY <table>
+  // FROM 'path' [(options)] appends the files to the registered plan
+  // LAZILY (spark.read is a plan, the union re-registers; nothing
+  // scans until a read), positional + assignment-cast like INSERT.
+  private val CopyToRe =
+    ("""(?is)^\s*copy\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+to\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""").r
+  private val CopyFromRe =
+    ("""(?is)^\s*copy\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
+     """\s+from\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""").r
+  // matches only up to COPY ( — the balanced subquery is extracted
+  // by the scanner in query(), not a regex
+  private val CopyQuerySubRe = """(?is)^(\s*copy\s*\().*$""".r
+  private val CopyToTailRe =
+    """(?is)^\s*to\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+
+  private val CopyFormats = Seq("parquet", "csv", "json", "orc")
+
+  /** (format, Spark reader/writer options) from a COPY option list
+    * and the path extension fallback. */
+  private def copyOptions(optsOrNull: String,
+                          path: String): (String, Map[String, String]) = {
+    val FormatRe = """(?is)^format\s+'?(\w+)'?$""".r
+    val HeaderRe = """(?is)^header(?:\s+(true|false))?$""".r
+    val DelimRe  = """(?is)^delim(?:iter)?\s+'(.)'$""".r
+    var fmt: Option[String] = None
+    val extra = scala.collection.mutable.LinkedHashMap[String, String]()
+    Option(optsOrNull).toSeq
+      .flatMap(splitTop(_, ',')).map(_.trim).filter(_.nonEmpty)
+      .foreach {
+        case FormatRe(f) => fmt = Some(f.toLowerCase)
+        case HeaderRe(v) =>
+          extra += "header" -> Option(v).map(_.toLowerCase).getOrElse("true")
+        case DelimRe(d)  => extra += "sep" -> d
+        case other => fail(s"COPY option not supported: '$other' " +
+          "(FORMAT <fmt>, HEADER [true|false], DELIMITER '<c>')")
+      }
+    val format = fmt.getOrElse {
+      val dot = path.lastIndexOf('.')
+      val ext = if (dot < 0) "" else path.substring(dot + 1).toLowerCase
+      if (CopyFormats.contains(ext)) ext
+      else fail("COPY needs (FORMAT parquet|csv|json|orc) or a path " +
+        s"extension naming one, got '$path'")
+    }
+    if (!CopyFormats.contains(format))
+      fail(s"COPY format not supported: '$format' " +
+        s"(${CopyFormats.mkString("/")})")
+    if (format != "csv" && extra.nonEmpty)
+      fail(s"COPY ${extra.keys.mkString("/")} options apply to CSV only")
+    (format, extra.toMap)
+  }
+
+  private def copyTo(df: DataFrame, path: String,
+                     optsOrNull: String): DataFrame = {
+    val (format, extra) = copyOptions(optsOrNull, path)
+    // DuckDB writes a CSV header by default; mirror that
+    val opts = if (format == "csv" && !extra.contains("header"))
+      extra + ("header" -> "true") else extra
+    df.write.mode("overwrite").options(opts).format(format).save(path)
+    status("copied", path)
+  }
+
+  private def copyFrom(name: String, path: String,
+                       optsOrNull: String): DataFrame = {
+    val target = lookup(name)
+    val (format, extra) = copyOptions(optsOrNull, path)
+    val r = spark.read.options(extra)
+    val src = format match {
+      // text formats read with the TARGET's schema (DuckDB's COPY
+      // FROM contract: the file is coerced to the table)
+      case "csv" => r.option("header", extra.getOrElse("header", "true"))
+        .schema(target.schema).csv(path)
+      case "json"    => r.schema(target.schema).json(path)
+      case "parquet" => r.parquet(path)
+      case _         => r.orc(path)
+    }
+    if (src.columns.length != target.columns.length)
+      fail(s"COPY FROM: file has ${src.columns.length} columns, " +
+        s"table '$name' has ${target.columns.length}")
+    // positional + assignment-cast (the INSERT convention)
+    val positional = src.toDF(target.columns: _*)
+    val casted = positional.select(target.schema.fields.map(f =>
+      positional(f.name).cast(f.dataType).as(f.name)): _*)
+    registerTable(name, target.union(casted))
+    status("copied", name.toLowerCase)
+  }
+
   private def status(kind: String, name: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     spark.range(1).select(F.lit(kind).as("kind"), F.lit(name).as("name"))
@@ -308,6 +398,21 @@ final class Graft(val spark: SparkSession) {
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
         Option(sq).getOrElse(sb), Option(sAl), rest)
+    case CopyToRe(q, b, path, opts) =>
+      copyTo(lookup(Option(q).getOrElse(b)), path, opts)
+    case CopyFromRe(q, b, path, opts) =>
+      copyFrom(Option(q).getOrElse(b), path, opts)
+    case CopyQuerySubRe(head) =>
+      // COPY (query) TO 'path' [(opts)]: balanced-paren scanner like
+      // MERGE USING (subquery); the query goes through the dialect
+      val open = sqlText.indexOf('(', head.length - 1)
+      val (subSql, after) = balancedParen(sqlText, open)
+      sqlText.substring(after) match {
+        case CopyToTailRe(path, opts) =>
+          copyTo(translateOnly(subSql), path, opts)
+        case other => fail("COPY (query) must be followed by " +
+          s"TO 'path' [(options)], got: $other")
+      }
     case TruncateRe(q, b) =>
       val name = Option(q).getOrElse(b)
       registerTable(name, lookup(name).limit(0))

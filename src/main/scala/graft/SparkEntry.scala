@@ -3680,6 +3680,21 @@ object SparkEntry {
                 end as text
               from (select doc_id, text, string_split(text, ' ') as sp
                     from documents)""")),
+    // COPY statement roundtrip (r10): the full statement path under
+    // the driver gate — COPY (query) TO parquet, a typed empty table,
+    // COPY FROM appending it back
+    ("q_copy_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toString
+        g.query("copy (select o_orderkey, o_custkey, o_totalprice " +
+          s"from orders) to '$tmp/o.parquet'")
+        g.query("create table ocopy (o_orderkey bigint, " +
+          "o_custkey bigint, o_totalprice double)")
+        g.query(s"copy ocopy from '$tmp/o.parquet'")
+        g.query("select * from ocopy")
+      },
+      Some("select o_orderkey, o_custkey, o_totalprice from orders")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

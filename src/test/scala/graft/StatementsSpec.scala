@@ -803,4 +803,66 @@ class StatementsSpec extends SparkTestBase {
       g.query("insert into i0 (k, k) values (1, 2)"))
     assert(e3.getMessage.contains("twice"), e3.getMessage)
   }
+
+  test("COPY TO writes and COPY FROM appends, parquet roundtrip (r10)") {
+    val g = fresh
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    // table form, extension-derived format
+    val st = g.query(s"copy region to '$tmp/r.parquet'")
+    assert(st.collect().head.getString(0) == "copied")
+    // query form with explicit FORMAT
+    g.query(s"copy (select n_nationkey, n_name from nation " +
+      s"where n_regionkey = 0) to '$tmp/n_dir' (format parquet)")
+    // read back through a typed empty table: COPY FROM appends lazily
+    g.query("create table rx (r_regionkey int, r_name varchar)")
+    g.query(s"copy rx from '$tmp/r.parquet'")
+    val back = g.query("select * from rx order by r_regionkey").collect()
+    val orig = g.query("select * from region order by r_regionkey").collect()
+    assert(back.toSeq == orig.toSeq)
+    // appends accumulate (same file twice = twice the rows)
+    g.query(s"copy rx from '$tmp/r.parquet' (format parquet)")
+    assert(g.query("select count(*) as n from rx").collect().head.getLong(0)
+      == 2 * orig.length)
+    g.query("create table nx (k bigint, nm varchar)")
+    g.query(s"copy nx from '$tmp/n_dir' (format parquet)")
+    assert(g.query("select count(*) as n from nx where nm is not null")
+      .collect().head.getLong(0) > 0)
+  }
+
+  test("COPY csv honors HEADER/DELIMITER; walls are loud (r10)") {
+    val g = fresh
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copyc").toString
+    g.query(s"copy (select n_nationkey, n_name from nation) " +
+      s"to '$tmp/n.csv' (format csv, delimiter '|')")
+    g.query("create table nc (n_nationkey bigint, n_name varchar)")
+    g.query(s"copy nc from '$tmp/n.csv' (format csv, delimiter '|')")
+    val back = g.query("select * from nc order by n_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val orig = g.query("select n_nationkey, n_name from nation " +
+      "order by n_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    assert(back.toSeq == orig.toSeq)
+    // loud walls: unknown option, formatless path, format-specific
+    // options on non-csv, arity mismatch, unknown table
+    val e1 = intercept[RuntimeException](
+      g.query(s"copy region to '$tmp/x.parquet' (compression zstd)"))
+    assert(e1.getMessage.contains("option not supported"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      g.query(s"copy region to '$tmp/outdir'"))
+    assert(e2.getMessage.contains("FORMAT"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g.query(s"copy region to '$tmp/y.parquet' (format parquet, header)"))
+    assert(e3.getMessage.contains("CSV only"), e3.getMessage)
+    g.query("create table one_col (x bigint)")
+    g.query(s"copy (select n_nationkey, n_name from nation) " +
+      s"to '$tmp/two.parquet'")
+    val e4 = intercept[RuntimeException](
+      g.query(s"copy one_col from '$tmp/two.parquet'"))
+    assert(e4.getMessage.contains("columns"), e4.getMessage)
+    intercept[RuntimeException](g.query(s"copy nope to '$tmp/z.parquet'"))
+    // COPY (query) must be followed by TO
+    val e5 = intercept[RuntimeException](
+      g.query(s"copy (select 1 as x from region) into '$tmp/z.parquet'"))
+    assert(e5.getMessage.contains("TO"), e5.getMessage)
+  }
 }
