@@ -138,6 +138,71 @@ final class Graft(val spark: SparkSession) {
 
   private val CopyFormats = Seq("parquet", "csv", "json", "orc")
 
+  // PREPARE / EXECUTE / DEALLOCATE (r10, PostgreSQL/DuckDB spelling):
+  // a prepared statement stores SQL TEXT with $n (or ?) placeholders;
+  // EXECUTE substitutes the argument expressions literally (each
+  // wrapped in parens) and re-enters query(), so any statement form —
+  // SELECT, DML, DDL — can be prepared. Placeholders are recognized
+  // only OUTSIDE string literals and quoted identifiers.
+  private val preparedStmts = TrieMap.empty[String, String]
+  private val PrepareRe =
+    """(?is)^\s*prepare\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
+  private val ExecuteRe =
+    """(?is)^\s*execute\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val DeallocRe =
+    """(?is)^\s*deallocate\s+(?:prepare\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
+
+  /** Substitutes `$n` / `?` placeholders with the argument texts
+    * (parenthesized), skipping string literals and quoted
+    * identifiers. `$n` and `?` may not mix; every argument must be
+    * consumed and every placeholder bound — all loud. */
+  private def bindParams(sql: String, args: Seq[String]): String = {
+    // simple literals substitute RAW (so LIMIT/OFFSET positions,
+    // which take a bare integer, keep parsing); compound expressions
+    // are parenthesized to preserve precedence
+    val SimpleLit = """(?is)^(\d+(\.\d+)?|'[^']*'|null|true|false)$""".r
+    def rendered(a: String): String =
+      if (SimpleLit.matches(a)) a else s"($a)"
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var inId = false
+    var qmarks = 0; var maxDollar = 0
+    val n = sql.length
+    while (i < n) {
+      val ch = sql.charAt(i)
+      if (inStr) { out += ch; if (ch == '\'') inStr = false; i += 1 }
+      else if (inId) { out += ch; if (ch == '"') inId = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; out += ch; i += 1
+        case '"'  => inId = true; out += ch; i += 1
+        case '$' if i + 1 < n && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < n && sql.charAt(j).isDigit) j += 1
+          val idx = sql.substring(i + 1, j).toInt
+          if (idx < 1 || idx > args.length)
+            fail(s"EXECUTE: placeholder $$$idx but ${args.length} " +
+              "argument(s) supplied")
+          maxDollar = math.max(maxDollar, idx)
+          out ++= rendered(args(idx - 1))
+          i = j
+        case '?' =>
+          qmarks += 1
+          if (qmarks > args.length)
+            fail(s"EXECUTE: ${qmarks}th '?' placeholder but only " +
+              s"${args.length} argument(s) supplied")
+          out ++= rendered(args(qmarks - 1))
+          i += 1
+        case c => out += c; i += 1
+      }
+    }
+    if (qmarks > 0 && maxDollar > 0)
+      fail("EXECUTE: prepared statement mixes '?' and '$n' placeholders")
+    val consumed = if (qmarks > 0) qmarks else maxDollar
+    if (consumed != args.length)
+      fail(s"EXECUTE: statement binds $consumed parameter(s) but " +
+        s"${args.length} argument(s) supplied")
+    out.toString
+  }
+
   /** (format, Spark reader/writer options) from a COPY option list
     * and the path extension fallback. */
   private def copyOptions(optsOrNull: String,
@@ -398,6 +463,25 @@ final class Graft(val spark: SparkSession) {
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
         Option(sq).getOrElse(sb), Option(sAl), rest)
+    case PrepareRe(q, b, body) =>
+      val name = Option(q).getOrElse(b)
+      if (preparedStmts.contains(name.toLowerCase))
+        fail(s"prepared statement '$name' already exists " +
+          "(DEALLOCATE it first)")
+      preparedStmts.put(name.toLowerCase, body)
+      status("prepared", name.toLowerCase)
+    case ExecuteRe(q, b, argsOrNull) =>
+      val name = Option(q).getOrElse(b)
+      val body = preparedStmts.getOrElse(name.toLowerCase,
+        fail(s"prepared statement '$name' is not registered"))
+      val args = Option(argsOrNull).toSeq
+        .flatMap(splitTop(_, ',')).map(_.trim).filter(_.nonEmpty)
+      query(bindParams(body, args))
+    case DeallocRe(q, b) =>
+      val name = Option(q).getOrElse(b)
+      if (preparedStmts.remove(name.toLowerCase).isEmpty)
+        fail(s"prepared statement '$name' is not registered")
+      status("deallocated", name.toLowerCase)
     case CopyToRe(q, b, path, opts) =>
       copyTo(lookup(Option(q).getOrElse(b)), path, opts)
     case CopyFromRe(q, b, path, opts) =>

@@ -3680,6 +3680,20 @@ object SparkEntry {
                 end as text
               from (select doc_id, text, string_split(text, ' ') as sp
                     from documents)""")),
+    // PREPARE/EXECUTE (r10): parameter binding under the driver gate
+    // — one $n parameter used twice plus a ? LIMIT parameter; the
+    // oracle is the inlined statement
+    ("q_prepare_exec",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("prepare pq as select o_orderkey, o_totalprice " +
+          "from orders where o_totalprice > $1 and o_orderkey <> $1 " +
+          "order by o_totalprice desc, o_orderkey limit 50")
+        g.query("execute pq(150000)")
+      },
+      Some("""select o_orderkey, o_totalprice from orders
+              where o_totalprice > 150000 and o_orderkey <> 150000
+              order by o_totalprice desc, o_orderkey limit 50""")),
     // COPY statement roundtrip (r10): the full statement path under
     // the driver gate — COPY (query) TO parquet, a typed empty table,
     // COPY FROM appending it back

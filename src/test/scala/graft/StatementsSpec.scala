@@ -804,6 +804,55 @@ class StatementsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("twice"), e3.getMessage)
   }
 
+  test("PREPARE/EXECUTE bind $n and ? placeholders; DEALLOCATE (r10)") {
+    val g = fresh
+    // $n form, a parameter used twice, strings containing '$1' inert
+    g.query("prepare big as select o_orderkey, o_totalprice from orders " +
+      "where o_totalprice > $1 and o_orderkey <> $1 " +
+      "and o_orderpriority <> 'x$1'")
+    val a = g.query("execute big(100000)").collect()
+    val direct = g.query("select o_orderkey, o_totalprice from orders " +
+      "where o_totalprice > 100000 and o_orderkey <> 100000 " +
+      "and o_orderpriority <> 'x$1'").collect()
+    assert(a.toSet == direct.toSet && a.nonEmpty)
+    // expressions as arguments substitute parenthesized
+    val b = g.query("execute big(50000 * 2)").collect()
+    assert(b.toSet == direct.toSet)
+    // ? positional form
+    g.query("prepare topn as select n_name from nation " +
+      "where n_regionkey = ? order by n_name limit ?")
+    val c = g.query("execute topn(1, 2)").collect().map(_.getString(0))
+    val d = g.query("select n_name from nation where n_regionkey = 1 " +
+      "order by n_name limit 2").collect().map(_.getString(0))
+    assert(c.toSeq == d.toSeq && c.length == 2)
+    // prepared DML mutates the registry on EXECUTE
+    g.query("create table pt (k bigint, v varchar)")
+    g.query("prepare ins as insert into pt values ($1, $2)")
+    g.query("execute ins(1, 'a')")
+    g.query("execute ins(2, 'b')")
+    assert(g.query("select count(*) as n from pt")
+      .collect().head.getLong(0) == 2L)
+    // walls: arity mismatch both ways, mixed markers, unknown name,
+    // duplicate PREPARE; DEALLOCATE frees the name
+    val e1 = intercept[RuntimeException](g.query("execute big(1, 2)"))
+    assert(e1.getMessage.contains("argument"), e1.getMessage)
+    val e2 = intercept[RuntimeException](g.query("execute topn(1)"))
+    assert(e2.getMessage.contains("argument"), e2.getMessage)
+    g.query("prepare mixed as select 1 from nation where ? = $1")
+    val e3 = intercept[RuntimeException](g.query("execute mixed(1, 1)"))
+    assert(e3.getMessage.contains("mixes"), e3.getMessage)
+    intercept[RuntimeException](g.query("execute nope(1)"))
+    val e4 = intercept[RuntimeException](
+      g.query("prepare big as select 1 from nation"))
+    assert(e4.getMessage.contains("already exists"), e4.getMessage)
+    assert(g.query("deallocate big").collect().head.getString(0)
+      == "deallocated")
+    intercept[RuntimeException](g.query("execute big(100000)"))
+    g.query("prepare big as select count(*) as n from orders")
+    assert(g.query("execute big").collect().head.getLong(0) > 0)
+    intercept[RuntimeException](g.query("deallocate prepare ghost"))
+  }
+
   test("COPY TO writes and COPY FROM appends, parquet roundtrip (r10)") {
     val g = fresh
     val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toString
