@@ -2573,6 +2573,36 @@ object SparkEntry {
       Some("""select event_id, json_extract_string(props, '$.k')::BIGINT as k
               from events where json_extract_string(props, '$.k') is not null
                 and json_extract_string(props, '$.k')::BIGINT % 10 = 0""")),
+    // deterministic hash-ring negative sampling (r10): contrastive
+    // pair mining — probe j of anchor a draws the corpus row with the
+    // largest md5 <= md5(a||'|'||j) in the probe's 256-way shard
+    // (wrapping to the shard max); DuckDB replays the whole ring walk
+    ("q_negative_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.hashNegatives(
+          tbl(s, dir, "documents"), "doc_id", 2),
+      Some("""with ids as (select distinct doc_id from documents),
+              ring as (select doc_id as nid, md5(cast(doc_id as varchar)) as h,
+                         substr(md5(cast(doc_id as varchar)), 1, 2) as b
+                       from ids),
+              probes as (select i.doc_id as anchor_id, j,
+                           md5(cast(i.doc_id as varchar) || '|' || cast(j as varchar)) as t
+                         from ids i, unnest(range(1, 3)) as u(j)),
+              p2 as (select anchor_id, j, t, substr(t, 1, 2) as b from probes),
+              u as (select b, h as o, 0 as side, h as rh,
+                      null::bigint as anchor_id, null::bigint as j
+                    from ring
+                    union all
+                    select b, t, 1, null, anchor_id, j from p2),
+              w as (select *,
+                      last_value(rh ignore nulls) over (partition by b
+                        order by o, side
+                        rows between unbounded preceding and current row) as mh,
+                      max(rh) over (partition by b) as xh
+                    from u)
+              select w.anchor_id, w.j, r.nid as neg_id
+              from w join ring r on r.b = w.b and r.h = coalesce(w.mh, w.xh)
+              where w.side = 1 and r.nid <> w.anchor_id""")),
     ("q_sample_consistent",
       (s: SparkSession, dir: String) =>
         graft.ops.Sampling.consistentSample(

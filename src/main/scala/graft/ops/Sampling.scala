@@ -142,4 +142,68 @@ object Sampling {
     }
     df.withColumn("split", assignment)
   }
+
+  /** Deterministic hash-ring negative sampling (SURVEY §2.2 row 121,
+    * r10) — contrastive-training pair mining: each anchor draws `k`
+    * pseudo-random corpus partners by probing an md5 ring. Probe j of
+    * anchor a lands at t = md5(a || '|' || j); the negative is the
+    * corpus row with the largest hash <= t inside t's shard, wrapping
+    * to the shard's max hash below the shard minimum — uniform over
+    * the corpus (hashes are uniform), reproducible across runs and
+    * engines (no RNG), and stable under corpus growth the way
+    * md5-threshold sampling is.
+    *
+    * Shards are the first `shardHexChars` hex chars of the hash
+    * (16^chars sub-rings): they bound the ring-walk sort AND set the
+    * parallelism — 2 (256 shards) suits hundreds of executors; 3 is
+    * the 100 TB dial. Plan: one union, ONE shard-key window pass
+    * (match scan + shard max share the exchange), one hash-unique
+    * join back for the partner id. Self-draws are filtered (an anchor
+    * is its own nearest with probability ~1/n per probe), so an
+    * anchor occasionally yields k-1 pairs; probes landing in an empty
+    * shard (toy corpora only) draw nothing.
+    *
+    * Returns (anchor_id, j, neg_id). Ids must be distinct (the ring
+    * is built on DISTINCT ids). */
+  def hashNegatives(df: DataFrame, idCol: String, k: Int,
+                    shardHexChars: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      "shardHexChars must be in [1, 8]")
+    import org.apache.spark.sql.expressions.Window
+    val idType = df.schema(df.columns.find(_.equalsIgnoreCase(idCol))
+      .getOrElse(idCol)).dataType
+    val ids = df.select(F.col(idCol).as("__nid")).distinct()
+    val ring = ids
+      .withColumn("__h", F.md5(F.col("__nid").cast("string")))
+      .withColumn("__b", F.substring(F.col("__h"), 1, shardHexChars))
+    val probes = ids.select(F.col("__nid").as("anchor_id"))
+      .withColumn("j",
+        F.explode(F.expr(s"sequence(cast(1 as bigint), cast($k as bigint))")))
+      .withColumn("__t", F.md5(F.concat_ws("|",
+        F.col("anchor_id").cast("string"), F.col("j"))))
+      .withColumn("__b", F.substring(F.col("__t"), 1, shardHexChars))
+    val u = ring.select(F.col("__b"), F.col("__h").as("__o"),
+        F.lit(0).as("__side"), F.col("__h").as("__rh"),
+        F.lit(null).cast(idType).as("anchor_id"),
+        F.lit(null).cast("bigint").as("j"))
+      .unionByName(probes.select(F.col("__b"), F.col("__t").as("__o"),
+        F.lit(1).as("__side"), F.lit(null).cast("string").as("__rh"),
+        F.col("anchor_id"), F.col("j")))
+    // ring rows sort before probes at equal hash (inclusive <=); the
+    // backward scan and the shard max share one exchange
+    val wScan = Window.partitionBy("__b")
+      .orderBy(F.col("__o"), F.col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("__b")
+    val matched = u
+      .withColumn("__mh", F.last("__rh", ignoreNulls = true).over(wScan))
+      .withColumn("__xh", F.max("__rh").over(wAll))
+      .filter(F.col("__side") === 1)
+      .withColumn("__gh", F.coalesce(F.col("__mh"), F.col("__xh")))
+    matched.join(ring.select(F.col("__b"), F.col("__h").as("__gh"),
+        F.col("__nid").as("neg_id")), Seq("__b", "__gh"))
+      .filter(F.col("neg_id") =!= F.col("anchor_id"))
+      .select("anchor_id", "j", "neg_id")
+  }
 }

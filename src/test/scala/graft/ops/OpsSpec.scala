@@ -921,6 +921,39 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("hash negatives: ring walk matches a local md5 replay") {
+    import spark.implicits._
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ids = (1L to 200L).toSeq
+    val ring = ids.map(id => md5hex(id.toString) -> id)
+    val expected = (for {
+      id <- ids; j <- 1 to 2
+      t = md5hex(s"$id|$j")
+      shard = ring.filter(_._1.take(1) == t.take(1))
+      if shard.nonEmpty
+      best = shard.filter(_._1 <= t) match {
+        case Seq() => shard.maxBy(_._1)._2 // wraparound to shard max
+        case below => below.maxBy(_._1)._2
+      }
+      if best != id // self-draws filtered
+    } yield (id, j.toLong, best)).toSet
+    val out = graft.ops.Sampling.hashNegatives(
+        ids.toDF("doc_id"), "doc_id", 2, shardHexChars = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected && out.size > 350)
+    // duplicate ids collapse on the ring (distinct contract)
+    val dup = graft.ops.Sampling.hashNegatives(
+      (ids ++ ids).toDF("doc_id"), "doc_id", 1, shardHexChars = 1)
+    assert(dup.count() == graft.ops.Sampling.hashNegatives(
+      ids.toDF("doc_id"), "doc_id", 1, shardHexChars = 1).count())
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.hashNegatives(ids.toDF("doc_id"), "doc_id", 0))
+  }
+
   test("knn graph: cell-bounded top-k neighbors, hand-computed") {
     import spark.implicits._
     val emb = Seq(
