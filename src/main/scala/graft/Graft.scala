@@ -254,13 +254,21 @@ final class Graft(val spark: SparkSession) {
     val r = spark.read.options(extra)
     val src = format match {
       // text formats read with the TARGET's schema (DuckDB's COPY
-      // FROM contract: the file is coerced to the table)
+      // FROM contract: the file is coerced to the table) under
+      // FAILFAST — a row that does not parse to the schema throws at
+      // read time instead of null-filling silently. CSV binds
+      // positionally; JSON binds BY NAME (objects have no column
+      // order — keys must match the target's column names, absent
+      // keys read NULL).
       case "csv" => r.option("header", extra.getOrElse("header", "true"))
-        .schema(target.schema).csv(path)
-      case "json"    => r.schema(target.schema).json(path)
+        .option("mode", "FAILFAST").schema(target.schema).csv(path)
+      case "json"    => r.option("mode", "FAILFAST")
+        .schema(target.schema).json(path)
       case "parquet" => r.parquet(path)
       case _         => r.orc(path)
     }
+    // the arity wall can only fire for self-describing columnar
+    // files (text formats were read with the target's schema above)
     if (src.columns.length != target.columns.length)
       fail(s"COPY FROM: file has ${src.columns.length} columns, " +
         s"table '$name' has ${target.columns.length}")

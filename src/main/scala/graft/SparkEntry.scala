@@ -2205,9 +2205,9 @@ object SparkEntry {
     ("q_knn_graph",
       (s: SparkSession, dir: String) =>
         Similarity.knnGraphFrom(tbl(s, dir, "embeddings"), 3, cellCol = "label"),
-      Some(s"""with e as (select vec_id, label as cell, embedding,
+      Some(s"""with e as (select * from (select vec_id, label as cell, embedding,
                  list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
-               from embeddings),
+               from embeddings) where norm2 > 0),
                scored as (select a.vec_id as src, b.vec_id as dst,
                             round(${duckPairCos("a", "b")}, 6) as sim
                           from e a join e b
@@ -3671,6 +3671,7 @@ object SparkEntry {
                       from cover group by doc_id)
               select d.doc_id,
                 case when d.text is null then null
+                     when c.doc_id is null then d.text
                      else coalesce(a.txt, '') end as text,
                 cast(coalesce(c.n_cov, 0) as bigint) as n_removed
               from documents d
@@ -3711,8 +3712,8 @@ object SparkEntry {
               from (select doc_id, text, string_split(text, ' ') as sp
                     from documents)""")),
     // PREPARE/EXECUTE (r10): parameter binding under the driver gate
-    // — one $n parameter used twice plus a ? LIMIT parameter; the
-    // oracle is the inlined statement
+    // — one $n parameter used twice (the ? positional form is
+    // spec-pinned in StatementsSpec); the oracle is the inlined text
     ("q_prepare_exec",
       (s: SparkSession, dir: String) => {
         val g = Graft.forDir(s, dir)

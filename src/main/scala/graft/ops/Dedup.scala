@@ -336,6 +336,14 @@ object Dedup {
     */
   def softDedupWeights(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    locally {
+      val reserved = Seq("group_id", "weight", "__n")
+      val clash = docs.columns.filter(c =>
+        reserved.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input columns [${clash.mkString(", ")}] collide with " +
+          s"output/helper names [${reserved.mkString(", ")}]")
+    }
     val sized = duplicateGroups(docs, threshold)
       .withColumn("__n",
         F.count(F.lit(1)).over(Window.partitionBy("group_id")))
@@ -832,8 +840,13 @@ object Dedup {
                    'hi', greatest(element_at(acc, -1).hi, v.hi))))
                else concat(acc, array(v)) end)"""))
       .select(F.col("doc_id"),
+        // untouched documents (no duplicated span) pass through
+        // BYTE-FOR-BYTE — the rewrite would silently normalize their
+        // whitespace otherwise — and skip the per-token scan
         F.expr(
-          """case when text is null then null else
+          """case when text is null then null
+                  when size(__iv) = 0 then text
+                  else
                array_join(filter(filter(split(text, ' '), t -> t <> ''),
                  (t, i) -> not exists(__iv,
                    v -> v.lo <= i + 1 and i + 1 <= v.hi)), ' ')

@@ -304,13 +304,17 @@ object Similarity {
     * graph-based semantic clustering and kNN-propagated labels.
     *
     * Returns (src, dst, sim, rnk), rnk 1..k per src. Vectors alone in
-    * their cell emit no edges. */
+    * their cell emit no edges; ZERO vectors are excluded from both
+    * sides (cosine with a zero norm is 0/0 = NaN, and Spark sorts NaN
+    * as the largest double — a zero vector would otherwise become
+    * every cell-mate's rank-1 "neighbor"). */
   def knnGraphFrom(cellAssigned: DataFrame, k: Int,
                    cellCol: String = "cell"): DataFrame = {
     require(k >= 1, "k must be positive")
     GraftFunctions.register(cellAssigned.sparkSession)
     val e = cellAssigned.selectExpr("vec_id", "embedding",
       s"$cellCol as cell", s"$norm2Expr as norm2")
+      .filter(F.col("norm2") > 0)
     val a = e.select(F.col("cell").as("cell_a"), F.col("vec_id").as("src"),
       F.col("embedding").as("ea"), F.col("norm2").as("na"))
     val b = e.select(F.col("cell").as("cell_b"), F.col("vec_id").as("dst"),

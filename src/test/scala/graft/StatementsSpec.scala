@@ -909,6 +909,18 @@ class StatementsSpec extends SparkTestBase {
       g.query(s"copy one_col from '$tmp/two.parquet'"))
     assert(e4.getMessage.contains("columns"), e4.getMessage)
     intercept[RuntimeException](g.query(s"copy nope to '$tmp/z.parquet'"))
+    // CSV reads with the TARGET schema under FAILFAST: a column-count
+    // mismatch throws at read time (lazily), never null-fills
+    g.query(s"copy one_col from '$tmp/n.csv' (format csv, delimiter '|')")
+    intercept[Exception](g.query("select * from one_col").collect())
+    g.query("drop table one_col")
+    // JSON binds BY NAME: matching keys roundtrip through json files
+    g.query(s"copy (select n_nationkey, n_name from nation) " +
+      s"to '$tmp/n.json' (format json)")
+    g.query("create table nj (n_nationkey bigint, n_name varchar)")
+    g.query(s"copy nj from '$tmp/n.json'")
+    assert(g.query("select count(*) as n from nj where n_name is not null")
+      .collect().head.getLong(0) == orig.length)
     // COPY (query) must be followed by TO
     val e5 = intercept[RuntimeException](
       g.query(s"copy (select 1 as x from region) into '$tmp/z.parquet'"))

@@ -1025,7 +1025,8 @@ class OpsSpec extends SparkTestBase {
       (4L, "too short"),                // < n tokens: unchanged
       (5L, null.asInstanceOf[String]),  // NULL stays NULL
       (6L, "m n o p m n o p m n o p"),  // within-doc repeats -> cover [5,12]
-      (7L, "A B C D E x2")              // lowercased match, case preserved
+      (7L, "A B C D E x2"),             // lowercased match, case preserved
+      (8L, "p1  p2 p3 p4 p5")           // untouched: whitespace kept verbatim
     ).toDF("doc_id", "text")
     val out = graft.ops.Dedup.removeDuplicateSpans(docs, 4)
       .collect()
@@ -1039,7 +1040,8 @@ class OpsSpec extends SparkTestBase {
       4L -> (Some("too short"), 0L),
       5L -> (None, 0L),
       6L -> (Some("m n o p"), 8L),
-      7L -> (Some("x2"), 5L)))
+      7L -> (Some("x2"), 5L),
+      8L -> (Some("p1  p2 p3 p4 p5"), 0L)))
     // reserved helper-name collision fails loudly
     val err = intercept[IllegalArgumentException] {
       graft.ops.Dedup.removeDuplicateSpans(
