@@ -3711,6 +3711,20 @@ object SparkEntry {
                 end as text
               from (select doc_id, text, string_split(text, ' ') as sp
                     from documents)""")),
+    // FROM-position table functions (r10): read_parquet against the
+    // raw file, joined/filtered like any relation; the oracle reads
+    // the registered view of the same file
+    ("q_read_parquet",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("select t.n_nationkey, t.n_name, r.r_name from " +
+          s"read_parquet('$dir/nation.parquet') t " +
+          "join region r on t.n_regionkey = r.r_regionkey " +
+          "where t.n_nationkey < 10")
+      },
+      Some("""select n.n_nationkey, n.n_name, r.r_name from nation n
+              join region r on n.n_regionkey = r.r_regionkey
+              where n.n_nationkey < 10""")),
     // PREPARE/EXECUTE (r10): parameter binding under the driver gate
     // — one $n parameter used twice (the ? positional form is
     // spec-pinned in StatementsSpec); the oracle is the inlined text

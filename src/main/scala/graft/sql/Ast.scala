@@ -158,6 +158,11 @@ object Ast {
   // ---- relations (sql.lark:28-38) -----------------------------------
   sealed trait Relation
   final case class TableRef(name: String, alias: Option[String]) extends Relation
+  /** FROM-position table function (r10, DuckDB dialect):
+    * `read_parquet('path') [AS] t` and the csv/json/text siblings —
+    * the path may be a glob (the reader expands it). */
+  final case class TableFnRel(fn: String, path: String,
+                              alias: Option[String]) extends Relation
   final case class SubqueryRel(q: SetExpr, alias: Option[String]) extends Relation
   /** `(VALUES (…), (…)) [AS] t [(col, …)]` inline table — graft
     * dialect extension. Column names default to col0, col1, …

@@ -763,11 +763,30 @@ final class Parser(tokens: Vector[Token]) {
     } else if (atUnnest) {
       // sole-relation unnest: FROM unnest(expr) AS t(x)
       parseUnnestRel(None, "inner")
+    } else if (atTableFn) {
+      // FROM-position table function (r10, DuckDB dialect):
+      // read_parquet('path' | glob) and csv/json/text siblings
+      val fn = ident().toLowerCase
+      expectOp("(")
+      val path = next() match {
+        case Str(v, _) => v
+        case t => fail(s"$fn takes a string path literal, got $t")
+      }
+      expectOp(")")
+      TableFnRel(fn, path, parseOptionalAlias())
     } else {
       val name = ident()
       TableRef(name, parseOptionalAlias())
     }
   }
+
+  private val tableFns =
+    Set("read_parquet", "read_csv", "read_csv_auto", "read_json",
+        "read_json_auto", "read_text")
+  private def atTableFn: Boolean = (peek match {
+    case Ident(v, _) => tableFns.contains(v.toLowerCase)
+    case _ => false
+  }) && isOpAt(pos + 1, "(")
 
   // ---- expressions --------------------------------------------------
   // precedence: OR < AND < NOT < comparison < additive < multiplicative

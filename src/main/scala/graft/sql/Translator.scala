@@ -328,6 +328,7 @@ final class Translator(catalog: String => DataFrame,
   private def referencesTable(se: SetExpr, name: String): Boolean = {
     def inRel(r: Relation): Boolean = r match {
       case TableRef(n, _) => n.equalsIgnoreCase(name)
+      case TableFnRel(_, _, _) => false
       case SubqueryRel(q, _) => inSet(q)
       case ValuesRel(_, _, _) => false
       case JoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
@@ -369,6 +370,10 @@ final class Translator(catalog: String => DataFrame,
           scala.util.Try(catalog(n).columns.map(_.toLowerCase).toSet).toOption))
       case SubqueryRel(q, a) =>
         a.map(al => (al.toLowerCase, setExprColumns(q))).toSeq
+      // file schemas are not enumerated statically (reading one here
+      // would scan at parse time) - conservative: no qualification
+      case TableFnRel(fn, _, a) =>
+        Seq((a.getOrElse(fn).toLowerCase, None))
       case ValuesRel(rows, cols, a) =>
         a.map { al =>
           val cs = cols.map(_.map(_.toLowerCase).toSet).orElse(
@@ -748,6 +753,20 @@ final class Translator(catalog: String => DataFrame,
     case TableRef(name, alias) =>
       val df = catalog(name)
       df.alias(alias.getOrElse(name).toLowerCase)
+    case TableFnRel(fn, path, alias) =>
+      // lazy reads: nothing scans until an action (CSV/JSON schema
+      // inference reads a sample at plan time, the DuckDB _auto
+      // contract). Globs pass through to the reader.
+      val df = fn match {
+        case "read_parquet" => session.read.parquet(path)
+        case "read_csv" | "read_csv_auto" =>
+          session.read.option("header", "true")
+            .option("inferSchema", "true").csv(path)
+        case "read_json" | "read_json_auto" => session.read.json(path)
+        case "read_text" => session.read.text(path)
+        case other => fail(s"unknown table function $other")
+      }
+      df.alias(alias.getOrElse(fn).toLowerCase)
     case SubqueryRel(q, alias) =>
       val df = translate(q)
       alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
@@ -3283,6 +3302,7 @@ final class Translator(catalog: String => DataFrame,
     * used to classify correlated predicates inside EXISTS. */
   private def relationAliases(r: Relation): Set[String] = r match {
     case TableRef(n, a) => Set(a.getOrElse(n).toLowerCase)
+    case TableFnRel(fn, _, a) => Set(a.getOrElse(fn).toLowerCase)
     case SubqueryRel(_, a) => a.map(_.toLowerCase).toSet
     case ValuesRel(_, _, a) => a.map(_.toLowerCase).toSet
     case AliasedRel(_, a) => Set(a.toLowerCase)

@@ -219,10 +219,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count"), "lost the per-group count partial")
   }
 
-  test("theta scalar subquery aggregates per outer tuple, no cartesian") {
+  test("theta scalar subquery fuses to union + ONE key exchange + window") {
+    // the r9 fusion: single-equality-keys + one-range-theta scalar
+    // subqueries read the running aggregate from one window over the
+    // unioned outer/inner rows — no join, no per-tuple aggregation
     val p = plan("q_scalar_theta")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("partial_"), "per-tuple aggregation not two-phase")
+    assert(p.contains("Union"), "lost the outer/inner union")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      "fused theta scalar must shuffle ONCE on the correlation keys\n" +
+        p.take(2000))
+    assert(p.contains("Window"), "lost the running-aggregate window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "fused form must not join\n" + p.take(2000))
   }
 
   test("joint-theta flags join the distinct tuple table on keys") {

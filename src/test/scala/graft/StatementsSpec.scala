@@ -804,6 +804,40 @@ class StatementsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("twice"), e3.getMessage)
   }
 
+  test("table functions read files in FROM position (r10)") {
+    val g = fresh
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tf").toString
+    g.query(s"copy (select n_nationkey, n_name from nation) " +
+      s"to '$tmp/n.parquet'")
+    // bare, aliased, qualified refs, joins against registry tables
+    val a = g.query(s"select * from read_parquet('$tmp/n.parquet')")
+    assert(a.count() == g.query("select * from nation").count())
+    val b = g.query(s"select t.n_name from read_parquet('$tmp/n.parquet') t " +
+      "where t.n_nationkey < 5 order by t.n_name").collect().map(_.getString(0))
+    val bRef = g.query("select n_name from nation where n_nationkey < 5 " +
+      "order by n_name").collect().map(_.getString(0))
+    assert(b.toSeq == bRef.toSeq && b.length == 5)
+    val j = g.query(s"select count(*) as n from " +
+      s"read_parquet('$tmp/n.parquet') t join region r " +
+      "on t.n_nationkey = r.r_regionkey").collect().head.getLong(0)
+    assert(j == 5)
+    // csv + json auto variants roundtrip through COPY
+    g.query(s"copy (select n_nationkey, n_name from nation) " +
+      s"to '$tmp/n.csv' (format csv)")
+    assert(g.query(s"select * from read_csv('$tmp/n.csv')").count() == 25)
+    g.query(s"copy (select n_nationkey, n_name from nation) " +
+      s"to '$tmp/n.json' (format json)")
+    assert(g.query(s"select * from read_json_auto('$tmp/n.json')")
+      .count() == 25)
+    // read_text: one row per line with a `value` column
+    val lines = g.query(s"select count(*) as n from read_csv('$tmp/n.csv')")
+      .collect().head.getLong(0)
+    assert(g.query(s"select value from read_text('$tmp/n.csv/*.csv')")
+      .count() == lines + 1) // + header
+    // wall: non-string argument
+    intercept[Exception](g.query("select * from read_parquet(42)"))
+  }
+
   test("PREPARE/EXECUTE bind $n and ? placeholders; DEALLOCATE (r10)") {
     val g = fresh
     // $n form, a parameter used twice, strings containing '$1' inert
