@@ -3677,6 +3677,14 @@ object SparkEntry {
               from documents d
               left join agg a on d.doc_id = a.doc_id
               left join cov c on d.doc_id = c.doc_id""")),
+    // bigram LM quality score (r10): mean add-k bigram log-prob under
+    // the corpus's own model. ln() differs by final ulps between
+    // JVM and C libm (documented verify-skill wall), so this entry is
+    // rows-only gated (None oracle); OpsSpec pins hand-computed values
+    ("q_text_lm_score",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.bigramLmScore(tbl(s, dir, "documents")),
+      None),
     // approximate heavy hitters (r5b): Misra-Gries typed Aggregator —
     // bounded sketch state per partition, ONE global merge, no
     // per-gram shuffle; sketch=4096 exceeds the corpus's distinct

@@ -500,4 +500,59 @@ object TextAnalysis {
         s"size(slice(split(text, ' '), chunk_id * $stride + 1, $size)) " +
           "as n_tokens")
   }
+
+  /** Bigram language-model quality score (SURVEY §2.2 row 122, r10) —
+    * the CCNet-style LM filter: documents score by their mean bigram
+    * log-probability under an add-k-smoothed bigram model,
+    * score = (1/N) Σ n_g · ln((c(w1 w2) + k) / (c(w1 ·) + k · V)),
+    * trained on `modelDocs` (a reference corpus — the CCNet shape) or
+    * on `docs` itself (self-perplexity: boilerplate scores HIGH,
+    * rare/garbled text scores LOW — both ends are filter signals).
+    * Unseen bigrams/contexts back off to pure smoothing mass, so
+    * out-of-model text is scored, never dropped.
+    *
+    * Plan shape: model counts are two hash aggregations over the
+    * native one-pass gram stream (map-side partials); the vocabulary
+    * size V rides a broadcast 1-row frame (no driver action — the
+    * whole score is ONE lazy plan). Scoring aggregates each doc's
+    * bigrams to (doc, gram, n) FIRST (map-side combine shrinks
+    * repeated grams), then two key joins attach bigram and context
+    * counts, and one doc_id aggregation folds the weighted mean.
+    * Everything shuffles narrow gram/count rows, never text.
+    *
+    * Returns (doc_id, lm_score, n_bigrams); documents with fewer
+    * than 2 tokens (or NULL text) read NULL score and 0 bigrams.
+    * ln is the JVM's — cross-engine replay differs in final ulps, so
+    * the gate entry is rows-only (documented; specs pin values). */
+  def bigramLmScore(docs: DataFrame, modelDocs: Option[DataFrame] = None,
+                    addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "additive smoothing constant must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val m = modelDocs.getOrElse(docs)
+    val uni = m.select(
+        F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("__w1"))
+      .groupBy("__w1").agg(F.count(F.lit(1)).as("__cu"))
+    val vocab = F.broadcast(uni.agg(F.count(F.lit(1)).as("__v")))
+    val bi = m.select(
+        F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
+      .groupBy("__g").agg(F.count(F.lit(1)).as("__cb"))
+    val docGrams = docs.select(F.col("doc_id"),
+        F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
+      .groupBy("doc_id", "__g").agg(F.count(F.lit(1)).as("__n"))
+      .withColumn("__w1", F.expr("substring_index(__g, ' ', 1)"))
+    val scored = docGrams
+      .join(bi, Seq("__g"), "left")
+      .join(uni, Seq("__w1"), "left")
+      .crossJoin(vocab)
+      .select(F.col("doc_id"), F.col("__n"),
+        (F.log((F.coalesce(F.col("__cb"), F.lit(0L)) + F.lit(addK)) /
+               (F.coalesce(F.col("__cu"), F.lit(0L)) +
+                 F.lit(addK) * F.col("__v"))) * F.col("__n")).as("__lp"))
+      .groupBy("doc_id")
+      .agg((F.sum("__lp") / F.sum("__n")).as("lm_score"),
+        F.sum("__n").as("n_bigrams"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("lm_score"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"))
+  }
 }

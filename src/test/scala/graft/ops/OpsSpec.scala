@@ -921,6 +921,42 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("bigram LM score: add-k log-probs match hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"x2, "b a"x1
+      (2L, "a c"),
+      (3L, "z")        // one token: no bigrams
+    ).toDF("doc_id", "text")
+    // self-model counts: a:3 b:2 c:1 z:1 (V=4); "a b":2 "b a":1 "a c":1
+    val out = graft.ops.TextAnalysis.bigramLmScore(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("lm_score")).map(_.asInstanceOf[Double]),
+          r.getLong(2)))
+      .toMap
+    val pBgivenA = (2 + 0.5) / (3 + 0.5 * 4) // 0.5
+    val pAgivenB = (1 + 0.5) / (2 + 0.5 * 4) // 0.375
+    val pCgivenA = (1 + 0.5) / (3 + 0.5 * 4) // 0.3
+    val d1 = (2 * math.log(pBgivenA) + math.log(pAgivenB)) / 3
+    assert(out(3L) == (None, 0L))
+    assert(out(1L)._2 == 3L && math.abs(out(1L)._1.get - d1) < 1e-12)
+    assert(out(2L)._2 == 1L &&
+      math.abs(out(2L)._1.get - math.log(pCgivenA)) < 1e-12)
+    // external reference model: unseen bigram AND context back off to
+    // pure smoothing mass
+    val ext = graft.ops.TextAnalysis.bigramLmScore(
+        Seq((9L, "q q")).toDF("doc_id", "text"), modelDocs = Some(docs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ext(9L) - math.log(0.5 / (0 + 0.5 * 4))) < 1e-12)
+    // the real corpus: every scored doc has a finite negative score
+    val real = graft.ops.TextAnalysis.bigramLmScore(
+      spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet"))
+    val scores = real.where("lm_score is not null")
+      .select("lm_score").collect().map(_.getDouble(0))
+    assert(scores.nonEmpty && scores.forall(v => v < 0 && !v.isInfinite))
+  }
+
   test("hash negatives: ring walk matches a local md5 replay") {
     import spark.implicits._
     def md5hex(s: String): String = {
