@@ -280,6 +280,38 @@ final class Graft(val spark: SparkSession) {
     status("copied", name.toLowerCase)
   }
 
+  // SUMMARIZE (r10, DuckDB surface): per-column profile of a table or
+  // query. DuckDB's version mixes approximate fields (approx_unique,
+  // sampled quantiles); graft's is the EXACT deterministic subset —
+  // min/max (string-cast), exact distinct count, null count, row
+  // count — computed in ONE aggregation pass (4 aggregates per
+  // column, map-side partials) and unpivoted with stack(), so the
+  // profile is a single job at any scale.
+  private val SummarizeRe = """(?is)^\s*summarize\s+(.+?)\s*;?\s*$""".r
+  private val BareNameRe = """^(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))$""".r
+
+  private def summarize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val fields = df.schema.fields
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(F.min(df(f.name)).cast("string").as(s"__min_$i"),
+        F.max(df(f.name)).cast("string").as(s"__max_$i"),
+        F.countDistinct(df(f.name)).as(s"__nd_$i"),
+        F.count(df(f.name)).as(s"__nc_$i"))
+    }
+    val agged = df.agg(F.count(F.lit(1)).as("__total"),
+      aggs.toIndexedSeq: _*)
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      s"${lit(f.name)}, ${lit(f.dataType.simpleString)}, " +
+        s"__min_$i, __max_$i, __nd_$i, __total - __nc_$i"
+    }.mkString(", ")
+    agged.selectExpr(
+      s"stack(${fields.length}, $stackArgs) as " +
+        "(column_name, column_type, min, max, n_distinct, n_nulls)",
+      "__total as count")
+  }
+
   private def status(kind: String, name: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     spark.range(1).select(F.lit(kind).as("kind"), F.lit(name).as("name"))
@@ -471,6 +503,11 @@ final class Graft(val spark: SparkSession) {
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
         Option(sq).getOrElse(sb), Option(sAl), rest)
+    case SummarizeRe(body) =>
+      body.trim match {
+        case BareNameRe(q, b) => summarize(lookup(Option(q).getOrElse(b)))
+        case queryText        => summarize(translateOnly(queryText))
+      }
     case PrepareRe(q, b, body) =>
       val name = Option(q).getOrElse(b)
       if (preparedStmts.contains(name.toLowerCase))

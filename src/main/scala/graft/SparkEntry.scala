@@ -3733,6 +3733,33 @@ object SparkEntry {
       Some("""select n.n_nationkey, n.n_name, r.r_name from nation n
               join region r on n.n_regionkey = r.r_regionkey
               where n.n_nationkey < 10""")),
+    // SUMMARIZE (r10): exact per-column profile in one aggregation
+    // pass; the oracle spells the same stats per column (column_type
+    // is dropped from the gate projection — Spark/DuckDB type NAMES
+    // differ; values are pinned in StatementsSpec)
+    ("q_summarize",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("summarize nation")
+          .select("column_name", "min", "max", "n_distinct",
+            "n_nulls", "count")
+      },
+      Some("""select 'n_nationkey' as column_name,
+                cast(min(n_nationkey) as varchar) as min,
+                cast(max(n_nationkey) as varchar) as max,
+                count(distinct n_nationkey) as n_distinct,
+                cast(count(*) - count(n_nationkey) as bigint) as n_nulls,
+                count(*) as count from nation
+              union all select 'n_name', cast(min(n_name) as varchar),
+                cast(max(n_name) as varchar), count(distinct n_name),
+                cast(count(*) - count(n_name) as bigint), count(*)
+                from nation
+              union all select 'n_regionkey',
+                cast(min(n_regionkey) as varchar),
+                cast(max(n_regionkey) as varchar),
+                count(distinct n_regionkey),
+                cast(count(*) - count(n_regionkey) as bigint), count(*)
+                from nation""")),
     // PREPARE/EXECUTE (r10): parameter binding under the driver gate
     // — one $n parameter used twice (the ? positional form is
     // spec-pinned in StatementsSpec); the oracle is the inlined text

@@ -804,6 +804,26 @@ class StatementsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("twice"), e3.getMessage)
   }
 
+  test("SUMMARIZE profiles tables and queries exactly (r10)") {
+    val g = fresh
+    g.query("create view sz as select * from (values " +
+      "(1, 'a'), (2, null), (2, 'b'), (null, 'a')) t(k, v)")
+    val rows = g.query("summarize sz").collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows("k") == ("1", "2", 2L, 1L, 4L))
+    assert(rows("v") == ("a", "b", 2L, 1L, 4L))
+    val types = g.query("summarize sz").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("k") == "bigint" && types("v") == "string")
+    // query form re-enters the dialect
+    val q = g.query("summarize select k + 1 as k2 from sz where v = 'a'")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3),
+        r.getLong(6)))
+    assert(q.toSeq == Seq(("k2", "2", "2", 2L))) // k=1 and k=null rows
+    intercept[RuntimeException](g.query("summarize no_such_table"))
+  }
+
   test("table functions read files in FROM position (r10)") {
     val g = fresh
     val tmp = java.nio.file.Files.createTempDirectory("graft_tf").toString
