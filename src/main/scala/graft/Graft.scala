@@ -280,6 +280,18 @@ final class Graft(val spark: SparkSession) {
     status("copied", name.toLowerCase)
   }
 
+  // EXPORT / IMPORT DATABASE (r10, DuckDB surface): EXPORT writes
+  // every registered table through the COPY writer into
+  // '<dir>/<table>' (FORMAT parquet default / csv / json / orc);
+  // IMPORT registers each subdirectory back as a lazy read under its
+  // name (overwriting same-named registrations — the restore
+  // semantics). Self-describing formats roundtrip schemas; csv/json
+  // re-infer on import (documented lossy corner of text formats).
+  private val ExportDbRe =
+    """(?is)^\s*export\s+database\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val ImportDbRe =
+    """(?is)^\s*import\s+database\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+
   // SUMMARIZE (r10, DuckDB surface): per-column profile of a table or
   // query. DuckDB's version mixes approximate fields (approx_unique,
   // sampled quantiles); graft's is the EXACT deterministic subset —
@@ -503,6 +515,32 @@ final class Graft(val spark: SparkSession) {
     case MergeRe(tq, tb, tAl, sq, sb, sAl, rest) =>
       mergeStatement(Option(tq).getOrElse(tb), Option(tAl),
         Option(sq).getOrElse(sb), Option(sAl), rest)
+    case ExportDbRe(dir, opts) =>
+      val fmtOpts = Option(opts).getOrElse("format parquet")
+      val (_, _) = copyOptions(fmtOpts, "") // validate once, loudly
+      tables.keys.toSeq.sorted.foreach { n =>
+        copyTo(lookup(n), s"$dir/$n", fmtOpts)
+      }
+      status("exported", dir)
+    case ImportDbRe(dir, opts) =>
+      val fmtOpts = Option(opts).getOrElse("format parquet")
+      val (format, extra) = copyOptions(fmtOpts, "")
+      val sub = Option(new java.io.File(dir).listFiles())
+        .getOrElse(fail(s"IMPORT DATABASE: cannot list '$dir'"))
+        .filter(_.isDirectory).map(_.getName).sorted
+      if (sub.isEmpty) fail(s"IMPORT DATABASE: no table directories in '$dir'")
+      sub.foreach { n =>
+        val r = spark.read.options(extra)
+        val df = format match {
+          case "csv" => r.option("header", extra.getOrElse("header", "true"))
+            .option("inferSchema", "true").csv(s"$dir/$n")
+          case "json"    => r.json(s"$dir/$n")
+          case "parquet" => r.parquet(s"$dir/$n")
+          case _         => r.orc(s"$dir/$n")
+        }
+        registerTable(n, df)
+      }
+      status("imported", dir)
     case SummarizeRe(body) =>
       body.trim match {
         case BareNameRe(q, b) => summarize(lookup(Option(q).getOrElse(b)))

@@ -804,6 +804,37 @@ class StatementsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("twice"), e3.getMessage)
   }
 
+  test("EXPORT/IMPORT DATABASE roundtrip the registry (r10)") {
+    val g = new Graft(spark)
+    g.query("create table t1 as select * from (values " +
+      "(1, 'a'), (2, 'b')) t(k, v)")
+    g.query("create table t2 as select * from (values (9.5)) t(x)")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    assert(g.query(s"export database '$tmp'")
+      .collect().head.getString(0) == "exported")
+    // a fresh empty registry restores both tables from the directory
+    val h = new Graft(spark)
+    assert(h.query(s"import database '$tmp'")
+      .collect().head.getString(0) == "imported")
+    assert(h.tableNames == Set("t1", "t2"))
+    val rows = h.query("select k, v from t1 order by k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(h.query("select x from t2").collect().head.getDouble(0) == 9.5)
+    // csv export honors the option list end-to-end
+    val tmpc = java.nio.file.Files.createTempDirectory("graft_expc").toString
+    g.query(s"export database '$tmpc' (format csv, delimiter ';')")
+    val hc = new Graft(spark)
+    hc.query(s"import database '$tmpc' (format csv, delimiter ';')")
+    assert(hc.query("select count(*) as n from t1")
+      .collect().head.getLong(0) == 2L)
+    // walls: empty/unlistable dir, bad option
+    intercept[RuntimeException](
+      h.query("import database '/nonexistent_graft_dir'"))
+    intercept[RuntimeException](
+      g.query(s"export database '$tmp' (compression zstd)"))
+  }
+
   test("SUMMARIZE profiles tables and queries exactly (r10)") {
     val g = fresh
     g.query("create view sz as select * from (values " +
