@@ -296,20 +296,27 @@ final class Graft(val spark: SparkSession) {
   // query. DuckDB's version mixes approximate fields (approx_unique,
   // sampled quantiles); graft's is the EXACT deterministic subset —
   // min/max (string-cast), exact distinct count, null count, row
-  // count — computed in ONE aggregation pass (4 aggregates per
-  // column, map-side partials) and unpivoted with stack(), so the
-  // profile is a single job at any scale.
+  // count — one aggregation job, unpivoted with stack(). Honest cost
+  // note: Spark plans the N per-column EXACT countDistincts via an
+  // Expand multiplying input rows ~(N+1)x before the partial
+  // aggregate — the price of determinism (DuckDB's own SUMMARIZE
+  // ducks it with approx_unique); fine for a profiling statement,
+  // not a per-query hot path. Columns aggregate POSITIONALLY so
+  // duplicate output names in SUMMARIZE <query> profile cleanly.
   private val SummarizeRe = """(?is)^\s*summarize\s+(.+?)\s*;?\s*$""".r
   private val BareNameRe = """^(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))$""".r
 
-  private def summarize(df: DataFrame): DataFrame = {
+  private def summarize(df0: DataFrame): DataFrame = {
     import org.apache.spark.sql.{functions => F}
-    val fields = df.schema.fields
-    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
-      Seq(F.min(df(f.name)).cast("string").as(s"__min_$i"),
-        F.max(df(f.name)).cast("string").as(s"__max_$i"),
-        F.countDistinct(df(f.name)).as(s"__nd_$i"),
-        F.count(df(f.name)).as(s"__nc_$i"))
+    val fields = df0.schema.fields
+    // positional rename: duplicate output names (summarize select
+    // 1 as a, 2 as a) would make df(name) ambiguous
+    val df = df0.toDF(fields.indices.map(i => s"__sz_$i"): _*)
+    val aggs = fields.indices.flatMap { i =>
+      Seq(F.min(df(s"__sz_$i")).cast("string").as(s"__min_$i"),
+        F.max(df(s"__sz_$i")).cast("string").as(s"__max_$i"),
+        F.countDistinct(df(s"__sz_$i")).as(s"__nd_$i"),
+        F.count(df(s"__sz_$i")).as(s"__nc_$i"))
     }
     val agged = df.agg(F.count(F.lit(1)).as("__total"),
       aggs.toIndexedSeq: _*)
@@ -518,16 +525,40 @@ final class Graft(val spark: SparkSession) {
     case ExportDbRe(dir, opts) =>
       val fmtOpts = Option(opts).getOrElse("format parquet")
       val (_, _) = copyOptions(fmtOpts, "") // validate once, loudly
-      tables.keys.toSeq.sorted.foreach { n =>
-        copyTo(lookup(n), s"$dir/$n", fmtOpts)
-      }
+      val names = tables.keys.toSeq.sorted
+      names.foreach { n => copyTo(lookup(n), s"$dir/$n", fmtOpts) }
+      // manifest: IMPORT restores exactly THIS export's table set — a
+      // re-export into a reused directory must not resurrect stale
+      // subdirectories from an earlier, larger registry
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "_graft_tables"), true)
+      try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
       status("exported", dir)
     case ImportDbRe(dir, opts) =>
       val fmtOpts = Option(opts).getOrElse("format parquet")
       val (format, extra) = copyOptions(fmtOpts, "")
-      val sub = Option(new java.io.File(dir).listFiles())
-        .getOrElse(fail(s"IMPORT DATABASE: cannot list '$dir'"))
-        .filter(_.isDirectory).map(_.getName).sorted
+      // Hadoop FS, not java.io.File — EXPORT can target any FS the
+      // writer reaches (hdfs://, s3a://) and the roundtrip must too
+      val hPath = new org.apache.hadoop.fs.Path(dir)
+      val fs =
+        try hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        catch { case e: Exception =>
+          fail(s"IMPORT DATABASE: cannot access '$dir': ${e.getMessage}") }
+      val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_tables")
+      val sub: Seq[String] =
+        if (fs.exists(manifest)) {
+          val in = fs.open(manifest)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+        } else if (fs.exists(hPath)) {
+          fs.listStatus(hPath).filter(_.isDirectory)
+            .map(_.getPath.getName).toSeq.sorted
+        } else fail(s"IMPORT DATABASE: cannot list '$dir'")
       if (sub.isEmpty) fail(s"IMPORT DATABASE: no table directories in '$dir'")
       sub.foreach { n =>
         val r = spark.read.options(extra)

@@ -545,9 +545,16 @@ object TextAnalysis {
       .join(uni, Seq("__w1"), "left")
       .crossJoin(vocab)
       .select(F.col("doc_id"), F.col("__n"),
-        (F.log((F.coalesce(F.col("__cb"), F.lit(0L)) + F.lit(addK)) /
-               (F.coalesce(F.col("__cu"), F.lit(0L)) +
-                 F.lit(addK) * F.col("__v"))) * F.col("__n")).as("__lp"))
+        // in-plan guard (the raise_error FILTER pattern): an EMPTY
+        // model has V = 0 and every probability collapses to x/0 =
+        // +Inf - garbage that would flow downstream unflagged
+        (F.when(F.col("__v") > 0,
+          F.log((F.coalesce(F.col("__cb"), F.lit(0L)) + F.lit(addK)) /
+                (F.coalesce(F.col("__cu"), F.lit(0L)) +
+                  F.lit(addK) * F.col("__v"))))
+          .otherwise(F.raise_error(F.lit(
+            "bigram LM model corpus has no tokens"))) *
+          F.col("__n")).as("__lp"))
       .groupBy("doc_id")
       .agg((F.sum("__lp") / F.sum("__n")).as("lm_score"),
         F.sum("__n").as("n_bigrams"))

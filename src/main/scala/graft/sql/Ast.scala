@@ -162,6 +162,7 @@ object Ast {
     * `read_parquet('path') [AS] t` and the csv/json/text siblings —
     * the path may be a glob (the reader expands it). */
   final case class TableFnRel(fn: String, path: String,
+                              header: Option[Boolean],
                               alias: Option[String]) extends Relation
   final case class SubqueryRel(q: SetExpr, alias: Option[String]) extends Relation
   /** `(VALUES (…), (…)) [AS] t [(col, …)]` inline table — graft

@@ -772,8 +772,20 @@ final class Parser(tokens: Vector[Token]) {
         case Str(v, _) => v
         case t => fail(s"$fn takes a string path literal, got $t")
       }
+      // optional `, header = true|false` (read_csv only): DuckDB
+      // auto-detects headers, Spark cannot - the flag makes the
+      // headerless case expressible instead of silently losing row 1
+      val header: Option[Boolean] =
+        if (eatOp(",")) {
+          expectKw("header"); expectOp("=")
+          if (eatKw("true")) Some(true)
+          else if (eatKw("false")) Some(false)
+          else fail(s"$fn header option takes true or false")
+        } else None
+      if (header.isDefined && !fn.startsWith("read_csv"))
+        fail(s"header option applies to read_csv only, not $fn")
       expectOp(")")
-      TableFnRel(fn, path, parseOptionalAlias())
+      TableFnRel(fn, path, header, parseOptionalAlias())
     } else {
       val name = ident()
       TableRef(name, parseOptionalAlias())

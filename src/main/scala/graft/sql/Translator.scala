@@ -328,7 +328,7 @@ final class Translator(catalog: String => DataFrame,
   private def referencesTable(se: SetExpr, name: String): Boolean = {
     def inRel(r: Relation): Boolean = r match {
       case TableRef(n, _) => n.equalsIgnoreCase(name)
-      case TableFnRel(_, _, _) => false
+      case TableFnRel(_, _, _, _) => false
       case SubqueryRel(q, _) => inSet(q)
       case ValuesRel(_, _, _) => false
       case JoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
@@ -372,7 +372,7 @@ final class Translator(catalog: String => DataFrame,
         a.map(al => (al.toLowerCase, setExprColumns(q))).toSeq
       // file schemas are not enumerated statically (reading one here
       // would scan at parse time) - conservative: no qualification
-      case TableFnRel(fn, _, a) =>
+      case TableFnRel(fn, _, _, a) =>
         Seq((a.getOrElse(fn).toLowerCase, None))
       case ValuesRel(rows, cols, a) =>
         a.map { al =>
@@ -753,14 +753,16 @@ final class Translator(catalog: String => DataFrame,
     case TableRef(name, alias) =>
       val df = catalog(name)
       df.alias(alias.getOrElse(name).toLowerCase)
-    case TableFnRel(fn, path, alias) =>
+    case TableFnRel(fn, path, header, alias) =>
       // lazy reads: nothing scans until an action (CSV/JSON schema
       // inference reads a sample at plan time, the DuckDB _auto
-      // contract). Globs pass through to the reader.
+      // contract). Globs pass through to the reader; header
+      // defaults true for csv (override: read_csv('p', header =
+      // false) - Spark cannot auto-detect like DuckDB does).
       val df = fn match {
         case "read_parquet" => session.read.parquet(path)
         case "read_csv" | "read_csv_auto" =>
-          session.read.option("header", "true")
+          session.read.option("header", header.getOrElse(true).toString)
             .option("inferSchema", "true").csv(path)
         case "read_json" | "read_json_auto" => session.read.json(path)
         case "read_text" => session.read.text(path)
@@ -3302,7 +3304,7 @@ final class Translator(catalog: String => DataFrame,
     * used to classify correlated predicates inside EXISTS. */
   private def relationAliases(r: Relation): Set[String] = r match {
     case TableRef(n, a) => Set(a.getOrElse(n).toLowerCase)
-    case TableFnRel(fn, _, a) => Set(a.getOrElse(fn).toLowerCase)
+    case TableFnRel(fn, _, _, a) => Set(a.getOrElse(fn).toLowerCase)
     case SubqueryRel(_, a) => a.map(_.toLowerCase).toSet
     case ValuesRel(_, _, a) => a.map(_.toLowerCase).toSet
     case AliasedRel(_, a) => Set(a.toLowerCase)

@@ -828,6 +828,13 @@ class StatementsSpec extends SparkTestBase {
     hc.query(s"import database '$tmpc' (format csv, delimiter ';')")
     assert(hc.query("select count(*) as n from t1")
       .collect().head.getLong(0) == 2L)
+    // re-export into the SAME directory after a drop must NOT
+    // resurrect the dropped table (the manifest pins the set)
+    g.query("drop table t2")
+    g.query(s"export database '$tmp'")
+    val h2 = new Graft(spark)
+    h2.query(s"import database '$tmp'")
+    assert(h2.tableNames == Set("t1"))
     // walls: empty/unlistable dir, bad option
     intercept[RuntimeException](
       h.query("import database '/nonexistent_graft_dir'"))
@@ -853,6 +860,10 @@ class StatementsSpec extends SparkTestBase {
         r.getLong(6)))
     assert(q.toSeq == Seq(("k2", "2", "2", 2L))) // k=1 and k=null rows
     intercept[RuntimeException](g.query("summarize no_such_table"))
+    // duplicate output names profile positionally, no ambiguity error
+    val dup = g.query("summarize select 1 as a, 2 as a from region")
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(dup.toSeq == Seq(("a", "1"), ("a", "2")))
   }
 
   test("table functions read files in FROM position (r10)") {
@@ -887,6 +898,15 @@ class StatementsSpec extends SparkTestBase {
       .count() == lines + 1) // + header
     // wall: non-string argument
     intercept[Exception](g.query("select * from read_parquet(42)"))
+    // headerless CSV: header = false keeps row 1 as data
+    val raw = java.nio.file.Files.createTempDirectory("graft_rawcsv")
+    java.nio.file.Files.writeString(raw.resolve("d.csv"), "1,foo\n2,bar\n")
+    assert(g.query(
+      s"select count(*) as n from read_csv('$raw/d.csv', header = false)")
+      .collect().head.getLong(0) == 2L)
+    // and the flag is csv-only
+    intercept[Exception](g.query(
+      s"select * from read_json('$raw/d.csv', header = false)"))
   }
 
   test("PREPARE/EXECUTE bind $n and ? placeholders; DEALLOCATE (r10)") {

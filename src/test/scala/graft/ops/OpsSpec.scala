@@ -955,6 +955,14 @@ class OpsSpec extends SparkTestBase {
     val scores = real.where("lm_score is not null")
       .select("lm_score").collect().map(_.getDouble(0))
     assert(scores.nonEmpty && scores.forall(v => v < 0 && !v.isInfinite))
+    // an EMPTY model raises in-plan instead of scoring +Infinity
+    val emptyModel = Seq((1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bad = graft.ops.TextAnalysis.bigramLmScore(
+      docs, modelDocs = Some(emptyModel))
+    val err = intercept[Exception](bad.collect())
+    assert(err.getMessage.contains("no tokens") ||
+      Option(err.getCause).exists(_.getMessage.contains("no tokens")))
   }
 
   test("hash negatives: ring walk matches a local md5 replay") {
