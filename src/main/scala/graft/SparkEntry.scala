@@ -3789,6 +3789,108 @@ object SparkEntry {
         g.query("select * from ocopy")
       },
       Some("select o_orderkey, o_custkey, o_totalprice from orders")),
+    // DML family under the driver gate (r11, VERDICT r10 "Next round"
+    // #2): execute the statement against a registered copy, SELECT
+    // the post-state; the oracle is a DuckDB SELECT spelling the
+    // expected state (DuckDB never runs the DML itself — the
+    // q_copy_roundtrip precedent). Clause-matrix walls stay in
+    // StatementsSpec; these pin the headline paths cross-engine.
+    ("q_merge_apply",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create table mt as select o_orderkey as k, " +
+          "o_totalprice as v, o_orderstatus as st from orders " +
+          "where o_orderkey % 4 = 0")
+        g.query("""merge into mt using (select o_orderkey as k,
+                     o_totalprice as sv from orders
+                     where o_orderkey % 2 = 0) s
+                   on mt.k = s.k
+                   when matched and mt.v < 100000
+                     then update set v = s.sv + 1
+                   when matched then delete
+                   when not matched
+                     then insert (k, v, st) values (s.k, s.sv, 'N')""")
+        g.query("select k, v, st from mt")
+      },
+      // every target key (k%4=0) matches a source key (k%2=0 ⊇):
+      // cheap orders update in place, expensive ones delete, and the
+      // source-only keys (k%2=0, k%4≠0) insert with status 'N'
+      Some("""select o_orderkey as k, o_totalprice + 1 as v,
+                o_orderstatus as st
+              from orders
+              where o_orderkey % 4 = 0 and o_totalprice < 100000
+              union all
+              select o_orderkey, o_totalprice, 'N' from orders
+              where o_orderkey % 2 = 0 and o_orderkey % 4 <> 0""")),
+    ("q_update_from",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create table uc as select c_custkey, c_acctbal, " +
+          "c_nationkey from customer")
+        g.query("update uc set c_acctbal = uc.c_acctbal + " +
+          "nation.n_nationkey from nation " +
+          "where uc.c_nationkey = nation.n_nationkey " +
+          "and uc.c_acctbal < 0")
+        g.query("select c_custkey, c_acctbal, c_nationkey from uc")
+      },
+      Some("""select c_custkey,
+                case when c_acctbal < 0 then c_acctbal + c_nationkey
+                     else c_acctbal end as c_acctbal,
+                c_nationkey from customer""")),
+    ("q_delete_using",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create table dl as select o_orderkey, o_custkey, " +
+          "o_totalprice from orders")
+        g.query("delete from dl using customer " +
+          "where dl.o_custkey = customer.c_custkey " +
+          "and customer.c_acctbal < 0")
+        g.query("select o_orderkey, o_custkey, o_totalprice from dl")
+      },
+      Some("""select o_orderkey, o_custkey, o_totalprice from orders o
+              where not exists (select 1 from customer c
+                where c.c_custkey = o.o_custkey and c.c_acctbal < 0)""")),
+    ("q_insert_conflict",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create table ic as select c_custkey as k, " +
+          "c_acctbal as v from customer")
+        g.query("""insert into ic
+                   select o_custkey * 2 as k, max(o_totalprice) as v
+                   from orders group by o_custkey * 2
+                   on conflict (k) do update set v = excluded.v + 1""")
+        g.query("select k, v from ic")
+      },
+      Some("""with src as (select o_custkey * 2 as k,
+                             max(o_totalprice) as v
+                           from orders group by o_custkey * 2)
+              select c.c_custkey as k,
+                     case when s.k is not null then s.v + 1
+                          else c.c_acctbal end as v
+              from customer c left join src s on c.c_custkey = s.k
+              union all
+              select k, v from src
+              where k not in (select c_custkey from customer)""")),
+    // EXPORT/IMPORT DATABASE under the driver gate (r11, VERDICT r10
+    // "Next round" #6): a two-table registry exports, a FRESH
+    // registry imports from the manifest, and a join over the
+    // restored tables must match the same join over the originals
+    ("q_export_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val g = new Graft(s)
+        g.registerTable("en", s.read.parquet(s"$dir/nation.parquet"))
+        g.registerTable("er", s.read.parquet(s"$dir/region.parquet"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_expq").toString
+        g.query(s"export database '$tmp'")
+        val h = new Graft(s)
+        h.query(s"import database '$tmp'")
+        h.query("select en.n_nationkey, en.n_name, er.r_name from en " +
+          "join er on en.n_regionkey = er.r_regionkey")
+      },
+      Some("""select n.n_nationkey, n.n_name, r.r_name
+              from nation n
+              join region r on n.n_regionkey = r.r_regionkey""")),
     ("q_csv_roundtrip",
       (s: SparkSession, dir: String) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString

@@ -758,23 +758,35 @@ object Dedup {
 
   def duplicateSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
-    import org.apache.spark.sql.expressions.Window
     // native one-pass span stream (WordNgrams, inlined in the
     // generator); posexplode is 0-based where the old sequence(1,..)
     // positions were 1-based
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
+    // Skew-safe first-occurrence ranking (r11): a span hash with 10^5
+    // occurrences (viral boilerplate — exactly this operator's
+    // target) previously concentrated its whole occurrence list in
+    // ONE window task. Two-phase `min(struct(doc_id, pos))` collapses
+    // hot hashes to one partial row per map task BEFORE the exchange,
+    // and the unique-keyed join back lets AQE split a skewed probe
+    // side — the r6 vocabularyStats remedy, results identical ((doc_
+    // id, pos) pairs are unique, so "not the minimum" = "not first").
+    val spans = docs
       .select(F.col("doc_id"),
         F.posexplode(F.expr(s"graft_word_ngrams(lower(text), $n)"))
           .as(Seq("__p0", "__g")))
       .select(F.col("doc_id"), (F.col("__p0") + 1).as("pos"),
         F.md5(F.col("__g")).as("h"))
-      .withColumn("__first",
-        F.row_number().over(
-          Window.partitionBy("h").orderBy("doc_id", "pos")) === 1)
+    val firsts = spans.groupBy("h")
+      .agg(F.min(F.struct(F.col("doc_id"), F.col("pos"))).as("__mn"),
+        F.count(F.lit(1)).as("__c"))
+      .where(F.col("__c") > 1)
+      .select("h", "__mn")
+    spans.join(firsts, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("n_spans"),
-        F.sum(F.when(F.col("__first"), 0L).otherwise(1L)).as("n_dup"))
+        F.sum(F.when(F.col("__mn").isNotNull &&
+            F.struct(F.col("doc_id"), F.col("pos")) =!= F.col("__mn"),
+            1L).otherwise(0L)).as("n_dup"))
   }
 
   /** Cross-document exact-substring REMOVAL (SURVEY §2.2 row 118,
@@ -788,9 +800,16 @@ object Dedup {
     * rewritten with covered tokens dropped (first occurrences and
     * sub-n-token tails stay).
     *
-    * Plan shape: the same narrow (doc_id, pos, md5) span triples and
-    * ONE hash-window shuffle as [[duplicateSpanStats]] (never text),
-    * then the duplicate starts fold into per-doc MERGED coverage
+    * Plan shape: the same narrow (doc_id, pos, md5) span triples as
+    * [[duplicateSpanStats]] (never text); first occurrences resolve
+    * through a TWO-PHASE `min(struct(doc_id, pos))` per span hash —
+    * map-side partials collapse a 10^5-occurrence boilerplate span
+    * before any exchange, where the previous single-key row_number
+    * window put all of them in one task — and a unique-keyed,
+    * AQE-skew-splittable join marks strictly-later occurrences (the
+    * r6 vocabularyStats remedy; hashes occurring once never reach
+    * the join's build side). The duplicate starts fold into per-doc
+    * MERGED coverage
     * intervals (bounded by the doc's own maximal duplicated regions,
     * not its duplicate-span count) and ONE doc_id join carries them
     * back to the corpus; the rewrite is a pure codegen'd projection
@@ -802,9 +821,8 @@ object Dedup {
     */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 20): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
-    import org.apache.spark.sql.expressions.Window
     locally {
-      val reserved = Seq("__p0", "__g", "__pos", "__h", "__rn",
+      val reserved = Seq("__p0", "__g", "__pos", "__h", "__mn", "__c",
         "__starts", "__ivs", "__iv")
       val clash = docs.columns.filter(c =>
         reserved.exists(_.equalsIgnoreCase(c)))
@@ -813,15 +831,19 @@ object Dedup {
           s"internal helper names [${reserved.mkString(", ")}]")
     }
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val dupStarts = docs
+    val spans = docs
       .select(F.col("doc_id"),
         F.posexplode(F.expr(s"graft_word_ngrams(lower(text), $n)"))
           .as(Seq("__p0", "__g")))
       .select(F.col("doc_id"), (F.col("__p0") + 1).as("__pos"),
         F.md5(F.col("__g")).as("__h"))
-      .withColumn("__rn", F.row_number().over(
-        Window.partitionBy("__h").orderBy("doc_id", "__pos")))
-      .where(F.col("__rn") > 1)
+    val firsts = spans.groupBy("__h")
+      .agg(F.min(F.struct(F.col("doc_id"), F.col("__pos"))).as("__mn"),
+        F.count(F.lit(1)).as("__c"))
+      .where(F.col("__c") > 1)
+      .select("__h", "__mn")
+    val dupStarts = spans.join(firsts, Seq("__h"))
+      .where(F.struct(F.col("doc_id"), F.col("__pos")) =!= F.col("__mn"))
       .groupBy("doc_id")
       .agg(F.sort_array(F.collect_list("__pos")).as("__starts"))
     // sorted duplicate starts -> disjoint merged [lo, hi] coverage

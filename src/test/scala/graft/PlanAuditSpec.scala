@@ -620,6 +620,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"saw $nPq\n" + pq.take(3000))
   }
 
+  test("span dedup ranks first occurrences two-phase, no single-key window (r11)") {
+    // a viral boilerplate span (one hash × 10^5 occurrences — exactly
+    // this operator's target input) must never land in one task:
+    // first-occurrence ranking is a two-phase min(struct(doc_id,pos))
+    // aggregation (partial_min collapses hot hashes map-side) plus a
+    // unique-keyed join — NOT a `row_number over (partition by hash)`
+    // window (VERDICT r10 "What's wrong" #2).
+    for (q <- Seq("q_dedup_remove_spans", "q_dedup_spans_cross")) {
+      val p = plan(q)
+      assert(p.contains("partial_min"),
+        s"$q: no map-side partial_min on the span hash\n" + p.take(3000))
+      val hashWindow = p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("row_number"))
+      assert(!hashWindow,
+        s"$q: span hash row_number window reappeared\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+    }
+  }
+
   test("ivf-pq ADC scan is cell-bounded: codes hash-join the probe set on the cell key (r10)") {
     val p = plan("q_ann_ivfpq")
     // the corpus codes scan must reach the broadcast (query, probe

@@ -921,6 +921,27 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("span dedup survives a planted hot span (one hash x 50k occurrences)") {
+    // the r10 row_number window put all occurrences of one span hash
+    // in ONE task; the r11 two-phase min-struct rewrite must stay
+    // correct (and bounded) when a single boilerplate span dominates
+    val hot = spark.range(50000).selectExpr(
+      "id as doc_id", "'w1 w2 w3 w4' as text")
+    val stats = graft.ops.Dedup.duplicateSpanStats(hot, 4)
+      .selectExpr("sum(n_spans) as s", "sum(n_dup) as d",
+        "count(*) as n").collect()(0)
+    assert(stats.getLong(0) == 50000L && stats.getLong(1) == 49999L &&
+      stats.getLong(2) == 50000L)
+    val removed = graft.ops.Dedup.removeDuplicateSpans(hot, 4)
+    val agg = removed.selectExpr(
+      "sum(case when text = '' then 1 else 0 end) as emptied",
+      "sum(n_removed) as rem",
+      "min(case when text <> '' then doc_id end) as surv").collect()(0)
+    assert(agg.getLong(0) == 49999L, "all but the first occurrence emptied")
+    assert(agg.getLong(1) == 4L * 49999L)
+    assert(agg.getLong(2) == 0L, "global first occurrence (doc 0) survives")
+  }
+
   test("bigram LM score: add-k log-probs match hand computation") {
     import spark.implicits._
     val docs = Seq(
