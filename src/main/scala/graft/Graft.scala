@@ -145,6 +145,9 @@ final class Graft(val spark: SparkSession) {
   // SELECT, DML, DDL — can be prepared. Placeholders are recognized
   // only OUTSIDE string literals and quoted identifiers.
   private val preparedStmts = TrieMap.empty[String, String]
+  // EXECUTE re-entry depth (recursion wall; queries are driver-side
+  // single-threaded per Graft instance, a plain var suffices)
+  private var execDepth = 0
   private val PrepareRe =
     """(?is)^\s*prepare\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s+as\s+(.*?)\s*;?\s*$""".r
   private val ExecuteRe =
@@ -174,6 +177,11 @@ final class Graft(val spark: SparkSession) {
       else ch match {
         case '\'' => inStr = true; out += ch; i += 1
         case '"'  => inId = true; out += ch; i += 1
+        // skip -- line comments (mirroring the lexer) so a
+        // placeholder inside a comment neither substitutes nor
+        // counts toward the arity check (r11 ADVICE)
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') { out += sql.charAt(i); i += 1 }
         case '$' if i + 1 < n && sql.charAt(i + 1).isDigit =>
           var j = i + 1
           while (j < n && sql.charAt(j).isDigit) j += 1
@@ -237,8 +245,27 @@ final class Graft(val spark: SparkSession) {
     (format, extra.toMap)
   }
 
+  // paths whose FILES back a registered lazy plan (COPY FROM /
+  // IMPORT DATABASE reads): graft's COPY FROM is lazy where DuckDB's
+  // is eager, so overwriting such a path would mutate the registered
+  // table — or delete files mid-scan under a concurrent read. COPY
+  // TO them fails loudly instead (r11 ADVICE).
+  private val lazyReadPaths = scala.collection.mutable.Set.empty[String]
+
+  private def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.toString.stripSuffix("/")
+
   private def copyTo(df: DataFrame, path: String,
                      optsOrNull: String): DataFrame = {
+    val np = normPath(path)
+    val clash = lazyReadPaths.find(rp =>
+      np == rp || np.startsWith(rp + "/") || rp.startsWith(np + "/"))
+    clash.foreach { rp =>
+      fail(s"COPY TO '$path': files under '$rp' back a registered " +
+        "table (COPY FROM / IMPORT DATABASE register lazy reads); " +
+        "overwriting them would corrupt the registered plan — write " +
+        "to a fresh path or DROP/re-register the table first")
+    }
     val (format, extra) = copyOptions(optsOrNull, path)
     // DuckDB writes a CSV header by default; mirror that
     val opts = if (format == "csv" && !extra.contains("header"))
@@ -272,11 +299,25 @@ final class Graft(val spark: SparkSession) {
     if (src.columns.length != target.columns.length)
       fail(s"COPY FROM: file has ${src.columns.length} columns, " +
         s"table '$name' has ${target.columns.length}")
-    // positional + assignment-cast (the INSERT convention)
-    val positional = src.toDF(target.columns: _*)
+    // self-describing files whose column names all match the target
+    // set bind BY NAME (r11 ADVICE: a reordered parquet previously
+    // bound positionally and silently null-filled via assignment
+    // casts); name mismatches or duplicate names fall back to the
+    // positional INSERT convention
+    val srcLc = src.columns.map(_.toLowerCase)
+    val byName = (format == "parquet" || format == "orc") &&
+      srcLc.distinct.length == srcLc.length &&
+      srcLc.sorted.sameElements(target.columns.map(_.toLowerCase).sorted)
+    val positional =
+      if (byName)
+        src.select(target.columns.map(c =>
+          src(src.columns.find(_.equalsIgnoreCase(c)).get)): _*)
+          .toDF(target.columns: _*)
+      else src.toDF(target.columns: _*)
     val casted = positional.select(target.schema.fields.map(f =>
       positional(f.name).cast(f.dataType).as(f.name)): _*)
     registerTable(name, target.union(casted))
+    lazyReadPaths += normPath(path)
     status("copied", name.toLowerCase)
   }
 
@@ -526,6 +567,15 @@ final class Graft(val spark: SparkSession) {
       val fmtOpts = Option(opts).getOrElse("format parquet")
       val (_, _) = copyOptions(fmtOpts, "") // validate once, loudly
       val names = tables.keys.toSeq.sorted
+      // quoted identifiers can hold path separators, '..' or control
+      // chars — interpolated into '$dir/$n' paths and the newline-
+      // delimited manifest they would escape the export dir or
+      // corrupt the manifest (r11 ADVICE): loud wall
+      names.find(n => n.contains("..") || n.exists(c =>
+          c == '/' || c == '\\' || Character.isISOControl(c)))
+        .foreach(bad => fail("EXPORT DATABASE: table name " +
+          s"'$bad' cannot name an export directory (path separator, " +
+          "'..', or control character) — rename it first"))
       names.foreach { n => copyTo(lookup(n), s"$dir/$n", fmtOpts) }
       // manifest: IMPORT restores exactly THIS export's table set — a
       // re-export into a reused directory must not resurrect stale
@@ -560,6 +610,11 @@ final class Graft(val spark: SparkSession) {
             .map(_.getPath.getName).toSeq.sorted
         } else fail(s"IMPORT DATABASE: cannot list '$dir'")
       if (sub.isEmpty) fail(s"IMPORT DATABASE: no table directories in '$dir'")
+      // a crafted manifest line must not read outside the export dir
+      sub.find(n => n.contains("..") || n.exists(c =>
+          c == '/' || c == '\\' || Character.isISOControl(c)))
+        .foreach(bad => fail("IMPORT DATABASE: manifest entry " +
+          s"'$bad' is not a valid table directory name"))
       sub.foreach { n =>
         val r = spark.read.options(extra)
         val df = format match {
@@ -570,6 +625,9 @@ final class Graft(val spark: SparkSession) {
           case _         => r.orc(s"$dir/$n")
         }
         registerTable(n, df)
+        // imported tables are lazy reads too — COPY TO their backing
+        // directory would corrupt them (same wall as COPY FROM)
+        lazyReadPaths += normPath(s"$dir/$n")
       }
       status("imported", dir)
     case SummarizeRe(body) =>
@@ -590,7 +648,16 @@ final class Graft(val spark: SparkSession) {
         fail(s"prepared statement '$name' is not registered"))
       val args = Option(argsOrNull).toSeq
         .flatMap(splitTop(_, ',')).map(_.trim).filter(_.nonEmpty)
-      query(bindParams(body, args))
+      // self- or mutually-recursive prepared statements (PREPARE a AS
+      // EXECUTE a) would re-enter query() unboundedly — fail loudly
+      // instead of StackOverflowError (r11 ADVICE); DuckDB rejects
+      // the cycle too. Legitimate nesting is shallow.
+      if (execDepth >= 16)
+        fail(s"EXECUTE '$name': prepared-statement recursion exceeds " +
+          "depth 16 (self- or mutually-recursive EXECUTE bodies)")
+      execDepth += 1
+      try query(bindParams(body, args))
+      finally execDepth -= 1
     case DeallocRe(q, b) =>
       val name = Option(q).getOrElse(b)
       if (preparedStmts.remove(name.toLowerCase).isEmpty)

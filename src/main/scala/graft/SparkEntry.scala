@@ -1793,6 +1793,23 @@ object SparkEntry {
     // Spark's 0-based); the oracle re-derives the aggregate via
     // list_sum since DuckDB has no init-carrying reduce. Spark
     // sequence is end-INCLUSIVE vs DuckDB range end-EXCLUSIVE.
+    // array subscript + struct field access (r11, SURVEY 36bj):
+    // postfix `arr[i]` lowers to try_element_at (1-based; out-of-
+    // range reads NULL like DuckDB, never an ANSI error) and dotted
+    // field paths resolve through the derived-table struct
+    ("q_array_subscript",
+      """select t.doc_id, t.s.a as sa, s.b as sb,
+           split(lower(t.txt), ' ')[1] as w1,
+           split(lower(t.txt), ' ')[2 + t.doc_id % 3] as w_mid,
+           split(lower(t.txt), ' ')[9999] as w_oob
+         from (select doc_id, text as txt,
+                 named_struct('a', n_chars, 'b', lang) as s
+               from documents) t""",
+      """select doc_id, n_chars as sa, lang as sb,
+           string_split(lower(text), ' ')[1] as w1,
+           string_split(lower(text), ' ')[2 + doc_id % 3] as w_mid,
+           string_split(lower(text), ' ')[9999] as w_oob
+         from documents"""),
     ("q_list_lambda",
       """select c_custkey,
            array_to_string(transform(sequence(1, 1 + c_custkey % 5),
@@ -3685,6 +3702,48 @@ object SparkEntry {
       (s: SparkSession, dir: String) =>
         graft.ops.TextAnalysis.bigramLmScore(tbl(s, dir, "documents")),
       None),
+    // bigram LM integer anchor (r11): the exact count layer feeding
+    // the ln-fold — model trained on the even-doc_id half so the
+    // OOV/backoff path carries real weight — with a full DuckDB
+    // oracle. Every input to q_text_lm_score's libm-bound score is
+    // verified here; the score itself stays rows-only (documented).
+    ("q_text_lm_parts",
+      (s: SparkSession, dir: String) =>
+        graft.ops.TextAnalysis.bigramLmParts(
+          tbl(s, dir, "documents"),
+          Some(tbl(s, dir, "documents").filter("doc_id % 2 = 0"))),
+      Some("""with tok as (select doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') as w
+                from documents),
+              gx as (select doc_id,
+                       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) as g
+                     from tok where len(w) >= 2),
+              uni as (select w1, count(*) as cu from
+                        (select unnest(w) as w1 from tok where doc_id % 2 = 0) u
+                      group by w1),
+              bi as (select g, count(*) as cb from gx
+                     where doc_id % 2 = 0 group by g),
+              vv as (select count(*) as v from uni),
+              dg as (select doc_id, g, count(*) as n,
+                       split_part(g, ' ', 1) as w1
+                     from gx group by doc_id, g),
+              agg as (select dg.doc_id,
+                        cast(sum(dg.n) as bigint) as n_bigrams,
+                        cast(sum(dg.n * coalesce(bi.cb, 0)) as bigint) as sum_num,
+                        cast(sum(dg.n * coalesce(uni.cu, 0)) as bigint) as sum_den,
+                        cast(sum(case when bi.cb is null then dg.n else 0 end) as bigint) as n_oov
+                      from dg
+                      left join bi on dg.g = bi.g
+                      left join uni on dg.w1 = uni.w1
+                      group by dg.doc_id)
+              select d.doc_id,
+                coalesce(a.n_bigrams, 0) as n_bigrams,
+                coalesce(a.sum_num, 0) as sum_num,
+                coalesce(a.sum_den, 0) as sum_den,
+                coalesce(a.n_oov, 0) as n_oov,
+                (select v from vv) as v
+              from documents d
+              left join agg a on d.doc_id = a.doc_id""")),
     // approximate heavy hitters (r5b): Misra-Gries typed Aggregator —
     // bounded sketch state per partition, ONE global merge, no
     // per-gram shuffle; sketch=4096 exceeds the corpus's distinct

@@ -255,6 +255,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Hot-cell bound for the cell-bounded family (r11, VERDICT r10
+    * "Next round" #8): the O(|cell|²) within-cell term is unbounded
+    * when quantization produces a giant cell (a near-duplicate-heavy
+    * corpus region — exactly where dedup/kNN run). With
+    * `maxCellSize > 0`, per-cell counts (a tiny two-phase aggregate,
+    * one row per cell) derive a split factor ceil(n/maxCellSize);
+    * the factor broadcasts back and a deterministic secondary hash
+    * pmod(xxhash64(vec_id), splits) refines the join key. Pairs then
+    * form within SUB-cells only — per-task input is bounded by
+    * maxCellSize (in expectation) at a documented recall trade:
+    * within-cell neighbors landing in different sub-cells are not
+    * compared (the SemDeDup trade, one level down). Cells at or
+    * under the bound keep splits=1, so their pair set is unchanged.
+    * `maxCellSize <= 0` (the default) bypasses everything — the
+    * existing single-key plan, byte for byte. */
+  private def boundCells(e: DataFrame, maxCellSize: Int)
+      : (DataFrame, Seq[String]) =
+    if (maxCellSize <= 0) (e, Seq("cell"))
+    else {
+      val splits = e.groupBy("cell").agg(
+        F.greatest(F.lit(1L),
+          F.ceil(F.count(F.lit(1)).cast("double") / maxCellSize))
+          .as("__splits"))
+      val refined = e.join(F.broadcast(splits), Seq("cell"))
+        .withColumn("__sub",
+          F.pmod(F.xxhash64(F.col("vec_id")), F.col("__splits"))
+            .cast("int"))
+        .drop("__splits")
+      (refined, Seq("cell", "__sub"))
+    }
+
   /** SemDeDup-style semantic deduplication (the embedding-space
     * analogue of MinHash dedup used on modern pretraining corpora):
     * partition the corpus into coarse cells, connect within-cell
@@ -271,16 +302,21 @@ object Similarity {
     * propagation as text dedup (reliable checkpointing available
     * there for cluster runs). */
   def semanticDedupFrom(cellAssigned: DataFrame, threshold: Double,
-                        cellCol: String = "cell"): DataFrame = {
+                        cellCol: String = "cell",
+                        maxCellSize: Int = 0): DataFrame = {
     GraftFunctions.register(cellAssigned.sparkSession)
     val e = cellAssigned.selectExpr("vec_id", "embedding",
       s"$cellCol as cell", s"$norm2Expr as norm2")
-    val a = e.select(F.col("cell").as("cell_a"), F.col("vec_id").as("id_a"),
-      F.col("embedding").as("ea"), F.col("norm2").as("na"))
-    val b = e.select(F.col("cell").as("cell_b"), F.col("vec_id").as("id_b"),
-      F.col("embedding").as("eb"), F.col("norm2").as("nb"))
+    val (e1, keys) = boundCells(e, maxCellSize)
+    val a = e1.select(keys.map(c => F.col(c).as(c + "_a")) ++ Seq(
+      F.col("vec_id").as("id_a"),
+      F.col("embedding").as("ea"), F.col("norm2").as("na")): _*)
+    val b = e1.select(keys.map(c => F.col(c).as(c + "_b")) ++ Seq(
+      F.col("vec_id").as("id_b"),
+      F.col("embedding").as("eb"), F.col("norm2").as("nb")): _*)
     val pairs = a.join(b,
-        F.col("cell_a") === F.col("cell_b") && F.col("id_a") < F.col("id_b"))
+        keys.map(c => F.col(c + "_a") === F.col(c + "_b"))
+          .reduce(_ && _) && F.col("id_a") < F.col("id_b"))
       .filter(F.expr(pairCos) >= threshold)
       .select(F.col("id_a"), F.col("id_b"))
     val groups = graft.ops.Dedup.connectedComponents(pairs)
@@ -309,18 +345,23 @@ object Similarity {
     * as the largest double — a zero vector would otherwise become
     * every cell-mate's rank-1 "neighbor"). */
   def knnGraphFrom(cellAssigned: DataFrame, k: Int,
-                   cellCol: String = "cell"): DataFrame = {
+                   cellCol: String = "cell",
+                   maxCellSize: Int = 0): DataFrame = {
     require(k >= 1, "k must be positive")
     GraftFunctions.register(cellAssigned.sparkSession)
     val e = cellAssigned.selectExpr("vec_id", "embedding",
       s"$cellCol as cell", s"$norm2Expr as norm2")
       .filter(F.col("norm2") > 0)
-    val a = e.select(F.col("cell").as("cell_a"), F.col("vec_id").as("src"),
-      F.col("embedding").as("ea"), F.col("norm2").as("na"))
-    val b = e.select(F.col("cell").as("cell_b"), F.col("vec_id").as("dst"),
-      F.col("embedding").as("eb"), F.col("norm2").as("nb"))
+    val (e1, keys) = boundCells(e, maxCellSize)
+    val a = e1.select(keys.map(c => F.col(c).as(c + "_a")) ++ Seq(
+      F.col("vec_id").as("src"),
+      F.col("embedding").as("ea"), F.col("norm2").as("na")): _*)
+    val b = e1.select(keys.map(c => F.col(c).as(c + "_b")) ++ Seq(
+      F.col("vec_id").as("dst"),
+      F.col("embedding").as("eb"), F.col("norm2").as("nb")): _*)
     a.join(b,
-        F.col("cell_a") === F.col("cell_b") && F.col("src") =!= F.col("dst"))
+        keys.map(c => F.col(c + "_a") === F.col(c + "_b"))
+          .reduce(_ && _) && F.col("src") =!= F.col("dst"))
       .selectExpr("src", "dst", s"round($pairCos, 6) as sim")
       .withColumn("rnk", F.row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -527,22 +527,8 @@ object TextAnalysis {
   def bigramLmScore(docs: DataFrame, modelDocs: Option[DataFrame] = None,
                     addK: Double = 0.5): DataFrame = {
     require(addK > 0, "additive smoothing constant must be positive")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val m = modelDocs.getOrElse(docs)
-    val uni = m.select(
-        F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("__w1"))
-      .groupBy("__w1").agg(F.count(F.lit(1)).as("__cu"))
-    val vocab = F.broadcast(uni.agg(F.count(F.lit(1)).as("__v")))
-    val bi = m.select(
-        F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
-      .groupBy("__g").agg(F.count(F.lit(1)).as("__cb"))
-    val docGrams = docs.select(F.col("doc_id"),
-        F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
-      .groupBy("doc_id", "__g").agg(F.count(F.lit(1)).as("__n"))
-      .withColumn("__w1", F.expr("substring_index(__g, ' ', 1)"))
-    val scored = docGrams
-      .join(bi, Seq("__g"), "left")
-      .join(uni, Seq("__w1"), "left")
+    val (joined, vocab) = bigramLmCounts(docs, modelDocs)
+    val scored = joined
       .crossJoin(vocab)
       .select(F.col("doc_id"), F.col("__n"),
         // in-plan guard (the raise_error FILTER pattern): an EMPTY
@@ -561,5 +547,67 @@ object TextAnalysis {
     docs.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(F.col("doc_id"), F.col("lm_score"),
         F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"))
+  }
+
+  /** The shared count layer of the bigram LM: per-doc (gram, n) rows
+    * left-joined to the model's bigram (`__cb`) and context (`__cu`)
+    * counts, plus the broadcast 1-row vocabulary size (`__v`). All
+    * exact integers — [[bigramLmParts]] anchors exactly this layer
+    * cross-engine; [[bigramLmScore]] folds it into ln-space. */
+  private def bigramLmCounts(docs: DataFrame,
+                             modelDocs: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val m = modelDocs.getOrElse(docs)
+    val uni = m.select(
+        F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("__w1"))
+      .groupBy("__w1").agg(F.count(F.lit(1)).as("__cu"))
+    val vocab = F.broadcast(uni.agg(F.count(F.lit(1)).as("__v")))
+    val bi = m.select(
+        F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
+      .groupBy("__g").agg(F.count(F.lit(1)).as("__cb"))
+    val docGrams = docs.select(F.col("doc_id"),
+        F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
+      .groupBy("doc_id", "__g").agg(F.count(F.lit(1)).as("__n"))
+      .withColumn("__w1", F.expr("substring_index(__g, ' ', 1)"))
+    (docGrams.join(bi, Seq("__g"), "left").join(uni, Seq("__w1"), "left"),
+      vocab)
+  }
+
+  /** Integer anchor for the bigram LM (r11, VERDICT r10 "What's
+    * wrong" #1): the model counts behind [[bigramLmScore]] are exact
+    * integers — only the final ln() is libm-dependent — so this
+    * emits the per-document count layer for a full cross-engine
+    * oracle: n_bigrams (Σ n_g), sum_num (Σ n_g·c(w1 w2), the
+    * numerators before smoothing), sum_den (Σ n_g·c(w1 ·), the
+    * context denominators), n_oov (Σ n_g over bigrams unseen in the
+    * model — 0 when the model is the corpus itself), and the model
+    * vocabulary size v. A gate entry over these verifies every input
+    * to the ln-fold; the score itself stays spec-pinned.
+    *
+    * Same plan shape as the score: two model hash aggregations,
+    * map-side-combined doc grams, two key joins, one doc_id fold;
+    * the 1-row vocabulary broadcast joins LAST (after the per-doc
+    * fold) so it multiplies nothing. */
+  def bigramLmParts(docs: DataFrame,
+                    modelDocs: Option[DataFrame] = None): DataFrame = {
+    val (joined, vocab) = bigramLmCounts(docs, modelDocs)
+    val parts = joined
+      .groupBy("doc_id")
+      .agg(F.sum("__n").as("n_bigrams"),
+        F.sum(F.col("__n") * F.coalesce(F.col("__cb"), F.lit(0L)))
+          .as("sum_num"),
+        F.sum(F.col("__n") * F.coalesce(F.col("__cu"), F.lit(0L)))
+          .as("sum_den"),
+        F.sum(F.when(F.col("__cb").isNull, F.col("__n"))
+          .otherwise(F.lit(0L))).as("n_oov"))
+    docs.select("doc_id").join(parts, Seq("doc_id"), "left")
+      .crossJoin(vocab)
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"),
+        F.coalesce(F.col("sum_num"), F.lit(0L)).as("sum_num"),
+        F.coalesce(F.col("sum_den"), F.lit(0L)).as("sum_den"),
+        F.coalesce(F.col("n_oov"), F.lit(0L)).as("n_oov"),
+        F.col("__v").as("v"))
   }
 }

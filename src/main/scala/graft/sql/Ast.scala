@@ -86,6 +86,18 @@ object Ast {
     * list_* spellings. Params bind tighter than column names. */
   final case class Lambda(params: Seq[String], body: Expr) extends Expr
 
+  /** Postfix array/map subscript `e[i]` (r11, DuckDB/Spark/Postgres
+    * sugar): 1-based for arrays; lowers to try_element_at so an
+    * out-of-range index reads NULL (DuckDB's behavior), chains as
+    * `a[i][j]`, and composes with any primary (`split(t,' ')[1]`). */
+  final case class Subscript(e: Expr, index: Expr) extends Expr
+
+  /** Postfix struct-field access `expr.field` BEYOND the two-segment
+    * `a.b` (r11): `a.b.c` chains and fields of computed values. The
+    * two-segment form stays a qualified [[ColRef]] — Spark resolves
+    * table-alias-vs-struct-column there (alias wins, as in DuckDB). */
+  final case class FieldAccess(e: Expr, field: String) extends Expr
+
   // boolean operators (sql.lark:112-131)
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
@@ -331,6 +343,8 @@ object Ast {
       wf.copy(args = wf.args.map(f), window = mapWindow(wf.window, f))
     case FuncCall(n, args)    => FuncCall(n, args.map(f))
     case Lambda(ps, b)        => Lambda(ps, f(b))
+    case Subscript(x, i)      => Subscript(f(x), f(i))
+    case FieldAccess(x, n)    => FieldAccess(f(x), n)
     case And(l, r)            => And(f(l), f(r))
     case Or(l, r)             => Or(f(l), f(r))
     case Not(x)               => Not(f(x))

@@ -67,7 +67,7 @@ object Lexer {
         if (two == "<>" || two == "!=" || two == "<=" || two == ">=" ||
             two == "||" || two == "::" || two == "->") {
           out += Op(two, i); i += 2
-        } else if ("=<>+-*/%(),.".indexOf(c) >= 0) {
+        } else if ("=<>+-*/%(),.[]".indexOf(c) >= 0) {
           out += Op(c.toString, i); i += 1
         } else throw LexException(s"unexpected character '$c' at $i")
       }

@@ -950,10 +950,22 @@ final class Parser(tokens: Vector[Token]) {
   private def parseUnary(): Expr =
     if (eatOp("-")) Neg(parseUnary())
     else {
-      // postfix `expr::type` cast chain (PostgreSQL/DuckDB shorthand —
-      // graft dialect extension); binds tighter than unary minus
+      // postfix chain, all tighter than unary minus: `::type` casts
+      // (PostgreSQL/DuckDB shorthand), `[i]` array/map subscripts
+      // (r11 — 1-based, chains, composes with any primary), and
+      // `.field` struct access beyond the two-segment qualified
+      // ColRef the primary itself consumes (r11: `a.b.c`, `f(x).f`)
       var e = parsePrimary()
-      while (eatOp("::")) e = Cast(e, parseTypeName())
+      var go = true
+      while (go) {
+        if (eatOp("::")) e = Cast(e, parseTypeName())
+        else if (eatOp("[")) {
+          e = Subscript(e, parseExpr()); expectOp("]")
+        } else if (atOp(".") && pos + 1 < tokens.length &&
+                   tokens(pos + 1).isInstanceOf[Lexer.Ident]) {
+          pos += 1; e = FieldAccess(e, ident())
+        } else go = false
+      }
       e
     }
 

@@ -4322,6 +4322,22 @@ final class Translator(catalog: String => DataFrame,
       if (neg) exprToCol(x, in).isNotNull else exprToCol(x, in).isNull
     case Like(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = false)
     case ILike(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = true)
+    // `e[i]` subscript (r11): try_element_at — 1-based like DuckDB's
+    // list subscript, NULL (not an ANSI error) when out of range,
+    // and the same call works on maps (absent key reads NULL).
+    // Array indices must be INT for Spark: numeric indices cast
+    // (parsed integer literals are BIGINT); string keys (map
+    // subscript `m['k']`) pass through untouched
+    case Subscript(x, i) =>
+      val idx = exprToCol(i, in)
+      F.try_element_at(exprToCol(x, in),
+        i match {
+          case StrLit(_) => idx
+          case _ => idx.cast("int")
+        })
+    // chained struct-field access (r11): the base resolves first
+    // (alias-qualified ColRef for `a.b`), then fields extract off it
+    case FieldAccess(x, f0) => exprToCol(x, in).getField(f0)
     case FuncCall(name, args) if args.exists(_.isInstanceOf[Lambda]) =>
       hofCall(name, args, exprToCol(_, in))
     case FuncCall(name, args) =>
@@ -4622,7 +4638,26 @@ final class Translator(catalog: String => DataFrame,
           .when(lk > rk, F.lit(-less))
           .otherwise(cmp(l, r, i + 1))
       }
-    val sorted = F.array_sort(collected, (l, r) => cmp(l, r, 0))
+    // comparator dispatch (r11): the interpreted HOF comparator pays
+    // a lambda call per COMPARISON (O(m log m) dispatches per row,
+    // each a nested-CaseWhen evaluation); the native SortStructs
+    // TimSort is one JVM sort per row. The r11 A/B measured native
+    // faster at EVERY probed frame size — 8 (1.0 vs 1.4 s), 16, 32,
+    // 100 (5.2 vs 14.5 s), 1000 (2.0 vs 4.2 s), and the real suite
+    // entries (q_agg_string_exclude 1.03 vs 2.92 s warm solo) — so
+    // native is the default; the r9 "HOF wins small frames" result
+    // belonged to a different design (sorting inside the collect
+    // aggregate), superseded. Both sorts are stable and bit-for-bit
+    // equal (FunctionsSpec pin); env-overridable for probes.
+    val sorted =
+      if (n == 0) collected // stable no-op either way
+      else sys.env.getOrElse("SPARK_GRAFT_EXCLUDE_SORT", "native") match {
+        case "hof" => F.array_sort(collected, (l, r) => cmp(l, r, 0))
+        case _ =>
+          org.apache.spark.sql.GraftFn.sortStructs(collected,
+            a.aggOrder.map(_.asc),
+            a.aggOrder.map(oi => oi.nullsFirst.getOrElse(oi.asc)))
+      }
     val vals0 = F.transform(sorted, s => s.getField("__v"))
     // DISTINCT: dedup AFTER the sort — array_distinct keeps first
     // occurrences, so a sorted input stays sorted

@@ -28,6 +28,14 @@ object GraftFn {
     classic.ExpressionUtils.column(
       graft.functions.SafeCast(classic.ExpressionUtils.expression(c), t))
 
+  /** Native multi-key struct-array sort ([[graft.functions.SortStructs]])
+    * — one JVM TimSort per row vs the HOF comparator's interpreted
+    * lambda call per comparison. */
+  def sortStructs(arr: Column, ascs: Seq[Boolean],
+                  nullsFirsts: Seq[Boolean]): Column =
+    classic.ExpressionUtils.column(graft.functions.SortStructs(
+      classic.ExpressionUtils.expression(arr), ascs, nullsFirsts))
+
   /** Frame-EXCLUDE fold through [[graft.functions.ExcludeAgg]] — one
     * native pass over the collected frame instead of the interpreted
     * per-element HOF chain. */

@@ -983,6 +983,56 @@ class StatementsSpec extends SparkTestBase {
       .collect().head.getLong(0) > 0)
   }
 
+  test("COPY/EXPORT/EXECUTE hardening (r11 advisory fixes)") {
+    val g = fresh
+    val tmp = java.nio.file.Files.createTempDirectory("graft_adv").toString
+    // 1) COPY TO a path whose files back a registered lazy read fails
+    //    loudly (graft's COPY FROM is lazy where DuckDB's is eager)
+    g.query(s"copy region to '$tmp/r.parquet'")
+    g.query("create table rr (r_regionkey int, r_name varchar)")
+    g.query(s"copy rr from '$tmp/r.parquet'")
+    val e1 = intercept[RuntimeException](
+      g.query(s"copy nation to '$tmp/r.parquet'"))
+    assert(e1.getMessage.contains("registered"), e1.getMessage)
+    // prefix containment is caught both directions
+    val e1b = intercept[RuntimeException](
+      g.query(s"copy nation to '$tmp/r.parquet/sub.parquet'"))
+    assert(e1b.getMessage.contains("registered"), e1b.getMessage)
+    // unrelated paths still write fine
+    g.query(s"copy nation to '$tmp/n2.parquet'")
+    // 2) reordered-but-name-matching parquet binds BY NAME, not
+    //    positionally (no silent null-fill through assignment casts)
+    g.query(s"copy (select r_name, r_regionkey from region) " +
+      s"to '$tmp/swapped.parquet'")
+    g.query("create table rs (r_regionkey int, r_name varchar)")
+    g.query(s"copy rs from '$tmp/swapped.parquet'")
+    val rows = g.query("select * from rs order by r_regionkey").collect()
+    assert(rows.length == 5 && rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      rows.mkString(","))
+    // 3) a $n placeholder inside a -- comment neither substitutes nor
+    //    counts toward the arity check
+    g.query("prepare pc as select n_nationkey from nation -- hide $2\n" +
+      "where n_nationkey = $1")
+    assert(g.query("execute pc(3)").collect()
+      .map(_.getAs[Number](0).longValue).toSeq == Seq(3L))
+    // 4) self-recursive prepared statements fail loudly, not
+    //    StackOverflowError
+    g.query("prepare loopy as execute loopy")
+    val e4 = intercept[RuntimeException](g.query("execute loopy"))
+    assert(e4.getMessage.contains("recursion"), e4.getMessage)
+    // ...and the depth counter unwinds: normal EXECUTE still works
+    assert(g.query("execute pc(3)").collect().length == 1)
+    // 5) EXPORT DATABASE refuses table names that would escape the
+    //    export directory or corrupt the manifest
+    val h = new Graft(spark)
+    h.query("create table safe as select * from (values (1)) t(k)")
+    h.registerTable("evil/../name", h.query("select k from safe"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_adv2").toString
+    val e5 = intercept[RuntimeException](
+      h.query(s"export database '$tmp2'"))
+    assert(e5.getMessage.contains("cannot name"), e5.getMessage)
+  }
+
   test("COPY csv honors HEADER/DELIMITER; walls are loud (r10)") {
     val g = fresh
     val tmp = java.nio.file.Files.createTempDirectory("graft_copyc").toString

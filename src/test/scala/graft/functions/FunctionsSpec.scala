@@ -261,6 +261,49 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.getSeq[Long](0) == Seq(2L, 2L, 3L), got)
     assert(got.getSeq[Long](1) == Seq(2L, 3L), got)
   }
+
+  test("SortStructs matches the HOF comparator sort bit-for-bit (r11)") {
+    import org.apache.spark.sql.{functions => F, GraftFn}
+    // multi-key (desc nulls-last, asc nulls-first) over structs with
+    // null keys, tie keys (stability), and a carried value field —
+    // the exact shape orderedSetPost sorts
+    val df = spark.range(2000).selectExpr(
+      """transform(sequence(1, 40 + cast(id % 7 as int)), i -> named_struct(
+           '__k0', case when (id + i) % 11 = 0 then cast(null as bigint)
+                        else (id * i) % 13 end,
+           '__k1', cast(i % 5 as bigint),
+           '__v', concat('v', (id + i) % 17))) as arr""")
+    def cmp(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val (l0, r0) = (l.getField("__k0"), r.getField("__k0"))
+      val (l1, r1) = (l.getField("__k1"), r.getField("__k1"))
+      F.when(l0.isNull && r0.isNull,
+          F.when(l1.isNull && r1.isNull, F.lit(0))
+            .when(l1.isNull, F.lit(-1)).when(r1.isNull, F.lit(1))
+            .when(l1 < r1, F.lit(-1)).when(l1 > r1, F.lit(1))
+            .otherwise(F.lit(0)))
+        .when(l0.isNull, F.lit(1))   // desc + nulls LAST
+        .when(r0.isNull, F.lit(-1))
+        .when(l0 < r0, F.lit(1))     // desc
+        .when(l0 > r0, F.lit(-1))
+        .otherwise(
+          F.when(l1.isNull && r1.isNull, F.lit(0))
+            .when(l1.isNull, F.lit(-1)).when(r1.isNull, F.lit(1))
+            .when(l1 < r1, F.lit(-1)).when(l1 > r1, F.lit(1))
+            .otherwise(F.lit(0)))
+    }
+    val both = df.select(
+      F.array_sort(F.col("arr"), (l, r) => cmp(l, r)).as("hof"),
+      GraftFn.sortStructs(F.col("arr"),
+        Seq(false, true), Seq(false, true)).as("native"))
+    assert(both.where("hof <> native").count() == 0)
+    // null array passes through; empty array sorts to itself
+    val edge = spark.sql(
+      """select cast(null as array<struct<__k0:bigint,__v:string>>) as a,
+                array() as e""")
+      .select(GraftFn.sortStructs(F.col("a"), Seq(true), Seq(true)).as("a"))
+    assert(edge.collect()(0).isNullAt(0))
+  }
 }
 
 

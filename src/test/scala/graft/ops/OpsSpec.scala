@@ -921,6 +921,52 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("cell-bounded family bounds a planted giant cell (maxCellSize, r11)") {
+    // 300 vectors land in ONE quantization cell — the O(|cell|²)
+    // worst case. maxCellSize=50 splits it by pmod(xxhash64(vec_id),
+    // ceil(300/50)) into 6 sub-cells: pairs/edges form within
+    // sub-cells only (bounded task input, documented recall trade)
+    val giant = spark.range(300).selectExpr(
+      "id as vec_id",
+      "array(cast(id as float), cast(1 as float)) as embedding",
+      "0 as cell")
+    val edges = graft.ops.Similarity.knnGraphFrom(giant, 5, maxCellSize = 50)
+    assert(edges.count() > 0)
+    // every edge's endpoints share the deterministic sub assignment
+    val viol = edges.where(
+      "pmod(xxhash64(src), 6) <> pmod(xxhash64(dst), 6)").count()
+    assert(viol == 0, "edge crossed a sub-cell boundary")
+    // the sub-cells are genuinely bounded (expectation 50, slack 2x)
+    val maxSub = giant
+      .selectExpr("pmod(xxhash64(vec_id), 6) as sub")
+      .groupBy("sub").count().agg(F.max("count")).collect()(0).getLong(0)
+    assert(maxSub <= 100, s"sub-cell of $maxSub rows")
+    // semantic dedup honors the same bound: duplicate groups never
+    // cross sub-cells
+    val dupGiant = spark.range(300).selectExpr(
+      "id as vec_id",
+      "array(cast(id % 3 as float), cast(1 as float)) as embedding",
+      "0 as cell")
+    val sd = graft.ops.Similarity
+      .semanticDedupFrom(dupGiant, 0.999999, maxCellSize = 50)
+    val grouped = sd.where("vec_id <> group_id")
+      .selectExpr("vec_id", "group_id").where(
+        "pmod(xxhash64(vec_id), 6) <> pmod(xxhash64(group_id), 6)")
+    assert(grouped.count() == 0, "duplicate group crossed a sub-cell")
+    // cells at/below the bound are untouched: identical output with
+    // and without the bound when no cell exceeds it
+    val normal = spark.range(40).selectExpr(
+      "id as vec_id",
+      "array(cast(id as float), cast(id % 7 as float)) as embedding",
+      "cast(id % 4 as int) as cell")
+    val base = graft.ops.Similarity.knnGraphFrom(normal, 3)
+      .collect().map(_.toString).sorted
+    val withBound = graft.ops.Similarity
+      .knnGraphFrom(normal, 3, maxCellSize = 50)
+      .collect().map(_.toString).sorted
+    assert(base.sameElements(withBound))
+  }
+
   test("span dedup survives a planted hot span (one hash x 50k occurrences)") {
     // the r10 row_number window put all occurrences of one span hash
     // in ONE task; the r11 two-phase min-struct rewrite must stay
@@ -940,6 +986,36 @@ class OpsSpec extends SparkTestBase {
     assert(agg.getLong(0) == 49999L, "all but the first occurrence emptied")
     assert(agg.getLong(1) == 4L * 49999L)
     assert(agg.getLong(2) == 0L, "global first occurrence (doc 0) survives")
+  }
+
+  test("bigram LM parts: exact integer count layer matches hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"x2, "b a"x1
+      (2L, "a c"),
+      (3L, "z")        // one token: no bigrams
+    ).toDF("doc_id", "text")
+    // self-model: uni a:3 b:2 c:1 z:1 (V=4); bi "a b":2 "b a":1 "a c":1
+    val self = graft.ops.TextAnalysis.bigramLmParts(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // doc1: n=3; num = 2*cb("a b") + 1*cb("b a") = 2*2 + 1 = 5;
+    //       den = 2*cu(a) + 1*cu(b) = 6 + 2 = 8; no OOV
+    assert(self(1L) == (3L, 5L, 8L, 0L, 4L))
+    assert(self(2L) == (1L, 1L, 3L, 0L, 4L)) // "a c": cb=1, cu(a)=3
+    assert(self(3L) == (0L, 0L, 0L, 0L, 4L))
+    // external model missing doc2's bigram AND context: both sums
+    // read the zero backoff and n_oov counts the unseen gram
+    val model = Seq((9L, "a b a b")).toDF("doc_id", "text")
+    val ext = graft.ops.TextAnalysis.bigramLmParts(docs, Some(model))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // model: uni a:2 b:2 (V=2); bi "a b":2 "b a":1
+    assert(ext(1L) == (3L, 5L, 6L, 0L, 2L))
+    assert(ext(2L) == (1L, 0L, 2L, 1L, 2L)) // "a c" unseen; cu(a)=2
+    assert(ext(3L) == (0L, 0L, 0L, 0L, 2L))
   }
 
   test("bigram LM score: add-k log-probs match hand computation") {

@@ -2850,6 +2850,57 @@ class SqlSurfaceSpec extends SparkTestBase {
       e2.getMessage.contains("expected"), e2.getMessage)
   }
 
+  test("array subscript and struct field access (r11)") {
+    // subscripts are 1-based (DuckDB/Spark element_at convention);
+    // out-of-range reads NULL, the index can be any expression, and
+    // chains compose with any primary
+    assertSameRows(
+      graftSession.query(
+        """select n_nationkey,
+             split(n_name, 'A')[1] as p1,
+             split(n_name, 'A')[n_nationkey % 2 + 1] as px,
+             split(n_name, 'A')[99] as oob,
+             sequence(1, 4)[3] as s3,
+             array(array(1, 2), array(3, 4))[2][1] as nested
+           from nation"""),
+      spark.sql(
+        """select n_nationkey,
+             try_element_at(split(n_name, 'A'), 1) as p1,
+             try_element_at(split(n_name, 'A'),
+               cast(n_nationkey % 2 + 1 as int)) as px,
+             try_element_at(split(n_name, 'A'), 99) as oob,
+             try_element_at(sequence(1, 4), 3) as s3,
+             try_element_at(try_element_at(
+               array(array(1, 2), array(3, 4)), 2), 1) as nested
+           from nation"""))
+    // struct fields: two-segment `s.b` resolves the struct column,
+    // three-segment `t.s.b` resolves through the relation alias, and
+    // fields extract off computed values; a subscript follows a field
+    assertSameRows(
+      graftSession.query(
+        """select t.n_nationkey, s.a as sa, t.s.b as sb,
+             named_struct('x', 7).x as cx,
+             named_struct('arr', sequence(1, 3)).arr[2] as fa
+           from (select n_nationkey,
+                   named_struct('a', n_regionkey, 'b', n_name) as s
+                 from nation) t"""),
+      spark.sql(
+        """select n_nationkey, n_regionkey as sa, n_name as sb,
+             7 as cx, 2 as fa from nation"""))
+    // table-alias-vs-struct ambiguity: the alias wins (DuckDB/Spark)
+    assertSameRows(
+      graftSession.query("select s.n_name from nation s where s.n_nationkey = 3"),
+      spark.sql("select n_name from nation where n_nationkey = 3"))
+    // ::cast composes with subscripts in one postfix chain
+    assertSameRows(
+      graftSession.query(
+        "select split('1 2 3', ' ')[2]::int + 1 as v from region where r_regionkey = 0"),
+      spark.sql("select 3 as v from region where r_regionkey = 0"))
+    // loud wall: unterminated subscript
+    intercept[RuntimeException](
+      graftSession.query("select sequence(1, 3)[2 from nation"))
+  }
+
   test("TRY_CAST returns NULL on conversion failure (r7b)") {
     checkAgainstSparkSql(
       """select o_orderkey,
