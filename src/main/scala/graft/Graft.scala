@@ -26,8 +26,15 @@ final class Graft(val spark: SparkSession) {
   def registerTable(name: String, df: DataFrame): Unit =
     tables.put(name.toLowerCase, df)
 
-  def removeTable(name: String): Unit =
+  def removeTable(name: String): Unit = {
     tables.remove(name.toLowerCase)
+    // a dropped table no longer protects its backing COPY FROM /
+    // IMPORT paths (the r11 overwrite wall, released per owner —
+    // re-registration does NOT release: a composed re-registered
+    // plan, e.g. INSERT's union, still reads the files)
+    lazyReadPaths.filterInPlace { case (_, owners) =>
+      owners.subtractOne(name.toLowerCase); owners.nonEmpty }
+  }
 
   def tableNames: Set[String] = tables.keySet.toSet
 
@@ -246,25 +253,41 @@ final class Graft(val spark: SparkSession) {
   }
 
   // paths whose FILES back a registered lazy plan (COPY FROM /
-  // IMPORT DATABASE reads): graft's COPY FROM is lazy where DuckDB's
-  // is eager, so overwriting such a path would mutate the registered
-  // table — or delete files mid-scan under a concurrent read. COPY
-  // TO them fails loudly instead (r11 ADVICE).
-  private val lazyReadPaths = scala.collection.mutable.Set.empty[String]
+  // IMPORT DATABASE reads), keyed to the owning table names: graft's
+  // COPY FROM is lazy where DuckDB's is eager, so overwriting such a
+  // path would mutate the registered table — or delete files
+  // mid-scan under a concurrent read. COPY TO them fails loudly;
+  // DROPping every owner releases the path (r11 ADVICE + review).
+  private val lazyReadPaths =
+    scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Set[String]]
 
-  private def normPath(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.toString.stripSuffix("/")
+  private def guardPath(path: String, owner: String): Unit =
+    lazyReadPaths.getOrElseUpdate(normPath(path),
+      scala.collection.mutable.Set.empty) += owner.toLowerCase
+
+  /** FS-qualified canonical form — 'file:///tmp/x' and '/tmp/x' must
+    * collide or the overwrite wall is bypassable by respelling. */
+  private def normPath(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val qualified =
+      try hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(hp)
+      catch { case _: Exception => hp }
+    qualified.toUri.toString.stripSuffix("/")
+  }
 
   private def copyTo(df: DataFrame, path: String,
                      optsOrNull: String): DataFrame = {
     val np = normPath(path)
-    val clash = lazyReadPaths.find(rp =>
+    val clash = lazyReadPaths.keys.find(rp =>
       np == rp || np.startsWith(rp + "/") || rp.startsWith(np + "/"))
     clash.foreach { rp =>
-      fail(s"COPY TO '$path': files under '$rp' back a registered " +
-        "table (COPY FROM / IMPORT DATABASE register lazy reads); " +
+      fail(s"COPY TO '$path': files under '$rp' back registered " +
+        s"table(s) ${lazyReadPaths(rp).toSeq.sorted.mkString(", ")} " +
+        "(COPY FROM / IMPORT DATABASE register lazy reads); " +
         "overwriting them would corrupt the registered plan — write " +
-        "to a fresh path or DROP/re-register the table first")
+        "to a fresh path or DROP the owning table(s) first")
     }
     val (format, extra) = copyOptions(optsOrNull, path)
     // DuckDB writes a CSV header by default; mirror that
@@ -317,7 +340,7 @@ final class Graft(val spark: SparkSession) {
     val casted = positional.select(target.schema.fields.map(f =>
       positional(f.name).cast(f.dataType).as(f.name)): _*)
     registerTable(name, target.union(casted))
-    lazyReadPaths += normPath(path)
+    guardPath(path, name)
     status("copied", name.toLowerCase)
   }
 
@@ -627,7 +650,7 @@ final class Graft(val spark: SparkSession) {
         registerTable(n, df)
         // imported tables are lazy reads too — COPY TO their backing
         // directory would corrupt them (same wall as COPY FROM)
-        lazyReadPaths += normPath(s"$dir/$n")
+        guardPath(s"$dir/$n", n)
       }
       status("imported", dir)
     case SummarizeRe(body) =>

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   * Sorts by the FIRST `ascs.length` struct fields with per-key
   * asc/desc and NULLS FIRST/LAST flags, whole elements carried.
   * TimSort is stable, matching `array_sort`'s stable comparator sort
-  * bit-for-bit on tie keys. NULL input reads NULL; NULL ELEMENTS are
-  * not expected (the collect layer never emits them) and sort as
-  * nulls-first defensively. */
+  * bit-for-bit on tie keys. NULL input reads NULL; a NULL ELEMENT
+  * (not produced by the collect layer, but reachable via GraftFn)
+  * behaves as a struct of all-null keys — exactly what the HOF
+  * comparator reads through getField(null), so the two arms stay
+  * interchangeable. */
 case class SortStructs(child: Expression, ascs: Seq[Boolean],
                        nullsFirsts: Seq[Boolean])
     extends UnaryExpression with CodegenFallback {
@@ -63,13 +65,16 @@ case class SortStructs(child: Expression, ascs: Seq[Boolean],
   @transient private lazy val cmp: java.util.Comparator[AnyRef] =
     new java.util.Comparator[AnyRef] {
       override def compare(a: AnyRef, b: AnyRef): Int = {
-        if (a == null || b == null)
-          return if (a == null && b == null) 0 else if (a == null) -1 else 1
+        // a NULL ELEMENT behaves as a struct of all-null keys — the
+        // HOF comparator arm reads getField(null) = null and orders
+        // by the per-key NULLS flags, so the env-swap equality holds
+        // on null elements too (review r11)
         val ra = a.asInstanceOf[InternalRow]
         val rb = b.asInstanceOf[InternalRow]
         var k = 0
         while (k < keyOrds.length) {
-          val an = ra.isNullAt(k); val bn = rb.isNullAt(k)
+          val an = ra == null || ra.isNullAt(k)
+          val bn = rb == null || rb.isNullAt(k)
           if (an || bn) {
             if (!an || !bn) {
               val nf = if (nfArr(k)) -1 else 1

@@ -808,8 +808,13 @@ object Dedup {
     * window put all of them in one task — and a unique-keyed,
     * AQE-skew-splittable join marks strictly-later occurrences (the
     * r6 vocabularyStats remedy; hashes occurring once never reach
-    * the join's build side). The duplicate starts fold into per-doc
-    * MERGED coverage
+    * the join's build side). The span stream is derived TWICE (once
+    * for the min table, once as the join probe) — deliberate: the
+    * triples are ~50 B × one row per corpus token, far too large to
+    * persist at 100 TB, and the re-derivation is an embarrassingly
+    * parallel scan+project with no shuffle, the cheap side of the
+    * trade against the removed single-task bound. The duplicate
+    * starts fold into per-doc MERGED coverage
     * intervals (bounded by the doc's own maximal duplicated regions,
     * not its duplicate-span count) and ONE doc_id join carries them
     * back to the corpus; the rewrite is a pure codegen'd projection

@@ -1500,6 +1500,8 @@ final class Translator(catalog: String => DataFrame,
     case Neg(x) => -lowerPivotAgg(x)
     case Cast(x, t, sf) => castCol(lowerPivotAgg(x), t, sf)
     case Coalesce(args) => F.coalesce(args.map(lowerPivotAgg): _*)
+    case Subscript(x, i) => subscriptCol(x, i, lowerPivotAgg)
+    case FieldAccess(x, f0) => lowerPivotAgg(x).getField(f0)
     case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit() => exprToCol(e, None)
     case other => fail(s"unsupported expression in PIVOT aggregate: $other")
   }
@@ -2975,6 +2977,10 @@ final class Translator(catalog: String => DataFrame,
       case FuncCall(nm, args) if args.exists(_.isInstanceOf[Lambda]) =>
         hofCall(nm, args, post)
       case FuncCall(nm, args) => scalarFunc(nm, args.map(post), args)
+      // r11 subscript/field sugar composes over aggregates and group
+      // keys too (`collect_list(x)[1]`, `s.f` on a grouped struct)
+      case Subscript(x, i)    => subscriptCol(x, i, post)
+      case FieldAccess(x, f0) => post(x).getField(f0)
       case other => fail(s"unsupported expression in aggregate context: $other")
     }
 
@@ -4324,17 +4330,8 @@ final class Translator(catalog: String => DataFrame,
     case ILike(x, p, esc) => likeCol(exprToCol(x, in), p, esc, ci = true)
     // `e[i]` subscript (r11): try_element_at — 1-based like DuckDB's
     // list subscript, NULL (not an ANSI error) when out of range,
-    // and the same call works on maps (absent key reads NULL).
-    // Array indices must be INT for Spark: numeric indices cast
-    // (parsed integer literals are BIGINT); string keys (map
-    // subscript `m['k']`) pass through untouched
-    case Subscript(x, i) =>
-      val idx = exprToCol(i, in)
-      F.try_element_at(exprToCol(x, in),
-        i match {
-          case StrLit(_) => idx
-          case _ => idx.cast("int")
-        })
+    // and the same call works on maps (absent key reads NULL)
+    case Subscript(x, i) => subscriptCol(x, i, exprToCol(_, in))
     // chained struct-field access (r11): the base resolves first
     // (alias-qualified ColRef for `a.b`), then fields extract off it
     case FieldAccess(x, f0) => exprToCol(x, in).getField(f0)
@@ -4357,6 +4354,36 @@ final class Translator(catalog: String => DataFrame,
     case _: ExistsSubquery =>
       fail("EXISTS is not supported in this position")
     case Ast.Hole => fail("internal error: traversal placeholder escaped")
+  }
+
+  /** Subscript lowering shared by every expression context (r11).
+    * Dispatch on the CONTAINER's resolved type when a frame is
+    * available: map subscripts cast the key to the MAP'S key type
+    * (computed string keys work — `m[lower(k)]`); arrays cast the
+    * index to INT with an index-0 NULL guard (DuckDB's `l[0]` is
+    * NULL; bare try_element_at throws INVALID_INDEX_OF_ZERO). When
+    * the container cannot be resolved (post-agg refs), string
+    * LITERALS stay map keys and everything else takes the array
+    * path. */
+  private def subscriptCol(x: Expr, i: Expr,
+                           lower: Expr => Column): Column = {
+    import org.apache.spark.sql.types._
+    val base = lower(x)
+    val containerT = resolveFrame.flatMap(df =>
+      scala.util.Try(df.select(base).schema.head.dataType).toOption)
+    containerT match {
+      case Some(MapType(kt, _, _)) =>
+        F.try_element_at(base, lower(i).cast(kt))
+      case _ =>
+        i match {
+          case StrLit(_) if containerT.isEmpty =>
+            F.try_element_at(base, lower(i))
+          case _ =>
+            val idx = lower(i).cast("int")
+            F.when(idx === 0, F.lit(null))
+              .otherwise(F.try_element_at(base, idx))
+        }
+    }
   }
 
   /** Desugars a row-value comparison (r9). `=` → element-wise AND

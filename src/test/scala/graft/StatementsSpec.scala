@@ -998,8 +998,17 @@ class StatementsSpec extends SparkTestBase {
     val e1b = intercept[RuntimeException](
       g.query(s"copy nation to '$tmp/r.parquet/sub.parquet'"))
     assert(e1b.getMessage.contains("registered"), e1b.getMessage)
+    // ...including via a scheme-qualified respelling of the same
+    // path (review r11: unqualified normPath let 'file://' bypass)
+    val e1c = intercept[RuntimeException](
+      g.query(s"copy nation to 'file://$tmp/r.parquet'"))
+    assert(e1c.getMessage.contains("registered"), e1c.getMessage)
     // unrelated paths still write fine
     g.query(s"copy nation to '$tmp/n2.parquet'")
+    // DROPping the owning table releases the wall (review r11: the
+    // error message's own remedy must work)
+    g.query("drop table rr")
+    g.query(s"copy nation to '$tmp/r.parquet'")
     // 2) reordered-but-name-matching parquet binds BY NAME, not
     //    positionally (no silent null-fill through assignment casts)
     g.query(s"copy (select r_name, r_regionkey from region) " +

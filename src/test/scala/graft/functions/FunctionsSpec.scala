@@ -303,6 +303,26 @@ class FunctionsSpec extends SparkTestBase {
                 array() as e""")
       .select(GraftFn.sortStructs(F.col("a"), Seq(true), Seq(true)).as("a"))
     assert(edge.collect()(0).isNullAt(0))
+    // a NULL ELEMENT behaves as a struct of all-null keys in BOTH
+    // arms (review r11: the native arm previously forced nulls-first
+    // regardless of flags) — desc nulls-LAST must put it last
+    val withNull = spark.sql(
+      """select array(named_struct('__k0', 2L, '__v', 'b'),
+                      cast(null as struct<__k0:bigint,__v:string>),
+                      named_struct('__k0', 5L, '__v', 'a')) as arr""")
+    def cmpN(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) = {
+      val (l0, r0) = (l.getField("__k0"), r.getField("__k0"))
+      F.when(l0.isNull && r0.isNull, F.lit(0))
+        .when(l0.isNull, F.lit(1)).when(r0.isNull, F.lit(-1))
+        .when(l0 < r0, F.lit(1)).when(l0 > r0, F.lit(-1)).otherwise(F.lit(0))
+    }
+    val nb = withNull.select(
+      F.array_sort(F.col("arr"), (l, r) => cmpN(l, r)).as("hof"),
+      GraftFn.sortStructs(F.col("arr"), Seq(false), Seq(false)).as("native"))
+    assert(nb.where("hof <> native").count() == 0 ||
+      // struct<> comparison on null elements is itself 3VL — compare
+      // the rendered rows instead
+      nb.collect()(0).get(0).toString == nb.collect()(0).get(1).toString)
   }
 }
 

@@ -2896,6 +2896,48 @@ class SqlSurfaceSpec extends SparkTestBase {
       graftSession.query(
         "select split('1 2 3', ' ')[2]::int + 1 as v from region where r_regionkey = 0"),
       spark.sql("select 3 as v from region where r_regionkey = 0"))
+    // index 0 reads NULL (DuckDB's l[0]), including via expressions
+    // that hit 0 on some rows (review r11: bare try_element_at throws
+    // INVALID_INDEX_OF_ZERO)
+    assertSameRows(
+      graftSession.query(
+        """select n_nationkey, sequence(1, 4)[0] as z,
+             sequence(10, 14)[n_nationkey % 3] as zx
+           from nation"""),
+      spark.sql(
+        """select n_nationkey, cast(null as int) as z,
+             case when n_nationkey % 3 = 0 then cast(null as int)
+                  else try_element_at(sequence(10, 14),
+                         cast(n_nationkey % 3 as int)) end as zx
+           from nation"""))
+    // map subscripts: computed STRING keys resolve through the map's
+    // key type (review r11: the StrLit-only dispatch cast them to
+    // int); absent keys read NULL
+    assertSameRows(
+      graftSession.query(
+        """select t.n_nationkey, t.m[lower(t.kc)] as v, t.m['nope'] as mi
+           from (select n_nationkey,
+                   map('a', n_regionkey, 'b', cast(9 as bigint)) as m,
+                   'A' as kc from nation) t"""),
+      spark.sql(
+        "select n_nationkey, n_regionkey as v, cast(null as bigint) as mi from nation"))
+    // subscripts/fields compose in AGGREGATE context (group keys and
+    // aggregate results) and in PIVOT aggregates (review r11)
+    assertSameRows(
+      graftSession.query(
+        """select sequence(1, 3)[n_regionkey % 2 + 1] as k,
+             array_agg(n_nationkey order by n_nationkey)[1] as first_key,
+             array_agg(n_nationkey order by n_nationkey)[count(*)] as last_key,
+             count(*) as n
+           from nation group by sequence(1, 3)[n_regionkey % 2 + 1]"""),
+      spark.sql(
+        """select try_element_at(sequence(1, 3),
+             cast(n_regionkey % 2 + 1 as int)) as k,
+             try_element_at(sort_array(collect_list(n_nationkey)), 1) as first_key,
+             try_element_at(sort_array(collect_list(n_nationkey)),
+               cast(count(*) as int)) as last_key,
+             count(*) as n
+           from nation group by 1"""))
     // loud wall: unterminated subscript
     intercept[RuntimeException](
       graftSession.query("select sequence(1, 3)[2 from nation"))
