@@ -2276,6 +2276,38 @@ object SparkEntry {
                select query_id, neighbor_id, sim,
                  row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
                from scored qualify rnk <= 3""")),
+    // persisted-quantizer IVF assignment (r11, SURVEY row 123): the
+    // frozen centroid table (deterministic 8-cell seed quantizer)
+    // assigns the whole corpus with EXACT integer lattice math —
+    // DuckDB replays cell AND distance bit-for-bit; ties to the
+    // lowest cell in both engines
+    ("q_ann_assign",
+      (s: SparkSession, dir: String) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfAssign(emb, Similarity.ivfSeedCentroids(emb, 8))
+          .select("vec_id", "cell", "cell_d")
+      },
+      Some("""with z as (select vec_id,
+                  case when list_max(list_transform(embedding, v -> abs(v::DOUBLE))) = 0
+                    then list_transform(embedding, v -> 0::BIGINT)
+                    else list_transform(embedding,
+                      v -> floor(v::DOUBLE * 127
+                             / list_max(list_transform(embedding, v2 -> abs(v2::DOUBLE)))
+                             + 0.5)::BIGINT)
+                  end as ql
+                from embeddings),
+              cent as (select row_number() over (order by vec_id) - 1 as cell,
+                         ql as cq
+                       from z order by vec_id limit 8),
+              dist as (select z.vec_id, c.cell,
+                         cast(list_sum(list_transform(range(1, len(z.ql) + 1),
+                           i -> (z.ql[i] - c.cq[i]) * (z.ql[i] - c.cq[i]))) as bigint) as d
+                       from z cross join cent c),
+              best as (select vec_id, min(d) as cell_d from dist group by vec_id)
+              select b.vec_id, min(dd.cell) as cell, b.cell_d
+              from best b
+              join dist dd on b.vec_id = dd.vec_id and b.cell_d = dd.d
+              group by b.vec_id, b.cell_d""")),
     ("q_text_langid",
       (s: SparkSession, dir: String) => TextAnalysis.langId(tbl(s, dir, "documents")),
       Some(s"""select doc_id, s_en, s_es, s_fr, s_de,

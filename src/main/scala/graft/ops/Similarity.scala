@@ -148,6 +148,62 @@ object Similarity {
     model.transform(feat).drop("__vec")
   }
 
+  /** Persisted-quantizer IVF assignment (r11, SURVEY §2.2 row 123):
+    * the train-once / assign-forever half of IVF that [[ivfBuild]]'s
+    * inline trainer cannot express. The quantizer is an EXPLICIT
+    * centroid table `(cell, q array<bigint>)` on the int8 lattice
+    * (the [[ivfSeedCentroids]] shape, or any trained table persisted
+    * through the registry / COPY TO), so a FROZEN quantizer outlives
+    * the session and NEW corpus batches assign against it with cell
+    * ids comparable across batches — the incremental-index workflow:
+    * union the new assignments into the existing cell table and
+    * [[ivfTopKFrom]] / [[knnGraphFrom]] / [[semanticDedupFrom]]
+    * compose unchanged. Assignment arithmetic is EXACT integer math
+    * (squared L2 on the lattice — the pqEncode convention), so the
+    * DuckDB oracle replays every assignment bit-for-bit; the inline
+    * trainer's float-accumulation wall does not exist here. Ties
+    * break toward the LOWEST cell id in both engines (struct-min
+    * ordering).
+    *
+    * 100 TB shape: centroids aggregate to ONE row and BROADCAST;
+    * assignment is a pure per-row projection (cells × dim integer
+    * fold) — zero shuffle, zero explode. A dimension mismatch throws
+    * (ANSI array index); an empty centroid table raises in-plan.
+    * Returns (vec_id, embedding, cell, cell_d). */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val ct = F.broadcast(centroids.agg(
+      F.sort_array(F.collect_list(F.struct(
+        F.col("cell").cast("long").as("cell"), F.col("q").as("q"))))
+        .as("__ct")))
+    int8Lattice(emb, keep = Seq("embedding"))
+      .crossJoin(ct)
+      .withColumn("__best", F.expr(
+        """case when size(__ct) = 0
+             then raise_error('ivfAssign: empty centroid table')
+             else array_min(transform(__ct, c -> named_struct(
+               'd', aggregate(sequence(1, size(q)), 0L, (acc, i) ->
+                      acc + (q[i-1] - c.q[i-1]) * (q[i-1] - c.q[i-1])),
+               'cell', c.cell)))
+           end"""))
+      .selectExpr("vec_id", "embedding",
+        "__best.cell as cell", "__best.d as cell_d")
+  }
+
+  /** Deterministic seed quantizer for [[ivfAssign]] (the
+    * seedCodebook convention): the `cells` lowest-vec_id vectors'
+    * int8 lattices, cell ids 0..cells-1 in vec_id order —
+    * replayable cross-engine; swap in a trained table for
+    * production recall. */
+  def ivfSeedCentroids(emb: DataFrame, cells: Int): DataFrame = {
+    require(cells >= 1, "cells must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    // cells-row window by construction
+    int8Lattice(emb.orderBy("vec_id").limit(cells))
+      .withColumn("cell", F.row_number().over(w).cast("long") - 1)
+      .select("cell", "q")
+  }
+
   /** IVF probe/rerank over a table with a `cell` column (from
     * [[ivfBuild]] or any quantizer): a query probes only its own
     * cell and exact-ranks within it. */

@@ -620,6 +620,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"saw $nPq\n" + pq.take(3000))
   }
 
+  test("ivfAssign broadcasts the one-row centroid table, corpus never shuffles (r11)") {
+    val df = SparkEntry.queries("q_ann_assign")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    // the corpus side is a pure projection: the only exchange is the
+    // tiny centroid-side single-partition collect, never a hash
+    // repartition of the embeddings
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"corpus shuffled ($hashEx hash exchanges)\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("span dedup ranks first occurrences two-phase, no single-key window (r11)") {
     // a viral boilerplate span (one hash × 10^5 occurrences — exactly
     // this operator's target input) must never land in one task:

@@ -921,6 +921,44 @@ class OpsSpec extends SparkTestBase {
     assert(short.count() == 0)
   }
 
+  test("ivfAssign: frozen-quantizer assignment, ties to lowest cell, incremental (r11)") {
+    import spark.implicits._
+    // centroids on the int8 lattice directly: cell 0 at (127, 0),
+    // cell 1 at (0, 127)
+    val cent = Seq((0L, Seq(127L, 0L)), (1L, Seq(0L, 127L)))
+      .toDF("cell", "q")
+    // v1 → cell 0 (lattice (127, 0)); v2 → cell 1 (lattice (0, 127));
+    // v3 at (1, 1) → lattice (127, 127): EQUIDISTANT → lowest cell
+    val batch1 = Seq(
+      (1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 5.0f)), (3L, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val a1 = graft.ops.Similarity.ivfAssign(batch1, cent)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(a1(1L) == (0L, 0L))
+    assert(a1(2L) == (1L, 0L))
+    assert(a1(3L)._1 == 0L, "tie must break to the lowest cell")
+    // a LATER batch assigns against the SAME frozen table and the
+    // union composes into the cell-bounded operators unchanged
+    val batch2 = Seq((4L, Seq(3.0f, 0.1f))).toDF("vec_id", "embedding")
+    val all = graft.ops.Similarity.ivfAssign(batch1, cent)
+      .unionByName(graft.ops.Similarity.ivfAssign(batch2, cent))
+    val edges = graft.ops.Similarity.knnGraphFrom(
+      all.select("vec_id", "embedding", "cell"), 2)
+    val pairs = edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cells: {1, 3, 4} in cell 0, {2} alone in cell 1 (no edges)
+    assert(pairs.contains((1L, 4L)) && pairs.contains((4L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // seed quantizer is the k lowest-vec_id lattices with ids 0..k-1
+    val seeds = graft.ops.Similarity.ivfSeedCentroids(batch1, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(seeds(0L) == Seq(127L, 0L) && seeds(1L) == Seq(0L, 127L))
+    // empty centroid table raises in-plan, loudly
+    val bad = graft.ops.Similarity.ivfAssign(batch1, cent.limit(0))
+    val err = intercept[Exception](bad.collect())
+    assert(err.getMessage.contains("empty centroid table"), err.getMessage)
+  }
+
   test("cell-bounded family bounds a planted giant cell (maxCellSize, r11)") {
     // 300 vectors land in ONE quantization cell — the O(|cell|²)
     // worst case. maxCellSize=50 splits it by pmod(xxhash64(vec_id),
