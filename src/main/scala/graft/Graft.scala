@@ -26,15 +26,8 @@ final class Graft(val spark: SparkSession) {
   def registerTable(name: String, df: DataFrame): Unit =
     tables.put(name.toLowerCase, df)
 
-  def removeTable(name: String): Unit = {
+  def removeTable(name: String): Unit =
     tables.remove(name.toLowerCase)
-    // a dropped table no longer protects its backing COPY FROM /
-    // IMPORT paths (the r11 overwrite wall, released per owner —
-    // re-registration does NOT release: a composed re-registered
-    // plan, e.g. INSERT's union, still reads the files)
-    lazyReadPaths.filterInPlace { case (_, owners) =>
-      owners.subtractOne(name.toLowerCase); owners.nonEmpty }
-  }
 
   def tableNames: Set[String] = tables.keySet.toSet
 
@@ -252,20 +245,6 @@ final class Graft(val spark: SparkSession) {
     (format, extra.toMap)
   }
 
-  // paths whose FILES back a registered lazy plan (COPY FROM /
-  // IMPORT DATABASE reads), keyed to the owning table names: graft's
-  // COPY FROM is lazy where DuckDB's is eager, so overwriting such a
-  // path would mutate the registered table — or delete files
-  // mid-scan under a concurrent read. COPY TO them fails loudly;
-  // DROPping every owner releases the path (r11 ADVICE + review).
-  private val lazyReadPaths =
-    scala.collection.mutable.Map.empty[String,
-      scala.collection.mutable.Set[String]]
-
-  private def guardPath(path: String, owner: String): Unit =
-    lazyReadPaths.getOrElseUpdate(normPath(path),
-      scala.collection.mutable.Set.empty) += owner.toLowerCase
-
   /** FS-qualified canonical form — 'file:///tmp/x' and '/tmp/x' must
     * collide or the overwrite wall is bypassable by respelling. */
   private def normPath(p: String): String = {
@@ -277,17 +256,40 @@ final class Graft(val spark: SparkSession) {
     qualified.toUri.toString.stripSuffix("/")
   }
 
+  /** Every file path some REGISTERED plan scans, read off the
+    * analyzed logical plans themselves (r11 review: bookkeeping by
+    * owner name leaked through RENAME and through derived CTAS/view
+    * plans — the plan IS the source of truth: a dropped, renamed, or
+    * derived-from table protects its files exactly as long as some
+    * registered plan still reads them). Registered plans are
+    * analyzed-once DataFrames, so this is a cheap tree walk. */
+  private def registeredReadPaths: Map[String, Seq[String]] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    tables.toSeq.flatMap { case (name, df) =>
+      df.queryExecution.analyzed.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(p =>
+              p.toUri.toString.stripSuffix("/") -> name)
+          case _ => Nil
+        }
+      }.flatten
+    }.groupMap(_._1)(_._2).map { case (p, ns) => p -> ns.distinct.sorted }
+  }
+
   private def copyTo(df: DataFrame, path: String,
                      optsOrNull: String): DataFrame = {
     val np = normPath(path)
-    val clash = lazyReadPaths.keys.find(rp =>
+    val guarded = registeredReadPaths
+    val clash = guarded.keys.find(rp =>
       np == rp || np.startsWith(rp + "/") || rp.startsWith(np + "/"))
     clash.foreach { rp =>
       fail(s"COPY TO '$path': files under '$rp' back registered " +
-        s"table(s) ${lazyReadPaths(rp).toSeq.sorted.mkString(", ")} " +
-        "(COPY FROM / IMPORT DATABASE register lazy reads); " +
-        "overwriting them would corrupt the registered plan — write " +
-        "to a fresh path or DROP the owning table(s) first")
+        s"table(s) ${guarded(rp).mkString(", ")} " +
+        "(registrations are lazy reads); overwriting them would " +
+        "corrupt the registered plan(s) — write to a fresh path or " +
+        "DROP the reading table(s) first")
     }
     val (format, extra) = copyOptions(optsOrNull, path)
     // DuckDB writes a CSV header by default; mirror that
@@ -340,7 +342,6 @@ final class Graft(val spark: SparkSession) {
     val casted = positional.select(target.schema.fields.map(f =>
       positional(f.name).cast(f.dataType).as(f.name)): _*)
     registerTable(name, target.union(casted))
-    guardPath(path, name)
     status("copied", name.toLowerCase)
   }
 
@@ -648,9 +649,6 @@ final class Graft(val spark: SparkSession) {
           case _         => r.orc(s"$dir/$n")
         }
         registerTable(n, df)
-        // imported tables are lazy reads too — COPY TO their backing
-        // directory would corrupt them (same wall as COPY FROM)
-        guardPath(s"$dir/$n", n)
       }
       status("imported", dir)
     case SummarizeRe(body) =>

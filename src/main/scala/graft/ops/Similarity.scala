@@ -179,10 +179,15 @@ object Similarity {
     int8Lattice(emb, keep = Seq("embedding"))
       .crossJoin(ct)
       .withColumn("__best", F.expr(
+        // the fold runs to the LONGER of the two dims so a mismatch
+        // throws the ANSI index error in BOTH directions (review r11:
+        // size(q) alone silently prefix-scored a shorter batch
+        // against a wider frozen quantizer)
         """case when size(__ct) = 0
              then raise_error('ivfAssign: empty centroid table')
              else array_min(transform(__ct, c -> named_struct(
-               'd', aggregate(sequence(1, size(q)), 0L, (acc, i) ->
+               'd', aggregate(sequence(1, greatest(size(q), size(c.q))),
+                      0L, (acc, i) ->
                       acc + (q[i-1] - c.q[i-1]) * (q[i-1] - c.q[i-1])),
                'cell', c.cell)))
            end"""))

@@ -4362,9 +4362,13 @@ final class Translator(catalog: String => DataFrame,
     * (computed string keys work — `m[lower(k)]`); arrays cast the
     * index to INT with an index-0 NULL guard (DuckDB's `l[0]` is
     * NULL; bare try_element_at throws INVALID_INDEX_OF_ZERO). When
-    * the container cannot be resolved (post-agg refs), string
-    * LITERALS stay map keys and everything else takes the array
-    * path. */
+    * the container cannot be resolved (lambda variables, post-agg
+    * refs), string LITERALS stay map keys and everything else gets
+    * the int cast WITHOUT the 0-guard — an integer-keyed map's
+    * `m[0]` must read the key (review r11: the unconditional guard
+    * forced it NULL); an array subscripted with a 0-reaching index
+    * in those narrow contexts throws the ANSI error instead of the
+    * NULL (documented trade — the guard needs the container type). */
   private def subscriptCol(x: Expr, i: Expr,
                            lower: Expr => Column): Column = {
     import org.apache.spark.sql.types._
@@ -4374,14 +4378,14 @@ final class Translator(catalog: String => DataFrame,
     containerT match {
       case Some(MapType(kt, _, _)) =>
         F.try_element_at(base, lower(i).cast(kt))
+      case Some(_: ArrayType) =>
+        val idx = lower(i).cast("int")
+        F.when(idx === 0, F.lit(null))
+          .otherwise(F.try_element_at(base, idx))
       case _ =>
         i match {
-          case StrLit(_) if containerT.isEmpty =>
-            F.try_element_at(base, lower(i))
-          case _ =>
-            val idx = lower(i).cast("int")
-            F.when(idx === 0, F.lit(null))
-              .otherwise(F.try_element_at(base, idx))
+          case StrLit(_) => F.try_element_at(base, lower(i))
+          case _ => F.try_element_at(base, lower(i).cast("int"))
         }
     }
   }

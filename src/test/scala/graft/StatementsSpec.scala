@@ -1005,9 +1005,21 @@ class StatementsSpec extends SparkTestBase {
     assert(e1c.getMessage.contains("registered"), e1c.getMessage)
     // unrelated paths still write fine
     g.query(s"copy nation to '$tmp/n2.parquet'")
-    // DROPping the owning table releases the wall (review r11: the
-    // error message's own remedy must work)
-    g.query("drop table rr")
+    // the wall follows the PLANS, not name bookkeeping (review r11
+    // pass 2): a RENAMED table still reads the files — still walled
+    g.query("alter table rr rename to rr2")
+    val e1d = intercept[RuntimeException](
+      g.query(s"copy nation to '$tmp/r.parquet'"))
+    assert(e1d.getMessage.contains("rr2"), e1d.getMessage)
+    // a DERIVED view keeps reading the files after its base drops
+    g.query("create view rrv as select * from rr2")
+    g.query("drop table rr2")
+    val e1e = intercept[RuntimeException](
+      g.query(s"copy nation to '$tmp/r.parquet'"))
+    assert(e1e.getMessage.contains("rrv"), e1e.getMessage)
+    // DROPping the LAST reader releases the wall (the error message's
+    // own remedy must work)
+    g.query("drop view rrv")
     g.query(s"copy nation to '$tmp/r.parquet'")
     // 2) reordered-but-name-matching parquet binds BY NAME, not
     //    positionally (no silent null-fill through assignment casts)

@@ -957,6 +957,15 @@ class OpsSpec extends SparkTestBase {
     val bad = graft.ops.Similarity.ivfAssign(batch1, cent.limit(0))
     val err = intercept[Exception](bad.collect())
     assert(err.getMessage.contains("empty centroid table"), err.getMessage)
+    // dimension mismatch throws in BOTH directions (review r11 pass
+    // 2: a shorter batch must not silently prefix-score against a
+    // wider frozen quantizer)
+    val wide = Seq((0L, Seq(127L, 0L, 0L))).toDF("cell", "q")
+    intercept[Exception](
+      graft.ops.Similarity.ivfAssign(batch1, wide).collect())
+    val narrow = Seq((0L, Seq(127L))).toDF("cell", "q")
+    intercept[Exception](
+      graft.ops.Similarity.ivfAssign(batch1, narrow).collect())
   }
 
   test("cell-bounded family bounds a planted giant cell (maxCellSize, r11)") {

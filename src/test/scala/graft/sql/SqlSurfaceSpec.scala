@@ -2938,6 +2938,14 @@ class SqlSurfaceSpec extends SparkTestBase {
                cast(count(*) as int)) as last_key,
              count(*) as n
            from nation group by 1"""))
+    // integer-keyed map subscript with key 0 inside a LAMBDA (the
+    // container type is unresolvable there — review r11 pass 2: the
+    // unconditional 0-guard forced these to NULL)
+    assertSameRows(
+      graftSession.query(
+        """select list_transform(array(map(0, 'a')), m -> m[0]) as v
+           from region where r_regionkey = 0"""),
+      spark.sql("select array('a') as v from region where r_regionkey = 0"))
     // loud wall: unterminated subscript
     intercept[RuntimeException](
       graftSession.query("select sequence(1, 3)[2 from nation"))
