@@ -99,6 +99,30 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(spark.table("stream_enrich"), batch)
   }
 
+  test("streaming batches assign against a frozen quantizer (r11)") {
+    // the incremental-index workflow end-to-end: a persisted centroid
+    // table assigns a STREAM of new embeddings exactly as it assigns
+    // a batch — ivfAssign's broadcast one-row centroid shape is
+    // stream-compatible (stream-static join, no stream-side shuffle)
+    val dir = java.nio.file.Files.createTempDirectory("emb_assign")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val batchEmb = spark.read.parquet(dir.toString)
+      .select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.ivfSeedCentroids(batchEmb, 8)
+    val stream = spark.readStream.schema(batchEmb.schema)
+      .parquet(dir.toString).select("vec_id", "embedding")
+    val q = graft.ops.Similarity.ivfAssign(stream, cent)
+      .select("vec_id", "cell", "cell_d")
+      .writeStream.format("memory").queryName("stream_assign")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    assertSameRows(spark.table("stream_assign"),
+      graft.ops.Similarity.ivfAssign(batchEmb, cent)
+        .select("vec_id", "cell", "cell_d"))
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = java.nio.file.Files.createTempDirectory("events_dedup")
     // stage the file twice => every event is duplicated across files
