@@ -852,6 +852,14 @@ object SparkEntry {
            cast(count_if(l_discount > 0.05) as bigint) as n_disc,
            round(median(l_quantity), 4) as med
          from lineitem group by l_returnflag""",
+    // bitwise aggregates (r11b) — same names and semantics in both
+    // engines; casts pin the dtypes (DuckDB keeps the input width)
+    "q_agg_bitwise" ->
+      """select l_returnflag,
+           cast(bit_and(l_linenumber) as bigint) as ba,
+           cast(bit_or(l_linenumber) as bigint) as bo,
+           cast(bit_xor(l_orderkey % 1024) as bigint) as bx
+         from lineitem group by l_returnflag""",
     // two-column statistics (sample + population forms)
     "q_agg_stats2" ->
       """select l_returnflag,
@@ -1809,6 +1817,57 @@ object SparkEntry {
            string_split(lower(text), ' ')[1] as w1,
            string_split(lower(text), ' ')[2 + doc_id % 3] as w_mid,
            string_split(lower(text), ' ')[9999] as w_oob
+         from documents"""),
+    // list slicing + list/struct/map literals (r11b, SURVEY 36bj):
+    // `w[lo:hi]` 1-based inclusive with omittable/negative bounds
+    // (DuckDB list slicing — lo clamps to 1, hi to len, inverted
+    // ranges read empty), `[a, b]` list literals, `{'k': v}` struct
+    // literals with dotted field access, `MAP {k: v}` map literals.
+    // DuckDB's map subscript returns a LIST of values, so its side
+    // unwraps with [1]; graft reads the element directly.
+    // every joined slice carries a `|| ['~']` sentinel: DuckDB's
+    // array_to_string reads NULL on an EMPTY list where Spark's
+    // array_join reads '' — the appended element makes both engines
+    // render the same string for empty and [''] alike
+    ("q_array_slice",
+      """select t.doc_id,
+           array_to_string(w[2:4] || ['~'], ' ') as s_mid,
+           array_to_string(w[:3] || ['~'], ' ') as s_head,
+           array_to_string(w[-3:] || ['~'], ' ') as s_tail,
+           array_to_string(w[:-2] || ['~'], ' ') as s_drop,
+           array_to_string(w[0:2] || ['~'], ' ') as s_zero,
+           array_to_string(w[5:9999] || ['~'], ' ') as s_clamp,
+           array_to_string(w[4:2] || ['~'], ' ') as s_empty,
+           array_to_string(w[:] || ['~'], ' ') as s_all,
+           array_to_string([t.lang, 'x', 'y'][2:], ' ') as s_lit
+         from (select doc_id, lang, split(lower(text), ' ') as w
+               from documents) t""",
+      """select t.doc_id,
+           array_to_string(w[2:4] || ['~'], ' ') as s_mid,
+           array_to_string(w[:3] || ['~'], ' ') as s_head,
+           array_to_string(w[-3:] || ['~'], ' ') as s_tail,
+           array_to_string(w[:-2] || ['~'], ' ') as s_drop,
+           array_to_string(w[0:2] || ['~'], ' ') as s_zero,
+           array_to_string(w[5:9999] || ['~'], ' ') as s_clamp,
+           array_to_string(w[4:2] || ['~'], ' ') as s_empty,
+           array_to_string(w[:] || ['~'], ' ') as s_all,
+           array_to_string([t.lang, 'x', 'y'][2:], ' ') as s_lit
+         from (select doc_id, lang, string_split(lower(text), ' ') as w
+               from documents) t"""),
+    ("q_struct_literal",
+      """select doc_id,
+           {'w': n_chars, 'l': lang}.w as sw,
+           {'w': n_chars, 'l': lang}.l as sl,
+           {'a': {'b': n_chars + 1}}.a.b as nested,
+           map {lang: n_chars}[lang] as mv,
+           map {lang: n_chars}[source] as mv_miss
+         from documents""",
+      """select doc_id,
+           {'w': n_chars, 'l': lang}.w as sw,
+           {'w': n_chars, 'l': lang}.l as sl,
+           {'a': {'b': n_chars + 1}}.a.b as nested,
+           (map {lang: n_chars})[lang][1] as mv,
+           (map {lang: n_chars})[source][1] as mv_miss
          from documents"""),
     ("q_list_lambda",
       """select c_custkey,

@@ -98,6 +98,15 @@ object Ast {
     * table-alias-vs-struct-column there (alias wins, as in DuckDB). */
   final case class FieldAccess(e: Expr, field: String) extends Expr
 
+  /** Postfix list slice `e[lo:hi]` (r11b, DuckDB list slicing):
+    * 1-based INCLUSIVE bounds, either omittable (`a[2:]`, `a[:3]`,
+    * `a[:]`); negative bounds count from the end (`a[-2:]` is the
+    * last two, norm = len + bound + 1); lo clamps up to 1, hi clamps
+    * down to len; an inverted or past-the-end range reads EMPTY (not
+    * NULL, not an error); a NULL list or NULL bound reads NULL. */
+  final case class ArraySlice(e: Expr, lo: Option[Expr],
+                              hi: Option[Expr]) extends Expr
+
   // boolean operators (sql.lark:112-131)
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
@@ -345,6 +354,7 @@ object Ast {
     case Lambda(ps, b)        => Lambda(ps, f(b))
     case Subscript(x, i)      => Subscript(f(x), f(i))
     case FieldAccess(x, n)    => FieldAccess(f(x), n)
+    case ArraySlice(x, lo, hi) => ArraySlice(f(x), lo.map(f), hi.map(f))
     case And(l, r)            => And(f(l), f(r))
     case Or(l, r)             => Or(f(l), f(r))
     case Not(x)               => Not(f(x))

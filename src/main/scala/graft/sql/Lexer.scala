@@ -12,7 +12,7 @@ object Lexer {
   final case class Ident(value: String, pos: Int) extends Token   // bare or "quoted"
   final case class Str(value: String, pos: Int) extends Token     // 'string literal'
   final case class Num(value: String, pos: Int) extends Token
-  final case class Op(value: String, pos: Int) extends Token      // = <> != <= >= < > + - * / ( ) , .
+  final case class Op(value: String, pos: Int) extends Token      // = <> != <= >= < > + - * / ( ) , . [ ] { } :
   final case class End(pos: Int) extends Token
 
   final case class LexException(msg: String) extends RuntimeException(msg)
@@ -67,7 +67,7 @@ object Lexer {
         if (two == "<>" || two == "!=" || two == "<=" || two == ">=" ||
             two == "||" || two == "::" || two == "->") {
           out += Op(two, i); i += 2
-        } else if ("=<>+-*/%(),.[]".indexOf(c) >= 0) {
+        } else if ("=<>+-*/%(),.[]{}:".indexOf(c) >= 0) {
           out += Op(c.toString, i); i += 1
         } else throw LexException(s"unexpected character '$c' at $i")
       }

@@ -960,7 +960,19 @@ final class Parser(tokens: Vector[Token]) {
       while (go) {
         if (eatOp("::")) e = Cast(e, parseTypeName())
         else if (eatOp("[")) {
-          e = Subscript(e, parseExpr()); expectOp("]")
+          // `[i]` subscript or `[lo:hi]` slice (r11b) — a `:` before
+          // the closing bracket switches to the slice form; both
+          // bounds are omittable (`a[2:]`, `a[:3]`, `a[:]`)
+          if (eatOp(":")) {
+            val hi = if (atOp("]")) None else Some(parseExpr())
+            expectOp("]"); e = ArraySlice(e, None, hi)
+          } else {
+            val first = parseExpr()
+            if (eatOp(":")) {
+              val hi = if (atOp("]")) None else Some(parseExpr())
+              expectOp("]"); e = ArraySlice(e, Some(first), hi)
+            } else { expectOp("]"); e = Subscript(e, first) }
+          }
         } else if (atOp(".") && pos + 1 < tokens.length &&
                    tokens(pos + 1).isInstanceOf[Lexer.Ident]) {
           pos += 1; e = FieldAccess(e, ident())
@@ -984,6 +996,8 @@ final class Parser(tokens: Vector[Token]) {
     // boolean/conditional/positional aggregates, two-column statistics,
     // ordered-set aggregates, and GROUPING() for grouping-set queries
     "bool_and" -> "bool_and", "bool_or" -> "bool_or",
+    // bitwise aggregates (r11b) — same names in DuckDB and Spark
+    "bit_and" -> "bit_and", "bit_or" -> "bit_or", "bit_xor" -> "bit_xor",
     "count_if" -> "count_if", "median" -> "median",
     "corr" -> "corr", "covar_pop" -> "covar_pop",
     "covar_samp" -> "covar_samp",
@@ -1017,6 +1031,18 @@ final class Parser(tokens: Vector[Token]) {
         }
       case Op("*", _) =>
         pos += 1; Star(None)
+      case Op("[", _) =>
+        // `[e1, e2, ...]` list literal (r11b, DuckDB) → array(...)
+        pos += 1
+        val items = Seq.newBuilder[Expr]
+        if (!atOp("]")) { items += parseExpr(); while (eatOp(",")) items += parseExpr() }
+        expectOp("]")
+        FuncCall("array", items.result())
+      case Op("{", _) =>
+        // `{'k': v, ...}` struct literal (r11b, DuckDB) →
+        // named_struct('k', v, ...); keys are single-quoted strings
+        // (the DuckDB spelling) or bare identifiers
+        pos += 1; parseStructLiteral()
       case Num(v, _) => pos += 1; NumLit(v)
       case Str(v, _) => pos += 1; StrLit(v)
       case Ident(v, _) =>
@@ -1036,6 +1062,11 @@ final class Parser(tokens: Vector[Token]) {
             while (more) { args += parseExpr(); more = eatOp(",") }
             expectOp(")")
             Coalesce(args.result())
+          // `MAP {'k': v, ...}` map literal (r11b, DuckDB) →
+          // map('k', v, ...); only when the brace follows — a bare
+          // `map` stays an identifier/function name
+          case "map" if isOpAt(pos + 1, "{") =>
+            pos += 1; expectOp("{"); parseBraceEntries("map")
           case "now" if isOpAt(pos + 1, "(") =>
             pos += 1; expectOp("("); expectOp(")"); NowLit()
           case "today" if isOpAt(pos + 1, "(") =>
@@ -1329,6 +1360,45 @@ final class Parser(tokens: Vector[Token]) {
     }
     if (!any) fail("INTERVAL requires a quantity and a unit")
     IntervalLit(months, days, seconds)
+  }
+
+  /** `{'k': v, ...}` struct-literal body after the opening brace
+    * (r11b, DuckDB): keys are single-quoted strings (the DuckDB
+    * spelling) or bare identifiers; lowers to named_struct so field
+    * access (`{'a': 1}.a`) and the whole downstream surface just
+    * work. An empty `{}` is loud — DuckDB rejects it too. */
+  private def parseStructLiteral(): Expr = {
+    if (atOp("}")) fail("empty struct literal {} is not supported")
+    val args = Seq.newBuilder[Expr]
+    var more = true
+    while (more) {
+      val key = next() match {
+        case Str(s, _)   => s
+        case Ident(s, _) => s
+        case t => fail(s"expected struct field name, got $t")
+      }
+      expectOp(":")
+      args += StrLit(key); args += parseExpr()
+      more = eatOp(",")
+    }
+    expectOp("}")
+    FuncCall("named_struct", args.result())
+  }
+
+  /** `MAP {'k': v, ...}` entries after the opening brace (r11b,
+    * DuckDB): keys are full expressions (DuckDB allows computed map
+    * keys); lowers to map(k1, v1, ...). `MAP {}` is an empty map. */
+  private def parseBraceEntries(fn: String): Expr = {
+    val args = Seq.newBuilder[Expr]
+    if (!atOp("}")) {
+      var more = true
+      while (more) {
+        args += parseExpr(); expectOp(":"); args += parseExpr()
+        more = eatOp(",")
+      }
+    }
+    expectOp("}")
+    FuncCall(fn, args.result())
   }
 
   private def parseCase(): Expr = {

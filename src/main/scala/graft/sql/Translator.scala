@@ -1501,6 +1501,7 @@ final class Translator(catalog: String => DataFrame,
     case Cast(x, t, sf) => castCol(lowerPivotAgg(x), t, sf)
     case Coalesce(args) => F.coalesce(args.map(lowerPivotAgg): _*)
     case Subscript(x, i) => subscriptCol(x, i, lowerPivotAgg)
+    case ArraySlice(x, lo, hi) => sliceCol(x, lo, hi, lowerPivotAgg)
     case FieldAccess(x, f0) => lowerPivotAgg(x).getField(f0)
     case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit() => exprToCol(e, None)
     case other => fail(s"unsupported expression in PIVOT aggregate: $other")
@@ -2980,6 +2981,7 @@ final class Translator(catalog: String => DataFrame,
       // r11 subscript/field sugar composes over aggregates and group
       // keys too (`collect_list(x)[1]`, `s.f` on a grouped struct)
       case Subscript(x, i)    => subscriptCol(x, i, post)
+      case ArraySlice(x, lo, hi) => sliceCol(x, lo, hi, post)
       case FieldAccess(x, f0) => post(x).getField(f0)
       case other => fail(s"unsupported expression in aggregate context: $other")
     }
@@ -4332,6 +4334,8 @@ final class Translator(catalog: String => DataFrame,
     // list subscript, NULL (not an ANSI error) when out of range,
     // and the same call works on maps (absent key reads NULL)
     case Subscript(x, i) => subscriptCol(x, i, exprToCol(_, in))
+    // `e[lo:hi]` list slice (r11b) — DuckDB slicing semantics
+    case ArraySlice(x, lo, hi) => sliceCol(x, lo, hi, exprToCol(_, in))
     // chained struct-field access (r11): the base resolves first
     // (alias-qualified ColRef for `a.b`), then fields extract off it
     case FieldAccess(x, f0) => exprToCol(x, in).getField(f0)
@@ -4388,6 +4392,32 @@ final class Translator(catalog: String => DataFrame,
           case _ => F.try_element_at(base, lower(i).cast("int"))
         }
     }
+  }
+
+  /** List-slice lowering `e[lo:hi]` shared by every expression
+    * context (r11b; DuckDB semantics — see [[Ast.ArraySlice]]):
+    * negative bounds normalize as len+b+1, lo clamps up to 1, hi
+    * clamps down to len, inverted/past-end ranges read EMPTY, a NULL
+    * list or NULL bound reads NULL. Clamps are explicit WHENs, not
+    * greatest/least — those SKIP nulls and would turn a NULL bound
+    * into a real range. */
+  private def sliceCol(x: Expr, lo: Option[Expr], hi: Option[Expr],
+                       lower: Expr => Column): Column = {
+    val arr = lower(x)
+    val len = F.size(arr)
+    def norm(b: Expr): Column = {
+      val c = lower(b).cast("int")
+      F.when(c < 0, len + c + F.lit(1)).otherwise(c)
+    }
+    val nlo = lo.map { b =>
+      val c = norm(b); F.when(c < 1, F.lit(1)).otherwise(c)
+    }.getOrElse(F.lit(1))
+    val nhi = hi.map { b =>
+      val c = norm(b); F.when(c > len, len).otherwise(c)
+    }.getOrElse(len)
+    val cnt0 = nhi - nlo + F.lit(1)
+    val cnt = F.when(cnt0 < 0, F.lit(0)).otherwise(cnt0)
+    F.slice(arr, nlo, cnt)
   }
 
   /** Desugars a row-value comparison (r9). `=` → element-wise AND
@@ -4550,6 +4580,12 @@ final class Translator(catalog: String => DataFrame,
       case "variance" => F.var_samp(arg)
       // ---- r5 aggregate catalog ----------------------------------
       case f @ ("bool_and" | "bool_or" | "count_if" | "median") =>
+        if (a.distinct) fail(s"DISTINCT $f is not supported")
+        F.call_function(f, arg)
+      // bitwise aggregates (r11b) — same names in DuckDB and Spark.
+      // DISTINCT is loud: bit_and/bit_or are distinct-insensitive and
+      // bit_xor(DISTINCT) has no Column-API spelling
+      case f @ ("bit_and" | "bit_or" | "bit_xor") =>
         if (a.distinct) fail(s"DISTINCT $f is not supported")
         F.call_function(f, arg)
       case "grouping" =>

@@ -2951,6 +2951,122 @@ class SqlSurfaceSpec extends SparkTestBase {
       graftSession.query("select sequence(1, 3)[2 from nation"))
   }
 
+  test("list slicing and list/struct/map literals (r11b)") {
+    // DuckDB slice semantics: 1-based INCLUSIVE bounds, omittable
+    // (`[2:]`, `[:3]`, `[:]`), negative = from the end (len+b+1),
+    // lo clamps up to 1, hi down to len, inverted/past-end → EMPTY
+    assertSameRows(
+      graftSession.query(
+        """select r_regionkey,
+             sequence(10, 14)[2:4] as mid,
+             sequence(10, 14)[:2] as head,
+             sequence(10, 14)[4:] as tail,
+             sequence(10, 14)[-2:] as last2,
+             sequence(10, 14)[:-2] as drop2,
+             sequence(10, 14)[0:2] as zlo,
+             sequence(10, 14)[-99:2] as neglo,
+             sequence(10, 14)[2:99] as bighi,
+             sequence(10, 14)[4:2] as inv,
+             sequence(10, 14)[9:] as past,
+             sequence(10, 14)[:] as whole
+           from region where r_regionkey = 0"""),
+      spark.sql(
+        """select r_regionkey,
+             sequence(11, 13) as mid, sequence(10, 11) as head,
+             sequence(13, 14) as tail, sequence(13, 14) as last2,
+             sequence(10, 13) as drop2, sequence(10, 11) as zlo,
+             sequence(10, 11) as neglo, sequence(11, 14) as bighi,
+             array() as inv, array() as past, sequence(10, 14) as whole
+           from region where r_regionkey = 0""").selectExpr(
+        "r_regionkey", "cast(mid as array<bigint>) mid",
+        "cast(head as array<bigint>) head", "cast(tail as array<bigint>) tail",
+        "cast(last2 as array<bigint>) last2", "cast(drop2 as array<bigint>) drop2",
+        "cast(zlo as array<bigint>) zlo", "cast(neglo as array<bigint>) neglo",
+        "cast(bighi as array<bigint>) bighi", "cast(inv as array<bigint>) inv",
+        "cast(past as array<bigint>) past", "cast(whole as array<bigint>) whole"))
+    // a NULL list or NULL bound reads NULL (never empty — the clamps
+    // are explicit WHENs because greatest/least SKIP nulls)
+    assertSameRows(
+      graftSession.query(
+        """select split(cast(null as varchar), ' ')[1:2] as nlist,
+             sequence(1, 3)[null:2] as nlo,
+             sequence(1, 3)[1:null] as nhi
+           from region where r_regionkey = 0"""),
+      spark.sql(
+        """select cast(null as array<string>) as nlist,
+             cast(null as array<bigint>) as nlo, cast(null as array<bigint>) as nhi
+           from region where r_regionkey = 0"""))
+    // computed bounds, slices of slices, and slice-then-subscript
+    assertSameRows(
+      graftSession.query(
+        """select n_nationkey,
+             sequence(1, 10)[n_nationkey % 3 + 1 : n_nationkey % 3 + 3] as w,
+             sequence(1, 10)[2:8][2:3] as ss,
+             sequence(1, 10)[3:][2] as sx
+           from nation"""),
+      spark.sql(
+        """select n_nationkey,
+             slice(sequence(1, 10), cast(n_nationkey % 3 + 1 as int), 3) as w,
+             sequence(3, 4) as ss, 4 as sx from nation""").selectExpr(
+        "n_nationkey", "cast(w as array<bigint>) w",
+        "cast(ss as array<bigint>) ss", "cast(sx as bigint) sx"))
+    // list literals: element exprs, nesting, and the empty list
+    assertSameRows(
+      graftSession.query(
+        """select [1, 2, 1 + 2] as a, ['x', r_name] as s,
+             [[1], [2, 3]][2][1] as n
+           from region where r_regionkey = 0"""),
+      spark.sql(
+        """select array(1, 2, 3) as a, array('x', r_name) as s, 2 as n
+           from region where r_regionkey = 0"""))
+    // struct literals: quoted + bare keys, nesting, dotted access
+    assertSameRows(
+      graftSession.query(
+        """select {'a': 1, 'b': r_name}.b as sb,
+             {x: 5}.x as bx,
+             {'o': {'i': r_regionkey + 7}}.o.i as nested
+           from region where r_regionkey = 0"""),
+      spark.sql(
+        """select r_name as sb, 5 as bx, cast(r_regionkey + 7 as bigint) as nested
+           from region where r_regionkey = 0"""))
+    // map literals: computed keys/values, absent key NULL, empty map
+    assertSameRows(
+      graftSession.query(
+        """select map {lower(r_name): r_regionkey, 'k': 99}['africa'] as hit,
+             map {'k': 1}['nope'] as miss,
+             size(map_keys(map {})) as empty_n
+           from region where r_regionkey = 0"""),
+      spark.sql(
+        """select cast(0 as bigint) as hit, cast(null as int) as miss,
+             0 as empty_n
+           from region where r_regionkey = 0"""))
+    // loud walls: empty struct literal; unterminated slice
+    val e1 = intercept[RuntimeException](
+      graftSession.query("select {} from region"))
+    assert(e1.getMessage.contains("struct"), e1.getMessage)
+    intercept[RuntimeException](
+      graftSession.query("select sequence(1, 3)[1:2 from region"))
+  }
+
+  test("bitwise aggregates bit_and/bit_or/bit_xor (r11b)") {
+    checkAgainstSparkSql(
+      """select l_returnflag,
+           cast(bit_and(l_linenumber) as bigint) as ba,
+           cast(bit_or(l_linenumber) as bigint) as bo,
+           cast(bit_xor(l_orderkey % 7) as bigint) as bx
+         from lineitem group by l_returnflag""")
+    // they ride OVER windows like any aggregate
+    checkAgainstSparkSql(
+      """select n_nationkey,
+           bit_or(n_nationkey) over (partition by n_regionkey) as w
+         from nation""")
+    // DISTINCT is loud (no Column-API spelling for bit_xor DISTINCT;
+    // bit_and/bit_or are distinct-insensitive anyway)
+    val e = intercept[RuntimeException](graftSession.query(
+      "select bit_xor(distinct n_regionkey) as x from nation"))
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
+  }
+
   test("TRY_CAST returns NULL on conversion failure (r7b)") {
     checkAgainstSparkSql(
       """select o_orderkey,
