@@ -1818,7 +1818,7 @@ object SparkEntry {
            string_split(lower(text), ' ')[2 + doc_id % 3] as w_mid,
            string_split(lower(text), ' ')[9999] as w_oob
          from documents"""),
-    // list slicing + list/struct/map literals (r11b, SURVEY 36bj):
+    // list slicing + list/struct/map literals (r11b, SURVEY 36bk):
     // `w[lo:hi]` 1-based inclusive with omittable/negative bounds
     // (DuckDB list slicing — lo clamps to 1, hi to len, inverted
     // ranges read empty), `[a, b]` list literals, `{'k': v}` struct
@@ -2414,6 +2414,61 @@ object SparkEntry {
                  (-0.8 + stop_ratio * 2.0 + punct_ratio * (-3.0) +
                    (n_chars_m / (n_chars_m + 500.0)) * 1.5) > 0 as keep
                from q""")),
+    // Gopher-style rule bundle (r11b): the Rae et al. 2021 heuristic
+    // battery as one zero-shuffle projection — pure counting +
+    // exact-rounded IEEE division, so DuckDB replays every metric,
+    // flag, and the conjunction bit-identically. Thresholds tuned so
+    // the synthetic corpus produces a real keep/drop mix (word-count
+    // band + at least one 'the'/'to'-family stopword hit).
+    ("q_quality_gopher",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Quality.gopherRules(tbl(s, dir, "documents"),
+          minWords = 30, maxWords = 10000, minStopHits = 1),
+      Some(s"""with b as (select doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                   t -> t <> '') as w,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   t -> t <> '') as lw,
+                 string_split(text, chr(10)) as ln
+               from documents),
+               m as (select doc_id,
+                 cast(len(w) as bigint) as n_words,
+                 length(array_to_string(w, '')) / len(w) as mean_word_len,
+                 ((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3)
+                  / len(w) as symbol_ratio,
+                 len(list_filter(ln, l ->
+                   substring(ltrim(l), 1, 1) in ('•', '-', '*')))
+                  / len(ln) as bullet_frac,
+                 len(list_filter(ln, l -> rtrim(l) like '%...'))
+                  / len(ln) as ellipsis_frac,
+                 len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+                  / len(w) as alpha_frac,
+                 cast(len(list_intersect(lw,
+                   [${graft.ops.Quality.GopherStopwords.map("'" + _ + "'").mkString(", ")}]))
+                  as bigint) as n_stop_hits
+               from b),
+               f as (select *,
+                 coalesce(n_words between 30 and 10000, false) as f_words,
+                 coalesce(mean_word_len between 3.0 and 10.0,
+                   false) as f_mean_len,
+                 coalesce(symbol_ratio <= 0.1, false) as f_symbols,
+                 coalesce(bullet_frac <= 0.9, false) as f_bullets,
+                 coalesce(ellipsis_frac <= 0.3, false) as f_ellipsis,
+                 coalesce(alpha_frac >= 0.8, false) as f_alpha,
+                 coalesce(n_stop_hits >= 1, false) as f_stopwords
+               from m)
+               select doc_id, n_words,
+                 round(mean_word_len, 6) as mean_word_len,
+                 round(symbol_ratio, 6) as symbol_ratio,
+                 round(bullet_frac, 6) as bullet_frac,
+                 round(ellipsis_frac, 6) as ellipsis_frac,
+                 round(alpha_frac, 6) as alpha_frac, n_stop_hits,
+                 f_words, f_mean_len, f_symbols, f_bullets, f_ellipsis,
+                 f_alpha, f_stopwords,
+                 (f_words and f_mean_len and f_symbols and f_bullets
+                  and f_ellipsis and f_alpha and f_stopwords) as keep
+               from f""")),
     ("q_text_tokens",
       (s: SparkSession, dir: String) => TextAnalysis.tokenCounts(tbl(s, dir, "documents")),
       Some("""select doc_id,
@@ -3785,6 +3840,41 @@ object SparkEntry {
               from documents d
               left join agg a on d.doc_id = a.doc_id
               left join cov c on d.doc_id = c.doc_id""")),
+    // paragraph-level dedup (r11b): the CCNet/RefinedWeb line-dedup
+    // pass — drop every paragraph whose normalized text occurred
+    // earlier in the corpus. The synthetic docs have no newlines, so
+    // the query splits on the token ' a ' (frequent in the tiny
+    // vocabulary → real cross-doc paragraph collisions); minChars=2
+    // exercises the short-paragraph skip. The oracle replays split,
+    // normalize, first-occurrence ranking, and positional rewrite.
+    ("q_dedup_paragraphs",
+      (s: SparkSession, dir: String) =>
+        Dedup.dedupParagraphs(tbl(s, dir, "documents"), " a ", 2),
+      Some("""with sp as (select doc_id, text,
+                  string_split(text, ' a ') as p from documents),
+              paras as (select doc_id, i as idx, p[i] as para,
+                          lower(trim(p[i])) as nrm
+                        from sp, unnest(range(1, len(p) + 1)) as u(i)),
+              rk as (select doc_id, idx,
+                       row_number() over (partition by nrm
+                                          order by doc_id, idx) as rn
+                     from paras where length(nrm) >= 2),
+              drops as (select doc_id, idx from rk where rn > 1),
+              kept as (select p.doc_id, p.idx, p.para from paras p
+                       anti join drops d
+                         on p.doc_id = d.doc_id and p.idx = d.idx),
+              agg as (select doc_id,
+                        array_to_string(list(para order by idx), ' a ') as txt
+                      from kept group by doc_id),
+              nd as (select doc_id, count(*) as n from drops group by doc_id)
+              select d.doc_id,
+                case when d.text is null then null
+                     when nd.doc_id is null then d.text
+                     else coalesce(a.txt, '') end as text,
+                cast(coalesce(nd.n, 0) as bigint) as n_removed
+              from documents d
+              left join agg a on d.doc_id = a.doc_id
+              left join nd on d.doc_id = nd.doc_id""")),
     // bigram LM quality score (r10): mean add-k bigram log-prob under
     // the corpus's own model. ln() differs by final ulps between
     // JVM and C libm (documented verify-skill wall), so this entry is

@@ -824,6 +824,73 @@ object Dedup {
     * Returns (doc_id, text, n_removed). NULL text stays NULL;
     * documents shorter than n tokens pass through unchanged.
     */
+  /** Paragraph-level corpus dedup (SURVEY §2.2 row 124, r11b) — the
+    * CCNet/RefinedWeb line-dedup pass: split each document on `sep`,
+    * hash the NORMALIZED paragraph (lowercased, trimmed), and drop
+    * every paragraph whose normalized text occurred EARLIER in the
+    * corpus (global (doc_id, idx) order ⟹ exactly one surviving
+    * occurrence per distinct paragraph, deterministic). Paragraphs
+    * whose normalized form is shorter than `minChars` never
+    * participate — they are structure (blank lines, bullets), not
+    * content, and always survive.
+    *
+    * Plan shape (the row-118 conventions): narrow (doc_id, idx, md5)
+    * triples shuffle — paragraph TEXT never does; first occurrences
+    * via the skew-safe two-phase `min(struct(doc_id, idx))` per hash
+    * (a boilerplate paragraph repeated 10^6 times collapses to one
+    * partial row per map task before any exchange — the r11 hot-span
+    * remedy); dropped indexes fold to ONE sorted int array per
+    * affected doc, one doc_id join carries them back, and the
+    * rewrite is a codegen positional filter over the re-split text.
+    * Untouched documents (and NULL text) pass through byte-for-byte
+    * and never reach the join's build side.
+    *
+    * Returns (doc_id, text, n_removed). */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n",
+                      minChars: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    locally {
+      val reserved = Seq("__p0", "__para", "__idx", "__nrm", "__h",
+        "__mn", "__c", "__drops")
+      val clash = docs.columns.filter(c =>
+        reserved.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input columns [${clash.mkString(", ")}] collide with reserved " +
+          s"internal helper names [${reserved.mkString(", ")}]")
+    }
+    // F.split takes a REGEX — quote the literal separator
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(F.col("doc_id"),
+        F.posexplode(F.split(F.col("text"), sepRe))
+          .as(Seq("__p0", "__para")))
+      .select(F.col("doc_id"), (F.col("__p0") + 1).as("__idx"),
+        F.lower(F.trim(F.col("__para"))).as("__nrm"))
+      .where(F.length(F.col("__nrm")) >= minChars)
+      .select(F.col("doc_id"), F.col("__idx"),
+        F.md5(F.col("__nrm")).as("__h"))
+    val firsts = paras.groupBy("__h")
+      .agg(F.min(F.struct(F.col("doc_id"), F.col("__idx"))).as("__mn"),
+        F.count(F.lit(1)).as("__c"))
+      .where(F.col("__c") > 1)
+      .select("__h", "__mn")
+    val drops = paras.join(firsts, Seq("__h"))
+      .where(F.struct(F.col("doc_id"), F.col("__idx")) =!= F.col("__mn"))
+      .groupBy("doc_id")
+      .agg(F.sort_array(F.collect_list("__idx")).as("__drops"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.when(F.col("text").isNull, F.lit(null))
+          .when(F.col("__drops").isNull, F.col("text"))
+          .otherwise(F.array_join(
+            F.filter(F.split(F.col("text"), sepRe),
+              (_: Column, i: Column) =>
+                !F.array_contains(F.col("__drops"), i + F.lit(1))),
+            sep)).as("text"),
+        F.coalesce(F.size(F.col("__drops")), F.lit(0))
+          .cast("long").as("n_removed"))
+  }
+
   def removeDuplicateSpans(docs: DataFrame, n: Int = 20): DataFrame = {
     require(n >= 2, "span length must be at least 2 tokens")
     locally {

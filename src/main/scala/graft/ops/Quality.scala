@@ -206,6 +206,91 @@ object Quality {
     (c(0), c(1), c(2), m.intercept)
   }
 
+  /** Gopher-style document quality rule bundle (SURVEY §2.2 row 125,
+    * r11b) — the repetition-free subset of the Rae et al. 2021
+    * (Gopher) / RedPajama quality heuristics as ONE codegen'd
+    * projection (zero shuffle at any corpus size):
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [minMeanLen, maxMeanLen]
+    *  - symbol-to-word ratio ('#' and '...') ≤ maxSymbolRatio
+    *  - ≤ maxBulletFrac of lines starting with a bullet (•, -, *)
+    *  - ≤ maxEllipsisFrac of lines ending with '...'
+    *  - ≥ minAlphaFrac of words containing an alphabetic character
+    *  - ≥ minStopHits distinct hits from the Gopher 8-stopword list
+    *
+    * Every metric is counting + exact-rounded IEEE division (int/int
+    * `/` is fractional in both engines), so the whole bundle replays
+    * bit-identically in DuckDB — no transcendentals. Mean word length
+    * reads as length(array_join(words, '')) / n_words: the join-sum
+    * trick keeps it a pure string op instead of an interpreted
+    * aggregate lambda. NULL text fails every rule (keep = false,
+    * metrics NULL). Returns doc_id, the 6 metrics, 7 per-rule flags,
+    * and the conjunction `keep`. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val stopLit = GopherStopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .selectExpr("doc_id", "text",
+        // whitespace-REGEX tokenization (the TextStats n_ws
+        // convention): multi-line docs must not glue words across
+        // line boundaries the way a single-space split would
+        "filter(split(text, '\\\\s+'), t -> t <> '') as __w",
+        "filter(split(lower(text), '\\\\s+'), t -> t <> '') as __lw",
+        "split(text, chr(10)) as __ln")
+      .selectExpr("doc_id", "text", "__w", "__lw", "__ln",
+        "cast(size(__w) as bigint) as n_words",
+        "cast(size(__ln) as bigint) as __nl")
+      .selectExpr("doc_id", "n_words",
+        "length(array_join(__w, '')) / n_words as mean_word_len",
+        """((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3)
+           / n_words as symbol_ratio""",
+        """size(filter(__ln, l -> substring(ltrim(l), 1, 1) in ('•', '-', '*')))
+           / __nl as bullet_frac""",
+        """size(filter(__ln, l -> rtrim(l) like '%...'))
+           / __nl as ellipsis_frac""",
+        "size(filter(__w, t -> t rlike '[a-zA-Z]')) / n_words as alpha_frac",
+        // array_intersect = DISTINCT common elements in both engines
+        // (native set op — not a nested per-stopword HOF scan)
+        s"cast(size(array_intersect(__lw, $stopLit)) as bigint) as n_stop_hits")
+      // flags compare the UNROUNDED metrics (both engines compute the
+      // identical IEEE doubles, so the comparisons agree; comparing
+      // rounded values would flip at threshold-adjacent inputs); the
+      // rounding below is display-only
+      .selectExpr("*",
+        s"coalesce(n_words between $minWords and $maxWords, false) as f_words",
+        s"""coalesce(mean_word_len between $minMeanLen and $maxMeanLen,
+           false) as f_mean_len""",
+        s"coalesce(symbol_ratio <= $maxSymbolRatio, false) as f_symbols",
+        s"coalesce(bullet_frac <= $maxBulletFrac, false) as f_bullets",
+        s"coalesce(ellipsis_frac <= $maxEllipsisFrac, false) as f_ellipsis",
+        s"coalesce(alpha_frac >= $minAlphaFrac, false) as f_alpha",
+        s"coalesce(n_stop_hits >= $minStopHits, false) as f_stopwords")
+      .withColumn("keep",
+        F.col("f_words") && F.col("f_mean_len") && F.col("f_symbols") &&
+          F.col("f_bullets") && F.col("f_ellipsis") && F.col("f_alpha") &&
+          F.col("f_stopwords"))
+      .selectExpr("doc_id", "n_words",
+        "round(mean_word_len, 6) as mean_word_len",
+        "round(symbol_ratio, 6) as symbol_ratio",
+        "round(bullet_frac, 6) as bullet_frac",
+        "round(ellipsis_frac, 6) as ellipsis_frac",
+        "round(alpha_frac, 6) as alpha_frac", "n_stop_hits",
+        "f_words", "f_mean_len", "f_symbols", "f_bullets", "f_ellipsis",
+        "f_alpha", "f_stopwords", "keep")
+  }
+
+  /** The Gopher rule set's stopword list (Rae et al. 2021 A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** [[histogram]] with the range taken from the data: one extra
     * min/max aggregation pass (the small price of not knowing the
     * domain), then the fixed-range single pass. */

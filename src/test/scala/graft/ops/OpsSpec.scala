@@ -1238,6 +1238,47 @@ class OpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("__starts"))
   }
 
+  test("paragraph dedup drops later normalized occurrences, keeps structure") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\ngamma\ndelta"),      // all first occurrences
+      (2L, "Gamma \nepsilon\nalpha beta"),   // both dup doc 1 (case+trim)
+      (3L, "x\nepsilon\nx"),                 // short 'x' never dedups; epsilon dups doc 2
+      (4L, "gamma\nGAMMA"),                  // both dup doc 1 -> empty rewrite
+      (5L, null.asInstanceOf[String]),       // NULL stays NULL
+      (6L, "zeta  two  spaces")              // untouched: byte-for-byte
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupParagraphs(docs, "\n", 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("text")), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(out == Map(
+      1L -> (Some("alpha beta\ngamma\ndelta"), 0L),
+      2L -> (Some("epsilon"), 2L),
+      3L -> (Some("x\nx"), 1L),
+      4L -> (Some(""), 2L),
+      5L -> (None, 0L),
+      6L -> (Some("zeta  two  spaces"), 0L)), out.toString)
+    // a within-doc repeat keeps only its first occurrence
+    val within = graft.ops.Dedup.dedupParagraphs(
+      Seq((1L, "p\nq\np\np")).toDF("doc_id", "text"), "\n", 1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(within == ("p\nq", 2L), within.toString)
+    // minChars=1 still skips paragraphs that normalize to EMPTY
+    // (blank lines survive and the doc reassembles around them)
+    val blanks = graft.ops.Dedup.dedupParagraphs(
+      Seq((1L, "a\n\nb"), (2L, "c\n\nd")).toDF("doc_id", "text"), "\n", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(blanks == Map(1L -> "a\n\nb", 2L -> "c\n\nd"), blanks.toString)
+    // reserved helper-name collision fails loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.dedupParagraphs(
+        Seq((1L, "x", 0)).toDF("doc_id", "text", "__drops"), "\n")
+    }
+    assert(err.getMessage.contains("__drops"))
+  }
+
   test("scd2 chains validity intervals per key, current row open-ended") {
     import spark.implicits._
     val log = Seq(("k1", 100L, "v1"), ("k1", 200L, "v2"), ("k1", 300L, "v3"),
@@ -1498,6 +1539,57 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(m(1.0) > m(0.0),
       s"trained gate failed to separate: $m weights=($w1,$w2,$w3,$b)")
+  }
+
+  test("gopher rules: planted fixtures trip each rule independently") {
+    import spark.implicits._
+    val nl = "\n"
+    val docs = Seq(
+      // passes everything: 6 words, mean len in band, two stopwords
+      (1L, "the quick brown foxes jump with"),
+      (2L, "the with"),                             // too few words
+      (3L, "a b c d e the"),                        // mean word len < 3
+      (4L, "the extraordinarily magnificently overcomplicated terminology"), // mean len > 10
+      (5L, "the cats sat down mats ##"),            // symbol ratio 2/6 > 0.1
+      (6L, s"- alpha beta gamma$nl- bravo delta epsilon${nl}the end"), // 2/3 bullet lines
+      (7L, s"ab cd...${nl}ef gh...${nl}the end here with many more " +
+        "words coming now left right up down over under again still " +
+        "more words"),                              // 2/3 ellipsis lines, 2/23 symbols
+      (8L, "the 123 456 789 000 111"),              // alpha frac 1/6 < 0.8
+      (9L, "zzz yyy xxx www vvv uuu"),              // zero stopword hits
+      (10L, null.asInstanceOf[String])              // NULL text: keep false
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherRules(docs, minWords = 3, maxWords = 100,
+        minMeanLen = 3.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
+        maxBulletFrac = 0.5, maxEllipsisFrac = 0.3,
+        minAlphaFrac = 0.8, minStopHits = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Boolean] =
+      Seq("f_words", "f_mean_len", "f_symbols", "f_bullets",
+        "f_ellipsis", "f_alpha", "f_stopwords")
+        .map(out(id).getAs[Boolean])
+    assert(out(1L).getAs[Boolean]("keep"), out(1L).toString)
+    assert(flags(1L).forall(identity))
+    // each planted failure trips EXACTLY its own rule
+    assert(flags(2L) == Seq(false, true, true, true, true, true, true))
+    assert(flags(3L) == Seq(true, false, true, true, true, true, true))
+    assert(flags(4L) == Seq(true, false, true, true, true, true, true))
+    assert(flags(5L) == Seq(true, true, false, true, true, true, true))
+    assert(flags(6L) == Seq(true, true, true, false, true, true, true))
+    assert(flags(7L) == Seq(true, true, true, true, false, true, true))
+    assert(flags(8L) == Seq(true, true, true, true, true, false, true))
+    assert(flags(9L) == Seq(true, true, true, true, true, true, false))
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(!out(10L).getAs[Boolean]("keep") && flags(10L).forall(!_))
+    assert(out(10L).isNullAt(out(10L).fieldIndex("n_words")))
+    // hand-check the doc-1 metrics
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6L)
+    assert(r1.getAs[Double]("mean_word_len") ==
+      math.rint("thequickbrownfoxesjumpwith".length / 6.0 * 1e6) / 1e6)
+    assert(r1.getAs[Long]("n_stop_hits") == 2L) // the, with
+    // mean-word-length check on doc 4 (stopword 'the' hits; len high)
+    assert(out(4L).getAs[Double]("mean_word_len") > 10.0)
   }
 
   // ---- edit-distance fuzzy join (r7b) ---------------------------------
