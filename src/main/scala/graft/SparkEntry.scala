@@ -2291,6 +2291,27 @@ object SparkEntry {
                select src, dst, sim,
                  row_number() over (partition by src order by sim desc, dst) as rnk
                from scored qualify rnk <= 3""")),
+    // hard-negative mining (r11b): top-k most-similar DIFFERENT-label
+    // neighbors within deterministic hash cells (vec_id % 8 — labels
+    // mix inside every cell, unlike the label-cell knn entry); the
+    // oracle replays pairs + label inequality + rank
+    ("q_hard_negatives",
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegatives(
+          tbl(s, dir, "embeddings")
+            .withColumn("cell", F.expr("vec_id % 8")), 3),
+      Some(s"""with e as (select * from (select vec_id, label,
+                 vec_id % 8 as cell, embedding,
+                 list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+               from embeddings) where norm2 > 0),
+               scored as (select a.vec_id as src, a.label as src_label,
+                            b.vec_id as dst, b.label as dst_label,
+                            round(${duckPairCos("a", "b")}, 6) as sim
+                          from e a join e b
+                            on a.cell = b.cell and a.label <> b.label)
+               select src, src_label, dst, dst_label, sim,
+                 row_number() over (partition by src order by sim desc, dst) as rnk
+               from scored qualify rnk <= 3""")),
     ("q_ann_brute",
       (s: SparkSession, dir: String) => Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 5),
       Some(s"""$duckEmbCte,
@@ -3875,6 +3896,60 @@ object SparkEntry {
               from documents d
               left join agg a on d.doc_id = a.doc_id
               left join nd on d.doc_id = nd.doc_id""")),
+    // DSIR importance-weight integer anchor (r11b): the hashed
+    // unigram+bigram count layer feeding dsirWeights' ln-fold —
+    // target model = the doc_id%3=0 third, source = the rest, so
+    // both OOV paths carry real weight. Buckets hash via the
+    // cross-engine md5 prefix (conv(hex,16,10) ≡ ('0x'||hex)::bigint;
+    // collisions are deterministic and identical in both engines).
+    // The ln score itself is spec-pinned (libm wall, the LM
+    // precedent).
+    ("q_dsir_parts",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.dsirParts(
+          tbl(s, dir, "documents"),
+          tbl(s, dir, "documents").filter("doc_id % 3 = 0"),
+          tbl(s, dir, "documents").filter("doc_id % 3 <> 0"), 512),
+      Some("""with tok as (select doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '') as w
+                from documents),
+              g1 as (select doc_id, unnest(w) as g from tok),
+              g2 as (select doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) as g
+                     from tok where len(w) >= 2),
+              gx as (select * from g1 union all select * from g2),
+              fb as (select doc_id,
+                       ('0x' || substring(md5(g), 1, 8))::bigint % 512 as b
+                     from gx),
+              docf as (select doc_id, b, count(*) as n
+                       from fb group by doc_id, b),
+              tb as (select b, count(*) as ct from fb
+                     where doc_id % 3 = 0 group by b),
+              sb as (select b, count(*) as cs from fb
+                     where doc_id % 3 <> 0 group by b),
+              tot as (select
+                        (select coalesce(sum(ct), 0) from tb) as nt,
+                        (select coalesce(sum(cs), 0) from sb) as ns),
+              parts as (select doc_id,
+                          sum(n) as n_feats,
+                          sum(n * coalesce(ct, 0)) as sum_t,
+                          sum(n * coalesce(cs, 0)) as sum_s,
+                          sum(case when ct is null then n else 0 end) as n_oov_t,
+                          sum(case when cs is null then n else 0 end) as n_oov_s
+                        from docf
+                        left join tb using (b) left join sb using (b)
+                        group by doc_id)
+              select d.doc_id,
+                cast(coalesce(p.n_feats, 0) as bigint) as n_feats,
+                cast(coalesce(p.sum_t, 0) as bigint) as sum_t,
+                cast(coalesce(p.sum_s, 0) as bigint) as sum_s,
+                cast(coalesce(p.n_oov_t, 0) as bigint) as n_oov_t,
+                cast(coalesce(p.n_oov_s, 0) as bigint) as n_oov_s,
+                cast(tot.nt as bigint) as nt, cast(tot.ns as bigint) as ns
+              from documents d
+              left join parts p on d.doc_id = p.doc_id
+              cross join tot""")),
     // bigram LM quality score (r10): mean add-k bigram log-prob under
     // the corpus's own model. ln() differs by final ulps between
     // JVM and C libm (documented verify-skill wall), so this entry is

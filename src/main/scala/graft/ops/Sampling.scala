@@ -206,4 +206,104 @@ object Sampling {
       .filter(F.col("neg_id") =!= F.col("anchor_id"))
       .select("anchor_id", "j", "neg_id")
   }
+
+  /** The shared hashed-feature layer of DSIR (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * word unigrams + bigrams hash into `buckets` ids via the
+    * cross-engine md5-prefix (conv(md5[1:8], 16, 10) % buckets — the
+    * same bucket in any engine), target/source corpora aggregate to
+    * per-bucket counts (narrow int rows, map-side partials), each
+    * scored doc's features map-side-combine to (doc, bucket, n), and
+    * two bucket-key joins attach the model counts. Corpus totals ride
+    * broadcast 1-row frames. Text never shuffles anywhere. */
+  private def dsirLayer(docs: DataFrame, target: DataFrame,
+                        source: DataFrame, buckets: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(buckets >= 2, "buckets must be at least 2")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramsExpr =
+      "concat(graft_word_ngrams(lower(text), 1), graft_word_ngrams(lower(text), 2))"
+    val bucketExpr =
+      s"cast(conv(substring(md5(__g), 1, 8), 16, 10) as bigint) % $buckets"
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(F.explode(F.expr(gramsExpr)).as("__g"))
+      .selectExpr(s"$bucketExpr as __b")
+    val tb = bucketed(target).groupBy("__b")
+      .agg(F.count(F.lit(1)).as("__ct"))
+    val sb = bucketed(source).groupBy("__b")
+      .agg(F.count(F.lit(1)).as("__cs"))
+    val totals = F.broadcast(
+      tb.agg(F.coalesce(F.sum("__ct"), F.lit(0L)).as("__nt")).crossJoin(
+        sb.agg(F.coalesce(F.sum("__cs"), F.lit(0L)).as("__ns"))))
+    val docF = docs
+      .select(F.col("doc_id"), F.explode(F.expr(gramsExpr)).as("__g"))
+      .selectExpr("doc_id", s"$bucketExpr as __b")
+      .groupBy("doc_id", "__b").agg(F.count(F.lit(1)).as("__n"))
+    (docF.join(tb, Seq("__b"), "left").join(sb, Seq("__b"), "left"),
+      totals, docs.select("doc_id"))
+  }
+
+  /** Integer anchor for DSIR (the bigramLmParts convention): the
+    * per-document count layer feeding the ln-fold — n_feats (Σ n_b),
+    * sum_t / sum_s (Σ n_b·count_b in the target/source model),
+    * n_oov_t / n_oov_s (feature mass in buckets the model never saw),
+    * and the corpus totals nt / ns — all exact integers, so a DuckDB
+    * oracle verifies every input to [[dsirWeights]]' libm-bound
+    * score. Docs with no features read all-zero rows. */
+  def dsirParts(docs: DataFrame, target: DataFrame, source: DataFrame,
+                buckets: Int = 8192): DataFrame = {
+    val (joined, totals, ids) = dsirLayer(docs, target, source, buckets)
+    val parts = joined.groupBy("doc_id")
+      .agg(F.sum("__n").as("n_feats"),
+        F.sum(F.col("__n") * F.coalesce(F.col("__ct"), F.lit(0L)))
+          .as("sum_t"),
+        F.sum(F.col("__n") * F.coalesce(F.col("__cs"), F.lit(0L)))
+          .as("sum_s"),
+        F.sum(F.when(F.col("__ct").isNull, F.col("__n"))
+          .otherwise(F.lit(0L))).as("n_oov_t"),
+        F.sum(F.when(F.col("__cs").isNull, F.col("__n"))
+          .otherwise(F.lit(0L))).as("n_oov_s"))
+    ids.join(parts, Seq("doc_id"), "left")
+      .crossJoin(totals)
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_feats"), F.lit(0L)).as("n_feats"),
+        F.coalesce(F.col("sum_t"), F.lit(0L)).as("sum_t"),
+        F.coalesce(F.col("sum_s"), F.lit(0L)).as("sum_s"),
+        F.coalesce(F.col("n_oov_t"), F.lit(0L)).as("n_oov_t"),
+        F.coalesce(F.col("n_oov_s"), F.lit(0L)).as("n_oov_s"),
+        F.col("__nt").as("nt"), F.col("__ns").as("ns"))
+  }
+
+  /** DSIR importance weights (SURVEY §2.2 row 127, r11b): per-doc
+    * log importance weight under add-k-smoothed hashed bag-of-ngram
+    * models of a TARGET distribution (what you want more of) vs the
+    * SOURCE distribution (what the corpus is),
+    * log w = Σ_b n_b · [ln((ct_b+k)/(nt+k·B)) − ln((cs_b+k)/(ns+k·B))]
+    * — resample ∝ w to shift the corpus toward the target (the DSIR
+    * recipe; pair with [[consistentSample]]/quantile gates for the
+    * deterministic selection step). Unseen buckets back off to pure
+    * smoothing mass, so out-of-model docs score, never crash; empty
+    * model corpora degrade to uniform (k·B > 0 guards every
+    * denominator). ln is the JVM's — the gate entry for this score is
+    * rows-only and [[dsirParts]] anchors its entire input layer
+    * (the bigram-LM precedent). Returns (doc_id, dsir_logw, n_feats);
+    * docs with no features read NULL weight, 0 features. */
+  def dsirWeights(docs: DataFrame, target: DataFrame, source: DataFrame,
+                  buckets: Int = 8192, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "additive smoothing constant must be positive")
+    val (joined, totals, ids) = dsirLayer(docs, target, source, buckets)
+    val scored = joined
+      .crossJoin(totals)
+      .select(F.col("doc_id"), F.col("__n"),
+        (F.col("__n") *
+          (F.log((F.coalesce(F.col("__ct"), F.lit(0L)) + F.lit(addK)) /
+                 (F.col("__nt") + F.lit(addK * buckets))) -
+           F.log((F.coalesce(F.col("__cs"), F.lit(0L)) + F.lit(addK)) /
+                 (F.col("__ns") + F.lit(addK * buckets))))).as("__lw"))
+      .groupBy("doc_id")
+      .agg(F.sum("__lw").as("dsir_logw"), F.sum("__n").as("n_feats"))
+    ids.join(scored, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("dsir_logw"),
+        F.coalesce(F.col("n_feats"), F.lit(0L)).as("n_feats"))
+  }
 }

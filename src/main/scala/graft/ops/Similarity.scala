@@ -440,6 +440,49 @@ object Similarity {
                seed: Long = 42L): DataFrame =
     knnGraphFrom(ivfBuild(emb, cells, seed), k)
 
+  /** Hard-negative mining (SURVEY §2.2 row 126, r11b): each anchor's
+    * top-k most-SIMILAR vectors carrying a DIFFERENT label — the
+    * contrastive-training complement of
+    * [[graft.ops.Sampling.hashNegatives]]' random ring (random
+    * negatives are easy; the informative ones are the near misses).
+    * Same cell-bounded self-join + rank-limit pushdown shape as
+    * [[knnGraphFrom]] (one cell-key shuffle, O(|cell|²) per cell,
+    * WindowGroupLimit keeps k rows per anchor per partition), with
+    * the label INEQUALITY folded into the join condition so
+    * same-label pairs never materialize. Within-cell only — the
+    * documented knnGraph recall trade; vectors with a NULL label (or
+    * zero norm) emit and attract nothing (the inequality is
+    * three-valued, and a zero vector's NaN cosine would sort as the
+    * largest double). Returns (src, src_label, dst, dst_label, sim,
+    * rnk), rnk 1..k per src. */
+  def hardNegatives(cellAssigned: DataFrame, k: Int,
+                    labelCol: String = "label",
+                    cellCol: String = "cell",
+                    maxCellSize: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    GraftFunctions.register(cellAssigned.sparkSession)
+    val e = cellAssigned.selectExpr("vec_id", "embedding",
+      s"$labelCol as __lbl", s"$cellCol as cell", s"$norm2Expr as norm2")
+      .filter(F.col("norm2") > 0)
+    val (e1, keys) = boundCells(e, maxCellSize)
+    val a = e1.select(keys.map(c => F.col(c).as(c + "_a")) ++ Seq(
+      F.col("vec_id").as("src"), F.col("__lbl").as("src_label"),
+      F.col("embedding").as("ea"), F.col("norm2").as("na")): _*)
+    val b = e1.select(keys.map(c => F.col(c).as(c + "_b")) ++ Seq(
+      F.col("vec_id").as("dst"), F.col("__lbl").as("dst_label"),
+      F.col("embedding").as("eb"), F.col("norm2").as("nb")): _*)
+    a.join(b,
+        keys.map(c => F.col(c + "_a") === F.col(c + "_b"))
+          .reduce(_ && _) && F.col("src_label") =!= F.col("dst_label"))
+      .selectExpr("src", "src_label", "dst", "dst_label",
+        s"round($pairCos, 6) as sim")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("src")
+          .orderBy(F.col("sim").desc, F.col("dst"))).cast("long"))
+      .filter(F.col("rnk") <= k)
+  }
+
   /** [[semanticDedupFrom]] over real k-means cells ([[ivfBuild]]).
     * The oracle-checked entry uses the precomputed `label` column as
     * the cell instead (trainer float accumulation cannot be replayed

@@ -1176,6 +1176,109 @@ class OpsSpec extends SparkTestBase {
       assert(es.map(_._3).sorted.toSeq == (1L to es.size).toSeq))
   }
 
+  test("hard negatives: top-k cross-label neighbors, hand-computed") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f), Option("A"), 0),
+      (2L, Seq(2f, 1f), Option("A"), 0),
+      (3L, Seq(0f, 1f), Option("B"), 0),
+      (4L, Seq(1f, 1f), Option("B"), 0),
+      (5L, Seq(1f, 1f), Option.empty[String], 0), // NULL label: excluded
+      (6L, Seq(0f, 0f), Option("B"), 0),          // zero vector: excluded
+      (7L, Seq(1f, 0f), Option("A"), 1),          // cell 1: both label A
+      (8L, Seq(3f, 0f), Option("A"), 1)           //   -> no cross-label edges
+    ).toDF("vec_id", "embedding", "label", "cell")
+    val out = graft.ops.Similarity.hardNegatives(emb, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toMap
+    // cross-label cosines in cell 0: (1,3)=0, (1,4)=1/sqrt2,
+    // (2,3)=1/sqrt5, (2,4)=3/sqrt10
+    assert(out == Map(
+      (1L, 1L) -> ("A", 4L, "B", 0.707107), (1L, 2L) -> ("A", 3L, "B", 0.0),
+      (2L, 1L) -> ("A", 4L, "B", 0.948683), (2L, 2L) -> ("A", 3L, "B", 0.447214),
+      (3L, 1L) -> ("B", 2L, "A", 0.447214), (3L, 2L) -> ("B", 1L, "A", 0.0),
+      (4L, 1L) -> ("B", 2L, "A", 0.948683), (4L, 2L) -> ("B", 1L, "A", 0.707107)),
+      out.toString)
+    // same-label pairs never appear; k truncates
+    val k1 = graft.ops.Similarity.hardNegatives(emb, 1).collect()
+    assert(k1.length == 4 && k1.forall(_.getLong(5) == 1L))
+    k1.foreach(r => assert(r.getString(1) != r.getString(3)))
+  }
+
+  test("dsir weights: exact replay of the smoothed log-ratio fold") {
+    import spark.implicits._
+    val target = Seq((100L, "spark window join window"),
+      (101L, "window agg window")).toDF("doc_id", "text")
+    val source = Seq((200L, "row scan row scan table"),
+      (201L, "scan scan batch")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "window join window"),    // target-flavored
+      (2L, "scan row scan"),         // source-flavored
+      (3L, "zzz qqq"),               // fully OOV both models
+      (4L, null.asInstanceOf[String]) // no features
+    ).toDF("doc_id", "text")
+    val B = 65536
+    val k = 0.5
+    val out = graft.ops.Sampling.dsirWeights(docs, target, source, B, k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("dsir_logw")).map(_.asInstanceOf[Double]),
+          r.getAs[Long]("n_feats")))
+      .toMap
+    // Scala-side replay: same tokenization (unigrams + bigrams of the
+    // filtered split), same md5-prefix bucket, same formula
+    def grams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % B
+    }
+    val tc = Seq("spark window join window", "window agg window")
+      .flatMap(grams).groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+    val sc = Seq("row scan row scan table", "scan scan batch")
+      .flatMap(grams).groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+    val (nt, ns) = (tc.values.sum, sc.values.sum)
+    def logw(t: String): Double =
+      grams(t).groupBy(bucket).map { case (b, g) =>
+        g.size *
+          (math.log((tc.getOrElse(b, 0L) + k) / (nt + k * B)) -
+           math.log((sc.getOrElse(b, 0L) + k) / (ns + k * B)))
+      }.sum
+    for (id <- Seq(1L, 2L, 3L)) {
+      val txt = Map(1L -> "window join window", 2L -> "scan row scan",
+        3L -> "zzz qqq")(id)
+      assert(math.abs(out(id)._1.get - logw(txt)) < 1e-12,
+        s"doc $id: ${out(id)._1.get} vs ${logw(txt)}")
+      assert(out(id)._2 == grams(txt).size)
+    }
+    // the directional contract: target-flavored above source-flavored
+    assert(out(1L)._1.get > 0 && out(2L)._1.get < 0)
+    assert(out(1L)._1.get > out(3L)._1.get)
+    // fully-OOV text folds pure smoothing mass: log((k/(nt+kB)) /
+    // (k/(ns+kB))) per feature — nonzero iff nt <> ns
+    assert(math.abs(out(3L)._1.get -
+      grams("zzz qqq").size *
+        (math.log(k / (nt + k * B)) - math.log(k / (ns + k * B)))) < 1e-12)
+    // no features: NULL weight, zero count
+    assert(out(4L) == ((None, 0L)))
+    // parts layer: integers agree with the replay on one doc
+    val p = graft.ops.Sampling.dsirParts(docs, target, source, B)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g1 = grams("window join window").groupBy(bucket)
+    assert(p(1L).getAs[Long]("n_feats") == grams("window join window").size)
+    assert(p(1L).getAs[Long]("sum_t") ==
+      g1.map { case (b, g) => g.size * tc.getOrElse(b, 0L) }.sum)
+    assert(p(1L).getAs[Long]("n_oov_s") ==
+      g1.collect { case (b, g) if !sc.contains(b) => g.size.toLong }.sum)
+    assert(p(1L).getAs[Long]("nt") == nt && p(1L).getAs[Long]("ns") == ns)
+  }
+
   test("soft dedup weights: 1/group size for members, 1.0 for singletons") {
     val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
     val w = graft.ops.Dedup.softDedupWeights(docs, 0.5)
