@@ -407,7 +407,121 @@ final class Graft(val spark: SparkSession) {
     * REPLACE an existing name is a loud error), `DROP VIEW
     * [IF EXISTS] name`, and `EXPLAIN select` (one `plan` row per
     * formatted-plan line). */
-  def query(sqlText: String): DataFrame = sqlText match {
+  def query(sqlText: String): DataFrame = {
+    // RETURNING (r11b, PostgreSQL/DuckDB): a trailing top-level
+    // RETURNING clause on INSERT/UPDATE/DELETE returns the affected
+    // rows instead of the status frame. Split here (string/paren-
+    // aware scanner), execute the bare statement, and evaluate the
+    // expressions over the affected-rows frame captured BEFORE the
+    // re-registration (a deleted row must still be returnable).
+    val head = sqlText.trim.toLowerCase
+    if (head.startsWith("insert") || head.startsWith("update") ||
+        head.startsWith("delete")) {
+      topLevelKeyword(sqlText, "returning") match {
+        case Nil =>
+        case i :: Nil =>
+          val exprs = sqlText.substring(i + "returning".length)
+            .trim.stripSuffix(";").trim
+          return returningStatement(sqlText.substring(0, i).trim, exprs)
+        case _ => fail("multiple top-level RETURNING clauses")
+      }
+    }
+    queryDispatch(sqlText)
+  }
+
+  /** RETURNING lowering (r11b): build the affected-rows frame from
+    * the PRE-statement registry (lazy plans capture the DataFrames,
+    * so the later re-registration cannot change them), run the bare
+    * statement, then evaluate the RETURNING expressions over the
+    * captured frame aliased as the target. INSERT returns the
+    * assignment-cast inserted rows; UPDATE returns POST-update
+    * values (PostgreSQL semantics); DELETE returns the deleted rows.
+    * Unsupported combinations (ON CONFLICT, UPDATE ... FROM,
+    * subquery USING sources) are loud. */
+  private def returningStatement(stmt: String, exprs: String): DataFrame = {
+    if (exprs.isEmpty) fail("RETURNING requires at least one expression")
+    stmt match {
+      case InsertRe(q, b, colListOrNull, body0) =>
+        if (topLevelKeyword(body0, "on").exists(i =>
+            body0.substring(i + 2).trim.toLowerCase.startsWith("conflict")))
+          fail("RETURNING is not supported with ON CONFLICT")
+        val name = Option(q).getOrElse(b)
+        val target = lookup(name)
+        val inserted = insertFilled(target, name, Option(colListOrNull),
+          insertSrcSql(body0))
+        queryDispatch(stmt)
+        returningOver(inserted, name, exprs)
+      case DeleteUsingSubRe(_) =>
+        fail("RETURNING is not supported with a (subquery) USING source")
+      case DeleteUsingRe(tq, tb, tAl, sq, sb, sAl, cond) =>
+        val tName = Option(tq).getOrElse(tb)
+        val sName = Option(sq).getOrElse(sb)
+        lookup(tName); lookup(sName)
+        val tA = Option(tAl).getOrElse(tName)
+        val sA = Option(sAl).getOrElse(sName)
+        val affected = translateOnly(
+          s"""select * from "$tName" as $tA where exists """ +
+          s"""(select 1 from "$sName" as $sA where ($cond))""")
+        queryDispatch(stmt)
+        returningOver(affected, tA, exprs)
+      case DeleteRe(q, b, pred) =>
+        val name = Option(q).getOrElse(b)
+        lookup(name)
+        val affected = translateOnly(
+          s"""select * from "$name" where coalesce(($pred), false)""")
+        queryDispatch(stmt)
+        returningOver(affected, name, exprs)
+      case UpdateRe(q, b, tAl, tail) =>
+        if (topLevelKeyword(tail, "from").nonEmpty)
+          fail("RETURNING is not supported with UPDATE ... FROM")
+        val name = Option(q).getOrElse(b)
+        val target = lookup(name)
+        val (setList, pred) = topLevelKeyword(tail, "where") match {
+          case Nil    => (tail, None)
+          case i :: _ => (tail.substring(0, i),
+                          Some(tail.substring(i + "where".length).trim))
+        }
+        val assigns: Map[String, String] =
+          splitTop(setList, ',').map { a =>
+            val i = a.indexOf('=')
+            if (i < 0) fail(s"UPDATE SET expects col = expr, got: $a")
+            val col = a.substring(0, i).trim
+              .stripPrefix("\"").stripSuffix("\"")
+            val matched = target.columns.find(_.equalsIgnoreCase(col))
+              .getOrElse(fail(s"UPDATE: column '$col' not in $name"))
+            matched.toLowerCase -> a.substring(i + 1).trim
+          }.toMap
+        // POST-update values: unconditional assignments over the rows
+        // the predicate selects (the statement's own CASE arms are
+        // per-row conditionals; here the filter already decided)
+        val items = target.columns.map { c =>
+          assigns.get(c.toLowerCase)
+            .map(e => s"""($e) as "$c"""").getOrElse(s""""$c"""")
+        }
+        val fromTxt = Option(tAl).map(al => s""""$name" as $al""")
+          .getOrElse(s""""$name"""")
+        val whereTxt =
+          pred.map(p => s" where coalesce(($p), false)").getOrElse("")
+        val affected = translateOnly(
+          s"select ${items.mkString(", ")} from $fromTxt$whereTxt")
+        queryDispatch(stmt)
+        returningOver(affected, Option(tAl).getOrElse(name), exprs)
+      case _ => fail("RETURNING is only supported on INSERT INTO, " +
+        "UPDATE ... SET, and DELETE FROM statements")
+    }
+  }
+
+  /** Evaluates RETURNING expressions over the affected-rows frame,
+    * visible under the statement's target alias. */
+  private def returningOver(affected: DataFrame, alias: String,
+                            exprs: String): DataFrame = {
+    val tmp = "__returning_src"
+    registerTable(tmp, affected)
+    try translateOnly(s"""select $exprs from $tmp as "$alias"""")
+    finally removeTable(tmp)
+  }
+
+  private def queryDispatch(sqlText: String): DataFrame = sqlText match {
     case CreateViewRe(orReplace, quoted, bare, body) =>
       val name = Option(quoted).getOrElse(bare)
       if (orReplace == null && tables.contains(name.toLowerCase))

@@ -2312,6 +2312,43 @@ object SparkEntry {
                select src, src_label, dst, dst_label, sim,
                  row_number() over (partition by src order by sim desc, dst) as rnk
                from scored qualify rnk <= 3""")),
+    // kNN label propagation (r11b): the odd-id half takes the
+    // majority label of its 3 nearest even-id (labeled) cell-mates;
+    // hash cells (vec_id % 8) bound the join, ties break to the
+    // smallest label — DuckDB replays join, rank, vote, argmax
+    ("q_knn_classify",
+      (s: SparkSession, dir: String) => {
+        val e = tbl(s, dir, "embeddings")
+          .withColumn("cell", F.expr("vec_id % 8"))
+        Similarity.knnClassify(
+          e.filter("vec_id % 2 = 0"),
+          e.filter("vec_id % 2 <> 0").drop("label"), 3)
+      },
+      Some(s"""with e as (select vec_id, label, vec_id % 8 as cell, embedding,
+                 list_sum(list_transform(embedding, (x, i) -> x::DOUBLE * x::DOUBLE)) as norm2
+               from embeddings),
+               l as (select * from e where vec_id % 2 = 0 and norm2 > 0),
+               q as (select * from e where vec_id % 2 <> 0 and norm2 > 0),
+               scored as (select q.vec_id, l.vec_id as lid, l.label as lbl,
+                            round(${duckPairCos("q", "l")}, 6) as sim
+                          from q join l on q.cell = l.cell),
+               topk as (select * from (select vec_id, lid, lbl, sim,
+                          row_number() over (partition by vec_id
+                            order by sim desc, lid) as rnk from scored)
+                        where rnk <= 3),
+               voted as (select vec_id, lbl, count(*) as votes,
+                           row_number() over (partition by vec_id
+                             order by count(*) desc, lbl) as vr
+                         from topk group by vec_id, lbl),
+               ku as (select vec_id, count(*) as k_used
+                      from topk group by vec_id)
+               select u.vec_id, v.lbl as pred_label,
+                 cast(coalesce(v.votes, 0) as bigint) as votes,
+                 cast(coalesce(ku.k_used, 0) as bigint) as k_used
+               from (select vec_id from embeddings where vec_id % 2 <> 0) u
+               left join (select * from voted where vr = 1) v
+                 on u.vec_id = v.vec_id
+               left join ku on u.vec_id = ku.vec_id""")),
     ("q_ann_brute",
       (s: SparkSession, dir: String) => Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 5),
       Some(s"""$duckEmbCte,
@@ -4186,6 +4223,33 @@ object SparkEntry {
               union all
               select k, v from src
               where k not in (select c_custkey from customer)""")),
+    // RETURNING under the driver gate (r11b): the clause's own output
+    // IS the query result — an UPDATE's post-update affected rows and
+    // a DELETE's deleted rows, unioned; the oracle spells both sets
+    // from the original table (DuckDB 1.0 also runs RETURNING, but
+    // over its own mutation engine — the SELECT spelling keeps the
+    // oracle engine-neutral, the q_merge_apply convention)
+    ("q_dml_returning",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create table rt as select c_custkey as k, " +
+          "c_acctbal as v, c_mktsegment as seg from customer")
+        val upd = g.query("""update rt set v = v + 100
+          where seg = 'BUILDING' and k % 10 = 0
+          returning k, v, 'updated' as what""")
+        val del = g.query("""delete from rt
+          where seg = 'MACHINERY' and k % 10 = 3
+          returning k, v, 'deleted' as what""")
+        upd.unionAll(del)
+      },
+      Some("""select c_custkey as k, c_acctbal + 100 as v,
+                'updated' as what
+              from customer
+              where c_mktsegment = 'BUILDING' and c_custkey % 10 = 0
+              union all
+              select c_custkey as k, c_acctbal as v, 'deleted' as what
+              from customer
+              where c_mktsegment = 'MACHINERY' and c_custkey % 10 = 3""")),
     // EXPORT/IMPORT DATABASE under the driver gate (r11, VERDICT r10
     // "Next round" #6): a two-table registry exports, a FRESH
     // registry imports from the manifest, and a join over the

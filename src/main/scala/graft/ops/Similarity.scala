@@ -483,6 +483,63 @@ object Similarity {
       .filter(F.col("rnk") <= k)
   }
 
+  /** kNN label propagation / classification (SURVEY §2.2 row 128,
+    * r11b): each unlabeled vector takes the MAJORITY label of its k
+    * most-similar LABELED cell-mates — the one-shot semi-supervised
+    * labeling pass (expand a small hand-labeled seed set over a big
+    * corpus; also the standard eval for embedding quality). Vote
+    * ties break to the smallest label, then prediction confidence =
+    * votes/k_used.
+    *
+    * Plan shape: unlabeled×labeled join ON THE CELL KEY only (never
+    * all-pairs), per-query top-k under rank-limit pushdown
+    * (WindowGroupLimit), then a (query, label) count fold and a
+    * deterministic argmax window. Cells come from any assignment —
+    * [[ivfBuild]], [[ivfAssign]] (the frozen-quantizer production
+    * path), or a hash. Queries whose cell holds no labeled vector
+    * (or only zero-norm ones) read a NULL prediction with 0 votes —
+    * never a silent drop. Zero-norm vectors are excluded from BOTH
+    * sides (NaN cosine sorts largest).
+    *
+    * Returns (vec_id, pred_label, votes, k_used). */
+  def knnClassify(labeled: DataFrame, unlabeled: DataFrame, k: Int,
+                  labelCol: String = "label",
+                  cellCol: String = "cell"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    GraftFunctions.register(labeled.sparkSession)
+    val l = labeled.selectExpr("vec_id as __lid", "embedding as eb",
+        s"$labelCol as __lbl", s"$cellCol as cell",
+        "graft_dot(embedding, embedding) as nb")
+      .filter(F.col("nb") > 0)
+    val q = unlabeled.selectExpr("vec_id", "embedding as ea",
+        s"$cellCol as cell",
+        "graft_dot(embedding, embedding) as na")
+      .filter(F.col("na") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+    val topk = q.join(l, Seq("cell"))
+      .selectExpr("vec_id", "__lid", "__lbl",
+        s"round($pairCos, 6) as __sim")
+      .withColumn("__rnk", F.row_number().over(
+        w.partitionBy("vec_id")
+          .orderBy(F.col("__sim").desc, F.col("__lid"))))
+      .filter(F.col("__rnk") <= k)
+    val voted = topk.groupBy("vec_id", "__lbl")
+      .agg(F.count(F.lit(1)).as("votes"))
+      .withColumn("__vr", F.row_number().over(
+        w.partitionBy("vec_id")
+          .orderBy(F.col("votes").desc, F.col("__lbl"))))
+      .filter(F.col("__vr") === 1)
+    val kUsed = topk.groupBy("vec_id")
+      .agg(F.count(F.lit(1)).as("k_used"))
+    unlabeled.select("vec_id")
+      .join(voted.select(F.col("vec_id"), F.col("__lbl").as("pred_label"),
+        F.col("votes")), Seq("vec_id"), "left")
+      .join(kUsed, Seq("vec_id"), "left")
+      .select(F.col("vec_id"), F.col("pred_label"),
+        F.coalesce(F.col("votes"), F.lit(0L)).as("votes"),
+        F.coalesce(F.col("k_used"), F.lit(0L)).as("k_used"))
+  }
+
   /** [[semanticDedupFrom]] over real k-means cells ([[ivfBuild]]).
     * The oracle-checked entry uses the precomputed `label` column as
     * the cell instead (trainer float accumulation cannot be replayed

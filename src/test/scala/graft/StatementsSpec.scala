@@ -1102,4 +1102,60 @@ class StatementsSpec extends SparkTestBase {
       g.query(s"copy (select 1 as x from region) into '$tmp/z.parquet'"))
     assert(e5.getMessage.contains("TO"), e5.getMessage)
   }
+
+  test("RETURNING yields the affected rows (r11b)") {
+    val g = fresh
+    g.query("create table t (id bigint, v varchar, n bigint)")
+    // INSERT ... RETURNING: the assignment-cast inserted rows
+    val ins = g.query(
+      "insert into t values (1, 'a', 10), (2, 'b', 20) returning id, v, n * 2 as n2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(ins.toSeq == Seq((1L, "a", 20L), (2L, "b", 40L)), ins.mkString(","))
+    // column-list INSERT: unlisted columns read NULL in the returned row
+    val ins2 = g.query(
+      "insert into t (id, n) values (3, 30) returning id, v, n")
+      .collect().head
+    assert(ins2.getLong(0) == 3L && ins2.isNullAt(1) && ins2.getLong(2) == 30L)
+    // UPDATE ... RETURNING: POST-update values, only affected rows
+    val upd = g.query(
+      "update t set n = n + 1 where id <= 2 returning id, n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(upd.toSeq == Seq((1L, 11L), (2L, 21L)), upd.mkString(","))
+    assert(g.query("select n from t where id = 3").collect()
+      .head.getLong(0) == 30L) // untouched row really untouched
+    // target-qualified and star expressions work; alias binds
+    val updA = g.query(
+      "update t as x set n = 0 where x.id = 3 returning x.*")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(updA.toSeq == Seq((3L, null, 0L)), updA.mkString(","))
+    // DELETE ... RETURNING: the deleted (pre-delete) rows
+    val del = g.query("delete from t where n = 0 returning id, v, n")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(del.toSeq == Seq((3L, 0L)))
+    assert(g.query("select count(*) as c from t").collect()
+      .head.getLong(0) == 2L) // the delete itself applied
+    // DELETE ... USING ... RETURNING: target rows with a match
+    g.query("create table s (id bigint)")
+    g.query("insert into s values (1)")
+    val delU = g.query(
+      "delete from t using s where t.id = s.id returning t.id")
+      .collect().map(_.getLong(0))
+    assert(delU.toSeq == Seq(1L))
+    assert(g.query("select id from t").collect().map(_.getLong(0))
+      .toSeq == Seq(2L))
+    // a string literal containing 'returning' must not split
+    g.query("update t set v = ' returning x ' where id = 2")
+    assert(g.query("select v from t where id = 2").collect()
+      .head.getString(0) == " returning x ")
+    // loud walls
+    val e1 = intercept[RuntimeException](g.query(
+      "insert into t values (9, 'z', 1) on conflict (id) do nothing returning id"))
+    assert(e1.getMessage.contains("ON CONFLICT"), e1.getMessage)
+    val e2 = intercept[RuntimeException](g.query(
+      "update t set n = 1 from s where t.id = s.id returning t.id"))
+    assert(e2.getMessage.contains("UPDATE ... FROM"), e2.getMessage)
+    val e3 = intercept[RuntimeException](g.query(
+      "delete from t where id = 2 returning "))
+    assert(e3.getMessage.contains("RETURNING"), e3.getMessage)
+  }
 }

@@ -1207,6 +1207,42 @@ class OpsSpec extends SparkTestBase {
     k1.foreach(r => assert(r.getString(1) != r.getString(3)))
   }
 
+  test("knn classify: majority vote of labeled cell-mates, hand-computed") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, Seq(1f, 0f), "A", 0),
+      (2L, Seq(4f, 1f), "A", 0),
+      (3L, Seq(0f, 1f), "B", 0),
+      (4L, Seq(1f, 4f), "B", 0),
+      (5L, Seq(0f, 0f), "A", 1)  // zero vector: excluded
+    ).toDF("vec_id", "embedding", "label", "cell")
+    val unlabeled = Seq(
+      (10L, Seq(1f, 0f), 0),
+      (11L, Seq(0f, 1f), 0),
+      (12L, Seq(1f, 1f), 0),
+      (20L, Seq(1f, 0f), 1),     // cell 1 has no usable labeled vecs
+      (21L, Seq(0f, 0f), 0)      // zero-norm query: NULL prediction
+    ).toDF("vec_id", "embedding", "cell")
+    def run(k: Int) = graft.ops.Similarity
+      .knnClassify(labeled, unlabeled, k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getLong(2), r.getLong(3))).toMap
+    // k=3: u10 top3 = l1(A) 1.0, l2(A) .970143, l4(B) .242536 -> A 2/3
+    //      u11 top3 = l3(B) 1.0, l4(B) .970143, l2(A) .242536 -> B 2/3
+    //      u12 top3 = l2(A) .857493, l4(B) .857493 (lid tie-break),
+    //                 l1(A) .707107 -> A 2/3
+    assert(run(3) == Map(
+      10L -> (Some("A"), 2L, 3L), 11L -> (Some("B"), 2L, 3L),
+      12L -> (Some("A"), 2L, 3L), 20L -> (None, 0L, 0L),
+      21L -> (None, 0L, 0L)), run(3).toString)
+    // k=2: u12's top2 = l2(A), l4(B) — a 1-1 vote tie breaks to the
+    // smallest label
+    assert(run(2)(12L) == ((Some("A"), 1L, 2L)))
+    // k larger than the cell population: k_used caps at what exists
+    assert(run(9)(10L)._3 == 4L)
+  }
+
   test("dsir weights: exact replay of the smoothed log-ratio fold") {
     import spark.implicits._
     val target = Seq((100L, "spark window join window"),
