@@ -1949,6 +1949,20 @@ object SparkEntry {
            sum(case when l_linestatus = 'O' then l_quantity end) as qty_o,
            sum(case when l_linestatus = 'F' then l_quantity end) as qty_f
          from lineitem group by l_returnflag"""),
+    // dynamic PIVOT (r11b): no IN list — the translator discovers the
+    // distinct FOR values with one bounded driver-side pass (exactly
+    // Spark's own pivot(col) behavior), columns in sorted value
+    // order; the oracle hardcodes the five langs the corpus carries
+    ("q_pivot_dynamic",
+      """select * from (select source, lang from documents)
+         pivot (count(*) for lang)""",
+      """select source,
+           count(*) filter (where lang = 'de') as de,
+           count(*) filter (where lang = 'en') as en,
+           count(*) filter (where lang = 'es') as es,
+           count(*) filter (where lang = 'fr') as fr,
+           count(*) filter (where lang = 'zh') as zh
+         from documents group by source"""),
     // deterministic SQL-level sampling (r5b): USING SAMPLE p% KEY —
     // the md5-threshold membership as a relation clause (pure
     // pushdown-friendly filter, engine-replayable)

@@ -664,16 +664,23 @@ final class Parser(tokens: Vector[Token]) {
             "AS alias (they name the cell columns)")
         expectKw("for")
         val forCol = ident()
-        expectKw("in"); expectOp("(")
+        // the IN list is optional (r11b, DuckDB/Snowflake dynamic
+        // pivot): absent ⟹ the translator discovers the distinct
+        // FOR values (a bounded driver-side pass, like Spark's own
+        // pivot(col))
         val vals = Seq.newBuilder[(Expr, Option[String])]
-        var m = true
-        while (m) {
-          val v = parseExpr()
-          val nm = if (eatKw("as")) Some(ident()) else None
-          vals += (v -> nm)
-          m = eatOp(",")
+        if (eatKw("in")) {
+          expectOp("(")
+          var m = true
+          while (m) {
+            val v = parseExpr()
+            val nm = if (eatKw("as")) Some(ident()) else None
+            vals += (v -> nm)
+            m = eatOp(",")
+          }
+          expectOp(")")
         }
-        expectOp(")"); expectOp(")")
+        expectOp(")")
         rel = PivotRel(rel, aggs, forCol, vals.result())
       } else if (atKw("unpivot") && isOpAt(pos + 1, "(")) {
         pos += 1; expectOp("(")

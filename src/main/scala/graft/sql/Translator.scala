@@ -846,7 +846,7 @@ final class Translator(catalog: String => DataFrame,
           case None => session.range(1).select(g)
         }
       }
-    case PivotRel(rel, aggsList, forCol, values) =>
+    case PivotRel(rel, aggsList, forCol, values0) =>
       // Spark SQL / Snowflake semantics: implicit group-by = every
       // column the aggregate and the FOR column don't reference; one
       // output column per IN value (missing combinations read NULL).
@@ -863,8 +863,33 @@ final class Translator(catalog: String => DataFrame,
       aggsList.foreach { case (agg, _) => collectRefs(agg) }
       val groupCols = df.columns.filterNot(c =>
         used.contains(c.toLowerCase) || c.equalsIgnoreCase(forActual))
-      if (!values.forall(v => isLiteral(v._1)))
+      if (!values0.forall(v => isLiteral(v._1)))
         fail("PIVOT IN values must be literals")
+      // dynamic pivot (r11b, DuckDB/Snowflake): no IN list ⟹ discover
+      // the distinct FOR values with one bounded driver-side pass —
+      // exactly how Spark's own RelationalGroupedDataset.pivot(col)
+      // works. Deterministic column order (sorted), NULL FOR values
+      // produce no column (a NULL never equals anything — DuckDB
+      // drops them too), and a cap keeps a high-cardinality column
+      // from planning a million output columns.
+      val values = if (values0.nonEmpty) values0 else {
+        val cap = 1000
+        val dvs = df.select(F.col(forActual)).distinct()
+          .orderBy(F.col(forActual)).limit(cap + 1).collect()
+          .map(_.get(0)).filter(_ != null)
+        if (dvs.length > cap)
+          fail(s"dynamic PIVOT found more than $cap distinct values " +
+            s"in '$forActual' — spell the IN (...) list explicitly")
+        if (dvs.isEmpty)
+          fail(s"dynamic PIVOT found no non-NULL values in '$forActual'")
+        dvs.toSeq.map {
+          case s: String            => (StrLit(s): Expr, None)
+          case b: java.lang.Boolean => (BoolLit(b): Expr, None)
+          case n: java.lang.Number  => (NumLit(n.toString): Expr, None)
+          case other => fail("dynamic PIVOT supports string/numeric/" +
+            s"boolean FOR columns, got ${other.getClass.getSimpleName}")
+        }
+      }
       // conditional-aggregation lowering, NOT RelationalGroupedDataset
       // .pivot: Spark's pivot plans TWO aggregations (one on
       // group+pivot keys, then PivotFirst on the group keys) — two

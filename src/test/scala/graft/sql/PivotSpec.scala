@@ -82,6 +82,31 @@ class PivotSpec extends SparkTestBase {
          select c_custkey, 'half' as kind, c_acctbal * 0.5 as val from customer""")
   }
 
+  test("dynamic pivot discovers the FOR values (r11b)") {
+    // no IN list: distinct values discovered (sorted), columns named
+    // by the literal — numeric FOR values included
+    checkTranslated(
+      """select * from (select n_name, n_regionkey from nation)
+         pivot (count(*) for n_regionkey)""",
+      """select n_name,
+           count(case when n_regionkey = 0 then 1 end) as `0`,
+           count(case when n_regionkey = 1 then 1 end) as `1`,
+           count(case when n_regionkey = 2 then 1 end) as `2`,
+           count(case when n_regionkey = 3 then 1 end) as `3`,
+           count(case when n_regionkey = 4 then 1 end) as `4`
+         from nation group by n_name""")
+    // NULL FOR values produce no column (a NULL never matches)
+    val withNull = graftSession.query(
+      """select * from (values (1, 'a'), (2, null), (3, 'b')) t(v, k)
+         pivot (sum(v) for k)""")
+    assert(withNull.columns.toSeq == Seq("a", "b"), withNull.columns.toSeq)
+    // all-NULL FOR column is loud
+    val e = intercept[RuntimeException](graftSession.query(
+      """select * from (values (1, cast(null as varchar))) t(v, k)
+         pivot (sum(v) for k)"""))
+    assert(e.getMessage.contains("no non-NULL"), e.getMessage)
+  }
+
   test("pivot/unpivot errors are loud") {
     val e1 = intercept[RuntimeException](graftSession.query(
       """select * from (select l_returnflag, l_linestatus, l_quantity from lineitem)
