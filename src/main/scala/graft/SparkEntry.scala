@@ -2541,6 +2541,37 @@ object SparkEntry {
                  (f_words and f_mean_len and f_symbols and f_bullets
                   and f_ellipsis and f_alpha and f_stopwords) as keep
                from f""")),
+    // retention funnel (r11c): per-stage survivor counts with
+    // first-failure drop attribution — one corpus scan, one global
+    // agg, stack unpivot; the oracle replays the cumulative flags
+    ("q_quality_funnel",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Quality.retentionFunnel(tbl(s, dir, "documents"), Seq(
+          "non_empty" -> "text is not null and length(text) > 0",
+          "char_band" -> "n_chars between 200 and 100000",
+          "word_min" -> "size(filter(split(text, '\\\\s+'), t -> t <> '')) >= 30",
+          "has_the" -> "lower(text) like '% the %'")),
+      Some("""with f as (select text, n_chars,
+                 coalesce(text is not null and length(text) > 0,
+                   false) as c1 from documents),
+              f2 as (select *, c1 and coalesce(
+                 n_chars between 200 and 100000, false) as c2 from f),
+              f3 as (select *, c2 and coalesce(
+                 len(list_filter(regexp_split_to_array(text, '\s+'),
+                   t -> t <> '')) >= 30, false) as c3 from f2),
+              f4 as (select *, c3 and coalesce(
+                 lower(text) like '% the %', false) as c4 from f3),
+              a as (select count(*) as total,
+                 cast(sum(case when c1 then 1 else 0 end) as bigint) as n1,
+                 cast(sum(case when c2 then 1 else 0 end) as bigint) as n2,
+                 cast(sum(case when c3 then 1 else 0 end) as bigint) as n3,
+                 cast(sum(case when c4 then 1 else 0 end) as bigint) as n4
+               from f4)
+              select 1 as stage_idx, 'non_empty' as stage, total as n_in,
+                n1 as n_pass, total - n1 as n_drop from a
+              union all select 2, 'char_band', n1, n2, n1 - n2 from a
+              union all select 3, 'word_min', n2, n3, n2 - n3 from a
+              union all select 4, 'has_the', n3, n4, n3 - n4 from a""")),
     ("q_text_tokens",
       (s: SparkSession, dir: String) => TextAnalysis.tokenCounts(tbl(s, dir, "documents")),
       Some("""select doc_id,
@@ -3470,6 +3501,44 @@ object SparkEntry {
                  else 'test' end as split,
                count(*) as n, min(doc_id) as first_id
               from documents group by 1""")),
+    // leakage-safe split (r11c): assignment keys on the NEAR-DUP
+    // GROUP representative (singletons on their own id) so duplicate
+    // groups never straddle a split boundary; oracle = the recursive
+    // CC replay + the md5-threshold case over the group key
+    ("q_sample_leakage_split",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.leakageSafeSplit(tbl(s, dir, "documents"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 0.5)
+          .select("doc_id", "group_id", "split"),
+      Some(s"""${duckShingleCtes.replaceFirst("with ", "with recursive ")},
+               cand as (select a.doc_id as id_a, b.doc_id as id_b
+                        from mh a join mh b on a.doc_id < b.doc_id and ($duckOrs)),
+               vp as (select id_a, id_b from (
+                        select c.id_a, c.id_b,
+                          len(list_intersect(sa.shingles, sb.shingles))
+                            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) as jacc
+                        from cand c
+                        join sh sa on sa.doc_id = c.id_a
+                        join sh sb on sb.doc_id = c.id_b) t
+                      where jacc >= 0.5),
+               edges as (select id_a as src, id_b as dst from vp
+                         union select id_b, id_a from vp),
+               reach(id, r) as (
+                 select distinct src, src from edges
+                 union
+                 select h.id, e.dst from reach h join edges e on e.src = h.r),
+               grp as (select id as doc_id, min(r) as group_id
+                       from reach group by id),
+               keyed as (select d.doc_id,
+                           coalesce(g.group_id, d.doc_id) as group_id
+                         from documents d left join grp g on d.doc_id = g.doc_id)
+               select doc_id, group_id, case
+                 when substring(md5(cast(group_id as varchar)), 1, 8)
+                   < '${graft.ops.Sampling.thresholdHex(0.8)}' then 'train'
+                 when substring(md5(cast(group_id as varchar)), 1, 8)
+                   < '${graft.ops.Sampling.thresholdHex(0.9)}' then 'val'
+                 else 'test' end as split
+               from keyed""")),
     // train/eval contamination: per eval doc, the fraction of its
     // shingles found anywhere in the training split — distinct train
     // shingle set join + doc count, narrow key shuffles only.
@@ -3498,6 +3567,38 @@ object SparkEntry {
               select tot.doc_id, tot.n_shingles,
                 coalesce(h.matched, 0) as matched,
                 coalesce(h.matched, 0)::DOUBLE / tot.n_shingles as contamination
+              from tot left join hits h on tot.doc_id = h.doc_id""")),
+    // decontamination (r11c): the REVERSE direction — each TRAIN
+    // doc's shingle overlap with the eval set plus the keep verdict
+    // at max_overlap = 0 (any shared shingle disqualifies); the
+    // distinct eval shingle set is the small/broadcast side
+    ("q_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        val evalSrc = "('src17', 'src18', 'src19')"
+        graft.ops.Dedup.decontaminationScores(
+          docs.filter(s"source not in $evalSrc"),
+          docs.filter(s"source in $evalSrc"), 0.0)
+      },
+      Some("""with tok as (select doc_id, source,
+                             string_split(lower(text), ' ') as w from documents),
+              sh as (select doc_id, source, list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingles
+                     from tok),
+              ev as (select distinct unnest(shingles) as s from sh
+                     where source in ('src17', 'src18', 'src19')),
+              tr as (select doc_id, unnest(shingles) as s from sh
+                     where source not in ('src17', 'src18', 'src19')),
+              hits as (select t.doc_id, count(*) as matched
+                       from tr t join ev e on t.s = e.s group by 1),
+              tot as (select doc_id, len(shingles) as n_shingles from sh
+                      where source not in ('src17', 'src18', 'src19'))
+              select tot.doc_id, tot.n_shingles,
+                coalesce(h.matched, 0) as matched,
+                coalesce(h.matched, 0)::DOUBLE / tot.n_shingles as overlap,
+                coalesce(coalesce(h.matched, 0)::DOUBLE / tot.n_shingles
+                  <= 0.0, true) as keep
               from tot left join hits h on tot.doc_id = h.doc_id""")),
     // per-label embedding centroids in long form: flatMap explode +
     // ONE (label, pos) shuffle with partial sums — shuffled state is

@@ -446,6 +446,43 @@ object Dedup {
       .select("doc_id", "n_shingles", "matched", "contamination")
   }
 
+  /** Train-set decontamination scoring (SURVEY §2.2, r11c): the
+    * REVERSE direction of [[contaminationScores]] — for each TRAINING
+    * document, the fraction of its token-n-gram shingles that appear
+    * anywhere in the EVAL set, plus the keep verdict at `maxOverlap`
+    * (default 0: any shared shingle disqualifies — the GPT-3/PaLM
+    * n-gram decontamination convention, which removes train docs
+    * colliding with held-out benchmarks BEFORE training rather than
+    * merely auditing afterwards). Same shingle definition as the
+    * near-dup pipeline, so one persisted signature table serves
+    * audit and removal both.
+    *
+    * Plan shape is [[contaminationScores]] with the roles swapped —
+    * the EVAL side (small by construction) collapses to the distinct
+    * shingle set, the train side explodes to narrow (doc_id, shingle)
+    * rows, one equi-join + doc count. The distinct eval set is
+    * typically broadcastable, making this a map-side pass over the
+    * training corpus at 100 TB. Documents that produce no shingles
+    * (NULL text) are KEPT: zero measurable n-grams cannot collide
+    * with the eval set. */
+  def decontaminationScores(train: DataFrame, evalDocs: DataFrame,
+                            maxOverlap: Double = 0.0,
+                            n: Int = ShingleN): DataFrame =
+    contaminationScores(evalDocs, train, n)
+      .withColumnRenamed("contamination", "overlap")
+      .withColumn("keep",
+        F.coalesce(F.col("overlap") <= maxOverlap, F.lit(true)))
+
+  /** The training corpus with eval-contaminated documents removed:
+    * [[decontaminationScores]]' keep=false rows anti-joined away. */
+  def decontaminatedCorpus(train: DataFrame, evalDocs: DataFrame,
+                           maxOverlap: Double = 0.0,
+                           n: Int = ShingleN): DataFrame = {
+    val dropped = decontaminationScores(train, evalDocs, maxOverlap, n)
+      .filter(!F.col("keep")).select("doc_id")
+    train.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Bottom-k (KMV) sketch of a corpus's distinct shingle hashes: the
     * k lexicographically smallest md5(shingle) values — a fixed-size
     * corpus summary whose sketches UNION (bottom-k of merged sketches

@@ -287,6 +287,51 @@ object Quality {
         "f_alpha", "f_stopwords", "keep")
   }
 
+  /** Retention funnel audit (SURVEY §2.2, r11c): for an ORDERED list
+    * of named boolean filter stages, the per-stage survivor counts a
+    * curation pipeline reports — how many rows entered each stage,
+    * how many passed it (having passed every earlier stage), and how
+    * many were dropped THERE (first-failure attribution: a row that
+    * fails stages 2 and 4 is charged to stage 2 only, so drop counts
+    * sum to total − final survivors). The audit every multi-stage
+    * filter recipe (Gopher → langid → dedup-gate …) publishes next to
+    * its output corpus; without it a retention regression can't be
+    * attributed to the stage that caused it.
+    *
+    * NULL predicates FAIL their stage (a doc with NULL text is
+    * dropped by the stage that inspects it, never silently passed).
+    *
+    * Plan shape: stage predicates fold into cumulative pass flags in
+    * ONE projection, a single global aggregation produces a 1-row
+    * frame of per-stage sums (map-side partials — the exchange
+    * carries one row per task), and `stack` unpivots it to one row
+    * per stage. Zero joins, zero per-stage passes: cost is one corpus
+    * scan regardless of stage count. */
+  def retentionFunnel(df: DataFrame,
+                      stages: Seq[(String, String)]): DataFrame = {
+    require(stages.nonEmpty, "retentionFunnel needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"stage names must be unique: ${stages.map(_._1).mkString(", ")}")
+    val flagged = stages.zipWithIndex.foldLeft(df) {
+      case (d, ((_, pred), i)) =>
+        val prev = if (i == 0) "true" else s"__c${i - 1}"
+        d.withColumn(s"__c$i", F.expr(s"$prev and coalesce(($pred), false)"))
+    }
+    val aggs = F.count(F.lit(1)).as("__total") +:
+      stages.indices.map(i =>
+        F.coalesce(F.sum(F.expr(s"cast(__c$i as bigint)")), F.lit(0L))
+          .as(s"__n$i"))
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex.map { case ((name, _), i) =>
+      val nIn = if (i == 0) "__total" else s"__n${i - 1}"
+      s"${i + 1}, '${name.replace("'", "''")}', $nIn, __n$i"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${stages.size}, $stackArgs) as (stage_idx, stage, n_in, n_pass)")
+      .selectExpr("cast(stage_idx as int) as stage_idx", "stage",
+        "n_in", "n_pass", "n_in - n_pass as n_drop")
+  }
+
   /** The Gopher rule set's stopword list (Rae et al. 2021 A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -143,6 +143,45 @@ object Sampling {
     df.withColumn("split", assignment)
   }
 
+  /** Leakage-safe split assignment (SURVEY §2.2, r11c): train/val/
+    * test assignment keyed on the document's NEAR-DUP GROUP rather
+    * than the document itself, so every member of a duplicate group
+    * lands in the SAME split — the standard guard against eval
+    * leakage (a near-copy of a test document sitting in train defeats
+    * the held-out measurement; splitting by raw doc_id provides no
+    * such guarantee). Groups come from the MinHash→Jaccard→connected-
+    * components resolution ([[Dedup.duplicateGroups]]); singletons
+    * (no near-dup) key on their own doc_id, which IS their group
+    * representative, so the group keying is total.
+    *
+    * Plan shape: the group frame is tiny versus the corpus (only
+    * near-duplicate members appear), so the doc_id join back is
+    * broadcastable; assignment itself is the md5-threshold projection
+    * of [[splitAssign]] on the group key — no extra shuffle beyond
+    * row 67's own resolution. Stable under fraction tweaks exactly
+    * like [[splitAssign]] (hash position vs moving thresholds), and
+    * stable under corpus growth as long as group representatives are
+    * (min-id representatives move only when a smaller id joins the
+    * group).
+    *
+    * Returns the corpus with (group_id, split) appended. */
+  def leakageSafeSplit(docs: DataFrame, splits: Seq[(String, Double)],
+                       threshold: Double = 0.5): DataFrame = {
+    locally {
+      val reserved = Seq("group_id", "split")
+      val clash = docs.columns.filter(c =>
+        reserved.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input columns [${clash.mkString(", ")}] collide with " +
+          s"output names [${reserved.mkString(", ")}]")
+    }
+    val groups = Dedup.duplicateGroups(docs, threshold)
+    val keyed = docs.join(groups, Seq("doc_id"), "left")
+      .withColumn("group_id",
+        F.coalesce(F.col("group_id"), F.col("doc_id")))
+    splitAssign(keyed, "group_id", splits)
+  }
+
   /** Deterministic hash-ring negative sampling (SURVEY §2.2 row 121,
     * r10) — contrastive-training pair mining: each anchor draws `k`
     * pseudo-random corpus partners by probing an md5 ring. Probe j of

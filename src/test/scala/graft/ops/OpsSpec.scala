@@ -2120,4 +2120,119 @@ class OpsSpec extends SparkTestBase {
     val mergedOne = Sketches.mergeDistinctEstimates(Seq(whole), Seq("lang"))
     assert(est.exceptAll(mergedOne).isEmpty && mergedOne.exceptAll(est).isEmpty)
   }
+
+  // ---- retention funnel (r11c) ----------------------------------------
+
+  test("retention funnel: first-failure attribution, one scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over everything here", 100L),
+      (2L, null.asInstanceOf[String], 100L),  // drops at non_empty
+      (3L, "short", 100L),                    // drops at word_min
+      (4L, "one two three four five six", 5L),// drops at char_band
+      // passes non_empty+char_band+word_min but fails BOTH later
+      // stages conceptually — charged to word_min's successor only
+      (5L, "aa bb cc dd ee ff", 50L)          // drops at has_the
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Quality.retentionFunnel(docs, Seq(
+      "non_empty" -> "text is not null and length(text) > 0",
+      "char_band" -> "n_chars between 10 and 1000",
+      "word_min" -> "size(filter(split(text, '\\\\s+'), t -> t <> '')) >= 3",
+      "has_the" -> "lower(text) like '%the%'"))
+      .collect().map(r => r.getAs[String]("stage") -> r).toMap
+    def triple(s: String) = (out(s).getAs[Long]("n_in"),
+      out(s).getAs[Long]("n_pass"), out(s).getAs[Long]("n_drop"))
+    assert(triple("non_empty") == ((5L, 4L, 1L)))
+    assert(triple("char_band") == ((4L, 3L, 1L)))
+    assert(triple("word_min") == ((3L, 2L, 1L)))
+    assert(triple("has_the") == ((2L, 1L, 1L)))
+    assert(out("has_the").getAs[Int]("stage_idx") == 4)
+    // drop counts sum to total - survivors
+    assert(out.values.map(_.getAs[Long]("n_drop")).sum == 4L)
+    // one corpus scan, zero joins in the plan
+    val p = Quality.retentionFunnel(docs,
+      Seq("a" -> "n_chars > 0", "b" -> "doc_id > 0"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    // empty input: zero counts, never NULL
+    val empty = Quality.retentionFunnel(docs.filter("false"),
+      Seq("a" -> "n_chars > 0")).collect()
+    assert(empty.length == 1 && empty.head.getAs[Long]("n_in") == 0L &&
+      empty.head.getAs[Long]("n_pass") == 0L)
+    // duplicate stage names are a loud wall
+    intercept[IllegalArgumentException] {
+      Quality.retentionFunnel(docs, Seq("a" -> "true", "a" -> "false"))
+    }
+  }
+
+  // ---- leakage-safe split (r11c) --------------------------------------
+
+  test("leakage-safe split: near-dup groups never straddle splits") {
+    val out = Sampling.leakageSafeSplit(documents,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 0.5)
+    // every group lands in exactly one split
+    val mixed = out.groupBy("group_id")
+      .agg(F.countDistinct("split").as("k"), F.count(F.lit(1)).as("n"))
+      .filter("k > 1").collect()
+    assert(mixed.isEmpty, mixed.mkString(", "))
+    // group keys agree with duplicateGroups; singletons self-key
+    val groups = Dedup.duplicateGroups(documents, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keyed = out.select("doc_id", "group_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed.forall { case (id, g) => g == groups.getOrElse(id, id) })
+    // row count preserved; raw splitAssign on doc_id DOES straddle at
+    // least one group here (the guarantee is not vacuous)
+    assert(out.count() == documents.count())
+    val raw = Sampling.splitAssign(documents, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val straddled = groups.groupBy(_._2).values.exists { members =>
+      members.keys.map(raw).toSet.size > 1
+    }
+    assert(straddled, "fixture has no multi-split dup group; weaken test data")
+    // reserved output name collision is a loud wall
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(documents.withColumn("split", F.lit("x")),
+        Seq("train" -> 1.0))
+    }
+  }
+
+  // ---- decontamination (r11c) -----------------------------------------
+
+  test("decontamination: reverse contamination + keep verdicts") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // no overlap
+      (2L, "the quick brown fox jumps high"),      // full 3-gram overlap
+      (3L, "xx the quick brown fox yy zz")         // partial overlap
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "the quick brown fox jumps high today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminationScores(train, ev, 0.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("overlap") == 0.0 &&
+      out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("overlap") == 1.0 &&
+      !out(2L).getAs[Boolean]("keep"))
+    val o3 = out(3L)
+    assert(o3.getAs[Long]("matched") == 2L && // 'the quick brown','quick brown fox'
+      o3.getAs[Long]("n_shingles") == 5L &&
+      !o3.getAs[Boolean]("keep"))
+    // threshold admits the partial overlap but not the full copy
+    val loose = Dedup.decontaminationScores(train, ev, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(loose == Map(1L -> true, 2L -> false, 3L -> true))
+    // corpus filter removes exactly keep=false docs, schema untouched
+    val kept = Dedup.decontaminatedCorpus(train, ev, 0.0)
+    assert(kept.columns.toSeq == train.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // agreement with the audit direction: decontaminating train
+    // against ev scores the same joins contaminationScores(ev, train)
+    val audit = Dedup.contaminationScores(ev, train).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("contamination")).toMap
+    assert(out.forall { case (id, r) =>
+      r.getAs[Double]("overlap") == audit(id) })
+  }
 }
