@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.concurrent.TrieMap
-import graft.sql.{Parser, Translator}
+import graft.sql.{MacroExpander, Macros, Parser, Translator}
 
 /** Session facade — the Spark-native analogue of the reference's
   * public API (register_temp_table / query / remove_temp_table,
@@ -57,6 +57,12 @@ final class Graft(val spark: SparkSession) {
     ("""(?is)^\s*alter\s+table\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))""" +
      """\s+(.*?)\s*;?\s*$""").r
   private val ExplainRe = """(?is)^\s*explain\s+(select.*|with.*)$""".r
+  // CREATE MACRO (r11c): head-matched here, params/body split with the
+  // balanced-paren scanner (defaults may contain parens/commas)
+  private val CreateMacroHeadRe =
+    """(?is)^\s*create\s+(or\s+replace\s+)?macro\s+(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*\(.*$""".r
+  private val DropMacroRe =
+    """(?is)^\s*drop\s+macro\s+(if\s+exists\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val DescribeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
@@ -883,7 +889,63 @@ final class Graft(val spark: SparkSession) {
     case ShowTablesRe() =>
       import spark.implicits._
       tables.keySet.toSeq.sorted.toDF("table_name")
+    case CreateMacroHeadRe(orReplace, quoted, bare) =>
+      createMacro(sqlText, orReplace != null, Option(quoted).getOrElse(bare))
+    case DropMacroRe(ifExists, quoted, bare) =>
+      val name = Option(quoted).getOrElse(bare).toLowerCase
+      if (macros.remove(name).isEmpty && ifExists == null)
+        fail(s"macro '$name' is not registered")
+      status("dropped_macro", name)
     case _ => translateOnly(sqlText)
+  }
+
+  // ---- CREATE MACRO (r11c, DuckDB dialect) ---------------------------
+  // CREATE [OR REPLACE] MACRO name(p [, q := default]) AS body
+  // body = scalar expression, or `TABLE <query>` for a table macro.
+  // Macros expand by AST substitution before translation (see
+  // graft.sql.Macros) — the planner sees the composed query, so
+  // there is zero runtime indirection (no UDF boundary; aggregates
+  // and windows inside bodies plan natively).
+  private val macros = TrieMap.empty[String, Macros.Macro]
+
+  /** Registered macro names (introspection; mirrors tableNames). */
+  def macroNames: Set[String] = macros.keySet.toSet
+
+  private def createMacro(sqlText: String, orReplace: Boolean,
+                          name: String): DataFrame = {
+    val lower = name.toLowerCase
+    if (Macros.builtinTableFns.contains(lower))
+      fail(s"macro name '$name' shadows the builtin table function")
+    if (!orReplace && macros.contains(lower))
+      fail(s"macro '$name' already exists (use CREATE OR REPLACE MACRO)")
+    val open = sqlText.indexOf('(', sqlText.toLowerCase.indexOf("macro"))
+    val (paramsTxt, after) = balancedParen(sqlText, open)
+    val AsTail = """(?is)^\s*as\s+(.*?)\s*;?\s*$""".r
+    val bodyTxt = sqlText.substring(after) match {
+      case AsTail(b) => b
+      case other => fail(s"CREATE MACRO expects AS <body>, got: $other")
+    }
+    val ParamRe = """(?s)^\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(?::=\s*(.+?))?\s*$""".r
+    val params = splitTop(paramsTxt, ',').filter(_.trim.nonEmpty).map {
+      case ParamRe(p, dflt) =>
+        (p.toLowerCase, Option(dflt).map(Parser.parseExpression))
+      case other => fail(s"CREATE MACRO parameter must be 'name' or " +
+        s"'name := default', got: $other")
+    }
+    if (params.map(_._1).distinct.length != params.length)
+      fail("CREATE MACRO parameter list names a parameter twice")
+    // defaults must be trailing (positional binding fills from the left)
+    val firstDefault = params.indexWhere(_._2.isDefined)
+    if (firstDefault >= 0 && params.drop(firstDefault).exists(_._2.isEmpty))
+      fail("CREATE MACRO: parameters with defaults must come last")
+    val TableBody = """(?is)^table\s+(.*)$""".r
+    val body = bodyTxt match {
+      case TableBody(q) => Right(graft.sql.Parser.parse(q))
+      case e => Left(Parser.parseExpression(e))
+    }
+    macros.put(lower, Macros.Macro(lower, params.map(_._1),
+      params.collect { case (p, Some(d)) => p -> d }.toMap, body))
+    status("macro", lower)
   }
 
   /** Splits on `sep` at paren-depth 0 outside string literals —
@@ -1787,8 +1849,16 @@ final class Graft(val spark: SparkSession) {
     status("merged", tName.toLowerCase)
   }
 
-  private def translateOnly(sqlText: String): DataFrame =
-    new Translator(lookup, spark).translate(Parser.parse(sqlText))
+  private def translateOnly(sqlText: String): DataFrame = {
+    val ast0 = Parser.parse(sqlText)
+    // macro expansion pre-pass (r11c): pure AST substitution — with
+    // no macros registered the tree passes through untouched (builtin
+    // generate_series/range lower in the translator)
+    val ast =
+      if (macros.isEmpty) ast0
+      else new MacroExpander(n => macros.get(n)).apply(ast0)
+    new Translator(lookup, spark).translate(ast)
+  }
 
   /** Formatted physical plan of `sqlText` — the plan-inspection
     * surface (`.explain("formatted")` for a query without executing

@@ -4241,6 +4241,61 @@ object SparkEntry {
       Some("""select o_orderkey, o_totalprice from orders
               where o_totalprice > 150000 and o_orderkey <> 150000
               order by o_totalprice desc, o_orderkey limit 50""")),
+    // CREATE MACRO (r11c): scalar macros — defaults, nesting, and an
+    // AGGREGATE body that must plan as a real aggregate (expansion is
+    // AST substitution BEFORE translation, so Catalyst sees the
+    // composed query); oracle = the hand-expanded SQL
+    ("q_macro_scalar",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create macro disc_price(p, d := 0.1) as p * (1 - d)")
+        g.query("create macro dd(p) as disc_price(p, 0.2) + 1")
+        g.query("create macro avg2(x) as sum(x) / count(x)")
+        g.query("""select o_orderstatus as st, avg2(o_totalprice) as a,
+                     avg2(disc_price(o_totalprice)) as ad,
+                     avg2(dd(o_totalprice)) as an
+                   from orders group by 1""")
+      },
+      Some("""select o_orderstatus as st,
+                sum(o_totalprice) / count(o_totalprice) as a,
+                sum(o_totalprice * (1 - 0.1))
+                  / count(o_totalprice * (1 - 0.1)) as ad,
+                sum(o_totalprice * (1 - 0.2) + 1)
+                  / count(o_totalprice * (1 - 0.2) + 1) as an
+              from orders group by 1""")),
+    // table macro + scalar macro composition in one query
+    ("q_macro_table",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.query("create macro disc_price(p, d) as p * (1 - d)")
+        g.query("create or replace macro big_orders(lim) as table " +
+          "select o_orderkey, o_custkey, o_totalprice from orders " +
+          "where o_totalprice > lim")
+        g.query("""select b.o_orderkey, b.o_custkey,
+                     disc_price(b.o_totalprice, 0.25) as dp
+                   from big_orders(400000) b""")
+      },
+      Some("""select o_orderkey, o_custkey,
+                o_totalprice * (1 - 0.25) as dp
+              from orders where o_totalprice > 400000""")),
+    // builtin series generators (r11c): generate_series inclusive,
+    // range exclusive (DuckDB semantics), lowered to session.range —
+    // Spark's splittable parallel long scan, no driver materialization
+    ("q_generate_series",
+      (s: SparkSession, dir: String) =>
+        graftFor(s, dir).query(
+          """select g.generate_series % 7 as k, count(*) as n,
+               cast(sum(g.generate_series) as bigint) as s,
+               cast(sum(r.range) as bigint) as sr
+             from generate_series(1, 1000) g
+             cross join range(0, 5) r
+             group by 1"""),
+      Some("""select g.generate_series % 7 as k, count(*) as n,
+                cast(sum(g.generate_series) as bigint) as s,
+                cast(sum(r.range) as bigint) as sr
+              from generate_series(1, 1000) g
+              cross join range(0, 5) r
+              group by 1""")),
     // COPY statement roundtrip (r10): the full statement path under
     // the driver gate — COPY (query) TO parquet, a typed empty table,
     // COPY FROM appending it back

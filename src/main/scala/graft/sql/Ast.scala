@@ -186,6 +186,13 @@ object Ast {
                               header: Option[Boolean],
                               alias: Option[String]) extends Relation
   final case class SubqueryRel(q: SetExpr, alias: Option[String]) extends Relation
+  /** FROM-position generic call `name(arg, …) [AS] t` (r11c): either
+    * a TABLE MACRO invocation (expanded to its body before
+    * translation — [[MacroExpander]]) or a builtin series generator
+    * (`generate_series`/`range`, lowered natively). Unknown names
+    * fail loudly at translation. */
+  final case class MacroCallRel(fn: String, args: Seq[Expr],
+                                alias: Option[String]) extends Relation
   /** `(VALUES (…), (…)) [AS] t [(col, …)]` inline table — graft
     * dialect extension. Column names default to col0, col1, …
     * (DuckDB convention) when no list is given. */

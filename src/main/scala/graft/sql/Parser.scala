@@ -793,11 +793,33 @@ final class Parser(tokens: Vector[Token]) {
         fail(s"header option applies to read_csv only, not $fn")
       expectOp(")")
       TableFnRel(fn, path, header, parseOptionalAlias())
+    } else if (atMacroCall) {
+      // FROM-position generic call (r11c): a table-macro invocation
+      // or a builtin series generator (generate_series/range) —
+      // arguments are full expressions; resolution happens at
+      // expansion/translation, so unknown names fail there loudly
+      val fn = ident()
+      expectOp("(")
+      val args = Seq.newBuilder[Expr]
+      if (!atOp(")")) {
+        args += parseExpr()
+        while (eatOp(",")) args += parseExpr()
+      }
+      expectOp(")")
+      MacroCallRel(fn, args.result(), parseOptionalAlias())
     } else {
       val name = ident()
       TableRef(name, parseOptionalAlias())
     }
   }
+
+  private def atMacroCall: Boolean = (peek match {
+    // `range` is reserved (window frames) but unambiguous when
+    // followed by '(' in FROM position — the DuckDB series generator
+    case Ident(v, _) =>
+      !reserved.contains(v.toLowerCase) || v.equalsIgnoreCase("range")
+    case _ => false
+  }) && isOpAt(pos + 1, "(")
 
   private val tableFns =
     Set("read_parquet", "read_csv", "read_csv_auto", "read_json",
@@ -811,6 +833,16 @@ final class Parser(tokens: Vector[Token]) {
   // precedence: OR < AND < NOT < comparison < additive < multiplicative
   // < unary < primary (sql.lark:40-131)
   def parseExpr(): Expr = parseOr()
+
+  /** [[parseExpr]] + end-of-input check (standalone expression texts:
+    * macro bodies and parameter defaults). */
+  def parseExprOnly(): Expr = {
+    val e = parseExpr()
+    peek match {
+      case Lexer.End(_) => e
+      case t => fail(s"unexpected trailing input after expression: $t")
+    }
+  }
 
   private def parseOr(): Expr = {
     var l = parseAnd()
@@ -1606,6 +1638,11 @@ final class Parser(tokens: Vector[Token]) {
 object Parser {
   def parse(sql: String): Ast.SetExpr =
     new Parser(Lexer.tokenize(sql)).parse()
+
+  /** Parses a standalone scalar expression (macro bodies/defaults) —
+    * trailing input is a loud error. */
+  def parseExpression(sql: String): Ast.Expr =
+    new Parser(Lexer.tokenize(sql)).parseExprOnly()
 
   /** Hidden helper-column name prefixes the translator generates; user
     * select-item aliases may not collide with them (parseSelectItem

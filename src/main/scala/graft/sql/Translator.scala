@@ -329,6 +329,9 @@ final class Translator(catalog: String => DataFrame,
     def inRel(r: Relation): Boolean = r match {
       case TableRef(n, _) => n.equalsIgnoreCase(name)
       case TableFnRel(_, _, _, _) => false
+      // table macros expand before translation; only the builtin
+      // series generators survive here, and they scan no tables
+      case MacroCallRel(_, _, _) => false
       case SubqueryRel(q, _) => inSet(q)
       case ValuesRel(_, _, _) => false
       case JoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
@@ -374,6 +377,10 @@ final class Translator(catalog: String => DataFrame,
       // would scan at parse time) - conservative: no qualification
       case TableFnRel(fn, _, _, a) =>
         Seq((a.getOrElse(fn).toLowerCase, None))
+      // builtin series generators: the single output column carries
+      // the function's own name (DuckDB convention)
+      case MacroCallRel(fn, _, a) =>
+        Seq((a.getOrElse(fn).toLowerCase, Some(Set(fn.toLowerCase))))
       case ValuesRel(rows, cols, a) =>
         a.map { al =>
           val cs = cols.map(_.map(_.toLowerCase).toSet).orElse(
@@ -769,6 +776,42 @@ final class Translator(catalog: String => DataFrame,
         case other => fail(s"unknown table function $other")
       }
       df.alias(alias.getOrElse(fn).toLowerCase)
+    case MacroCallRel(fn, args, alias) =>
+      // table macros were expanded before translation (MacroExpander);
+      // what reaches here is either a builtin series generator or an
+      // unknown name. generate_series/range lower to session.range —
+      // Spark's native parallel long-range scan (splittable across
+      // executors, no driver materialization): generate_series is
+      // end-INCLUSIVE, range end-EXCLUSIVE (DuckDB semantics; the
+      // 1-arg forms start at 0). Bounds must be integer literals —
+      // a data-dependent series needs unnest(sequence(...)).
+      if (!Macros.builtinTableFns.contains(fn.toLowerCase))
+        fail(s"unknown table function or macro '$fn' (is the macro " +
+          "registered in this session? CREATE MACRO … AS TABLE …)")
+      def lit(e: Expr): Long = e match {
+        case NumLit(t) if !t.contains('.') && !t.toLowerCase.contains('e') =>
+          t.toLong
+        case Neg(NumLit(t)) if !t.contains('.') &&
+          !t.toLowerCase.contains('e') => -t.toLong
+        case other =>
+          fail(s"$fn bounds must be integer literals, got $other")
+      }
+      val name = fn.toLowerCase
+      val (start, endEx, step) = args.map(lit) match {
+        case Seq(n) =>
+          if (name == "range") (0L, n, 1L) else (0L, n + 1, 1L)
+        case Seq(a, b) =>
+          if (name == "range") (a, b, 1L) else (a, b + 1, 1L)
+        case Seq(a, b, s) =>
+          if (s == 0L) fail(s"$name step must be nonzero")
+          val adj = if (name == "range") 0L else if (s > 0) 1L else -1L
+          (a, b + adj, s)
+        case _ => fail(s"$name takes 1-3 integer arguments")
+      }
+      // empty-direction calls (start past end) produce zero rows,
+      // matching DuckDB; session.range handles it natively
+      session.range(start, endEx, step).toDF(name)
+        .alias(alias.getOrElse(name).toLowerCase)
     case SubqueryRel(q, alias) =>
       val df = translate(q)
       alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
@@ -1927,10 +1970,13 @@ final class Translator(catalog: String => DataFrame,
             // collapse to exactly ONE row before the cross join: 0 rows
             // must yield NULL (not eliminate every outer row) and >1
             // rows must be a loud runtime error (not row multiplication)
-            // — the standard scalar-subquery contract
-            val v = F.col(subDf.columns.head)
-            val one = subDf
-              .agg(F.first(v).as("__v"), F.count(F.lit(1)).as("__c"))
+            // — the standard scalar-subquery contract. Rename
+            // positionally first: an unaliased expression item's
+            // generated name can contain dots, which F.col would
+            // parse as field access.
+            val one = subDf.toDF("__v0")
+              .agg(F.first(F.col("__v0")).as("__v"),
+                F.count(F.lit(1)).as("__c"))
               .select(
                 F.when(F.col("__c") > 1, F.raise_error(F.lit(
                   "scalar subquery returned more than one row")))
@@ -3338,6 +3384,7 @@ final class Translator(catalog: String => DataFrame,
   private def relationAliases(r: Relation): Set[String] = r match {
     case TableRef(n, a) => Set(a.getOrElse(n).toLowerCase)
     case TableFnRel(fn, _, _, a) => Set(a.getOrElse(fn).toLowerCase)
+    case MacroCallRel(fn, _, a) => Set(a.getOrElse(fn).toLowerCase)
     case SubqueryRel(_, a) => a.map(_.toLowerCase).toSet
     case ValuesRel(_, _, a) => a.map(_.toLowerCase).toSet
     case AliasedRel(_, a) => Set(a.toLowerCase)
@@ -4045,9 +4092,10 @@ final class Translator(catalog: String => DataFrame,
       if (subDf.columns.length != 1)
         fail("scalar subquery requires a single-column subquery")
       val nm = s"__nsc_${genHoists.size}"
-      val v = F.col(subDf.columns.head)
-      val one = subDf
-        .agg(F.first(v).as("__v"), F.count(F.lit(1)).as("__c"))
+      // positional rename: dotted generated names break F.col (see
+      // the uncorrelated lowering's note)
+      val one = subDf.toDF("__v0")
+        .agg(F.first(F.col("__v0")).as("__v"), F.count(F.lit(1)).as("__c"))
         .select(
           F.when(F.col("__c") > 1, F.raise_error(F.lit(
             "scalar subquery returned more than one row")))

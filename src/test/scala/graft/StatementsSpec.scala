@@ -1158,4 +1158,136 @@ class StatementsSpec extends SparkTestBase {
       "delete from t where id = 2 returning "))
     assert(e3.getMessage.contains("RETURNING"), e3.getMessage)
   }
+
+  test("CREATE MACRO: scalar, defaults, nesting, aggregates (r11c)") {
+    val g = fresh
+    g.query("create macro disc(p, d := 0.1) as p * (1 - d)")
+    g.query("create macro dd(p) as disc(p, 0.2) + 1")
+    g.query("create macro avg2(x) as sum(x) / count(x)")
+    assert(g.macroNames == Set("disc", "dd", "avg2"))
+    // default fills the omitted trailing argument
+    val r = g.query(
+      "select disc(100.0) as a, disc(100.0, 0.5) as b, dd(100.0) as c " +
+        "from region limit 1").collect().head
+    assert(r.getDouble(0) == 90.0 && r.getDouble(1) == 50.0 &&
+      r.getDouble(2) == 81.0)
+    // aggregate body plans as a REAL aggregate (group-by works)
+    val a = g.query("select r_regionkey % 2 as k, avg2(r_regionkey) as a " +
+        "from region group by 1 order by 1")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(a == Map(0L -> 2.0, 1L -> 2.0)) // (0+2+4)/3, (1+3)/2
+    // macros expand inside WHERE / subqueries / macro arguments
+    val n = g.query("select count(*) as n from orders " +
+        // UNALIASED inner item: its generated name carries dots —
+        // pins the positional-rename fix in the scalar lowering
+        "where disc(o_totalprice, 0.0) > (select disc(300000.0) from region limit 1)")
+      .collect().head.getLong(0)
+    val direct = g.query("select count(*) as n from orders " +
+        "where o_totalprice > 270000").collect().head.getLong(0)
+    assert(n == direct && n > 0)
+    // capture-freedom: an ARGUMENT naming another parameter is never
+    // re-substituted (f(a, b) = a + b called with the real column d)
+    g.query("create macro psum(a, b) as a + b")
+    val cf = g.query("select psum(o_totalprice, 1) as s, o_totalprice " +
+        "from orders limit 1").collect().head
+    assert(cf.getDouble(0) == cf.getDouble(1) + 1)
+    // OR REPLACE swaps the body; plain CREATE refuses
+    val e1 = intercept[RuntimeException](
+      g.query("create macro disc(x) as x"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    g.query("create or replace macro disc(p) as p * 2")
+    assert(g.query("select disc(21.0) as x from region limit 1")
+      .collect().head.getDouble(0) == 42.0)
+    // DROP MACRO removes; IF EXISTS tolerates absence
+    g.query("drop macro dd")
+    assert(!g.macroNames.contains("dd"))
+    intercept[RuntimeException](g.query("drop macro dd"))
+    g.query("drop macro if exists dd")
+    // walls: recursion, arity, non-trailing defaults, builtin shadow
+    g.query("create macro rec(x) as rec(x) + 1")
+    val e2 = intercept[RuntimeException](
+      g.query("select rec(1) as x from region"))
+    assert(e2.getMessage.contains("depth"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g.query("select disc(1, 2, 3) as x from region"))
+    assert(e3.getMessage.contains("argument"), e3.getMessage)
+    val e4 = intercept[RuntimeException](
+      g.query("create macro bad(a := 1, b) as a + b"))
+    assert(e4.getMessage.contains("defaults must come last"), e4.getMessage)
+    val e5 = intercept[RuntimeException](
+      g.query("create macro generate_series(n) as n"))
+    assert(e5.getMessage.contains("shadows"), e5.getMessage)
+    // a parameter with NO default and no argument is loud
+    g.query("create macro need2(a, b) as a + b")
+    val e6 = intercept[RuntimeException](
+      g.query("select need2(1) as x from region"))
+    assert(e6.getMessage.contains("no default"), e6.getMessage)
+  }
+
+  test("CREATE MACRO ... AS TABLE: table macros in FROM position (r11c)") {
+    val g = fresh
+    // parameters substitute anywhere an EXPRESSION goes (LIMIT/OFFSET
+    // are structural integers in the AST, not expressions — a macro
+    // param there is a parse error at CREATE, like a view would be)
+    g.query("create macro topn(minp) as table " +
+      "select o_orderkey, o_totalprice from orders " +
+      "where o_totalprice > minp " +
+      "order by o_totalprice desc, o_orderkey limit 5")
+    val got = g.query("select t.o_orderkey from topn(100000) t")
+      .collect().map(_.getLong(0)).toSet
+    val want = g.query("select o_orderkey from orders " +
+        "where o_totalprice > 100000 " +
+        "order by o_totalprice desc, o_orderkey limit 5")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.size == 5)
+    // table macros join and take the default alias (their own name)
+    g.query("create macro okeys() as table select o_orderkey as k from orders")
+    val n = g.query("select count(*) as n from topn(100000) t " +
+        "join okeys() on okeys.k = t.o_orderkey")
+      .collect().head.getLong(0)
+    assert(n == 5)
+    // walls: scalar macro in FROM, table macro in scalar position,
+    // unknown FROM-position name
+    g.query("create macro sc(x) as x + 1")
+    val e1 = intercept[RuntimeException](
+      g.query("select * from sc(1) t"))
+    assert(e1.getMessage.contains("TABLE macro"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      g.query("select okeys() as x from region"))
+    assert(e2.getMessage.contains("FROM position"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      g.query("select * from no_such_fn(1) t"))
+    assert(e3.getMessage.contains("unknown table function"), e3.getMessage)
+  }
+
+  test("generate_series / range series generators (r11c)") {
+    val g = fresh
+    def longs(sql: String): Seq[Long] =
+      g.query(sql).collect().map(_.getLong(0)).toSeq
+    // generate_series is end-INCLUSIVE, range end-EXCLUSIVE (DuckDB)
+    assert(longs("select g.generate_series from generate_series(1, 5) g " +
+      "order by 1") == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(longs("select r.range from range(1, 5) r order by 1") ==
+      Seq(1L, 2L, 3L, 4L))
+    // 1-arg forms start at 0; steps, negative steps, empty direction
+    assert(longs("select g.generate_series from generate_series(3) g " +
+      "order by 1") == Seq(0L, 1L, 2L, 3L))
+    assert(longs("select r.range from range(3) r order by 1") ==
+      Seq(0L, 1L, 2L))
+    assert(longs("select g.generate_series from generate_series(0, 10, 5) g " +
+      "order by 1") == Seq(0L, 5L, 10L))
+    assert(longs("select g.generate_series from generate_series(5, 1, -2) g " +
+      "order by 1") == Seq(1L, 3L, 5L))
+    assert(longs("select r.range from range(5, 1, -2) r order by 1") ==
+      Seq(3L, 5L))
+    assert(longs("select g.generate_series from generate_series(5, 1) g") ==
+      Seq.empty)
+    // walls: zero step, non-literal bounds
+    val e1 = intercept[RuntimeException](
+      g.query("select * from range(1, 5, 0) r"))
+    assert(e1.getMessage.contains("nonzero"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      g.query("select * from range(1, r_regionkey) r"))
+    assert(e2.getMessage.contains("integer literals"), e2.getMessage)
+  }
 }
