@@ -800,6 +800,30 @@ object SparkEntry {
                 when l_quantity > 20 then 'mid'
                 else 'small' end as bucket
          from lineitem""",
+    // simple CASE (r11c): comparand form — equality per branch, NULL
+    // comparand falls to ELSE; comparand may be an expression
+    "q_case_simple" ->
+      """select l_orderkey, l_linenumber,
+           cast(case l_returnflag when 'A' then 1 when 'R' then 2
+             else 0 end as bigint) as rf,
+           case l_linenumber % 3 when 0 then 'z' when 1 then 'a'
+             end as m3
+         from lineitem""",
+    // list comprehension (r11c, DuckDB): [expr for x in l if cond] —
+    // lowered to transform(filter(...)); DuckDB runs it natively
+    "q_list_comprehension" ->
+      """select r_regionkey,
+           [x * 2 for x in [r_regionkey, r_regionkey + 1, 7]] as doubled,
+           [x for x in [r_regionkey, 3, 9, r_regionkey + 8] if x > 4] as big
+         from region""",
+    // POSITIONAL JOIN (r11c, DuckDB): row-by-row zip of two ordered
+    // subqueries; the shorter side null-pads (full-outer-on-position)
+    "q_positional_join" ->
+      """select o_orderkey, r_name
+         from (select o_orderkey from orders
+               order by o_orderkey limit 8) o
+         positional join
+         (select r_name from region order by r_name) r""",
     // float→int cast of non-integral literals differs (Spark truncates,
     // DuckDB rounds) — integral values cast identically.
     "q_cast" ->
@@ -2919,6 +2943,54 @@ object SparkEntry {
               select d.doc_id, d.source
               from documents d join t using (source)
               where substr(md5(d.doc_id::VARCHAR), 1, 8) < t.thr""")),
+    // epoch plan (r11c): the LLaMA-style data-recipe calculator —
+    // epochs_s = budget·w_s / tokens_s; dyadic weights (0.5/0.25)
+    // keep the normalization and targets IEEE-exact in both engines
+    ("q_epoch_plan",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.epochPlan(tbl(s, dir, "documents"),
+          "source", "n_chars",
+          Map("src1" -> 0.5, "src2" -> 0.25, "src17" -> 0.25),
+          budgetTokens = 10000000L),
+      Some("""select source, count(*) as n_docs,
+                cast(sum(n_chars) as bigint) as tokens,
+                cast(case source when 'src1' then 0.5
+                  when 'src17' then 0.25 when 'src2' then 0.25
+                  else 0.0 end as double) as weight,
+                cast(case source when 'src1' then 0.5
+                  when 'src17' then 0.25 when 'src2' then 0.25
+                  else 0.0 end as double) * 10000000.0 as target_tokens,
+                case when sum(n_chars) > 0 then
+                  cast(case source when 'src1' then 0.5
+                    when 'src17' then 0.25 when 'src2' then 0.25
+                    else 0.0 end as double) * 10000000.0
+                    / cast(sum(n_chars) as double)
+                end as epochs
+              from documents group by source""")),
+    // deterministic fractional upsampling (r11c): materializes the
+    // epoch recipe — floor(e) copies + one more below the md5
+    // fractional threshold; 1-based epoch index rides along
+    ("q_sample_upsample",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.upsampleEpochs(
+          tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source",
+          Map("src1" -> 2.5, "src2" -> 0.4, "src3" -> 1.0)),
+      Some("""with e as (select doc_id, source, n_chars,
+                 case source when 'src1' then cast(2.5 as double)
+                   when 'src2' then cast(0.4 as double)
+                   when 'src3' then cast(1.0 as double)
+                   else cast(0.0 as double) end as ep,
+                 ('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))::BIGINT as h
+               from documents),
+              n as (select doc_id, source, n_chars,
+                 cast(floor(ep) as int)
+                   + case when h < cast(floor((ep - floor(ep))
+                       * 4294967296.0) as bigint) then 1 else 0 end as n
+               from e)
+              select doc_id, source, n_chars,
+                cast(unnest(generate_series(1, n)) as int) as epoch
+              from n where n >= 1""")),
     // quality-gate retention curve (r6): rows + weight mass a
     // `score >= t` gate keeps, per candidate threshold — ONE
     // aggregation pass computing every threshold's conditional sums
@@ -3568,6 +3640,32 @@ object SparkEntry {
                 coalesce(h.matched, 0) as matched,
                 coalesce(h.matched, 0)::DOUBLE / tot.n_shingles as contamination
               from tot left join hits h on tot.doc_id = h.doc_id""")),
+    // fuzzy decontamination (r11c): NEAR-COPIES of eval docs in the
+    // train split — MinHash-banded cross-corpus candidates, exact
+    // Jaccard verify; complementary to the any-shared-n-gram rule
+    ("q_decontaminate_fuzzy",
+      (s: SparkSession, dir: String) => {
+        val docs = tbl(s, dir, "documents")
+        val evalSrc = "('src17', 'src18', 'src19')"
+        graft.ops.Dedup.fuzzyDecontaminationPairs(
+          docs.filter(s"source not in $evalSrc"),
+          docs.filter(s"source in $evalSrc"), 0.5)
+      },
+      Some(s"""$duckShingleCtes,
+               cand as (select a.doc_id as id_a, b.doc_id as id_b
+                        from mh a join mh b on ($duckOrs)
+                        where a.doc_id in (select doc_id from documents
+                          where source not in ('src17', 'src18', 'src19'))
+                          and b.doc_id in (select doc_id from documents
+                          where source in ('src17', 'src18', 'src19')))
+               select id_a, id_b, round(jacc, 4) as jacc from (
+                 select c.id_a, c.id_b,
+                   len(list_intersect(sa.shingles, sb.shingles))
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))) as jacc
+                 from cand c
+                 join sh sa on sa.doc_id = c.id_a
+                 join sh sb on sb.doc_id = c.id_b) t
+               where jacc >= 0.5""")),
     // decontamination (r11c): the REVERSE direction — each TRAIN
     // doc's shingle overlap with the eval set plus the keep verdict
     // at max_overlap = 0 (any shared shingle disqualifies); the

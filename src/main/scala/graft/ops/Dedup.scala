@@ -210,7 +210,14 @@ object Dedup {
     * pins both paths equal), corpus-sized side streams. */
   private def verifyCandidates(cands0: DataFrame, sh: DataFrame,
                                threshold: Double,
-                               broadcastCands: Boolean): DataFrame = {
+                               broadcastCands: Boolean): DataFrame =
+    verifyCandidates2(cands0, sh, sh, threshold, broadcastCands)
+
+  /** Two-table variant: id_a resolves shingles in `shA`, id_b in
+    * `shB` — the cross-corpus (train-vs-eval) verification shape. */
+  private def verifyCandidates2(cands0: DataFrame, shA: DataFrame,
+                                shB: DataFrame, threshold: Double,
+                                broadcastCands: Boolean): DataFrame = {
     // the hint re-applies before EACH join: a hint rides the side it
     // is attached to and is consumed by the first join, so without
     // the second application the planner is free to broadcast the
@@ -218,10 +225,10 @@ object Dedup {
     def tag(df: DataFrame): DataFrame =
       if (broadcastCands) F.broadcast(df) else df.hint("shuffle_hash")
     val j1 = tag(cands0)
-      .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_a")),
+      .join(shA.select(F.col("doc_id"), F.col("shingles").as("sh_a")),
             F.col("id_a") === F.col("doc_id")).drop("doc_id")
     tag(j1)
-      .join(sh.select(F.col("doc_id"), F.col("shingles").as("sh_b")),
+      .join(shB.select(F.col("doc_id"), F.col("shingles").as("sh_b")),
             F.col("id_b") === F.col("doc_id")).drop("doc_id")
       .selectExpr("id_a", "id_b",
         """size(array_intersect(sh_a, sh_b))
@@ -480,6 +487,49 @@ object Dedup {
                            n: Int = ShingleN): DataFrame = {
     val dropped = decontaminationScores(train, evalDocs, maxOverlap, n)
       .filter(!F.col("keep")).select("doc_id")
+    train.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Fuzzy (near-duplicate) decontamination pairs (SURVEY §2.2,
+    * r11c): (train doc, eval doc) pairs whose whole-document Jaccard
+    * similarity reaches `threshold` — the NEAR-COPY form of eval
+    * leakage (light paraphrase, boilerplate-wrapped copies) that a
+    * doc-level similarity test characterizes better than row 131's
+    * any-shared-n-gram rule; the two are complementary (131 catches a
+    * verbatim quote inside an otherwise-novel doc, this catches a
+    * lightly-edited whole copy that shares only low-n-gram mass).
+    *
+    * Plan shape is the MinHash-LSH pipeline CROSS-CORPUS: band tables
+    * from each side, one (band, h) equi-join — never all-pairs; the
+    * eval side's band table is tiny (eval sets are small) so the join
+    * is broadcast-or-bounded at 100 TB — then exact Jaccard
+    * verification of the candidate pairs against the two shingle
+    * tables. Banding recall follows the band/row configuration
+    * exactly as in row 38 (a below-threshold-similarity copy may
+    * escape candidates; both engines replay the identical rule).
+    * Ids must be distinct across the two inputs. Returns
+    * (id_a = train, id_b = eval, jacc). */
+  def fuzzyDecontaminationPairs(train: DataFrame, evalDocs: DataFrame,
+                                threshold: Double = 0.5,
+                                n: Int = ShingleN): DataFrame = {
+    val shT = withShingles(train, n)
+    val shE = withShingles(evalDocs, n)
+    val cands = bandTableFrom(shT).alias("a")
+      .join(bandTableFrom(shE).alias("b").hint("shuffle_hash"),
+        F.col("a.band") === F.col("b.band") && F.col("a.h") === F.col("b.h"))
+      .select(F.col("a.doc_id").as("id_a"), F.col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyCandidates2(cands, shT, shE, threshold, broadcastCands = true)
+  }
+
+  /** The training corpus with near-copies of eval documents removed:
+    * any train doc appearing in [[fuzzyDecontaminationPairs]] is
+    * anti-joined away. */
+  def fuzzyDecontaminatedCorpus(train: DataFrame, evalDocs: DataFrame,
+                                threshold: Double = 0.5,
+                                n: Int = ShingleN): DataFrame = {
+    val dropped = fuzzyDecontaminationPairs(train, evalDocs, threshold, n)
+      .select(F.col("id_a").as("doc_id")).distinct()
     train.join(dropped, Seq("doc_id"), "left_anti")
   }
 

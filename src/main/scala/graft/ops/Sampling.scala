@@ -119,6 +119,95 @@ object Sampling {
       .drop("__g", "__f")
   }
 
+  /** Per-source epoch plan (r11c) — the LLaMA-style data-recipe
+    * calculator: given target mixture weights and a total token
+    * budget, how many EPOCHS of each source the training run takes
+    * (web 0.6 epochs, wiki 2.5 epochs, …). epochs_s =
+    * budget·w_s / tokens_s; weights are normalized over the sources
+    * PRESENT (sorted-order summation — bit-reproducible), sources
+    * absent from `weights` get weight 0 (epochs 0 = excluded, listed
+    * in the plan for auditability). Empty sources read NULL epochs
+    * rather than ∞.
+    *
+    * Plan shape: ONE tiny groupBy over the corpus (map-side partial
+    * sums), then pure driver-free arithmetic on the group frame —
+    * the corpus never shuffles. Pair with [[upsampleEpochs]] to
+    * materialize the recipe. */
+  def epochPlan(docs: DataFrame, groupCol: String, tokenCol: String,
+                weights: Map[String, Double],
+                budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be nonnegative")
+    // sorted-key sequential sum: reproducible across engines
+    val wsum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    require(wsum > 0, "at least one weight must be positive")
+    val w = weights.toSeq.sortBy(_._1).foldRight(F.lit(0.0): org.apache.spark.sql.Column) {
+      case ((g, f), acc) =>
+        F.when(F.col(groupCol) === F.lit(g), F.lit(f / wsum)).otherwise(acc)
+    }
+    docs.groupBy(groupCol)
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col(tokenCol).cast("bigint")).as("tokens"))
+      .withColumn("weight", w)
+      .withColumn("target_tokens",
+        F.col("weight") * F.lit(budgetTokens.toDouble))
+      .withColumn("epochs",
+        F.when(F.col("tokens") > 0,
+          F.col("target_tokens") / F.col("tokens").cast("double")))
+  }
+
+  /** Deterministic fractional upsampling (r11c) — materializes an
+    * epoch recipe: each row of group g repeats floor(epochs_g) times,
+    * plus one more when its md5-fraction falls below the fractional
+    * part (so EXACTLY the epochs_g·n_g expected rows, deterministic,
+    * reproducible across engines/partitionings, and monotone: raising
+    * a group's epochs only ADDS copies). Output carries a 1-based
+    * `epoch` column — downstream shuffling/packing can key on
+    * (doc, epoch) so repeated copies spread across shards. epochs 0
+    * (or an unlisted group under `default` 0) drops the group;
+    * fractional membership uses the [[consistentSample]] hash, so
+    * the epoch-2.3 kept set contains the epoch-2.2 one.
+    *
+    * Plan shape: a pure per-row projection + one Generate (explode
+    * of a sequence bounded by ceil(epochs)) — no shuffle, no join;
+    * the repeat factor is data-independent per group, so partition
+    * sizes scale by epochs_g and nothing skews. */
+  def upsampleEpochs(df: DataFrame, keyCol: String, groupCol: String,
+                     epochs: Map[String, Double],
+                     default: Double = 0.0): DataFrame = {
+    require((epochs.values.toSeq :+ default).forall(e => e >= 0 && e <= 1000),
+      "epochs must be in [0, 1000]")
+    locally {
+      val reserved = Seq("epoch", "__e", "__n")
+      val clash = df.columns.filter(c =>
+        reserved.exists(_.equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"input columns [${clash.mkString(", ")}] collide with " +
+          s"output/helper names [${reserved.mkString(", ")}]")
+    }
+    val e = epochs.toSeq.sortBy(_._1).foldRight(
+      F.lit(default): org.apache.spark.sql.Column) { case ((g, v), acc) =>
+      F.when(F.col(groupCol) === F.lit(g), F.lit(v)).otherwise(acc)
+    }
+    // n = floor(e) + 1 more when hash-fraction < frac(e); floor+cast
+    // of an integral-valued double is identical in both engines (a
+    // bare double→int cast is NOT: Spark truncates, DuckDB rounds)
+    val hashInt = F.expr(
+      s"conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10)")
+      .cast("bigint")
+    val n = (F.floor(F.col("__e")) +
+      F.when(hashInt < F.floor((F.col("__e") - F.floor(F.col("__e"))) *
+        F.lit(4294967296.0)).cast("bigint"), 1L).otherwise(0L))
+      .cast("int")
+    df.withColumn("__e", e)
+      .withColumn("__n", n)
+      // filter before the Generate: sequence(1, 0) would DESCEND in
+      // Spark ([1, 0]), not produce the empty array
+      .filter(F.col("__n") >= 1)
+      .withColumn("epoch", F.explode(F.expr("sequence(1, __n)")))
+      .drop("__e", "__n")
+  }
+
   /** Deterministic train/val/test (N-way) split assignment (r5): the
     * row's md5 hash lands in one of the cumulative [0,1) intervals —
     * a pure per-row projection (no shuffle, engine-replayable), and

@@ -201,6 +201,12 @@ object Ast {
   /** joinType: inner|left|right|full|cross. on=None for cross. */
   final case class JoinRel(left: Relation, right: Relation, joinType: String,
                            on: Option[Expr]) extends Relation
+  /** POSITIONAL JOIN (r11c, DuckDB): pairs the two sides row-by-row
+    * in their order; the shorter side null-pads. Meaningful when each
+    * side carries a defined order (an ORDER BY'd subquery, a
+    * single-file scan). */
+  final case class PositionalJoinRel(left: Relation,
+                                     right: Relation) extends Relation
   /** Aliased parenthesized join group: `(a join b on ...) name`
     * (sql.lark:33). */
   final case class AliasedRel(rel: Relation, alias: String) extends Relation

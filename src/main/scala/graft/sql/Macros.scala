@@ -126,6 +126,8 @@ final class MacroExpander(lookup: String => Option[Macros.Macro]) {
       case JoinRel(l, rt, jt, on) =>
         JoinRel(rel(l, env, d), rel(rt, env, d), jt,
           on.map(expr(_, env, d)))
+      case PositionalJoinRel(l, rt) =>
+        PositionalJoinRel(rel(l, env, d), rel(rt, env, d))
       case AliasedRel(x, a) => AliasedRel(rel(x, env, d), a)
       case UsingJoinRel(l, rt, jt, cols) =>
         UsingJoinRel(rel(l, env, d), rel(rt, env, d), jt, cols)

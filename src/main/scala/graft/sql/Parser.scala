@@ -575,6 +575,10 @@ final class Parser(tokens: Vector[Token]) {
         val right = parseRelationPrimary()
         expectKw("on")
         left = AsofJoinRel(left, right, leftOuter, parseExpr())
+      } else if (atKw("positional")) {
+        // POSITIONAL JOIN (r11c, DuckDB): row-by-row zip
+        pos += 1; expectKw("join")
+        left = PositionalJoinRel(left, parseRelationPrimary())
       } else if (atKw("natural")) {
         // NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN (r5)
         pos += 1
@@ -1071,12 +1075,31 @@ final class Parser(tokens: Vector[Token]) {
       case Op("*", _) =>
         pos += 1; Star(None)
       case Op("[", _) =>
-        // `[e1, e2, ...]` list literal (r11b, DuckDB) → array(...)
+        // `[e1, e2, ...]` list literal (r11b, DuckDB) → array(...);
+        // `[expr FOR x IN list [IF cond]]` list comprehension (r11c,
+        // DuckDB) → transform(filter(list, x -> cond), x -> expr)
         pos += 1
-        val items = Seq.newBuilder[Expr]
-        if (!atOp("]")) { items += parseExpr(); while (eatOp(",")) items += parseExpr() }
-        expectOp("]")
-        FuncCall("array", items.result())
+        if (atOp("]")) { pos += 1; FuncCall("array", Nil) }
+        else {
+          val first = parseExpr()
+          if (eatKw("for")) {
+            val param = ident().toLowerCase
+            expectKw("in")
+            val src = parseExpr()
+            val cond = if (eatKw("if")) Some(parseExpr()) else None
+            expectOp("]")
+            val filtered = cond
+              .map(c => FuncCall("filter", Seq(src, Lambda(Seq(param), c))))
+              .getOrElse(src)
+            FuncCall("transform", Seq(filtered, Lambda(Seq(param), first)))
+          } else {
+            val items = Seq.newBuilder[Expr]
+            items += first
+            while (eatOp(",")) items += parseExpr()
+            expectOp("]")
+            FuncCall("array", items.result())
+          }
+        }
       case Op("{", _) =>
         // `{'k': v, ...}` struct literal (r11b, DuckDB) →
         // named_struct('k', v, ...); keys are single-quoted strings
@@ -1441,14 +1464,25 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseCase(): Expr = {
+    // simple CASE (r11c): `CASE x WHEN v THEN r …` — standard sugar
+    // for the searched form with `x = v` branch conditions (equality
+    // semantics: a NULL comparand matches no branch and falls to
+    // ELSE, exactly as the spelled-out comparisons evaluate)
+    val comparand: Option[Expr] =
+      if (atKw("when")) None else Some(parseExpr())
     val branches = Seq.newBuilder[(Expr, Expr)]
+    var nBranches = 0
     while (atKw("when")) {
       pos += 1
-      val cond = parseExpr()
+      val w = parseExpr()
+      val cond = comparand.map(c => Cmp("=", c, w)).getOrElse(w)
       expectKw("then")
       val v = parseExpr()
       branches += ((cond, v))
+      nBranches += 1
     }
+    if (nBranches == 0)
+      fail("CASE requires at least one WHEN branch")
     // ELSE is optional (graft extension; omitted => NULL). The
     // reference grammar requires it (sql.lark:43).
     val otherwise = if (eatKw("else")) parseExpr() else NullLit()

@@ -335,6 +335,7 @@ final class Translator(catalog: String => DataFrame,
       case SubqueryRel(q, _) => inSet(q)
       case ValuesRel(_, _, _) => false
       case JoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
+      case PositionalJoinRel(l, r2) => inRel(l) || inRel(r2)
       case AsofJoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
       case UsingJoinRel(l, r2, _, _) => inRel(l) || inRel(r2)
       case NaturalJoinRel(l, r2, _) => inRel(l) || inRel(r2)
@@ -394,6 +395,10 @@ final class Translator(catalog: String => DataFrame,
             Some(under.flatMap(_._2.get).toSet)
           else None))
       case JoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
+      // positional join re-creates its frames, dropping sub-aliases:
+      // columns resolve UNQUALIFIED only (scope entries are absent on
+      // purpose — a qualified ref fails loudly at analysis)
+      case PositionalJoinRel(_, _) => Seq.empty
       case AsofJoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
       case UsingJoinRel(l, rr, _, _) => scopeEntries(l) ++ scopeEntries(rr)
       case NaturalJoinRel(l, rr, _) => scopeEntries(l) ++ scopeEntries(rr)
@@ -538,6 +543,8 @@ final class Translator(catalog: String => DataFrame,
         } else sub
         LateralRel(left, sub2, a, k)
       case JoinRel(l, rr, jt, on) => JoinRel(walkRel(l), walkRel(rr), jt, on)
+      case PositionalJoinRel(l, rr) =>
+        PositionalJoinRel(walkRel(l), walkRel(rr))
       case AsofJoinRel(l, rr, lo, on) =>
         AsofJoinRel(walkRel(l), walkRel(rr), lo, on)
       case UsingJoinRel(l, rr, jt, cs) =>
@@ -833,6 +840,30 @@ final class Translator(catalog: String => DataFrame,
       alias.map(a => df.alias(a.toLowerCase)).getOrElse(df)
     case AliasedRel(rel, alias) =>
       translateRelation(rel).alias(alias.toLowerCase)
+    case PositionalJoinRel(l, r) =>
+      // POSITIONAL JOIN (r11c, DuckDB): zip the two sides row-by-row;
+      // the shorter side null-pads (full outer on position). Indexing
+      // rides RDD zipWithIndex — one extra partition-count pass per
+      // side (contiguous cross-partition indexes have no pure-plan
+      // form), partition-parallel thereafter; a sorted subquery keeps
+      // its order through .rdd, which is what makes the zip defined.
+      // The re-created frames drop sub-aliases, so columns are
+      // referenced UNQUALIFIED; same-named columns on both sides are
+      // ambiguous there, as in a USING-less join.
+      val lf = translateRelation(l)
+      val rf = translateRelation(r)
+      def indexed(df: DataFrame, posCol: String): DataFrame = {
+        val schema = org.apache.spark.sql.types.StructType(
+          df.schema.fields :+ org.apache.spark.sql.types.StructField(
+            posCol, org.apache.spark.sql.types.LongType, nullable = false))
+        session.createDataFrame(
+          df.rdd.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) }, schema)
+      }
+      val lid = indexed(lf, "__lpos")
+      val rid = indexed(rf, "__rpos")
+      lid.join(rid, lid("__lpos") === rid("__rpos"), "full_outer")
+        .drop("__lpos", "__rpos")
     case UsingJoinRel(l, r, jt, cols) =>
       translateRelation(l).join(translateRelation(r), cols, sparkJoinType(jt))
     case NaturalJoinRel(l, r, jt) =>
@@ -3389,6 +3420,8 @@ final class Translator(catalog: String => DataFrame,
     case ValuesRel(_, _, a) => a.map(_.toLowerCase).toSet
     case AliasedRel(_, a) => Set(a.toLowerCase)
     case JoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
+    case PositionalJoinRel(l, rr) =>
+      relationAliases(l) ++ relationAliases(rr)
     case AsofJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case UsingJoinRel(l, rr, _, _) => relationAliases(l) ++ relationAliases(rr)
     case NaturalJoinRel(l, rr, _) => relationAliases(l) ++ relationAliases(rr)

@@ -2199,6 +2199,118 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  // ---- fuzzy decontamination (r11c) ------------------------------------
+
+  test("fuzzy decontamination: near-copies flagged, quotes are not") {
+    import spark.implicits._
+    val evalD = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // near-copy: one word changed — high jaccard
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+      // verbatim QUOTE inside an otherwise-novel doc — low whole-doc
+      // jaccard, caught by the n-gram rule but NOT by this one
+      (2L, "alpha beta gamma " +
+        (1 to 30).map(i => s"nov$i").mkString(" ")),
+      (3L, "completely unrelated text about nothing in particular at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyDecontaminationPairs(train, evalD, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 100L)))
+    // corpus filter drops exactly the near-copy
+    val kept = Dedup.fuzzyDecontaminatedCorpus(train, evalD, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // complementarity: the n-gram rule DOES flag the quote doc
+    val exact = Dedup.decontaminationScores(train, evalD, 0.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!exact(1L) && !exact(2L) && exact(3L))
+    // empty eval side: nothing flagged, corpus passes through
+    assert(Dedup.fuzzyDecontaminationPairs(train,
+      evalD.filter("false"), 0.5).collect().isEmpty)
+    assert(Dedup.fuzzyDecontaminatedCorpus(train,
+      evalD.filter("false"), 0.5).count() == 3L)
+  }
+
+  // ---- epoch plan + fractional upsampling (r11c) -----------------------
+
+  test("epoch plan: budget-weighted epochs, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", 100L), (2L, "web", 300L),   // web: 400 tokens
+      (3L, "wiki", 50L), (4L, "wiki", 50L),   // wiki: 100 tokens
+      (5L, "junk", 10L),                      // unlisted: weight 0
+      (6L, "empty", 0L)                       // zero tokens: NULL epochs
+    ).toDF("doc_id", "source", "n_tok")
+    val plan = Sampling.epochPlan(docs, "source", "n_tok",
+        Map("web" -> 0.75, "wiki" -> 0.25), budgetTokens = 800L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan("web").getAs[Double]("epochs") == 800.0 * 0.75 / 400.0) // 1.5
+    assert(plan("wiki").getAs[Double]("epochs") == 800.0 * 0.25 / 100.0) // 2.0
+    assert(plan("junk").getAs[Double]("weight") == 0.0 &&
+      plan("junk").getAs[Double]("epochs") == 0.0)
+    assert(plan("empty").isNullAt(plan("empty").fieldIndex("epochs")))
+    assert(plan("web").getAs[Long]("tokens") == 400L &&
+      plan("web").getAs[Long]("n_docs") == 2L)
+    // weights normalize over the PRESENT map (0.5/0.5 of total 1.0)
+    val norm = Sampling.epochPlan(docs, "source", "n_tok",
+        Map("web" -> 2.0, "wiki" -> 2.0), 800L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(norm("web") == 0.5 && norm("wiki") == 0.5)
+  }
+
+  test("upsample epochs: exact md5 replay, monotone, epoch index") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def hashFrac(id: Long): Double = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val eps = Map("a" -> 2.3, "b" -> 0.7)
+    val got = Sampling.upsampleEpochs(docs, "doc_id", "source", eps)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // independent Scala replay of the repeat rule
+    val expect = (1L to 400L).flatMap { i =>
+      val e = eps(if (i % 2 == 0) "a" else "b")
+      val n = e.toInt + (if (hashFrac(i) <
+        math.floor((e - math.floor(e)) * 4294967296.0) / 4294967296.0) 1 else 0)
+      (1 to n).map(k => (i, k))
+    }.toSet
+    assert(got.toSet == expect && got.length == expect.size)
+    // every kept doc carries epochs 1..n densely
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byDoc.forall { case (_, ks) => ks == (1 to ks.length) })
+    // monotone: epochs 2.3 ⊂ 2.4 (group a), counts grow only
+    val more = Sampling.upsampleEpochs(docs, "doc_id", "source",
+        Map("a" -> 2.4, "b" -> 0.7))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got.toSet.subsetOf(more))
+    // integer epochs repeat exactly; default 0 drops unlisted groups
+    val exact2 = Sampling.upsampleEpochs(docs.filter("source = 'a'"),
+      "doc_id", "source", Map("a" -> 2.0))
+    assert(exact2.count() == 400L) // 200 docs x 2
+    val dropped = Sampling.upsampleEpochs(docs, "doc_id", "source",
+      Map("a" -> 1.0))
+    assert(dropped.filter("source = 'b'").count() == 0)
+    // plan shape: no shuffle, no join — projection + generate only
+    val p = Sampling.upsampleEpochs(docs, "doc_id", "source", eps)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(1500))
+    // walls
+    intercept[IllegalArgumentException] {
+      Sampling.upsampleEpochs(docs, "doc_id", "source", Map("a" -> 1001.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.upsampleEpochs(docs.withColumn("epoch", F.lit(1)),
+        "doc_id", "source", eps)
+    }
+  }
+
   // ---- decontamination (r11c) -----------------------------------------
 
   test("decontamination: reverse contamination + keep verdicts") {

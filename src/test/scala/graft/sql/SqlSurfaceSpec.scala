@@ -3524,4 +3524,75 @@ class SqlSurfaceSpec extends SparkTestBase {
       .collect().head.getInt(0) == 1)
     g.removeTable("quant_t")
   }
+
+  test("simple CASE: comparand form lowers to equality branches (r11c)") {
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           case l_returnflag when 'A' then 1 when 'R' then 2 else 0
+             end as rf
+         from lineitem""")
+    // expression comparand; omitted ELSE reads NULL on no match
+    checkAgainstSparkSql(
+      """select l_orderkey, l_linenumber,
+           case l_linenumber % 3 when 0 then 'z' when 1 then 'a' end as m
+         from lineitem""")
+    // NULL comparand matches no branch (equality, not IS NOT DISTINCT)
+    val g = graftSession
+    val r = g.query(
+      "select case cast(null as int) when 1 then 'x' else 'e' end as v " +
+        "from region limit 1").collect().head
+    assert(r.getString(0) == "e")
+    // searched form unchanged; empty CASE is a parse error
+    intercept[RuntimeException](g.query("select case end from region"))
+  }
+
+  test("list comprehension lowers to transform/filter (r11c)") {
+    val g = graftSession
+    val r = g.query(
+      """select [x * 2 for x in [1, 2, 3]] as a,
+           [x for x in [1, 5, 2, 8] if x > 4] as b,
+           [upper(s) for s in ['a', 'b']] as c
+         from region limit 1""").collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 4L, 6L) ||
+      r.getSeq[Int](0) == Seq(2, 4, 6))
+    assert(r.getSeq[Long](1) == Seq(5L, 8L) || r.getSeq[Int](1) == Seq(5, 8))
+    assert(r.getSeq[String](2) == Seq("A", "B"))
+    // comprehension over a real array column composes with the
+    // subscript/slicing surface
+    val s = g.query(
+      """select [x + 1 for x in [n_regionkey, n_nationkey] if x >= 0][1]
+           as f from nation where n_nationkey = 0""").collect().head
+    assert(s.getLong(0) == 1L || s.getInt(0) == 1)
+  }
+
+  test("POSITIONAL JOIN zips rows; shorter side null-pads (r11c)") {
+    val g = graftSession
+    val rows = g.query(
+      """select o_orderkey, r_name
+         from (select o_orderkey from orders
+               order by o_orderkey limit 8) o
+         positional join
+         (select r_name from region order by r_name) r""")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        Option(r.getString(1)).getOrElse("-")))
+    assert(rows.length == 8)
+    val orderedKeys = g.query(
+        "select o_orderkey from orders order by o_orderkey limit 8")
+      .collect().map(_.getLong(0))
+    val regions = g.query("select r_name from region order by r_name")
+      .collect().map(_.getString(0))
+    // first five pair positionally; the last three null-pad r_name
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.map(_._1).toSeq == orderedKeys.toSeq)
+    assert(sorted.take(5).map(_._2).toSeq == regions.toSeq)
+    assert(sorted.drop(5).forall(_._2 == "-"))
+    // longer RIGHT side pads the left with NULLs
+    val n = g.query(
+      """select r_regionkey, o_orderkey
+         from (select r_regionkey from region order by r_regionkey) r
+         positional join
+         (select o_orderkey from orders order by o_orderkey limit 7) o""")
+      .collect()
+    assert(n.length == 7 && n.count(_.isNullAt(0)) == 2)
+  }
 }
