@@ -435,6 +435,51 @@ final class Graft(val spark: SparkSession) {
     queryDispatch(sqlText)
   }
 
+  /** Executes a multi-statement SQL SCRIPT (r11c): statements split
+    * on top-level `;` — string literals, quoted identifiers, parens,
+    * and `--` line comments are respected — run in order through
+    * [[query]], and the LAST statement's frame is returned (the
+    * psql/DuckDB-CLI contract: set up macros/views/tables, end on the
+    * SELECT you want). Empty statements (trailing `;`, comment-only
+    * segments) are skipped; a script with no statements is loud. */
+  def runScript(script: String): DataFrame = {
+    val stmts = splitTop(stripLineComments(script), ';')
+      .map(_.trim).filter(_.nonEmpty)
+    if (stmts.isEmpty) fail("script contains no statements")
+    stmts.map(query).last
+  }
+
+  /** Blanks `--` line comments outside string literals / quoted
+    * identifiers (shared contract with the lexer and bindParams) so
+    * a `;` inside a comment can never split a statement. */
+  private def stripLineComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inStr = false
+    var inIdent = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        sb += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            sb += '\''; i += 1
+          } else inStr = false
+        }
+      } else if (inIdent) {
+        sb += c
+        if (c == '"') inIdent = false
+      } else if (c == '\'') { inStr = true; sb += c }
+      else if (c == '"') { inIdent = true; sb += c }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        i -= 1 // the newline (if any) re-appends on the next loop turn
+      } else sb += c
+      i += 1
+    }
+    sb.toString
+  }
+
   /** RETURNING lowering (r11b): build the affected-rows frame from
     * the PRE-statement registry (lazy plans capture the DataFrames,
     * so the later re-registration cannot change them), run the bare

@@ -1539,6 +1539,20 @@ object SparkEntry {
 
   /** graft-dialect SQL differs from the DuckDB oracle text. */
   private val dialectSql: Seq[(String, String, String)] = Seq(
+    // COLUMNS expansion (r11c, DuckDB star-function): each matching
+    // column expands in table order; alias prefixes the source name
+    ("q_columns_expand",
+      """select l_returnflag,
+           max(columns('^l_(quantity|extendedprice)$')) as mx,
+           count(columns('^l_.*key$')) as n
+         from lineitem group by l_returnflag""",
+      """select l_returnflag,
+           max(l_quantity) as mx_l_quantity,
+           max(l_extendedprice) as mx_l_extendedprice,
+           count(l_orderkey) as n_l_orderkey,
+           count(l_partkey) as n_l_partkey,
+           count(l_suppkey) as n_l_suppkey
+         from lineitem group by l_returnflag"""),
     // ASOF JOIN SQL surface (r7b): graft lowers it WITHOUT a join
     // (tag + union + one last/first_value window on the key
     // partition); DuckDB runs ASOF JOIN natively — a true
@@ -4376,6 +4390,27 @@ object SparkEntry {
       Some("""select o_orderkey, o_custkey,
                 o_totalprice * (1 - 0.25) as dp
               from orders where o_totalprice > 400000""")),
+    // multi-statement script (r11c): top-level ';' split (strings/
+    // comments respected), statements run in order, LAST frame
+    // returned — macros + views + the final SELECT in one call
+    ("q_script",
+      (s: SparkSession, dir: String) => {
+        val g = Graft.forDir(s, dir)
+        g.runScript(
+          """create macro big(t) as table
+               select o_orderkey, o_totalprice from orders
+               where o_totalprice > t;
+             create view v_big as select * from big(300000);
+             -- a comment; with a semicolon and a 'quote
+             select count(*) as n,
+               cast(min(o_orderkey) as bigint) as k,
+               cast(max(o_totalprice) as double) as mx
+             from v_big;""")
+      },
+      Some("""select count(*) as n,
+                cast(min(o_orderkey) as bigint) as k,
+                cast(max(o_totalprice) as double) as mx
+              from orders where o_totalprice > 300000""")),
     // builtin series generators (r11c): generate_series inclusive,
     // range exclusive (DuckDB semantics), lowered to session.range —
     // Spark's splittable parallel long scan, no driver materialization

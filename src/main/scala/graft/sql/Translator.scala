@@ -1695,8 +1695,12 @@ final class Translator(catalog: String => DataFrame,
   }
 
   private def translateSelectImpl(sel00: Select): DataFrame = {
-    val sel = resolveNamedWindows(sel00)
-    val from0 = translateRelation(sel.from)
+    val sel0 = resolveNamedWindows(sel00)
+    val from0 = translateRelation(sel0.from)
+    // COLUMNS(*) / COLUMNS('regex') expansion (r11c, DuckDB) — needs
+    // the FROM schema, so it runs here, before item classification:
+    // expanded aggregates reach translateAggregate as real aggregates
+    val sel = expandColumnsItems(sel0, from0.columns.toSeq)
     resolveFrame = Some(from0)
 
     // IN (subquery) in WHERE must become a join (Catalyst has no
@@ -2938,6 +2942,61 @@ final class Translator(catalog: String => DataFrame,
     * expressions referenced in HAVING are computed in the same agg
     * (single shuffle with map-side partial aggregation), filtered,
     * then pruned by the final projection. */
+  /** COLUMNS(*) / COLUMNS('regex') select-item expansion (r11c,
+    * DuckDB star-function): each item containing a COLUMNS call
+    * expands to one item per matching column (table order; regex is
+    * RE2-style partial match, anchor with ^$ for exact). Naming:
+    * the expanded item takes the SOURCE column's name; an explicit
+    * alias prefixes it (`max(COLUMNS('…')) AS m` → m_<col>) so
+    * multiple expanded items stay distinguishable. One COLUMNS call
+    * per item; an empty match set is a loud error (a silently empty
+    * projection hides a typo'd pattern). */
+  private def expandColumnsItems(sel: Select, cols: Seq[String]): Select = {
+    def isColumnsCall(e: Expr): Boolean = e match {
+      case FuncCall(n, _) => n.equalsIgnoreCase("columns")
+      case _ => false
+    }
+    def hasColumns(e: Expr): Boolean =
+      isColumnsCall(e) || Ast.children(e).exists(hasColumns)
+    if (!sel.items.exists(si => hasColumns(si.e))) sel
+    else {
+      val items = sel.items.flatMap { si =>
+        if (!hasColumns(si.e)) Seq(si)
+        else {
+          var pat: Option[Seq[Expr]] = None
+          Ast.transformUp(si.e) {
+            case f @ FuncCall(n, args) if n.equalsIgnoreCase("columns") =>
+              if (pat.exists(_ != args))
+                fail("one COLUMNS call per select item")
+              pat = Some(args)
+              f
+          }
+          val matching = pat.get match {
+            case Seq(Star(None)) => cols
+            case Seq(StrLit(re)) =>
+              val p = try re.r catch {
+                case e: Exception =>
+                  fail(s"COLUMNS pattern does not parse: ${e.getMessage}")
+              }
+              cols.filter(c => p.findFirstIn(c).isDefined)
+            case other =>
+              fail(s"COLUMNS takes * or a string pattern, got $other")
+          }
+          if (matching.isEmpty)
+            fail(s"COLUMNS matched no columns of [${cols.mkString(", ")}]")
+          matching.map { c =>
+            val e2 = Ast.transformUp(si.e) {
+              case FuncCall(n, _) if n.equalsIgnoreCase("columns") =>
+                ColRef(None, c)
+            }
+            SelectItem(e2, Some(si.alias.map(a => s"${a}_$c").getOrElse(c)))
+          }
+        }
+      }
+      sel.copy(items = items)
+    }
+  }
+
   private def translateAggregate(sel: Select, in: DataFrame): DataFrame = {
     // reference parity (test_errors.py:73-76): sum/avg over a
     // non-numeric column is rejected rather than implicitly cast

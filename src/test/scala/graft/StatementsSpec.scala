@@ -1260,6 +1260,29 @@ class StatementsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("unknown table function"), e3.getMessage)
   }
 
+  test("runScript: top-level ';' split, last frame returned (r11c)") {
+    val g = fresh
+    val out = g.runScript(
+      """create macro thr() as 100000; -- macros compose in scripts
+         create view sv as select o_orderkey from orders
+           where o_totalprice > thr();
+         -- a comment; with 'a quote and a ; semicolon
+         select count(*) as n from sv;""")
+    val direct = g.query("select count(*) as n from orders " +
+      "where o_totalprice > 100000").collect().head.getLong(0)
+    assert(out.collect().head.getLong(0) == direct && direct > 0)
+    // a ';' inside a string literal never splits
+    val s2 = g.runScript("select 'a;b' as v from region limit 1")
+    assert(s2.collect().head.getString(0) == "a;b")
+    // empty scripts and comment-only scripts are loud
+    intercept[RuntimeException](g.runScript("  -- nothing here\n  "))
+    // statements run IN ORDER: later ones see earlier registrations
+    val s3 = g.runScript(
+      "create table t_sc as select 1 as x from region limit 1;" +
+        "insert into t_sc values (2); select count(*) as n from t_sc")
+    assert(s3.collect().head.getLong(0) == 2L)
+  }
+
   test("generate_series / range series generators (r11c)") {
     val g = fresh
     def longs(sql: String): Seq[Long] =

@@ -3565,6 +3565,35 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(s.getLong(0) == 1L || s.getInt(0) == 1)
   }
 
+  test("COLUMNS(*) / COLUMNS('re') expand select items (r11c)") {
+    val g = graftSession
+    // bare: regex subset in table order, named by source column
+    val df = g.query("select columns('^n_(nation|region)key$') from nation")
+    assert(df.columns.toSeq == Seq("n_nationkey", "n_regionkey"))
+    // wrapped aggregate expands per column; alias prefixes
+    val agg = g.query(
+      "select max(columns('key$')) as mx, count(*) as n from nation")
+    assert(agg.columns.toSeq == Seq("mx_n_nationkey", "mx_n_regionkey", "n"))
+    val r = agg.collect().head
+    def lv(i: Int) = r.getAs[Number](i).longValue
+    assert(lv(0) == 24L && lv(1) == 4L && lv(2) == 25L)
+    // COLUMNS(*) takes every column; grouped expansion plans as a
+    // real aggregate
+    val all = g.query("select count(columns(*)) from region")
+    assert(all.columns.length == g.query("select * from region").columns.length)
+    val grouped = g.query(
+      """select l_returnflag, min(columns('^l_.*price$')) as m
+         from lineitem group by l_returnflag""")
+    assert(grouped.columns.toSeq == Seq("l_returnflag", "m_l_extendedprice"))
+    // walls: empty match, two COLUMNS in one item
+    val e1 = intercept[RuntimeException](
+      g.query("select columns('zzz') from region").collect())
+    assert(e1.getMessage.contains("matched no columns"), e1.getMessage)
+    val e2 = intercept[RuntimeException](g.query(
+      "select columns('^r_n') + columns('^r_r') from region").collect())
+    assert(e2.getMessage.contains("one COLUMNS"), e2.getMessage)
+  }
+
   test("POSITIONAL JOIN zips rows; shorter side null-pads (r11c)") {
     val g = graftSession
     val rows = g.query(
