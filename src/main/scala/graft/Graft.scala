@@ -961,6 +961,11 @@ final class Graft(val spark: SparkSession) {
     val lower = name.toLowerCase
     if (Macros.builtinTableFns.contains(lower))
       fail(s"macro name '$name' shadows the builtin table function")
+    // a quoted name containing parens would corrupt the balanced-
+    // paren parameter scan below (and could never be CALLED — call
+    // sites parse names as identifiers)
+    if (name.exists(c => c == '(' || c == ')'))
+      fail(s"macro name '$name' may not contain parentheses")
     if (!orReplace && macros.contains(lower))
       fail(s"macro '$name' already exists (use CREATE OR REPLACE MACRO)")
     val open = sqlText.indexOf('(', sqlText.toLowerCase.indexOf("macro"))

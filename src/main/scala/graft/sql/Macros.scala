@@ -148,25 +148,36 @@ final class MacroExpander(lookup: String => Option[Macros.Macro]) {
         UnpivotRel(rel(x, env, d), vn, nn, cols)
     }
 
+  /** Top-down lexical walk (NOT transformUp): lambda parameters
+    * SHADOW same-named macro parameters inside their body (`CREATE
+    * MACRO f(x) AS transform(a, x -> x + 1)` keeps the lambda's x),
+    * and substituted argument subtrees are emitted verbatim — never
+    * re-walked — so an argument that happens to name another
+    * parameter is never re-substituted (capture-free). */
   private def expr(e: Expr, env: Map[String, Expr], d: Int): Expr =
-    Ast.transformUp(e) {
+    e match {
+      case Lambda(ps, b) =>
+        Lambda(ps, expr(b, env -- ps.map(_.toLowerCase), d))
       case ColRef(None, n) if env.contains(n.toLowerCase) =>
         env(n.toLowerCase)
       case ScalarSubquery(sub) => ScalarSubquery(set(sub, env, d))
       case ExistsSubquery(sub) => ExistsSubquery(set(sub, env, d))
-      case InSubquery(x, sub) => InSubquery(x, set(sub, env, d))
-      case QuantCmp(op, all, x, sub) => QuantCmp(op, all, x, set(sub, env, d))
-      case FuncCall(name, args) if isScalarMacro(name) =>
+      case InSubquery(x, sub) =>
+        InSubquery(expr(x, env, d), set(sub, env, d))
+      case QuantCmp(op, all, x, sub) =>
+        QuantCmp(op, all, expr(x, env, d), set(sub, env, d))
+      case FuncCall(name, args0) if isScalarMacro(name) =>
+        val args = args0.map(expr(_, env, d))
         val mc = lookup(name.toLowerCase).get
         if (d >= MaxDepth)
           fail(s"macro expansion exceeds depth $MaxDepth at '$name' " +
             "(self- or mutually-recursive macros)")
-        // args are already rewritten (transformUp is bottom-up); the
-        // body expands under the fresh parameter env only — caller
-        // bindings do not leak in (lexical, not dynamic, scoping)
+        // the body expands under the fresh parameter env only —
+        // caller bindings never leak in (lexical, not dynamic, scope)
         expr(mc.body.swap.getOrElse(fail(
           s"macro '$name' is a TABLE macro — call it in FROM position")),
           bind(mc, args), d + 1)
+      case other => Ast.mapChildren(other, expr(_, env, d))
     }
 
   private def isScalarMacro(name: String): Boolean =

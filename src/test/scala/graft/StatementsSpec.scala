@@ -1222,6 +1222,12 @@ class StatementsSpec extends SparkTestBase {
     val e6 = intercept[RuntimeException](
       g.query("select need2(1) as x from region"))
     assert(e6.getMessage.contains("no default"), e6.getMessage)
+    // lambda params SHADOW same-named macro params in their body:
+    // the x inside the lambda is the element, not the argument
+    g.query("create macro bump(x) as transform(x, x -> x + 1)")
+    val lr = g.query("select bump([10, 20]) as v from region limit 1")
+      .collect().head.getSeq[Any](0).map(_.toString.toLong)
+    assert(lr == Seq(11L, 21L), lr.toString)
   }
 
   test("CREATE MACRO ... AS TABLE: table macros in FROM position (r11c)") {
