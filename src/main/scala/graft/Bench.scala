@@ -72,6 +72,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.clearCaches() // never serve a stale dir listing across runs
 
+    // load adjudication (r11 verdict #1): the benched box has twice
+    // shown multi-x co-load drift between the builder's pair and the
+    // driver's run; stamping system load INTO the artifact makes the
+    // dispute machine-checkable from the JSON alone. 1-min loadavg at
+    // start/end + the max observed across phase boundaries.
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    var loadMax = loadStart
+    def stampLoad(): Double = {
+      val l = loadavg(); if (l > loadMax) loadMax = l; l
+    }
+    val wallStart = System.nanoTime()
+    def wallSec: Double = (System.nanoTime() - wallStart) / 1e9
+
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -87,10 +105,13 @@ object Bench {
         try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     else try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    val warmupWall = wallSec
+    stampLoad()
 
     val times = Array.fill(queries.length, rounds)(0.0)
     for (r <- 0 until rounds) {
       System.gc()
+      stampLoad()
       for (((name, fn), qi) <- queries.zipWithIndex) {
         val t0 = System.nanoTime()
         // a throwing query must be VISIBLE — a swallowed error would
@@ -114,11 +135,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val p50 = median(results.map(_._2).toArray)
+    val queriesWall = wallSec - warmupWall
+    stampLoad()
     // streaming state store: rocksdb is the benched DEFAULT (the
     // 100 TB posture — state lives off-heap/SSD, not executor heap);
     // hdfs selectable via env for comparison (see Streaming.benchJson)
     val streaming = Streaming.benchJson(spark, sfDir,
       sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb"))
+    val streamingWall = wallSec - warmupWall - queriesWall
+    val loadEnd = stampLoad()
+    val loadJson =
+      s""""load":{"start":$loadStart,"end":$loadEnd,"max":$loadMax,""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors}},""" +
+        s""""wall":{"warmup":$warmupWall,"queries":$queriesWall,""" +
+        s""""streaming":$streamingWall}"""
     // compute-bound split (r6): the suite total is floor-dominated
     // (160+ queries DuckDB answers in <50 ms in-process while graft
     // pays a fixed job-submission constant), which hides per-tier
@@ -158,11 +188,11 @@ object Bench {
             s"[bench] tier split skipped ($duckPath): $e")
           ""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds$split,"streaming":$streaming,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds$split,"streaming":$streaming,$loadJson,"sf":"$sfDir"}""")
     // compact summary LAST: the driver's capture window tails the
     // output, and r2 lost the "total" field when the per-query JSON
     // line outgrew it — the short line always survives the tail
-    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"rounds":$rounds$split,"streaming":$streaming,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"rounds":$rounds$split,"streaming":$streaming,$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

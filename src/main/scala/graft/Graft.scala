@@ -961,6 +961,17 @@ final class Graft(val spark: SparkSession) {
     val lower = name.toLowerCase
     if (Macros.builtinTableFns.contains(lower))
       fail(s"macro name '$name' shadows the builtin table function")
+    // a macro named after a builtin scalar function would silently
+    // rewrite every matching-arity call in the session (the expander
+    // substitutes any registered FuncCall name) — DuckDB rejects
+    // builtin-colliding macro names, so does graft. The check covers
+    // Spark's FunctionRegistry (the translator's fallback surface)
+    // plus names the parser/translator themselves generate or
+    // special-case, which may not all be registry-visible.
+    if (parserReservedFns.contains(lower) ||
+        spark.catalog.functionExists(lower))
+      fail(s"macro name '$name' shadows a builtin function " +
+        "(DuckDB-compatible restriction: pick a non-colliding name)")
     // a quoted name containing parens would corrupt the balanced-
     // paren parameter scan below (and could never be CALLED — call
     // sites parse names as identifiers)
@@ -998,15 +1009,28 @@ final class Graft(val spark: SparkSession) {
     status("macro", lower)
   }
 
-  /** Splits on `sep` at paren-depth 0 outside string literals —
-    * assignment lists may carry commas inside function calls. */
+  /** Names the parser or translator generates/special-cases that a
+    * macro may not shadow (some are not in Spark's registry under
+    * these spellings). */
+  private val parserReservedFns: Set[String] = Set(
+    "array", "transform", "filter", "named_struct", "position",
+    "substring", "element_at", "string_split", "array_to_string",
+    "raise_error", "list_transform", "list_filter", "array_transform",
+    "array_filter", "aggregate", "reduce", "unnest", "columns")
+
+  /** Splits on `sep` at paren-depth 0 outside string literals and
+    * double-quoted identifiers — assignment lists may carry commas
+    * inside function calls, and a quoted identifier may carry the
+    * separator or an unbalanced paren (`"a;b"`). */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]; val sb = new StringBuilder
-    var depth = 0; var inStr = false
+    var depth = 0; var inStr = false; var inId = false
     s.foreach { ch =>
       if (inStr) { sb += ch; if (ch == '\'') inStr = false }
+      else if (inId) { sb += ch; if (ch == '"') inId = false }
       else ch match {
         case '\'' => inStr = true; sb += ch
+        case '"' => inId = true; sb += ch
         case '(' => depth += 1; sb += ch
         case ')' => depth -= 1; sb += ch
         case c if c == sep && depth == 0 =>
@@ -1922,6 +1946,20 @@ final class Graft(val spark: SparkSession) {
 object Graft {
   def apply(spark: SparkSession): Graft = new Graft(spark)
 
+  // base-table reads per (session, dir) — each `spark.read.parquet`
+  // is a driver-side schema/footer read, and statement-family bench
+  // entries build a FRESH Graft per call (their macros/views/DML must
+  // not leak across entries), which used to pay 10 parquet footer
+  // reads per entry per round (~0.7-1.0 s each, VERDICT r11 #7). The
+  // DataFrames are immutable logical plans — sharing them across
+  // Graft instances is safe; only the registry map is per-session.
+  private val dirTables =
+    TrieMap.empty[(SparkSession, String), Seq[(String, org.apache.spark.sql.DataFrame)]]
+
+  /** Drops cached base-table reads (stale-dir-listing hygiene across
+    * bench/verify runs; mirrored by SparkEntry.clearCaches). */
+  def clearDirCache(): Unit = dirTables.clear()
+
   /** Convenience: a Graft session with all testdata tables of a
     * scale-factor directory registered under their TPC-H-ish names. */
   def forDir(spark: SparkSession, dir: String): Graft = {
@@ -1931,22 +1969,27 @@ object Graft {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val g = new Graft(spark)
-    // existence probe via Hadoop FS, not java.io.File — registration
-    // must work for hdfs:// / s3a:// table directories, not just
-    // local disk (VERDICT r1 #10)
-    val conf = spark.sessionState.newHadoopConf()
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-      val path = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
-      val exists =
-        try path.getFileSystem(conf).exists(path)
-        catch { case _: Throwable => false }
-      if (exists)
-        try g.registerTable(t, spark.read.parquet(path.toString))
-        catch { case e: Throwable =>
-          System.err.println(s"[graft] skipping table $t: ${e.getMessage}")
-        }
-    }
+    val base = dirTables.getOrElseUpdate((spark, dir), {
+      // existence probe via Hadoop FS, not java.io.File — registration
+      // must work for hdfs:// / s3a:// table directories, not just
+      // local disk (VERDICT r1 #10)
+      val conf = spark.sessionState.newHadoopConf()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").flatMap { t =>
+        val path = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+        val exists =
+          try path.getFileSystem(conf).exists(path)
+          catch { case _: Throwable => false }
+        if (!exists) None
+        else
+          try Some(t -> spark.read.parquet(path.toString))
+          catch { case e: Throwable =>
+            System.err.println(s"[graft] skipping table $t: ${e.getMessage}")
+            None
+          }
+      }
+    })
+    base.foreach { case (t, df) => g.registerTable(t, df) }
     g
   }
 }

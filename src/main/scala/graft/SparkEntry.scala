@@ -810,11 +810,21 @@ object SparkEntry {
              end as m3
          from lineitem""",
     // list comprehension (r11c, DuckDB): [expr for x in l if cond] —
-    // lowered to transform(filter(...)); DuckDB runs it natively
+    // lowered to transform(filter(...)); DuckDB runs it natively.
+    // results stringified (q_array_slice `|| ['~']` sentinel
+    // convention) so the driver checker can hash the rows — raw
+    // array columns crash its pandas sort (r11 red entry)
     "q_list_comprehension" ->
       """select r_regionkey,
-           [x * 2 for x in [r_regionkey, r_regionkey + 1, 7]] as doubled,
-           [x for x in [r_regionkey, 3, 9, r_regionkey + 8] if x > 4] as big
+           array_to_string(
+             [cast(x * 2 as varchar)
+                for x in [r_regionkey, r_regionkey + 1, 7]] || ['~'],
+             ',') as doubled,
+           array_to_string(
+             [cast(x as varchar)
+                for x in [r_regionkey, 3, 9, r_regionkey + 8] if x > 4]
+               || ['~'],
+             ',') as big
          from region""",
     // POSITIONAL JOIN (r11c, DuckDB): row-by-row zip of two ordered
     // subqueries; the shorter side null-pads (full-outer-on-position)
@@ -2139,7 +2149,8 @@ object SparkEntry {
     * (~50 ms of parquet footer re-reads per query), while across
     * invocations it would serve a stale file listing for a rewritten
     * data directory and pin retired SparkSessions in memory. */
-  def clearCaches(): Unit = { sessions.clear(); tables.clear() }
+  def clearCaches(): Unit =
+    { sessions.clear(); tables.clear(); Graft.clearDirCache() }
 
   // DuckDB-side builders mirroring the ops' expression generation
   private val duckMins =

@@ -53,16 +53,20 @@ final class MacroExpander(lookup: String => Option[Macros.Macro]) {
   def apply(s: SetExpr): SetExpr = set(s, Map.empty, 0)
 
   /** Binds `args` to the macro's parameters positionally, filling
-    * trailing omissions from defaults. */
-  private def bind(m: Macro, args: Seq[Expr]): Map[String, Expr] = {
+    * trailing omissions from defaults. Default expressions are
+    * macro-expanded here (empty env, depth-counted) — substituted
+    * subtrees are never re-walked, so a default that itself calls a
+    * macro (`f(x, y := g(1))`) must expand BEFORE insertion, matching
+    * DuckDB's macro-in-default behavior. */
+  private def bind(m: Macro, args: Seq[Expr], d: Int): Map[String, Expr] = {
     if (args.length > m.params.length)
       fail(s"macro '${m.name}' takes ${m.params.length} argument(s), " +
         s"got ${args.length}")
     val missing = m.params.drop(args.length)
     val defaulted = missing.map { p =>
-      p -> m.defaults.getOrElse(p,
+      p -> expr(m.defaults.getOrElse(p,
         fail(s"macro '${m.name}': parameter '$p' has no default and " +
-          "no argument was supplied"))
+          "no argument was supplied")), Map.empty, d)
     }
     (m.params.zip(args) ++ defaulted).toMap
   }
@@ -113,7 +117,7 @@ final class MacroExpander(lookup: String => Option[Macros.Macro]) {
             if (d >= MaxDepth)
               fail(s"macro expansion exceeds depth $MaxDepth at " +
                 s"'$name' (self- or mutually-recursive macros)")
-            SubqueryRel(set(bodySet, bind(mc, expandedArgs), d + 1),
+            SubqueryRel(set(bodySet, bind(mc, expandedArgs, d + 1), d + 1),
               alias.orElse(Some(name)))
           case None =>
             // builtin series generators pass through to the translator
@@ -176,7 +180,7 @@ final class MacroExpander(lookup: String => Option[Macros.Macro]) {
         // caller bindings never leak in (lexical, not dynamic, scope)
         expr(mc.body.swap.getOrElse(fail(
           s"macro '$name' is a TABLE macro — call it in FROM position")),
-          bind(mc, args), d + 1)
+          bind(mc, args, d + 1), d + 1)
       case other => Ast.mapChildren(other, expr(_, env, d))
     }
 

@@ -1470,15 +1470,14 @@ final class Parser(tokens: Vector[Token]) {
     // ELSE, exactly as the spelled-out comparisons evaluate)
     val comparand: Option[Expr] =
       if (atKw("when")) None else Some(parseExpr())
-    val branches = Seq.newBuilder[(Expr, Expr)]
+    val pairs = Seq.newBuilder[(Expr, Expr)]
     var nBranches = 0
     while (atKw("when")) {
       pos += 1
       val w = parseExpr()
-      val cond = comparand.map(c => Cmp("=", c, w)).getOrElse(w)
       expectKw("then")
       val v = parseExpr()
-      branches += ((cond, v))
+      pairs += ((w, v))
       nBranches += 1
     }
     if (nBranches == 0)
@@ -1487,7 +1486,38 @@ final class Parser(tokens: Vector[Token]) {
     // reference grammar requires it (sql.lark:43).
     val otherwise = if (eatKw("else")) parseExpr() else NullLit()
     expectKw("end")
-    CaseWhen(branches.result(), otherwise)
+    comparand match {
+      case None =>
+        CaseWhen(pairs.result(), otherwise)
+      // deterministic comparand: duplicate `c = v` into each branch —
+      // Catalyst's codegen subexpression elimination evaluates the
+      // shared comparand once per row, so the duplication is free
+      case Some(c) if !containsNondeterministic(c) =>
+        CaseWhen(pairs.result().map { case (w, v) =>
+          (Cmp("=", c, w): Expr, v) }, otherwise)
+      // nondeterministic comparand (CASE random() WHEN …): standard
+      // SQL evaluates the comparand ONCE per row — bind it through a
+      // single-element transform() lambda so every branch compares
+      // the same drawn value (the duplicated form would re-draw per
+      // branch, diverging from DuckDB)
+      case Some(c) =>
+        val p = "__case_comparand"
+        val bound = CaseWhen(pairs.result().map { case (w, v) =>
+          (Cmp("=", ColRef(None, p), w): Expr, v) }, otherwise)
+        Subscript(
+          FuncCall("transform",
+            Seq(FuncCall("array", Seq(c)), Lambda(Seq(p), bound))),
+          NumLit("1"))
+    }
+  }
+
+  /** Does the expression call a per-row nondeterministic function?
+    * (now()/today() are query-constant in both engines, so only the
+    * random family counts.) */
+  private def containsNondeterministic(e: Expr): Boolean = e match {
+    case FuncCall(n, _) if Set("random", "rand", "randn", "uuid",
+      "gen_random_uuid", "shuffle").contains(n.toLowerCase) => true
+    case other => Ast.children(other).exists(containsNondeterministic)
   }
 
   /** A higher-order-function argument: `x -> body` or

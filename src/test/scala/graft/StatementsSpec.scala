@@ -1217,6 +1217,21 @@ class StatementsSpec extends SparkTestBase {
     val e5 = intercept[RuntimeException](
       g.query("create macro generate_series(n) as n"))
     assert(e5.getMessage.contains("shadows"), e5.getMessage)
+    // builtin SCALAR functions may not be shadowed either (r12,
+    // DuckDB-compatible): a macro named coalesce would silently
+    // rewrite every matching-arity coalesce call in the session
+    for (bad <- Seq("coalesce", "abs", "filter", "named_struct",
+        "array", "transform")) {
+      val eb = intercept[RuntimeException](
+        g.query(s"create macro $bad(a, b) as b"))
+      assert(eb.getMessage.contains("shadows"), s"$bad: ${eb.getMessage}")
+    }
+    // parameter DEFAULTS are macro-expanded (r12): a default that
+    // calls another macro binds its expanded body, like DuckDB
+    g.query("create macro gdflt(x) as x * 2")
+    g.query("create macro fdflt(a, b := gdflt(3)) as a + b")
+    assert(g.query("select fdflt(1) as x from region limit 1")
+      .collect().head.getAs[Number](0).longValue == 7L)
     // a parameter with NO default and no argument is loud
     g.query("create macro need2(a, b) as a + b")
     val e6 = intercept[RuntimeException](
@@ -1280,6 +1295,14 @@ class StatementsSpec extends SparkTestBase {
     // a ';' inside a string literal never splits
     val s2 = g.runScript("select 'a;b' as v from region limit 1")
     assert(s2.collect().head.getString(0) == "a;b")
+    // a ';' (or unbalanced paren) inside a DOUBLE-QUOTED identifier
+    // never splits either (r12: splitTop tracks quoted identifiers,
+    // mirroring stripLineComments)
+    val s2b = g.runScript(
+      """select r_name as "a;(b" from region limit 1;
+         select r_regionkey as "x;y" from region order by 1 limit 1""")
+    assert(s2b.columns.toSeq == Seq("x;y"))
+    assert(s2b.collect().head.getAs[Number](0).longValue == 0L)
     // empty scripts and comment-only scripts are loud
     intercept[RuntimeException](g.runScript("  -- nothing here\n  "))
     // statements run IN ORDER: later ones see earlier registrations

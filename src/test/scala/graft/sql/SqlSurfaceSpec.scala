@@ -3544,6 +3544,17 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(r.getString(0) == "e")
     // searched form unchanged; empty CASE is a parse error
     intercept[RuntimeException](g.query("select case end from region"))
+    // nondeterministic comparand evaluates ONCE (r12): the drawn
+    // value must land in exactly one covering branch — with per-
+    // branch re-evaluation the two complementary conditions could
+    // both miss (or both hit), reading 'neither' somewhere in 5k rows
+    val rows = g.query(
+      """select case when random() < 0.5 then 0 else 1 end as dummy,
+           case cast(floor(random() * 2) as int)
+             when 0 then 'lo' when 1 then 'hi' else 'neither' end as v
+         from lineitem limit 5000""").collect()
+    assert(rows.forall(x => x.getString(1) == "lo" || x.getString(1) == "hi"))
+    assert(rows.map(_.getString(1)).distinct.length == 2)
   }
 
   test("list comprehension lowers to transform/filter (r11c)") {
