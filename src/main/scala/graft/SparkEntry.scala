@@ -459,6 +459,36 @@ object SparkEntry {
          from orders
          where o_orderdate >= date '1995-06-01'
            and o_orderdate < date '1995-06-01' + interval 2 month""",
+    // date_trunc + strftime (r12, VERDICT r11 missing #5: the most
+    // common DuckDB-port temporal gaps): date_trunc shares Spark's
+    // (part, ts) registry signature; strftime's C directives convert
+    // to a Java pattern at translation (literal formats only).
+    // date-precision truncs cast to DATE — Spark's date_trunc always
+    // returns timestamp, DuckDB's returns date for date-parts.
+    // %V/%G (ISO week) are deliberately unmapped (Java locale weeks
+    // diverge); 'week' truncation is Monday-based in both engines.
+    "q_date_trunc" ->
+      """select o_orderkey,
+           cast(date_trunc('year', o_orderdate) as date)::varchar as yr,
+           cast(date_trunc('quarter', o_orderdate) as date)::varchar as qu,
+           cast(date_trunc('month', o_orderdate) as date)::varchar as mo,
+           cast(date_trunc('week', o_orderdate) as date)::varchar as wk,
+           strftime(o_orderdate, '%Y-%m-%d') as s_iso,
+           strftime(o_orderdate, '%d/%m/%y') as s_dmy,
+           strftime(o_orderdate, '%a %b %j') as s_names,
+           strftime(o_orderdate, '%H:%M:%S %p of day %j, 100%%') as s_time
+         from orders where o_orderkey % 16 = 0""",
+    // SIMILAR TO / GLOB pattern operators (r12, DuckDB dialect):
+    // whole-string matches — SIMILAR TO is an anchored plain regex
+    // (DuckDB skips PostgreSQL's %/_ translation), GLOB converts
+    // * ? [...] wildcards to an anchored regex at parse time
+    "q_similar_glob" ->
+      """select c_custkey,
+           (c_name similar to 'Customer#[0-9]+') as sm,
+           (c_name not similar to '.*[1-8]') as nsm,
+           (c_mktsegment glob '*IL*') as gl,
+           not (c_mktsegment glob 'B?ILDING') as ngl
+         from customer""",
     // EXTRACT sugar (r4e): every supported field, int-pinned so both
     // engines agree on width
     "q_extract" ->
@@ -3289,17 +3319,17 @@ object SparkEntry {
     // exactly to 1 per round; 4dp rounding absorbs summation order.
     ("q_domain_rank",
       (s: SparkSession, dir: String) => {
-        val li = tbl(s, dir, "lineitem"); val ord = tbl(s, dir, "orders")
-        val cust = tbl(s, dir, "customer"); val sup = tbl(s, dir, "supplier")
-        val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(cust, ord("o_custkey") === cust("c_custkey"))
-          .join(sup, li("l_suppkey") === sup("s_suppkey"))
-          .select(cust("c_nationkey").cast("long").as("src"),
-            sup("s_nationkey").cast("long").as("dst"))
-          // structural (pair-keyed) sparsifier: the raw trade graph is
-          // near-complete at any SF (uniform PageRank would be a weak
-          // oracle); keeping ~1/7 of the PAIRS yields out-degrees 3-4
-          // and a non-uniform rank distribution, identical at every SF
+        // single-scan edge fixture (r12, VERDICT r11 #9: the old
+        // 4-table trade-graph derivation dominated the entry's time —
+        // the entry now measures pageRank, not edge prep). Same
+        // 25-node near-complete graph + the same structural
+        // sparsifier: keeping ~1/7 of the PAIRS yields out-degrees
+        // 3-4 and a non-uniform rank distribution, identical at every
+        // SF (uniform PageRank would be a weak oracle).
+        val li = tbl(s, dir, "lineitem")
+        val edges = li
+          .select((F.col("l_orderkey") % 25).cast("long").as("src"),
+            (F.col("l_suppkey") % 25).cast("long").as("dst"))
           .where(F.col("src") =!= F.col("dst") &&
             (F.col("src") * 31 + F.col("dst")) % 7 === 0)
           .distinct()
@@ -3308,17 +3338,14 @@ object SparkEntry {
       },
       // MATERIALIZED hints are load-bearing: DuckDB 1.0 inlines a CTE
       // per reference, and edges/r_k are each referenced 2-3 times —
-      // inlining re-derives the 4-table join exponentially (the
-      // un-hinted form filled the disk with spill at sf0.1)
+      // inlining re-derives the edge scan exponentially (the
+      // un-hinted 4-table form filled the disk with spill at sf0.1)
       Some("""with edges as materialized (
-                select distinct c.c_nationkey::BIGINT as src,
-                                s.s_nationkey::BIGINT as dst
-                from lineitem l
-                join orders o on l.l_orderkey = o.o_orderkey
-                join customer c on o.o_custkey = c.c_custkey
-                join supplier s on l.l_suppkey = s.s_suppkey
-                where c.c_nationkey <> s.s_nationkey
-                  and (c.c_nationkey * 31 + s.s_nationkey) % 7 = 0),
+                select distinct (l_orderkey % 25)::BIGINT as src,
+                                (l_suppkey % 25)::BIGINT as dst
+                from lineitem
+                where (l_orderkey % 25) <> (l_suppkey % 25)
+                  and ((l_orderkey % 25) * 31 + (l_suppkey % 25)) % 7 = 0),
               nodes as materialized (select src as node from edges
                         union select dst from edges),
               n as materialized (select count(*)::DOUBLE as n from nodes),

@@ -925,6 +925,29 @@ final class Parser(tokens: Vector[Token]) {
       pos += 2
       val (p, esc) = parseLikePattern("NOT ILIKE")
       Not(ILike(l, p, esc))
+    } else if (atKw("similar") && isKwAt(pos + 1, "to")) {
+      // SIMILAR TO (r12, DuckDB dialect): whole-string regex match —
+      // DuckDB deliberately does NOT do the PostgreSQL %/_ rewrite,
+      // the pattern is a plain regex anchored at both ends. Lowered
+      // to Spark's regexp_like with explicit anchors. Contextual
+      // keywords: 'similar' stays usable as an identifier.
+      pos += 2
+      parseSimilarOrGlob(l, "SIMILAR TO", neg = false)
+    } else if (atKw("not") && isKwAt(pos + 1, "similar") &&
+        isKwAt(pos + 2, "to")) {
+      pos += 3
+      parseSimilarOrGlob(l, "NOT SIMILAR TO", neg = true)
+    } else if (atKw("glob") && tokens(pos + 1).isInstanceOf[Str]) {
+      // GLOB (r12, DuckDB dialect): case-sensitive whole-string
+      // wildcard match (* ? [...]), converted to an anchored regex at
+      // parse time. Only engages when a string literal follows, so
+      // 'glob' remains a valid bare alias/column name.
+      pos += 1
+      parseSimilarOrGlob(l, "GLOB", neg = false, glob = true)
+    } else if (atKw("not") && isKwAt(pos + 1, "glob") &&
+        tokens(pos + 2).isInstanceOf[Str]) {
+      pos += 2
+      parseSimilarOrGlob(l, "NOT GLOB", neg = true, glob = true)
     } else if (atKw("not") && isKw(tokens(pos + 1), "between")) {
       pos += 2
       val lo = parseAdditive(); expectKw("and"); val hi = parseAdditive()
@@ -946,6 +969,49 @@ final class Parser(tokens: Vector[Token]) {
         InList(l, vs.result(), neg)
       }
     } else l
+  }
+
+  /** Shared lowering for SIMILAR TO / GLOB: pattern literal →
+    * anchored regexp_like call ([[regexp_like]] resolves through
+    * Spark's FunctionRegistry). GLOB wildcards convert: `*` → `.*`,
+    * `?` → `.`, `[...]` passes through, everything else
+    * regex-quoted. */
+  private def parseSimilarOrGlob(l: Expr, ctx: String, neg: Boolean,
+                            glob: Boolean = false): Expr = {
+    val p = next() match {
+      case Str(s, _) => s
+      case t => fail(s"expected pattern string after $ctx, got $t")
+    }
+    val rx = if (glob) globToRegex(p) else p
+    val call: Expr =
+      FuncCall("regexp_like", Seq(l, StrLit("^(?:" + rx + ")$")))
+    if (neg) Not(call) else call
+  }
+
+  private def globToRegex(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '*' => sb ++= ".*"
+        case '?' => sb += '.'
+        case '[' =>
+          // bracket class passes through to the regex verbatim
+          // (DuckDB GLOB supports [abc] / [a-z] / [!a-z]); `!`
+          // negation becomes regex `^`
+          val close = p.indexOf(']', i + 2) // `]` first in class is literal
+          if (close < 0) fail(s"GLOB pattern has an unclosed '[': $p")
+          val body0 = p.substring(i + 1, close)
+          val body = if (body0.startsWith("!")) "^" + body0.tail else body0
+          sb ++= "[" + body + "]"
+          i = close
+        case c if "\\.^$|()+{}".indexOf(c.toInt) >= 0 =>
+          sb += '\\' += c
+        case c => sb += c
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** Pattern string plus optional `ESCAPE 'c'` suffix (graft dialect

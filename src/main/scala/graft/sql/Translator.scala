@@ -5562,6 +5562,58 @@ final class Translator(catalog: String => DataFrame,
     }
   }
 
+  /** C-style strftime directives → Java DateTimeFormatter pattern
+    * (the subset both engines render identically; unknown directives
+    * are loud, literal text is quote-escaped so pattern letters in
+    * the input never leak into the format). */
+  private def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString; lit.clear()
+      if (s.exists(ch => ch.isLetter || ch == '\''))
+        sb ++= "'" + s.replace("'", "''") + "'"
+      else sb ++= s
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val d = fmt.charAt(i + 1)
+        val rep = d match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'I' => "hh"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'g' => "SSS"
+          case 'j' => "DDD"
+          case 'a' => "EEE"
+          case 'A' => "EEEE"
+          case 'b' | 'h' => "MMM"
+          case 'B' => "MMMM"
+          case 'p' => "a"
+          // %V/%G (ISO week) are NOT mapped: Java's w/Y are
+          // locale-week-based (Sunday-start under en), silently
+          // diverging from the ISO numbers DuckDB prints
+          case '%' => null   // literal percent
+          case other =>
+            fail(s"strftime directive %$other is not supported " +
+              "(supported: %Y %y %m %d %H %I %M %S %f %g %j %a %A " +
+              "%b %B %p %%)")
+        }
+        if (rep == null) lit += '%' else { flushLit(); sb ++= rep }
+        i += 2
+      } else { lit += ch; i += 1 }
+    }
+    flushLit()
+    sb.toString
+  }
+
   private def scalarFunc(name: String, cols: Seq[Column],
                          raw: Seq[Expr]): Column = {
     def c(i: Int): Column = cols(i)
@@ -5628,6 +5680,15 @@ final class Translator(catalog: String => DataFrame,
       case ("year", 1)      => F.year(c(0))
       case ("month", 1)     => F.month(c(0))
       case ("day", 1)       => F.dayofmonth(c(0))
+      // strftime(ts, '%Y-%m-%d') — DuckDB name/arg-order, C-style
+      // directives converted to a Java DateTimeFormatter pattern
+      // (LITERAL formats only: runtime format strings would need a
+      // per-row converter — loud instead). date_trunc needs no case:
+      // Spark's registry shares DuckDB's (part, ts) signature.
+      case ("strftime", 2) =>
+        if (!isStrLit(1))
+          fail("strftime format must be a string literal")
+        F.date_format(c(0), strftimeToJava(strLit(1)))
       // anything else resolves against Spark's FunctionRegistry —
       // the full built-in surface (md5, split, concat_ws, ...) plus
       // session-registered natives like graft_dot; unknown names

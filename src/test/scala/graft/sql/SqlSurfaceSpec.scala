@@ -3557,6 +3557,62 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(rows.map(_.getString(1)).distinct.length == 2)
   }
 
+  test("SIMILAR TO / GLOB anchored pattern operators (r12)") {
+    val g = graftSession
+    def one(sql: String): Boolean =
+      g.query(s"select ($sql) as v from region limit 1")
+        .collect().head.getBoolean(0)
+    // SIMILAR TO: whole-string regex, NO %/_ translation (DuckDB)
+    assert(one("'abcd' similar to 'a.*'"))
+    assert(!one("'abcd' similar to 'b.*'"))
+    assert(!one("'abcd' similar to 'abc'"))    // anchored: partial no
+    assert(one("'abc' not similar to 'x+'"))
+    assert(one("'a%c' similar to 'a%c'"))      // % is literal
+    // GLOB: * ? [...] wildcards, case-sensitive, anchored
+    assert(one("'BUILDING' glob 'B*'"))
+    assert(!one("'BUILDING' glob 'b*'"))
+    assert(one("'BUILDING' glob 'B?ILDING'"))
+    assert(one("'BUILDING' glob '*ILD*'"))
+    assert(!one("'BUILDING' glob 'ILD'"))
+    assert(one("'a.c' glob 'a.c'") && !one("'axc' glob 'a.c'")) // . literal
+    assert(one("'b7' glob 'b[0-9]'") && !one("'b7' glob 'b[!0-9]'"))
+    assert(one("'x' not glob 'y*'")) // graft extension (DuckDB lacks NOT GLOB)
+    // 'similar' / 'glob' remain usable as plain identifiers
+    val r = g.query("select r_regionkey as glob, r_name as similar " +
+      "from region order by 1 limit 1").collect().head
+    assert(r.getAs[Number](0).longValue == 0L)
+    // these operators work in WHERE and compose with boolean logic
+    val n = g.query("select count(*) as n from customer " +
+      "where c_mktsegment glob '*IL*' and c_name similar to 'Customer#[0-9]+'")
+      .collect().head.getLong(0)
+    val direct = g.query("select count(*) as n from customer " +
+      "where c_mktsegment like '%IL%'").collect().head.getLong(0)
+    assert(n == direct && n > 0)
+  }
+
+  test("date_trunc / strftime temporal functions (r12)") {
+    val g = graftSession
+    val r = g.query(
+      """select cast(date_trunc('month', o_orderdate) as date) as mo,
+           strftime(o_orderdate, '%Y-%m-%d') as iso,
+           strftime(o_orderdate, '%a %b %j') as names,
+           strftime(o_orderdate, '%H:%M:%S %p, 100%%') as t
+         from orders where o_orderkey = 0""").collect().head
+    val od = g.query("select cast(o_orderdate as date)::varchar as d " +
+      "from orders where o_orderkey = 0").collect().head.getString(0)
+    assert(r.getAs[java.sql.Date](0).toString == od.substring(0, 8) + "01")
+    assert(r.getString(1) == od)
+    assert(r.getString(2).matches("[A-Z][a-z]{2} [A-Z][a-z]{2} [0-9]{3}"))
+    assert(r.getString(3) == "00:00:00 AM, 100%")
+    // unknown directives and non-literal formats are loud
+    val e1 = intercept[RuntimeException](g.query(
+      "select strftime(o_orderdate, '%V') as v from orders"))
+    assert(e1.getMessage.contains("not supported"), e1.getMessage)
+    val e2 = intercept[RuntimeException](g.query(
+      "select strftime(o_orderdate, o_orderpriority) as v from orders"))
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+  }
+
   test("list comprehension lowers to transform/filter (r11c)") {
     val g = graftSession
     val r = g.query(
