@@ -489,6 +489,47 @@ object SparkEntry {
            (c_mktsegment glob '*IL*') as gl,
            not (c_mktsegment glob 'B?ILDING') as ngl
          from customer""",
+    // DuckDB alias pack (r12): the everyday list/string/regex names a
+    // porting user hits first — list_contains/position/sort/
+    // reverse_sort/has_any/has_all/unique, starts_with/ends_with,
+    // regexp_matches (partial) / regexp_full_match (anchored) — all
+    // mapped to codegen'd Spark functions (semantics probed: 1-based
+    // position with 0-miss, nulls-LAST sorts, null-ignoring has_all/
+    // unique). Sorted slices ride the q_array_slice sentinel.
+    "q_duck_fns" ->
+      """select doc_id,
+           list_contains(w, 'the') as lc,
+           cast(list_position(w, 'the') as bigint) as lp,
+           array_to_string(list_sort(w[1:5]) || ['~'], ' ') as ls,
+           array_to_string(list_reverse_sort(w[1:5]) || ['~'], ' ') as lrs,
+           list_has_any(w, ['the', 'of']) as lha,
+           list_has_all(w, ['the', 'of']) as lhall,
+           cast(list_unique(w[1:6]) as bigint) as lu,
+           starts_with(text, 'The') as sw,
+           ends_with(lang, 'n') as ew,
+           regexp_matches(lang, '^e') as rm,
+           regexp_full_match(lang, '[a-z]{2}') as rfm
+         from (select doc_id, text, lang,
+                 string_split(lower(text), ' ') as w
+               from documents) t""",
+    // date_diff boundary-crossing semantics + strptime roundtrip +
+    // date_part registry passthrough (r12): DuckDB's date_diff counts
+    // PART boundaries crossed, not elapsed full units — graft lowers
+    // it as a difference of boundary ordinals, pinned here across
+    // every supported part
+    "q_date_diff" ->
+      """select o_orderkey,
+           date_diff('day', o_orderdate, timestamp '1996-01-01 00:00:00') as dd,
+           date_diff('month', o_orderdate, timestamp '1996-01-01 00:00:00') as dm,
+           date_diff('quarter', o_orderdate, timestamp '1996-01-01 00:00:00') as dq,
+           date_diff('year', o_orderdate, timestamp '1996-01-01 00:00:00') as dy,
+           date_diff('week', o_orderdate, timestamp '1996-01-01 00:00:00') as dw,
+           date_diff('hour', o_orderdate, timestamp '1996-01-01 06:30:00') as dh,
+           strftime(strptime('2020-03-05 13:45', '%Y-%m-%d %H:%M'),
+             '%Y-%m-%dT%H:%M') as sp,
+           cast(date_part('year', o_orderdate) as int) as py,
+           cast(date_part('dow', o_orderdate) as int) as pdow
+         from orders where o_orderkey % 16 = 1""",
     // EXTRACT sugar (r4e): every supported field, int-pinned so both
     // engines agree on width
     "q_extract" ->
@@ -2474,6 +2515,42 @@ object SparkEntry {
                select query_id, neighbor_id, sim,
                  row_number() over (partition by query_id order by sim desc, neighbor_id) as rnk
                from scored qualify rnk <= 3""")),
+    // recall@k audit (r12): LSH top-5 measured against brute-force
+    // ground truth on the same queries — the production dial for
+    // every bucketed ANN variant. Oracle composes the two existing
+    // replay CTEs and counts the per-query intersection.
+    ("q_ann_recall",
+      (s: SparkSession, dir: String) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.annRecall(
+          Similarity.lshTopK(emb, "vec_id < 10", 5),
+          Similarity.bruteForceTopK(emb, "vec_id < 10", 5))
+      },
+      Some(s"""$duckEmbCte,
+               brs as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                         round(${duckPairCos("q", "c")}, 6) as sim
+                       from e q join e c on q.vec_id < 10 and c.vec_id <> q.vec_id),
+               ex as (select query_id, neighbor_id from (
+                        select query_id, neighbor_id,
+                          row_number() over (partition by query_id
+                            order by sim desc, neighbor_id) as rnk
+                        from brs) where rnk <= 5),
+               lss as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                         round(${duckPairCos("q", "c")}, 6) as sim
+                       from e q join e c on q.bucket = c.bucket
+                         and q.vec_id < 10 and c.vec_id <> q.vec_id),
+               ap as (select query_id, neighbor_id from (
+                        select query_id, neighbor_id,
+                          row_number() over (partition by query_id
+                            order by sim desc, neighbor_id) as rnk
+                        from lss) where rnk <= 5)
+               select x.query_id, count(*)::bigint as n_exact,
+                 sum(case when a.neighbor_id is not null then 1 else 0 end)::bigint as n_hit,
+                 sum(case when a.neighbor_id is not null then 1 else 0 end)::double
+                   / count(*) as recall
+               from ex x left join ap a
+                 on x.query_id = a.query_id and x.neighbor_id = a.neighbor_id
+               group by 1""")),
     ("q_ann_ivf",
       (s: SparkSession, dir: String) => Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 3),
       Some(s"""with e as (select vec_id, embedding, label,
@@ -2955,6 +3032,44 @@ object SparkEntry {
           "doc_id", 0.25),
       Some(s"""select doc_id, lang, n_chars from documents
                where substr(md5(doc_id::VARCHAR), 1, 8) < '${f"${(0.25 * (1L << 32)).toLong}%08x"}'""")),
+    // deterministic pseudo-shuffle for training order (r12):
+    // md5(seed:key) order, first-8-hex shard, shard-local rank —
+    // no global sort anywhere; the oracle replays hash, shard, and
+    // window identically
+    ("q_shuffle_order",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Sampling.pseudoShuffle(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "ep1", 8),
+      Some("""select doc_id, lang,
+                md5('ep1:' || doc_id::VARCHAR) as shuffle_key,
+                ('0x' || substr(md5('ep1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 as shard,
+                row_number() over (
+                  partition by ('0x' || substr(md5('ep1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+                  order by md5('ep1:' || doc_id::VARCHAR), doc_id)::BIGINT as pos
+              from documents""")),
+    // mixture-plan conformance audit (r12): observed per-group corpus
+    // composition vs target weights — count, share, expected, ratio;
+    // a planned-but-absent group reports n = 0, an unplanned group a
+    // NULL ratio
+    ("q_mixture_audit",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Quality.mixtureAudit(
+          tbl(s, dir, "documents"), "lang",
+          Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.15, "xx" -> 0.05)),
+      Some("""with w(lang, weight) as (values
+                ('en', 0.6), ('de', 0.2), ('fr', 0.15), ('xx', 0.05)),
+              c as (select lang, count(*)::BIGINT as n
+                    from documents group by 1),
+              j as (select coalesce(c.lang, w.lang) as lang,
+                      coalesce(c.n, 0) as n, coalesce(w.weight, 0) as weight
+                    from c full outer join w on c.lang = w.lang),
+              t as (select sum(n)::BIGINT as total from j)
+              select j.lang, j.n, j.n::DOUBLE / t.total as share, j.weight,
+                t.total * j.weight as expected,
+                case when j.weight > 0
+                  then j.n::DOUBLE / (t.total * j.weight) end as ratio
+              from j cross join t""")),
     // per-source mixture reweighting: different keep-fraction per
     // group via a CASE threshold — same md5 filter, still no shuffle
     ("q_sample_weighted",

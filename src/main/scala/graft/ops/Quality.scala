@@ -126,6 +126,51 @@ object Quality {
     * the clipped mass; silently dropping it misreads drift). The
     * caller-fixed range keeps it one-pass at 100 TB; use
     * [[histogramAuto]] to spend a min/max pre-pass instead. */
+  /** Mixture-plan conformance audit (r12): given target proportions
+    * per group (the epoch-plan/temperature-mixture output upstream),
+    * reports how the ACTUAL corpus composition compares — per group:
+    * observed count, observed share, target weight, expected count
+    * (total × weight), and the observed/expected ratio (NULL for a
+    * zero-weight group that nonetheless has rows — the loud case).
+    * Groups in `weights` with NO rows still report (n = 0). The audit
+    * every mixture pipeline runs after sampling: "did the corpus I
+    * built match the plan?" One hash aggregation over the corpus +
+    * a broadcast join against the tiny weights table; the corpus is
+    * never re-scanned or shuffled wide. Weights need not sum to 1 —
+    * they normalize here. Scales. */
+  def mixtureAudit(df: DataFrame, groupCol: String,
+                   weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixtureAudit needs at least one weight")
+    require(weights.valuesIterator.forall(_ >= 0) &&
+      weights.valuesIterator.sum > 0, "weights must be non-negative, sum > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // sum in sorted-key order (map iteration order must not leak
+    // into float results) and snap to 1.0 inside 1e-9: a plan whose
+    // weights were WRITTEN to sum to 1 passes through verbatim
+    // instead of picking up a /0.9999999999999999 ulp on every value
+    val sorted = weights.toSeq.sortBy(_._1)
+    val rawSum = sorted.map(_._2).sum
+    val wNorm = if (math.abs(rawSum - 1.0) < 1e-9) 1.0 else rawSum
+    val w = F.broadcast(
+      sorted.map { case (g, v) => (g, v / wNorm) }.toDF(groupCol, "weight"))
+    val counts = df.groupBy(groupCol).agg(F.count(F.lit(1)).as("n"))
+    val joined = counts.join(w, Seq(groupCol), "full_outer")
+      .select(F.col(groupCol),
+        F.coalesce(F.col("n"), F.lit(0L)).as("n"),
+        F.coalesce(F.col("weight"), F.lit(0.0)).as("weight"))
+    val total = F.broadcast(
+      joined.agg(F.coalesce(F.sum("n"), F.lit(0L)).as("__total")))
+    joined.crossJoin(total)
+      .select(F.col(groupCol), F.col("n"),
+        (F.col("n").cast("double") / F.col("__total")).as("share"),
+        F.col("weight"),
+        (F.col("__total") * F.col("weight")).as("expected"),
+        F.when(F.col("weight") > 0,
+            F.col("n").cast("double") / (F.col("__total") * F.col("weight")))
+          .otherwise(F.lit(null)).as("ratio"))
+  }
+
   def histogram(df: DataFrame, col: String, bins: Int,
                 lo: Double, hi: Double): DataFrame = {
     require(bins >= 1, "bins must be positive")

@@ -33,6 +33,30 @@ object Sampling {
       .filter(F.col("__rn") <= perGroup)
       .drop("__hk", "__rn")
 
+  /** Deterministic pseudo-shuffle for training order (r12): every
+    * LLM pipeline must shuffle its corpus reproducibly — a real
+    * random shuffle is neither repeatable nor resumable, and a
+    * GLOBAL row_number is a single-partition bottleneck at corpus
+    * scale. Each row gets `shuffle_key` = md5(seed:key) (uniform,
+    * seed-varied per epoch), `shard` = the key's first-8-hex value
+    * mod `shards` (the cross-engine conv/md5 idiom), and `pos` = its
+    * rank WITHIN the shard (window over shard — shard-parallel, no
+    * global sort). Reading shards in order, each ordered by pos,
+    * yields the deterministic shuffled sequence; writers get there
+    * with repartitionByRange(shard) + sortWithinPartitions(pos) —
+    * no stage ever sees a global ordering. Scales. */
+  def pseudoShuffle(df: DataFrame, keyCol: String, seed: String,
+                    shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be at least 1")
+    df.withColumn("shuffle_key",
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(keyCol).cast("string"))))
+      .withColumn("shard", F.expr(
+        s"cast(conv(substring(shuffle_key, 1, 8), 16, 10) as bigint) % $shards"))
+      .withColumn("pos", F.row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(F.col("shuffle_key"), F.col(keyCol))).cast("long"))
+  }
+
   /** 8-hex-char keep threshold for `fraction`; "g" sorts after every
     * hex digit, so fraction 1.0 keeps ALL rows (2^32 formats to NINE
     * chars, which lexicographic compare would get wrong). */

@@ -5683,12 +5683,80 @@ final class Translator(catalog: String => DataFrame,
       // strftime(ts, '%Y-%m-%d') — DuckDB name/arg-order, C-style
       // directives converted to a Java DateTimeFormatter pattern
       // (LITERAL formats only: runtime format strings would need a
-      // per-row converter — loud instead). date_trunc needs no case:
-      // Spark's registry shares DuckDB's (part, ts) signature.
+      // per-row converter — loud instead). date_trunc/date_part need
+      // no case: Spark's registry shares DuckDB's signatures.
       case ("strftime", 2) =>
         if (!isStrLit(1))
           fail("strftime format must be a string literal")
         F.date_format(c(0), strftimeToJava(strLit(1)))
+      // strptime(str, fmt) — the parse inverse, same converter
+      case ("strptime", 2) =>
+        if (!isStrLit(1))
+          fail("strptime format must be a string literal")
+        F.to_timestamp(c(0), strftimeToJava(strLit(1)))
+      // date_diff('part', start, end) — DuckDB counts PART-BOUNDARY
+      // crossings (day: 23:00 -> next 01:00 is 1), not elapsed full
+      // units, so a plain timestampdiff would diverge; lower as the
+      // difference of boundary ordinals
+      case ("date_diff" | "datediff", 3) =>
+        if (!isStrLit(0)) fail("date_diff part must be a string literal")
+        val (a, b) = (c(1), c(2))
+        def ep(col: Column, part: String, unit: Long): Column =
+          F.unix_timestamp(F.date_trunc(part, col)) / unit
+        (strLit(0).toLowerCase match {
+          case "year" => F.year(b) - F.year(a)
+          case "quarter" =>
+            (F.year(b) * 4 + F.quarter(b)) - (F.year(a) * 4 + F.quarter(a))
+          case "month" =>
+            (F.year(b) * 12 + F.month(b)) - (F.year(a) * 12 + F.month(a))
+          case "week" =>
+            F.datediff(F.date_trunc("week", b).cast("date"),
+              F.date_trunc("week", a).cast("date")) / 7
+          case "day" => F.datediff(b.cast("date"), a.cast("date"))
+          case "hour" => ep(b, "hour", 3600L) - ep(a, "hour", 3600L)
+          case "minute" => ep(b, "minute", 60L) - ep(a, "minute", 60L)
+          case "second" => ep(b, "second", 1L) - ep(a, "second", 1L)
+          case other => fail(s"date_diff part '$other' is not supported " +
+            "(year quarter month week day hour minute second)")
+        }).cast("bigint")
+      // date_part('field', x) — literal fields route through the
+      // EXTRACT conversions (DuckDB dow is Sunday=0 vs Spark's
+      // Sunday=1; isodow Monday=1; week is ISO week) instead of
+      // Spark's registry date_part, whose DOW convention differs
+      case ("date_part" | "datepart", 2) if isStrLit(0) =>
+        strLit(0).toLowerCase match {
+          case f @ ("year" | "month" | "quarter" | "hour" | "minute" |
+               "second" | "day") => F.call_function(f, c(1))
+          case "week" | "isoweek"  => F.weekofyear(c(1))
+          case "doy" | "dayofyear" => F.dayofyear(c(1))
+          case "dow" | "dayofweek" => F.dayofweek(c(1)) - F.lit(1)
+          case "isodow"            => F.weekday(c(1)) + F.lit(1)
+          case "epoch"             => F.unix_timestamp(c(1))
+          case other => fail(s"unsupported date_part field '$other'")
+        }
+      // DuckDB list_*/string aliases (r12): the everyday names a
+      // porting user hits first, mapped onto codegen'd Spark
+      // functions with matching semantics (probed: 1-based
+      // list_position with 0-miss, nulls-LAST list_sort both
+      // directions, null-ignoring list_has_all/list_unique)
+      case ("list_contains" | "array_has", 2) => F.array_contains(c(0), c(1))
+      case ("list_position" | "list_indexof", 2) =>
+        F.array_position(c(0), c(1))
+      case ("list_sort", 1) => F.array_sort(c(0))
+      case ("list_reverse_sort", 1) => F.sort_array(c(0), asc = false)
+      case ("list_has_any", 2) => F.arrays_overlap(c(0), c(1))
+      case ("list_has_all", 2) =>
+        F.forall(F.filter(c(1), e => e.isNotNull),
+          e => F.coalesce(F.array_contains(c(0), e), F.lit(false)))
+      case ("list_unique", 1) =>
+        F.size(F.array_distinct(F.filter(c(0), e => e.isNotNull)))
+      case ("starts_with" | "prefix", 2) => F.startswith(c(0), c(1))
+      case ("ends_with" | "suffix", 2) => F.endswith(c(0), c(1))
+      // regexp_matches is a PARTIAL match in DuckDB; regexp_full_match
+      // anchors the whole string
+      case ("regexp_matches", 2) => F.regexp_like(c(0), c(1))
+      case ("regexp_full_match", 2) =>
+        F.regexp_like(c(0), F.concat(F.lit("^(?:"), c(1), F.lit(")$")))
       // anything else resolves against Spark's FunctionRegistry —
       // the full built-in surface (md5, split, concat_ws, ...) plus
       // session-registered natives like graft_dot; unknown names

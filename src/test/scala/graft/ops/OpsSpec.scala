@@ -2347,4 +2347,74 @@ class OpsSpec extends SparkTestBase {
     assert(out.forall { case (id, r) =>
       r.getAs[Double]("overlap") == audit(id) })
   }
+
+  test("annRecall: hand-computed recall@k, perfect and zero paths (r12)") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 11L), (1L, 99L), (1L, 12L),
+      (2L, 98L), (2L, 97L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val r = graft.ops.Similarity.annRecall(approx, exact)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 2L, 2.0 / 3)))   // 11,12 hit; 10 missed
+    assert(r(2L) == ((2L, 0L, 0.0)))       // nothing recalled
+    assert(r(3L) == ((1L, 1L, 1.0)))       // perfect
+    // self-recall of any result set is exactly 1.0 everywhere
+    val self = graft.ops.Similarity.annRecall(exact, exact).collect()
+    assert(self.forall(_.getDouble(3) == 1.0) && self.length == 3)
+  }
+
+  test("pseudoShuffle: deterministic, shard-bounded, dense per-shard ranks (r12)") {
+    val docs = TestSpark.spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id")
+    val a = graft.ops.Sampling.pseudoShuffle(docs, "doc_id", "ep1", 8)
+    val b = graft.ops.Sampling.pseudoShuffle(docs, "doc_id", "ep1", 8)
+    val ra = a.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(ra.toSet == b.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
+    // shards bounded; per-shard positions are dense 1..n
+    assert(ra.forall { case (_, sh, _) => sh >= 0 && sh < 8 })
+    ra.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a different seed reorders (epochs differ)
+    val c = graft.ops.Sampling.pseudoShuffle(docs, "doc_id", "ep2", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val posA = ra.map(x => x._1 -> x._3).toMap
+    assert(c.exists { case (id, p) => posA(id) != p })
+  }
+
+  test("mixtureAudit: counts, shares, expected, both loud paths (r12)") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("en") ++ Seq.fill(3)("de") ++ Seq.fill(1)("zz"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+    val out = graft.ops.Quality.mixtureAudit(df, "lang",
+        Map("en" -> 0.6, "de" -> 0.3, "xx" -> 0.1))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("n") == 6L &&
+      out("en").getAs[Double]("share") == 0.6 &&
+      out("en").getAs[Double]("expected") == 6.0 &&
+      out("en").getAs[Double]("ratio") == 1.0)
+    assert(out("de").getAs[Double]("ratio") == 1.0)
+    // planned-but-absent group reports n = 0
+    assert(out("xx").getAs[Long]("n") == 0L &&
+      out("xx").getAs[Double]("expected") == 1.0)
+    // unplanned group: weight 0, NULL ratio
+    assert(out("zz").getAs[Long]("n") == 1L &&
+      out("zz").getAs[Double]("weight") == 0.0 &&
+      out("zz").isNullAt(out("zz").fieldIndex("ratio")))
+    // weights normalize: doubling every weight changes nothing (to
+    // float tolerance — a non-1 sum pays one division ulp, which is
+    // why weights WRITTEN to sum to 1 snap through verbatim instead)
+    val out2 = graft.ops.Quality.mixtureAudit(df, "lang",
+        Map("en" -> 1.2, "de" -> 0.6, "xx" -> 0.2))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("expected")).toMap
+    assert(math.abs(out2("en") - 6.0) < 1e-12 &&
+      math.abs(out2("xx") - 1.0) < 1e-12)
+  }
 }

@@ -3613,6 +3613,61 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("literal"), e2.getMessage)
   }
 
+  test("DuckDB alias pack: list/string/regex functions (r12)") {
+    val g = graftSession
+    val r = g.query(
+      """select
+           list_contains([1, 2, 3], 2) as a, list_contains([1, 2], 9) as b,
+           cast(list_position([4, 5, 6], 5) as bigint) as c,
+           cast(list_position([4, 5], 9) as bigint) as d,
+           array_to_string(list_sort(['b', 'a', 'c']), ',') as e,
+           array_to_string(list_reverse_sort(['b', 'a', 'c']), ',') as f,
+           list_has_any([1, 2], [2, 9]) as ha, list_has_any([1], [9]) as hb,
+           list_has_all([1, 2, 3], [1, 3]) as hc,
+           list_has_all([1, 2], [1, 9]) as hd,
+           cast(list_unique([1, 2, 2]) as bigint) as u,
+           starts_with('abc', 'ab') as sw, ends_with('abc', 'bc') as ew,
+           regexp_matches('abcd', 'bc') as rm,
+           regexp_full_match('abcd', 'bc') as rf,
+           regexp_full_match('abcd', 'a.*d') as rf2
+         from region limit 1""").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.getString(4) == "a,b,c" && r.getString(5) == "c,b,a")
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getLong(10) == 2L)
+    assert(r.getBoolean(11) && r.getBoolean(12))
+    assert(r.getBoolean(13) && !r.getBoolean(14) && r.getBoolean(15))
+  }
+
+  test("date_diff counts part-boundary crossings like DuckDB (r12)") {
+    val g = graftSession
+    val r = g.query(
+      """select
+           cast(date_diff('day', timestamp '2020-01-01 23:00:00',
+             timestamp '2020-01-02 01:00:00') as int) as dd,
+           cast(date_diff('hour', timestamp '2020-01-01 00:59:00',
+             timestamp '2020-01-01 02:01:00') as int) as dh,
+           cast(date_diff('minute', timestamp '2020-01-01 00:00:59',
+             timestamp '2020-01-01 00:02:01') as int) as dmin,
+           cast(date_diff('month', timestamp '2020-01-31 23:59:00',
+             timestamp '2020-02-01 00:01:00') as int) as dm,
+           cast(date_diff('year', date '2019-12-31', date '2020-01-01') as int) as dy,
+           cast(date_diff('week', date '2020-01-05', date '2020-01-06') as int) as dw,
+           cast(date_diff('quarter', date '2020-03-31', date '2020-04-01') as int) as dq,
+           cast(date_diff('day', date '2020-01-05', date '2020-01-02') as int) as neg
+         from region limit 1""").collect().head
+    // boundary counts, NOT elapsed full units (timestampdiff would
+    // read 0 for dd/dm/dq): pinned against DuckDB probes
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 2)
+    assert(r.getInt(3) == 1 && r.getInt(4) == 1 && r.getInt(5) == 1)
+    assert(r.getInt(6) == 1 && r.getInt(7) == -3)
+    val e = intercept[RuntimeException](g.query(
+      "select date_diff('fortnight', o_orderdate, o_orderdate) as x from orders"))
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
   test("list comprehension lowers to transform/filter (r11c)") {
     val g = graftSession
     val r = g.query(
