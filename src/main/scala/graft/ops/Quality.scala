@@ -159,9 +159,14 @@ object Quality {
       .select(F.col(groupCol),
         F.coalesce(F.col("n"), F.lit(0L)).as("n"),
         F.coalesce(F.col("weight"), F.lit(0.0)).as("weight"))
-    val total = F.broadcast(
-      joined.agg(F.coalesce(F.sum("n"), F.lit(0L)).as("__total")))
-    joined.crossJoin(total)
+    // corpus total via an unpartitioned window over the JOINED frame
+    // — one row per group by now, so the single-partition window
+    // touches #groups rows; a separate agg would re-derive the
+    // group-count aggregation and scan the corpus twice
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined.withColumn("__total", F.sum("n").over(wAll))
       .select(F.col(groupCol), F.col("n"),
         (F.col("n").cast("double") / F.col("__total")).as("share"),
         F.col("weight"),

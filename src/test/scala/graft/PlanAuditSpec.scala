@@ -665,4 +665,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(n >= 4, s"expected 2 limited windows (4 nodes), saw $n\n" +
       p.take(3000))
   }
+
+  test("pseudoShuffle never plans a global sort or single partition (r12)") {
+    val p = plan("q_shuffle_order")
+    // the window partitions by shard — hashpartitioning, never the
+    // rangepartitioning/SinglePartition a global row_number would need
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+  }
+
+  test("annRecall joins narrow pairs, no cartesian (r12)") {
+    val p = plan("q_ann_recall")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // both top-k windows remain group-limited upstream of the audit
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      p.take(3000))
+  }
+
+  test("mixtureAudit scans the corpus once; weights/total broadcast (r12)") {
+    val df = SparkEntry.queries("q_mixture_audit")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    // one aggregation over documents; the weights table and the 1-row
+    // total both arrive as broadcasts
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) == 1,
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
