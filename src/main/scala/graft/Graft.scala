@@ -66,6 +66,10 @@ final class Graft(val spark: SparkSession) {
   private val DescribeRe =
     """(?is)^\s*desc(?:ribe)?\s+(?:table\s+)?(?:"([^"]+)"|([a-zA-Z_][a-zA-Z0-9_]*))\s*;?\s*$""".r
   private val ShowTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
+  private val SetRe =
+    """(?is)^\s*set\s+(?:session\s+)?([a-zA-Z_][a-zA-Z0-9_.]*)\s*(?:=|\s+to\s+)\s*(.+?)\s*;?\s*$""".r
+  private val ResetRe =
+    """(?is)^\s*reset\s+([a-zA-Z_][a-zA-Z0-9_.]*)\s*;?\s*$""".r
   // MERGE INTO (r7b; generalized r8): the statement spelling of the
   // keyed-upsert / keyed-delete maintenance shapes (SURVEY row 94).
   // r8 carries the full Delta/standard clause matrix: conditional
@@ -934,6 +938,24 @@ final class Graft(val spark: SparkSession) {
     case ShowTablesRe() =>
       import spark.implicits._
       tables.keySet.toSeq.sorted.toDF("table_name")
+    // SET / RESET session configuration (r12, DuckDB/Spark-SQL
+    // statement surface): values route to the session's RuntimeConf —
+    // Spark itself rejects static/unknown-static keys loudly. Quoted
+    // values unwrap; `SET key TO value` (PostgreSQL spelling) works.
+    // The session-global effect is the point: `set
+    // spark.sql.shuffle.partitions = 16` mid-script reshapes every
+    // later statement's plan, exactly like the DuckDB PRAGMA dial.
+    case SetRe(key, value0) =>
+      val value = value0.trim match {
+        case v if v.length >= 2 && v.startsWith("'") && v.endsWith("'") =>
+          v.substring(1, v.length - 1).replace("''", "'")
+        case v => v
+      }
+      spark.conf.set(key, value)
+      status("set", s"$key=$value")
+    case ResetRe(key) =>
+      spark.conf.unset(key)
+      status("reset", key)
     case CreateMacroHeadRe(orReplace, quoted, bare) =>
       createMacro(sqlText, orReplace != null, Option(quoted).getOrElse(bare))
     case DropMacroRe(ifExists, quoted, bare) =>

@@ -1281,6 +1281,33 @@ class StatementsSpec extends SparkTestBase {
     assert(e3.getMessage.contains("unknown table function"), e3.getMessage)
   }
 
+  test("SET / RESET session configuration statements (r12)") {
+    val g = fresh
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    try {
+      g.query(s"set $key = 12345678")
+      assert(spark.conf.get(key) == "12345678")
+      // PostgreSQL TO spelling + quoted value unwrap
+      g.query(s"set $key to '23456789'")
+      assert(spark.conf.get(key) == "23456789")
+      g.query(s"reset $key")
+      assert(spark.conf.get(key) == before ||
+        spark.conf.get(key) != "23456789")
+      // a mid-script SET reshapes later statements (session-global)
+      val out = g.runScript(
+        s"""set spark.sql.shuffle.partitions = 7;
+           select count(*) as n from orders""")
+      assert(out.collect().head.getLong(0) > 0)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // Spark rejects static keys loudly — the wall is Spark's own
+      intercept[Exception](g.query("set spark.sql.warehouse.dir = '/x'"))
+    } finally {
+      spark.conf.set(key, before)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("runScript: top-level ';' split, last frame returned (r11c)") {
     val g = fresh
     val out = g.runScript(
