@@ -115,6 +115,45 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // simple CASE (r12): comparand forms over numeric and string
+  // expressions, with and without ELSE, nested in projections and
+  // predicates — spark.sql runs the identical text natively (its
+  // CaseKeyWhen), a true differential oracle for the r12 lowering
+  private val genSimpleCase: Gen[String] = for {
+    k <- Gen.choose(2, 5)
+    kind <- Gen.oneOf(0, 1, 2)
+    withElse <- Gen.oneOf(true, false)
+    nBranch <- Gen.choose(1, 3)
+  } yield {
+    val (comparand, whenVal) = kind match {
+      case 0 => (s"c_nationkey % $k", (i: Int) => s"$i")
+      case 1 => (s"substr(c_mktsegment, 1, 1)",
+        (i: Int) => s"'${"ABFHM".charAt(i % 5)}'")
+      case 2 => (s"cast(c_custkey % $k as int)", (i: Int) => s"$i")
+    }
+    val branches = (0 until nBranch)
+      .map(i => s"when ${whenVal(i)} then ${i * 10}").mkString(" ")
+    val els = if (withElse) " else -1" else ""
+    s"case $comparand $branches$els end"
+  }
+
+  private val genSimpleCaseQuery: Gen[String] = for {
+    c1 <- genSimpleCase
+    c2 <- genSimpleCase
+    pred <- Gen.option(genPred)
+  } yield s"select c_custkey, $c1 as v, $c2 as w from customer" +
+    pred.map(p => s" where $p").getOrElse("")
+
+  test("30 random simple-CASE queries match spark.sql exactly (r12)") {
+    val queries = Gen.listOfN(30, genSimpleCaseQuery)
+      .pureApply(Gen.Parameters.default, Seed(41L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   // correlated EXISTS / scalar-aggregate forms (round-2 lowerings)
   private val genCorrPred: Gen[String] = for {
     form <- Gen.oneOf(0, 1, 2, 3)
