@@ -2551,6 +2551,45 @@ object SparkEntry {
                from ex x left join ap a
                  on x.query_id = a.query_id and x.neighbor_id = a.neighbor_id
                group by 1""")),
+    // reciprocal-rank fusion (r12): brute + LSH rankings fused with
+    // the standard RRF score sum(1/(60+rank)); identical coalesce
+    // arithmetic both engines, so the doubles compare bitwise
+    ("q_ann_rrf",
+      (s: SparkSession, dir: String) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.rrfFuse(
+          Similarity.bruteForceTopK(emb, "vec_id < 10", 5),
+          Similarity.lshTopK(emb, "vec_id < 10", 5), 60)
+      },
+      Some(s"""$duckEmbCte,
+               brs as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                         round(${duckPairCos("q", "c")}, 6) as sim
+                       from e q join e c on q.vec_id < 10 and c.vec_id <> q.vec_id),
+               ex as (select query_id, neighbor_id, rnk from (
+                        select query_id, neighbor_id,
+                          row_number() over (partition by query_id
+                            order by sim desc, neighbor_id) as rnk
+                        from brs) where rnk <= 5),
+               lss as (select q.vec_id as query_id, c.vec_id as neighbor_id,
+                         round(${duckPairCos("q", "c")}, 6) as sim
+                       from e q join e c on q.bucket = c.bucket
+                         and q.vec_id < 10 and c.vec_id <> q.vec_id),
+               ap as (select query_id, neighbor_id, rnk from (
+                        select query_id, neighbor_id,
+                          row_number() over (partition by query_id
+                            order by sim desc, neighbor_id) as rnk
+                        from lss) where rnk <= 5),
+               fused as (select coalesce(x.query_id, a.query_id) as query_id,
+                           coalesce(x.neighbor_id, a.neighbor_id) as neighbor_id,
+                           coalesce(1.0::DOUBLE / (60 + x.rnk), 0)
+                             + coalesce(1.0::DOUBLE / (60 + a.rnk), 0) as rrf
+                         from ex x full outer join ap a
+                           on x.query_id = a.query_id
+                          and x.neighbor_id = a.neighbor_id)
+               select query_id, neighbor_id, rrf,
+                 row_number() over (partition by query_id
+                   order by rrf desc, neighbor_id)::BIGINT as fused_rank
+               from fused""")),
     ("q_ann_ivf",
       (s: SparkSession, dir: String) => Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id < 10", 3),
       Some(s"""with e as (select vec_id, embedding, label,

@@ -339,6 +339,34 @@ object Similarity {
         (F.col("n_hit").cast("double") / F.col("n_exact")).as("recall"))
   }
 
+  /** Reciprocal-rank fusion (r12): merges two ranked result tables
+    * (query_id, neighbor_id, rnk) into one ranking per query with
+    * the standard RRF score Σ 1/(k + rank) (Cormack et al. 2009) —
+    * the production recipe for hybrid retrieval (BM25 + embedding,
+    * or two ANN variants with different failure modes). A candidate
+    * absent from one list simply contributes no term (the RRF
+    * convention). Output: (query_id, neighbor_id, rrf, fused_rank),
+    * fused_rank dense per query with neighbor_id tiebreak. Plan:
+    * full-outer join on the narrow id pairs + one rank window
+    * per-query — shuffle bounded by queries × k, embedding width
+    * never moves. Scales. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60): DataFrame = {
+    require(k >= 1, "RRF constant must be at least 1")
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("rnk").cast("long").as(out))
+    side(a, "__ra").join(side(b, "__rb"),
+        Seq("query_id", "neighbor_id"), "full_outer")
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        (F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("__ra")), F.lit(0.0)) +
+         F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("__rb")), F.lit(0.0)))
+          .as("rrf"))
+      .withColumn("fused_rank", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(F.col("rrf").desc, F.col("neighbor_id"))).cast("long"))
+  }
+
   /** Hot-cell bound for the cell-bounded family (r11, VERDICT r10
     * "Next round" #8): the O(|cell|²) within-cell term is unbounded
     * when quantization produces a giant cell (a near-duplicate-heavy

@@ -2367,6 +2367,25 @@ class OpsSpec extends SparkTestBase {
     assert(self.forall(_.getDouble(3) == 1.0) && self.length == 3)
   }
 
+  test("rrfFuse: hand-computed fusion, absent-side convention (r12)") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val r = graft.ops.Similarity.rrfFuse(a, b, 60)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getLong(3)))).toMap
+    // 11 appears in both lists (ranks 2 and 1) — fuses highest
+    assert(r((1L, 11L))._1 == 1.0 / 62 + 1.0 / 61 && r((1L, 11L))._2 == 1L)
+    // one-sided candidates keep their single term
+    assert(r((1L, 10L))._1 == 1.0 / 61 && r((1L, 10L))._2 == 2L)
+    assert(r((1L, 12L))._1 == 1.0 / 62 && r((1L, 12L))._2 == 3L)
+    // a query present in both sides with identical lists is stable
+    assert(r((2L, 20L)) == ((1.0 / 61 + 1.0 / 61, 1L)))
+    assert(r.size == 4)
+  }
+
   test("pseudoShuffle: deterministic, shard-bounded, dense per-shard ranks (r12)") {
     val docs = TestSpark.spark.read
       .parquet(s"${TestSpark.sfDir}/documents.parquet")
