@@ -154,6 +154,42 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
+  // join shapes (r12): every join kind spark.sql can also parse, with
+  // compound ON conditions, post-join predicates, and aggregates over
+  // the joined result — differential coverage for the join translator
+  private val genJoinQuery: Gen[String] = for {
+    kind <- Gen.oneOf("join", "inner join", "left join", "right join",
+      "full join", "left semi join", "left anti join")
+    onExtra <- Gen.option(Gen.choose(0, 4).map(v => s" and n_regionkey < $v"))
+    pred <- Gen.option(genPred)
+    agg <- Gen.oneOf(true, false)
+  } yield {
+    val semiAnti = kind.contains("semi") || kind.contains("anti")
+    val proj =
+      if (semiAnti) "c_custkey, c_mktsegment"
+      else "c_custkey, c_mktsegment, n_name"
+    val on = s"c_nationkey = n_nationkey${onExtra.getOrElse("")}"
+    val base = s"customer $kind nation on $on"
+    if (agg && !semiAnti)
+      s"select n_name, count(*) as n, min(c_custkey) as m from $base" +
+        pred.map(p => s" where $p").getOrElse("") + " group by n_name"
+    else if (agg)
+      s"select c_mktsegment, count(*) as n from $base" +
+        pred.map(p => s" where $p").getOrElse("") + " group by c_mktsegment"
+    else s"select $proj from $base" +
+      pred.map(p => s" where $p").getOrElse("")
+  }
+
+  test("30 random join queries match spark.sql exactly (r12)") {
+    val queries = Gen.listOfN(30, genJoinQuery)
+      .pureApply(Gen.Parameters.default, Seed(59L))
+    queries.distinct.foreach { sql =>
+      withClue(s"\nquery: $sql\n") {
+        assertSameRows(graftSession.query(sql), spark.sql(sql))
+      }
+    }
+  }
+
   // correlated EXISTS / scalar-aggregate forms (round-2 lowerings)
   private val genCorrPred: Gen[String] = for {
     form <- Gen.oneOf(0, 1, 2, 3)
