@@ -990,8 +990,15 @@ final class Graft(val spark: SparkSession) {
     // Spark's FunctionRegistry (the translator's fallback surface)
     // plus names the parser/translator themselves generate or
     // special-case, which may not all be registry-visible.
-    if (parserReservedFns.contains(lower) ||
-        spark.catalog.functionExists(lower))
+    // functionExists parses its argument as a multipart identifier
+    // and RETHROWS ParseException for names that aren't one (quoted
+    // names with spaces etc.) — such names can never collide with a
+    // builtin anyway (call sites parse plain identifiers), so treat
+    // an unparseable name as non-colliding rather than crashing
+    val registryCollision =
+      try spark.catalog.functionExists(lower)
+      catch { case _: Exception => false }
+    if (parserReservedFns.contains(lower) || registryCollision)
       fail(s"macro name '$name' shadows a builtin function " +
         "(DuckDB-compatible restriction: pick a non-colliding name)")
     // a quoted name containing parens would corrupt the balanced-
@@ -1033,12 +1040,20 @@ final class Graft(val spark: SparkSession) {
 
   /** Names the parser or translator generates/special-cases that a
     * macro may not shadow (some are not in Spark's registry under
-    * these spellings). */
+    * these spellings — the translator's DuckDB-dialect cases and
+    * alias pack included, else `create macro list_sort(l) as l`
+    * would silently disable the builtin lowering session-wide). */
   private val parserReservedFns: Set[String] = Set(
     "array", "transform", "filter", "named_struct", "position",
     "substring", "element_at", "string_split", "array_to_string",
     "raise_error", "list_transform", "list_filter", "array_transform",
-    "array_filter", "aggregate", "reduce", "unnest", "columns")
+    "array_filter", "aggregate", "reduce", "unnest", "columns",
+    // r12 temporal/alias-pack cases (Translator.scalarFunc)
+    "strftime", "strptime", "date_diff", "datediff", "date_part",
+    "datepart", "list_contains", "array_has", "list_position",
+    "list_indexof", "list_sort", "list_reverse_sort", "list_has_any",
+    "list_has_all", "list_unique", "starts_with", "ends_with",
+    "prefix", "suffix", "regexp_matches", "regexp_full_match")
 
   /** Splits on `sep` at paren-depth 0 outside string literals and
     * double-quoted identifiers — assignment lists may carry commas
@@ -1983,7 +1998,14 @@ object Graft {
   def clearDirCache(): Unit = dirTables.clear()
 
   /** Convenience: a Graft session with all testdata tables of a
-    * scale-factor directory registered under their TPC-H-ish names. */
+    * scale-factor directory registered under their TPC-H-ish names.
+    *
+    * CACHING CONTRACT (r12): base-table reads are memoized per
+    * (session, dir) for the JVM lifetime — repeated forDir calls are
+    * cheap, but after REWRITING a directory's parquet files callers
+    * must [[clearDirCache]] (Bench/Verify do, via
+    * SparkEntry.clearCaches) or the next session serves the stale
+    * file listing. */
   def forDir(spark: SparkSession, dir: String): Graft = {
     // events.parquet carries ns timestamps; without this runtime conf
     // Spark's schema read throws PARQUET_TYPE_ILLEGAL. Set defensively

@@ -1252,7 +1252,13 @@ final class Parser(tokens: Vector[Token]) {
               // Monday = 0
               case "isodow" =>
                 Arith("+", FuncCall("weekday", Seq(src)), NumLit("1"))
-              case "epoch" => FuncCall("unix_timestamp", Seq(src))
+              // DuckDB epoch is DOUBLE seconds incl. the fraction —
+              // unix_timestamp's whole-second BIGINT would silently
+              // truncate sub-second timestamps
+              case "epoch" =>
+                Arith("/",
+                  FuncCall("unix_micros", Seq(Cast(src, "timestamp"))),
+                  NumLit("1000000.0"))
               case other => fail(s"unsupported EXTRACT field '$other'")
             }
           // SUBSTRING(x FROM start [FOR len]) — standard syntax sugar
@@ -1555,17 +1561,27 @@ final class Parser(tokens: Vector[Token]) {
     comparand match {
       case None =>
         CaseWhen(pairs.result(), otherwise)
-      // deterministic comparand: duplicate `c = v` into each branch —
-      // Catalyst's codegen subexpression elimination evaluates the
-      // shared comparand once per row, so the duplication is free
-      case Some(c) if !containsNondeterministic(c) =>
+      // provably-deterministic comparand: duplicate `c = v` into each
+      // branch — Catalyst's codegen subexpression elimination
+      // evaluates the shared comparand once per row, so the
+      // duplication is free
+      case Some(c) if !maybeNondeterministic(c) ||
+          (pairs.result().exists { case (w, v) =>
+            containsAgg(w) || containsAgg(v) } || containsAgg(otherwise)) =>
+        // also the fallback when branches carry AGGREGATES (they
+        // cannot live inside the lambda binding): the r11c duplicated
+        // form, re-evaluating an unknown-function comparand per
+        // branch in that corner only
         CaseWhen(pairs.result().map { case (w, v) =>
           (Cmp("=", c, w): Expr, v) }, otherwise)
-      // nondeterministic comparand (CASE random() WHEN …): standard
-      // SQL evaluates the comparand ONCE per row — bind it through a
-      // single-element transform() lambda so every branch compares
-      // the same drawn value (the duplicated form would re-draw per
-      // branch, diverging from DuckDB)
+      // possibly-nondeterministic comparand (CASE random() WHEN …, or
+      // an UNKNOWN function name that could be a session macro hiding
+      // one): standard SQL evaluates the comparand ONCE per row —
+      // bind it through a single-element transform() lambda so every
+      // branch compares the same drawn value (the duplicated form
+      // would re-draw per branch, diverging from DuckDB). Macro
+      // expansion walks lambda arguments, so a macro comparand
+      // expands INSIDE the binding and still evaluates once.
       case Some(c) =>
         val p = "__case_comparand"
         val bound = CaseWhen(pairs.result().map { case (w, v) =>
@@ -1577,13 +1593,44 @@ final class Parser(tokens: Vector[Token]) {
     }
   }
 
-  /** Does the expression call a per-row nondeterministic function?
-    * (now()/today() are query-constant in both engines, so only the
-    * random family counts.) */
-  private def containsNondeterministic(e: Expr): Boolean = e match {
-    case FuncCall(n, _) if Set("random", "rand", "randn", "uuid",
-      "gen_random_uuid", "shuffle").contains(n.toLowerCase) => true
-    case other => Ast.children(other).exists(containsNondeterministic)
+  /** Could the expression draw a per-row nondeterministic value?
+    * True for the random family AND for any function name the parser
+    * cannot vouch for (it might be a session macro whose body hides
+    * random() — macros expand after parsing, so the safe answer for
+    * unknown names is the single-evaluation path; deterministic-but-
+    * unknown comparands merely take the slower binding). Aggregates
+    * and window calls are AggExpr nodes, never FuncCall, so they
+    * keep the duplicated path the aggregate pipeline requires.
+    * now()/today() are query-constant in both engines. */
+  private val knownDeterministicFns: Set[String] = Set(
+    "lower", "upper", "length", "len", "trim", "ltrim", "rtrim",
+    "abs", "round", "floor", "ceil", "ceiling", "sqrt", "cbrt",
+    "concat", "concat_ws", "substring", "substr", "coalesce", "md5",
+    "sha1", "sha2", "hash", "xxhash64", "year", "month", "day",
+    "quarter", "hour", "minute", "second", "split_part", "left",
+    "right", "reverse", "lpad", "rpad", "regexp_extract",
+    "regexp_replace", "regexp_like", "instr", "strpos", "position",
+    "greatest", "least", "nullif", "ifnull", "nvl", "replace",
+    "repeat", "mod", "pmod", "power", "pow", "exp", "ln", "log",
+    "log2", "log10", "sign", "signum", "date_trunc", "date_part",
+    "datepart", "strftime", "strptime", "date_diff", "datediff",
+    "now", "today", "current_date", "current_timestamp", "timestamp",
+    "starts_with", "ends_with", "prefix", "suffix", "contains",
+    "named_struct", "array", "element_at", "string_split",
+    "array_to_string", "str_split", "format_string", "printf",
+    "translate", "initcap", "ascii", "chr", "char_length",
+    "character_length", "octet_length", "bit_length", "unicode")
+
+  private def maybeNondeterministic(e: Expr): Boolean = e match {
+    case FuncCall(n, args) =>
+      !knownDeterministicFns.contains(n.toLowerCase) ||
+        args.exists(maybeNondeterministic)
+    case other => Ast.children(other).exists(maybeNondeterministic)
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case _: AggExpr => true
+    case other => Ast.children(other).exists(containsAgg)
   }
 
   /** A higher-order-function argument: `x -> body` or

@@ -5571,7 +5571,11 @@ final class Translator(catalog: String => DataFrame,
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
       val s = lit.toString; lit.clear()
-      if (s.exists(ch => ch.isLetter || ch == '\''))
+      // quote any run carrying letters, quotes, or the characters
+      // DateTimeFormatterBuilder.appendPattern RESERVES ('#', '{',
+      // '}' throw "reserved character" at runtime if unquoted)
+      if (s.exists(ch => ch.isLetter || ch == '\'' || ch == '#' ||
+          ch == '{' || ch == '}'))
         sb ++= "'" + s.replace("'", "''") + "'"
       else sb ++= s
     }
@@ -5731,7 +5735,9 @@ final class Translator(catalog: String => DataFrame,
           case "doy" | "dayofyear" => F.dayofyear(c(1))
           case "dow" | "dayofweek" => F.dayofweek(c(1)) - F.lit(1)
           case "isodow"            => F.weekday(c(1)) + F.lit(1)
-          case "epoch"             => F.unix_timestamp(c(1))
+          // DuckDB epoch is DOUBLE seconds incl. the fraction
+          case "epoch" =>
+            F.unix_micros(c(1).cast("timestamp")) / F.lit(1e6)
           case other => fail(s"unsupported date_part field '$other'")
         }
       // DuckDB list_*/string aliases (r12): the everyday names a

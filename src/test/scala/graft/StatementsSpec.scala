@@ -1221,11 +1221,30 @@ class StatementsSpec extends SparkTestBase {
     // DuckDB-compatible): a macro named coalesce would silently
     // rewrite every matching-arity coalesce call in the session
     for (bad <- Seq("coalesce", "abs", "filter", "named_struct",
-        "array", "transform")) {
+        "array", "transform",
+        // r12 review: dialect-case names ABSENT from Spark's registry
+        // must be reserved too, else the macro silently disables the
+        // translator's builtin lowering session-wide
+        "list_sort", "strftime", "date_diff", "list_has_all")) {
       val eb = intercept[RuntimeException](
         g.query(s"create macro $bad(a, b) as b"))
       assert(eb.getMessage.contains("shadows"), s"$bad: ${eb.getMessage}")
     }
+    // a QUOTED macro name that is not a parseable identifier must not
+    // crash the registry probe (functionExists rethrows ParseException
+    // for such names; they can never collide — call sites parse plain
+    // identifiers)
+    g.query("""create macro "odd name"(x) as x * 2""")
+    assert(g.macroNames.contains("odd name"))
+    // a macro body hiding random() still evaluates a simple-CASE
+    // comparand ONCE (r12 review: unknown function names take the
+    // single-evaluation binding — expansion happens inside it)
+    g.query("create macro coin2() as cast(floor(random() * 2) as int)")
+    val rows = g.query(
+      """select case coin2() when 0 then 'lo' when 1 then 'hi'
+           else 'neither' end as v
+         from orders limit 4000""").collect()
+    assert(rows.forall(x => x.getString(0) == "lo" || x.getString(0) == "hi"))
     // parameter DEFAULTS are macro-expanded (r12): a default that
     // calls another macro binds its expanded body, like DuckDB
     g.query("create macro gdflt(x) as x * 2")

@@ -3604,6 +3604,20 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(r.getString(1) == od)
     assert(r.getString(2).matches("[A-Z][a-z]{2} [A-Z][a-z]{2} [0-9]{3}"))
     assert(r.getString(3) == "00:00:00 AM, 100%")
+    // literal runs carrying Java-reserved pattern characters quote
+    // cleanly ('#', '{', '}' would throw "reserved character" raw)
+    val braces = g.query(
+      "select strftime(o_orderdate, '{%Y}#') as v from orders " +
+        "where o_orderkey = 0").collect().head.getString(0)
+    assert(braces.matches("\\{[0-9]{4}\\}#"), braces)
+    // epoch is DOUBLE seconds including the fraction (DuckDB), for
+    // both the EXTRACT form and date_part
+    val ep = g.query(
+      """select extract(epoch from timestamp '2020-01-05 00:00:00.75') as a,
+           date_part('epoch', timestamp '2020-01-05 00:00:00.75') as b
+         from region limit 1""").collect().head
+    assert(ep.getDouble(0) == 1578182400.75 &&
+      ep.getDouble(1) == 1578182400.75, ep.toString)
     // unknown directives and non-literal formats are loud
     val e1 = intercept[RuntimeException](g.query(
       "select strftime(o_orderdate, '%V') as v from orders"))
