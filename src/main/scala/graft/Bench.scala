@@ -113,6 +113,9 @@ object Bench {
       System.gc()
       stampLoad()
       for (((name, fn), qi) <- queries.zipWithIndex) {
+        // guide §1.5: label jobs so UI/event-log analysis can map
+        // stages back to queries (thread-local, no timing effect)
+        spark.sparkContext.setJobDescription(s"bench:$name round=$r")
         val t0 = System.nanoTime()
         // a throwing query must be VISIBLE — a swallowed error would
         // report a fake near-zero time (correctness is gated
@@ -123,6 +126,7 @@ object Bench {
         }
         times(qi)(r) = (System.nanoTime() - t0) / 1e9
       }
+      spark.sparkContext.setJobDescription(null)
     }
     def median(xs: Array[Double]): Double = {
       val s = xs.sorted

@@ -4360,12 +4360,15 @@ object SparkEntry {
     // collisions are deterministic and identical in both engines).
     // The ln score itself is spec-pinned (libm wall, the LM
     // precedent).
+    // r12: the self-split form (target/source = complementary filters
+    // of the scored corpus) lowers through dsirPartsSelf — ONE text
+    // pass instead of three, row-identical to the generic
+    // dsirParts(docs, docs.filter(p), docs.filter(not p)) lowering
+    // (equivalence spec-pinned in OpsSpec; oracle unchanged)
     ("q_dsir_parts",
       (s: SparkSession, dir: String) =>
-        graft.ops.Sampling.dsirParts(
-          tbl(s, dir, "documents"),
-          tbl(s, dir, "documents").filter("doc_id % 3 = 0"),
-          tbl(s, dir, "documents").filter("doc_id % 3 <> 0"), 512),
+        graft.ops.Sampling.dsirPartsSelf(
+          tbl(s, dir, "documents"), "doc_id % 3 = 0", 512),
       Some("""with tok as (select doc_id,
                   list_filter(string_split(lower(text), ' '), t -> t <> '') as w
                 from documents),

@@ -284,10 +284,29 @@ object Dedup {
     try {
       val edges = ckpt(pairs.selectExpr("id_a as src", "id_b as dst")
         .union(pairs.selectExpr("id_b as src", "id_a as dst")))
-      var labels = ckpt(edges.selectExpr("src as id").distinct()
-        .selectExpr("id", "id as label"))
+      // r12: the first propagation round is FUSED into the label init
+      // (least(id, min dst) IS round one's output, and the groupBy
+      // subsumes the old distinct) — one barrier round saved outright.
+      var labels = ckpt(edges.groupBy(F.col("src"))
+        .agg(F.min("dst").as("__m"))
+        .select(F.col("src").as("id"),
+          F.least(F.col("src"), F.col("__m")).as("label")))
       var converged = false
-      var round = 0
+      var round = 1 // init already holds round one's labels
+      // r12 probes, for the record: two alternatives measured WORSE
+      // than this plain loop on the sf0.1 semantic-dedup graph
+      // (21 rounds, component diameter ~20). (a) Pointer-jumping
+      // (label-of-label self-join per round): barely cuts rounds
+      // (21 -> 17, new minima still travel one edge-hop per round)
+      // and the self-join SQUARES the carried size estimate, so the
+      // optimizer's BigInteger digit count quadruples per round and
+      // planning melts down after ~12 rounds. (b) Batching two
+      // propagation rounds per checkpoint barrier: the in-batch label
+      // frame is referenced twice, re-evaluating the first round and
+      // compounding the same estimate blow-up; measured 4.1-5.7 s vs
+      // 3.4 s. The single-round loop's carried estimate grows a
+      // constant ~2.5 digits per round — bounded for any realistic
+      // diameter.
       while (!converged && round < maxIters) {
         round += 1
         val prop = edges.alias("e")

@@ -388,10 +388,22 @@ object Sampling {
     // occurrences reads NULL __ct (all-NULL sum), exactly as the old
     // per-side aggregation's missing row did after the left join —
     // the OOV isNull tests downstream are unchanged.
+    // The aggregated model table is ≤ `buckets` narrow rows — bounded
+    // by construction, never by corpus size — and it has TWO
+    // consumers (the per-doc bucket join and the corpus totals).
+    // Without materialization each consumer re-runs the whole model
+    // derivation (two full text scans + gram explodes + md5 per gram:
+    // column pruning gives the consumers different projections, so
+    // exchange reuse never fires). localCheckpoint computes it once
+    // per invocation (guide §3.3 "materialise an intermediate"): a
+    // table already small enough to broadcast is always small enough
+    // to checkpoint (r12 opening measure: q_dsir_parts 1.65 s, the
+    // totals branch re-exploded both model corpora).
     val mb = bucketed(target, 1).unionAll(bucketed(source, 0))
       .groupBy("__b")
       .agg(F.sum(F.when(F.col("__side") === 1, F.lit(1L))).as("__ct"),
         F.sum(F.when(F.col("__side") === 0, F.lit(1L))).as("__cs"))
+      .localCheckpoint()
     val totals = F.broadcast(
       mb.agg(F.coalesce(F.sum("__ct"), F.lit(0L)).as("__nt"),
         F.coalesce(F.sum("__cs"), F.lit(0L)).as("__ns")))
@@ -412,6 +424,53 @@ object Sampling {
   def dsirParts(docs: DataFrame, target: DataFrame, source: DataFrame,
                 buckets: Int = 8192): DataFrame = {
     val (joined, totals, ids) = dsirLayer(docs, target, source, buckets)
+    dsirPartsFold(joined, totals, ids)
+  }
+
+  /** DSIR parts for the SELF-SPLIT shape (r12): target and source are
+    * complementary predicate splits of the scored corpus itself (the
+    * calibration / ablation setup — `dsirParts(docs, docs.filter(p),
+    * docs.filter(!p))` computes exactly this). The generic layer
+    * cannot see that all three frames share one corpus and pays THREE
+    * full text passes (tokenize + per-gram md5 each); here the per-doc
+    * (bucket, n) features compute ONCE, carry the side tag, and the
+    * model counts aggregate FROM the feature table — one text pass
+    * total. The feature table (narrow ints, ≤ min(buckets, grams)
+    * rows per doc) is checkpointed because it has two consumers
+    * (model aggregation + the bucket join); materializing it replaces
+    * a second corpus scan — the guide §3.3 / §8 "decide on small
+    * rows" trade, documented as the 100 TB posture too.
+    * Result is row-identical to the generic form (spec-pinned). */
+  def dsirPartsSelf(docs: DataFrame, targetCond: String,
+                    buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramsExpr =
+      "concat(graft_word_ngrams(lower(text), 1), graft_word_ngrams(lower(text), 2))"
+    val bucketExpr =
+      s"cast(conv(substring(md5(__g), 1, 8), 16, 10) as bigint) % $buckets"
+    val feats = docs
+      .select(F.col("doc_id"), F.expr(targetCond).as("__side"),
+        F.explode(F.expr(gramsExpr)).as("__g"))
+      .selectExpr("doc_id", "__side", s"$bucketExpr as __b")
+      .groupBy("doc_id", "__side", "__b").agg(F.count(F.lit(1)).as("__n"))
+      .localCheckpoint()
+    // sum(when) with no otherwise keeps the unseen-bucket NULL
+    // contract (the dsirLayer convention)
+    val mb = feats.groupBy("__b")
+      .agg(F.sum(F.when(F.col("__side"), F.col("__n"))).as("__ct"),
+        F.sum(F.when(!F.col("__side"), F.col("__n"))).as("__cs"))
+      .localCheckpoint()
+    val totals = F.broadcast(
+      mb.agg(F.coalesce(F.sum("__ct"), F.lit(0L)).as("__nt"),
+        F.coalesce(F.sum("__cs"), F.lit(0L)).as("__ns")))
+    dsirPartsFold(
+      feats.drop("__side").join(mb, Seq("__b"), "left"), totals,
+      docs.select("doc_id"))
+  }
+
+  private def dsirPartsFold(joined: DataFrame, totals: DataFrame,
+                            ids: DataFrame): DataFrame = {
     val parts = joined.groupBy("doc_id")
       .agg(F.sum("__n").as("n_feats"),
         F.sum(F.col("__n") * F.coalesce(F.col("__ct"), F.lit(0L)))

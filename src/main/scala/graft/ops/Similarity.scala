@@ -172,27 +172,40 @@ object Similarity {
     * Returns (vec_id, embedding, cell, cell_d). */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // r12: the argmin runs through the native PqEncodeCodes expression
+    // with ONE block (m=1) — whole-vector argmin over the flattened
+    // cell-ordered centroid matrix inside whole-stage codegen. The
+    // previous array_min(transform(... aggregate ...)) form paid
+    // interpreted lambda dispatch per centroid per dimension per row
+    // (Spark HOFs are CodegenFallback — the pqEncode lesson; measured
+    // q_ann_assign 0.71 -> ~0.3 s at sf0.1). Ties break to the lowest
+    // code index = lowest cell id (the table is sorted by cell), the
+    // same tie rule as the struct array_min. The cell/q flatten runs
+    // ONCE inside the broadcast 1-row aggregate, never per corpus row.
     val ct = F.broadcast(centroids.agg(
       F.sort_array(F.collect_list(F.struct(
         F.col("cell").cast("long").as("cell"), F.col("q").as("q"))))
-        .as("__ct")))
+        .as("__ct"))
+      .selectExpr("transform(__ct, c -> c.cell) as __cells",
+        "flatten(transform(__ct, c -> c.q)) as __flat",
+        "size(__ct) as __nc"))
     int8Lattice(emb, keep = Seq("embedding"))
       .crossJoin(ct)
       .withColumn("__best", F.expr(
-        // the fold runs to the LONGER of the two dims so a mismatch
-        // throws the ANSI index error in BOTH directions (review r11:
-        // size(q) alone silently prefix-scored a shorter batch
-        // against a wider frozen quantizer)
-        """case when size(__ct) = 0
+        // the size guard replaces the HOF fold's ANSI index error: a
+        // batch/quantizer dimension mismatch in EITHER direction must
+        // fail loudly, never silently prefix-score (review r11)
+        s"""case when __nc = 0
              then raise_error('ivfAssign: empty centroid table')
-             else array_min(transform(__ct, c -> named_struct(
-               'd', aggregate(sequence(1, greatest(size(q), size(c.q))),
-                      0L, (acc, i) ->
-                      acc + (q[i-1] - c.q[i-1]) * (q[i-1] - c.q[i-1])),
-               'cell', c.cell)))
+             when size(__flat) != __nc * size(q)
+             then raise_error(concat('ivfAssign: centroid/vector ',
+               'dimension mismatch (', size(__flat), ' centroid values for ',
+               __nc, ' cells x ', size(q), ' dims)'))
+             else graft_pq_encode(q, __flat, 1, ${Int.MaxValue})
            end"""))
       .selectExpr("vec_id", "embedding",
-        "__best.cell as cell", "__best.d as cell_d")
+        "element_at(__cells, __best.codes[0] + 1) as cell",
+        "__best.pq_err as cell_d")
   }
 
   /** Deterministic seed quantizer for [[ivfAssign]] (the

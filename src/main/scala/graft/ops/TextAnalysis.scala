@@ -120,35 +120,60 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be positive")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val tf = docs
-      .selectExpr("doc_id", "explode(graft_word_ngrams(lower(text), 1)) as term")
-      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(F.sum("tf").as("dl"))
-    val stats = docs.agg(F.count(F.lit(1)).as("__n"))
-      .crossJoin(dl.agg(F.avg("dl").as("__avgdl")))
+    // r12 restructure (guide §2.3 — project/filter BEFORE the
+    // exchange): the old shape built the FULL corpus tf table
+    // (explode every word, shuffle every (doc, term) pair) and then
+    // derived dl / avgdl / hits from it — with the tf subtree
+    // recomputed per consumer, four corpus text passes and a
+    // corpus-wide shuffle for a query that only ever needs the
+    // postings of the query terms. Now: corpus stats fold in ONE
+    // text pass with no explode (dl ≡ sum of tf over a doc's terms ≡
+    // word count; docs whose every token is empty have no tf rows,
+    // so avgdl averages only dl > 0), and the postings aggregate
+    // only AFTER the broadcast term filter — the exchange carries
+    // matching (doc, term, dl) rows instead of the whole corpus.
+    val stats = docs
+      .select(F.expr("size(graft_word_ngrams(lower(text), 1))").as("__dl"))
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.avg(F.when(F.col("__dl") > 0, F.col("__dl"))).as("__avgdl"))
     val qTerms = queries
       .selectExpr("query_id",
         "explode(graft_word_ngrams(lower(terms), 1)) as term")
       .distinct()
     // Document frequency MUST count distinct docs per term, so the
-    // semi filter here is against the distinct TERM set — joining tf
+    // semi filter here is against the distinct TERM set — joining
     // against (query_id, term) first would replicate each tf row per
     // query containing the term and multiply df accordingly (r7
     // ADVICE). hits rows stay distinct (doc, term) by construction,
     // so df is a plain count — no count-distinct Expand.
     val qTermSet = qTerms.select("term").distinct()
-    val hits = tf.join(F.broadcast(qTermSet), Seq("term"))
+    // the doc length rides the explode as a scalar (the ngram
+    // expression stays INLINE in the generator — materializing the
+    // array column first would copy it per element, the 13× Generate
+    // trap), so no corpus-side dl join is ever needed
+    val hits = docs
+      .withColumn("__dl", F.expr("size(graft_word_ngrams(lower(text), 1))"))
+      .select(F.col("doc_id"), F.col("__dl"),
+        F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("term"))
+      .join(F.broadcast(qTermSet), Seq("term"))
+      .groupBy("doc_id", "term", "__dl").agg(F.count(F.lit(1)).as("tf"))
+      // hits (the query-term postings) has two consumers — df and the
+      // scoring join. Checkpoint it so the text scan + explode runs
+      // once (guide §3.3); df then aggregates two-phase over the
+      // materialized postings (skew-safe — a per-term window would
+      // concentrate a stopword's postings in one task, the
+      // vocabularyStats lesson).
+      .localCheckpoint()
     val df = hits.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val scored = hits
       .join(F.broadcast(qTerms), Seq("term"))
       .join(F.broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(F.broadcast(stats))
       .withColumn("__contrib",
         (F.col("__n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) *
           (F.col("tf") * (k1 + 1)) /
           (F.col("tf") + F.lit(k1) *
-            (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))))
+            (F.lit(1 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))))
       .groupBy("query_id", "doc_id")
       // 6dp round BEFORE ranking (the ANN-entry convention): the
       // per-pair contribution sum's accumulation order is the only
@@ -402,16 +427,23 @@ object TextAnalysis {
     * near-dup signal). Pure per-row projection: whole-stage codegen,
     * no shuffle, embarrassingly parallel.
     *
-    * First-occurrence filtering via `array_position(sp, sp[i]) = i`
-    * is order-stable and engine-reproducible (array_distinct's order
-    * guarantees are murkier across engines); NULL text stays NULL. */
+    * First-occurrence filtering is SPARK's array_distinct (r12): it
+    * appends elements in input order, so it IS the first-occurrence
+    * filter, one O(m) hash pass per row inside codegen. The previous
+    * `array_position(sp, sp[i]) = i` spelling paid interpreted HOF
+    * dispatch per element TIMES an O(m) array_position scan per
+    * element — O(m²) per document (measured 0.36 s vs DuckDB's
+    * 0.03 s at sf0.1). Cross-engine the ORACLE keeps the
+    * array_position spelling (array_distinct order is NOT an
+    * engine-portable contract — DuckDB's differs — but Spark's is
+    * documented first-occurrence and OpsSpec pins it on planted
+    * out-of-order duplicates). The two forms differ only on NULL
+    * array ELEMENTS (dropped before; array_distinct keeps one) —
+    * unreachable here because split() never yields null elements;
+    * NULL text stays NULL. */
   def dedupSpans(docs: DataFrame, sep: String = "\n"): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
-    val kept = F.expr(
-      """transform(
-           filter(sequence(1, size(__sp)),
-                  i -> array_position(__sp, element_at(__sp, i)) = i),
-           i -> element_at(__sp, i))""")
+    val kept = F.expr("array_distinct(__sp)")
     docs.withColumn("__sp", F.split(F.col("text"), quoted))
       .withColumn("text",
         F.when(F.col("text").isNull, F.lit(null))
@@ -559,9 +591,18 @@ object TextAnalysis {
       : (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val m = modelDocs.getOrElse(docs)
+    // uni has TWO consumers (the context-count join and the 1-row
+    // vocabulary size): without materialization the vocabulary branch
+    // re-runs the whole model unigram pass (scan + tokenize + explode
+    // + aggregate — r12 opening plans showed 4 Generate passes where
+    // the operator needs 3). The aggregated table is model-vocabulary
+    // sized — the same table the plan broadcasts for the join, so it
+    // fits executor memory by definition; checkpoint it once
+    // (guide §3.3 "materialise an intermediate").
     val uni = m.select(
         F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("__w1"))
       .groupBy("__w1").agg(F.count(F.lit(1)).as("__cu"))
+      .localCheckpoint()
     val vocab = F.broadcast(uni.agg(F.count(F.lit(1)).as("__v")))
     val bi = m.select(
         F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))

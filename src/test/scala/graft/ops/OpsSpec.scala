@@ -1315,6 +1315,27 @@ class OpsSpec extends SparkTestBase {
     assert(p(1L).getAs[Long]("nt") == nt && p(1L).getAs[Long]("ns") == ns)
   }
 
+  test("dsir parts self-split is row-identical to the generic lowering (r12)") {
+    import spark.implicits._
+    // odd doc counts + OOV + null text + all-empty tokens exercise
+    // every arm: both sides, unseen buckets, zero-feature rows
+    val docs = Seq(
+      (0L, "window join window"), (1L, "scan row scan table"),
+      (2L, "zzz qqq"), (3L, "window agg scan"), (4L, " "),
+      (5L, null.asInstanceOf[String]), (6L, "join join join scan"),
+      (7L, "batch")).toDF("doc_id", "text")
+    for (b <- Seq(4, 512)) { // tiny B forces real bucket collisions
+      val generic = graft.ops.Sampling.dsirParts(
+        docs, docs.filter("doc_id % 3 = 0"),
+        docs.filter("doc_id % 3 <> 0"), b)
+      val self = graft.ops.Sampling.dsirPartsSelf(docs, "doc_id % 3 = 0", b)
+      assert(self.columns.toSeq == generic.columns.toSeq)
+      val g = generic.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val s = self.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(s == g)
+    }
+  }
+
   test("soft dedup weights: 1/group size for members, 1.0 for singletons") {
     val docs = spark.read.parquet(s"${graft.TestSpark.sfDir}/documents.parquet")
     val w = graft.ops.Dedup.softDedupWeights(docs, 0.5)
