@@ -591,18 +591,9 @@ object TextAnalysis {
       : (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val m = modelDocs.getOrElse(docs)
-    // uni has TWO consumers (the context-count join and the 1-row
-    // vocabulary size): without materialization the vocabulary branch
-    // re-runs the whole model unigram pass (scan + tokenize + explode
-    // + aggregate — r12 opening plans showed 4 Generate passes where
-    // the operator needs 3). The aggregated table is model-vocabulary
-    // sized — the same table the plan broadcasts for the join, so it
-    // fits executor memory by definition; checkpoint it once
-    // (guide §3.3 "materialise an intermediate").
     val uni = m.select(
         F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("__w1"))
       .groupBy("__w1").agg(F.count(F.lit(1)).as("__cu"))
-      .localCheckpoint()
     val vocab = F.broadcast(uni.agg(F.count(F.lit(1)).as("__v")))
     val bi = m.select(
         F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
@@ -611,6 +602,19 @@ object TextAnalysis {
         F.explode(F.expr("graft_word_ngrams(lower(text), 2)")).as("__g"))
       .groupBy("doc_id", "__g").agg(F.count(F.lit(1)).as("__n"))
       .withColumn("__w1", F.expr("substring_index(__g, ' ', 1)"))
+    // r12 probe, for the record: BOTH materialization variants of this
+    // layer measured WORSE at sf0.1 and were reverted — (a)
+    // checkpointing `uni` so the 1-row vocabulary stops re-running the
+    // model unigram pass (a wash: the saved pass equals the added
+    // barrier job), and (b) the dsirPartsSelf treatment (per-doc gram
+    // table checkpointed once with a model-side tag, bi derived from
+    // it — one bigram pass instead of two): same-session closing pair
+    // read q_text_lm_parts 0.87 s vs 0.50 s before the change, the
+    // two checkpoint barriers costing more than the saved half-corpus
+    // explode at this corpus size. The recompute-vs-materialize trade
+    // only pays when the saved pass is large relative to a barrier
+    // job (dsirLayer saves TWO full gram+md5 passes and keeps its
+    // checkpoints; this layer saves one cheap explode).
     (docGrams.join(bi, Seq("__g"), "left").join(uni, Seq("__w1"), "left"),
       vocab)
   }
