@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout instead of through sbt's
+// logger: the logger prefixes every line with "[info] ", which has
+// broken machine-parsing of Bench's one-line JSON metric in every
+// round to date (BENCH_r*.json `parsed: null` — the driver tails
+// stdout for a bare JSON line).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

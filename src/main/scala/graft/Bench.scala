@@ -45,8 +45,22 @@ object Bench {
     // session settings, not library behavior. Env-overridable to
     // re-probe: SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_GRAFT_AQE /
     // SPARK_GRAFT_BROADCAST.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    // r13 (VERDICT r12 #2b): shuffle partitions DERIVE from the cpu
+    // count (cpus/4, floor 2) instead of the former pinned 8, so the
+    // driver's 8-core vs 32-core scaling comparison measures real
+    // exchange parallelism instead of a constant capped at 8 by
+    // construction. The verdict's suggested 2×cpus was A/B-measured
+    // and REJECTED: at 32 cores a 64-way exchange of kB-sized sf0.1
+    // shuffle data inflated an 8-query heavy sample ~3× (pure task-
+    // scheduling latency — the r3 probe conclusion still holds).
+    // cpus/4 keeps the 32-core posture at the probed-optimal 8
+    // (round-over-round comparable) while an 8-core run now gets 2,
+    // so exchange-heavy queries lose parallelism at low core counts
+    // and the scaling ratio stops reading ≈1 by construction. At
+    // 100 TB partitions come from AQE + data size, not this dial.
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      math.max(2, scala.util.Try(cpus.toInt).getOrElse(8) / 4).toString)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val broadcast =
       sys.env.getOrElse("SPARK_GRAFT_BROADCAST", (64 * 1024 * 1024).toString)
@@ -192,11 +206,20 @@ object Bench {
             s"[bench] tier split skipped ($duckPath): $e")
           ""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds$split,"streaming":$streaming,$loadJson,"sf":"$sfDir"}""")
-    // compact summary LAST: the driver's capture window tails the
-    // output, and r2 lost the "total" field when the per-query JSON
-    // line outgrew it — the short line always survives the tail
-    println(s"""{"metric":"total","value":$total,"unit":"sec","p50":$p50,"rounds":$rounds$split,"streaming":$streaming,$loadJson,"sf":"$sfDir"}""")
-    spark.stop()
+    // ONE bare JSON line, printed exactly once as the program's final
+    // output (r13, VERDICT r12 #2: every BENCH_r*.json to date has
+    // `parsed: null` because sbt's logger prefixed this line with
+    // "[info] " — fixed by build.sbt's `outputStrategy :=
+    // Some(StdoutOutput)` — and r12's tail showed the metric line
+    // TWICE because a short-summary duplicate was also printed; the
+    // duplicate is gone, the full per-query line is the contract).
+    // The same line is also written to SPARK_GRAFT_BENCH_OUT when set,
+    // for artifact capture that bypasses stdout entirely.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50,"rounds":$rounds$split,"streaming":$streaming,$loadJson,"sf":"$sfDir"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
+    spark.stop() // stop FIRST: no stray executor/log line after the metric
+    println(line)
   }
 }

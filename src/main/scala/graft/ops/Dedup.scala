@@ -237,19 +237,42 @@ object Dedup {
       .selectExpr("id_a", "id_b", "round(jacc, 4) as jacc")
   }
 
-  /** Connected components over an undirected pair list by iterative
-    * minimum-label propagation TO CONVERGENCE: every vertex starts as
-    * its own label; each round takes the min of its own and its
-    * neighbors' labels, and iteration stops on the first round that
-    * changes no label (a fixpoint resolves ANY diameter — a fixed
-    * round count silently splits chain-shaped clusters deeper than
-    * it, and at 100 TB there is no oracle to catch that). `maxIters`
-    * is a safety cap against pathological inputs, not a tuning knob.
-    * The convergence test is one cheap `isEmpty` (limit-1 scan) per
-    * round over the already-checkpointed labels. Deterministic,
-    * shuffle-per-round on vertex id, no driver-side loop over data
-    * (the loop drives PLAN construction; same shape GraphX/Pregel
-    * uses).
+  /** Connected components over an undirected pair list via the
+    * ALTERNATING LARGE-STAR/SMALL-STAR contraction of Kiveris et al.
+    * 2014 ("Connected Components in MapReduce and Beyond", SoCC'14):
+    * O(log² n) rounds instead of min-label propagation's O(diameter)
+    * (r13 — on the sf0.1 semantic-dedup graph the r12 propagation
+    * loop paid 21 barrier rounds for a diameter-20 component, ~90% of
+    * q_dedup_semantic; a long-chain graph at 100 TB makes
+    * diameter-bound rounds the scale-killer). Each round:
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors
+    *    to the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node connects its smaller-or-equal
+    *    neighbors, and itself, to their minimum.
+    *
+    * Both phases are implemented as WINDOW aggregations keyed on the
+    * grouping node — never a self-join. That choice dodges the trap
+    * the r12 probes measured: a Dataset checkpoint PRESERVES its
+    * plan's estimated statistics, and a per-round self-join SQUARES
+    * the carried size estimate (BigInteger digit count doubles per
+    * round; jstack showed the optimizer in million-digit Toom-Cook
+    * multiplication ~12 rounds in). A window propagates the estimate
+    * linearly, so any round count stays planner-cheap.
+    *
+    * Convergence: the edge set is a fixpoint exactly when it is a
+    * forest of STARS — depth 1, i.e. no node is both a pointer source
+    * and a pointer target — and each component's star is rooted at
+    * its minimum vertex (the component min only ever appears as a
+    * target: a down-edge out of it would need a smaller endpoint).
+    * One cheap semi-join `isEmpty` per round checks depth-1 on the
+    * just-checkpointed table. `maxIters` caps the rounds as a safety
+    * net against pathological inputs; hitting it means under-merged
+    * labels, so it fails loudly. Deterministic; null ids are not
+    * meaningful input (a pair with a NULL endpoint carries no edge).
+    * OpsSpec differential-fuzzes this against both a union-find
+    * reference and [[ccByLabelPropagation]] on planted chain / star /
+    * random graphs.
     *
     * Failure-recovery contract: by default each round materializes
     * via eager `localCheckpoint` — blocks live on executors, so
@@ -265,6 +288,100 @@ object Dedup {
     * = min id of its component. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxIters >= 1, "maxIters must be >= 1")
+    // checkpointDir is session-global SparkContext state: set it for
+    // the iteration, restore the caller's prior dir after (r6). The
+    // returned plan reads only already-materialized checkpoint tables
+    // (edges0 + the final round's edges), so restoring on exit is safe.
+    val sc = pairs.sparkSession.sparkContext
+    val prior = sc.getCheckpointDir
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        sc.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    try {
+      // ONE pass over `pairs` (whose lineage may be a whole candidate
+      // pipeline): canonical down-edges (src = greater endpoint),
+      // self-loops kept so the vertex set derives from this table
+      // without re-scanning the input
+      val edges0 = ckpt(pairs
+        .selectExpr("greatest(id_a, id_b) as src", "least(id_a, id_b) as dst")
+        .distinct())
+      val verts = edges0.selectExpr("src as id")
+        .union(edges0.selectExpr("dst as id")).distinct()
+      var edges = edges0.filter(F.col("src") =!= F.col("dst"))
+      var converged = false
+      var round = 0
+      while (!converged && round < maxIters) {
+        round += 1
+        // large-star over the doubled (undirected) view: for grouping
+        // node v with neighborhood N, m = min(N ∪ {v}); every edge to
+        // a LARGER neighbor u re-points (u → m). Each undirected edge
+        // is emitted by exactly its smaller endpoint's group, so the
+        // edge count never grows; duplicates are tolerated by the min
+        // and collapsed by small-star's final distinct.
+        val both = edges.union(
+          edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        val ls = both
+          .withColumn("__m",
+            F.least(F.col("src"), F.min("dst").over(Window.partitionBy("src"))))
+          .filter(F.col("dst") > F.col("src"))
+          .select(F.col("dst").as("src"), F.col("__m").as("dst"))
+        // small-star: all edges now point down (dst < src). Group by
+        // the larger endpoint: m = min of its smaller neighbors; each
+        // neighbor re-points (lo → m), the group node itself (hi → m).
+        // Exactly one DISTINCT lo per group equals m, so mapping that
+        // row to (hi → m) emits the group edge without a join.
+        val ss = ls
+          .withColumn("__m", F.min("dst").over(Window.partitionBy("src")))
+          .select(
+            F.when(F.col("dst") === F.col("__m"), F.col("src"))
+              .otherwise(F.col("dst")).as("src"),
+            F.col("__m").as("dst"))
+          .distinct()
+        val next = ckpt(ss)
+        // fixpoint ⟺ star forest ⟺ no dst is also a src
+        converged = next.alias("a")
+          .join(next.alias("b"), F.col("a.dst") === F.col("b.src"),
+            "left_semi")
+          .isEmpty
+        edges = next
+      }
+      // the cap exists to bound pathological inputs, and hitting it
+      // means labels are under-merged — the silent-split wrong answer
+      // this method exists to prevent, so fail loudly instead
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIters rounds; " +
+          "raise maxIters")
+      lastCcRounds = round // probe/spec introspection only
+      // star edges ARE the labels; roots and isolated vertices (incl.
+      // self-loop-only ones) label themselves
+      verts.join(
+          edges.select(F.col("src").as("id"), F.col("dst").as("__cc_l")),
+          Seq("id"), "left_outer")
+        .select(F.col("id"),
+          F.coalesce(F.col("__cc_l"), F.col("id")).as("label"))
+    } finally {
+      if (checkpointDir.isDefined) prior.foreach(sc.setCheckpointDir)
+    }
+  }
+
+  /** Rounds the last [[connectedComponents]] call took — probe/spec
+    * introspection only (CcProbe, the O(log²) regression pin). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** The r12 min-label-propagation loop, kept as the differential
+    * reference for [[connectedComponents]]' fuzz suite (and as the
+    * measured O(diameter) baseline the r13 star-contraction replaced
+    * — 21 barrier rounds on the sf0.1 semantic-dedup graph vs ≤ 6).
+    * Semantics identical on non-null ids. */
+  private[graft] def ccByLabelPropagation(
+      pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     // each round references the previous labels twice (join + carry),
     // so an unbroken lineage doubles per round (2^rounds plan nodes)
     // and re-derives the candidate pipeline under every leaf. Eager

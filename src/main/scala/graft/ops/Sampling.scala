@@ -398,12 +398,13 @@ object Sampling {
     // per invocation (guide §3.3 "materialise an intermediate"): a
     // table already small enough to broadcast is always small enough
     // to checkpoint (r12 opening measure: q_dsir_parts 1.65 s, the
-    // totals branch re-exploded both model corpora).
-    val mb = bucketed(target, 1).unionAll(bucketed(source, 0))
+    // totals branch re-exploded both model corpora). Materialize runs
+    // a job at construction time; spark.graft.checkpointDir flips it
+    // to reliable checkpoints (the 100 TB executor-loss posture).
+    val mb = Materialize(bucketed(target, 1).unionAll(bucketed(source, 0))
       .groupBy("__b")
       .agg(F.sum(F.when(F.col("__side") === 1, F.lit(1L))).as("__ct"),
-        F.sum(F.when(F.col("__side") === 0, F.lit(1L))).as("__cs"))
-      .localCheckpoint()
+        F.sum(F.when(F.col("__side") === 0, F.lit(1L))).as("__cs")))
     val totals = F.broadcast(
       mb.agg(F.coalesce(F.sum("__ct"), F.lit(0L)).as("__nt"),
         F.coalesce(F.sum("__cs"), F.lit(0L)).as("__ns")))
@@ -449,18 +450,16 @@ object Sampling {
       "concat(graft_word_ngrams(lower(text), 1), graft_word_ngrams(lower(text), 2))"
     val bucketExpr =
       s"cast(conv(substring(md5(__g), 1, 8), 16, 10) as bigint) % $buckets"
-    val feats = docs
+    val feats = Materialize(docs
       .select(F.col("doc_id"), F.expr(targetCond).as("__side"),
         F.explode(F.expr(gramsExpr)).as("__g"))
       .selectExpr("doc_id", "__side", s"$bucketExpr as __b")
-      .groupBy("doc_id", "__side", "__b").agg(F.count(F.lit(1)).as("__n"))
-      .localCheckpoint()
+      .groupBy("doc_id", "__side", "__b").agg(F.count(F.lit(1)).as("__n")))
     // sum(when) with no otherwise keeps the unseen-bucket NULL
     // contract (the dsirLayer convention)
-    val mb = feats.groupBy("__b")
+    val mb = Materialize(feats.groupBy("__b")
       .agg(F.sum(F.when(F.col("__side"), F.col("__n"))).as("__ct"),
-        F.sum(F.when(!F.col("__side"), F.col("__n"))).as("__cs"))
-      .localCheckpoint()
+        F.sum(F.when(!F.col("__side"), F.col("__n"))).as("__cs")))
     val totals = F.broadcast(
       mb.agg(F.coalesce(F.sum("__ct"), F.lit(0L)).as("__nt"),
         F.coalesce(F.sum("__cs"), F.lit(0L)).as("__ns")))

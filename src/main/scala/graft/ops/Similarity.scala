@@ -167,8 +167,11 @@ object Similarity {
     *
     * 100 TB shape: centroids aggregate to ONE row and BROADCAST;
     * assignment is a pure per-row projection (cells × dim integer
-    * fold) — zero shuffle, zero explode. A dimension mismatch throws
-    * (ANSI array index); an empty centroid table raises in-plan.
+    * fold) — zero shuffle, zero explode. A ragged centroid table or a
+    * centroid/vector dimension mismatch raises in-plan (the ragged
+    * check runs once inside the 1-row broadcast aggregate — r13,
+    * advice: compensating per-cell lengths must not pass the total-
+    * size guard); an empty centroid table raises too.
     * Returns (vec_id, embedding, cell, cell_d). */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
@@ -188,7 +191,11 @@ object Similarity {
         .as("__ct"))
       .selectExpr("transform(__ct, c -> c.cell) as __cells",
         "flatten(transform(__ct, c -> c.q)) as __flat",
-        "size(__ct) as __nc"))
+        "size(__ct) as __nc",
+        // distinct per-cell widths — >1 means a RAGGED table, which
+        // the total-size guard alone cannot see when lengths
+        // compensate (e.g. dims 3 and 5 vs 4-dim vectors)
+        "size(array_distinct(transform(__ct, c -> size(c.q)))) as __nw"))
     int8Lattice(emb, keep = Seq("embedding"))
       .crossJoin(ct)
       .withColumn("__best", F.expr(
@@ -197,6 +204,9 @@ object Similarity {
         // fail loudly, never silently prefix-score (review r11)
         s"""case when __nc = 0
              then raise_error('ivfAssign: empty centroid table')
+             when __nw > 1
+             then raise_error('ivfAssign: ragged centroid table ' ||
+               '(cells disagree on dimension count)')
              when size(__flat) != __nc * size(q)
              then raise_error(concat('ivfAssign: centroid/vector ',
                'dimension mismatch (', size(__flat), ' centroid values for ',
@@ -816,10 +826,17 @@ object Similarity {
                     - __cb[t * (size(q) div $m) + i - 1])))
        as dtab"""
 
-  /** ADC score: m table lookups summed per (query, code-row) pair. */
+  /** ADC score: m table lookups summed per (query, code-row) pair.
+    * `m` is a plan-time literal, so the fold UNROLLS into m plain
+    * array subscripts summed in whole-stage codegen (r13 — the
+    * `aggregate(sequence(...))` spelling was an interpreted
+    * CodegenFallback lambda dispatched per corpus row × per query,
+    * the same residue the r12 ivfAssign argmin carried; identical
+    * arithmetic and null/OOB semantics, the ops are the same
+    * GetArrayItem/Add nodes the fold evaluated one level down). */
   private def adcExpr(m: Int, kc: Int): String =
-    s"""aggregate(sequence(0, ${m - 1}), 0L,
-          (acc, b) -> acc + dtab[b * $kc + codes[b]]) as adc"""
+    (0 until m).map(b => s"dtab[${b * kc} + codes[$b]]")
+      .mkString("(", " + ", ") as adc")
 
   /** ADC (asymmetric-distance) top-k search over the PQ-encoded
     * corpus (r9) — the search half of SURVEY row 95. Each query

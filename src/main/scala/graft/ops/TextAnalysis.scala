@@ -151,19 +151,19 @@ object TextAnalysis {
     // expression stays INLINE in the generator — materializing the
     // array column first would copy it per element, the 13× Generate
     // trap), so no corpus-side dl join is ever needed
-    val hits = docs
+    // hits (the query-term postings) has two consumers — df and the
+    // scoring join. Materialize it so the text scan + explode runs
+    // once (guide §3.3; spark.graft.checkpointDir flips the blocks to
+    // reliable checkpoints — the 100 TB posture); df then aggregates
+    // two-phase over the materialized postings (skew-safe — a
+    // per-term window would concentrate a stopword's postings in one
+    // task, the vocabularyStats lesson).
+    val hits = Materialize(docs
       .withColumn("__dl", F.expr("size(graft_word_ngrams(lower(text), 1))"))
       .select(F.col("doc_id"), F.col("__dl"),
         F.explode(F.expr("graft_word_ngrams(lower(text), 1)")).as("term"))
       .join(F.broadcast(qTermSet), Seq("term"))
-      .groupBy("doc_id", "term", "__dl").agg(F.count(F.lit(1)).as("tf"))
-      // hits (the query-term postings) has two consumers — df and the
-      // scoring join. Checkpoint it so the text scan + explode runs
-      // once (guide §3.3); df then aggregates two-phase over the
-      // materialized postings (skew-safe — a per-term window would
-      // concentrate a stopword's postings in one task, the
-      // vocabularyStats lesson).
-      .localCheckpoint()
+      .groupBy("doc_id", "term", "__dl").agg(F.count(F.lit(1)).as("tf")))
     val df = hits.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val scored = hits
       .join(F.broadcast(qTerms), Seq("term"))

@@ -214,6 +214,63 @@ class OpsSpec extends SparkTestBase {
       l2(10L) == 10L && l2(11L) == 10L, l2.toString)
   }
 
+  test("star-contraction CC matches union-find and the propagation " +
+      "loop on planted chain/star/random graphs (r13)") {
+    import spark.implicits._
+    // union-find reference (driver-side, the ground truth)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-of-component labels
+      val roots = parent.keys.map(x => x -> find(x)).toSeq
+      val mins = roots.groupBy(_._2).map { case (r, xs) =>
+        r -> xs.map(_._1).min }
+      roots.map { case (x, r) => x -> math.min(mins(r), r) }.toMap
+    }
+    def check(name: String, edges: Seq[(Long, Long)]): Unit = {
+      val df = edges.toDF("id_a", "id_b")
+      val expected = unionFind(edges)
+      val got = Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"$name: star-contraction != union-find")
+      // the propagation reference needs O(diameter) rounds — the very
+      // bound the star contraction removes — so give it headroom
+      val ref = Dedup.ccByLabelPropagation(df, maxIters = 200).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"$name: star-contraction != propagation loop")
+    }
+    // long chain (diameter 59) in shuffled edge order
+    val rnd = new scala.util.Random(7)
+    check("chain60", rnd.shuffle((1L until 60L).map(i => (i, i + 1))))
+    // stars: hub smaller than leaves, hub larger than leaves
+    check("star_low_hub", (2L to 40L).map(i => (1L, i)))
+    check("star_high_hub", (1L to 39L).map(i => (100L, i)))
+    // self-loops, duplicates and reversed duplicates mixed in
+    check("messy", Seq((5L, 5L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (9L, 9L), (7L, 8L), (8L, 7L), (1L, 2L)))
+    // random graphs at several densities/seeds (components of every
+    // shape: isolated pairs, trees, cycles, dense cores)
+    for (seed <- Seq(11, 42, 99); m <- Seq(30, 120)) {
+      val r = new scala.util.Random(seed + m)
+      val es = Seq.fill(m)((r.nextInt(80).toLong, r.nextInt(80).toLong))
+      check(s"rand_${seed}_$m", es)
+    }
+    // string ids order lexicographically, same as the min-label rule
+    val sdf = Seq(("b", "c"), ("c", "d"), ("x", "a"), ("a", "b"))
+      .toDF("id_a", "id_b")
+    val sGot = Dedup.connectedComponents(sdf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "a"), sGot.toString)
+  }
+
   test("connected components reliable-checkpoint path matches local") {
     import spark.implicits._
     // checkpointDir switches the per-round materialization from
@@ -1334,6 +1391,29 @@ class OpsSpec extends SparkTestBase {
       val s = self.collect().map(r => r.getLong(0) -> r.toSeq).toMap
       assert(s == g)
     }
+  }
+
+  test("reliable Materialize path (spark.graft.checkpointDir) matches " +
+      "local and writes checkpoint files (r13)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "window join window"), (1L, "scan row scan table"),
+      (2L, "zzz qqq"), (3L, "window agg scan"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val local = graft.ops.Sampling.dsirPartsSelf(docs, "doc_id % 2 = 0", 64)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mat_ckpt").toString
+    spark.conf.set(graft.ops.Materialize.ConfKey, dir)
+    try {
+      val reliable = graft.ops.Sampling
+        .dsirPartsSelf(docs, "doc_id % 2 = 0", 64)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(reliable == local)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .count() > 1
+      assert(wrote, "no reliable checkpoint files written")
+    } finally spark.conf.unset(graft.ops.Materialize.ConfKey)
   }
 
   test("soft dedup weights: 1/group size for members, 1.0 for singletons") {

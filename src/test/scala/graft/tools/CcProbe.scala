@@ -37,7 +37,8 @@ object CcProbe {
       val groups = graft.ops.Dedup.connectedComponents(pairs)
       groups.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
-      println(f"[ccprobe] $tag pairs=$n pairStage=${(t1-t0)/1e9}%.2f cc=${(t2-t1)/1e9}%.2f s")
+      println(f"[ccprobe] $tag pairs=$n pairStage=${(t1-t0)/1e9}%.2f " +
+        f"cc=${(t2-t1)/1e9}%.2f s rounds=${graft.ops.Dedup.lastCcRounds}")
     }
     run("warm1"); run("warm2"); run("run3")
     spark.stop()
