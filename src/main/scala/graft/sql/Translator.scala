@@ -1816,8 +1816,29 @@ final class Translator(catalog: String => DataFrame,
               exprToCol(g, None).as(n)
             }
             val aggCols = aggs.map { case (n, a) => aggColumn(a).as(n) }
+            // r13 (VERDICT r12 #4) widens the r10 fusion beyond the
+            // plain shape to the two next-simplest ones, both provably
+            // single-group per outer row:
+            //  - inner GROUP BY where every key structurally matches a
+            //    correlation equality key (grouping adds nothing but
+            //    the zero-rows ⟹ NULL-even-for-COUNT contract);
+            //  - GROUP-BY-less HAVING whose predicate reads only
+            //    aggregates (evaluated over the same window columns).
+            // Both reproduce the generic tuple path's semantics
+            // exactly — including its empty-selected-set ⟹ NULL rule —
+            // via the __gc inner-row count below; the grouped-theta
+            // fuzz suites (seeds 113/89) differential-pin the results.
+            val innerKeysFusable = innerKeys.isEmpty ||
+              innerKeys.forall(g => keyPairs.exists(kp => sameExpr(kp._1, g)))
+            val havingAggOnly = q.sel.having.forall { h =>
+              var bare = false
+              Ast.transformUp(Ast.transformUp(h) {
+                case a: AggExpr if a.window.isEmpty => NumLit("0")
+              }) { case c: ColRef => bare = true; c }
+              !bare
+            }
             val fusable = thetas.length == 1 && gens.isEmpty &&
-              innerKeys.isEmpty && q.sel.having.isEmpty &&
+              innerKeysFusable && havingAggOnly &&
               keyPairs.nonEmpty &&
               Set("<", "<=", ">", ">=").contains(thetas.head._2) &&
               aggs.forall { case (_, a) =>
@@ -1887,23 +1908,62 @@ final class Translator(catalog: String => DataFrame,
                 val w = Window.partitionBy(ukN.map(F.col): _*)
                   .orderBy(ord: _*)
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                val aggColsW = aggs.zip(argNs).map { case ((n0, a), n) =>
-                  val c = a.func match {
-                    case "count" => F.count(F.col(n))
-                    case "sum"   => F.sum(F.col(n))
-                    case "min"   => F.min(F.col(n))
-                    case "max"   => F.max(F.col(n))
-                    case "avg"   => F.avg(F.col(n))
-                  }
-                  c.over(w).as(n0)
+                // raw window aggregates first; the public agg names
+                // are produced by the wrap projection below (grouped /
+                // HAVING shapes read NULL where the generic path's
+                // zero-group join-miss did)
+                val rawNs = aggs.indices.map(j => s"__csq_${idx}_r$j")
+                val aggColsW = aggs.zip(argNs).zip(rawNs).map {
+                  case (((_, a), n), rn) =>
+                    val c = a.func match {
+                      case "count" => F.count(F.col(n))
+                      case "sum"   => F.sum(F.col(n))
+                      case "min"   => F.min(F.col(n))
+                      case "max"   => F.max(F.col(n))
+                      case "avg"   => F.avg(F.col(n))
+                    }
+                    c.over(w).as(rn)
                 }
+                // grouped / HAVING shapes: an EMPTY theta-selected set
+                // yields zero inner groups, so every aggregate —
+                // including COUNT — must read NULL, exactly as the
+                // generic path's join-miss does; __gc counts the
+                // frame's INNER rows to detect it. HAVING evaluates
+                // over the raw window aggregates and NULLs the values
+                // of failing groups (zero surviving rows).
+                val needGc = innerKeys.nonEmpty || q.sel.having.nonEmpty
+                val gcN = s"__csq_${idx}_gc"
+                val gcCol =
+                  if (needGc)
+                    Seq(F.count(F.when(F.col(mN) === 1, F.lit(1)))
+                      .over(w).as(gcN))
+                  else Nil
                 val unioned = oSide.union(iSide)
-                from = unioned
-                  .select(unioned.columns.toSeq.map(F.col) ++ aggColsW: _*)
+                val winFrame = unioned
+                  .select(unioned.columns.toSeq.map(F.col) ++
+                    aggColsW ++ gcCol: _*)
                   .filter(F.col(mN) === 0)
-                helperCols = aggs.map(_._1).toList ::: valN :: mN ::
+                val hCond = havingSubst.map { h =>
+                  exprToCol(Ast.transformUp(h) {
+                    case c @ ColRef(None, n) =>
+                      val i = aggs.indexWhere(_._1 == n)
+                      if (i >= 0) ColRef(None, rawNs(i)) else c
+                  }, None)
+                }
+                val finalAggCols = aggs.map(_._1).zip(rawNs).map {
+                  case (n0, rn) =>
+                    var c: org.apache.spark.sql.Column = F.col(rn)
+                    hCond.foreach(hc => c = F.when(hc, c))
+                    if (needGc) c = F.when(F.col(gcN) > 0, c)
+                    c.as(n0)
+                }
+                from = winFrame.select(
+                  winFrame.columns.toSeq.map(F.col) ++ finalAggCols: _*)
+                helperCols = aggs.map(_._1).toList ::: rawNs.toList :::
+                  gcN :: valN :: mN ::
                   (ukN.toList ::: argNs.toList ::: helperCols)
-                substituted // innerKeys empty: no >1-row guard needed
+                substituted // ≤1 group per outer row by construction:
+                            // no >1-row guard needed
             } else if (thetas.nonEmpty || gens.nonEmpty) {
                 // theta / general scalar: the aggregated set depends
                 // on the outer operand(s), so aggregate per DISTINCT

@@ -781,16 +781,22 @@ class QueryFuzzSpec extends SparkTestBase {
     agg <- Gen.oneOf("count(*)", "max(l2.l_extendedprice)",
       "min(l2.l_linenumber)")
     div <- Gen.choose(2, 6)
-    hav <- Gen.option(Gen.choose(1, 3))
+    havOp <- Gen.oneOf(">", ">=") // >= 0 PASSES over empty: pins the
+                                  // zero-selected-rows ⟹ NULL contract
+    hav <- Gen.option(Gen.choose(0, 3))
+    // r13: the GROUP-BY-less HAVING shape rides the same fused window
+    // lowering — fuzz it against the identical decorrelated oracle
+    // (one group per correlation key either way)
+    grp <- Gen.oneOf(true, true, false)
   } yield {
     val aggO = agg.replace("l2.", "")
-    val havG = hav.map(v => s" having count(*) > $v").getOrElse("")
+    val havG = hav.map(v => s" having count(*) $havOp $v").getOrElse("")
+    val grpG = if (grp || hav.isEmpty) " group by l2.l_orderkey" else ""
     val graftSql =
       s"""select o_orderkey,
             (select $agg from lineitem l2
              where l2.l_orderkey = orders.o_orderkey
-               and l2.l_extendedprice $op orders.o_totalprice / $div
-             group by l2.l_orderkey$havG) as v
+               and l2.l_extendedprice $op orders.o_totalprice / $div$grpG$havG) as v
           from orders"""
     val oracleSql =
       s"""select orders.o_orderkey, t.v from orders
@@ -880,8 +886,8 @@ class QueryFuzzSpec extends SparkTestBase {
     }
   }
 
-  test("15 random grouped-theta correlated scalars match their decorrelated form") {
-    val pairs = Gen.listOfN(15, genGroupedThetaScalarPair)
+  test("25 random grouped/having-theta correlated scalars match their decorrelated form") {
+    val pairs = Gen.listOfN(25, genGroupedThetaScalarPair)
       .pureApply(Gen.Parameters.default, Seed(113L))
     pairs.distinct.foreach { case (g, o) =>
       withClue(s"\nquery: $g\n") {
