@@ -188,5 +188,7 @@ object GraftFunctions {
         litInt(exprs(2), "graft_pq_encode m"),
         litInt(exprs(3), "graft_pq_encode k")),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_int8", exprs => Int8Lattice(exprs(0)), "built-in")
   }
 }

@@ -672,18 +672,17 @@ object Similarity {
     * (vec_id, q: array<bigint>) — symmetric max-abs quantization with
     * floor(x+0.5) rounding (IEEE-identical cross-engine), zero
     * vectors guarded. `keep` threads extra columns (e.g. the IVF cell)
-    * through the projection. */
+    * through the projection. r13: the native
+    * [[graft.functions.Int8Lattice]] expression (two primitive loops
+    * in whole-stage codegen) replaces the three interpreted HOF
+    * passes per corpus row — bit-identical arithmetic, spec-pinned
+    * against the HOF spelling ([[quantizeEmbeddings]] keeps it: its
+    * contract exposes the scale). */
   private def int8Lattice(emb: DataFrame,
-                          keep: Seq[String] = Nil): DataFrame =
-    emb
-      .selectExpr(Seq("vec_id", "embedding",
-        "cast(array_max(transform(embedding, v -> abs(cast(v as double)))) as double) as __scale")
-        ++ keep: _*)
-      .selectExpr(Seq("vec_id",
-        """case when __scale = 0D then transform(embedding, v -> 0L)
-             else transform(embedding,
-               v -> cast(floor(cast(v as double) * 127D / __scale + 0.5D) as bigint))
-           end as q""") ++ keep: _*)
+                          keep: Seq[String] = Nil): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.selectExpr(Seq("vec_id", "graft_int8(embedding) as q") ++ keep: _*)
+  }
 
   /** Product quantization encode (r5c) — the ANN compression tier
     * beyond int8: each vector splits into `m` sub-blocks and each

@@ -19,6 +19,36 @@ class FunctionsSpec extends SparkTestBase {
     assert(both.filter("a <> b").count() == 0)
   }
 
+  test("graft_int8 is bit-identical to the HOF lattice formulation (r13)") {
+    val hof =
+      """case when cast(array_max(transform(embedding,
+               v -> abs(cast(v as double)))) as double) = 0D
+           then transform(embedding, v -> 0L)
+           else transform(embedding,
+             v -> cast(floor(cast(v as double) * 127D /
+               cast(array_max(transform(embedding,
+                 v2 -> abs(cast(v2 as double)))) as double) + 0.5D) as bigint))
+         end"""
+    val both = emb.selectExpr("graft_int8(embedding) as a", s"$hof as b")
+    assert(both.filter("a <> b").count() == 0)
+    // edges: zero vector, negatives, single element, empty, null
+    val edges = spark.sql(
+      """select * from values
+           (array(cast(0.0 as float), cast(0.0 as float))),
+           (array(cast(-3.5 as float), cast(1.75 as float))),
+           (array(cast(2.5 as float))),
+           (cast(array() as array<float>)),
+           (cast(null as array<float>))
+         as t(embedding)""")
+    GraftFunctions.register(spark)
+    val e = edges.selectExpr("graft_int8(embedding) as a", s"$hof as b")
+      .collect()
+    e.foreach { r =>
+      assert(Option(r.get(0)).map(_.toString) ==
+        Option(r.get(1)).map(_.toString), r.toString)
+    }
+  }
+
   test("graft_dot works with a literal double array (hyperplane form)") {
     val r = emb.limit(1).selectExpr(
       "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) as d").collect()
