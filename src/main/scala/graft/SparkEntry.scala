@@ -1174,20 +1174,36 @@ object SparkEntry {
          where l_shipdate <= date '2000-12-01' - interval 90 day
          group by l_returnflag, l_linestatus
          order by l_returnflag, l_linestatus""",
+    // r13 (guide §3.1): FROM order rewritten fact-table-first in
+    // q3/q5 (inner joins commute — row-identical, oracle re-verified
+    // both SFs). Catalyst's stat-less join estimate is the PRODUCT of
+    // the child sizes, so with dimension-first text a left-deep
+    // chain's accumulated side always "outweighs" the lineitem leaf
+    // and the planner put the 600 k-row FACT table on the broadcast
+    // BUILD side (collect + hash-build of the biggest input; a plan
+    // that stops scaling the moment the fact side outgrows the
+    // threshold-capped build). lineitem-first makes every build side
+    // a true dimension and the fact table the stream. DuckDB (the
+    // oracle AND baseline) join-reorders by cost itself, so its plans
+    // are unchanged by the text order. A/B: q3 0.80→0.64, q5
+    // 1.03→0.70 matched-mode. q18 probed SLOWER reordered (0.71→0.79:
+    // its IN-semi prunes orders before the fact join, so streaming
+    // the filtered orders side wins at this SF) — kept dimension-
+    // first there.
     "q_tpch_q3" ->
       """select l_orderkey, o_orderdate,
            round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
-         from customer
-         join orders on c_custkey = o_custkey
-         join lineitem on l_orderkey = o_orderkey
+         from lineitem
+         join orders on l_orderkey = o_orderkey
+         join customer on c_custkey = o_custkey
          where c_mktsegment = 'BUILDING' and o_orderdate < '1997-01-01'
          group by l_orderkey, o_orderdate
          order by revenue desc, l_orderkey limit 10""",
     "q_tpch_q5" ->
       """select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
-         from customer
-         join orders on c_custkey = o_custkey
-         join lineitem on l_orderkey = o_orderkey
+         from lineitem
+         join orders on l_orderkey = o_orderkey
+         join customer on c_custkey = o_custkey
          join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
          join nation on s_nationkey = n_nationkey
          join region on n_regionkey = r_regionkey

@@ -382,6 +382,10 @@ object Dedup {
   private[graft] def ccByLabelPropagation(
       pairs: DataFrame, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
+    // the fused init below IS round one, so the loop's convergence
+    // flag is only ever set from round two on — maxIters = 1 would
+    // always throw, even on already-converged input (r12 advice #2)
+    require(maxIters >= 2, "maxIters must be >= 2 (init is round one)")
     // each round references the previous labels twice (join + carry),
     // so an unbroken lineage doubles per round (2^rounds plan nodes)
     // and re-derives the candidate pipeline under every leaf. Eager
@@ -993,6 +997,12 @@ object Dedup {
     // and the unique-keyed join back lets AQE split a skewed probe
     // side — the r6 vocabularyStats remedy, results identical ((doc_
     // id, pos) pairs are unique, so "not the minimum" = "not first").
+    // r13 probe, for the record: Materialize(spans) — replacing this
+    // op's documented second span-stream derivation with checkpoint
+    // block reads — measured WORSE (0.93→1.23 s matched-mode): the
+    // barrier + corpus-sized block write costs more than one extra
+    // codegen tokenize+md5 pass. Same lesson as r12's bigram-LM
+    // revert; the two-pass shape stays.
     val spans = docs
       .select(F.col("doc_id"),
         F.posexplode(F.expr(s"graft_word_ngrams(lower(text), $n)"))

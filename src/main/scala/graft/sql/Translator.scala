@@ -2715,9 +2715,21 @@ final class Translator(catalog: String => DataFrame,
             case _               => Seq(exprToCol(e, None))
           }
           val arity = probes.length
+          // r13 (guide §3.1): the negated null arms are spelled
+          // `isnull(p = k)` — semantically identical to
+          // `p.isNull || k.isNull` (`=` is NULL iff either side is) —
+          // because Spark's ExtractSingleColumnNullAwareAntiJoin only
+          // pattern-matches `Or(EqualTo(l, r), IsNull(EqualTo(l, r)))`.
+          // The old spelling planned every uncorrelated single-column
+          // NOT IN as an O(|outer|·|set|) BroadcastNestedLoopJoin;
+          // this one plans the hash-based null-aware anti join over
+          // the same broadcast (q_tpch_q16 0.99→0.57 s matched-mode;
+          // same broadcast either way, so strictly better at any
+          // scale). Multi-column and correlated forms keep their
+          // BNLJ/residual shape (Spark has no multi-column NAAJ).
           def pairCond(keyCols: Seq[Column], neg: Boolean): Column =
             probes.zip(keyCols).map { case (p, k) =>
-              if (neg) p === k || p.isNull || k.isNull else p === k
+              if (neg) p === k || (p === k).isNull else p === k
             }.reduce(_ && _)
           // Correlated IN (sub's WHERE references an outer alias):
           // split like EXISTS — correlated conjuncts join, local
