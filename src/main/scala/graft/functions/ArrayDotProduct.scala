@@ -190,5 +190,10 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_int8", exprs => Int8Lattice(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_strip_spans",
+      exprs => StripSpans(exprs(0), exprs(1),
+        litInt(exprs(2), "graft_strip_spans n")),
+      "built-in")
   }
 }

@@ -1047,12 +1047,12 @@ object Dedup {
     * persist at 100 TB, and the re-derivation is an embarrassingly
     * parallel scan+project with no shuffle, the cheap side of the
     * trade against the removed single-task bound. The duplicate
-    * starts fold into per-doc MERGED coverage
-    * intervals (bounded by the doc's own maximal duplicated regions,
-    * not its duplicate-span count) and ONE doc_id join carries them
-    * back to the corpus; the rewrite is a pure codegen'd projection
-    * (positional filter against the merged intervals). Documents
-    * with no duplicated span never reach the join's build side.
+    * starts fold into ONE sorted int array per affected doc and ONE
+    * doc_id join carries it back to the corpus; the rewrite is the
+    * native one-pass [[graft.functions.StripSpans]] projection (r13 —
+    * previously an interpreted per-token × per-interval HOF filter
+    * over merged coverage intervals). Documents with no duplicated
+    * span never reach the join's build side.
     *
     * Returns (doc_id, text, n_removed). NULL text stays NULL;
     * documents shorter than n tokens pass through unchanged.
@@ -1128,7 +1128,7 @@ object Dedup {
     require(n >= 2, "span length must be at least 2 tokens")
     locally {
       val reserved = Seq("__p0", "__g", "__pos", "__h", "__mn", "__c",
-        "__starts", "__ivs", "__iv")
+        "__starts", "__r")
       val clash = docs.columns.filter(c =>
         reserved.exists(_.equalsIgnoreCase(c)))
       require(clash.isEmpty,
@@ -1151,35 +1151,24 @@ object Dedup {
       .where(F.struct(F.col("doc_id"), F.col("__pos")) =!= F.col("__mn"))
       .groupBy("doc_id")
       .agg(F.sort_array(F.collect_list("__pos")).as("__starts"))
-    // sorted duplicate starts -> disjoint merged [lo, hi] coverage
-    // intervals (adjacent/overlapping runs collapse); the typed empty
-    // array comes from slice(ivs, 1, 0) so the fold needs no cast
+    // r13 (guide §4): the rewrite is the native graft_strip_spans —
+    // one byte pass with a sorted-pointer coverage test — replacing
+    // the interpreted per-token × per-interval HOF filter plus the
+    // two interval folds (struct build + merge aggregate) it fed.
+    // n_removed (covered-ordinal count) equals the old merged-
+    // interval mass Σ(hi−lo+1) because every start comes from an
+    // n-gram of this document (every covered ordinal ≤ token count);
+    // OpsSpec pins the equivalence on overlap/adjacent/null edges.
+    // Untouched documents (NULL __starts) and NULL text pass through
+    // BYTE-FOR-BYTE in the when-guard — the rewrite would silently
+    // normalize their whitespace otherwise — and skip the token scan.
     docs.join(dupStarts, Seq("doc_id"), "left")
-      .withColumn("__ivs", F.expr(
-        s"""transform(coalesce(__starts, slice(array(0), 1, 0)),
-              s -> named_struct('lo', s, 'hi', s + ${n - 1}))"""))
-      .withColumn("__iv", F.expr(
-        """aggregate(__ivs, slice(__ivs, 1, 0), (acc, v) ->
-             case when size(acc) > 0
-                    and v.lo <= element_at(acc, -1).hi + 1
-               then concat(slice(acc, 1, size(acc) - 1),
-                 array(named_struct('lo', element_at(acc, -1).lo,
-                   'hi', greatest(element_at(acc, -1).hi, v.hi))))
-               else concat(acc, array(v)) end)"""))
+      .withColumn("__r",
+        F.when(F.col("text").isNull || F.col("__starts").isNull,
+          F.struct(F.col("text").as("text"), F.lit(0L).as("n_removed")))
+        .otherwise(F.expr(s"graft_strip_spans(text, __starts, $n)")))
       .select(F.col("doc_id"),
-        // untouched documents (no duplicated span) pass through
-        // BYTE-FOR-BYTE — the rewrite would silently normalize their
-        // whitespace otherwise — and skip the per-token scan
-        F.expr(
-          """case when text is null then null
-                  when size(__iv) = 0 then text
-                  else
-               array_join(filter(filter(split(text, ' '), t -> t <> ''),
-                 (t, i) -> not exists(__iv,
-                   v -> v.lo <= i + 1 and i + 1 <= v.hi)), ' ')
-             end""").as("text"),
-        F.expr(
-          """aggregate(__iv, 0L, (a, v) -> a + v.hi - v.lo + 1)""")
-          .as("n_removed"))
+        F.col("__r.text").as("text"),
+        F.col("__r.n_removed").as("n_removed"))
   }
 }

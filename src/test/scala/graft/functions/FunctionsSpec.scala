@@ -354,6 +354,107 @@ class FunctionsSpec extends SparkTestBase {
       // the rendered rows instead
       nb.collect()(0).get(0).toString == nb.collect()(0).get(1).toString)
   }
+
+  test("graft_strip_spans matches the old HOF interval rewrite (r13)") {
+    GraftFunctions.register(spark)
+    val n = 3
+    // planted edges: overlapping spans, adjacent spans that merge,
+    // single span, full coverage, weird whitespace (normalized by
+    // BOTH forms when a removal happens), empty starts (byte-for-byte
+    // passthrough incl. whitespace), start at position 1 and at the
+    // last legal position
+    val rows = spark.sql(
+      """select * from values
+           ('a b c d e f g h', array(2, 3)),
+           ('a b c d e f g h', array(1, 4)),
+           ('a b c d e f',     array(4)),
+           ('a b c',           array(1)),
+           ('  a   b  c d   ', array(2)),
+           ('a b c d',         cast(array() as array<int>)),
+           ('  x   y ',        cast(array() as array<int>)),
+           ('a b c d e',       array(1, 2, 3))
+         as t(text, __starts)""")
+    val old = rows
+      .selectExpr("text", "__starts",
+        s"""transform(__starts,
+              s -> named_struct('lo', s, 'hi', s + ${n - 1})) as __ivs""")
+      .selectExpr("text", "__starts",
+        """aggregate(__ivs, slice(__ivs, 1, 0), (acc, v) ->
+             case when size(acc) > 0
+                    and v.lo <= element_at(acc, -1).hi + 1
+               then concat(slice(acc, 1, size(acc) - 1),
+                 array(named_struct('lo', element_at(acc, -1).lo,
+                   'hi', greatest(element_at(acc, -1).hi, v.hi))))
+               else concat(acc, array(v)) end) as __iv""")
+      .selectExpr("text", "__starts",
+        """case when size(__iv) = 0 then text
+             else array_join(filter(filter(split(text, ' '), t -> t <> ''),
+               (t, i) -> not exists(__iv,
+                 v -> v.lo <= i + 1 and i + 1 <= v.hi)), ' ') end as o_text""",
+        "aggregate(__iv, 0L, (a, v) -> a + v.hi - v.lo + 1) as o_removed")
+    val both = old.selectExpr("o_text", "o_removed",
+      s"graft_strip_spans(text, __starts, $n) as r")
+    both.collect().foreach { r =>
+      val s = r.getStruct(2)
+      assert(r.getString(0) == s.getString(0), r.toString)
+      assert(r.getLong(1) == s.getLong(1), r.toString)
+    }
+  }
+
+  test("removeDuplicateSpans equals the pre-r13 HOF lowering end-to-end") {
+    GraftFunctions.register(spark)
+    val n = 8
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    // replica of the old full lowering (span stream identical to the
+    // current one; only the final projection differed)
+    import org.apache.spark.sql.{functions => F}
+    val spans = docs
+      .select(F.col("doc_id"),
+        F.posexplode(F.expr(s"graft_word_ngrams(lower(text), $n)"))
+          .as(Seq("__p0", "__g")))
+      .select(F.col("doc_id"), (F.col("__p0") + 1).as("__pos"),
+        F.md5(F.col("__g")).as("__h"))
+    val firsts = spans.groupBy("__h")
+      .agg(F.min(F.struct(F.col("doc_id"), F.col("__pos"))).as("__mn"),
+        F.count(F.lit(1)).as("__c"))
+      .where(F.col("__c") > 1)
+      .select("__h", "__mn")
+    val dupStarts = spans.join(firsts, Seq("__h"))
+      .where(F.struct(F.col("doc_id"), F.col("__pos")) =!= F.col("__mn"))
+      .groupBy("doc_id")
+      .agg(F.sort_array(F.collect_list("__pos")).as("__starts"))
+    val old = docs.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("__ivs", F.expr(
+        s"""transform(coalesce(__starts, slice(array(0), 1, 0)),
+              s -> named_struct('lo', s, 'hi', s + ${n - 1}))"""))
+      .withColumn("__iv", F.expr(
+        """aggregate(__ivs, slice(__ivs, 1, 0), (acc, v) ->
+             case when size(acc) > 0
+                    and v.lo <= element_at(acc, -1).hi + 1
+               then concat(slice(acc, 1, size(acc) - 1),
+                 array(named_struct('lo', element_at(acc, -1).lo,
+                   'hi', greatest(element_at(acc, -1).hi, v.hi))))
+               else concat(acc, array(v)) end)"""))
+      .select(F.col("doc_id"),
+        F.expr(
+          """case when text is null then null
+                  when size(__iv) = 0 then text
+                  else
+               array_join(filter(filter(split(text, ' '), t -> t <> ''),
+                 (t, i) -> not exists(__iv,
+                   v -> v.lo <= i + 1 and i + 1 <= v.hi)), ' ')
+             end""").as("text"),
+        F.expr(
+          """aggregate(__iv, 0L, (a, v) -> a + v.hi - v.lo + 1)""")
+          .as("n_removed"))
+    val now = graft.ops.Dedup.removeDuplicateSpans(docs, n)
+    assert(now.count() == old.count())
+    assert(now.exceptAll(old).isEmpty && old.exceptAll(now).isEmpty)
+    // the operator must have actually removed something at this SF,
+    // or the differential proves nothing
+    assert(now.filter("n_removed > 0").count() > 0)
+  }
 }
 
 
